@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Immutable lazy-query handle — the Spark-native analog of the
+  * reference's `SQLQuery` struct (reference: src/structs.jl:13-45).
+  *
+  * Where the reference accumulates SQL clause *strings* plus CTE
+  * bookkeeping and state flags, here the wrapped `DataFrame`'s Catalyst
+  * `LogicalPlan` *is* the lazy query: every verb is a pure
+  * `TidierFrame => TidierFrame` returning a new plan, and Catalyst
+  * replaces the reference's entire CTE/finalize machinery
+  * (reference: src/structs.jl:100-343).
+  *
+  * The only real cross-verb state the reference carries that Spark's plan
+  * does not encode is the *grouping / window context* consumed by the next
+  * mutate/summarize/slice (reference: src/db_parsing.jl:453-472) and
+  * cleared afterwards (reference: src/mutate_and_summ.jl:250-257). That
+  * state lives here:
+  *
+  * @param df          the underlying lazy DataFrame (Catalyst plan)
+  * @param groups      active `groupBy` columns (consumed+kept by summarize,
+  *                    used as window PARTITION BY in grouped mutate)
+  * @param winOrder    active window ORDER BY, set by `windowOrder`
+  *                    (reference: src/windows.jl:4-54)
+  * @param winFrame    active ROWS frame (from,to), set by `windowFrame`
+  *                    (reference: src/windows.jl:59-177)
+  */
+final case class TidierFrame(
+    df: DataFrame,
+    groups: Seq[String] = Nil,
+    winOrder: Seq[Column] = Nil,
+    winFrame: Option[(Long, Long)] = None)
+    extends CoreVerbs
+    with JoinVerbs
+    with SetVerbs
+    with WindowVerbs
+    with SliceVerbs
+    with ReshapeVerbs {
+
+  def spark: SparkSession = df.sparkSession
+
+  /** Replace the plan, keep grouping/window state. */
+  private[graft] def withDf(newDf: DataFrame): TidierFrame = copy(df = newDf)
+
+  /** Replace the plan and clear grouping/window state (the reference
+    * clears grouping after it is consumed —
+    * reference: src/mutate_and_summ.jl:250-257). */
+  private[graft] def reset(newDf: DataFrame): TidierFrame = TidierFrame(newDf)
+
+  // ---- actions / sinks (reference: src/TidierDB_macros.jl:629-665) ----
+  def collect(): Array[org.apache.spark.sql.Row] = df.collect()
+  def show(n: Int = 20): Unit = df.show(n, truncate = false)
+  /** `@show_query` analog: the optimized plan instead of SQL text
+    * (reference: src/TidierDB_macros.jl:508-569). */
+  def showQuery(): Unit = df.explain(true)
+  /** `@collect(stream=true)` analog (reference: src/TidierDB_macros.jl:591-622). */
+  def streamCollect(): Iterator[org.apache.spark.sql.Row] = df.toLocalIterator().asInstanceOf[java.util.Iterator[org.apache.spark.sql.Row]] match {
+    case it => new Iterator[org.apache.spark.sql.Row] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
+  }
+  /** `@create_table` analog (reference: src/view_compute.jl:45-94). */
+  def createTable(name: String, replace: Boolean = true): Unit = {
+    val w = df.write
+    (if (replace) w.mode("overwrite") else w).saveAsTable(name)
+  }
+  /** `@create_view` analog (reference: src/view_compute.jl:13-42). */
+  def createView(name: String): Unit = df.createOrReplaceTempView(name)
+  /** `write_file` analog — format from extension (reference: src/view_compute.jl:100-109). */
+  def writeFile(path: String): Unit = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".csv")) df.write.mode("overwrite").option("header", "true").csv(path)
+    else if (lower.endsWith(".json")) df.write.mode("overwrite").json(path)
+    else df.write.mode("overwrite").parquet(path)
+  }
+}
+
+/** Entry points — `db_table` / `dt` analog (reference: src/TidierDB.jl:155-243). */
+object Tidier {
+  /** Scan a file path (parquet/csv/json by extension, globs native). */
+  def read(spark: SparkSession, path: String): TidierFrame = {
+    val lower = path.toLowerCase.stripSuffix("/")
+    val df =
+      if (lower.endsWith(".csv") || lower.endsWith(".csv.gz"))
+        spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+      else if (lower.endsWith(".json") || lower.endsWith(".ndjson"))
+        spark.read.json(path)
+      else spark.read.parquet(path)
+    TidierFrame(df)
+  }
+  /** Multi-file scan (reference: src/TidierDB.jl:245-294). */
+  def read(spark: SparkSession, paths: Seq[String]): TidierFrame =
+    TidierFrame(spark.read.parquet(paths: _*))
+  /** Catalog table scan. */
+  def table(spark: SparkSession, name: String): TidierFrame =
+    TidierFrame(spark.table(name))
+  /** Wrap an existing DataFrame (`register_data_frame` analog,
+    * reference: src/TidierDB.jl:296-307). */
+  def from(df: DataFrame): TidierFrame = TidierFrame(df)
+  /** `show_tables` analog (reference: src/TidierDB_macros.jl:686-688). */
+  def showTables(spark: SparkSession): DataFrame = spark.sql("SHOW TABLES")
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.TidierFrame
+import graft.functions.{Selector, WindowRewrite}
+
+/** Core single-table verbs (SURVEY §2.2, §2.4, §2.6).
+  *
+  * Each verb is a pure `TidierFrame => TidierFrame`; Catalyst's
+  * CollapseProject / CombineFilters / PushDownPredicates replace all of
+  * the reference's CTE-fission and clause-placement machinery
+  * (reference: src/structs.jl:100-136, src/TidierDB_macros.jl:70-119).
+  */
+trait CoreVerbs { self: TidierFrame =>
+
+  private def schema: Seq[String] = df.columns.toSeq
+
+  // ---- projection -----------------------------------------------------
+
+  /** `@select` with tidy selectors (reference: src/TidierDB_macros.jl:4-31). */
+  def select(sels: Selector*): TidierFrame =
+    withDf(df.select(Selector.resolve(schema, sels).map(df.col): _*))
+
+  /** `@rename(new = old)` (reference: src/TidierDB_macros.jl:425-497). */
+  def rename(pairs: (String, String)*): TidierFrame = {
+    val m = pairs.map { case (nw, old) => old -> nw }.toMap
+    withDf(df.withColumnsRenamed(m))
+  }
+
+  /** `@relocate` (reference: src/relocate.jl:45-115). Moves the selected
+    * columns before/after an anchor (default: to the front). */
+  def relocate(
+      sels: Seq[Selector],
+      before: Option[String] = None,
+      after: Option[String] = None): TidierFrame = {
+    val moved = Selector.resolve(schema, sels)
+    val rest = schema.filterNot(moved.contains)
+    val ordered: Seq[String] = (before, after) match {
+      case (Some(b), _) =>
+        val i = rest.indexOf(b); require(i >= 0, s"anchor '$b' not found")
+        rest.take(i) ++ moved ++ rest.drop(i)
+      case (_, Some(a)) =>
+        val i = rest.indexOf(a); require(i >= 0, s"anchor '$a' not found")
+        rest.take(i + 1) ++ moved ++ rest.drop(i + 1)
+      case _ => moved ++ rest
+    }
+    withDf(df.select(ordered.map(df.col): _*))
+  }
+
+  // ---- filtering / rows ----------------------------------------------
+
+  /** `@filter` — multiple conditions AND together
+    * (reference: src/TidierDB_macros.jl:37-128). Catalyst decides
+    * WHERE-vs-HAVING placement on its own. */
+  def filter(conds: Column*): TidierFrame =
+    withDf(conds.foldLeft(df)((d, c) => d.filter(c)))
+
+  /** `@distinct` — NOTE the reference keeps ONLY the listed columns
+    * (SELECT DISTINCT cols), not dplyr's keep-all
+    * (reference: src/TidierDB_macros.jl:343-368). */
+  def distinct(sels: Selector*): TidierFrame =
+    if (sels.isEmpty) reset(df.distinct())
+    else reset(df.select(Selector.resolve(schema, sels).map(df.col): _*).distinct())
+
+  /** `@drop_missing` (reference: src/TidierDB_macros.jl:693-765). */
+  def dropMissing(sels: Selector*): TidierFrame = {
+    val cols = if (sels.isEmpty) schema else Selector.resolve(schema, sels)
+    withDf(df.na.drop(cols))
+  }
+
+  /** `@head` (reference: src/TidierDB_macros.jl:671-681). */
+  def head(n: Int = 6): TidierFrame = withDf(df.limit(n))
+
+  /** `@arrange` — use `desc(col)` / `col.desc` for descending
+    * (reference: src/TidierDB_macros.jl:149-175). */
+  def arrange(cols: Column*): TidierFrame = withDf(df.orderBy(cols: _*))
+  def arrange(first: String, rest: String*): TidierFrame =
+    withDf(df.orderBy((first +: rest).map(col): _*))
+
+  // ---- grouping / aggregation ----------------------------------------
+
+  /** `@group_by` with selectors (reference: src/TidierDB_macros.jl:225-285). */
+  def groupBy(sels: Selector*): TidierFrame =
+    copy(groups = Selector.resolve(schema, sels))
+
+  /** `@group_by(key = expr)` — computed grouping keys become projected
+    * columns then grouping names (reference: src/TidierDB_macros.jl:178-220). */
+  def groupBy(named: (String, Column)*)(implicit d: DummyImplicit): TidierFrame = {
+    val d2 = df.withColumns(named.toMap)
+    copy(df = d2, groups = named.map(_._1))
+  }
+
+  /** `@summarize` (reference: src/mutate_and_summ.jl:304-495).
+    * Output columns: group keys then aggregates, grouping state cleared
+    * (reference: src/mutate_and_summ.jl:250-257). */
+  def summarize(aggs: (String, Column)*): TidierFrame = {
+    val exprs = aggs.map { case (n, c) => c.as(n) }
+    val out =
+      if (groups.isEmpty) df.agg(exprs.head, exprs.tail: _*)
+      else df.groupBy(groups.map(df.col): _*).agg(exprs.head, exprs.tail: _*)
+    reset(out)
+  }
+
+  /** `@summarize(_by = ...)` inline grouping (reference: src/mutate_and_summ.jl:266-282). */
+  def summarizeBy(by: Seq[Selector])(aggs: (String, Column)*): TidierFrame =
+    groupBy(by: _*).summarize(aggs: _*)
+
+  /** `@count` (reference: src/TidierDB_macros.jl:373-419). */
+  def count(sels: Selector*): TidierFrame = countImpl(sels, sort = false)
+  def countSorted(sels: Selector*): TidierFrame = countImpl(sels, sort = true)
+  private def countImpl(sels: Seq[Selector], sort: Boolean): TidierFrame = {
+    val cols = Selector.resolve(schema, sels)
+    val nExpr = org.apache.spark.sql.functions.count(lit(1)).as("n")
+    val counted =
+      if (cols.isEmpty) df.agg(nExpr)
+      else df.groupBy(cols.map(df.col): _*).agg(nExpr)
+    reset(if (sort) counted.orderBy(desc("n")) else counted)
+  }
+
+  /** `@summary` — column stats profile (reference: src/mutate_and_summ.jl:659-674). */
+  def summary(): DataFrame = df.summary()
+
+  // ---- mutation -------------------------------------------------------
+
+  /** `@mutate` (reference: src/mutate_and_summ.jl:120-263).
+    * Overwrites in place when the name exists; appends otherwise. On a
+    * grouped frame (or with windowOrder/windowFrame set), aggregate and
+    * window calls are implicitly evaluated OVER the current
+    * partition/order/frame, then grouping state is cleared — exactly the
+    * reference's grouped-mutate semantics
+    * (reference: src/parsing_duckdb.jl:23-91, src/mutate_and_summ.jl:250-257). */
+  def mutate(colsIn: (String, Column)*): TidierFrame = {
+    val hasWindowState = groups.nonEmpty || winOrder.nonEmpty || winFrame.nonEmpty
+    val rewritten = colsIn.map { case (n, c) =>
+      if (hasWindowState || WindowRewrite.containsWindowable(c))
+        n -> WindowRewrite.rewrite(c, groups.map(df.col), winOrder, winFrame)
+      else n -> c
+    }
+    // Sequential withColumn: keeps the reference's append-in-listed-order
+    // semantics, overwrites in place, and lets later expressions reference
+    // columns defined earlier in the same mutate (dplyr semantics).
+    // Catalyst's CollapseProject folds the chain into one projection.
+    reset(rewritten.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) })
+  }
+
+  /** `@mutate(..., _by=, _order=, _frame=)` inline window kwargs
+    * (reference: src/mutate_and_summ.jl:10-46,189-201). */
+  def mutateBy(
+      by: Seq[Selector] = Nil,
+      order: Seq[Column] = Nil,
+      frame: Option[(Long, Long)] = None)(colsIn: (String, Column)*): TidierFrame = {
+    val part = Selector.resolve(schema, by)
+    copy(groups = part, winOrder = order, winFrame = frame).mutate(colsIn: _*)
+  }
+
+  /** `@transmute` — mutate keeping only group cols + new cols
+    * (reference: src/mutate_and_summ.jl:509-654). */
+  def transmute(colsIn: (String, Column)*): TidierFrame = {
+    val keep = groups ++ colsIn.map(_._1)
+    val m = mutate(colsIn: _*)
+    m.withDf(m.df.select(keep.map(m.df.col): _*))
+  }
+
+  /** `across(cols, fns)` expansion helper — returns named aggregate pairs
+    * for use in summarize/mutate (reference: src/db_parsing.jl:367-443).
+    * Naming convention matches the reference: `<col>_<fnName>`. */
+  def across(
+      sels: Seq[Selector],
+      fns: (String, Column => Column)*): Seq[(String, Column)] =
+    for {
+      c <- Selector.resolve(schema, sels)
+      (fname, f) <- fns
+    } yield s"${c}_$fname" -> f(df.col(c))
+}

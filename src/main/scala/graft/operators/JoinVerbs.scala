@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.TidierFrame
+
+/** Join keys — the parse_join_expression analog
+  * (reference: src/db_parsing.jl:474-527). */
+sealed trait JoinKey
+object JoinKey {
+  /** `l == r` equi key — output coalesces and dedups (reference: src/joins_sq.jl:88-138). */
+  final case class Equi(l: String, r: String) extends JoinKey
+  /** theta key: op ∈ {">=", "<=", ">", "<", "!="} (reference: src/db_parsing.jl:503-519). */
+  final case class Theta(l: String, op: String, r: String) extends JoinKey
+  /** `closest(l >= r)` — as-of key (reference: src/db_parsing.jl:482-501). */
+  final case class Closest(l: String, op: String, r: String) extends JoinKey
+
+  /** bare-column shorthand `join(q, id)` → id == id (reference: src/db_parsing.jl:521-524). */
+  def apply(k: String): JoinKey = Equi(k, k)
+  def ===(l: String, r: String): JoinKey = Equi(l, r)
+}
+
+/** The six join verbs + as-of, all funnelling into one `doJoin` engine —
+  * mirroring the reference's single do_join
+  * (reference: src/joins_sq.jl:159-316).
+  *
+  * Output convention (must match the reference for oracle parity,
+  * reference: src/joins_sq.jl:88-138): for each `==` key the output has
+  * ONE column named after the left key, valued `COALESCE(l.k, r.k)`
+  * (identical to l.k except under right/full joins); left columns first
+  * in order, then right columns minus consumed equi keys.
+  *
+  * Scale notes: the condition is handed to Catalyst as-is — equi keys
+  * become hash/sort-merge join keys, theta keys become post-join filters
+  * on the same join, and AQE picks broadcast when a side is small. Use
+  * `broadcastRight = true` to force a broadcast hint on a known-small
+  * dimension.
+  */
+trait JoinVerbs { self: TidierFrame =>
+
+  def innerJoin(right: TidierFrame, keys: JoinKey*): TidierFrame = doJoin(right, keys, "inner")
+  def leftJoin(right: TidierFrame, keys: JoinKey*): TidierFrame = doJoin(right, keys, "left")
+  def rightJoin(right: TidierFrame, keys: JoinKey*): TidierFrame = doJoin(right, keys, "right")
+  def fullJoin(right: TidierFrame, keys: JoinKey*): TidierFrame = doJoin(right, keys, "full")
+  def semiJoin(right: TidierFrame, keys: JoinKey*): TidierFrame = doJoin(right, keys, "left_semi")
+  def antiJoin(right: TidierFrame, keys: JoinKey*): TidierFrame = doJoin(right, keys, "left_anti")
+
+  /** Broadcast-hinted variants for known-small right sides. */
+  def innerJoinBroadcast(right: TidierFrame, keys: JoinKey*): TidierFrame =
+    doJoin(right.withDf(broadcast(right.df)), keys, "inner")
+  def leftJoinBroadcast(right: TidierFrame, keys: JoinKey*): TidierFrame =
+    doJoin(right.withDf(broadcast(right.df)), keys, "left")
+
+  private def opCol(l: Column, op: String, r: Column): Column = op match {
+    case ">=" => l >= r
+    case "<=" => l <= r
+    case ">"  => l > r
+    case "<"  => l < r
+    case "!=" => l =!= r
+    case "==" => l === r
+    case o    => throw new IllegalArgumentException(s"unknown join op '$o'")
+  }
+
+  private def doJoin(right: TidierFrame, keys: Seq[JoinKey], how: String): TidierFrame = {
+    val asofKeys = keys.collect { case c: JoinKey.Closest => c }
+    if (asofKeys.nonEmpty) return asOfJoin(right, keys, how)
+
+    val l = df.alias("__l")
+    val r = right.df.alias("__r")
+    val cond = keys.map {
+      case JoinKey.Equi(lk, rk)      => l.col(lk) === r.col(rk)
+      case JoinKey.Theta(lk, op, rk) => opCol(l.col(lk), op, r.col(rk))
+      case _: JoinKey.Closest        => lit(true)
+    }.reduce(_ && _)
+    val joined = l.join(r, cond, how)
+
+    if (how == "left_semi" || how == "left_anti") return reset(joined)
+
+    // Reference projection: left cols (equi keys coalesced in place),
+    // then right cols minus consumed equi keys (src/joins_sq.jl:88-138).
+    val equi = keys.collect { case JoinKey.Equi(lk, rk) => lk -> rk }
+    val equiL = equi.map(_._1).toSet
+    val equiR = equi.map(_._2).toSet
+    val coalesceMap = equi.toMap
+    val leftCols = df.columns.toSeq.map { c =>
+      if (equiL.contains(c)) coalesce(l.col(c), r.col(coalesceMap(c))).as(c)
+      else l.col(c)
+    }
+    val rightCols = right.df.columns.toSeq.filterNot(equiR.contains).map(r.col)
+    reset(joined.select(leftCols ++ rightCols: _*))
+  }
+
+  /** As-of join — DuckDB `ASOF JOIN` semantics
+    * (reference: src/joins_sq.jl:238-241, src/db_parsing.jl:482-501):
+    * for each left row, join the single right row that is *nearest* in
+    * the inequality column while satisfying it, within the equi-key
+    * group.
+    *
+    * Spark has no native as-of join. Implementation chosen for 100 TB
+    * scale — the "union + last_value(ignoreNulls) OVER" technique:
+    * instead of a range join (O(n·m) nested-loop or an exploding
+    * sort-merge band), we UNION the tagged sides, sort once within each
+    * equi-key partition by the as-of column, and propagate the most
+    * recent right payload with a running `last(ignoreNulls)` window.
+    * Cost: ONE shuffle + sort of |L|+|R| rows — the same asymptotics as
+    * DuckDB's native sort-based ASOF, and it parallelizes per key group.
+    */
+  private def asOfJoin(right: TidierFrame, keys: Seq[JoinKey], how: String): TidierFrame = {
+    require(how == "inner" || how == "left", s"asof join supports inner/left, got $how")
+    val closest = keys.collect { case c: JoinKey.Closest => c }
+    require(closest.size == 1, "exactly one closest() key per as-of join")
+    val JoinKey.Closest(lk, op, rk) = closest.head
+    val equi = keys.collect { case JoinKey.Equi(a, b) => (a, b) }
+
+    val descending = op == "<=" || op == "<" // nearest *above*: order desc
+    val strict = op == ">" || op == "<"
+
+    val T = "__asof_t"; val TAG = "__asof_isr"; val PAY = "__asof_r"
+    val rPayloadCols = right.df.columns.toSeq.filterNot(c => equi.map(_._2).contains(c))
+
+    // Right side: (equi keys renamed to left names, asof col, payload struct)
+    val rSel = equi.map { case (a, b) => right.df.col(b).as(a) } ++ Seq(
+      right.df.col(rk).cast("double").as(T),
+      lit(1).as(TAG),
+      struct(rPayloadCols.map(right.df.col): _*).as(PAY))
+    val rTagged = right.df.select(rSel: _*)
+
+    // Left side keeps all columns + sort key + null payload.
+    val lTagged = df
+      .withColumn(T, col(lk).cast("double"))
+      .withColumn(TAG, lit(0))
+      .withColumn(PAY, lit(null).cast(rTagged.schema(PAY).dataType))
+    val lAligned = lTagged.select(
+      (df.columns.toSeq ++ Seq(T, TAG, PAY)).map(lTagged.col): _*)
+    // unionByName with missing left-only columns nulled on the right side
+    val unioned = lAligned.unionByName(
+      rTagged.select(
+        (equi.map(_._1) ++ Seq(T, TAG, PAY)).map(rTagged.col): _*),
+      allowMissingColumns = true)
+
+    // Within each key group, order by the as-of column; at equal sort key
+    // a right row is visible to a left row only for inclusive ops, so
+    // inclusive → right sorts before left, strict → right sorts after.
+    val tOrder = if (descending) col(T).desc else col(T).asc
+    val tagOrder = if (strict) col(TAG).asc else col(TAG).desc
+    val w = Window
+      .partitionBy(equi.map(e => col(e._1)): _*)
+      .orderBy(tOrder, tagOrder)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn(PAY, last(col(PAY), ignoreNulls = true).over(w))
+
+    val leftRows = carried.filter(col(TAG) === 0)
+    val matched = if (how == "inner") leftRows.filter(col(PAY).isNotNull) else leftRows
+    val out = matched.select(
+      df.columns.toSeq.map(col) ++
+        rPayloadCols.map(c => col(s"$PAY.$c").as(c)): _*)
+    reset(out)
+  }
+}
