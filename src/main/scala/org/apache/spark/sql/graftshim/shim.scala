@@ -2,15 +2,19 @@ package org.apache.spark.sql.graftshim
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.classic.{ColumnConversions, ExpressionUtils}
 
 /** Column ↔ Catalyst Expression bridge.
   *
   * Spark 4.x hides the classic converter behind `private[sql]`; this
   * object lives under `org.apache.spark.sql` solely to re-export the two
   * conversions graft's window-rewrite needs. No Spark internals are
-  * modified. */
+  * modified.
+  *
+  * `ColumnConversions.expression` runs the full ColumnNode → Catalyst
+  * conversion eagerly (ExpressionUtils.expression would only produce a
+  * lazy `ColumnNodeExpression` leaf that a transform can't see into). */
 object GraftShim {
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  def expression(c: Column): Expression = ColumnConversions.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 }

@@ -19,4 +19,4 @@ exec java $ADD_OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  "$MAIN" "$SF" "$OUT" 2>/dev/null
+  "$MAIN" "$SF" "$OUT"
