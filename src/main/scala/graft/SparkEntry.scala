@@ -269,6 +269,219 @@ object SparkEntry {
     }),
 
     // =====================================================================
+    // §2.5 windows & §2.6 slices
+    // =====================================================================
+    "q_window_lag" -> ((s, dir) =>
+      tev(s, dir)
+        .groupBy("user_id")
+        .windowOrder(col("ts"), col("event_id"))
+        .mutate(
+          "prev_val" -> lag(col("value"), 1),
+          "next_val" -> lead(col("value"), 1))
+        .select("event_id", "user_id", "value", "prev_val", "next_val")
+        .arrange("event_id")
+        .df),
+
+    "q_window_rank" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .windowOrder(desc("l_quantity"))
+        .mutate("rk" -> call_function("rank"), "drk" -> call_function("dense_rank"))
+        .groupBy("l_returnflag")
+        .windowOrder(desc("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        .mutate("rn" -> row_number())
+        .filter(col("rn") <= 20)
+        .select("l_returnflag", "l_quantity", "rk", "drk", "rn")
+        .arrange("l_returnflag", "rn")
+        .df),
+
+    "q_cumsum" -> ((s, dir) =>
+      tev(s, dir)
+        .groupBy("user_id")
+        .windowOrder(col("ts"), col("event_id"))
+        .mutate("running" -> Fns.cumsum(col("value").cast("decimal(25,2)")).cast("double"))
+        .select("event_id", "user_id", "value", "running")
+        .arrange("event_id")
+        .df),
+
+    "q_window_frame" -> ((s, dir) =>
+      tev(s, dir)
+        .groupBy("user_id")
+        .windowOrder(col("ts"), col("event_id"))
+        .windowFrame(-2, 0)
+        .mutate("roll_sum" -> sum(col("value").cast("decimal(25,2)")).cast("double"))
+        .select("event_id", "user_id", "value", "roll_sum")
+        .arrange("event_id")
+        .df),
+
+    "q_slice_max" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .sliceMax("l_extendedprice", 3)
+        .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .arrange(col("l_returnflag"), desc("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .df),
+
+    "q_slice_min" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .sliceMin("o_totalprice", 2)
+        .select("o_orderstatus", "o_totalprice", "o_orderkey")
+        .arrange("o_orderstatus", "o_totalprice", "o_orderkey")
+        .df),
+
+    // seeded per-group sample — Spark rand(seed) is not reproducible in
+    // DuckDB, so the driver records a rows-only check (no oracle entry)
+    "q_slice_sample" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .sliceSample(5, seed = 42L)
+        .select("c_mktsegment", "c_custkey")
+        .arrange("c_mktsegment", "c_custkey")
+        .df),
+
+    // =====================================================================
+    // §2.8 reshape
+    // =====================================================================
+    "q_pivot_wider" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .summarize("qty" -> dsum(col("l_quantity")))
+        .pivotWider("l_linestatus", "qty", values = Seq("F", "O"))
+        .arrange("l_returnflag")
+        .df),
+
+    "q_pivot_longer" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .summarize(
+          "sum_qty" -> dsum(col("l_quantity")),
+          "sum_price" -> dsum(col("l_extendedprice")))
+        .pivotLonger(Seq[Selector]("sum_qty", "sum_price"))
+        .arrange("l_returnflag", "variable")
+        .df),
+
+    "q_unnest_wider" -> ((s, dir) =>
+      tev(s, dir)
+        .mutate("pos" -> struct(col("value").as("v1"), (col("value") * 2d).as("v2")))
+        .select("event_id", "pos")
+        .unnestWider("pos")
+        .arrange("event_id")
+        .head(200)
+        .df),
+
+    "q_unnest_longer" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 20)
+        .mutate("tokens" -> split(col("text"), " "))
+        .select("doc_id", "tokens")
+        .unnestLonger("tokens")
+        .arrange("doc_id", "tokens")
+        .df),
+
+    "q_separate" -> ((s, dir) =>
+      t(s, dir, "part")
+        .separate("p_name", Seq("word1", "word2"), " ")
+        .select("p_partkey", "word1", "word2")
+        .arrange("p_partkey")
+        .head(300)
+        .df),
+
+    "q_unite" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .unite("seg_name", Seq("c_mktsegment", "c_name"), "-")
+        .select("c_custkey", "seg_name")
+        .arrange("c_custkey")
+        .head(300)
+        .df),
+
+    // =====================================================================
+    // §2.9 scalar function surface
+    // =====================================================================
+    "q_strings" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .mutate(
+          "up_lang" -> upper(col("lang")),
+          "head10" -> substring(col("text"), 1, 10),
+          "has_data" -> Fns.strDetect(col("text"), "data"),
+          "n_data" -> regexp_count(col("text"), lit("data")).cast("long"),
+          "lang_e" -> Fns.strReplaceAll(col("lang"), "e", "E"),
+          "src_num" -> Fns.strRemoveAll(col("source"), "[a-z]"))
+        .select("doc_id", "up_lang", "head10", "has_data", "n_data", "lang_e", "src_num")
+        .arrange("doc_id")
+        .df),
+
+    "q_dates" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .mutate(
+          "y" -> year(col("o_orderdate")).cast("long"),
+          "m" -> month(col("o_orderdate")).cast("long"),
+          "d" -> dayofmonth(col("o_orderdate")).cast("long"),
+          "q_start" -> Fns.floorDate(col("o_orderdate"), "quarter"),
+          "plus30" -> (col("o_orderdate") + Fns.days(30)),
+          "days_since" -> datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long"))
+        .select("o_orderkey", "y", "m", "d", "q_start", "plus30", "days_since")
+        .arrange("o_orderkey")
+        .head(500)
+        .df),
+
+    "q_case_when" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .mutate(
+          "seg2" -> Fns.missingIf(col("c_mktsegment"), lit("BUILDING")),
+          "seg_class" -> Fns.ifElse(
+            col("seg2") === "AUTOMOBILE", lit("car"), lit("other"), lit("unknown")),
+          "bal_band" -> Fns.caseWhen(
+            Seq(
+              (col("c_acctbal") < 0d) -> lit("neg"),
+              (col("c_acctbal") < 5000d) -> lit("low")),
+            default = Some(lit("high"))))
+        .select("c_custkey", "seg2", "seg_class", "bal_band")
+        .arrange("c_custkey")
+        .df),
+
+    "q_null_fns" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .mutate(
+          "seg_or_x" -> Fns.replaceMissing(Fns.missingIf(col("c_mktsegment"), lit("BUILDING")), lit("X")),
+          "is_b" -> Fns.isMissing(Fns.missingIf(col("c_mktsegment"), lit("BUILDING"))))
+        .select("c_custkey", "seg_or_x", "is_b")
+        .arrange("c_custkey")
+        .df),
+
+    "q_array_map" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .mutate(
+          "tokens" -> split(col("text"), " "),
+          "tok3" -> Fns.elementAt(col("tokens"), lit(3)),
+          "n_tok" -> size(col("tokens")).cast("long"),
+          "m" -> map(lit("en"), lit(1), lit("fr"), lit(2)),
+          "lang_code" -> Fns.elementAt(col("m"), col("lang")))
+        .select("doc_id", "tok3", "n_tok", "lang_code")
+        .arrange("doc_id")
+        .df),
+
+    "q_json" -> ((s, dir) =>
+      tev(s, dir)
+        .mutate("k" -> get_json_object(col("props"), "$.k").cast("long"))
+        .select("event_id", "k")
+        .arrange("event_id")
+        .head(500)
+        .df),
+
+    // scalar-subquery interpolation: eager scalar computed driver-side,
+    // inlined as a literal (reference: src/parsing_duckdb.jl:2-4,180-181)
+    "q_scalar_subquery" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val avgQty = li.summarize("a" -> davg(col("l_quantity"))).df.first().getDouble(0)
+      li.filter(col("l_quantity") > lit(avgQty))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .arrange("l_orderkey", "l_linenumber")
+        .head(500)
+        .df
+    }),
+
+    // =====================================================================
     // §2.7 set operations
     // =====================================================================
     "q_union" -> ((s, dir) => {
@@ -442,6 +655,135 @@ object SparkEntry {
         |           FROM events WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id AND l.ts >= r.err_ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT event_id, user_id, value,
+        |  LAG(value) OVER w AS prev_val, LEAD(value) OVER w AS next_val
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT l_returnflag, l_quantity,
+        |  RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS rk,
+        |  DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS drk,
+        |  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn
+        |FROM lineitem
+        |QUALIFY rn <= 20
+        |ORDER BY l_returnflag, rn""".stripMargin,
+
+    "q_cumsum" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,2))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_window_frame" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,2))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_slice_max" ->
+      """SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
+        |FROM lineitem
+        |QUALIFY RANK() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC) <= 3
+        |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_slice_min" ->
+      """SELECT o_orderstatus, o_totalprice, o_orderkey
+        |FROM orders
+        |QUALIFY RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC) <= 2
+        |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
+
+    "q_pivot_wider" ->
+      """SELECT l_returnflag,
+        |  ANY_VALUE(qty) FILTER (WHERE l_linestatus = 'F') AS F,
+        |  ANY_VALUE(qty) FILTER (WHERE l_linestatus = 'O') AS O
+        |FROM (SELECT l_returnflag, l_linestatus,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS qty
+        |      FROM lineitem GROUP BY 1, 2)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_pivot_longer" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS variable, sum_qty AS value FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS variable, sum_price AS value FROM agg
+        |ORDER BY l_returnflag, variable""".stripMargin,
+
+    "q_unnest_wider" ->
+      """SELECT event_id, value AS v1, value * 2 AS v2
+        |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+
+    "q_unnest_longer" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS tokens
+        |FROM documents WHERE doc_id < 20
+        |ORDER BY doc_id, tokens""".stripMargin,
+
+    "q_separate" ->
+      """SELECT p_partkey,
+        |  NULLIF(split_part(p_name, ' ', 1), '') AS word1,
+        |  NULLIF(array_to_string(list_slice(string_split(p_name, ' '), 2, 999), ' '), '') AS word2
+        |FROM part ORDER BY p_partkey LIMIT 300""".stripMargin,
+
+    "q_unite" ->
+      """SELECT c_custkey, concat_ws('-', c_mktsegment, c_name) AS seg_name
+        |FROM customer ORDER BY c_custkey LIMIT 300""".stripMargin,
+
+    "q_strings" ->
+      """SELECT doc_id, upper(lang) AS up_lang, substr(text, 1, 10) AS head10,
+        |  (text LIKE '%data%') AS has_data,
+        |  len(regexp_extract_all(text, 'data')) AS n_data,
+        |  regexp_replace(lang, 'e', 'E', 'g') AS lang_e,
+        |  regexp_replace(source, '[a-z]', '', 'g') AS src_num
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dates" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS d,
+        |  CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS q_start,
+        |  o_orderdate + INTERVAL 30 DAY AS plus30,
+        |  date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin,
+
+    "q_case_when" ->
+      """SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg2,
+        |  CASE WHEN NULLIF(c_mktsegment, 'BUILDING') IS NULL THEN 'unknown'
+        |       WHEN NULLIF(c_mktsegment, 'BUILDING') = 'AUTOMOBILE' THEN 'car'
+        |       ELSE 'other' END AS seg_class,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg'
+        |       WHEN c_acctbal < 5000 THEN 'low'
+        |       ELSE 'high' END AS bal_band
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_null_fns" ->
+      """SELECT c_custkey,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'X') AS seg_or_x,
+        |  (NULLIF(c_mktsegment, 'BUILDING') IS NULL) AS is_b
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_array_map" ->
+      """SELECT doc_id,
+        |  string_split(text, ' ')[3] AS tok3,
+        |  len(string_split(text, ' ')) AS n_tok,
+        |  MAP {'en': 1, 'fr': 2}[lang][1] AS lang_code
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_json" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id LIMIT 500""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE)
+        |                           / COUNT(l_quantity) FROM lineitem)
+        |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
 
     "q_union" ->
       """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus IN ('F','P')
