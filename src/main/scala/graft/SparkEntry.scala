@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{Fns, Selector}
+import graft.functions.{Fns, Selector, TextFns}
+import graft.operators.{Dedup, Multimodal, Similarity}
 import graft.operators.JoinKey.{Closest, Equi, Theta}
 
 /** Driver contract — one `queries` entry + one `oracleSql` entry per
@@ -482,6 +483,138 @@ object SparkEntry {
     }),
 
     // =====================================================================
+    // training-data pipeline ops: text analysis
+    // =====================================================================
+    "q_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .mutate(
+          "n_tok" -> TextFns.tokenCount(col("text")),
+          "n_tok_bpe" -> TextFns.tokenCountApprox(col("text")),
+          "fp" -> TextFns.fingerprint(col("text")))
+        .select("doc_id", "n_tok", "n_tok_bpe", "fp")
+        .arrange("doc_id")
+        .df),
+
+    "q_text_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .mutate(
+          "stop_ratio" -> round(TextFns.stopwordRatio(col("text")), 6),
+          "punct_ratio" -> round(TextFns.punctRatio(col("text")), 6),
+          "mean_wlen" -> round(TextFns.meanWordLen(col("text")), 6),
+          "quality" -> TextFns.qualityScore(col("text")))
+        .select("doc_id", "stop_ratio", "punct_ratio", "mean_wlen", "quality")
+        .arrange("doc_id")
+        .df),
+
+    "q_text_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .mutate("pred_lang" -> TextFns.langId(col("text")))
+        .select("doc_id", "lang", "pred_lang")
+        .arrange("doc_id")
+        .df),
+
+    // =====================================================================
+    // training-data pipeline ops: deduplication
+    // =====================================================================
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val copies = docs.mutate("doc_id" -> (col("doc_id") + 10000L))
+      val unioned = docs.unionAll(copies)
+      Tidier.from(Dedup.exactDedup(unioned.df, "doc_id", Seq("text")))
+        .select("doc_id")
+        .arrange("doc_id")
+        .df
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) =>
+      Tidier.from(
+          Dedup.minHashDupPairs(
+            t(s, dir, "documents").df, "doc_id", "text",
+            shingleSize = 3, numHashes = 12, bands = 6, threshold = 0.4))
+        .mutate("jaccard" -> round(col("jaccard"), 6))
+        .arrange("id_a", "id_b")
+        .df),
+
+    // xxhash64-based signature — not reproducible in DuckDB SQL, so the
+    // driver records a rows-only check; exactness covered by SimHashSpec
+    "q_dedup_simhash" -> ((s, dir) =>
+      Tidier.from(
+          Dedup.simHashDupPairs(t(s, dir, "documents").df, "doc_id", "text", maxHamming = 12))
+        .arrange("id_a", "id_b")
+        .df),
+
+    "q_dedup_ngram" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .mutate("tk" -> TextFns.tokens(col("text")))
+        .mutate("sh" -> array_distinct(TextFns.wordShinglesFromTokens(col("tk"), 3)))
+        .filter(size(col("sh")) > 0)
+        .select("doc_id", "sh")
+      val a = sh.df.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.df.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      Tidier.from(
+          a.crossJoin(b).filter(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"),
+              round(Dedup.ngramJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+            .filter(col("jaccard") >= 0.2))
+        .arrange("id_a", "id_b")
+        .df
+    }),
+
+    "q_dedup_embed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      Tidier.from(
+          a.crossJoin(b).filter(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"),
+              round(Similarity.cosine(col("emb_a"), col("emb_b")), 6).as("sim"))
+            .filter(col("sim") >= 0.3))
+        .arrange("id_a", "id_b")
+        .df
+    }),
+
+    // =====================================================================
+    // training-data pipeline ops: similarity search
+    // =====================================================================
+    "q_embed_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df
+      val q = e.filter(col("vec_id") === 0L)
+        .select("embedding").first().getSeq[Float](0)
+      Similarity.topKByCosine(e, "embedding", q, 10)
+    }),
+
+    // LSH-bucketed ANN (scale path) — bucket hashes are seed-derived,
+    // not reproducible in SQL: rows-only check + SimilaritySpec recall
+    "q_embed_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df
+      val q = e.filter(col("vec_id") === 0L)
+        .select("embedding").first().getSeq[Float](0)
+      val lsh = Similarity.RandomHyperplaneLsh(dim = 64, numPlanes = 12)
+      lsh.annTopK(lsh.index(e, "embedding"), "embedding", q, 10)
+    }),
+
+    // =====================================================================
+    // training-data pipeline ops: multimodal columns (decode is a STUB —
+    // deterministic fake features; Spark-side plumbing is real)
+    // =====================================================================
+    "q_multimodal" -> ((s, dir) => {
+      val media = Multimodal.packMedia(
+        t(s, dir, "documents").df, "doc_id", "text", "text/plain")
+      media
+        .withColumn("decoded", Multimodal.decodeFeaturesStub(col("media")))
+        .select(
+          col("media_id"),
+          col("meta.format").as("format"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.checksum").as("checksum"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          col("decoded.brightness").as("brightness"))
+        .orderBy("media_id")
+    }),
+
+    // =====================================================================
     // §2.7 set operations
     // =====================================================================
     "q_union" -> ((s, dir) => {
@@ -513,7 +646,160 @@ object SparkEntry {
     }),
   )
 
+  /** DuckDB mirror of the whole MinHash+LSH pipeline (tokens → shingles
+    * → 12 portable-hash minima → 6 band keys → band self-join → exact
+    * Jaccard). Generated because SQL can't loop over the hash family. */
+  private def minhashOracle: String = {
+    val numHashes = 12; val bands = 6; val rows = numHashes / bands
+    val p = Dedup.MinHashP
+    val params = Dedup.hashParams(numHashes)
+    val sigExprs = params.map { case (a, b) =>
+      s"list_min(list_transform(bases, x -> (x * $a + $b) % $p))"
+    }.mkString("[", ",\n      ", "]")
+    val bandExprs = (0 until bands).map { b =>
+      val vals = (0 until rows).map(r => s"CAST(sig[${b * rows + r + 1}] AS VARCHAR)")
+      s"md5('$b'||','||${vals.mkString("||','||")})"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
+       |  FROM documents
+       |), shf AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+       |  FROM toks WHERE len(tk) >= 3
+       |), based AS (
+       |  SELECT doc_id, s,
+       |    list_transform(s, x -> ('0x'||substr(md5(x),1,15))::BIGINT % $p) AS bases
+       |  FROM shf
+       |), sig AS (
+       |  SELECT doc_id, s, $sigExprs AS sig FROM based
+       |), bands AS (
+       |  SELECT doc_id, unnest($bandExprs) AS band FROM sig
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT id_a, id_b,
+       |    len(list_intersect(sa.s, sb.s))::DOUBLE
+       |      / len(list_distinct(list_concat(sa.s, sb.s))) AS j
+       |  FROM cand
+       |  JOIN shf sa ON sa.doc_id = id_a
+       |  JOIN shf sb ON sb.doc_id = id_b
+       |)
+       |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs
+       |WHERE j >= 0.4 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private val tkExpr =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+  private val stopList = "['the','a','an','and','or','of','to','in','is','it','for','on']"
+
   def oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  len($tkExpr) AS n_tok,
+         |  CAST(list_sum(list_transform($tkExpr, t -> 1 + len(t) // 6)) AS BIGINT) AS n_tok_bpe,
+         |  md5(array_to_string(list_sort(list_distinct($tkExpr)), ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH base AS (SELECT doc_id, text, $tkExpr AS tk FROM documents)
+         |SELECT doc_id,
+         |  round(CASE WHEN len(tk) > 0
+         |    THEN len(list_filter(tk, t -> list_contains($stopList, t)))::DOUBLE / len(tk)
+         |    ELSE 0.0 END, 6) AS stop_ratio,
+         |  round(CASE WHEN length(text) > 0
+         |    THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / length(text)
+         |    ELSE 0.0 END, 6) AS punct_ratio,
+         |  round(CASE WHEN len(tk) > 0
+         |    THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk)
+         |    ELSE 0.0 END, 6) AS mean_wlen,
+         |  round((least(length(text)::DOUBLE / 500.0, 1.0)
+         |    + greatest(1.0 - (CASE WHEN length(text) > 0
+         |        THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / length(text)
+         |        ELSE 0.0 END) * 5.0, 0.0)
+         |    + (CASE WHEN (CASE WHEN len(tk) > 0
+         |          THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk)
+         |          ELSE 0.0 END) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END)) / 3.0, 6) AS quality
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      s"""WITH base AS (SELECT doc_id, lang, $tkExpr AS tk FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  len(list_filter(tk, t -> list_contains(['the','and','of','is'], t))) AS s_en,
+         |  len(list_filter(tk, t -> list_contains(['el','la','de','que'], t))) AS s_es,
+         |  len(list_filter(tk, t -> list_contains(['le','la','et','les'], t))) AS s_fr,
+         |  len(list_filter(tk, t -> list_contains(['der','die','und','das'], t))) AS s_de,
+         |  len(list_filter(tk, t -> list_contains(['de','shi','le','zai'], t))) AS s_zh
+         |  FROM base)
+         |SELECT doc_id, lang,
+         |  CASE WHEN greatest(s_en,s_es,s_fr,s_de,s_zh) = 0 THEN 'und'
+         |       WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
+         |       WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
+         |       WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
+         |       WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'de'
+         |       ELSE 'zh' END AS pred_lang
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents)
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash" -> minhashOracle,
+
+    "q_dedup_ngram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM documents WHERE doc_id < 100
+        |), shf AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+        |  FROM toks WHERE len(tk) >= 3
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |FROM shf a, shf b
+        |WHERE a.doc_id < b.doc_id
+        |  AND round(len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+        |  FROM e a, e b
+        |  WHERE a.vec_id < b.vec_id)
+        |WHERE sim >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embed_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_dot_product(e.v, q.v)
+        |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS sim
+        |FROM e, q
+        |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS format,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS checksum,
+        |  ('0x'||substr(md5(text),1,15))::BIGINT % 4096 + 16 AS width,
+        |  ('0x'||substr(md5(sha256(text)),1,15))::BIGINT % 4096 + 16 AS height,
+        |  CAST(('0x'||substr(md5(text),1,15))::BIGINT % 256 AS DOUBLE) AS brightness
+        |FROM documents ORDER BY media_id""".stripMargin,
+
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines
+  * (north-star extension beyond the reference — SURVEY §7.3 item 6).
+  *
+  * Everything is built from codegen'd `functions._` combinators and
+  * higher-order array functions — no UDFs — so the whole pipeline stays
+  * inside WholeStageCodegen and scales linearly with executors: each
+  * document is processed independently (narrow transformations, no
+  * shuffle).
+  */
+object TextFns {
+
+  /** whitespace tokenization, lowercased, empties dropped */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword count approximation: whitespace tokens plus an
+    * extra unit per 6 chars of word length (long words split by BPE). */
+  def tokenCountApprox(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      // (len/6) via double division + truncating cast == integer div
+      // for non-negative lengths (matches SQL len//6)
+      (acc, t) => acc + lit(1L) + (length(t) / lit(6)).cast("long"))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Cross-engine portable 60-bit hash: decimal value of the first 15
+    * hex chars of md5. Identical in Spark
+    * (`conv(substr(md5(x),1,15),16,10)`) and DuckDB
+    * (`('0x'||substr(md5(x),1,15))::BIGINT`) — used wherever an oracle
+    * must reproduce hashing. For hot paths without an oracle
+    * requirement, prefer `xxhash64` (cheaper, native). */
+  def portableHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Sliding word k-grams ("shingles"). Native higher-order functions:
+    * sequence + transform + element_at, no explode — the array stays
+    * inside the row, so shingling is shuffle-free. */
+  /** PERF: the token array is referenced k times per shingle inside the
+    * lambda; if `toks` is an inline expression Catalyst re-evaluates the
+    * full tokenization per element_at — O(shingles × doc_len) per row.
+    * Always pass a MATERIALIZED token column (withColumn) here. */
+  def wordShinglesFromTokens(toks: Column, k: Int): Column =
+    // guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
+    // short docs must explicitly yield an empty shingle array
+    when(size(toks) >= k,
+      transform(
+        sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Convenience for one-shot use on small inputs; see
+    * wordShinglesFromTokens for the per-row cost trap. */
+  def wordShingles(text: Column, k: Int): Column =
+    wordShinglesFromTokens(tokens(text), k)
+
+  /** Document fingerprint: md5 over the sorted distinct token set —
+    * robust to token order and repetition (rolling-hash-style identity
+    * for shuffle-dedup). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  // ---- quality scoring -------------------------------------------------
+
+  private val stopwordsEn = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on")
+
+  /** stopword hits / token count — prose has ~0.3-0.6, word salad ~0 */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isin(stopwordsEn.map(lit): _*)))
+    when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(lit(0d))
+  }
+
+  /** non-alphanumeric, non-space chars / total chars */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+        .cast("double") / length(text))
+      .otherwise(lit(0d))
+
+  def meanWordLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        .cast("double") / size(toks))
+      .otherwise(lit(0d))
+  }
+
+  /** Composite [0,1] quality score: length sweet-spot, low punctuation,
+    * plausible word lengths. Deterministic double arithmetic. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500d), lit(1d))
+    val punctScore = greatest(lit(1d) - punctRatio(text) * 5d, lit(0d))
+    val wordScore = when(
+      meanWordLen(text).between(3d, 9d), lit(1d)).otherwise(lit(0.5d))
+    round((lenScore + punctScore + wordScore) / 3d, 6)
+  }
+
+  // ---- language identification ----------------------------------------
+
+  /** marker words per language (tiny n-gram heuristic; deterministic) */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "zh" -> Seq("de", "shi", "le", "zai"))
+
+  /** Predicted language = argmax of marker-word hit counts (first wins
+    * ties, 'und' = undetermined when no marker hits). One pass over the
+    * token array per language — still narrow/codegen'd. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val firstMatch = scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    firstMatch
+  }
+}

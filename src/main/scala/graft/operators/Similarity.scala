@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`) —
+  * north-star extension (SURVEY §7.3 item 6).
+  *
+  * Two tiers:
+  *  - `topKByCosine` — exact brute force: O(n·d) narrow scan + top-k
+  *    (TakeOrdered — no full sort, no shuffle of the corpus). The
+  *    correctness baseline and still the right choice when the corpus
+  *    fits one pass (100 TB of 64-dim floats ≈ one column scan).
+  *  - `RandomHyperplaneLsh` — sign-LSH bucketing: queries touch only
+  *    matching buckets (+ optional 1-bit multiprobe), then exact rerank.
+  *    Bucket assignment is a narrow transformation; the bucketed table
+  *    can be written partitioned-by-bucket so a query prunes partitions.
+  */
+object Similarity {
+
+  /** elementwise-deterministic cosine similarity between two
+    * `array<float>` columns, computed in double (sequential fold —
+    * reproducible across engines). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0d), (acc, v) => acc + v)
+    def norm(x: Column): Column =
+      sqrt(aggregate(transform(x, p => p.cast("double") * p.cast("double")),
+        lit(0d), (acc, v) => acc + v))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  /** literal embedding column from a driver-side query vector */
+  def vecLit(v: Seq[Float]): Column = array(v.map(x => lit(x)): _*)
+
+  /** Exact top-k by cosine similarity to a query vector. */
+  def topKByCosine(
+      df: DataFrame,
+      embCol: String,
+      query: Seq[Float],
+      k: Int,
+      idCol: String = "vec_id"): DataFrame =
+    df.select(
+        col(idCol),
+        round(cosine(col(embCol), vecLit(query)), 6).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplanes: component (p, i) is a
+    * seeded uniform in [-0.5, 0.5). No RNG state — reproducible across
+    * sessions and cluster sizes. */
+  final case class RandomHyperplaneLsh(dim: Int, numPlanes: Int, seed: Long = 42L) {
+    val planes: Array[Array[Double]] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(numPlanes, dim)(rnd.nextDouble() - 0.5)
+    }
+
+    /** bucket id = sign bits of the plane dot products, packed in a long */
+    def bucket(emb: Column): Column = {
+      val bits = planes.zipWithIndex.map { case (plane, p) =>
+        val dot = aggregate(
+          zip_with(emb, array(plane.map(lit): _*),
+            (x, w) => x.cast("double") * w),
+          lit(0d), (acc, v) => acc + v)
+        when(dot >= 0d, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+
+    /** Add the bucket column; write the result partitioned/bucketed by
+      * `bucket` so queries prune. */
+    def index(df: DataFrame, embCol: String): DataFrame =
+      df.withColumn("bucket", bucket(col(embCol)))
+
+    /** ANN top-k: search the query's bucket plus all 1-bit-flip probe
+      * buckets (multiprobe radius 1), exact-rerank candidates. */
+    def annTopK(
+        indexed: DataFrame,
+        embCol: String,
+        query: Seq[Float],
+        k: Int,
+        idCol: String = "vec_id"): DataFrame = {
+      val qBucket = bucketOf(query)
+      val probes = qBucket +: (0 until numPlanes).map(b => qBucket ^ (1L << b))
+      indexed
+        .filter(col("bucket").isin(probes: _*))
+        .select(col(idCol), round(cosine(col(embCol), vecLit(query)), 6).as("sim"))
+        .orderBy(desc("sim"), col(idCol))
+        .limit(k)
+    }
+
+    /** driver-side bucket computation for a query vector */
+    def bucketOf(v: Seq[Float]): Long =
+      planes.zipWithIndex.map { case (plane, p) =>
+        val dot = v.zip(plane).map { case (x, w) => x.toDouble * w }.sum
+        if (dot >= 0) 1L << p else 0L
+      }.sum
+  }
+
+  /** IVF index (inverted file): KMeans-partition the corpus; a query
+    * probes only the `nprobe` nearest cells. The classic ANN scale
+    * path: the index build is one MLlib KMeans fit (sample-based at
+    * 100 TB) + one narrow assignment pass; write the result partitioned
+    * by `cell` and a probe reads `nprobe/k` of the data. */
+  final case class IvfIndex(
+      centers: Array[Array[Double]],
+      indexed: DataFrame)
+
+  def ivfIndex(df: DataFrame, embCol: String, k: Int, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = df.withColumn("__features",
+      array_to_vector(transform(col(embCol), x => x.cast("double"))))
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setFeaturesCol("__features").setPredictionCol("cell")
+      .fit(feat)
+    val indexed = model.transform(feat).drop("__features")
+    IvfIndex(model.clusterCenters.map(_.toArray), indexed)
+  }
+
+  def ivfTopK(
+      idx: IvfIndex,
+      embCol: String,
+      query: Seq[Float],
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    // nearest centroids computed driver-side (centers are tiny)
+    val qd = query.map(_.toDouble).toArray
+    val cells = idx.centers.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    idx.indexed
+      .filter(col("cell").isin(cells: _*))
+      .select(col(idCol), round(cosine(col(embCol), vecLit(query)), 6).as("sim"))
+      .orderBy(desc("sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket join (docs in the
+    * same bucket) then exact cosine verify — same
+    * signature/bucket/verify shape as Dedup.minHashDupPairs. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      lsh: RandomHyperplaneLsh): DataFrame = {
+    val indexed = lsh.index(df.select(col(idCol).as("id"), col(embCol).as("emb")), "emb")
+    val l = indexed.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
+    val r = indexed.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("sim"))
+      .distinct()
+      .filter(col("sim") >= threshold)
+  }
+}

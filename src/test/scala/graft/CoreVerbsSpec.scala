@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Fns, Selector}
+
+/** Unit grid over the core verbs, mirroring the reference's testset
+  * scenarios (reference: test/comp_tests.jl:1-87,160-310). */
+class CoreVerbsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    ("AA", "bb", 1L, 0.005), ("AB", "aa", 2L, 0.010),
+    ("AC", "bb", 3L, 0.015), ("AD", "aa", 4L, 0.020),
+    ("AE", "bb", 5L, 0.025), ("AF", "aa", 1L, 0.030)
+  ).toDF("id", "groups", "value", "percent")
+
+  test("select with tidy selectors") {
+    val tf = Tidier.from(df)
+    assert(tf.select("id", "value").df.columns.toSeq == Seq("id", "value"))
+    assert(tf.select(Selector.startsWith("gr")).df.columns.toSeq == Seq("groups"))
+    assert(tf.select(Selector.range("id", "value")).df.columns.toSeq ==
+      Seq("id", "groups", "value"))
+    assert(tf.select(!Selector.Name("percent")).df.columns.toSeq ==
+      Seq("id", "groups", "value"))
+    assert(tf.select(Selector.contains("e")).df.columns.toSeq ==
+      Seq("value", "percent"))
+  }
+
+  test("filter multiple conditions AND") {
+    val out = Tidier.from(df).filter(col("groups") === "bb", col("value") > 1L).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("AC", "AE"))
+  }
+
+  test("mutate appends in order, overwrites in place, sees earlier cols") {
+    val out = Tidier.from(df)
+      .mutate(
+        "double_v" -> col("value") * 2,
+        "quad_v" -> col("double_v") * 2,
+        "value" -> lit(0L))
+      .df
+    assert(out.columns.toSeq == Seq("id", "groups", "value", "percent", "double_v", "quad_v"))
+    val r = out.orderBy("id").collect()
+    assert(r.head.getAs[Long]("quad_v") == 4L)
+    assert(r.head.getAs[Long]("value") == 0L)
+  }
+
+  test("grouped mutate windows aggregates and clears grouping") {
+    val tf = Tidier.from(df).groupBy("groups").mutate("gsum" -> sum(col("value")))
+    assert(tf.groups.isEmpty)
+    val m = tf.df.orderBy("id").collect().map(r => r.getAs[String]("groups") -> r.getAs[Long]("gsum"))
+    assert(m.forall { case (g, s) => if (g == "bb") s == 9L else s == 7L })
+  }
+
+  test("summarize keeps group cols then aggregates") {
+    val out = Tidier.from(df).groupBy("groups")
+      .summarize("n" -> count(lit(1)), "total" -> sum(col("value")))
+      .arrange("groups").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("aa", 3L, 7L), ("bb", 3L, 9L)))
+  }
+
+  test("distinct keeps only listed columns (reference semantics)") {
+    val out = Tidier.from(df).distinct("groups").df
+    assert(out.columns.toSeq == Seq("groups"))
+    assert(out.count() == 2)
+  }
+
+  test("rename new=old") {
+    val out = Tidier.from(df).rename("g" -> "groups").df
+    assert(out.columns.toSeq == Seq("id", "g", "value", "percent"))
+  }
+
+  test("relocate before/after anchors") {
+    val tf = Tidier.from(df)
+    assert(tf.relocate(Seq(Selector.Name("percent")), before = Some("id")).df.columns.toSeq ==
+      Seq("percent", "id", "groups", "value"))
+    assert(tf.relocate(Seq(Selector.Name("id")), after = Some("value")).df.columns.toSeq ==
+      Seq("groups", "value", "id", "percent"))
+  }
+
+  test("transmute keeps only listed + group cols") {
+    val out = Tidier.from(df).transmute("v2" -> (col("value") * 2)).df
+    assert(out.columns.toSeq == Seq("v2"))
+  }
+
+  test("across expands selector x fn grid") {
+    val tf = Tidier.from(df).groupBy("groups")
+    val out = tf.summarize(tf.across(
+      Seq[Selector]("value", "percent"),
+      "sum" -> (c => sum(c)), "max" -> (c => max(c))): _*).df
+    assert(out.columns.toSeq ==
+      Seq("groups", "value_sum", "value_max", "percent_sum", "percent_max"))
+  }
+
+  test("count with sort") {
+    val out = Tidier.from(df).countSorted("groups").collect()
+    assert(out.length == 2 && out.head.getAs[Long]("n") == 3L)
+  }
+
+  test("ifElse 4-arg routes null condition to missing case") {
+    val d = Seq[(java.lang.Long, String)]((1L, "x"), (null, "y")).toDF("v", "tag")
+    val out = d.select(Fns.ifElse(col("v") > 0L, lit("pos"), lit("neg"), lit("unk")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("pos", "unk"))
+  }
+
+  test("caseWhen falls through to default") {
+    val out = df.select(Fns.caseWhen(
+      Seq((col("value") < 2L) -> lit("lo"), (col("value") < 4L) -> lit("mid")),
+      Some(lit("hi"))).as("band"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("lo", "mid", "mid", "hi", "hi", "lo"))
+  }
+
+  test("dropMissing on subset of columns") {
+    val d = Seq(("a", java.lang.Double.valueOf(1.0)), ("b", null.asInstanceOf[java.lang.Double]))
+      .toDF("k", "v")
+    assert(Tidier.from(d).dropMissing("v").df.count() == 1)
+    assert(Tidier.from(d).dropMissing("k").df.count() == 2)
+  }
+}

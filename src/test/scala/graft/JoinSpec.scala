@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.JoinKey.{Closest, Equi, Theta}
+
+/** Join semantics grid: key coalescing, projection order, as-of
+  * (reference: test/comp_tests.jl:88-159,202-219). */
+class JoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def l = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "lv")
+  private def r = Seq((2L, "x"), (3L, "y"), (4L, "z")).toDF("rid", "rv")
+
+  test("inner join coalesces equi key, left cols then right minus key") {
+    val out = Tidier.from(l).innerJoin(Tidier.from(r), Equi("id", "rid"))
+    assert(out.df.columns.toSeq == Seq("id", "lv", "rv"))
+    assert(out.arrange("id").collect().map(x => (x.getLong(0), x.getString(1), x.getString(2))).toSeq ==
+      Seq((2L, "b", "x"), (3L, "c", "y")))
+  }
+
+  test("full join key coalescing fills both sides") {
+    val out = Tidier.from(l).fullJoin(Tidier.from(r), Equi("id", "rid"))
+      .arrange("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("semi/anti joins keep left columns only") {
+    val semi = Tidier.from(l).semiJoin(Tidier.from(r), Equi("id", "rid"))
+    assert(semi.df.columns.toSeq == Seq("id", "lv"))
+    assert(semi.df.count() == 2)
+    val anti = Tidier.from(l).antiJoin(Tidier.from(r), Equi("id", "rid"))
+    assert(anti.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("theta join") {
+    val out = Tidier.from(l).innerJoin(Tidier.from(r), Theta("id", ">", "rid"))
+    assert(out.df.count() == 1) // only (3, 2)
+  }
+
+  test("as-of join picks nearest earlier right row per key") {
+    val trades = Seq(
+      ("A", 10L, 100.0), ("A", 20L, 101.0), ("B", 15L, 50.0), ("A", 5L, 99.0)
+    ).toDF("sym", "t", "px")
+    val quotes = Seq(
+      ("A", 8L, 1.0), ("A", 18L, 2.0), ("B", 14L, 3.0), ("B", 16L, 4.0)
+    ).toDF("sym2", "qt", "bid")
+    val out = Tidier.from(trades)
+      .innerJoin(Tidier.from(quotes), Equi("sym", "sym2"), Closest("t", ">=", "qt"))
+      .arrange("sym", "t").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(3), x.getDouble(4)))
+    // A@5 has no quote <= 5 → dropped (inner); A@10→q8, A@20→q18, B@15→q14
+    assert(out.toSeq == Seq(("A", 10L, 8L, 1.0), ("A", 20L, 18L, 2.0), ("B", 15L, 14L, 3.0)))
+  }
+
+  test("as-of left join keeps unmatched left rows") {
+    val trades = Seq(("A", 5L)).toDF("sym", "t")
+    val quotes = Seq(("A", 8L, 1.0)).toDF("sym2", "qt", "bid")
+    val out = Tidier.from(trades)
+      .leftJoin(Tidier.from(quotes), Equi("sym", "sym2"), Closest("t", ">=", "qt"))
+      .collect()
+    assert(out.length == 1 && out.head.isNullAt(2))
+  }
+
+  test("as-of inclusive boundary: right row at equal ts matches for >=") {
+    val lf = Seq(("A", 10L)).toDF("sym", "t")
+    val rf = Seq(("A", 10L, 7.0)).toDF("sym2", "qt", "bid")
+    val eq = Tidier.from(lf)
+      .innerJoin(Tidier.from(rf), Equi("sym", "sym2"), Closest("t", ">=", "qt")).collect()
+    assert(eq.length == 1 && eq.head.getDouble(3) == 7.0)
+    val strict = Tidier.from(lf)
+      .innerJoin(Tidier.from(rf), Equi("sym", "sym2"), Closest("t", ">", "qt")).collect()
+    assert(strict.isEmpty)
+  }
+
+  test("as-of reversed direction (<=) picks nearest later right row") {
+    val lf = Seq(("A", 10L)).toDF("sym", "t")
+    val rf = Seq(("A", 12L, 1.0), ("A", 30L, 2.0), ("A", 5L, 3.0)).toDF("sym2", "qt", "bid")
+    val out = Tidier.from(lf)
+      .innerJoin(Tidier.from(rf), Equi("sym", "sym2"), Closest("t", "<=", "qt")).collect()
+    assert(out.length == 1 && out.head.getDouble(3) == 1.0)
+  }
+
+  test("set ops by position") {
+    val a = Seq(1, 2, 3).toDF("v"); val b = Seq(2, 3, 4).toDF("v")
+    assert(Tidier.from(a).union(Tidier.from(b)).df.count() == 4)
+    assert(Tidier.from(a).unionAll(Tidier.from(b)).df.count() == 6)
+    assert(Tidier.from(a).intersect(Tidier.from(b)).collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    assert(Tidier.from(a).setdiff(Tidier.from(b)).collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Training-data pipeline operators: dedup family, similarity search,
+  * text analysis, multimodal plumbing. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docsData = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (4L, "short text")
+  )
+  private def docs = docsData.toDF("doc_id", "text")
+
+  test("exactDedup keeps lowest id per content") {
+    val out = Dedup.exactDedup(docs, "doc_id", Seq("text"))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(0L, 1L, 2L, 4L))
+  }
+
+  test("wordShingles: k-grams, short docs empty") {
+    val sh = docs.select(TextFns.wordShingles(col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0).head == "the quick brown" && sh(0).length == 7)
+    assert(sh(4).isEmpty) // 2 tokens < k=3 → empty, not sequence(1,0)
+  }
+
+  test("minHashDupPairs finds the planted near-dup and not the unrelated doc") {
+    val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)) || pairs.contains((0L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+    // exact dup pair has jaccard 1.0
+    val exact = Dedup.minHashDupPairs(docs, "doc_id", "text", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.contains((0L, 3L)))
+  }
+
+  test("dupClusters maps members to min representative") {
+    val pairs = Seq((0L, 1L, 1.0), (0L, 3L, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val cl = Dedup.dupClusters(pairs).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cl == Seq((1L, 0L), (3L, 0L)))
+  }
+
+  test("simHash: identical docs same sig; near-dups close in hamming") {
+    val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(2L)))
+    val pairs = Dedup.simHashDupPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("cosine similarity exact values") {
+    val d = Seq((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0), (3L, Seq(1f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val sims = Similarity.topKByCosine(d, "embedding", Seq(1f, 0f), 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sims(1L) == 1.0)
+    assert(sims(2L) == 0.0)
+    assert(math.abs(sims(3L) - 0.707107) < 1e-6)
+  }
+
+  test("LSH ann: same-direction vectors share buckets; topK reranks exactly") {
+    val base = Seq(1f, 2f, 3f, 4f)
+    val d = Seq(
+      (1L, base, 0),
+      (2L, base.map(_ * 2f), 0),            // same direction → same bucket, sim 1.0
+      (3L, base.map(x => -x), 0)            // opposite → complementary bucket
+    ).toDF("vec_id", "embedding", "label")
+    val lsh = Similarity.RandomHyperplaneLsh(dim = 4, numPlanes = 8)
+    val indexed = lsh.index(d, "embedding")
+    val b = indexed.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(b(1L) == b(2L))
+    assert(b(1L) != b(3L))
+    val top = lsh.annTopK(indexed, "embedding", base, 2).collect()
+    assert(top.head.getDouble(1) == 1.0)
+  }
+
+  test("ann on fixture: recall vs brute force at small k") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0L).select("embedding").first().getSeq[Float](0)
+    val brute = Similarity.topKByCosine(e, "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.RandomHyperplaneLsh(dim = 64, numPlanes = 8)
+    val ann = lsh.annTopK(lsh.index(e, "embedding"), "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSet
+    // the query vector itself must always be found (sim 1.0, same bucket)
+    assert(ann.contains(0L))
+    assert(brute.contains(0L))
+  }
+
+  test("IVF index: query vector found via nearest-cell probe") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0L).select("embedding").first().getSeq[Float](0)
+    val idx = Similarity.ivfIndex(e, "embedding", k = 8)
+    assert(idx.centers.length == 8)
+    val top = Similarity.ivfTopK(idx, "embedding", q, k = 5, nprobe = 2)
+      .collect()
+    assert(top.map(_.getLong(0)).contains(0L)) // own cell always probed first
+    assert(top.head.getDouble(1) == 1.0)
+    assert(idx.indexed.count() == e.count())
+    // a 2-of-8-cell probe scans a strict subset of the corpus
+    val probedRows = idx.indexed.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(probedRows.size == 8 && probedRows.values.sum == e.count())
+  }
+
+  test("language id picks marker-heavy language") {
+    val d = Seq(
+      (1L, "the cat and the dog of the house is big"),
+      (2L, "el perro de la casa que ladra"),
+      (3L, "xyzzy qwerty")).toDF("id", "text")
+    val out = d.select(col("id"), TextFns.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "es" && out(3L) == "und")
+  }
+
+  test("quality score ranges and components") {
+    val d = Seq(
+      (1L, "a clean readable sentence with normal words here"),
+      (2L, "@@@@ ### !!!! ^^^^ %%%%")).toDF("id", "text")
+    val out = d.select(col("id"),
+        TextFns.qualityScore(col("text")).as("q"),
+        TextFns.punctRatio(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 > out(2L)._1)
+    assert(out(2L)._2 > 0.5)
+    assert(out.values.forall { case (q, _) => q >= 0.0 && q <= 1.0 })
+  }
+
+  test("multimodal plumbing: pack → decode stub → batchProcess") {
+    val media = Multimodal.packMedia(docs, "doc_id", "text", "text/plain")
+    assert(media.columns.toSeq == Seq("media_id", "media", "meta"))
+    assert(media.schema("media").dataType.typeName == "binary")
+    val decoded = media.withColumn("d", Multimodal.decodeFeaturesStub(col("media")))
+      .select("media_id", "d.width", "d.height", "d.brightness").collect()
+    assert(decoded.forall(r => r.getLong(1) >= 16 && r.getLong(1) < 4112))
+    // determinism: same payload → same features
+    val again = Multimodal.packMedia(docs, "doc_id", "text", "text/plain")
+      .withColumn("d", Multimodal.decodeFeaturesStub(col("media")))
+      .select("media_id", "d.width").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(decoded.forall(r => again(r.getLong(0)) == r.getLong(1)))
+    val processed = Multimodal.batchProcess(media).collect()
+    assert(processed.length == docsData.length)
+    assert(processed.forall(_.getLong(1) > 0))
+    val frames = media.select(Multimodal.frameSampleStub(col("media"), 3).as("f")).first().getSeq[String](0)
+    assert(frames.length == 3 && frames.distinct.length == 3)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Sinks / sources (SURVEY §2.1): createView, writeFile round-trips,
+  * csv/json scans, streamed collect. */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+
+  test("createView registers a temp view queryable by SQL") {
+    Tidier.from(df).createView("sink_view")
+    assert(spark.sql("SELECT count(*) FROM sink_view").first().getLong(0) == 2)
+    assert(Tidier.showTables(spark).count() >= 1)
+  }
+
+  test("writeFile parquet/csv/json round-trip by extension") {
+    val tmp = Files.createTempDirectory("graft_sink").toString
+    Tidier.from(df).writeFile(s"$tmp/out_parquet")
+    assert(Tidier.read(spark, s"$tmp/out_parquet").df.count() == 2)
+    Tidier.from(df).writeFile(s"$tmp/out.csv")
+    assert(Tidier.read(spark, s"$tmp/out.csv").df.count() == 2)
+    Tidier.from(df).writeFile(s"$tmp/out.json")
+    assert(Tidier.read(spark, s"$tmp/out.json").df.count() == 2)
+  }
+
+  test("multi-path scan unions files") {
+    val tmp = Files.createTempDirectory("graft_multi").toString
+    df.write.parquet(s"$tmp/p1"); df.write.parquet(s"$tmp/p2")
+    assert(Tidier.read(spark, Seq(s"$tmp/p1", s"$tmp/p2")).df.count() == 4)
+  }
+
+  test("streamCollect iterates all rows without full materialization") {
+    val it = Tidier.from(df).streamCollect()
+    assert(it.size == 2)
+  }
+
+  test("showQuery/explain does not throw") {
+    Tidier.from(df).filter(col("k") > 0).showQuery()
+  }
+}

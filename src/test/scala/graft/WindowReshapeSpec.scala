@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Fns, Selector}
+
+/** Window/frame/slice + reshape semantics
+  * (reference: test/comp_tests.jl:312-323,336-396). */
+class WindowReshapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seqDf = Seq(
+    ("g1", 1L, 10.0), ("g1", 2L, 20.0), ("g1", 3L, 30.0),
+    ("g2", 1L, 5.0), ("g2", 2L, 15.0)
+  ).toDF("g", "i", "v")
+
+  test("cumsum gets running frame") {
+    val out = Tidier.from(seqDf).groupBy("g").windowOrder(col("i"))
+      .mutate("cs" -> Fns.cumsum(col("v")))
+      .arrange("g", "i").collect().map(_.getAs[Double]("cs"))
+    assert(out.toSeq == Seq(10.0, 30.0, 60.0, 5.0, 20.0))
+  }
+
+  test("windowFrame ROWS between") {
+    val out = Tidier.from(seqDf).groupBy("g").windowOrder(col("i")).windowFrame(-1, 0)
+      .mutate("s2" -> sum(col("v")))
+      .arrange("g", "i").collect().map(_.getAs[Double]("s2"))
+    assert(out.toSeq == Seq(10.0, 30.0, 50.0, 5.0, 20.0))
+  }
+
+  test("mutateBy inline kwargs equals macro chain") {
+    val viaState = Tidier.from(seqDf).groupBy("g").windowOrder(col("i"))
+      .mutate("r" -> row_number()).arrange("g", "i").collect().map(_.getAs[Int]("r")).toSeq
+    val viaKwargs = Tidier.from(seqDf)
+      .mutateBy(by = Seq[Selector]("g"), order = Seq(col("i")))("r" -> row_number())
+      .arrange("g", "i").collect().map(_.getAs[Int]("r")).toSeq
+    assert(viaState == viaKwargs)
+  }
+
+  test("sliceMax keeps ties (rank semantics)") {
+    val d = Seq(("a", 3), ("a", 3), ("a", 2), ("b", 9)).toDF("g", "v")
+    val out = Tidier.from(d).groupBy("g").sliceMax("v", 1).df
+    assert(out.count() == 3) // both a-3 rows kept + b-9
+  }
+
+  test("sliceSample deterministic with seed and respects n") {
+    val d = (1 to 100).map(i => (if (i % 2 == 0) "even" else "odd", i)).toDF("g", "v")
+    val s1 = Tidier.from(d).groupBy("g").sliceSample(3, seed = 7L).collect().map(_.getInt(1)).toSeq
+    val s2 = Tidier.from(d).groupBy("g").sliceSample(3, seed = 7L).collect().map(_.getInt(1)).toSeq
+    assert(s1.sorted == s2.sorted && s1.length == 6)
+  }
+
+  test("pivotWider/pivotLonger round trip") {
+    val long = Seq((1, "x", 10.0), (1, "y", 20.0), (2, "x", 30.0), (2, "y", 40.0))
+      .toDF("id", "variable", "value")
+    val wide = Tidier.from(long).pivotWider("variable", "value", values = Seq("x", "y"))
+    assert(wide.df.columns.toSeq == Seq("id", "x", "y"))
+    val back = wide.pivotLonger(Seq[Selector]("x", "y")).arrange("id", "variable")
+    assert(back.collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1, "x", 10.0), (1, "y", 20.0), (2, "x", 30.0), (2, "y", 40.0)))
+  }
+
+  test("unnestWider expands struct fields in place") {
+    val d = Seq((1, (1.5, 2.5)), (2, (3.5, 4.5))).toDF("id", "pos")
+    val out = Tidier.from(d).unnestWider("pos").df
+    assert(out.columns.toSeq == Seq("id", "_1", "_2"))
+    val withSep = Tidier.from(d).unnestWider("pos", namesSep = Some("_")).df
+    assert(withSep.columns.toSeq == Seq("id", "pos__1", "pos__2"))
+  }
+
+  test("unnestLonger single and parallel (zip) explode") {
+    val d = Seq((1, Seq(1, 2), Seq("a", "b"))).toDF("id", "xs", "ys")
+    val single = Tidier.from(d).unnestLonger("xs").df
+    assert(single.count() == 2)
+    val par = Tidier.from(d).unnestLonger("xs", "ys").arrange("xs").collect()
+    assert(par.map(r => (r.getInt(1), r.getString(2))).toSeq == Seq((1, "a"), (2, "b")))
+  }
+
+  test("separate: last part swallows remaining separators, empties → null") {
+    val d = Seq("1-1", "2-2", "3-3-3").toDF("a")
+    val out = Tidier.from(d).separate("a", Seq("p1", "p2"), "-").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("1", "1"), ("2", "2"), ("3", "3-3")))
+    val short = Tidier.from(Seq("x").toDF("a")).separate("a", Seq("p1", "p2"), "-").collect()
+    assert(short.head.getString(0) == "x" && short.head.isNullAt(1))
+  }
+
+  test("unite concat_ws, drops inputs, lands at first input position") {
+    val d = Seq(("b1", "c1", 7)).toDF("b", "c", "n")
+    val out = Tidier.from(d).unite("bc", Seq("b", "c"), "_").df
+    assert(out.columns.toSeq == Seq("bc", "n"))
+    assert(out.collect().head.getString(0) == "b1_c1")
+  }
+}
