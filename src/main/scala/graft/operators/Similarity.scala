@@ -18,10 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** elementwise-deterministic cosine similarity between two
-    * `array<float>` columns, computed in double (sequential fold —
-    * reproducible across engines). */
+  /** elementwise-deterministic cosine similarity between two numeric
+    * array columns, computed in double (sequential fold — reproducible
+    * across engines). Backed by the native codegen'd
+    * [[graft.plans.CosineSimilarity]] expression; Spark's own
+    * higher-order functions are CodegenFallback (interpreted), see the
+    * expression's scaladoc. */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.plans.CosineSimilarity(
+      GraftShim.expression(a), GraftShim.expression(b)))
+  }
+
+  /** the composable higher-order-function formulation — kept as the
+    * reference implementation the custom expression must agree with */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0d), (acc, v) => acc + v)
@@ -30,6 +41,12 @@ object Similarity {
         lit(0d), (acc, v) => acc + v))
     dot(a, b) / (norm(a) * norm(b))
   }
+
+  /** SQL registration: `cosine_similarity(a, b)` callable from spark.sql */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftshim.GraftShim.registerFunction(
+      spark, "cosine_similarity",
+      exprs => graft.plans.CosineSimilarity(exprs(0), exprs(1)))
 
   /** literal embedding column from a driver-side query vector */
   def vecLit(v: Seq[Float]): Column = array(v.map(x => lit(x)): _*)

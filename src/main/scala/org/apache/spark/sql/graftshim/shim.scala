@@ -17,4 +17,13 @@ import org.apache.spark.sql.classic.{ColumnConversions, ExpressionUtils}
 object GraftShim {
   def expression(c: Column): Expression = ColumnConversions.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Register a custom Catalyst expression builder as a SQL-callable
+    * function on this session (sessionState is private[sql]). */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -99,6 +99,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(brute.contains(0L))
   }
 
+  test("native CosineSimilarity expression agrees with HOF formulation bit-for-bit") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val both = e.select(
+      Similarity.cosine(col("embedding"), Similarity.vecLit(Seq.fill(64)(0.5f))).as("fast"),
+      Similarity.cosineHof(col("embedding"), Similarity.vecLit(Seq.fill(64)(0.5f))).as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+    // SQL registration path
+    Similarity.registerSqlFunctions(spark)
+    e.createOrReplaceTempView("emb_sql_test")
+    val viaSql = spark.sql(
+      "SELECT cosine_similarity(embedding, embedding) AS s FROM emb_sql_test LIMIT 5")
+      .collect().map(_.getDouble(0))
+    assert(viaSql.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+
   test("IVF index: query vector found via nearest-cell probe") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0L).select("embedding").first().getSeq[Float](0)
