@@ -92,6 +92,17 @@ object SparkEntry {
         .head(200)
         .df),
 
+    // post-aggregation filter — the reference routes this to HAVING /
+    // a wrapping CTE (src/TidierDB_macros.jl:70-119); here it is just a
+    // filter on the aggregated frame
+    "q_having" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .summarize("n" -> Fns.n(), "qty" -> dsum(col("l_quantity")))
+        .filter(col("n") > 5000L, col("l_returnflag") =!= "N")
+        .arrange("l_returnflag", "l_linestatus")
+        .df),
+
     "q_summarize_stats" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_linestatus")
@@ -835,6 +846,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS flag_qty
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber LIMIT 200""".stripMargin,
+
+    "q_having" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING COUNT(*) > 5000 AND l_returnflag != 'N'
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_summarize_stats" ->
       """SELECT l_linestatus, MIN(l_extendedprice) AS min_price,

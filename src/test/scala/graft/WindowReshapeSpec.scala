@@ -36,6 +36,20 @@ class WindowReshapeSpec extends SparkSpec {
     assert(viaState == viaKwargs)
   }
 
+  test("agg() escape hatch windows arbitrary functions; whitelist is extensible") {
+    // median is not in the whitelist — agg() forces the OVER wrap
+    val viaEscape = Tidier.from(seqDf).groupBy("g")
+      .mutate("m" -> Fns.agg(expr("percentile(v, 0.5)")))
+      .arrange("g", "i").collect().map(_.getAs[Double]("m")).toSeq
+    assert(viaEscape == Seq(20.0, 20.0, 20.0, 10.0, 10.0))
+    // extending the whitelist makes the bare call windowed too
+    graft.functions.WindowRewrite.addWindowFn("percentile")
+    val viaWhitelist = Tidier.from(seqDf).groupBy("g")
+      .mutate("m" -> expr("percentile(v, 0.5)"))
+      .arrange("g", "i").collect().map(_.getAs[Double]("m")).toSeq
+    assert(viaWhitelist == viaEscape)
+  }
+
   test("sliceMax keeps ties (rank semantics)") {
     val d = Seq(("a", 3), ("a", 3), ("a", 2), ("b", 9)).toDF("g", "v")
     val out = Tidier.from(d).groupBy("g").sliceMax("v", 1).df
