@@ -326,6 +326,22 @@ object SparkEntry {
         .arrange("event_id")
         .df),
 
+    "q_window_extra" -> ((s, dir) =>
+      tev(s, dir)
+        .groupBy("user_id")
+        .windowOrder(col("ts"), col("event_id"))
+        .mutate(
+          "quartile" -> ntile(4),
+          "cd" -> cume_dist(),
+          "pr" -> percent_rank(),
+          "second_val" -> nth_value(col("value"), 2),
+          "first_val" -> expr("first_value(value)"),
+          "last_val" -> expr("last_value(value)"))
+        .select("event_id", "user_id", "value", "quartile", "cd", "pr",
+          "second_val", "first_val", "last_val")
+        .arrange("event_id")
+        .df),
+
     "q_slice_max" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -421,6 +437,22 @@ object SparkEntry {
           "src_num" -> Fns.strRemoveAll(col("source"), "[a-z]"))
         .select("doc_id", "up_lang", "head10", "has_data", "n_data", "lang_e", "src_num")
         .arrange("doc_id")
+        .df),
+
+    "q_strings2" -> ((s, dir) =>
+      t(s, dir, "part")
+        .mutate(
+          "is_small" -> Fns.startsWithStr(col("p_name"), "small"),
+          "is_bolt" -> Fns.endsWithStr(col("p_name"), "bolt"),
+          "first_vowel_gone" -> Fns.strRemove(col("p_name"), "[aeiou]"),
+          "first_vowel_dash" -> Fns.strReplace(col("p_name"), "[aeiou]", "_"),
+          "key_pad" -> lpad(col("p_partkey").cast("string"), 8, "0"),
+          "name_len" -> length(col("p_name")).cast("long"),
+          "name_trim" -> trim(concat(lit("  "), col("p_name"), lit("  "))))
+        .select("p_partkey", "is_small", "is_bolt", "first_vowel_gone",
+          "first_vowel_dash", "key_pad", "name_len", "name_trim")
+        .arrange("p_partkey")
+        .head(300)
         .df),
 
     "q_dates" -> ((s, dir) =>
@@ -647,6 +679,21 @@ object SparkEntry {
       val a = o.filter(col("o_orderstatus").isin("F", "P"))
       val b = o.filter(col("o_orderstatus").isin("P", "O"))
       a.intersect(b).arrange("o_orderkey").df
+    }),
+
+    "q_intersect_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderstatus")
+      val a = o.filter(col("o_orderstatus").isin("F", "P"))
+      val b = o.filter(col("o_orderstatus").isin("P", "O"))
+      a.intersect(b, all = true).arrange("o_orderstatus").df
+    }),
+
+    "q_setdiff_all" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderstatus")
+      val a = o.filter(col("o_orderstatus").isin("F", "P"))
+        .unionAll(o.filter(col("o_orderstatus") === "P"))
+      val b = o.filter(col("o_orderstatus") === "P")
+      a.setdiff(b, all = true).arrange("o_orderkey", "o_orderstatus").df
     }),
 
     "q_setdiff" -> ((s, dir) => {
@@ -989,6 +1036,43 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(25,2))) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_window_extra" ->
+      """SELECT event_id, user_id, value,
+        |  NTILE(4) OVER w AS quartile,
+        |  CUME_DIST() OVER w AS cd,
+        |  PERCENT_RANK() OVER w AS pr,
+        |  NTH_VALUE(value, 2) OVER w AS second_val,
+        |  FIRST_VALUE(value) OVER w AS first_val,
+        |  LAST_VALUE(value) OVER w AS last_val
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_strings2" ->
+      """SELECT p_partkey,
+        |  starts_with(p_name, 'small') AS is_small,
+        |  (p_name LIKE '%bolt') AS is_bolt,
+        |  regexp_replace(p_name, '[aeiou]', '') AS first_vowel_gone,
+        |  regexp_replace(p_name, '[aeiou]', '_') AS first_vowel_dash,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+        |  length(p_name) AS name_len,
+        |  trim('  ' || p_name || '  ') AS name_trim
+        |FROM part ORDER BY p_partkey LIMIT 300""".stripMargin,
+
+    "q_intersect_all" ->
+      """SELECT o_orderstatus FROM orders WHERE o_orderstatus IN ('F','P')
+        |INTERSECT ALL
+        |SELECT o_orderstatus FROM orders WHERE o_orderstatus IN ('P','O')
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_setdiff_all" ->
+      """(SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus IN ('F','P')
+        | UNION ALL
+        | SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'P')
+        |EXCEPT ALL
+        |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'P'
+        |ORDER BY o_orderkey, o_orderstatus""".stripMargin,
 
     "q_slice_max" ->
       """SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber
