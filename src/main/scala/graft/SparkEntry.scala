@@ -658,6 +658,17 @@ object SparkEntry {
     }),
 
     // =====================================================================
+    // streaming-shape ops on batch: gap sessionization (session_window)
+    // =====================================================================
+    "q_sessionize" -> ((s, dir) =>
+      Tidier.from(
+          graft.streaming.Streams.sessionize(
+            tev(s, dir).df, watermark = "1 hour", gap = "30 minutes"))
+        .select("s_start", "s_end", "user_id", "n_events")
+        .arrange("user_id", "s_start")
+        .df),
+
+    // =====================================================================
     // §2.7 set operations
     // =====================================================================
     "q_union" -> ((s, dir) => {
@@ -1173,6 +1184,28 @@ object SparkEntry {
         |WHERE l_quantity > (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE)
         |                           / COUNT(l_quantity) FROM lineitem)
         |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+
+    // gaps-and-islands mirror of session_window: a session ends 30min
+    // after its last event (Spark session_window end semantics)
+    "q_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE OR
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |), islands AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked
+        |)
+        |SELECT MIN(ts) AS s_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+        |  user_id, COUNT(*) AS n_events
+        |FROM islands GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
 
     "q_union" ->
       """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus IN ('F','P')
