@@ -549,6 +549,16 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    "q_text_normalize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .mutate(
+          "norm" -> TextFns.normalize(concat(col("text"), lit("  !! EXTRA?? "))),
+          "norm_fp" -> md5(TextFns.normalize(col("text"))))
+        .select("doc_id", "norm", "norm_fp")
+        .arrange("doc_id")
+        .head(200)
+        .df),
+
     "q_text_langid" -> ((s, dir) =>
       t(s, dir, "documents")
         .mutate("pred_lang" -> TextFns.langId(col("text")))
@@ -792,6 +802,14 @@ object SparkEntry {
          |          THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk)
          |          ELSE 0.0 END) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END)) / 3.0, 6) AS quality
          |FROM base ORDER BY doc_id""".stripMargin,
+
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text || '  !! EXTRA?? '),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
 
     "q_text_langid" ->
       s"""WITH base AS (SELECT doc_id, lang, $tkExpr AS tk FROM documents),

@@ -57,10 +57,9 @@ final case class TidierFrame(
     * (reference: src/TidierDB_macros.jl:508-569). */
   def showQuery(): Unit = df.explain(true)
   /** `@collect(stream=true)` analog (reference: src/TidierDB_macros.jl:591-622). */
-  def streamCollect(): Iterator[org.apache.spark.sql.Row] = df.toLocalIterator().asInstanceOf[java.util.Iterator[org.apache.spark.sql.Row]] match {
-    case it => new Iterator[org.apache.spark.sql.Row] {
-      def hasNext = it.hasNext; def next() = it.next()
-    }
+  def streamCollect(): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala
   }
   /** `@create_table` analog (reference: src/view_compute.jl:45-94). */
   def createTable(name: String, replace: Boolean = true): Unit = {
