@@ -806,9 +806,9 @@ object SparkEntry {
     "q_text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text || '  !! EXTRA?? '),
-        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+        |    '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
         |  md5(trim(regexp_replace(regexp_replace(lower(text),
-        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp
+        |    '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
 
     "q_text_langid" ->

@@ -61,12 +61,13 @@ object TextFns {
     wordShinglesFromTokens(tokens(text), k)
 
   /** Text normalization for dedup-before-hash cleaning: lowercase,
-    * strip non-alphanumerics (keeping spaces), squish whitespace runs,
-    * trim. The canonical pre-pass before fingerprint/minhash so
-    * formatting variants collapse. */
+    * strip punctuation/symbols (Unicode letter/number classes kept, so
+    * non-Latin scripts survive), squish whitespace runs, trim. The
+    * canonical pre-pass before fingerprint/minhash so formatting
+    * variants collapse. */
   def normalize(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+      regexp_replace(lower(text), "[^\\p{L}\\p{N} ]", " "), " +", " "))
 
   /** Document fingerprint: md5 over the sorted distinct token set —
     * robust to token order and repetition (rolling-hash-style identity
