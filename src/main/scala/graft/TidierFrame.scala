@@ -68,6 +68,8 @@ final case class TidierFrame(
   }
   /** `@create_view` analog (reference: src/view_compute.jl:13-42). */
   def createView(name: String): Unit = df.createOrReplaceTempView(name)
+  /** `drop_view` analog (reference: src/view_compute.jl:36-42). */
+  def dropView(name: String): Unit = spark.catalog.dropTempView(name)
   /** `write_file` analog — format from extension (reference: src/view_compute.jl:100-109). */
   def writeFile(path: String): Unit = {
     val lower = path.toLowerCase

@@ -106,7 +106,10 @@ object WindowRewrite {
     case Long.MinValue => UnboundedPreceding
     case Long.MaxValue => UnboundedFollowing
     case 0             => CurrentRow
-    case n             => Literal(n.toInt)
+    case n if n >= Int.MinValue && n <= Int.MaxValue => Literal(n.toInt)
+    case n => throw new IllegalArgumentException(
+      s"ROWS frame bound $n exceeds Int range; use Long.MinValue/MaxValue " +
+        "for unbounded ends (silent toInt truncation would corrupt the frame)")
   }
 
   /** Does this column contain any windowable function call? (used by

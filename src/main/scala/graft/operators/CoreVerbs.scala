@@ -51,10 +51,25 @@ trait CoreVerbs { self: TidierFrame =>
   // ---- filtering / rows ----------------------------------------------
 
   /** `@filter` — multiple conditions AND together
-    * (reference: src/TidierDB_macros.jl:37-128). Catalyst decides
-    * WHERE-vs-HAVING placement on its own. */
-  def filter(conds: Column*): TidierFrame =
-    withDf(conds.foldLeft(df)((d, c) => d.filter(c)))
+    * (reference: src/TidierDB_macros.jl:37-128). On a grouped frame,
+    * aggregate calls in the condition are evaluated OVER the group
+    * (dplyr's grouped filter / the reference's HAVING routing): e.g.
+    * `groupBy("g").filter(sum(col("x")) > 5)` keeps all rows of
+    * qualifying groups. Post-summarize filters need no special
+    * handling — the frame is already aggregated. */
+  def filter(conds: Column*): TidierFrame = {
+    val hasWindowState = groups.nonEmpty || winOrder.nonEmpty || winFrame.nonEmpty
+    val out = conds.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      if (hasWindowState && WindowRewrite.containsWindowable(c)) {
+        // window expressions are illegal in WHERE — materialize the
+        // windowed condition as a column, filter, drop
+        val tmp = s"__graft_cond_$i"
+        d.withColumn(tmp, WindowRewrite.rewrite(c, groups.map(d.col), winOrder, winFrame))
+          .filter(col(tmp)).drop(tmp)
+      } else d.filter(c)
+    }
+    withDf(out)
+  }
 
   /** `@distinct` — NOTE the reference keeps ONLY the listed columns
     * (SELECT DISTINCT cols), not dplyr's keep-all
@@ -95,6 +110,11 @@ trait CoreVerbs { self: TidierFrame =>
     * Output columns: group keys then aggregates, grouping state cleared
     * (reference: src/mutate_and_summ.jl:250-257). */
   def summarize(aggs: (String, Column)*): TidierFrame = {
+    if (aggs.isEmpty) {
+      // zero aggregates = one row per group of just the keys
+      require(groups.nonEmpty, "summarize() with no aggregates needs a grouped frame")
+      return reset(df.select(groups.map(df.col): _*).distinct())
+    }
     val exprs = aggs.map { case (n, c) => c.as(n) }
     val out =
       if (groups.isEmpty) df.agg(exprs.head, exprs.tail: _*)

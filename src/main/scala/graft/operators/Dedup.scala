@@ -23,7 +23,11 @@ object Dedup {
     * One shuffle on the 128-bit content hash; ties broken by id so the
     * survivor set is deterministic. */
   def exactDedup(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
-    val h = md5(concat_ws("", contentCols.map(df.col): _*))
+    // values joined with a \u0001 separator and NULL mapped to \u0000:
+    // bare concatenation would collide ("ab","") with ("a","b") and NULL
+    // with "" - silently deleting distinct rows
+    val h = md5(concat_ws("\u0001",
+      contentCols.map(c => coalesce(df.col(c).cast("string"), lit("\u0000"))): _*))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(h).orderBy(df.col(idCol).asc)
     df.withColumn("__rn", row_number().over(w))
@@ -64,6 +68,10 @@ object Dedup {
     * Two docs collide on a band key iff that band of their signatures
     * is identical. */
   def bandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands) — " +
+        "otherwise band keys degenerate (constant key = all-pairs cross join) " +
+        "or trailing hashes are silently dropped")
     val rows = numHashes / bands
     array((0 until bands).map { b =>
       md5(concat_ws(",",
@@ -134,14 +142,15 @@ object Dedup {
     * representatives, repeated to fixpoint. Converges in
     * O(log n) rounds on path graphs, 1-2 rounds on the star-shaped
     * clusters near-dup detection produces. Each round is one
-    * self-join + aggregate — all shuffles on the id key. Checkpointed
-    * per round so the plan doesn't grow unboundedly.
+    * self-join + aggregate — all shuffles on the id key. Each round's
+    * labels are localCheckpoint'ed (lineage truncated, prior round
+    * unpersisted); non-convergence within maxIter throws rather than
+    * returning wrong cluster labels.
     *
     * @return (id, rep) for every node appearing in `pairs`, rep = min
     *         id of its component
     */
-  def dupClustersClosure(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val spark = pairs.sparkSession
+  def dupClustersClosure(pairs: DataFrame, maxIter: Int = 16): DataFrame = {
     // undirected edge list, plus self-loops so roots survive aggregation
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
@@ -149,6 +158,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.groupBy(col("a").as("id"))
       .agg(least(min(col("b")), first(col("a"))).as("rep"))
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -158,13 +168,18 @@ object Dedup {
         .groupBy(col("a").as("id")).agg(min(col("nrep")).as("prop"))
       val next = labels.join(neighborReps, Seq("id"), "left")
         .select(col("id"), least(col("rep"), coalesce(col("prop"), col("rep"))).as("rep"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint() // truncates lineage; eager
       val changed = next.join(labels.withColumnRenamed("rep", "old"), Seq("id"))
         .filter(col("rep") =!= col("old")).limit(1).count()
+      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"dupClustersClosure did not converge in $maxIter rounds — component " +
+        "diameter exceeds 2^maxIter; raise maxIter")
     labels
   }
 
@@ -201,11 +216,14 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // persist: both sides of the chunk self-join read the signatures —
+    // unpersisted, the 64 per-bit aggregate passes would run twice
     val sigs = df
       .select(df.col(idCol).as("id"),
         transform(TextFns.tokens(df.col(textCol)), t => xxhash64(t)).as("__h"))
       .withColumn("sig", simHashFromHashes(col("__h")))
       .select("id", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkArr = array((0 until 4).map { c =>
       struct(lit(c).as("chunk_id"),
         shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("chunk"))

@@ -119,16 +119,24 @@ trait JoinVerbs { self: TidierFrame =>
     val T = "__asof_t"; val TAG = "__asof_isr"; val PAY = "__asof_r"
     val rPayloadCols = right.df.columns.toSeq.filterNot(c => equi.map(_._2).contains(c))
 
-    // Right side: (equi keys renamed to left names, asof col, payload struct)
+    // Right side: (equi keys renamed to left names, asof col, payload
+    // struct). NULL-keyed right rows are dropped up front: SQL/DuckDB
+    // ASOF never matches on NULL keys, but Window.partitionBy groups
+    // NULLs together and would hand their payloads to NULL-keyed left
+    // rows. The as-of column keeps its ORIGINAL type — casting to
+    // double would corrupt 64-bit keys beyond 2^53 (e.g. nanosecond
+    // epochs) and NULL-out non-numeric orderable types.
+    val rNonNull = equi.map(e => right.df.col(e._2).isNotNull)
+      .foldLeft(right.df.col(rk).isNotNull)(_ && _)
     val rSel = equi.map { case (a, b) => right.df.col(b).as(a) } ++ Seq(
-      right.df.col(rk).cast("double").as(T),
+      right.df.col(rk).as(T),
       lit(1).as(TAG),
       struct(rPayloadCols.map(right.df.col): _*).as(PAY))
-    val rTagged = right.df.select(rSel: _*)
+    val rTagged = right.df.filter(rNonNull).select(rSel: _*)
 
     // Left side keeps all columns + sort key + null payload.
     val lTagged = df
-      .withColumn(T, col(lk).cast("double"))
+      .withColumn(T, col(lk))
       .withColumn(TAG, lit(0))
       .withColumn(PAY, lit(null).cast(rTagged.schema(PAY).dataType))
     val lAligned = lTagged.select(

@@ -23,7 +23,8 @@ object Multimodal {
     * integrity/dedup. */
   def packMedia(df: DataFrame, idCol: String, payloadCol: String, format: String): DataFrame =
     df.select(
-      df.col(idCol).as("media_id"),
+      // schema contract: media_id is LongType regardless of source id type
+      df.col(idCol).cast("long").as("media_id"),
       df.col(payloadCol).cast("binary").as("media"),
       struct(
         lit(format).as("format"),
@@ -73,7 +74,8 @@ object Multimodal {
       // per-partition init would go here (codec/context setup)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("media")
-        Row(r.getAs[Long]("media_id"), bytes.length.toLong)
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        Row(r.getAs[Long]("media_id"), n)
       }
     }(enc)
   }

@@ -167,7 +167,10 @@ object Similarity {
       embCol: String,
       threshold: Double,
       lsh: RandomHyperplaneLsh): DataFrame = {
+    // persist: both join sides read the bucketed index — unpersisted,
+    // the numPlanes×dim bucket dot products would run twice
     val indexed = lsh.index(df.select(col(idCol).as("id"), col(embCol).as("emb")), "emb")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = indexed.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
     val r = indexed.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
     l.join(r, Seq("bucket"))

@@ -112,6 +112,19 @@ class CoreVerbsSpec extends SparkSpec {
     assert(out == Seq("lo", "mid", "mid", "hi", "hi", "lo"))
   }
 
+  test("grouped filter evaluates aggregates over the group (HAVING-style)") {
+    val out = Tidier.from(df).groupBy("groups")
+      .filter(sum(col("value")) > 7L) // bb sums 9, aa sums 7
+      .df.select("groups").distinct().collect().map(_.getString(0)).toSeq
+    assert(out == Seq("bb"))
+  }
+
+  test("summarize() with no aggregates returns distinct group keys") {
+    val out = Tidier.from(df).groupBy("groups").summarize()
+      .arrange("groups").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("aa", "bb"))
+  }
+
   test("dropMissing on subset of columns") {
     val d = Seq(("a", java.lang.Double.valueOf(1.0)), ("b", null.asInstanceOf[java.lang.Double]))
       .toDF("k", "v")

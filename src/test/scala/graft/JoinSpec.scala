@@ -80,6 +80,23 @@ class JoinSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getDouble(3) == 1.0)
   }
 
+  test("as-of join never matches NULL equi keys; long keys keep full precision") {
+    val lf = Seq((Option.empty[String], 10L), (Some("A"), 10L)).toDF("sym", "t")
+    val rf = Seq((Option.empty[String], 5L, 1.0), (Some("A"), 5L, 2.0)).toDF("sym2", "qt", "bid")
+    val inner = Tidier.from(lf)
+      .innerJoin(Tidier.from(rf), Equi("sym", "sym2"), Closest("t", ">=", "qt"))
+      .collect()
+    assert(inner.length == 1 && inner.head.getString(0) == "A")
+    // 64-bit keys beyond 2^53: two right rows 1ns apart must stay distinct
+    val big = 1700000000000000000L
+    val lf2 = Seq(("K", big + 2)).toDF("sym", "t")
+    val rf2 = Seq(("K", big, 1.0), ("K", big + 1, 2.0)).toDF("sym2", "qt", "bid")
+    val out = Tidier.from(lf2)
+      .innerJoin(Tidier.from(rf2), Equi("sym", "sym2"), Closest("t", ">=", "qt"))
+      .collect()
+    assert(out.head.getDouble(3) == 2.0) // nearest is big+1, not arbitrary
+  }
+
   test("set ops by position") {
     val a = Seq(1, 2, 3).toDF("v"); val b = Seq(2, 3, 4).toDF("v")
     assert(Tidier.from(a).union(Tidier.from(b)).df.count() == 4)

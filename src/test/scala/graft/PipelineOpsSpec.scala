@@ -24,6 +24,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Seq(0L, 1L, 2L, 4L))
   }
 
+  test("exactDedup does not collide concat-ambiguous or NULL-vs-empty rows") {
+    val d = Seq(
+      (1L, Some("ab"), Some("")), (2L, Some("a"), Some("b")),
+      (3L, Some("x"), None), (4L, None, Some("x")), (5L, Some("x"), Some(""))
+    ).toDF("id", "c1", "c2")
+    val survivors = Dedup.exactDedup(d, "id", Seq("c1", "c2")).count()
+    assert(survivors == 5) // all rows distinct — none may be dropped
+  }
+
   test("wordShingles: k-grams, short docs empty") {
     val sh = docs.select(TextFns.wordShingles(col("text"), 3).as("sh"))
       .collect().map(_.getSeq[String](0))

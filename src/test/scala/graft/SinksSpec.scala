@@ -10,10 +10,13 @@ class SinksSpec extends SparkSpec {
 
   private def df = Seq((1, "a"), (2, "b")).toDF("k", "v")
 
-  test("createView registers a temp view queryable by SQL") {
-    Tidier.from(df).createView("sink_view")
+  test("createView registers a temp view queryable by SQL; dropView removes it") {
+    val tf = Tidier.from(df)
+    tf.createView("sink_view")
     assert(spark.sql("SELECT count(*) FROM sink_view").first().getLong(0) == 2)
     assert(Tidier.showTables(spark).count() >= 1)
+    tf.dropView("sink_view")
+    assert(!spark.catalog.tableExists("sink_view"))
   }
 
   test("writeFile parquet/csv/json round-trip by extension") {
