@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale physical-layout helpers (SCALE.md round-2 items,
+  * pulled into round 1): bucketed materialization for repeated
+  * co-located joins, and key salting for user-declared hot keys.
+  */
+object ScaleOps {
+
+  /** Materialize as a bucketed, sorted table: joins/aggregations on the
+    * bucket keys against other tables bucketed the same way need NO
+    * shuffle (Catalyst recognizes the matching HashPartitioning). The
+    * standard answer to "this fact table is joined on this key by every
+    * query, stop shuffling 100 TB each time". */
+  def saveBucketed(
+      df: DataFrame,
+      table: String,
+      bucketKeys: Seq[String],
+      numBuckets: Int,
+      sortKeys: Seq[String] = Nil): Unit = {
+    require(bucketKeys.nonEmpty, "need at least one bucket key")
+    val w = df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketKeys.head, bucketKeys.tail: _*)
+    val sorted =
+      if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w
+    sorted.format("parquet").saveAsTable(table)
+  }
+
+  /** Salted equi-join for skewed keys: the skewed (large) side gets a
+    * random salt in [0, buckets); the small side is exploded ×buckets so
+    * every salted key finds its match. Turns one hot-key straggler
+    * partition into `buckets` even ones. AQE's skew handling covers
+    * sort-merge joins automatically — this is for the cases it can't
+    * see (e.g. skew introduced after an earlier stage) or when the
+    * build side must replicate anyway.
+    *
+    * @return (salted large side, exploded small side, join keys to use)
+    */
+  def saltedForJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      buckets: Int,
+      seed: Long = 42L): (DataFrame, DataFrame, Seq[String]) = {
+    require(buckets > 1, "salting needs buckets > 1")
+    val saltedLarge = large.withColumn(
+      "__salt", (rand(seed) * buckets).cast("int"))
+    val explodedSmall = small.withColumn(
+      "__salt", explode(sequence(lit(0), lit(buckets - 1))))
+    (saltedLarge, explodedSmall, Seq(key, "__salt"))
+  }
+
+  /** Convenience: salted inner equi-join, salt column dropped. */
+  def saltedInnerJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      buckets: Int,
+      seed: Long = 42L): DataFrame = {
+    val (l, s, keys) = saltedForJoin(large, small, key, buckets, seed)
+    l.join(s, keys, "inner").drop("__salt")
+  }
+}
