@@ -90,16 +90,25 @@ object Similarity {
     def index(df: DataFrame, embCol: String): DataFrame =
       df.withColumn("bucket", bucket(col(embCol)))
 
-    /** ANN top-k: search the query's bucket plus all 1-bit-flip probe
-      * buckets (multiprobe radius 1), exact-rerank candidates. */
+    /** ANN top-k: search the query's bucket plus all buckets within
+      * `multiprobeRadius` bit flips, exact-rerank candidates. Radius 2
+      * (default) probes 1 + p + p(p-1)/2 buckets — recall climbs
+      * steeply while reads stay a small fraction of the corpus. */
     def annTopK(
         indexed: DataFrame,
         embCol: String,
         query: Seq[Float],
         k: Int,
-        idCol: String = "vec_id"): DataFrame = {
+        idCol: String = "vec_id",
+        multiprobeRadius: Int = 2): DataFrame = {
       val qBucket = bucketOf(query)
-      val probes = qBucket +: (0 until numPlanes).map(b => qBucket ^ (1L << b))
+      val r1 = (0 until numPlanes).map(b => qBucket ^ (1L << b))
+      val r2 =
+        if (multiprobeRadius >= 2)
+          for { i <- 0 until numPlanes; j <- i + 1 until numPlanes }
+            yield qBucket ^ (1L << i) ^ (1L << j)
+        else Nil
+      val probes = (qBucket +: (r1 ++ r2)).distinct
       indexed
         .filter(col("bucket").isin(probes: _*))
         .select(col(idCol), round(cosine(col(embCol), vecLit(query)), 6).as("sim"))
