@@ -726,14 +726,15 @@ object SparkEntry {
   )
 
   /** DuckDB mirror of the whole MinHash+LSH pipeline (tokens → shingles
-    * → 12 portable-hash minima → 6 band keys → band self-join → exact
-    * Jaccard). Generated because SQL can't loop over the hash family. */
+    * → 60-bit hashed shingle sets → 12 hash-family minima → 6 band keys
+    * → band self-join → exact Jaccard over the hashed sets). Generated
+    * because SQL can't loop over the hash family. */
   private def minhashOracle: String = {
     val numHashes = 12; val bands = 6; val rows = numHashes / bands
     val p = Dedup.MinHashP
     val params = Dedup.hashParams(numHashes)
     val sigExprs = params.map { case (a, b) =>
-      s"list_min(list_transform(bases, x -> (x * $a + $b) % $p))"
+      s"list_min(list_transform(bases, x -> ((x % $p) * $a + $b) % $p))"
     }.mkString("[", ",\n      ", "]")
     val bandExprs = (0 until bands).map { b =>
       val vals = (0 until rows).map(r => s"CAST(sig[${b * rows + r + 1}] AS VARCHAR)")
@@ -748,11 +749,11 @@ object SparkEntry {
        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
        |  FROM toks WHERE len(tk) >= 3
        |), based AS (
-       |  SELECT doc_id, s,
-       |    list_transform(s, x -> ('0x'||substr(md5(x),1,15))::BIGINT % $p) AS bases
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(s, x -> ('0x'||substr(md5(x),1,15))::BIGINT)) AS bases
        |  FROM shf
        |), sig AS (
-       |  SELECT doc_id, s, $sigExprs AS sig FROM based
+       |  SELECT doc_id, bases, $sigExprs AS sig FROM based
        |), bands AS (
        |  SELECT doc_id, unnest($bandExprs) AS band FROM sig
        |), cand AS (
@@ -760,11 +761,11 @@ object SparkEntry {
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
        |), pairs AS (
        |  SELECT id_a, id_b,
-       |    len(list_intersect(sa.s, sb.s))::DOUBLE
-       |      / len(list_distinct(list_concat(sa.s, sb.s))) AS j
+       |    len(list_intersect(sa.bases, sb.bases))::DOUBLE
+       |      / len(list_distinct(list_concat(sa.bases, sb.bases))) AS j
        |  FROM cand
-       |  JOIN shf sa ON sa.doc_id = id_a
-       |  JOIN shf sb ON sb.doc_id = id_b
+       |  JOIN based sa ON sa.doc_id = id_a
+       |  JOIN based sb ON sb.doc_id = id_b
        |)
        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs
        |WHERE j >= 0.4 ORDER BY id_a, id_b""".stripMargin

@@ -60,6 +60,16 @@ object TextFns {
   def wordShingles(text: Column, k: Int): Column =
     wordShinglesFromTokens(tokens(text), k)
 
+  /** text → distinct 60-bit portable hashes of its word k-shingles in
+    * ONE native pass — the hot-path form of
+    * `transform(wordShingles(text,k), portableHash)`. Backed by the
+    * [[graft.plans.HashedWordShingles]] expression; see its scaladoc
+    * for why the composable HOF chain is ~100× slower per row. */
+  def hashedWordShingles(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.plans.HashedWordShingles(GraftShim.expression(text), k))
+  }
+
   /** Text normalization for dedup-before-hash cleaning: lowercase,
     * strip punctuation/symbols (Unicode letter/number classes kept, so
     * non-Latin scripts survive), squish whitespace runs, trim. The

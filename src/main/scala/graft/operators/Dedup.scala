@@ -35,6 +35,53 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** How a pair-finder materializes its per-row signature payload —
+    * the piece that is read by 2-3 plan branches (signature pass + both
+    * verify joins) and must NOT be recomputed per branch.
+    *
+    *  - [[Materialize.LocalCheckpoint]] (default): eager local
+    *    checkpoint — pipeline state lives in executor block storage,
+    *    lineage truncated. Right for interactive/bench scale.
+    *  - [[Materialize.BucketedTable]]: write-then-read a parquet table
+    *    bucketed+sorted by `id` via [[ScaleOps.saveBucketed]] — the
+    *    100 TB path: nothing pinned in executor memory, and the verify
+    *    joins on id hit the bucketed layout without a shuffle of the
+    *    payload side.
+    *  - [[Materialize.None]]: fully lazy; the caller owns caching.
+    */
+  sealed trait Materialize
+  object Materialize {
+    case object LocalCheckpoint extends Materialize
+    final case class BucketedTable(table: String, numBuckets: Int) extends Materialize
+    case object None extends Materialize
+  }
+
+  /** @return (materialized frame, release thunk to free it) */
+  private[operators] def materialized(
+      df: DataFrame, m: Materialize, idCol: String): (DataFrame, () => Unit) = m match {
+    case Materialize.LocalCheckpoint =>
+      val c = df.localCheckpoint() // eager
+      (c, () => { c.unpersist(); () })
+    case Materialize.BucketedTable(t, n) =>
+      ScaleOps.saveBucketed(df, t, Seq(idCol), n, sortKeys = Seq(idCol))
+      (df.sparkSession.table(t), () => ())
+    case Materialize.None => (df, () => ())
+  }
+
+  /** Eager-result-and-release contract (pair finders): when the inputs
+    * were materialized, run the whole pipeline ONCE now, keep only the
+    * (small) pair result, and free the intermediate blocks — repeated
+    * calls in one session can't accumulate cached corpora. With
+    * [[Materialize.None]] the result stays fully lazy. */
+  private[operators] def finish(pairs: DataFrame, m: Materialize, release: () => Unit): DataFrame =
+    m match {
+      case Materialize.None => pairs
+      case _ =>
+        val out = pairs.localCheckpoint() // eager — consumes the inputs now
+        release()
+        out
+    }
+
   /** Universal-hash family over a Mersenne prime: h_i(x) = (a_i·x + b_i)
     * mod p. ONE expensive portable hash per shingle (the base), then
     * `numHashes` cheap arithmetic mixes — 12× fewer md5 evaluations
@@ -45,23 +92,28 @@ object Dedup {
     Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** base hashes: portable md5-derived value mod p, one per shingle */
-  def minHashBases(shingles: Column): Column =
-    transform(shingles, s => pmod(TextFns.portableHash(s), lit(MinHashP)))
+  /** 60-bit portable hashes of the (already-distinct) shingle set — the
+    * ONE md5 pass. These longs stand in for the shingles everywhere
+    * downstream: signature mixes AND the exact-Jaccard verify (Jaccard
+    * over the hashed sets equals string Jaccard up to 2^-60 collisions,
+    * and the DuckDB oracle mirrors the hashing so the gate is exact). */
+  def hashedShingles(shingles: Column): Column =
+    array_distinct(transform(shingles, s => TextFns.portableHash(s)))
 
-  /** signature from materialized base hashes (a_i·x + b_i stays < 2^62) */
+  /** signature from materialized 60-bit hashes: each is first reduced
+    * mod p (so a·x + b stays < 2^62), then mixed per hash function */
   def minHashFromBases(bases: Column, numHashes: Int, seed: Long = 42L): Column = {
     val params = hashParams(numHashes, seed)
     array(params.map { case (a, b) =>
-      array_min(transform(bases, x => pmod(x * lit(a) + lit(b), lit(MinHashP))))
+      array_min(transform(bases, x => pmod(pmod(x, lit(MinHashP)) * lit(a) + lit(b), lit(MinHashP))))
     }: _*)
   }
 
   /** convenience: signature straight from the shingle array. Prefer
-    * materializing `minHashBases` as a column first in multi-use plans
+    * materializing `hashedShingles` as a column first in multi-use plans
     * so the md5 pass isn't duplicated per plan branch. */
   def minHashSignature(shingles: Column, numHashes: Int): Column =
-    minHashFromBases(minHashBases(shingles), numHashes)
+    minHashFromBases(hashedShingles(shingles), numHashes)
 
   /** LSH banding: split the signature into `bands` groups of
     * `numHashes/bands` values; band key = md5(bandIdx ++ values).
@@ -90,27 +142,34 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 12,
       bands: Int = 6,
-      threshold: Double = 0.5): DataFrame = {
-    // persist: the shingle arrays feed BOTH the signature pass and the
-    // two verify-side joins — without it Catalyst recomputes the
-    // md5-heavy shingling once per plan branch (4×). At cluster scale
-    // this materialization is the signature checkpoint.
-    val shingled = df
-      .select(df.col(idCol).as("id"), TextFns.tokens(df.col(textCol)).as("__tk"))
-      .withColumn("sh", array_distinct(TextFns.wordShinglesFromTokens(col("__tk"), shingleSize)))
-      .drop("__tk")
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize bases then signature as columns: inlining would splice
-    // the md5 pass into every hash function and the whole signature into
-    // every band key (numHashes × bands recompute)
-    val sig = shingled
-      .withColumn("bases", minHashBases(col("sh")))
+      threshold: Double = 0.5,
+      materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
+    // Small inputs often arrive as fewer splits than cores (a single
+    // parquet file at bench scale); the shingling pass is the expensive
+    // stage, so spread it. At corpus scale input splits >> cores and
+    // this is a no-op.
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+    // ONE native pass (HashedWordShingles) tokenizes, shingles, and
+    // md5-hashes each doc down to a compact set of 60-bit longs — the
+    // ONLY payload kept. The strings never leave this stage, so the
+    // materialized state is ~8 bytes/shingle, and both the signature
+    // mixes and the exact verify below run on cheap long arrays.
+    // Materializing here (eager checkpoint or bucketed table) truncates
+    // the md5-heavy lineage: without it Catalyst re-runs the hashing
+    // once per downstream plan branch.
+    val based = src
+      .select(src.col(idCol).as("id"),
+        TextFns.hashedWordShingles(src.col(textCol), shingleSize).as("bases"))
+      .filter(size(col("bases")) > 0)
+    val (hashed, release) = materialized(based, materialize, "id")
+    val sig = hashed
       .withColumn("sig", minHashFromBases(col("bases"), numHashes))
       .withColumn("band", explode(bandKeys(col("sig"), numHashes, bands)))
       .select("band", "id")
     // candidate ids only through the band self-join (pairs distinct
-    // BEFORE re-fetching shingle payloads — keeps the wide stage narrow)
+    // BEFORE re-fetching hashed-shingle payloads — keeps the wide stage
+    // narrow)
     val l = sig.select(col("band"), col("id").as("id_a"))
     val r = sig.select(col("band"), col("id").as("id_b"))
     val cand = l.join(r, Seq("band"))
@@ -118,14 +177,15 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
     val withSh = cand
-      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-    withSh
+      .join(hashed.select(col("id").as("id_a"), col("bases").as("b_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("bases").as("b_b")), Seq("id_b"))
+    val pairs = withSh
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        size(array_intersect(col("b_a"), col("b_b"))).cast("double") /
+          size(array_union(col("b_a"), col("b_b"))))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    finish(pairs, materialize, release)
   }
 
   /** Collapse dup pairs into clusters by min-representative propagation:
@@ -183,16 +243,18 @@ object Dedup {
     labels
   }
 
-  /** SimHash: 64-bit signature; bit i is the sign of the sum of ±1
-    * contributions of each token's xxhash64 bit i. Pure higher-order
-    * expressions (64 × |tokens| bit tests per doc, all codegen'd). */
-  /** 64 bit-sums over a MATERIALIZED token-hash array column — pass
+  /** SimHash: `numBits`-bit signature; bit i is the sign of the sum of
+    * ±1 contributions of each token's hash bit i. Pure higher-order
+    * expressions (numBits × |tokens| bit tests per doc).
+    *
+    * Takes a MATERIALIZED token-hash array column — pass
     * `transform(tokens, xxhash64)` via withColumn first; an inline
-    * expression would be re-evaluated per bit (64×). */
-  def simHashFromHashes(hashes: Column): Column = {
+    * expression would be re-evaluated per bit (numBits×). */
+  def simHashFromHashes(hashes: Column, numBits: Int = 64): Column = {
+    require(numBits >= 1 && numBits <= 64, s"numBits must be in [1,64], got $numBits")
     // bit positions unrolled Scala-side (shift amounts must be static);
-    // the 64 per-bit sums are disjoint, so their + is exact bitwise OR
-    val bitCols = (0 until 64).map { i =>
+    // the per-bit sums are disjoint, so their + is exact bitwise OR
+    val bitCols = (0 until numBits).map { i =>
       val bitSum = aggregate(
         hashes,
         lit(0L),
@@ -215,29 +277,44 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    // persist: both sides of the chunk self-join read the signatures —
-    // unpersisted, the 64 per-bit aggregate passes would run twice
-    val sigs = df
+      maxHamming: Int = 3,
+      numBits: Int = 64,
+      chunks: Int = 4,
+      portable: Boolean = false,
+      materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
+    require(numBits % chunks == 0 && numBits <= 64 && chunks > 0,
+      s"numBits ($numBits) must be a positive multiple of chunks ($chunks), <= 64")
+    // pigeonhole guarantee: two docs within Hamming distance < `chunks`
+    // must agree on >= 1 chunk; candidates beyond that rely on luck.
+    // portable=true swaps xxhash64 for the md5-derived 60-bit hash so a
+    // SQL oracle can reproduce the signature bit-for-bit.
+    val tokHash: Column => Column =
+      if (portable) TextFns.portableHash else (t: Column) => xxhash64(t)
+    // materialize: both sides of the chunk self-join read the signatures —
+    // without it the numBits per-bit aggregate passes would run twice
+    val based = df
       .select(df.col(idCol).as("id"),
-        transform(TextFns.tokens(df.col(textCol)), t => xxhash64(t)).as("__h"))
-      .withColumn("sig", simHashFromHashes(col("__h")))
+        transform(TextFns.tokens(df.col(textCol)), tokHash).as("__h"))
+      .withColumn("sig", simHashFromHashes(col("__h"), numBits))
       .select("id", "sig")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunkArr = array((0 until 4).map { c =>
+    val (sigs, release) = materialized(based, materialize, "id")
+    val chunkBits = numBits / chunks
+    val mask = (1L << chunkBits) - 1
+    val chunkArr = array((0 until chunks).map { c =>
       struct(lit(c).as("chunk_id"),
-        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("chunk"))
+        shiftright(col("sig"), c * chunkBits).bitwiseAND(mask).as("chunk"))
     }: _*)
     val chunked = sigs.withColumn("__c", explode(chunkArr))
       .select(col("id"), col("sig"), col("__c.chunk_id").as("chunk_id"), col("__c.chunk").as("chunk"))
     val l = chunked.select(col("chunk_id"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = chunked.select(col("chunk_id"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("chunk_id", "chunk"))
+    val pairs = l.join(r, Seq("chunk_id", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    finish(pairs, materialize, release)
   }
 
   /** n-gram Jaccard similarity for a candidate pair set (exact verify

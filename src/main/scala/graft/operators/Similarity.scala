@@ -175,18 +175,44 @@ object Similarity {
       idCol: String,
       embCol: String,
       threshold: Double,
-      lsh: RandomHyperplaneLsh): DataFrame = {
-    // persist: both join sides read the bucketed index — unpersisted,
-    // the numPlanes×dim bucket dot products would run twice
-    val indexed = lsh.index(df.select(col(idCol).as("id"), col(embCol).as("emb")), "emb")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = indexed.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
-    val r = indexed.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
-    l.join(r, Seq("bucket"))
+      lsh: RandomHyperplaneLsh,
+      bands: Int = 1,
+      materialize: Dedup.Materialize = Dedup.Materialize.LocalCheckpoint): DataFrame = {
+    // Banded sign-LSH (same pigeonhole shape as MinHash banding): split
+    // the hyperplanes into `bands` groups; two docs become a candidate
+    // pair when ALL sign bits of at least one band agree. More bands →
+    // higher recall at a given plane count (1-(1-s^r)^b) while each
+    // band join stays an exact-match equi join — never all-pairs.
+    require(bands > 0 && lsh.numPlanes % bands == 0,
+      s"numPlanes (${lsh.numPlanes}) must be a positive multiple of bands ($bands)")
+    // materialize: both join sides read the bucketed index — otherwise
+    // the numPlanes×dim bucket dot products would run once per branch
+    val based = lsh.index(df.select(col(idCol).as("id"), col(embCol).as("emb")), "emb")
+    val (indexed, release) = Dedup.materialized(based, materialize, "id")
+    val planesPerBand = lsh.numPlanes / bands
+    val bandMask = (1L << planesPerBand) - 1
+    val bandArr = array((0 until bands).map { b =>
+      struct(lit(b).as("band_id"),
+        shiftright(col("bucket"), b * planesPerBand).bitwiseAND(bandMask).as("bkey"))
+    }: _*)
+    val banded = indexed.withColumn("__b", explode(bandArr))
+      .select(col("id"), col("__b.band_id").as("band_id"), col("__b.bkey").as("bkey"))
+    // candidate ids only through the band self-join; pairs distinct
+    // BEFORE re-fetching embedding payloads (a pair colliding in k bands
+    // would otherwise pay k cosine evaluations and drag the vectors
+    // through the wide stage)
+    val l = banded.select(col("band_id"), col("bkey"), col("id").as("id_a"))
+    val r = banded.select(col("band_id"), col("bkey"), col("id").as("id_b"))
+    val cand = l.join(r, Seq("band_id", "bkey"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val pairs = cand
+      .join(indexed.select(col("id").as("id_a"), col("emb").as("emb_a")), Seq("id_a"))
+      .join(indexed.select(col("id").as("id_b"), col("emb").as("emb_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("emb_a"), col("emb_b")), 6).as("sim"))
-      .distinct()
       .filter(col("sim") >= threshold)
+    Dedup.finish(pairs, materialize, release)
   }
 }
