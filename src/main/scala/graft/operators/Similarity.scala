@@ -30,23 +30,38 @@ object Similarity {
       GraftShim.expression(a), GraftShim.expression(b)))
   }
 
-  /** the composable higher-order-function formulation — kept as the
-    * reference implementation the custom expression must agree with */
+  /** elementwise-deterministic dot product (sequential double fold) —
+    * native codegen'd [[graft.plans.DotProduct]]; same rationale as
+    * [[cosine]]. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.plans.DotProduct(
+      GraftShim.expression(a), GraftShim.expression(b)))
+  }
+
+  /** the composable higher-order-function formulations — kept as the
+    * reference implementations the custom expressions must agree with */
+  def dotHof(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0d), (acc, v) => acc + v)
+
   def cosineHof(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0d), (acc, v) => acc + v)
     def norm(x: Column): Column =
       sqrt(aggregate(transform(x, p => p.cast("double") * p.cast("double")),
         lit(0d), (acc, v) => acc + v))
-    dot(a, b) / (norm(a) * norm(b))
+    dotHof(a, b) / (norm(a) * norm(b))
   }
 
-  /** SQL registration: `cosine_similarity(a, b)` callable from spark.sql */
-  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** SQL registration: `cosine_similarity(a, b)` / `dot_product(a, b)`
+    * callable from spark.sql */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
     org.apache.spark.sql.graftshim.GraftShim.registerFunction(
       spark, "cosine_similarity",
       exprs => graft.plans.CosineSimilarity(exprs(0), exprs(1)))
+    org.apache.spark.sql.graftshim.GraftShim.registerFunction(
+      spark, "dot_product",
+      exprs => graft.plans.DotProduct(exprs(0), exprs(1)))
+  }
 
   /** literal embedding column from a driver-side query vector */
   def vecLit(v: Seq[Float]): Column = array(v.map(x => lit(x)): _*)
@@ -73,14 +88,24 @@ object Similarity {
       Array.fill(numPlanes, dim)(rnd.nextDouble() - 0.5)
     }
 
-    /** bucket id = sign bits of the plane dot products, packed in a long */
+    /** bucket id = sign bits of the plane dot products, packed in a
+      * long. Each plane product is the native codegen'd
+      * [[graft.plans.DotProduct]] against a literal plane array — the
+      * index build stays inside WholeStageCodegen instead of paying the
+      * interpreted-HOF tax numPlanes times per row. */
     def bucket(emb: Column): Column = {
       val bits = planes.zipWithIndex.map { case (plane, p) =>
-        val dot = aggregate(
-          zip_with(emb, array(plane.map(lit): _*),
-            (x, w) => x.cast("double") * w),
-          lit(0d), (acc, v) => acc + v)
-        when(dot >= 0d, shiftleft(lit(1L), p)).otherwise(lit(0L))
+        val d = Similarity.dot(emb, array(plane.map(lit): _*))
+        when(d >= 0d, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      bits.reduce(_ + _)
+    }
+
+    /** interpreted-HOF formulation of [[bucket]] — spec reference only */
+    def bucketHof(emb: Column): Column = {
+      val bits = planes.zipWithIndex.map { case (plane, p) =>
+        val d = Similarity.dotHof(emb, array(plane.map(lit): _*))
+        when(d >= 0d, shiftleft(lit(1L), p)).otherwise(lit(0L))
       }
       bits.reduce(_ + _)
     }

@@ -6,26 +6,24 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Native Catalyst expression: cosine similarity between two numeric
-  * arrays, computed as a sequential double fold (dot and both norms in
-  * one pass).
+/** Native Catalyst expression: dot product of two numeric arrays as a
+  * sequential double fold — the building block [[CosineSimilarity]]
+  * specializes, generalized so LSH bucket assignment (sign of
+  * emb · hyperplane, numPlanes times per row) runs codegen'd instead of
+  * through interpreted `aggregate`/`zip_with` CodegenFallback lambdas
+  * (~10× on 64-dim floats; see CosineSimilarity's scaladoc for the
+  * mechanism).
   *
-  * WHY a custom Expression (SURVEY §7.2 revisit-for-perf clause): the
-  * composable formulation — `aggregate(zip_with(a, b, *), ...)` — runs
-  * on Spark's higher-order functions, which are `CodegenFallback`:
-  * every element allocates lambda variables and boxes through the
-  * interpreter. This expression emits a tight primitive loop inside
-  * WholeStageCodegen instead (~10× on 64-dim floats), while producing
-  * BIT-IDENTICAL results to the fold (same left-to-right double
-  * accumulation), so the DuckDB oracle parity is unchanged.
-  *
-  * Semantics: elements are read as double (floats widened per element);
-  * lengths are folded over min(|a|,|b|); zero vectors yield NaN; a NULL
-  * array element makes the result NULL (the HOF fold propagates NULL
-  * the same way) — identical to the composable path on equal-length
-  * inputs.
+  * Semantics — chosen to agree with the composable reference
+  * formulation `aggregate(zip_with(a, b, (x,y) -> x*y), 0d, +)` on
+  * equal-length, non-null inputs, with identical left-to-right double
+  * accumulation (bit-identical, DuckDB `list_dot_product`-mirrorable):
+  *  - elements are read as double (floats widened per element);
+  *  - lengths fold over min(|a|,|b|);
+  *  - a NULL array element makes the result NULL (the HOF fold
+  *    propagates NULL the same way).
   */
-case class CosineSimilarity(left: Expression, right: Expression)
+case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
@@ -48,7 +46,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     }
     if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"cosine_similarity expects array<float|double>, got ${left.dataType.sql}, ${right.dataType.sql}")
+      s"dot_product expects array<float|double>, got ${left.dataType.sql}, ${right.dataType.sql}")
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -57,16 +55,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     val n = math.min(xs.numElements(), ys.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var dot = 0.0
     var i = 0
     while (i < n) {
       if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       val x = if (lf) xs.getFloat(i).toDouble else xs.getDouble(i)
       val y = if (rf) ys.getFloat(i).toDouble else ys.getDouble(i)
-      dot += x * y; na += x * x; nb += y * y
+      dot += x * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    dot
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -74,8 +72,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val rAcc = if (elemType(right) == FloatType) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
-      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
-      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val dot = ctx.freshName("dot")
       // ev.isNull is the constant `false` when nothing is nullable —
       // only emit the element-null check (and the assignment) when the
       // schema says elements can be null
@@ -85,19 +82,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
         else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $nullCheck
-         |  double $x = (double) $a.$lAcc($i);
-         |  double $y = (double) $b.$rAcc($i);
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  $dot += (double) $a.$lAcc($i) * (double) $b.$rAcc($i);
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |${ev.value} = $dot;
        """.stripMargin
     })
   }
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): CosineSimilarity =
+      newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_product"
 }

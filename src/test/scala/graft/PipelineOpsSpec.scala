@@ -132,6 +132,65 @@ class PipelineOpsSpec extends SparkSpec {
     assert(viaSql.forall(s => math.abs(s - 1.0) < 1e-12))
   }
 
+  test("native DotProduct agrees with HOF formulation bit-for-bit; LSH bucket identical") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val w = Similarity.vecLit(Seq.tabulate(64)(i => (i - 32) / 17.0f))
+    val both = e.select(
+      Similarity.dot(col("embedding"), w).as("fast"),
+      Similarity.dotHof(col("embedding"), w).as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+    // the codegen'd bucket path must produce the exact same bucket ids
+    // as the interpreted formulation (sign decisions preserved)
+    val lsh = Similarity.RandomHyperplaneLsh(dim = 64, numPlanes = 12)
+    val buckets = e.select(
+      lsh.bucket(col("embedding")).as("fast"),
+      lsh.bucketHof(col("embedding")).as("slow"))
+    assert(buckets.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("cosine/dot propagate NULL array elements as NULL") {
+    val d = Seq(
+      (1L, Seq[Option[Float]](Some(1f), None, Some(3f))),
+      (2L, Seq[Option[Float]](Some(1f), Some(2f), Some(3f)))
+    ).toDF("id", "emb")
+    val out = d.select(col("id"),
+        Similarity.dot(col("emb"), Similarity.vecLit(Seq(1f, 1f, 1f))).as("dp"),
+        Similarity.cosine(col("emb"), Similarity.vecLit(Seq(1f, 1f, 1f))).as("cs"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(out(1L) == ((true, true)))
+    assert(out(2L) == ((false, false)))
+  }
+
+  test("hashedWordShingles native expression equals HOF formulation as a set") {
+    val hof = docs.select(col("doc_id"),
+      array_sort(array_distinct(transform(
+        TextFns.wordShingles(col("text"), 3), s => TextFns.portableHash(s)))).as("h"))
+    val native = docs.select(col("doc_id"),
+      array_sort(TextFns.hashedWordShingles(col("text"), 3)).as("h"))
+    val joined = hof.alias("a").join(native.alias("b"), "doc_id")
+      .filter(org.apache.spark.sql.functions.expr("a.h IS DISTINCT FROM b.h"))
+    assert(joined.count() == 0)
+  }
+
+  test("embeddingNearDupPairs (banded) finds self-similar pairs without a cross join") {
+    val base = Seq.tabulate(8)(i => i.toFloat + 1f)
+    val d = Seq(
+      (1L, base), (2L, base.map(_ * 3f)), // same direction: sim 1.0, same buckets
+      (3L, base.map(x => -x)), (4L, base.reverse.map(_ * 0.5f))
+    ).toDF("vec_id", "embedding")
+    val lsh = Similarity.RandomHyperplaneLsh(dim = 8, numPlanes = 12)
+    // Materialize.None keeps the full lazy plan visible for the
+    // no-cross-join assertion (checkpointing would truncate it)
+    val pairs = Similarity.embeddingNearDupPairs(
+      d, "vec_id", "embedding", 0.99, lsh, bands = 4,
+      materialize = Dedup.Materialize.None)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("IVF index: query vector found via nearest-cell probe") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0L).select("embedding").first().getSeq[Float](0)
