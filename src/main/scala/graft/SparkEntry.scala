@@ -280,6 +280,39 @@ object SparkEntry {
         .df
     }),
 
+    // ASOF RIGHT: matched clicks + error rows no click selected as its
+    // closest (DuckDB ASOF RIGHT semantics; reference splices ASOF onto
+    // any join type — src/joins_sq.jl:238-241)
+    "q_asof_right" -> ((s, dir) => {
+      val ev = tev(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val errors = ev.filter(col("event_type") === "error")
+        .transmute(
+          "user_id" -> col("user_id"),
+          "err_ts" -> col("ts"),
+          "err_value" -> col("value"))
+      clicks
+        .rightJoin(errors, Equi("user_id", "user_id"), Closest("ts", ">=", "err_ts"))
+        .arrange(col("event_id").asc_nulls_first, col("user_id"), col("err_ts"))
+        .df
+    }),
+
+    "q_asof_full" -> ((s, dir) => {
+      val ev = tev(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val errors = ev.filter(col("event_type") === "error")
+        .transmute(
+          "user_id" -> col("user_id"),
+          "err_ts" -> col("ts"),
+          "err_value" -> col("value"))
+      clicks
+        .fullJoin(errors, Equi("user_id", "user_id"), Closest("ts", ">=", "err_ts"))
+        .arrange(col("event_id").asc_nulls_first, col("user_id"), col("err_ts").asc_nulls_first)
+        .df
+    }),
+
     // =====================================================================
     // §2.5 windows & §2.6 slices
     // =====================================================================
@@ -359,14 +392,25 @@ object SparkEntry {
         .df),
 
     // seeded per-group sample — Spark rand(seed) is not reproducible in
-    // DuckDB, so the driver records a rows-only check (no oracle entry)
-    "q_slice_sample" -> ((s, dir) =>
-      t(s, dir, "customer")
+    // DuckDB, so the gate checks the INVARIANTS instead of membership:
+    // per group, the sample has exactly least(n, |group|) rows and every
+    // sampled row exists in the source (the semi-join would shrink the
+    // count otherwise). Seed determinism itself is WindowReshapeSpec's.
+    "q_slice_sample" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val sampled = cust
         .groupBy("c_mktsegment")
         .sliceSample(5, seed = 42L)
-        .select("c_mktsegment", "c_custkey")
-        .arrange("c_mktsegment", "c_custkey")
-        .df),
+        .select("c_custkey", "c_mktsegment")
+      val member = sampled.df.join(
+        cust.df.select(col("c_custkey"), col("c_mktsegment")),
+        Seq("c_custkey", "c_mktsegment"), "left_semi")
+      Tidier.from(member)
+        .groupBy("c_mktsegment")
+        .summarize("n_sampled" -> Fns.n())
+        .arrange("c_mktsegment")
+        .df
+    }),
 
     // =====================================================================
     // §2.8 reshape
@@ -588,44 +632,41 @@ object SparkEntry {
         .arrange("id_a", "id_b")
         .df),
 
-    // xxhash64-based signature — not reproducible in DuckDB SQL, so the
-    // driver records a rows-only check; exactness covered by SimHashSpec
+    // portable 60-bit signature (md5-derived token hashes) so the DuckDB
+    // oracle reproduces the pipeline bit-for-bit; the xxhash64 fast path
+    // stays the library default and is covered by PipelineOpsSpec
     "q_dedup_simhash" -> ((s, dir) =>
       Tidier.from(
-          Dedup.simHashDupPairs(t(s, dir, "documents").df, "doc_id", "text", maxHamming = 12))
+          Dedup.simHashDupPairs(t(s, dir, "documents").df, "doc_id", "text",
+            maxHamming = 12, numBits = 60, chunks = 4, portable = true))
+        .mutate("hamming" -> col("hamming").cast("long"))
         .arrange("id_a", "id_b")
         .df),
 
-    "q_dedup_ngram" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
-        .filter(col("doc_id") < 100)
-        .mutate("tk" -> TextFns.tokens(col("text")))
-        .mutate("sh" -> array_distinct(TextFns.wordShinglesFromTokens(col("tk"), 3)))
-        .filter(size(col("sh")) > 0)
-        .select("doc_id", "sh")
-      val a = sh.df.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = sh.df.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    // bigram-Jaccard near-dups through the SAME banded MinHash shape as
+    // the headline query (12 bands of 1 row → high recall at the 0.2
+    // threshold); candidates come from the band equi-join, never an
+    // all-pairs cross join — the exact verify is Dedup.ngramJaccard
+    // over the hashed shingle sets
+    "q_dedup_ngram" -> ((s, dir) =>
       Tidier.from(
-          a.crossJoin(b).filter(col("id_a") < col("id_b"))
-            .select(col("id_a"), col("id_b"),
-              round(Dedup.ngramJaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
-            .filter(col("jaccard") >= 0.2))
+          Dedup.minHashDupPairs(
+            t(s, dir, "documents").df, "doc_id", "text",
+            shingleSize = 2, numHashes = 12, bands = 12, threshold = 0.2))
+        .mutate("jaccard" -> round(col("jaccard"), 6))
         .arrange("id_a", "id_b")
-        .df
-    }),
+        .df),
 
-    "q_dedup_embed" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").df
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    // embedding near-dups through banded sign-LSH (4 bands × 3 planes):
+    // candidates from the band equi-join, exact cosine verify — the
+    // oracle inlines the seed-derived hyperplanes as double literals
+    "q_dedup_embed" -> ((s, dir) =>
       Tidier.from(
-          a.crossJoin(b).filter(col("id_a") < col("id_b"))
-            .select(col("id_a"), col("id_b"),
-              round(Similarity.cosine(col("emb_a"), col("emb_b")), 6).as("sim"))
-            .filter(col("sim") >= 0.3))
+          Similarity.embeddingNearDupPairs(
+            t(s, dir, "embeddings").df, "vec_id", "embedding",
+            threshold = 0.3, lsh = gateLsh, bands = 4))
         .arrange("id_a", "id_b")
-        .df
-    }),
+        .df),
 
     // =====================================================================
     // training-data pipeline ops: similarity search
@@ -637,14 +678,14 @@ object SparkEntry {
       Similarity.topKByCosine(e, "embedding", q, 10)
     }),
 
-    // LSH-bucketed ANN (scale path) — bucket hashes are seed-derived,
-    // not reproducible in SQL: rows-only check + SimilaritySpec recall
+    // LSH-bucketed ANN (scale path) with radius-2 multiprobe — the
+    // oracle reproduces bucket assignment + probe expansion by inlining
+    // the seed-derived hyperplanes as literals
     "q_embed_ann" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").df
       val q = e.filter(col("vec_id") === 0L)
         .select("embedding").first().getSeq[Float](0)
-      val lsh = Similarity.RandomHyperplaneLsh(dim = 64, numPlanes = 12)
-      lsh.annTopK(lsh.index(e, "embedding"), "embedding", q, 10)
+      gateLsh.annTopK(gateLsh.index(e, "embedding"), "embedding", q, 10)
     }),
 
     // =====================================================================
@@ -726,11 +767,14 @@ object SparkEntry {
   )
 
   /** DuckDB mirror of the whole MinHash+LSH pipeline (tokens → shingles
-    * → 60-bit hashed shingle sets → 12 hash-family minima → 6 band keys
-    * → band self-join → exact Jaccard over the hashed sets). Generated
-    * because SQL can't loop over the hash family. */
-  private def minhashOracle: String = {
-    val numHashes = 12; val bands = 6; val rows = numHashes / bands
+    * → 60-bit hashed shingle sets → hash-family minima → band keys →
+    * band self-join → exact Jaccard over the hashed sets). Generated
+    * because SQL can't loop over the hash family; parameterized so the
+    * same generator gates both the headline minhash query and the
+    * bigram-Jaccard variant. */
+  private def minhashOracle(
+      shingleK: Int, numHashes: Int, bands: Int, threshold: Double): String = {
+    val rows = numHashes / bands
     val p = Dedup.MinHashP
     val params = Dedup.hashParams(numHashes)
     val sigExprs = params.map { case (a, b) =>
@@ -740,14 +784,15 @@ object SparkEntry {
       val vals = (0 until rows).map(r => s"CAST(sig[${b * rows + r + 1}] AS VARCHAR)")
       s"md5('$b'||','||${vals.mkString("||','||")})"
     }.mkString("[", ",\n      ", "]")
+    val shingleCat = (0 until shingleK).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
     s"""WITH toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
        |  FROM documents
        |), shf AS (
        |  SELECT doc_id,
-       |    list_distinct(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
-       |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
-       |  FROM toks WHERE len(tk) >= 3
+       |    list_distinct(list_transform(range(1, greatest(len(tk) - ${shingleK - 1}, 0) + 1),
+       |      i -> $shingleCat)) AS s
+       |  FROM toks WHERE len(tk) >= $shingleK
        |), based AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(s, x -> ('0x'||substr(md5(x),1,15))::BIGINT)) AS bases
@@ -768,7 +813,98 @@ object SparkEntry {
        |  JOIN based sb ON sb.doc_id = id_b
        |)
        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs
-       |WHERE j >= 0.4 ORDER BY id_a, id_b""".stripMargin
+       |WHERE j >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB mirror of the portable SimHash pipeline: 60-bit signature
+    * from token-hash bit majorities, 4×15-bit chunk banding, Hamming
+    * verify. The 60 per-bit sum expressions are generated Scala-side. */
+  private def simhashOracle: String = {
+    val numBits = 60; val chunks = 4; val chunkBits = numBits / chunks
+    val mask = (1L << chunkBits) - 1; val maxHamming = 12
+    val sigExpr = (0 until numBits).map { i =>
+      s"(CASE WHEN COALESCE(list_sum(list_transform(h, x -> CASE WHEN (x >> $i) & 1 = 1 THEN 1 ELSE -1 END)), 0) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", "\n      + ", ")")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
+       |  FROM documents
+       |), hs AS (
+       |  SELECT doc_id, list_transform(tk, t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS h
+       |  FROM toks
+       |), sig AS (
+       |  SELECT doc_id, $sigExpr AS sig FROM hs
+       |), chunked AS (
+       |  SELECT doc_id, sig, cc AS chunk_id, (sig >> (cc * $chunkBits)) & $mask AS chunk
+       |  FROM sig, (SELECT unnest(range(0, $chunks)) AS cc)
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |  FROM chunked a JOIN chunked b
+       |    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, hamming FROM pairs
+       |WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** the LSH instance shared by the embedding gate queries — the
+    * hyperplanes are seed-derived, so the SQL oracles inline them as
+    * double literals */
+  private val gateLsh = Similarity.RandomHyperplaneLsh(dim = 64, numPlanes = 12)
+
+  /** DuckDB `bucket` expression: packed sign bits of the plane dot
+    * products against `vExpr` (a DOUBLE[] column). */
+  private def lshBucketSql(vExpr: String): String =
+    gateLsh.planes.zipWithIndex.map { case (plane, p) =>
+      val arr = plane.mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product($vExpr, $arr) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", "\n    + ", ")")
+
+  /** DuckDB mirror of banded sign-LSH embedding near-dup pairs. */
+  private def embedLshOracle: String = {
+    val bands = 4; val ppb = gateLsh.numPlanes / bands
+    val mask = (1L << ppb) - 1; val threshold = 0.3
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |idx AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM e),
+       |bands AS (
+       |  SELECT vec_id, bb AS band_id, (bucket >> (bb * $ppb)) & $mask AS bkey
+       |  FROM idx, (SELECT unnest(range(0, $bands)) AS bb)
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+       |)
+       |SELECT * FROM (
+       |  SELECT id_a, id_b,
+       |    round(list_dot_product(ea.v, eb.v)
+       |      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
+       |  FROM cand
+       |  JOIN idx ea ON ea.vec_id = id_a
+       |  JOIN idx eb ON eb.vec_id = id_b)
+       |WHERE sim >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB mirror of LSH ANN with radius-2 multiprobe: bucket the
+    * corpus with the inlined hyperplanes, expand the query bucket by
+    * 0/1/2 bit flips, exact-rerank candidates by cosine. */
+  private def annOracle: String = {
+    val np = gateLsh.numPlanes
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |idx AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM e),
+       |q AS (SELECT v AS qv, bucket AS qb FROM idx WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT DISTINCT unnest(list_concat(list_concat(
+       |    [qb],
+       |    list_transform(range(0, $np), i -> xor(qb, 1 << i))),
+       |    flatten(list_transform(range(0, $np), i ->
+       |      list_transform(range(i + 1, $np), j -> xor(xor(qb, 1 << i), 1 << j))))
+       |  )) AS pb FROM q
+       |)
+       |SELECT idx.vec_id,
+       |  round(list_dot_product(idx.v, q.qv)
+       |    / (sqrt(list_dot_product(idx.v, idx.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS sim
+       |FROM idx, q
+       |WHERE idx.bucket IN (SELECT pb FROM probes)
+       |ORDER BY sim DESC, idx.vec_id LIMIT 10""".stripMargin
   }
 
   private val tkExpr =
@@ -838,37 +974,20 @@ object SparkEntry {
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
 
-    "q_dedup_minhash" -> minhashOracle,
+    "q_dedup_minhash" -> minhashOracle(shingleK = 3, numHashes = 12, bands = 6, threshold = 0.4),
 
-    "q_dedup_ngram" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
-        |  FROM documents WHERE doc_id < 100
-        |), shf AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, greatest(len(tk) - 2, 0) + 1),
-        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
-        |  FROM toks WHERE len(tk) >= 3
-        |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(len(list_intersect(a.s, b.s))::DOUBLE
-        |    / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-        |FROM shf a, shf b
-        |WHERE a.doc_id < b.doc_id
-        |  AND round(len(list_intersect(a.s, b.s))::DOUBLE
-        |    / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.2
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_ngram" -> minhashOracle(shingleK = 2, numHashes = 12, bands = 12, threshold = 0.2),
 
-    "q_dedup_embed" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT * FROM (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    round(list_dot_product(a.v, b.v)
-        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
-        |  FROM e a, e b
-        |  WHERE a.vec_id < b.vec_id)
-        |WHERE sim >= 0.3
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_simhash" -> simhashOracle,
+
+    "q_dedup_embed" -> embedLshOracle,
+
+    "q_embed_ann" -> annOracle,
+
+    "q_slice_sample" ->
+      """SELECT c_mktsegment, LEAST(5, COUNT(*)) AS n_sampled
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q_embed_knn" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1037,6 +1156,24 @@ object SparkEntry {
         |           FROM events WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id AND l.ts >= r.err_ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "q_asof_right" ->
+      """SELECT l.event_id, COALESCE(l.user_id, r.user_id) AS user_id, l.ts, l.value,
+        |  r.err_ts, r.err_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') l
+        |ASOF RIGHT JOIN (SELECT user_id, ts AS err_ts, value AS err_value
+        |                 FROM events WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.err_ts
+        |ORDER BY l.event_id ASC NULLS FIRST, user_id, r.err_ts""".stripMargin,
+
+    "q_asof_full" ->
+      """SELECT l.event_id, COALESCE(l.user_id, r.user_id) AS user_id, l.ts, l.value,
+        |  r.err_ts, r.err_value
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') l
+        |ASOF FULL JOIN (SELECT user_id, ts AS err_ts, value AS err_value
+        |                FROM events WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.err_ts
+        |ORDER BY l.event_id ASC NULLS FIRST, user_id, r.err_ts ASC NULLS FIRST""".stripMargin,
 
     "q_window_lag" ->
       """SELECT event_id, user_id, value,

@@ -91,11 +91,13 @@ trait JoinVerbs { self: TidierFrame =>
     reset(joined.select(leftCols ++ rightCols: _*))
   }
 
-  /** As-of join — DuckDB `ASOF JOIN` semantics
+  /** As-of join — DuckDB `ASOF JOIN` semantics on every outer type
     * (reference: src/joins_sq.jl:238-241, src/db_parsing.jl:482-501):
     * for each left row, join the single right row that is *nearest* in
     * the inequality column while satisfying it, within the equi-key
-    * group.
+    * group. `right` keeps unmatched RIGHT rows (those no left row
+    * selected as its closest — DuckDB's ASOF RIGHT semantics), `full`
+    * keeps unmatched rows of both sides.
     *
     * Spark has no native as-of join. Implementation chosen for 100 TB
     * scale — the "union + last_value(ignoreNulls) OVER" technique:
@@ -105,9 +107,24 @@ trait JoinVerbs { self: TidierFrame =>
     * recent right payload with a running `last(ignoreNulls)` window.
     * Cost: ONE shuffle + sort of |L|+|R| rows — the same asymptotics as
     * DuckDB's native sort-based ASOF, and it parallelizes per key group.
+    *
+    * The right/full outer parts need "which right rows were selected?":
+    * a running `sum(tag)` in the SAME window numbers each right row
+    * within its key group (its segment), and every left row lands on
+    * the segment of the right row it matched — so matched segments are
+    * just the distinct (key, segment) pairs of matched left rows, and
+    * unmatched right rows fall out of one semi/anti join on those
+    * pairs. No row-ids, no extra shuffle (same partition key).
+    *
+    * Ties (two right rows equal in the as-of column): the selected row
+    * is the one whose payload struct sorts LAST (deterministic across
+    * runs/partitionings); if the payload type is not orderable the
+    * within-tie choice is partition-order dependent, like DuckDB's own
+    * arbitrary tie pick.
     */
   private def asOfJoin(right: TidierFrame, keys: Seq[JoinKey], how: String): TidierFrame = {
-    require(how == "inner" || how == "left", s"asof join supports inner/left, got $how")
+    require(Seq("inner", "left", "right", "full").contains(how),
+      s"asof join supports inner/left/right/full, got $how")
     val closest = keys.collect { case c: JoinKey.Closest => c }
     require(closest.size == 1, "exactly one closest() key per as-of join")
     val JoinKey.Closest(lk, op, rk) = closest.head
@@ -116,16 +133,18 @@ trait JoinVerbs { self: TidierFrame =>
     val descending = op == "<=" || op == "<" // nearest *above*: order desc
     val strict = op == ">" || op == "<"
 
-    val T = "__asof_t"; val TAG = "__asof_isr"; val PAY = "__asof_r"
+    val T = "__asof_t"; val TAG = "__asof_isr"
+    val PAY = "__asof_r"; val PAYC = "__asof_rc"; val SEG = "__asof_seg"
     val rPayloadCols = right.df.columns.toSeq.filterNot(c => equi.map(_._2).contains(c))
 
     // Right side: (equi keys renamed to left names, asof col, payload
     // struct). NULL-keyed right rows are dropped up front: SQL/DuckDB
     // ASOF never matches on NULL keys, but Window.partitionBy groups
     // NULLs together and would hand their payloads to NULL-keyed left
-    // rows. The as-of column keeps its ORIGINAL type — casting to
-    // double would corrupt 64-bit keys beyond 2^53 (e.g. nanosecond
-    // epochs) and NULL-out non-numeric orderable types.
+    // rows. (For right/full they re-enter below as unmatched rows.)
+    // The as-of column keeps its ORIGINAL type — casting to double
+    // would corrupt 64-bit keys beyond 2^53 (e.g. nanosecond epochs)
+    // and NULL-out non-numeric orderable types.
     val rNonNull = equi.map(e => right.df.col(e._2).isNotNull)
       .foldLeft(right.df.col(rk).isNotNull)(_ && _)
     val rSel = equi.map { case (a, b) => right.df.col(b).as(a) } ++ Seq(
@@ -150,19 +169,50 @@ trait JoinVerbs { self: TidierFrame =>
     // Within each key group, order by the as-of column; at equal sort key
     // a right row is visible to a left row only for inclusive ops, so
     // inclusive → right sorts before left, strict → right sorts after.
+    // Tied right rows are ordered by payload when orderable (see above).
     val tOrder = if (descending) col(T).desc else col(T).asc
     val tagOrder = if (strict) col(TAG).asc else col(TAG).desc
+    val payOrderable = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .isOrderable(rTagged.schema(PAY).dataType)
+    val ordering = if (payOrderable) Seq(tOrder, tagOrder, col(PAY).asc_nulls_first)
+                   else Seq(tOrder, tagOrder)
     val w = Window
       .partitionBy(equi.map(e => col(e._1)): _*)
-      .orderBy(tOrder, tagOrder)
+      .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned.withColumn(PAY, last(col(PAY), ignoreNulls = true).over(w))
+    val carried = unioned
+      .withColumn(PAYC, last(col(PAY), ignoreNulls = true).over(w))
+      .withColumn(SEG, sum(col(TAG)).over(w))
 
     val leftRows = carried.filter(col(TAG) === 0)
-    val matched = if (how == "inner") leftRows.filter(col(PAY).isNotNull) else leftRows
-    val out = matched.select(
+    val matchedPart = how match {
+      case "inner" | "right" => leftRows.filter(col(PAYC).isNotNull)
+      case _                 => leftRows // left/full keep unmatched lefts
+    }
+    val out = matchedPart.select(
       df.columns.toSeq.map(col) ++
-        rPayloadCols.map(c => col(s"$PAY.$c").as(c)): _*)
-    reset(out)
+        rPayloadCols.map(c => col(s"$PAYC.$c").as(c)): _*)
+
+    if (how == "inner" || how == "left") return reset(out)
+
+    // ---- right/full outer part: right rows nobody selected ------------
+    val keyCols = equi.map(_._1)
+    val matchedSegs = leftRows.filter(col(PAYC).isNotNull)
+      .select((keyCols :+ SEG).map(col): _*).distinct()
+    val rightRows = carried.filter(col(TAG) === 1)
+    val unmatchedRight = rightRows.join(matchedSegs, keyCols :+ SEG, "left_anti")
+    // NULL-keyed right rows never match; SQL outer joins still keep them
+    val nullKeyed = right.df.filter(!rNonNull).select(rSel: _*)
+    // Output shape: left columns (equi keys carry the right key values —
+    // the coalesce convention), right payload columns from the row itself
+    def rightAsOut(rr: DataFrame): DataFrame = {
+      val cols = df.columns.toSeq.map { c =>
+        if (keyCols.contains(c)) col(c)
+        else lit(null).cast(df.schema(c).dataType).as(c)
+      } ++ rPayloadCols.map(c => col(s"$PAY.$c").as(c))
+      rr.select(cols: _*)
+    }
+    val outer = rightAsOut(unmatchedRight).unionByName(rightAsOut(nullKeyed))
+    reset(out.unionByName(outer))
   }
 }

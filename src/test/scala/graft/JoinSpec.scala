@@ -97,6 +97,45 @@ class JoinSpec extends SparkSpec {
     assert(out.head.getDouble(3) == 2.0) // nearest is big+1, not arbitrary
   }
 
+  test("as-of right join keeps error rows no left row selected") {
+    val trades = Seq(("A", 10L)).toDF("sym", "t")
+    val quotes = Seq(
+      ("A", 5L, 1.0), ("A", 7L, 2.0), ("A", 20L, 3.0), ("B", 1L, 9.0)
+    ).toDF("sym2", "qt", "bid")
+    val out = Tidier.from(trades)
+      .rightJoin(Tidier.from(quotes), Equi("sym", "sym2"), Closest("t", ">=", "qt"))
+      .arrange(col("qt")).collect()
+      .map(x => (if (x.isNullAt(1)) -1L else x.getLong(1), x.getLong(2), x.getDouble(3)))
+    // trade@10 selects q7; q5 (superseded), q20 (future), B@1 (no left key)
+    // come back null-extended — DuckDB ASOF RIGHT semantics
+    assert(out.toSeq == Seq((-1L, 1L, 9.0), (-1L, 5L, 1.0), (10L, 7L, 2.0), (-1L, 20L, 3.0)))
+  }
+
+  test("as-of full join keeps unmatched rows of both sides") {
+    val trades = Seq(("A", 3L), ("A", 10L)).toDF("sym", "t")
+    val quotes = Seq(("A", 5L, 1.0), ("C", 1L, 8.0)).toDF("sym2", "qt", "bid")
+    val out = Tidier.from(trades)
+      .fullJoin(Tidier.from(quotes), Equi("sym", "sym2"), Closest("t", ">=", "qt"))
+      .collect()
+    assert(out.length == 3) // A@3 unmatched left, A@10→q5, C@1 unmatched right
+    val matched = out.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    assert(matched.length == 1 && matched.head.getLong(1) == 10L && matched.head.getDouble(3) == 1.0)
+    val unmatchedRight = out.filter(_.isNullAt(1))
+    assert(unmatchedRight.length == 1 && unmatchedRight.head.getString(0) == "C")
+  }
+
+  test("as-of tie: two right rows at the same ts resolve deterministically to max payload") {
+    val lf = Seq(("A", 10L)).toDF("sym", "t")
+    val rf = Seq(("A", 7L, 1.0), ("A", 7L, 2.0)).toDF("sym2", "qt", "bid")
+    (1 to 3).foreach { _ =>
+      val out = Tidier.from(lf)
+        .innerJoin(Tidier.from(rf.repartition(4)), Equi("sym", "sym2"), Closest("t", ">=", "qt"))
+        .collect()
+      // payload-struct tiebreak: the LAST-sorting payload wins, every run
+      assert(out.length == 1 && out.head.getDouble(3) == 2.0)
+    }
+  }
+
   test("set ops by position") {
     val a = Seq(1, 2, 3).toDF("v"); val b = Seq(2, 3, 4).toDF("v")
     assert(Tidier.from(a).union(Tidier.from(b)).df.count() == 4)
