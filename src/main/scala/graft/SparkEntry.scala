@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Fns, Selector, TextFns}
 import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.JoinKey
 import graft.operators.JoinKey.{Closest, Equi, Theta}
 
 /** Driver contract — one `queries` entry + one `oracleSql` entry per
@@ -102,6 +103,59 @@ object SparkEntry {
         .filter(col("n") > 5000L, col("l_returnflag") =!= "N")
         .arrange("l_returnflag", "l_linestatus")
         .df),
+
+    // `_by` inline-grouping form of summarize
+    "q_summarize_by" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .summarizeBy(Seq[Selector]("l_returnflag"))(
+          "qty" -> dsum(col("l_quantity")),
+          "n" -> Fns.n())
+        .arrange("l_returnflag")
+        .df),
+
+    // deterministic subset of the @summary profile (count/min/max only —
+    // the quartile rows are approximate by design)
+    "q_summary" -> ((s, dir) =>
+      Tidier.from(
+          t(s, dir, "lineitem")
+            .select("l_quantity", "l_extendedprice")
+            .summary("count", "min", "max"))
+        .arrange("summary")
+        .df),
+
+    // agg() escape hatch: a non-whitelisted aggregate windowed over the
+    // current group inside a grouped mutate
+    "q_agg_escape" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .mutate("n_disc" -> Fns.agg(expr("count_if(l_discount > 0.05)")))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "n_disc")
+        .arrange("l_orderkey", "l_linenumber")
+        .head(300)
+        .df),
+
+    // bare-column join shorthand: JoinKey("custkey") = custkey == custkey
+    "q_join_bare" -> ((s, dir) => {
+      val o = t(s, dir, "orders").rename("custkey" -> "o_custkey")
+      val c = t(s, dir, "customer").rename("custkey" -> "c_custkey")
+      o.innerJoin(c, JoinKey("custkey"))
+        .select("custkey", "o_orderkey", "c_name")
+        .arrange("o_orderkey")
+        .head(300)
+        .df
+    }),
+
+    // registered Scala UDF used inside a mutate — the oracle mirrors the
+    // UDF body as plain SQL
+    "q_udf" -> ((s, dir) => {
+      s.udf.register("graft_band", (x: Double) => math.floor(x / 1000.0))
+      t(s, dir, "orders")
+        .mutate("band" -> call_udf("graft_band", col("o_totalprice")).cast("long"))
+        .select("o_orderkey", "band")
+        .arrange("o_orderkey")
+        .head(500)
+        .df
+    }),
 
     "q_summarize_stats" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1051,6 +1105,40 @@ object SparkEntry {
         |HAVING COUNT(*) > 5000 AND l_returnflag != 'N'
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    "q_summarize_by" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_summary" ->
+      """SELECT 'count' AS summary,
+        |  CAST(COUNT(l_quantity) AS VARCHAR) AS l_quantity,
+        |  CAST(COUNT(l_extendedprice) AS VARCHAR) AS l_extendedprice
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'max', CAST(MAX(l_quantity) AS VARCHAR), CAST(MAX(l_extendedprice) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'min', CAST(MIN(l_quantity) AS VARCHAR), CAST(MIN(l_extendedprice) AS VARCHAR)
+        |FROM lineitem
+        |ORDER BY summary""".stripMargin,
+
+    "q_agg_escape" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY l_returnflag) AS BIGINT) AS n_disc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 300""".stripMargin,
+
+    "q_join_bare" ->
+      """SELECT o.o_custkey AS custkey, o.o_orderkey, c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey LIMIT 300""".stripMargin,
+
+    "q_udf" ->
+      """SELECT o_orderkey, CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS band
+        |FROM orders ORDER BY o_orderkey LIMIT 500""".stripMargin,
+
     "q_summarize_stats" ->
       """SELECT l_linestatus, MIN(l_extendedprice) AS min_price,
         |  MAX(l_extendedprice) AS max_price,
@@ -1342,12 +1430,14 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
 
     // gaps-and-islands mirror of session_window: a session ends 30min
-    // after its last event (Spark session_window end semantics)
+    // after its last event; a gap EQUAL to the duration starts a new
+    // session (Spark merges sessions only on strict overlap, so the
+    // boundary predicate is >=)
     "q_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, ts,
         |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |              > INTERVAL 30 MINUTE OR
+        |              >= INTERVAL 30 MINUTE OR
         |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events

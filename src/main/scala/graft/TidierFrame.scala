@@ -95,6 +95,49 @@ object Tidier {
   /** Multi-file scan (reference: src/TidierDB.jl:245-294). */
   def read(spark: SparkSession, paths: Seq[String]): TidierFrame =
     TidierFrame(spark.read.parquet(paths: _*))
+
+  /** Explicit-format scan — the `iceberg_scan` / `delta_scan` analog
+    * (reference: src/TidierDB.jl:161-169, 209-212). Lakehouse formats
+    * dispatch through Spark's pluggable DataSource registry; when the
+    * connector jar is not on the classpath the failure is rethrown with
+    * the fix spelled out instead of Spark's bare ClassNotFound. */
+  def read(spark: SparkSession, path: String, format: String): TidierFrame = {
+    val fmt = format.toLowerCase
+    fmt match {
+      case "auto" => read(spark, path)
+      case "parquet" => TidierFrame(spark.read.parquet(path))
+      case "csv" =>
+        TidierFrame(spark.read.option("header", "true").option("inferSchema", "true").csv(path))
+      case "json" => TidierFrame(spark.read.json(path))
+      case _ =>
+        try TidierFrame(spark.read.format(fmt).load(path))
+        catch {
+          case e: Exception if missingSource(e) && fmt == "iceberg" =>
+            throw new IllegalStateException(
+              "Iceberg connector not on the classpath - add the " +
+                "iceberg-spark-runtime jar matching your Spark/Scala version " +
+                "(e.g. iceberg-spark-runtime-4.0_2.13) and set the iceberg " +
+                "catalog via spark.sql.catalog.* conf, then retry " +
+                "Tidier.read(spark, path, \"iceberg\")", e)
+          case e: Exception if missingSource(e) && fmt == "delta" =>
+            throw new IllegalStateException(
+              "Delta connector not on the classpath - add the delta-spark " +
+                "jar matching your Spark/Scala version and " +
+                "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension, " +
+                "then retry Tidier.read(spark, path, \"delta\")", e)
+        }
+    }
+  }
+
+  /** Spark reports an unregistered source as 'Failed to find data
+    * source' (DATA_SOURCE_NOT_FOUND) wrapping a ClassNotFoundException. */
+  private def missingSource(e: Throwable): Boolean = {
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(5).exists { t =>
+      t.isInstanceOf[ClassNotFoundException] ||
+        Option(t.getMessage).exists(m =>
+          m.contains("Failed to find data source") || m.contains("DATA_SOURCE_NOT_FOUND"))
+    }
+  }
   /** Catalog table scan. */
   def table(spark: SparkSession, name: String): TidierFrame =
     TidierFrame(spark.table(name))

@@ -46,10 +46,33 @@ object Fns {
   /** `str_replace` — FIRST occurrence only (DuckDB REGEXP_REPLACE has no
     * 'g' flag; reference: src/parsing_duckdb.jl:159-163). Spark's
     * regexp_replace is global, so we anchor a lazy prefix capture: the ^
-    * anchor can only match once, giving exactly one replacement.
-    * Limitation: capture groups inside `re` shift by one ($1 → $2). */
+    * anchor can only match once, giving exactly one replacement. The
+    * wrapper group shifts the user's capture groups by one, so `$n`
+    * references in the replacement are rewritten to `$(n+1)` — a user's
+    * `$1` keeps meaning THEIR first group. `\`-escapes pass through
+    * untouched (same Java replacement-string semantics as
+    * strReplaceAll). */
   def strReplace(c: Column, re: String, rep: String): Column =
-    regexp_replace(c, s"^((?s).*?)$re", "$1" + rep)
+    regexp_replace(c, s"^((?s).*?)$re", "$1" + shiftGroupRefs(rep))
+
+  /** rewrite `$n` → `$(n+1)` in a Java regex replacement string,
+    * honoring `\x` escapes (so `\$` stays a literal dollar) */
+  private def shiftGroupRefs(rep: String): String = {
+    val sb = new StringBuilder(rep.length + 4)
+    var i = 0
+    while (i < rep.length) {
+      val ch = rep.charAt(i)
+      if (ch == '\\' && i + 1 < rep.length) {
+        sb.append(ch).append(rep.charAt(i + 1)); i += 2
+      } else if (ch == '$' && i + 1 < rep.length && rep.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < rep.length && rep.charAt(j).isDigit) j += 1
+        sb.append('$').append(rep.substring(i + 1, j).toInt + 1)
+        i = j
+      } else { sb.append(ch); i += 1 }
+    }
+    sb.toString
+  }
   def strReplaceAll(c: Column, re: String, rep: String): Column =
     regexp_replace(c, re, rep)
   def strRemove(c: Column, re: String): Column = strReplace(c, re, "")

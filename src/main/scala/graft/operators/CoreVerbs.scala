@@ -59,16 +59,22 @@ trait CoreVerbs { self: TidierFrame =>
     * handling — the frame is already aggregated. */
   def filter(conds: Column*): TidierFrame = {
     val hasWindowState = groups.nonEmpty || winOrder.nonEmpty || winFrame.nonEmpty
-    val out = conds.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-      if (hasWindowState && WindowRewrite.containsWindowable(c)) {
-        // window expressions are illegal in WHERE — materialize the
-        // windowed condition as a column, filter, drop
-        val tmp = s"__graft_cond_$i"
-        d.withColumn(tmp, WindowRewrite.rewrite(c, groups.map(d.col), winOrder, winFrame))
-          .filter(col(tmp)).drop(tmp)
-      } else d.filter(c)
+    val (windowed, plain) = conds.partition(c =>
+      hasWindowState && WindowRewrite.containsWindowable(c))
+    if (windowed.isEmpty)
+      return withDf(conds.foldLeft(df)((d, c) => d.filter(c)))
+    // Window expressions are illegal in WHERE — materialize them as
+    // columns first. ALL windowed conditions go into ONE projection over
+    // the ORIGINAL frame, then one combined filter: filtering between
+    // them would make the second aggregate see already-filtered groups,
+    // diverging from dplyr/HAVING semantics where every condition is
+    // evaluated over the full group.
+    val named = windowed.zipWithIndex.map { case (c, i) =>
+      s"__graft_cond_$i" -> WindowRewrite.rewrite(c, groups.map(df.col), winOrder, winFrame)
     }
-    withDf(out)
+    val withCols = df.withColumns(named.toMap)
+    val combined = (named.map { case (n, _) => col(n) } ++ plain).reduce(_ && _)
+    withDf(withCols.filter(combined).drop(named.map(_._1): _*))
   }
 
   /** `@distinct` — NOTE the reference keeps ONLY the listed columns
@@ -138,8 +144,12 @@ trait CoreVerbs { self: TidierFrame =>
     reset(if (sort) counted.orderBy(desc("n")) else counted)
   }
 
-  /** `@summary` — column stats profile (reference: src/mutate_and_summ.jl:659-674). */
-  def summary(): DataFrame = df.summary()
+  /** `@summary` — column stats profile (reference: src/mutate_and_summ.jl:659-674).
+    * With explicit stats (e.g. "count", "min", "max") only those rows
+    * are produced — the deterministic subset (quartiles are
+    * approximate). */
+  def summary(stats: String*): DataFrame =
+    if (stats.isEmpty) df.summary() else df.summary(stats: _*)
 
   // ---- mutation -------------------------------------------------------
 

@@ -196,21 +196,22 @@ object Dedup {
     edges.groupBy("id").agg(min("rep").as("rep"))
   }
 
-  /** Connected components over the dup-pair graph by iterated
-    * min-label propagation (star contraction): each node adopts the
-    * minimum representative among itself and its neighbors' current
-    * representatives, repeated to fixpoint. Converges in
-    * O(log n) rounds on path graphs, 1-2 rounds on the star-shaped
-    * clusters near-dup detection produces. Each round is one
-    * self-join + aggregate — all shuffles on the id key. Each round's
-    * labels are localCheckpoint'ed (lineage truncated, prior round
-    * unpersisted); non-convergence within maxIter throws rather than
-    * returning wrong cluster labels.
+  /** Connected components over the dup-pair graph by iterated min-label
+    * propagation WITH pointer jumping: each round every node adopts the
+    * minimum of (its rep, its neighbors' reps, its rep's rep). The
+    * neighbor step alone converges in O(component diameter) rounds; the
+    * rep-of-rep "jump" halves the remaining label-tree depth each round,
+    * giving true O(log n) convergence — a diameter-2^16 chain finishes
+    * in ~17 rounds, not 2^16. Each round is two id-keyed joins + one
+    * aggregate (all shuffles on the same key), labels are
+    * localCheckpoint'ed (lineage truncated, prior round unpersisted);
+    * non-convergence within maxIter throws rather than returning wrong
+    * cluster labels.
     *
     * @return (id, rep) for every node appearing in `pairs`, rep = min
     *         id of its component
     */
-  def dupClustersClosure(pairs: DataFrame, maxIter: Int = 16): DataFrame = {
+  def dupClustersClosure(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // undirected edge list, plus self-loops so roots survive aggregation
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
@@ -222,12 +223,19 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // propagate: my new rep = min(my rep, reps of my neighbors)
+      // propagate: rep = min(rep, neighbors' reps)
       val neighborReps = edges
         .join(labels.withColumnsRenamed(Map("id" -> "b", "rep" -> "nrep")), Seq("b"))
         .groupBy(col("a").as("id")).agg(min(col("nrep")).as("prop"))
-      val next = labels.join(neighborReps, Seq("id"), "left")
+      val propagated = labels.join(neighborReps, Seq("id"), "left")
         .select(col("id"), least(col("rep"), coalesce(col("prop"), col("rep"))).as("rep"))
+      // jump: rep = min(rep, rep's rep) — pointer halving on the label
+      // forest (every rep is itself a node id, so the lookup total-joins)
+      val next = propagated
+        .join(
+          propagated.select(col("id").as("__rid"), col("rep").as("__rrep")),
+          propagated.col("rep") === col("__rid"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("__rrep"), col("rep"))).as("rep"))
         .localCheckpoint() // truncates lineage; eager
       val changed = next.join(labels.withColumnRenamed("rep", "old"), Seq("id"))
         .filter(col("rep") =!= col("old")).limit(1).count()
@@ -238,8 +246,9 @@ object Dedup {
     }
     edges.unpersist()
     if (!converged) throw new IllegalStateException(
-      s"dupClustersClosure did not converge in $maxIter rounds — component " +
-        "diameter exceeds 2^maxIter; raise maxIter")
+      s"dupClustersClosure did not converge in $maxIter rounds — " +
+        "with pointer jumping rounds grow ~log2(component size); raise maxIter " +
+        "for astronomically deep label forests")
     labels
   }
 

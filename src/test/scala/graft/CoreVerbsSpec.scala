@@ -119,6 +119,44 @@ class CoreVerbsSpec extends SparkSpec {
     assert(out == Seq("bb"))
   }
 
+  test("grouped filter: every aggregate condition sees the ORIGINAL groups") {
+    // bb: sum=9, min=0.005; aa: sum=7, min=0.010.
+    // If the second condition ran on rows already filtered by the first,
+    // its window would see a truncated group — dplyr/HAVING evaluate all
+    // conditions over the full group.
+    val out = Tidier.from(df).groupBy("groups")
+      .filter(sum(col("value")) > 7L, min(col("percent")) < 0.006)
+      .df.select("groups").distinct().collect().map(_.getString(0)).toSeq
+    assert(out == Seq("bb"))
+    // a condition pair where sequential filtering would CHANGE the
+    // second window's value: first drops low-value rows, then a
+    // group-max over survivors differs from max over the full group
+    val d2 = Seq(("g1", 1L), ("g1", 10L), ("g2", 5L), ("g2", 6L)).toDF("g", "v")
+    val both = Tidier.from(d2).groupBy("g")
+      .filter(max(col("v")) >= 6L, min(col("v")) <= 1L)
+      .df.select("g").distinct().collect().map(_.getString(0)).toSeq
+    assert(both == Seq("g1")) // g2 fails min<=1 on the FULL group
+    // mixing a plain (row-level) condition with an aggregate one
+    val mixed = Tidier.from(d2).groupBy("g")
+      .filter(max(col("v")) >= 6L, col("v") > 4L)
+      .df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(mixed == Set(("g1", 10L), ("g2", 5L), ("g2", 6L)))
+  }
+
+  test("strReplace first-occurrence keeps user capture groups aligned") {
+    val d = Seq("abc123def456").toDF("s")
+    // $1 must refer to the USER's group ([0-9]+), not the internal
+    // prefix-anchor group
+    val out = d.select(
+        Fns.strReplace(col("s"), "([0-9]+)", "<$1>").as("r1"),
+        Fns.strReplaceAll(col("s"), "([0-9]+)", "<$1>").as("rall"),
+        Fns.strReplace(col("s"), "[0-9]+", "#").as("plain"))
+      .first()
+    assert(out.getString(0) == "abc<123>def456")
+    assert(out.getString(1) == "abc<123>def<456>")
+    assert(out.getString(2) == "abc#def456")
+  }
+
   test("summarize() with no aggregates returns distinct group keys") {
     val out = Tidier.from(df).groupBy("groups").summarize()
       .arrange("groups").collect().map(_.getString(0)).toSeq

@@ -67,6 +67,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cl == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)))
   }
 
+  test("dupClustersClosure pointer jumping handles a diameter-63 chain in few rounds") {
+    // pure neighbor propagation needs ~diameter rounds; with pointer
+    // jumping this converges well inside maxIter = 8
+    val chain = (1L until 64L).map(i => (i, i + 1, 1.0))
+    val cl = Dedup.dupClustersClosure(chain.toDF("id_a", "id_b", "jaccard"), maxIter = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cl.length == 64 && cl.forall(_._2 == 1L))
+  }
+
   test("simHash: identical docs same sig; near-dups close in hamming") {
     val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
