@@ -39,9 +39,11 @@ object Dedup {
     * the piece that is read by 2-3 plan branches (signature pass + both
     * verify joins) and must NOT be recomputed per branch.
     *
-    *  - [[Materialize.LocalCheckpoint]] (default): eager local
-    *    checkpoint — pipeline state lives in executor block storage,
-    *    lineage truncated. Right for interactive/bench scale.
+    *  - [[Materialize.Cache]] (default): eager MEMORY_AND_DISK cache
+    *    through the CacheManager — released by the finisher, and an
+    *    evicted block recomputes from source (unlike localCheckpoint,
+    *    whose truncated lineage turns eviction into data loss). Right
+    *    for interactive/bench scale.
     *  - [[Materialize.BucketedTable]]: write-then-read a parquet table
     *    bucketed+sorted by `id` via [[ScaleOps.saveBucketed]] — the
     *    100 TB path: nothing pinned in executor memory, and the verify
@@ -51,7 +53,7 @@ object Dedup {
     */
   sealed trait Materialize
   object Materialize {
-    case object LocalCheckpoint extends Materialize
+    case object Cache extends Materialize
     final case class BucketedTable(table: String, numBuckets: Int) extends Materialize
     case object None extends Materialize
   }
@@ -59,8 +61,9 @@ object Dedup {
   /** @return (materialized frame, release thunk to free it) */
   private[operators] def materialized(
       df: DataFrame, m: Materialize, idCol: String): (DataFrame, () => Unit) = m match {
-    case Materialize.LocalCheckpoint =>
-      val c = df.localCheckpoint() // eager
+    case Materialize.Cache =>
+      val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count() // eager
       (c, () => { c.unpersist(); () })
     case Materialize.BucketedTable(t, n) =>
       ScaleOps.saveBucketed(df, t, Seq(idCol), n, sortKeys = Seq(idCol))
@@ -70,14 +73,16 @@ object Dedup {
 
   /** Eager-result-and-release contract (pair finders): when the inputs
     * were materialized, run the whole pipeline ONCE now, keep only the
-    * (small) pair result, and free the intermediate blocks — repeated
-    * calls in one session can't accumulate cached corpora. With
-    * [[Materialize.None]] the result stays fully lazy. */
+    * (small) cached pair result, and free the intermediate blocks —
+    * repeated calls in one session can't accumulate cached corpora.
+    * Callers drop the result's own cache with `result.unpersist()`.
+    * With [[Materialize.None]] the result stays fully lazy. */
   private[operators] def finish(pairs: DataFrame, m: Materialize, release: () => Unit): DataFrame =
     m match {
       case Materialize.None => pairs
       case _ =>
-        val out = pairs.localCheckpoint() // eager — consumes the inputs now
+        val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count() // eager — consumes the materialized inputs now
         release()
         out
     }
@@ -143,7 +148,8 @@ object Dedup {
       numHashes: Int = 12,
       bands: Int = 6,
       threshold: Double = 0.5,
-      materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
+      materialize: Materialize = Materialize.Cache,
+      saltBuckets: Int = 1): DataFrame = {
     // Small inputs often arrive as fewer splits than cores (a single
     // parquet file at bench scale); the shingling pass is the expensive
     // stage, so spread it. At corpus scale input splits >> cores and
@@ -169,10 +175,20 @@ object Dedup {
       .select("band", "id")
     // candidate ids only through the band self-join (pairs distinct
     // BEFORE re-fetching hashed-shingle payloads — keeps the wide stage
-    // narrow)
+    // narrow). saltBuckets > 1 splits hot band keys (boilerplate-heavy
+    // corpora put thousands of docs on one band) across that many tasks
+    // via ScaleOps.saltedForJoin — the replicated side guarantees the
+    // pair set is IDENTICAL to the unsalted join, only the task-level
+    // skew changes.
     val l = sig.select(col("band"), col("id").as("id_a"))
     val r = sig.select(col("band"), col("id").as("id_b"))
-    val cand = l.join(r, Seq("band"))
+    val joined =
+      if (saltBuckets <= 1) l.join(r, Seq("band"))
+      else {
+        val (sl, sr, keys) = ScaleOps.saltedForJoin(l, r, "band", saltBuckets)
+        sl.join(sr, keys)
+      }
+    val cand = joined
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
@@ -290,7 +306,7 @@ object Dedup {
       numBits: Int = 64,
       chunks: Int = 4,
       portable: Boolean = false,
-      materialize: Materialize = Materialize.LocalCheckpoint): DataFrame = {
+      materialize: Materialize = Materialize.Cache): DataFrame = {
     require(numBits % chunks == 0 && numBits <= 64 && chunks > 0,
       s"numBits ($numBits) must be a positive multiple of chunks ($chunks), <= 64")
     // pigeonhole guarantee: two docs within Hamming distance < `chunks`

@@ -115,6 +115,19 @@ object Similarity {
     def index(df: DataFrame, embCol: String): DataFrame =
       df.withColumn("bucket", bucket(col(embCol)))
 
+    /** Materialize the index partitioned BY BUCKET: an `annTopK` over
+      * the re-read frame pushes its `bucket IN (probes)` filter into
+      * partition pruning — a radius-2 probe of a 2^numPlanes-bucket
+      * index reads ~(1 + p + p(p-1)/2)/2^p of the files, not the
+      * corpus. This is the 100 TB serving path: build once, prune per
+      * query. */
+    def writeIndex(df: DataFrame, embCol: String, path: String): Unit =
+      index(df, embCol).write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+    /** Re-open a written index (partition column `bucket` restored). */
+    def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+      spark.read.parquet(path)
+
     /** ANN top-k: search the query's bucket plus all buckets within
       * `multiprobeRadius` bit flips, exact-rerank candidates. Radius 2
       * (default) probes 1 + p + p(p-1)/2 buckets — recall climbs
@@ -157,6 +170,25 @@ object Similarity {
   final case class IvfIndex(
       centers: Array[Array[Double]],
       indexed: DataFrame)
+
+  /** Materialize an IVF index partitioned BY CELL (`<path>/data`) with
+    * the centroids alongside (`<path>/centers`): an `ivfTopK` over the
+    * re-loaded index prunes to the `nprobe` probed cell partitions. */
+  def saveIvfIndex(idx: IvfIndex, path: String): Unit = {
+    idx.indexed.write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+    val spark = idx.indexed.sparkSession
+    import spark.implicits._
+    idx.centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell_id", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centers = spark.read.parquet(s"$path/centers")
+      .orderBy("cell_id").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    IvfIndex(centers, spark.read.parquet(s"$path/data"))
+  }
 
   def ivfIndex(df: DataFrame, embCol: String, k: Int, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
@@ -202,7 +234,7 @@ object Similarity {
       threshold: Double,
       lsh: RandomHyperplaneLsh,
       bands: Int = 1,
-      materialize: Dedup.Materialize = Dedup.Materialize.LocalCheckpoint): DataFrame = {
+      materialize: Dedup.Materialize = Dedup.Materialize.Cache): DataFrame = {
     // Banded sign-LSH (same pigeonhole shape as MinHash banding): split
     // the hyperplanes into `bands` groups; two docs become a candidate
     // pair when ALL sign bits of at least one band agree. More bands →

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.ScaleOps
+import graft.operators.{Dedup, ScaleOps, Similarity}
 
 class ScaleOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -31,5 +31,57 @@ class ScaleOpsSpec extends SparkSpec {
     val (l, _, _) = ScaleOps.saltedForJoin(large, small, "k", 8)
     val spread = l.filter(col("k") === 1L).select("__salt").distinct().count()
     assert(spread > 1)
+  }
+
+  test("salted minhash band join yields the identical pair set") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    def pairs(salt: Int) = Dedup.minHashDupPairs(
+        docs, "doc_id", "text", threshold = 0.4, saltBuckets = salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(8) == pairs(1))
+  }
+
+  test("written LSH index prunes partitions on probe and reranks identically") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0L).select("embedding").first().getSeq[Float](0)
+    val lsh = Similarity.RandomHyperplaneLsh(dim = 64, numPlanes = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+    lsh.writeIndex(e, "embedding", path)
+    val reloaded = Similarity.RandomHyperplaneLsh(dim = 64, numPlanes = 8)
+      .annTopK(lsh.readIndex(spark, path), "embedding", q, 5)
+    // the bucket IN (probes) filter must reach the scan as a partition
+    // filter — that's the whole point of partitionBy(bucket)
+    val scan = reloaded.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket"),
+      s"probe filter not pushed to partition pruning:\n$scan")
+    val direct = lsh.annTopK(lsh.index(e, "embedding"), "embedding", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(reloaded.collect().map(_.getLong(0)).toSeq == direct)
+  }
+
+  test("IVF index save/load roundtrip probes the same cells") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0L).select("embedding").first().getSeq[Float](0)
+    val idx = Similarity.ivfIndex(e, "embedding", k = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    Similarity.saveIvfIndex(idx, path)
+    val loaded = Similarity.loadIvfIndex(spark, path)
+    assert(loaded.centers.length == 8)
+    assert(loaded.centers.zip(idx.centers).forall { case (a, b) => a.sameElements(b) })
+    val a = Similarity.ivfTopK(idx, "embedding", q, 5, nprobe = 2).collect().map(_.getLong(0)).toSeq
+    val b = Similarity.ivfTopK(loaded, "embedding", q, 5, nprobe = 2).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("pair finders release their intermediates (eager-result-and-release)") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = Dedup.minHashDupPairs(docs, "doc_id", "text", threshold = 0.4)
+    pairs.count()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the (small) checkpointed RESULT may remain pinned
+    assert(after <= before + 1, s"leaked cached RDDs: $before -> $after")
+    pairs.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before)
   }
 }
