@@ -53,9 +53,17 @@ final case class TidierFrame(
   // ---- actions / sinks (reference: src/TidierDB_macros.jl:629-665) ----
   def collect(): Array[org.apache.spark.sql.Row] = df.collect()
   def show(n: Int = 20): Unit = df.show(n, truncate = false)
-  /** `@show_query` analog: the optimized plan instead of SQL text
-    * (reference: src/TidierDB_macros.jl:508-569). */
-  def showQuery(): Unit = df.explain(true)
+  /** `@show_query` analog (reference: src/TidierDB_macros.jl:508-569).
+    * Spark has no plan→SQL unparser, so the user-facing "query text" is
+    * the explain output; `mode` accepts Spark's explain modes
+    * ("simple", "extended", "codegen", "cost", "formatted"). Returns
+    * the text (and prints it) so tooling can capture it. */
+  def showQuery(mode: String = "formatted"): String = {
+    val text = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+    println(text)
+    text
+  }
   /** `@collect(stream=true)` analog (reference: src/TidierDB_macros.jl:591-622). */
   def streamCollect(): Iterator[org.apache.spark.sql.Row] = {
     import scala.jdk.CollectionConverters._

@@ -54,9 +54,16 @@ object Selector {
     val allNegative = sels.forall(_.isInstanceOf[Not])
     val base: Seq[String] =
       if (allNegative) schema
-      else sels.foldLeft(Vector.empty[String]) {
-        case (acc, Not(_)) => acc
-        case (acc, s)      => acc ++ matchOne(schema, s).filterNot(acc.contains)
+      else {
+        // seen-set keeps dedup O(1) per column — 10k-wide feature
+        // tables would make Vector.contains quadratic
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        val acc = Vector.newBuilder[String]
+        sels.foreach {
+          case Not(_) => ()
+          case s => matchOne(schema, s).foreach(c => if (seen.add(c)) acc += c)
+        }
+        acc.result()
       }
     val excluded = sels.collect { case Not(inner) => matchOne(schema, inner) }.flatten.toSet
     base.filterNot(excluded)

@@ -167,11 +167,42 @@ trait CoreVerbs { self: TidierFrame =>
         n -> WindowRewrite.rewrite(c, groups.map(df.col), winOrder, winFrame)
       else n -> c
     }
-    // Sequential withColumn: keeps the reference's append-in-listed-order
-    // semantics, overwrites in place, and lets later expressions reference
-    // columns defined earlier in the same mutate (dplyr semantics).
-    // Catalyst's CollapseProject folds the chain into one projection.
-    reset(rewritten.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) })
+    // ONE projection instead of a withColumn chain: a chained fold
+    // re-analyzes the whole plan per column (quadratic on 100-column
+    // mutates). dplyr's sees-earlier-columns semantics survive by
+    // substituting references to names defined earlier in THIS mutate
+    // into later expressions (`col("x")` is an UnresolvedAttribute;
+    // `df.col("x")` stays pinned to the input column, same as before).
+    // Overwrites land in place; genuinely new names append in listed
+    // order. A name's own definition sees the PREVIOUS value (dplyr:
+    // mutate(x = x*2) reads the old x).
+    import org.apache.spark.sql.graftshim.GraftShim
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    val defined = scala.collection.mutable.HashMap.empty[String, Expression]
+    val spelling = scala.collection.mutable.HashMap.empty[String, String]
+    val appendOrder = scala.collection.mutable.ArrayBuffer.empty[String] // lowercase
+    val schemaLower = schema.map(_.toLowerCase)
+    val schemaSet = schemaLower.toSet
+    rewritten.foreach { case (n, c) =>
+      val key = n.toLowerCase
+      val e = GraftShim.expression(c).transformUp {
+        case a: UnresolvedAttribute
+            if a.nameParts.length == 1 && defined.contains(a.nameParts.head.toLowerCase) =>
+          defined(a.nameParts.head.toLowerCase)
+      }
+      if (!defined.contains(key) && !schemaSet.contains(key)) appendOrder += key
+      defined(key) = e
+      spelling(key) = n
+    }
+    val outCols: Seq[Column] =
+      schema.zip(schemaLower).map { case (c, lc) =>
+        defined.get(lc) match {
+          case Some(e) => GraftShim.column(e).as(spelling(lc))
+          case None    => df.col(c)
+        }
+      } ++ appendOrder.toSeq.map(k => GraftShim.column(defined(k)).as(spelling(k)))
+    reset(df.select(outCols: _*))
   }
 
   /** `@mutate(..., _by=, _order=, _frame=)` inline window kwargs

@@ -119,6 +119,32 @@ class CoreVerbsSpec extends SparkSpec {
     assert(out == Seq("bb"))
   }
 
+  test("mutate is a single projection: wide chained mutates stay linear and correct") {
+    // 60 columns, each referencing the previous — the old withColumn
+    // fold re-analyzed the plan per column
+    val names = (0 until 60).map(i => s"c$i")
+    val defs: Seq[(String, org.apache.spark.sql.Column)] =
+      ("c0" -> (col("value") + 1L)) +:
+        (1 until 60).map(i => s"c$i" -> (col(s"c${i - 1}") + 1L))
+    val t0 = System.nanoTime()
+    val out = Tidier.from(df).mutate(defs: _*)
+    val analyzed = out.df.queryExecution.analyzed // force analysis
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 10.0, f"wide mutate analysis took $secs%.1f s")
+    val row = out.df.select((col("id") +: names.map(col)): _*)
+      .filter(col("id") === "AA").first()
+    (0 until 60).foreach(i => assert(row.getLong(i + 1) == 1L + (i + 1)))
+    // overwrite-in-place + self-reference reads the OLD value
+    val ow = Tidier.from(df).mutate("value" -> (col("value") * 10L))
+      .df.filter(col("id") === "AA").select("value").first().getLong(0)
+    assert(ow == 10L)
+    // redefinition within one mutate: later definition sees the earlier one
+    val redef = Tidier.from(df)
+      .mutate("a" -> lit(1L), "a" -> (col("a") + 1L))
+      .df.select("a").first().getLong(0)
+    assert(redef == 2L)
+  }
+
   test("grouped filter: every aggregate condition sees the ORIGINAL groups") {
     // bb: sum=9, min=0.005; aa: sum=7, min=0.010.
     // If the second condition ran on rows already filtered by the first,
