@@ -41,12 +41,32 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Per-query time = MIN across `reps` SUITE passes. The min is the
+    // standard noise-free estimator on shared/virtualized hardware:
+    // this host shows sporadic stall phases (hrtimer interrupts of
+    // 40+ ms logged by the guest kernel — host-side vCPU starvation)
+    // that inflate a single run 40×, and one bad phase must not
+    // masquerade as a regression. Passes are SUITE-major, not
+    // query-major: a query's retries are separated by a whole suite
+    // pass, so phases shorter than a pass can't poison every rep of
+    // one query. Steady-state suite cost is ~10 s per pass.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    (1 to reps).foreach { _ =>
+      headline.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          times(name) = t :: times.getOrElse(name, Nil)
+        }
+      }
+    }
     val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case _: Throwable => false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      times.get(name).map { ts =>
+        val good = ts.filter(_ >= 0)
+        name -> (if (good.nonEmpty) good.min else -1.0)
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
