@@ -762,6 +762,26 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // REAL image decode end-to-end: construct a valid binary PGM per doc
+    // from ASCII-safe pixel bytes (identical bytes in any engine), parse
+    // it back with the pure-JVM decoder, and gate the recovered
+    // width/height/mean-luminance against the oracle's ANALYTIC values —
+    // if the parser mis-reads the header or pixels, the hash diverges
+    "q_multimodal_decode" -> ((s, dir) => {
+      val px = (0 until 4).map(i => expr(s"chr(32 + pmod(doc_id * ${7 + i}, 90))"))
+      t(s, dir, "documents")
+        .mutate("img" -> concat((lit("P5\n4 1\n255\n") +: px): _*).cast("binary"))
+        .mutate("f" -> Multimodal.decodeFeatures(col("img")))
+        .transmute(
+          "doc_id" -> col("doc_id"),
+          "fmt" -> col("f.format"),
+          "w" -> col("f.width"),
+          "h" -> col("f.height"),
+          "brightness" -> col("f.brightness"))
+        .arrange("doc_id")
+        .df
+    }),
+
     // =====================================================================
     // streaming-shape ops on batch: gap sessionization (session_window)
     // =====================================================================
@@ -1051,6 +1071,12 @@ object SparkEntry {
         |    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS sim
         |FROM e, q
         |ORDER BY sim DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q_multimodal_decode" ->
+      """SELECT doc_id, 'pgm' AS fmt, CAST(4 AS BIGINT) AS w, CAST(1 AS BIGINT) AS h,
+        |  ((32 + (doc_id * 7) % 90) + (32 + (doc_id * 8) % 90)
+        |   + (32 + (doc_id * 9) % 90) + (32 + (doc_id * 10) % 90)) / 4.0 AS brightness
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal" ->
       """SELECT doc_id AS media_id, 'text/plain' AS format,

@@ -31,11 +31,24 @@ object Multimodal {
         octet_length(df.col(payloadCol).cast("binary")).cast("long").as("n_bytes"),
         sha2(df.col(payloadCol).cast("binary"), 256).as("checksum")).as("meta"))
 
+  /** REAL media decode for codec-free image formats (BMP 24/32bpp,
+    * binary PPM/PGM): actual header parse + mean-luminance over the
+    * pixel bytes, pure JVM — see [[graft.plans.DecodeImageFeatures]].
+    * Returns NULL for payloads that are not a supported image; route
+    * those to a codec-backed `mapPartitions` decoder (the
+    * [[batchProcess]] shape) or the stub below. */
+  def decodeFeatures(media: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.plans.DecodeImageFeatures(GraftShim.expression(media)))
+  }
+
   /** STUB media decode → feature struct. Deterministic fake: real
-    * decode (JPEG/PNG/opus/...) needs codec libs not present in this
-    * container. The schema and call shape match what a real decoder
-    * would return; only the VALUES are derived from the bytes hash.
-    * Replace the body with the codec call to productionize. */
+    * decode for codec formats (JPEG/PNG/opus/...) needs codec libs not
+    * present in this container (the codec-FREE formats decode for real
+    * via [[decodeFeatures]]). The schema and call shape match what a
+    * real decoder would return; only the VALUES are derived from the
+    * bytes hash. Replace the body with the codec call to
+    * productionize. */
   def decodeFeaturesStub(media: Column): Column = {
     // portable 60-bit hash of the payload (md5-based, reproducible in
     // any engine — see TextFns.portableHash)

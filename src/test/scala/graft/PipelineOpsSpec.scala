@@ -239,6 +239,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.values.forall { case (q, _) => q >= 0.0 && q <= 1.0 })
   }
 
+  test("real image decode: BMP and PPM/PGM parse to exact pixel statistics") {
+    def bmp24(w: Int, h: Int, pixelsBgr: Array[(Int, Int, Int)], topDown: Boolean = false): Array[Byte] = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      val out = new Array[Byte](54 + stride * h)
+      def le32(off: Int, v: Int): Unit = (0 until 4).foreach(k => out(off + k) = ((v >> (8 * k)) & 0xff).toByte)
+      def le16(off: Int, v: Int): Unit = (0 until 2).foreach(k => out(off + k) = ((v >> (8 * k)) & 0xff).toByte)
+      out(0) = 'B'; out(1) = 'M'
+      le32(2, out.length); le32(10, 54); le32(14, 40)
+      le32(18, w); le32(22, if (topDown) -h else h)
+      le16(26, 1); le16(28, 24); le32(30, 0)
+      pixelsBgr.zipWithIndex.foreach { case ((bb, gg, rr), i) =>
+        val o = 54 + (i / w) * stride + (i % w) * 3
+        out(o) = bb.toByte; out(o + 1) = gg.toByte; out(o + 2) = rr.toByte
+      }
+      out
+    }
+    // four gray pixels 255/0/100/50 → mean luminance 101.25
+    val grays = Array((255, 255, 255), (0, 0, 0), (100, 100, 100), (50, 50, 50))
+    val ppm = "P6\n# a comment\n2 2\n255\n".getBytes("US-ASCII") ++
+      grays.flatMap { case (a, b, c) => Seq(a.toByte, b.toByte, c.toByte) }
+    val pgm = "P5\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](255.toByte, 0, 100, 50)
+    val rows = Seq(
+      (1L, bmp24(2, 2, grays)),
+      (2L, bmp24(2, 2, grays, topDown = true)),
+      (3L, ppm),
+      (4L, pgm),
+      (5L, "not an image at all".getBytes("UTF-8")))
+    val d = rows.toDF("id", "media")
+      .select(col("id"), Multimodal.decodeFeatures(col("media")).as("f"))
+      .select(col("id"), col("f.format"), col("f.width"), col("f.height"), col("f.brightness"))
+      .orderBy("id").collect()
+    assert(d(0).getString(1) == "bmp" && d(0).getLong(2) == 2 && d(0).getLong(3) == 2
+      && d(0).getDouble(4) == 101.25)
+    assert(d(1).getDouble(4) == 101.25) // top-down BMP decodes identically
+    assert(d(2).getString(1) == "ppm" && d(2).getDouble(4) == 101.25)
+    assert(d(3).getString(1) == "pgm" && d(3).getDouble(4) == 101.25)
+    assert(d(4).isNullAt(1)) // unsupported bytes → NULL, not garbage
+  }
+
   test("multimodal plumbing: pack → decode stub → batchProcess") {
     val media = Multimodal.packMedia(docs, "doc_id", "text", "text/plain")
     assert(media.columns.toSeq == Seq("media_id", "media", "meta"))
