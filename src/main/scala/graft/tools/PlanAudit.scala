@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: dump formatted plans for the headline queries and flag
+  * scale anti-patterns (cartesian products, nested-loop joins,
+  * filter-pushdown misses). Not library code. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q1_agg", "q_filter", "q_join_multi", "q_asof_join", "q_asof_right",
+        "q_window_rank", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed",
+        "q_dedup_simhash", "q_embed_ann", "q_embed_knn", "q_multimodal_decode")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      graft.SparkEntry.queries.get(n).foreach { fn =>
+        val df = fn(spark, sf)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val flags = Seq(
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+          "PushedFilters_missing" ->
+            (plan.contains("PushedFilters: []") && n.startsWith("q_filter")))
+          .collect { case (f, true) => f }
+        val nExchange = "Exchange".r.findAllIn(plan).length
+        val nWscg = "WholeStageCodegen".r.findAllIn(plan).length
+        println(s"### $n exchanges=$nExchange wscg=$nWscg flags=${flags.mkString(",")}")
+        if (sys.env.contains("PLAN_AUDIT_FULL")) println(plan)
+      }
+    }
+    spark.stop()
+  }
+}
