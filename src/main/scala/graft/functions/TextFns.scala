@@ -70,6 +70,16 @@ object TextFns {
     GraftShim.column(graft.plans.HashedWordShingles(GraftShim.expression(text), k))
   }
 
+  /** text → SimHash signature in ONE native pass — the hot-path form
+    * of `Dedup.simHashFromHashes(transform(tokens(text), hash), bits)`
+    * (that HOF chain pays `numBits` interpreted passes per row). Backed
+    * by [[graft.plans.SimHash64]]; bit-equality with the composable
+    * formulation is spec-pinned for both hash modes. */
+  def simHash(text: Column, numBits: Int = 64, portable: Boolean = false): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.plans.SimHash64(GraftShim.expression(text), numBits, portable))
+  }
+
   /** Text normalization for dedup-before-hash cleaning: lowercase,
     * strip punctuation/symbols (Unicode letter/number classes kept, so
     * non-Latin scripts survive), squish whitespace runs, trim. The

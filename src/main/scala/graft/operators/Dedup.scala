@@ -312,16 +312,14 @@ object Dedup {
     // pigeonhole guarantee: two docs within Hamming distance < `chunks`
     // must agree on >= 1 chunk; candidates beyond that rely on luck.
     // portable=true swaps xxhash64 for the md5-derived 60-bit hash so a
-    // SQL oracle can reproduce the signature bit-for-bit.
-    val tokHash: Column => Column =
-      if (portable) TextFns.portableHash else (t: Column) => xxhash64(t)
-    // materialize: both sides of the chunk self-join read the signatures —
-    // without it the numBits per-bit aggregate passes would run twice
+    // SQL oracle can reproduce the signature bit-for-bit. The signature
+    // is ONE native pass per row (plans/SimHash64 — bit-identical to
+    // the simHashFromHashes HOF formulation, which costs numBits
+    // interpreted passes per row).
+    // materialize: both sides of the chunk self-join read the signatures
     val based = df
       .select(df.col(idCol).as("id"),
-        transform(TextFns.tokens(df.col(textCol)), tokHash).as("__h"))
-      .withColumn("sig", simHashFromHashes(col("__h"), numBits))
-      .select("id", "sig")
+        TextFns.simHash(df.col(textCol), numBits, portable).as("sig"))
     val (sigs, release) = materialized(based, materialize, "id")
     val chunkBits = numBits / chunks
     val mask = (1L << chunkBits) - 1

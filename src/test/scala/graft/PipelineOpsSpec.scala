@@ -87,6 +87,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("native SimHash64 equals the HOF formulation bit-for-bit (both hash modes)") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val xx = d.select(
+      TextFns.simHash(col("text"), 64, portable = false).as("fast"),
+      Dedup.simHashFromHashes(
+        transform(TextFns.tokens(col("text")), t => xxhash64(t)), 64).as("slow"))
+    assert(xx.filter(col("fast") =!= col("slow")).count() == 0)
+    val pm = d.select(
+      TextFns.simHash(col("text"), 60, portable = true).as("fast"),
+      Dedup.simHashFromHashes(
+        transform(TextFns.tokens(col("text")), t => TextFns.portableHash(t)), 60).as("slow"))
+    assert(pm.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
   test("cosine similarity exact values") {
     val d = Seq((1L, Seq(1f, 0f), 0), (2L, Seq(0f, 1f), 0), (3L, Seq(1f, 1f), 0))
       .toDF("vec_id", "embedding", "label")
