@@ -66,4 +66,81 @@ object Streams {
         col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("session_value"))
+
+  // ---- custom state (KeyValueGroupedDataset.flatMapGroupsWithState) ----
+
+  /** typed view of an event row for the stateful operators */
+  final case class Ev(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Cross-batch streaming DEDUP with event-time TTL — the custom-state
+    * shape the built-in `dropDuplicatesWithinWatermark` hides: one
+    * boolean-ish state cell per dedup key, expired by an event-time
+    * timeout at the watermark horizon, so state size is bounded by
+    * (distinct keys within the watermark), not the stream's lifetime.
+    * Emits only the FIRST event per (user_id, event_type, value) key;
+    * later duplicates — including ones arriving in LATER micro-batches —
+    * are suppressed while the key's state lives.
+    *
+    * At 100 TB/day: state is hash-partitioned by key across executors
+    * (the state store shuffle), each key costs ~24 bytes, and the TTL
+    * keeps the store from growing without bound — the knobs that matter
+    * are the watermark horizon and key cardinality within it.
+    */
+  def dedupStream(events: DataFrame, watermark: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", watermark)
+      .as[Ev]
+    ds.groupByKey(e => (e.user_id, e.event_type, e.value))
+      .flatMapGroupsWithState[Long, Ev](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) Iterator.empty // seen in a previous batch
+          else {
+            // first batch containing this key: emit the earliest row
+            val first = rows.minBy(e => (e.ts.getTime, e.event_id))
+            state.update(first.ts.getTime)
+            // expire the key once the watermark passes its event time —
+            // duplicates straggling beyond the watermark are out of
+            // contract anyway (they'd be dropped by the watermark)
+            if (state.getCurrentWatermarkMs() >= 0)
+              state.setTimeoutTimestamp(first.ts.getTime, watermark)
+            Iterator.single(first)
+          }
+      }
+      .toDF()
+  }
+
+  /** Running per-user totals across micro-batches — incremental state
+    * (count, sum) per user, emitted once per batch the user appears in.
+    * The mapGroupsWithState analog of a forever-running grouped
+    * aggregation, without the unbounded `complete`-mode result table. */
+  def runningUserTotals(events: DataFrame, watermark: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", watermark)
+      .as[Ev]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { e => n += 1; s += e.value }
+          state.update((n, s))
+          Iterator.single(UserRunning(uid, n, s))
+      }
+      .toDF()
+  }
 }

@@ -6,6 +6,7 @@ import graft.streaming.Streams
 /** Structured Streaming helpers driven by the events fixture through a
   * memory sink (batch parquet drives the stream synchronously). */
 class StreamingSpec extends SparkSpec {
+  import spark.implicits._
 
   // file streaming sources need a DIRECTORY; stage the fixture file
   private lazy val eventsDir: String = {
@@ -40,6 +41,52 @@ class StreamingSpec extends SparkSpec {
         .collect()
       assert(streamed.nonEmpty)
       assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    } finally q.stop()
+  }
+
+  test("dedupStream: duplicates suppressed ACROSS micro-batches via keyed state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streams.Ev]
+    val out = Streams.dedupStream(input.toDF(), watermark = "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      def ev(id: Long, tsMin: Long, u: Long, t: String, v: Double) =
+        Streams.Ev(id, new java.sql.Timestamp(tsMin * 60000L), u, t, v)
+      input.addData(
+        ev(1, 10, 1, "click", 1.0), ev(2, 11, 1, "click", 1.0), // in-batch dup
+        ev(3, 12, 2, "view", 2.0))
+      q.processAllAvailable()
+      // id 4 duplicates batch-1's key — CROSS-batch suppression is the
+      // part a stateless dropDuplicates cannot do
+      input.addData(ev(4, 13, 1, "click", 1.0), ev(5, 14, 3, "error", 9.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
+  test("runningUserTotals accumulates state across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streams.Ev]
+    val out = Streams.runningUserTotals(input.toDF(), watermark = "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("running_out").start()
+    try {
+      def ev(id: Long, tsMin: Long, u: Long, v: Double) =
+        Streams.Ev(id, new java.sql.Timestamp(tsMin * 60000L), u, "click", v)
+      input.addData(ev(1, 10, 1, 1.0), ev(2, 11, 1, 2.0), ev(3, 12, 2, 5.0))
+      q.processAllAvailable()
+      input.addData(ev(4, 13, 1, 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("running_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // user 1: batch1 emits (2, 3.0), batch2 emits cumulative (3, 7.0)
+      assert(rows.contains((1L, 2L, 3.0)))
+      assert(rows.contains((1L, 3L, 7.0)))
+      assert(rows.contains((2L, 1L, 5.0)))
     } finally q.stop()
   }
 
