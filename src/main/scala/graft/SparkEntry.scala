@@ -334,6 +334,26 @@ object SparkEntry {
         .df
     }),
 
+    // banded range join: clicks landing inside a 15-minute window after
+    // an error by the same user — equi join on (user, band), exact range
+    // filter, no nested-loop join (bandWidth = interval length → each
+    // interval explodes to ≤ 2 bands)
+    "q_range_join" -> ((s, dir) => {
+      val ev = tev(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val errors = ev.filter(col("event_type") === "error")
+        .transmute(
+          "user_id" -> col("user_id"),
+          "err_lo" -> col("ts"),
+          "err_hi" -> (col("ts") + Fns.minutes(15)))
+      clicks
+        .rangeJoin(errors, "ts", "err_lo", "err_hi",
+          bandWidth = 15L * 60 * 1000000, equi = Seq("user_id" -> "user_id"))
+        .arrange("event_id", "err_lo")
+        .df
+    }),
+
     // ASOF RIGHT: matched clicks + error rows no click selected as its
     // closest (DuckDB ASOF RIGHT semantics; reference splices ASOF onto
     // any join type — src/joins_sq.jl:238-241)
@@ -1270,6 +1290,14 @@ object SparkEntry {
         |           FROM events WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id AND l.ts >= r.err_ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT l.event_id, l.user_id, l.ts, l.value, r.err_lo, r.err_hi
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') l
+        |JOIN (SELECT user_id, ts AS err_lo, ts + INTERVAL 15 MINUTE AS err_hi
+        |      FROM events WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.err_lo AND l.ts <= r.err_hi
+        |ORDER BY l.event_id, r.err_lo""".stripMargin,
 
     "q_asof_right" ->
       """SELECT l.event_id, COALESCE(l.user_id, r.user_id) AS user_id, l.ts, l.value,

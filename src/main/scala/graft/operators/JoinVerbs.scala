@@ -91,6 +91,70 @@ trait JoinVerbs { self: TidierFrame =>
     reset(joined.select(leftCols ++ rightCols: _*))
   }
 
+  /** Range (interval) join: left rows whose `tsCol` falls inside the
+    * right side's `[loCol, hiCol]` interval, optionally within equi-key
+    * groups — WITHOUT the nested-loop join a bare
+    * `l.ts BETWEEN r.lo AND r.hi` condition plans to.
+    *
+    * Implementation (composition, not a custom operator): band both
+    * sides by `floorDiv(value, bandWidth)` — each left row lands in ONE
+    * band, each right interval explodes to the bands it covers — then
+    * equi-join on (keys, band) and apply the exact range filter. A
+    * (left, right) pair can only meet in the left row's single band, so
+    * no dedup pass is needed. The one wide stage is a hash join on the
+    * band key; cost scales with Σ interval_len/bandWidth on the right —
+    * pick bandWidth ≈ typical interval length so intervals explode to
+    * ~1-2 bands. This is the standard distributed interval-join shape
+    * (a native range join would need a custom SparkPlan; banding gets
+    * the same asymptotics from existing operators).
+    *
+    * `bandWidth` is in the column's native units — MICROSECONDS for
+    * timestamp columns (they band via `unix_micros`), the raw value for
+    * numerics.
+    */
+  def rangeJoin(
+      right: TidierFrame,
+      tsCol: String,
+      loCol: String,
+      hiCol: String,
+      bandWidth: Long,
+      equi: Seq[(String, String)] = Nil): TidierFrame = {
+    require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
+    val B = "__range_band"
+    def toLong(d: DataFrame, c: String): Column = d.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(d.col(c))
+      case _ => d.col(c).cast("long")
+    }
+    // Band key = the band's START value (x - pmod(x, w)): floor-aligned
+    // for negative longs too (pmod is non-negative), and EXACT long
+    // arithmetic — a quotient via `/` would round through double above
+    // 2^53. Right intervals enumerate band starts with a stepped
+    // sequence, so there is still no division anywhere.
+    def bandStart(x: Column): Column = x - pmod(x, lit(bandWidth))
+
+    val l = df.withColumn(B, bandStart(toLong(df, tsCol)))
+    val rLo = bandStart(toLong(right.df, loCol))
+    val rHi = bandStart(toLong(right.df, hiCol))
+    // guard: sequence(a, b) DESCENDS when b < a (it is not empty) —
+    // inverted/NULL intervals must produce zero bands, not a band walk
+    // in the wrong direction
+    val bands = when(
+      right.df.col(loCol).isNotNull && right.df.col(hiCol).isNotNull &&
+        right.df.col(hiCol) >= right.df.col(loCol),
+      sequence(rLo, rHi, lit(bandWidth))).otherwise(array().cast("array<long>"))
+    val r = right.df.withColumn(B, explode(bands))
+
+    val lA = l.alias("__l"); val rA = r.alias("__r")
+    val cond = (equi.map { case (a, b) => lA.col(a) === rA.col(b) } ++ Seq(
+      lA.col(B) === rA.col(B),
+      lA.col(tsCol) >= rA.col(loCol),
+      lA.col(tsCol) <= rA.col(hiCol))).reduce(_ && _)
+    val joined = lA.join(rA, cond, "inner")
+    val outCols = df.columns.toSeq.map(lA.col) ++
+      right.df.columns.toSeq.filterNot(equi.map(_._2).contains).map(rA.col)
+    reset(joined.select(outCols: _*))
+  }
+
   /** As-of join — DuckDB `ASOF JOIN` semantics on every outer type
     * (reference: src/joins_sq.jl:238-241, src/db_parsing.jl:482-501):
     * for each left row, join the single right row that is *nearest* in

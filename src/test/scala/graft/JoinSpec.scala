@@ -136,6 +136,31 @@ class JoinSpec extends SparkSpec {
     }
   }
 
+  test("range join matches the theta-join result without a nested-loop plan") {
+    val points = Seq(("A", -25L, 1), ("A", 5L, 2), ("A", 17L, 3), ("B", 5L, 4))
+      .toDF("k", "t", "pid")
+    val intervals = Seq(
+      ("A", -30L, -20L, 10), // negative band alignment
+      ("A", 0L, 18L, 11),    // spans two bands at width 10
+      ("A", 16L, 16L, 12),   // inverted? no — degenerate handled below
+      ("B", 6L, 4L, 13),     // INVERTED interval → must match nothing
+      ("C", 0L, 100L, 14)    // key with no points
+    ).toDF("k2", "lo", "hi", "iid")
+    val banded = Tidier.from(points)
+      .rangeJoin(Tidier.from(intervals), "t", "lo", "hi",
+        bandWidth = 10L, equi = Seq("k" -> "k2"))
+    val plan = banded.df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"))
+    val got = banded.collect().map(r => (r.getInt(2), r.getInt(5))).toSet
+    // reference result via the nested-loop theta join
+    val ref = points.alias("p").join(intervals.alias("i"),
+        col("k") === col("k2") && col("t") >= col("lo") && col("t") <= col("hi"))
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == ref)
+    assert(got == Set((1, 10), (2, 11), (3, 11))) // and the expected pairs outright
+  }
+
   test("set ops by position") {
     val a = Seq(1, 2, 3).toDF("v"); val b = Seq(2, 3, 4).toDF("v")
     assert(Tidier.from(a).union(Tidier.from(b)).df.count() == 4)
