@@ -73,6 +73,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("Materialize.BucketedTable: same pairs through a bucketed-table intermediate") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val viaCache = Dedup.minHashDupPairs(docs, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaTable = Dedup.minHashDupPairs(docs, "doc_id", "text", threshold = 0.4,
+        materialize = Dedup.Materialize.BucketedTable("graft_mh_bases", 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaTable == viaCache)
+    // the intermediate is a real bucketed table a session can reuse
+    assert(spark.catalog.tableExists("graft_mh_bases"))
+    spark.sql("DROP TABLE graft_mh_bases")
+  }
+
   test("pair finders release their intermediates (eager-result-and-release)") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val before = spark.sparkContext.getPersistentRDDs.size
