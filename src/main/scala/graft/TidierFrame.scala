@@ -47,8 +47,17 @@ final case class TidierFrame(
 
   /** Replace the plan and clear grouping/window state (the reference
     * clears grouping after it is consumed —
-    * reference: src/mutate_and_summ.jl:250-257). */
-  private[graft] def reset(newDf: DataFrame): TidierFrame = TidierFrame(newDf)
+    * reference: src/mutate_and_summ.jl:250-257). With
+    * `Tidier.warnings(true)` the drop is announced, mirroring the
+    * reference's `warnings(true)` toggle (reference: src/TidierDB.jl:110,
+    * src/mutate_and_summ.jl:250-254). */
+  private[graft] def reset(newDf: DataFrame): TidierFrame = {
+    if (Tidier.warningsEnabled && groups.nonEmpty)
+      Console.err.println(
+        s"[graft] grouping (${groups.mkString(", ")}) was consumed and dropped; " +
+          "re-group before the next grouped verb if needed")
+    TidierFrame(newDf)
+  }
 
   // ---- actions / sinks (reference: src/TidierDB_macros.jl:629-665) ----
   def collect(): Array[org.apache.spark.sql.Row] = df.collect()
@@ -89,6 +98,13 @@ final case class TidierFrame(
 
 /** Entry points — `db_table` / `dt` analog (reference: src/TidierDB.jl:155-243). */
 object Tidier {
+  /** `warnings(true)` analog (reference: src/TidierDB.jl:110): announce
+    * on stderr when a verb consumes and drops grouping state. Off by
+    * default, like the reference. */
+  @volatile private var warnFlag: Boolean = false
+  def warnings(on: Boolean): Unit = warnFlag = on
+  private[graft] def warningsEnabled: Boolean = warnFlag
+
   /** Scan a file path (parquet/csv/json by extension, globs native). */
   def read(spark: SparkSession, path: String): TidierFrame = {
     val lower = path.toLowerCase.stripSuffix("/")

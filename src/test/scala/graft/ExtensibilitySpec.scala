@@ -54,6 +54,24 @@ class ExtensibilitySpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("warnings(true) announces dropped grouping state; silent by default") {
+    val err = new java.io.ByteArrayOutputStream()
+    Tidier.warnings(true)
+    try {
+      Console.withErr(new java.io.PrintStream(err)) {
+        Tidier.from(Seq((1, "a"), (2, "b")).toDF("v", "g"))
+          .groupBy("g").summarize("n" -> count(lit(1)))
+      }
+      assert(err.toString.contains("grouping (g) was consumed"))
+    } finally Tidier.warnings(false)
+    val err2 = new java.io.ByteArrayOutputStream()
+    Console.withErr(new java.io.PrintStream(err2)) {
+      Tidier.from(Seq((1, "a")).toDF("v", "g"))
+        .groupBy("g").summarize("n" -> count(lit(1)))
+    }
+    assert(err2.toString.isEmpty)
+  }
+
   test("summary/describe profile runs") {
     val s = Tidier.from(Seq(1.0, 2.0).toDF("x")).summary()
     assert(s.columns.contains("summary") && s.count() >= 4)
