@@ -65,6 +65,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin equals brute-force interval semantics on random data") {
+    import graft.operators.JoinKey
+    val keyGen = Gen.oneOf("A", "B", "C")
+    val rowGen = for { k <- keyGen; t <- Gen.choose(-50L, 50L) } yield (k, t)
+    val ivGen = for {
+      k <- keyGen; lo <- Gen.choose(-50L, 50L); len <- Gen.choose(-5L, 20L)
+    } yield (k, lo, lo + len) // len can be negative → inverted intervals included
+    forAll(Gen.zip(Gen.listOfN(8, rowGen), Gen.listOfN(6, ivGen)), n = 10) {
+      case (points, ivs) =>
+        val pdf = points.zipWithIndex.map { case ((k, t), i) => (k, t, i) }.toDF("k", "t", "pid")
+        val idf = ivs.zipWithIndex.map { case ((k, lo, hi), i) => (k, lo, hi, i) }
+          .toDF("k2", "lo", "hi", "iid")
+        val got = Tidier.from(pdf)
+          .rangeJoin(Tidier.from(idf), "t", "lo", "hi", bandWidth = 7L,
+            equi = Seq("k" -> "k2"))
+          .collect().map(r => (r.getInt(2), r.getInt(5))).toSet
+        val want = (for {
+          ((k, t), pi) <- points.zipWithIndex
+          ((k2, lo, hi), ii) <- ivs.zipWithIndex
+          if k == k2 && t >= lo && t <= hi
+        } yield (pi, ii)).toSet
+        assert(got == want)
+    }
+  }
+
+  test("as-of right/full joins equal brute-force DuckDB ASOF semantics on random data") {
+    import graft.operators.JoinKey.{Closest, Equi}
+    val keyGen = Gen.oneOf("A", "B")
+    // distinct right timestamps per key (fixtures are tie-free; ties have
+    // their own deterministic-pick spec)
+    val leftGen = Gen.listOfN(6, for { k <- keyGen; t <- Gen.choose(0L, 40L) } yield (k, t))
+    val rightGen = Gen.listOfN(6, for { k <- keyGen; t <- Gen.choose(0L, 40L) } yield (k, t))
+      .map(_.distinct)
+    forAll(Gen.zip(leftGen, rightGen), n = 10) { case (ls, rsRaw) =>
+      val rs = rsRaw.zipWithIndex.map { case ((k, t), i) => (k, t, i) }
+      val ldf = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i) }.toDF("k", "t", "lid")
+      val rdf = rs.toDF("k2", "rt", "rid")
+      // brute force: per left row, the max rt <= t within the key
+      val matches = ls.zipWithIndex.flatMap { case ((k, t), li) =>
+        val cands = rs.filter { case (k2, rt, _) => k2 == k && rt <= t }
+        if (cands.isEmpty) None
+        else Some(li -> cands.maxBy(c => (c._2, c._3))._3)
+      }.toMap
+      val selected = matches.values.toSet
+      val unmatchedRights = rs.map(_._3).filterNot(selected).toSet
+
+      val rj = Tidier.from(ldf)
+        .rightJoin(Tidier.from(rdf), Equi("k", "k2"), Closest("t", ">=", "rt"))
+        .collect()
+      val rjMatched = rj.filter(!_.isNullAt(2))
+        .map(r => r.getInt(2) -> r.getInt(4)).toMap
+      val rjUnmatched = rj.filter(_.isNullAt(2)).map(_.getInt(4)).toSet
+      assert(rjMatched == matches, "right-join matched part")
+      assert(rjUnmatched == unmatchedRights, "right-join unmatched rights")
+
+      val fj = Tidier.from(ldf)
+        .fullJoin(Tidier.from(rdf), Equi("k", "k2"), Closest("t", ">=", "rt"))
+        .collect()
+      // full = all left rows (matched or null-extended) + unmatched rights
+      assert(fj.count(r => !r.isNullAt(2)) == ls.size)
+      assert(fj.filter(_.isNullAt(2)).map(_.getInt(4)).toSet == unmatchedRights)
+    }
+  }
+
   test("pivot round-trip law on generated key-value grids") {
     forAll(Gen.listOfN(4, Gen.choose(0, 100))) { vs =>
       whenever(vs.size == 4) {
