@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Fns, Selector, TextFns}
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, Pipelines, Similarity}
 import graft.operators.JoinKey
 import graft.operators.JoinKey.{Closest, Equi, Theta}
 
@@ -742,6 +742,20 @@ object SparkEntry {
         .arrange("id_a", "id_b")
         .df),
 
+    // COMPOSED pipeline: quality floor → language allowlist → exact
+    // dedup → minhash near-dup clusters → keep cluster representatives.
+    // Every stage is individually gated; this gates their composition
+    // (the oracle rebuilds the whole chain incl. recursive connected
+    // components in SQL)
+    "q_pipeline_clean" -> ((s, dir) =>
+      Tidier.from(
+          Pipelines.cleanCorpus(
+            t(s, dir, "documents").df, "doc_id", "text",
+            minQuality = 0.5, langs = Seq("en"), jaccardThreshold = 0.4))
+        .select("doc_id")
+        .arrange("doc_id")
+        .df),
+
     // =====================================================================
     // training-data pipeline ops: similarity search
     // =====================================================================
@@ -866,8 +880,11 @@ object SparkEntry {
     * because SQL can't loop over the hash family; parameterized so the
     * same generator gates both the headline minhash query and the
     * bigram-Jaccard variant. */
-  private def minhashOracle(
-      shingleK: Int, numHashes: Int, bands: Int, threshold: Double): String = {
+  /** the CTE chain `toks → … → pairs(id_a, id_b, j)` of the MinHash
+    * pipeline over `src` (a table or an earlier CTE with doc_id, text) —
+    * shared by the standalone pair oracles and the composed
+    * corpus-cleaning oracle */
+  private def minhashPairCtes(src: String, shingleK: Int, numHashes: Int, bands: Int): String = {
     val rows = numHashes / bands
     val p = Dedup.MinHashP
     val params = Dedup.hashParams(numHashes)
@@ -879,9 +896,9 @@ object SparkEntry {
       s"md5('$b'||','||${vals.mkString("||','||")})"
     }.mkString("[", ",\n      ", "]")
     val shingleCat = (0 until shingleK).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
-    s"""WITH toks AS (
+    s"""toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS tk
-       |  FROM documents
+       |  FROM $src
        |), shf AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(range(1, greatest(len(tk) - ${shingleK - 1}, 0) + 1),
@@ -905,9 +922,65 @@ object SparkEntry {
        |  FROM cand
        |  JOIN based sa ON sa.doc_id = id_a
        |  JOIN based sb ON sb.doc_id = id_b
-       |)
+       |)""".stripMargin
+  }
+
+  private def minhashOracle(
+      shingleK: Int, numHashes: Int, bands: Int, threshold: Double): String =
+    s"""WITH ${minhashPairCtes("documents", shingleK, numHashes, bands)}
        |SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs
        |WHERE j >= $threshold ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB mirror of the COMPOSED corpus-cleaning pipeline: quality
+    * floor + language allowlist + exact dedup (the filtered CTE), the
+    * MinHash pair chain over the survivors, then transitive duplicate
+    * clusters via a RECURSIVE reachability CTE — survivors are docs
+    * that are their own cluster minimum (or unclustered). */
+  private def pipelineOracle: String = {
+    val minQ = 0.5; val thr = 0.4
+    val qualityExpr =
+      """round((least(length(text)::DOUBLE / 500.0, 1.0)
+        |    + greatest(1.0 - (CASE WHEN length(text) > 0
+        |        THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / length(text)
+        |        ELSE 0.0 END) * 5.0, 0.0)
+        |    + (CASE WHEN (CASE WHEN len(tk) > 0
+        |          THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk)
+        |          ELSE 0.0 END) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END)) / 3.0, 6)""".stripMargin
+    s"""WITH RECURSIVE base AS (
+       |  SELECT doc_id, text, $tkExpr AS tk FROM documents
+       |), scored AS (
+       |  SELECT doc_id, text, $qualityExpr AS quality,
+       |    len(list_filter(tk, t -> list_contains(['the','and','of','is'], t))) AS s_en,
+       |    len(list_filter(tk, t -> list_contains(['el','la','de','que'], t))) AS s_es,
+       |    len(list_filter(tk, t -> list_contains(['le','la','et','les'], t))) AS s_fr,
+       |    len(list_filter(tk, t -> list_contains(['der','die','und','das'], t))) AS s_de,
+       |    len(list_filter(tk, t -> list_contains(['de','shi','le','zai'], t))) AS s_zh
+       |  FROM base
+       |), filtered AS (
+       |  SELECT doc_id, text FROM scored
+       |  WHERE quality >= $minQ
+       |    AND (CASE WHEN greatest(s_en,s_es,s_fr,s_de,s_zh) = 0 THEN 'und'
+       |              WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
+       |              WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
+       |              WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
+       |              WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'de'
+       |              ELSE 'zh' END) = 'en'
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+       |), ${minhashPairCtes("filtered", 3, 12, 6)},
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs WHERE j >= $thr
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs WHERE j >= $thr
+       |), reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), rep AS (
+       |  SELECT a AS id, LEAST(a, MIN(b)) AS rep FROM reach GROUP BY a
+       |)
+       |SELECT doc_id FROM filtered
+       |WHERE doc_id NOT IN (SELECT id FROM rep WHERE rep < id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB mirror of the portable SimHash pipeline: 60-bit signature
@@ -1069,6 +1142,8 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash" -> minhashOracle(shingleK = 3, numHashes = 12, bands = 6, threshold = 0.4),
+
+    "q_pipeline_clean" -> pipelineOracle,
 
     "q_dedup_ngram" -> minhashOracle(shingleK = 2, numHashes = 12, bands = 12, threshold = 0.2),
 

@@ -292,6 +292,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(d(4).isNullAt(1)) // unsupported bytes → NULL, not garbage
   }
 
+  test("cleanCorpus keeps one representative per near-dup cluster, drops junk") {
+    import graft.operators.Pipelines
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away house"), // near-dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog and runs far away home"), // exact dup of 1
+      (4L, "el perro de la casa que ladra mucho en la noche durante la semana"),  // not en
+      (5L, "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( )))) @@@@ #### !!!!"),        // junk quality
+      (6L, "a completely different and is of the sentence about spark engines and the data processing")
+    ).toDF("doc_id", "text")
+    val out = Pipelines.cleanCorpus(corpus, "doc_id", "text",
+        minQuality = 0.3, langs = Seq("en"), jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 6L)) // 2 clustered into 1, 3 exact-dup'd, 4 lang, 5 junk
+  }
+
   test("multimodal plumbing: pack → decode stub → batchProcess") {
     val media = Multimodal.packMedia(docs, "doc_id", "text", "text/plain")
     assert(media.columns.toSeq == Seq("media_id", "media", "meta"))
