@@ -15,7 +15,10 @@ object Bench {
   private val headline = Seq(
     "q1_agg", "q_filter", "q_count", "q_join_multi", "q_join_inner",
     "q_asof_join", "q_window_rank", "q_cumsum", "q_pivot_wider",
-    "q_dedup_exact", "q_dedup_minhash", "q_text_stats", "q_embed_knn")
+    "q_dedup_exact", "q_dedup_minhash", "q_text_stats", "q_embed_knn",
+    // round 2 additions: banded range join, portable simhash pairs,
+    // the composed corpus-cleaning pipeline
+    "q_range_join", "q_dedup_simhash", "q_pipeline_clean")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -227,15 +227,66 @@ object Dedup {
     * @return (id, rep) for every node appearing in `pairs`, rep = min
     *         id of its component
     */
-  def dupClustersClosure(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupClustersClosure(
+      pairs: DataFrame, maxIter: Int = 20, localEdgeLimit: Long = 5000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    // Near-dup PAIRS are the output of a massive reduction — usually
+    // orders of magnitude smaller than the corpus. Below
+    // `localEdgeLimit` edges (~16 bytes each → ≤ ~80 MB driver) a
+    // driver-side union-find answers in ONE job instead of an iterative
+    // join loop whose many small jobs maximize exposure to scheduler /
+    // block-manager hiccups. The distributed loop remains for genuinely
+    // huge pair graphs.
+    val edgeRows = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    // ONE action decides the path AND fetches the edges: collect through
+    // a limit of localEdgeLimit+1 — bounded driver memory, and no
+    // separate count job (each extra job is pure exposure to scheduler
+    // hiccups in an iterative op)
+    val limited = edgeRows.limit((localEdgeLimit + 1).toInt).collect()
+    if (limited.length <= localEdgeLimit) {
+      val es = limited.map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by MIN id so the rep is the component minimum
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+        parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
+      }
+      val nodes = es.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
+      import spark.implicits._
+      return nodes.toSeq.sorted.map(x => (x, find(x))).toDF("id", "rep")
+    }
+
+    // Distributed path: min-label propagation + pointer jumping. Each
+    // round must BOTH cache its result (read by 3 plan branches next
+    // round) AND truncate the logical plan — persist alone leaves the
+    // lineage in the plan and the analyzer goes exponential (~3× plan
+    // growth per round); localCheckpoint truncates but its blocks can't
+    // be freed and evict to data loss. So: persist + eager count for
+    // the data, then wrap the round in a LogicalRDD leaf
+    // (createDataFrame over the cached RDD) — truncated plan,
+    // releasable cache, recompute via RDD lineage on eviction.
+    def eager(d: DataFrame): (DataFrame, DataFrame) = {
+      val c = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      (spark.createDataFrame(c.rdd, c.schema), c)
+    }
     // undirected edge list, plus self-loops so roots survive aggregation
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.groupBy(col("a").as("id"))
-      .agg(least(min(col("b")), first(col("a"))).as("rep"))
-      .localCheckpoint()
+    val (edges, edgesCache) = eager(
+      pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+        .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+        .distinct())
+    var (labels, labelsCache) = eager(
+      edges.groupBy(col("a").as("id"))
+        .agg(least(min(col("b")), first(col("a"))).as("rep")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -247,25 +298,26 @@ object Dedup {
         .select(col("id"), least(col("rep"), coalesce(col("prop"), col("rep"))).as("rep"))
       // jump: rep = min(rep, rep's rep) — pointer halving on the label
       // forest (every rep is itself a node id, so the lookup total-joins)
-      val next = propagated
+      val (next, nextCache) = eager(propagated
         .join(
           propagated.select(col("id").as("__rid"), col("rep").as("__rrep")),
           propagated.col("rep") === col("__rid"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("__rrep"), col("rep"))).as("rep"))
-        .localCheckpoint() // truncates lineage; eager
+        .select(col("id"), least(col("rep"), coalesce(col("__rrep"), col("rep"))).as("rep")))
       val changed = next.join(labels.withColumnRenamed("rep", "old"), Seq("id"))
         .filter(col("rep") =!= col("old")).limit(1).count()
-      labels.unpersist()
+      labelsCache.unpersist()
       labels = next
+      labelsCache = nextCache
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
+    edgesCache.unpersist()
     if (!converged) throw new IllegalStateException(
       s"dupClustersClosure did not converge in $maxIter rounds — " +
         "with pointer jumping rounds grow ~log2(component size); raise maxIter " +
         "for astronomically deep label forests")
-    labels
+    // the persisted handle (not the leaf) so callers can unpersist it
+    labelsCache
   }
 
   /** SimHash: `numBits`-bit signature; bit i is the sign of the sum of

@@ -40,10 +40,14 @@ object Pipelines {
         .filter(TextFns.qualityScore(docs.col(textCol)) >= minQuality)
         .filter(TextFns.langId(docs.col(textCol)).isin(langs.map(lit): _*)),
       idCol, Seq(textCol))
+    // Materialize.None: the pair set is consumed exactly once (by the
+    // clustering step), so the eager cache-and-release dance would only
+    // add jobs — and post-native-expression the shingle pass is cheap
+    // enough to fold into the one consuming action
     val pairs = Dedup.minHashDupPairs(
       filtered, idCol, textCol,
       shingleSize = shingleSize, numHashes = numHashes, bands = bands,
-      threshold = jaccardThreshold)
+      threshold = jaccardThreshold, materialize = Dedup.Materialize.None)
     val dropped = Dedup.dupClustersClosure(pairs)
       .filter(col("id") =!= col("rep"))
       .select(col("id").as(idCol))

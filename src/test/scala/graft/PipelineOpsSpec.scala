@@ -68,12 +68,19 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("dupClustersClosure pointer jumping handles a diameter-63 chain in few rounds") {
-    // pure neighbor propagation needs ~diameter rounds; with pointer
-    // jumping this converges well inside maxIter = 8
+    // localEdgeLimit = 0 forces the DISTRIBUTED path (small inputs
+    // normally take the driver-side union-find); pure neighbor
+    // propagation would need ~diameter rounds, pointer jumping
+    // converges well inside maxIter = 8
     val chain = (1L until 64L).map(i => (i, i + 1, 1.0))
-    val cl = Dedup.dupClustersClosure(chain.toDF("id_a", "id_b", "jaccard"), maxIter = 8)
+    val cl = Dedup.dupClustersClosure(
+        chain.toDF("id_a", "id_b", "jaccard"), maxIter = 8, localEdgeLimit = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(cl.length == 64 && cl.forall(_._2 == 1L))
+    // and the union-find fast path agrees exactly
+    val local = Dedup.dupClustersClosure(chain.toDF("id_a", "id_b", "jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(local.sorted.toSeq == cl.sorted.toSeq)
   }
 
   test("simHash: identical docs same sig; near-dups close in hamming") {
