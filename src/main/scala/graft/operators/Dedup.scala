@@ -228,25 +228,62 @@ object Dedup {
     *         id of its component
     */
   def dupClustersClosure(
-      pairs: DataFrame, maxIter: Int = 20, localEdgeLimit: Long = 5000000L): DataFrame = {
+      pairs: DataFrame, maxIter: Int = 20, localEdgeLimit: Long = 2000000L): DataFrame = {
+    require(localEdgeLimit >= 0 && localEdgeLimit <= Int.MaxValue - 1,
+      s"localEdgeLimit must be in [0, ${Int.MaxValue - 1}], got $localEdgeLimit — " +
+        "the edge fetch goes through a 32-bit LIMIT; pass 0 to force the distributed path")
     val spark = pairs.sparkSession
     // Near-dup PAIRS are the output of a massive reduction — usually
     // orders of magnitude smaller than the corpus. Below
-    // `localEdgeLimit` edges (~16 bytes each → ≤ ~80 MB driver) a
-    // driver-side union-find answers in ONE job instead of an iterative
-    // join loop whose many small jobs maximize exposure to scheduler /
-    // block-manager hiccups. The distributed loop remains for genuinely
-    // huge pair graphs.
-    val edgeRows = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    // `localEdgeLimit` edges (~100 bytes of Row overhead each → ≤
+    // ~200 MB driver at the default) a driver-side union-find answers
+    // in ONE job instead of an iterative join loop whose many small
+    // jobs maximize exposure to scheduler / block-manager hiccups. The
+    // distributed loop remains for genuinely huge pair graphs.
+    //
+    // Ids keep their ORIGINAL type in both paths (same output schema):
+    // the union-find runs on the raw values with an ordering that
+    // matches Spark's own `min`/`least` for that type — integrals by
+    // value, strings by unsigned UTF-8 bytes (UTF8String.binaryCompare,
+    // NOT java.lang.String's UTF-16 order, which disagrees above the
+    // BMP). Types without a pinned matching order fall through to the
+    // distributed path, where Spark itself does the comparing.
+    val idType = pairs.schema("id_a").dataType
+    import org.apache.spark.sql.types._
+    val localOrd: Option[Ordering[Any]] = idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(Ordering.by((v: Any) => v.asInstanceOf[Number].longValue))
+      case StringType =>
+        Some(new Ordering[Any] {
+          def compare(a: Any, b: Any): Int = {
+            val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var i = 0; val n = math.min(x.length, y.length)
+            while (i < n) {
+              val d = (x(i) & 0xff) - (y(i) & 0xff)
+              if (d != 0) return d
+              i += 1
+            }
+            x.length - y.length
+          }
+        })
+      case _ => scala.None
+    }
     // ONE action decides the path AND fetches the edges: collect through
     // a limit of localEdgeLimit+1 — bounded driver memory, and no
     // separate count job (each extra job is pure exposure to scheduler
-    // hiccups in an iterative op)
-    val limited = edgeRows.limit((localEdgeLimit + 1).toInt).collect()
-    if (limited.length <= localEdgeLimit) {
-      val es = limited.map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
+    // hiccups in an iterative op). If the graph exceeds the limit the
+    // fetched prefix is discarded and the distributed loop recomputes —
+    // the price of not running a separate count.
+    val limited =
+      if (localOrd.isDefined && localEdgeLimit > 0)
+        pairs.select("id_a", "id_b").limit(localEdgeLimit.toInt + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (localOrd.isDefined && localEdgeLimit > 0 && limited.length <= localEdgeLimit) {
+      implicit val ord: Ordering[Any] = localOrd.get
+      val es = limited.map(r => (r.get(0), r.get(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
         var c = x // path compression
@@ -256,13 +293,18 @@ object Dedup {
       es.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { // union by MIN id so the rep is the component minimum
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
         }
         parent.getOrElseUpdate(a, find(a)); parent.getOrElseUpdate(b, find(b))
       }
       val nodes = es.iterator.flatMap { case (a, b) => Iterator(a, b) }.toSet
-      import spark.implicits._
-      return nodes.toSeq.sorted.map(x => (x, find(x))).toDF("id", "rep")
+      val schema = StructType(Seq(
+        StructField("id", idType, nullable = false),
+        StructField("rep", idType, nullable = false)))
+      val rows = nodes.toSeq.sorted
+        .map(x => org.apache.spark.sql.Row(x, find(x)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
     }
 
     // Distributed path: min-label propagation + pointer jumping. Each

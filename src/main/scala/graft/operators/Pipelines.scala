@@ -34,23 +34,58 @@ object Pipelines {
       shingleSize: Int = 3,
       numHashes: Int = 12,
       bands: Int = 6,
-      jaccardThreshold: Double = 0.7): DataFrame = {
-    val filtered = Dedup.exactDedup(
+      jaccardThreshold: Double = 0.7,
+      materialize: Dedup.Materialize = Dedup.Materialize.Cache): DataFrame = {
+    import Dedup.Materialize
+    val filteredRaw = Dedup.exactDedup(
       docs
         .filter(TextFns.qualityScore(docs.col(textCol)) >= minQuality)
         .filter(TextFns.langId(docs.col(textCol)).isin(langs.map(lit): _*)),
       idCol, Seq(textCol))
-    // Materialize.None: the pair set is consumed exactly once (by the
-    // clustering step), so the eager cache-and-release dance would only
-    // add jobs — and post-native-expression the shingle pass is cheap
-    // enough to fold into the one consuming action
+    // `filtered` feeds TWO consumers (the shingle pass inside
+    // minHashDupPairs and the final left_anti) and the shingle output
+    // feeds three more plan branches; without materialization Catalyst
+    // replays the quality/langid/window subtree once per branch — 4×
+    // the corpus scan at any scale. Materialize it ONCE (cache at
+    // interactive scale, bucketed table for the no-executor-memory
+    // path), derive everything from the handle, release after the
+    // survivor set is computed.
+    val (filtered, release) = Dedup.materialized(filteredRaw, materialize, idCol)
+    val inner = materialize match {
+      // the shingle payload needs its own table name, not filtered's
+      case Materialize.BucketedTable(t, n) => Materialize.BucketedTable(t + "__shingles", n)
+      case other => other
+    }
     val pairs = Dedup.minHashDupPairs(
       filtered, idCol, textCol,
       shingleSize = shingleSize, numHashes = numHashes, bands = bands,
-      threshold = jaccardThreshold, materialize = Dedup.Materialize.None)
-    val dropped = Dedup.dupClustersClosure(pairs)
+      threshold = jaccardThreshold, materialize = inner)
+    // dupClustersClosure is eager in both paths (driver union-find
+    // collects; the distributed loop counts each round), so `pairs` is
+    // fully consumed once it returns and its cache can go immediately.
+    val clusters = Dedup.dupClustersClosure(pairs)
+    pairs.unpersist()
+    val dropped = clusters
       .filter(col("id") =!= col("rep"))
       .select(col("id").as(idCol))
-    filtered.join(dropped, Seq(idCol), "left_anti")
+    val survivors = filtered.join(dropped, Seq(idCol), "left_anti")
+    materialize match {
+      case Materialize.Cache =>
+        // eager: consume the filtered cache now, keep only the result,
+        // free the intermediates — repeated calls can't accumulate
+        // cached corpora. Callers release with result.unpersist().
+        val out = survivors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        clusters.unpersist()
+        release()
+        out
+      case _ =>
+        // None: fully lazy, caller owns caching. BucketedTable: the
+        // survivors read `filtered` back from disk — nothing pinned in
+        // executor memory, so the frame stays lazy. (`clusters` keeps
+        // its small per-duplicate-node cache alive in the distributed
+        // path until the caller's action.)
+        survivors
+    }
   }
 }

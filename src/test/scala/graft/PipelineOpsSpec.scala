@@ -83,6 +83,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(local.sorted.toSeq == cl.sorted.toSeq)
   }
 
+  test("dupClustersClosure keeps string ids and their type on both paths") {
+    // string doc ids are valid all the way through minHashDupPairs, so
+    // the clustering must not coerce them; both paths must produce the
+    // SAME schema and values. "Z10" < "z2" in UTF-8 byte order (what
+    // Spark's min uses) even though a naive numeric read would disagree.
+    val pairs = Seq(("z2", "Z10", 1.0), ("Z10", "a5", 1.0))
+      .toDF("id_a", "id_b", "jaccard")
+    val local = Dedup.dupClustersClosure(pairs)
+    assert(local.schema("id").dataType == org.apache.spark.sql.types.StringType)
+    val l = local.orderBy("id").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val dist = Dedup.dupClustersClosure(pairs, localEdgeLimit = 0L)
+      .orderBy("id").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(l == dist)
+    assert(l.forall(_._2 == "Z10")) // min by binary UTF-8 order: 'Z'(0x5A) < 'a'(0x61) < 'z'(0x7A)
+  }
+
+  test("dupClustersClosure rejects an out-of-range localEdgeLimit") {
+    val pairs = Seq((1L, 2L, 1.0)).toDF("id_a", "id_b", "jaccard")
+    intercept[IllegalArgumentException] {
+      Dedup.dupClustersClosure(pairs, localEdgeLimit = Int.MaxValue.toLong)
+    }
+  }
+
   test("simHash: identical docs same sig; near-dups close in hamming") {
     val sigs = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
