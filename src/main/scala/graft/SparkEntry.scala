@@ -816,6 +816,33 @@ object SparkEntry {
         .df
     }),
 
+    // REAL codec decode end-to-end (JDK ImageIO): 256 deterministic PNG
+    // variants built driver-side with the JDK's own lossless encoder
+    // (3×2 RGB, gray pixel i = 32 + (k*(7+i)) % 90), broadcast-joined
+    // to documents on k = doc_id % 256, decoded per row on executors —
+    // the oracle predicts width/height/brightness ANALYTICALLY, so a
+    // codec mis-read diverges the hash
+    "q_multimodal_png" -> ((s, dir) => {
+      val variants = {
+        import s.implicits._
+        (0 until 256).map { k =>
+          (k.toLong,
+            graft.plans.ImageCodec.grayPng(3, 2, (x, y) => 32 + (k * (7 + y * 3 + x)) % 90))
+        }.toDF("k", "png")
+      }
+      t(s, dir, "documents").df
+        .withColumn("k", pmod(col("doc_id"), lit(256L)))
+        .join(broadcast(variants), Seq("k"))
+        .withColumn("f", Multimodal.decodeFeatures(col("png")))
+        .select(
+          col("doc_id"),
+          col("f.format").as("fmt"),
+          col("f.width").as("w"),
+          col("f.height").as("h"),
+          col("f.brightness").as("brightness"))
+        .orderBy("doc_id")
+    }),
+
     // =====================================================================
     // streaming-shape ops on batch: gap sessionization (session_window)
     // =====================================================================
@@ -1171,6 +1198,14 @@ object SparkEntry {
       """SELECT doc_id, 'pgm' AS fmt, CAST(4 AS BIGINT) AS w, CAST(1 AS BIGINT) AS h,
         |  ((32 + (doc_id * 7) % 90) + (32 + (doc_id * 8) % 90)
         |   + (32 + (doc_id * 9) % 90) + (32 + (doc_id * 10) % 90)) / 4.0 AS brightness
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_png" ->
+      """SELECT doc_id, 'png' AS fmt, CAST(3 AS BIGINT) AS w, CAST(2 AS BIGINT) AS h,
+        |  ((32 + ((doc_id % 256) * 7) % 90) + (32 + ((doc_id % 256) * 8) % 90)
+        |   + (32 + ((doc_id % 256) * 9) % 90) + (32 + ((doc_id % 256) * 10) % 90)
+        |   + (32 + ((doc_id % 256) * 11) % 90) + (32 + ((doc_id % 256) * 12) % 90)) / 6.0
+        |    AS brightness
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal" ->

@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata (north-star extension; SURVEY §7.3
   * item 6).
   *
-  * The Spark-side plumbing here is real and tested: schema shape,
-  * per-row feature extraction kept inside codegen, deterministic
-  * partition-preserving batch processing. The actual media DECODE step
-  * is a clearly-marked STUB (`decodeFeaturesStub`) — the container has
-  * no image/audio codecs; in production it would be a native library
-  * call inside `mapPartitions` (one codec init per partition, batch
-  * amortized), which `batchProcess` demonstrates the shape of.
+  * IMAGE decode is REAL: pure-JVM parsers for the codec-free formats
+  * (BMP/PPM/PGM) plus the JDK's own ImageIO readers for
+  * JPEG/PNG/GIF/TIFF/WBMP — both per-row inside the narrow scan stage
+  * ([[decodeFeatures]]) and batched via `mapPartitions`
+  * ([[batchProcess]]). AUDIO/VIDEO feature extraction remains a
+  * clearly-marked deterministic STUB (`decodeFeaturesStub`,
+  * `frameSampleStub`) — the JVM ships no audio/video codecs; in
+  * production those bodies become native-library calls in the same
+  * `batchProcess` shape (one codec init per partition, batch
+  * amortized).
   */
 object Multimodal {
 
@@ -31,24 +34,22 @@ object Multimodal {
         octet_length(df.col(payloadCol).cast("binary")).cast("long").as("n_bytes"),
         sha2(df.col(payloadCol).cast("binary"), 256).as("checksum")).as("meta"))
 
-  /** REAL media decode for codec-free image formats (BMP 24/32bpp,
-    * binary PPM/PGM): actual header parse + mean-luminance over the
-    * pixel bytes, pure JVM — see [[graft.plans.DecodeImageFeatures]].
-    * Returns NULL for payloads that are not a supported image; route
-    * those to a codec-backed `mapPartitions` decoder (the
-    * [[batchProcess]] shape) or the stub below. */
+  /** REAL image decode: pure-JVM header parse for BMP 24/32bpp and
+    * binary PPM/PGM, JDK ImageIO for JPEG/PNG/GIF/TIFF/WBMP — see
+    * [[graft.plans.DecodeImageFeatures]] / [[graft.plans.ImageCodec]].
+    * Returns NULL for payloads no decoder accepts (or any decode
+    * failure — corrupt bytes degrade to NULL, never kill the task). */
   def decodeFeatures(media: Column): Column = {
     import org.apache.spark.sql.graftshim.GraftShim
     GraftShim.column(graft.plans.DecodeImageFeatures(GraftShim.expression(media)))
   }
 
-  /** STUB media decode → feature struct. Deterministic fake: real
-    * decode for codec formats (JPEG/PNG/opus/...) needs codec libs not
-    * present in this container (the codec-FREE formats decode for real
-    * via [[decodeFeatures]]). The schema and call shape match what a
-    * real decoder would return; only the VALUES are derived from the
-    * bytes hash. Replace the body with the codec call to
-    * productionize. */
+  /** STUB decode → feature struct for NON-image media (audio/video —
+    * the JVM ships no codecs for those; IMAGES decode for real via
+    * [[decodeFeatures]]). Deterministic fake: the schema and call shape
+    * match what a real decoder would return; only the VALUES are
+    * derived from the bytes hash. Replace the body with the codec call
+    * to productionize. */
   def decodeFeaturesStub(media: Column): Column = {
     // portable 60-bit hash of the payload (md5-based, reproducible in
     // any engine — see TextFns.portableHash)
@@ -72,23 +73,34 @@ object Multimodal {
         concat(substring_index(base64(media), "=", 1).cast("binary"),
           i.cast("string").cast("binary")), 256))
 
-  /** Partition-preserving batch processing shape: the pattern a real
-    * decoder plugs into — `mapPartitions` so per-partition init (codec
-    * contexts, model weights) is amortized across the batch, with the
-    * output schema declared up front. The stub computes payload sizes. */
+  /** Batched REAL image decode via `mapPartitions` — the pattern heavy
+    * decoders plug into: per-partition init (codec contexts, model
+    * weights) is amortized across the batch, output schema declared up
+    * front, no shuffle (partition-parallel). Non-image payloads get
+    * NULL features but keep their byte count. */
   def batchProcess(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
-      StructField("decoded_bytes", LongType)))
+      StructField("decoded_bytes", LongType),
+      StructField("format", StringType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("brightness", DoubleType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.select("media_id", "media").mapPartitions { rows =>
-      // per-partition init would go here (codec/context setup)
+      // per-partition init for native codecs would go here; ImageIO's
+      // reader registry is JVM-global, nothing to set up
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]]("media")
         val n = if (bytes == null) 0L else bytes.length.toLong
-        Row(r.getAs[Long]("media_id"), n)
+        graft.plans.ImageCodec.decode(bytes) match {
+          case Some(f) =>
+            Row(r.getAs[Long]("media_id"), n, f.format, f.width, f.height, f.brightness)
+          case None =>
+            Row(r.getAs[Long]("media_id"), n, null, null, null, null)
+        }
       }
     }(enc)
   }

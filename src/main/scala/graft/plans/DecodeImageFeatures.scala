@@ -7,9 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** REAL media decode for the codec-free image formats: parses the
-  * container bytes and computes actual pixel statistics, entirely in
-  * the JVM — no native codec libraries.
+/** REAL media decode, entirely in the JVM:
   *
   *  - BMP (`BM` magic): BITMAPINFOHEADER, uncompressed 24/32 bpp,
   *    bottom-up or top-down. Width/height from the header, brightness =
@@ -17,12 +15,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - PPM binary (`P6`): ASCII header (whitespace + `#` comments),
   *    maxval ≤ 255; brightness = mean of (R+G+B)/3.
   *  - PGM binary (`P5`): same header, brightness = mean gray value.
+  *  - Everything else falls through to the JDK's ImageIO readers
+  *    ([[ImageCodec]]) — real codec decode for JPEG/PNG/GIF/TIFF/WBMP
+  *    with zero external dependencies.
   *
   * Output: struct(format string, width long, height long, brightness
-  * double); NULL for bytes that are not a supported image — callers
-  * route those to [[graft.operators.Multimodal.decodeFeaturesStub]] or
-  * a codec-backed `mapPartitions` decoder (JPEG/PNG/audio need codec
-  * libraries this container does not ship).
+  * double); NULL for bytes no decoder accepts (and for any decode
+  * failure — corrupt/truncated/adversarial bytes on an untrusted corpus
+  * must never kill the job).
   *
   * Per-row work is a single pass over the pixel bytes — the same
   * CodegenFallback-once-per-row shape as [[HashedWordShingles]]; the
@@ -48,16 +48,25 @@ case class DecodeImageFeatures(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[Array[Byte]]
-    decode(b).orNull
+    // catch-all: a corrupt header that slips past a bounds check must
+    // degrade to NULL, not fail the task (untrusted corpus bytes)
+    try decode(b).orNull
+    catch { case scala.util.control.NonFatal(_) => null }
   }
 
   private def result(fmt: String, w: Long, h: Long, brightness: Double): InternalRow =
     InternalRow(UTF8String.fromString(fmt), w, h, brightness)
 
-  private def decode(b: Array[Byte]): Option[InternalRow] =
-    if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
-    else if (b.length >= 2 && b(0) == 'P' && (b(1) == '5' || b(1) == '6')) decodePnm(b)
-    else None
+  private def decode(b: Array[Byte]): Option[InternalRow] = {
+    val pure =
+      if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') decodeBmp(b)
+      else if (b.length >= 2 && b(0) == 'P' && (b(1) == '5' || b(1) == '6')) decodePnm(b)
+      else None
+    // anything the pure parsers don't take (incl. BMP variants outside
+    // the 24/32bpp BI_RGB subset) gets a shot at the JDK codec readers
+    pure.orElse(ImageCodec.decode(b).map(f =>
+      result(f.format, f.width, f.height, f.brightness)))
+  }
 
   private def le32(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
@@ -70,14 +79,20 @@ case class DecodeImageFeatures(child: Expression)
     val dataOff = le32(b, 10)
     val w = le32(b, 18)
     val hRaw = le32(b, 22) // negative = top-down; row order is irrelevant to the mean
-    val h = math.abs(hRaw)
+    val hL = math.abs(hRaw.toLong) // Long abs: |Int.MinValue| stays positive
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
     // BI_RGB only (0); 24 or 32 bpp — the codec-free subset
-    if (w <= 0 || h == 0 || compression != 0 || (bpp != 24 && bpp != 32)) return None
+    if (w <= 0 || hL <= 0 || compression != 0 || (bpp != 24 && bpp != 32)) return None
     val bytesPerPx = bpp / 8
-    val stride = ((w * bytesPerPx + 3) / 4) * 4 // rows pad to 4 bytes
-    if (dataOff < 0 || dataOff.toLong + stride.toLong * h > b.length) return None
+    // stride/size math in Long: a crafted header with w near 2^30 would
+    // overflow Int (stride 0/negative slips the bounds check, then the
+    // pixel loop indexes out of the array)
+    val strideL = ((w.toLong * bytesPerPx + 3) / 4) * 4 // rows pad to 4 bytes
+    if (dataOff < 0 || dataOff.toLong + strideL * hL > b.length) return None
+    // bounds verified against b.length ≤ Int.MaxValue, so these fit Int
+    val stride = strideL.toInt
+    val h = hL.toInt
     var sum = 0.0
     var row = 0
     while (row < h) {

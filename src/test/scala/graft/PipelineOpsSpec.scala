@@ -322,6 +322,58 @@ class PipelineOpsSpec extends SparkSpec {
     assert(d(4).isNullAt(1)) // unsupported bytes → NULL, not garbage
   }
 
+  test("real codec decode: PNG exact roundtrip, JPEG within codec tolerance") {
+    import graft.plans.ImageCodec
+    // lossless PNG: gray-valued RGB pixels decode back bit-exactly
+    val png = ImageCodec.grayPng(3, 2, (x, y) => 40 + 10 * (y * 3 + x))
+    // constant-color JPEG: minimal codec loss, w/h always exact
+    val jimg = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 8) jimg.setRGB(x, y, 0x646464) // gray 100
+    val jbaos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jimg, "jpeg", jbaos)
+    val rows = Seq(
+      (1L, png),
+      (2L, jbaos.toByteArray),
+      (3L, png.take(20)), // truncated PNG → decode failure → NULL
+      (4L, Array.fill[Byte](64)(0x41))) // junk → NULL
+    val d = rows.toDF("id", "media")
+      .select(col("id"), Multimodal.decodeFeatures(col("media")).as("f"))
+      .select(col("id"), col("f.format"), col("f.width"), col("f.height"), col("f.brightness"))
+      .orderBy("id").collect()
+    // PNG: pixels 40,50,60,70,80,90 → mean 65.0 exactly
+    assert(d(0).getString(1) == "png" && d(0).getLong(2) == 3 && d(0).getLong(3) == 2
+      && d(0).getDouble(4) == 65.0)
+    assert(d(1).getString(1) == "jpeg" && d(1).getLong(2) == 8 && d(1).getLong(3) == 4
+      && math.abs(d(1).getDouble(4) - 100.0) < 8.0)
+    assert(d(2).isNullAt(1))
+    assert(d(3).isNullAt(1))
+    // batchProcess takes the same codec path
+    val batch = Multimodal.batchProcess(
+        Multimodal.packMedia(rows.toDF("doc_id", "payload"), "doc_id", "payload", "image"))
+      .orderBy("media_id").collect()
+    assert(batch(0).getString(2) == "png" && batch(0).getDouble(5) == 65.0)
+    assert(batch(2).isNullAt(2) && batch(2).getLong(1) == 20L)
+  }
+
+  test("crafted BMP header with overflowing dimensions decodes to NULL, not a crash") {
+    // w = 2^30 − 1 so w*4 overflows Int; Long stride math must reject it
+    val b = new Array[Byte](128)
+    b(0) = 'B'; b(1) = 'M'
+    def le32(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    le32(10, 54) // data offset
+    le32(18, (1 << 30) - 1) // width
+    le32(22, Int.MinValue) // height: abs(Int.MinValue) trap
+    b(28) = 32 // bpp
+    le32(30, 0) // BI_RGB
+    val d = Seq((1L, b)).toDF("id", "media")
+      .select(Multimodal.decodeFeatures(col("media")).as("f"))
+      .select(col("f.format")).collect()
+    assert(d(0).isNullAt(0))
+  }
+
   test("cleanCorpus keeps one representative per near-dup cluster, drops junk") {
     import graft.operators.Pipelines
     val corpus = Seq(
@@ -353,6 +405,7 @@ class PipelineOpsSpec extends SparkSpec {
     val processed = Multimodal.batchProcess(media).collect()
     assert(processed.length == docsData.length)
     assert(processed.forall(_.getLong(1) > 0))
+    assert(processed.forall(_.isNullAt(2))) // text payloads: no image format
     val frames = media.select(Multimodal.frameSampleStub(col("media"), 3).as("f")).first().getSeq[String](0)
     assert(frames.length == 3 && frames.distinct.length == 3)
   }
