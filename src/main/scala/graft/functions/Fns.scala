@@ -47,16 +47,20 @@ object Fns {
     * 'g' flag; reference: src/parsing_duckdb.jl:159-163). Spark's
     * regexp_replace is global, so we anchor a lazy prefix capture: the ^
     * anchor can only match once, giving exactly one replacement. The
-    * wrapper group shifts the user's capture groups by one, so `$n`
-    * references in the replacement are rewritten to `$(n+1)` — a user's
-    * `$1` keeps meaning THEIR first group. `\`-escapes pass through
-    * untouched (same Java replacement-string semantics as
-    * strReplaceAll). */
+    * user's regex is wrapped in its own group too, so `$0` (whole
+    * match) stays expressible: groups become 1=prefix, 2=user's whole
+    * match, 3+=user groups — `$0` rewrites to `$2` and `$n` to
+    * `$(n+2)`, so a user's `$1` keeps meaning THEIR first group.
+    * `\`-escapes pass through untouched, and `${name}` named-group refs
+    * are unaffected (Java has no numeric brace form; names don't
+    * shift). Pattern-side backreferences (`\1` inside `re`) are out of
+    * scope — the reference's engine (RE2) never supported them. */
   def strReplace(c: Column, re: String, rep: String): Column =
-    regexp_replace(c, s"^((?s).*?)$re", "$1" + shiftGroupRefs(rep))
+    regexp_replace(c, s"^((?s).*?)($re)", "$1" + shiftGroupRefs(rep))
 
-  /** rewrite `$n` → `$(n+1)` in a Java regex replacement string,
-    * honoring `\x` escapes (so `\$` stays a literal dollar) */
+  /** rewrite `$n` → `$(n+2)` and `$0` → `$2` in a Java regex
+    * replacement string, honoring `\x` escapes (so `\$` stays a
+    * literal dollar) */
   private def shiftGroupRefs(rep: String): String = {
     val sb = new StringBuilder(rep.length + 4)
     var i = 0
@@ -67,7 +71,8 @@ object Fns {
       } else if (ch == '$' && i + 1 < rep.length && rep.charAt(i + 1).isDigit) {
         var j = i + 1
         while (j < rep.length && rep.charAt(j).isDigit) j += 1
-        sb.append('$').append(rep.substring(i + 1, j).toInt + 1)
+        val n = rep.substring(i + 1, j).toInt
+        sb.append('$').append(if (n == 0) 2 else n + 2)
         i = j
       } else { sb.append(ch); i += 1 }
     }

@@ -42,22 +42,52 @@ trait SliceVerbs { self: TidierFrame =>
   def sliceMin(c: String, n: Int = 1): TidierFrame = slice(c, n, asc = true)
 
   private def slice(c: String, n: Int, asc: Boolean): TidierFrame = {
-    val ord = if (asc) df.col(c).asc else df.col(c).desc
-    val w =
-      if (groups.isEmpty) Window.orderBy(ord)
-      else Window.partitionBy(groups.map(df.col): _*).orderBy(ord)
-    val ranked = df.withColumn(rankCol, rank().over(w))
-    reset(ranked.filter(col(rankCol) <= n).drop(rankCol))
+    require(n >= 1, s"slice needs n >= 1, got $n")
+    if (groups.nonEmpty) {
+      val ord = if (asc) df.col(c).asc else df.col(c).desc
+      val w = Window.partitionBy(groups.map(df.col): _*).orderBy(ord)
+      val ranked = df.withColumn(rankCol, rank().over(w))
+      reset(ranked.filter(col(rankCol) <= n).drop(rankCol))
+    } else {
+      // Ungrouped top-n-with-ties WITHOUT a single-task global window
+      // (Window.orderBy with no partitionBy pushes EVERY row through
+      // one task — a straggler-killer at scale). Instead: TakeOrdered
+      // finds the rank-n threshold (distributed partial top-n per
+      // partition, n rows reduced), then ONE narrow filter pass keeps
+      // ties. Keep-set is IDENTICAL to RANK() <= n incl. null
+      // ordering: asc = NULLS FIRST so nulls always tie at rank 1;
+      // desc = NULLS LAST so nulls qualify only when every non-null
+      // row already does (all non-nulls fit inside the limit).
+      val ord = if (asc) col("__graft_v").asc else col("__graft_v").desc
+      val firstN = df.select(df.col(c).as("__graft_v")).orderBy(ord).limit(n)
+      // fully-qualified: the TidierFrame `count` VERB shadows the agg fn
+      val thr = firstN.agg(
+        org.apache.spark.sql.functions.count(lit(1)).as("__graft_cnt"),
+        org.apache.spark.sql.functions.count(col("__graft_v")).as("__graft_nn"),
+        (if (asc) max(col("__graft_v")) else min(col("__graft_v"))).as("__graft_thr"))
+      val keep =
+        if (asc) df.col(c).isNull || df.col(c) <= col("__graft_thr")
+        else (df.col(c).isNotNull && df.col(c) >= col("__graft_thr")) ||
+          (df.col(c).isNull && col("__graft_nn") < col("__graft_cnt"))
+      // ONE-row broadcast nested-loop join (not an O(n²) cross join):
+      // the threshold row replicates to every task, the filter stays
+      // narrow and partition-parallel
+      reset(df.crossJoin(broadcast(thr)).filter(keep)
+        .drop("__graft_cnt", "__graft_nn", "__graft_thr"))
+    }
   }
 
   /** `@slice_sample(n)` — n random rows per group
     * (reference: src/slices_sq.jl:152-208). Seeded for testability
-    * (SURVEY §7.1 deviation: determinism over ORDER BY RANDOM()). */
+    * (SURVEY §7.1 deviation: determinism over ORDER BY RANDOM()).
+    * Ungrouped: TakeOrdered over rand(seed) — no single-task global
+    * window (same scale reasoning as [[slice]]). */
   def sliceSample(n: Int, seed: Long = 42L): TidierFrame = {
-    val w =
-      if (groups.isEmpty) Window.orderBy(rand(seed))
-      else Window.partitionBy(groups.map(df.col): _*).orderBy(rand(seed))
-    val ranked = df.withColumn(rankCol, row_number().over(w))
-    reset(ranked.filter(col(rankCol) <= n).drop(rankCol))
+    if (groups.isEmpty) reset(df.orderBy(rand(seed)).limit(n))
+    else {
+      val w = Window.partitionBy(groups.map(df.col): _*).orderBy(rand(seed))
+      val ranked = df.withColumn(rankCol, row_number().over(w))
+      reset(ranked.filter(col(rankCol) <= n).drop(rankCol))
+    }
   }
 }

@@ -122,8 +122,17 @@ object Streams {
   /** Running per-user totals across micro-batches — incremental state
     * (count, sum) per user, emitted once per batch the user appears in.
     * The mapGroupsWithState analog of a forever-running grouped
-    * aggregation, without the unbounded `complete`-mode result table. */
-  def runningUserTotals(events: DataFrame, watermark: String): DataFrame = {
+    * aggregation, without the unbounded `complete`-mode result table.
+    *
+    * State lifetime: with `idleTtl = None` per-user state lives for the
+    * stream's lifetime — bounded only by KEY CARDINALITY, not by the
+    * watermark (fine for bounded user populations, unbounded for
+    * e.g. session-scoped keys). Pass `idleTtl = Some("7 days")` to
+    * expire users idle past the TTL (event-time timeout keyed to last
+    * activity, the same bounded-state story as [[dedupStream]]); an
+    * expired user that reappears restarts from zero. */
+  def runningUserTotals(
+      events: DataFrame, watermark: String, idleTtl: Option[String] = scala.None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
@@ -131,14 +140,27 @@ object Streams {
       .select("event_id", "ts", "user_id", "event_type", "value")
       .withWatermark("ts", watermark)
       .as[Ev]
+    val timeout =
+      if (idleTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Double), UserRunning](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
+        case (_, _, state: GroupState[(Long, Double)]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
         case (uid, rows, state: GroupState[(Long, Double)]) =>
           val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
           var n = n0; var s = s0
-          rows.foreach { e => n += 1; s += e.value }
+          var lastTs = Long.MinValue
+          rows.foreach { e =>
+            n += 1; s += e.value
+            if (e.ts.getTime > lastTs) lastTs = e.ts.getTime
+          }
           state.update((n, s))
+          idleTtl.foreach { ttl =>
+            if (state.getCurrentWatermarkMs() >= 0)
+              state.setTimeoutTimestamp(lastTs, ttl)
+          }
           Iterator.single(UserRunning(uid, n, s))
       }
       .toDF()

@@ -176,11 +176,17 @@ class CoreVerbsSpec extends SparkSpec {
     val out = d.select(
         Fns.strReplace(col("s"), "([0-9]+)", "<$1>").as("r1"),
         Fns.strReplaceAll(col("s"), "([0-9]+)", "<$1>").as("rall"),
-        Fns.strReplace(col("s"), "[0-9]+", "#").as("plain"))
+        Fns.strReplace(col("s"), "[0-9]+", "#").as("plain"),
+        // $0 = the user regex's WHOLE match (not the internal prefix group)
+        Fns.strReplace(col("s"), "[0-9]+", "[$0]").as("whole"),
+        // \$ escape survives the rewrite as a literal dollar
+        Fns.strReplace(col("s"), "[0-9]+", "\\$1x").as("esc"))
       .first()
     assert(out.getString(0) == "abc<123>def456")
     assert(out.getString(1) == "abc<123>def<456>")
     assert(out.getString(2) == "abc#def456")
+    assert(out.getString(3) == "abc[123]def456")
+    assert(out.getString(4) == "abc$1xdef456")
   }
 
   test("summarize() with no aggregates returns distinct group keys") {

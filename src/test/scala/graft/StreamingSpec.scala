@@ -90,6 +90,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningUserTotals idleTtl expires idle users; reappearance restarts from zero") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streams.Ev]
+    val out = Streams.runningUserTotals(
+      input.toDF(), watermark = "10 minutes", idleTtl = Some("30 minutes"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("running_ttl_out").start()
+    try {
+      def ev(id: Long, tsMin: Long, u: Long, v: Double) =
+        Streams.Ev(id, new java.sql.Timestamp(tsMin * 60000L), u, "click", v)
+      input.addData(ev(1, 10, 1, 1.0), ev(2, 11, 1, 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past user 1's TTL (last seen 11min,
+      // ttl 30min → expiry at 41min; watermark = 200 - 10 = 190min)
+      input.addData(ev(3, 200, 2, 5.0))
+      q.processAllAvailable()
+      // user 1 reappears AFTER expiry: totals restart, no carry-over
+      input.addData(ev(4, 201, 1, 4.0))
+      q.processAllAvailable()
+      val u1 = spark.table("running_ttl_out").collect()
+        .filter(_.getLong(0) == 1L).map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(u1 == Set((2L, 3.0), (1L, 4.0))) // (fresh state, not (3, 7.0))
+    } finally q.stop()
+  }
+
   test("sessionize produces gap-bounded sessions") {
     val events = spark.read.schema(Streams.eventsSchema).parquet(s"$sf001/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -56,6 +56,34 @@ class WindowReshapeSpec extends SparkSpec {
     assert(out.count() == 3) // both a-3 rows kept + b-9
   }
 
+  test("ungrouped slice: rank-ties semantics incl. nulls, and NO global window in the plan") {
+    val d = Seq[(String, java.lang.Integer)](
+      ("a", 3), ("b", 3), ("c", 2), ("d", 9), ("e", null), ("f", null)
+    ).toDF("k", "v")
+    // sliceMax n=1: max is 9, no ties; nulls sort LAST under desc → dropped
+    val mx = Tidier.from(d).sliceMax("v", 1).collect().map(_.getString(0)).toSeq
+    assert(mx == Seq("d"))
+    // sliceMax n=5: 9,3,3,2 kept (ranks 1,2,2,4), nulls rank 5,5 → kept too
+    val mx5 = Tidier.from(d).sliceMax("v", 5).df.count()
+    assert(mx5 == 6)
+    // sliceMin n=1: asc = NULLS FIRST → both nulls tie at rank 1, 2 excluded
+    val mn = Tidier.from(d).sliceMin("v", 1).collect().map(_.getString(0)).toSet
+    assert(mn == Set("e", "f"))
+    // sliceMin n=3: nulls (rank 1,1) + value 2 (rank 3); the 3s rank 4 → out
+    val mn3 = Tidier.from(d).sliceMin("v", 3).collect().map(_.getString(0)).toSet
+    assert(mn3 == Set("e", "f", "c"))
+    // ties extension: duplicate max values ALL kept
+    val ties = Seq(("a", 3), ("b", 3), ("c", 2)).toDF("k", "v")
+    assert(Tidier.from(ties).sliceMax("v", 1).df.count() == 2)
+    // scale shape: no single-task WindowExec; TakeOrdered carries the sort
+    val plan = Tidier.from(d).sliceMax("v", 1).df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"ungrouped slice must not plan a global window:\n$plan")
+    assert(plan.contains("TakeOrdered"), s"expected TakeOrdered threshold pass:\n$plan")
+    val samplePlan = Tidier.from(d).sliceSample(2).df.queryExecution.executedPlan.toString
+    assert(!samplePlan.contains("Window") && samplePlan.contains("TakeOrdered"))
+    assert(Tidier.from(d).sliceSample(2, seed = 9L).df.count() == 2)
+  }
+
   test("sliceSample deterministic with seed and respects n") {
     val d = (1 to 100).map(i => (if (i % 2 == 0) "even" else "odd", i)).toDF("g", "v")
     val s1 = Tidier.from(d).groupBy("g").sliceSample(3, seed = 7L).collect().map(_.getInt(1)).toSeq
