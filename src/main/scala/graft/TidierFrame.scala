@@ -63,13 +63,24 @@ final case class TidierFrame(
   def collect(): Array[org.apache.spark.sql.Row] = df.collect()
   def show(n: Int = 20): Unit = df.show(n, truncate = false)
   /** `@show_query` analog (reference: src/TidierDB_macros.jl:508-569).
-    * Spark has no plan→SQL unparser, so the user-facing "query text" is
-    * the explain output; `mode` accepts Spark's explain modes
-    * ("simple", "extended", "codegen", "cost", "formatted"). Returns
-    * the text (and prints it) so tooling can capture it. */
-  def showQuery(mode: String = "formatted"): String = {
-    val text = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString(mode))
+    * Default mode "sql" unparses the analyzed plan to readable SQL-ish
+    * text ([[graft.plans.SqlPrinter]]) — the reference's user-facing
+    * artifact is the finalized SQL, so that's the default here too; if
+    * the plan contains something the printer can't express, it falls
+    * back to formatted explain. `mode` also accepts Spark's explain
+    * modes ("simple", "extended", "codegen", "cost", "formatted").
+    * Returns the text (and prints it) so tooling can capture it. */
+  def showQuery(mode: String = "sql"): String = {
+    val text =
+      if (mode == "sql")
+        try graft.plans.SqlPrinter.toSql(df.queryExecution.analyzed)
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        }
+      else df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString(mode))
     println(text)
     text
   }

@@ -66,6 +66,41 @@ class SinksSpec extends SparkSpec {
   }
 
   test("showQuery/explain does not throw") {
-    Tidier.from(df).filter(col("k") > 0).showQuery()
+    Tidier.from(df).filter(col("k") > 0).showQuery("formatted")
+  }
+
+  test("showQuery('sql') unparses a filter+join+agg chain into readable clauses") {
+    val orders = Seq((1, 10, 100.0), (2, 10, 50.0), (3, 20, 75.0))
+      .toDF("o_id", "cust_id", "amount")
+    val cust = Seq((10, "alice"), (20, "bob")).toDF("cust_id", "name")
+    val q = Tidier.from(orders)
+      .filter(col("amount") > 60.0)
+      .innerJoin(Tidier.from(cust), graft.operators.JoinKey("cust_id"))
+      .groupBy("name")
+      .summarize("total" -> sum(col("amount")), "n" -> count(lit(1)))
+      .filter(col("n") >= 1)
+      .arrange("name")
+    val sql = q.showQuery()
+    // clause skeleton, in order
+    // every clause present (WHERE fuses into the join's left subquery —
+    // that's correct SQL, so no global-position assertion on it)
+    Seq("SELECT", "FROM", "JOIN", "WHERE", "GROUP BY", "HAVING", "ORDER BY")
+      .foreach(k => assert(sql.contains(k), s"missing $k in:\n$sql"))
+    // top-level skeleton in order: GROUP BY after the join, HAVING after
+    // GROUP BY, ORDER BY last
+    val skel = Seq("JOIN", "GROUP BY", "HAVING", "ORDER BY").map(sql.indexOf)
+    assert(skel == skel.sorted && skel.forall(_ >= 0), s"skeleton out of order:\n$sql")
+    // the pieces a user must be able to read back
+    assert(sql.contains("GROUP BY") && sql.contains("name"), sql)
+    assert(sql.toLowerCase.contains("sum("), sql)
+    assert(sql.contains("AS total"), sql)
+    // ungrammatical plans must FALL BACK, not throw: a Window node
+    val w = Tidier.from(orders).groupBy("cust_id").windowOrder(col("o_id"))
+      .mutate("rn" -> row_number())
+    val wsql = w.showQuery()
+    assert(wsql.nonEmpty)
+    // set ops render as UNION ALL subqueries
+    val u = Tidier.from(orders).select("o_id").unionAll(Tidier.from(orders).select("o_id"))
+    assert(u.showQuery().contains("UNION ALL"))
   }
 }
