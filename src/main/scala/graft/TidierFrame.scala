@@ -131,6 +131,39 @@ object Tidier {
   def read(spark: SparkSession, paths: Seq[String]): TidierFrame =
     TidierFrame(spark.read.parquet(paths: _*))
 
+  /** Explicit-schema scan: for CSV/JSON, schema INFERENCE is a second
+    * full pass over the file — at 100 TB that doubles the scan. Passing
+    * the schema makes the read single-pass (and is a no-op speedup for
+    * parquet, whose schema is in the footer). */
+  def read(spark: SparkSession, path: String,
+           schema: org.apache.spark.sql.types.StructType): TidierFrame = {
+    val lower = path.toLowerCase.stripSuffix("/")
+    val df =
+      if (lower.endsWith(".csv") || lower.endsWith(".csv.gz"))
+        spark.read.option("header", "true").schema(schema).csv(path)
+      else if (lower.endsWith(".json") || lower.endsWith(".ndjson"))
+        spark.read.schema(schema).json(path)
+      else spark.read.schema(schema).parquet(path)
+    TidierFrame(df)
+  }
+
+  /** Sampled-inference scan: keep inference but only read
+    * `samplingRatio` of the data for it — the middle ground when the
+    * schema isn't known but a full inference pass is too expensive. */
+  def read(spark: SparkSession, path: String, samplingRatio: Double): TidierFrame = {
+    require(samplingRatio > 0.0 && samplingRatio <= 1.0,
+      s"samplingRatio must be in (0, 1], got $samplingRatio")
+    val lower = path.toLowerCase.stripSuffix("/")
+    val df =
+      if (lower.endsWith(".csv") || lower.endsWith(".csv.gz"))
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .option("samplingRatio", samplingRatio.toString).csv(path)
+      else if (lower.endsWith(".json") || lower.endsWith(".ndjson"))
+        spark.read.option("samplingRatio", samplingRatio.toString).json(path)
+      else spark.read.parquet(path)
+    TidierFrame(df)
+  }
+
   /** Explicit-format scan — the `iceberg_scan` / `delta_scan` analog
     * (reference: src/TidierDB.jl:161-169, 209-212). Lakehouse formats
     * dispatch through Spark's pluggable DataSource registry; when the

@@ -65,6 +65,24 @@ class SinksSpec extends SparkSpec {
     assert(Tidier.read(spark, s"$p/t.parquet", "parquet").df.count() == 1)
   }
 
+  test("explicit-schema CSV read skips inference; samplingRatio read stays typed") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft_schema").toString
+    Seq((1, "7"), (2, "8")).toDF("k", "v").write
+      .option("header", "true").mode("overwrite").csv(s"$tmp/s.csv")
+    // v declared STRING: values look numeric, so if inference ran it
+    // would come back IntegerType — staying StringType proves the
+    // inference pass was skipped
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val tf = Tidier.read(spark, s"$tmp/s.csv", schema)
+    assert(tf.df.schema == schema)
+    assert(tf.df.orderBy("k").collect().map(_.getString(1)).toSeq == Seq("7", "8"))
+    // sampled inference still types the columns
+    val sampled = Tidier.read(spark, s"$tmp/s.csv", 0.5)
+    assert(sampled.df.schema("k").dataType != StringType)
+  }
+
   test("showQuery/explain does not throw") {
     Tidier.from(df).filter(col("k") > 0).showQuery("formatted")
   }
