@@ -140,6 +140,13 @@ object Dedup {
     *
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
     */
+  /** `saltBuckets`: 1 = no salting, N>1 = manual salt factor for hot
+    * band keys, 0 = AUTO — histogram-probe the band key
+    * ([[ScaleOps.autoSaltBuckets]], one cheap agg on the materialized
+    * signature frame) and salt only if some band exceeds
+    * `autoSaltThreshold` docs (a band with n docs is an n² join task;
+    * boilerplate-heavy corpora routinely put thousands of docs on one
+    * band). */
   def minHashDupPairs(
       df: DataFrame,
       idCol: String,
@@ -149,7 +156,9 @@ object Dedup {
       bands: Int = 6,
       threshold: Double = 0.5,
       materialize: Materialize = Materialize.Cache,
-      saltBuckets: Int = 1): DataFrame = {
+      saltBuckets: Int = 1,
+      autoSaltThreshold: Long = 4096L): DataFrame = {
+    require(saltBuckets >= 0, s"saltBuckets must be >= 0 (0 = auto), got $saltBuckets")
     // Small inputs often arrive as fewer splits than cores (a single
     // parquet file at bench scale); the shingling pass is the expensive
     // stage, so spread it. At corpus scale input splits >> cores and
@@ -180,12 +189,15 @@ object Dedup {
     // via ScaleOps.saltedForJoin — the replicated side guarantees the
     // pair set is IDENTICAL to the unsalted join, only the task-level
     // skew changes.
+    val resolvedSalt =
+      if (saltBuckets == 0) ScaleOps.autoSaltBuckets(sig, "band", autoSaltThreshold)
+      else saltBuckets
     val l = sig.select(col("band"), col("id").as("id_a"))
     val r = sig.select(col("band"), col("id").as("id_b"))
     val joined =
-      if (saltBuckets <= 1) l.join(r, Seq("band"))
+      if (resolvedSalt <= 1) l.join(r, Seq("band"))
       else {
-        val (sl, sr, keys) = ScaleOps.saltedForJoin(l, r, "band", saltBuckets)
+        val (sl, sr, keys) = ScaleOps.saltedForJoin(l, r, "band", resolvedSalt)
         sl.join(sr, keys)
       }
     val cand = joined

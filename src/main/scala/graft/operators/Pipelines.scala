@@ -35,7 +35,9 @@ object Pipelines {
       numHashes: Int = 12,
       bands: Int = 6,
       jaccardThreshold: Double = 0.7,
-      materialize: Dedup.Materialize = Dedup.Materialize.Cache): DataFrame = {
+      materialize: Dedup.Materialize = Dedup.Materialize.Cache,
+      saltBuckets: Int = 0, // 0 = auto-detect band skew (ScaleOps.autoSaltBuckets)
+      localEdgeLimit: Long = 2000000L): DataFrame = {
     import Dedup.Materialize
     val filteredRaw = Dedup.exactDedup(
       docs
@@ -59,11 +61,12 @@ object Pipelines {
     val pairs = Dedup.minHashDupPairs(
       filtered, idCol, textCol,
       shingleSize = shingleSize, numHashes = numHashes, bands = bands,
-      threshold = jaccardThreshold, materialize = inner)
+      threshold = jaccardThreshold, materialize = inner,
+      saltBuckets = saltBuckets)
     // dupClustersClosure is eager in both paths (driver union-find
     // collects; the distributed loop counts each round), so `pairs` is
     // fully consumed once it returns and its cache can go immediately.
-    val clusters = Dedup.dupClustersClosure(pairs)
+    val clusters = Dedup.dupClustersClosure(pairs, localEdgeLimit = localEdgeLimit)
     pairs.unpersist()
     val dropped = clusters
       .filter(col("id") =!= col("rep"))

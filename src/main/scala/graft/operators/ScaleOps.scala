@@ -53,6 +53,30 @@ object ScaleOps {
     (saltedLarge, explodedSmall, Seq(key, "__salt"))
   }
 
+  /** Histogram-probe a join key and pick a salt factor: ONE cheap
+    * aggregation (partial/final count on the key — the probe is a
+    * rounding error next to the join it protects), then a driver
+    * decision. Returns 1 (no salting) while the hottest key holds at
+    * most `hotKeyThreshold` rows; above that, enough buckets to bound
+    * the per-(key,salt) task at ~`hotKeyThreshold` rows, capped at
+    * `maxBuckets` (salting replicates the small side ×buckets — past
+    * the task-count win that replication is pure overhead).
+    *
+    * Probe the MATERIALIZED side of the join: on an uncached frame the
+    * extra action replays the upstream plan. */
+  def autoSaltBuckets(
+      df: DataFrame,
+      key: String,
+      hotKeyThreshold: Long = 4096L,
+      maxBuckets: Int = 64): Int = {
+    require(hotKeyThreshold >= 1, s"hotKeyThreshold must be >= 1, got $hotKeyThreshold")
+    val mx = df.groupBy(key).count()
+      .agg(max(col("count")).as("mx")).first()
+    val hot = if (mx.isNullAt(0)) 0L else mx.getLong(0)
+    if (hot <= hotKeyThreshold) 1
+    else math.min(maxBuckets.toLong, (hot + hotKeyThreshold - 1) / hotKeyThreshold).toInt
+  }
+
   /** Convenience: salted inner equi-join, salt column dropped. */
   def saltedInnerJoin(
       large: DataFrame,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Multimodal, ScaleOps, Similarity}
 
 /** Training-data pipeline operators: dedup family, similarity search,
   * text analysis, multimodal plumbing. */
@@ -81,6 +81,29 @@ class PipelineOpsSpec extends SparkSpec {
     val local = Dedup.dupClustersClosure(chain.toDF("id_a", "id_b", "jaccard"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(local.sorted.toSeq == cl.sorted.toSeq)
+  }
+
+  test("band-skew auto salting: probe detects the hot band, pair set identical to unsalted") {
+    // 30 IDENTICAL boilerplate docs → identical shingle sets → every
+    // band key carries all 30 (the n² hot-band case the salting splits)
+    val boiler = "subscribe to our newsletter for the latest updates and offers today"
+    val corpus = ((1 to 30).map(i => (i.toLong, boiler)) ++ Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and runs away"),
+      (101L, "a completely different document about spark engines and data")
+    )).toDF("doc_id", "text")
+    val unsalted = Dedup.minHashDupPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = Dedup.minHashDupPairs(corpus, "doc_id", "text", threshold = 0.5,
+        saltBuckets = 0, autoSaltThreshold = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == unsalted)
+    assert(unsalted.contains((1L, 2L))) // the boilerplate cluster is really there
+    // the probe decision itself
+    val skewed = ((1 to 100).map(i => ("hot", i)) ++ Seq(("cold", 1))).toDF("band", "x")
+    assert(ScaleOps.autoSaltBuckets(skewed, "band", hotKeyThreshold = 10L) == 10)
+    assert(ScaleOps.autoSaltBuckets(skewed, "band", hotKeyThreshold = 1000L) == 1)
+    assert(ScaleOps.autoSaltBuckets(skewed, "band", hotKeyThreshold = 1L, maxBuckets = 16) == 16)
+    assert(ScaleOps.autoSaltBuckets(skewed.limit(0), "band") == 1) // empty → no salt
   }
 
   test("dupClustersClosure keeps string ids and their type on both paths") {
