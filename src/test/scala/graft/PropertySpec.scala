@@ -129,6 +129,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("mutate substitution chain matches an eager per-column fold (randomized)") {
+    // Random sequences of overwrite / append / self-reference mutates in
+    // ONE mutate(...) call, checked against the obvious model: fold the
+    // definitions left-to-right over a per-row environment (dplyr
+    // sees-earlier-columns semantics). Catches the edge cases the
+    // single-projection substitution must get right: an overwrite that
+    // reads its own OLD value and an earlier NEW column in the same
+    // expression, double overwrites, references to appended names.
+    import org.apache.spark.sql.Column
+    val base = Seq((1L, 2L, 3L), (4L, 5L, 6L), (-2L, 7L, 0L)).toDF("a", "b", "c")
+    val baseRows = Seq(
+      Map("a" -> 1L, "b" -> 2L, "c" -> 3L),
+      Map("a" -> 4L, "b" -> 5L, "c" -> 6L),
+      Map("a" -> -2L, "b" -> 7L, "c" -> 0L))
+    val pool = Vector("a", "b", "c", "d", "e")
+    final case class Op(target: String, kind: Int, r1: String, r2: String, k: Long)
+    def genOps(seed: Long): Seq[Op] = {
+      val rnd = new scala.util.Random(seed)
+      val avail = scala.collection.mutable.ArrayBuffer("a", "b", "c")
+      (0 until (2 + rnd.nextInt(6))).map { _ =>
+        val target = pool(rnd.nextInt(pool.length))
+        val op = Op(target, rnd.nextInt(4),
+          avail(rnd.nextInt(avail.length)), avail(rnd.nextInt(avail.length)),
+          rnd.nextInt(10).toLong)
+        if (!avail.contains(target)) avail += target
+        op
+      }
+    }
+    def colOf(o: Op): Column = o.kind match {
+      case 0 => col(o.r1) + col(o.r2)
+      case 1 => col(o.r1) * lit(2L) + lit(1L)
+      case 2 => col(o.r1) - col(o.r2)
+      case _ => lit(o.k)
+    }
+    def eval(o: Op, env: Map[String, Long]): Long = o.kind match {
+      case 0 => env(o.r1) + env(o.r2)
+      case 1 => env(o.r1) * 2 + 1
+      case 2 => env(o.r1) - env(o.r2)
+      case _ => o.k
+    }
+    (0 until 40).foreach { i =>
+      val ops = genOps(1000L + i)
+      val outOrder = Seq("a", "b", "c") ++
+        ops.map(_.target).distinct.filterNot(Seq("a", "b", "c").contains)
+      val out = Tidier.from(base).mutate(ops.map(o => o.target -> colOf(o)): _*).df
+      assert(out.columns.toSeq == outOrder, s"seed $i: column order, ops=$ops")
+      val expected = baseRows.map { r0 =>
+        val env = ops.foldLeft(r0)((e, o) => e + (o.target -> eval(o, e)))
+        outOrder.map(env)
+      }
+      val got = out.collect().map(r => outOrder.indices.map(r.getLong(_)).toSeq).toSeq
+      assert(got == expected, s"seed $i: values, ops=$ops")
+    }
+  }
+
   test("pivot round-trip law on generated key-value grids") {
     forAll(Gen.listOfN(4, Gen.choose(0, 100))) { vs =>
       whenever(vs.size == 4) {

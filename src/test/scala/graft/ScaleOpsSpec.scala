@@ -86,6 +86,32 @@ class ScaleOpsSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_mh_bases")
   }
 
+  test("cleanCorpus materialize modes agree: Cache vs None vs BucketedTable") {
+    import graft.operators.Pipelines
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    def survivors(m: Dedup.Materialize): Set[Long] =
+      Pipelines.cleanCorpus(docs, "doc_id", "text",
+          minQuality = 0.3, langs = Seq("en"), jaccardThreshold = 0.4,
+          materialize = m)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaCache = survivors(Dedup.Materialize.Cache)
+    assert(viaCache.nonEmpty)
+    assert(survivors(Dedup.Materialize.None) == viaCache)
+    // the 100 TB path: filtered corpus + shingle payload both land in
+    // bucketed tables (nothing pinned in executor memory)
+    assert(survivors(Dedup.Materialize.BucketedTable("graft_cc_filtered", 4)) == viaCache)
+    assert(spark.catalog.tableExists("graft_cc_filtered"))
+    assert(spark.catalog.tableExists("graft_cc_filtered__shingles"))
+    spark.sql("DROP TABLE graft_cc_filtered")
+    spark.sql("DROP TABLE graft_cc_filtered__shingles")
+    // Cache mode must leave nothing pinned but the returned result
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Pipelines.cleanCorpus(docs, "doc_id", "text",
+      minQuality = 0.3, langs = Seq("en"), jaccardThreshold = 0.4)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1)
+    out.unpersist(blocking = true)
+  }
+
   test("pair finders release their intermediates (eager-result-and-release)") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val before = spark.sparkContext.getPersistentRDDs.size
