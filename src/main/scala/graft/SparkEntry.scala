@@ -656,6 +656,30 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // PII scrub: inject deterministic synthetic PII (email/IP/phone
+    // derived from doc_id) into real text, redact, gate the cleaned
+    // string byte-for-byte — regexes are RE2-subset so the oracle
+    // reproduces them verbatim with the 'g' flag
+    "q_text_redact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .mutate("dirty" -> concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit(".7 or call +1 (555) 123-"), pmod(col("doc_id"), lit(10000L)).cast("string")))
+        .transmute(
+          "doc_id" -> col("doc_id"),
+          "clean" -> TextFns.redactPii(col("dirty")))
+        .arrange("doc_id")
+        .df),
+
+    // corpus vocabulary: term → document frequency (the DF half of
+    // TF-IDF); one count shuffle on the term
+    "q_text_df" -> ((s, dir) =>
+      Tidier.from(TextFns.termDocFreq(t(s, dir, "documents").df, "text"))
+        .arrange("term")
+        .df),
+
     "q_text_quality" -> ((s, dir) =>
       t(s, dir, "documents")
         .mutate(
@@ -1112,6 +1136,21 @@ object SparkEntry {
          |  CAST(list_sum(list_transform($tkExpr, t -> 1 + len(t) // 6)) AS BIGINT) AS n_tok_bpe,
          |  md5(array_to_string(list_sort(list_distinct($tkExpr)), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || doc_id || '@example.com or 10.0.'
+        |      || (doc_id % 256) || '.7 or call +1 (555) 123-' || (doc_id % 10000),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b(\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+        |    '\+?\d[\d .()-]{7,}\d', '[PHONE]', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_df" ->
+      s"""SELECT term, COUNT(*) AS doc_freq FROM (
+         |  SELECT doc_id, unnest(list_distinct($tkExpr)) AS term FROM documents)
+         |GROUP BY term ORDER BY term ASC NULLS FIRST""".stripMargin,
 
     "q_text_quality" ->
       s"""WITH base AS (SELECT doc_id, text, $tkExpr AS tk FROM documents)

@@ -132,6 +132,37 @@ object TextFns {
     round((lenScore + punctScore + wordScore) / 3d, 6)
   }
 
+  // ---- PII redaction ---------------------------------------------------
+
+  /** Redact common PII spans with typed tags: emails → `[EMAIL]`,
+    * IPv4 addresses → `[IP]`, phone-ish digit runs → `[PHONE]`. Order
+    * matters: emails first (their local part can contain digits),
+    * then IPs (so a phone pattern can't swallow the octets), phones
+    * last. Narrow, codegen'd, one row pass — the standard scrub stage
+    * before training-data export. Regexes stay inside RE2's subset
+    * (no lookarounds/backrefs) so an external SQL engine reproduces
+    * them verbatim. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]")
+    val ip = regexp_replace(email,
+      "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]")
+    regexp_replace(ip,
+      "\\+?\\d[\\d .()-]{7,}\\d", "[PHONE]")
+  }
+
+  // ---- corpus statistics -----------------------------------------------
+
+  /** Term → document-frequency table: in how many documents does each
+    * token appear (the DF half of TF-IDF, the standard vocabulary
+    * artifact for corpus filtering). Per-row distinct-token explode,
+    * then ONE count shuffle on the term — no doc_id in the wide stage,
+    * so the shuffled payload is just terms. */
+  def termDocFreq(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(array_distinct(tokens(df.col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"))
+
   // ---- language identification ----------------------------------------
 
   /** marker words per language (tiny n-gram heuristic; deterministic) */

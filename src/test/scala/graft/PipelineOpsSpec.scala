@@ -397,6 +397,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(d(0).isNullAt(0))
   }
 
+  test("redactPii masks emails, IPs, phones; clean text untouched") {
+    val d = Seq(
+      (1L, "reach me at john.doe+spam@mail.example.org today"),
+      (2L, "server at 192.168.001.250 rebooted"),
+      (3L, "call +44 (0) 7911 123456 now"),
+      (4L, "no pii here just words")
+    ).toDF("id", "t")
+    val out = d.select(col("id"), TextFns.redactPii(col("t")).as("r"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(out(0) == "reach me at [EMAIL] today")
+    assert(out(1) == "server at [IP] rebooted")
+    assert(out(2) == "call [PHONE] now")
+    assert(out(3) == "no pii here just words")
+  }
+
+  test("termDocFreq counts documents, not occurrences") {
+    val d = Seq((1L, "spark spark is fast"), (2L, "spark is neat")).toDF("id", "t")
+    val m = TextFns.termDocFreq(d, "t").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("spark" -> 2L, "is" -> 2L, "fast" -> 1L, "neat" -> 1L))
+  }
+
   test("cleanCorpus keeps one representative per near-dup cluster, drops junk") {
     import graft.operators.Pipelines
     val corpus = Seq(
