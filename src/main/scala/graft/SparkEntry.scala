@@ -780,6 +780,20 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // same pipeline, production representative policy: keep the
+    // HIGHEST-QUALITY member of each duplicate cluster (ties → lowest
+    // id) instead of the lowest id — oracle re-derives the winner with
+    // a window over the recursive-CTE clusters
+    "q_pipeline_rep" -> ((s, dir) =>
+      Tidier.from(
+          Pipelines.cleanCorpus(
+            t(s, dir, "documents").df, "doc_id", "text",
+            minQuality = 0.5, langs = Seq("en"), jaccardThreshold = 0.4,
+            repPolicy = Pipelines.RepPolicy.Best(df => TextFns.qualityScore(df.col("text")))))
+        .select("doc_id")
+        .arrange("doc_id")
+        .df),
+
     // =====================================================================
     // training-data pipeline ops: similarity search
     // =====================================================================
@@ -986,8 +1000,11 @@ object SparkEntry {
     * floor + language allowlist + exact dedup (the filtered CTE), the
     * MinHash pair chain over the survivors, then transitive duplicate
     * clusters via a RECURSIVE reachability CTE — survivors are docs
-    * that are their own cluster minimum (or unclustered). */
-  private def pipelineOracle: String = {
+    * that are their own cluster minimum (or unclustered). With
+    * `bestRep` the survivor of each cluster is instead the member
+    * maximizing the quality score (ties → lowest id), mirroring
+    * `RepPolicy.Best(qualityScore)`. */
+  private def pipelineOracle(bestRep: Boolean = false): String = {
     val minQ = 0.5; val thr = 0.4
     val qualityExpr =
       """round((least(length(text)::DOUBLE / 500.0, 1.0)
@@ -1008,7 +1025,7 @@ object SparkEntry {
        |    len(list_filter(tk, t -> list_contains(['de','shi','le','zai'], t))) AS s_zh
        |  FROM base
        |), filtered AS (
-       |  SELECT doc_id, text FROM scored
+       |  SELECT doc_id, text, quality FROM scored
        |  WHERE quality >= $minQ
        |    AND (CASE WHEN greatest(s_en,s_es,s_fr,s_de,s_zh) = 0 THEN 'und'
        |              WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
@@ -1029,9 +1046,23 @@ object SparkEntry {
        |), rep AS (
        |  SELECT a AS id, LEAST(a, MIN(b)) AS rep FROM reach GROUP BY a
        |)
-       |SELECT doc_id FROM filtered
-       |WHERE doc_id NOT IN (SELECT id FROM rep WHERE rep < id)
-       |ORDER BY doc_id""".stripMargin
+       |${
+      if (!bestRep)
+        """SELECT doc_id FROM filtered
+          |WHERE doc_id NOT IN (SELECT id FROM rep WHERE rep < id)
+          |ORDER BY doc_id""".stripMargin
+      else
+        """SELECT doc_id FROM filtered
+          |WHERE doc_id NOT IN (SELECT id FROM rep)
+          |   OR doc_id IN (
+          |     SELECT id FROM (
+          |       SELECT r.id,
+          |         ROW_NUMBER() OVER (PARTITION BY r.rep
+          |           ORDER BY f.quality DESC, r.id ASC) AS rn
+          |       FROM rep r JOIN filtered f ON f.doc_id = r.id)
+          |     WHERE rn = 1)
+          |ORDER BY doc_id""".stripMargin
+    }""".stripMargin
   }
 
   /** DuckDB mirror of the portable SimHash pipeline: 60-bit signature
@@ -1209,7 +1240,9 @@ object SparkEntry {
 
     "q_dedup_minhash" -> minhashOracle(shingleK = 3, numHashes = 12, bands = 6, threshold = 0.4),
 
-    "q_pipeline_clean" -> pipelineOracle,
+    "q_pipeline_clean" -> pipelineOracle(),
+
+    "q_pipeline_rep" -> pipelineOracle(bestRep = true),
 
     "q_dedup_ngram" -> minhashOracle(shingleK = 2, numHashes = 12, bands = 12, threshold = 0.2),
 

@@ -11,6 +11,20 @@ import graft.functions.TextFns
   */
 object Pipelines {
 
+  /** Which member of a duplicate cluster survives.
+    *  - [[RepPolicy.MinId]]: the lowest id (cheap, deterministic — the
+    *    reference-style default).
+    *  - [[RepPolicy.Best]]: the member maximizing `score(filtered)`
+    *    (ties → lowest id) — what production corpus pipelines actually
+    *    want ("keep the highest-quality copy, drop the rest"). Costs
+    *    one narrow score pass over cluster MEMBERS only (a tiny
+    *    fraction of the corpus) plus a per-cluster window. */
+  sealed trait RepPolicy
+  object RepPolicy {
+    case object MinId extends RepPolicy
+    final case class Best(score: DataFrame => org.apache.spark.sql.Column) extends RepPolicy
+  }
+
   /** Corpus cleaning: quality floor → language allowlist → exact dedup
     * → near-dup clustering → keep one representative per cluster.
     *
@@ -37,7 +51,8 @@ object Pipelines {
       jaccardThreshold: Double = 0.7,
       materialize: Dedup.Materialize = Dedup.Materialize.Cache,
       saltBuckets: Int = 0, // 0 = auto-detect band skew (ScaleOps.autoSaltBuckets)
-      localEdgeLimit: Long = 2000000L): DataFrame = {
+      localEdgeLimit: Long = 2000000L,
+      repPolicy: RepPolicy = RepPolicy.MinId): DataFrame = {
     import Dedup.Materialize
     val filteredRaw = Dedup.exactDedup(
       docs
@@ -68,9 +83,25 @@ object Pipelines {
     // fully consumed once it returns and its cache can go immediately.
     val clusters = Dedup.dupClustersClosure(pairs, localEdgeLimit = localEdgeLimit)
     pairs.unpersist()
-    val dropped = clusters
-      .filter(col("id") =!= col("rep"))
-      .select(col("id").as(idCol))
+    val dropped = repPolicy match {
+      case RepPolicy.MinId =>
+        clusters
+          .filter(col("id") =!= col("rep"))
+          .select(col("id").as(idCol))
+      case RepPolicy.Best(score) =>
+        // score only the cluster MEMBERS (clusters is tiny next to the
+        // corpus): semi-shaped join pulls scores from the materialized
+        // filtered frame, then one per-cluster window picks the keeper
+        val scored = filtered
+          .select(filtered.col(idCol).as("id"), score(filtered).as("__score"))
+        val members = clusters.select("id", "rep").join(scored, Seq("id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("rep")).orderBy(col("__score").desc, col("id").asc)
+        members
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") =!= 1)
+          .select(col("id").as(idCol))
+    }
     val survivors = filtered.join(dropped, Seq(idCol), "left_anti")
     materialize match {
       case Materialize.Cache =>

@@ -435,6 +435,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Set(1L, 6L)) // 2 clustered into 1, 3 exact-dup'd, 4 lang, 5 junk
   }
 
+  test("cleanCorpus RepPolicy.Best keeps the highest-quality cluster member, not the lowest id") {
+    import graft.operators.Pipelines
+    // doc 2 is a near-dup of doc 1 but LONGER → higher length-driven
+    // quality score; MinId keeps 1, Best must keep 2
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away home tonight again"),
+      (3L, "a completely different and is of the sentence about spark engines and the data processing")
+    ).toDF("doc_id", "text")
+    val minId = Pipelines.cleanCorpus(corpus, "doc_id", "text",
+        minQuality = 0.3, langs = Seq("en"), jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 3L))
+    val best = Pipelines.cleanCorpus(corpus, "doc_id", "text",
+        minQuality = 0.3, langs = Seq("en"), jaccardThreshold = 0.5,
+        repPolicy = Pipelines.RepPolicy.Best(df => TextFns.qualityScore(df.col("text"))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(best == Set(2L, 3L))
+  }
+
   test("multimodal plumbing: pack → decode stub → batchProcess") {
     val media = Multimodal.packMedia(docs, "doc_id", "text", "text/plain")
     assert(media.columns.toSeq == Seq("media_id", "media", "meta"))
