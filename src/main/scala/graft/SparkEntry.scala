@@ -680,6 +680,14 @@ object SparkEntry {
         .arrange("term")
         .df),
 
+    // top-3 characteristic terms per doc by (rational-idf) tf-idf —
+    // scores exact integer-derived doubles, so the oracle gates VALUES,
+    // not just ranks
+    "q_text_tfidf" -> ((s, dir) =>
+      Tidier.from(TextFns.tfidfTopTerms(t(s, dir, "documents").df, "doc_id", "text", k = 3))
+        .arrange("doc_id", "term")
+        .df),
+
     "q_text_quality" -> ((s, dir) =>
       t(s, dir, "documents")
         .mutate(
@@ -1182,6 +1190,26 @@ object SparkEntry {
       s"""SELECT term, COUNT(*) AS doc_freq FROM (
          |  SELECT doc_id, unnest(list_distinct($tkExpr)) AS term FROM documents)
          |GROUP BY term ORDER BY term ASC NULLS FIRST""".stripMargin,
+
+    "q_text_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, $tkExpr AS tk FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(tk) AS term FROM toks)
+         |  GROUP BY doc_id, term),
+         |dfreq AS (
+         |  SELECT term, COUNT(*) AS df FROM (
+         |    SELECT doc_id, unnest(list_distinct(tk)) AS term FROM toks)
+         |  GROUP BY term),
+         |n AS (SELECT COUNT(*) AS n FROM documents)
+         |SELECT doc_id, term, round(score, 6) AS score FROM (
+         |  SELECT t.doc_id, t.term,
+         |    t.tf::DOUBLE * (n.n + 1) / (d.df + 1) AS score,
+         |    ROW_NUMBER() OVER (PARTITION BY t.doc_id
+         |      ORDER BY t.tf::DOUBLE * (n.n + 1) / (d.df + 1) DESC, t.term ASC) AS rn
+         |  FROM tf t JOIN dfreq d USING (term), n)
+         |WHERE rn <= 3
+         |ORDER BY doc_id, term ASC NULLS FIRST""".stripMargin,
 
     "q_text_quality" ->
       s"""WITH base AS (SELECT doc_id, text, $tkExpr AS tk FROM documents)

@@ -163,6 +163,36 @@ object TextFns {
       .groupBy("term")
       .agg(count(lit(1)).as("doc_freq"))
 
+  /** Top-k characteristic terms per document by tf-idf. The idf is the
+    * RATIONAL form (N+1)/(df+1) rather than its logarithm: same
+    * per-term ranking (log is monotone), but every score stays exact
+    * integer-derived double arithmetic — bit-identical across engines,
+    * so the scores themselves can be oracle-gated (ln's last-ulp
+    * behavior is libm-dependent). Shape: two narrow explodes, a
+    * term-keyed broadcast-friendly join (the vocabulary is tiny next to
+    * the corpus), one per-doc window. Eager in N (one count action).
+    *
+    * @return (idCol, term, score round 6) — k rows per doc, ties broken
+    *         by term asc */
+  def tfidfTopTerms(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val n = df.count()
+    val toks = df.select(df.col(idCol), tokens(df.col(textCol)).as("__tk"))
+    val tf = toks.select(col(idCol), explode(col("__tk")).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("__tf"))
+    val dfreq = toks.select(explode(array_distinct(col("__tk"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("__df"))
+    val rawScore = col("__tf").cast("double") * lit((n + 1).toDouble) / (col("__df") + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(rawScore.desc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("term"), round(rawScore, 6).as("score"))
+  }
+
   // ---- language identification ----------------------------------------
 
   /** marker words per language (tiny n-gram heuristic; deterministic) */

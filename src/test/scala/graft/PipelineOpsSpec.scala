@@ -419,6 +419,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m == Map("spark" -> 2L, "is" -> 2L, "fast" -> 1L, "neat" -> 1L))
   }
 
+  test("tfidfTopTerms ranks doc-specific terms above corpus-wide ones") {
+    val d = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date")).toDF("id", "t")
+    val top1 = TextFns.tfidfTopTerms(d, "id", "t", k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: apple tf=2 df=1 → 2*(4/2)=4.0 beats banana 1*(4/3);
+    // doc 2: banana and cherry tie at 4/3 → term asc picks "banana";
+    // doc 3: cherry tf=3 df=2 → 3*(4/3)=4.0 beats date 1*(4/2)=2.0
+    assert(top1 == Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
+  }
+
   test("cleanCorpus keeps one representative per near-dup cluster, drops junk") {
     import graft.operators.Pipelines
     val corpus = Seq(
