@@ -401,14 +401,18 @@ object SparkEntry {
         .arrange("event_id")
         .df),
 
+    // the row_number spec's ORDER BY refines the rank spec's (same
+    // `l_quantity DESC` prefix) — applying the LONGER sort first lets
+    // the second WindowExec's required ordering be prefix-satisfied by
+    // the first's output: one shuffle, ONE sort (was two)
     "q_window_rank" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .windowOrder(desc("l_quantity"))
-        .mutate("rk" -> call_function("rank"), "drk" -> call_function("dense_rank"))
-        .groupBy("l_returnflag")
         .windowOrder(desc("l_quantity"), col("l_orderkey"), col("l_linenumber"))
         .mutate("rn" -> row_number())
+        .groupBy("l_returnflag")
+        .windowOrder(desc("l_quantity"))
+        .mutate("rk" -> call_function("rank"), "drk" -> call_function("dense_rank"))
         .filter(col("rn") <= 20)
         .select("l_returnflag", "l_quantity", "rk", "drk", "rn")
         .arrange("l_returnflag", "rn")

@@ -91,6 +91,21 @@ class WindowReshapeSpec extends SparkSpec {
     assert(s1.sorted == s2.sorted && s1.length == 6)
   }
 
+  test("refined-then-prefix window specs plan ONE sort (ordering reuse)") {
+    // second window's ORDER BY is a prefix of the first's → its
+    // required ordering is satisfied by the first sort's output; the
+    // plan must not re-sort
+    val out = Tidier.from(seqDf)
+      .groupBy("g").windowOrder(col("v").desc, col("i"))
+      .mutate("rn" -> row_number())
+      .groupBy("g").windowOrder(col("v").desc)
+      .mutate("rk" -> call_function("rank"))
+      .df
+    val plan = out.queryExecution.executedPlan.toString
+    val sorts = "(?m)^\\s*\\+?-?\\s*\\*?\\(?\\d*\\)?\\s*Sort ".r.findAllIn(plan).size
+    assert(sorts == 1, s"expected exactly one Sort, got $sorts:\n$plan")
+  }
+
   test("pivotWider/pivotLonger round trip") {
     val long = Seq((1, "x", 10.0), (1, "y", 20.0), (2, "x", 30.0), (2, "y", 40.0))
       .toDF("id", "variable", "value")
