@@ -119,6 +119,94 @@ object Streams {
       .toDF()
   }
 
+  /** incoming document for the streaming near-dup detector */
+  final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  /** per-band exploded row (internal) */
+  final case class BandDoc(
+      band: String, doc_id: Long, ts: java.sql.Timestamp, bases: Array[Long])
+  /** a stored signature in band state (internal) */
+  final case class StoredDoc(id: Long, bases: Array[Long])
+  /** band state: the docs currently live in this LSH bucket */
+  final case class BandState(docs: List[StoredDoc])
+  /** emitted near-dup hit */
+  final case class StreamDupPair(id_a: Long, id_b: Long, jaccard: Double)
+
+  /** Streaming INCREMENTAL MinHash near-dup detection — the
+    * mapGroupsWithState variant of [[graft.operators.Dedup.minHashDupPairs]]:
+    * as documents arrive, each is shingle-hashed and banded with the
+    * SAME column expressions as the batch path (bit-identical
+    * signatures), then checked against the keyed state of its LSH
+    * buckets; a pair is emitted the moment the second member arrives —
+    * across micro-batches, without ever re-scanning the corpus.
+    *
+    * Scale shape: state is hash-partitioned by band key (the same key
+    * the batch band-join shuffles on); each band holds only its live
+    * docs' 60-bit shingle sets (~8 B/shingle), and an event-time
+    * timeout drops bands idle past the watermark horizon — state is
+    * bounded by (docs within the horizon) × bands, not stream
+    * lifetime. A pair agreeing on k bands emits k times (band states
+    * are independent); callers wanting exactly-once pairs add
+    * `dropDuplicates("id_a","id_b")` or aggregate downstream.
+    *
+    * @param docs streaming frame with doc_id/ts/text columns
+    */
+  def minHashDupStream(
+      docs: DataFrame,
+      watermark: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 6,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.Dedup
+    import graft.functions.TextFns
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        TextFns.hashedWordShingles(col("text"), shingleSize).as("bases"))
+      .filter(size(col("bases")) > 0)
+      .withColumn("band",
+        explode(Dedup.bandKeys(
+          Dedup.minHashFromBases(col("bases"), numHashes), numHashes, bands)))
+      .select("band", "doc_id", "ts", "bases")
+      .as[BandDoc]
+    banded.groupByKey(_.band)
+      .flatMapGroupsWithState[BandState, StreamDupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, _, state: GroupState[BandState]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case (_, rows, state: GroupState[BandState]) =>
+          val known = state.getOption.map(_.docs).getOrElse(Nil)
+          val knownIds = known.iterator.map(_.id).toSet
+          // deterministic order; a doc re-sent into the same band is a no-op
+          val fresh = rows.toSeq.sortBy(_.doc_id)
+            .filterNot(d => knownIds.contains(d.doc_id)).distinctBy(_.doc_id)
+          val out = scala.collection.mutable.ArrayBuffer.empty[StreamDupPair]
+          var live = known
+          fresh.foreach { d =>
+            val dSet = d.bases.toSet
+            live.foreach { s =>
+              val inter = s.bases.count(dSet.contains)
+              val union = dSet.size + s.bases.length - inter
+              val j = if (union == 0) 0.0 else inter.toDouble / union
+              if (j >= threshold) {
+                val (a, b) = if (s.id < d.doc_id) (s.id, d.doc_id) else (d.doc_id, s.id)
+                out += StreamDupPair(a, b, j)
+              }
+            }
+            live = StoredDoc(d.doc_id, d.bases) :: live
+          }
+          state.update(BandState(live))
+          // expire the band once the watermark passes its newest doc
+          if (fresh.nonEmpty && state.getCurrentWatermarkMs() >= 0)
+            state.setTimeoutTimestamp(fresh.map(_.ts.getTime).max, watermark)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Running per-user totals across micro-batches — incremental state
     * (count, sum) per user, emitted once per batch the user appears in.
     * The mapGroupsWithState analog of a forever-running grouped

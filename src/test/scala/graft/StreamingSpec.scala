@@ -116,6 +116,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("minHashDupStream finds near-dup pairs ACROSS micro-batches via band state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streams.Doc]
+    val out = Streams.minHashDupStream(input.toDF(), watermark = "1 hour", threshold = 0.5)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("minhash_stream_out").start()
+    try {
+      def doc(id: Long, tsMin: Long, text: String) =
+        Streams.Doc(id, new java.sql.Timestamp(tsMin * 60000L), text)
+      val a = "the quick brown fox jumps over the lazy dog and runs far away home"
+      // batch 1: base doc + an unrelated doc + an IN-batch exact dup
+      input.addData(
+        doc(1, 10, a),
+        doc(2, 11, "el perro grande duerme en la casa durante toda la noche tranquila"),
+        doc(5, 12, a))
+      q.processAllAvailable()
+      val batch1 = spark.table("minhash_stream_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch1 == Set((1L, 5L))) // in-batch pair, unrelated doc silent
+      // batch 2: a near-dup of doc 1 arrives LATER — the band state must
+      // still hold doc 1's signature
+      input.addData(doc(9, 20, a + " tonight"))
+      q.processAllAvailable()
+      val all = spark.table("minhash_stream_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(all.contains((1L, 9L)), s"cross-batch pair missing: $all")
+      assert(all.contains((5L, 9L)))
+      assert(!all.exists { case (x, y) => x == 2L || y == 2L })
+      // jaccard carried through and sane
+      val js = spark.table("minhash_stream_out").collect().map(_.getDouble(2))
+      assert(js.forall(j => j >= 0.5 && j <= 1.0))
+    } finally q.stop()
+  }
+
   test("sessionize produces gap-bounded sessions") {
     val events = spark.read.schema(Streams.eventsSchema).parquet(s"$sf001/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
