@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for graft's native Catalyst kernels.
+  *
+  * Two ways in:
+  *  - production config: `spark.sql.extensions=graft.GraftExtensions`
+  *    — the standard [[SparkSessionExtensions]] injection point, so the
+  *    functions exist in every session of the application (works from
+  *    pure SQL, JDBC gateways, etc.);
+  *  - an existing session: `GraftExtensions.register(spark)`.
+  *
+  * The expressions themselves are the library's single source of truth
+  * (the graft.plans package — the same objects the Column API builds),
+  * so SQL callers get byte-identical semantics to the verb surface.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** literal-int argument (band counts, shingle sizes must be plan-time
+    * constants — they shape the expression tree) */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got ${other.sql}")
+  }
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" -> (e => plans.CosineSimilarity(e(0), e(1))),
+    "dot_product" -> (e => plans.DotProduct(e(0), e(1))),
+    "hashed_word_shingles" ->
+      (e => plans.HashedWordShingles(e(0), litInt(e(1), "shingle size k"))),
+    "simhash64" -> (e => plans.SimHash64(
+      e(0),
+      if (e.length > 1) litInt(e(1), "numBits") else 64,
+      portable = e.length > 2 && e(2).eval(null) == true)),
+    "decode_image_features" -> (e => plans.DecodeImageFeatures(e(0))))
+
+  /** register all kernels on an existing session */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      org.apache.spark.sql.graftshim.GraftShim.registerFunction(spark, name, builder)
+    }
+}

@@ -13,6 +13,49 @@ import graft.operators.JoinKey
 class ExtensibilitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("GraftExtensions: native kernels callable from pure SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cs,
+        |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |  size(hashed_word_shingles('a b c d', 3)) AS nsh,
+        |  simhash64('hello world hello') AS sh,
+        |  decode_image_features(cast('not an image' AS BINARY)).format AS fmt
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getInt(2) == 2) // "a b c","b c d"
+    assert(!r.isNullAt(3))
+    assert(r.isNullAt(4)) // junk bytes → NULL struct
+    // non-literal shingle size is a clear error, not a silent misplan
+    val e = intercept[Exception] {
+      spark.sql("SELECT hashed_word_shingles('a b', length('xxx'))").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
+  test("GraftExtensions applies through the SparkSessionExtensions injection point") {
+    // build a FRESH session on the shared context with the extensions
+    // class wired the production way (spark.sql.extensions analog)
+    val active = org.apache.spark.sql.SparkSession.getActiveSession
+    val default = org.apache.spark.sql.SparkSession.getDefaultSession
+    try {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val v = s2.sql("SELECT dot_product(array(2.0D, 3.0D), array(4.0D, 5.0D))")
+        .collect().head.getDouble(0)
+      assert(v == 23.0)
+    } finally {
+      active.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      default.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+    }
+  }
+
   test("unknown functions pass through to the Spark SQL registry") {
     val d = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
     // kurtosis/var_samp are not in our Fns surface — passthrough works
