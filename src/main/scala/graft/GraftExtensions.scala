@@ -19,13 +19,17 @@ import org.apache.spark.sql.types.IntegerType
   * so SQL callers get byte-identical semantics to the verb surface.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    // nested-loop range joins → banded equi-joins (opt-in via
+    // spark.graft.rangeJoin.bandWidth; no-op otherwise)
+    ext.injectOptimizerRule(_ => plans.RangeJoinRule)
+  }
 }
 
 object GraftExtensions {
@@ -49,9 +53,13 @@ object GraftExtensions {
       portable = e.length > 2 && e(2).eval(null) == true)),
     "decode_image_features" -> (e => plans.DecodeImageFeatures(e(0))))
 
-  /** register all kernels on an existing session */
-  def register(spark: SparkSession): Unit =
+  /** register all kernels + optimizer rules on an existing session */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       org.apache.spark.sql.graftshim.GraftShim.registerFunction(spark, name, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(plans.RangeJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.RangeJoinRule
+  }
 }

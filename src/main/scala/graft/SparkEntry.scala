@@ -354,6 +354,35 @@ object SparkEntry {
         .df
     }),
 
+    // optimizer-rewritten range join: the user writes a plain theta
+    // range condition with NO equi key — the plan Spark would pick is a
+    // nested loop (O(|L|·|R|)); RangeJoinRule (conf-gated, injected via
+    // GraftExtensions) rewrites it into the banded equi-join
+    // transparently. Same answer, hash-join plan.
+    "q_range_rule" -> ((s, dir) => {
+      val ev = tev(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val errors = ev.filter(col("event_type") === "error")
+        .transmute(
+          "err_id" -> col("event_id"),
+          "err_lo" -> col("ts"),
+          "err_hi" -> (col("ts") + Fns.minutes(15)))
+      GraftExtensions.register(s)
+      s.conf.set(plans.RangeJoinRule.BandWidthKey, (15L * 60 * 1000000).toString)
+      try {
+        val out = clicks
+          .innerJoin(errors, Theta("ts", ">=", "err_lo"), Theta("ts", "<=", "err_hi"))
+          .arrange("event_id", "err_id")
+          .df
+        // force planning NOW, while the conf is set (the Dataset caches
+        // its QueryExecution; later actions reuse the banded plan)
+        require(out.queryExecution.optimizedPlan.toString.contains("__graft_band_p"),
+          "RangeJoinRule did not fire on the pure-range join")
+        out
+      } finally s.conf.unset(plans.RangeJoinRule.BandWidthKey)
+    }),
+
     // ASOF RIGHT: matched clicks + error rows no click selected as its
     // closest (DuckDB ASOF RIGHT semantics; reference splices ASOF onto
     // any join type — src/joins_sq.jl:238-241)
@@ -1512,6 +1541,14 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id AND l.ts >= r.err_lo AND l.ts <= r.err_hi
         |ORDER BY l.event_id, r.err_lo""".stripMargin,
+
+    "q_range_rule" ->
+      """SELECT l.event_id, l.user_id, l.ts, l.value, r.err_id, r.err_lo, r.err_hi
+        |FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') l
+        |JOIN (SELECT event_id AS err_id, ts AS err_lo, ts + INTERVAL 15 MINUTE AS err_hi
+        |      FROM events WHERE event_type = 'error') r
+        |  ON l.ts >= r.err_lo AND l.ts <= r.err_hi
+        |ORDER BY l.event_id, r.err_id""".stripMargin,
 
     "q_asof_right" ->
       """SELECT l.event_id, COALESCE(l.user_id, r.user_id) AS user_id, l.ts, l.value,
