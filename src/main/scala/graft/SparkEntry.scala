@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Fns, Selector, TextFns}
-import graft.operators.{Dedup, Multimodal, Pipelines, Similarity}
+import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Pipelines, Sampling, Similarity}
 import graft.operators.JoinKey
 import graft.operators.JoinKey.{Closest, Equi, Theta}
 
@@ -835,6 +835,53 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // benchmark decontamination: corpus docs sharing any hashed word
+    // 4-gram with the "benchmark" slice (doc_id % 20 == 0 stands in for
+    // an eval set) — exact n-gram overlap, benchmark grams broadcast
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      Tidier.from(
+          Decontaminate.contaminationReport(
+            docs.filter(col("doc_id") % 20 =!= 0),
+            docs.filter(col("doc_id") % 20 === 0),
+            "doc_id", "text", "text", n = 4))
+        .arrange("doc_id")
+        .df
+    }),
+
+    // deterministic Bernoulli sample: row survives iff the portable
+    // 60-bit md5 unit hash of (seed, doc_id) < fraction — reproducible
+    // on any engine/partitioning, narrow (no shuffle)
+    "q_sample_hash" -> ((s, dir) =>
+      Tidier.from(
+          Sampling.hashSample(t(s, dir, "documents").df, 0.25, "seed42", Seq("doc_id")))
+        .select("doc_id", "lang")
+        .arrange("doc_id")
+        .df),
+
+    // exactly-10-per-language deterministic sample: rank by (unit hash,
+    // id) within each group — one shuffle on the group key
+    "q_sample_stratified" -> ((s, dir) =>
+      Tidier.from(
+          Sampling.stratifiedSampleN(t(s, dir, "documents").df, Seq("lang"), 10, "s7", "doc_id"))
+        .select("doc_id", "lang")
+        .arrange("doc_id")
+        .df),
+
+    // sequence packing: greedy first-fit of docs into 256-token bins
+    // per language, visiting docs in id order — the oracle re-derives
+    // the sequential fold with a recursive CTE
+    "q_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .mutate("toks" -> TextFns.tokenCount(col("text")))
+        .df
+      Tidier.from(
+          Packing.packGreedy(docs, Seq("lang"), "doc_id", "toks", budget = 256))
+        .select("lang", "doc_id", "bin")
+        .arrange("lang", "doc_id")
+        .df
+    }),
+
     // =====================================================================
     // training-data pipeline ops: similarity search
     // =====================================================================
@@ -1308,6 +1355,66 @@ object SparkEntry {
     "q_dedup_ngram" -> minhashOracle(shingleK = 2, numHashes = 12, bands = 12, threshold = 0.2),
 
     "q_dedup_simhash" -> simhashOracle,
+
+    // decontamination mirror: same 60-bit hashed word 4-grams as the
+    // minhash oracle; benchmark grams distinct'd, corpus grams unnested
+    // and equi-joined, per-doc distinct-gram counts
+    "q_decontaminate" ->
+      s"""WITH corpus AS (SELECT doc_id, $tkExpr AS tk FROM documents WHERE doc_id % 20 <> 0),
+         |bench AS (SELECT doc_id, $tkExpr AS tk FROM documents WHERE doc_id % 20 = 0),
+         |cg AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    list_transform(range(1, greatest(len(tk) - 3, 0) + 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]),
+         |    x -> ('0x'||substr(md5(x),1,15))::BIGINT)) AS g
+         |  FROM corpus WHERE len(tk) >= 4
+         |), ce AS (
+         |  SELECT doc_id, len(g) AS total_ngrams, unnest(g) AS gram FROM cg
+         |), bg AS (
+         |  SELECT DISTINCT ('0x'||substr(md5(x),1,15))::BIGINT AS gram
+         |  FROM (SELECT unnest(list_transform(range(1, greatest(len(tk) - 3, 0) + 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS x
+         |    FROM bench WHERE len(tk) >= 4)
+         |)
+         |SELECT ce.doc_id, ce.total_ngrams, COUNT(*) AS shared_ngrams,
+         |  round(COUNT(*)::DOUBLE / ce.total_ngrams, 6) AS contamination
+         |FROM ce JOIN bg USING (gram)
+         |GROUP BY ce.doc_id, ce.total_ngrams
+         |ORDER BY ce.doc_id""".stripMargin,
+
+    // deterministic Bernoulli sample: portable 60-bit md5 unit hash,
+    // scaled to [0,1) in DOUBLE exactly as the Spark side does
+    "q_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x'||substr(md5('seed42' || '|' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS DOUBLE)
+        |      / 1152921504606846976.0 < 0.25
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY CAST(('0x'||substr(md5('s7' || '|' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS DOUBLE)
+        |             / 1152921504606846976.0 ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    // sequential greedy first-fit fold re-derived with a recursive CTE
+    // stepping one row per group per iteration
+    "q_pack" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT lang, doc_id, COALESCE(len($tkExpr), 0) AS toks,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM documents
+         |), pack AS (
+         |  SELECT lang, doc_id, rn, CAST(0 AS BIGINT) AS bin, CAST(toks AS BIGINT) AS fill
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.lang, d.doc_id, d.rn,
+         |    CASE WHEN p.fill + d.toks <= 256 THEN p.bin ELSE p.bin + 1 END,
+         |    CASE WHEN p.fill + d.toks <= 256 THEN p.fill + d.toks ELSE CAST(d.toks AS BIGINT) END
+         |  FROM pack p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1
+         |)
+         |SELECT lang, doc_id, bin FROM pack ORDER BY lang, doc_id""".stripMargin,
 
     "q_dedup_embed" -> embedLshOracle,
 

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Benchmark decontamination: find (and drop) training documents that
+  * share word n-grams with an evaluation/benchmark set — the standard
+  * test-set-contamination sweep a training-data pipeline runs before
+  * every corpus release. The reference engine has no analog; the
+  * operator follows the published recipe (exact n-gram overlap, n≈8-13
+  * for real corpora) on top of graft's oracle-verified hashed-shingle
+  * kernel (plans/HashedWordShingles.scala).
+  *
+  * 100 TB shape: the corpus side is ONE narrow codegen pass (text →
+  * distinct 60-bit hashed n-grams, ~8 bytes each, strings never leave
+  * the scan stage) followed by an explode; the benchmark side —
+  * typically MBs against a corpus of TBs — collapses to a distinct
+  * gram set and BROADCASTS, so the probe is a map-side hash join with
+  * no corpus shuffle at all. The only shuffle is the per-doc count
+  * aggregation, keyed on doc id (uniform). Set
+  * `broadcastBenchmark = false` when the "benchmark" is itself huge;
+  * the join then sort-merges on the gram key.
+  */
+object Decontaminate {
+
+  /** Per-document contamination report: documents of `corpus` sharing
+    * at least one hashed word `n`-gram with `benchmark`, with
+    * `total_ngrams` (distinct grams in the doc), `shared_ngrams`
+    * (distinct grams also present anywhere in the benchmark), and
+    * `contamination` = shared/total. Documents with zero overlap (or
+    * fewer than `n` tokens) are absent.
+    */
+  def contaminationReport(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchTextCol: String,
+      n: Int = 8,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val grams = corpus
+      .select(col(idCol), TextFns.hashedWordShingles(col(textCol), n).as("__g"))
+      .filter(size(col("__g")) > 0)
+      .select(col(idCol), size(col("__g")).cast("long").as("total_ngrams"),
+        explode(col("__g")).as("__gram"))
+    val benchGrams = benchmark
+      .select(explode(TextFns.hashedWordShingles(col(benchTextCol), n)).as("__gram"))
+      .distinct()
+    val probe = if (broadcastBenchmark) broadcast(benchGrams) else benchGrams
+    grams
+      .join(probe, Seq("__gram"))
+      // HashedWordShingles emits DISTINCT grams per doc, so a plain
+      // count is already a distinct-gram count
+      .groupBy(col(idCol), col("total_ngrams"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .withColumn("contamination",
+        round(col("shared_ngrams").cast("double") / col("total_ngrams"), 6))
+      .select(idCol, "total_ngrams", "shared_ngrams", "contamination")
+  }
+
+  /** Corpus minus contaminated documents: drops every document whose
+    * contamination ratio EXCEEDS `maxContamination` (0.0 = any shared
+    * n-gram drops the doc, the usual strict setting).
+    */
+  def dropContaminated(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchTextCol: String,
+      n: Int = 8,
+      maxContamination: Double = 0.0,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    val bad = contaminationReport(
+        corpus, benchmark, idCol, textCol, benchTextCol, n, broadcastBenchmark)
+      .filter(col("contamination") > maxContamination)
+      .select(idCol)
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+}

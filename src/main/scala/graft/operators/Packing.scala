@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sequence packing: assign documents to fixed-token-budget bins — the
+  * step that turns a cleaned corpus into training context windows.
+  * Greedy first-fit-in-order within each group: rows are visited in
+  * `orderCol` order; a row joins the current bin iff it fits
+  * (`fill + tokens <= budget`), else it opens the next bin. A row
+  * larger than the whole budget gets a bin of its own (it is never
+  * split — chunking oversized docs is the tokenizer's job upstream).
+  * Bin ids start at 0 within each group, so (group, bin) is the packed
+  * sequence key.
+  *
+  * Semantics are deliberately SEQUENTIAL PER GROUP — that is what makes
+  * the assignment deterministic and engine-reproducible (the DuckDB
+  * oracle rebuilds it with a recursive CTE). The scale unit is the
+  * group, not the corpus: each group is packed by one streaming pass
+  * over its sorted rows (constant state: current bin + fill), groups
+  * pack in parallel. At 100 TB you shard the corpus into packing groups
+  * (source, date, hash(doc) % k, ...) sized to a task — the natural
+  * layout anyway, since a training shard IS such a group. One giant
+  * group = one task; that is a caller-visible semantics choice, same as
+  * any ORDER-dependent fold.
+  */
+object Packing {
+
+  /** Adds `binCol` (long, 0-based per group). Rows flow in
+    * `(groupCols, orderCol)` order; `tokensCol` must be numeric
+    * (NULL counts as 0). `orderCol` should be unique per group for a
+    * fully deterministic packing.
+    */
+  def packGreedy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      tokensCol: String,
+      budget: Long,
+      binCol: String = "bin"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(groupCols.nonEmpty,
+      "packGreedy needs group columns (shard a global pack into hash groups)")
+    val gIdx = groupCols.map(df.schema.fieldIndex)
+    val tIdx = df.schema.fieldIndex(tokensCol)
+    val sorted = df
+      .repartition(groupCols.map(df.col): _*)
+      .sortWithinPartitions((groupCols :+ orderCol).map(df.col): _*)
+    val outSchema = df.schema.add(binCol, LongType, nullable = false)
+    // one streaming pass per partition; groups are contiguous after the
+    // repartition+sort, so state is just (current group, bin, fill)
+    sorted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var bin = 0L
+      var fill = 0L
+      it.map { row =>
+        val k = gIdx.map(row.get)
+        val t = row.get(tIdx) match {
+          case null         => 0L
+          case x: Number    => x.longValue()
+          case other        => throw new IllegalArgumentException(
+            s"tokens column must be numeric, got $other")
+        }
+        if (k != curKey) { curKey = k; bin = 0L; fill = t }
+        else if (fill + t <= budget) fill += t
+        else { bin += 1L; fill = t }
+        Row.fromSeq(row.toSeq :+ bin)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Packed-bin summary: one row per (group, bin) with its document
+    * count and token fill — the shape a writer consumes to emit one
+    * training sequence per bin.
+    */
+  def packSummary(
+      packed: DataFrame,
+      groupCols: Seq[String],
+      tokensCol: String,
+      binCol: String = "bin"): DataFrame =
+    packed
+      .groupBy((groupCols :+ binCol).map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol).cast("long")).as("fill_tokens"))
+}

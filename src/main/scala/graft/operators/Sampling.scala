@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Every sampler here is a pure function of (seed, row key): re-running
+  * the pipeline — on a different cluster, partitioning, or day —
+  * selects the SAME rows, which is what makes corpus releases
+  * reproducible and lets downstream stages join against a sample by
+  * key. That rules out `rand()`/`TABLESAMPLE` (partition-order
+  * dependent) and is why everything routes through a portable md5-based
+  * unit hash (the same 60-bit construction as the oracle-verified
+  * MinHash pipeline, so any engine with md5 reproduces the selection
+  * bit-for-bit).
+  *
+  * 100 TB shape: `hashSample` is a narrow codegen'd filter fused into
+  * the scan — no shuffle, no state. `stratifiedSampleN` is one window
+  * over a shuffle on the group key (the standard distributed top-k);
+  * `mixCorpora` is a union of narrow filters.
+  */
+object Sampling {
+
+  /** Deterministic hash in [0, 1): md5 of (seed, key columns) → top 60
+    * bits as a long → scaled by 2^-60. Uniform, independent across
+    * seeds, portable across engines.
+    */
+  def unitHash(seed: String, keys: Seq[Column]): Column = {
+    val h = conv(substring(md5(
+      concat_ws("|", lit(seed) +: keys.map(_.cast("string")): _*)), 1, 15), 16, 10)
+    h.cast("long").cast("double") / lit(1152921504606846976.0) // 2^60
+  }
+
+  /** Keep each row with probability `fraction`, deterministically in
+    * the row's key: row survives iff unitHash(seed, keys) < fraction.
+    * Exact-in-expectation Bernoulli sampling; narrow (no shuffle).
+    */
+  def hashSample(df: DataFrame, fraction: Double, seed: String, keyCols: Seq[String]): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    require(keyCols.nonEmpty, "hashSample needs at least one key column")
+    df.filter(unitHash(seed, keyCols.map(df.col)) < lit(fraction))
+  }
+
+  /** Exactly-n-per-group deterministic sample: within each group, rank
+    * rows by (unitHash(seed, key), key) and keep the first `n`. Groups
+    * smaller than n keep everything. One shuffle on the group keys.
+    */
+  def stratifiedSampleN(
+      df: DataFrame,
+      groupCols: Seq[String],
+      n: Int,
+      seed: String,
+      keyCol: String): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(groupCols.nonEmpty, "stratifiedSampleN needs group columns")
+    val rn = "__sample_rn"
+    val w = Window
+      .partitionBy(groupCols.map(df.col): _*)
+      .orderBy(unitHash(seed, Seq(df.col(keyCol))).asc, df.col(keyCol).asc)
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= n)
+      .drop(rn)
+  }
+
+  /** Weighted corpus mixing: union the sources, each thinned to its
+    * fraction — the "data mixture" step of a training run, e.g.
+    * `Seq(web -> 0.3, code -> 1.0, books -> 0.8)`. Schemas must union
+    * by name; each source keeps its own deterministic selection (the
+    * seed is salted with the source index so identical keys in
+    * different sources draw independently).
+    */
+  def mixCorpora(
+      sources: Seq[(DataFrame, Double)],
+      seed: String,
+      keyCols: Seq[String]): DataFrame = {
+    require(sources.nonEmpty, "mixCorpora needs at least one source")
+    sources.zipWithIndex.map { case ((src, frac), i) =>
+      if (frac >= 1.0) src else hashSample(src, frac, s"$seed#$i", keyCols)
+    }.reduce(_.unionByName(_))
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Decontaminate, Packing, Sampling}
+
+/** Training-corpus preparation operators: benchmark decontamination,
+  * deterministic sampling / corpus mixing, sequence packing. */
+class TrainPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -- decontamination ---------------------------------------------------
+
+  private val corpus = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta"),            // shares 4-grams w/ bench
+    (1L, "totally unrelated text about spark engines here"),
+    (2L, "alpha beta gamma delta unrelated tail words"),    // one shared 4-gram
+    (3L, "tiny doc")                                        // < n tokens → absent
+  ).toDF("doc_id", "text")
+  private val bench = Seq(
+    (100L, "alpha beta gamma delta epsilon zeta eta theta")
+  ).toDF("doc_id", "text")
+
+  test("contaminationReport: shared-gram counts and ratio") {
+    val rep = Decontaminate.contaminationReport(corpus, bench, "doc_id", "text", "text", n = 4)
+      .orderBy("doc_id").collect()
+    // doc 0: 3 distinct 4-grams, all inside the bench doc
+    assert(rep(0).getLong(0) == 0L && rep(0).getLong(1) == 3L && rep(0).getLong(2) == 3L)
+    assert(rep(0).getDouble(3) == 1.0)
+    // doc 2: 4 grams, only "alpha beta gamma delta" shared
+    assert(rep(1).getLong(0) == 2L && rep(1).getLong(1) == 4L && rep(1).getLong(2) == 1L)
+    assert(rep(1).getDouble(3) == 0.25)
+    // docs 1 (no overlap) and 3 (too short) absent
+    assert(rep.length == 2)
+  }
+
+  test("dropContaminated honors the threshold; broadcast toggle is semantics-neutral") {
+    val strict = Decontaminate.dropContaminated(corpus, bench, "doc_id", "text", "text", n = 4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(strict.toSeq == Seq(1L, 3L)) // any overlap drops
+    val lax = Decontaminate.dropContaminated(
+        corpus, bench, "doc_id", "text", "text", n = 4, maxContamination = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(lax.toSeq == Seq(1L, 2L, 3L)) // doc 2 at 0.25 survives
+    val noBcast = Decontaminate.dropContaminated(
+        corpus, bench, "doc_id", "text", "text", n = 4, broadcastBenchmark = false)
+      .select("doc_id").as[Long].collect().sorted
+    assert(noBcast.toSeq == strict.toSeq)
+  }
+
+  test("decontamination probe plan broadcasts the benchmark side (no corpus shuffle join)") {
+    val plan = Decontaminate.contaminationReport(corpus, bench, "doc_id", "text", "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  // -- deterministic sampling --------------------------------------------
+
+  test("hashSample is a pure function of (seed, key): partitioning-invariant, seed-sensitive") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val a = Sampling.hashSample(docs, 0.3, "s1", Seq("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.hashSample(docs.repartition(7), 0.3, "s1", Seq("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    val other = Sampling.hashSample(docs, 0.3, "s2", Seq("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(other != a)
+    // rough rate check: 0.3 ± generous slack
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.15 && a.size < n * 0.45)
+  }
+
+  test("hashSample edge fractions: 0 keeps nothing, 1 keeps everything") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    assert(Sampling.hashSample(docs, 0.0, "s", Seq("doc_id")).count() == 0L)
+    assert(Sampling.hashSample(docs, 1.0, "s", Seq("doc_id")).count() == docs.count())
+  }
+
+  test("stratifiedSampleN keeps exactly min(n, group size) per group, deterministically") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val sizes = Sampling.stratifiedSampleN(docs, Seq("lang"), 5, "s7", "doc_id")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, cnt) => assert(sizes(lang) == math.min(5L, cnt)) }
+    val again = Sampling.stratifiedSampleN(docs.repartition(5), Seq("lang"), 5, "s7", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val first = Sampling.stratifiedSampleN(docs, Seq("lang"), 5, "s7", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == first)
+  }
+
+  test("mixCorpora: full-weight sources pass through; salted seeds draw independently") {
+    val a = Seq((1L, "a"), (2L, "a"), (3L, "a")).toDF("id", "src")
+    val b = Seq((1L, "b"), (2L, "b"), (3L, "b")).toDF("id", "src")
+    val full = Sampling.mixCorpora(Seq(a -> 1.0, b -> 1.0), "m", Seq("id")).count()
+    assert(full == 6L)
+    // same ids, different source index → selections must not be the
+    // same function of id (salted seed): check on a bigger key space
+    val big = spark.range(1000).withColumn("src", lit("x")).toDF("id", "src")
+    val mixed = Sampling.mixCorpora(Seq(big -> 0.5, big -> 0.5), "m", Seq("id"))
+    val perId = mixed.groupBy("id").count().collect().map(_.getLong(1))
+    assert(perId.exists(_ == 1L)) // if seeds weren't salted every id would appear 0 or 2 times
+  }
+
+  // -- sequence packing --------------------------------------------------
+
+  test("packGreedy: first-fit fold, oversized rows isolated, groups independent") {
+    val rows = Seq(
+      ("g1", 1L, 100L), ("g1", 2L, 100L), ("g1", 3L, 60L), // 100+100 fits, +60 overflows
+      ("g1", 4L, 300L),                                    // > budget → own bin
+      ("g1", 5L, 10L),
+      ("g2", 1L, 50L)                                      // fresh group → bin 0
+    ).toDF("g", "ord", "toks")
+    val out = Packing.packGreedy(rows, Seq("g"), "ord", "toks", budget = 256)
+      .orderBy("g", "ord")
+      .select("g", "ord", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("g1", 1L, 0L), ("g1", 2L, 0L), ("g1", 3L, 1L),
+      ("g1", 4L, 2L), ("g1", 5L, 3L), ("g2", 1L, 0L)))
+  }
+
+  test("packGreedy: null tokens count as zero; summary fills add up") {
+    val rows = Seq(
+      ("g", 1L, Some(200L)), ("g", 2L, None), ("g", 3L, Some(50L))
+    ).toDF("g", "ord", "toks")
+    val packed = Packing.packGreedy(rows, Seq("g"), "ord", "toks", budget = 256)
+    assert(packed.filter(col("bin") === 0L).count() == 3L) // 200+0+50 all fit
+    val sum = Packing.packSummary(packed, Seq("g"), "toks").collect().head
+    assert(sum.getLong(sum.fieldIndex("n_docs")) == 3L)
+    assert(sum.getLong(sum.fieldIndex("fill_tokens")) == 250L)
+  }
+
+  test("packGreedy never splits bins across a group and respects the budget") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .withColumn("toks", graft.functions.TextFns.tokenCount(col("text")))
+    val packed = Packing.packGreedy(docs, Seq("lang"), "doc_id", "toks", budget = 256)
+    val bad = Packing.packSummary(packed, Seq("lang"), "toks")
+      // a bin may exceed budget only if it is a single oversized doc
+      .filter(col("fill_tokens") > 256 && col("n_docs") > 1)
+      .count()
+    assert(bad == 0L)
+  }
+}
