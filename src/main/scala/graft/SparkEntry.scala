@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Fns, Selector, TextFns}
-import graft.operators.{Decontaminate, Dedup, Multimodal, Packing, Pipelines, Sampling, Similarity}
+import graft.operators.{Chunking, Decontaminate, Dedup, Multimodal, Packing, Pipelines, Repetition, Sampling, Similarity}
 import graft.operators.JoinKey
 import graft.operators.JoinKey.{Closest, Equi, Theta}
 
@@ -882,6 +882,23 @@ object SparkEntry {
         .df
     }),
 
+    // n-gram repetition report (Gopher-style quality filter): duplicate
+    // bigram mass + character share of the single most repeated phrase
+    "q_text_repetition" -> ((s, dir) =>
+      Tidier.from(
+          Repetition.repetitionReport(t(s, dir, "documents").df, "doc_id", "text", n = 2))
+        .arrange("doc_id")
+        .df),
+
+    // sliding-window chunking: 32-token windows, 8-token overlap —
+    // narrow explode, no shuffle; last window short, short docs = 1 chunk
+    "q_chunk" -> ((s, dir) =>
+      Tidier.from(
+          Chunking.chunkByTokens(t(s, dir, "documents").df, "text", maxTokens = 32, overlap = 8))
+        .select("doc_id", "chunk_id", "chunk", "chunk_tokens")
+        .arrange("doc_id", "chunk_id")
+        .df),
+
     // =====================================================================
     // training-data pipeline ops: similarity search
     // =====================================================================
@@ -1397,6 +1414,49 @@ object SparkEntry {
         |             / 1152921504606846976.0 ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    // bigram repetition mirror: same tokenization, occurrence counts per
+    // (doc, gram), top gram by (count DESC, gram DESC) = Spark's
+    // max(struct(cnt, gram)) under binary string order
+    "q_text_repetition" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, len(text) AS nch, $tkExpr AS tk FROM documents
+         |), g AS (
+         |  SELECT doc_id, nch,
+         |    unnest(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+         |      i -> tk[i] || ' ' || tk[i+1])) AS gram
+         |  FROM toks
+         |), c AS (
+         |  SELECT doc_id, nch, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3
+         |), top AS (
+         |  SELECT doc_id, gram, cnt FROM c
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1
+         |)
+         |SELECT c.doc_id, SUM(c.cnt) AS n_grams, COUNT(*) AS distinct_ngrams,
+         |  round(1.0 - COUNT(*)::DOUBLE / SUM(c.cnt), 6) AS dup_ngram_frac,
+         |  ANY_VALUE(top.gram) AS top_gram,
+         |  round(ANY_VALUE(top.cnt)::DOUBLE * len(ANY_VALUE(top.gram)) / ANY_VALUE(c.nch), 6)
+         |    AS top_gram_frac
+         |FROM c JOIN top USING (doc_id)
+         |GROUP BY c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
+
+    // sliding-window chunk mirror: window starts every stride=24 tokens,
+    // inclusive 1-based list_slice, at least one window per non-empty doc
+    "q_chunk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $tkExpr AS tk FROM documents
+         |), n AS (
+         |  SELECT doc_id, tk, len(tk) AS nt FROM toks WHERE len(tk) > 0
+         |), c AS (
+         |  SELECT doc_id, tk,
+         |    unnest(range(0, greatest(1, (nt - 8 + 24 - 1) // 24))) AS chunk_id
+         |  FROM n
+         |)
+         |SELECT doc_id, chunk_id,
+         |  array_to_string(list_slice(tk, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ') AS chunk,
+         |  len(list_slice(tk, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS chunk_tokens
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // sequential greedy first-fit fold re-derived with a recursive CTE
     // stepping one row per group per iteration

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Repetition-based quality filtering — the "duplicate n-gram" family
+  * of heuristics (Gopher/MassiveText-style) that catches boilerplate,
+  * keyword stuffing, and degenerate generations that per-token quality
+  * scores miss. The reference engine has no analog; published recipe.
+  *
+  * 100 TB shape: one narrow tokenize+shingle pass fused with the scan,
+  * then two aggregations — one keyed on (doc, gram) with map-side
+  * partial counts, one on doc. Both keys are high-cardinality and
+  * uniform (gram strings are doc-local), so there is no hot-key risk;
+  * payloads after the first groupBy are (gram, count) pairs, never the
+  * document text.
+  */
+object Repetition {
+
+  /** Per-document n-gram repetition report:
+    *  - `n_grams`      total n-gram occurrences (tokens - n + 1)
+    *  - `distinct_ngrams`
+    *  - `dup_ngram_frac` = 1 - distinct/total — mass of repeated grams
+    *  - `top_gram`     most frequent n-gram (ties → lexicographically
+    *    largest, so the pick is engine-independent)
+    *  - `top_gram_frac` = occurrences × gram chars / doc chars — the
+    *    character mass claimed by the single most repeated phrase (may
+    *    exceed 1 for overlapping grams; it is a score, not a ratio)
+    * Documents with fewer than `n` tokens are absent.
+    */
+  def repetitionReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val grams = df
+      .select(col(idCol), length(col(textCol)).cast("long").as("__nch"),
+        explode(TextFns.wordShingles(col(textCol), n)).as("__gram"))
+    val counts = grams
+      .groupBy(col(idCol), col("__nch"), col("__gram"))
+      .agg(count(lit(1)).as("__cnt"))
+    counts
+      .groupBy(col(idCol), col("__nch"))
+      .agg(
+        sum("__cnt").as("n_grams"),
+        count(lit(1)).as("distinct_ngrams"),
+        // max of (count, gram) struct = highest count, ties broken by
+        // largest gram — deterministic without a second shuffle
+        max(struct(col("__cnt"), col("__gram"))).as("__top"))
+      .select(
+        col(idCol),
+        col("n_grams"),
+        col("distinct_ngrams"),
+        round(lit(1.0) - col("distinct_ngrams").cast("double") / col("n_grams"), 6)
+          .as("dup_ngram_frac"),
+        col("__top.__gram").as("top_gram"),
+        round(col("__top.__cnt").cast("double") * length(col("__top.__gram"))
+          / col("__nch"), 6).as("top_gram_frac"))
+  }
+
+  /** Corpus minus repetitive documents: drops docs whose duplicate-gram
+    * fraction exceeds `maxDupFrac` or whose top gram claims more than
+    * `maxTopFrac` of the characters. Docs too short to have an n-gram
+    * are KEPT (no evidence of repetition).
+    */
+  def dropRepetitive(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      maxDupFrac: Double = 0.75,
+      maxTopFrac: Double = 0.3): DataFrame = {
+    val bad = repetitionReport(df, idCol, textCol, n)
+      .filter(col("dup_ngram_frac") > maxDupFrac || col("top_gram_frac") > maxTopFrac)
+      .select(idCol)
+    df.join(bad, Seq(idCol), "left_anti")
+  }
+}

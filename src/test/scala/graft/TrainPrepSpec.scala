@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Decontaminate, Packing, Sampling}
+import graft.operators.{Chunking, Decontaminate, Packing, Repetition, Sampling}
 
 /** Training-corpus preparation operators: benchmark decontamination,
   * deterministic sampling / corpus mixing, sequence packing. */
@@ -131,6 +131,59 @@ class TrainPrepSpec extends SparkSpec {
     val sum = Packing.packSummary(packed, Seq("g"), "toks").collect().head
     assert(sum.getLong(sum.fieldIndex("n_docs")) == 3L)
     assert(sum.getLong(sum.fieldIndex("fill_tokens")) == 250L)
+  }
+
+  // -- repetition quality filter -----------------------------------------
+
+  test("repetitionReport: bigram counts, dup fraction, deterministic top gram") {
+    val d = Seq((1L, "a b a b a b"), (2L, "all distinct words here now"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val rep = Repetition.repetitionReport(d, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    // doc 1: grams [a b, b a, a b, b a, a b] → total 5, distinct 2
+    assert(rep(0).getLong(rep(0).fieldIndex("n_grams")) == 5L)
+    assert(rep(0).getLong(rep(0).fieldIndex("distinct_ngrams")) == 2L)
+    assert(rep(0).getDouble(rep(0).fieldIndex("dup_ngram_frac")) == 0.6)
+    assert(rep(0).getString(rep(0).fieldIndex("top_gram")) == "a b") // count 3 beats 2
+    // 3 occurrences × 3 chars / 11 chars
+    assert(math.abs(rep(0).getDouble(rep(0).fieldIndex("top_gram_frac")) - 9.0 / 11) < 1e-6)
+    // doc 2: all distinct → dup 0; doc 3: single token → absent
+    assert(rep(1).getDouble(rep(1).fieldIndex("dup_ngram_frac")) == 0.0)
+    assert(rep.length == 2)
+  }
+
+  test("dropRepetitive drops over-threshold docs, keeps clean and too-short docs") {
+    val d = Seq((1L, "spam spam spam spam spam spam"), (2L, "clean fresh words only"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val kept = Repetition.dropRepetitive(d, "doc_id", "text", n = 2,
+        maxDupFrac = 0.5, maxTopFrac = 2.0)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
+
+  // -- chunking ----------------------------------------------------------
+
+  test("chunkByTokens: stride windows, short last chunk, single chunk for short docs") {
+    val d = Seq(
+      (1L, (1 to 11).map(i => s"t$i").mkString(" ")), // 11 toks, max 4 ov 1 → stride 3
+      (2L, "one two"),                                // < max → 1 chunk
+      (3L, "   ")                                     // no tokens → absent
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(d, "text", maxTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk", "chunk_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L), (1L, 1L, "t4 t5 t6 t7", 4L),
+      (1L, 2L, "t7 t8 t9 t10", 4L), (1L, 3L, "t10 t11", 2L),
+      (2L, 0L, "one two", 2L)))
+  }
+
+  test("chunkByTokens stays narrow: no exchange in the plan") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val plan = Chunking.chunkByTokens(docs, "text", 32, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
   }
 
   test("packGreedy never splits bins across a group and respects the budget") {
