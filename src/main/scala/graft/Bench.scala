@@ -18,7 +18,11 @@ object Bench {
     "q_dedup_exact", "q_dedup_minhash", "q_text_stats", "q_embed_knn",
     // round 2 additions: banded range join, portable simhash pairs,
     // the composed corpus-cleaning pipeline
-    "q_range_join", "q_dedup_simhash", "q_pipeline_clean")
+    "q_range_join", "q_dedup_simhash", "q_pipeline_clean",
+    // round 3 additions: broadcast n-gram decontamination probe,
+    // per-group sequential packing fold, narrow chunk explode,
+    // two-stage repetition aggregation
+    "q_decontaminate", "q_pack", "q_chunk", "q_text_repetition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

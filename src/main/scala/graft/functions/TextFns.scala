@@ -55,10 +55,14 @@ object TextFns {
         i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
 
-  /** Convenience for one-shot use on small inputs; see
-    * wordShinglesFromTokens for the per-row cost trap. */
-  def wordShingles(text: Column, k: Int): Column =
-    wordShinglesFromTokens(tokens(text), k)
+  /** text → its word k-shingles as strings, every occurrence in order.
+    * Backed by the native [[graft.plans.WordShingles]] pass (the
+    * equivalent `wordShinglesFromTokens(tokens(text), k)` HOF chain is
+    * ~100× slower per row; spec-pinned equal). */
+  def wordShingles(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.plans.WordShingles(GraftShim.expression(text), k))
+  }
 
   /** text → distinct 60-bit portable hashes of its word k-shingles in
     * ONE native pass — the hot-path form of

@@ -35,7 +35,11 @@ object Repetition {
       textCol: String,
       n: Int = 2): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val grams = df
+    // the shingle pass is the expensive stage — spread small inputs
+    // (single-file parquet = one split); no-op when splits >= cores
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+    val grams = src
       .select(col(idCol), length(col(textCol)).cast("long").as("__nch"),
         explode(TextFns.wordShingles(col(textCol), n)).as("__gram"))
     val counts = grams

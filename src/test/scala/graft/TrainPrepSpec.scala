@@ -161,6 +161,15 @@ class TrainPrepSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 3L))
   }
 
+  test("native WordShingles equals the HOF formulation elementwise (order + duplicates)") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").limit(100)
+    val both = docs.select(
+      graft.functions.TextFns.wordShingles(col("text"), 2).as("native"),
+      graft.functions.TextFns.wordShinglesFromTokens(
+        graft.functions.TextFns.tokens(col("text")), 2).as("hof"))
+    assert(both.filter(not(col("native") <=> col("hof"))).count() == 0L)
+  }
+
   // -- chunking ----------------------------------------------------------
 
   test("chunkByTokens: stride windows, short last chunk, single chunk for short docs") {
