@@ -62,6 +62,84 @@ object SparkEntry {
     base.toString
   }
 
+  /** Builds the q_iceberg_scan fixture: a hand-written two-snapshot
+    * Iceberg metadata tree (JSON + Avro manifests per the public spec)
+    * over the same two parquet files as the delta fixture. Returns the
+    * table path. */
+  private def icebergGateFixture(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val base = Files.createTempDirectory("graft_iceberg_gate")
+    base.toFile.deleteOnExit()
+    val meta = base.resolve("metadata")
+    Files.createDirectories(meta)
+    val docs = t(s, dir, "documents").df.select("doc_id", "text")
+    def writeFile(rel: String, lo: Long, hi: Long): Unit = {
+      val tmp = Files.createTempDirectory("graft_iceberg_gate_part").toString
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      val dest = base.resolve(rel)
+      Files.createDirectories(dest.getParent)
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeFile("data/f0.parquet", 0L, 150L)
+    writeFile("data/f1.parquet", 150L, 300L)
+    val entrySchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int","default":0},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"}]}}]}""".stripMargin)
+    val listSchema = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"content","type":"int","default":0}]}""".stripMargin)
+    def writeAvro(p: java.nio.file.Path, sch: Schema, rs: Seq[GenericRecord]): Unit = {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](sch))
+      w.create(sch, p.toFile); rs.foreach(w.append); w.close()
+    }
+    def entry(status: Int, path: String): GenericRecord = {
+      val df = new GenericData.Record(entrySchema.getField("data_file").schema())
+      df.put("content", 0); df.put("file_path", path)
+      df.put("file_format", "PARQUET"); df.put("record_count", 150L)
+      val e = new GenericData.Record(entrySchema)
+      e.put("status", status); e.put("data_file", df); e
+    }
+    def listEntry(path: String): GenericRecord = {
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", path); r.put("manifest_length", 100L); r.put("content", 0); r
+    }
+    writeAvro(meta.resolve("m1.avro"), entrySchema,
+      Seq(entry(1, s"$base/data/f0.parquet"), entry(1, s"$base/data/f1.parquet")))
+    writeAvro(meta.resolve("m2.avro"), entrySchema,
+      Seq(entry(0, s"$base/data/f0.parquet"), entry(2, s"$base/data/f1.parquet")))
+    writeAvro(meta.resolve("l1.avro"), listSchema, Seq(listEntry(s"$base/metadata/m1.avro")))
+    writeAvro(meta.resolve("l2.avro"), listSchema, Seq(listEntry(s"$base/metadata/m2.avro")))
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"doc_id","required":false,"type":"long"},
+        |{"id":2,"name":"text","required":false,"type":"string"}]}""".stripMargin
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"gate","location":"$base",
+         |"current-schema-id":0,"schemas":[$schemaJson],
+         |"current-snapshot-id":2,
+         |"snapshots":[
+         | {"snapshot-id":1,"manifest-list":"$base/metadata/l1.avro"},
+         | {"snapshot-id":2,"manifest-list":"$base/metadata/l2.avro"}]}""".stripMargin
+    Files.write(meta.resolve("v1.metadata.json"),
+      metadataJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(meta.resolve("version-hint.text"),
+      "1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    base.toString
+  }
+
   private def t(s: SparkSession, dir: String, name: String): TidierFrame =
     Tidier.read(s, s"$dir/$name.parquet")
 
@@ -933,6 +1011,17 @@ object SparkEntry {
         .df
     }),
 
+    // built-in Iceberg reader end to end: fabricate a two-snapshot
+    // Iceberg table (snapshot 1 adds docs [0,150) and [150,300) files;
+    // snapshot 2's manifest marks the second DELETED), manifest-replay
+    // read the current snapshot — live set is exactly doc_id < 150
+    "q_iceberg_scan" -> ((s, dir) => {
+      val base = icebergGateFixture(s, dir)
+      Tidier.from(graft.sources.IcebergScan.read(s, base))
+        .arrange("doc_id")
+        .df
+    }),
+
     // n-gram repetition report (Gopher-style quality filter): duplicate
     // bigram mass + character share of the single most repeated phrase
     "q_text_repetition" -> ((s, dir) =>
@@ -1469,6 +1558,12 @@ object SparkEntry {
     // the delta fixture's live set after commit 1 is exactly the first
     // file: doc_id < 150
     "q_delta_scan" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id < 150
+        |ORDER BY doc_id""".stripMargin,
+
+    // the iceberg fixture's current snapshot deletes the second file:
+    // doc_id < 150
+    "q_iceberg_scan" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 150
         |ORDER BY doc_id""".stripMargin,
 

@@ -181,12 +181,11 @@ object Tidier {
         try TidierFrame(spark.read.format(fmt).load(path))
         catch {
           case e: Exception if missingSource(e) && fmt == "iceberg" =>
-            throw new IllegalStateException(
-              "Iceberg connector not on the classpath - add the " +
-                "iceberg-spark-runtime jar matching your Spark/Scala version " +
-                "(e.g. iceberg-spark-runtime-4.0_2.13) and set the iceberg " +
-                "catalog via spark.sql.catalog.* conf, then retry " +
-                "Tidier.read(spark, path, \"iceberg\")", e)
+            // no connector jar: fall back to the dependency-free
+            // metadata/manifest reader (add the iceberg-spark-runtime
+            // jar + spark.sql.catalog.* conf for writes, row-level
+            // deletes, and catalog tables)
+            TidierFrame(graft.sources.IcebergScan.read(spark, path))
           case e: Exception if missingSource(e) && fmt == "delta" =>
             // no connector jar: fall back to the dependency-free
             // log-replay reader (add the delta-spark jar +
