@@ -140,6 +140,22 @@ object SparkEntry {
     base.toString
   }
 
+  /** Canonical 44-byte-header mono 16-bit PCM WAV (the q_multimodal_wav
+    * fixture payloads). */
+  private def wavBytes(sampleRate: Int, samples: Seq[Short]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val dataLen = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ascii)); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(sampleRate); bb.putInt(sampleRate * 2)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes(ascii)); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
   private def t(s: SparkSession, dir: String, name: String): TidierFrame =
     Tidier.read(s, s"$dir/$name.parquet")
 
@@ -1126,6 +1142,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL WAV decode end-to-end: 256 deterministic mono 16-bit PCM
+    // variants built driver-side (8 samples at 8 kHz, sample i of
+    // variant k = ((k*(13+i)*97) % 2003) - 1001), broadcast-joined on
+    // k = doc_id % 256, RIFF-parsed per row on executors — the oracle
+    // predicts peak/rms ANALYTICALLY from the same formula, so a
+    // parser mis-read diverges the hash
+    "q_multimodal_wav" -> ((s, dir) => {
+      val variants = {
+        import s.implicits._
+        (0 until 256).map { k =>
+          val samples = (0 until 8).map(i => (((k * (13 + i) * 97) % 2003) - 1001).toShort)
+          (k.toLong, wavBytes(8000, samples))
+        }.toDF("k", "wav")
+      }
+      t(s, dir, "documents").df
+        .withColumn("k", pmod(col("doc_id"), lit(256L)))
+        .join(broadcast(variants), Seq("k"))
+        .withColumn("f", Multimodal.decodeAudioFeatures(col("wav")))
+        .select(
+          col("doc_id"),
+          col("f.format").as("fmt"),
+          col("f.sample_rate").as("rate"),
+          col("f.n_samples").as("n_samples"),
+          round(col("f.duration_ms"), 6).as("duration_ms"),
+          col("f.peak").as("peak"),
+          round(col("f.rms"), 6).as("rms"))
+        .orderBy("doc_id")
+    }),
+
     // =====================================================================
     // streaming-shape ops on batch: gap sessionization (session_window)
     // =====================================================================
@@ -1559,6 +1604,19 @@ object SparkEntry {
     // file: doc_id < 150
     "q_delta_scan" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 150
+        |ORDER BY doc_id""".stripMargin,
+
+    // analytic WAV mirror: the decoder's peak/rms must equal the
+    // generator formula's — no audio parsing in the oracle, just the
+    // same arithmetic over the same deterministic samples
+    "q_multimodal_wav" ->
+      """SELECT doc_id, 'wav' AS fmt, CAST(8000 AS BIGINT) AS rate,
+        |  CAST(8 AS BIGINT) AS n_samples, CAST(1.0 AS DOUBLE) AS duration_ms,
+        |  list_max(list_transform(s, x -> abs(x))) AS peak,
+        |  round(sqrt(list_sum(list_transform(s, x -> CAST(x * x AS DOUBLE))) / 8.0), 6) AS rms
+        |FROM (SELECT doc_id,
+        |    list_transform(range(0, 8), i -> ((doc_id % 256) * (13 + i) * 97) % 2003 - 1001) AS s
+        |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
     // the iceberg fixture's current snapshot deletes the second file:

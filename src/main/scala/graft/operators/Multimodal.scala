@@ -44,12 +44,24 @@ object Multimodal {
     GraftShim.column(graft.plans.DecodeImageFeatures(GraftShim.expression(media)))
   }
 
-  /** STUB decode → feature struct for NON-image media (audio/video —
-    * the JVM ships no codecs for those; IMAGES decode for real via
-    * [[decodeFeatures]]). Deterministic fake: the schema and call shape
-    * match what a real decoder would return; only the VALUES are
-    * derived from the bytes hash. Replace the body with the codec call
-    * to productionize. */
+  /** REAL audio decode for WAV (RIFF/WAVE) integer-PCM payloads —
+    * pure-JVM chunk walk + one pass over the samples, returning
+    * struct(format, sample_rate, channels, bits, n_samples,
+    * duration_ms, peak, rms); NULL for anything else (compressed
+    * audio needs codec libs this container doesn't ship). See
+    * [[graft.plans.DecodeAudioFeatures]]. */
+  def decodeAudioFeatures(media: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.plans.DecodeAudioFeatures(GraftShim.expression(media)))
+  }
+
+  /** STUB decode → feature struct for media with NO pure-JVM decode
+    * path (compressed audio, video — the JVM ships no codecs for
+    * those; IMAGES decode for real via [[decodeFeatures]], WAV audio
+    * via [[decodeAudioFeatures]]). Deterministic fake: the schema and
+    * call shape match what a real decoder would return; only the
+    * VALUES are derived from the bytes hash. Replace the body with the
+    * codec call to productionize. */
   def decodeFeaturesStub(media: Column): Column = {
     // portable 60-bit hash of the payload (md5-based, reproducible in
     // any engine — see TextFns.portableHash)

@@ -104,6 +104,54 @@ class TrainPrepSpec extends SparkSpec {
     assert(perId.exists(_ == 1L)) // if seeds weren't salted every id would appear 0 or 2 times
   }
 
+  // -- WAV audio decode --------------------------------------------------
+
+  private def wav(rate: Int, channels: Int, bits: Int, data: Array[Byte]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val bb = ByteBuffer.allocate(44 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(ascii)); bb.putInt(36 + data.length); bb.put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(rate)
+    bb.putInt(rate * channels * bits / 8)
+    bb.putShort((channels * bits / 8).toShort); bb.putShort(bits.toShort)
+    bb.put("data".getBytes(ascii)); bb.putInt(data.length)
+    bb.put(data)
+    bb.array()
+  }
+
+  test("WAV decode: 16-bit mono exact peak/rms, 8-bit centered, stereo frames, garbage → NULL") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import graft.operators.Multimodal
+    // 16-bit mono: samples [1000, -2000, 3000, -4000]
+    val s16 = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(1000, -2000, 3000, -4000).foreach(v => s16.putShort(v.toShort))
+    // 8-bit mono: bytes [128, 138, 118] → centered samples [0, 10, -10]
+    val s8 = Array[Byte](128.toByte, 138.toByte, 118.toByte)
+    // 16-bit stereo: 2 frames of (100, -100)
+    val st = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(100, -100, 100, -100).foreach(v => st.putShort(v.toShort))
+    val rows = Seq(
+      (1L, wav(8000, 1, 16, s16.array())),
+      (2L, wav(16000, 1, 8, s8)),
+      (3L, wav(44100, 2, 16, st.array())),
+      (4L, Array[Byte](1, 2, 3)),
+      (5L, "RIFFxxxxWAVE".getBytes ++ Array.fill[Byte](40)(0)) // no fmt/data chunks
+    ).toDF("id", "media")
+    val out = rows.select(col("id"), Multimodal.decodeAudioFeatures(col("media")).as("f"))
+      .orderBy("id").collect()
+    val f1 = out(0).getStruct(1)
+    assert(f1.getString(0) == "wav" && f1.getLong(1) == 8000L && f1.getLong(2) == 1L)
+    assert(f1.getLong(4) == 4L && f1.getDouble(5) == 0.5) // 4 frames @ 8 kHz
+    assert(f1.getLong(6) == 4000L)
+    assert(math.abs(f1.getDouble(7) - math.sqrt((1000.0*1000 + 2000.0*2000 + 3000.0*3000 + 4000.0*4000) / 4)) < 1e-9)
+    val f2 = out(1).getStruct(1)
+    assert(f2.getLong(3) == 8L && f2.getLong(4) == 3L && f2.getLong(6) == 10L)
+    val f3 = out(2).getStruct(1)
+    assert(f3.getLong(2) == 2L && f3.getLong(4) == 2L && f3.getLong(6) == 100L && f3.getDouble(7) == 100.0)
+    assert(out(3).isNullAt(1) && out(4).isNullAt(1))
+  }
+
   // -- sequence packing --------------------------------------------------
 
   test("packGreedy: first-fit fold, oversized rows isolated, groups independent") {
