@@ -51,7 +51,10 @@ object GraftExtensions {
       e(0),
       if (e.length > 1) litInt(e(1), "numBits") else 64,
       portable = e.length > 2 && e(2).eval(null) == true)),
-    "decode_image_features" -> (e => plans.DecodeImageFeatures(e(0))))
+    "decode_image_features" -> (e => plans.DecodeImageFeatures(e(0))),
+    "decode_audio_features" -> (e => plans.DecodeAudioFeatures(e(0))),
+    "word_shingles" ->
+      (e => plans.WordShingles(e(0), litInt(e(1), "shingle size k"))))
 
   /** register all kernels + optimizer rules on an existing session */
   def register(spark: SparkSession): Unit = {

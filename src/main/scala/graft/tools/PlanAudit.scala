@@ -12,7 +12,11 @@ object PlanAudit {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q_filter", "q_join_multi", "q_asof_join", "q_asof_right",
         "q_window_rank", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_embed",
-        "q_dedup_simhash", "q_embed_ann", "q_embed_knn", "q_multimodal_decode")
+        "q_dedup_simhash", "q_embed_ann", "q_embed_knn", "q_multimodal_decode",
+        // round-3 additions
+        "q_decontaminate", "q_sample_hash", "q_sample_stratified", "q_pack",
+        "q_chunk", "q_text_repetition", "q_delta_scan", "q_iceberg_scan",
+        "q_multimodal_wav")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
