@@ -243,6 +243,85 @@ class TrainPrepSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  // -- randomized cross-checks vs independent references -----------------
+
+  test("packGreedy matches a sequential Scala fold on random inputs") {
+    val rnd = new scala.util.Random(7)
+    (0 until 5).foreach { _ =>
+      val budget = 50L + rnd.nextInt(200)
+      val rows = (0 until 200).map { i =>
+        (s"g${rnd.nextInt(4)}", i.toLong, rnd.nextInt(if (rnd.nextInt(10) == 0) 400 else 80).toLong)
+      }
+      // independent reference: plain fold over the sorted group
+      val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        var bin = 0L; var fill = 0L; var first = true
+        rs.sortBy(_._2).map { case (_, ord, t) =>
+          if (first) { first = false; fill = t }
+          else if (fill + t <= budget) fill += t
+          else { bin += 1; fill = t }
+          (g, ord) -> bin
+        }
+      }
+      val got = Packing.packGreedy(
+          rows.toDF("g", "ord", "toks"), Seq("g"), "ord", "toks", budget)
+        .select("g", "ord", "bin").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == expected)
+    }
+  }
+
+  test("chunkByTokens reconstruction: de-overlapped chunks rebuild the token stream") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 50).map { i =>
+      (i.toLong, (0 until rnd.nextInt(90)).map(j => s"w${rnd.nextInt(20)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val maxT = 16; val ov = 5; val stride = maxT - ov
+    val chunks = Chunking.chunkByTokens(docs, "text", maxT, ov)
+      .select("doc_id", "chunk_id", "chunk").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(1)).map(_.getString(2)).toSeq).toMap
+    docs.collect().foreach { r =>
+      val toks = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val cs = chunks.getOrElse(r.getLong(0), Seq.empty)
+      if (toks.isEmpty) assert(cs.isEmpty)
+      else {
+        // first chunk whole, later chunks minus their leading overlap
+        val rebuilt = cs.head.split(" ").toSeq ++
+          cs.tail.flatMap(_.split(" ").drop(ov))
+        assert(rebuilt == toks, s"doc ${r.getLong(0)}")
+        // every chunk except the last is exactly maxTokens
+        cs.dropRight(1).foreach(c => assert(c.split(" ").length == maxT))
+        // consecutive chunks agree on the overlap region
+        cs.sliding(2).foreach {
+          case Seq(a, b) => assert(a.split(" ").takeRight(ov).toSeq == b.split(" ").take(ov).toSeq)
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("contaminationReport matches a brute-force set computation on random corpora") {
+    val rnd = new scala.util.Random(13)
+    def doc() = (0 until (4 + rnd.nextInt(20))).map(_ => s"t${rnd.nextInt(12)}").mkString(" ")
+    val corpus = (0L until 40L).map(i => (i, doc()))
+    val benchD = (100L until 110L).map(i => (i, doc()))
+    val n = 3
+    def grams(t: String): Set[Seq[String]] = {
+      val tk = t.split("\\s+").filter(_.nonEmpty).toSeq
+      if (tk.length < n) Set.empty else tk.sliding(n).map(_.toSeq).toSet
+    }
+    val benchGrams = benchD.flatMap(d => grams(d._2)).toSet
+    val expected = corpus.flatMap { case (id, t) =>
+      val g = grams(t)
+      val shared = g.count(benchGrams)
+      if (shared > 0) Some(id -> ((g.size.toLong, shared.toLong))) else None
+    }.toMap
+    val got = Decontaminate.contaminationReport(
+        corpus.toDF("doc_id", "text"), benchD.toDF("doc_id", "text"),
+        "doc_id", "text", "text", n = n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
   test("packGreedy never splits bins across a group and respects the budget") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
       .withColumn("toks", graft.functions.TextFns.tokenCount(col("text")))
