@@ -1038,6 +1038,14 @@ object SparkEntry {
         .df
     }),
 
+    // per-language corpus release report: counts, length/quality stats,
+    // exact-dup rate — one shuffle on the language key
+    "q_corpus_profile" -> ((s, dir) =>
+      Tidier.from(
+          Pipelines.corpusProfile(t(s, dir, "documents").df, "text", "lang"))
+        .arrange("lang")
+        .df),
+
     // n-gram repetition report (Gopher-style quality filter): duplicate
     // bigram mass + character share of the single most repeated phrase
     "q_text_repetition" -> ((s, dir) =>
@@ -1296,14 +1304,7 @@ object SparkEntry {
     * `RepPolicy.Best(qualityScore)`. */
   private def pipelineOracle(bestRep: Boolean = false): String = {
     val minQ = 0.5; val thr = 0.4
-    val qualityExpr =
-      """round((least(length(text)::DOUBLE / 500.0, 1.0)
-        |    + greatest(1.0 - (CASE WHEN length(text) > 0
-        |        THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / length(text)
-        |        ELSE 0.0 END) * 5.0, 0.0)
-        |    + (CASE WHEN (CASE WHEN len(tk) > 0
-        |          THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk)
-        |          ELSE 0.0 END) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END)) / 3.0, 6)""".stripMargin
+    val qualityExpr = qualityExprSql
     s"""WITH RECURSIVE base AS (
        |  SELECT doc_id, text, $tkExpr AS tk FROM documents
        |), scored AS (
@@ -1445,6 +1446,17 @@ object SparkEntry {
        |WHERE idx.bucket IN (SELECT pb FROM probes)
        |ORDER BY sim DESC, idx.vec_id LIMIT 10""".stripMargin
   }
+
+  /** DuckDB mirror of TextFns.qualityScore (expects `tk` = tokens,
+    * `text` in scope). */
+  private val qualityExprSql =
+    """round((least(length(text)::DOUBLE / 500.0, 1.0)
+      |    + greatest(1.0 - (CASE WHEN length(text) > 0
+      |        THEN (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE / length(text)
+      |        ELSE 0.0 END) * 5.0, 0.0)
+      |    + (CASE WHEN (CASE WHEN len(tk) > 0
+      |          THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk)
+      |          ELSE 0.0 END) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END)) / 3.0, 6)""".stripMargin
 
   private val tkExpr =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
@@ -1624,6 +1636,25 @@ object SparkEntry {
     "q_iceberg_scan" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 150
         |ORDER BY doc_id""".stripMargin,
+
+    // profile mirror: same token/quality expressions, decimal-summed
+    // averages, distinct-fingerprint dup rate
+    "q_corpus_profile" ->
+      s"""WITH base AS (
+         |  SELECT lang, text, $tkExpr AS tk FROM documents
+         |), scored AS (
+         |  SELECT lang, len(tk) AS tok, $qualityExprSql AS q,
+         |    length(text) AS chars, md5(text) AS fp
+         |  FROM base
+         |)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(chars) AS BIGINT) AS n_chars,
+         |  round(CAST(SUM(CAST(tok AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+         |  round(CAST(SUM(CAST(q AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality,
+         |  COUNT(DISTINCT fp) AS n_unique,
+         |  round(1.0 - COUNT(DISTINCT fp)::DOUBLE / COUNT(*), 6) AS dup_rate
+         |FROM scored GROUP BY lang ORDER BY lang""".stripMargin,
 
     // bigram repetition mirror: same tokenization, occurrence counts per
     // (doc, gram), top gram by (count DESC, gram DESC) = Spark's

@@ -122,4 +122,37 @@ object Pipelines {
         survivors
     }
   }
+
+  /** Per-language corpus profile — the release-report aggregate a
+    * pipeline emits after cleaning: document and token counts, length
+    * and quality statistics, exact-duplicate rate. One narrow scoring
+    * pass fused with the scan, then ONE shuffle on the language key
+    * (map-side partial aggregation; output cardinality = #languages).
+    * Exact-duplicate counting rides the same aggregation via a
+    * distinct-count over the content fingerprint.
+    *
+    * Doubles route through DECIMAL sums (exact at any partition count /
+    * aggregation order — see q1_agg) so the profile is reproducible
+    * run-to-run at 100 TB, not just at test scale.
+    */
+  def corpusProfile(docs: DataFrame, textCol: String, langCol: String): DataFrame = {
+    val toks = TextFns.tokenCount(col(textCol))
+    val q = TextFns.qualityScore(col(textCol))
+    docs
+      .select(col(langCol).as("lang"), toks.as("__tok"), q.as("__q"),
+        length(col(textCol)).cast("long").as("__chars"),
+        md5(col(textCol)).as("__fp"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__tok").as("n_tokens"),
+        sum("__chars").as("n_chars"),
+        round((sum(col("__tok").cast("decimal(25,2)")).cast("double")
+          / count(lit(1))), 6).as("avg_tokens"),
+        round((sum(col("__q").cast("decimal(25,6)")).cast("double")
+          / count(lit(1))), 6).as("avg_quality"),
+        countDistinct("__fp").as("n_unique"),
+        round(lit(1.0) - countDistinct("__fp").cast("double") / count(lit(1)), 6)
+          .as("dup_rate"))
+  }
 }

@@ -151,6 +151,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("narrow corpus-prep ops run unchanged on a stream: chunk + deterministic sample") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Chunking, Sampling}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // narrow ops (no shuffle, no state) apply to a streaming frame
+    // exactly as to a batch frame — that's the structural claim
+    val docs = input.toDF.toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(
+      Sampling.hashSample(docs, 0.5, "stream-seed", Seq("doc_id")),
+      "text", maxTokens = 4, overlap = 1)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("prep_stream_out").start()
+    try {
+      // ids 6/13 survive the 0.5 unit-hash cut, 1/2 do not (seed-fixed)
+      input.addData((1L, "a b c d e f"), (6L, "g h"), (13L, "i j k"))
+      q.processAllAvailable()
+      input.addData((14L, "l m n o p q r"), (2L, "s t u"))
+      q.processAllAvailable()
+      val streamed = spark.table("prep_stream_out")
+        .select("doc_id", "chunk_id", "chunk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      // batch equivalent over the union of both micro-batches
+      val batchDocs = Seq((1L, "a b c d e f"), (6L, "g h"), (13L, "i j k"),
+        (14L, "l m n o p q r"), (2L, "s t u")).toDF("doc_id", "text")
+      val batch = Chunking.chunkByTokens(
+          Sampling.hashSample(batchDocs, 0.5, "stream-seed", Seq("doc_id")),
+          "text", maxTokens = 4, overlap = 1)
+        .select("doc_id", "chunk_id", "chunk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(streamed == batch && batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize produces gap-bounded sessions") {
     val events = spark.read.schema(Streams.eventsSchema).parquet(s"$sf001/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
