@@ -1600,14 +1600,14 @@ object SparkEntry {
     // scaled to [0,1) in DOUBLE exactly as the Spark side does
     "q_sample_hash" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE CAST(('0x'||substr(md5('seed42' || '|' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS DOUBLE)
+        |WHERE CAST(('0x'||substr(md5('seed42' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS DOUBLE)
         |      / 1152921504606846976.0 < 0.25
         |ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
-        |    ORDER BY CAST(('0x'||substr(md5('s7' || '|' || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS DOUBLE)
+        |    ORDER BY CAST(('0x'||substr(md5('s7' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS DOUBLE)
         |             / 1152921504606846976.0 ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,

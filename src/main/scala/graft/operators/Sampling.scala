@@ -25,11 +25,15 @@ object Sampling {
 
   /** Deterministic hash in [0, 1): md5 of (seed, key columns) → top 60
     * bits as a long → scaled by 2^-60. Uniform, independent across
-    * seeds, portable across engines.
+    * seeds, portable across engines (mirror: `md5(seed || chr(1) ||
+    * key…)`). Keys join on the 0x01 separator with NULL mapped to
+    * 0x00 — a bare "|" separator would collide ("a|b") with
+    * ("a","b") and NULL with "" (same hardening as Dedup.exactDedup),
+    * silently correlating samples that should be independent.
     */
   def unitHash(seed: String, keys: Seq[Column]): Column = {
-    val h = conv(substring(md5(
-      concat_ws("|", lit(seed) +: keys.map(_.cast("string")): _*)), 1, 15), 16, 10)
+    val h = conv(substring(md5(concat_ws("\u0001",
+      lit(seed) +: keys.map(k => coalesce(k.cast("string"), lit("\u0000"))): _*)), 1, 15), 16, 10)
     h.cast("long").cast("double") / lit(1152921504606846976.0) // 2^60
   }
 

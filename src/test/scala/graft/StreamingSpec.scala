@@ -165,8 +165,8 @@ class StreamingSpec extends SparkSpec {
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("prep_stream_out").start()
     try {
-      // ids 6/13 survive the 0.5 unit-hash cut, 1/2 do not (seed-fixed)
-      input.addData((1L, "a b c d e f"), (6L, "g h"), (13L, "i j k"))
+      // ids 3/13 survive the 0.5 unit-hash cut, 1/2 do not (seed-fixed)
+      input.addData((1L, "a b c d e f"), (3L, "g h"), (13L, "i j k"))
       q.processAllAvailable()
       input.addData((14L, "l m n o p q r"), (2L, "s t u"))
       q.processAllAvailable()
@@ -174,7 +174,7 @@ class StreamingSpec extends SparkSpec {
         .select("doc_id", "chunk_id", "chunk").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
       // batch equivalent over the union of both micro-batches
-      val batchDocs = Seq((1L, "a b c d e f"), (6L, "g h"), (13L, "i j k"),
+      val batchDocs = Seq((1L, "a b c d e f"), (3L, "g h"), (13L, "i j k"),
         (14L, "l m n o p q r"), (2L, "s t u")).toDF("doc_id", "text")
       val batch = Chunking.chunkByTokens(
           Sampling.hashSample(batchDocs, 0.5, "stream-seed", Seq("doc_id")),

@@ -70,6 +70,16 @@ class TrainPrepSpec extends SparkSpec {
     assert(a.size > n * 0.15 && a.size < n * 0.45)
   }
 
+  test("unitHash: separator-ambiguous and NULL-vs-empty key tuples hash differently") {
+    val d = Seq(
+      (1L, Some("a|b"), Some("c")), (2L, Some("a"), Some("b|c")),
+      (3L, Some("x"), None), (4L, Some("x"), Some(""))
+    ).toDF("id", "k1", "k2")
+    val hashes = d.select(Sampling.unitHash("s", Seq(col("k1"), col("k2"))).as("h"))
+      .collect().map(_.getDouble(0))
+    assert(hashes.distinct.length == 4)
+  }
+
   test("hashSample edge fractions: 0 keeps nothing, 1 keeps everything") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     assert(Sampling.hashSample(docs, 0.0, "s", Seq("doc_id")).count() == 0L)
