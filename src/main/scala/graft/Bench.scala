@@ -21,8 +21,9 @@ object Bench {
     "q_range_join", "q_dedup_simhash", "q_pipeline_clean",
     // round 3 additions: broadcast n-gram decontamination probe,
     // per-group sequential packing fold, narrow chunk explode,
-    // two-stage repetition aggregation
-    "q_decontaminate", "q_pack", "q_chunk", "q_text_repetition")
+    // two-stage repetition aggregation, distinct-count profile
+    "q_decontaminate", "q_pack", "q_chunk", "q_text_repetition",
+    "q_corpus_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -60,6 +60,30 @@ object Decontaminate {
       .select(idCol, "total_ngrams", "shared_ngrams", "contamination")
   }
 
+  /** Fully NARROW strict decontamination: drops every document sharing
+    * at least one hashed n-gram with the benchmark, whose distinct gram
+    * set is collected driver-side (8 bytes/gram — benchmark sets are
+    * MBs against corpora of TBs) and shipped as an array literal. No
+    * join, no shuffle, no state — one codegen'd filter fused with the
+    * scan, so it runs IDENTICALLY on batch and streaming frames (the
+    * per-doc-ratio [[contaminationReport]] aggregation cannot stream in
+    * append mode; this form is the streaming-safe strict equivalent).
+    */
+  def dropContaminatedNarrow(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      benchTextCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val grams = benchmark
+      .select(explode(TextFns.hashedWordShingles(col(benchTextCol), n)).as("g"))
+      .distinct()
+      .collect().map(_.getLong(0))
+    corpus.filter(!arrays_overlap(
+      TextFns.hashedWordShingles(col(textCol), n), typedLit(grams)))
+  }
+
   /** Corpus minus contaminated documents: drops every document whose
     * contamination ratio EXCEEDS `maxContamination` (0.0 = any shared
     * n-gram drops the doc, the usual strict setting).

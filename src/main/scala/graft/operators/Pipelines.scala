@@ -155,4 +155,34 @@ object Pipelines {
         round(lit(1.0) - countDistinct("__fp").cast("double") / count(lit(1)), 6)
           .as("dup_rate"))
   }
+
+  /** [[corpusProfile]] with the distinct-fingerprint count replaced by
+    * HyperLogLog++ (`approx_count_distinct`, relative error `rsd`) —
+    * the 100 TB path: exact COUNT(DISTINCT) must shuffle every
+    * fingerprint to dedupe it, while the sketch keeps the profile a
+    * pure one-shuffle map-side-partial aggregation whose state per
+    * language is a few KB regardless of corpus size. `n_unique` /
+    * `dup_rate` become estimates; everything else is exact.
+    */
+  def corpusProfileApprox(
+      docs: DataFrame, textCol: String, langCol: String, rsd: Double = 0.02): DataFrame = {
+    val toks = TextFns.tokenCount(col(textCol))
+    val q = TextFns.qualityScore(col(textCol))
+    docs
+      .select(col(langCol).as("lang"), toks.as("__tok"), q.as("__q"),
+        length(col(textCol)).cast("long").as("__chars"),
+        md5(col(textCol)).as("__fp"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__tok").as("n_tokens"),
+        sum("__chars").as("n_chars"),
+        round((sum(col("__tok").cast("decimal(25,2)")).cast("double")
+          / count(lit(1))), 6).as("avg_tokens"),
+        round((sum(col("__q").cast("decimal(25,6)")).cast("double")
+          / count(lit(1))), 6).as("avg_quality"),
+        approx_count_distinct(col("__fp"), rsd).as("n_unique"),
+        round(lit(1.0) - approx_count_distinct(col("__fp"), rsd).cast("double")
+          / count(lit(1)), 6).as("dup_rate"))
+  }
 }

@@ -53,6 +53,45 @@ class TrainPrepSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("corpusProfileApprox: exact columns identical, sketch n_unique within rsd of exact") {
+    import graft.operators.Pipelines
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val exact = Pipelines.corpusProfile(docs, "text", "lang")
+      .orderBy("lang").collect()
+    val approx = Pipelines.corpusProfileApprox(docs, "text", "lang", rsd = 0.02)
+      .orderBy("lang").collect()
+    exact.zip(approx).foreach { case (e, a) =>
+      Seq("lang", "n_docs", "n_tokens", "n_chars", "avg_tokens", "avg_quality").foreach { c =>
+        assert(e.get(e.fieldIndex(c)) == a.get(a.fieldIndex(c)), c)
+      }
+      val eu = e.getLong(e.fieldIndex("n_unique")).toDouble
+      val au = a.getLong(a.fieldIndex("n_unique")).toDouble
+      assert(math.abs(au - eu) / eu < 0.1, s"sketch off: $au vs $eu")
+    }
+  }
+
+  test("dropContaminatedNarrow: equals strict dropContaminated on batch, streams in append mode") {
+    // batch equivalence with the join-based strict path
+    val narrow = Decontaminate.dropContaminatedNarrow(corpus, bench, "text", "text", n = 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(narrow == Seq(1L, 3L))
+    // streaming: same op, unchanged, on a MemoryStream corpus
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = Decontaminate.dropContaminatedNarrow(
+      input.toDF.toDF("doc_id", "text"), bench, "text", "text", n = 4)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("decon_stream_out").start()
+    try {
+      corpus.as[(Long, String)].collect().foreach(r => input.addData(r))
+      q.processAllAvailable()
+      val streamed = spark.table("decon_stream_out")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   // -- deterministic sampling --------------------------------------------
 
   test("hashSample is a pure function of (seed, key): partitioning-invariant, seed-sensitive") {
