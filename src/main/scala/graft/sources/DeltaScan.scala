@@ -17,12 +17,16 @@ import org.apache.spark.sql.types._
   * is reconstructed with Spark itself and the data files are read as
   * ordinary parquet.
   *
-  * Supported: JSON commits, single-part parquet checkpoints +
+  * Supported: JSON commits, single- AND multi-part parquet checkpoints +
   * `_last_checkpoint`, add/remove replay, partitioned tables (both
   * hive-layout dirs and explicit partitionValues), `versionAsOf` time
-  * travel, schema from the latest metaData action. Unsupported (fails
-  * with a clear message rather than wrong answers): column mapping,
-  * deletion vectors, v2 checkpoints, multi-part checkpoints.
+  * travel, schema from the latest metaData action, column mapping
+  * (`name` and `id` modes — Delta writers store physical names in the
+  * parquet under both, so resolution is by physical name), and
+  * DELETION VECTORS (storage types u/i/p; decoded by
+  * [[DeletionVectors]] and applied as an anti-join on the file-source
+  * `_metadata.row_index`). Unsupported (fails with a clear message
+  * rather than wrong answers): v2 checkpoints.
   *
   * 100 TB shape: log replay is DISTRIBUTED — commit JSONs and the
   * checkpoint are read as DataFrames and the live-file set is one
@@ -31,7 +35,11 @@ import org.apache.spark.sql.types._
   * collected for planning (~100 B/file — the same driver-side file
   * index any format keeps); data files are then scanned as parquet
   * with the usual pushdown/pruning, and hive-layout partition values
-  * become real partition columns (partition pruning works).
+  * become real partition columns (partition pruning works). Deletion
+  * vectors decode in EXECUTORS (one task per DV file, memory bounded
+  * by the descriptor's declared cardinality) and the deleted-position
+  * set joins against `_metadata.(file_path, row_index)` — broadcast
+  * when the total declared cardinality is small, sort-merge otherwise.
   */
 object DeltaScan {
 
@@ -46,7 +54,11 @@ object DeltaScan {
       StructField("size", LongType),
       StructField("dataChange", BooleanType),
       StructField("deletionVector", StructType(Seq(
-        StructField("storageType", StringType))))))),
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType))))))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("dataChange", BooleanType)))),
@@ -59,7 +71,15 @@ object DeltaScan {
       StructField("minReaderVersion", IntegerType),
       StructField("readerFeatures", ArrayType(StringType)))))))
 
-  private val supportedReaderFeatures = Set("timestampNtz")
+  private val supportedReaderFeatures =
+    Set("timestampNtz", "deletionVectors", "columnMapping")
+
+  /** Broadcast the deleted-position set below this many total rows
+    * (~16 B/row → ≤64 MB); above it, let sort-merge handle the anti
+    * join so nothing large pins executor memory. */
+  private val dvBroadcastRows = 4L * 1000 * 1000
+
+  private val physNameKey = "delta.columnMapping.physicalName"
 
   /** Latest committed version of the table (max JSON commit number). */
   def latestVersion(spark: SparkSession, tablePath: String): Long = {
@@ -74,16 +94,12 @@ object DeltaScan {
     val (fs, versions) = listLog(spark, tablePath)
     require(versions.nonEmpty, s"no Delta log found under $tablePath/_delta_log")
     val target = versionAsOf.getOrElse(versions.max)
-    require(versions.contains(target),
+    require(versions.contains(target) || lastCheckpoint(spark, fs, new Path(tablePath, "_delta_log")).exists(_._1 == target),
       s"version $target not present in $tablePath/_delta_log (have ${versions.min}..${versions.max})")
 
     val logDir = new Path(tablePath, "_delta_log")
     // checkpoint usable only if it is at or before the target version
     val checkpoint = lastCheckpoint(spark, fs, logDir).filter(_._1 <= target)
-    checkpoint.foreach { case (v, parts) =>
-      require(parts.forall(_ <= 1),
-        s"multi-part checkpoint at version $v is not supported by the built-in Delta reader")
-    }
     val cpVersion = checkpoint.map(_._1).getOrElse(-1L)
     val jsonVersions = versions.filter(v => v > cpVersion && v <= target)
     require(checkpoint.nonEmpty || jsonVersions.contains(0L),
@@ -98,10 +114,16 @@ object DeltaScan {
     // reading the checkpoint with OUR action schema projects away the
     // extra checkpoint fields (stats, txn, ...) and nulls out any field
     // a given writer version didn't emit, so both sources union cleanly
-    val cpActs = checkpoint.map { case (v, _) =>
-      spark.read.schema(actionSchema)
-        .parquet(new Path(logDir, f"$v%020d.checkpoint.parquet").toString)
-        .withColumn("__v", lit(v))
+    val cpActs = checkpoint.map { case (v, parts) =>
+      val cpFiles = parts match {
+        case Some(n) if n > 1 =>
+          // multi-part layout: <v>.checkpoint.<part>.<total>.parquet
+          (1 to n).map(i =>
+            new Path(logDir, f"$v%020d.checkpoint.$i%010d.$n%010d.parquet").toString)
+        case _ =>
+          Seq(new Path(logDir, f"$v%020d.checkpoint.parquet").toString)
+      }
+      spark.read.schema(actionSchema).parquet(cpFiles: _*).withColumn("__v", lit(v))
     }
     val acts = (cpActs.toSeq ++ jsonActs.toSeq).reduce(_ unionByName _)
 
@@ -111,72 +133,161 @@ object DeltaScan {
     proto.foreach { p =>
       val minReader = p.getInt(0)
       val feats = Option(p.getSeq[String](1)).getOrElse(Seq.empty)
-      require(minReader <= 1 || (minReader == 3 && feats.forall(supportedReaderFeatures)),
+      // 1 = base, 2 = legacy column mapping, 3 = table features (must all
+      // be understood). v2Checkpoint in particular is NOT supported.
+      require(minReader <= 2 || (minReader == 3 && feats.forall(supportedReaderFeatures)),
         s"Delta reader protocol $minReader with features $feats is not supported " +
-          "by the built-in reader (column mapping / deletion vectors / v2 checkpoints)")
+          "by the built-in reader (unsupported: " +
+          s"${feats.filterNot(supportedReaderFeatures).mkString(", ")})")
     }
     val meta = acts.filter(col("metaData.id").isNotNull)
       .orderBy(col("__v").desc).select("metaData.*").collect().headOption
       .getOrElse(throw new IllegalStateException(
         s"Delta log at $tablePath has no metaData action"))
     val conf = Option(meta.getMap[String, String](3)).map(_.toMap).getOrElse(Map.empty)
-    require(conf.getOrElse("delta.columnMapping.mode", "none") == "none",
-      "Delta column mapping is not supported by the built-in reader")
+    val cmMode = conf.getOrElse("delta.columnMapping.mode", "none")
+    require(Set("none", "name", "id")(cmMode),
+      s"Delta column mapping mode '$cmMode' is not in the protocol (none/name/id)")
+    val columnMapped = cmMode != "none"
     val schema = DataType.fromJson(meta.getString(1)).asInstanceOf[StructType]
     val partCols = Option(meta.getSeq[String](2)).getOrElse(Seq.empty)
 
     // ---- live-file reconstruction: last action per path wins ------------
     val addsDf = acts.filter(col("add.path").isNotNull)
       .select(col("add.path").as("p"), col("__v"), lit(1).as("isAdd"),
-        col("add.partitionValues").as("pv"), col("add.deletionVector.storageType").as("dv"))
+        col("add.partitionValues").as("pv"), col("add.deletionVector").as("dv"))
+    val dvType = actionSchema("add").dataType.asInstanceOf[StructType]("deletionVector").dataType
     val removesDf = acts.filter(col("remove.path").isNotNull)
       .select(col("remove.path").as("p"), col("__v"), lit(0).as("isAdd"),
         lit(null).cast(MapType(StringType, StringType)).as("pv"),
-        lit(null).cast(StringType).as("dv"))
+        lit(null).cast(dvType).as("dv"))
     val w = Window.partitionBy("p").orderBy(col("__v").desc, col("isAdd").desc)
     val live = addsDf.unionByName(removesDf)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("isAdd") === 1)
       .select("p", "pv", "dv")
       .collect()
-    require(live.forall(_.isNullAt(2)),
-      "table has deletion vectors - not supported by the built-in Delta reader")
 
     val files = live.map { r =>
       val rel = URLDecoder.decode(r.getString(0), StandardCharsets.UTF_8)
       val pv = if (r.isNullAt(1)) Map.empty[String, String]
                else r.getMap[String, String](1).toMap
-      (new Path(tablePath, rel).toString, pv)
+      val dv = if (r.isNullAt(2) || r.getStruct(2).isNullAt(0)) None else {
+        val d = r.getStruct(2)
+        Some(DeletionVectors.Descriptor(
+          d.getString(0), d.getString(1),
+          if (d.isNullAt(2)) None else Some(d.getInt(2)),
+          d.getInt(3), d.getLong(4)))
+      }
+      (new Path(tablePath, rel).toString, pv, dv)
     }
     if (files.isEmpty) return spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+    // ---- deletion vectors: decode in executors, one anti-join key set ---
+    val dvEntries = files.collect { case (p, _, Some(d)) => (normalizePath(p), d) }
+    val deletedPos: Option[DataFrame] = if (dvEntries.isEmpty) None else {
+      import spark.implicits._
+      val bcConf = spark.sparkContext.broadcast(
+        new DeletionVectors.ConfHolder(spark.sessionState.newHadoopConf()))
+      val work = dvEntries.map { case (p, d) =>
+        (p, d.storageType, d.pathOrInlineDv, d.offset.getOrElse(-1), d.sizeInBytes, d.cardinality)
+      }.toSeq
+      val pos = spark.createDataset(work)
+        .repartition(math.min(work.size, 64))
+        .flatMap { case (p, st, ref, off, size, card) =>
+          DeletionVectors.readPositions(bcConf.value.value, tablePath,
+            DeletionVectors.Descriptor(st, ref, if (off < 0) None else Some(off), size, card))
+            .map(pos => (p, pos))
+        }.toDF("__file", "__pos")
+      val totalCard = dvEntries.map(_._2.cardinality).sum
+      Some(if (totalCard <= dvBroadcastRows) broadcast(pos) else pos)
+    }
+
+    /** Anti-join the deleted (file, row) pairs against a fresh file scan.
+      * `_metadata` is the file source's own row identity — no row ids are
+      * invented, and with no DVs present the scan is untouched. */
+    def applyDv(scan: DataFrame): DataFrame = deletedPos match {
+      case None => scan
+      case Some(posDf) =>
+        val out = scan.columns // data columns only, no helpers
+        scan
+          .withColumn("__file", normalizePathCol(col("_metadata.file_path")))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(posDf, Seq("__file", "__pos"), "left_anti")
+          .select(out.map(col).toSeq: _*)
+    }
+
+    // ---- column mapping: read physical names, project back to logical ---
+    val dataFields = schema.fields.filterNot(f => partCols.contains(f.name))
+    val readSchema =
+      if (columnMapped) StructType(dataFields.map(f =>
+        StructField(physicalName(f), physicalType(f.dataType), f.nullable)))
+      else StructType(dataFields)
+
+    /** Physical → logical projection: rename top-level columns and cast
+      * nested structs (struct casts match by POSITION, so nested fields
+      * pick their logical names back up with zero data movement). */
+    def toLogical(df: DataFrame): DataFrame =
+      if (!columnMapped) df
+      else df.select(dataFields.map(f =>
+        col(physicalName(f)).cast(f.dataType).as(f.name)).toSeq: _*)
+
+    val fieldType = schema.fields.map(f => f.name -> f.dataType).toMap
+    val pvKey: String => String =
+      if (columnMapped) {
+        val byLogical = schema.fields.map(f => f.name -> physicalName(f)).toMap
+        c => byLogical(c)
+      } else identity
+
     // ---- data read ------------------------------------------------------
     if (partCols.isEmpty) {
-      spark.read.schema(schema).parquet(files.map(_._1): _*)
+      toLogical(applyDv(spark.read.schema(readSchema).parquet(files.map(_._1).toSeq: _*)))
     } else {
-      val hiveLayout = files.forall { case (p, _) => partCols.forall(c => p.contains(s"$c=")) }
+      val hiveLayout = !columnMapped &&
+        files.forall { case (p, _, _) => partCols.forall(c => p.contains(s"$c=")) }
       if (hiveLayout) {
         // scale path: partition values parse from the directory names and
         // cast to the table schema; partition pruning stays effective
-        spark.read.option("basePath", tablePath).schema(schema)
-          .parquet(files.map(_._1): _*)
-          .select(schema.fieldNames.map(col): _*)
+        applyDv(spark.read.option("basePath", tablePath).schema(schema)
+          .parquet(files.map(_._1).toSeq: _*))
+          .select(schema.fieldNames.map(col).toSeq: _*)
       } else {
         // exact fallback: group files by partition tuple, inject literals.
         // Plan size grows with DISTINCT partition tuples - fine for modest
         // partition counts, hive-layout tables take the branch above.
-        val fieldType = schema.fields.map(f => f.name -> f.dataType).toMap
         files.groupBy(_._2).map { case (pv, group) =>
-          val dataDf = spark.read
-            .schema(StructType(schema.fields.filterNot(f => partCols.contains(f.name))))
-            .parquet(group.map(_._1): _*)
+          val dataDf = toLogical(applyDv(
+            spark.read.schema(readSchema).parquet(group.map(_._1).toSeq: _*)))
           partCols.foldLeft(dataDf) { (d, c) =>
-            d.withColumn(c, lit(pv.get(c).orNull).cast(fieldType(c)))
-          }.select(schema.fieldNames.map(col): _*)
+            d.withColumn(c, lit(pv.get(pvKey(c)).orNull).cast(fieldType(c)))
+          }.select(schema.fieldNames.map(col).toSeq: _*)
         }.reduce(_ unionByName _)
       }
     }
+  }
+
+  /** Collapse `scheme://host` prefixes so the planner-side path strings
+    * and `_metadata.file_path` compare equal regardless of how the
+    * FileSystem qualified them. */
+  private def normalizePath(p: String): String =
+    p.replaceFirst("^[A-Za-z][A-Za-z0-9+.\\-]*:/+", "/")
+
+  private def normalizePathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.\\-]*:/+", "/")
+
+  private def physicalName(f: StructField): String =
+    if (f.metadata.contains(physNameKey)) f.metadata.getString(physNameKey) else f.name
+
+  /** Recursively rewrite a logical type to its physical (on-disk) shape:
+    * struct fields take their `delta.columnMapping.physicalName`. */
+  private def physicalType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(physicalName(f), physicalType(f.dataType), f.nullable)))
+    case a: ArrayType => a.copy(elementType = physicalType(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = physicalType(m.keyType), valueType = physicalType(m.valueType))
+    case other => other
   }
 
   /** All commit versions present as JSON files, plus the FileSystem. */

@@ -155,23 +155,265 @@ class DeltaScanSpec extends SparkSpec {
     assert(out == Seq((2L, "b"), (3L, "c")))
   }
 
-  test("unsupported features fail loudly: column mapping, deletion vectors") {
+  test("unsupported reader features fail loudly: v2Checkpoint") {
     val dir = freshDir("graft_delta_unsup")
     val s0 = writeDataFile(Seq((1L, "a")).toDF("id", "v"), dir, "f0.parquet")
-    writeCommit(dir, 0, Seq(protoAction,
-      metaAction(conf = """{"delta.columnMapping.mode":"name"}"""),
-      addAction("f0.parquet", s0)))
-    val e1 = intercept[IllegalArgumentException] { DeltaScan.read(spark, dir.toString) }
-    assert(e1.getMessage.contains("column mapping"))
+    val v2proto =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}"""
+    writeCommit(dir, 0, Seq(v2proto, metaAction(), addAction("f0.parquet", s0)))
+    val e = intercept[IllegalArgumentException] { DeltaScan.read(spark, dir.toString) }
+    assert(e.getMessage.contains("v2Checkpoint"))
+  }
 
-    val dir2 = freshDir("graft_delta_dv")
-    val s1 = writeDataFile(Seq((1L, "a")).toDF("id", "v"), dir2, "f0.parquet")
-    val dvAdd = s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":$s1,""" +
-      """"modificationTime":1,"dataChange":true,""" +
-      """"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":1,"cardinality":1}}}"""
-    writeCommit(dir2, 0, Seq(protoAction, metaAction(), dvAdd))
-    val e2 = intercept[IllegalArgumentException] { DeltaScan.read(spark, dir2.toString) }
-    assert(e2.getMessage.contains("deletion vectors"))
+  // ---- deletion vectors ------------------------------------------------
+
+  /** `<magic><portable RoaringBitmapArray>` per the Delta protocol; the
+    * writer half of sources.DeletionVectors — array, bitmap, and run
+    * containers all exercised from the tests. */
+  private def serializeDvData(positions: Seq[Long], asRuns: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def i32(v: Int): Unit =
+      bos.write(Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte))
+    def i16(v: Int): Unit = bos.write(Array[Byte](v.toByte, (v >> 8).toByte))
+    def i64(v: Long): Unit = { i32((v & 0xFFFFFFFFL).toInt); i32((v >>> 32).toInt) }
+    i32(1681511377)
+    val byKey = positions.groupBy(p => (p >>> 32).toInt)
+    val nBitmaps = if (byKey.isEmpty) 0 else byKey.keys.max + 1
+    i64(nBitmaps.toLong)
+    for (key <- 0 until nBitmaps) {
+      val vals32 = byKey.getOrElse(key, Seq.empty).map(p => (p & 0xFFFFFFFFL).toInt).sorted
+      val containers = vals32.groupBy(v => v >>> 16).toSeq.sortBy(_._1)
+        .map { case (hi, vs) => (hi, vs.map(_ & 0xFFFF).sorted) }
+      if (asRuns) {
+        // SERIAL_COOKIE with every container run-encoded
+        i32(12347 | ((containers.size - 1) << 16))
+        val flags = new Array[Byte]((containers.size + 7) / 8)
+        containers.indices.foreach(i => flags(i / 8) = (flags(i / 8) | (1 << (i % 8))).toByte)
+        bos.write(flags)
+        containers.foreach { case (hi, vs) => i16(hi); i16(vs.size - 1) }
+        if (containers.size >= 4) containers.foreach(_ => i32(0)) // parser skips offsets
+        containers.foreach { case (_, vs) =>
+          val runs = vs.foldLeft(List.empty[(Int, Int)]) {
+            case ((s, e) :: rest, v) if v == e + 1 => (s, v) :: rest
+            case (acc, v) => (v, v) :: acc
+          }.reverse
+          i16(runs.size)
+          runs.foreach { case (s, e) => i16(s); i16(e - s) }
+        }
+      } else {
+        i32(12346); i32(containers.size)
+        containers.foreach { case (hi, vs) => i16(hi); i16(vs.size - 1) }
+        // offset header (mandatory for the no-run cookie)
+        var off = 4 + 4 + 4 * containers.size + 4 * containers.size
+        containers.foreach { case (_, vs) =>
+          i32(off)
+          off += (if (vs.size > 4096) 8192 else 2 * vs.size)
+        }
+        containers.foreach { case (_, vs) =>
+          if (vs.size > 4096) {
+            val words = new Array[Long](1024)
+            vs.foreach(v => words(v / 64) |= (1L << (v % 64)))
+            words.foreach(i64)
+          } else vs.foreach(i16)
+        }
+      }
+    }
+    bos.toByteArray
+  }
+
+  /** Write DV payloads into one `deletion_vector_<uuid>.bin` (version
+    * byte, then per-DV `<BE size><data><crc>`), returning the add-action
+    * descriptor JSON + parsed offsets for each payload. */
+  private def writeDvFile(tableDir: Path, payloads: Seq[Array[Byte]]): (String, Seq[(Int, Int)]) = {
+    val uuidBytes = Array.tabulate[Byte](16)(i => (i + 1).toByte)
+    val bb = java.nio.ByteBuffer.wrap(uuidBytes)
+    val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+    val encoded = graft.sources.DeletionVectors.z85Encode(uuidBytes)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(1) // format version
+    val offsets = payloads.map { data =>
+      val off = bos.size()
+      bos.write(Array[Byte]((data.length >> 24).toByte, (data.length >> 16).toByte,
+        (data.length >> 8).toByte, data.length.toByte)) // big-endian size
+      bos.write(data)
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      val c = crc.getValue.toInt
+      bos.write(Array[Byte]((c >> 24).toByte, (c >> 16).toByte, (c >> 8).toByte, c.toByte))
+      (off, data.length)
+    }
+    Files.write(tableDir.resolve(s"deletion_vector_$uuid.bin"), bos.toByteArray)
+    (encoded, offsets)
+  }
+
+  private def dvAddAction(relPath: String, size: Long, storageType: String,
+                          ref: String, offset: Option[Int], dvSize: Int, card: Long) = {
+    val offJson = offset.map(o => s""""offset":$o,""").getOrElse("")
+    s"""{"add":{"path":"$relPath","partitionValues":{},"size":$size,""" +
+      """"modificationTime":1700000000000,"dataChange":true,"deletionVector":{""" +
+      s""""storageType":"$storageType","pathOrInlineDv":"$ref",$offJson""" +
+      s""""sizeInBytes":$dvSize,"cardinality":$card}}}"""
+  }
+
+  private val dvProto =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""
+
+  test("deletion vectors: on-disk 'u' storage, two DVs in one file, array+run containers") {
+    val dir = freshDir("graft_delta_dv_u")
+    val df0 = spark.range(0, 100).select(col("id"), concat(lit("r"), col("id")).as("v"))
+    val df1 = spark.range(100, 200).select(col("id"), concat(lit("r"), col("id")).as("v"))
+    val s0 = writeDataFile(df0, dir, "f0.parquet")
+    val s1 = writeDataFile(df1, dir, "f1.parquet")
+    // f0 drops rows 0..9 (run container), f1 drops odd positions 1,3,5 (array)
+    val dv0 = serializeDvData(0L to 9L, asRuns = true)
+    val dv1 = serializeDvData(Seq(1L, 3L, 5L))
+    val (ref, offs) = writeDvFile(dir, Seq(dv0, dv1))
+    writeCommit(dir, 0, Seq(dvProto, metaAction(),
+      dvAddAction("f0.parquet", s0, "u", ref, Some(offs(0)._1), offs(0)._2, 10L),
+      dvAddAction("f1.parquet", s1, "u", ref, Some(offs(1)._1), offs(1)._2, 3L)))
+
+    val out = DeltaScan.read(spark, dir.toString).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    val expect = ((10L until 100L) ++ Seq(100L, 102L, 104L) ++ (106L until 200L))
+      .map(i => (i, s"r$i"))
+    assert(out == expect)
+  }
+
+  test("deletion vectors: inline 'i' storage; re-added file's DV supersedes") {
+    val dir = freshDir("graft_delta_dv_i")
+    val df0 = spark.range(0, 10).select(col("id"), concat(lit("r"), col("id")).as("v"))
+    val s0 = writeDataFile(df0, dir, "f0.parquet")
+    writeCommit(dir, 0, Seq(dvProto, metaAction(), addAction("f0.parquet", s0)))
+    // v1 re-adds f0 with an inline DV deleting positions 2 and 7
+    val data = serializeDvData(Seq(2L, 7L))
+    val padded = data ++ Array.fill[Byte]((4 - data.length % 4) % 4)(0)
+    val inline = graft.sources.DeletionVectors.z85Encode(padded)
+    writeCommit(dir, 1, Seq(
+      dvAddAction("f0.parquet", s0, "i", inline, None, data.length, 2L)))
+
+    val out = DeltaScan.read(spark, dir.toString).orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out.map(_._1) == Seq(0L, 1L, 3L, 4L, 5L, 6L, 8L, 9L))
+    // time travel to v0 still sees all ten rows
+    assert(DeltaScan.read(spark, dir.toString, Some(0L)).count() == 10L)
+  }
+
+  test("deletion vectors: bitmap container (cardinality > 4096) decodes") {
+    val positions = (0L until 5000L).filter(_ % 3 != 0)
+    val data = serializeDvData(positions)
+    val decoded = graft.sources.DeletionVectors.decode(data, data.length)
+    assert(decoded.toSeq == positions)
+    // multi-bitmap: values above 2^32 land in the second roaring bitmap
+    val hi = Seq(5L, (1L << 32) + 7L, (1L << 32) + 9L)
+    val d2 = serializeDvData(hi)
+    assert(graft.sources.DeletionVectors.decode(d2, d2.length).toSeq == hi)
+  }
+
+  // ---- column mapping ---------------------------------------------------
+
+  private val mappedSchemaJson =
+    """{"type":"struct","fields":[
+      |{"name":"id","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-aa11"}},
+      |{"name":"pt","type":{"type":"struct","fields":[
+      |{"name":"x","type":"double","nullable":true,"metadata":{"delta.columnMapping.id":3,"delta.columnMapping.physicalName":"col-x9"}},
+      |{"name":"y","type":"double","nullable":true,"metadata":{"delta.columnMapping.id":4,"delta.columnMapping.physicalName":"col-y9"}}]},
+      |"nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-pt77"}}]}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("column mapping (name mode): physical parquet names map back to logical, nested too") {
+    val dir = freshDir("graft_delta_cm")
+    val physDf = spark.range(0, 3).select(col("id").as("col-aa11"),
+      struct((col("id") * 2.0).as("col-x9"), (col("id") * 3.0).as("col-y9")).as("col-pt77"))
+    val s0 = writeDataFile(physDf, dir, "f0.parquet")
+    val metaCm =
+      s"""{"metaData":{"id":"tbl-cm","format":{"provider":"parquet","options":{}},
+         |"schemaString":"${mappedSchemaJson.replace("\"", "\\\"")}",
+         |"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},
+         |"createdTime":1700000000000}}""".stripMargin.replaceAll("\n", "")
+    val proto2 = """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    writeCommit(dir, 0, Seq(proto2, metaCm, addAction("f0.parquet", s0)))
+
+    val out = DeltaScan.read(spark, dir.toString)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "pt"))
+    assert(out.schema("pt").dataType.asInstanceOf[StructType].fieldNames.toSeq == Seq("x", "y"))
+    val rows = out.orderBy("id").select("id", "pt.x", "pt.y")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(rows == Seq((0L, 0.0, 0.0), (1L, 2.0, 3.0), (2L, 4.0, 6.0)))
+  }
+
+  test("column mapping + partition columns: physical partitionValues keys map to logical") {
+    val dir = freshDir("graft_delta_cm_part")
+    val schemaCmPart =
+      """{"type":"struct","fields":[
+        |{"name":"id","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-i"}},
+        |{"name":"v","type":"string","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-v"}}]}"""
+        .stripMargin.replaceAll("\n", "")
+    val physDf0 = Seq(Tuple1(1L)).toDF("col-i")
+    val physDf1 = Seq(Tuple1(2L)).toDF("col-i")
+    val s0 = writeDataFile(physDf0, dir, "fa.parquet")
+    val s1 = writeDataFile(physDf1, dir, "fb.parquet")
+    val metaCm =
+      s"""{"metaData":{"id":"tbl-cmp","format":{"provider":"parquet","options":{}},
+         |"schemaString":"${schemaCmPart.replace("\"", "\\\"")}",
+         |"partitionColumns":["v"],"configuration":{"delta.columnMapping.mode":"name"},
+         |"createdTime":1700000000000}}""".stripMargin.replaceAll("\n", "")
+    val proto2 = """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    writeCommit(dir, 0, Seq(proto2, metaCm,
+      addAction("fa.parquet", s0, pv = """{"col-v":"x"}"""),
+      addAction("fb.parquet", s1, pv = """{"col-v":"y"}""")))
+    val out = DeltaScan.read(spark, dir.toString)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "x"), (2L, "y")))
+  }
+
+  // ---- multi-part checkpoint ---------------------------------------------
+
+  test("multi-part checkpoint: all parts read, later commits apply on top") {
+    val dir = freshDir("graft_delta_mpcp")
+    val s0 = writeDataFile(Seq((1L, "a")).toDF("id", "v"), dir, "f0.parquet")
+    val s1 = writeDataFile(Seq((2L, "b")).toDF("id", "v"), dir, "f1.parquet")
+    val s2 = writeDataFile(Seq((3L, "c")).toDF("id", "v"), dir, "f2.parquet")
+    writeCommit(dir, 0, Seq(protoAction, metaAction(), addAction("f0.parquet", s0)))
+    writeCommit(dir, 1, Seq(addAction("f1.parquet", s1)))
+
+    val cpSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType))))))
+    def writePart(rows: Seq[Row], name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_delta_mpcpw").toString
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), cpSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, dir.resolve("_delta_log").resolve(name))
+    }
+    // part 1: metadata + protocol + f0; part 2: f1
+    writePart(Seq(
+      Row(Row("f0.parquet", Map.empty[String, String], s0, true), null, null),
+      Row(null, Row("tbl-1", schemaJson, Seq.empty[String], Map.empty[String, String]), null),
+      Row(null, null, Row(1))),
+      f"${1L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")
+    writePart(Seq(
+      Row(Row("f1.parquet", Map.empty[String, String], s1, true), null, null)),
+      f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet")
+    val log = dir.resolve("_delta_log")
+    Files.write(log.resolve("_last_checkpoint"),
+      """{"version":1,"size":4,"parts":2}""".getBytes(StandardCharsets.UTF_8))
+    Files.delete(log.resolve(f"${0L}%020d.json"))
+    Files.delete(log.resolve(f"${1L}%020d.json"))
+    writeCommit(dir, 2, Seq(removeAction("f0.parquet"), addAction("f2.parquet", s2)))
+
+    val out = DeltaScan.read(spark, dir.toString)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((2L, "b"), (3L, "c")))
   }
 
   test("Tidier.read(format=delta) falls back to the built-in reader without a connector") {
