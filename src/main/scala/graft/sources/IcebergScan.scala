@@ -8,6 +8,7 @@ import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.avro.mapred.FsInput
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Dependency-free read of Apache Iceberg tables — the `iceberg_scan`
@@ -22,14 +23,25 @@ import org.apache.spark.sql.types._
   * selection (`snapshotAsOf`), manifest-entry status replay
   * (existing/added/deleted), identity partitioning (Iceberg data files
   * carry the full row, so identity partition columns come back from the
-  * parquet itself). Unsupported (fails loudly rather than returning
-  * wrong answers): delete manifests (v2 row-level deletes), non-parquet
-  * data files, `time`/`uuid`/`fixed` column types.
+  * parquet itself), and V2 ROW-LEVEL DELETES: positional delete files
+  * (applied when `delete.seq >= data.seq`, via an anti-join on the file
+  * source's `_metadata.(file_path, row_index)` — Iceberg's `pos` is
+  * exactly the row ordinal in the data file) and equality delete files
+  * (applied when `delete.seq > data.seq`, as a null-safe anti-join on
+  * the columns the delete file's `equality_ids` name). Unsupported
+  * (fails loudly rather than returning wrong answers): non-parquet
+  * data/delete files, equality ids naming nested fields,
+  * `time`/`uuid`/`fixed` column types.
   *
   * Scale shape: the metadata tree (one JSON + a few KB-MB of Avro) is
   * read driver-side — the same planning cost every Iceberg reader pays;
   * the data scan is a normal distributed parquet read with pushdown and
-  * column pruning against the spec-derived schema.
+  * column pruning against the spec-derived schema. Delete application
+  * is pure joins: the positional-delete set reads distributed, is
+  * pre-filtered by sequence number against the (broadcast) per-file
+  * sequence map, and broadcasts below a row threshold; equality deletes
+  * group the data files by their applicable-delete set (distinct
+  * sequence numbers are few) so each file is scanned exactly once.
   */
 object IcebergScan {
 
@@ -55,14 +67,12 @@ object IcebergScan {
 
     val manifestListPath = snapshot.get.get("manifest-list").asText()
     val manifests = readAvro(fs, conf, resolvePath(tablePath, manifestListPath)).map { r =>
-      val content = Option(r.get("content")).map(_.toString.toInt).getOrElse(0)
-      (r.get("manifest_path").toString, content)
+      val content = opt(r, "content").map(_.toString.toInt).getOrElse(0)
+      val seq = opt(r, "sequence_number").map(_.toString.toLong).getOrElse(0L)
+      (r.get("manifest_path").toString, content, seq)
     }
-    require(manifests.forall(_._2 == 0),
-      s"Iceberg table $tablePath has delete manifests (v2 row-level deletes) - " +
-        "not supported by the built-in reader")
 
-    val dataFiles = manifests.flatMap { case (mp, _) =>
+    val entries = manifests.flatMap { case (mp, _, mSeq) =>
       readAvro(fs, conf, resolvePath(tablePath, mp)).flatMap { entry =>
         val status = entry.get("status").toString.toInt
         if (status == 2) None // DELETED
@@ -70,17 +80,117 @@ object IcebergScan {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val fmt = df.get("file_format").toString
           require(fmt.equalsIgnoreCase("parquet"),
-            s"data file format $fmt not supported by the built-in Iceberg reader")
-          Option(df.get("content")).map(_.toString.toInt).foreach(c =>
-            require(c == 0, s"non-data content file in data manifest (content=$c) unsupported"))
-          Some(resolvePath(tablePath, df.get("file_path").toString))
+            s"file format $fmt not supported by the built-in Iceberg reader")
+          val content = opt(df, "content").map(_.toString.toInt).getOrElse(0)
+          // null entry sequence numbers inherit the manifest's (spec rule)
+          val seq = opt(entry, "sequence_number").map(_.toString.toLong).getOrElse(mSeq)
+          val eqIds = opt(df, "equality_ids").collect {
+            case l: java.util.Collection[_] => l.asScala.map(_.toString.toInt).toSeq
+          }.getOrElse(Seq.empty)
+          val rows = opt(df, "record_count").map(_.toString.toLong).getOrElse(0L)
+          Some(FileEntry(resolvePath(tablePath, df.get("file_path").toString),
+            seq, content, eqIds, rows))
         }
       }
-    }.distinct
+    }
+
+    // a path re-listed across manifests (EXISTING entries) keeps its
+    // highest sequence number
+    def dedupe(es: Seq[FileEntry]): Seq[FileEntry] =
+      es.groupBy(_.path).values.map(_.maxBy(_.seq)).toSeq.sortBy(_.path)
+    val dataFiles = dedupe(entries.filter(_.content == 0))
+    val posFiles = dedupe(entries.filter(_.content == 1))
+    val eqFiles = dedupe(entries.filter(_.content == 2))
+
     if (dataFiles.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(dataFiles: _*)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (posFiles.isEmpty && eqFiles.isEmpty) // fast path: no row-level deletes
+      return spark.read.schema(schema).parquet(dataFiles.map(_.path): _*)
+
+    // ---- positional deletes: one seq-filtered (file, pos) key set -------
+    val posSet: Option[DataFrame] = if (posFiles.isEmpty) None else {
+      val raw = posFiles.groupBy(_.seq).toSeq.map { case (s, fs) =>
+        spark.read.schema(StructType(Seq(
+          StructField("file_path", StringType), StructField("pos", LongType))))
+          .parquet(fs.map(_.path): _*)
+          .withColumn("__dseq", lit(s))
+      }.reduce(_ unionByName _)
+      // pre-filter by the data files' sequence numbers so stale deletes
+      // (delete.seq < data.seq, e.g. a compacted rewrite) never apply;
+      // the per-file seq map is planning metadata, always broadcast-size
+      val dataSeq = spark.createDataFrame(
+        dataFiles.map(f => (normalizePath(f.path), f.seq))).toDF("__file", "__fseq")
+      val eff = raw
+        .select(normalizePathCol(col("file_path")).as("__file"),
+          col("pos").as("__pos"), col("__dseq"))
+        .join(broadcast(dataSeq), Seq("__file"))
+        .filter(col("__dseq") >= col("__fseq"))
+        .select("__file", "__pos")
+      Some(if (posFiles.map(_.rows).sum <= deleteBroadcastRows) broadcast(eff) else eff)
+    }
+
+    // ---- equality deletes: field ids → top-level columns ----------------
+    val fieldById: Map[Int, StructField] = {
+      val fields = currentSchema(meta).get("fields").elements().asScala.toSeq
+      fields.map(f => f.get("id").asInt() ->
+        schema(f.get("name").asText())).toMap
+    }
+    def eqColumns(ids: Seq[Int]): Seq[StructField] = ids.map { id =>
+      fieldById.getOrElse(id, throw new IllegalArgumentException(
+        s"equality delete references field id $id which is not a top-level column - " +
+          "not supported by the built-in Iceberg reader"))
+    }
+
+    def applyDeletes(group: Seq[FileEntry], applicableEq: Seq[FileEntry]): DataFrame = {
+      var scan = spark.read.schema(schema).parquet(group.map(_.path): _*)
+      posSet.foreach { pos =>
+        val out = scan.columns
+        scan = scan
+          .withColumn("__file", normalizePathCol(col("_metadata.file_path")))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(pos, Seq("__file", "__pos"), "left_anti")
+          .select(out.map(col).toSeq: _*)
+      }
+      applicableEq.groupBy(_.eqIds).foldLeft(scan) { case (acc, (ids, files)) =>
+        val fields = eqColumns(ids)
+        val del0 = spark.read.schema(StructType(fields)).parquet(files.map(_.path): _*)
+        val del = if (files.map(_.rows).sum <= deleteBroadcastRows) broadcast(del0) else del0
+        val a = acc.as("d")
+        val x = del.as("x")
+        // spec: an equality delete row matches on null-safe equality
+        val cond = fields.map(f => col(s"d.${f.name}") <=> col(s"x.${f.name}")).reduce(_ && _)
+        a.join(x, cond, "left_anti")
+      }
+    }
+
+    // group data files by WHICH equality deletes apply (delete.seq >
+    // data.seq) — distinct sequence numbers are few, so each data file
+    // is scanned exactly once and the union stays small
+    val groups = dataFiles.groupBy(f => eqFiles.filter(_.seq > f.seq).map(_.path).toSet)
+    groups.toSeq.sortBy(_._2.head.path).map { case (eqSet, group) =>
+      applyDeletes(group, eqFiles.filter(e => eqSet(e.path)))
+    }.reduce(_ unionByName _)
   }
+
+  /** One manifest entry's file: data (content 0), positional deletes (1),
+    * or equality deletes (2), with its resolved data sequence number. */
+  private final case class FileEntry(
+      path: String, seq: Long, content: Int, eqIds: Seq[Int], rows: Long)
+
+  /** Broadcast a delete key set below this many declared rows. */
+  private val deleteBroadcastRows = 4L * 1000 * 1000
+
+  /** Field access tolerant of fixtures/writers whose Avro schema omits an
+    * optional field entirely (GenericData.Record.get(String) THROWS on
+    * unknown names rather than returning null). */
+  private def opt(r: GenericRecord, field: String): Option[AnyRef] =
+    if (r.getSchema.getField(field) == null) None else Option(r.get(field))
+
+  private def normalizePath(p: String): String =
+    p.replaceFirst("^[A-Za-z][A-Za-z0-9+.\\-]*:/+", "/")
+
+  private def normalizePathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.\\-]*:/+", "/")
 
   /** Latest table metadata as parsed JSON: prefer version-hint.text
     * (HadoopTables), else the lexically-highest *.metadata.json. */

@@ -8,6 +8,7 @@ import org.apache.avro.Schema
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.IcebergScan
 
@@ -20,17 +21,21 @@ class IcebergScanSpec extends SparkSpec {
   private val entrySchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
       |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
       |  {"name":"content","type":"int","default":0},
       |  {"name":"file_path","type":"string"},
       |  {"name":"file_format","type":"string"},
-      |  {"name":"record_count","type":"long"}]}}]}""".stripMargin)
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}]}}]}"""
+      .stripMargin)
 
   private val listSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string"},
       |{"name":"manifest_length","type":"long"},
-      |{"name":"content","type":"int","default":0}]}""".stripMargin)
+      |{"name":"content","type":"int","default":0},
+      |{"name":"sequence_number","type":["null","long"],"default":null}]}""".stripMargin)
 
   private def writeAvro(path: Path, schema: Schema, records: Seq[GenericRecord]): Unit = {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
@@ -39,23 +44,32 @@ class IcebergScanSpec extends SparkSpec {
     w.close()
   }
 
-  private def entry(status: Int, filePath: String, rows: Long, content: Int = 0): GenericRecord = {
+  private def entry(status: Int, filePath: String, rows: Long, content: Int = 0,
+                    seq: Option[Long] = None, eqIds: Seq[Int] = Seq.empty): GenericRecord = {
     val df = new GenericData.Record(entrySchema.getField("data_file").schema())
     df.put("content", content)
     df.put("file_path", filePath)
     df.put("file_format", "PARQUET")
     df.put("record_count", rows)
+    if (eqIds.nonEmpty) {
+      val l = new java.util.ArrayList[Integer]()
+      eqIds.foreach(i => l.add(Int.box(i)))
+      df.put("equality_ids", l)
+    }
     val e = new GenericData.Record(entrySchema)
     e.put("status", status)
+    seq.foreach(s => e.put("sequence_number", Long.box(s)))
     e.put("data_file", df)
     e
   }
 
-  private def listEntry(manifestPath: String, content: Int = 0): GenericRecord = {
+  private def listEntry(manifestPath: String, content: Int = 0,
+                        seq: Option[Long] = None): GenericRecord = {
     val r = new GenericData.Record(listSchema)
     r.put("manifest_path", manifestPath)
     r.put("manifest_length", 100L)
     r.put("content", content)
+    seq.foreach(s => r.put("sequence_number", Long.box(s)))
     r
   }
 
@@ -138,14 +152,73 @@ class IcebergScanSpec extends SparkSpec {
       StructField("s", StructType(Seq(StructField("x", DoubleType, nullable = false)))))))
   }
 
-  test("delete manifests fail loudly") {
-    val dir = buildTable()
+  /** A v2 table with row-level deletes:
+    *  - f0 (seq 1, ids 0..9), f1 (seq 1, ids 10..14), f2 (seq 3, ids 20..22
+    *    plus a NULL-v row)
+    *  - positional delete file (seq 2): f0 pos 2 and 5, f1 pos 0, and a
+    *    STALE entry naming f2 pos 0 (delete.seq 2 < data.seq 3 → ignored)
+    *  - equality delete file (seq 2) on field id 2 (`v`): "r3", NULL
+    *    → applies to f0/f1 (seq 1) but NOT to f2 (seq 3)
+    */
+  private def buildDeleteTable(): Path = {
+    val dir = Files.createTempDirectory("graft_iceberg_del")
+    dir.toFile.deleteOnExit()
     val meta = dir.resolve("metadata")
-    // add a v2 delete manifest to snapshot 2's list
-    writeAvro(meta.resolve("l2.avro"), listSchema,
-      Seq(listEntry(s"$dir/metadata/m2.avro"), listEntry(s"$dir/metadata/m2.avro", content = 1)))
+    Files.createDirectories(meta)
+    val f0 = spark.range(0, 10).select(col("id"), concat(lit("r"), col("id")).as("v"))
+    val f1 = spark.range(10, 15).select(col("id"), concat(lit("r"), col("id")).as("v"))
+      .union(Seq((98L, null: String)).toDF("id", "v"))
+    val f2 = spark.range(20, 23).select(col("id"), concat(lit("r"), col("id")).as("v"))
+      .union(Seq((99L, null: String)).toDF("id", "v"))
+    writeDataFile(f0, dir, "data/f0.parquet")
+    writeDataFile(f1, dir, "data/f1.parquet")
+    writeDataFile(f2, dir, "data/f2.parquet")
+    writeDataFile(Seq(
+      (s"$dir/data/f0.parquet", 2L), (s"$dir/data/f0.parquet", 5L),
+      (s"$dir/data/f1.parquet", 0L), (s"$dir/data/f2.parquet", 0L))
+      .toDF("file_path", "pos"), dir, "data/pd0.parquet")
+    writeDataFile(Seq(Tuple1("r3"), Tuple1(null: String)).toDF("v"), dir, "data/eq0.parquet")
+
+    writeAvro(meta.resolve("md.avro"), entrySchema, Seq(
+      entry(1, s"$dir/data/f0.parquet", 10, seq = Some(1L)),
+      entry(1, s"$dir/data/f1.parquet", 6, seq = Some(1L)),
+      entry(1, s"$dir/data/f2.parquet", 4, seq = Some(3L))))
+    writeAvro(meta.resolve("mdel.avro"), entrySchema, Seq(
+      entry(1, s"$dir/data/pd0.parquet", 4, content = 1, seq = Some(2L)),
+      entry(1, s"$dir/data/eq0.parquet", 2, content = 2, seq = Some(2L), eqIds = Seq(2))))
+    writeAvro(meta.resolve("ld.avro"), listSchema, Seq(
+      listEntry(s"$dir/metadata/md.avro"),
+      listEntry(s"$dir/metadata/mdel.avro", content = 1, seq = Some(2L))))
+    val metadataJson =
+      s"""{"format-version":2,"table-uuid":"u2","location":"$dir",
+         |"current-schema-id":0,"schemas":[$icebergSchemaJson],
+         |"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,"manifest-list":"$dir/metadata/ld.avro"}]}"""
+        .stripMargin
+    Files.write(meta.resolve("v1.metadata.json"),
+      metadataJson.getBytes(StandardCharsets.UTF_8))
+    Files.write(meta.resolve("version-hint.text"), "1".getBytes(StandardCharsets.UTF_8))
+    dir
+  }
+
+  test("v2 deletes: positional (seq-gated) + null-safe equality deletes apply") {
+    val dir = buildDeleteTable()
+    val out = IcebergScan.read(spark, dir.toString)
+      .orderBy("id").select("id").as[Long].collect().toSeq
+    // f0 loses pos 2,5 (ids 2,5) and v="r3" (id 3); f1 loses pos 0 (id 10)
+    // and its NULL-v row 98 (null-safe equality); f2 keeps EVERYTHING: its
+    // pos-delete entry is stale (seq 2 < 3) and the equality delete (seq 2)
+    // does not reach seq-3 data — including f2's own NULL-v row 99
+    assert(out == Seq(0L, 1L, 4L, 6L, 7L, 8L, 9L, 11L, 12L, 13L, 14L, 20L, 21L, 22L, 99L))
+  }
+
+  test("equality delete naming an unknown field id fails loudly") {
+    val dir = buildDeleteTable()
+    val meta = dir.resolve("metadata")
+    writeAvro(meta.resolve("mdel.avro"), entrySchema, Seq(
+      entry(1, s"$dir/data/eq0.parquet", 2, content = 2, seq = Some(2L), eqIds = Seq(42))))
     val e = intercept[IllegalArgumentException] { IcebergScan.read(spark, dir.toString) }
-    assert(e.getMessage.contains("delete manifests"))
+    assert(e.getMessage.contains("field id 42"))
   }
 
   test("Tidier.read(format=iceberg) falls back to the built-in reader without a connector") {
