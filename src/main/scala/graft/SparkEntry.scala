@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Fns, Selector, TextFns}
-import graft.operators.{Bpe, BpeModel, Chunking, Decontaminate, Dedup, Multimodal, Packing, Pipelines, Repetition, Sampling, Similarity}
+import graft.operators.{Bpe, BpeModel, Chunking, Decontaminate, Dedup, Multimodal, NgramLm, Packing, Pipelines, Repetition, Sampling, Similarity}
 import graft.operators.JoinKey
 import graft.operators.JoinKey.{Closest, Equi, Theta}
 
@@ -883,6 +883,18 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // n-gram LM fluency (CCNet-style quality signal): bigram model
+    // counted from the even-doc_id half of the corpus (so odd docs
+    // exercise real OOV), every doc scored by mean add-one-smoothed
+    // conditional probability — integer-scaled arithmetic end-to-end,
+    // so the oracle gates the VALUES
+    "q_text_lm" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val model = NgramLm.train(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), "text", n = 2)
+      NgramLm.scoreDocs(docs, "doc_id", "text", model).orderBy("doc_id")
+    }),
+
     // REAL BPE tokenizer end-to-end: train merges from the corpus' own
     // word histogram (one shuffle + driver merge-learning), encode every
     // doc with the native expression, then gate two invariants the
@@ -1564,6 +1576,40 @@ object SparkEntry {
         |  md5(trim(regexp_replace(regexp_replace(lower(text),
         |    '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp
         |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+
+    // full SQL rebuild of the bigram LM: same reference split, same
+    // integer-scaled smoothing — every intermediate is exact BIGINT, so
+    // fluency doubles match bit-for-bit
+    "q_text_lm" ->
+      s"""WITH toks AS (SELECT doc_id, $tkExpr AS tk FROM documents),
+         |ref AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+         |uni AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM ref)),
+         |refg AS (SELECT tk[i] AS ctx, tk[i+1] AS tok
+         |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM ref)),
+         |bi AS (SELECT ctx, tok, COUNT(*) AS cnt FROM refg GROUP BY 1, 2),
+         |ctxt AS (SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS total FROM bi GROUP BY 1),
+         |docg AS (SELECT doc_id, tk[i] AS ctx, tk[i+1] AS tok
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)),
+         |scored AS (
+         |  SELECT g.doc_id,
+         |    (1000000000 * (COALESCE(b.cnt, 0) + 1)) // (COALESCE(c.total, 0) + uni.v) AS s,
+         |    CASE WHEN b.cnt IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM docg g
+         |  LEFT JOIN bi b ON g.ctx = b.ctx AND g.tok = b.tok
+         |  LEFT JOIN ctxt c ON g.ctx = c.ctx
+         |  CROSS JOIN uni),
+         |perdoc AS (
+         |  SELECT doc_id, COUNT(*) AS n_grams,
+         |    CAST(SUM(oov) AS BIGINT) AS oov_grams,
+         |    (CAST(SUM(s) AS DOUBLE) / COUNT(*)) / 1000000000.0 AS fluency
+         |  FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(p.n_grams, 0) AS n_grams,
+         |  COALESCE(p.oov_grams, 0) AS oov_grams,
+         |  p.fluency AS fluency
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     // the oracle states the BPE invariants without running BPE: decode
     // of the encode must rebuild the whitespace-normalized text, and

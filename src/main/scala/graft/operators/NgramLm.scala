@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** N-gram language-model fluency scoring — the CCNet-style corpus
+  * quality signal: score each document by the average smoothed
+  * conditional probability of its word n-grams under a model counted
+  * from a reference corpus (usually a trusted subset; KenLM perplexity
+  * is the production analog, this is its exact-arithmetic cousin).
+  *
+  * Probabilities are ADD-ONE smoothed and kept in INTEGER-SCALED form:
+  * `score = (scale * (count + 1)) DIV (ctxTotal + V)` — every
+  * intermediate is exact BIGINT arithmetic, per-doc aggregation is an
+  * exact integer sum, and the final average divides two
+  * exactly-representable integers. That makes scores bit-identical
+  * across engines (gate-checkable VALUES, like tfidfTopTerms' rational
+  * idf), where a log-prob formulation would inherit libm's last-ulp
+  * variation.
+  *
+  * Scale shape (100 TB): training is the gram explode (narrow — the
+  * sequence/transform stays inside the row) plus TWO count shuffles
+  * keyed by (ctx, tok) and ctx; scoring is two equi-joins on those same
+  * keys. Stop-word contexts are Zipf-hot — AQE skew-join handles the
+  * imbalance, and a model counted from a bounded reference corpus is
+  * broadcast-sized (`broadcastModel = true` forces the hint, the
+  * dimension-table pattern).
+  */
+object NgramLm {
+
+  /** Counted model: `grams` = (ctx, tok, cnt), `ctxTotals` =
+    * (ctx, total), plus the smoothing vocabulary size. Plain DataFrames
+    * — persist or write them like any other table. */
+  case class Model(grams: DataFrame, ctxTotals: DataFrame, vocabSize: Long, n: Int)
+
+  /** explode `(ctx, tok)` word n-grams; ctx = n-1 tokens joined by one
+    * space. Narrow — no shuffle. */
+  private def gramPairs(df: DataFrame, idCols: Seq[Column], textCol: String, n: Int): DataFrame = {
+    val tk = TextFns.tokens(col(textCol))
+    val pairs = when(size(col("__tk")) >= n,
+      transform(
+        sequence(lit(1), size(col("__tk")) - (n - 1)),
+        i => struct(
+          concat_ws(" ", slice(col("__tk"), i, lit(n - 1))).as("ctx"),
+          element_at(col("__tk"), i + (n - 1)).as("tok"))))
+      .otherwise(array().cast("array<struct<ctx:string,tok:string>>"))
+    df.withColumn("__tk", tk)
+      .select(idCols :+ explode(pairs).as("__g"): _*)
+      .select(idCols :+ col("__g.ctx") :+ col("__g.tok"): _*)
+  }
+
+  /** Count an n-gram model from a reference corpus. Two aggregations
+    * (one shuffle each); vocabulary size is one distinct-count action.
+    */
+  def train(ref: DataFrame, textCol: String, n: Int = 2): Model = {
+    require(n >= 2, s"n must be >= 2 (conditional model), got $n")
+    val grams = gramPairs(ref, Seq.empty, textCol, n)
+      .groupBy("ctx", "tok").agg(count(lit(1)).as("cnt"))
+    val ctxTotals = grams.groupBy("ctx").agg(sum("cnt").as("total"))
+    val v = ref.select(explode(TextFns.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    Model(grams, ctxTotals, v, n)
+  }
+
+  /** Score every document: `(idCol, n_grams, oov_grams, fluency)`.
+    * Documents shorter than n tokens keep a row (n_grams = 0, fluency
+    * NULL). `fluency` = mean smoothed conditional probability in
+    * [0, 1]; `oov_grams` counts grams never seen in the reference.
+    *
+    * @param broadcastModel hint both model tables as broadcast — use
+    *        when the reference corpus is bounded (the common case);
+    *        leave false to let AQE decide from runtime sizes
+    */
+  def scoreDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: Model,
+      scale: Long = 1000000000L,
+      broadcastModel: Boolean = false): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val g = if (broadcastModel) broadcast(model.grams) else model.grams
+    val ct = if (broadcastModel) broadcast(model.ctxTotals) else model.ctxTotals
+    val scored = gramPairs(docs, Seq(col(idCol)), textCol, model.n)
+      .join(g, Seq("ctx", "tok"), "left")
+      .join(ct, Seq("ctx"), "left")
+      .withColumn("__num", lit(scale) * (coalesce(col("cnt"), lit(0L)) + 1L))
+      .withColumn("__den", coalesce(col("total"), lit(0L)) + model.vocabSize)
+      .withColumn("__s", expr("__num DIV __den"))
+      .withColumn("__oov", when(col("cnt").isNull, 1L).otherwise(0L))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum("__oov").as("oov_grams"),
+        (sum("__s").cast("double") / count(lit(1)) / scale.toDouble).as("fluency"))
+    docs.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("oov_grams"), lit(0L)).as("oov_grams"),
+        col("fluency"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.NgramLm
+
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigram scores match a hand computation") {
+    // reference: "a b a b" + "a c" → bigrams (a,b)x2 (b,a)x1 (a,c)x1
+    // vocab {a,b,c} V=3; ctx totals: a=3, b=1
+    val ref = Seq("a b a b", "a c").toDF("text")
+    val model = NgramLm.train(ref, "text", n = 2)
+    assert(model.vocabSize == 3L)
+    val grams = model.grams.collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(grams == Map(("a", "b") -> 2L, ("b", "a") -> 1L, ("a", "c") -> 1L))
+
+    // score "a b z": (a,b): (2+1)*1e9 // (3+3) = 500000000
+    //                (b,z): OOV, ctx b total 1 → 1e9 // (1+3) = 250000000
+    val out = NgramLm.scoreDocs(
+      Seq((1L, "a b z")).toDF("id", "text"), "id", "text", model)
+      .head()
+    assert(out.getLong(1) == 2L)       // n_grams
+    assert(out.getLong(2) == 1L)       // oov_grams
+    assert(math.abs(out.getDouble(3) - ((500000000L + 250000000L) / 2.0 / 1e9)) == 0.0)
+  }
+
+  test("short and empty docs keep a row with NULL fluency") {
+    val ref = Seq("a b").toDF("text")
+    val model = NgramLm.train(ref, "text")
+    val out = NgramLm.scoreDocs(
+      Seq((1L, "a"), (2L, ""), (3L, "a b")).toDF("id", "text"),
+      "id", "text", model)
+      .orderBy("id").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(1) == 0L && out(0).isNullAt(3))
+    assert(out(1).getLong(1) == 0L && out(1).isNullAt(3))
+    assert(out(2).getLong(1) == 1L && !out(2).isNullAt(3))
+  }
+
+  test("unseen-context grams smooth to 1/V") {
+    val ref = Seq("x y").toDF("text")
+    val model = NgramLm.train(ref, "text") // V=2
+    val out = NgramLm.scoreDocs(
+      Seq((1L, "q r")).toDF("id", "text"), "id", "text", model).head()
+    // (q,r): cnt 0, ctx q unseen → total 0 → 1e9 // (0+2) = 5e8
+    assert(out.getLong(2) == 1L)
+    assert(out.getDouble(3) == 0.5)
+  }
+
+  test("trigram contexts join n-1 tokens") {
+    val ref = Seq("a b c a b c").toDF("text")
+    val model = NgramLm.train(ref, "text", n = 3)
+    val ctxs = model.grams.select("ctx").as[String].collect().toSet
+    assert(ctxs == Set("a b", "b c", "c a"))
+    val out = NgramLm.scoreDocs(
+      Seq((1L, "a b c")).toDF("id", "text"), "id", "text", model).head()
+    assert(out.getLong(1) == 1L && out.getLong(2) == 0L)
+  }
+
+  test("broadcastModel hint keeps the plan broadcast-joined") {
+    val ref = Seq("a b a b").toDF("text")
+    val model = NgramLm.train(ref, "text")
+    val plan = NgramLm.scoreDocs(
+      Seq((1L, "a b")).toDF("id", "text"), "id", "text", model,
+      broadcastModel = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
