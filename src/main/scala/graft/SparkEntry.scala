@@ -1098,6 +1098,16 @@ object SparkEntry {
         .arrange("doc_id", "chunk_id")
         .df),
 
+    // SemDeDup-style semantic dedup: same banded sign-LSH pair chain as
+    // q_dedup_embed, then transitive clusters → keep each cluster's
+    // minimum id; the oracle rebuilds the closure with a RECURSIVE CTE
+    "q_dedup_semantic" -> ((s, dir) =>
+      Pipelines.semanticDedup(
+          t(s, dir, "embeddings").df, "vec_id", "embedding",
+          threshold = 0.3, lsh = gateLsh, bands = 4)
+        .select("vec_id")
+        .orderBy("vec_id")),
+
     // =====================================================================
     // training-data pipeline ops: similarity search
     // =====================================================================
@@ -1442,11 +1452,13 @@ object SparkEntry {
       s"(CASE WHEN list_dot_product($vExpr, $arr) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", "\n    + ", ")")
 
-  /** DuckDB mirror of banded sign-LSH embedding near-dup pairs. */
-  private def embedLshOracle: String = {
+  /** CTE chain ending in `pairs` = banded sign-LSH embedding near-dup
+    * pairs (id_a, id_b, sim) — shared by the pair gate and the
+    * semantic-dedup gate. */
+  private def embedPairCtes(threshold: Double): String = {
     val bands = 4; val ppb = gateLsh.numPlanes / bands
-    val mask = (1L << ppb) - 1; val threshold = 0.3
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    val mask = (1L << ppb) - 1
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |idx AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM e),
        |bands AS (
        |  SELECT vec_id, bb AS band_id, (bucket >> (bb * $ppb)) & $mask AS bkey
@@ -1455,16 +1467,41 @@ object SparkEntry {
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM bands a JOIN bands b
        |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.vec_id < b.vec_id
-       |)
-       |SELECT * FROM (
-       |  SELECT id_a, id_b,
-       |    round(list_dot_product(ea.v, eb.v)
-       |      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
-       |  FROM cand
-       |  JOIN idx ea ON ea.vec_id = id_a
-       |  JOIN idx eb ON eb.vec_id = id_b)
-       |WHERE sim >= $threshold ORDER BY id_a, id_b""".stripMargin
+       |), pairs AS (
+       |  SELECT * FROM (
+       |    SELECT id_a, id_b,
+       |      round(list_dot_product(ea.v, eb.v)
+       |        / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS sim
+       |    FROM cand
+       |    JOIN idx ea ON ea.vec_id = id_a
+       |    JOIN idx eb ON eb.vec_id = id_b)
+       |  WHERE sim >= $threshold
+       |)""".stripMargin
   }
+
+  /** DuckDB mirror of banded sign-LSH embedding near-dup pairs. */
+  private def embedLshOracle: String =
+    s"""WITH ${embedPairCtes(0.3)}
+       |SELECT id_a, id_b, sim FROM pairs ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB mirror of semantic dedup: LSH pairs → RECURSIVE transitive
+    * closure → survivors are their own cluster minimum. */
+  private def semanticDedupOracle: String =
+    s"""WITH RECURSIVE ${embedPairCtes(0.3)},
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION
+       |  SELECT id_b, id_a FROM pairs
+       |), reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), rep AS (
+       |  SELECT a AS id, LEAST(a, MIN(b)) AS rep FROM reach GROUP BY a
+       |)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM rep WHERE rep < id)
+       |ORDER BY vec_id""".stripMargin
 
   /** DuckDB mirror of LSH ANN with radius-2 multiprobe: bucket the
     * corpus with the inlined hyperplanes, expand the query bucket by
@@ -1804,6 +1841,8 @@ object SparkEntry {
          |SELECT lang, doc_id, bin FROM pack ORDER BY lang, doc_id""".stripMargin,
 
     "q_dedup_embed" -> embedLshOracle,
+
+    "q_dedup_semantic" -> semanticDedupOracle,
 
     "q_embed_ann" -> annOracle,
 

@@ -123,6 +123,55 @@ object Pipelines {
     }
   }
 
+  /** Semantic deduplication (SemDeDup-style): drop documents whose
+    * EMBEDDINGS are near-duplicates, keeping one representative per
+    * cosine-similarity cluster — catches paraphrases and translations
+    * that token-level MinHash can't see.
+    *
+    * Shape: banded sign-LSH candidate pairs + exact cosine verify
+    * ([[Similarity.embeddingNearDupPairs]] — equi-joins only, never
+    * all-pairs), transitive clusters via pointer jumping
+    * ([[Dedup.dupClustersClosure]]), then one left_anti against the
+    * dropped set. `docs` itself is scanned twice (once feeding the
+    * LSH index, once for the left_anti) — for a raw parquet source
+    * that is the right trade at scale (re-scan beats pinning the
+    * corpus in memory); pre-materialize upstream if `docs` is an
+    * expensive computed frame.
+    */
+  def semanticDedup(
+      docs: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      lsh: Similarity.RandomHyperplaneLsh,
+      bands: Int = 4,
+      materialize: Dedup.Materialize = Dedup.Materialize.Cache,
+      localEdgeLimit: Long = 2000000L,
+      repPolicy: RepPolicy = RepPolicy.MinId): DataFrame = {
+    val pairs = Similarity.embeddingNearDupPairs(
+      docs, idCol, embCol, threshold, lsh, bands, materialize)
+    val clusters = Dedup.dupClustersClosure(pairs, localEdgeLimit = localEdgeLimit)
+    pairs.unpersist()
+    val dropped = repPolicy match {
+      case RepPolicy.MinId =>
+        clusters.filter(col("id") =!= col("rep")).select(col("id").as(idCol))
+      case RepPolicy.Best(score) =>
+        val scored = docs
+          .select(docs.col(idCol).as("id"), score(docs).as("__score"))
+        val members = clusters.select("id", "rep").join(scored, Seq("id"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("rep")).orderBy(col("__score").desc, col("id").asc)
+        members
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") =!= 1)
+          .select(col("id").as(idCol))
+    }
+    // lazy result — `clusters`' small per-duplicate-node cache (the
+    // distributed path) stays alive until the caller's action, same
+    // contract as cleanCorpus' non-Cache modes
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Per-language corpus profile — the release-report aggregate a
     * pipeline emits after cleaning: document and token counts, length
     * and quality statistics, exact-duplicate rate. One narrow scoring

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
-import graft.operators.{Dedup, Multimodal, ScaleOps, Similarity}
+import graft.operators.{Dedup, Multimodal, Pipelines, ScaleOps, Similarity}
 
 /** Training-data pipeline operators: dedup family, similarity search,
   * text analysis, multimodal plumbing. */
@@ -265,6 +265,29 @@ class PipelineOpsSpec extends SparkSpec {
     val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((1L, 2L)))
     assert(!got.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("semanticDedup keeps one representative per embedding cluster") {
+    val base = Seq.tabulate(8)(i => i.toFloat + 1f)
+    val other = Seq.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)
+    val d = Seq(
+      (1L, base), (2L, base.map(_ * 2f)), (5L, base.map(_ * 0.5f)), // cluster {1,2,5}
+      (3L, other), (7L, other.map(_ * 4f)),                         // cluster {3,7}
+      (9L, base.map(x => -x))                                       // alone
+    ).toDF("vec_id", "embedding")
+    val lsh = Similarity.RandomHyperplaneLsh(dim = 8, numPlanes = 12)
+    val kept = Pipelines.semanticDedup(
+        d, "vec_id", "embedding", threshold = 0.99, lsh = lsh, bands = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 9L))
+    // RepPolicy.Best: keep the highest-norm member instead (ties → min id)
+    val norm = (df: org.apache.spark.sql.DataFrame) =>
+      aggregate(df.col("embedding"), lit(0d), (a, x) => a + x * x)
+    val best = Pipelines.semanticDedup(
+        d, "vec_id", "embedding", threshold = 0.99, lsh = lsh, bands = 4,
+        repPolicy = Pipelines.RepPolicy.Best(norm))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(best == Set(2L, 7L, 9L))
   }
 
   test("IVF index: query vector found via nearest-cell probe") {
