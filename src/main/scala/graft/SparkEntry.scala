@@ -1028,6 +1028,34 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // deterministic global shuffle (training order): position = unit
+    // hash of (seed, id), exposed as a column so the oracle gates the
+    // ORDER itself, not just membership
+    "q_shuffle" -> ((s, dir) =>
+      Sampling.shuffleDeterministic(
+          t(s, dir, "documents").df, "ord1", Seq("doc_id"), exposeAs = Some("pos"))
+        .select("doc_id", "pos")),
+
+    // URL blocklist scrub: deterministic synthetic URLs (scheme /
+    // userinfo / port / bare-host variants by doc_id), domain + parent-
+    // domain suffix matching against a static blocklist — narrow
+    // arrays_overlap filter, zero shuffles
+    "q_url_filter" -> ((s, dir) => {
+      val withUrl = t(s, dir, "documents").df.withColumn("url",
+        when(pmod(col("doc_id"), lit(4L)) === 0,
+          concat(lit("https://www.site"), pmod(col("doc_id"), lit(50L)).cast("string"), lit(".com/page")))
+        .when(pmod(col("doc_id"), lit(4L)) === 1,
+          concat(lit("http://sub.domain"), pmod(col("doc_id"), lit(50L)).cast("string"), lit(".org:8080/x?q=1")))
+        .when(pmod(col("doc_id"), lit(4L)) === 2,
+          concat(lit("ftp://u@bad"), pmod(col("doc_id"), lit(20L)).cast("string"), lit(".net/file")))
+        .otherwise(
+          concat(lit("plain"), pmod(col("doc_id"), lit(30L)).cast("string"), lit(".io/path"))))
+      TextFns.dropBlockedDomains(withUrl, "url",
+          Seq("bad3.net", "domain7.org", "site11.com", "plain5.io"))
+        .select(col("doc_id"), TextFns.extractDomain(col("url")).as("domain"))
+        .orderBy("doc_id")
+    }),
+
     // exactly-10-per-language deterministic sample: rank by (unit hash,
     // id) within each group — one shuffle on the group key
     "q_sample_stratified" -> ((s, dir) =>
@@ -1725,6 +1753,32 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE CAST(('0x'||substr(md5('seed42' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS DOUBLE)
         |      / 1152921504606846976.0 < 0.25
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(('0x'||substr(md5('ord1' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS DOUBLE)
+        |    / 1152921504606846976.0 AS pos
+        |FROM documents ORDER BY pos, doc_id""".stripMargin,
+
+    "q_url_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'https://www.site' || CAST(doc_id % 50 AS VARCHAR) || '.com/page'
+        |      WHEN 1 THEN 'http://sub.domain' || CAST(doc_id % 50 AS VARCHAR) || '.org:8080/x?q=1'
+        |      WHEN 2 THEN 'ftp://u@bad' || CAST(doc_id % 20 AS VARCHAR) || '.net/file'
+        |      ELSE 'plain' || CAST(doc_id % 30 AS VARCHAR) || '.io/path'
+        |    END AS url FROM documents),
+        |d AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS dom
+        |  FROM u),
+        |suf AS (SELECT doc_id, dom,
+        |  list_transform(range(1, len(string_split(dom, '.')) + 1),
+        |    i -> array_to_string(string_split(dom, '.')[i:], '.')) AS sufs
+        |  FROM d)
+        |SELECT doc_id, dom AS domain FROM suf
+        |WHERE len(list_intersect(sufs, ['bad3.net','domain7.org','site11.com','plain5.io'])) = 0
         |ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->

@@ -155,6 +155,58 @@ object TextFns {
       "\\+?\\d[\\d .()-]{7,}\\d", "[PHONE]")
   }
 
+  // ---- URL / domain filtering ------------------------------------------
+
+  /** URL → lowercased host: optional scheme, optional userinfo, host up
+    * to the first `/:?#`. RE2-subset regex (no lookarounds) so external
+    * engines reproduce it verbatim. Bare domains ("example.com/x")
+    * work too. */
+  def extractDomain(url: Column): Column =
+    lower(regexp_extract(url,
+      "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)", 1))
+
+  /** host → all dot-suffixes, most-specific first:
+    * `a.b.com → [a.b.com, b.com, com]` — the shape that turns
+    * "blocklisted domain matches subdomains" into an exact set overlap
+    * instead of an endsWith theta join. Narrow HOFs. */
+  def domainSuffixes(host: Column): Column = {
+    val parts = split(host, "\\.")
+    transform(
+      sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts)), "."))
+  }
+
+  /** Drop rows whose URL's domain (or any parent domain) is in a SMALL
+    * static blocklist — a narrow codegen'd `arrays_overlap` filter
+    * fused into the scan; zero shuffles, the UT1-blocklist-style scrub
+    * for a bounded list. For a large blocklist TABLE use
+    * [[dropBlockedDomainsTable]]. */
+  def dropBlockedDomains(df: org.apache.spark.sql.DataFrame, urlCol: String,
+      blocked: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(blocked.nonEmpty, "empty blocklist — nothing to drop")
+    val sufs = domainSuffixes(extractDomain(df.col(urlCol)))
+    df.filter(!arrays_overlap(sufs,
+      array(blocked.map(b => lit(b.toLowerCase)): _*)))
+  }
+
+  /** Blocklist as a DataFrame (one `domain` column) for lists too big
+    * to inline: explode each row's domain suffixes (bounded by label
+    * count, ~5), semi-join the suffixes against the list to find
+    * blocked ids, anti-join those out — two equi joins the optimizer
+    * broadcasts when the list fits and hash-shuffles when it doesn't.
+    */
+  def dropBlockedDomainsTable(df: org.apache.spark.sql.DataFrame, urlCol: String,
+      idCol: String,
+      blocklist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val blockedIds = df
+      .select(df.col(idCol),
+        explode(domainSuffixes(extractDomain(df.col(urlCol)))).as("__suf"))
+      .join(blocklist.select(lower(col("domain")).as("__suf")), Seq("__suf"), "left_semi")
+      .select(idCol)
+      .distinct()
+    df.join(blockedIds, Seq(idCol), "left_anti")
+  }
+
   // ---- corpus statistics -----------------------------------------------
 
   /** Term → document-frequency table: in how many documents does each

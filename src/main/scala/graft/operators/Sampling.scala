@@ -68,6 +68,35 @@ object Sampling {
       .drop(rn)
   }
 
+  /** Deterministic global shuffle — the "randomize training order"
+    * step before sharding a corpus. Every row's position is a pure
+    * function of (seed, key): `orderBy(unitHash(seed, keys), keys)`,
+    * so the order survives re-runs, cluster changes, and engine swaps
+    * (same md5 construction as [[hashSample]]).
+    *
+    * Scale: one global sort = sample-based RANGE partitioning + one
+    * shuffle, fully parallel — there is deliberately NO global
+    * row_number here (that would serialize into one task; writers
+    * shard by partition instead, `df.write` preserves sort order
+    * within files). `exposeAs` materializes the position hash as a
+    * column when downstream wants it (or an engine-portable audit).
+    */
+  def shuffleDeterministic(
+      df: DataFrame,
+      seed: String,
+      keyCols: Seq[String],
+      exposeAs: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "shuffleDeterministic needs key columns")
+    val h = unitHash(seed, keyCols.map(df.col))
+    exposeAs match {
+      case Some(name) =>
+        df.withColumn(name, h)
+          .orderBy(col(name) +: keyCols.map(df.col): _*)
+      case None =>
+        df.orderBy(h +: keyCols.map(df.col): _*)
+    }
+  }
+
   /** Weighted corpus mixing: union the sources, each thinned to its
     * fraction — the "data mixture" step of a training run, e.g.
     * `Seq(web -> 0.3, code -> 1.0, books -> 0.8)`. Schemas must union

@@ -381,4 +381,61 @@ class TrainPrepSpec extends SparkSpec {
       .count()
     assert(bad == 0L)
   }
+
+  // -- deterministic shuffle ---------------------------------------------
+
+  test("shuffleDeterministic: same order across partitionings and runs") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    def order(parts: Int): Seq[Long] =
+      Sampling.shuffleDeterministic(docs.repartition(parts), "sX", Seq("doc_id"))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val a = order(1); val b = order(5)
+    assert(a == b)
+    assert(a != a.sorted) // it actually shuffles
+    // a different seed gives a different order over the same rows
+    val c = Sampling.shuffleDeterministic(docs, "sY", Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(c != a && c.sorted == a.sorted)
+  }
+
+  test("shuffleDeterministic plans a range-partitioned sort, no single-task window") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val plan = Sampling.shuffleDeterministic(docs, "s", Seq("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"))
+    assert(!plan.contains("Window"))
+  }
+
+  // -- URL / domain filtering --------------------------------------------
+
+  test("extractDomain handles scheme, userinfo, port, path, bare hosts") {
+    val cases = Seq(
+      "https://www.Example.COM/path?q=1" -> "www.example.com",
+      "http://user:pw@host.org:8080/x" -> "host.org",
+      "ftp://files.net" -> "files.net",
+      "bare.io/path" -> "bare.io",
+      "sub.a.b.co.uk" -> "sub.a.b.co.uk")
+    val out = cases.map(_._1).toDF("url")
+      .select(graft.functions.TextFns.extractDomain(col("url")).as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == cases.map(_._2))
+  }
+
+  test("blocklist drops exact domains AND subdomains, inline + table variants") {
+    val rows = Seq(
+      (1L, "https://ok.com/x"),
+      (2L, "https://bad.com/x"),          // exact
+      (3L, "https://deep.sub.bad.com/x"), // subdomain
+      (4L, "https://notbad.com/x"),       // suffix of the STRING but not a dot-suffix
+      (5L, "https://bad.com.evil.io/x")   // blocklisted label mid-host, not a suffix
+    ).toDF("id", "url")
+    val keptInline = graft.functions.TextFns
+      .dropBlockedDomains(rows, "url", Seq("bad.com"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptInline == Set(1L, 4L, 5L))
+    val keptTable = graft.functions.TextFns
+      .dropBlockedDomainsTable(rows, "url", "id", Seq("BAD.com").toDF("domain"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptTable == Set(1L, 4L, 5L))
+  }
 }
