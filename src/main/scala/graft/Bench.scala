@@ -23,7 +23,10 @@ object Bench {
     // per-group sequential packing fold, narrow chunk explode,
     // two-stage repetition aggregation, distinct-count profile
     "q_decontaminate", "q_pack", "q_chunk", "q_text_repetition",
-    "q_corpus_profile")
+    "q_corpus_profile",
+    // round 3 (cont.): n-gram LM scoring joins, driver-trained BPE
+    // encode, embedding-cluster dedup, deterministic global sort
+    "q_text_lm", "q_bpe_roundtrip", "q_dedup_semantic", "q_shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
