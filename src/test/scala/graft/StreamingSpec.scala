@@ -185,6 +185,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("BPE encode, domain filter, and bloom pre-filter run on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Bpe, Decontaminate}
+    import graft.functions.TextFns
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // static artifacts trained/built in batch, applied on the stream
+    val refDocs = Seq("the cat sat", "the cat ran").toDF("text")
+    val model = Bpe.train(refDocs, "text", numMerges = 20, minPairCount = 1L)
+    val bloom = Decontaminate.benchmarkBloom(refDocs, "text", n = 2, expectedItems = 100L)
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF.toDF("doc_id", "text")
+      .withColumn("url", concat(lit("https://site"), col("doc_id").cast("string"), lit(".com/x")))
+    val cleaned = TextFns.dropBlockedDomains(docs, "url", Seq("site2.com"))
+      // NOT bloom-contaminated (narrow might_contain; the aggregation
+      // variant can't stream — this is the streaming-safe strict form)
+      .filter(!exists(TextFns.hashedWordShingles(col("text"), 2),
+        g => Decontaminate.mightContain(bloom, g)))
+      .withColumn("toks", Bpe.encode(model, col("text")))
+      .withColumn("n_bpe", size(col("toks")))
+    val q = cleaned.select("doc_id", "n_bpe").writeStream
+      .outputMode("append").format("memory").queryName("bpe_stream_out").start()
+    try {
+      input.addData((1L, "the cat sat on the mat"), // bloom hit ("the cat") → dropped
+        (2L, "completely novel words"),             // blocked domain site2.com → dropped
+        (3L, "unrelated clean words"))              // survives
+      q.processAllAvailable()
+      input.addData((4L, "more fresh tokens"))      // survives
+      q.processAllAvailable()
+      val got = spark.table("bpe_stream_out").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got.keySet == Set(3L, 4L))
+      // token counts equal the batch encode of the same rows
+      val batch = Seq((3L, "unrelated clean words"), (4L, "more fresh tokens"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), size(Bpe.encode(model, col("text"))).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("sessionize produces gap-bounded sessions") {
     val events = spark.read.schema(Streams.eventsSchema).parquet(s"$sf001/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
