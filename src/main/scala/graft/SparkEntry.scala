@@ -1044,6 +1044,21 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // token-share corpus mixing: en:de:fr at weights 2:1:1, binding
+    // source kept whole, others thinned by exact cross-multiplied
+    // integer compares — the oracle recomputes totals, the binding
+    // source, and every selection decision in HUGEINT
+    "q_mix_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      Sampling.mixCorporaByTokens(
+          Seq(docs.filter(col("lang") === "en") -> 2L,
+            docs.filter(col("lang") === "de") -> 1L,
+            docs.filter(col("lang") === "fr") -> 1L),
+          "mix9", Seq("doc_id"), "text")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // deterministic global shuffle (training order): position = unit
     // hash of (seed, id), exposed as a column so the oracle gates the
     // ORDER itself, not just membership
@@ -1796,6 +1811,26 @@ object SparkEntry {
         |WHERE CAST(('0x'||substr(md5('seed42' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS DOUBLE)
         |      / 1152921504606846976.0 < 0.25
         |ORDER BY doc_id""".stripMargin,
+
+    // binding-source argmin via the inlined-lcm exact form (weights are
+    // {1,2} so t·(2//w) orders t/w exactly); selection decisions in
+    // HUGEINT mirror the Spark side's DECIMAL(38,0) compares
+    "q_mix_tokens" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, len($tkExpr) AS nt
+         |  FROM documents WHERE lang IN ('en','de','fr')),
+         |src AS (SELECT * FROM (VALUES ('en', 0, 2), ('de', 1, 1), ('fr', 2, 1)) AS v(lang, idx, w)),
+         |tot AS (SELECT s.lang, s.idx, s.w, CAST(SUM(t.nt) AS BIGINT) AS t
+         |        FROM src s JOIN toks t USING (lang) GROUP BY s.lang, s.idx, s.w),
+         |k AS (SELECT idx AS kidx, w AS kw, t AS kt FROM tot
+         |      ORDER BY CAST(t AS HUGEINT) * (2 // w) ASC, idx ASC LIMIT 1)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN tot ON d.lang = tot.lang CROSS JOIN k
+         |WHERE tot.idx = k.kidx
+         |   OR CAST(('0x'||substr(md5('mix9#' || CAST(tot.idx AS VARCHAR) || chr(1) || CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT AS HUGEINT)
+         |      * k.kw * tot.t
+         |    < CAST(tot.w AS HUGEINT) * k.kt * CAST(1152921504606846976 AS HUGEINT)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_shuffle" ->
       """SELECT doc_id,

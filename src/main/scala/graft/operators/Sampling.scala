@@ -23,6 +23,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Sampling {
 
+  /** the raw 60-bit integer behind [[unitHash]] — for callers that
+    * need EXACT threshold tests (cross-multiplied integer compares
+    * instead of double division, see [[mixCorporaByTokens]]) */
+  def unitHashInt(seed: String, keys: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("\u0001",
+      lit(seed) +: keys.map(k => coalesce(k.cast("string"), lit("\u0000"))): _*)), 1, 15), 16, 10)
+      .cast("long")
+
   /** Deterministic hash in [0, 1): md5 of (seed, key columns) → top 60
     * bits as a long → scaled by 2^-60. Uniform, independent across
     * seeds, portable across engines (mirror: `md5(seed || chr(1) ||
@@ -31,11 +39,8 @@ object Sampling {
     * ("a","b") and NULL with "" (same hardening as Dedup.exactDedup),
     * silently correlating samples that should be independent.
     */
-  def unitHash(seed: String, keys: Seq[Column]): Column = {
-    val h = conv(substring(md5(concat_ws("\u0001",
-      lit(seed) +: keys.map(k => coalesce(k.cast("string"), lit("\u0000"))): _*)), 1, 15), 16, 10)
-    h.cast("long").cast("double") / lit(1152921504606846976.0) // 2^60
-  }
+  def unitHash(seed: String, keys: Seq[Column]): Column =
+    unitHashInt(seed, keys).cast("double") / lit(1152921504606846976.0) // 2^60
 
   /** Keep each row with probability `fraction`, deterministically in
     * the row's key: row survives iff unitHash(seed, keys) < fraction.
@@ -111,6 +116,53 @@ object Sampling {
     require(sources.nonEmpty, "mixCorpora needs at least one source")
     sources.zipWithIndex.map { case ((src, frac), i) =>
       if (frac >= 1.0) src else hashSample(src, frac, s"$seed#$i", keyCols)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Mix corpora to TOKEN-share targets — the form a training run
+    * actually specifies ("30% web, 50% code, 20% books" means tokens,
+    * not documents). Given relative integer weights `w_i`, the largest
+    * mixture with no upsampling keeps `T = min_i(t_i·W/w_i)` total
+    * tokens (the binding source survives whole); every other source is
+    * thinned to fraction `w_i·t_k / (w_k·t_i)` of its docs,
+    * deterministically by the same salted unit hash as [[mixCorpora]].
+    * Doc-level Bernoulli thinning hits the token share in expectation
+    * (exactly what weighted mixing means operationally).
+    *
+    * Every selection decision is an EXACT integer compare —
+    * `h·w_k·t_i < w_i·t_k·2^60` in DECIMAL(38,0) (≤10^35, no
+    * rounding) — so the mixture is reproducible bit-for-bit on any
+    * engine with md5, partition layout, or rerun; no double threshold
+    * anywhere. Cost: one token-sum aggregate per source (each a
+    * narrow scan + single-row agg), then narrow filters + union.
+    */
+  def mixCorporaByTokens(
+      sources: Seq[(DataFrame, Long)],
+      seed: String,
+      keyCols: Seq[String],
+      textCol: String): DataFrame = {
+    require(sources.nonEmpty, "mixCorporaByTokens needs at least one source")
+    sources.foreach { case (_, w) =>
+      require(w > 0, s"weights must be positive, got $w") }
+    val totals = sources.map { case (df, _) =>
+      val t = df.agg(coalesce(sum(graft.functions.TextFns.tokenCount(col(textCol))),
+        lit(0L))).head().getLong(0)
+      require(t > 0, "every source needs at least one token")
+      t
+    }
+    val ws = sources.map(_._2)
+    // binding source k = argmin t_i/w_i, exact cross-multiplied compare
+    // (strict < keeps the LOWEST index on ties)
+    val k = (1 until sources.length).foldLeft(0) { (best, i) =>
+      if (BigInt(totals(i)) * ws(best) < BigInt(totals(best)) * ws(i)) i else best
+    }
+    val (tk, wk) = (totals(k), ws(k))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    sources.zipWithIndex.map { case ((df, w), i) =>
+      if (i == k) df
+      else df.filter(
+        dec(unitHashInt(s"$seed#$i", keyCols.map(df.col))) * dec(lit(wk)) * dec(lit(totals(i)))
+          < dec(lit(w)) * dec(lit(tk)) * dec(lit(1152921504606846976L)))
     }.reduce(_.unionByName(_))
   }
 }

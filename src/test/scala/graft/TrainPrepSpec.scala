@@ -382,6 +382,44 @@ class TrainPrepSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  // -- token-share mixing ------------------------------------------------
+
+  test("mixCorporaByTokens: binding source whole, others = exact-fraction hashSample") {
+    // A: 10 docs x 10 tokens = 100 (w=1, binding); B: 40 docs x 10 = 400
+    val tenWords = (1 to 10).map(i => s"w$i").mkString(" ")
+    val a = (0L until 10L).map(i => (i, tenWords)).toDF("doc_id", "text")
+    val b = (100L until 140L).map(i => (i, tenWords)).toDF("doc_id", "text")
+    val mixed = Sampling.mixCorporaByTokens(
+      Seq(a -> 1L, b -> 1L), "mseed", Seq("doc_id"), "text")
+    val got = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    // binding source A (t/w = 100 < 400) survives whole
+    assert((0L until 10L).forall(got.contains))
+    // B's fraction = 100/400 = 0.25 exactly → identical to hashSample
+    // at 0.25 with the salted seed (index 1)
+    val expectB = Sampling.hashSample(b, 0.25, "mseed#1", Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.filter(_ >= 100L) == expectB)
+    assert(expectB.size < 40) // it actually thins
+    // deterministic across partitionings
+    val again = Sampling.mixCorporaByTokens(
+        Seq(a.repartition(7) -> 1L, b.repartition(3) -> 1L),
+        "mseed", Seq("doc_id"), "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got)
+  }
+
+  test("mixCorporaByTokens rejects non-positive weights and empty sources") {
+    val d = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Sampling.mixCorporaByTokens(Seq(d -> 0L), "s", Seq("doc_id"), "text")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixCorporaByTokens(
+        Seq(d -> 1L, Seq((2L, "")).toDF("doc_id", "text") -> 1L),
+        "s", Seq("doc_id"), "text")
+    }
+  }
+
   // -- Bloom-prefiltered decontamination ---------------------------------
 
   test("bloom-prefiltered report is identical to the exact report") {
