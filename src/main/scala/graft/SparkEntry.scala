@@ -1254,6 +1254,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // REAL VIDEO decode + frame sampling end-to-end: 256 deterministic
+    // uncompressed AVIs (2×2 BI_RGB, 3 frames at 30 fps, gray pixel =
+    // 32 + (k*(5 + f*7 + y*2+x)) % 200), broadcast-joined on
+    // k = doc_id % 256, RIFF-parsed per row with frameStride=2 (frames
+    // 0 and 2 sampled) — the oracle predicts every field ANALYTICALLY,
+    // so a container/pixel/sampling mis-read diverges the hash
+    "q_multimodal_avi" -> ((s, dir) => {
+      val variants = {
+        import s.implicits._
+        (0 until 256).map { k =>
+          (k.toLong, graft.plans.ImageCodec.grayAvi(2, 2, 30, 1, 3,
+            (f, x, y) => 32 + (k * (5 + f * 7 + (y * 2 + x))) % 200))
+        }.toDF("k", "avi")
+      }
+      t(s, dir, "documents").df
+        .withColumn("k", pmod(col("doc_id"), lit(256L)))
+        .join(broadcast(variants), Seq("k"))
+        .withColumn("f", Multimodal.decodeVideoFeatures(col("avi"), frameStride = 2))
+        .select(
+          col("doc_id"),
+          col("f.format").as("fmt"),
+          col("f.width").as("w"),
+          col("f.height").as("h"),
+          col("f.n_frames").as("n_frames"),
+          col("f.fps").as("fps"),
+          col("f.sampled_frames").as("sampled"),
+          col("f.brightness").as("brightness"))
+        .orderBy("doc_id")
+    }),
+
     // REAL WAV decode end-to-end: 256 deterministic mono 16-bit PCM
     // variants built driver-side (8 samples at 8 kHz, sample i of
     // variant k = ((k*(13+i)*97) % 2003) - 1001), broadcast-joined on
@@ -1995,6 +2025,17 @@ object SparkEntry {
       """SELECT doc_id, 'pgm' AS fmt, CAST(4 AS BIGINT) AS w, CAST(1 AS BIGINT) AS h,
         |  ((32 + (doc_id * 7) % 90) + (32 + (doc_id * 8) % 90)
         |   + (32 + (doc_id * 9) % 90) + (32 + (doc_id * 10) % 90)) / 4.0 AS brightness
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // sampled frames are 0 and 2 → pixel multipliers 5..8 and 19..22
+    "q_multimodal_avi" ->
+      """SELECT doc_id, 'avi' AS fmt, CAST(2 AS BIGINT) AS w, CAST(2 AS BIGINT) AS h,
+        |  CAST(3 AS BIGINT) AS n_frames, CAST(30 AS DOUBLE) AS fps, CAST(2 AS BIGINT) AS sampled,
+        |  ((32 + ((doc_id % 256) * 5) % 200) + (32 + ((doc_id % 256) * 6) % 200)
+        |   + (32 + ((doc_id % 256) * 7) % 200) + (32 + ((doc_id % 256) * 8) % 200)
+        |   + (32 + ((doc_id % 256) * 19) % 200) + (32 + ((doc_id % 256) * 20) % 200)
+        |   + (32 + ((doc_id % 256) * 21) % 200) + (32 + ((doc_id % 256) * 22) % 200)) / 8.0
+        |    AS brightness
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_png" ->

@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * (BMP/PPM/PGM) plus the JDK's own ImageIO readers for
   * JPEG/PNG/GIF/TIFF/WBMP — both per-row inside the narrow scan stage
   * ([[decodeFeatures]]) and batched via `mapPartitions`
-  * ([[batchProcess]]). AUDIO/VIDEO feature extraction remains a
-  * clearly-marked deterministic STUB (`decodeFeaturesStub`,
-  * `frameSampleStub`) — the JVM ships no audio/video codecs; in
-  * production those bodies become native-library calls in the same
-  * `batchProcess` shape (one codec init per partition, batch
-  * amortized).
+  * ([[batchProcess]]). AUDIO decode is REAL for WAV integer PCM
+  * ([[decodeAudioFeatures]]); VIDEO decode + frame sampling is REAL
+  * for uncompressed AVI ([[decodeVideoFeatures]]). Only COMPRESSED
+  * audio/video feature extraction remains a clearly-marked
+  * deterministic STUB (`decodeFeaturesStub`, `frameSampleStub`) — the
+  * JVM ships no codecs for those; in production the stub bodies
+  * become native-library calls in the same `batchProcess` shape (one
+  * codec init per partition, batch amortized).
   */
 object Multimodal {
 
@@ -55,10 +57,23 @@ object Multimodal {
     GraftShim.column(graft.plans.DecodeAudioFeatures(GraftShim.expression(media)))
   }
 
+  /** REAL video decode + frame sampling for uncompressed AVI (RIFF
+    * 'AVI ', 'vids' stream, BI_RGB 24bpp DIB frames) — pure-JVM RIFF
+    * walk; only every `frameStride`-th frame's pixels are read, the
+    * rest just count. struct(format, width, height, n_frames, fps,
+    * sampled_frames, brightness); NULL for compressed video or
+    * malformed bytes. See [[graft.plans.DecodeVideoFeatures]]. */
+  def decodeVideoFeatures(media: Column, frameStride: Int = 1): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(
+      graft.plans.DecodeVideoFeatures(GraftShim.expression(media), frameStride))
+  }
+
   /** STUB decode → feature struct for media with NO pure-JVM decode
-    * path (compressed audio, video — the JVM ships no codecs for
-    * those; IMAGES decode for real via [[decodeFeatures]], WAV audio
-    * via [[decodeAudioFeatures]]). Deterministic fake: the schema and
+    * path (compressed audio and compressed video — the JVM ships no
+    * codecs for those; IMAGES decode for real via [[decodeFeatures]],
+    * WAV audio via [[decodeAudioFeatures]], uncompressed AVI video via
+    * [[decodeVideoFeatures]]). Deterministic fake: the schema and
     * call shape match what a real decoder would return; only the
     * VALUES are derived from the bytes hash. Replace the body with the
     * codec call to productionize. */

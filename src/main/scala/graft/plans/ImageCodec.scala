@@ -75,6 +75,65 @@ object ImageCodec {
     } catch { case NonFatal(_) => None }
   }
 
+  /** Deterministic uncompressed-AVI bytes for tests/gates: a RIFF
+    * 'AVI ' container with one 'vids' BI_RGB 24bpp stream at
+    * `rate/scale` fps; frame f's pixel (x, y) is the gray value
+    * `pixel(f, x, y)` (B=G=R, bottom-up DIB rows, 4-byte stride). */
+  def grayAvi(w: Int, h: Int, rate: Int, scale: Int,
+      nFrames: Int, pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val stride = ((w * 3 + 3) / 4) * 4
+    val frameBytes = stride * h
+    val strhSize = 56; val strfSize = 40; val avihSize = 56
+    val strlSize = 4 + (8 + strhSize) + (8 + strfSize)
+    val hdrlSize = 4 + (8 + avihSize) + (8 + strlSize)
+    val moviSize = 4 + nFrames * (8 + frameBytes)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    fourcc("RIFF"); le32(riffSize); fourcc("AVI ")
+    fourcc("LIST"); le32(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); le32(avihSize)
+    le32(1000000L * scale / rate) // usec/frame
+    le32(0); le32(0); le32(0)
+    le32(nFrames); le32(0); le32(1) // total frames, initial, streams
+    le32(frameBytes); le32(w); le32(h)
+    le32(0); le32(0); le32(0); le32(0) // reserved
+    fourcc("LIST"); le32(strlSize); fourcc("strl")
+    fourcc("strh"); le32(strhSize)
+    fourcc("vids"); fourcc("DIB ")
+    le32(0); le16(0); le16(0); le32(0) // flags, prio, lang, initial
+    le32(scale); le32(rate); le32(0); le32(nFrames)
+    le32(frameBytes); le32(0xffffffffL); le32(0) // bufsize, quality, samplesize
+    le16(0); le16(0); le16(w); le16(h) // rcFrame
+    fourcc("strf"); le32(strfSize)
+    le32(40); le32(w); le32(h); le16(1); le16(24)
+    le32(0); le32(frameBytes); le32(0); le32(0); le32(0); le32(0)
+    fourcc("LIST"); le32(moviSize); fourcc("movi")
+    var f = 0
+    while (f < nFrames) {
+      fourcc("00db"); le32(frameBytes)
+      var y = h - 1 // bottom-up rows
+      while (y >= 0) {
+        var written = 0
+        var x = 0
+        while (x < w) {
+          val v = pixel(f, x, y) & 0xff
+          out.write(v); out.write(v); out.write(v)
+          written += 3; x += 1
+        }
+        while (written < stride) { out.write(0); written += 1 }
+        y -= 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
   /** Deterministic PNG bytes for tests/gates: encodes an RGB image whose
     * pixels are produced by `pixel(x, y) => gray value`, via the JDK's
     * own PNG writer (lossless — decode recovers the exact values). */

@@ -382,6 +382,47 @@ class TrainPrepSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  // -- video decode ------------------------------------------------------
+
+  test("AVI decode: exact fields, frame sampling, malformed → NULL") {
+    import graft.operators.Multimodal
+    val avi = graft.plans.ImageCodec.grayAvi(3, 2, 24, 1, 4,
+      (f, x, y) => 10 + f * 50 + (y * 3 + x))
+    val rows = Seq((1L, avi)).toDF("id", "v")
+    def feats(stride: Int) = rows
+      .select(Multimodal.decodeVideoFeatures(col("v"), stride).as("f"))
+      .select("f.*").head()
+    val all = feats(1)
+    assert(all.getString(0) == "avi")
+    assert(all.getLong(1) == 3 && all.getLong(2) == 2) // w, h
+    assert(all.getLong(3) == 4)                        // n_frames
+    assert(all.getDouble(4) == 24.0)                   // fps
+    assert(all.getLong(5) == 4)                        // sampled
+    // analytic mean over f=0..3, idx=0..5 of 10 + 50f + idx
+    val exp = (for (f <- 0 until 4; i <- 0 until 6) yield 10 + 50 * f + i)
+      .sum / 24.0
+    assert(all.getDouble(6) == exp)
+    val s3 = feats(3) // frames 0 and 3
+    assert(s3.getLong(3) == 4 && s3.getLong(5) == 2)
+    val exp3 = (for (f <- Seq(0, 3); i <- 0 until 6) yield 10 + 50 * f + i)
+      .sum / 12.0
+    assert(s3.getDouble(6) == exp3)
+    // malformed inputs degrade to NULL, never throw
+    val bad = Seq(
+      Array[Byte](1, 2, 3),                       // junk
+      avi.take(60),                               // truncated header walk
+      wavLike()                                   // RIFF but not AVI
+    ).zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("id", "v")
+    assert(bad.select(Multimodal.decodeVideoFeatures(col("v")).as("f"))
+      .filter(col("f").isNotNull).count() == 0L)
+  }
+
+  private def wavLike(): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(16)
+    b.put("RIFF".getBytes("US-ASCII")); b.putInt(8); b.put("WAVE".getBytes("US-ASCII"))
+    b.array()
+  }
+
   // -- token-share mixing ------------------------------------------------
 
   test("mixCorporaByTokens: binding source whole, others = exact-fraction hashSample") {
