@@ -53,6 +53,8 @@ object GraftExtensions {
       portable = e.length > 2 && e(2).eval(null) == true)),
     "decode_image_features" -> (e => plans.DecodeImageFeatures(e(0))),
     "decode_audio_features" -> (e => plans.DecodeAudioFeatures(e(0))),
+    "decode_video_features" -> (e => plans.DecodeVideoFeatures(
+      e(0), if (e.length > 1) litInt(e(1), "frameStride") else 1)),
     "word_shingles" ->
       (e => plans.WordShingles(e(0), litInt(e(1), "shingle size k"))))
 

@@ -21,13 +21,15 @@ class ExtensibilitySpec extends SparkSpec {
         |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
         |  size(hashed_word_shingles('a b c d', 3)) AS nsh,
         |  simhash64('hello world hello') AS sh,
-        |  decode_image_features(cast('not an image' AS BINARY)).format AS fmt
+        |  decode_image_features(cast('not an image' AS BINARY)).format AS fmt,
+        |  decode_video_features(cast('not a video' AS BINARY), 2).format AS vfmt
         |""".stripMargin).collect().head
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 11.0)
     assert(r.getInt(2) == 2) // "a b c","b c d"
     assert(!r.isNullAt(3))
     assert(r.isNullAt(4)) // junk bytes → NULL struct
+    assert(r.isNullAt(5))
     // non-literal shingle size is a clear error, not a silent misplan
     val e = intercept[Exception] {
       spark.sql("SELECT hashed_word_shingles('a b', length('xxx'))").collect()
