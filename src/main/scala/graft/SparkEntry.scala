@@ -1121,6 +1121,22 @@ object SparkEntry {
         .df
     }),
 
+    // full Delta WRITE→READ round trip through the built-in writer and
+    // reader: create a lang-partitioned table from the even docs,
+    // append the odds, read latest — if the log, partition layout, or
+    // replay is wrong the content diverges from plain `documents`
+    "q_delta_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_rt_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.DeltaWrite.create(
+        s, docs.filter(col("doc_id") % 2 === 0), base, partitionBy = Seq("lang"))
+      graft.sources.DeltaWrite.append(
+        s, docs.filter(col("doc_id") % 2 =!= 0), base, partitionBy = Seq("lang"))
+      graft.sources.DeltaScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // built-in Iceberg reader end to end: fabricate a two-snapshot
     // Iceberg table (snapshot 1 adds docs [0,150) and [150,300) files;
     // snapshot 2's manifest marks the second DELETED), manifest-replay
@@ -1900,6 +1916,10 @@ object SparkEntry {
     // file: doc_id < 150
     "q_delta_scan" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 150
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_delta_roundtrip" ->
+      """SELECT doc_id, lang, text FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     // analytic WAV mirror: the decoder's peak/rms must equal the

@@ -416,6 +416,31 @@ class DeltaScanSpec extends SparkSpec {
     assert(out == Seq((2L, "b"), (3L, "c")))
   }
 
+  test("DeltaWrite round-trip: create + append read back by the built-in reader") {
+    import graft.sources.DeltaWrite
+    val dir = freshDir("graft_delta_rt").toString
+    val a = Seq((1L, "x", "en"), (2L, "y", "de")).toDF("id", "v", "lang")
+    val b = Seq((3L, "z", "en")).toDF("id", "v", "lang")
+    DeltaWrite.create(spark, a, dir, partitionBy = Seq("lang"))
+    DeltaWrite.append(spark, b, dir, partitionBy = Seq("lang"))
+    assert(DeltaScan.latestVersion(spark, dir) == 1L)
+    // latest = both commits; partition column readable and filterable
+    val all = DeltaScan.read(spark, dir)
+      .select("id", "v", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(all == Set((1L, "x", "en"), (2L, "y", "de"), (3L, "z", "en")))
+    assert(DeltaScan.read(spark, dir).filter(col("lang") === "en").count() == 2)
+    // time travel back to the create commit
+    val v0 = DeltaScan.read(spark, dir, versionAsOf = Some(0L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(v0 == Set(1L, 2L))
+    // creating over an existing table is a loud error
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.create(spark, a, dir)
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("Tidier.read(format=delta) falls back to the built-in reader without a connector") {
     val dir = freshDir("graft_delta_tidier")
     val s0 = writeDataFile(Seq((7L, "z")).toDF("id", "v"), dir, "f0.parquet")
