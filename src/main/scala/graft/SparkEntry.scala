@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Fns, Selector, TextFns}
-import graft.operators.{Bpe, BpeModel, Chunking, Decontaminate, Dedup, Multimodal, NgramLm, Packing, Pipelines, Repetition, Sampling, Similarity}
+import graft.operators.{Bpe, BpeModel, Chunking, Decontaminate, Dedup, Multimodal, NgramLm, Packing, Pipelines, Profile, Repetition, Sampling, Similarity}
 import graft.operators.JoinKey
 import graft.operators.JoinKey.{Closest, Equi, Theta}
 
@@ -1148,6 +1148,15 @@ object SparkEntry {
         .df
     }),
 
+    // numeric table profile: one agg pass for all columns, exact
+    // quartiles (quantile_cont semantics) value-gated cross-engine
+    "q_profile" -> ((s, dir) =>
+      Tidier.from(Profile.tableProfile(
+          t(s, dir, "lineitem").df,
+          Seq("l_quantity", "l_extendedprice", "l_discount")))
+        .arrange("column")
+        .df),
+
     // per-language corpus release report: counts, length/quality stats,
     // exact-dup rate — one shuffle on the language key
     "q_corpus_profile" -> ((s, dir) =>
@@ -1643,6 +1652,18 @@ object SparkEntry {
       |          THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk)
       |          ELSE 0.0 END) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END)) / 3.0, 6)""".stripMargin
 
+  /** one column's profile row for the q_profile oracle */
+  private def profileColSql(c: String): String =
+    s"""SELECT '$c' AS "column", COUNT(x) AS n,
+       |  COUNT(CASE WHEN x IS NULL THEN 1 END) AS n_null,
+       |  MIN(x) AS min, MAX(x) AS max,
+       |  round(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x), 6) AS mean,
+       |  round(quantile_cont(x, 0.25), 6) AS p25,
+       |  round(quantile_cont(x, 0.5), 6) AS p50,
+       |  round(quantile_cont(x, 0.75), 6) AS p75,
+       |  COUNT(DISTINCT x) AS n_distinct
+       |FROM (SELECT CAST($c AS DOUBLE) AS x FROM lineitem)""".stripMargin
+
   private val tkExpr =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
   private val stopList = "['the','a','an','and','or','of','to','in','is','it','for','on']"
@@ -1877,6 +1898,10 @@ object SparkEntry {
          |      * k.kw * tot.t
          |    < CAST(tot.w AS HUGEINT) * k.kt * CAST(1152921504606846976 AS HUGEINT)
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_profile" ->
+      (Seq("l_discount", "l_extendedprice", "l_quantity")
+        .map(profileColSql).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")),
 
     "q_shuffle" ->
       """SELECT doc_id,
