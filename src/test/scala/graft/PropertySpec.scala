@@ -199,4 +199,45 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("BPE greedy encoder equals apply-merges-in-rank-order reference (randomized)") {
+    import graft.operators.Bpe
+    // independent slow reference: apply each merge over the whole
+    // symbol sequence in RANK ORDER (the original Sennrich formulation;
+    // the production encoder instead repeatedly merges the lowest-rank
+    // adjacent pair — provably the same result, asserted here)
+    def referenceEncode(model: graft.operators.BpeModel, word: String): Seq[String] = {
+      var syms = Bpe.splitSymbols(word).toSeq
+      model.merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+            out += a + b; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms
+    }
+    val rnd = new scala.util.Random(7)
+    val alphabet = "aabbbccd e"
+    val corpusWords = (0 until 120).map { _ =>
+      (1 to (1 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString.trim
+    }.filter(_.nonEmpty)
+    import spark.implicits._
+    val docs = corpusWords.grouped(10).map(_.mkString(" ")).toSeq.toDF("text")
+    val model = Bpe.train(docs, "text", numMerges = 40, minPairCount = 1L)
+    assert(model.merges.nonEmpty)
+    val testWords = (0 until 200).map { _ =>
+      (1 to (1 + rnd.nextInt(10))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString.replace(" ", "")
+    }.filter(_.nonEmpty).distinct
+    val got = testWords.toDF("text")
+      .select(col("text"), Bpe.encode(model, col("text")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    testWords.foreach { w =>
+      assert(got(w) == referenceEncode(model, w),
+        s"word '$w': greedy ${got(w)} != rank-order ${referenceEncode(model, w)}")
+    }
+  }
 }
