@@ -1182,6 +1182,22 @@ object SparkEntry {
         .arrange("doc_id", "chunk_id")
         .df),
 
+    // end-to-end training-data prep: quality floor → lang allowlist →
+    // exact dedup → strict decontamination vs the doc_id%20==0 bench
+    // slice → 32/8 sliding-window chunking — branch-free composition,
+    // ONE shuffle (the dedup window); oracle rebuilds the whole chain
+    "q_pipeline_prepare" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      Tidier.from(Pipelines.prepareTrainingData(
+          docs.filter(col("doc_id") % 20 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 20 === 0), "text",
+          minQuality = 0.3, langs = Seq("en", "de"),
+          contaminationN = 4, maxTokens = 32, overlap = 8))
+        .select("doc_id", "chunk_id", "chunk", "chunk_tokens")
+        .arrange("doc_id", "chunk_id")
+        .df
+    }),
+
     // SemDeDup-style semantic dedup: same banded sign-LSH pair chain as
     // q_dedup_embed, then transitive clusters → keep each cluster's
     // minimum id; the oracle rebuilds the closure with a RECURSIVE CTE
@@ -1902,6 +1918,58 @@ object SparkEntry {
     "q_profile" ->
       (Seq("l_discount", "l_extendedprice", "l_quantity")
         .map(profileColSql).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")),
+
+    // whole prep chain rebuilt: quality+langid filters, exact-dedup
+    // QUALIFY, 4-gram decontamination anti-join, 32/8 chunk windows
+    "q_pipeline_prepare" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $tkExpr AS tk FROM documents WHERE doc_id % 20 <> 0
+         |), scored AS (
+         |  SELECT doc_id, text, tk, $qualityExprSql AS quality,
+         |    len(list_filter(tk, t -> list_contains(['the','and','of','is'], t))) AS s_en,
+         |    len(list_filter(tk, t -> list_contains(['el','la','de','que'], t))) AS s_es,
+         |    len(list_filter(tk, t -> list_contains(['le','la','et','les'], t))) AS s_fr,
+         |    len(list_filter(tk, t -> list_contains(['der','die','und','das'], t))) AS s_de,
+         |    len(list_filter(tk, t -> list_contains(['de','shi','le','zai'], t))) AS s_zh
+         |  FROM base
+         |), filtered AS (
+         |  SELECT doc_id, text, tk FROM scored
+         |  WHERE quality >= 0.3
+         |    AND (CASE WHEN greatest(s_en,s_es,s_fr,s_de,s_zh) = 0 THEN 'und'
+         |              WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
+         |              WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
+         |              WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
+         |              WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'de'
+         |              ELSE 'zh' END) IN ('en', 'de')
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+         |), bench AS (
+         |  SELECT $tkExpr AS tk FROM documents WHERE doc_id % 20 = 0
+         |), bg AS (
+         |  SELECT DISTINCT ('0x'||substr(md5(x),1,15))::BIGINT AS gram
+         |  FROM (SELECT unnest(list_transform(range(1, greatest(len(tk) - 3, 0) + 1),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS x
+         |    FROM bench WHERE len(tk) >= 4)
+         |), bad AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT doc_id, ('0x'||substr(md5(x),1,15))::BIGINT AS gram FROM (
+         |      SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk) - 3, 0) + 1),
+         |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS x
+         |      FROM filtered WHERE len(tk) >= 4)) cgr
+         |  JOIN bg USING (gram)
+         |), surv AS (
+         |  SELECT doc_id, tk FROM filtered
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+         |), n AS (
+         |  SELECT doc_id, tk, len(tk) AS nt FROM surv WHERE len(tk) > 0
+         |), c AS (
+         |  SELECT doc_id, tk,
+         |    unnest(range(0, greatest(1, (nt - 8 + 24 - 1) // 24))) AS chunk_id
+         |  FROM n
+         |)
+         |SELECT doc_id, chunk_id,
+         |  array_to_string(list_slice(tk, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ') AS chunk,
+         |  len(list_slice(tk, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS chunk_tokens
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_shuffle" ->
       """SELECT doc_id,

@@ -123,6 +123,40 @@ object Pipelines {
     }
   }
 
+  /** End-to-end training-data preparation: quality floor → language
+    * allowlist → exact dedup → strict benchmark decontamination →
+    * sliding-window chunking. The output is the training-unit table
+    * (one row per chunk) a tokenizer/packer consumes next.
+    *
+    * Unlike [[cleanCorpus]] this chain is BRANCH-FREE — each stage
+    * feeds exactly one consumer — so it composes into a single lazy
+    * plan with NO materialization points: the only shuffle is exact
+    * dedup's content-hash window; decontamination is the narrow
+    * Bloom-free strict form (benchmark grams collected once,
+    * driver-side) and chunking is a narrow explode. One scan, one
+    * shuffle, at any scale.
+    */
+  def prepareTrainingData(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      minQuality: Double = 0.5,
+      langs: Seq[String] = Seq("en"),
+      contaminationN: Int = 8,
+      maxTokens: Int = 512,
+      overlap: Int = 0): DataFrame = {
+    val filtered = Dedup.exactDedup(
+      docs
+        .filter(TextFns.qualityScore(docs.col(textCol)) >= minQuality)
+        .filter(TextFns.langId(docs.col(textCol)).isin(langs.map(lit): _*)),
+      idCol, Seq(textCol))
+    val clean = Decontaminate.dropContaminatedNarrow(
+      filtered, benchmark, textCol, benchTextCol, contaminationN)
+    Chunking.chunkByTokens(clean, textCol, maxTokens, overlap)
+  }
+
   /** Semantic deduplication (SemDeDup-style): drop documents whose
     * EMBEDDINGS are near-duplicates, keeping one representative per
     * cosine-similarity cluster — catches paraphrases and translations

@@ -382,6 +382,31 @@ class TrainPrepSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  // -- composed prep pipeline --------------------------------------------
+
+  test("prepareTrainingData: branch-free chain plans exactly one shuffle") {
+    import graft.operators.Pipelines
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val out = Pipelines.prepareTrainingData(
+      docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 10 === 0), "text",
+      minQuality = 0.2, langs = Seq("en", "de", "fr", "es", "zh"),
+      contaminationN = 4, maxTokens = 16, overlap = 4)
+    // the only wide stage is exact dedup's content-hash window — the
+    // quality/lang filters, decontamination, and chunk explode are all
+    // narrow and fuse around it
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1)
+    val rows = out.select("doc_id", "chunk_id", "chunk_tokens").collect()
+    assert(rows.nonEmpty)
+    // chunk invariants: ids dense from 0 per doc, sizes within bounds
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (0L until rs.length).toSeq)
+      assert(rs.forall(r => r.getLong(2) >= 1 && r.getLong(2) <= 16))
+    }
+  }
+
   // -- video decode ------------------------------------------------------
 
   test("AVI decode: exact fields, frame sampling, malformed → NULL") {
