@@ -25,8 +25,14 @@ object Bench {
     "q_decontaminate", "q_pack", "q_chunk", "q_text_repetition",
     "q_corpus_profile",
     // round 3 (cont.): n-gram LM scoring joins, driver-trained BPE
-    // encode, embedding-cluster dedup, deterministic global sort
-    "q_text_lm", "q_bpe_roundtrip", "q_dedup_semantic", "q_shuffle")
+    // encode, embedding-cluster dedup, deterministic global sort,
+    // the branch-free composed prep chain, one-scan table profile
+    "q_text_lm", "q_bpe_roundtrip", "q_dedup_semantic", "q_shuffle",
+    // the composed prep chain; the profile's SCALE path (sketch
+    // quantiles/distinct — the exact variant is value-gated at sf0.01
+    // but its exact percentile state is deliberately not a headline
+    // shape: bounded-state sketches are what runs at 100 TB)
+    "q_pipeline_prepare", "q_profile_sketch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

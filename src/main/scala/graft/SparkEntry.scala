@@ -1157,6 +1157,17 @@ object SparkEntry {
         .arrange("column")
         .df),
 
+    // the 100 TB profile path: same schema, quantile + distinct
+    // sketches (bounded state at any cardinality) — rows-only check
+    // (sketch values are engine-specific by design); exact-variant
+    // values are gated by q_profile
+    "q_profile_sketch" -> ((s, dir) =>
+      Tidier.from(Profile.tableProfileApprox(
+          t(s, dir, "lineitem").df,
+          Seq("l_quantity", "l_extendedprice", "l_discount")))
+        .arrange("column")
+        .df),
+
     // per-language corpus release report: counts, length/quality stats,
     // exact-dup rate — one shuffle on the language key
     "q_corpus_profile" -> ((s, dir) =>
