@@ -49,12 +49,12 @@ object DeltaWrite {
   private def commit(spark: SparkSession, fs: FileSystem, df: DataFrame,
       tablePath: String, partitionBy: Seq[String], version: Long): Unit = {
     val root = fs.makeQualified(new Path(tablePath))
-    val pre = listDataFiles(fs, root)
+    val pre = listDataFiles(fs, root).map(_._1).toSet
     val writer = df.write.mode("append")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(tablePath)
     val post = listDataFiles(fs, root)
-    val added = post.filterNot { case (p, _) => pre.exists(_._1 == p) }
+    val added = post.filterNot { case (p, _) => pre.contains(p) }
     require(added.nonEmpty, "write produced no data files (empty input?)")
 
     val now = System.currentTimeMillis()
