@@ -227,6 +227,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpusProfileApprox runs incrementally on a stream (complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Pipelines
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF.toDF("doc_id", "text", "lang")
+    // sketch aggregations (approx distinct) carry mergeable state, so
+    // the release report updates per micro-batch with no extra code
+    val q = Pipelines.corpusProfileApprox(docs, "text", "lang")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("profile_stream_out").start()
+    try {
+      input.addData((1L, "one two three", "en"), (2L, "vier fünf", "de"))
+      q.processAllAvailable()
+      input.addData((3L, "four five six seven", "en"), (4L, "one two three", "en"))
+      q.processAllAvailable()
+      val rows = spark.table("profile_stream_out").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows("en") == ((3L, 10L))) // 3 docs, 3+4+3 tokens
+      assert(rows("de") == ((1L, 2L)))
+      // matches the batch profile over the union of both batches
+      val batch = Pipelines.corpusProfileApprox(
+        Seq((1L, "one two three", "en"), (2L, "vier fünf", "de"),
+          (3L, "four five six seven", "en"), (4L, "one two three", "en"))
+          .toDF("doc_id", "text", "lang"), "text", "lang")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows == batch)
+    } finally q.stop()
+  }
+
   test("sessionize produces gap-bounded sessions") {
     val events = spark.read.schema(Streams.eventsSchema).parquet(s"$sf001/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
