@@ -1121,6 +1121,19 @@ object SparkEntry {
         .df
     }),
 
+    // full Iceberg WRITE→READ round trip: create(evens)+append(odds)
+    // through the minimal v1 writer, manifest-replay read back — any
+    // metadata/manifest/snapshot defect diverges from plain documents
+    "q_iceberg_roundtrip" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_rt_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(s, docs.filter(col("doc_id") % 2 === 0), base)
+      graft.sources.IcebergWrite.append(s, docs.filter(col("doc_id") % 2 =!= 0), base)
+      graft.sources.IcebergScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // full Delta WRITE→READ round trip through the built-in writer and
     // reader: create a lang-partitioned table from the even docs,
     // append the odds, read latest — if the log, partition layout, or
@@ -2023,6 +2036,10 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q_delta_roundtrip" ->
+      """SELECT doc_id, lang, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_roundtrip" ->
       """SELECT doc_id, lang, text FROM documents
         |ORDER BY doc_id""".stripMargin,
 

@@ -1,0 +1,205 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Minimal Iceberg WRITER (format-version 1, HadoopTables layout) — the
+  * sink counterpart of [[IcebergScan]]. Emits the spec's file tree:
+  * data files as Spark-written parquet under `data/`, one Avro
+  * manifest per commit, an Avro manifest list per snapshot, versioned
+  * `metadata/vN.metadata.json` (with field-ids) plus
+  * `version-hint.text`.
+  *
+  * SCOPE, stated loudly: the reader-required subset of the v1 spec —
+  * unpartitioned tables, primitive column types, no column stats, no
+  * field-id properties inside the Avro manifest schemas, single
+  * writer (no optimistic-concurrency loop). [[IcebergScan]] (gate +
+  * spec round-tripped) and any reader tolerating stat-less v1
+  * manifests read the result; full connector-grade tables (stats,
+  * partition specs, compaction) are what real Iceberg writers add on
+  * top of this same layout.
+  *
+  * Scale: identical to [[DeltaWrite]] — the data write is Spark's
+  * distributed parquet writer; per commit the driver reads only new
+  * parquet FOOTERS (row counts) and writes KBs of metadata.
+  */
+object IcebergWrite {
+
+  def create(spark: SparkSession, df: DataFrame, tablePath: String): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(tablePath, "metadata")),
+      s"Iceberg metadata already exists at $tablePath — use append")
+    commit(spark, fs, df, tablePath, version = 1)
+  }
+
+  def append(spark: SparkSession, df: DataFrame, tablePath: String): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    val prev = readUtf8(fs, hint).trim.toInt
+    commit(spark, fs, df, tablePath, version = prev + 1)
+  }
+
+  private def commit(spark: SparkSession, fs: FileSystem, df: DataFrame,
+      tablePath: String, version: Int): Unit = {
+    val root = fs.makeQualified(new Path(tablePath))
+    val dataDir = new Path(root, "data")
+    val pre = listParquet(fs, dataDir).toSet
+    df.write.mode("append").parquet(dataDir.toString)
+    val added = listParquet(fs, dataDir).filterNot(pre.contains)
+    require(added.nonEmpty, "write produced no data files (empty input?)")
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaDir = new Path(root, "metadata")
+    fs.mkdirs(metaDir)
+
+    // one manifest for this commit's files (relative paths; record
+    // counts from the parquet footers — no data re-read)
+    val manifestRel = s"metadata/manifest-$version.avro"
+    writeAvro(fs, new Path(root, manifestRel), manifestSchema,
+      added.map { rel =>
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(root, rel), conf))
+        val rows = try footer.getRecordCount finally footer.close()
+        val file = new GenericData.Record(manifestSchema.getField("data_file").schema())
+        file.put("file_path", rel)
+        file.put("file_format", "PARQUET")
+        file.put("record_count", rows)
+        val entry = new GenericData.Record(manifestSchema)
+        entry.put("status", 1) // ADDED
+        entry.put("data_file", file)
+        entry
+      })
+
+    // snapshot's manifest list = all prior manifests + this one
+    val prevManifests: Seq[String] =
+      if (version == 1) Seq.empty
+      else readAvro(fs, conf, new Path(root, s"metadata/snap-${version - 1}.avro"))
+        .map(_.get("manifest_path").toString)
+    val listRel = s"metadata/snap-$version.avro"
+    writeAvro(fs, new Path(root, listRel), manifestListSchema,
+      (prevManifests :+ manifestRel).map { mp =>
+        val r = new GenericData.Record(manifestListSchema)
+        r.put("manifest_path", mp)
+        r
+      })
+
+    val now = System.currentTimeMillis()
+    val prevSnapshots: String =
+      if (version == 1) ""
+      else {
+        // carry prior snapshots forward from the previous metadata JSON
+        val prevMeta = readUtf8(fs, new Path(metaDir, s"v${version - 1}.metadata.json"))
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(prevMeta)
+        node.get("snapshots").elements().asScala
+          .map(_.toString).mkString("", ",", ",")
+      }
+    val schemaJson = icebergSchemaJson(df.schema)
+    val meta =
+      s"""{"format-version":1,"table-uuid":"${java.util.UUID.randomUUID()}",
+         |"location":${jstr(root.toString)},"last-updated-ms":$now,
+         |"last-column-id":${df.schema.length},
+         |"schema":$schemaJson,
+         |"partition-spec":[],"properties":{},
+         |"current-snapshot-id":$version,
+         |"snapshots":[$prevSnapshots{"snapshot-id":$version,
+         |"timestamp-ms":$now,"manifest-list":${jstr(listRel)}}]}"""
+        .stripMargin.replaceAll("\n", "")
+    writeUtf8(fs, new Path(metaDir, s"v$version.metadata.json"), meta)
+    writeUtf8(fs, new Path(metaDir, "version-hint.text"), version.toString)
+  }
+
+  /** Spark → Iceberg schema JSON with 1-based field ids; primitives
+    * only (the minimal-writer scope — nested types fail loudly). */
+  private[graft] def icebergSchemaJson(schema: StructType): String = {
+    val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${i + 1},"name":${jstr(f.name)},"required":${!f.nullable},""" +
+        s""""type":${jstr(icebergType(f.dataType, f.name))}}"""
+    }
+    s"""{"type":"struct","schema-id":0,"fields":[${fields.mkString(",")}]}"""
+  }
+
+  private def icebergType(dt: DataType, name: String): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType | ShortType | ByteType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case DateType => "date"
+    case TimestampNTZType => "timestamp"
+    case TimestampType => "timestamptz"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    case other => throw new IllegalArgumentException(
+      s"column '$name': type ${other.sql} not supported by the minimal Iceberg writer " +
+        "(primitive columns only)")
+  }
+
+  private val manifestSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"file_path","type":"string"},
+      |{"name":"file_format","type":"string"},
+      |{"name":"record_count","type":"long"}]}}]}""".stripMargin)
+
+  private val manifestListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"}]}""".stripMargin)
+
+  private def writeAvro(fs: FileSystem, path: Path, schema: Schema,
+      records: Seq[GenericRecord]): Unit = {
+    val out = fs.create(path, false)
+    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    writer.create(schema, out)
+    try records.foreach(writer.append) finally writer.close()
+  }
+
+  private def readAvro(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+      path: Path): Seq[GenericRecord] = {
+    val in = new FsInput(path, conf)
+    val reader = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
+    try reader.iterator().asScala.toVector finally reader.close()
+  }
+
+  private def listParquet(fs: FileSystem, dir: Path): Seq[String] = {
+    if (!fs.exists(dir)) return Seq.empty
+    val base = dir.getParent.toString.stripSuffix("/") + "/"
+    val out = Seq.newBuilder[String]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath.toString
+      if (p.startsWith(base) && p.endsWith(".parquet"))
+        out += p.substring(base.length)
+    }
+    out.result()
+  }
+
+  private def readUtf8(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  private def writeUtf8(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

@@ -16,6 +16,35 @@ import graft.sources.IcebergScan
   * JSON + Avro manifests written straight from the public spec, so the
   * replay/selection semantics are what's under test. */
 class IcebergScanSpec extends SparkSpec {
+
+  test("IcebergWrite round-trip: create + append read back by the built-in reader") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_rt").toString
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b = Seq((3L, "z")).toDF("id", "v")
+    IcebergWrite.create(spark, a, dir)
+    IcebergWrite.append(spark, b, dir)
+    val all = IcebergScan.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(all == Set((1L, "x"), (2L, "y"), (3L, "z")))
+    // snapshot time travel back to the create commit
+    val v1 = IcebergScan.read(spark, dir, snapshotAsOf = Some(1L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(v1 == Set(1L, 2L))
+    // schema carries nullability + types through the spec JSON
+    assert(IcebergScan.read(spark, dir).schema.fieldNames.toSeq == Seq("id", "v"))
+    // double create is loud; nested types are loud
+    assert(intercept[IllegalArgumentException] {
+      IcebergWrite.create(spark, a, dir)
+    }.getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException] {
+      IcebergWrite.create(spark,
+        a.select(org.apache.spark.sql.functions.struct(col("id")).as("s")),
+        java.nio.file.Files.createTempDirectory("graft_ice_bad").toString)
+    }.getMessage.contains("primitive"))
+  }
   import spark.implicits._
 
   private val entrySchema = new Schema.Parser().parse(
