@@ -105,6 +105,30 @@ final case class TidierFrame(
     else if (lower.endsWith(".json")) df.write.mode("overwrite").json(path)
     else df.write.mode("overwrite").parquet(path)
   }
+  /** Explicit-format write: `csv`/`json`/`parquet`, plus the built-in
+    * lakehouse writers — `delta` and `iceberg` create the table when
+    * absent and append a new commit/snapshot when present
+    * ([[graft.sources.DeltaWrite]] / [[graft.sources.IcebergWrite]];
+    * single-writer scope, see their scaladocs). */
+  def writeFile(path: String, format: String): Unit = format.toLowerCase match {
+    case "csv" => df.write.mode("overwrite").option("header", "true").csv(path)
+    case "json" => df.write.mode("overwrite").json(path)
+    case "parquet" => df.write.mode("overwrite").parquet(path)
+    case "delta" =>
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path, "_delta_log")))
+        graft.sources.DeltaWrite.append(spark, df, path)
+      else graft.sources.DeltaWrite.create(spark, df, path)
+    case "iceberg" =>
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path, "metadata/version-hint.text")))
+        graft.sources.IcebergWrite.append(spark, df, path)
+      else graft.sources.IcebergWrite.create(spark, df, path)
+    case other => throw new IllegalArgumentException(
+      s"writeFile format '$other' not supported (csv/json/parquet/delta/iceberg)")
+  }
 }
 
 /** Entry points — `db_table` / `dt` analog (reference: src/TidierDB.jl:155-243). */

@@ -29,6 +29,20 @@ class SinksSpec extends SparkSpec {
     assert(Tidier.read(spark, s"$tmp/out.json").df.count() == 2)
   }
 
+  test("writeFile(format=delta/iceberg): create then append through the standard API") {
+    val tmp = Files.createTempDirectory("graft_sink_lake").toString
+    for (fmt <- Seq("delta", "iceberg")) {
+      val path = s"$tmp/$fmt"
+      Tidier.from(df).writeFile(path, fmt)          // create
+      Tidier.from(df).writeFile(path, fmt)          // append (new commit)
+      assert(Tidier.read(spark, path, fmt).df.count() == 4)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Tidier.from(df).writeFile(s"$tmp/x", "orc")
+    }
+    assert(e.getMessage.contains("not supported"))
+  }
+
   test("multi-path scan unions files") {
     val tmp = Files.createTempDirectory("graft_multi").toString
     df.write.parquet(s"$tmp/p1"); df.write.parquet(s"$tmp/p2")
