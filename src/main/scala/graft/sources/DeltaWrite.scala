@@ -2,8 +2,11 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Minimal dependency-free Delta Lake WRITER — the sink half of the
   * built-in lakehouse support (reader: [[DeltaScan]]). Writes the
@@ -37,13 +40,43 @@ object DeltaWrite {
     commit(spark, fs, df, tablePath, partitionBy, version = 0L)
   }
 
-  /** Append `df` as a new commit. Partitioning must match the table's
-    * (validated against the data layout Spark produces). */
+  /** Append `df` as a new commit. Schema and partitioning are
+    * validated against the table's commit-0 `metaData` — a mismatched
+    * append would silently corrupt the table otherwise. */
   def append(spark: SparkSession, df: DataFrame, tablePath: String,
       partitionBy: Seq[String] = Nil): Unit = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    validateAgainstMeta(spark, fs, df, tablePath, partitionBy)
     val v = DeltaScan.latestVersion(spark, tablePath) + 1
     commit(spark, fs, df, tablePath, partitionBy, version = v)
+  }
+
+  /** compare (names, types) and partition columns against the v0
+    * metaData this writer wrote; skipped (documented) when commit 0 is
+    * absent — e.g. appending to a checkpointed table another writer
+    * created, where metaData lives only in the checkpoint parquet */
+  private def validateAgainstMeta(spark: SparkSession, fs: FileSystem,
+      df: DataFrame, tablePath: String, partitionBy: Seq[String]): Unit = {
+    val v0 = new Path(tablePath, "_delta_log/00000000000000000000.json")
+    if (!fs.exists(v0)) return
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = fs.open(v0)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+      finally in.close()
+    lines.map(mapper.readTree).find(_.has("metaData")).foreach { node =>
+      val md = node.get("metaData")
+      val declaredParts = Option(md.get("partitionColumns"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+      require(declaredParts == partitionBy,
+        s"append partitioning $partitionBy does not match the table's $declaredParts")
+      val declared = DataType.fromJson(md.get("schemaString").asText())
+        .asInstanceOf[StructType]
+      val got = df.schema
+      require(
+        declared.fields.map(f => (f.name, f.dataType)).toSeq ==
+          got.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"append schema ${got.simpleString} does not match the table's ${declared.simpleString}")
+    }
   }
 
   private def commit(spark: SparkSession, fs: FileSystem, df: DataFrame,

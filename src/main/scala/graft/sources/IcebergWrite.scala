@@ -46,6 +46,15 @@ object IcebergWrite {
     val hint = new Path(tablePath, "metadata/version-hint.text")
     require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
     val prev = readUtf8(fs, hint).trim.toInt
+    // schema drift would silently corrupt the table: compare
+    // (names, types) against the current metadata's spec schema
+    val prevMeta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readUtf8(fs, new Path(tablePath, s"metadata/v$prev.metadata.json")))
+    val declared = IcebergScan.sparkSchema(prevMeta.get("schema"))
+    require(
+      declared.fields.map(f => (f.name, f.dataType)).toSeq ==
+        df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"append schema ${df.schema.simpleString} does not match the table's ${declared.simpleString}")
     commit(spark, fs, df, tablePath, version = prev + 1)
   }
 

@@ -439,6 +439,15 @@ class DeltaScanSpec extends SparkSpec {
       DeltaWrite.create(spark, a, dir)
     }
     assert(e.getMessage.contains("already exists"))
+    // mismatched appends are loud, not silent corruption
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, b, dir) // partitioning omitted
+    }.getMessage.contains("partitioning"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark,
+        Seq((9, "w", "en")).toDF("id", "v", "lang"), // id int, not long
+        dir, partitionBy = Seq("lang"))
+    }.getMessage.contains("schema"))
   }
 
   test("Tidier.read(format=delta) falls back to the built-in reader without a connector") {

@@ -44,6 +44,10 @@ class IcebergScanSpec extends SparkSpec {
         a.select(org.apache.spark.sql.functions.struct(col("id")).as("s")),
         java.nio.file.Files.createTempDirectory("graft_ice_bad").toString)
     }.getMessage.contains("primitive"))
+    // schema-drift appends are loud, not silent corruption
+    assert(intercept[IllegalArgumentException] {
+      IcebergWrite.append(spark, Seq((9, "w")).toDF("id", "v"), dir)
+    }.getMessage.contains("schema"))
   }
   import spark.implicits._
 
