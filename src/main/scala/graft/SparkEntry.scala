@@ -855,6 +855,16 @@ object SparkEntry {
         .arrange("doc_id", "term")
         .df),
 
+    // Gopher/MassiveText document-shape rules: stats struct + the
+    // published thresholds as a narrow filter — kept docs' stats
+    // value-gated
+    "q_text_gopher" -> ((s, dir) =>
+      Tidier.from(TextFns.gopherFilter(t(s, dir, "documents").df, "text", minWords = 30L))
+        .df
+        .select(col("doc_id"), TextFns.gopherStats(col("text")).as("g"))
+        .select(col("doc_id"), col("g.*"))
+        .orderBy("doc_id")),
+
     "q_text_quality" -> ((s, dir) =>
       t(s, dir, "documents")
         .mutate(
@@ -1750,6 +1760,35 @@ object SparkEntry {
          |  FROM tf t JOIN dfreq d USING (term), n)
          |WHERE rn <= 3
          |ORDER BY doc_id, term ASC NULLS FIRST""".stripMargin,
+
+    "q_text_gopher" ->
+      s"""WITH base AS (SELECT doc_id, text, $tkExpr AS tk,
+         |  list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS ln
+         |  FROM documents),
+         |st AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  round(CASE WHEN len(tk) > 0
+         |    THEN CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) / len(tk)
+         |    ELSE 0.0 END, 6) AS mean_word_len,
+         |  round(CASE WHEN len(tk) > 0
+         |    THEN len(list_filter(tk, t -> contains(t, '#') OR contains(t, '...')))::DOUBLE / len(tk)
+         |    ELSE 0.0 END, 6) AS symbol_ratio,
+         |  round(CASE WHEN len(ln) > 0
+         |    THEN len(list_filter(ln, l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*') OR starts_with(trim(l), '•')))::DOUBLE / len(ln)
+         |    ELSE 0.0 END, 6) AS bullet_line_ratio,
+         |  round(CASE WHEN len(ln) > 0
+         |    THEN len(list_filter(ln, l -> ends_with(trim(l), '...') OR ends_with(trim(l), '…')))::DOUBLE / len(ln)
+         |    ELSE 0.0 END, 6) AS ellipsis_line_ratio,
+         |  round(CASE WHEN len(tk) > 0
+         |    THEN len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))::DOUBLE / len(tk)
+         |    ELSE 0.0 END, 6) AS alpha_word_ratio
+         |FROM base)
+         |SELECT * FROM st
+         |WHERE n_words BETWEEN 30 AND 100000
+         |  AND mean_word_len BETWEEN 3.0 AND 10.0
+         |  AND symbol_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+         |  AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+         |ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
       s"""WITH base AS (SELECT doc_id, text, $tkExpr AS tk FROM documents)

@@ -136,6 +136,60 @@ object TextFns {
     round((lenScore + punctScore + wordScore) / 3d, 6)
   }
 
+  // ---- Gopher-style quality rules --------------------------------------
+
+  /** The document-shape statistics behind the published Gopher/
+    * MassiveText quality rules, as one narrow struct column:
+    * word count, mean word length, hash-or-ellipsis symbol ratio,
+    * fraction of lines starting with a bullet / ending with an
+    * ellipsis, fraction of words with at least one alphabetic char.
+    * All codegen'd string/array primitives — fused with the scan. */
+  def gopherStats(text: Column): Column = {
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines)
+    val bulletStart = size(filter(lines, l =>
+      trim(l).startsWith("-") || trim(l).startsWith("*") || trim(l).startsWith("•")))
+    val ellipsisEnd = size(filter(lines, l => trim(l).endsWith("...") || trim(l).endsWith("…")))
+    val symbolish = size(filter(toks, t => t.contains("#") || t.contains("...")))
+    val alphaWords = size(filter(toks, t => t.rlike("[a-z]")))
+    struct(
+      nWords.cast("long").as("n_words"),
+      round(meanWordLen(text), 6).as("mean_word_len"),
+      round(when(nWords > 0, symbolish.cast("double") / nWords).otherwise(0d), 6)
+        .as("symbol_ratio"),
+      round(when(nLines > 0, bulletStart.cast("double") / nLines).otherwise(0d), 6)
+        .as("bullet_line_ratio"),
+      round(when(nLines > 0, ellipsisEnd.cast("double") / nLines).otherwise(0d), 6)
+        .as("ellipsis_line_ratio"),
+      round(when(nWords > 0, alphaWords.cast("double") / nWords).otherwise(0d), 6)
+        .as("alpha_word_ratio"))
+  }
+
+  /** Keep rows passing the published Gopher thresholds (defaults from
+    * the paper: 50–100k words, mean word length 3–10, <10% symbol
+    * words, <90% bullet lines, <30% ellipsis lines, ≥80% words with an
+    * alphabetic character). Narrow filter; pair with
+    * `Repetition.dropRepetitive` for the full rule set. */
+  def gopherFilter(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3d, maxMeanWordLen: Double = 10d,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3,
+      minAlphaRatio: Double = 0.8): org.apache.spark.sql.DataFrame = {
+    val s = gopherStats(df.col(textCol))
+    df.filter(
+      s.getField("n_words").between(minWords, maxWords) &&
+      s.getField("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+      s.getField("symbol_ratio") <= maxSymbolRatio &&
+      s.getField("bullet_line_ratio") <= maxBulletRatio &&
+      s.getField("ellipsis_line_ratio") <= maxEllipsisRatio &&
+      s.getField("alpha_word_ratio") >= minAlphaRatio)
+  }
+
   // ---- PII redaction ---------------------------------------------------
 
   /** Redact common PII spans with typed tags: emails → `[EMAIL]`,

@@ -382,6 +382,31 @@ class TrainPrepSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  // -- Gopher rules ------------------------------------------------------
+
+  test("gopherStats/gopherFilter: rule shapes behave on crafted documents") {
+    import graft.functions.TextFns
+    val good = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    val docs = Seq(
+      (1L, good),                                         // passes
+      (2L, "short doc"),                                  // too few words
+      (3L, Seq.fill(60)("####").mkString(" ")),           // symbol ratio + no alpha
+      (4L, (1 to 60).map(i => s"- bullet $i").mkString("\n")), // all bullet lines
+      (5L, (1 to 4).map(i => "plain words line " + ("filler " * 8)).mkString("\n")
+        + "\ntrailing words..." )                         // 1 of 5 ellipsis lines → passes
+    ).toDF("doc_id", "text")
+    val kept = TextFns.gopherFilter(docs, "text", minWords = 20L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L))
+    val s3 = docs.filter(col("doc_id") === 3L)
+      .select(TextFns.gopherStats(col("text")).as("g")).select("g.*").head()
+    assert(s3.getAs[Double]("symbol_ratio") == 1.0)
+    assert(s3.getAs[Double]("alpha_word_ratio") == 0.0)
+    val s4 = docs.filter(col("doc_id") === 4L)
+      .select(TextFns.gopherStats(col("text")).as("g")).select("g.*").head()
+    assert(s4.getAs[Double]("bullet_line_ratio") == 1.0)
+  }
+
   // -- composed prep pipeline --------------------------------------------
 
   test("prepareTrainingData: branch-free chain plans exactly one shuffle") {
