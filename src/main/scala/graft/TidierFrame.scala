@@ -148,6 +148,8 @@ object Tidier {
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
       else if (lower.endsWith(".json") || lower.endsWith(".ndjson"))
         spark.read.json(path)
+      else if (lower.endsWith(".dta"))
+        graft.sources.StataScan.read(spark, path)
       else spark.read.parquet(path)
     TidierFrame(df)
   }
