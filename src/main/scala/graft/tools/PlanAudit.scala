@@ -16,7 +16,12 @@ object PlanAudit {
         // round-3 additions
         "q_decontaminate", "q_sample_hash", "q_sample_stratified", "q_pack",
         "q_chunk", "q_text_repetition", "q_delta_scan", "q_iceberg_scan",
-        "q_multimodal_wav")
+        "q_multimodal_wav",
+        // round-3 continuation additions
+        "q_bpe_roundtrip", "q_text_lm", "q_dedup_semantic", "q_shuffle",
+        "q_url_filter", "q_decontaminate_bloom", "q_mix_tokens",
+        "q_multimodal_avi", "q_delta_roundtrip", "q_iceberg_roundtrip",
+        "q_pipeline_prepare", "q_profile_sketch", "q_text_gopher")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
