@@ -1180,12 +1180,12 @@ object SparkEntry {
         .arrange("column")
         .df),
 
-    // the 100 TB profile path: same schema, quantile + distinct
-    // sketches (bounded state at any cardinality) — rows-only check
-    // (sketch values are engine-specific by design); exact-variant
-    // values are gated by q_profile
+    // the 100 TB profile path: quantile + distinct sketches (bounded
+    // state at any cardinality), hash-gated via sketchGate — the
+    // deterministic fields compare exactly, the engine-specific sketch
+    // values compare as within-error-bound booleans (oracle says TRUE)
     "q_profile_sketch" -> ((s, dir) =>
-      Tidier.from(Profile.tableProfileApprox(
+      Tidier.from(Profile.sketchGate(
           t(s, dir, "lineitem").df,
           Seq("l_quantity", "l_extendedprice", "l_discount")))
         .arrange("column")
@@ -1714,6 +1714,18 @@ object SparkEntry {
        |  COUNT(DISTINCT x) AS n_distinct
        |FROM (SELECT CAST($c AS DOUBLE) AS x FROM lineitem)""".stripMargin
 
+  /** one column's row for the q_profile_sketch oracle: deterministic
+    * fields exact, sketch fields asserted healthy as literal TRUEs
+    * (the Spark side emits the same booleans from its error-bound
+    * check — see Profile.sketchGate) */
+  private def sketchGateColSql(c: String): String =
+    s"""SELECT '$c' AS "column", COUNT(x) AS n,
+       |  COUNT(CASE WHEN x IS NULL THEN 1 END) AS n_null,
+       |  MIN(x) AS min, MAX(x) AS max,
+       |  round(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x), 6) AS mean,
+       |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS n_distinct_ok
+       |FROM (SELECT CAST($c AS DOUBLE) AS x FROM lineitem)""".stripMargin
+
   private val tkExpr =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
   private val stopList = "['the','a','an','and','or','of','to','in','is','it','for','on']"
@@ -1982,6 +1994,12 @@ object SparkEntry {
       (Seq("l_discount", "l_extendedprice", "l_quantity")
         .map(profileColSql).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")),
 
+    // sketch profile: deterministic fields gated exactly, sketch fields
+    // gated as error-bound booleans (Spark computes them, oracle = TRUE)
+    "q_profile_sketch" ->
+      (Seq("l_discount", "l_extendedprice", "l_quantity")
+        .map(sketchGateColSql).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")),
+
     // whole prep chain rebuilt: quality+langid filters, exact-dedup
     // QUALIFY, 4-gram decontamination anti-join, 32/8 chunk windows
     "q_pipeline_prepare" ->
@@ -2138,10 +2156,11 @@ object SparkEntry {
          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1
          |)
          |SELECT c.doc_id, SUM(c.cnt) AS n_grams, COUNT(*) AS distinct_ngrams,
-         |  round(1.0 - COUNT(*)::DOUBLE / SUM(c.cnt), 6) AS dup_ngram_frac,
+         |  CAST(((SUM(c.cnt) - COUNT(*)) * 2000000 + SUM(c.cnt)) // (2 * SUM(c.cnt))
+         |    AS DOUBLE) / 1000000.0 AS dup_ngram_frac,
          |  ANY_VALUE(top.gram) AS top_gram,
-         |  round(ANY_VALUE(top.cnt)::DOUBLE * len(ANY_VALUE(top.gram)) / ANY_VALUE(c.nch), 6)
-         |    AS top_gram_frac
+         |  CAST((ANY_VALUE(top.cnt) * len(ANY_VALUE(top.gram)) * 2000000 + ANY_VALUE(c.nch))
+         |    // (2 * ANY_VALUE(c.nch)) AS DOUBLE) / 1000000.0 AS top_gram_frac
          |FROM c JOIN top USING (doc_id)
          |GROUP BY c.doc_id
          |ORDER BY c.doc_id""".stripMargin,

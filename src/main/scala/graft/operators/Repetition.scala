@@ -45,6 +45,13 @@ object Repetition {
     val counts = grams
       .groupBy(col(idCol), col("__nch"), col("__gram"))
       .agg(count(lit(1)).as("__cnt"))
+    // The fractions must be bit-identical across engines (the driver
+    // hash-compares against DuckDB), so round-half-up(a/b · 10^6) is
+    // computed as pure BIGINT arithmetic — (2·a·10^6 + b) div (2·b) —
+    // followed by ONE IEEE division by 10^6 (deterministic for exact
+    // integer operands). Double division before round() is a last-ULP
+    // lottery between engines. BIGINT headroom: per-document gram
+    // counts; overflows only past ~4.6e12 grams in one document.
     counts
       .groupBy(col(idCol), col("__nch"))
       .agg(
@@ -57,11 +64,11 @@ object Repetition {
         col(idCol),
         col("n_grams"),
         col("distinct_ngrams"),
-        round(lit(1.0) - col("distinct_ngrams").cast("double") / col("n_grams"), 6)
-          .as("dup_ngram_frac"),
+        (expr("((n_grams - distinct_ngrams) * 2000000 + n_grams) div (2 * n_grams)")
+          .cast("double") / lit(1000000.0)).as("dup_ngram_frac"),
         col("__top.__gram").as("top_gram"),
-        round(col("__top.__cnt").cast("double") * length(col("__top.__gram"))
-          / col("__nch"), 6).as("top_gram_frac"))
+        (expr("(__top.__cnt * length(__top.__gram) * 2000000 + __nch) div (2 * __nch)")
+          .cast("double") / lit(1000000.0)).as("top_gram_frac"))
   }
 
   /** Corpus minus repetitive documents: drops docs whose duplicate-gram

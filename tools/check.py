@@ -13,6 +13,11 @@ import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# GRAFT_EXACT=1: full-precision float repr (the driver hash-compares raw
+# values, so 9-sig-fig normalization here can hide last-ULP divergence —
+# it did for q_text_repetition in r3).
+EXACT = __import__("os").environ.get("GRAFT_EXACT", "") == "1"
+
 
 def norm_cell(v):
     if v is None:
@@ -22,6 +27,8 @@ def norm_cell(v):
             return "NaN"
         if v == 0:
             return "0"
+        if EXACT:
+            return repr(v)
         return f"{v:.9g}"
     if isinstance(v, bool):
         return str(v).lower()
