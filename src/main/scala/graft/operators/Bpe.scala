@@ -222,13 +222,21 @@ object Bpe {
       if (distinctWords >= 0) distinctWords else words.length.toLong)
   }
 
-  /** word → symbol array: Unicode code points + terminal `</w>` */
+  /** word → symbol array: Unicode code points + terminal `</w>`.
+    *
+    * Content `'<'` and U+E001 code points are escaped (see
+    * [[BpeModel.Esc]]) so the terminal marker can never alias real
+    * text — `decode(encode(t)) == concat_ws(" ", tokens(t))` holds for
+    * EVERY input, including scraped HTML/XML containing literal
+    * `"</w>"` (spec-pinned). */
   private[graft] def splitSymbols(word: String): Array[String] = {
     val out = new mutable.ArrayBuffer[String](word.length + 1)
     var i = 0
     while (i < word.length) {
       val cp = word.codePointAt(i)
-      out += new String(Character.toChars(cp))
+      if (cp == '<') out += BpeModel.EscLt
+      else if (cp == BpeModel.Esc) out += BpeModel.EscEsc
+      else out += new String(Character.toChars(cp))
       i += Character.charCount(cp)
     }
     out += BpeModel.EndOfWord
@@ -257,20 +265,37 @@ object Bpe {
   /** BPE tokens → whitespace-normalized text. Inverse of [[encode]]
     * composed with [[TextFns.tokens]] normalization:
     * `decode(encode(t)) == concat_ws(" ", tokens(t))` for every input
-    * (spec + gate-pinned). Built from codegen'd string primitives. */
+    * (spec + gate-pinned). Built from codegen'd string primitives.
+    *
+    * Every content `'<'` was escaped at [[splitSymbols]], so a `"</w>"`
+    * whose `'<'` is not escape-led is ALWAYS the terminal symbol
+    * (lookbehind), and the two escape pairs are then unescaped —
+    * leftmost-first non-overlapping replacement resolves runs
+    * unambiguously because an escape pair never ends with the escape
+    * char. */
   def decode(tokens: Column): Column =
-    trim(regexp_replace(array_join(tokens, ""), BpeModel.EndOfWord, " "))
+    trim(regexp_replace(regexp_replace(regexp_replace(
+      array_join(tokens, ""),
+      "(?<!" + BpeModel.Esc + ")" + BpeModel.EndOfWord, " "),
+      lit(BpeModel.EscLt), lit("<")),
+      lit(BpeModel.EscEsc), lit(BpeModel.Esc.toString)))
 
-  /** persist as a plain parquet table (rank, left, right) + a one-row
-    * meta table — readable by any engine, no custom format */
+  /** persist as plain parquet tables — (rank, left, right) merges,
+    * (idx, symbol) alphabet (one row per symbol: no join/split
+    * separator a pathological corpus symbol could collide with), and a
+    * one-row meta table — readable by any engine, no custom format */
   def save(spark: SparkSession, model: BpeModel, path: String): Unit = {
     import spark.implicits._
     model.merges.zipWithIndex
       .map { case ((a, b), r) => (r, a, b) }
       .toDF("rank", "left", "right")
       .write.mode("overwrite").parquet(s"$path/merges")
-    Seq((model.alphabet.mkString(" "), model.truncated, model.distinctWords))
-      .toDF("alphabet", "truncated", "distinct_words")
+    model.alphabet.zipWithIndex
+      .map { case (sym, i) => (i, sym) }
+      .toDF("idx", "symbol")
+      .write.mode("overwrite").parquet(s"$path/alphabet")
+    Seq((model.truncated, model.distinctWords))
+      .toDF("truncated", "distinct_words")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -278,9 +303,11 @@ object Bpe {
     val merges = spark.read.parquet(s"$path/merges")
       .orderBy("rank").collect()
       .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toVector
+    val alphabet = spark.read.parquet(s"$path/alphabet")
+      .orderBy("idx").collect()
+      .map(_.getAs[String]("symbol")).toVector
     val meta = spark.read.parquet(s"$path/meta").head()
-    BpeModel(merges,
-      meta.getAs[String]("alphabet").split(' ').toVector,
+    BpeModel(merges, alphabet,
       meta.getAs[Boolean]("truncated"), meta.getAs[Long]("distinct_words"))
   }
 }
@@ -288,4 +315,15 @@ object Bpe {
 object BpeModel {
   /** terminal symbol closing every word (Sennrich-style) */
   val EndOfWord = "</w>"
+
+  /** escape lead (private-use char) making [[EndOfWord]] detection
+    * injective in the joined decode string: content `'<'` is stored as
+    * the two-char symbol [[EscLt]], content U+E001 as [[EscEsc]] — so
+    * a `'<'` NOT preceded by the escape char is always the terminal
+    * marker's, never real text. Escape pairs end in `'<'`/`'x'` (never
+    * the escape char itself), so leftmost-first unescaping resolves
+    * runs unambiguously. */
+  val Esc = ''
+  val EscLt = "<"
+  val EscEsc = "x"
 }

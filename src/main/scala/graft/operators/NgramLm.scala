@@ -12,10 +12,11 @@ import graft.functions.TextFns
   * is the production analog, this is its exact-arithmetic cousin).
   *
   * Probabilities are ADD-ONE smoothed and kept in INTEGER-SCALED form:
-  * `score = (scale * (count + 1)) DIV (ctxTotal + V)` — every
-  * intermediate is exact BIGINT arithmetic, per-doc aggregation is an
-  * exact integer sum, and the final average divides two
-  * exactly-representable integers. That makes scores bit-identical
+  * `score = (scale * (count + 1)) DIV (ctxTotal + V)` — the scaled
+  * numerator/denominator are exact DECIMAL(38,0) (no wrap at any real
+  * corpus count), the quotient and per-doc aggregation are exact
+  * integers, and the final average divides two exactly-representable
+  * integers. That makes scores bit-identical
   * across engines (gate-checkable VALUES, like tfidfTopTerms' rational
   * idf), where a log-prob formulation would inherit libm's last-ulp
   * variation.
@@ -86,9 +87,14 @@ object NgramLm {
     val scored = gramPairs(docs, Seq(col(idCol)), textCol, model.n)
       .join(g, Seq("ctx", "tok"), "left")
       .join(ct, Seq("ctx"), "left")
-      .withColumn("__num", lit(scale) * (coalesce(col("cnt"), lit(0L)) + 1L))
-      .withColumn("__den", coalesce(col("total"), lit(0L)) + model.vocabSize)
-      .withColumn("__s", expr("__num DIV __den"))
+      // DECIMAL(38,0): scale·(cnt+1) reaches ~1e28 before overflow —
+      // LongType arithmetic would silently wrap past cnt ≈ 9.2e9,
+      // plausible for stop-word bigrams at full corpus scale
+      .withColumn("__num",
+        lit(scale).cast("decimal(38,0)") * (coalesce(col("cnt"), lit(0L)) + 1L))
+      .withColumn("__den",
+        (coalesce(col("total"), lit(0L)) + model.vocabSize).cast("decimal(38,0)"))
+      .withColumn("__s", expr("CAST(__num DIV __den AS BIGINT)"))
       .withColumn("__oov", when(col("cnt").isNull, 1L).otherwise(0L))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),

@@ -67,7 +67,7 @@ case class DecodeVideoFeatures(child: Expression, frameStride: Int = 1)
   private def decode(b: Array[Byte]): Option[InternalRow] = {
     if (b.length < 24 || tag(b, 0) != "RIFF" || tag(b, 8) != "AVI ") return None
 
-    var sawVidsStrh = false
+    var foundVids = false // latched — a later 'auds'/'txts' strl must not clear it
     var scale = -1L; var rate = -1L
     var w = -1L; var h = -1L; var bitCount = -1; var compression = -1L
     val frames = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
@@ -75,6 +75,10 @@ case class DecodeVideoFeatures(child: Expression, frameStride: Int = 1)
     // depth-limited recursive RIFF chunk walk over [from, to)
     def walk(from: Long, to: Long, inStrl: Boolean, inMovi: Boolean, depth: Int): Unit = {
       if (depth > 8) return
+      // per-strl scope: does THIS strl's strh say 'vids'? (each strl is
+      // its own walk() call, so a video+audio AVI — vids strl then auds
+      // strl, the standard layout — keeps its strf routing separate)
+      var curIsVids = false
       var off = from
       while (off + 8 <= to) {
         val id = tag(b, off.toInt)
@@ -92,12 +96,13 @@ case class DecodeVideoFeatures(child: Expression, frameStride: Int = 1)
                 inMovi || sub == "movi", depth + 1)
           case "strh" if inStrl && size >= 36 =>
             val p = payload.toInt
-            sawVidsStrh = tag(b, p) == "vids"
-            if (sawVidsStrh) {
+            curIsVids = tag(b, p) == "vids"
+            if (curIsVids && !foundVids) {
+              foundVids = true
               scale = u32(b, p + 20)
               rate = u32(b, p + 24)
             }
-          case "strf" if inStrl && sawVidsStrh && size >= 40 && w < 0 =>
+          case "strf" if inStrl && curIsVids && size >= 40 && w < 0 =>
             val p = payload.toInt
             w = u32(b, p + 4)
             // biHeight may be negative (top-down); brightness is
@@ -116,7 +121,7 @@ case class DecodeVideoFeatures(child: Expression, frameStride: Int = 1)
     }
     walk(12L, b.length.toLong, inStrl = false, inMovi = false, depth = 0)
 
-    if (!sawVidsStrh || w <= 0 || h <= 0) return None
+    if (!foundVids || w <= 0 || h <= 0) return None
     if (bitCount != 24 || compression != 0L) return None // BI_RGB 24bpp only
     if (scale <= 0 || rate <= 0) return None
     if (w * h > ImageCodec.MaxPixels) return None // adversarial-header ceiling

@@ -15,12 +15,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * partitioned), each commit is one `_delta_log/%020d.json` with
   * `protocol`/`metaData` (version 0) and `add` actions.
   *
-  * Scope is deliberately the SINGLE-WRITER case (create + append):
-  * no optimistic-concurrency loop, no checkpoints, no compaction —
-  * a second concurrent writer could clobber a commit, exactly the
-  * guarantee real connectors add on top of this same file format.
-  * Any engine's Delta reader (including [[DeltaScan]], spec + gate
-  * round-tripped) reads the result.
+  * Scope: create + append with CONDITIONAL commits — the log file is
+  * created with overwrite=false, so two writers racing to the same
+  * version fail loudly (ConcurrentModificationException) instead of
+  * clobbering each other; what real connectors add on top is the
+  * RETRY loop (re-read log, re-validate, re-commit at the next
+  * version), plus checkpoints and compaction. Any engine's Delta
+  * reader (including [[DeltaScan]], spec + gate round-tripped) reads
+  * the result.
   *
   * Scale: the data write is Spark's distributed parquet writer —
   * partitioning, task parallelism, and file sizing are untouched; the
@@ -79,6 +81,15 @@ object DeltaWrite {
     }
   }
 
+  /** test seam for the conditional-commit guard: commit at an explicit
+    * log version — what a racing writer with a stale view of the log
+    * does right before it loses the race */
+  private[graft] def appendAt(spark: SparkSession, df: DataFrame,
+      tablePath: String, version: Long): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    commit(spark, fs, df, tablePath, Nil, version)
+  }
+
   private def commit(spark: SparkSession, fs: FileSystem, df: DataFrame,
       tablePath: String, partitionBy: Seq[String], version: Long): Unit = {
     val root = fs.makeQualified(new Path(tablePath))
@@ -114,9 +125,17 @@ object DeltaWrite {
     val logDir = new Path(root, "_delta_log")
     fs.mkdirs(logDir)
     val commitFile = new Path(logDir, f"$version%020d.json")
-    require(!fs.exists(commitFile),
-      s"commit $commitFile already exists — concurrent writer? (single-writer protocol)")
-    val out = fs.create(commitFile, false)
+    // conditional commit: create with overwrite=false is the atomic
+    // guard — of two writers racing to the same log version, the
+    // second fails loudly here instead of clobbering the first
+    val out =
+      try fs.create(commitFile, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent Delta commit detected: $commitFile already exists — " +
+              "another writer committed this version; re-read the table and retry", e)
+      }
     try out.write((header ++ adds).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }

@@ -21,12 +21,16 @@ import org.apache.spark.sql.types._
   *
   * SCOPE, stated loudly: the reader-required subset of the v1 spec —
   * unpartitioned tables, primitive column types, no column stats, no
-  * field-id properties inside the Avro manifest schemas, single
-  * writer (no optimistic-concurrency loop). [[IcebergScan]] (gate +
-  * spec round-tripped) and any reader tolerating stat-less v1
-  * manifests read the result; full connector-grade tables (stats,
-  * partition specs, compaction) are what real Iceberg writers add on
-  * top of this same layout.
+  * field-id properties inside the Avro manifest schemas. Manifests
+  * carry every v1-required data_file field (partition struct, record
+  * count, file/block sizes) and the manifest list carries length /
+  * spec-id / added-snapshot-id, so Avro schema RESOLUTION succeeds in
+  * spec-conformant readers; readers that additionally demand field-id
+  * annotations in the Avro schemas (the reference implementation
+  * does) still need a connector-written table — [[IcebergScan]] (gate
+  * + spec round-tripped) is the contractual reader. Concurrent
+  * commits are detected and rejected (conditional commit via
+  * create-fail on the version file), not retried.
   *
   * Scale: identical to [[DeltaWrite]] — the data write is Spark's
   * distributed parquet writer; per commit the driver reads only new
@@ -58,9 +62,26 @@ object IcebergWrite {
     commit(spark, fs, df, tablePath, version = prev + 1)
   }
 
+  /** test seam for the conditional-commit guard: commit at an explicit
+    * metadata version — what a racing writer with a stale version hint
+    * does right before it loses the race */
+  private[graft] def commitAt(spark: SparkSession, df: DataFrame,
+      tablePath: String, version: Int): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    commit(spark, fs, df, tablePath, version)
+  }
+
   private def commit(spark: SparkSession, fs: FileSystem, df: DataFrame,
       tablePath: String, version: Int): Unit = {
     val root = fs.makeQualified(new Path(tablePath))
+    // fast-fail a stale racing writer BEFORE any data is written (no
+    // orphan parquet); the overwrite=false create below remains the
+    // atomic guard for the true photo-finish race
+    val targetMeta = new Path(root, s"metadata/v$version.metadata.json")
+    if (fs.exists(targetMeta))
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent Iceberg commit detected: $targetMeta already exists — " +
+          "another writer committed this version; re-read the table and retry")
     val dataDir = new Path(root, "data")
     val pre = listParquet(fs, dataDir).toSet
     df.write.mode("append").parquet(dataDir.toString)
@@ -74,33 +95,49 @@ object IcebergWrite {
     // one manifest for this commit's files (relative paths; record
     // counts from the parquet footers — no data re-read)
     val manifestRel = s"metadata/manifest-$version.avro"
+    val dataFileSchema = manifestSchema.getField("data_file").schema()
+    val emptyPartition =
+      new GenericData.Record(dataFileSchema.getField("partition").schema())
     writeAvro(fs, new Path(root, manifestRel), manifestSchema,
       added.map { rel =>
+        val dataPath = new Path(root, rel)
         val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(root, rel), conf))
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dataPath, conf))
         val rows = try footer.getRecordCount finally footer.close()
-        val file = new GenericData.Record(manifestSchema.getField("data_file").schema())
+        val file = new GenericData.Record(dataFileSchema)
         file.put("file_path", rel)
         file.put("file_format", "PARQUET")
+        file.put("partition", emptyPartition)
         file.put("record_count", rows)
+        file.put("file_size_in_bytes", fs.getFileStatus(dataPath).getLen)
+        file.put("block_size_in_bytes", DefaultBlockSize)
         val entry = new GenericData.Record(manifestSchema)
         entry.put("status", 1) // ADDED
         entry.put("data_file", file)
         entry
       })
+    val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
 
-    // snapshot's manifest list = all prior manifests + this one
-    val prevManifests: Seq[String] =
+    // snapshot's manifest list = all prior manifests (their length /
+    // spec-id / added-snapshot carried forward verbatim) + this one
+    val prevManifests: Seq[(String, Long, Int, Long)] =
       if (version == 1) Seq.empty
       else readAvro(fs, conf, new Path(root, s"metadata/snap-${version - 1}.avro"))
-        .map(_.get("manifest_path").toString)
+        .map(r => (r.get("manifest_path").toString,
+          r.get("manifest_length").asInstanceOf[Long],
+          r.get("partition_spec_id").asInstanceOf[Int],
+          r.get("added_snapshot_id").asInstanceOf[Long]))
     val listRel = s"metadata/snap-$version.avro"
     writeAvro(fs, new Path(root, listRel), manifestListSchema,
-      (prevManifests :+ manifestRel).map { mp =>
-        val r = new GenericData.Record(manifestListSchema)
-        r.put("manifest_path", mp)
-        r
-      })
+      (prevManifests :+ ((manifestRel, manifestLen, 0, version.toLong)))
+        .map { case (mp, len, specId, snapId) =>
+          val r = new GenericData.Record(manifestListSchema)
+          r.put("manifest_path", mp)
+          r.put("manifest_length", len)
+          r.put("partition_spec_id", specId)
+          r.put("added_snapshot_id", snapId)
+          r
+        })
 
     val now = System.currentTimeMillis()
     val prevSnapshots: String =
@@ -123,7 +160,18 @@ object IcebergWrite {
          |"snapshots":[$prevSnapshots{"snapshot-id":$version,
          |"timestamp-ms":$now,"manifest-list":${jstr(listRel)}}]}"""
         .stripMargin.replaceAll("\n", "")
-    writeUtf8(fs, new Path(metaDir, s"v$version.metadata.json"), meta)
+    // conditional commit: the versioned metadata file is created with
+    // overwrite=false, so two writers racing to the same version — the
+    // only way this layout can corrupt — fail loudly here, first
+    // creator wins (the version hint is just a hint and may overwrite)
+    val metaPath = new Path(metaDir, s"v$version.metadata.json")
+    try writeUtf8(fs, metaPath, meta, overwrite = false)
+    catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent Iceberg commit detected: $metaPath already exists — " +
+            "another writer committed this version; re-read the table and retry", e)
+    }
     writeUtf8(fs, new Path(metaDir, "version-hint.text"), version.toString)
   }
 
@@ -154,17 +202,29 @@ object IcebergWrite {
         "(primitive columns only)")
   }
 
+  // v1 required data_file fields: partition (empty struct — the table
+  // is unpartitioned, spec-id 0), record_count, file_size_in_bytes,
+  // block_size_in_bytes (deprecated by the spec but REQUIRED in v1
+  // schema resolution — writers emit a default)
   private val manifestSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
       |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
       |{"name":"file_path","type":"string"},
       |{"name":"file_format","type":"string"},
-      |{"name":"record_count","type":"long"}]}}]}""".stripMargin)
+      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long"},
+      |{"name":"file_size_in_bytes","type":"long"},
+      |{"name":"block_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  private val DefaultBlockSize = 67108864L // 64 MiB, the spec's customary default
 
   private val manifestListSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
-      |{"name":"manifest_path","type":"string"}]}""".stripMargin)
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
 
   private def writeAvro(fs: FileSystem, path: Path, schema: Schema,
       records: Seq[GenericRecord]): Unit = {
@@ -200,8 +260,9 @@ object IcebergWrite {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
-  private def writeUtf8(fs: FileSystem, p: Path, s: String): Unit = {
-    val out = fs.create(p, true)
+  private def writeUtf8(fs: FileSystem, p: Path, s: String,
+      overwrite: Boolean = true): Unit = {
+    val out = fs.create(p, overwrite)
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 

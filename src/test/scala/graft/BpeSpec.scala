@@ -121,6 +121,23 @@ class BpeSpec extends SparkSpec {
     assert(back.vocab == m.vocab)
   }
 
+  test("decode never confuses literal </w> content with the terminal") {
+    // scraped-HTML-style input containing the marker itself + the
+    // escape char: decode(encode(t)) must still equal normalized t
+    val texts = Seq(
+      "a</w>b plain </w> <w> <</w>>  x</w>y",
+      "</w></w> <places> all<one tag</w>")
+    val docs = texts.toDF("text")
+    val m = Bpe.train(docs, "text", numMerges = 20, minPairCount = 1L)
+    val bad = docs
+      .withColumn("rebuilt", Bpe.decode(Bpe.encode(m, col("text"))))
+      .withColumn("expected",
+        concat_ws(" ", graft.functions.TextFns.tokens(col("text"))))
+      .filter(col("rebuilt") =!= col("expected"))
+      .count()
+    assert(bad == 0L)
+  }
+
   test("merge accounting survives overlapping pairs (aaa…)") {
     val m = Bpe.trainFromHistogram(Iterator(("aaaa", 3L), ("aaa", 2L)), 4, 1L)
     // (a,a): aaaa has 3, aaa has 2 → 3*3+2*2 = 13 → merge 1 = (a,a)

@@ -450,6 +450,25 @@ class DeltaScanSpec extends SparkSpec {
     }.getMessage.contains("schema"))
   }
 
+  test("DeltaWrite: concurrent commit to the same version fails loudly") {
+    import graft.sources.DeltaWrite
+    val dir = freshDir("graft_delta_conc").toString
+    val a = Seq((1L, "x")).toDF("id", "v")
+    DeltaWrite.create(spark, a, dir)
+    DeltaWrite.append(spark, a, dir) // version 1 committed
+    // a racing writer whose view of the log is stale targets v1 too —
+    // the conditional create must reject it, not clobber the commit
+    val before = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$dir/_delta_log/00000000000000000001.json"))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      DeltaWrite.appendAt(spark, a, dir, version = 1L)
+    }
+    assert(e.getMessage.contains("concurrent Delta commit"))
+    val after = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$dir/_delta_log/00000000000000000001.json"))
+    assert(before == after) // the winning commit is untouched
+  }
+
   test("Tidier.read(format=delta) falls back to the built-in reader without a connector") {
     val dir = freshDir("graft_delta_tidier")
     val s0 = writeDataFile(Seq((7L, "z")).toDF("id", "v"), dir, "f0.parquet")

@@ -49,6 +49,22 @@ class IcebergScanSpec extends SparkSpec {
       IcebergWrite.append(spark, Seq((9, "w")).toDF("id", "v"), dir)
     }.getMessage.contains("schema"))
   }
+
+  test("IcebergWrite: concurrent commit to the same version fails loudly") {
+    import graft.sources.IcebergWrite
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_conc").toString
+    val a = Seq((1L, "x")).toDF("id", "v")
+    IcebergWrite.create(spark, a, dir) // v1 committed
+    val metaPath = java.nio.file.Paths.get(s"$dir/metadata/v1.metadata.json")
+    val before = java.nio.file.Files.readString(metaPath)
+    // a racing writer with a stale version hint targets v1 too
+    val e = intercept[java.util.ConcurrentModificationException] {
+      IcebergWrite.commitAt(spark, a, dir, version = 1)
+    }
+    assert(e.getMessage.contains("concurrent Iceberg commit"))
+    assert(java.nio.file.Files.readString(metaPath) == before)
+  }
   import spark.implicits._
 
   private val entrySchema = new Schema.Parser().parse(

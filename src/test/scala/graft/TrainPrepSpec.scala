@@ -467,6 +467,23 @@ class TrainPrepSpec extends SparkSpec {
       .filter(col("f").isNotNull).count() == 0L)
   }
 
+  test("AVI decode: video+audio multi-stream layout still decodes") {
+    import graft.operators.Multimodal
+    // standard layout: vids strl, then auds strl — the trailing audio
+    // stream must not clear the latched vids detection
+    val avi = graft.plans.ImageCodec.grayAvi(3, 2, 24, 1, 2,
+      (f, x, y) => 10 + f * 50 + (y * 3 + x), withAudioStream = true)
+    val r = Seq((1L, avi)).toDF("id", "v")
+      .select(Multimodal.decodeVideoFeatures(col("v")).as("f"))
+      .select("f.*").head()
+    assert(r.getString(0) == "avi")
+    assert(r.getLong(1) == 3 && r.getLong(2) == 2 && r.getLong(3) == 2)
+    assert(r.getDouble(4) == 24.0)
+    val exp = (for (f <- 0 until 2; i <- 0 until 6) yield 10 + 50 * f + i)
+      .sum / 12.0
+    assert(r.getDouble(6) == exp)
+  }
+
   private def wavLike(): Array[Byte] = {
     val b = java.nio.ByteBuffer.allocate(16)
     b.put("RIFF".getBytes("US-ASCII")); b.putInt(8); b.put("WAVE".getBytes("US-ASCII"))
