@@ -1180,6 +1180,32 @@ object SparkEntry {
         .arrange("column")
         .df),
 
+    // CUBE: every subset of the grouping keys aggregated in ONE shuffle
+    // (native Expand); grouping_id disambiguates NULL keys from rollups
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .cube("sum_qty" -> dsum(col("l_quantity")), "n_rows" -> count(lit(1)))
+        .arrange("grouping_id", "l_returnflag", "l_linestatus")
+        .df),
+
+    // ROLLUP: hierarchical prefixes of (returnflag, linestatus)
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .rollup("sum_qty" -> dsum(col("l_quantity")), "n_rows" -> count(lit(1)))
+        .arrange("grouping_id", "l_returnflag", "l_linestatus")
+        .df),
+
+    // explicit GROUPING SETS: by-flag and by-status marginals only
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .groupingSets(Seq(Seq("l_returnflag"), Seq("l_linestatus")))(
+          "sum_qty" -> dsum(col("l_quantity")), "n_rows" -> count(lit(1)))
+        .arrange("grouping_id", "l_returnflag", "l_linestatus")
+        .df),
+
     // the 100 TB profile path: quantile + distinct sketches (bounded
     // state at any cardinality), hash-gated via sketchGate — the
     // deterministic fields compare exactly, the engine-specific sketch
@@ -1993,6 +2019,35 @@ object SparkEntry {
     "q_profile" ->
       (Seq("l_discount", "l_extendedprice", "l_quantity")
         .map(profileColSql).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")),
+
+    // multi-level aggregates: DuckDB GROUPING() bitmask uses the same
+    // first-column-is-MSB convention as Spark's grouping_id()
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY grouping_id, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY grouping_id, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY grouping_id, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     // sketch profile: deterministic fields gated exactly, sketch fields
     // gated as error-bound booleans (Spark computes them, oracle = TRUE)

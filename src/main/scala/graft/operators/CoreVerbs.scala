@@ -132,6 +132,45 @@ trait CoreVerbs { self: TidierFrame =>
   def summarizeBy(by: Seq[Selector])(aggs: (String, Column)*): TidierFrame =
     groupBy(by: _*).summarize(aggs: _*)
 
+  /** CUBE summarize — one result row per subset of the active grouping
+    * keys (superset verb: the reference leaves grouping sets
+    * unimplemented; Spark aggregates all levels in ONE shuffle via the
+    * native Expand operator, no per-level re-scan). Output columns:
+    * keys (NULL at rolled-up levels), `grouping_id` (bitmask
+    * disambiguating a NULL key value from a rolled-up key), then the
+    * aggregates. Grouping state is consumed. */
+  def cube(aggs: (String, Column)*): TidierFrame = {
+    require(groups.nonEmpty, "cube needs a grouped frame (groupBy first)")
+    multiLevel(df.cube(groups.map(df.col): _*), aggs)
+  }
+
+  /** ROLLUP summarize — hierarchical prefixes of the grouping keys
+    * (n+1 levels); same output shape and single-shuffle plan as
+    * [[cube]]. */
+  def rollup(aggs: (String, Column)*): TidierFrame = {
+    require(groups.nonEmpty, "rollup needs a grouped frame (groupBy first)")
+    multiLevel(df.rollup(groups.map(df.col): _*), aggs)
+  }
+
+  /** GROUPING SETS summarize — explicit key subsets (each must draw
+    * from the active grouping keys); same output shape as [[cube]]. */
+  def groupingSets(sets: Seq[Seq[String]])(aggs: (String, Column)*): TidierFrame = {
+    require(groups.nonEmpty, "groupingSets needs a grouped frame (groupBy first)")
+    val unknown = sets.flatten.distinct.filterNot(groups.contains)
+    require(unknown.isEmpty,
+      s"grouping set columns ${unknown.mkString(", ")} are not grouping keys (${groups.mkString(", ")})")
+    multiLevel(df.groupingSets(sets.map(_.map(df.col)), groups.map(df.col): _*), aggs)
+  }
+
+  private def multiLevel(
+      g: org.apache.spark.sql.RelationalGroupedDataset,
+      aggs: Seq[(String, Column)]): TidierFrame = {
+    require(aggs.nonEmpty, "cube/rollup/groupingSets need at least one aggregate")
+    val exprs = grouping_id().cast("long").as("grouping_id") +:
+      aggs.map { case (n, c) => c.as(n) }
+    reset(g.agg(exprs.head, exprs.tail: _*))
+  }
+
   /** `@count` (reference: src/TidierDB_macros.jl:373-419). */
   def count(sels: Selector*): TidierFrame = countImpl(sels, sort = false)
   def countSorted(sels: Selector*): TidierFrame = countImpl(sels, sort = true)

@@ -195,6 +195,37 @@ class CoreVerbsSpec extends SparkSpec {
     assert(out == Seq("aa", "bb"))
   }
 
+  test("cube/rollup/groupingSets: levels, grouping_id, one shuffle") {
+    val d = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 4L)).toDF("k1", "k2", "v")
+    val cube = Tidier.from(d).groupBy("k1", "k2")
+      .cube("s" -> sum(col("v")))
+      .arrange("grouping_id", "k1", "k2")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(cube.toSeq == Seq(
+      ("a", "x", 0L, 1L), ("a", "y", 0L, 2L), ("b", "x", 0L, 4L),
+      ("a", null, 1L, 3L), ("b", null, 1L, 4L),
+      (null, "x", 2L, 5L), (null, "y", 2L, 2L),
+      (null, null, 3L, 7L)))
+    val roll = Tidier.from(d).groupBy("k1", "k2")
+      .rollup("s" -> sum(col("v")))
+      .collect()
+    assert(roll.length == 6) // 3 leaf + 2 by-k1 + 1 grand total
+    val gs = Tidier.from(d).groupBy("k1", "k2")
+      .groupingSets(Seq(Seq("k1"), Seq("k2")))("s" -> sum(col("v")))
+      .collect()
+    assert(gs.length == 4) // 2 by-k1 + 2 by-k2, no leaf/grand rows
+    // all levels aggregate in ONE shuffle (Expand, not per-level scans)
+    val plan = Tidier.from(d).groupBy("k1", "k2").cube("s" -> sum(col("v")))
+      .df.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, s"expected 1 shuffle:\n$plan")
+    assert(plan.contains("Expand"), s"expected Expand operator:\n$plan")
+    // unknown grouping-set column is loud
+    assert(intercept[IllegalArgumentException] {
+      Tidier.from(d).groupBy("k1").groupingSets(Seq(Seq("nope")))("s" -> sum(col("v")))
+    }.getMessage.contains("nope"))
+  }
+
   test("dropMissing on subset of columns") {
     val d = Seq(("a", java.lang.Double.valueOf(1.0)), ("b", null.asInstanceOf[java.lang.Double]))
       .toDF("k", "v")
