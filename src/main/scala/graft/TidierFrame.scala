@@ -150,6 +150,10 @@ object Tidier {
         spark.read.json(path)
       else if (lower.endsWith(".dta"))
         graft.sources.StataScan.read(spark, path)
+      else if (lower.endsWith(".sav"))
+        graft.sources.SavScan.read(spark, path)
+      else if (lower.endsWith(".xpt"))
+        graft.sources.XptScan.read(spark, path)
       else spark.read.parquet(path)
     TidierFrame(df)
   }
