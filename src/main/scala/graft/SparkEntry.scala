@@ -503,7 +503,9 @@ object SparkEntry {
           "err_lo" -> col("ts"),
           "err_hi" -> (col("ts") + Fns.minutes(15)))
       GraftExtensions.register(s)
-      s.conf.set(plans.RangeJoinRule.BandWidthKey, (15L * 60 * 1000000).toString)
+      // auto: the rule probes avg(err_hi - err_lo) on the interval side
+      // at planning time and sizes the bands itself
+      s.conf.set(plans.RangeJoinRule.BandWidthKey, "auto")
       try {
         val out = clicks
           .innerJoin(errors, Theta("ts", ">=", "err_lo"), Theta("ts", "<=", "err_hi"))

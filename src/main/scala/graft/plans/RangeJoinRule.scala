@@ -35,9 +35,14 @@ import org.apache.spark.sql.types._
   * Activation: set `spark.graft.rangeJoin.bandWidth` (session conf) to
   * the band width in the point column's native units (MICROSECONDS for
   * timestamps — they convert via `unix_micros`; the raw value for
-  * integral columns). Unset/0 disables the rule (the default): band
-  * width is a data property (≈ typical interval length) the engine
-  * cannot guess without interval statistics.
+  * integral columns), or to `auto` to let the rule PROBE the interval
+  * statistics: one cheap `avg(hi - lo)` aggregation over the interval
+  * side at planning time (the same measure-don't-guess shape as
+  * `ScaleOps.autoSaltBuckets`), width = mean interval length + 1 so a
+  * typical interval explodes to ~2 bands. Probe results are memoized
+  * per (interval plan, bounds) so repeated planning reuses the job; a
+  * cache hit on a colliding hash can only mis-SIZE the bands, never
+  * change results. Unset/0 disables the rule (the default).
   *
   * Scope guards:
   *   - inner joins only (outer variants need unmatched-row recovery the
@@ -58,17 +63,49 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val BandWidthKey = "spark.graft.rangeJoin.bandWidth"
 
-  private def configuredWidth: Long =
-    try conf.getConfString(BandWidthKey, "0").toLong
+  /** sentinel for `bandWidth=auto` (probe the interval stats) */
+  private val AutoWidth = -1L
+
+  private def configuredWidth: Long = {
+    val raw = conf.getConfString(BandWidthKey, "0").trim
+    if (raw.equalsIgnoreCase("auto")) AutoWidth
+    else try math.max(0L, raw.toLong)
     catch { case _: NumberFormatException => 0L }
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val w = configuredWidth
-    if (w <= 0) plan
+    if (w == 0L) plan
     else plan.transformUp {
       case j @ Join(_, _, Inner, Some(cond), _) =>
         rewrite(j, cond, w).getOrElse(j)
     }
+  }
+
+  /** (interval plan, bounds) → probed width memo: the optimizer plans
+    * the same join repeatedly; the probe job should run once */
+  private val probeCache = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Long]()
+
+  /** `auto` width: one aggregation over the interval side —
+    * `avg(hi - lo)` — at planning time; width = mean length + 1. An
+    * empty/all-NULL interval side gets width 1 (any width is correct
+    * there: zero intervals explode to zero bands). */
+  private def probedWidth(intervalChild: LogicalPlan, loL: Expression, hiL: Expression): Long = {
+    val key = (intervalChild.semanticHash(),
+      loL.canonicalized.hashCode(), hiL.canonicalized.hashCode())
+    val hit = probeCache.get(key)
+    if (hit != 0L) return hit
+    val spark = org.apache.spark.sql.SparkSession.active
+    val len = Alias(Subtract(hiL, loL), "__graft_len")()
+    val probe = org.apache.spark.sql.graftshim.GraftShim
+      .ofRows(spark, Project(Seq(len), intervalChild))
+      .selectExpr("avg(__graft_len)").head()
+    val w =
+      if (probe.isNullAt(0)) 1L
+      else math.max(1L, math.ceil(probe.getDouble(0)).toLong + 1L)
+    if (probeCache.size > 64) probeCache.clear()
+    probeCache.put(key, w)
+    w
   }
 
   /** exact → long conversions; None = unsupported type */
@@ -91,7 +128,7 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case _                        => Nil
   }
 
-  private def rewrite(j: Join, cond: Expression, w: Long): Option[LogicalPlan] = {
+  private def rewrite(j: Join, cond: Expression, width: Long): Option[LogicalPlan] = {
     val left = j.left; val right = j.right
     def sideOf(e: Expression): Option[Boolean] = { // Some(true)=left-only
       val r = e.references
@@ -136,6 +173,7 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       val (pointChild, intervalChild) = if (pointOnLeft) (left, right) else (right, left)
 
       val ptL = toLong(pt).get; val loL = toLong(lo).get; val hiL = toLong(hi).get
+      val w = if (width == AutoWidth) probedWidth(intervalChild, loL, hiL) else width
       val bandP = Alias(bandStart(ptL, w), "__graft_band_p")()
       val pointProj = Project(pointChild.output :+ bandP, pointChild)
 

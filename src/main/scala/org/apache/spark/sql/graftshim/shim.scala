@@ -18,6 +18,15 @@ object GraftShim {
   def expression(c: Column): Expression = ColumnConversions.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Build a DataFrame straight from a logical plan (classic
+    * Dataset.ofRows is private[sql]) — used by RangeJoinRule's
+    * interval-statistics probe. */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a custom Catalyst expression builder as a SQL-callable
     * function on this session (sessionState is private[sql]). */
   def registerFunction(

@@ -107,6 +107,33 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("bandWidth=auto probes interval stats and fires with a sane width") {
+    GraftExtensions.register(spark)
+    spark.conf.set(Key, "auto")
+    try {
+      val raw = sortedRows(points.join(intervals, $"x" >= $"lo" && $"x" <= $"hi"))
+      val j = points.join(intervals, $"x" >= $"lo" && $"x" <= $"hi")
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("__graft_band_p"), s"auto width should fire the rule:\n$opt")
+      // intervals: lengths 10, 9, 102, -10 (inverted), 0 → avg 22.2 →
+      // probed width 24 appears as the pmod literal in the plan
+      assert(opt.contains("24"), s"expected probed width 24 in plan:\n$opt")
+      assert(sortedRows(j) == raw)
+      val phys = j.queryExecution.executedPlan.toString
+      assert(!phys.contains("NestedLoop") && !phys.contains("Cartesian"))
+      // timestamps probe in micros
+      val p = Seq((1L, "2024-01-01 00:05:00")).toDF("pid", "tss")
+        .withColumn("ts", to_timestamp($"tss")).drop("tss")
+      val iv = Seq((10L, "2024-01-01 00:00:00", "2024-01-01 00:10:00"))
+        .toDF("iid", "los", "his")
+        .withColumn("lo", to_timestamp($"los")).withColumn("hi", to_timestamp($"his"))
+        .select("iid", "lo", "hi")
+      val tj = p.join(iv, $"ts" >= $"lo" && $"ts" <= $"hi")
+      assert(tj.queryExecution.optimizedPlan.toString.contains("__graft_band_p"))
+      assert(tj.count() == 1)
+    } finally spark.conf.unset(Key)
+  }
+
   test("unset / zero band width disables the rule") {
     GraftExtensions.register(spark)
     val j = points.join(intervals, $"x" >= $"lo" && $"x" <= $"hi")
