@@ -32,7 +32,11 @@ object Bench {
     // quantiles/distinct — the exact variant is value-gated at sf0.01
     // but its exact percentile state is deliberately not a headline
     // shape: bounded-state sketches are what runs at 100 TB)
-    "q_pipeline_prepare", "q_profile_sketch")
+    "q_pipeline_prepare", "q_profile_sketch",
+    // round 4 additions: reshape + set-op shapes get timed regression
+    // coverage (full as-of union+window, wide unionAll, native unpivot
+    // explode), plus the one-shuffle Expand cube
+    "q_asof_full", "q_union_all", "q_unnest_longer", "q_cube")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

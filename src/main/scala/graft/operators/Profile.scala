@@ -44,47 +44,82 @@ object Profile {
   /** Hash-gateable view of [[tableProfileApprox]]: the deterministic
     * fields (n, n_null, min, max, mean) pass through verbatim; each
     * sketch field is replaced by a boolean asserting the sketch landed
-    * inside its error bound against the exact statistic — quantiles
-    * must fall in the exact-percentile interval at rank `q ± slack`
-    * (slack = 10× the sketch's guaranteed `1/accuracy` rank error),
-    * the HLL++ count within `5·rsd` relative error. An oracle that
+    * inside its error bound against the exact statistic. An oracle that
     * knows the exact answers asserts the same as literal TRUEs, so a
     * healthy sketch hash-matches while its engine-specific values stay
-    * ungated. The extra exact pass is gate-only cost; the serving path
-    * remains [[tableProfileApprox]].
+    * ungated.
+    *
+    * The quantile check is by RANK COUNTING, not exact percentiles —
+    * `percentile`'s value-count-map state over near-distinct doubles is
+    * exactly the unbounded-state shape the sketch path exists to avoid
+    * (measured 6× the whole sketch profile's cost). Instead: collect
+    * the k·3 sketch quantile VALUES (the profile is k rows — driver
+    * size), then one narrow conditional-sum aggregation counts
+    * `x < v` / `x <= v` per value; `v` is a valid `q`-quantile iff
+    * `count(<v) ≤ q·n ≤ count(≤v)` within the sketch's rank slack
+    * (10× its guaranteed `1/accuracy`, min 1 row) — plateau-safe under
+    * heavy ties where a value-space bound is not. The HLL++ count must
+    * land within `5·rsd` of the exact distinct count (one expand
+    * shuffle, bounded state).
     */
   def sketchGate(
       df: DataFrame, cols: Seq[String],
       accuracy: Int = 10000, rsd: Double = 0.02): DataFrame = {
-    val approx = tableProfileApprox(df, cols, accuracy, rsd)
-    val slack = 10.0 / accuracy
-    val lo = quantiles.map(q => math.max(0.0, q - slack))
-    val hi = quantiles.map(q => math.min(1.0, q + slack))
+    val spark = df.sparkSession
+    val approx = tableProfileApprox(df, cols, accuracy, rsd).collect()
+    val byCol = approx.map(r => r.getString(0) -> r).toMap
+    val labels = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
     val aggs = cols.flatMap { name =>
       val c = df.col(name).cast("double")
-      Seq(
-        percentile(c, typedlit(lo)).as(s"__lo_$name"),
-        percentile(c, typedlit(hi)).as(s"__hi_$name"),
-        countDistinct(c).as(s"__d_$name"))
+      val r = byCol(name)
+      labels.flatMap { case (label, _) =>
+        val idx = r.fieldIndex(label)
+        val v = if (r.isNullAt(idx)) Double.NaN else r.getDouble(idx)
+        Seq(
+          sum(when(c < v, 1L).otherwise(0L)).as(s"__lt_${label}_$name"),
+          sum(when(c <= v, 1L).otherwise(0L)).as(s"__le_${label}_$name"))
+      }
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map { name =>
-      s"'$name', element_at(__lo_$name, 1), element_at(__hi_$name, 1), " +
-        s"element_at(__lo_$name, 2), element_at(__hi_$name, 2), " +
-        s"element_at(__lo_$name, 3), element_at(__hi_$name, 3), __d_$name"
-    }.mkString(", ")
-    val bounds = wide.selectExpr(
-      s"stack(${cols.size}, $stackArgs) AS " +
-        "(column, __p25_lo, __p25_hi, __p50_lo, __p50_hi, __p75_lo, __p75_hi, __d)")
-    val eps = lit(1e-6) // approx quantiles were round(…, 6)ed
-    def ok(p: String): Column =
-      (col(p) >= col(s"__${p}_lo") - eps && col(p) <= col(s"__${p}_hi") + eps)
-        .as(s"${p}_ok")
-    approx.join(broadcast(bounds), "column")
-      .select(col("column"), col("n"), col("n_null"), col("min"), col("max"),
-        col("mean"), ok("p25"), ok("p50"), ok("p75"),
-        (abs(col("n_distinct") - col("__d")) <=
-          greatest(lit(1.0), lit(5 * rsd) * col("__d"))).as("n_distinct_ok"))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    // exact distinct counts via ONE unpivot + grouped distinct — k
+    // countDistinct calls in a single agg would Expand the scan k-fold
+    val stackArgs = cols.map(name => s"'$name', CAST(`$name` AS DOUBLE)").mkString(", ")
+    val dExactByCol = df
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS (__col, __v)")
+      .groupBy("__col").agg(countDistinct(col("__v")).as("__d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = cols.sorted.map { name =>
+      val r = byCol(name)
+      val n = r.getLong(r.fieldIndex("n"))
+      val slack = math.max(1.0, 10.0 / accuracy * n)
+      def ok(label: String, q: Double): Boolean =
+        if (r.isNullAt(r.fieldIndex(label))) n == 0 // vacuous: no data to rank
+        else {
+          val lt = stats.getLong(stats.fieldIndex(s"__lt_${label}_$name"))
+          val le = stats.getLong(stats.fieldIndex(s"__le_${label}_$name"))
+          lt - slack <= q * n && q * n <= le + slack
+        }
+      val dExact = dExactByCol.getOrElse(name, 0L)
+      val dApprox = r.getLong(r.fieldIndex("n_distinct"))
+      org.apache.spark.sql.Row(
+        name, n, r.get(r.fieldIndex("n_null")), r.get(r.fieldIndex("min")),
+        r.get(r.fieldIndex("max")), r.get(r.fieldIndex("mean")),
+        ok("p25", 0.25), ok("p50", 0.5), ok("p75", 0.75),
+        math.abs(dApprox - dExact) <= math.max(1.0, 5 * rsd * dExact))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("column", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_null", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("min", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("max", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("mean", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("p25_ok", org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("p50_ok", org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("p75_ok", org.apache.spark.sql.types.BooleanType),
+      org.apache.spark.sql.types.StructField("n_distinct_ok", org.apache.spark.sql.types.BooleanType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema)
   }
 
   private def profile(

@@ -42,4 +42,17 @@ class ProfileSpec extends SparkSpec {
     assert(r.getDouble(7) == 2.0) // p50 lands on a real element
     assert(r.getLong(9) == 3L)
   }
+
+  test("sketchGate: deterministic fields verbatim, sketch checks all pass") {
+    val d = (1 to 1000).map(i => (i.toDouble, (i % 7).toDouble)).toDF("a", "b")
+    val rows = Profile.sketchGate(d, Seq("a", "b")).orderBy("column").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val a = rows(0)
+    assert(a.getLong(1) == 1000L && a.getLong(2) == 0L)
+    assert(a.getDouble(3) == 1.0 && a.getDouble(4) == 1000.0)
+    assert(a.getDouble(5) == 500.5)
+    // a healthy sketch must land inside its own error bounds — ranks
+    // for quantiles (plateau-safe: column b has only 7 distinct values)
+    assert((6 to 9).forall(i => rows.forall(_.getBoolean(i))))
+  }
 }
