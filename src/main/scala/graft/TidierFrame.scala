@@ -154,6 +154,8 @@ object Tidier {
         graft.sources.SavScan.read(spark, path)
       else if (lower.endsWith(".xpt"))
         graft.sources.XptScan.read(spark, path)
+      else if (lower.endsWith(".sas7bdat"))
+        graft.sources.Sas7bdatScan.read(spark, path)
       else spark.read.parquet(path)
     TidierFrame(df)
   }
