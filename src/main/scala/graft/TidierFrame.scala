@@ -144,18 +144,22 @@ object Tidier {
   def read(spark: SparkSession, path: String): TidierFrame = {
     val lower = path.toLowerCase.stripSuffix("/")
     val df =
-      if (lower.endsWith(".csv") || lower.endsWith(".csv.gz"))
+      if (lower.contains("docs.google.com/spreadsheets"))
+        graft.sources.GSheetScan.read(spark, path)
+      else if (lower.endsWith(".csv") || lower.endsWith(".csv.gz"))
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
       else if (lower.endsWith(".json") || lower.endsWith(".ndjson"))
         spark.read.json(path)
       else if (lower.endsWith(".dta"))
         graft.sources.StataScan.read(spark, path)
-      else if (lower.endsWith(".sav"))
+      else if (lower.endsWith(".sav") || lower.endsWith(".zsav"))
         graft.sources.SavScan.read(spark, path)
       else if (lower.endsWith(".xpt"))
         graft.sources.XptScan.read(spark, path)
       else if (lower.endsWith(".sas7bdat"))
         graft.sources.Sas7bdatScan.read(spark, path)
+      else if (lower.endsWith(".por"))
+        graft.sources.PorScan.read(spark, path)
       else spark.read.parquet(path)
     TidierFrame(df)
   }

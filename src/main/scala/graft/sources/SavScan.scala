@@ -49,8 +49,8 @@ object SavScan {
   private def parse(spark: SparkSession, b: Array[Byte], path: String): DataFrame = {
     require(b.length >= 180, s"$path is not an SPSS system file (too short)")
     val magic = new String(b, 0, 4, StandardCharsets.US_ASCII)
-    require(magic != "$FL3", s"$path is a zlib-compressed .zsav — not supported")
-    require(magic == "$FL2", s"$path is not an SPSS system file (magic '$magic', expected '$$FL2')")
+    require(magic == "$FL2" || magic == "$FL3",
+      s"$path is not an SPSS system file (magic '$magic', expected '$$FL2'/'$$FL3')")
 
     val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
     def i32(off: Int): Int = buf.getInt(off)
@@ -63,8 +63,10 @@ object SavScan {
       else s"$path: unrecognized layout code $layout")
     val caseSize = i32(68)
     val compression = i32(72)
-    require(compression == 0 || compression == 1,
-      s"$path: compression $compression not supported (0=raw, 1=bytecode only)")
+    require(compression == 0 || compression == 1 || compression == 2,
+      s"$path: compression $compression not supported (0=raw, 1=bytecode, 2=zlib)")
+    require((compression == 2) == (magic == "$FL3"),
+      s"$path: magic '$magic' inconsistent with compression $compression")
     val nCases = i32(80)
     val bias = f64(84)
 
@@ -133,7 +135,11 @@ object SavScan {
     // ---- case data -------------------------------------------------------
     val elems: Iterator[Array[Byte]] =
       if (compression == 0) rawElements(b, off)
-      else bytecodeElements(b, off, bias)
+      else if (compression == 1) bytecodeElements(b, off, bias)
+      else { // zsav: zlib blocks whose concatenation IS the bytecode stream
+        val inflated = inflateZsav(b, off, path)
+        bytecodeElements(inflated, 0, bias)
+      }
 
     val nRows = if (nCases >= 0) nCases else Int.MaxValue
     val rows = Vector.newBuilder[Row]
@@ -178,6 +184,44 @@ object SavScan {
       spark.sparkContext.parallelize(rows.result(), math.max(1,
         math.min(spark.sparkContext.defaultParallelism, rows.result().size))),
       schema)
+  }
+
+  /** `.zsav` (compression 2): after the dictionary — a 24-byte zheader
+    * (self offset, trailer offset, trailer length), zlib blocks, and a
+    * trailer describing each block. The blocks' decompressed
+    * concatenation is exactly the compression-1 bytecode stream, so
+    * decode reuses [[bytecodeElements]]. */
+  private def inflateZsav(b: Array[Byte], from: Int, path: String): Array[Byte] = {
+    val buf = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    val zheaderOfs = buf.getLong(from)
+    val ztrailerOfs = buf.getLong(from + 8)
+    val ztrailerLen = buf.getLong(from + 16)
+    require(zheaderOfs == from.toLong,
+      s"$path: zsav zheader self-offset $zheaderOfs != actual $from")
+    require(ztrailerOfs + ztrailerLen <= b.length && ztrailerLen >= 48,
+      s"$path: zsav trailer out of range")
+    val t = ztrailerOfs.toInt
+    val nBlocks = buf.getInt(t + 20)
+    require(ztrailerLen == 24L + 24L * nBlocks,
+      s"$path: zsav trailer length $ztrailerLen != 24 + 24*$nBlocks")
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < nBlocks) {
+      val d = t + 24 + 24 * i
+      val compressedOfs = buf.getLong(d + 8)
+      val uncompressedSize = buf.getInt(d + 16)
+      val compressedSize = buf.getInt(d + 20)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(b, compressedOfs.toInt, compressedSize)
+      val chunk = new Array[Byte](uncompressedSize)
+      val got = inf.inflate(chunk)
+      inf.end()
+      require(got == uncompressedSize,
+        s"$path: zsav block $i inflated to $got bytes, expected $uncompressedSize")
+      out.write(chunk)
+      i += 1
+    }
+    out.toByteArray
   }
 
   /** uncompressed: consecutive 8-byte elements from `from` */

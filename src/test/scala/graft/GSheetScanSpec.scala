@@ -1,0 +1,42 @@
+package graft
+
+import graft.sources.GSheetScan
+
+/** Google Sheets scan with an injected transport: URL recognition,
+  * id/gid extraction, export-URL construction, CSV decode and schema
+  * inference are all real; only the HTTP GET is substituted (the
+  * default transport needs egress and fails loudly without). */
+class GSheetScanSpec extends SparkSpec {
+
+  private val sheet =
+    "https://docs.google.com/spreadsheets/d/1AbC_d-EF234/edit#gid=77"
+
+  test("sheet URL parsing: id + gid, default gid, rejects non-sheet URLs") {
+    assert(GSheetScan.exportUrl(sheet) ==
+      "https://docs.google.com/spreadsheets/d/1AbC_d-EF234/export?format=csv&gid=77")
+    assert(GSheetScan.exportUrl(
+      "https://docs.google.com/spreadsheets/d/XYZ/edit") ==
+      "https://docs.google.com/spreadsheets/d/XYZ/export?format=csv&gid=0")
+    assert(intercept[IllegalArgumentException] {
+      GSheetScan.exportUrl("https://example.com/spreadsheets/d/XYZ")
+    }.getMessage.contains("not a Google Sheets URL"))
+  }
+
+  test("reads the exported CSV with header + inferred schema") {
+    var fetched: String = null
+    val transport: GSheetScan.Transport = { url =>
+      fetched = url
+      "name,qty,price\nwidget,3,1.5\ngadget,7,2.25\n\"two, words\",1,0.5"
+        .getBytes("UTF-8")
+    }
+    val df = GSheetScan.read(spark, sheet, transport)
+    assert(fetched ==
+      "https://docs.google.com/spreadsheets/d/1AbC_d-EF234/export?format=csv&gid=77")
+    assert(df.columns.toSeq == Seq("name", "qty", "price"))
+    val rows = df.orderBy("name").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getString(0)).toSeq == Seq("gadget", "two, words", "widget"))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(7, 1, 3)) // inferred int
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(2.25, 0.5, 1.5))
+  }
+}

@@ -31,10 +31,16 @@ class SavScanSpec extends SparkSpec {
         Seq("alpha", "beta", "", "épsilon", "last row"))
     }
 
-  test("raw and bytecode case data decode identically") {
+  test("raw, bytecode, and zsav case data decode identically") {
     val a = SavScan.read(spark, fixture("sample_raw.sav")).orderBy("IDX").collect().toSeq
     val b = SavScan.read(spark, fixture("sample_comp.sav")).orderBy("IDX").collect().toSeq
-    assert(a == b)
+    val z = SavScan.read(spark, fixture("sample.zsav")).orderBy("IDX").collect().toSeq
+    assert(a == b && b == z)
+  }
+
+  test("Tidier.read dispatches .zsav by extension") {
+    val df = Tidier.read(spark, fixture("sample.zsav")).df
+    assert(df.count() == 5 && df.columns.contains("doc_name"))
   }
 
   test("non-sav and unsupported inputs fail loudly") {
@@ -46,8 +52,8 @@ class SavScanSpec extends SparkSpec {
     val zsav = java.nio.file.Files.createTempFile("z", ".zsav")
     java.nio.file.Files.write(zsav, ("$FL3" + "x" * 200).getBytes)
     assert(intercept[IllegalArgumentException] {
-      SavScan.read(spark, zsav.toString)
-    }.getMessage.contains("zsav"))
+      SavScan.read(spark, zsav.toString) // garbage layout code after a real magic
+    }.getMessage.contains("layout"))
   }
 
   test("Tidier.read dispatches .sav by extension") {

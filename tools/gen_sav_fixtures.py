@@ -12,14 +12,14 @@ and simple-bytecode (compression 1) case data.
 Columns: idx (numeric), score (numeric, one SYSMIS), name (string
 width 16, UTF-8, long-name mapping via extension subtype 13).
 """
-import struct, os
+import os, struct, zlib
 
 SYSMIS = struct.unpack("<d", struct.pack("<Q", 0xFFEFFFFFFFFFFFFF))[0]  # lowest finite double
 OUT = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources", "spss")
 
 
 def header(case_size, compression, ncases):
-    rec = b"$FL2"
+    rec = b"$FL3" if compression == 2 else b"$FL2"
     rec += "@(#) SPSS DATA FILE - graft spec fixture".ljust(60).encode()
     rec += struct.pack("<i", 2)            # layout code (endianness witness)
     rec += struct.pack("<i", case_size)    # elements per case
@@ -133,12 +133,31 @@ def bytecode_case_data():
     return out
 
 
+def zsav_case_data(dict_len):
+    # zheader (24B: self ofs, trailer ofs, trailer len) | zlib block |
+    # trailer (bias, zero, block_size, n_blocks + one descriptor);
+    # decompressed payload = the compression-1 bytecode stream verbatim
+    bc = bytecode_case_data()
+    comp = zlib.compress(bc)
+    zheader_ofs = dict_len
+    data_ofs = zheader_ofs + 24
+    ztrailer_ofs = data_ofs + len(comp)
+    out = struct.pack("<qqq", zheader_ofs, ztrailer_ofs, 24 + 24)
+    out += comp
+    out += struct.pack("<qqii", -100, 0, 0x3FF000, 1)
+    out += struct.pack("<qqii", zheader_ofs, data_ofs, len(bc), len(comp))
+    return out
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     with open(os.path.join(OUT, "sample_raw.sav"), "wb") as f:
         f.write(dictionary(0, len(ROWS)) + raw_case_data())
     with open(os.path.join(OUT, "sample_comp.sav"), "wb") as f:
         f.write(dictionary(1, len(ROWS)) + bytecode_case_data())
+    zdict = dictionary(2, len(ROWS))
+    with open(os.path.join(OUT, "sample.zsav"), "wb") as f:
+        f.write(zdict + zsav_case_data(len(zdict)))
     print("wrote", OUT)
 
 
