@@ -943,6 +943,20 @@ object SparkEntry {
         .df
     }),
 
+    // paragraph-level boilerplate removal (CCNet/RefinedWeb-style):
+    // corpus-repeated lines injected deterministically from the shared
+    // table (cookie banner on every doc, footer on even ids) must be
+    // stripped while each doc's own text survives byte-identically
+    "q_dedup_paragraph" -> ((s, dir) => {
+      val src = t(s, dir, "documents").df
+        .select(col("doc_id"), concat_ws("\n",
+          lit("ACCEPT COOKIES"), col("text"),
+          when(col("doc_id") % 2 === 0, lit("SUBSCRIBE NOW"))).as("text"))
+      Tidier.from(Dedup.dropRepeatedParagraphs(src, "doc_id", "text", minRepeats = 3))
+        .arrange("doc_id")
+        .df
+    }),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Tidier.from(
           Dedup.minHashDupPairs(
@@ -1927,6 +1941,32 @@ object SparkEntry {
         |  SELECT doc_id + 10000, text FROM documents)
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+
+    // paragraph dedup mirror: same injected boilerplate, same trim/md5
+    // fingerprints, ordered reassembly via string_agg
+    "q_dedup_paragraph" ->
+      """WITH src AS (
+        |  SELECT doc_id, concat_ws(chr(10), 'ACCEPT COOKIES', text,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'SUBSCRIBE NOW' END) AS text
+        |  FROM documents
+        |), paras AS (
+        |  SELECT doc_id, unnest(range(1, len(ps) + 1)) AS pos, unnest(ps) AS para, len(ps) AS np
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM src)
+        |), fp AS (
+        |  SELECT *, CASE WHEN trim(para) = '' THEN NULL ELSE md5(trim(para)) END AS f FROM paras
+        |), boiler AS (
+        |  SELECT f FROM fp WHERE f IS NOT NULL GROUP BY f HAVING count(*) >= 3
+        |), kept AS (
+        |  SELECT doc_id, pos, para FROM fp WHERE f IS NULL OR f NOT IN (SELECT f FROM boiler)
+        |)
+        |SELECT s.doc_id, COALESCE(k.clean, '') AS text,
+        |  CAST(p.np AS BIGINT) AS n_paragraphs,
+        |  CAST(p.np - COALESCE(k.cnt, 0) AS BIGINT) AS n_dropped
+        |FROM src s
+        |JOIN (SELECT doc_id, any_value(np) AS np FROM paras GROUP BY doc_id) p USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS clean,
+        |           count(*) AS cnt FROM kept GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q_dedup_minhash" -> minhashOracle(shingleK = 3, numHashes = 12, bands = 6, threshold = 0.4),
 

@@ -450,4 +450,58 @@ object Dedup {
     * primitive; also usable standalone on a pre-filtered subset). */
   def ngramJaccard(shA: Column, shB: Column): Column =
     size(array_intersect(shA, shB)).cast("double") / size(array_union(shA, shB))
+
+  /** Paragraph-level dedup (CCNet / RefinedWeb-style boilerplate
+    * removal): any paragraph whose TRIMMED text repeats at least
+    * `minRepeats` times across the corpus (cookie banners, nav bars,
+    * subscribe footers) is removed from EVERY document; the survivors
+    * are reassembled in original order. Whitespace-only paragraphs are
+    * structural and always kept — they neither count nor match.
+    *
+    * Output: (idCol, textCol cleaned, `n_paragraphs`,
+    * `n_dropped`). Documents whose every paragraph was boilerplate
+    * stay, with empty text — the caller decides their fate (a quality
+    * filter usually does).
+    *
+    * 100 TB shape: posexplode (narrow) → one count shuffle keyed on the
+    * paragraph fingerprint → anti-join against the REPEATED-ONLY
+    * fingerprint set (tiny by Zipf — AQE broadcasts it) → one doc-key
+    * shuffle to reassemble. The document text never rides through the
+    * count shuffle — only (fingerprint, count) pairs do.
+    */
+  def dropRepeatedParagraphs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minRepeats: Int = 3,
+      sep: String = "\n"): DataFrame = {
+    require(minRepeats >= 2, s"minRepeats must be >= 2, got $minRepeats")
+    require(sep.nonEmpty, "separator must be non-empty")
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__para")))
+      .withColumn("__fp",
+        when(trim(col("__para")) === "", lit(null))
+          .otherwise(md5(trim(col("__para")))))
+    val boilerplate = paras
+      .filter(col("__fp").isNotNull)
+      .groupBy("__fp").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minRepeats)
+      .select("__fp")
+    val kept = paras.join(boilerplate, Seq("__fp"), "left_anti")
+    val perDoc = kept
+      .groupBy(idCol)
+      .agg(
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col("__pos"), col("__para")))),
+            s => s.getField("__para"))).as("__clean"),
+        count(lit(1)).as("__kept"))
+    df.select(col(idCol),
+        (size(split(col(textCol), java.util.regex.Pattern.quote(sep)))).as("n_paragraphs"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__clean"), lit("")).as(textCol),
+        col("n_paragraphs").cast("long").as("n_paragraphs"),
+        (col("n_paragraphs") - coalesce(col("__kept"), lit(0L))).cast("long").as("n_dropped"))
+  }
 }

@@ -510,4 +510,26 @@ class PipelineOpsSpec extends SparkSpec {
     val frames = media.select(Multimodal.frameSampleStub(col("media"), 3).as("f")).first().getSeq[String](0)
     assert(frames.length == 3 && frames.distinct.length == 3)
   }
+  test("dropRepeatedParagraphs: boilerplate out, structure + originals intact") {
+    val docs = Seq(
+      (1L, "COOKIE\nreal text one\n\nunique tail"),
+      (2L, "COOKIE\nreal text two"),
+      (3L, "COOKIE\n  COOKIE  \nreal text three"), // trimmed match + padding
+      (4L, "COOKIE")                                 // all boilerplate
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedParagraphs(docs, "doc_id", "text", minRepeats = 3)
+      .orderBy("doc_id").collect()
+    // COOKIE appears 5x trimmed -> dropped everywhere (incl. padded form)
+    assert(out(0).getString(1) == "real text one\n\nunique tail") // empty line kept
+    assert(out(1).getString(1) == "real text two")
+    assert(out(2).getString(1) == "real text three")
+    assert(out(3).getString(1) == "") // every paragraph was boilerplate
+    assert(out(0).getLong(2) == 4 && out(0).getLong(3) == 1) // n_paragraphs, n_dropped
+    assert(out(2).getLong(3) == 2)
+    assert(out(3).getLong(3) == 1)
+    // below the threshold nothing is touched
+    val loose = Dedup.dropRepeatedParagraphs(docs, "doc_id", "text", minRepeats = 6)
+      .orderBy("doc_id").collect()
+    assert(loose.map(_.getString(1)).toSeq == docs.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
+  }
 }
