@@ -907,6 +907,19 @@ object SparkEntry {
       NgramLm.scoreDocs(docs, "doc_id", "text", model).orderBy("doc_id")
     }),
 
+    // CCNet-style fluency filter: same even-doc reference model, keep
+    // docs at/above the median fluency (the exact-integer scoring makes
+    // the threshold comparison engine-safe)
+    "q_text_lm_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df.select("doc_id", "text")
+      val model = NgramLm.train(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), "text", n = 2)
+      Tidier.from(
+          Pipelines.dropDisfluent(docs, "doc_id", "text", model, minFluency = 0.0344))
+        .arrange("doc_id")
+        .df
+    }),
+
     // REAL BPE tokenizer end-to-end: train merges from the corpus' own
     // word histogram (one shuffle + driver merge-learning), encode every
     // doc with the native expression, then gate two invariants the
@@ -1876,7 +1889,36 @@ object SparkEntry {
     // full SQL rebuild of the bigram LM: same reference split, same
     // integer-scaled smoothing — every intermediate is exact BIGINT, so
     // fluency doubles match bit-for-bit
-    "q_text_lm" ->
+        // fluency-filter mirror: q_text_lm's scoring CTEs + threshold
+    "q_text_lm_filter" ->
+      s"""WITH toks AS (SELECT doc_id, $tkExpr AS tk FROM documents),
+         |ref AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+         |uni AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM ref)),
+         |refg AS (SELECT tk[i] AS ctx, tk[i+1] AS tok
+         |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM ref)),
+         |bi AS (SELECT ctx, tok, COUNT(*) AS cnt FROM refg GROUP BY 1, 2),
+         |ctxt AS (SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS total FROM bi GROUP BY 1),
+         |docg AS (SELECT doc_id, tk[i] AS ctx, tk[i+1] AS tok
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)),
+         |scored AS (
+         |  SELECT g.doc_id,
+         |    (1000000000 * (COALESCE(b.cnt, 0) + 1)) // (COALESCE(c.total, 0) + uni.v) AS s,
+         |    CASE WHEN b.cnt IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM docg g
+         |  LEFT JOIN bi b ON g.ctx = b.ctx AND g.tok = b.tok
+         |  LEFT JOIN ctxt c ON g.ctx = c.ctx
+         |  CROSS JOIN uni),
+         |perdoc AS (
+         |  SELECT doc_id,
+         |    (CAST(SUM(s) AS DOUBLE) / COUNT(*)) / 1000000000.0 AS fluency
+         |  FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id, d.text
+         |FROM documents d
+         |LEFT JOIN perdoc p USING (doc_id)
+         |WHERE p.fluency IS NULL OR p.fluency >= 0.0344
+         |ORDER BY d.doc_id""".stripMargin,
+
+"q_text_lm" ->
       s"""WITH toks AS (SELECT doc_id, $tkExpr AS tk FROM documents),
          |ref AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
          |uni AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM ref)),

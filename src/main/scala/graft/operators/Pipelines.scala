@@ -218,6 +218,31 @@ object Pipelines {
     * aggregation order — see q1_agg) so the profile is reproducible
     * run-to-run at 100 TB, not just at test scale.
     */
+  /** Fluency-filtered corpus (CCNet-style perplexity bucketing, keep-
+    * the-fluent edition): drop documents whose n-gram LM fluency under
+    * a reference-corpus model falls below `minFluency`. Documents too
+    * short to score (no n-gram — fluency NULL) are KEPT: no evidence
+    * against them. The comparison is exact across engines because
+    * [[NgramLm.scoreDocs]] produces bit-identical fluency values
+    * (integer-scaled smoothing).
+    *
+    * Scale: the model tables broadcast by default (reference corpora
+    * are bounded); the corpus side is one scoring pass + a left_anti on
+    * the doc key. */
+  def dropDisfluent(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: NgramLm.Model,
+      minFluency: Double,
+      broadcastModel: Boolean = true): DataFrame = {
+    val bad = NgramLm.scoreDocs(docs, idCol, textCol, model,
+        broadcastModel = broadcastModel)
+      .filter(col("fluency").isNotNull && col("fluency") < minFluency)
+      .select(idCol)
+    docs.join(bad, Seq(idCol), "left_anti")
+  }
+
   def corpusProfile(docs: DataFrame, textCol: String, langCol: String): DataFrame = {
     val toks = TextFns.tokenCount(col(textCol))
     val q = TextFns.qualityScore(col(textCol))

@@ -69,4 +69,23 @@ class NgramLmSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
+  test("dropDisfluent keeps fluent + unscoreable docs, drops the rest") {
+    import graft.operators.Pipelines
+    val ref = Seq("the cat sat", "the cat ran", "the dog sat").toDF("text")
+    val model = NgramLm.train(ref, "text", n = 2)
+    val docs = Seq(
+      (1L, "the cat sat"),     // in-domain -> fluent
+      (2L, "zz qq ww xx yy"),  // all-OOV -> low fluency
+      (3L, "one")              // too short to score -> kept
+    ).toDF("doc_id", "text")
+    val scored = NgramLm.scoreDocs(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+    val f1 = scored(0).getDouble(scored(0).fieldIndex("fluency"))
+    val f2 = scored(1).getDouble(scored(1).fieldIndex("fluency"))
+    assert(f1 > f2)
+    val thr = (f1 + f2) / 2
+    val kept = Pipelines.dropDisfluent(docs, "doc_id", "text", model, thr)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 3L))
+  }
 }
