@@ -1083,6 +1083,16 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // deterministic 80/10/10 split: assignment is a pure function of
+    // (seed, doc_id) with exact integer thresholds on the 60-bit hash
+    "q_split_corpus" -> ((s, dir) =>
+      Tidier.from(Sampling.splitCorpus(
+          t(s, dir, "documents").df.select("doc_id"),
+          "splitseed", Seq("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .arrange("doc_id")
+        .df),
+
     // token-share corpus mixing: en:de:fr at weights 2:1:1, binding
     // source kept whole, others thinned by exact cross-multiplied
     // integer compares — the oracle recomputes totals, the binding
@@ -2079,6 +2089,16 @@ object SparkEntry {
         |WHERE CAST(('0x'||substr(md5('seed42' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS DOUBLE)
         |      / 1152921504606846976.0 < 0.25
         |ORDER BY doc_id""".stripMargin,
+
+    // split mirror: same md5 60-bit int, same exact integer thresholds
+    "q_split_corpus" ->
+      """SELECT doc_id,
+        |  CASE WHEN ('0x'||substr(md5('splitseed' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+        |            < 922337203685477580 THEN 'train'
+        |       WHEN ('0x'||substr(md5('splitseed' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+        |            < 1037629354146162278 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // binding-source argmin via the inlined-lcm exact form (weights are
     // {1,2} so t·(2//w) orders t/w exactly); selection decisions in

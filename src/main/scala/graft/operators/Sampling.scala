@@ -73,6 +73,39 @@ object Sampling {
       .drop(rn)
   }
 
+  /** Deterministic k-way corpus split (train/val/test, any k): each
+    * row lands in EXACTLY one split as a pure function of (seed, key)
+    * — reproducible across engines, partitionings and re-runs, and
+    * docs added later never reshuffle earlier assignments. Fractions
+    * are enforced with exact integer thresholds on the 60-bit unit
+    * hash (`floor(cumFraction · 2^60)`), so the boundary comparison is
+    * engine-portable — no double-rounding lottery. Adds `splitCol`
+    * with the split name; fully narrow, no shuffle.
+    */
+  def splitCorpus(
+      df: DataFrame,
+      seed: String,
+      keyCols: Seq[String],
+      splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    require(keyCols.nonEmpty, "splitCorpus needs key columns")
+    require(splits.size >= 2, s"need at least 2 splits, got ${splits.size}")
+    require(splits.map(_._1).distinct.size == splits.size, "split names must be distinct")
+    require(splits.forall(_._2 > 0), "split fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val scale = BigDecimal(2).pow(60)
+    val cum = splits.map(_._2).scanLeft(BigDecimal(0))(_ + BigDecimal(_)).tail
+    val thresholds = cum.init.map(c =>
+      (c * scale).setScale(0, scala.math.BigDecimal.RoundingMode.FLOOR).toLong)
+    val h = unitHashInt(seed, keyCols.map(df.col))
+    var label: Column = lit(splits.last._1)
+    thresholds.zip(splits.map(_._1)).reverse.foreach { case (t, name) =>
+      label = when(h < lit(t), lit(name)).otherwise(label)
+    }
+    df.withColumn(splitCol, label)
+  }
+
   /** Deterministic global shuffle — the "randomize training order"
     * step before sharding a corpus. Every row's position is a pure
     * function of (seed, key): `orderBy(unitHash(seed, keys), keys)`,

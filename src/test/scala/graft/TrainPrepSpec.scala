@@ -617,4 +617,36 @@ class TrainPrepSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(keptTable == Set(1L, 4L, 5L))
   }
+  test("splitCorpus: exhaustive, exclusive, deterministic, fraction-true") {
+    val docs = (0L until 8000L).map(i => Tuple1(i)).toDF("doc_id")
+    val out = Sampling.splitCorpus(docs, "s1", Seq("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 8000L)                  // exhaustive + exclusive
+    assert(math.abs(counts("train") - 6400L) < 200)     // ~binomial noise
+    assert(math.abs(counts("val") - 800L) < 120)
+    assert(math.abs(counts("test") - 800L) < 120)
+    // deterministic + stable under partitioning
+    val a = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.splitCorpus(docs.repartition(13), "s1", Seq("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // growing the corpus never reassigns existing docs
+    val grown = Sampling.splitCorpus(
+        (0L until 16000L).map(i => Tuple1(i)).toDF("doc_id"),
+        "s1", Seq("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .filter(col("doc_id") < 8000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(grown == a)
+    // a different seed is a different assignment
+    val c = Sampling.splitCorpus(docs, "s2", Seq("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(c != a)
+    assert(intercept[IllegalArgumentException] {
+      Sampling.splitCorpus(docs, "s", Seq("doc_id"), Seq("a" -> 0.5, "b" -> 0.6))
+    }.getMessage.contains("sum to 1"))
+  }
 }
