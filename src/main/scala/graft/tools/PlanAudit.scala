@@ -21,7 +21,11 @@ object PlanAudit {
         "q_bpe_roundtrip", "q_text_lm", "q_dedup_semantic", "q_shuffle",
         "q_url_filter", "q_decontaminate_bloom", "q_mix_tokens",
         "q_multimodal_avi", "q_delta_roundtrip", "q_iceberg_roundtrip",
-        "q_pipeline_prepare", "q_profile_sketch", "q_text_gopher")
+        "q_pipeline_prepare", "q_profile_sketch", "q_text_gopher",
+        // round-4 additions
+        "q_cube", "q_rollup", "q_grouping_sets", "q_range_rule",
+        "q_dedup_paragraph", "q_text_lm_filter", "q_split_corpus",
+        "q_asof_full", "q_union_all", "q_unnest_longer")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
