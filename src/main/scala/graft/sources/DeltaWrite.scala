@@ -81,6 +81,103 @@ object DeltaWrite {
     }
   }
 
+  /** Write a parquet CHECKPOINT of the latest snapshot plus
+    * `_last_checkpoint` — the log-compaction step every long-lived
+    * Delta table needs: without it, readers replay every JSON commit
+    * since version 0 (O(commits) metadata work per query); with it,
+    * replay is one parquet read + the JSON tail. [[DeltaScan]] (and any
+    * spec reader) picks it up via `_last_checkpoint`.
+    *
+    * The snapshot is computed by the same latest-action-per-path replay
+    * the reader uses, from the FULL JSON history — this minimal writer
+    * never truncates its own log; checkpointing a log whose early
+    * commits are already gone fails loudly rather than guessing.
+    * Checkpoint rows carry the reader-required action fields (add with
+    * partitionValues/size/deletionVector, metaData, protocol); like the
+    * commit step, this is driver-side METADATA work proportional to the
+    * live-file count, not data size. */
+  def checkpoint(spark: SparkSession, tablePath: String): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(fs.makeQualified(new Path(tablePath)), "_delta_log")
+    val version = DeltaScan.latestVersion(spark, tablePath)
+    val jsons = (0L to version).map(v => new Path(logDir, f"$v%020d.json"))
+    jsons.foreach(p => require(fs.exists(p),
+      s"cannot checkpoint $tablePath: commit $p is missing (log truncated?)"))
+
+    import org.apache.spark.sql.types._
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType), StructField("pathOrInlineDv", StringType),
+      StructField("offset", IntegerType), StructField("sizeInBytes", IntegerType),
+      StructField("cardinality", LongType)))
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", dvType)))
+    val metaType = StructType(Seq(
+      StructField("id", StringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", StringType),
+        StructField("options", MapType(StringType, StringType))))),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType)),
+      StructField("createdTime", LongType)))
+    val protoType = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val actionSchema = StructType(Seq(
+      StructField("add", addType),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType), StructField("dataChange", BooleanType)))),
+      StructField("metaData", metaType),
+      StructField("protocol", protoType)))
+
+    import org.apache.spark.sql.functions._
+    val acts = spark.read.schema(actionSchema).json(jsons.map(_.toString): _*)
+      .withColumn("__v", regexp_extract(input_file_name(), "(\\d+)\\.json", 1).cast("long"))
+    // latest action per path wins; survivors are adds
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(coalesce(col("add.path"), col("remove.path")))
+      .orderBy(col("__v").desc)
+    val liveAdds = acts
+      .filter(col("add.path").isNotNull || col("remove.path").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("add.path").isNotNull)
+      .select("add")
+    val latestMeta = acts.filter(col("metaData.id").isNotNull)
+      .orderBy(col("__v").desc).select("metaData").limit(1)
+    val latestProto = acts.filter(col("protocol.minReaderVersion").isNotNull)
+      .orderBy(col("__v").desc).select("protocol").limit(1)
+
+    val nulls = Map(
+      "add" -> lit(null).cast(addType), "remove" -> lit(null).cast(
+        StructType(Seq(StructField("path", StringType), StructField("dataChange", BooleanType)))),
+      "metaData" -> lit(null).cast(metaType), "protocol" -> lit(null).cast(protoType))
+    def widen(df: org.apache.spark.sql.DataFrame, keep: String) =
+      df.select(actionSchema.fieldNames.map(f =>
+        (if (f == keep) col(f) else nulls(f)).as(f)).toSeq: _*)
+    val checkpointDf =
+      widen(latestProto, "protocol")
+        .unionAll(widen(latestMeta, "metaData"))
+        .unionAll(widen(liveAdds, "add"))
+    val cpPath = new Path(logDir, f"$version%020d.checkpoint.parquet")
+    val tmp = new Path(logDir, f".tmp-checkpoint-$version")
+    checkpointDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
+    require(fs.rename(part, cpPath) || fs.exists(cpPath),
+      s"could not move checkpoint into place at $cpPath")
+    fs.delete(tmp, true)
+    val size = spark.read.parquet(cpPath.toString).count()
+    val out = fs.create(new Path(logDir, "_last_checkpoint"), true)
+    try out.write(s"""{"version":$version,"size":$size}""".getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** test seam for the conditional-commit guard: commit at an explicit
     * log version — what a racing writer with a stale view of the log
     * does right before it loses the race */

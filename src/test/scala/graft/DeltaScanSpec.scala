@@ -469,6 +469,36 @@ class DeltaScanSpec extends SparkSpec {
     assert(before == after) // the winning commit is untouched
   }
 
+  test("DeltaWrite.checkpoint: reader replays from the checkpoint after log truncation") {
+    import graft.sources.DeltaWrite
+    val dir = freshDir("graft_delta_ckpt").toString
+    DeltaWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), dir)
+    DeltaWrite.append(spark, Seq((4L, "d")).toDF("id", "v"), dir)
+    DeltaWrite.checkpoint(spark, dir)
+    // checkpoint artifacts exist and the snapshot reads identically
+    val log = new java.io.File(s"$dir/_delta_log")
+    assert(new java.io.File(log, "00000000000000000002.checkpoint.parquet").exists())
+    assert(new java.io.File(log, "_last_checkpoint").exists())
+    def readAll() = DeltaScan.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+    assert(readAll() == expected)
+    // appends continue on top of the checkpoint
+    DeltaWrite.append(spark, Seq((5L, "e")).toDF("id", "v"), dir)
+    assert(readAll() == expected + ((5L, "e")))
+    // the checkpoint REPLACES the early commits: delete them, replay
+    // must come from checkpoint + JSON tail only
+    (0 to 1).foreach { v =>
+      assert(new java.io.File(log, f"$v%020d.json").delete())
+    }
+    assert(readAll() == expected + ((5L, "e")))
+    // checkpointing a truncated log fails loudly instead of guessing
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.checkpoint(spark, dir)
+    }.getMessage.contains("truncated"))
+  }
+
   test("Tidier.read(format=delta) falls back to the built-in reader without a connector") {
     val dir = freshDir("graft_delta_tidier")
     val s0 = writeDataFile(Seq((7L, "z")).toDF("id", "v"), dir, "f0.parquet")
