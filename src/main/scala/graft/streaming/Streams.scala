@@ -253,4 +253,32 @@ object Streams {
       }
       .toDF()
   }
+  /** Stream → Delta table sink: each micro-batch appends ONE
+    * transactional commit through [[graft.sources.DeltaWrite]]
+    * (create on the first non-empty batch). foreachBatch gives
+    * exactly-once per epoch under the normal Structured Streaming
+    * contract as long as this query is the table's only writer — a
+    * concurrent writer trips the conditional commit loudly instead of
+    * corrupting the log. Empty batches commit nothing (no empty
+    * parquet turds in the table).
+    *
+    * Returns the started query; callers own awaitTermination. */
+  def deltaSink(
+      df: DataFrame,
+      tablePath: String,
+      checkpointLocation: String,
+      partitionBy: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val fs = new org.apache.hadoop.fs.Path(tablePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(new org.apache.hadoop.fs.Path(tablePath, "_delta_log")))
+            graft.sources.DeltaWrite.append(spark, batch.toDF(), tablePath, partitionBy)
+          else graft.sources.DeltaWrite.create(spark, batch.toDF(), tablePath, partitionBy)
+        }
+      }
+      .start()
 }

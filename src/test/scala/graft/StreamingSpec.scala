@@ -267,4 +267,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall(r =>
       r.getTimestamp(0).getTime < r.getTimestamp(1).getTime && r.getLong(3) > 0))
   }
+  test("deltaSink: micro-batches become transactional Delta commits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_sink").toString + "/t"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_delta_ckpt2").toString
+    val q = Streams.deltaSink(input.toDF.toDF("id", "v"), dir, ckpt)
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      // two non-empty batches -> commits 0 and 1, all rows present
+      assert(graft.sources.DeltaScan.latestVersion(spark, dir) == 1L)
+      val all = graft.sources.DeltaScan.read(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(all == Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // time travel isolates the first micro-batch
+      val v0 = graft.sources.DeltaScan.read(spark, dir, versionAsOf = Some(0L))
+        .collect().map(_.getLong(0)).toSet
+      assert(v0 == Set(1L, 2L))
+    } finally q.stop()
+  }
 }
