@@ -224,6 +224,11 @@ class CoreVerbsSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Tidier.from(d).groupBy("k1").groupingSets(Seq(Seq("nope")))("s" -> sum(col("v")))
     }.getMessage.contains("nope"))
+    // showQuery never throws on an Expand plan (SqlPrinter or fallback)
+    val shown = Console.withOut(new java.io.PrintStream(new java.io.ByteArrayOutputStream())) {
+      Tidier.from(d).groupBy("k1", "k2").cube("s" -> sum(col("v"))).showQuery()
+    }
+    assert(shown.nonEmpty)
   }
 
   test("dropMissing on subset of columns") {
