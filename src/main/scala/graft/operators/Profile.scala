@@ -54,13 +54,15 @@ object Profile {
     * exactly the unbounded-state shape the sketch path exists to avoid
     * (measured 6× the whole sketch profile's cost). Instead: collect
     * the k·3 sketch quantile VALUES (the profile is k rows — driver
-    * size), then one narrow conditional-sum aggregation counts
-    * `x < v` / `x <= v` per value; `v` is a valid `q`-quantile iff
-    * `count(<v) ≤ q·n ≤ count(≤v)` within the sketch's rank slack
+    * size), then ONE grouped aggregation over the unpivoted
+    * (column, value) frame computes, per column, the rank counts
+    * `x < v` / `x <= v` (thresholds ride in a literal map keyed by
+    * column) AND the exact distinct count; `v` is a valid `q`-quantile
+    * iff `count(<v) ≤ q·n ≤ count(≤v)` within the sketch's rank slack
     * (10× its guaranteed `1/accuracy`, min 1 row) — plateau-safe under
     * heavy ties where a value-space bound is not. The HLL++ count must
-    * land within `5·rsd` of the exact distinct count (one expand
-    * shuffle, bounded state).
+    * land within `5·rsd` of the exact distinct count. Total gate cost:
+    * the sketch pass + one verification pass.
     */
   def sketchGate(
       df: DataFrame, cols: Seq[String],
@@ -69,37 +71,46 @@ object Profile {
     val approx = tableProfileApprox(df, cols, accuracy, rsd).collect()
     val byCol = approx.map(r => r.getString(0) -> r).toMap
     val labels = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
-    val aggs = cols.flatMap { name =>
-      val c = df.col(name).cast("double")
-      val r = byCol(name)
-      labels.flatMap { case (label, _) =>
+    // ONE verification pass over the unpivoted (column, value) frame:
+    // the per-column quantile thresholds ride in a literal map keyed by
+    // column name, so rank counts AND the exact distinct count come out
+    // of a single grouped aggregation (k countDistinct calls in a wide
+    // agg would Expand the scan k-fold; a second rank pass would scan
+    // again)
+    val stackArgs = cols.map(name => s"'$name', CAST(`$name` AS DOUBLE)").mkString(", ")
+    val stacked = df.selectExpr(s"stack(${cols.size}, $stackArgs) AS (__col, __v)")
+    def thresholdMap(label: String): Column = {
+      val entries = cols.flatMap { name =>
+        val r = byCol(name)
         val idx = r.fieldIndex(label)
         val v = if (r.isNullAt(idx)) Double.NaN else r.getDouble(idx)
-        Seq(
-          sum(when(c < v, 1L).otherwise(0L)).as(s"__lt_${label}_$name"),
-          sum(when(c <= v, 1L).otherwise(0L)).as(s"__le_${label}_$name"))
+        Seq(lit(name), lit(v))
       }
+      map(entries: _*)
     }
-    val stats = df.agg(aggs.head, aggs.tail: _*).head()
-    // exact distinct counts via ONE unpivot + grouped distinct — k
-    // countDistinct calls in a single agg would Expand the scan k-fold
-    val stackArgs = cols.map(name => s"'$name', CAST(`$name` AS DOUBLE)").mkString(", ")
-    val dExactByCol = df
-      .selectExpr(s"stack(${cols.size}, $stackArgs) AS (__col, __v)")
-      .groupBy("__col").agg(countDistinct(col("__v")).as("__d"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rankAggs = labels.flatMap { case (label, _) =>
+      val v = element_at(thresholdMap(label), col("__col"))
+      Seq(
+        sum(when(col("__v") < v, 1L).otherwise(0L)).as(s"__lt_$label"),
+        sum(when(col("__v") <= v, 1L).otherwise(0L)).as(s"__le_$label"))
+    } :+ countDistinct(col("__v")).as("__d")
+    val statsByCol = stacked.groupBy("__col")
+      .agg(rankAggs.head, rankAggs.tail: _*)
+      .collect().map(r => r.getString(0) -> r).toMap
     val out = cols.sorted.map { name =>
       val r = byCol(name)
       val n = r.getLong(r.fieldIndex("n"))
       val slack = math.max(1.0, 10.0 / accuracy * n)
+      val st = statsByCol.get(name)
       def ok(label: String, q: Double): Boolean =
         if (r.isNullAt(r.fieldIndex(label))) n == 0 // vacuous: no data to rank
         else {
-          val lt = stats.getLong(stats.fieldIndex(s"__lt_${label}_$name"))
-          val le = stats.getLong(stats.fieldIndex(s"__le_${label}_$name"))
+          val s = st.get
+          val lt = s.getLong(s.fieldIndex(s"__lt_$label"))
+          val le = s.getLong(s.fieldIndex(s"__le_$label"))
           lt - slack <= q * n && q * n <= le + slack
         }
-      val dExact = dExactByCol.getOrElse(name, 0L)
+      val dExact = st.map(s => s.getLong(s.fieldIndex("__d"))).getOrElse(0L)
       val dApprox = r.getLong(r.fieldIndex("n_distinct"))
       org.apache.spark.sql.Row(
         name, n, r.get(r.fieldIndex("n_null")), r.get(r.fieldIndex("min")),
