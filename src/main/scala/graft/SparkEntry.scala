@@ -1083,6 +1083,16 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // 2.5-epoch weighted upsampling: floor copies + one more iff the
+    // unit hash lands under the fractional part — expected multiplicity
+    // exactly 2.5, realized multiset a pure function of (seed, doc_id)
+    "q_upsample" -> ((s, dir) =>
+      Tidier.from(Sampling.upsampleByWeight(
+          t(s, dir, "documents").df.select("doc_id"),
+          2.5, "epochseed", Seq("doc_id")))
+        .arrange("doc_id", "copy")
+        .df),
+
     // deterministic 80/10/10 split: assignment is a pure function of
     // (seed, doc_id) with exact integer thresholds on the 60-bit hash
     "q_split_corpus" -> ((s, dir) =>
@@ -2089,6 +2099,16 @@ object SparkEntry {
         |WHERE CAST(('0x'||substr(md5('seed42' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS DOUBLE)
         |      / 1152921504606846976.0 < 0.25
         |ORDER BY doc_id""".stripMargin,
+
+    // upsample mirror: floor(2.5)=2 copies always, +1 when the unit
+    // hash < 0.5 — generate_series mirrors the guarded sequence
+    "q_upsample" ->
+      """SELECT doc_id, CAST(copy AS INT) AS copy FROM (
+        |  SELECT doc_id, unnest(generate_series(0,
+        |    CAST(1 + CASE WHEN CAST(('0x'||substr(md5('epochseed' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS DOUBLE)
+        |                       / 1152921504606846976.0 < 0.5 THEN 1 ELSE 0 END AS BIGINT))) AS copy
+        |  FROM documents)
+        |ORDER BY doc_id, copy""".stripMargin,
 
     // split mirror: same md5 60-bit int, same exact integer thresholds
     "q_split_corpus" ->

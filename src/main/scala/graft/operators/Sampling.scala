@@ -73,6 +73,37 @@ object Sampling {
       .drop(rn)
   }
 
+  /** Deterministic weighted UPSAMPLING — the "2.5 epochs of source X"
+    * mixing primitive: every row is repeated `floor(weight)` times,
+    * plus one more iff its unit hash falls under the fractional part,
+    * so the expected multiplicity is exactly `weight` and the
+    * realized multiset is a pure function of (seed, key) — stable
+    * across partitionings, engines and re-runs. `copy` (0-based)
+    * disambiguates the repeats for downstream shuffling; pair with
+    * [[shuffleDeterministic]] on (key, copy) so epochs interleave
+    * instead of clustering. Narrow: sequence+explode, no shuffle.
+    */
+  def upsampleByWeight(
+      df: DataFrame,
+      weight: Double,
+      seed: String,
+      keyCols: Seq[String],
+      copyCol: String = "copy"): DataFrame = {
+    require(weight > 0.0, s"weight must be positive, got $weight")
+    require(keyCols.nonEmpty, "upsampleByWeight needs key columns")
+    val whole = math.floor(weight).toLong
+    val frac = weight - whole
+    val copies =
+      (when(unitHash(seed, keyCols.map(df.col)) < lit(frac), lit(whole + 1))
+        .otherwise(lit(whole))).cast("int")
+    // copies can be 0 (weight < 1): sequence(0,-1) DESCENDS rather than
+    // returning empty (same trap as RangeJoinRule's band explode), so
+    // guard with an empty array — plain explode then drops the row
+    val arr = when(copies > lit(0), sequence(lit(0), copies - lit(1)))
+      .otherwise(array().cast("array<int>"))
+    df.withColumn(copyCol, explode(arr))
+  }
+
   /** Deterministic k-way corpus split (train/val/test, any k): each
     * row lands in EXACTLY one split as a pure function of (seed, key)
     * — reproducible across engines, partitionings and re-runs, and

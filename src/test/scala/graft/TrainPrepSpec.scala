@@ -649,4 +649,31 @@ class TrainPrepSpec extends SparkSpec {
       Sampling.splitCorpus(docs, "s", Seq("doc_id"), Seq("a" -> 0.5, "b" -> 0.6))
     }.getMessage.contains("sum to 1"))
   }
+  test("upsampleByWeight: exact expected multiplicity, weight<1 drops rows") {
+    val docs = (0L until 4000L).map(i => Tuple1(i)).toDF("doc_id")
+    val up = Sampling.upsampleByWeight(docs, 2.5, "e", Seq("doc_id"))
+    val n = up.count()
+    assert(n > 4000L * 2.3 && n < 4000L * 2.7) // ~2.5x
+    // every doc appears 2 or 3 times, copies dense from 0
+    val per = up.groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(per.forall(c => c == 2L || c == 3L))
+    val copies = up.filter(col("doc_id") === 0L).select("copy")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(copies == (0 until copies.length))
+    // deterministic + partition-invariant
+    val a = up.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val b = Sampling.upsampleByWeight(docs.repartition(11), 2.5, "e", Seq("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(a == b)
+    // weight < 1 = thinning: rows with 0 copies VANISH (no sequence
+    // descent artifact), and the kept set matches hashSample exactly
+    val thin = Sampling.upsampleByWeight(docs, 0.3, "e", Seq("doc_id"))
+    assert(thin.select("copy").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+    val thinIds = thin.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val sampleIds = Sampling.hashSample(docs, 0.3, "e", Seq("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(thinIds == sampleIds)
+    // integer weight: exactly w copies for every row
+    assert(Sampling.upsampleByWeight(docs, 3.0, "e", Seq("doc_id")).count() == 12000L)
+  }
 }
