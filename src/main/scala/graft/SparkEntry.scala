@@ -1083,6 +1083,31 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // composed round-4 prep chain, one lazy plan: strip injected
+    // boilerplate -> fluency-filter under a model trained on the
+    // CLEANED even docs -> 80/10/10 split -> upsample the train split
+    // 1.5x. The oracle shortcuts the paragraph stage to the original
+    // text — legitimate ONLY because boilerplate removal must restore
+    // it byte-identically; any reassembly bug diverges the LM scores
+    // and fails the hash.
+    "q_pipeline_r4" -> ((s, dir) => {
+      val src = t(s, dir, "documents").df
+        .select(col("doc_id"), concat_ws("\n",
+          lit("ACCEPT COOKIES"), col("text"),
+          when(col("doc_id") % 2 === 0, lit("SUBSCRIBE NOW"))).as("text"))
+      val cleaned = Dedup.dropRepeatedParagraphs(src, "doc_id", "text", minRepeats = 3)
+        .select("doc_id", "text")
+      val model = NgramLm.train(
+        cleaned.filter(pmod(col("doc_id"), lit(2L)) === 0L), "text", n = 2)
+      val fluent = Pipelines.dropDisfluent(cleaned, "doc_id", "text", model, minFluency = 0.0344)
+      val split = Sampling.splitCorpus(fluent, "splitseed", Seq("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val train = split.filter(col("split") === "train").select("doc_id")
+      Tidier.from(Sampling.upsampleByWeight(train, 1.5, "epochseed", Seq("doc_id")))
+        .arrange("doc_id", "copy")
+        .df
+    }),
+
     // 2.5-epoch weighted upsampling: floor copies + one more iff the
     // unit hash lands under the fractional part — expected multiplicity
     // exactly 2.5, realized multiset a pure function of (seed, doc_id)
@@ -2099,6 +2124,46 @@ object SparkEntry {
         |WHERE CAST(('0x'||substr(md5('seed42' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS DOUBLE)
         |      / 1152921504606846976.0 < 0.25
         |ORDER BY doc_id""".stripMargin,
+
+    // r4 pipeline mirror: q_text_lm_filter's scoring CTEs (cleaned
+    // text == original, see the Spark-side comment) + split threshold
+    // + 1.5x upsample series
+    "q_pipeline_r4" ->
+      s"""WITH toks AS (SELECT doc_id, $tkExpr AS tk FROM documents),
+         |ref AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+         |uni AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM ref)),
+         |refg AS (SELECT tk[i] AS ctx, tk[i+1] AS tok
+         |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM ref)),
+         |bi AS (SELECT ctx, tok, COUNT(*) AS cnt FROM refg GROUP BY 1, 2),
+         |ctxt AS (SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS total FROM bi GROUP BY 1),
+         |docg AS (SELECT doc_id, tk[i] AS ctx, tk[i+1] AS tok
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)),
+         |scored AS (
+         |  SELECT g.doc_id,
+         |    (1000000000 * (COALESCE(b.cnt, 0) + 1)) // (COALESCE(c.total, 0) + uni.v) AS s,
+         |    0 AS oov
+         |  FROM docg g
+         |  LEFT JOIN bi b ON g.ctx = b.ctx AND g.tok = b.tok
+         |  LEFT JOIN ctxt c ON g.ctx = c.ctx
+         |  CROSS JOIN uni),
+         |perdoc AS (
+         |  SELECT doc_id,
+         |    (CAST(SUM(s) AS DOUBLE) / COUNT(*)) / 1000000000.0 AS fluency
+         |  FROM scored GROUP BY doc_id),
+         |fluent AS (
+         |  SELECT d.doc_id FROM documents d
+         |  LEFT JOIN perdoc p USING (doc_id)
+         |  WHERE p.fluency IS NULL OR p.fluency >= 0.0344),
+         |train AS (
+         |  SELECT doc_id FROM fluent
+         |  WHERE ('0x'||substr(md5('splitseed' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+         |        < 922337203685477580)
+         |SELECT doc_id, CAST(copy AS INT) AS copy FROM (
+         |  SELECT doc_id, unnest(generate_series(0,
+         |    CAST(CASE WHEN CAST(('0x'||substr(md5('epochseed' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS DOUBLE)
+         |                   / 1152921504606846976.0 < 0.5 THEN 1 ELSE 0 END AS BIGINT))) AS copy
+         |  FROM train)
+         |ORDER BY doc_id, copy""".stripMargin,
 
     // upsample mirror: floor(2.5)=2 copies always, +1 when the unit
     // hash < 0.5 — generate_series mirrors the guarded sequence
