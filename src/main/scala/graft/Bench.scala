@@ -36,7 +36,10 @@ object Bench {
     // round 4 additions: reshape + set-op shapes get timed regression
     // coverage (full as-of union+window, wide unionAll, native unpivot
     // explode), plus the one-shuffle Expand cube
-    "q_asof_full", "q_union_all", "q_unnest_longer", "q_cube")
+    "q_asof_full", "q_union_all", "q_unnest_longer", "q_cube",
+    // round 4 (cont.): classic warehouse multi-join shapes (TPC-H
+    // Q3/Q5/Q10 over the fixtures) + int8-quantized retrieval
+    "q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_embed_quant")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -173,6 +173,15 @@ object SparkEntry {
 
   /** exact decimal sum of a 2-dp double column, surfaced as double */
   private def dsum(c: Column): Column = sum(c.cast("decimal(25,2)")).cast("double")
+
+  /** TPC-H revenue sum, cross-engine exact: the per-row product is done
+    * entirely in DECIMAL (exact, order-independent), summed exactly,
+    * and only the final total is converted to DOUBLE — so Spark's and
+    * DuckDB's differing float-summation orders cannot diverge. */
+  private def revSum: Column =
+    sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")))
+      .cast("double")
   private def davg(c: Column): Column = sum(c.cast("decimal(25,2)")).cast("double") / count(c)
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -451,6 +460,68 @@ object SparkEntry {
         .groupBy("n_name")
         .summarize("revenue" -> dsum(col("o_totalprice")), "n_orders" -> Fns.n())
         .arrange("n_name")
+        .df),
+
+    // =====================================================================
+    // TPC-H-shaped composed analytics (Q3 / Q5 / Q10 over the driver
+    // fixtures, date constants shifted into the fixture's 1995-2001
+    // domain) — the classic multi-join + agg + top-k plans a warehouse
+    // user would run, expressed through the verb API. Fact-fact joins
+    // stay shuffled (AQE picks the strategy); only the genuinely tiny
+    // dims (nation 25 rows, region 5) are broadcast-hinted.
+    // =====================================================================
+    "q_tpch_q3" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
+        .innerJoin(
+          t(s, dir, "orders")
+            .filter(col("o_orderdate") < lit("1997-03-15").cast("timestamp")),
+          Equi("l_orderkey", "o_orderkey"))
+        .innerJoin(
+          t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"),
+          Equi("o_custkey", "c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .summarize("revenue" -> revSum)
+        .arrange(desc("revenue"), col("o_orderdate"), col("l_orderkey"))
+        .head(10)
+        .df),
+
+    "q_tpch_q5" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .innerJoin(
+          t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                    col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          Equi("l_orderkey", "o_orderkey"))
+        .innerJoin(t(s, dir, "supplier"), Equi("l_suppkey", "s_suppkey"))
+        .innerJoin(t(s, dir, "customer"),
+          Equi("o_custkey", "c_custkey"), Equi("s_nationkey", "c_nationkey"))
+        .innerJoinBroadcast(t(s, dir, "nation"), Equi("s_nationkey", "n_nationkey"))
+        .innerJoinBroadcast(
+          t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          Equi("n_regionkey", "r_regionkey"))
+        .groupBy("n_name")
+        .summarize("revenue" -> revSum)
+        .arrange(desc("revenue"), col("n_name"))
+        .df),
+
+    // customer is the LEFT side so the ref's coalesce-key projection
+    // (keeps the left key's name) leaves c_custkey in the output
+    "q_tpch_q10" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .innerJoin(
+          t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+                    col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          Equi("c_custkey", "o_custkey"))
+        .innerJoin(
+          t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          Equi("o_orderkey", "l_orderkey"))
+        .innerJoinBroadcast(t(s, dir, "nation"), Equi("c_nationkey", "n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .summarize("revenue" -> revSum)
+        .arrange(desc("revenue"), col("c_custkey"))
+        .head(20)
         .df),
 
     "q_asof_join" -> ((s, dir) => {
@@ -970,6 +1041,24 @@ object SparkEntry {
         .df
     }),
 
+    // exact repeated-substring span removal (Lee et al. 2022 shape):
+    // inject a shared 6-token license header into every doc + a footer
+    // into even docs, then strip every corpus-repeated token 5-gram.
+    // The oracle rebuilds the whole pipeline set-theoretically (gram
+    // counts → covered positions → ordered reassembly), so the gate
+    // catches any divergence in tokenization, gram hashing, position
+    // arithmetic, or rebuild order.
+    "q_dedup_spans" -> ((s, dir) => {
+      val src = t(s, dir, "documents").df
+        .select(col("doc_id"), concat_ws(" ",
+          lit("all rights reserved by example corp"),
+          col("text"),
+          when(col("doc_id") % 2 === 0, lit("click here to subscribe today"))).as("text"))
+      Tidier.from(Dedup.dropRepeatedSpans(src, "doc_id", "text", k = 5, minRepeats = 3))
+        .arrange("doc_id")
+        .df
+    }),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Tidier.from(
           Dedup.minHashDupPairs(
@@ -1360,6 +1449,17 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0L)
         .select("embedding").first().getSeq[Float](0)
       gateLsh.annTopK(gateLsh.index(e, "embedding"), "embedding", q, 10)
+    }),
+
+    // int8-quantized retrieval: quantize the corpus (narrow, 4× memory
+    // reduction — the 100 TB serving path), rank by EXACT int64 dot
+    // product of the quantized vectors. Integer arithmetic end to end,
+    // so the gate is bit-exact by construction on any engine.
+    "q_embed_quant" -> ((s, dir) => {
+      val q = Similarity.quantizeInt8(t(s, dir, "embeddings").df, "embedding")
+      val qq = q.filter(col("vec_id") === 0L)
+        .select("qvec").first().getSeq[Byte](0)
+      Similarity.topKByQuantizedDot(q, "qvec", qq, 10)
     }),
 
     // =====================================================================
@@ -2055,6 +2155,44 @@ object SparkEntry {
         |           count(*) AS cnt FROM kept GROUP BY doc_id) k USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
 
+    "q_dedup_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, concat_ws(' ', 'all rights reserved by example corp', text,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'click here to subscribe today' END) AS text
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM base
+        |), g AS (
+        |  SELECT doc_id, unnest(range(1, len(tk) - 5 + 2)) AS s, tk
+        |  FROM tk WHERE len(tk) >= 5
+        |), g2 AS (
+        |  SELECT doc_id, s, md5(array_to_string(tk[s:s+4], ' ')) AS gh FROM g
+        |), rep AS (
+        |  SELECT gh FROM g2 GROUP BY gh HAVING count(*) >= 3
+        |), starts AS (
+        |  SELECT doc_id, s FROM g2 JOIN rep USING (gh)
+        |), cov AS (
+        |  SELECT DISTINCT starts.doc_id, starts.s + o.i AS p
+        |  FROM starts, (SELECT unnest(range(0, 5)) AS i) o
+        |), toks AS (
+        |  SELECT doc_id, unnest(tk) AS t, unnest(range(1, len(tk) + 1)) AS p FROM tk
+        |), kept AS (
+        |  SELECT toks.doc_id, toks.t, toks.p FROM toks
+        |  LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.p = cov.p
+        |  WHERE cov.p IS NULL
+        |), agg AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS text_clean,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT tk.doc_id, COALESCE(agg.text_clean, '') AS text,
+        |  CAST(len(tk.tk) AS BIGINT) AS n_tokens,
+        |  CAST(len(tk.tk) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM tk LEFT JOIN agg USING (doc_id)
+        |ORDER BY tk.doc_id""".stripMargin,
+
     "q_dedup_minhash" -> minhashOracle(shingleK = 3, numHashes = 12, bands = 6, threshold = 0.4),
 
     "q_pipeline_clean" -> pipelineOracle(),
@@ -2454,6 +2592,72 @@ object SparkEntry {
       """SELECT c_mktsegment, LEAST(5, COUNT(*)) AS n_sampled
         |FROM customer GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE l.l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+        |  AND c.c_mktsegment = 'BUILDING'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey AND s.s_nationkey = c.c_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND r.r_name = 'ASIA'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n.n_name""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+        |ORDER BY revenue DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q_embed_quant" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+        |q AS (SELECT vec_id,
+        |        CASE WHEN maxabs = 0
+        |          THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |          ELSE list_transform(v, x -> CAST(round(x * 127.0 / maxabs) AS BIGINT))
+        |        END AS qv
+        |      FROM m),
+        |qu AS (SELECT qv AS qq FROM q WHERE vec_id = 0)
+        |SELECT q.vec_id,
+        |  CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |    i -> q.qv[i] * qu.qq[i])) AS BIGINT) AS qdot
+        |FROM q, qu
+        |ORDER BY qdot DESC, q.vec_id
+        |LIMIT 10""".stripMargin,
 
     "q_embed_knn" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

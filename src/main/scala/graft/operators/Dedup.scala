@@ -504,4 +504,72 @@ object Dedup {
         col("n_paragraphs").cast("long").as("n_paragraphs"),
         (col("n_paragraphs") - coalesce(col("__kept"), lit(0L))).cast("long").as("n_dropped"))
   }
+
+  /** Exact repeated-substring span removal (token granularity — the
+    * substring-level complement of [[dropRepeatedParagraphs]], after
+    * Lee et al. 2022's "Deduplicating Training Data Makes Language
+    * Models Better": exact duplicate SPANS, not whole documents, carry
+    * most of the duplication mass in web corpora). Any token k-gram
+    * that occurs at least `minRepeats` times corpus-wide marks its k
+    * token positions as boilerplate in EVERY document; marked positions
+    * are dropped and each document is reassembled from the survivors in
+    * order. Overlapping repeated grams merge naturally (position-set
+    * union). Whole-document near-dups should be removed first (this
+    * operator targets residual boilerplate: license headers, nav
+    * footers, quoted reply chains).
+    *
+    * Output: (idCol, textCol cleaned — single-space rejoined lowercase
+    * tokens, the same normalization [[graft.functions.TextFns.tokens]]
+    * applies, `n_tokens`, `n_dropped`). Documents shorter than k tokens
+    * pass through untouched (no gram can start in them).
+    *
+    * 100 TB shape: gram fingerprints are 128-bit md5 of the joined
+    * token window — only (fingerprint, position) pairs ride the count
+    * shuffle, never text. The repeated-only fingerprint set is tiny by
+    * Zipf (AQE broadcasts the probe join); per-doc start positions come
+    * back as one int-array via a doc-key shuffle, and the rebuild is a
+    * narrow higher-order-function pass (no exploded token rows ever
+    * shuffle). Worst case per doc is |starts|·n_tokens comparisons —
+    * boilerplate-saturated docs should be caught by the repetition
+    * filter upstream.
+    */
+  def dropRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minRepeats: Int = 2): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minRepeats >= 2, s"minRepeats must be >= 2, got $minRepeats")
+    val toks = graft.functions.TextFns.tokens(col(textCol))
+    val grams = df
+      .select(col(idCol), toks.as("__tk"))
+      .filter(size(col("__tk")) >= k)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(col("__tk")) - k + 1),
+          i => struct(i.as("s"),
+            md5(concat_ws(" ", slice(col("__tk"), i, lit(k)))).as("gh"))))
+          .as("__g"))
+      .select(col(idCol), col("__g.s").as("__s"), col("__g.gh").as("__gh"))
+    val repeated = grams
+      .groupBy("__gh").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minRepeats)
+      .select("__gh")
+    val startsPerDoc = grams
+      .join(repeated, Seq("__gh"))
+      .groupBy(idCol)
+      .agg(collect_set(col("__s")).as("__starts"))
+    df.join(startsPerDoc, Seq(idCol), "left")
+      .select(col(idCol), toks.as("__tk"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("__st"))
+      .withColumn("__kept",
+        filter(
+          transform(col("__tk"), (t, i) => struct(t.as("t"), (i + 1).as("p"))),
+          x => !exists(col("__st"),
+            s => x.getField("p") >= s && x.getField("p") < s + k)))
+      .select(col(idCol),
+        concat_ws(" ", transform(col("__kept"), x => x.getField("t"))).as(textCol),
+        size(col("__tk")).cast("long").as("n_tokens"),
+        (size(col("__tk")) - size(col("__kept"))).cast("long").as("n_dropped"))
+  }
 }

@@ -79,6 +79,72 @@ object Similarity {
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
 
+  /** Symmetric per-vector int8 quantization — the memory-reduction path
+    * for ANN serving at corpus scale: a 64-dim float vector (256 B)
+    * becomes 64 bytes + one double scale (4× smaller; 100 TB of
+    * embeddings → 25 TB resident). q_i = round(v_i · 127 / max|v|),
+    * scale = max|v| / 127, so v_i ≈ q_i · scale and the integer dot
+    * product ranks candidates without touching floats (exact int64
+    * arithmetic — reproducible on any engine, unlike float sums).
+    * All-zero vectors quantize to all-zero with scale 0.
+    *
+    * Narrow transformation (no shuffle); the quantized column is
+    * codegen-friendly array math end to end.
+    */
+  def quantizeInt8(
+      df: DataFrame,
+      embCol: String,
+      qCol: String = "qvec",
+      scaleCol: String = "qscale"): DataFrame = {
+    val maxabs = "__graft_maxabs"
+    df.withColumn(maxabs,
+        array_max(transform(col(embCol), x => abs(x.cast("double")))))
+      .withColumn(qCol,
+        when(col(maxabs) === 0d,
+          transform(col(embCol), _ => lit(0).cast("tinyint")))
+        .otherwise(transform(col(embCol),
+          x => round(x.cast("double") * lit(127.0) / col(maxabs)).cast("tinyint"))))
+      .withColumn(scaleCol,
+        when(col(maxabs) === 0d, lit(0d)).otherwise(col(maxabs) / lit(127.0)))
+      .drop(maxabs)
+  }
+
+  /** Exact int64 dot product of two quantized (integer array) columns.
+    * |q_i| ≤ 127 so a 2^39-dim vector would be needed to overflow —
+    * safely exact at any real dimensionality. */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (p, q) => p.cast("long") * q.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Top-k by quantized dot product against a quantized query vector —
+    * the integer-ranking stage of a quantized ANN pipeline (candidates
+    * would then be reranked with [[cosine]] on the float column when
+    * exact scores matter). TakeOrdered top-k: no corpus shuffle. */
+  def topKByQuantizedDot(
+      df: DataFrame,
+      qCol: String,
+      queryQ: Seq[Byte],
+      k: Int,
+      idCol: String = "vec_id"): DataFrame =
+    df.select(
+        col(idCol),
+        quantizedDot(col(qCol), array(queryQ.map(x => lit(x)): _*)).as("qdot"))
+      .orderBy(desc("qdot"), col(idCol))
+      .limit(k)
+
+  /** Reconstruction-space cosine from quantized vectors + scales:
+    * cos(a,b) of the dequantized vectors. The per-vector scales cancel
+    * in cosine, so this is computable from the int8 arrays alone —
+    * useful when the float column has been dropped entirely. */
+  def quantizedCosine(qa: Column, qb: Column): Column = {
+    def norm2(x: Column): Column =
+      aggregate(transform(x, p => p.cast("long") * p.cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    quantizedDot(qa, qb).cast("double") /
+      (sqrt(norm2(qa).cast("double")) * sqrt(norm2(qb).cast("double")))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component (p, i) is a
     * seeded uniform in [-0.5, 0.5). No RNG state — reproducible across
     * sessions and cluster sizes. */

@@ -164,6 +164,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(sims(3L) - 0.707107) < 1e-6)
   }
 
+  test("int8 quantization: values, scale, zero-vector guard, range") {
+    val d = Seq(
+      (1L, Seq(1f, -2f, 4f), 0),          // maxabs 4 → q = (32, -64, 127)
+      (2L, Seq(0f, 0f, 0f), 0)            // all-zero → q = 0s, scale 0
+    ).toDF("vec_id", "embedding", "label")
+    val q = Similarity.quantizeInt8(d, "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getSeq[Byte](3), r.getAs[Double]("qscale")))).toMap
+    assert(q(1L)._1 == Seq[Byte](32, -64, 127))
+    assert(q(1L)._2 == 4.0 / 127.0)
+    assert(q(2L)._1 == Seq[Byte](0, 0, 0))
+    assert(q(2L)._2 == 0.0)
+    // every quantized component of the fixture is within int8 range
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val bad = Similarity.quantizeInt8(e, "embedding")
+      .select(explode(col("qvec")).as("q"))
+      .filter(col("q") > 127 || col("q") < -127)
+    assert(bad.count() == 0)
+  }
+
+  test("quantized dot ranking tracks exact cosine on the fixture (top-1)") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val q = Similarity.quantizeInt8(e, "embedding")
+    val qq = q.filter(col("vec_id") === 0L).select("qvec").first().getSeq[Byte](0)
+    val topQ = Similarity.topKByQuantizedDot(q, "qvec", qq, 3).collect()
+    // the query itself must rank first under its own quantized dot
+    assert(topQ.head.getLong(0) == 0L)
+    // reconstruction-space cosine of the query with itself is 1.0
+    val self = q.filter(col("vec_id") === 0L)
+      .select(Similarity.quantizedCosine(col("qvec"), col("qvec")))
+      .first().getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+  }
+
   test("LSH ann: same-direction vectors share buckets; topK reranks exactly") {
     val base = Seq(1f, 2f, 3f, 4f)
     val d = Seq(
@@ -531,5 +565,37 @@ class PipelineOpsSpec extends SparkSpec {
     val loose = Dedup.dropRepeatedParagraphs(docs, "doc_id", "text", minRepeats = 6)
       .orderBy("doc_id").collect()
     assert(loose.map(_.getString(1)).toSeq == docs.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
+  }
+
+  test("dropRepeatedSpans: repeated k-grams out, overlaps merge, short docs pass") {
+    val docs = Seq(
+      (1L, "all rights reserved worldwide alpha beta gamma"),
+      (2L, "all rights reserved worldwide delta"),
+      (3L, "prefix all rights reserved worldwide suffix"),
+      (4L, "tiny doc"),                                   // < k tokens: untouched
+      (5L, "unrelated content entirely here today")
+    ).toDF("doc_id", "text")
+    // "all rights reserved worldwide" (k=4) occurs 3x -> stripped everywhere
+    val out = Dedup.dropRepeatedSpans(docs, "doc_id", "text", k = 4, minRepeats = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "alpha beta gamma")
+    assert(out(1).getString(1) == "delta")
+    assert(out(2).getString(1) == "prefix suffix")
+    assert(out(3).getString(1) == "tiny doc")
+    assert(out(4).getString(1) == "unrelated content entirely here today")
+    assert(out(0).getLong(2) == 7 && out(0).getLong(3) == 4) // n_tokens, n_dropped
+    assert(out(3).getLong(3) == 0)
+    // overlapping repeated grams union their positions instead of
+    // double-dropping: with k=2 and "x y x y x y" the grams (x y),
+    // (y x) all repeat -> every token covered exactly once
+    val over = Seq((1L, "x y x y x y"), (2L, "x y x y x y")).toDF("doc_id", "text")
+    val o = Dedup.dropRepeatedSpans(over, "doc_id", "text", k = 2, minRepeats = 2)
+      .orderBy("doc_id").collect()
+    assert(o.forall(_.getString(1) == ""))
+    assert(o.forall(r => r.getLong(2) == 6 && r.getLong(3) == 6))
+    // below the threshold nothing changes (normalization aside)
+    val loose = Dedup.dropRepeatedSpans(docs, "doc_id", "text", k = 4, minRepeats = 4)
+      .orderBy("doc_id").collect()
+    assert(loose.map(_.getLong(3)).forall(_ == 0L))
   }
 }
