@@ -1240,6 +1240,20 @@ object SparkEntry {
           t(s, dir, "documents").df, "ord1", Seq("doc_id"), exposeAs = Some("pos"))
         .select("doc_id", "pos")),
 
+    // Z-order clustering key: interleave 20 bits of user_id with 20
+    // bits of a value bucket; ordering by it is what zorderWrite does
+    // before writing — the gate verifies the bit interleave + the
+    // resulting clustering order exactly (pure integer arithmetic,
+    // mirrored term-for-term in the oracle)
+    "q_zorder" -> ((s, dir) => {
+      val uid = col("user_id").bitwiseAND(lit((1L << 20) - 1))
+      val vb = pmod(floor(col("value") * 100).cast("long"), lit(1L << 20))
+      t(s, dir, "events").df
+        .select(col("event_id"), col("user_id"), col("value"),
+          graft.operators.ScaleOps.zorderValue(Seq(uid, vb), 20).as("z"))
+        .orderBy("z", "event_id")
+    }),
+
     // URL blocklist scrub: deterministic synthetic URLs (scheme /
     // userinfo / port / bare-host variants by doc_id), domain + parent-
     // domain suffix matching against a static blocklist — narrow
@@ -1870,6 +1884,18 @@ object SparkEntry {
   /** DuckDB mirror of LSH ANN with radius-2 multiprobe: bucket the
     * corpus with the inlined hyperplanes, expand the query bucket by
     * 0/1/2 bit flips, exact-rerank candidates by cosine. */
+  /** DuckDB mirror of ScaleOps.zorderValue(Seq(uid&mask, vbucket), 20):
+    * the same 40 disjoint-bit terms, OR-ed. */
+  private def zorderOracle: String = {
+    val u = "(user_id & 1048575)"
+    val v = "(((CAST(floor(value * 100) AS BIGINT) % 1048576) + 1048576) % 1048576)"
+    val terms = (0 until 20).flatMap(b => Seq(
+      s"((($u >> $b) & 1) << ${2 * b})",
+      s"((($v >> $b) & 1) << ${2 * b + 1})"))
+    s"SELECT event_id, user_id, value, ${terms.mkString(" | ")} AS z " +
+      "FROM events ORDER BY z, event_id"
+  }
+
   private def annOracle: String = {
     val np = gateLsh.numPlanes
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2439,6 +2465,8 @@ object SparkEntry {
         |  CAST(('0x'||substr(md5('ord1' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS DOUBLE)
         |    / 1152921504606846976.0 AS pos
         |FROM documents ORDER BY pos, doc_id""".stripMargin,
+
+    "q_zorder" -> zorderOracle,
 
     "q_url_filter" ->
       """WITH u AS (

@@ -87,4 +87,50 @@ object ScaleOps {
     val (l, s, keys) = saltedForJoin(large, small, key, buckets, seed)
     l.join(s, keys, "inner").drop("__salt")
   }
+
+  /** Z-order (Morton) interleaved key over non-negative integer
+    * dimension columns — the multi-dimensional clustering key behind
+    * "OPTIMIZE ZORDER BY": sorting by it keeps rows close in EVERY
+    * dimension close in the file order, so parquet min/max stats prune
+    * files for predicates on ANY of the dimensions, not just the lead
+    * sort column.
+    *
+    * Each column contributes its low `bitsPerCol` bits (values are
+    * masked; map real domains to compact non-negative ints first —
+    * e.g. `dense_rank` buckets or epoch-days). bitsPerCol·n must stay
+    * ≤ 63 so the key fits one signed long. Pure shift/mask Column
+    * arithmetic — codegen'd, narrow, engine-portable. */
+  def zorderValue(cols: Seq[Column], bitsPerCol: Int): Column = {
+    require(cols.nonEmpty, "need at least one dimension column")
+    require(bitsPerCol >= 1 && bitsPerCol * cols.size <= 63,
+      s"bitsPerCol * nCols must fit a signed long, got $bitsPerCol * ${cols.size}")
+    val n = cols.size
+    val terms = for {
+      (c, ci) <- cols.zipWithIndex
+      b <- 0 until bitsPerCol
+    } yield shiftleft(
+      shiftright(c.cast("long"), b).bitwiseAND(lit(1L)),
+      b * n + ci)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` parquet clustered by the Z-order of `dims`:
+    * range-partition on the interleaved key (`numFiles` output files,
+    * distributed sort — no single-task funnel), sort within partitions,
+    * drop the key, write. Readers filtering on any dim combination
+    * skip files via parquet min/max. */
+  def zorderWrite(
+      df: DataFrame,
+      path: String,
+      dims: Seq[Column],
+      bitsPerCol: Int,
+      numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val z = "__graft_z"
+    df.withColumn(z, zorderValue(dims, bitsPerCol))
+      .repartitionByRange(numFiles, col(z))
+      .sortWithinPartitions(z)
+      .drop(z)
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -123,4 +123,55 @@ class ScaleOpsSpec extends SparkSpec {
     pairs.unpersist(blocking = true)
     assert(spark.sparkContext.getPersistentRDDs.size <= before)
   }
+
+  test("zorderValue interleaves bits; known values") {
+    import spark.implicits._
+    // x=0b101 (5), y=0b011 (3), 3 bits each, n=2: bit b of x -> 2b,
+    // bit b of y -> 2b+1 => z = 0b011111 = 31... compute: x bits (1,0,1),
+    // y bits (1,1,0): z bits: pos0=x0=1, pos1=y0=1, pos2=x1=0, pos3=y1=1,
+    // pos4=x2=1, pos5=y2=0 => 0b011011 = 27
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(ScaleOps.zorderValue(Seq(col("x"), col("y")), 3).as("z"))
+      .first().getLong(0)
+    assert(z == 27L)
+    // single column degenerates to the masked value itself
+    val z1 = Seq((13L, 0L)).toDF("x", "y")
+      .select(ScaleOps.zorderValue(Seq(col("x")), 4).as("z"))
+      .first().getLong(0)
+    assert(z1 == 13L)
+  }
+
+  test("zorderWrite clusters BOTH dimensions (file min/max spans shrink vs lead-sort)") {
+    import spark.implicits._
+    // 64x64 grid; lead-column sort clusters x perfectly but leaves y
+    // spanning the full domain in every file; z-order bounds both
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+    def fileSpans(path: String): Seq[(Long, Long)] = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+      files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(org.apache.spark.sql.functions.max(col("x")) - org.apache.spark.sql.functions.min(col("x")),
+               org.apache.spark.sql.functions.max(col("y")) - org.apache.spark.sql.functions.min(col("y"))).first()
+        (r.getLong(0), r.getLong(1))
+      }
+    }
+    val zPath = java.nio.file.Files.createTempDirectory("graft_zw").toString
+    ScaleOps.zorderWrite(df, zPath, Seq(col("x"), col("y")), bitsPerCol = 6, numFiles = 16)
+    val leadPath = java.nio.file.Files.createTempDirectory("graft_lead").toString
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(leadPath)
+    val zs = fileSpans(zPath); val ls = fileSpans(leadPath)
+    // content identical either way
+    assert(spark.read.parquet(zPath).count() == 64L * 64L)
+    // z-order: every file's y-span is a fraction of the domain;
+    // lead-sort: y spans the whole domain in every file
+    val zMaxY = zs.map(_._2).max
+    val lMinY = ls.map(_._2).min
+    assert(zMaxY <= 31L, s"z-order y spans: $zs")
+    assert(lMinY == 63L, s"lead-sort y spans: $ls")
+    // and x stays clustered too (span well under the 63 domain)
+    assert(zs.map(_._1).max <= 31L, s"z-order x spans: $zs")
+  }
 }
