@@ -991,6 +991,17 @@ object SparkEntry {
         .df
     }),
 
+    // stupid-backoff trigram scoring (Brants 2007; the KenLM-adjacent
+    // upgrade over the single-order model): rational α=2/5, every
+    // backoff level one exact integer division — the oracle rebuilds
+    // the full cascade (tri/bi/unigram counts + coalesce) verbatim
+    "q_text_lm_backoff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val model = NgramLm.trainBackoff(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), "text", n = 3)
+      NgramLm.scoreDocsBackoff(docs, "doc_id", "text", model).orderBy("doc_id")
+    }),
+
     // REAL BPE tokenizer end-to-end: train merges from the corpus' own
     // word histogram (one shuffle + driver merge-learning), encode every
     // doc with the native expression, then gate two invariants the
@@ -2114,6 +2125,53 @@ object SparkEntry {
          |  FROM scored GROUP BY doc_id)
          |SELECT d.doc_id,
          |  COALESCE(p.n_grams, 0) AS n_grams,
+         |  COALESCE(p.oov_grams, 0) AS oov_grams,
+         |  p.fluency AS fluency
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_text_lm_backoff" ->
+      s"""WITH toks AS (SELECT doc_id, $tkExpr AS tk FROM documents),
+         |ref AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+         |t1 AS (SELECT t AS gram, COUNT(*) AS cnt
+         |  FROM (SELECT unnest(tk) AS t FROM ref) GROUP BY 1),
+         |n1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM t1),
+         |t2 AS (SELECT array_to_string(tk[i:i+1], ' ') AS gram, COUNT(*) AS cnt
+         |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM ref) GROUP BY 1),
+         |t3 AS (SELECT array_to_string(tk[i:i+2], ' ') AS gram, COUNT(*) AS cnt
+         |  FROM (SELECT tk, unnest(range(1, len(tk) - 1)) AS i FROM ref) GROUP BY 1),
+         |docg AS (SELECT doc_id,
+         |    array_to_string(tk[i:i+2], ' ') AS g3,
+         |    array_to_string(tk[i:i+1], ' ') AS d3,
+         |    array_to_string(tk[i+1:i+2], ' ') AS g2,
+         |    tk[i+1] AS d2, tk[i+2] AS g1
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 1)) AS i FROM toks)),
+         |scored AS (
+         |  SELECT g.doc_id,
+         |    COALESCE(
+         |      (CAST(1000000000 AS BIGINT) * c3.cnt) // dn3.cnt,
+         |      (CAST(2000000000 AS BIGINT) * c2.cnt) // (5 * dn2.cnt),
+         |      (CAST(4000000000 AS BIGINT) * c1.cnt) // (25 * n1.n),
+         |      0) AS s,
+         |    CASE WHEN c3.cnt IS NULL THEN 1 ELSE 0 END AS backoff,
+         |    CASE WHEN c1.cnt IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM docg g
+         |  LEFT JOIN t3 c3 ON g.g3 = c3.gram
+         |  LEFT JOIN t2 c2 ON g.g2 = c2.gram
+         |  LEFT JOIN t1 c1 ON g.g1 = c1.gram
+         |  LEFT JOIN t2 dn3 ON g.d3 = dn3.gram
+         |  LEFT JOIN t1 dn2 ON g.d2 = dn2.gram
+         |  CROSS JOIN n1),
+         |perdoc AS (
+         |  SELECT doc_id, COUNT(*) AS n_grams,
+         |    CAST(SUM(backoff) AS BIGINT) AS backoff_grams,
+         |    CAST(SUM(oov) AS BIGINT) AS oov_grams,
+         |    (CAST(SUM(s) AS DOUBLE) / COUNT(*)) / 1000000000.0 AS fluency
+         |  FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(p.n_grams, 0) AS n_grams,
+         |  COALESCE(p.backoff_grams, 0) AS backoff_grams,
          |  COALESCE(p.oov_grams, 0) AS oov_grams,
          |  p.fluency AS fluency
          |FROM (SELECT DISTINCT doc_id FROM documents) d

@@ -107,4 +107,113 @@ object NgramLm {
         coalesce(col("oov_grams"), lit(0L)).as("oov_grams"),
         col("fluency"))
   }
+
+  /** Backoff model: `orders(k-1)` holds the k-gram occurrence counts
+    * (`gram` = k tokens space-joined, `cnt`); `totalTokens` is the
+    * unigram denominator N. */
+  case class BackoffModel(orders: Seq[DataFrame], totalTokens: Long, n: Int)
+
+  /** k-gram strings of a text column, narrow explode (rows shorter
+    * than k tokens produce none). */
+  private def kgrams(df: DataFrame, idCols: Seq[Column], textCol: String, k: Int): DataFrame =
+    df.withColumn("__tk", TextFns.tokens(col(textCol)))
+      .filter(size(col("__tk")) >= k)
+      .select(idCols :+ explode(
+        transform(sequence(lit(1), size(col("__tk")) - (k - 1)),
+          i => concat_ws(" ", slice(col("__tk"), i, lit(k))))).as("gram"): _*)
+
+  /** Count a stupid-backoff model (Brants et al. 2007, "Large Language
+    * Models in Machine Translation"): raw k-gram counts for every order
+    * k = 1..n. One count shuffle per order; each is the same
+    * (fingerprintable) gram-count shape as [[train]]. */
+  def trainBackoff(ref: DataFrame, textCol: String, n: Int = 3): BackoffModel = {
+    require(n >= 2, s"n must be >= 2 (conditional model), got $n")
+    val orders = (1 to n).map { k =>
+      kgrams(ref, Seq.empty, textCol, k).groupBy("gram").agg(count(lit(1)).as("cnt"))
+    }
+    val r = orders.head.agg(sum("cnt")).head()
+    val total = if (r.isNullAt(0)) 0L else r.getLong(0)
+    BackoffModel(orders, total, n)
+  }
+
+  /** Score documents under stupid backoff: for each full-context gram,
+    * S = cnt_n/den_n if the n-gram was seen, else α · cnt_{n-1}/den_{n-1},
+    * … down to α^{n-1} · cnt_1/N; unseen even as a unigram scores 0.
+    * α is the RATIONAL `alphaNum/alphaDen` (default 2/5 = the published
+    * 0.4) and every level is computed as one exact integer division
+    * `(scale·αnum^k·cnt) DIV (αden^k·den)` in DECIMAL(38,0) — the
+    * backoff cascade is a `coalesce` over the per-level exact scores,
+    * so results are bit-identical across engines like [[scoreDocs]].
+    *
+    * Output: `(idCol, n_grams, backoff_grams, oov_grams, fluency)` —
+    * `backoff_grams` counts grams that fell below full order,
+    * `oov_grams` counts grams whose final token is out-of-vocabulary.
+    *
+    * Scale shape: 2n−1 equi-joins of the exploded grams against the
+    * count tables — all broadcastable when the reference corpus is
+    * bounded (default hint on); otherwise AQE shuffles on gram keys
+    * with skew handling for stop-word heads.
+    */
+  def scoreDocsBackoff(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: BackoffModel,
+      alphaNum: Long = 2L,
+      alphaDen: Long = 5L,
+      scale: Long = 1000000000L,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    require(alphaNum > 0 && alphaDen > alphaNum,
+      s"alpha must be a rational in (0,1): $alphaNum/$alphaDen")
+    val n = model.n
+    def tbl(k: Int) = {
+      val t = model.orders(k - 1)
+      if (broadcastModel) broadcast(t) else t
+    }
+    // one struct per gram window: g_j = last j tokens (numerator key),
+    // d_j = context of g_j (denominator key), j = n..2; g_1 = the token
+    val fields =
+      (1 to n).map(j =>
+        concat_ws(" ", slice(col("__tk"), col("__i") + (n - j), lit(j))).as(s"g$j")) ++
+      (2 to n).map(j =>
+        concat_ws(" ", slice(col("__tk"), col("__i") + (n - j), lit(j - 1))).as(s"d$j"))
+    var cur = docs
+      .withColumn("__tk", TextFns.tokens(col(textCol)))
+      .filter(size(col("__tk")) >= n)
+      .select(col(idCol), col("__tk"),
+        explode(sequence(lit(1), size(col("__tk")) - (n - 1))).as("__i"))
+      .select(col(idCol) +: fields: _*)
+    for (j <- 1 to n)
+      cur = cur.join(tbl(j).select(col("gram").as(s"g$j"), col("cnt").as(s"c$j")),
+        Seq(s"g$j"), "left")
+    for (j <- 2 to n)
+      cur = cur.join(tbl(j - 1).select(col("gram").as(s"d$j"), col("cnt").as(s"dn$j")),
+        Seq(s"d$j"), "left")
+    def pw(b: Long, k: Int): Long = (0 until k).foldLeft(1L)((a, _) => a * b)
+    for (j <- n to 1 by -1) {
+      val k = n - j
+      val den = if (j == 1) lit(model.totalTokens) else col(s"dn$j")
+      cur = cur
+        .withColumn(s"__num$j",
+          lit(scale).cast("decimal(38,0)") * lit(pw(alphaNum, k)) * col(s"c$j"))
+        .withColumn(s"__den$j", lit(pw(alphaDen, k)).cast("decimal(38,0)") * den)
+        .withColumn(s"__s$j", expr(s"CAST(__num$j DIV __den$j AS BIGINT)"))
+    }
+    val scored = cur
+      .withColumn("__s",
+        coalesce((n to 1 by -1).map(j => col(s"__s$j")) :+ lit(0L): _*))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col(s"__s$n").isNull, 1L).otherwise(0L)).as("backoff_grams"),
+        sum(when(col("__s1").isNull, 1L).otherwise(0L)).as("oov_grams"),
+        (sum("__s").cast("double") / count(lit(1)) / scale.toDouble).as("fluency"))
+    docs.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("backoff_grams"), lit(0L)).as("backoff_grams"),
+        coalesce(col("oov_grams"), lit(0L)).as("oov_grams"),
+        col("fluency"))
+  }
 }

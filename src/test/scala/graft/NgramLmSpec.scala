@@ -69,6 +69,32 @@ class NgramLmSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
+  test("stupid backoff: hand-computed cascade on a tiny trigram model") {
+    val ref = Seq("a b c", "a b d").toDF("text")
+    // counts: uni a:2 b:2 c:1 d:1 (N=6); bi "a b":2 "b c":1 "b d":1;
+    // tri "a b c":1 "a b d":1
+    val model = NgramLm.trainBackoff(ref, "text", n = 3)
+    assert(model.totalTokens == 6L)
+    val docs = Seq(
+      (1L, "a b c"),   // full order: 1e9*1 DIV 2            -> 0.5
+      (2L, "c a b"),   // backoff to bigram: 1e9*2*2 DIV (5*2) -> 0.4
+      (3L, "b b c"),   // backoff to bigram: 1e9*2*1 DIV (5*2) -> 0.2
+      (4L, "x y c"),   // backoff to unigram: 1e9*4*1 DIV (25*6) = 26666666
+      (5L, "a b x"),   // OOV at every level -> 0
+      (6L, "a b")      // too short -> n_grams 0, fluency NULL
+    ).toDF("doc_id", "text")
+    val out = NgramLm.scoreDocsBackoff(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (out(i).getLong(1), out(i).getLong(2), out(i).getLong(3),
+      if (out(i).isNullAt(4)) Double.NaN else out(i).getDouble(4))
+    assert(row(0) == ((1L, 0L, 0L, 0.5)))
+    assert(row(1) == ((1L, 1L, 0L, 0.4)))
+    assert(row(2) == ((1L, 1L, 0L, 0.2)))
+    assert(row(3) == ((1L, 1L, 0L, 26666666 / 1e9)))
+    assert(row(4) == ((1L, 1L, 1L, 0.0)))
+    assert(out(5).getLong(1) == 0L && out(5).isNullAt(4))
+  }
+
   test("dropDisfluent keeps fluent + unscoreable docs, drops the rest") {
     import graft.operators.Pipelines
     val ref = Seq("the cat sat", "the cat ran", "the dog sat").toDF("text")
