@@ -1265,6 +1265,32 @@ object SparkEntry {
         .orderBy("z", "event_id")
     }),
 
+    // eTLD+1 (public-suffix-list) registered-domain extraction:
+    // synthetic hosts exercising every rule class — multi-label normal
+    // suffixes (co.uk, github.io), wildcard *.ck, the !www.ck
+    // exception, and the default-* TLD path. Narrow column logic; the
+    // oracle rebuilds the exact position algebra with the SAME rule
+    // literals (generated from PslRules.builtin — cannot drift).
+    "q_url_etld" -> ((s, dir) => {
+      val k20 = pmod(col("doc_id"), lit(20L)).cast("string")
+      val url = when(pmod(col("doc_id"), lit(6L)) === 0,
+          concat(lit("https://shop.example"), k20, lit(".co.uk/p")))
+        .when(pmod(col("doc_id"), lit(6L)) === 1,
+          concat(lit("http://a.b.site"), k20, lit(".com/x?q=1")))
+        .when(pmod(col("doc_id"), lit(6L)) === 2, lit("ftp://x.y.ck/f"))
+        .when(pmod(col("doc_id"), lit(6L)) === 3, lit("https://www.ck/"))
+        .when(pmod(col("doc_id"), lit(6L)) === 4,
+          concat(lit("user"), k20, lit(".github.io/page")))
+        .otherwise(concat(lit("data.example"), k20, lit(".org")))
+      t(s, dir, "documents").df
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"),
+          TextFns.extractDomain(col("url")).as("host"),
+          TextFns.publicSuffix(TextFns.extractDomain(col("url"))).as("public_suffix"),
+          TextFns.registeredDomain(col("url")).as("registered_domain"))
+        .orderBy("doc_id")
+    }),
+
     // URL blocklist scrub: deterministic synthetic URLs (scheme /
     // userinfo / port / bare-host variants by doc_id), domain + parent-
     // domain suffix matching against a static blocklist — narrow
@@ -1895,6 +1921,48 @@ object SparkEntry {
   /** DuckDB mirror of LSH ANN with radius-2 multiprobe: bucket the
     * corpus with the inlined hyperplanes, expand the query bucket by
     * 0/1/2 bit flips, exact-rerank candidates by cosine. */
+  /** DuckDB mirror of TextFns.publicSuffix/registeredDomain over the
+    * q_url_etld synthetic hosts — same rule literals (generated from
+    * PslRules.builtin), same position algebra. */
+  private def etldOracle: String = {
+    val r = TextFns.PslRules.builtin
+    def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    CASE doc_id % 6
+       |      WHEN 0 THEN 'https://shop.example' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk/p'
+       |      WHEN 1 THEN 'http://a.b.site' || CAST(doc_id % 20 AS VARCHAR) || '.com/x?q=1'
+       |      WHEN 2 THEN 'ftp://x.y.ck/f'
+       |      WHEN 3 THEN 'https://www.ck/'
+       |      WHEN 4 THEN 'user' || CAST(doc_id % 20 AS VARCHAR) || '.github.io/page'
+       |      ELSE 'data.example' || CAST(doc_id % 20 AS VARCHAR) || '.org'
+       |    END AS url FROM documents),
+       |h AS (SELECT doc_id,
+       |  lower(regexp_extract(url, '^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+       |  FROM u),
+       |s2 AS (SELECT doc_id, host,
+       |  list_transform(range(1, len(string_split(host, '.')) + 1),
+       |    i -> array_to_string(string_split(host, '.')[i:], '.')) AS sufs,
+       |  len(string_split(host, '.')) AS n FROM h),
+       |p AS (SELECT doc_id, host, sufs, n,
+       |  list_min(list_filter(range(1, n + 1),
+       |    i -> list_contains(${sqlList(r.normal)}, sufs[i]))) AS normpos,
+       |  list_min(list_filter(range(1, n + 1),
+       |    i -> i >= 2 AND list_contains(${sqlList(r.wildcardBases)}, sufs[i]))) - 1 AS wildpos,
+       |  list_min(list_filter(range(1, n + 1),
+       |    i -> list_contains(${sqlList(r.exceptions)}, sufs[i]))) + 1 AS excraw
+       |  FROM s2),
+       |q AS (SELECT doc_id, host, sufs, n,
+       |  COALESCE(CASE WHEN excraw <= n THEN excraw END,
+       |    CASE WHEN normpos IS NULL THEN wildpos
+       |         WHEN wildpos IS NULL THEN normpos
+       |         WHEN wildpos < normpos THEN wildpos ELSE normpos END,
+       |    n) AS pos FROM p)
+       |SELECT doc_id, host, sufs[pos] AS public_suffix,
+       |  CASE WHEN pos >= 2 THEN sufs[pos - 1] END AS registered_domain
+       |FROM q ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB mirror of ScaleOps.zorderValue(Seq(uid&mask, vbucket), 20):
     * the same 40 disjoint-bit terms, OR-ed. */
   private def zorderOracle: String = {
@@ -2525,6 +2593,8 @@ object SparkEntry {
         |FROM documents ORDER BY pos, doc_id""".stripMargin,
 
     "q_zorder" -> zorderOracle,
+
+    "q_url_etld" -> etldOracle,
 
     "q_url_filter" ->
       """WITH u AS (

@@ -230,6 +230,101 @@ object TextFns {
       i => array_join(slice(parts, i, size(parts)), "."))
   }
 
+  /** Public-suffix rule set (publicsuffix.org semantics): `normal`
+    * rules match literally, `wildcardBases` are the `x` of `*.x` rules
+    * (one arbitrary label + base is the public suffix), `exceptions`
+    * are `!rule` entries (the matched host's public suffix is the rule
+    * MINUS its leftmost label, overriding everything). Rules are
+    * lowercase label sequences without the `*.`/`!` markers. */
+  final case class PslRules(
+      normal: Seq[String],
+      wildcardBases: Seq[String],
+      exceptions: Seq[String]) {
+    def all: Seq[String] = normal ++ wildcardBases ++ exceptions
+  }
+
+  object PslRules {
+    /** Parse standard public_suffix_list.dat lines (comments `//`,
+      * blanks, `*.` wildcards, `!` exceptions). Load the real list with
+      * `spark.read.textFile(path).collect()` and pass it here — the
+      * full PSL is ~9k rules, well inside literal-array size. */
+    def parse(lines: Seq[String]): PslRules = {
+      val rules = lines.map(_.trim.toLowerCase)
+        .filter(l => l.nonEmpty && !l.startsWith("//"))
+        .map(_.takeWhile(!_.isWhitespace))
+      PslRules(
+        normal = rules.filter(r => !r.startsWith("*.") && !r.startsWith("!")),
+        wildcardBases = rules.filter(_.startsWith("*.")).map(_.drop(2)),
+        exceptions = rules.filter(_.startsWith("!")).map(_.drop(1)))
+    }
+
+    /** Vendored SUBSET of the public suffix list (no egress in this
+      * build env): the common multi-label registry suffixes plus the
+      * canonical wildcard/exception family. Single-label TLDs need no
+      * entry — the PSL default `*` rule covers them. Swap in the full
+      * list via [[parse]] for production. */
+    val builtin: PslRules = PslRules(
+      normal = Seq(
+        "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+        "com.au", "net.au", "org.au", "edu.au", "gov.au",
+        "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+        "co.kr", "or.kr", "com.br", "net.br", "org.br",
+        "com.cn", "net.cn", "org.cn", "com.mx", "co.in", "net.in",
+        "co.nz", "org.nz", "net.nz", "com.sg", "com.tr", "co.za",
+        "com.ar", "com.co", "co.il", "com.hk", "com.tw", "com.my",
+        "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+        "s3.amazonaws.com", "cloudfront.net", "azurewebsites.net",
+        "web.app", "firebaseapp.com", "netlify.app", "vercel.app"),
+      wildcardBases = Seq("ck", "er", "np", "kh", "fj", "pg"),
+      exceptions = Seq("www.ck"))
+  }
+
+  /** The host's PUBLIC SUFFIX under `rules` (publicsuffix.org
+    * algorithm: exceptions override; otherwise the matching rule with
+    * the most labels wins; otherwise the default `*` rule — the
+    * rightmost label). Pure narrow Column logic over the dot-suffix
+    * array: rule sets become literal arrays, matching is array_contains
+    * over at most label-count probes — no join, no shuffle, codegen'd.
+    */
+  def publicSuffix(host: Column, rules: PslRules = PslRules.builtin): Column =
+    psPos(host, rules)._2
+
+  /** position of the public suffix in the host's suffix array + the
+    * suffix itself (shared by publicSuffix/registeredDomain) */
+  private def psPos(host: Column, rules: PslRules): (Column, Column) = {
+    val sufs = domainSuffixes(host)
+    val n = size(sufs)
+    val idx = sequence(lit(1), n)
+    def litArr(xs: Seq[String]) = array(xs.map(x => lit(x)): _*)
+    def minMatch(set: Seq[String], minI: Int): Column =
+      if (set.isEmpty) lit(null).cast("int")
+      else array_min(filter(idx,
+        i => i >= minI && array_contains(litArr(set), element_at(sufs, i))))
+    val normPos = minMatch(rules.normal, 1)
+    // wildcard *.b: the public suffix is <label>.b — one position left
+    // of the matched base, which must have a label before it
+    val wildPos = minMatch(rules.wildcardBases, 2) - 1
+    // exception !e: public suffix is e minus its leftmost label — one
+    // position right of the match (guard: must still exist)
+    val excRaw = minMatch(rules.exceptions, 1) + 1
+    val excPos = when(excRaw <= n, excRaw)
+    val pos = coalesce(excPos, least(normPos, wildPos), n)
+    (pos, element_at(sufs, pos))
+  }
+
+  /** eTLD+1: the registered (registrable) domain of a URL — public
+    * suffix plus one label; NULL when the host IS a public suffix (or
+    * empty). The real per-registry semantics blocklists and per-site
+    * aggregations need: `sub.shop.example.co.uk → example.co.uk`,
+    * `foo.github.io → foo.github.io`'s owner page stays distinct from
+    * `github.io`. Narrow, no shuffle. */
+  def registeredDomain(url: Column, rules: PslRules = PslRules.builtin): Column = {
+    val host = extractDomain(url)
+    val sufs = domainSuffixes(host)
+    val (pos, _) = psPos(host, rules)
+    when(pos >= 2, element_at(sufs, pos - 1))
+  }
+
   /** Drop rows whose URL's domain (or any parent domain) is in a SMALL
     * static blocklist — a narrow codegen'd `arrays_overlap` filter
     * fused into the scan; zero shuffles, the UT1-blocklist-style scrub

@@ -617,6 +617,53 @@ class TrainPrepSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(keptTable == Set(1L, 4L, 5L))
   }
+  test("publicSuffix/registeredDomain follow PSL semantics (normal/wildcard/exception/default)") {
+    import graft.functions.TextFns
+    val cases = Seq(
+      // (url, expected public suffix, expected registered domain)
+      ("https://shop.example.co.uk/p", "co.uk", "example.co.uk"),
+      ("http://a.b.site.com/x", "com", "site.com"),
+      ("ftp://x.y.ck/f", "y.ck", "x.y.ck"),            // wildcard *.ck
+      ("https://www.ck/", "ck", "www.ck"),             // exception !www.ck
+      ("user.github.io", "github.io", "user.github.io"),
+      ("data.example.org", "org", "example.org"),
+      ("co.uk", "co.uk", null),                        // host IS a public suffix
+      ("com", "com", null),
+      ("localhost", "localhost", null)                 // single label, default rule
+    )
+    val out = cases.map(_._1).toDF("url")
+      .select(
+        TextFns.publicSuffix(TextFns.extractDomain(col("url"))).as("ps"),
+        TextFns.registeredDomain(col("url")).as("rd"))
+      .collect()
+    cases.zipWithIndex.foreach { case ((u, ps, rd), i) =>
+      assert(out(i).getString(0) == ps, s"public suffix of $u")
+      assert((if (out(i).isNullAt(1)) null else out(i).getString(1)) == rd,
+        s"registered domain of $u")
+    }
+  }
+
+  test("PslRules.parse reads standard list syntax; custom rules flow through") {
+    import graft.functions.TextFns
+    val rules = TextFns.PslRules.parse(Seq(
+      "// ===BEGIN ICANN DOMAINS===",
+      "",
+      "uk",
+      "co.uk",
+      "*.sch.uk",
+      "!known.sch.uk   // trailing junk after whitespace",
+      "  JP  "))
+    assert(rules.normal == Seq("uk", "co.uk", "jp"))
+    assert(rules.wildcardBases == Seq("sch.uk"))
+    assert(rules.exceptions == Seq("known.sch.uk"))
+    val out = Seq("x.myschool.sch.uk", "a.known.sch.uk").toDF("url")
+      .select(TextFns.registeredDomain(col("url"), rules).as("rd"))
+      .collect().map(_.getString(0)).toSeq
+    // wildcard: ps = myschool.sch.uk -> rd = x.myschool.sch.uk
+    // exception: ps = sch.uk -> rd = known.sch.uk
+    assert(out == Seq("x.myschool.sch.uk", "known.sch.uk"))
+  }
+
   test("splitCorpus: exhaustive, exclusive, deterministic, fraction-true") {
     val docs = (0L until 8000L).map(i => Tuple1(i)).toDF("doc_id")
     val out = Sampling.splitCorpus(docs, "s1", Seq("doc_id"),
