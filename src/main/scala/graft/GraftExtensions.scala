@@ -56,7 +56,9 @@ object GraftExtensions {
     "decode_video_features" -> (e => plans.DecodeVideoFeatures(
       e(0), if (e.length > 1) litInt(e(1), "frameStride") else 1)),
     "word_shingles" ->
-      (e => plans.WordShingles(e(0), litInt(e(1), "shingle size k"))))
+      (e => plans.WordShingles(e(0), litInt(e(1), "shingle size k"))),
+    "frequent_terms" ->
+      (e => plans.FrequentTerms(e(0), litInt(e(1), "sketch size k"))))
 
   /** register all kernels + optimizer rules on an existing session */
   def register(spark: SparkSession): Unit = {

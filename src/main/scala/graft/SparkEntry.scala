@@ -1265,6 +1265,35 @@ object SparkEntry {
         .orderBy("z", "event_id")
     }),
 
+    // bounded-state heavy-hitters vocabulary (native Misra-Gries
+    // TypedImperativeAggregate): the gate proves the MG guarantee
+    // itself against exact counts — every exact-top-10 term must be
+    // present-or-provably-small, and present estimates must sit in
+    // [true − n/(k+1), true]. All comparisons are scaled-integer exact
+    // (est·(k+1) ≥ cnt·(k+1) − n), so the booleans are engine-portable
+    // and the oracle asserts literal TRUEs over the exact top-10.
+    "q_vocab_topk" -> ((s, dir) => {
+      val k = 256
+      val docs = t(s, dir, "documents").df
+      val sk = docs.agg(TextFns.frequentTerms(col("text"), k).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.term").as("term"), col("e.est").as("est"))
+      val exact = docs
+        .select(explode(TextFns.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val nTotal = exact.agg(sum("cnt").as("n"))
+      exact.orderBy(desc("cnt"), col("term")).limit(10)
+        .join(sk, Seq("term"), "left")
+        .crossJoin(broadcast(nTotal))
+        .select(col("term"), col("cnt"),
+          (col("est").isNotNull ||
+            col("cnt") * (k + 1) <= col("n")).as("present_ok"),
+          (col("est").isNull ||
+            (col("est") <= col("cnt") &&
+             col("est") * (k + 1) >= col("cnt") * (k + 1) - col("n"))).as("bounds_ok"))
+        .orderBy(desc("cnt"), col("term"))
+    }),
+
     // eTLD+1 (public-suffix-list) registered-domain extraction:
     // synthetic hosts exercising every rule class — multi-label normal
     // suffixes (co.uk, github.io), wildcard *.ck, the !www.ck
@@ -2595,6 +2624,14 @@ object SparkEntry {
     "q_zorder" -> zorderOracle,
 
     "q_url_etld" -> etldOracle,
+
+    "q_vocab_topk" ->
+      s"""SELECT term, cnt, TRUE AS present_ok, TRUE AS bounds_ok
+         |FROM (
+         |  SELECT t AS term, COUNT(*) AS cnt
+         |  FROM (SELECT unnest($tkExpr) AS t FROM documents)
+         |  GROUP BY 1 ORDER BY cnt DESC, term LIMIT 10)
+         |ORDER BY cnt DESC, term""".stripMargin,
 
     "q_url_filter" ->
       """WITH u AS (

@@ -230,6 +230,19 @@ object TextFns {
       i => array_join(slice(parts, i, size(parts)), "."))
   }
 
+  /** Misra–Gries heavy-hitters aggregate over a text column (native
+    * [[graft.plans.FrequentTerms]]): at most `k` (term, counter) pairs
+    * per partition, mergeable summaries through the final aggregation —
+    * no token explode, no term shuffle. Returns
+    * `array<struct<term, est>>` sorted (est desc, term asc), with the
+    * MG guarantee `true − n/(k+1) ≤ est ≤ true`. The bounded-state
+    * complement of [[termDocFreq]] for whole-corpus vocabulary. */
+  def frequentTerms(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(
+      graft.plans.FrequentTerms(GraftShim.expression(text), k).toAggregateExpression())
+  }
+
   /** Public-suffix rule set (publicsuffix.org semantics): `normal`
     * rules match literally, `wildcardBases` are the `x` of `*.x` rules
     * (one arbitrary label + base is the public suffix), `exceptions`

@@ -567,6 +567,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(loose.map(_.getString(1)).toSeq == docs.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
   }
 
+  test("frequentTerms: exact under capacity, MG bound under pressure, merge-safe") {
+    import graft.functions.TextFns
+    // distinct terms <= k: estimates are EXACT counts regardless of partitioning
+    val small = Seq("a a b", "b a c", "c c c d").toDF("text").repartition(4)
+    val ex = small.agg(TextFns.frequentTerms(col("text"), 16).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .collect().map(r => r.getStruct(0).getString(0) -> r.getStruct(0).getLong(1)).toMap
+    assert(ex == Map("a" -> 3L, "b" -> 2L, "c" -> 4L, "d" -> 1L))
+    // adversarial: 60 distinct fillers interleaved with a heavy term,
+    // k = 8 << distinct -> constant decrement pressure.
+    // "heavy" count = 60 + 60 + 3 = 123; each filler 2; n = 243 tokens.
+    val heavy = (0 until 60).map(i => s"heavy filler$i").mkString(" ")
+    val docs = Seq(heavy, heavy, "heavy heavy heavy").toDF("text").repartition(5)
+    val n = 60 * 2 * 2 + 3 // tokens total
+    val sk = docs.agg(TextFns.frequentTerms(col("text"), 8).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .collect().map(r => r.getStruct(0).getString(0) -> r.getStruct(0).getLong(1)).toMap
+    val truth = Map("heavy" -> 123L) ++ (0 until 60).map(i => s"filler$i" -> 2L)
+    // est <= true and est >= true - n/(k+1) for every reported term
+    sk.foreach { case (t, est) =>
+      assert(est <= truth(t), s"$t overestimated: $est > ${truth(t)}")
+      assert(est * 9 >= truth(t) * 9 - n, s"$t below MG bound")
+    }
+    // the heavy term (63 > n/9 = 27) MUST be present
+    assert(sk.contains("heavy"))
+    // SQL surface
+    graft.GraftExtensions.register(spark)
+    small.createOrReplaceTempView("ft_docs")
+    val viaSql = spark.sql(
+      "SELECT frequent_terms(text, 16) AS sk FROM ft_docs")
+      .select(explode(col("sk")).as("e"))
+      .collect().map(r => r.getStruct(0).getString(0) -> r.getStruct(0).getLong(1)).toMap
+    assert(viaSql == ex)
+  }
+
   test("dropRepeatedSpans: repeated k-grams out, overlaps merge, short docs pass") {
     val docs = Seq(
       (1L, "all rights reserved worldwide alpha beta gamma"),
