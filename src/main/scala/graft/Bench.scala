@@ -39,7 +39,13 @@ object Bench {
     "q_asof_full", "q_union_all", "q_unnest_longer", "q_cube",
     // round 4 (cont.): classic warehouse multi-join shapes (TPC-H
     // Q3/Q5/Q10 over the fixtures) + int8-quantized retrieval
-    "q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_embed_quant")
+    "q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_embed_quant",
+    // round 4 (cont. 2): exact span dedup (gram-count shuffle),
+    // stupid-backoff LM (5 model joins), bounded-state vocabulary
+    // sketch (partial/final TypedImperativeAggregate), z-order key +
+    // global clustering sort, narrow eTLD+1 extraction
+    "q_dedup_spans", "q_text_lm_backoff", "q_vocab_topk", "q_zorder",
+    "q_url_etld")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1281,16 +1281,17 @@ object SparkEntry {
       val exact = docs
         .select(explode(TextFns.tokens(col("text"))).as("term"))
         .groupBy("term").agg(count(lit(1)).as("cnt"))
-      val nTotal = exact.agg(sum("cnt").as("n"))
+      // exact scalar inlined as a literal (the scalar-subquery pattern)
+      val n = docs.select(sum(size(TextFns.tokens(col("text")))))
+        .first().getLong(0)
       exact.orderBy(desc("cnt"), col("term")).limit(10)
         .join(sk, Seq("term"), "left")
-        .crossJoin(broadcast(nTotal))
         .select(col("term"), col("cnt"),
           (col("est").isNotNull ||
-            col("cnt") * (k + 1) <= col("n")).as("present_ok"),
+            col("cnt") * (k + 1) <= lit(n)).as("present_ok"),
           (col("est").isNull ||
             (col("est") <= col("cnt") &&
-             col("est") * (k + 1) >= col("cnt") * (k + 1) - col("n"))).as("bounds_ok"))
+             col("est") * (k + 1) >= col("cnt") * (k + 1) - lit(n))).as("bounds_ok"))
         .orderBy(desc("cnt"), col("term"))
     }),
 

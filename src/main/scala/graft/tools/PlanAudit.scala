@@ -25,7 +25,11 @@ object PlanAudit {
         // round-4 additions
         "q_cube", "q_rollup", "q_grouping_sets", "q_range_rule",
         "q_dedup_paragraph", "q_text_lm_filter", "q_split_corpus",
-        "q_asof_full", "q_union_all", "q_unnest_longer")
+        "q_asof_full", "q_union_all", "q_unnest_longer",
+        // round-4 continuation additions
+        "q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_embed_quant",
+        "q_dedup_spans", "q_text_lm_backoff", "q_vocab_topk",
+        "q_zorder", "q_url_etld")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -257,6 +257,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("frequent_terms sketch + eTLD enrichment run on a stream (complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.TextFns
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF.toDF("doc_id", "text", "url")
+    // TypedImperativeAggregate state is mergeable, so the vocabulary
+    // sketch updates per micro-batch; registeredDomain is narrow and
+    // applies unchanged — group the sketch by registered domain
+    val q = docs
+      .withColumn("domain", TextFns.registeredDomain(col("url")))
+      .groupBy("domain")
+      .agg(TextFns.frequentTerms(col("text"), 8).as("sk"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("vocab_stream_out").start()
+    try {
+      input.addData(
+        (1L, "alpha beta alpha", "https://a.shop.co.uk/x"),
+        (2L, "gamma gamma", "https://b.site.com/y"))
+      q.processAllAvailable()
+      input.addData(
+        (3L, "beta beta", "https://c.shop.co.uk/z"))
+      q.processAllAvailable()
+      val rows = spark.table("vocab_stream_out").collect()
+        .map { r =>
+          r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(e => e.getString(0) -> e.getLong(1)).toMap
+        }.toMap
+      assert(rows("shop.co.uk") == Map("alpha" -> 2L, "beta" -> 3L))
+      assert(rows("site.com") == Map("gamma" -> 2L))
+    } finally q.stop()
+  }
+
   test("sessionize produces gap-bounded sessions") {
     val events = spark.read.schema(Streams.eventsSchema).parquet(s"$sf001/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

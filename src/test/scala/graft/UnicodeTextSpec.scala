@@ -45,6 +45,30 @@ class UnicodeTextSpec extends SparkSpec {
     assert(rep(1).getDouble(5) == 1.25)
   }
 
+  test("span dedup strips non-BMP repeated grams without splitting pairs") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "🚀x 𝄞y ☃z alpha"),
+      (2L, "🚀x 𝄞y ☃z beta"),
+      (3L, "plain words only here")
+    ).toDF("doc_id", "text")
+    // "🚀x 𝄞y ☃z" (k=3) repeats twice -> stripped from both docs intact
+    val out = Dedup.dropRepeatedSpans(docs, "doc_id", "text", k = 3, minRepeats = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "alpha")
+    assert(out(1).getString(1) == "beta")
+    assert(out(2).getString(1) == "plain words only here")
+    assert(out(0).getLong(3) == 3L && out(2).getLong(3) == 0L)
+  }
+
+  test("frequentTerms counts non-BMP terms as whole tokens") {
+    val sk = Seq("🚀 🚀 𝄞a", "𝄞a 🚀").toDF("text")
+      .agg(TextFns.frequentTerms(col("text"), 8).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .collect().map(r => r.getStruct(0).getString(0) -> r.getStruct(0).getLong(1)).toMap
+    assert(sk == Map("🚀" -> 3L, "𝄞a" -> 2L))
+  }
+
   test("word shingles keep surrogate pairs joined") {
     val out = Seq("𝄞a 🚀b ☃c").toDF("text")
       .select(explode(TextFns.wordShingles(col("text"), 2)).as("g"))
