@@ -1070,6 +1070,28 @@ object SparkEntry {
         .df
     }),
 
+    // composed continuation chain: span-level boilerplate strip →
+    // document-shape floor (≥8 surviving tokens, <50% dropped) →
+    // 16/4 sliding-window chunking — one lazy plan; the oracle chains
+    // the span mirror into the chunk mirror over the SURVIVING token
+    // lists, so token-identity through the whole chain is load-bearing
+    "q_pipeline_spans" -> ((s, dir) => {
+      val src = t(s, dir, "documents").df
+        .select(col("doc_id"), concat_ws(" ",
+          lit("all rights reserved by example corp"),
+          col("text"),
+          when(col("doc_id") % 2 === 0, lit("click here to subscribe today"))).as("text"))
+      val cleaned = Dedup.dropRepeatedSpans(src, "doc_id", "text", k = 5, minRepeats = 3)
+      val kept = cleaned
+        .filter(col("n_tokens") - col("n_dropped") >= 8 &&
+                col("n_dropped") * 2 <= col("n_tokens"))
+        .select("doc_id", "text")
+      Tidier.from(Chunking.chunkByTokens(kept, "text", maxTokens = 16, overlap = 4))
+        .select("doc_id", "chunk_id", "chunk", "chunk_tokens")
+        .arrange("doc_id", "chunk_id")
+        .df
+    }),
+
     "q_dedup_minhash" -> ((s, dir) =>
       Tidier.from(
           Dedup.minHashDupPairs(
@@ -2374,6 +2396,50 @@ object SparkEntry {
         |  CAST(len(tk.tk) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
         |FROM tk LEFT JOIN agg USING (doc_id)
         |ORDER BY tk.doc_id""".stripMargin,
+
+    "q_pipeline_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id, concat_ws(' ', 'all rights reserved by example corp', text,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'click here to subscribe today' END) AS text
+        |  FROM documents
+        |), tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM base
+        |), g AS (
+        |  SELECT doc_id, unnest(range(1, len(tk) - 5 + 2)) AS s, tk
+        |  FROM tk WHERE len(tk) >= 5
+        |), g2 AS (
+        |  SELECT doc_id, s, md5(array_to_string(tk[s:s+4], ' ')) AS gh FROM g
+        |), rep AS (
+        |  SELECT gh FROM g2 GROUP BY gh HAVING count(*) >= 3
+        |), starts AS (
+        |  SELECT doc_id, s FROM g2 JOIN rep USING (gh)
+        |), cov AS (
+        |  SELECT DISTINCT starts.doc_id, starts.s + o.i AS p
+        |  FROM starts, (SELECT unnest(range(0, 5)) AS i) o
+        |), toks AS (
+        |  SELECT doc_id, unnest(tk) AS t, unnest(range(1, len(tk) + 1)) AS p FROM tk
+        |), keptt AS (
+        |  SELECT toks.doc_id, toks.t, toks.p FROM toks
+        |  LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.p = cov.p
+        |  WHERE cov.p IS NULL
+        |), cleaned AS (
+        |  SELECT doc_id, list(t ORDER BY p) AS tk2, count(*) AS nk
+        |  FROM keptt GROUP BY doc_id
+        |), keptdocs AS (
+        |  SELECT tk.doc_id, c.tk2 AS tk, c.nk AS nt
+        |  FROM tk JOIN cleaned c USING (doc_id)
+        |  WHERE c.nk >= 8 AND (len(tk.tk) - c.nk) * 2 <= len(tk.tk)
+        |), ch AS (
+        |  SELECT doc_id, tk, nt,
+        |    unnest(range(0, greatest(1, (nt - 4 + 12 - 1) // 12))) AS chunk_id
+        |  FROM keptdocs WHERE nt > 0
+        |)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(list_slice(tk, chunk_id * 12 + 1, chunk_id * 12 + 16), ' ') AS chunk,
+        |  len(list_slice(tk, chunk_id * 12 + 1, chunk_id * 12 + 16)) AS chunk_tokens
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_dedup_minhash" -> minhashOracle(shingleK = 3, numHashes = 12, bands = 6, threshold = 0.4),
 

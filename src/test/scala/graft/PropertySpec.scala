@@ -240,4 +240,43 @@ class PropertySpec extends SparkSpec {
         s"word '$w': greedy ${got(w)} != rank-order ${referenceEncode(model, w)}")
     }
   }
+
+  test("quantizeInt8: reconstruction error <= scale/2 per component; range holds") {
+    import graft.operators.Similarity
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-100f, 100f))
+    forAll(vecGen, n = 25) { vs =>
+      val df = Seq(Tuple3(1L, vs, 0)).toDF("vec_id", "embedding", "label")
+      val r = Similarity.quantizeInt8(df, "embedding").head()
+      val q = r.getSeq[Byte](3)
+      val scale = r.getDouble(4)
+      if (vs.forall(_ == 0f)) {
+        assert(q.forall(_ == 0) && scale == 0.0)
+      } else {
+        vs.zip(q).foreach { case (v, qi) =>
+          assert(math.abs(qi.toInt) <= 127)
+          // |v - q·scale| <= scale/2 + fp slack (round-to-nearest law)
+          assert(math.abs(v.toDouble - qi * scale) <= scale / 2 + 1e-9,
+            s"component $v -> $qi at scale $scale")
+        }
+      }
+    }
+  }
+
+  test("zorderValue is injective on the masked domain and order-embeds boxes") {
+    import graft.operators.ScaleOps
+    val ptGen = Gen.zip(Gen.chooseNum(0L, 255L), Gen.chooseNum(0L, 255L))
+    forAll(Gen.listOfN(40, ptGen), n = 10) { pts0 =>
+      val pts = pts0.distinct
+      val zs = pts.toDF("x", "y")
+        .select(col("x"), col("y"),
+          ScaleOps.zorderValue(Seq(col("x"), col("y")), 8).as("z"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // injective: distinct points -> distinct keys
+      assert(zs.values.toSeq.distinct.size == pts.size)
+      // dominance order embeds: p <= q componentwise -> z(p) <= z(q)
+      for ((p @ (px, py)) <- pts; (q @ (qx, qy)) <- pts
+           if px <= qx && py <= qy)
+        assert(zs(p) <= zs(q), s"dominance violated: $p -> ${zs(p)}, $q -> ${zs(q)}")
+    }
+  }
 }
