@@ -62,6 +62,44 @@ object SparkEntry {
     base.toString
   }
 
+  /** Builds the q_arrow_scan fixture: documents (doc_id, text) written
+    * to a temp Arrow IPC file with Spark's bundled arrow-vector jars
+    * (fresh per call); spec-compliance against an INDEPENDENT writer is
+    * pinned separately by ArrowScanSpec's pyarrow fixtures. */
+  private def arrowGateFixture(s: SparkSession, dir: String): String = {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.ipc.ArrowFileWriter
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+    val rows = t(s, dir, "documents").df.select("doc_id", "text")
+      .orderBy("doc_id").collect()
+    val path = java.nio.file.Files.createTempFile("graft_arrow_gate", ".arrow")
+    path.toFile.deleteOnExit()
+    val alloc = new RootAllocator()
+    try {
+      val schema = new ASchema(java.util.Arrays.asList(
+        new Field("doc_id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+        new Field("text", FieldType.nullable(new ArrowType.Utf8()), null)))
+      val root = VectorSchemaRoot.create(schema, alloc)
+      try {
+        val ids = root.getVector("doc_id").asInstanceOf[BigIntVector]
+        val texts = root.getVector("text").asInstanceOf[VarCharVector]
+        root.allocateNew()
+        rows.zipWithIndex.foreach { case (r, i) =>
+          ids.setSafe(i, r.getLong(0))
+          texts.setSafe(i, r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        root.setRowCount(rows.length)
+        val ch = java.nio.channels.FileChannel.open(path,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        val w = new ArrowFileWriter(root, null, ch)
+        try { w.start(); w.writeBatch(); w.end() } finally { w.close(); ch.close() }
+      } finally root.close()
+    } finally alloc.close()
+    path.toString
+  }
+
   /** Builds the q_iceberg_scan fixture: a hand-written two-snapshot
     * Iceberg metadata tree (JSON + Avro manifests per the public spec)
     * over the same two parquet files as the delta fixture. Returns the
@@ -1393,6 +1431,16 @@ object SparkEntry {
     "q_delta_scan" -> ((s, dir) => {
       val base = deltaGateFixture(s, dir)
       Tidier.from(graft.sources.DeltaScan.read(s, base))
+        .arrange("doc_id")
+        .df
+    }),
+
+    // Arrow IPC scan: documents round-tripped through a temp .arrow
+    // file (reference copy_to's Arrow-register surface) — any byte,
+    // offset, or validity-bitmap mishandling diverges the hash
+    "q_arrow_scan" -> ((s, dir) => {
+      val path = arrowGateFixture(s, dir)
+      Tidier.read(s, path)
         .arrange("doc_id")
         .df
     }),
@@ -2732,6 +2780,10 @@ object SparkEntry {
     // file: doc_id < 150
     "q_delta_scan" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 150
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_arrow_scan" ->
+      """SELECT doc_id, text FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "q_delta_roundtrip" ->

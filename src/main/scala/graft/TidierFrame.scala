@@ -160,6 +160,9 @@ object Tidier {
         graft.sources.Sas7bdatScan.read(spark, path)
       else if (lower.endsWith(".por"))
         graft.sources.PorScan.read(spark, path)
+      else if (lower.endsWith(".arrow") || lower.endsWith(".arrows") ||
+               lower.endsWith(".feather"))
+        graft.sources.ArrowScan.read(spark, path)
       else spark.read.parquet(path)
     TidierFrame(df)
   }
