@@ -543,6 +543,27 @@ object SparkEntry {
         .arrange(desc("revenue"), col("n_name"))
         .df),
 
+    // Q18 (large-volume customers): semi-join against an AGGREGATED
+    // subquery frame (the reference's subquery-RHS join surface), then
+    // the 3-table join + re-aggregation + top-k
+    "q_tpch_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .summarize("sum_qty_all" -> dsum(col("l_quantity")))
+        .filter(col("sum_qty_all") > 150d)
+        .select("l_orderkey")
+      t(s, dir, "customer")
+        .innerJoin(
+          t(s, dir, "orders").semiJoin(big, Equi("o_orderkey", "l_orderkey")),
+          Equi("c_custkey", "o_custkey"))
+        .innerJoin(t(s, dir, "lineitem"), Equi("o_orderkey", "l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .summarize("sum_qty" -> dsum(col("l_quantity")))
+        .arrange(desc("o_totalprice"), col("o_orderdate"), col("o_orderkey"))
+        .head(100)
+        .df
+    }),
+
     // customer is the LEFT side so the ref's coalesce-key projection
     // (keeps the left key's name) leaves c_custkey in the output
     "q_tpch_q10" -> ((s, dir) =>
@@ -1552,6 +1573,17 @@ object SparkEntry {
     "q_chunk" -> ((s, dir) =>
       Tidier.from(
           Chunking.chunkByTokens(t(s, dir, "documents").df, "text", maxTokens = 32, overlap = 8))
+        .select("doc_id", "chunk_id", "chunk", "chunk_tokens")
+        .arrange("doc_id", "chunk_id")
+        .df),
+
+    // content-defined chunking: rolling-fingerprint boundaries
+    // (portable hash of the 3-token window ≡ 0 mod 16 → expected
+    // 16-token chunks); the oracle recomputes every boundary and span
+    "q_chunk_cdc" -> ((s, dir) =>
+      Tidier.from(
+          Chunking.chunkByContent(t(s, dir, "documents").df, "text",
+            windowTokens = 3, maskBits = 4))
         .select("doc_id", "chunk_id", "chunk", "chunk_tokens")
         .arrange("doc_id", "chunk_id")
         .df),
@@ -2876,6 +2908,27 @@ object SparkEntry {
          |  len(list_slice(tk, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS chunk_tokens
          |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
+    "q_chunk_cdc" ->
+      s"""WITH toks AS (SELECT doc_id, $tkExpr AS tk FROM documents),
+         |n AS (SELECT doc_id, tk, len(tk) AS nt FROM toks WHERE len(tk) > 0),
+         |bsets AS (
+         |  SELECT doc_id, tk, nt,
+         |    list_filter(range(3, nt + 1),
+         |      p -> ('0x' || substr(md5(array_to_string(tk[p-2:p], ' ')), 1, 15))::BIGINT % 16 = 0) AS bs
+         |  FROM n),
+         |ch AS (
+         |  SELECT doc_id, tk, nt, bs, unnest(range(0, len(bs) + 1)) AS k FROM bsets),
+         |spans AS (
+         |  SELECT doc_id, k AS chunk_id,
+         |    CASE WHEN k = 0 THEN 1 ELSE bs[k] + 1 END AS s,
+         |    CASE WHEN k < len(bs) THEN bs[k + 1] ELSE nt END AS e,
+         |    tk
+         |  FROM ch)
+         |SELECT doc_id, chunk_id, array_to_string(tk[s:e], ' ') AS chunk,
+         |  CAST(e - s + 1 AS BIGINT) AS chunk_tokens
+         |FROM spans WHERE e >= s
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+
     // sequential greedy first-fit fold re-derived with a recursive CTE
     // stepping one row per group per iteration
     "q_pack" ->
@@ -2952,6 +3005,19 @@ object SparkEntry {
         |GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
         |ORDER BY revenue DESC, c.c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sum_qty
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) > 150)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q_embed_quant" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -52,4 +52,61 @@ object Chunking {
       .withColumn("chunk_tokens", size(slice0).cast("long"))
       .drop(tk, nc, "__chunk_id")
   }
+
+  /** Content-defined chunking (CDC — the rolling-fingerprint boundary
+    * rule of dedup storage systems, applied to token streams): a chunk
+    * boundary falls AFTER token position p whenever the portable hash
+    * of the `windowTokens`-token window ending at p is ≡ 0
+    * (mod 2^maskBits). Boundaries depend only on local content, so an
+    * insertion early in a document shifts chunk CONTENT but not the
+    * boundaries downstream of it — shifted-duplicate documents still
+    * produce mostly identical chunks (exactly what fixed-stride
+    * windows cannot do, and why CDC feeds chunk-level exact dedup).
+    * Expected chunk length ≈ 2^maskBits tokens; no minimum/maximum
+    * clamps (clamps would make boundaries sequential — this form stays
+    * stateless per position and therefore NARROW, no shuffle).
+    *
+    * Output: one row per (document, chunk): `chunk_id` (0-based,
+    * consecutive), `chunk`, `chunk_tokens`; other columns pass
+    * through. Documents shorter than `windowTokens` yield one chunk.
+    */
+  def chunkByContent(
+      df: DataFrame,
+      textCol: String,
+      windowTokens: Int = 3,
+      maskBits: Int = 4): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    require(maskBits >= 1 && maskBits <= 30, s"maskBits must be in [1,30], got $maskBits")
+    val m = 1L << maskBits
+    val tk = "__cdc_tk"
+    df.withColumn(tk, TextFns.tokens(col(textCol)))
+      .filter(size(col(tk)) > 0)
+      // boundary positions: hash of the window ending at p ≡ 0 (mod m)
+      .withColumn("__cdc_bs",
+        when(size(col(tk)) >= windowTokens,
+          filter(sequence(lit(windowTokens), size(col(tk))),
+            p => pmod(TextFns.portableHash(
+              concat_ws(" ",
+                slice(col(tk), p - (windowTokens - 1), lit(windowTokens)))),
+              lit(m)) === 0))
+        .otherwise(array().cast("array<int>")))
+      // chunk k spans (bs[k] + 1 .. bs[k+1]) with sentinels 0 and n;
+      // only the FINAL chunk can be empty (boundary exactly at n)
+      .withColumn("__cdc_c", explode(filter(
+        transform(sequence(lit(0), size(col("__cdc_bs"))), k =>
+          struct(
+            k.cast("long").as("cid"),
+            when(k === 0, lit(1))
+              .otherwise(element_at(col("__cdc_bs"), k) + 1).as("s"),
+            when(k < size(col("__cdc_bs")), element_at(col("__cdc_bs"), k + 1))
+              .otherwise(size(col(tk))).as("e"))),
+        c => c.getField("e") >= c.getField("s"))))
+      .withColumn("chunk_id", col("__cdc_c.cid"))
+      .withColumn("chunk",
+        concat_ws(" ", slice(col(tk), col("__cdc_c.s"),
+          col("__cdc_c.e") - col("__cdc_c.s") + 1)))
+      .withColumn("chunk_tokens",
+        (col("__cdc_c.e") - col("__cdc_c.s") + 1).cast("long"))
+      .drop(tk, "__cdc_bs", "__cdc_c")
+  }
 }

@@ -617,6 +617,30 @@ class TrainPrepSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(keptTable == Set(1L, 4L, 5L))
   }
+  test("chunkByContent: boundaries are content-local — a front insertion leaves later chunks intact") {
+    import graft.operators.Chunking
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, "inserted " + base)).toDF("doc_id", "text")
+    val out = Chunking.chunkByContent(docs, "text", windowTokens = 3, maskBits = 3)
+      .select("doc_id", "chunk_id", "chunk")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.sortBy(_.getLong(1)).map(_.getString(2)).toSeq }
+    val c1 = out(1L); val c2 = out(2L)
+    assert(c1.size > 3, s"mask 3 should cut ~25 chunks from 200 tokens, got ${c1.size}")
+    // all chunks after the first boundary are IDENTICAL despite the
+    // one-token shift (fixed-stride windows would all differ)
+    assert(c1.tail == c2.tail.takeRight(c1.tail.size) || c1.tail == c2.tail,
+      "CDC chunks after the first boundary must survive a front insertion")
+    assert(c2.head.startsWith("inserted"))
+    // chunks partition the token stream exactly
+    assert(c1.mkString(" ") == base.toLowerCase)
+    // short doc: one chunk, id 0
+    val short = Chunking.chunkByContent(Seq((9L, "a b")).toDF("doc_id", "text"),
+      "text", windowTokens = 3, maskBits = 3).collect()
+    assert(short.length == 1 && short(0).getAs[Long]("chunk_id") == 0L
+      && short(0).getAs[String]("chunk") == "a b")
+  }
+
   test("publicSuffix/registeredDomain follow PSL semantics (normal/wildcard/exception/default)") {
     import graft.functions.TextFns
     val cases = Seq(
