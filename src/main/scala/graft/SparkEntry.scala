@@ -62,41 +62,23 @@ object SparkEntry {
     base.toString
   }
 
-  /** Builds the q_arrow_scan fixture: documents (doc_id, text) written
-    * to a temp Arrow IPC file with Spark's bundled arrow-vector jars
-    * (fresh per call); spec-compliance against an INDEPENDENT writer is
-    * pinned separately by ArrowScanSpec's pyarrow fixtures. */
+  /** Builds the q_arrow_scan fixture through [[graft.sources.ArrowWrite]]
+    * (a WRITE→READ round trip over long/string/timestamp/decimal/bool/
+    * int columns, fresh per call); spec-compliance against an
+    * INDEPENDENT writer is pinned separately by ArrowScanSpec's
+    * pyarrow fixtures. */
   private def arrowGateFixture(s: SparkSession, dir: String): String = {
-    import org.apache.arrow.memory.RootAllocator
-    import org.apache.arrow.vector.{BigIntVector, VarCharVector, VectorSchemaRoot}
-    import org.apache.arrow.vector.ipc.ArrowFileWriter
-    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
-    val rows = t(s, dir, "documents").df.select("doc_id", "text")
-      .orderBy("doc_id").collect()
     val path = java.nio.file.Files.createTempFile("graft_arrow_gate", ".arrow")
     path.toFile.deleteOnExit()
-    val alloc = new RootAllocator()
-    try {
-      val schema = new ASchema(java.util.Arrays.asList(
-        new Field("doc_id", FieldType.nullable(new ArrowType.Int(64, true)), null),
-        new Field("text", FieldType.nullable(new ArrowType.Utf8()), null)))
-      val root = VectorSchemaRoot.create(schema, alloc)
-      try {
-        val ids = root.getVector("doc_id").asInstanceOf[BigIntVector]
-        val texts = root.getVector("text").asInstanceOf[VarCharVector]
-        root.allocateNew()
-        rows.zipWithIndex.foreach { case (r, i) =>
-          ids.setSafe(i, r.getLong(0))
-          texts.setSafe(i, r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        }
-        root.setRowCount(rows.length)
-        val ch = java.nio.channels.FileChannel.open(path,
-          java.nio.file.StandardOpenOption.WRITE,
-          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-        val w = new ArrowFileWriter(root, null, ch)
-        try { w.start(); w.writeBatch(); w.end() } finally { w.close(); ch.close() }
-      } finally root.close()
-    } finally alloc.close()
+    graft.sources.ArrowWrite.write(
+      t(s, dir, "documents").df
+        .select(col("doc_id"), col("lang"), col("text"),
+          timestamp_micros(col("doc_id") * 1000000L).as("ts"),
+          col("doc_id").cast("decimal(10,2)").as("dec"),
+          (pmod(col("doc_id"), lit(2L)) === 0L).as("flag"),
+          col("n_chars").cast("int").as("nc"))
+        .orderBy("doc_id"),
+      path.toString)
     path.toString
   }
 
@@ -2815,8 +2797,12 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q_arrow_scan" ->
-      """SELECT doc_id, text FROM documents
-        |ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, lang, text,
+        |  make_timestamp(doc_id * 1000000) AS ts,
+        |  CAST(doc_id AS DECIMAL(10,2)) AS dec,
+        |  doc_id % 2 = 0 AS flag,
+        |  CAST(n_chars AS INTEGER) AS nc
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_delta_roundtrip" ->
       """SELECT doc_id, lang, text FROM documents

@@ -103,6 +103,8 @@ final case class TidierFrame(
     val lower = path.toLowerCase
     if (lower.endsWith(".csv")) df.write.mode("overwrite").option("header", "true").csv(path)
     else if (lower.endsWith(".json")) df.write.mode("overwrite").json(path)
+    else if (lower.endsWith(".arrow") || lower.endsWith(".feather"))
+      graft.sources.ArrowWrite.write(df, path)
     else df.write.mode("overwrite").parquet(path)
   }
   /** Explicit-format write: `csv`/`json`/`parquet`, plus the built-in

@@ -81,4 +81,45 @@ class ArrowScanSpec extends SparkSpec {
     java.nio.file.Files.write(junk, "this is not an arrow file at all".getBytes)
     intercept[Exception] { ArrowScan.read(spark, junk.toString).collect() }
   }
+
+  test("ArrowWrite round-trips every supported scalar type incl. nulls; writeFile dispatches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "hello", true), (2L, "𝄞 non-bmp 🚀", false), (3L, null.asInstanceOf[String], true)
+    ).toDF("id", "s", "flag")
+      .withColumn("ts", when(col("id") =!= 3L, timestamp_micros(col("id") * 1000000L)))
+      .withColumn("dec", col("id").cast("decimal(10,2)"))
+      .withColumn("d", to_date(concat(lit("2021-06-0"), col("id").cast("string"))))
+      .withColumn("f32", (col("id") / 2).cast("float"))
+      .withColumn("i32", col("id").cast("int"))
+      .withColumn("b", when(col("id") === 1L, lit(Array[Byte](9, 8))))
+    // written to target/ (not a temp) so the dev loop can cross-read it
+    // with pyarrow — the independent-reader check for the WRITE side
+    val out = new java.io.File("target/arrow-write-out")
+    out.mkdirs()
+    val path = s"${out.getPath}/roundtrip.arrow"
+    graft.sources.ArrowWrite.write(df, path)
+    val back = ArrowScan.read(spark, path).orderBy("id").collect()
+    val orig = df.orderBy("id").collect()
+    assert(back.length == orig.length)
+    orig.zip(back).foreach { case (a, b) =>
+      (0 until a.length).foreach { i =>
+        val (x, y) = (a.get(i), b.get(i))
+        (x, y) match {
+          case (p: Array[Byte], q: Array[Byte]) => assert(p.toSeq == q.toSeq)
+          case _ => assert(x == y, s"col $i: $x != $y")
+        }
+      }
+    }
+    // Tidier writeFile dispatches .arrow to ArrowWrite
+    val path2 = s"${out.getPath}/via_writefile.arrow"
+    Tidier.from(df.select("id", "s")).writeFile(path2)
+    assert(ArrowScan.read(spark, path2).count() == 3)
+    // non-scalar columns fail loudly
+    intercept[IllegalArgumentException] {
+      graft.sources.ArrowWrite.write(
+        df.withColumn("arr", array(col("id"))), s"${out.getPath}/bad.arrow")
+    }
+  }
 }
