@@ -208,7 +208,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++ TpchSuite.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // =====================================================================
     // §2.4 aggregation
     // =====================================================================
@@ -3497,5 +3499,5 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus IN ('P','O')
         |ORDER BY o_orderkey""".stripMargin,
-  )
+  ) ++ TpchSuite.oracles
 }
