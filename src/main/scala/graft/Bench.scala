@@ -45,7 +45,14 @@ object Bench {
     // sketch (partial/final TypedImperativeAggregate), z-order key +
     // global clustering sort, narrow eTLD+1 extraction
     "q_dedup_spans", "q_text_lm_backoff", "q_vocab_topk", "q_zorder",
-    "q_url_etld")
+    "q_url_etld",
+    // round 4 (cont. 3): the completed TPC-H suite's distinct plan
+    // shapes — full 8-agg scan (q1), nation self-join pairs (q7),
+    // CASE-share over 7 joins (q8), scalar-threshold broadcast (q11a),
+    // agg-over-agg left join (q13), decorrelated per-group avg (q17),
+    // dual EXISTS/NOT-EXISTS semi+anti (q21a)
+    "q_tpch_q1", "q_tpch_q7", "q_tpch_q8", "q_tpch_q11a", "q_tpch_q13",
+    "q_tpch_q17", "q_tpch_q21a")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

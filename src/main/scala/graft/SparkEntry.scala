@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Fns, Selector, TextFns}
-import graft.operators.{Bpe, BpeModel, Chunking, Decontaminate, Dedup, Multimodal, NgramLm, Packing, Pipelines, Profile, Repetition, Sampling, Similarity}
+import graft.operators.{Bpe, BpeModel, Chunking, Decontaminate, Dedup, Multimodal, NgramLm, Packing, Pca, Pipelines, Profile, Repetition, Sampling, Similarity}
 import graft.operators.JoinKey
 import graft.operators.JoinKey.{Closest, Equi, Theta}
 
@@ -943,6 +943,22 @@ object SparkEntry {
     // derived from doc_id) into real text, redact, gate the cleaned
     // string byte-for-byte — regexes are RE2-subset so the oracle
     // reproduces them verbatim with the 'g' flag
+    // line-level cleaning: synthesize multi-line docs (the fixture texts
+    // are single-line) with separator runs, digit-only and
+    // punctuation-only lines, and a too-short line — the rules must
+    // drop exactly those and keep the prose
+    "q_text_clean_lines" -> ((s, dir) => {
+      val src = t(s, dir, "documents").df
+        .select(col("doc_id"), concat_ws("\n",
+          lit("===="), lit("Read more"), col("text"), lit("42 17 99"),
+          lit("| | |"), lit("ab"),
+          when(col("doc_id") % 3 === 0, lit("Contact us at:"))).as("text"))
+      Tidier.from(TextFns.lineCleanReport(src, "text"))
+        .select("doc_id", "clean_text", "n_lines_kept", "n_lines_dropped")
+        .arrange("doc_id")
+        .df
+    }),
+
     "q_text_redact" -> ((s, dir) =>
       t(s, dir, "documents")
         .mutate("dirty" -> concat(
@@ -1622,6 +1638,14 @@ object SparkEntry {
     // reduction — the 100 TB serving path), rank by EXACT int64 dot
     // product of the quantized vectors. Integer arithmetic end to end,
     // so the gate is bit-exact by construction on any engine.
+    // PCA moment pass: the full upper-triangle covariance of the
+    // embedding table, DECIMAL-exact — proves the one distributed step
+    // of Pca.fit is externally reproducible bit-for-bit (the driver
+    // eigensolve is spec-gated: orthonormality, residuals, variance)
+    "q_embed_pca" -> ((s, dir) =>
+      Pca.covarianceUpper(t(s, dir, "embeddings").df, "embedding")
+        .orderBy("i", "j")),
+
     "q_embed_quant" -> ((s, dir) => {
       val q = Similarity.quantizeInt8(t(s, dir, "embeddings").df, "embedding")
       val qq = q.filter(col("vec_id") === 0L)
@@ -2158,6 +2182,23 @@ object SparkEntry {
          |  CAST(list_sum(list_transform($tkExpr, t -> 1 + len(t) // 6)) AS BIGINT) AS n_tok_bpe,
          |  md5(array_to_string(list_sort(list_distinct($tkExpr)), ' ')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_clean_lines" ->
+      """WITH src AS (
+        |  SELECT doc_id, concat_ws(chr(10), '====', 'Read more', text, '42 17 99',
+        |    '| | |', 'ab',
+        |    CASE WHEN doc_id % 3 = 0 THEN 'Contact us at:' END) AS text
+        |  FROM documents),
+        |s2 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+        |k AS (SELECT doc_id, ls,
+        |        list_filter(ls, l -> length(trim(l)) >= 3
+        |          AND length(regexp_replace(trim(l), '[^A-Za-z]', '', 'g')) * 100
+        |              >= length(regexp_replace(trim(l), ' ', '', 'g')) * 40) AS ks
+        |      FROM s2)
+        |SELECT doc_id, array_to_string(ks, chr(10)) AS clean_text,
+        |  CAST(len(ks) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(ls) - len(ks) AS BIGINT) AS n_lines_dropped
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_text_redact" ->
       """SELECT doc_id,
@@ -3006,6 +3047,19 @@ object SparkEntry {
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q_embed_pca" ->
+      """WITH e AS (SELECT list_transform(embedding,
+        |             x -> CAST(round(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS v
+        |           FROM embeddings),
+        |idx AS (SELECT unnest(range(0, 64)) AS i),
+        |p AS (SELECT i.i AS i, j.i AS j, e.v AS v FROM e, idx i, idx j WHERE j.i >= i.i)
+        |SELECT i, j,
+        |  (CAST(SUM(CAST(v[i+1] * v[j+1] AS DECIMAL(38,0))) AS DOUBLE)
+        |   - CAST(SUM(CAST(v[i+1] AS DECIMAL(38,0))) AS DOUBLE)
+        |     * CAST(SUM(CAST(v[j+1] AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)) / COUNT(*)
+        |    / 100000000000000.0 AS cov
+        |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin,
 
     "q_embed_quant" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -209,6 +209,50 @@ object TextFns {
       "\\+?\\d[\\d .()-]{7,}\\d", "[PHONE]")
   }
 
+  // ---- line-level cleaning ---------------------------------------------
+
+  /** Keep-predicate for one line of a document (RefinedWeb/CCNet-style
+    * line-wise rules): the trimmed line must reach `minChars` characters
+    * AND at least `minAlphaPct`% of its non-space characters must be
+    * ASCII letters (drops separator runs, bare digit/punctuation lines,
+    * nav crumbs like "— | —"). The ratio test is CROSS-MULTIPLIED
+    * integer arithmetic (alpha*100 >= nonspace*pct) — no float division,
+    * so external engines reproduce it bit-exactly.
+    */
+  private def lineKeep(l: Column, minChars: Int, minAlphaPct: Int): Column = {
+    val t = trim(l)
+    val alpha = length(regexp_replace(t, "[^A-Za-z]", ""))
+    val nonspace = length(regexp_replace(t, " ", ""))
+    (length(t) >= minChars) && (alpha * 100 >= nonspace * minAlphaPct)
+  }
+
+  /** Line-level document cleaning: split on '\n', drop lines failing
+    * [[lineKeep]], re-join survivors. Pure higher-order column
+    * expression — fully narrow, fused with the scan, no shuffle; the
+    * standard boilerplate-line scrub that runs BEFORE paragraph/span
+    * dedup in a web-corpus pipeline. Blank lines fail `minChars` and
+    * are dropped (paragraph structure is flattened — run paragraph
+    * dedup first if paragraph identity matters downstream).
+    */
+  def cleanLines(text: Column, minChars: Int = 3, minAlphaPct: Int = 40): Column =
+    array_join(
+      filter(split(text, "\n"), l => lineKeep(l, minChars, minAlphaPct)), "\n")
+
+  /** [[cleanLines]] plus per-document accounting: cleaned text, lines
+    * kept, lines dropped — the counts a pipeline uses to quarantine
+    * documents that lost most of their content to the line rules. */
+  def lineCleanReport(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      minChars: Int = 3,
+      minAlphaPct: Int = 40): org.apache.spark.sql.DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l => lineKeep(l, minChars, minAlphaPct))
+    df.withColumn("clean_text", array_join(kept, "\n"))
+      .withColumn("n_lines_kept", size(kept).cast("long"))
+      .withColumn("n_lines_dropped", (size(lines) - size(kept)).cast("long"))
+  }
+
   // ---- URL / domain filtering ------------------------------------------
 
   /** URL → lowercased host: optional scheme, optional userinfo, host up

@@ -29,7 +29,13 @@ object PlanAudit {
         // round-4 continuation additions
         "q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_embed_quant",
         "q_dedup_spans", "q_text_lm_backoff", "q_vocab_topk",
-        "q_zorder", "q_url_etld")
+        "q_zorder", "q_url_etld",
+        // round-4 continuation: the completed TPC-H suite
+        "q_tpch_q1", "q_tpch_q2a", "q_tpch_q4a", "q_tpch_q6", "q_tpch_q7",
+        "q_tpch_q8", "q_tpch_q9a", "q_tpch_q11a", "q_tpch_q12a",
+        "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16a",
+        "q_tpch_q17", "q_tpch_q19", "q_tpch_q20a", "q_tpch_q21a",
+        "q_tpch_q22a")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
