@@ -124,17 +124,24 @@ object Pca {
   }
 
   /** Project rows onto the model's axes: `outCol` = array of k doubles,
-    * component c = (x − mean)·basis(c). Pure narrow column expression. */
+    * component c = (x − mean)·basis(c). Pure narrow column expression.
+    * `whiten = true` divides each component by √λ (unit variance per
+    * axis — the right space for cosine/euclidean dedup after PCA);
+    * near-zero eigenvalues are floored at 1e-12·λ₀ so a degenerate
+    * trailing axis can't blow up to ±∞. */
   def transform(
       df: DataFrame, embCol: String, model: PcaModel,
-      outCol: String = "pca"): DataFrame = {
+      outCol: String = "pca", whiten: Boolean = false): DataFrame = {
     def lits(xs: Array[Double]): Column = array(xs.map(lit): _*)
     val centered = zip_with(col(embCol), lits(model.mean),
       (x, m) => x.cast("double") - m)
-    val comps = model.basis.map { axis =>
-      aggregate(
+    val floor = 1e-12 * math.max(model.eigenvalues.headOption.getOrElse(1.0), 1e-300)
+    val comps = model.basis.zipWithIndex.map { case (axis, c) =>
+      val proj = aggregate(
         zip_with(centered, lits(axis), (x, v) => x * v),
         lit(0.0), (acc, t) => acc + t)
+      if (whiten) proj / lit(math.sqrt(math.max(model.eigenvalues(c), floor)))
+      else proj
     }
     df.withColumn(outCol, array(comps: _*))
   }

@@ -95,6 +95,60 @@ class PcaSpec extends SparkSpec {
       assert(m2.basis(c).sameElements(model.basis(c)))
   }
 
+  test("whitened components have unit variance") {
+    val proj = Pca.transform(emb, "embedding", model, whiten = true)
+    val comps = proj.select("pca").collect().map(_.getSeq[Double](0).toArray)
+    val n = comps.length.toDouble
+    for (c <- 0 until model.k) {
+      val xs = comps.map(_(c))
+      val m = xs.sum / n
+      val varc = xs.map(x => (x - m) * (x - m)).sum / n
+      assert(math.abs(varc - 1.0) < 1e-6, s"component $c variance $varc")
+    }
+  }
+
+  test("PCA-space retrieval recovers full-space cosine top-k on low-rank data") {
+    import spark.implicits._
+    // synthetic rank-4 structure + small noise in 32 dims: the setting
+    // PCA-before-ANN exists for. (The driver's fixture embeddings are
+    // near-isotropic — flat spectrum — where NO linear projection can
+    // preserve neighborhoods, so the property is tested on data that
+    // has the structure the operator exploits.)
+    val rnd = new scala.util.Random(7)
+    val d = 32; val rank = 4; val nRows = 200
+    val basis = Array.fill(rank, d)(rnd.nextGaussian())
+    val data = (0L until nRows.toLong).map { id =>
+      val w = Array.fill(rank)(rnd.nextGaussian() * 3.0)
+      val v = Array.tabulate(d) { i =>
+        (0 until rank).map(r => w(r) * basis(r)(i)).sum + rnd.nextGaussian() * 0.05
+      }
+      (id, v.map(_.toFloat).toSeq)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val m = Pca.fit(df, "embedding", rank)
+    val proj = Pca.transform(df, "embedding", m)
+    val rows = proj.select("vec_id", "embedding", "pca").collect()
+    val full = rows.map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val red = rows.map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val p = dot(a, b); val na = math.sqrt(dot(a, a)); val nb = math.sqrt(dot(b, b))
+      if (na == 0 || nb == 0) 0 else p / (na * nb)
+    }
+    val ids = full.keys.toSeq.sorted.take(20)
+    val recalls = ids.map { q =>
+      def topk(space: Map[Long, Array[Double]]) =
+        space.keys.filter(_ != q).toSeq
+          .sortBy(x => (-cos(space(q), space(x)), x)).take(10).toSet
+      topk(full).intersect(topk(red)).size / 10.0
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.9, s"avg recall $avg")
+    // and the spectrum confirms the rank: top-4 carry ~all variance
+    val fullModel = Pca.fit(df, "embedding", d)
+    val ev = fullModel.eigenvalues
+    assert(ev.take(rank).sum / ev.sum > 0.99)
+  }
+
   test("jacobi solves a known 3x3 exactly") {
     // eigenvalues of [[2,1,0],[1,2,1],[0,1,2]] are 2, 2±sqrt(2)
     val a = Array(

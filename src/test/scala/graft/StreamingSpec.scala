@@ -227,6 +227,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("line cleaning and a batch-fit PCA projection run on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Pca
+    import graft.functions.TextFns
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // fit the model in batch (the standard fit-batch/apply-stream split)
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val model = Pca.fit(emb, "embedding", 4)
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF.toDF("doc_id", "text")
+      // attach a fixture embedding per doc (any array<float> works —
+      // the claim is that transform is stream-safe, i.e. narrow)
+      .withColumn("embedding",
+        typedLit(emb.select("embedding").first().getSeq[Float](0)))
+    val out = Pca.transform(
+      docs.withColumn("clean", TextFns.cleanLines(col("text"))),
+      "embedding", model)
+    val q = out.select("doc_id", "clean", "pca").writeStream
+      .outputMode("append").format("memory").queryName("pca_stream_out").start()
+    try {
+      input.addData((1L, "real prose line\n####\nmore prose"))
+      q.processAllAvailable()
+      val r = spark.table("pca_stream_out").collect()
+      assert(r.length == 1)
+      assert(r(0).getString(1) == "real prose line\nmore prose")
+      val batch = Pca.transform(
+        emb.limit(1), "embedding", model).select("pca")
+        .first().getSeq[Double](0)
+      assert(r(0).getSeq[Double](2) == batch)
+    } finally q.stop()
+  }
+
   test("corpusProfileApprox runs incrementally on a stream (complete mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Pipelines
