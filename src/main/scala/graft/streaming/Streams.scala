@@ -281,4 +281,29 @@ object Streams {
         }
       }
       .start()
+
+  /** Watermarked STREAM-STREAM interval join: left rows matched to
+    * right rows with the same key whose event time falls in
+    * `[leftTs - before, leftTs + after]`. Both sides carry watermarks,
+    * and the time-range predicate bounds the buffered state on BOTH
+    * sides (Spark derives the state-eviction horizon from watermark +
+    * interval — without the range condition a stream-stream join would
+    * buffer forever). This is the streaming twin of the batch
+    * `rangeJoin`: same semantics, state-bounded instead of banded.
+    *
+    * Column name collisions are the caller's to avoid (rename the
+    * right side first), matching Spark's own stream-join contract. */
+  def intervalJoinStream(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String,
+      watermark: String, before: String, after: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $before") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $after"),
+      "inner")
+  }
 }

@@ -261,6 +261,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream interval join equals the batch interval join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val errors = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = Streams.intervalJoinStream(
+      clicks.toDF.toDF("user_id", "c_ts"),
+      errors.toDF.toDF("err_user", "e_ts"),
+      "user_id", "err_user", "c_ts", "e_ts",
+      watermark = "10 minutes", before = "15 MINUTES", after = "0 MINUTES")
+    // the join must plan as a symmetric streaming hash join with
+    // watermark-bounded state, not fall back to a batch join
+    val q = joined.select("user_id", "c_ts", "e_ts").writeStream
+      .outputMode("append").format("memory").queryName("ssj_out").start()
+    try {
+      // user 1: error 5min before click (inside 15min) → match;
+      // user 2: error 30min before click → no match;
+      // user 3: error AFTER the click → no match (after = 0)
+      clicks.addData((1L, ts(20)), (2L, ts(40)), (3L, ts(10)))
+      errors.addData((1L, ts(15)), (2L, ts(10)), (3L, ts(12)))
+      q.processAllAvailable()
+      // second micro-batch: late-but-inside-watermark error still joins
+      clicks.addData((4L, ts(50)))
+      errors.addData((4L, ts(45)))
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(got == Set((1L, ts(20), ts(15)), (4L, ts(50), ts(45))))
+      // batch twin over the union of all inputs gives the same pairs
+      val bc = Seq((1L, ts(20)), (2L, ts(40)), (3L, ts(10)), (4L, ts(50)))
+        .toDF("user_id", "c_ts")
+      val be = Seq((1L, ts(15)), (2L, ts(10)), (3L, ts(12)), (4L, ts(45)))
+        .toDF("err_user", "e_ts")
+      val batch = bc.join(be,
+          col("user_id") === col("err_user") &&
+            col("e_ts") >= col("c_ts") - expr("INTERVAL 15 MINUTES") &&
+            col("e_ts") <= col("c_ts"))
+        .select("user_id", "c_ts", "e_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("corpusProfileApprox runs incrementally on a stream (complete mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Pipelines
