@@ -1466,6 +1466,25 @@ object SparkEntry {
         .df
     }),
 
+    // Avro WRITE→READ round trip through the built-in avro-core
+    // container writer/reader (no spark-avro jar in this env) — same
+    // typed-column set as the Arrow gate; spec-compliance against
+    // independently-authored files is pinned by AvroScanSpec
+    "q_avro_scan" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempFile("graft_avro_gate", ".avro")
+      path.toFile.deleteOnExit()
+      graft.sources.AvroWrite.write(
+        t(s, dir, "documents").df
+          .select(col("doc_id"), col("lang"), col("text"),
+            timestamp_micros(col("doc_id") * 1000000L).as("ts"),
+            col("doc_id").cast("decimal(10,2)").as("dec"),
+            (pmod(col("doc_id"), lit(2L)) === 0L).as("flag"),
+            col("n_chars").cast("int").as("nc"))
+          .orderBy("doc_id"),
+        path.toString)
+      Tidier.read(s, path.toString).arrange("doc_id").df
+    }),
+
     // full Iceberg WRITE→READ round trip: create(evens)+append(odds)
     // through the minimal v1 writer, manifest-replay read back — any
     // metadata/manifest/snapshot defect diverges from plain documents
@@ -2840,6 +2859,14 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q_arrow_scan" ->
+      """SELECT doc_id, lang, text,
+        |  make_timestamp(doc_id * 1000000) AS ts,
+        |  CAST(doc_id AS DECIMAL(10,2)) AS dec,
+        |  doc_id % 2 = 0 AS flag,
+        |  CAST(n_chars AS INTEGER) AS nc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_avro_scan" ->
       """SELECT doc_id, lang, text,
         |  make_timestamp(doc_id * 1000000) AS ts,
         |  CAST(doc_id AS DECIMAL(10,2)) AS dec,

@@ -105,6 +105,8 @@ final case class TidierFrame(
     else if (lower.endsWith(".json")) df.write.mode("overwrite").json(path)
     else if (lower.endsWith(".arrow") || lower.endsWith(".feather"))
       graft.sources.ArrowWrite.write(df, path)
+    else if (lower.endsWith(".avro")) graft.sources.AvroWrite.write(df, path)
+    else if (lower.endsWith(".orc")) df.write.mode("overwrite").orc(path)
     else df.write.mode("overwrite").parquet(path)
   }
   /** Explicit-format write: `csv`/`json`/`parquet`, plus the built-in
@@ -116,6 +118,8 @@ final case class TidierFrame(
     case "csv" => df.write.mode("overwrite").option("header", "true").csv(path)
     case "json" => df.write.mode("overwrite").json(path)
     case "parquet" => df.write.mode("overwrite").parquet(path)
+    case "orc" => df.write.mode("overwrite").orc(path)
+    case "avro" => graft.sources.AvroWrite.write(df, path)
     case "delta" =>
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -129,7 +133,7 @@ final case class TidierFrame(
         graft.sources.IcebergWrite.append(spark, df, path)
       else graft.sources.IcebergWrite.create(spark, df, path)
     case other => throw new IllegalArgumentException(
-      s"writeFile format '$other' not supported (csv/json/parquet/delta/iceberg)")
+      s"writeFile format '$other' not supported (csv/json/parquet/orc/avro/delta/iceberg)")
   }
 }
 
@@ -165,6 +169,10 @@ object Tidier {
       else if (lower.endsWith(".arrow") || lower.endsWith(".arrows") ||
                lower.endsWith(".feather"))
         graft.sources.ArrowScan.read(spark, path)
+      else if (lower.endsWith(".avro"))
+        graft.sources.AvroScan.read(spark, path)
+      else if (lower.endsWith(".orc"))
+        spark.read.orc(path) // native Spark source (orc-core ships in jars)
       else spark.read.parquet(path)
     TidierFrame(df)
   }
@@ -233,6 +241,10 @@ object Tidier {
             // spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension
             // for write support and newer reader features)
             TidierFrame(graft.sources.DeltaScan.read(spark, path))
+          case e: Exception if missingSource(e) && fmt == "avro" =>
+            // no spark-avro connector jar: fall back to the built-in
+            // avro-core container reader
+            TidierFrame(graft.sources.AvroScan.read(spark, path))
         }
     }
   }

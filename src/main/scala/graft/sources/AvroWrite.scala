@@ -1,0 +1,94 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** Built-in Avro object-container writer (scalar-typed, symmetric with
+  * [[AvroScan]] — same scope statement as ArrowWrite: long/int/string/
+  * boolean/float/double/binary/date/timestamp/decimal columns; nested
+  * types fail loudly). Container framing and codec come from
+  * avro-core's DataFileWriter; rows are collected driver-side (export
+  * artifact, same bound as the scan). */
+object AvroWrite {
+
+  def write(df: DataFrame, path: String): Unit = {
+    val fields = df.schema.fields
+    val b = SchemaBuilder.record("graft_export").fields()
+    fields.foreach { f =>
+      b.name(f.name).`type`(avroType(f.dataType, f.name)).withDefault(null)
+    }
+    val schema: Schema = b.endRecord()
+    val fieldSchemas = schema.getFields.asScala.map(f => unwrap(f.schema)).toArray
+
+    val p = new Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    try {
+      w.create(schema, out)
+      df.toLocalIterator().asScala.foreach { row =>
+        val rec = new GenericData.Record(schema)
+        fields.indices.foreach { i =>
+          rec.put(i, if (row.isNullAt(i)) null
+                     else avroValue(row.get(i), fields(i).dataType, fieldSchemas(i)))
+        }
+        w.append(rec)
+      }
+    } finally w.close() // closes the stream
+  }
+
+  private def unwrap(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+
+  /** nullable union [null, T] for every column (Spark columns are
+    * nullable by default; a tighter schema adds nothing on re-read) */
+  private def avroType(dt: DataType, name: String): Schema = {
+    val base = dt match {
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+      case LongType => Schema.create(Schema.Type.LONG)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case DateType =>
+        LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+      case TimestampType =>
+        LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+      case d: DecimalType =>
+        LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
+      case other =>
+        throw new IllegalArgumentException(
+          s"AvroWrite: unsupported type $other for column '$name' " +
+            "(scalar-typed writer; flatten nested columns first)")
+    }
+    Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+  }
+
+  private def avroValue(v: Any, dt: DataType, target: Schema): Any = dt match {
+    case DateType =>
+      v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+    case TimestampType =>
+      // whole seconds from getTime (floorDiv for pre-epoch), sub-second
+      // entirely from getNanos — adding both millis and nanos would
+      // double-count the fraction
+      val ts = v.asInstanceOf[java.sql.Timestamp]
+      Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    case d: DecimalType =>
+      val bd = v.asInstanceOf[java.math.BigDecimal].setScale(d.scale)
+      java.nio.ByteBuffer.wrap(bd.unscaledValue().toByteArray)
+    case ShortType => v.asInstanceOf[Short].toInt
+    case ByteType => v.asInstanceOf[Byte].toInt
+    case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+    case _ => v
+  }
+}

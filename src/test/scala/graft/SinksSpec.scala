@@ -38,7 +38,7 @@ class SinksSpec extends SparkSpec {
       assert(Tidier.read(spark, path, fmt).df.count() == 4)
     }
     val e = intercept[IllegalArgumentException] {
-      Tidier.from(df).writeFile(s"$tmp/x", "orc")
+      Tidier.from(df).writeFile(s"$tmp/x", "xlsx")
     }
     assert(e.getMessage.contains("not supported"))
   }
