@@ -987,6 +987,14 @@ object SparkEntry {
         .arrange("doc_id", "term")
         .df),
 
+    // BM25 keyword retrieval (rational idf → scores bit-exact across
+    // engines, value-gated): one corpus-stats aggregate broadcast back,
+    // then a narrow scoring pass — no explode, no term shuffle
+    "q_bm25" -> ((s, dir) =>
+      TextFns.bm25TopK(t(s, dir, "documents").df, "doc_id", "text",
+          queryTerms = Seq("spark", "merge", "window"), k = 20)
+        .orderBy(col("score").desc, col("doc_id").asc)),
+
     // Gopher/MassiveText document-shape rules: stats struct + the
     // published thresholds as a narrow filter — kept docs' stats
     // value-gated
@@ -2253,6 +2261,43 @@ object SparkEntry {
          |  FROM tf t JOIN dfreq d USING (term), n)
          |WHERE rn <= 3
          |ORDER BY doc_id, term ASC NULLS FIRST""".stripMargin,
+
+    "q_bm25" -> {
+      // mirror of TextFns.bm25TopK for terms (spark, merge, window):
+      // HUGEINT arithmetic reproduces the DECIMAL(38,0) ratio exactly
+      val bmTerms = Seq("spark", "merge", "window")
+      val dfCols = bmTerms.zipWithIndex.map { case (t, i) =>
+        s"SUM(CASE WHEN list_contains(tk, '$t') THEN 1 ELSE 0 END)::HUGEINT AS df_$i"
+      }.mkString(",\n    ")
+      val tfCols = bmTerms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(tk, x -> x = '$t'))::HUGEINT AS tf_$i"
+      }.mkString(",\n    ")
+      val contribs = bmTerms.indices.map { i =>
+        val q = s"(2*df_$i + 1) * (10*tf_$i*t + 3*t + 9*dl*n)"
+        s"""(CASE WHEN tf_$i > 0
+           |      THEN (2 * (22::HUGEINT * tf_$i * t * (2*n - 2*df_$i + 1)) * 1000000 + $q)
+           |           // (2 * $q) ELSE 0 END)""".stripMargin
+      }.mkString("\n    + ")
+      s"""WITH base AS (
+         |  SELECT doc_id, $tkExpr AS tk,
+         |    len($tkExpr)::HUGEINT AS dl FROM documents),
+         |stats AS (
+         |  SELECT COUNT(*)::HUGEINT AS n, SUM(dl)::HUGEINT AS t,
+         |    $dfCols
+         |  FROM base),
+         |tf AS (
+         |  SELECT doc_id, dl,
+         |    $tfCols
+         |  FROM base),
+         |sc AS (
+         |  SELECT doc_id,
+         |    $contribs
+         |    AS score6
+         |  FROM tf, stats)
+         |SELECT doc_id, score6::DOUBLE / 1000000.0 AS score
+         |FROM sc WHERE score6 > 0
+         |ORDER BY score6 DESC, doc_id ASC LIMIT 20""".stripMargin
+    },
 
     "q_text_gopher" ->
       s"""WITH base AS (SELECT doc_id, text, $tkExpr AS tk,

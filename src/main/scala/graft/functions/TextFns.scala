@@ -455,6 +455,79 @@ object TextFns {
       .select(col(idCol), col("term"), round(rawScore, 6).as("score"))
   }
 
+  // ---- keyword retrieval (BM25) ----------------------------------------
+
+  /** BM25 top-k keyword retrieval (k1 = 1.2, b = 3/4) with the RATIONAL
+    * idf `(N - df + 1/2)/(df + 1/2)` instead of its logarithm — the
+    * same per-term document ranking (log is monotone), but the whole
+    * score stays exact integer arithmetic so results are bit-identical
+    * across engines and the scores themselves can be oracle-gated
+    * (`ln`'s last-ulp behavior is libm-dependent). Same trade
+    * [[tfidfTopTerms]] makes.
+    *
+    * Each term contribution for tf > 0 reduces to the integer ratio
+    * {{{
+    *   P / Q = 22·tf·T·(2N − 2df + 1)
+    *         / [(2df + 1)·(10·tf·T + 3·T + 9·dl·N)]
+    * }}}
+    * (N docs, T corpus tokens, dl doc length; k1 = 6/5, b = 3/4 cleared
+    * of denominators), computed in DECIMAL(38,0) and rounded half-up to
+    * 6 dp as `(2·P·10⁶ + Q) div (2·Q)` — one exact integral divide per
+    * term, summed in BIGINT micro-units. Headroom: 2·P·10⁶ fits
+    * DECIMAL(38,0) through tf·T·N ≈ 4·10²⁹ (e.g. 10⁵ tf × 2·10¹³
+    * corpus tokens × 10¹¹ docs); the `score` double rendering is exact
+    * while the micro-unit sum stays below 2⁵³.
+    *
+    * Shape for 100 TB: ONE corpus-stats pass (count + token total +
+    * per-term df in a single partial/final aggregate) broadcast back as
+    * a one-row frame, then a fully narrow scoring pass — per-term tf is
+    * a codegen'd array filter, no explode, no term shuffle. Top-k is
+    * TakeOrdered (no global sort).
+    *
+    * @return (idCol, score) — k best-matching docs, score desc, ties by
+    *         id asc; only docs matching ≥1 term are candidates
+    */
+  def bm25TopK(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val toks = df.select(df.col(idCol), tokens(df.col(textCol)).as("__tk"))
+      .withColumn("__dl", size(col("__tk")).cast("long"))
+    val statAggs =
+      (sum(col("__dl")).as("__t") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("__tk"), lit(t)), 1L).otherwise(0L))
+            .as(s"__df_$i")
+        }).toSeq
+    val stats = toks.agg(count(lit(1)).as("__n"), statAggs: _*)
+    val withPq = terms.indices.foldLeft(toks.crossJoin(broadcast(stats))) {
+      case (acc, i) =>
+        val t = terms(i)
+        val tf = size(filter(col("__tk"), x => x === lit(t))).cast("long")
+        acc
+          .withColumn(s"__tf_$i", tf)
+          .withColumn(s"__p_$i",
+            expr(s"CAST(22 AS DECIMAL(38,0)) * __tf_$i * __t * (2 * __n - 2 * __df_$i + 1)"))
+          .withColumn(s"__q_$i",
+            expr(s"CAST(2 AS DECIMAL(38,0)) * __df_$i + 1") *
+              expr(s"CAST(10 AS DECIMAL(38,0)) * __tf_$i * __t + 3 * __t + 9 * __dl * __n"))
+    }
+    val c6 = terms.indices
+      .map(i => expr(
+        s"CASE WHEN __tf_$i > 0 THEN (2 * __p_$i * 1000000 + __q_$i) div (2 * __q_$i) ELSE 0L END"))
+      .reduce(_ + _)
+    withPq
+      .withColumn("__score6", c6)
+      .filter(col("__score6") > 0)
+      .orderBy(col("__score6").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol),
+        (col("__score6").cast("double") / lit(1000000.0)).as("score"))
+  }
+
   // ---- language identification ----------------------------------------
 
   /** marker words per language (tiny n-gram heuristic; deterministic) */

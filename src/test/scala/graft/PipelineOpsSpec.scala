@@ -489,6 +489,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(top1 == Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
   }
 
+  test("bm25TopK matches the hand-computed rational-idf score") {
+    val d = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry cherry date")).toDF("id", "t")
+    // N=3, T=9; term "apple": df=1; doc 1 tf=2, dl=3:
+    //   P = 22*2*9*(6-2+1) = 1980, Q = 3*(180+27+81) = 864
+    //   C = 1980/864 = 2.2916_6 -> round-half-up 6dp = 2.291667
+    // (classic form check: idf = 2.5/1.5, tf-part = 4.4/3.2 -> same)
+    val rows = TextFns.bm25TopK(d, "id", "t", Seq("apple"), k = 3).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 1L)
+    assert(rows(0).getDouble(1) == 2.291667)
+  }
+
+  test("bm25TopK normalizes by document length; ranks multi-term matches") {
+    val d = Seq(
+      (1L, "banana kiwi kiwi"),
+      (2L, "banana kiwi"),
+      (3L, "melon melon melon")).toDF("id", "t")
+    // same tf=1 of 'banana' in docs 1 and 2 -> shorter doc 2 wins
+    val one = TextFns.bm25TopK(d, "id", "t", Seq("banana"), k = 2).collect()
+    assert(one.map(_.getLong(0)).toSeq == Seq(2L, 1L))
+    assert(one(0).getDouble(1) > one(1).getDouble(1))
+    // two-term query: only matching docs rank; doc 1's kiwi tf=2
+    // outweighs doc 2's shorter length — per-term micro-units
+    // round(528/925 *1e6)=570811, round(1056/1325 *1e6)=796981 for
+    // doc 1 vs 2*round(528/790 *1e6)=1336708 for doc 2; melon-only
+    // doc 3 is absent
+    val two = TextFns.bm25TopK(d, "id", "t", Seq("banana", "kiwi"), k = 3).collect()
+    assert(two.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(two(0).getDouble(1) == 1.367792 && two(1).getDouble(1) == 1.336708)
+  }
+
+  test("bm25TopK plan: no term shuffle, top-k without a global sort") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val plan = TextFns.bm25TopK(d, "doc_id", "text", Seq("spark", "merge"), k = 10)
+      .queryExecution.executedPlan.toString
+    // the only exchanges are the one-row stats aggregate (single
+    // partition) and its broadcast back — scoring never explodes terms
+    assert(!plan.contains("Exchange hashpartitioning"))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
   test("cleanCorpus keeps one representative per near-dup cluster, drops junk") {
     import graft.operators.Pipelines
     val corpus = Seq(
