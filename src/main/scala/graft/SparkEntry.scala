@@ -995,6 +995,20 @@ object SparkEntry {
           queryTerms = Seq("spark", "merge", "window"), k = 20)
         .orderBy(col("score").desc, col("doc_id").asc)),
 
+    // fastText-style hashed-bag linear classifier inference: weights
+    // broadcast as a one-row map, scoring a narrow aggregate HOF; the
+    // deterministic formula model is rebuilt verbatim in the oracle.
+    // Logit = one IEEE division of exact BIGINTs -> value-gated
+    "q_text_classify" -> ((s, dir) => {
+      val w = s.range(256).select(
+        col("id").cast("int").as("bucket"),
+        (col("id") * 37L % 2001L - 1000L).as("weight_micro"))
+      TextFns.linearTextScore(t(s, dir, "documents").df.select("doc_id", "text"),
+          "text", w, nBuckets = 256, seed = "cls", biasMicro = 250000L)
+        .select("doc_id", "n_tokens", "logit")
+        .orderBy("doc_id")
+    }),
+
     // Gopher/MassiveText document-shape rules: stats struct + the
     // published thresholds as a narrow filter — kept docs' stats
     // value-gated
@@ -2298,6 +2312,23 @@ object SparkEntry {
          |FROM sc WHERE score6 > 0
          |ORDER BY score6 DESC, doc_id ASC LIMIT 20""".stripMargin
     },
+
+    "q_text_classify" ->
+      // the gate's weight table is a formula over the bucket id with
+      // every bucket populated, so the mirror inlines w[bucket(t)]
+      // directly: bucket = portable 60-bit md5 hash % 256
+      s"""WITH base AS (SELECT doc_id, $tkExpr AS tk FROM documents),
+         |s AS (
+         |  SELECT doc_id, len(tk)::BIGINT AS n_tokens,
+         |    list_sum(list_transform(tk, t ->
+         |      (('0x'||substr(md5('cls'||chr(1)||t),1,15))::BIGINT % 256) * 37 % 2001 - 1000
+         |    ))::BIGINT AS s
+         |  FROM base)
+         |SELECT doc_id, n_tokens,
+         |  CASE WHEN n_tokens > 0 THEN
+         |    (s + 250000 * n_tokens)::DOUBLE / (n_tokens * 1000000)::DOUBLE
+         |  END AS logit
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_text_gopher" ->
       s"""WITH base AS (SELECT doc_id, text, $tkExpr AS tk,

@@ -528,6 +528,90 @@ object TextFns {
         (col("__score6").cast("double") / lit(1000000.0)).as("score"))
   }
 
+  // ---- hashed-bag linear classifier scoring ------------------------------
+
+  /** Token → feature bucket: portable 60-bit md5 hash (same family as
+    * `Sampling.unitHashInt`, mirror `('0x'||substr(md5(seed||chr(1)||t),
+    * 1,15))::BIGINT % n`) mod `nBuckets`. Usable inside HOF lambdas. */
+  def tokenBucket(t: Column, nBuckets: Int, seed: String): Column =
+    pmod(conv(substring(md5(concat(lit(seed), lit("\u0001"), t)), 1, 15), 16, 10)
+      .cast("long"), lit(nBuckets.toLong)).cast("int")
+
+  /** fastText-style linear text-classifier scoring over a hashed
+    * bag-of-tokens (the quality-classifier shape of CCNet/FineWeb-class
+    * pipelines): each token hashes to one of `nBuckets` features, the
+    * model is a weight per bucket in integer MICRO-units (weight·10⁶ as
+    * BIGINT — training happens elsewhere; this is distributed inference),
+    * and a document's logit is mean-pooled `(Σ w[bucket(tok)])/n_tokens
+    * + bias`.
+    *
+    * Exactness: the weight sum and `biasMicro·n_tokens` stay BIGINT, so
+    * the logit is ONE IEEE division of exact integers —
+    * `(S + bias·dl) / (dl·10⁶)` — deterministic across engines and
+    * hash-gateable (double SUMS are order-dependent; a single division
+    * of exact operands is not).
+    *
+    * Shape for 100 TB: the weight table collapses to a one-row map
+    * (`map_from_entries`) broadcast to every executor — bounded by
+    * `nBuckets` entries (a 2²⁰-bucket model is ~16 MB) — and scoring is
+    * a fully narrow codegen'd `aggregate` HOF over the token array: no
+    * explode, no join, no shuffle; fuses with the scan. Missing buckets
+    * weigh 0. Empty docs score NULL (no evidence).
+    *
+    * @param weights (bucket INT, weight_micro BIGINT) model table
+    * @return df + (n_tokens BIGINT, logit DOUBLE)
+    */
+  def linearTextScore(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      weights: org.apache.spark.sql.DataFrame,
+      nBuckets: Int,
+      seed: String = "cls",
+      biasMicro: Long = 0L): org.apache.spark.sql.DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val wmap = weights.agg(
+      map_from_entries(collect_list(struct(
+        col(weights.columns.head).cast("int").as("k"),
+        col(weights.columns(1)).cast("long").as("v")))).as("__wm"))
+    val toks = tokens(col(textCol))
+    val s = aggregate(toks, lit(0L),
+      (acc, t) => acc + coalesce(element_at(col("__wm"), tokenBucket(t, nBuckets, seed)), lit(0L)))
+    df.crossJoin(broadcast(wmap))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("logit",
+        when(col("n_tokens") > 0,
+          (s + lit(biasMicro) * col("n_tokens")).cast("double") /
+            (col("n_tokens") * lit(1000000L)).cast("double")))
+      .drop("__wm")
+  }
+
+  /** Corpus filtered by the linear classifier: keeps docs whose logit
+    * is at least `minLogitMicro`·10⁻⁶. The threshold test is the exact
+    * BIGINT cross-compare `S + bias·dl ≥ minLogitMicro·dl` — no double
+    * in the decision. Empty docs are KEPT (no evidence), matching
+    * [[graft.operators.Repetition.dropRepetitive]]. */
+  def filterByLinearScore(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      weights: org.apache.spark.sql.DataFrame,
+      nBuckets: Int,
+      minLogitMicro: Long,
+      seed: String = "cls",
+      biasMicro: Long = 0L): org.apache.spark.sql.DataFrame = {
+    val wmap = weights.agg(
+      map_from_entries(collect_list(struct(
+        col(weights.columns.head).cast("int").as("k"),
+        col(weights.columns(1)).cast("long").as("v")))).as("__wm"))
+    val toks = tokens(col(textCol))
+    val s = aggregate(toks, lit(0L),
+      (acc, t) => acc + coalesce(element_at(col("__wm"), tokenBucket(t, nBuckets, seed)), lit(0L)))
+    val dl = size(toks).cast("long")
+    df.crossJoin(broadcast(wmap))
+      .filter(dl === 0L ||
+        s + lit(biasMicro) * dl >= lit(minLogitMicro) * dl)
+      .drop("__wm")
+  }
+
   // ---- language identification ----------------------------------------
 
   /** marker words per language (tiny n-gram heuristic; deterministic) */

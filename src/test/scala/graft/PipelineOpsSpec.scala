@@ -533,6 +533,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("linearTextScore: mean pooling, bias, missing buckets weigh zero") {
+    val docs = Seq((1L, "alpha alpha alpha"), (2L, "beta"), (3L, ""))
+      .toDF("id", "t")
+    // constant-weight model: every bucket 500000 micro -> logit is
+    // exactly 0.5 + bias for ANY non-empty doc (mean pooling collapses)
+    val const = spark.range(256).select(
+      col("id").cast("int").as("bucket"), lit(500000L).as("weight_micro"))
+    val out = TextFns.linearTextScore(docs, "t", const, 256, biasMicro = 250000L)
+      .orderBy("id").collect()
+    assert(out(0).getDouble(out(0).fieldIndex("logit")) == 0.75)
+    assert(out(1).getDouble(out(1).fieldIndex("logit")) == 0.75)
+    assert(out(2).isNullAt(out(2).fieldIndex("logit"))) // empty: no evidence
+    // empty model: every bucket missing -> weighs 0, logit == bias
+    val empty = spark.range(0).select(
+      col("id").cast("int").as("bucket"), col("id").as("weight_micro"))
+    val out2 = TextFns.linearTextScore(docs, "t", empty, 256, biasMicro = 250000L)
+      .orderBy("id").collect()
+    assert(out2(0).getDouble(out2(0).fieldIndex("logit")) == 0.25)
+  }
+
+  test("filterByLinearScore: exact >= threshold, empty docs kept") {
+    val docs = Seq((1L, "alpha beta"), (2L, "")).toDF("id", "t")
+    val const = spark.range(256).select(
+      col("id").cast("int").as("bucket"), lit(500000L).as("weight_micro"))
+    // logit is exactly 0.5; threshold at 0.5 keeps (>=), just above drops
+    def kept(thresh: Long) =
+      TextFns.filterByLinearScore(docs, "t", const, 256, minLogitMicro = thresh)
+        .collect().map(_.getLong(0)).toSet
+    assert(kept(500000L) == Set(1L, 2L))
+    assert(kept(500001L) == Set(2L)) // empty doc kept: no evidence
+  }
+
+  test("linearTextScore plan: no explode, no join, no shuffle in scoring") {
+    val docs = Seq((1L, "alpha beta")).toDF("id", "t")
+    val w = spark.range(8).select(
+      col("id").cast("int").as("bucket"), lit(1L).as("weight_micro"))
+    val plan = TextFns.linearTextScore(docs, "t", w, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"))
+    assert(!plan.contains("Generate")) // no explode
+  }
+
   test("cleanCorpus keeps one representative per near-dup cluster, drops junk") {
     import graft.operators.Pipelines
     val corpus = Seq(
