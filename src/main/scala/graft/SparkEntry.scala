@@ -1536,6 +1536,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // incremental ingest, twice: batch 1 = even docs (creates the
+    // corpus), batch 2 = the full table (only content not already
+    // present survives the pruned-hash anti-join) — final table gated
+    // against the set-theoretic mirror; the duplicated texts in
+    // documents make the within-batch AND cross-batch dedup load-bearing
+    "q_ingest" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ingest_gate")
+        .toString + "/corpus"
+      val docs = t(s, dir, "documents").df.select("doc_id", "text")
+      Pipelines.ingestIncrement(s, base, docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      Pipelines.ingestIncrement(s, base, docs, "doc_id", "text")
+      graft.sources.DeltaScan.read(s, base)
+        .select("doc_id", "text", "content_hash")
+        .orderBy("doc_id")
+    }),
+
     // built-in Iceberg reader end to end: fabricate a two-snapshot
     // Iceberg table (snapshot 1 adds docs [0,150) and [150,300) files;
     // snapshot 2's manifest marks the second DELETED), manifest-replay
@@ -2952,6 +2969,27 @@ object SparkEntry {
 
     "q_delta_roundtrip" ->
       """SELECT doc_id, lang, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // set-theoretic mirror of the two-ingest sequence: survivors of
+    // batch 1 (evens, min-id per text) plus the rows of the full-table
+    // dedup whose text is not already present in batch 1. text is
+    // never NULL in the fixture, so content_hash mirrors as md5(text)
+    "q_ingest" ->
+      """WITH b1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |d1 AS (SELECT doc_id, text FROM (
+        |  SELECT doc_id, text,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM b1) WHERE rn = 1),
+        |d2 AS (SELECT doc_id, text FROM (
+        |  SELECT doc_id, text,
+        |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1),
+        |fresh AS (SELECT doc_id, text FROM d2
+        |  WHERE md5(text) NOT IN (SELECT md5(text) FROM b1))
+        |SELECT doc_id, text, md5(text) AS content_hash FROM d1
+        |UNION ALL
+        |SELECT doc_id, text, md5(text) AS content_hash FROM fresh
         |ORDER BY doc_id""".stripMargin,
 
     "q_iceberg_roundtrip" ->

@@ -19,15 +19,21 @@ import graft.functions.TextFns
   */
 object Dedup {
 
+  /** The 128-bit content identity used by exact dedup and incremental
+    * ingest: md5 over the columns joined with a \u0001 separator and
+    * NULL mapped to \u0000 — bare concatenation would collide
+    * ("ab","") with ("a","b") and NULL with "", silently deleting
+    * distinct rows. For a single non-null string column this is plain
+    * `md5(col)` (mirrorable as such). */
+  def contentHash(contentCols: Seq[Column]): Column =
+    md5(concat_ws("\u0001",
+      contentCols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*))
+
   /** Exact dedup: keep the lowest-id row per identical content hash.
     * One shuffle on the 128-bit content hash; ties broken by id so the
     * survivor set is deterministic. */
   def exactDedup(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
-    // values joined with a \u0001 separator and NULL mapped to \u0000:
-    // bare concatenation would collide ("ab","") with ("a","b") and NULL
-    // with "" - silently deleting distinct rows
-    val h = md5(concat_ws("\u0001",
-      contentCols.map(c => coalesce(df.col(c).cast("string"), lit("\u0000"))): _*))
+    val h = contentHash(contentCols.map(df.col))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(h).orderBy(df.col(idCol).asc)
     df.withColumn("__rn", row_number().over(w))

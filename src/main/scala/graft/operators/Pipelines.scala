@@ -293,4 +293,61 @@ object Pipelines {
         round(lit(1.0) - approx_count_distinct(col("__fp"), rsd).cast("double")
           / count(lit(1)), 6).as("dup_rate"))
   }
+
+  /** Incremental corpus ingestion — the daily-crawl pattern: dedup a
+    * new batch exactly (keep the lowest id per content hash), drop
+    * everything whose content already lives in the corpus, append the
+    * survivors as one transactional Delta commit. The corpus table
+    * persists `content_hash` alongside the data, so subsequent ingests
+    * never re-hash or even re-read the text of the existing corpus:
+    * the membership probe scans ONE 32-char column (parquet column
+    * pruning) of the index, not the documents.
+    *
+    * Scale shape: one in-batch shuffle on the content hash (the dedup
+    * window), then one anti-join of batch hashes against the pruned
+    * corpus hash column — the batch is the small side; with the corpus
+    * table bucketed by `content_hash` ([[ScaleOps.saveBucketed]]) even
+    * that shuffle drops to the batch alone. The append itself is a
+    * conditional Delta commit ([[graft.sources.DeltaWrite.append]]) —
+    * a racing ingest fails loudly instead of double-inserting.
+    *
+    * Invariant maintained: `content_hash` is unique across the table
+    * (dedup-within-batch + anti-join-against-table, and batches are
+    * serialized by the conditional commit).
+    *
+    * @return the rows actually appended (batch columns +
+    *         `content_hash`) — recomputes the plan if re-executed, so
+    *         treat it as a record of this call, not a live view
+    */
+  def ingestIncrement(
+      spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    val hashed = batch.withColumn("content_hash",
+      Dedup.contentHash(Seq(batch.col(textCol))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy(col(idCol).asc)
+    val deduped = hashed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val fs = new org.apache.hadoop.fs.Path(corpusPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(corpusPath, "_delta_log"))
+    val fresh =
+      if (!exists) deduped
+      else {
+        val existing = DeltaScan.read(spark, corpusPath).select("content_hash")
+        deduped.join(existing, Seq("content_hash"), "left_anti")
+      }
+    // restore caller column order, hash last
+    val out = fresh.select(
+      (batch.columns.map(col) :+ col("content_hash")).toIndexedSeq: _*)
+    if (exists) DeltaWrite.append(spark, out, corpusPath)
+    else DeltaWrite.create(spark, out, corpusPath)
+    out
+  }
 }

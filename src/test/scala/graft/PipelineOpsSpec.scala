@@ -575,6 +575,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!plan.contains("Generate")) // no explode
   }
 
+  test("ingestIncrement: in-batch dedup, cross-batch dedup, hash uniqueness") {
+    import graft.operators.Pipelines
+    import graft.sources.DeltaScan
+    val base = java.nio.file.Files.createTempDirectory("graft_ingest").toString + "/c"
+    // batch 1 carries an internal duplicate (ids 10/11 same text)
+    val b1 = Seq((10L, "alpha"), (11L, "alpha"), (12L, "beta")).toDF("id", "t")
+    val first = Pipelines.ingestIncrement(spark, base, b1, "id", "t")
+    assert(first.count() == 2) // alpha (min id 10) + beta
+    assert(DeltaScan.read(spark, base).count() == 2)
+    // re-ingesting the same content appends nothing
+    val again = Pipelines.ingestIncrement(spark, base, b1, "id", "t")
+    assert(again.count() == 0)
+    assert(DeltaScan.read(spark, base).count() == 2)
+    // only genuinely new content survives a mixed batch
+    val b2 = Seq((20L, "alpha"), (21L, "gamma")).toDF("id", "t")
+    val third = Pipelines.ingestIncrement(spark, base, b2, "id", "t")
+    assert(third.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((21L, "gamma")))
+    val all = DeltaScan.read(spark, base).collect()
+    assert(all.length == 3)
+    // invariant: content_hash unique across the table, min-id survivors
+    val byHash = all.map(r => r.getAs[String]("content_hash")).toSet
+    assert(byHash.size == 3)
+    assert(all.map(_.getAs[Long]("id")).toSet == Set(10L, 12L, 21L))
+    // the membership probe reads ONE pruned column of the corpus table
+    val probe = DeltaScan.read(spark, base).select("content_hash")
+      .queryExecution.executedPlan.toString
+    assert(probe.contains("ReadSchema: struct<content_hash:string>"))
+  }
+
   test("cleanCorpus keeps one representative per near-dup cluster, drops junk") {
     import graft.operators.Pipelines
     val corpus = Seq(
