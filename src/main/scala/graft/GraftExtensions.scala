@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 /** SQL surface for graft's native Catalyst kernels.
   *
@@ -58,7 +58,18 @@ object GraftExtensions {
     "word_shingles" ->
       (e => plans.WordShingles(e(0), litInt(e(1), "shingle size k"))),
     "frequent_terms" ->
-      (e => plans.FrequentTerms(e(0), litInt(e(1), "sketch size k"))))
+      (e => plans.FrequentTerms(e(0), litInt(e(1), "sketch size k"))),
+    "unicode_normalize" -> (e => plans.UnicodeNormalize(
+      e(0),
+      e.lift(1) match {
+        case Some(Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+          v.toString.toUpperCase
+        case None => "NFC"
+        case Some(other) => throw new IllegalArgumentException(
+          s"normalization form must be a string literal, got ${other.sql}")
+      })),
+    "fix_mojibake" -> (e => plans.FixMojibake(e(0))),
+    "decode_html_entities" -> (e => plans.DecodeHtmlEntities(e(0))))
 
   /** register all kernels + optimizer rules on an existing session */
   def register(spark: SparkSession): Unit = {

@@ -959,6 +959,48 @@ object SparkEntry {
         .df
     }),
 
+    // Unicode canonicalization chain (mojibake repair → NFC → control/
+    // zero-width cleanup → space squish): crafted per-variant suffixes
+    // carry the Unicode load (fixture text is ASCII); the oracle inlines
+    // the repaired mojibake (construction-known), runs DuckDB's own
+    // nfc_normalize, and mirrors the RE2-subset cleanup regexes verbatim
+    "q_text_nfc" -> ((s, dir) => {
+      val suffix = when(pmod(col("doc_id"), lit(4L)) === 0,
+          // mojibake: é ï (latin1-read) + em dash (cp1252-read)
+          lit("CafÃ© naÃ¯ve â€” done"))
+        .when(pmod(col("doc_id"), lit(4L)) === 1,
+          // decomposed e+acute, A+ring, Angstrom sign — NFC composes all
+          lit("Café Å Å end"))
+        .when(pmod(col("doc_id"), lit(4L)) === 2,
+          // ZWSP/BEL/ZWJ/BOM/soft-hyphen out; NBSP → space; CRLF → LF
+          lit("z​wx‍﻿y­q nb sp l1\r\nl2"))
+        .otherwise(
+          // em-space/ideographic-space → space; tab+runs squished
+          lit("a b　c\td  e"))
+      t(s, dir, "documents").df
+        .withColumn("raw", concat(col("text"), lit(" "), suffix))
+        .select(col("doc_id"), TextFns.canonicalizeText(col("raw")).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // HTML → text extraction: fixture text wrapped in a deterministic
+    // page skeleton (script/style/comment/block/inline tags + named and
+    // numeric character references); the oracle mirrors the RE2-subset
+    // regex chain verbatim and decodes the references by construction
+    "q_text_html" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p{margin:0}</style></head><body><!-- c -->" +
+          "<h1 id=\"t\">Title &amp; more</h1><p>"),
+        col("text"),
+        lit("</p><script>var a = \"<b>x</b>\";</script>" +
+          "<ul><li>one</li><li>two &lt;esc&gt;</li></ul>" +
+          "<div>tail&nbsp;&#8212; fin</div></body></html>"))
+      t(s, dir, "documents").df
+        .select(col("doc_id"), TextFns.stripHtml(html).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     "q_text_redact" -> ((s, dir) =>
       t(s, dir, "documents")
         .mutate("dirty" -> concat(
@@ -2257,6 +2299,58 @@ object SparkEntry {
         |  CAST(len(ks) AS BIGINT) AS n_lines_kept,
         |  CAST(len(ls) - len(ks) AS BIGINT) AS n_lines_dropped
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // canonicalization mirror: the repaired mojibake suffix is inlined
+    // (construction-known), NFC is DuckDB's own nfc_normalize, and the
+    // cleanup chain repeats the RE2-subset patterns verbatim
+    "q_text_nfc" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text || ' ' ||
+        |    CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN 'Caf' || chr(233) || ' na' || chr(239) || 've ' || chr(8212) || ' done'
+        |      WHEN 1 THEN 'Cafe' || chr(769) || ' A' || chr(778) || ' ' || chr(8491) || ' end'
+        |      WHEN 2 THEN 'z' || chr(8203) || 'w' || chr(7) || 'x' || chr(8205) || chr(65279)
+        |        || 'y' || chr(173) || 'q nb' || chr(160) || 'sp l1' || chr(13) || chr(10) || 'l2'
+        |      ELSE 'a' || chr(8195) || 'b' || chr(12288) || 'c' || chr(9) || 'd  e'
+        |    END AS r
+        |  FROM documents),
+        |n AS (SELECT doc_id, nfc_normalize(r) AS x FROM raw),
+        |c1 AS (SELECT doc_id, regexp_replace(x, '\r\n?', chr(10), 'g') AS x FROM n),
+        |c2 AS (SELECT doc_id, regexp_replace(x,
+        |  '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{0080}-\x{009F}\x{200B}-\x{200D}\x{2060}\x{FEFF}\x{00AD}]',
+        |  '', 'g') AS x FROM c1),
+        |c3 AS (SELECT doc_id, regexp_replace(x,
+        |  '[\x{00A0}\x{1680}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]', ' ', 'g') AS x FROM c2),
+        |sq AS (SELECT doc_id, regexp_replace(x, '[ \t]+', ' ', 'g') AS x FROM c3)
+        |SELECT doc_id, trim(x) AS clean FROM sq ORDER BY doc_id""".stripMargin,
+
+    // stripHtml mirror: the same RE2-subset regex chain stage by stage;
+    // character references decoded by construction (chained replaces
+    // after tag removal — equivalent to the native single pass here
+    // because the fixture text contains no '&')
+    "q_text_html" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title><style>p{margin:0}</style></head><body><!-- c --><h1 id="t">Title &amp; more</h1><p>'
+        |    || text ||
+        |    '</p><script>var a = "<b>x</b>";</script><ul><li>one</li><li>two &lt;esc&gt;</li></ul><div>tail&nbsp;&#8212; fin</div></body></html>'
+        |    AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS x FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(x, '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS x FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(x,
+        |  '(?i)</?(?:p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|thead|tbody|blockquote|section|article|header|footer|pre|hr|form|nav|aside)\b[^>]*>',
+        |  chr(10), 'g') AS x FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s4),
+        |e AS (SELECT doc_id, replace(replace(replace(replace(replace(x,
+        |  '&lt;', '<'), '&gt;', '>'), '&nbsp;', chr(160)), '&#8212;', chr(8212)), '&amp;', '&') AS x FROM s5),
+        |w1 AS (SELECT doc_id, regexp_replace(x, '[ \t]+', ' ', 'g') AS x FROM e),
+        |w2 AS (SELECT doc_id, regexp_replace(x, ' ?\n ?', chr(10), 'g') AS x FROM w1),
+        |w3 AS (SELECT doc_id, regexp_replace(x, '\n{3,}', chr(10) || chr(10), 'g') AS x FROM w2)
+        |SELECT doc_id, regexp_replace(x, '^\s+|\s+$', '', 'g') AS clean FROM w3
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_redact" ->
       """SELECT doc_id,

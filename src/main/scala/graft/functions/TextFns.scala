@@ -93,6 +93,89 @@ object TextFns {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^\\p{L}\\p{N} ]", " "), " +", " "))
 
+  // ---- Unicode canonicalization (crawl-text first stage) ---------------
+
+  /** Unicode NFC normalization (UAX #15 canonical composition) —
+    * native codegen'd expression, ASCII fast path. The mandatory
+    * pre-pass before any hash-based dedup: "é" and "e"+U+0301 are
+    * different bytes for identical text. */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.plans.UnicodeNormalize(GraftShim.expression(text), "NFC"))
+  }
+
+  /** Unicode NFKC normalization (compatibility composition: ligatures,
+    * fullwidth forms, circled digits → plain forms) — the aggressive
+    * variant used before tokenization/language-ID. */
+  def nfkc(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.plans.UnicodeNormalize(GraftShim.expression(text), "NFKC"))
+  }
+
+  /** Repair UTF-8-as-cp1252 mojibake ("CafÃ©" → "Café", "â€™" → "’");
+    * see [[graft.plans.FixMojibake]] for the accept conditions that
+    * keep real Latin-1 prose untouched. */
+  def fixMojibake(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.plans.FixMojibake(GraftShim.expression(text)))
+  }
+
+  /** Strip/normalize the invisible-character debris of crawled text:
+    * CRLF/CR → LF; C0 controls (except tab+newline), C1 controls,
+    * zero-widths (ZWSP/ZWNJ/ZWJ/WJ/BOM) and soft hyphens removed;
+    * NBSP + the Unicode space family → plain space. Pure codegen'd
+    * regexp chain (same RE2-compatible patterns an oracle can mirror). */
+  def cleanControls(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, "\\r\\n?", "\n"),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F" +
+          "\\x{0080}-\\x{009F}\\x{200B}-\\x{200D}\\x{2060}\\x{FEFF}\\x{00AD}]", ""),
+      "[\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]", " ")
+
+  /** The composed canonical-text pass every corpus recipe runs first:
+    * mojibake repair → NFC → control/zero-width cleanup → space-run
+    * squish (newlines preserved) → trim. One narrow codegen'd
+    * expression chain, fused with the scan. */
+  def canonicalizeText(text: Column): Column =
+    trim(regexp_replace(cleanControls(nfc(fixMojibake(text))), "[ \\t]+", " "))
+
+  // ---- HTML → text -----------------------------------------------------
+
+  /** Decode HTML character references (numeric + the common named set;
+    * single left-to-right pass — `&amp;lt;` → `&lt;`, never
+    * double-decoded). */
+  def decodeHtmlEntities(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.plans.DecodeHtmlEntities(GraftShim.expression(text)))
+  }
+
+  /** HTML → plain text (the boilerplate-light extraction stage of a
+    * crawl pipeline): script/style bodies and comments dropped, block
+    * tags become newlines, remaining tags become spaces, character
+    * references decoded, whitespace canonicalized (space runs squished,
+    * newlines trimmed, 3+ blank lines collapsed to one blank line).
+    *
+    * Every stage is a codegen'd `regexp_replace` with RE2-compatible
+    * patterns (no backreferences, so an external engine can mirror the
+    * chain) — fully narrow, fused with the scan at 100 TB.
+    */
+  def stripHtml(text: Column, decodeEntities: Boolean = true): Column = {
+    val noScript = regexp_replace(text, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)</?(?:p|div|br|li|ul|ol|h1|h2|h3|h4|h5|h6|tr|td|th|table|thead|tbody|" +
+        "blockquote|section|article|header|footer|pre|hr|form|nav|aside)\\b[^>]*>", "\n")
+    val noTag = regexp_replace(blocks, "<[^>]*>", " ")
+    val decoded = if (decodeEntities) decodeHtmlEntities(noTag) else noTag
+    val spaces = regexp_replace(decoded, "[ \\t]+", " ")
+    val tidyNl = regexp_replace(spaces, " ?\\n ?", "\n")
+    val capped = regexp_replace(tidyNl, "\\n{3,}", "\n\n")
+    // trim() strips only spaces — edge newlines need the regex form
+    regexp_replace(capped, "^\\s+|\\s+$", "")
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token set —
     * robust to token order and repetition (rolling-hash-style identity
     * for shuffle-dedup). */
