@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Fns, Selector, TextFns}
-import graft.operators.{Bpe, BpeModel, Chunking, Decontaminate, Dedup, Multimodal, NgramLm, Packing, Pca, Pipelines, Profile, Repetition, Sampling, Similarity}
+import graft.operators.{Bpe, BpeModel, Chunking, Decontaminate, Dedup, Multimodal, NgramLm, Packing, Pca, Pipelines, Profile, Repetition, Sampling, Similarity, Unigram, UnigramModel}
 import graft.operators.JoinKey
 import graft.operators.JoinKey.{Closest, Equi, Theta}
 
@@ -1148,6 +1148,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // unigram-LM (SentencePiece-style) tokenizer: Viterbi segmentation
+    // under the EM-trained piece model must rebuild the normalized text
+    // exactly (shared decode with BPE), and per-word piece sequences
+    // can never be longer than the word's symbol count + terminal
+    "q_unigram_roundtrip" -> ((s, dir) => {
+      val model = unigramModelFor(s, dir)
+      t(s, dir, "documents").df
+        .withColumn("__toks", Unigram.encode(model, col("text")))
+        .select(
+          col("doc_id"),
+          Unigram.decode(col("__toks")).as("rebuilt"),
+          size(filter(col("__toks"), tok => tok.endsWith(BpeModel.EndOfWord)))
+            .cast("long").as("n_words"),
+          size(col("__toks")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= col("n_words"))
+        .drop("n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // =====================================================================
     // training-data pipeline ops: deduplication
     // =====================================================================
@@ -2099,6 +2118,14 @@ object SparkEntry {
     bpeModels.computeIfAbsent(dir, d =>
       Bpe.train(t(s, d, "documents").df, "text", numMerges = 200))
 
+  /** per-sf-dir unigram model for q_unigram_roundtrip — same
+    * train-once rationale as [[bpeModelFor]] */
+  private val unigramModels =
+    new java.util.concurrent.ConcurrentHashMap[String, UnigramModel]()
+  private def unigramModelFor(s: SparkSession, dir: String): UnigramModel =
+    unigramModels.computeIfAbsent(dir, d =>
+      Unigram.train(t(s, d, "documents").df, "text", vocabSize = 400))
+
   /** DuckDB `bucket` expression: packed sign bits of the plane dot
     * products against `vExpr` (a DOUBLE[] column). */
   private def lshBucketSql(vExpr: String): String =
@@ -2613,6 +2640,15 @@ object SparkEntry {
     // of the encode must rebuild the whitespace-normalized text, and
     // the terminal-token count must equal the word count
     "q_bpe_roundtrip" ->
+      s"""SELECT doc_id,
+         |  array_to_string($tkExpr, ' ') AS rebuilt,
+         |  len($tkExpr) AS n_words
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same invariant as the BPE gate: whatever segmentation Viterbi
+    // picks, the decoded text and the terminal-piece count are fully
+    // determined by the normalized input
+    "q_unigram_roundtrip" ->
       s"""SELECT doc_id,
          |  array_to_string($tkExpr, ' ') AS rebuilt,
          |  len($tkExpr) AS n_words
