@@ -52,7 +52,11 @@ object Bench {
     // agg-over-agg left join (q13), decorrelated per-group avg (q17),
     // dual EXISTS/NOT-EXISTS semi+anti (q21a)
     "q_tpch_q1", "q_tpch_q7", "q_tpch_q8", "q_tpch_q11a", "q_tpch_q13",
-    "q_tpch_q17", "q_tpch_q21a")
+    "q_tpch_q17", "q_tpch_q21a",
+    // round 4 (cont. 4): media near-dup signatures — per-row PNG
+    // decode + perceptual hash (broadcast join, narrow), and the
+    // banded pigeonhole Hamming self-join over image signatures
+    "q_image_phash", "q_image_dups", "q_audio_fp", "q_video_phash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -69,6 +69,26 @@ object GraftExtensions {
           s"normalization form must be a string literal, got ${other.sql}")
       })),
     "fix_mojibake" -> (e => plans.FixMojibake(e(0))),
+    "audio_fingerprint" -> (e => plans.AudioFingerprint(e(0))),
+    "video_frame_hashes" -> (e => plans.VideoFrameHashes(
+      e(0),
+      e.lift(1) match {
+        case Some(Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+          v.toString.toLowerCase(java.util.Locale.ROOT)
+        case None => "ahash"
+        case Some(other) => throw new IllegalArgumentException(
+          s"hash kind must be a string literal ('ahash'|'dhash'), got ${other.sql}")
+      },
+      if (e.length > 2) litInt(e(2), "frameStride") else 1)),
+    "perceptual_image_hash" -> (e => plans.PerceptualImageHash(
+      e(0),
+      e.lift(1) match {
+        case Some(Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+          v.toString.toLowerCase(java.util.Locale.ROOT)
+        case None => "ahash"
+        case Some(other) => throw new IllegalArgumentException(
+          s"hash kind must be a string literal ('ahash'|'dhash'), got ${other.sql}")
+      })),
     "decode_html_entities" -> (e => plans.DecodeHtmlEntities(e(0))))
 
   /** register all kernels + optimizer rules on an existing session */

@@ -162,7 +162,7 @@ object SparkEntry {
 
   /** Canonical 44-byte-header mono 16-bit PCM WAV (the q_multimodal_wav
     * fixture payloads). */
-  private def wavBytes(sampleRate: Int, samples: Seq[Short]): Array[Byte] = {
+  private[graft] def wavBytes(sampleRate: Int, samples: Seq[Short]): Array[Byte] = {
     import java.nio.{ByteBuffer, ByteOrder}
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
     val dataLen = samples.length * 2
@@ -1869,6 +1869,102 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Perceptual image hash end-to-end: 256 deterministic 8×16 PNGs
+    // (gray pixel (x,y) of variant k = 32 + (k*(1 + y*8 + x)) % 199),
+    // broadcast-joined on k = doc_id % 256, aHashed per row on
+    // executors. The 8×8 grid lands on exact 1-column × 2-row cells, so
+    // the oracle derives every signature bit ANALYTICALLY in SQL —
+    // bit(cy*8+cx) = (g(cx,2cy)+g(cx,2cy+1))·64 > Σ g — and assembles
+    // the two's-complement BIGINT from 32-bit halves; any divergence in
+    // decode, cell geometry, or the exact integer compare flips the hash
+    "q_image_phash" -> ((s, dir) => {
+      val variants = {
+        import s.implicits._
+        (0 until 256).map { k =>
+          (k.toLong,
+            graft.plans.ImageCodec.grayPng(8, 16, (x, y) => 32 + (k * (1 + y * 8 + x)) % 199))
+        }.toDF("k", "png")
+      }
+      t(s, dir, "documents").df
+        .withColumn("k", pmod(col("doc_id"), lit(256L)))
+        .join(broadcast(variants), Seq("k"))
+        .select(
+          col("doc_id"),
+          Multimodal.imageHash(col("png"), "ahash").as("phash"))
+        .orderBy("doc_id")
+    }),
+
+    // Image near-dup end-to-end: perceptual-hash the same 8×16 PNG
+    // variants, then banded pigeonhole Hamming self-join (4 × 16-bit
+    // chunks). maxHamming=3 < chunks=4 makes pigeonhole recall EXACT,
+    // so the oracle's brute-force all-pairs bit_count(xor) over the
+    // analytic signatures must agree pair-for-pair
+    "q_image_dups" -> ((s, dir) => {
+      val variants = {
+        import s.implicits._
+        (0 until 256).map { k =>
+          (k.toLong,
+            graft.plans.ImageCodec.grayPng(8, 16, (x, y) => 32 + (k * (1 + y * 8 + x)) % 199))
+        }.toDF("k", "png")
+      }
+      val media = t(s, dir, "documents").df
+        .withColumn("k", pmod(col("doc_id"), lit(256L)))
+        .join(broadcast(variants), Seq("k"))
+        .select(col("doc_id"), col("png"))
+      Dedup.imageDupPairs(media, "doc_id", "png", kind = "ahash",
+          maxHamming = 3, materialize = Dedup.Materialize.None)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Per-frame video perceptual hash end-to-end: the q_multimodal_avi
+    // variant family (2×2 BI_RGB, 3 frames), every frame aHashed from
+    // its raw DIB raster. On a 2×2 frame each signature bit reduces to
+    // 4·g(pixel) > Σg, and each pixel owns a fixed 16-bit mask — the
+    // oracle rebuilds every frame's signed signature ANALYTICALLY, so
+    // the RIFF walk, the bottom-up-DIB flip, the cell geometry, and
+    // the exact compares are all load-bearing for the hash
+    "q_video_phash" -> ((s, dir) => {
+      val variants = {
+        import s.implicits._
+        (0 until 256).map { k =>
+          (k.toLong, graft.plans.ImageCodec.grayAvi(2, 2, 30, 1, 3,
+            (f, x, y) => 32 + (k * (5 + f * 7 + (y * 2 + x))) % 200))
+        }.toDF("k", "avi")
+      }
+      t(s, dir, "documents").df
+        .withColumn("k", pmod(col("doc_id"), lit(256L)))
+        .join(broadcast(variants), Seq("k"))
+        .select(col("doc_id"),
+          posexplode(Multimodal.videoFrameHashes(col("avi"), "ahash"))
+            .as(Seq("frame_idx", "phash")))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Acoustic fingerprint end-to-end: 256 deterministic 260-sample
+    // WAVs (sample i of variant k = ((k*(13+i)*97) % 2003) - 1001),
+    // broadcast-joined on k = doc_id % 256, fingerprinted per row.
+    // 260 = 65 windows × 4 samples, so windows are equal-size and the
+    // oracle derives every sign-of-energy-difference bit ANALYTICALLY
+    // (Σ|s| per window, adjacent compare), assembling the signed
+    // 64-bit value from 32-bit halves — a RIFF-walk, windowing, or
+    // comparison divergence flips the hash
+    "q_audio_fp" -> ((s, dir) => {
+      val variants = {
+        import s.implicits._
+        (0 until 256).map { k =>
+          val samples = (0 until 260).map(i => (((k * (13 + i) * 97) % 2003) - 1001).toShort)
+          (k.toLong, wavBytes(8000, samples))
+        }.toDF("k", "wav")
+      }
+      t(s, dir, "documents").df
+        .withColumn("k", pmod(col("doc_id"), lit(256L)))
+        .join(broadcast(variants), Seq("k"))
+        .select(
+          col("doc_id"),
+          Multimodal.audioFingerprint(col("wav")).as("afp"))
+        .orderBy("doc_id")
+    }),
+
     // REAL WAV decode end-to-end: 256 deterministic mono 16-bit PCM
     // variants built driver-side (8 samples at 8 kHz, sample i of
     // variant k = ((k*(13+i)*97) % 2003) - 1001), broadcast-joined on
@@ -3375,6 +3471,125 @@ object SparkEntry {
         |   + (32 + ((doc_id % 256) * 21) % 200) + (32 + ((doc_id % 256) * 22) % 200)) / 8.0
         |    AS brightness
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // analytic aHash over the 8×16 gate PNGs: cells are exact
+    // 1-column × 2-row blocks, bit(cy*8+cx) = (g(cx,2cy)+g(cx,2cy+1))·64
+    // > Σg; two 32-bit halves assemble the signed 64-bit signature
+    "q_image_phash" ->
+      """WITH px AS (
+        |  SELECT k, (i % 8) AS x, (i // 8) AS y, 32 + ((k * (1 + i)) % 199) AS g
+        |  FROM range(0, 256) ks(k), range(0, 128) ii(i)
+        |),
+        |tot AS (SELECT k, SUM(g) AS gt FROM px GROUP BY k),
+        |cells AS (
+        |  SELECT k, x AS cx, (y // 2) AS cy, SUM(g) AS cs
+        |  FROM px GROUP BY k, x, (y // 2)
+        |),
+        |halves AS (
+        |  SELECT c.k,
+        |    SUM(CASE WHEN c.cy < 4 AND c.cs * 64 > t.gt
+        |        THEN (CAST(1 AS BIGINT) << (c.cy * 8 + c.cx)) ELSE 0 END) AS lo,
+        |    SUM(CASE WHEN c.cy >= 4 AND c.cs * 64 > t.gt
+        |        THEN (CAST(1 AS BIGINT) << ((c.cy - 4) * 8 + c.cx)) ELSE 0 END) AS hi
+        |  FROM cells c JOIN tot t USING (k) GROUP BY c.k
+        |),
+        |sigs AS (
+        |  SELECT k, CAST(CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |       ELSE hi * 4294967296 + lo END AS BIGINT) AS phash
+        |  FROM halves
+        |)
+        |SELECT d.doc_id, s.phash
+        |FROM documents d JOIN sigs s ON s.k = d.doc_id % 256
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // analytic per-frame aHash over the 2×2 gate AVIs: bit = 4g > Σg,
+    // fixed 16-bit mask per pixel, signed assembly from 32-bit halves
+    "q_video_phash" ->
+      """WITH px AS (
+        |  SELECT k, f, (i % 2) AS x, (i // 2) AS y,
+        |         32 + ((k * (5 + f * 7 + i)) % 200) AS g
+        |  FROM range(0, 256) ks(k), range(0, 3) fs(f), range(0, 4) ii(i)
+        |),
+        |tot AS (SELECT k, f, SUM(g) AS gs FROM px GROUP BY k, f),
+        |bits AS (
+        |  SELECT p.k, p.f,
+        |    SUM(CASE WHEN p.y = 0 AND p.g * 4 > t.gs
+        |        THEN (CASE WHEN p.x = 0 THEN 252645135 ELSE 4042322160 END) ELSE 0 END) AS lo,
+        |    SUM(CASE WHEN p.y = 1 AND p.g * 4 > t.gs
+        |        THEN (CASE WHEN p.x = 0 THEN 252645135 ELSE 4042322160 END) ELSE 0 END) AS hi
+        |  FROM px p JOIN tot t USING (k, f) GROUP BY p.k, p.f
+        |),
+        |sigs AS (
+        |  SELECT k, f, CAST(CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |       ELSE hi * 4294967296 + lo END AS BIGINT) AS phash
+        |  FROM bits
+        |)
+        |SELECT d.doc_id, CAST(s.f AS INTEGER) AS frame_idx, s.phash
+        |FROM documents d JOIN sigs s ON s.k = d.doc_id % 256
+        |ORDER BY d.doc_id, frame_idx""".stripMargin,
+
+    // analytic sign-of-energy-difference fingerprint over the gate
+    // WAVs: equal 4-sample windows, bit w = Σ|s| window w > window w+1
+    "q_audio_fp" ->
+      """WITH s AS (
+        |  SELECT k, i, abs(((k * (13 + i) * 97) % 2003) - 1001) AS a
+        |  FROM range(0, 256) ks(k), range(0, 260) ii(i)
+        |),
+        |w AS (SELECT k, (i // 4) AS w, SUM(a) AS e FROM s GROUP BY k, (i // 4)),
+        |b AS (
+        |  SELECT l.k, l.w AS bit, CASE WHEN l.e > r.e THEN 1 ELSE 0 END AS v
+        |  FROM w l JOIN w r ON r.k = l.k AND r.w = l.w + 1
+        |  WHERE l.w < 64
+        |),
+        |halves AS (
+        |  SELECT k,
+        |    SUM(CASE WHEN bit < 32 AND v = 1 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS lo,
+        |    SUM(CASE WHEN bit >= 32 AND v = 1 THEN (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS hi
+        |  FROM b GROUP BY k
+        |),
+        |sigs AS (
+        |  SELECT k, CAST(CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |       ELSE hi * 4294967296 + lo END AS BIGINT) AS afp
+        |  FROM halves
+        |)
+        |SELECT d.doc_id, s.afp
+        |FROM documents d JOIN sigs s ON s.k = d.doc_id % 256
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // brute-force all-pairs Hamming over the same analytic signatures;
+    // exact because pigeonhole recall is total for maxHamming < chunks
+    "q_image_dups" ->
+      """WITH px AS (
+        |  SELECT k, (i % 8) AS x, (i // 8) AS y, 32 + ((k * (1 + i)) % 199) AS g
+        |  FROM range(0, 256) ks(k), range(0, 128) ii(i)
+        |),
+        |tot AS (SELECT k, SUM(g) AS gt FROM px GROUP BY k),
+        |cells AS (
+        |  SELECT k, x AS cx, (y // 2) AS cy, SUM(g) AS cs
+        |  FROM px GROUP BY k, x, (y // 2)
+        |),
+        |halves AS (
+        |  SELECT c.k,
+        |    SUM(CASE WHEN c.cy < 4 AND c.cs * 64 > t.gt
+        |        THEN (CAST(1 AS BIGINT) << (c.cy * 8 + c.cx)) ELSE 0 END) AS lo,
+        |    SUM(CASE WHEN c.cy >= 4 AND c.cs * 64 > t.gt
+        |        THEN (CAST(1 AS BIGINT) << ((c.cy - 4) * 8 + c.cx)) ELSE 0 END) AS hi
+        |  FROM cells c JOIN tot t USING (k) GROUP BY c.k
+        |),
+        |sigs AS (
+        |  SELECT k, CAST(CASE WHEN hi >= 2147483648 THEN (hi - 4294967296) * 4294967296 + lo
+        |       ELSE hi * 4294967296 + lo END AS BIGINT) AS phash
+        |  FROM halves
+        |),
+        |docs AS (
+        |  SELECT d.doc_id, s.phash
+        |  FROM documents d JOIN sigs s ON s.k = d.doc_id % 256
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_multimodal_png" ->
       """SELECT doc_id, 'png' AS fmt, CAST(3 AS BIGINT) AS w, CAST(2 AS BIGINT) AS h,

@@ -433,6 +433,17 @@ object Dedup {
       .select(df.col(idCol).as("id"),
         TextFns.simHash(df.col(textCol), numBits, portable).as("sig"))
     val (sigs, release) = materialized(based, materialize, "id")
+    finish(hammingJoin(sigs, maxHamming, numBits, chunks), materialize, release)
+  }
+
+  /** Pigeonhole Hamming self-join over a 64-bit signature frame
+    * `(id, sig)`: band into `chunks` equal slices, exact-match join per
+    * slice (any pair within Hamming < chunks shares ≥1 slice), verify
+    * with the true `bit_count(xor)`. Shared by SimHash text near-dup
+    * and perceptual-hash image near-dup — identical scale shape: one
+    * shuffle on (chunk_id, chunk), never all-pairs. */
+  private def hammingJoin(
+      sigs: DataFrame, maxHamming: Int, numBits: Int, chunks: Int): DataFrame = {
     val chunkBits = numBits / chunks
     val mask = (1L << chunkBits) - 1
     val chunkArr = array((0 until chunks).map { c =>
@@ -443,13 +454,115 @@ object Dedup {
       .select(col("id"), col("sig"), col("__c.chunk_id").as("chunk_id"), col("__c.chunk").as("chunk"))
     val l = chunked.select(col("chunk_id"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = chunked.select(col("chunk_id"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = l.join(r, Seq("chunk_id", "chunk"))
+    l.join(r, Seq("chunk_id", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Near-duplicate IMAGE pairs via perceptual hash: re-encoded,
+    * brightness-shifted, or lightly-watermarked copies of an image
+    * survive exact byte dedup but land within small Hamming distance of
+    * each other's aHash/dHash ([[graft.plans.PerceptualImageHash]]).
+    * Undecodable payloads (NULL signature) are excluded — they can't be
+    * perceptually compared; route them to exact byte dedup instead.
+    * Same banded pigeonhole join as [[simHashDupPairs]] — one shuffle,
+    * never all-pairs, so the 100 TB shape holds. */
+  def imageDupPairs(
+      df: DataFrame,
+      idCol: String,
+      mediaCol: String,
+      kind: String = "dhash",
+      maxHamming: Int = 3,
+      chunks: Int = 4,
+      materialize: Materialize = Materialize.Cache): DataFrame =
+    signatureDupPairs(df, idCol,
+      Multimodal.imageHash(df.col(mediaCol), kind), maxHamming, chunks, materialize)
+
+  /** Near-duplicate AUDIO pairs via the gain-invariant acoustic
+    * fingerprint ([[graft.plans.AudioFingerprint]]): re-encoded or
+    * volume-normalized copies of a recording land within small Hamming
+    * distance. Same pigeonhole shape and NULL-signature exclusion as
+    * [[imageDupPairs]]. */
+  def audioDupPairs(
+      df: DataFrame,
+      idCol: String,
+      mediaCol: String,
+      maxHamming: Int = 3,
+      chunks: Int = 4,
+      materialize: Materialize = Materialize.Cache): DataFrame =
+    signatureDupPairs(df, idCol,
+      Multimodal.audioFingerprint(df.col(mediaCol)), maxHamming, chunks, materialize)
+
+  /** Near-duplicate VIDEO pairs via per-frame perceptual hashes
+    * ([[graft.plans.VideoFrameHashes]]), frame-index-ALIGNED: candidate
+    * generation pigeonhole-joins on (frame index, signature chunk), so
+    * two clips pair up when ≥ `minMatches` of their aligned sampled
+    * frames land within `maxHamming` bits. Alignment keeps the join
+    * narrow (a frame only meets the SAME index's frames — no cross
+    * product over frame pairs) and matches the re-encode/
+    * brightness-shift dup model; offset clips are a recall trade-off,
+    * documented. Output: (id_a, id_b, n_matches, max_hamming).
+    * Undecodable payloads explode to zero rows and drop out. */
+  def videoDupPairs(
+      df: DataFrame,
+      idCol: String,
+      mediaCol: String,
+      kind: String = "ahash",
+      frameStride: Int = 1,
+      maxHamming: Int = 3,
+      minMatches: Long = 1L,
+      chunks: Int = 4,
+      materialize: Materialize = Materialize.Cache): DataFrame = {
+    require(64 % chunks == 0 && chunks > 0, s"chunks ($chunks) must divide 64")
+    val based = df.select(
+      df.col(idCol).as("id"),
+      posexplode(Multimodal.videoFrameHashes(df.col(mediaCol), kind, frameStride))
+        .as(Seq("frame_idx", "sig")))
+    val (sigs, release) = materialized(based, materialize, "id")
+    val chunkBits = 64 / chunks
+    val mask = (1L << chunkBits) - 1
+    val chunkArr = array((0 until chunks).map { c =>
+      struct(lit(c).as("chunk_id"),
+        shiftright(col("sig"), c * chunkBits).bitwiseAND(mask).as("chunk"))
+    }: _*)
+    val chunked = sigs.withColumn("__c", explode(chunkArr))
+      .select(col("id"), col("frame_idx"), col("sig"),
+        col("__c.chunk_id").as("chunk_id"), col("__c.chunk").as("chunk"))
+    val l = chunked.select(col("frame_idx"), col("chunk_id"), col("chunk"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = chunked.select(col("frame_idx"), col("chunk_id"), col("chunk"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val framePairs = l.join(r, Seq("frame_idx", "chunk_id", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("frame_idx"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    val pairs = framePairs.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_matches"), max(col("hamming")).as("max_hamming"))
+      .filter(col("n_matches") >= minMatches)
     finish(pairs, materialize, release)
+  }
+
+  /** shared driver for media near-dup: compute a 64-bit signature
+    * column, drop NULLs (undecodable payloads can't be perceptually
+    * compared — route those to exact byte dedup), pigeonhole-join */
+  private def signatureDupPairs(
+      df: DataFrame,
+      idCol: String,
+      sig: Column,
+      maxHamming: Int,
+      chunks: Int,
+      materialize: Materialize): DataFrame = {
+    require(64 % chunks == 0 && chunks > 0, s"chunks ($chunks) must divide 64")
+    val based = df
+      .select(df.col(idCol).as("id"), sig.as("sig"))
+      .filter(col("sig").isNotNull)
+    val (sigs, release) = materialized(based, materialize, "id")
+    finish(hammingJoin(sigs, maxHamming, 64, chunks), materialize, release)
   }
 
   /** n-gram Jaccard similarity for a candidate pair set (exact verify

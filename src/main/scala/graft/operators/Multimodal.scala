@@ -69,6 +69,41 @@ object Multimodal {
       graft.plans.DecodeVideoFeatures(GraftShim.expression(media), frameStride))
   }
 
+  /** 64-bit perceptual image hash (aHash/dHash family) over a binary
+    * image column — the signature primitive for near-duplicate IMAGE
+    * detection (re-encodes/resizes/watermarks survive exact byte dedup
+    * but land within small Hamming distance). Exact integer arithmetic
+    * end-to-end, so signatures are engine-reproducible; NULL for bytes
+    * no codec accepts. See [[graft.plans.PerceptualImageHash]];
+    * near-dup pairs via [[Dedup.imageDupPairs]]. */
+  def imageHash(media: Column, kind: String = "ahash"): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(
+      graft.plans.PerceptualImageHash(GraftShim.expression(media), kind))
+  }
+
+  /** 64-bit acoustic fingerprint over a binary WAV column —
+    * sign-of-energy-difference binarization (Haitsma–Kalker style),
+    * exact integer arithmetic, gain-invariant; NULL for non-PCM-WAV
+    * bytes. See [[graft.plans.AudioFingerprint]]; near-dup pairs via
+    * [[Dedup.audioDupPairs]]. */
+  def audioFingerprint(media: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.plans.AudioFingerprint(GraftShim.expression(media)))
+  }
+
+  /** Per-frame perceptual hashes over a binary uncompressed-AVI column
+    * (every `frameStride`-th frame aHashed/dHashed from its raw BI_RGB
+    * raster) — the video near-dup signature; NULL for non-AVI bytes.
+    * See [[graft.plans.VideoFrameHashes]]; near-dup pairs via
+    * [[Dedup.videoDupPairs]]. */
+  def videoFrameHashes(
+      media: Column, kind: String = "ahash", frameStride: Int = 1): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(
+      graft.plans.VideoFrameHashes(GraftShim.expression(media), kind, frameStride))
+  }
+
   /** STUB decode → feature struct for media with NO pure-JVM decode
     * path (compressed audio and compressed video — the JVM ships no
     * codecs for those; IMAGES decode for real via [[decodeFeatures]],

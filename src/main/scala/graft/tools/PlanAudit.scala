@@ -35,7 +35,9 @@ object PlanAudit {
         "q_tpch_q8", "q_tpch_q9a", "q_tpch_q11a", "q_tpch_q12a",
         "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16a",
         "q_tpch_q17", "q_tpch_q19", "q_tpch_q20a", "q_tpch_q21a",
-        "q_tpch_q22a")
+        "q_tpch_q22a",
+        // round-4 continuation: media near-dup signatures
+        "q_image_phash", "q_image_dups", "q_audio_fp", "q_video_phash")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -403,4 +403,35 @@ class StreamingSpec extends SparkSpec {
       assert(v0 == Set(1L, 2L))
     } finally q.stop()
   }
+
+  test("media signatures run on a stream: image phash + audio fingerprint") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Multimodal
+    import graft.plans.ImageCodec
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // narrow per-row expressions: the streaming plan is the batch plan
+    val png = ImageCodec.grayPng(16, 16, (x, y) => 30 + (x * 11 + y * 5) % 190)
+    val wav = SparkEntry.wavBytes(8000,
+      (0 until 260).map(i => (((i * 31) % 997) - 498).toShort))
+    val input = MemoryStream[(Long, Array[Byte], Array[Byte])]
+    val out = input.toDF.toDF("id", "img", "audio")
+      .select(col("id"),
+        Multimodal.imageHash(col("img"), "dhash").as("ph"),
+        Multimodal.audioFingerprint(col("audio")).as("af"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("media_sig_stream").start()
+    try {
+      input.addData((1L, png, wav))
+      q.processAllAvailable()
+      val got = spark.table("media_sig_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val expect = Seq((1L, png, wav)).toDF("id", "img", "audio")
+        .select(col("id"),
+          Multimodal.imageHash(col("img"), "dhash"),
+          Multimodal.audioFingerprint(col("audio")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == expect.toSeq && got.nonEmpty)
+    } finally q.stop()
+  }
 }
