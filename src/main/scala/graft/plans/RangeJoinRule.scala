@@ -108,11 +108,16 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     w
   }
 
-  /** exact → long conversions; None = unsupported type */
+  /** exact → long conversions; None = unsupported type.
+    * TimestampNTZ matters in practice: parquet written with
+    * isAdjustedToUTC=false (pyarrow's default) reads back as NTZ, and
+    * the rule silently declining there turns the most common
+    * event-time range join back into a nested loop. */
   private def toLong(e: Expression): Option[Expression] = e.dataType match {
     case LongType                                     => Some(e)
     case ByteType | ShortType | IntegerType           => Some(Cast(e, LongType))
     case TimestampType                                => Some(UnixMicros(e))
+    case TimestampNTZType                             => Some(NtzMicros(e))
     case _                                            => None
   }
 
@@ -202,4 +207,23 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), j.hint))
     }
   }
+}
+
+/** TimestampNTZ → epoch micros, exactly and for free: NTZ's internal
+  * representation IS the Long micro count, so this is an identity on
+  * the physical value (`unix_micros` only accepts TimestampType, and a
+  * LongType cast truncates to seconds — both wrong here). */
+private[graft] case class NtzMicros(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = input
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(newChild: Expression): NtzMicros =
+    copy(child = newChild)
+  override def prettyName: String = "ntz_micros"
 }

@@ -161,6 +161,22 @@ class JoinSpec extends SparkSpec {
     assert(got == Set((1, 10), (2, 11), (3, 11))) // and the expected pairs outright
   }
 
+  test("rangeJoin bands TimestampNTZ columns (pyarrow parquet read-back type)") {
+    import java.time.LocalDateTime
+    val points = Seq((1L, LocalDateTime.parse("2024-01-01T00:05:00")),
+        (2L, LocalDateTime.parse("2024-01-01T03:00:00")))
+      .toDF("pid", "t")
+    val intervals = Seq((10L, LocalDateTime.parse("2024-01-01T00:00:00"),
+        LocalDateTime.parse("2024-01-01T00:10:00")))
+      .toDF("iid", "lo", "hi")
+    assert(points.schema("t").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val j = Tidier.from(points)
+      .rangeJoin(Tidier.from(intervals), "t", "lo", "hi",
+        bandWidth = 10L * 60 * 1000000)
+    assert(j.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("set ops by position") {
     val a = Seq(1, 2, 3).toDF("v"); val b = Seq(2, 3, 4).toDF("v")
     assert(Tidier.from(a).union(Tidier.from(b)).df.count() == 4)

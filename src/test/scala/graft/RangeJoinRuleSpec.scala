@@ -98,6 +98,28 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("timestamp_ntz points band too (parquet with isAdjustedToUTC=false)") {
+    // pyarrow-written parquet (the driver's testdata) reads timestamps
+    // back as NTZ; the rule declining there silently reverts the
+    // event-time range join to a nested loop — regression gate
+    val p = Seq((1L, java.time.LocalDateTime.parse("2024-01-01T00:05:00")),
+        (2L, java.time.LocalDateTime.parse("2024-01-01T03:00:00")))
+      .toDF("pid", "ts")
+    val iv = Seq((10L, java.time.LocalDateTime.parse("2024-01-01T00:00:00"),
+        java.time.LocalDateTime.parse("2024-01-01T00:10:00")))
+      .toDF("iid", "lo", "hi")
+    assert(p.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val raw = sortedRows(p.join(iv, $"ts" >= $"lo" && $"ts" <= $"hi"))
+    withBandWidth(10L * 60 * 1000000) {
+      val j = p.join(iv, $"ts" >= $"lo" && $"ts" <= $"hi")
+      assert(j.queryExecution.optimizedPlan.toString.contains("__graft_band_p"),
+        "rule must fire on TimestampNTZ bounds")
+      assert(sortedRows(j) == raw)
+      assert(raw.size == 1)
+    }
+  }
+
   test("point on the RIGHT side of the join works symmetrically") {
     val raw = sortedRows(intervals.join(points, $"x" >= $"lo" && $"x" <= $"hi"))
     withBandWidth(8L) {
