@@ -1687,6 +1687,30 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // FULL Gopher repetition rule set (Rae et al. 2021 Table A1): the
+    // gate text is built with duplicate lines (cookie banner twice on
+    // even docs), a duplicate paragraph, and the doc's own first 20
+    // tokens appended — guaranteed duplicate 5..10-grams whose spans
+    // overlap and must union, not double-count. The oracle re-derives
+    // the span union SET-THEORETICALLY (distinct covered token +
+    // separator positions) where the engine uses an interval-merge
+    // fold — two independent algorithms for the same object.
+    "q_rep_gopher" -> ((s, dir) => {
+      val tk0 = graft.functions.TextFns.tokens(col("text"))
+      val banner = lit("ACCEPT COOKIES\nshare this article")
+      val src = t(s, dir, "documents").df.select(
+        col("doc_id"),
+        concat_ws("\n\n",
+          banner,
+          concat_ws(" ", col("text"), concat_ws(" ", slice(tk0, 1, 20))),
+          when(col("doc_id") % 2 === 0, banner)
+            .otherwise(concat(lit("tail "), col("doc_id").cast("string"))))
+          .as("text"))
+      Tidier.from(Repetition.gopherRepetitionSignals(src, "doc_id", "text"))
+        .arrange("doc_id")
+        .df
+    }),
+
     // sliding-window chunking: 32-token windows, 8-token overlap —
     // narrow explode, no shuffle; last window short, short docs = 1 chunk
     "q_chunk" -> ((s, dir) =>
@@ -3263,6 +3287,84 @@ object SparkEntry {
     // bigram repetition mirror: same tokenization, occurrence counts per
     // (doc, gram), top gram by (count DESC, gram DESC) = Spark's
     // max(struct(cnt, gram)) under binary string order
+    "q_rep_gopher" -> {
+      def f(num: String, den: String): String =
+        s"CASE WHEN ($den) > 0 THEN CAST((($num) * 2000000 + ($den)) // (2 * ($den)) AS DOUBLE) / 1000000.0 ELSE 0.0 END"
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    'ACCEPT COOKIES' || chr(10) || 'share this article' || chr(10) || chr(10) ||
+         |    text || ' ' || array_to_string(($tkExpr)[1:20], ' ') || chr(10) || chr(10) ||
+         |    CASE WHEN doc_id % 2 = 0
+         |         THEN 'ACCEPT COOKIES' || chr(10) || 'share this article'
+         |         ELSE 'tail ' || doc_id END AS text
+         |  FROM documents
+         |), tkn AS (
+         |  SELECT doc_id, $tkExpr AS tk, len(array_to_string($tkExpr, ' ')) AS nch FROM base
+         |), units AS (
+         |  SELECT doc_id, 0 AS n, NULL::BIGINT AS pos, u AS g
+         |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, chr(10)), x -> len(x) > 0)) AS u FROM base)
+         |  UNION ALL
+         |  SELECT doc_id, 1, NULL, u
+         |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, chr(10) || chr(10)), x -> len(x) > 0)) AS u FROM base)
+         |  UNION ALL
+         |  SELECT doc_id, n, s.i, s.g FROM (
+         |    SELECT doc_id, n, unnest(list_transform(range(1, greatest(len(tk) - n + 1, 0) + 1),
+         |      i -> {'i': i, 'g': array_to_string(tk[i:i+n-1], ' ')})) AS s
+         |    FROM tkn CROSS JOIN (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) ns)
+         |), c AS (
+         |  SELECT doc_id, n, md5(g) AS uh, len(g) AS ul, COUNT(*) AS cnt,
+         |         list_sort(list(pos)) AS ps
+         |  FROM units GROUP BY 1, 2, 3, 4
+         |), a2 AS (
+         |  SELECT doc_id, n, SUM(cnt) AS total, COUNT(*) AS dcnt,
+         |         SUM((cnt - 1) * ul) AS dupch, SUM(cnt * ul) AS totch,
+         |         MAX(cnt * ul) AS topch,
+         |         flatten(list(ps) FILTER (WHERE cnt >= 2)) AS sts
+         |  FROM c GROUP BY 1, 2
+         |), starts AS (
+         |  SELECT doc_id, n, unnest(sts) AS s FROM a2 WHERE n >= 5 AND len(sts) > 0
+         |), covtok AS (
+         |  SELECT DISTINCT doc_id, n, s + j AS p
+         |  FROM starts CROSS JOIN (SELECT unnest(range(0, 10)) AS j) js WHERE j < n
+         |), covsep AS (
+         |  SELECT DISTINCT doc_id, n, s + j AS p
+         |  FROM starts CROSS JOIN (SELECT unnest(range(0, 9)) AS j) js WHERE j < n - 1
+         |), toklen AS (
+         |  SELECT doc_id, e.p AS p, e.l AS l FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+         |      i -> {'p': i, 'l': len(tk[i])})) AS e
+         |    FROM tkn)
+         |), cova AS (
+         |  SELECT ct.doc_id, ct.n, SUM(tl.l) AS chs
+         |  FROM covtok ct JOIN toklen tl ON tl.doc_id = ct.doc_id AND tl.p = ct.p
+         |  GROUP BY 1, 2
+         |), covb AS (
+         |  SELECT doc_id, n, COUNT(*) AS seps FROM covsep GROUP BY 1, 2
+         |), sig AS (
+         |  SELECT a2.*, cova.chs + COALESCE(covb.seps, 0) AS covch
+         |  FROM a2
+         |  LEFT JOIN cova ON cova.doc_id = a2.doc_id AND cova.n = a2.n
+         |  LEFT JOIN covb ON covb.doc_id = a2.doc_id AND covb.n = a2.n
+         |)
+         |SELECT t.doc_id,
+         |  COALESCE(MAX(CASE WHEN s.n = 0 THEN ${f("s.total - s.dcnt", "s.total")} END), 0.0) AS dup_line_frac,
+         |  COALESCE(MAX(CASE WHEN s.n = 0 THEN ${f("s.dupch", "s.totch")} END), 0.0) AS dup_line_char_frac,
+         |  COALESCE(MAX(CASE WHEN s.n = 1 THEN ${f("s.total - s.dcnt", "s.total")} END), 0.0) AS dup_para_frac,
+         |  COALESCE(MAX(CASE WHEN s.n = 1 THEN ${f("s.dupch", "s.totch")} END), 0.0) AS dup_para_char_frac,
+         |  COALESCE(MAX(CASE WHEN s.n = 2 THEN ${f("s.topch", "t.nch")} END), 0.0) AS top_2gram_char_frac,
+         |  COALESCE(MAX(CASE WHEN s.n = 3 THEN ${f("s.topch", "t.nch")} END), 0.0) AS top_3gram_char_frac,
+         |  COALESCE(MAX(CASE WHEN s.n = 4 THEN ${f("s.topch", "t.nch")} END), 0.0) AS top_4gram_char_frac,
+         |  COALESCE(MAX(CASE WHEN s.n = 5 THEN ${f("COALESCE(s.covch, 0)", "t.nch")} END), 0.0) AS dup_5gram_char_frac,
+         |  COALESCE(MAX(CASE WHEN s.n = 6 THEN ${f("COALESCE(s.covch, 0)", "t.nch")} END), 0.0) AS dup_6gram_char_frac,
+         |  COALESCE(MAX(CASE WHEN s.n = 7 THEN ${f("COALESCE(s.covch, 0)", "t.nch")} END), 0.0) AS dup_7gram_char_frac,
+         |  COALESCE(MAX(CASE WHEN s.n = 8 THEN ${f("COALESCE(s.covch, 0)", "t.nch")} END), 0.0) AS dup_8gram_char_frac,
+         |  COALESCE(MAX(CASE WHEN s.n = 9 THEN ${f("COALESCE(s.covch, 0)", "t.nch")} END), 0.0) AS dup_9gram_char_frac,
+         |  COALESCE(MAX(CASE WHEN s.n = 10 THEN ${f("COALESCE(s.covch, 0)", "t.nch")} END), 0.0) AS dup_10gram_char_frac
+         |FROM tkn t LEFT JOIN sig s ON s.doc_id = t.doc_id
+         |GROUP BY t.doc_id, t.nch
+         |ORDER BY t.doc_id""".stripMargin
+    },
+
     "q_text_repetition" ->
       s"""WITH toks AS (
          |  SELECT doc_id, len(text) AS nch, $tkExpr AS tk FROM documents

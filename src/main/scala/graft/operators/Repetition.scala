@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
@@ -69,6 +69,209 @@ object Repetition {
         col("__top.__gram").as("top_gram"),
         (expr("(__top.__cnt * length(__top.__gram) * 2000000 + __nch) div (2 * __nch)")
           .cast("double") / lit(1000000.0)).as("top_gram_frac"))
+  }
+
+  /** The FULL Gopher/MassiveText repetition rule set (Rae et al. 2021,
+    * Table A1) — one row per document with all 14 published signals:
+    *
+    *  - `dup_line_frac` / `dup_para_frac`: fraction of non-empty
+    *    lines (split `\n`) / paragraphs (split `\n\n`) that repeat an
+    *    earlier identical unit: `(total - distinct) / total`.
+    *  - `dup_line_char_frac` / `dup_para_char_frac`: character mass of
+    *    the repeats: `Σ (cnt-1)·len(unit) / Σ cnt·len(unit)`.
+    *  - `top_{2,3,4}gram_char_frac`: characters claimed by the single
+    *    most frequent word n-gram — `max(cnt·len(gram))` over the
+    *    doc's grams, over the normalized text length (tokens joined by
+    *    one space). Overlaps are allowed to double-count, per paper.
+    *  - `dup_{5..10}gram_char_frac`: characters inside the UNION of
+    *    the character spans (in the normalized text) of every n-gram
+    *    that occurs more than once — overlap-aware: a character under
+    *    two duplicated grams counts once. A separator is covered iff
+    *    one gram covers both its neighbor tokens.
+    *
+    * Missing evidence (doc shorter than n tokens, single line) scores
+    * 0 — absence of repetition signal never penalizes.
+    *
+    * 100 TB shape: one narrow tokenize+shingle projection fused with
+    * the scan emits (doc, n, unit-hash) rows for lines, paragraphs and
+    * all nine gram sizes at once, then TWO aggregations — (doc, n,
+    * unit) counts, (doc, n) roll-up — both on high-cardinality
+    * doc-local keys (no hot keys; unit text never rides a shuffle,
+    * only its md5 + length). The span-union char mass is a narrow
+    * per-doc interval-merge fold over sorted start positions (O(tokens)
+    * via incremental slices); the only doc-keyed join ships the small
+    * (doc → starts-per-n) map back to the token arrays — the same
+    * shape the span-dedup operator uses. The shuffle carries ~9 rows
+    * per token; that is the price of six exact span unions plus three
+    * exact top-gram signals in one pass.
+    */
+  def gopherRepetitionSignals(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
+    val src0 = if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+
+    val tk = TextFns.tokens(col(textCol))
+    val nonEmpty = (xs: Column) => filter(xs, x => length(x) > 0)
+    def unitRows(kind: Int, units: Column): Column =
+      transform(units, u => struct(
+        lit(kind).as("n"), lit(null).cast("int").as("pos"),
+        md5(u).as("uh"), length(u).cast("long").as("ul")))
+    def gramRows(n: Int): Column = {
+      val g = (i: Column) => concat_ws(" ", slice(col("__tk"), i, lit(n)))
+      // positions only matter for the n>=5 span union — keep them off
+      // the shuffle for the top-gram sizes
+      def pos(i: Column): Column =
+        if (n >= 5) i.cast("int") else lit(null).cast("int")
+      when(size(col("__tk")) >= n,
+        transform(sequence(lit(1), size(col("__tk")) - n + 1),
+          i => struct(lit(n).as("n"), pos(i).as("pos"),
+            md5(g(i)).as("uh"), length(g(i)).cast("long").as("ul"))))
+        .otherwise(array().cast("array<struct<n:int,pos:int,uh:string,ul:bigint>>"))
+    }
+
+    val base = src0.select(col(idCol), tk.as("__tk"),
+      nonEmpty(split(col(textCol), "\n")).as("__ln"),
+      nonEmpty(split(col(textCol), "\n\n")).as("__pa"))
+    val exploded = base.select(
+      col(idCol),
+      length(concat_ws(" ", col("__tk"))).cast("long").as("__nch"),
+      explode(concat(
+        unitRows(0, col("__ln")) +: unitRows(1, col("__pa")) +:
+          (2 to 10).map(gramRows): _*)).as("__u"))
+      .select(col(idCol), col("__nch"), col("__u.n").as("__n"),
+        col("__u.pos").as("__pos"), col("__u.uh").as("__uh"), col("__u.ul").as("__ul"))
+
+    val counts = exploded
+      .groupBy(col(idCol), col("__n"), col("__uh"))
+      .agg(first(col("__ul")).as("__ul"), count(lit(1)).as("__cnt"),
+        sort_array(collect_list(col("__pos"))).as("__ps"),
+        first(col("__nch")).as("__nch"))
+    val perN = counts
+      .groupBy(col(idCol), col("__n"))
+      .agg(
+        sum("__cnt").as("__total"),
+        count(lit(1)).as("__distinct"),
+        sum((col("__cnt") - 1) * col("__ul")).as("__dupch"),
+        sum(col("__cnt") * col("__ul")).as("__totch"),
+        max(col("__cnt") * col("__ul")).as("__topch"),
+        sort_array(flatten(collect_list(when(col("__cnt") >= 2, col("__ps")))))
+          .as("__starts"),
+        first(col("__nch")).as("__nch"))
+
+    // exact round-half-up(num/den · 10^6) in pure BIGINT, then ONE
+    // IEEE divide by 10^6 — the cross-engine-exact recipe used
+    // throughout (see repetitionReport)
+    def fr(num: String, den: String): Column =
+      when(expr(den) > 0,
+        expr(s"(($num) * 2000000 + ($den)) div (2 * ($den))").cast("double") /
+          lit(1000000.0))
+        .otherwise(lit(0.0))
+
+    // n ∈ {0 lines, 1 paragraphs, 2..4 top-gram}: pure column math
+    val flat = perN.select(
+      col(idCol), col("__n"),
+      fr("__total - __distinct", "__total").as("__fa"),
+      fr("__dupch", "__totch").as("__fb"),
+      fr("__topch", "__nch").as("__ft"),
+      col("__starts"))
+
+    // n ∈ {5..10}: overlap-aware span-union char mass — ship the small
+    // (doc → starts per n) map back beside the token arrays, then an
+    // O(tokens) interval-merge fold per n. concat_ws slices are sized
+    // to the EXTENSION, so total work per doc stays linear.
+    val startsMap = flat
+      .filter(col("__n") >= 5 && size(col("__starts")) > 0)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__n"), col("__starts"))))
+        .as("__sm"))
+
+    def coveredChars(starts: Column, toks: Column, w: Int): Column = {
+      val zero = struct(lit(0).as("e"), lit(0L).as("c"))
+      val folded = aggregate(
+        starts,
+        zero,
+        (acc, s) => {
+          val e = acc.getField("e"); val c = acc.getField("c")
+          val disjoint = s >= e
+          val contained = (s + w) <= e
+          val addDisjoint = length(concat_ws(" ", slice(toks, s, lit(w)))).cast("long")
+          val addOverlap =
+            lit(1L) + length(concat_ws(" ", slice(toks, e, s + w - e))).cast("long")
+          struct(
+            when(contained, e).otherwise(s + w).as("e"),
+            when(contained, c)
+              .when(disjoint, c + addDisjoint)
+              .otherwise(c + addOverlap).as("c"))
+        },
+        acc => acc.getField("c"))
+      coalesce(folded, lit(0L))
+    }
+
+    val spanFracs = base
+      .join(startsMap, Seq(idCol), "left")
+      .select(
+        col(idCol) +:
+          length(concat_ws(" ", col("__tk"))).cast("long").as("__nch") +:
+          (5 to 10).map { n =>
+            coveredChars(
+              coalesce(element_at(col("__sm"), n), array().cast("array<int>")),
+              col("__tk"), n).as(s"__cov$n")
+          }: _*)
+    val spanCols = (5 to 10).map(n =>
+      fr(s"__cov$n", "__nch").as(s"dup_${n}gram_char_frac"))
+    val spanOut = spanFracs.select(col(idCol) +: spanCols: _*)
+
+    def pick(n: Int, c: String): Column =
+      coalesce(max(when(col("__n") === n, col(c))), lit(0.0))
+    val flatOut = flat
+      .groupBy(col(idCol))
+      .agg(
+        pick(0, "__fa").as("dup_line_frac"),
+        pick(0, "__fb").as("dup_line_char_frac"),
+        pick(1, "__fa").as("dup_para_frac"),
+        pick(1, "__fb").as("dup_para_char_frac"),
+        pick(2, "__ft").as("top_2gram_char_frac"),
+        pick(3, "__ft").as("top_3gram_char_frac"),
+        pick(4, "__ft").as("top_4gram_char_frac"))
+
+    val zeroes = Seq(
+      "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+      "dup_para_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
+      "top_4gram_char_frac")
+    spanOut
+      .join(flatOut, Seq(idCol), "left")
+      .select(col(idCol) +:
+        (zeroes.map(c => coalesce(col(c), lit(0.0)).as(c)) ++
+          (5 to 10).map(n => col(s"dup_${n}gram_char_frac"))): _*)
+  }
+
+  /** Published Gopher repetition thresholds (Rae et al. 2021 Table A1);
+    * a document is dropped when ANY signal exceeds its limit. */
+  val GopherRepetitionLimits: Seq[(String, Double)] = Seq(
+    "dup_line_frac" -> 0.30, "dup_para_frac" -> 0.30,
+    "dup_line_char_frac" -> 0.20, "dup_para_char_frac" -> 0.20,
+    "top_2gram_char_frac" -> 0.20, "top_3gram_char_frac" -> 0.18,
+    "top_4gram_char_frac" -> 0.16,
+    "dup_5gram_char_frac" -> 0.15, "dup_6gram_char_frac" -> 0.14,
+    "dup_7gram_char_frac" -> 0.13, "dup_8gram_char_frac" -> 0.12,
+    "dup_9gram_char_frac" -> 0.11, "dup_10gram_char_frac" -> 0.10)
+
+  /** Corpus minus documents failing any of the 13 published repetition
+    * limits (override via `limits`). Pairs with `TextFns.gopherFilter`
+    * (document-shape rules) for the complete MassiveText quality gate. */
+  def dropRepetitiveGopher(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      limits: Seq[(String, Double)] = GopherRepetitionLimits): DataFrame = {
+    val sig = gopherRepetitionSignals(df, idCol, textCol)
+    val bad = sig
+      .filter(limits.map { case (c, t) => col(c) > t }.reduce(_ || _))
+      .select(idCol)
+    df.join(bad, Seq(idCol), "left_anti")
   }
 
   /** Corpus minus repetitive documents: drops docs whose duplicate-gram
