@@ -89,7 +89,8 @@ object GraftExtensions {
         case Some(other) => throw new IllegalArgumentException(
           s"hash kind must be a string literal ('ahash'|'dhash'), got ${other.sql}")
       })),
-    "decode_html_entities" -> (e => plans.DecodeHtmlEntities(e(0))))
+    "decode_html_entities" -> (e => plans.DecodeHtmlEntities(e(0))),
+    "parse_warc" -> (e => plans.WarcParse(e(0))))
 
   /** register all kernels + optimizer rules on an existing session */
   def register(spark: SparkSession): Unit = {

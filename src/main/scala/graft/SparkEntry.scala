@@ -1687,6 +1687,47 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // WARC record grammar, gated distributed: every doc becomes a
+    // 3-record WARC blob (warcinfo with empty payload, an
+    // application/http response whose HTTP head must be split off, a
+    // text/plain conversion), parsed back by the native parse_warc
+    // kernel. The oracle knows what the grammar must yield and builds
+    // the rows directly — any drift in header parsing, Content-Length
+    // byte math, CRLF handling or HTTP head splitting breaks the hash.
+    "q_warc" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val httpHead = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+      val respLen = (lit(httpHead.getBytes("UTF-8").length) +
+        octet_length(col("text"))).cast("string")
+      val blob = concat(
+        lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: <urn:info:"),
+        id, lit(">\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
+          "Content-Type: application/warc-fields\r\nContent-Length: 0\r\n\r\n\r\n\r\n"),
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:resp:"),
+        id, lit(">\r\nWARC-Target-URI: https://example.com/"), id,
+        lit("\r\nWARC-Date: 2024-01-01T00:00:01Z\r\n" +
+          "Content-Type: application/http; msgtype=response\r\nContent-Length: "),
+        respLen, lit("\r\n\r\n"), lit(httpHead), col("text"), lit("\r\n\r\n"),
+        lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:conv:"),
+        id, lit(">\r\nWARC-Target-URI: https://example.com/"), id,
+        lit("\r\nWARC-Date: 2024-01-01T00:00:02Z\r\n" +
+          "Content-Type: text/plain\r\nContent-Length: "),
+        octet_length(col("text")).cast("string"),
+        lit("\r\n\r\n"), col("text"), lit("\r\n\r\n")).cast("binary")
+      t(s, dir, "documents").df
+        .select(col("doc_id"),
+          explode(operators.Multimodal.parseWarc(blob)).as("r"))
+        .select(col("doc_id"),
+          col("r.record_id").as("record_id"),
+          col("r.warc_type").as("warc_type"),
+          col("r.target_uri").as("target_uri"),
+          col("r.content_length").as("content_length"),
+          col("r.http_status").as("http_status"),
+          col("r.http_content_type").as("http_content_type"),
+          decode(col("r.payload"), "UTF-8").as("payload_text"))
+        .orderBy("doc_id", "warc_type")
+    }),
+
     // FULL Gopher repetition rule set (Rae et al. 2021 Table A1): the
     // gate text is built with duplicate lines (cookie banner twice on
     // even docs), a duplicate paragraph, and the doc's own first 20
@@ -3287,6 +3328,30 @@ object SparkEntry {
     // bigram repetition mirror: same tokenization, occurrence counts per
     // (doc, gram), top gram by (count DESC, gram DESC) = Spark's
     // max(struct(cnt, gram)) under binary string order
+    "q_warc" ->
+      """WITH e AS (SELECT doc_id, text, octet_length(encode(text)) AS tl FROM documents)
+        |SELECT doc_id, record_id, warc_type, target_uri, content_length,
+        |       http_status, http_content_type, payload_text FROM (
+        |  SELECT doc_id, '<urn:info:' || doc_id || '>' AS record_id,
+        |         'warcinfo' AS warc_type, '' AS target_uri,
+        |         CAST(0 AS BIGINT) AS content_length,
+        |         CAST(NULL AS INTEGER) AS http_status,
+        |         CAST(NULL AS VARCHAR) AS http_content_type,
+        |         '' AS payload_text
+        |  FROM e
+        |  UNION ALL
+        |  SELECT doc_id, '<urn:resp:' || doc_id || '>', 'response',
+        |         'https://example.com/' || doc_id, CAST(44 + tl AS BIGINT),
+        |         200, 'text/html', text
+        |  FROM e
+        |  UNION ALL
+        |  SELECT doc_id, '<urn:conv:' || doc_id || '>', 'conversion',
+        |         'https://example.com/' || doc_id, CAST(tl AS BIGINT),
+        |         NULL, NULL, text
+        |  FROM e
+        |)
+        |ORDER BY doc_id, warc_type""".stripMargin,
+
     "q_rep_gopher" -> {
       def f(num: String, den: String): String =
         s"CASE WHEN ($den) > 0 THEN CAST((($num) * 2000000 + ($den)) // (2 * ($den)) AS DOUBLE) / 1000000.0 ELSE 0.0 END"

@@ -166,4 +166,12 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** one-or-more concatenated WARC records (plain or gzip) in a binary
+    * column → array of typed record structs; the column-level face of
+    * [[graft.sources.WarcScan]] (SQL: `parse_warc(blob)`) */
+  def parseWarc(blob: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.plans.WarcParse(GraftShim.expression(blob)))
+  }
 }
