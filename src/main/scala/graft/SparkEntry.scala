@@ -1687,6 +1687,23 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // DSIR importance scoring + exact top-k selection: the gate's
+    // log-ratio table is a formula over the bucket id (every bucket
+    // populated), so the mirror inlines lw[bucket(feature)] — any
+    // drift in unigram/bigram hashing, the integer feature-stream sum,
+    // or top-k tie-breaking breaks the hash. (Model FITTING is the
+    // engine's own ln-table build, spec-gated in DsirSpec.)
+    "q_dsir" -> ((s, dir) => {
+      val B = 256
+      val wdf = s.createDataFrame(
+        (0 until B).map(b => (b, (b * 37L) % 2001 - 1000))).toDF("bucket", "lw_micro")
+      operators.Dsir.resampleTopK(
+          t(s, dir, "documents").df.select("doc_id", "text"),
+          "doc_id", "text", wdf, B, k = 100)
+        .select("doc_id", "n_feats", "score_micro", "score")
+        .orderBy("doc_id")
+    }),
+
     // WARC record grammar, gated distributed: every doc becomes a
     // 3-record WARC blob (warcinfo with empty payload, an
     // application/http response whose HTTP head must be split off, a
@@ -3328,6 +3345,23 @@ object SparkEntry {
     // bigram repetition mirror: same tokenization, occurrence counts per
     // (doc, gram), top gram by (count DESC, gram DESC) = Spark's
     // max(struct(cnt, gram)) under binary string order
+    "q_dsir" ->
+      s"""WITH base AS (SELECT doc_id, $tkExpr AS tk FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    (len(tk) + greatest(len(tk) - 1, 0))::BIGINT AS n_feats,
+         |    (COALESCE(list_sum(list_transform(tk, t ->
+         |       (('0x'||substr(md5('dsiru'||chr(1)||t),1,15))::BIGINT % 256) * 37 % 2001 - 1000)), 0)
+         |     + COALESCE(list_sum(list_transform(range(1, greatest(len(tk) - 1, 0) + 1), i ->
+         |       (('0x'||substr(md5('dsirb'||chr(1)||tk[i]||' '||tk[i+1]),1,15))::BIGINT % 256) * 37 % 2001 - 1000)), 0))::BIGINT
+         |      AS score_micro
+         |  FROM base)
+         |SELECT * FROM (
+         |  SELECT doc_id, n_feats, score_micro,
+         |         score_micro::DOUBLE / 1000000.0 AS score
+         |  FROM s ORDER BY score_micro DESC, doc_id LIMIT 100)
+         |ORDER BY doc_id""".stripMargin,
+
     "q_warc" ->
       """WITH e AS (SELECT doc_id, text, octet_length(encode(text)) AS tl FROM documents)
         |SELECT doc_id, record_id, warc_type, target_uri, content_length,
