@@ -1101,6 +1101,19 @@ object SparkEntry {
       NgramLm.scoreDocs(docs, "doc_id", "text", model).orderBy("doc_id")
     }),
 
+    // CCNet perplexity bucketing over the same bigram model: fixed
+    // calibrated cutoffs (literals in both engines), bucket assignment
+    // thresholds the bit-identical fluency value
+    "q_ppl_bucket" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val model = NgramLm.train(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), "text", n = 2)
+      operators.Pipelines.perplexityBuckets(
+          docs, "doc_id", "text", model, cutLow = 0.0337, cutHigh = 0.0352)
+        .select("doc_id", "n_grams", "fluency", "ppl_bucket")
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style fluency filter: same even-doc reference model, keep
     // docs at/above the median fluency (the exact-integer scoring makes
     // the threshold comparison engine-safe)
@@ -2734,6 +2747,39 @@ object SparkEntry {
          |FROM documents d
          |LEFT JOIN perdoc p USING (doc_id)
          |WHERE p.fluency IS NULL OR p.fluency >= 0.0344
+         |ORDER BY d.doc_id""".stripMargin,
+
+"q_ppl_bucket" ->
+      s"""WITH toks AS (SELECT doc_id, $tkExpr AS tk FROM documents),
+         |ref AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+         |uni AS (SELECT COUNT(DISTINCT t) AS v FROM (SELECT unnest(tk) AS t FROM ref)),
+         |refg AS (SELECT tk[i] AS ctx, tk[i+1] AS tok
+         |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM ref)),
+         |bi AS (SELECT ctx, tok, COUNT(*) AS cnt FROM refg GROUP BY 1, 2),
+         |ctxt AS (SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS total FROM bi GROUP BY 1),
+         |docg AS (SELECT doc_id, tk[i] AS ctx, tk[i+1] AS tok
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)),
+         |scored AS (
+         |  SELECT g.doc_id,
+         |    (1000000000 * (COALESCE(b.cnt, 0) + 1)) // (COALESCE(c.total, 0) + uni.v) AS s,
+         |    CASE WHEN b.cnt IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM docg g
+         |  LEFT JOIN bi b ON g.ctx = b.ctx AND g.tok = b.tok
+         |  LEFT JOIN ctxt c ON g.ctx = c.ctx
+         |  CROSS JOIN uni),
+         |perdoc AS (
+         |  SELECT doc_id, COUNT(*) AS n_grams,
+         |    (CAST(SUM(s) AS DOUBLE) / COUNT(*)) / 1000000000.0 AS fluency
+         |  FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(p.n_grams, 0) AS n_grams,
+         |  p.fluency AS fluency,
+         |  CASE WHEN p.fluency IS NULL THEN 'unscored'
+         |       WHEN p.fluency >= 0.0352 THEN 'head'
+         |       WHEN p.fluency >= 0.0337 THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN perdoc p USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
 "q_text_lm" ->

@@ -243,6 +243,55 @@ object Pipelines {
     docs.join(bad, Seq(idCol), "left_anti")
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): each doc
+    * lands in `head` / `middle` / `tail` by its LM fluency against two
+    * calibrated cutoffs (CCNet computes cutoffs offline per language
+    * from a sample, then buckets the crawl; `head` = most fluent).
+    * Unscoreable docs (shorter than the model order) get `unscored` —
+    * no evidence, kept distinct from `tail`.
+    *
+    * The comparison is engine-safe: [[NgramLm.scoreDocs]] fluency is
+    * bit-identical across engines (exact integer smoothing, one
+    * cast+divide), so thresholding on it is deterministic. Narrow on
+    * the corpus side — one scoring pass, no extra shuffle.
+    */
+  def perplexityBuckets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: NgramLm.Model,
+      cutLow: Double,
+      cutHigh: Double,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(cutLow <= cutHigh, s"cutLow $cutLow must be <= cutHigh $cutHigh")
+    NgramLm.scoreDocs(docs, idCol, textCol, model, broadcastModel = broadcastModel)
+      .withColumn("ppl_bucket",
+        when(col("fluency").isNull, lit("unscored"))
+          .when(col("fluency") >= cutHigh, lit("head"))
+          .when(col("fluency") >= cutLow, lit("middle"))
+          .otherwise(lit("tail")))
+  }
+
+  /** calibration helper: (qLow, qHigh) fluency quantiles of a corpus
+    * under `model`, via the mergeable approx-percentile sketch (exact
+    * percentile of a 100 TB corpus would need a global sort; CCNet
+    * itself calibrates on a sample). Returns the two cutoffs. */
+  def fluencyCutoffs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: NgramLm.Model,
+      qLow: Double = 1.0 / 3,
+      qHigh: Double = 2.0 / 3): (Double, Double) = {
+    require(qLow < qHigh, s"qLow $qLow must be < qHigh $qHigh")
+    val r = NgramLm.scoreDocs(docs, idCol, textCol, model)
+      .filter(col("fluency").isNotNull)
+      .agg(percentile_approx(col("fluency"), lit(qLow), lit(10000)),
+        percentile_approx(col("fluency"), lit(qHigh), lit(10000)))
+      .head()
+    (r.getDouble(0), r.getDouble(1))
+  }
+
   def corpusProfile(docs: DataFrame, textCol: String, langCol: String): DataFrame = {
     val toks = TextFns.tokenCount(col(textCol))
     val q = TextFns.qualityScore(col(textCol))

@@ -114,4 +114,31 @@ class NgramLmSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(1L, 3L))
   }
+
+  test("perplexityBuckets: head/middle/tail/unscored by fluency cutoffs") {
+    import spark.implicits._
+    import graft.operators.Pipelines
+    val ref = Seq((10L, "the cat sat on the mat the cat sat")).toDF("doc_id", "text")
+    val model = NgramLm.train(ref, "text", n = 2)
+    val docs = Seq(
+      (1L, "the cat sat"),     // in-domain -> highest fluency
+      (2L, "the cat on the mat"), // partial overlap (above the 1/V OOV floor)
+      (3L, "zz qq ww xx yy"),  // all OOV -> lowest
+      (4L, "one")              // too short -> unscored
+    ).toDF("doc_id", "text")
+    val f = NgramLm.scoreDocs(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+      .map(r => if (r.isNullAt(r.fieldIndex("fluency"))) Double.NaN
+        else r.getDouble(r.fieldIndex("fluency")))
+    assert(f(0) > f(1) && f(1) > f(2))
+    val cutHigh = (f(0) + f(1)) / 2; val cutLow = (f(1) + f(2)) / 2
+    val got = Pipelines.perplexityBuckets(docs, "doc_id", "text", model, cutLow, cutHigh)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("ppl_bucket"))).toMap
+    assert(got == Map(1L -> "head", 2L -> "middle", 3L -> "tail", 4L -> "unscored"))
+    // calibration helper brackets the middle doc
+    val (lo, hi) = Pipelines.fluencyCutoffs(docs, "doc_id", "text", model,
+      qLow = 0.34, qHigh = 0.67)
+    assert(lo <= f(1) && f(1) <= hi)
+  }
 }
