@@ -1700,6 +1700,25 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // Incremental ingestion with NEAR-dup screening: two ingests (evens,
+    // then everything) against a fresh corpus + persisted MinHash band
+    // index; the final corpus is read back. The oracle replays all four
+    // stages set-theoretically (exact in-batch, exact cross-batch,
+    // in-batch banded-minhash closure, cross-batch band-index probe)
+    // over the same pair universe — index persistence, band-key joins
+    // and the Jaccard verify are all load-bearing for the id set.
+    "q_ingest_neardup" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_ndingest_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "text")
+      Pipelines.ingestIncrementNearDup(s, s"$root/corpus", s"$root/index",
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", threshold = 0.4)
+      Pipelines.ingestIncrementNearDup(s, s"$root/corpus", s"$root/index",
+        docs, "doc_id", "text", threshold = 0.4)
+      graft.sources.DeltaScan.read(s, s"$root/corpus")
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance scoring + exact top-k selection: the gate's
     // log-ratio table is a formula over the bucket id (every bucket
     // populated), so the mirror inlines lw[bucket(feature)] — any
@@ -3391,6 +3410,63 @@ object SparkEntry {
     // bigram repetition mirror: same tokenization, occurrence counts per
     // (doc, gram), top gram by (count DESC, gram DESC) = Spark's
     // max(struct(cnt, gram)) under binary string order
+    "q_ingest_neardup" ->
+      s"""WITH RECURSIVE ${minhashPairCtes("documents", 3, 12, 6)},
+         |dup AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.4),
+         |ex1 AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents WHERE doc_id % 2 = 0) WHERE rn = 1),
+         |e1 AS (
+         |  SELECT id_a AS a, id_b AS b FROM dup
+         |  WHERE id_a IN (SELECT doc_id FROM ex1) AND id_b IN (SELECT doc_id FROM ex1)
+         |  UNION
+         |  SELECT id_b, id_a FROM dup
+         |  WHERE id_a IN (SELECT doc_id FROM ex1) AND id_b IN (SELECT doc_id FROM ex1)),
+         |reach1 AS (
+         |  SELECT a, b FROM e1
+         |  UNION
+         |  SELECT r.a, e.b FROM reach1 r JOIN e1 e ON r.b = e.a),
+         |kept1 AS (
+         |  SELECT doc_id, text FROM ex1
+         |  WHERE doc_id NOT IN (
+         |    SELECT a FROM (SELECT a, LEAST(a, MIN(b)) AS rep FROM reach1 GROUP BY a)
+         |    WHERE rep < a)),
+         |ex2 AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |sx2 AS (
+         |  SELECT doc_id, text FROM ex2
+         |  WHERE md5(text) NOT IN (SELECT md5(text) FROM kept1)),
+         |e2 AS (
+         |  SELECT id_a AS a, id_b AS b FROM dup
+         |  WHERE id_a IN (SELECT doc_id FROM sx2) AND id_b IN (SELECT doc_id FROM sx2)
+         |  UNION
+         |  SELECT id_b, id_a FROM dup
+         |  WHERE id_a IN (SELECT doc_id FROM sx2) AND id_b IN (SELECT doc_id FROM sx2)),
+         |reach2 AS (
+         |  SELECT a, b FROM e2
+         |  UNION
+         |  SELECT r.a, e.b FROM reach2 r JOIN e2 e ON r.b = e.a),
+         |surv2 AS (
+         |  SELECT doc_id, text FROM sx2
+         |  WHERE doc_id NOT IN (
+         |    SELECT a FROM (SELECT a, LEAST(a, MIN(b)) AS rep FROM reach2 GROUP BY a)
+         |    WHERE rep < a)),
+         |kept2 AS (
+         |  SELECT s.doc_id, s.text FROM surv2 s
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM dup p JOIN kept1 k
+         |      ON (p.id_a = s.doc_id AND p.id_b = k.doc_id)
+         |      OR (p.id_b = s.doc_id AND p.id_a = k.doc_id)))
+         |SELECT doc_id, md5(text) AS content_hash FROM kept1
+         |UNION ALL
+         |SELECT doc_id, md5(text) AS content_hash FROM kept2
+         |ORDER BY doc_id""".stripMargin,
+
     "q_dsir" ->
       s"""WITH base AS (SELECT doc_id, $tkExpr AS tk FROM documents),
          |s AS (

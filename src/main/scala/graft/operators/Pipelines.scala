@@ -399,4 +399,151 @@ object Pipelines {
     else DeltaWrite.create(spark, out, corpusPath)
     out
   }
+
+  /** [[ingestIncrement]] extended with NEAR-duplicate screening — the
+    * full daily-crawl pattern: a new batch is exact-deduped, probed
+    * against the corpus, near-dedup'd within itself, then probed
+    * against a PERSISTED MinHash band index of everything already
+    * ingested — the existing corpus text is NEVER rescanned or
+    * re-shingled.
+    *
+    * Order of stages (each mirrored exactly by the oracle):
+    *  1. in-batch exact dedup (min id per content hash);
+    *  2. cross-batch exact: anti-join against the corpus
+    *     `content_hash` column (one pruned-column probe);
+    *  3. in-batch near-dup: banded MinHash pairs + exact-Jaccard
+    *     verify + transitive closure — cluster minimum survives;
+    *  4. cross-batch near-dup: the batch's band keys join the index's
+    *     `bands` table (band, id); candidates verify by exact Jaccard
+    *     against the index's `bases` table (id, hashed shingles).
+    *     A batch doc near-duplicating ANY ingested doc is dropped.
+    *
+    * The index lives beside the corpus as two Delta tables
+    * (`indexPath/bands`, `indexPath/bases`) appended under the same
+    * conditional-commit protocol. Commit ORDER is corpus first — a
+    * crash between commits leaves the index missing rows for ingested
+    * docs (recoverable: re-create `indexPath` and re-ingest nothing —
+    * or rebuild by re-shingling the corpus once), never rows for docs
+    * that don't exist.
+    *
+    * 100 TB: the per-increment cost is the batch's own shingling plus
+    * one band-key join against an index whose rows are (32-char key,
+    * id) — the corpus-sized state the increment touches is the pruned
+    * `content_hash` column and the band index, both tiny next to the
+    * text. Banding keeps candidate verification proportional to
+    * actual collisions (never all-pairs).
+    */
+  def ingestIncrementNearDup(
+      spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String,
+      indexPath: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 12,
+      bands: Int = 6,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val fs = new org.apache.hadoop.fs.Path(corpusPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def isDelta(p: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_delta_log"))
+    val corpusExists = isDelta(corpusPath)
+    val bandsPath = s"$indexPath/bands"
+    val basesPath = s"$indexPath/bases"
+    val indexExists = isDelta(bandsPath)
+
+    // 1. in-batch exact
+    val hashed = batch.withColumn("content_hash",
+      Dedup.contentHash(Seq(batch.col(textCol))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("content_hash").orderBy(col(idCol).asc)
+    val exDeduped = hashed
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    // 2. cross-batch exact (pruned single-column probe)
+    val fresh =
+      if (!corpusExists) exDeduped
+      else exDeduped.join(
+        DeltaScan.read(spark, corpusPath).select("content_hash"),
+        Seq("content_hash"), "left_anti")
+    val freshC = fresh.cache() // batch-sized; reused by 3 plan branches
+
+    // shingle ONCE: bases (60-bit hashed shingles) are the only text
+    // derivative that flows through signatures, bands and verify
+    val based = freshC
+      .select(col(idCol).as("__id"),
+        graft.functions.TextFns
+          .hashedWordShingles(col(textCol), shingleSize).as("__bases"))
+      .filter(size(col("__bases")) > 0)
+      .cache()
+    val sigBands = based
+      .withColumn("__sig", Dedup.minHashFromBases(col("__bases"), numHashes))
+      .select(col("__id"),
+        explode(Dedup.bandKeys(col("__sig"), numHashes, bands)).as("__band"))
+
+    def verified(cand: DataFrame, basesB: DataFrame): DataFrame =
+      cand
+        .join(based.select(col("__id").as("id_a"), col("__bases").as("__ba")),
+          Seq("id_a"))
+        .join(basesB, Seq("id_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("__ba"), col("__bb"))).cast("double") /
+            size(array_union(col("__ba"), col("__bb"))))
+        .filter(col("jaccard") >= threshold)
+
+    // 3. in-batch near-dup closure
+    val l = sigBands.select(col("__band"), col("__id").as("id_a"))
+    val r = sigBands.select(col("__band"), col("__id").as("id_b"))
+    val cand = l.join(r, Seq("__band"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inPairs = verified(cand,
+      based.select(col("__id").as("id_b"), col("__bases").as("__bb")))
+      .select("id_a", "id_b", "jaccard")
+    val reps = Dedup.dupClustersClosure(inPairs)
+    val dropIn = reps.filter(col("rep") < col("id")).select(col("id").as(idCol))
+    val afterIn = freshC.join(dropIn, Seq(idCol), "left_anti")
+
+    // 4. cross-batch near-dup probe against the persisted index
+    val afterCross =
+      if (!indexExists) afterIn
+      else {
+        val survBands = sigBands.join(
+          afterIn.select(col(idCol).as("__id")), Seq("__id"))
+        val candX = survBands
+          .join(DeltaScan.read(spark, bandsPath)
+            .select(col("band").as("__band"), col("id").as("id_b")), Seq("__band"))
+          .select(col("__id").as("id_a"), col("id_b")).distinct()
+        val dropX = verified(candX,
+          DeltaScan.read(spark, basesPath)
+            .select(col("id").as("id_b"), col("bases").as("__bb")))
+          .select(col("id_a").as(idCol)).distinct()
+        afterIn.join(dropX, Seq(idCol), "left_anti")
+      }
+
+    // 5. commit corpus FIRST (source of truth), then the index
+    val out = afterCross.select(
+      (batch.columns.map(col) :+ col("content_hash")).toIndexedSeq: _*)
+    val outC = out.cache()
+    if (corpusExists) DeltaWrite.append(spark, outC, corpusPath)
+    else DeltaWrite.create(spark, outC, corpusPath)
+    val keptIds = outC.select(col(idCol).as("__id"))
+    val newIdxBands = sigBands.join(keptIds, Seq("__id"))
+      .select(col("__band").as("band"), col("__id").as("id"))
+    val newIdxBases = based.join(keptIds, Seq("__id"))
+      .select(col("__id").as("id"), col("__bases").as("bases"))
+    if (indexExists) {
+      DeltaWrite.append(spark, newIdxBands, bandsPath)
+      DeltaWrite.append(spark, newIdxBases, basesPath)
+    } else {
+      DeltaWrite.create(spark, newIdxBands, bandsPath)
+      DeltaWrite.create(spark, newIdxBases, basesPath)
+    }
+    freshC.unpersist(); based.unpersist()
+    outC
+  }
 }
