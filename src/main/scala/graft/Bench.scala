@@ -56,7 +56,13 @@ object Bench {
     // round 4 (cont. 4): media near-dup signatures — per-row PNG
     // decode + perceptual hash (broadcast join, narrow), and the
     // banded pigeonhole Hamming self-join over image signatures
-    "q_image_phash", "q_image_dups", "q_audio_fp", "q_video_phash")
+    "q_image_phash", "q_image_dups", "q_audio_fp", "q_video_phash",
+    // round 4 (cont. 5): full Gopher repetition roll-up (one 9-size
+    // explode, two doc-local shuffles, span-union fold), distributed
+    // WARC grammar parse, DSIR narrow scoring + top-k, CCNet
+    // perplexity bucketing, incremental near-dup ingest (Delta band
+    // index round trip)
+    "q_rep_gopher", "q_warc", "q_dsir", "q_ppl_bucket", "q_ingest_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -166,13 +166,23 @@ object WarcScan {
     (status, hct, body)
   }
 
-  /** gzip magic sniff — CC uses `.warc.gz`, fixtures may be plain */
+  /** compression magic sniff — CC publishes `.warc.gz` (and `.warc.zst`
+    * in newer crawls; zstd-jni ships with Spark), fixtures may be
+    * plain. Both codecs handle concatenated frames/members, which is
+    * how per-record compression arrives. */
   private def open(content: Array[Byte]): InputStream = {
     val raw = new ByteArrayInputStream(content)
     if (content.length >= 2 &&
       (content(0) & 0xff) == 0x1f && (content(1) & 0xff) == 0x8b)
       new GZIPInputStream(new BufferedInputStream(raw))
-    else raw
+    else if (content.length >= 4 &&
+      (content(0) & 0xff) == 0x28 && (content(1) & 0xff) == 0xb5 &&
+      (content(2) & 0xff) == 0x2f && (content(3) & 0xff) == 0xfd) {
+      val z = new com.github.luben.zstd.ZstdInputStream(
+        new BufferedInputStream(raw))
+      z.setContinuous(true) // read across concatenated frames
+      z
+    } else raw
   }
 
   /** used by the file reader below AND by tests over raw byte arrays */

@@ -91,6 +91,23 @@ class WarcScanSpec extends SparkSpec {
     }
   }
 
+  test("zstd layouts read: frame-per-record and single frame") {
+    // one compressed FRAME per record (newer CC crawls) vs one frame
+    // for the whole file — both must stream through
+    def zst(recs: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      recs.foreach(r => out.write(com.github.luben.zstd.Zstd.compress(r)))
+      out.toByteArray
+    }
+    val multi = writeTmp("m.warc.zst", zst(Seq(winfo, resp, conv)))
+    val single = writeTmp("s.warc.zst", zst(Seq(winfo ++ resp ++ conv)))
+    Seq(multi, single).foreach { p =>
+      val df = WarcScan.readWarc(spark, p)
+      assert(df.count() == 3, p)
+      assert(df.filter(col("warc_type") === "response").count() == 1)
+    }
+  }
+
   test("readWet yields conversion text directly") {
     val p = writeTmp("t.wet", winfo ++ conv)
     val wet = WarcScan.readWet(spark, p).collect()
