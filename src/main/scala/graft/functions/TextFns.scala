@@ -644,6 +644,21 @@ object TextFns {
     * @param weights (bucket INT, weight_micro BIGINT) model table
     * @return df + (n_tokens BIGINT, logit DOUBLE)
     */
+  /** one-row DENSE weight array (index = bucket + 1) from a (bucket,
+    * micro) table. element_at on an ARRAY is O(1) GetArrayItem; a
+    * MapType `element_at` is a LINEAR scan of all nBuckets entries per
+    * token (ArrayBasedMapData has no hash index) — the O(nBuckets) map
+    * walk happens once here instead of once per token. */
+  private[graft] def denseWeightRow(
+      weights: org.apache.spark.sql.DataFrame,
+      nBuckets: Int): org.apache.spark.sql.DataFrame =
+    weights
+      .agg(map_from_entries(collect_list(struct(
+        col(weights.columns.head).cast("int").as("k"),
+        col(weights.columns(1)).cast("long").as("v")))).as("__wm"))
+      .select(transform(sequence(lit(0), lit(nBuckets - 1)),
+        i => coalesce(element_at(col("__wm"), i.cast("int")), lit(0L))).as("__wa"))
+
   def linearTextScore(
       df: org.apache.spark.sql.DataFrame,
       textCol: String,
@@ -652,20 +667,26 @@ object TextFns {
       seed: String = "cls",
       biasMicro: Long = 0L): org.apache.spark.sql.DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val wmap = weights.agg(
-      map_from_entries(collect_list(struct(
-        col(weights.columns.head).cast("int").as("k"),
-        col(weights.columns(1)).cast("long").as("v")))).as("__wm"))
-    val toks = tokens(col(textCol))
-    val s = aggregate(toks, lit(0L),
-      (acc, t) => acc + coalesce(element_at(col("__wm"), tokenBucket(t, nBuckets, seed)), lit(0L)))
-    df.crossJoin(broadcast(wmap))
-      .withColumn("n_tokens", size(toks).cast("long"))
+    df.crossJoin(broadcast(denseWeightRow(weights, nBuckets)))
+      .withColumn("__bk", tokenBucketStream(col(textCol), nBuckets, seed))
+      .withColumn("n_tokens", size(col("__bk")).cast("long"))
       .withColumn("logit",
         when(col("n_tokens") > 0,
-          (s + lit(biasMicro) * col("n_tokens")).cast("double") /
+          (aggregate(col("__bk"), lit(0L),
+            (acc, b) => acc + element_at(col("__wa"), b + 1)) +
+            lit(biasMicro) * col("n_tokens")).cast("double") /
             (col("n_tokens") * lit(1000000L)).cast("double")))
-      .drop("__wm")
+      .drop("__wa", "__bk")
+  }
+
+  /** per-token bucket stream via the native kernel (one loop per row;
+    * the interpreted per-token md5 chain dominated scoring cost) —
+    * bucket contract identical to [[tokenBucket]] */
+  private[graft] def tokenBucketStream(
+      text: Column, nBuckets: Int, seed: String): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.plans.HashedNgramBuckets(
+      GraftShim.expression(text), nBuckets, seed, None))
   }
 
   /** Corpus filtered by the linear classifier: keeps docs whose logit
@@ -681,18 +702,14 @@ object TextFns {
       minLogitMicro: Long,
       seed: String = "cls",
       biasMicro: Long = 0L): org.apache.spark.sql.DataFrame = {
-    val wmap = weights.agg(
-      map_from_entries(collect_list(struct(
-        col(weights.columns.head).cast("int").as("k"),
-        col(weights.columns(1)).cast("long").as("v")))).as("__wm"))
-    val toks = tokens(col(textCol))
-    val s = aggregate(toks, lit(0L),
-      (acc, t) => acc + coalesce(element_at(col("__wm"), tokenBucket(t, nBuckets, seed)), lit(0L)))
-    val dl = size(toks).cast("long")
-    df.crossJoin(broadcast(wmap))
+    val bk = tokenBucketStream(col(textCol), nBuckets, seed)
+    val s = aggregate(bk, lit(0L),
+      (acc, b) => acc + element_at(col("__wa"), b + 1))
+    val dl = size(bk).cast("long")
+    df.crossJoin(broadcast(denseWeightRow(weights, nBuckets)))
       .filter(dl === 0L ||
         s + lit(biasMicro) * dl >= lit(minLogitMicro) * dl)
-      .drop("__wm")
+      .drop("__wa")
   }
 
   // ---- language identification ----------------------------------------

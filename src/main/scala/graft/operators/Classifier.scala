@@ -55,10 +55,12 @@ object Classifier {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val toks = TextFns.tokens(col(textCol))
+    // bucket the tokens ONCE (native kernel, one loop per row) — every
+    // iteration then works on the cached int stream
     val base = docs
-      .select(col(labelCol).cast("double").as("__y"), toks.as("__tk"))
-      .filter(size(col("__tk")) > 0)
+      .select(col(labelCol).cast("double").as("__y"),
+        TextFns.tokenBucketStream(col(textCol), nBuckets, seed).as("__bk"))
+      .filter(size(col("__bk")) > 0)
       .cache()
     val nDocs = base.count()
     require(nDocs > 0, "no non-empty documents to train on")
@@ -69,24 +71,21 @@ object Classifier {
 
     for (_ <- 1 to iters) {
       val wdf = w.toSeq.toDF("bucket", "weight_micro")
-      val wmap = wdf.agg(map_from_entries(collect_list(
-        struct(col("bucket").cast("int").as("k"),
-          col("weight_micro").cast("long").as("v")))).as("__wm"))
-      val s = aggregate(col("__tk"), lit(0L), (acc, t) =>
-        acc + coalesce(
-          element_at(col("__wm"), TextFns.tokenBucket(t, nBuckets, seed)), lit(0L)))
-      val dl = size(col("__tk")).cast("long")
+      // dense array lookup: O(1) per token vs MapType's linear scan
+      val warr = TextFns.denseWeightRow(wdf, nBuckets)
+      val s = aggregate(col("__bk"), lit(0L), (acc, b) =>
+        acc + element_at(col("__wa"), b + 1))
+      val dl = size(col("__bk")).cast("long")
       // sigmoid error on the exact-integer logit; per-doc factor is the
       // shared term of every bucket gradient: (σ − y) / n_tokens
-      val scored = base.crossJoin(broadcast(wmap))
+      val scored = base.crossJoin(broadcast(warr))
         .withColumn("__logit",
           (s + lit(bias) * dl).cast("double") / (dl * lit(1000000L)).cast("double"))
         .withColumn("__err", lit(1.0) / (lit(1.0) + exp(-col("__logit"))) - col("__y"))
-        .select(col("__tk"), col("__err"),
+        .select(col("__bk"), col("__err"),
           (col("__err") / dl.cast("double")).cast(dec).as("__f"))
       val grads = scored
-        .select(explode(col("__tk")).as("__t"), col("__f"))
-        .select(TextFns.tokenBucket(col("__t"), nBuckets, seed).as("__b"), col("__f"))
+        .select(explode(col("__bk")).as("__b"), col("__f"))
         .groupBy("__b")
         .agg(sum(col("__f")).as("__g"))
         .collect()

@@ -30,21 +30,16 @@ import graft.functions.TextFns
   */
 object Dsir {
 
-  /** unigram + bigram hashed bucket stream of one document, as the
-    * positions are visited by the scorer (unigrams then bigrams) */
-  private def uniSum(toks: Column, wm: Column, nBuckets: Int, seed: String): Column =
-    aggregate(toks, lit(0L), (acc, t) =>
-      acc + coalesce(
-        element_at(wm, TextFns.tokenBucket(t, nBuckets, seed + "u")), lit(0L)))
-
-  private def biSum(toks: Column, wm: Column, nBuckets: Int, seed: String): Column =
-    when(size(toks) >= 2,
-      aggregate(sequence(lit(1), size(toks) - 1), lit(0L), (acc, i) =>
-        acc + coalesce(
-          element_at(wm, TextFns.tokenBucket(
-            concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)),
-            nBuckets, seed + "b")), lit(0L))))
-      .otherwise(lit(0L))
+  /** unigram + bigram feature-bucket stream of one document — the
+    * native [[graft.plans.HashedNgramBuckets]] kernel (one tight loop
+    * per row; the interpreted per-element md5 chain was the slowest
+    * headline query before it). Bucket contract identical to
+    * `TextFns.tokenBucket(seed+"u"/"b")`. */
+  private def bucketStream(text: Column, nBuckets: Int, seed: String): Column = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    GraftShim.column(graft.plans.HashedNgramBuckets(
+      GraftShim.expression(text), nBuckets, seed + "u", Some(seed + "b")))
+  }
 
   /** hashed n-gram bucket distribution of a corpus: (bucket, cnt) —
     * the training pass for p̂ / q̂. One explode + one groupBy on the
@@ -55,15 +50,7 @@ object Dsir {
       nBuckets: Int,
       seed: String = "dsir"): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val toks = TextFns.tokens(col(textCol))
-    val uni = transform(toks, t => TextFns.tokenBucket(t, nBuckets, seed + "u"))
-    val bi = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1), i =>
-        TextFns.tokenBucket(
-          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)),
-          nBuckets, seed + "b")))
-      .otherwise(array().cast("array<int>"))
-    df.select(explode(concat(uni, bi)).as("bucket"))
+    df.select(explode(bucketStream(col(textCol), nBuckets, seed)).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("cnt"))
   }
@@ -106,19 +93,14 @@ object Dsir {
       nBuckets: Int,
       seed: String = "dsir"): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val wmap = weights.agg(
-      map_from_entries(collect_list(struct(
-        col(weights.columns.head).cast("int").as("k"),
-        col(weights.columns(1)).cast("long").as("v")))).as("__wm"))
-    val toks = TextFns.tokens(col(textCol))
-    docs.crossJoin(broadcast(wmap))
-      .withColumn("n_feats",
-        (size(toks) + greatest(size(toks) - 1, lit(0))).cast("long"))
+    docs.crossJoin(broadcast(TextFns.denseWeightRow(weights, nBuckets)))
+      .withColumn("__bk", bucketStream(col(textCol), nBuckets, seed))
+      .withColumn("n_feats", size(col("__bk")).cast("long"))
       .withColumn("score_micro",
-        uniSum(toks, col("__wm"), nBuckets, seed) +
-          biSum(toks, col("__wm"), nBuckets, seed))
+        aggregate(col("__bk"), lit(0L),
+          (acc, b) => acc + element_at(col("__wa"), b + 1)))
       .withColumn("score", col("score_micro").cast("double") / lit(1000000.0))
-      .drop("__wm")
+      .drop("__wa", "__bk")
   }
 
   /** exact deterministic selection: the k highest importance scores,

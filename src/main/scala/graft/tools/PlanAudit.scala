@@ -37,7 +37,11 @@ object PlanAudit {
         "q_tpch_q17", "q_tpch_q19", "q_tpch_q20a", "q_tpch_q21a",
         "q_tpch_q22a",
         // round-4 continuation: media near-dup signatures
-        "q_image_phash", "q_image_dups", "q_audio_fp", "q_video_phash")
+        "q_image_phash", "q_image_dups", "q_audio_fp", "q_video_phash",
+        // round-4 resumed: full Gopher repetition roll-up, distributed
+        // WARC parse, DSIR scoring, perplexity buckets (near-dup ingest
+        // audited via its spec — it writes temp Delta state per run)
+        "q_rep_gopher", "q_warc", "q_dsir", "q_ppl_bucket")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
