@@ -79,14 +79,19 @@ object WarcScan {
 
   private def readFully(in: InputStream, n: Long, what: String): Array[Byte] = {
     require(n <= Int.MaxValue - 8, s"$what: Content-Length $n exceeds 2 GB record limit")
-    val buf = new Array[Byte](n.toInt)
-    var off = 0
+    // grow incrementally (1 MB chunks): an adversarial Content-Length
+    // must hit the EOF error, not a multi-GB pre-allocation
+    val out = new java.io.ByteArrayOutputStream(math.min(n, 1L << 20).toInt)
+    val chunk = new Array[Byte](math.min(n, 1L << 20).toInt max 1)
+    var off = 0L
     while (off < n) {
-      val k = in.read(buf, off, n.toInt - off)
+      val want = math.min(chunk.length.toLong, n - off).toInt
+      val k = in.read(chunk, 0, want)
       if (k < 0) throw new EOFException(s"$what: EOF after $off of $n payload bytes")
+      out.write(chunk, 0, k)
       off += k
     }
-    buf
+    out.toByteArray
   }
 
   /** parse `version-line headers CRLF payload CRLF CRLF`, repeatedly,

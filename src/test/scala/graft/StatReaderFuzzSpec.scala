@@ -25,7 +25,32 @@ class StatReaderFuzzSpec extends SparkSpec {
     ("xpt", resource("/xpt/sample_v5.xpt"),
       (p: String) => graft.sources.XptScan.read(spark, p).collect()),
     ("sas7bdat", resource("/sas7bdat/sample_mix.sas7bdat"),
-      (p: String) => graft.sources.Sas7bdatScan.read(spark, p).collect()))
+      (p: String) => graft.sources.Sas7bdatScan.read(spark, p).collect()),
+    ("warc", warcFixture(gzip = false),
+      (p: String) => graft.sources.WarcScan.readWarc(spark, p).collect()),
+    ("warcgz", warcFixture(gzip = true),
+      (p: String) => graft.sources.WarcScan.readWarc(spark, p).collect()))
+
+  /** in-memory WARC fixture (same grammar WarcScanSpec exercises) —
+    * the crawl reader faces adversarial bytes more than any other */
+  private def warcFixture(gzip: Boolean): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def rec(t: String, payload: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: $t\r\nWARC-Record-ID: <urn:f:$t>\r\n" +
+        s"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: ${payload.length}\r\n\r\n")
+        .getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
+    val body = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "fuzz body content").getBytes(UTF_8)
+    val plain = rec("warcinfo", "x: y\r\n".getBytes(UTF_8)) ++
+      rec("response", body) ++ rec("conversion", "plain text".getBytes(UTF_8))
+    if (!gzip) plain
+    else {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(plain); g.close()
+      out.toByteArray
+    }
+  }
 
   private def tryRead(tag: String, bytes: Array[Byte], read: String => Any,
       what: String): Unit = {

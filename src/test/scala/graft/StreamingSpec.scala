@@ -185,6 +185,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DSIR importance scoring runs unchanged on a stream (narrow + broadcast)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dsir
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val B = 64
+    val weights = (0 until B).map(b => (b, (b * 37L) % 201 - 100))
+      .toDF("bucket", "w")
+    val input = MemoryStream[(Long, String)]
+    val out = Dsir.importanceScore(
+      input.toDF.toDF("doc_id", "text"), "text", weights, B)
+      .select("doc_id", "n_feats", "score_micro")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("dsir_stream_out").start()
+    try {
+      input.addData((1L, "spark shuffles data"), (2L, "cooking with basil"))
+      q.processAllAvailable()
+      input.addData((3L, "spark joins tables"))
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_stream_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Dsir.importanceScore(
+        Seq((1L, "spark shuffles data"), (2L, "cooking with basil"),
+          (3L, "spark joins tables")).toDF("doc_id", "text"),
+        "text", weights, B)
+        .select("doc_id", "n_feats", "score_micro").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch && batch.size == 3)
+    } finally q.stop()
+  }
+
   test("BPE encode, domain filter, and bloom pre-filter run on a stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.{Bpe, Decontaminate}
