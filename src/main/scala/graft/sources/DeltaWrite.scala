@@ -237,6 +237,121 @@ object DeltaWrite {
     finally out.close()
   }
 
+  /** full-history replay → per path: (latest action is add?, version,
+    * remove deletionTimestamp). Driver-side metadata work over this
+    * writer's own JSON log (never truncated — checkpoint() enforces). */
+  private def replayActions(spark: SparkSession, fs: FileSystem,
+      tablePath: String): Seq[(String, Boolean, Long, Long)] = {
+    val logDir = new Path(fs.makeQualified(new Path(tablePath)), "_delta_log")
+    val version = DeltaScan.latestVersion(spark, tablePath)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val latest = scala.collection.mutable.LinkedHashMap.empty[String, (Boolean, Long, Long)]
+    (0L to version).foreach { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      require(fs.exists(p),
+        s"cannot replay $tablePath: commit $p is missing (log truncated?)")
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.map(mapper.readTree).foreach { node =>
+        if (node.has("add"))
+          latest(node.get("add").get("path").asText()) = (true, v, 0L)
+        else if (node.has("remove")) {
+          val r = node.get("remove")
+          val ts = Option(r.get("deletionTimestamp")).map(_.asLong()).getOrElse(0L)
+          latest(r.get("path").asText()) = (false, v, ts)
+        }
+      }
+    }
+    latest.toSeq.map { case (p, (isAdd, v, ts)) => (p, isAdd, v, ts) }
+  }
+
+  /** COMPACT small files: rows of every live file under
+    * `smallFileBytes` are rewritten into `targetFiles` new parquet
+    * files and swapped in via ONE conditional commit of
+    * `remove`+`add` actions with `dataChange=false` — readers see the
+    * same rows before and after; a racing writer to the same version
+    * fails loudly (one side retries), so the swap can't lose an
+    * append. The many-small-files state this repairs is exactly what
+    * incremental ingestion produces (one file per micro-batch).
+    *
+    * Scope (minimal, honest): unpartitioned tables — partitioned
+    * compaction must group by partition to keep `partitionValues`
+    * truthful, and fails loudly here instead of guessing. Time travel
+    * to PRE-compaction versions keeps working: old files stay on disk
+    * until [[vacuum]]. */
+  def compact(spark: SparkSession, tablePath: String,
+      smallFileBytes: Long = 32L << 20, targetFiles: Int = 1): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(tablePath))
+    val parts = replayActions(spark, fs, tablePath)
+      .collect { case (p, true, _, _) => p }
+    require(parts.forall(!_.contains("=")),
+      s"compact supports unpartitioned tables only; $tablePath has hive partition dirs")
+    val small = parts.filter { rel =>
+      val st = fs.getFileStatus(new Path(root, rel))
+      st.getLen < smallFileBytes
+    }
+    if (small.size < 2) return // nothing to gain
+    val rows = spark.read.parquet(small.map(rel => new Path(root, rel).toString): _*)
+
+    val pre = listDataFiles(fs, root).map(_._1).toSet
+    rows.repartition(targetFiles).write.mode("append").parquet(tablePath)
+    val added = listDataFiles(fs, root).filterNot { case (p, _) => pre.contains(p) }
+    require(added.nonEmpty, "compaction rewrite produced no files")
+
+    val now = System.currentTimeMillis()
+    val actions =
+      added.map { case (rel, size) =>
+        s"""{"add":{"path":${jstr(rel)},"partitionValues":{},"size":$size,"modificationTime":$now,"dataChange":false}}"""
+      } ++ small.map { rel =>
+        s"""{"remove":{"path":${jstr(rel)},"deletionTimestamp":$now,"dataChange":false}}"""
+      }
+    val v = DeltaScan.latestVersion(spark, tablePath) + 1
+    writeCommitFile(fs, root, v, actions)
+  }
+
+  /** VACUUM: physically delete data files whose latest log action is a
+    * `remove` older than `retainMs` (default 7 days — the Delta
+    * convention protecting in-flight readers and recent time travel).
+    * Files still referenced by the CURRENT snapshot are never
+    * touched; time travel to versions that referenced the deleted
+    * files stops working, exactly as in Delta proper. Returns the
+    * relative paths deleted (or that WOULD be deleted with
+    * `dryRun=true`). */
+  def vacuum(spark: SparkSession, tablePath: String,
+      retainMs: Long = 7L * 24 * 3600 * 1000, dryRun: Boolean = false): Seq[String] = {
+    require(retainMs >= 0, s"retainMs must be >= 0, got $retainMs")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(tablePath))
+    val cutoff = System.currentTimeMillis() - retainMs
+    val doomed = replayActions(spark, fs, tablePath)
+      .collect { case (p, false, _, ts) if ts <= cutoff => p }
+      .filter(rel => fs.exists(new Path(root, rel)))
+    if (!dryRun) doomed.foreach(rel => fs.delete(new Path(root, rel), false))
+    doomed
+  }
+
+  /** shared conditional-commit write (create with overwrite=false is
+    * the atomic guard) */
+  private def writeCommitFile(fs: FileSystem, root: Path, version: Long,
+      actions: Seq[String]): Unit = {
+    val logDir = new Path(root, "_delta_log")
+    fs.mkdirs(logDir)
+    val commitFile = new Path(logDir, f"$version%020d.json")
+    val out =
+      try fs.create(commitFile, false)
+      catch {
+        case e: java.io.IOException =>
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent Delta commit detected: $commitFile already exists — " +
+              "another writer committed this version; re-read the table and retry", e)
+      }
+    try out.write(actions.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** all data files under the table root, as (relative path, size),
     * excluding the log dir and non-parquet markers */
   private def listDataFiles(fs: FileSystem, root: Path): Seq[(String, Long)] = {

@@ -499,6 +499,70 @@ class DeltaScanSpec extends SparkSpec {
     }.getMessage.contains("truncated"))
   }
 
+  test("DeltaWrite.compact: small files merge behind one dataChange=false commit") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    val dir = freshDir("graft_delta_compact").toString
+    DeltaWrite.create(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    (2L to 6L).foreach(i =>
+      DeltaWrite.append(spark, Seq((i, s"v$i")).toDF("id", "v"), dir))
+    val before = DeltaScan.read(spark, dir).as[(Long, String)].collect().toSet
+    val vBefore = DeltaScan.latestVersion(spark, dir)
+    DeltaWrite.compact(spark, dir, targetFiles = 1)
+    // same rows, one commit later
+    assert(DeltaScan.read(spark, dir).as[(Long, String)].collect().toSet == before)
+    assert(DeltaScan.latestVersion(spark, dir) == vBefore + 1)
+    // pre-compaction time travel still works (old files on disk)
+    assert(DeltaScan.read(spark, dir, versionAsOf = Some(vBefore))
+      .as[(Long, String)].collect().toSet == before)
+    // appends continue cleanly on the compacted table
+    DeltaWrite.append(spark, Seq((7L, "v7")).toDF("id", "v"), dir)
+    assert(DeltaScan.read(spark, dir).count() == 7)
+    // idempotent-ish: nothing to gain from a single live file + tail
+    val v2 = DeltaScan.latestVersion(spark, dir)
+    DeltaWrite.compact(spark, dir, targetFiles = 1)
+    assert(DeltaScan.latestVersion(spark, dir) >= v2) // may compact the pair or skip
+  }
+
+  test("DeltaWrite.vacuum: removed files delete after retention; live files never") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    val dir = freshDir("graft_delta_vacuum").toString
+    DeltaWrite.create(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    (2L to 4L).foreach(i =>
+      DeltaWrite.append(spark, Seq((i, s"v$i")).toDF("id", "v"), dir))
+    val before = DeltaScan.read(spark, dir).as[(Long, String)].collect().toSet
+    DeltaWrite.compact(spark, dir, targetFiles = 1)
+    // within retention: nothing deleted
+    assert(DeltaWrite.vacuum(spark, dir).isEmpty)
+    // dry run past retention lists but keeps
+    val would = DeltaWrite.vacuum(spark, dir, retainMs = 0L, dryRun = true)
+    assert(would.nonEmpty)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    would.foreach(rel => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(dir, rel)), s"dryRun deleted $rel"))
+    // real vacuum: removed files go, current snapshot intact
+    val gone = DeltaWrite.vacuum(spark, dir, retainMs = 0L)
+    assert(gone.toSet == would.toSet)
+    gone.foreach(rel => assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(dir, rel)), s"vacuum kept $rel"))
+    assert(DeltaScan.read(spark, dir).as[(Long, String)].collect().toSet == before)
+    // vacuum is idempotent
+    assert(DeltaWrite.vacuum(spark, dir, retainMs = 0L).isEmpty)
+  }
+
+  test("DeltaWrite.compact refuses partitioned tables loudly") {
+    import graft.sources.DeltaWrite
+    val dir = freshDir("graft_delta_compact_part").toString
+    DeltaWrite.create(spark, Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "v", "p"),
+      dir, partitionBy = Seq("p"))
+    DeltaWrite.append(spark, Seq((3L, "c", "p1")).toDF("id", "v", "p"),
+      dir, partitionBy = Seq("p"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("unpartitioned"))
+  }
+
   test("Tidier.read(format=delta) falls back to the built-in reader without a connector") {
     val dir = freshDir("graft_delta_tidier")
     val s0 = writeDataFile(Seq((7L, "z")).toDF("id", "v"), dir, "f0.parquet")
