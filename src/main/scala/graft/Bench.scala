@@ -62,7 +62,9 @@ object Bench {
     // WARC grammar parse, DSIR narrow scoring + top-k, CCNet
     // perplexity bucketing, incremental near-dup ingest (Delta band
     // index round trip)
-    "q_rep_gopher", "q_warc", "q_dsir", "q_ppl_bucket", "q_ingest_neardup")
+    "q_rep_gopher", "q_warc", "q_dsir", "q_ppl_bucket", "q_ingest_neardup",
+    // densitometric boilerplate removal (native segmentation + HOF tree)
+    "q_html_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

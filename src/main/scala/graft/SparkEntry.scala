@@ -1700,6 +1700,27 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // Densitometric main-content extraction (Kohlschütter 2010): each
+    // doc is wrapped in a fixed page template — nav link-wall, article
+    // body, short social block, footer links — and the classifier must
+    // keep exactly the blocks the published decision tree keeps. The
+    // corpus splits on the curr.words>40 branch (~1/3 of docs are
+    // short), so segmentation word counts, link-word attribution and
+    // every tree comparison are load-bearing.
+    "q_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<nav><a href='/'>Home</a> <a href='/a'>About</a> " +
+          "<a href='/c'>Contact</a></nav><p>"),
+        col("text"),
+        lit("</p><p>Share this article with your friends</p>" +
+          "<footer><a href='/t'>Terms</a> <a href='/p'>Privacy</a></footer>"))
+      operators.Extract.extractMainContent(
+          t(s, dir, "documents").df.select(col("doc_id"), html.as("html")),
+          "html", "text")
+        .select("doc_id", "text", "n_blocks", "n_content_blocks")
+        .orderBy("doc_id")
+    }),
+
     // Incremental ingestion with NEAR-dup screening: two ingests (evens,
     // then everything) against a fresh corpus + persisted MinHash band
     // index; the final corpus is read back. The oracle replays all four
@@ -3410,6 +3431,20 @@ object SparkEntry {
     // bigram repetition mirror: same tokenization, occurrence counts per
     // (doc, gram), top gram by (count DESC, gram DESC) = Spark's
     // max(struct(cnt, gram)) under binary string order
+    "q_html_extract" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)) AS nw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN nw > 40
+        |       THEN nt || chr(10) || 'Share this article with your friends'
+        |       ELSE 'Share this article with your friends' END AS text,
+        |  CAST(4 AS BIGINT) AS n_blocks,
+        |  CAST(CASE WHEN nw > 40 THEN 2 ELSE 1 END AS BIGINT) AS n_content_blocks
+        |FROM e ORDER BY doc_id""".stripMargin,
+
     "q_ingest_neardup" ->
       s"""WITH RECURSIVE ${minhashPairCtes("documents", 3, 12, 6)},
          |dup AS (SELECT id_a, id_b FROM pairs WHERE j >= 0.4),
