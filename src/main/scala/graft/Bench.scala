@@ -64,7 +64,9 @@ object Bench {
     // index round trip)
     "q_rep_gopher", "q_warc", "q_dsir", "q_ppl_bucket", "q_ingest_neardup",
     // densitometric boilerplate removal (native segmentation + HOF tree)
-    "q_html_extract")
+    // and the end-to-end crawl pipeline (WARC explode -> HTTP filter ->
+    // extraction -> chunking, one narrow plan)
+    "q_html_extract", "q_pipeline_crawl")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

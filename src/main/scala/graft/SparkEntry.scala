@@ -1700,6 +1700,52 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // THE CRAWL PIPELINE, end to end in one lazy plan: WARC blob →
+    // record explode → HTTP 200 text/html filter (a 404 response and a
+    // non-HTML conversion record per doc must drop) → HTTP body decode
+    // → densitometric main-content extraction → 32/8 sliding-window
+    // chunking. The oracle chains the q_warc, q_html_extract and
+    // q_chunk mirrors over the same construction — record grammar,
+    // head splitting, block classification and token identity are all
+    // load-bearing through the whole chain.
+    "q_pipeline_crawl" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val page = concat(
+        lit("<nav><a href='/'>Home</a> <a href='/a'>About</a> " +
+          "<a href='/c'>Contact</a></nav><p>"),
+        col("text"),
+        lit("</p><p>Share this article with your friends</p>" +
+          "<footer><a href='/t'>Terms</a> <a href='/p'>Privacy</a></footer>"))
+      val okHead = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+      val errHead = "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n"
+      val errBody = "page not found here sorry"
+      def rec(kind: String, rid: Column, ctype: String, lenC: Column,
+          body: Column*): Seq[Column] =
+        Seq(lit(s"WARC/1.0\r\nWARC-Type: $kind\r\nWARC-Record-ID: <urn:"), rid,
+          lit(s">\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Type: $ctype" +
+            "\r\nContent-Length: "), lenC, lit("\r\n\r\n")) ++ body :+ lit("\r\n\r\n")
+      val pageLen = (lit(okHead.getBytes("UTF-8").length) + octet_length(page))
+        .cast("string")
+      val blob = concat(
+        rec("response", concat(lit("resp:"), id),
+          "application/http; msgtype=response", pageLen, lit(okHead), page) ++
+        rec("response", concat(lit("err:"), id),
+          "application/http; msgtype=response",
+          lit((errHead + errBody).getBytes("UTF-8").length.toString),
+          lit(errHead + errBody)) ++
+        rec("conversion", concat(lit("conv:"), id), "text/plain",
+          octet_length(col("text")).cast("string"), col("text")): _*)
+        .cast("binary")
+      val extracted = operators.Pipelines.crawlExtract(
+        t(s, dir, "documents").df.select(col("doc_id"), blob.as("blob")), "blob")
+      Tidier.from(operators.Chunking.chunkByTokens(
+          extracted.select("record_id", "text"), "text",
+          maxTokens = 32, overlap = 8))
+        .select("record_id", "chunk_id", "chunk", "chunk_tokens")
+        .arrange("record_id", "chunk_id")
+        .df
+    }),
+
     // Densitometric main-content extraction (Kohlschütter 2010): each
     // doc is wrapped in a fixed page template — nav link-wall, article
     // body, short social block, footer links — and the classifier must
@@ -3431,6 +3477,34 @@ object SparkEntry {
     // bigram repetition mirror: same tokenization, occurrence counts per
     // (doc, gram), top gram by (count DESC, gram DESC) = Spark's
     // max(struct(cnt, gram)) under binary string order
+    "q_pipeline_crawl" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'), t -> len(t) > 0)) AS nw
+        |  FROM documents
+        |), ext AS (
+        |  SELECT '<urn:resp:' || doc_id || '>' AS record_id,
+        |    CASE WHEN nw > 40
+        |         THEN nt || chr(10) || 'Share this article with your friends'
+        |         ELSE 'Share this article with your friends' END AS text
+        |  FROM e
+        |), toks AS (
+        |  SELECT record_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS tk
+        |  FROM ext
+        |), n AS (
+        |  SELECT record_id, tk, len(tk) AS nt FROM toks WHERE len(tk) > 0
+        |), c AS (
+        |  SELECT record_id, tk,
+        |    unnest(range(0, greatest(1, (nt - 8 + 24 - 1) // 24))) AS chunk_id
+        |  FROM n
+        |)
+        |SELECT record_id, chunk_id,
+        |  array_to_string(list_slice(tk, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ') AS chunk,
+        |  len(list_slice(tk, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS chunk_tokens
+        |FROM c ORDER BY record_id, chunk_id""".stripMargin,
+
     "q_html_extract" ->
       """WITH e AS (
         |  SELECT doc_id,

@@ -400,6 +400,32 @@ object Pipelines {
     out
   }
 
+  /** Crawl-archive bytes → clean text rows, fully narrow: explode the
+    * WARC records out of a binary column ([[Multimodal.parseWarc]]),
+    * keep successful `text/html` responses, decode the HTTP body and
+    * run densitometric main-content extraction ([[Extract]]). The
+    * whole chain is ONE narrow projection — it fuses with the scan,
+    * runs unchanged on a stream, and composes with every downstream
+    * prep op (quality filters, dedup, chunking).
+    *
+    * Output: the caller's columns (minus `blobCol`) + record_id,
+    * target_uri, text, n_blocks, n_content_blocks.
+    */
+  def crawlExtract(df: DataFrame, blobCol: String): DataFrame = {
+    val keep = df.columns.filterNot(_ == blobCol).map(col).toSeq
+    df.select(keep :+
+      explode(Multimodal.parseWarc(col(blobCol))).as("__r"): _*)
+      .filter(col("__r.warc_type") === "response" &&
+        col("__r.http_status") === 200 &&
+        col("__r.http_content_type").startsWith("text/html"))
+      .select(keep ++ Seq(
+        col("__r.record_id").as("record_id"),
+        col("__r.target_uri").as("target_uri"),
+        decode(col("__r.payload"), "UTF-8").as("__html")): _*)
+      .transform(d => Extract.extractMainContent(d, "__html", "text"))
+      .drop("__html")
+  }
+
   /** [[ingestIncrement]] extended with NEAR-duplicate screening — the
     * full daily-crawl pattern: a new batch is exact-deduped, probed
     * against the corpus, near-dedup'd within itself, then probed

@@ -41,7 +41,8 @@ object PlanAudit {
         // round-4 resumed: full Gopher repetition roll-up, distributed
         // WARC parse, DSIR scoring, perplexity buckets (near-dup ingest
         // audited via its spec — it writes temp Delta state per run)
-        "q_rep_gopher", "q_warc", "q_dsir", "q_ppl_bucket", "q_html_extract")
+        "q_rep_gopher", "q_warc", "q_dsir", "q_ppl_bucket", "q_html_extract",
+        "q_pipeline_crawl")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -72,6 +72,31 @@ class ExtractSpec extends SparkSpec {
     assert(out(2).getAs[Long]("n_blocks") == 0)
   }
 
+  test("crawlExtract: WARC blob to clean text rows, narrow plan, filters load-bearing") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def rec(kind: String, rid: String, ctype: String, payload: Array[Byte]): Array[Byte] =
+      (s"WARC/1.0\r\nWARC-Type: $kind\r\nWARC-Record-ID: <urn:$rid>\r\n" +
+        s"Content-Type: $ctype\r\nContent-Length: ${payload.length}\r\n\r\n")
+        .getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
+    val page = "<nav><a href=x>A</a> <a href=y>B</a> <a href=z>C</a></nav><p>" +
+      (1 to 45).map(i => s"w$i").mkString(" ") + "</p>"
+    val ok = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + page).getBytes(UTF_8)
+    val notFound = "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\nnope".getBytes(UTF_8)
+    val blob = rec("response", "ok", "application/http; msgtype=response", ok) ++
+      rec("response", "err", "application/http; msgtype=response", notFound) ++
+      rec("conversion", "conv", "text/plain", "plain".getBytes(UTF_8))
+    val df = Seq((1L, blob)).toDF("id", "blob")
+    val out = graft.operators.Pipelines.crawlExtract(df, "blob")
+    val rows = out.collect()
+    assert(rows.length == 1) // 404 and non-HTML records dropped
+    assert(rows(0).getAs[String]("record_id") == "<urn:ok>")
+    assert(rows(0).getAs[String]("text") == (1 to 45).map(i => s"w$i").mkString(" "))
+    assert(rows(0).getAs[Long]("n_content_blocks") == 1L)
+    // the whole chain is one narrow projection — no shuffle anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"crawlExtract must not shuffle:\n$plan")
+  }
+
   test("decision-tree branches: prev-link-density gate") {
     // prev block is link-heavy (density > 5/9): a 20-word block only
     // survives via next.words > 17 or its own words > 40
