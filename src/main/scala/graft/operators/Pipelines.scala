@@ -506,10 +506,14 @@ object Pipelines {
           .hashedWordShingles(col(textCol), shingleSize).as("__bases"))
       .filter(size(col("__bases")) > 0)
       .cache()
+    // cached: four plan branches consume the band rows (pair join both
+    // sides, the cross-batch probe, the index append) and the minhash
+    // mixes are interpreted HOFs — compute them once
     val sigBands = based
       .withColumn("__sig", Dedup.minHashFromBases(col("__bases"), numHashes))
       .select(col("__id"),
         explode(Dedup.bandKeys(col("__sig"), numHashes, bands)).as("__band"))
+      .cache()
 
     def verified(cand: DataFrame, basesB: DataFrame): DataFrame =
       cand
@@ -569,7 +573,7 @@ object Pipelines {
       DeltaWrite.create(spark, newIdxBands, bandsPath)
       DeltaWrite.create(spark, newIdxBases, basesPath)
     }
-    freshC.unpersist(); based.unpersist()
+    freshC.unpersist(); based.unpersist(); sigBands.unpersist()
     outC
   }
 }
