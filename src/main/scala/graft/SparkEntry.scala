@@ -1700,6 +1700,26 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // URL canonicalization: four messy templates per doc (case, default
+    // ports, dup slashes, tracking params, fragments, userinfo); the
+    // oracle constructs the canonical form DIRECTLY from the template —
+    // every normalization rule is load-bearing for the hash
+    "q_url_canon" -> ((s, dir) => {
+      val k = pmod(col("doc_id"), lit(50L)).cast("string")
+      val id = col("doc_id").cast("string")
+      val url = when(pmod(col("doc_id"), lit(4L)) === 0,
+          concat(lit("HTTPS://WWW.Site"), k, lit(".COM:443/a//b/?utm_source=news&z=2&a=1#sec")))
+        .when(pmod(col("doc_id"), lit(4L)) === 1,
+          concat(lit("http://Host"), k, lit(".ORG:80")))
+        .when(pmod(col("doc_id"), lit(4L)) === 2,
+          concat(lit("https://h"), k, lit(".net/p?gclid=abc&q="), id))
+        .otherwise(concat(lit("ftp://User@X"), k, lit(".IO/Fi"), id))
+      t(s, dir, "documents").df
+        .select(col("doc_id"),
+          graft.functions.TextFns.canonicalizeUrl(url).as("url_canon"))
+        .orderBy("doc_id")
+    }),
+
     // THE CRAWL PIPELINE, end to end in one lazy plan: WARC blob →
     // record explode → HTTP 200 text/html filter (a 404 response and a
     // non-HTML conversion record per doc must drop) → HTTP body decode
@@ -3477,6 +3497,16 @@ object SparkEntry {
     // bigram repetition mirror: same tokenization, occurrence counts per
     // (doc, gram), top gram by (count DESC, gram DESC) = Spark's
     // max(struct(cnt, gram)) under binary string order
+    "q_url_canon" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'https://www.site' || (doc_id % 50) || '.com/a/b/?a=1&z=2'
+        |    WHEN 1 THEN 'http://host' || (doc_id % 50) || '.org/'
+        |    WHEN 2 THEN 'https://h' || (doc_id % 50) || '.net/p?q=' || doc_id
+        |    ELSE 'ftp://User@x' || (doc_id % 50) || '.io/Fi' || doc_id
+        |  END AS url_canon
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_pipeline_crawl" ->
       """WITH e AS (
         |  SELECT doc_id,

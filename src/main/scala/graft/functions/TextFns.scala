@@ -342,6 +342,53 @@ object TextFns {
     * to the first `/:?#`. RE2-subset regex (no lookarounds) so external
     * engines reproduce it verbatim. Bare domains ("example.com/x")
     * work too. */
+  /** URL canonicalization — the dedup key for crawl URLs (RFC 3986 §6
+    * syntax-based normalization + the tracking-parameter conventions
+    * crawl pipelines add). Deterministic column math, no UDF:
+    *
+    *  1. fragment dropped;
+    *  2. scheme and host lowercased (userinfo, path, query untouched);
+    *  3. default ports removed (`:80` for http, `:443` for https);
+    *  4. duplicate slashes in the path collapsed; empty path over an
+    *     authority becomes `/` (RFC 3986 §6.2.3);
+    *  5. query: tracking params dropped (`utm_*`, `fbclid`, `gclid`,
+    *     `msclkid`, `ref`), empty pairs dropped, survivors SORTED (the
+    *     order-insensitive canonical form); an emptied query loses its
+    *     `?`.
+    *
+    * Inputs without `://` pass through unchanged (not a URL — don't
+    * guess). Pair with [[registeredDomain]] for host-level policy and
+    * `Dedup.exactDedup` on the canonical string for URL dedup. */
+  def canonicalizeUrl(url: Column): Column = {
+    val hasScheme = url.contains("://")
+    val noFrag = substring_index(url, "#", 1)
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val afterScheme = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val authority = regexp_extract(afterScheme, "^([^/?]*)", 1)
+    val pathQuery = regexp_replace(afterScheme, "^[^/?]*", "")
+    // userinfo (anything up to '@') is case-SENSITIVE per RFC — only
+    // the host part lowercases
+    val userinfo = regexp_extract(authority, "^([^@]*@)", 1)
+    val hostPort = regexp_replace(authority, "^[^@]*@", "")
+    val hostLower = lower(hostPort)
+    val host = concat(userinfo,
+      when(scheme === "http", regexp_replace(hostLower, ":80$", ""))
+        .when(scheme === "https", regexp_replace(hostLower, ":443$", ""))
+        .otherwise(hostLower))
+    val rawPath = regexp_extract(pathQuery, "^([^?]*)", 1)
+    val path = when(length(rawPath) === 0, lit("/"))
+      .otherwise(regexp_replace(rawPath, "/{2,}", "/"))
+    val rawQuery = when(pathQuery.contains("?"),
+      regexp_replace(pathQuery, "^[^?]*\\?", "")).otherwise(lit(""))
+    val keptParams = array_sort(filter(split(rawQuery, "&"), p =>
+      length(p) > 0 &&
+        !p.rlike("^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)=")))
+    val query = array_join(keptParams, "&")
+    val canon = concat(scheme, lit("://"), host, path,
+      when(length(query) > 0, concat(lit("?"), query)).otherwise(lit("")))
+    when(hasScheme, canon).otherwise(url)
+  }
+
   def extractDomain(url: Column): Column =
     lower(regexp_extract(url,
       "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/:?#]+)", 1))

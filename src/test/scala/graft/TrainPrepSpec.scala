@@ -747,4 +747,29 @@ class TrainPrepSpec extends SparkSpec {
     // integer weight: exactly w copies for every row
     assert(Sampling.upsampleByWeight(docs, 3.0, "e", Seq("doc_id")).count() == 12000L)
   }
+
+  test("canonicalizeUrl: RFC 3986 normalization + tracking-param conventions") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(TextFns.canonicalizeUrl(col("u"))).as[String].head()
+    // case, default port, dup slashes, tracking params, sort, fragment
+    assert(canon("HTTPS://WWW.Example.COM:443/a//b/?utm_source=x&z=2&a=1#frag") ==
+      "https://www.example.com/a/b/?a=1&z=2")
+    // empty path over authority -> "/" ; default http port drops
+    assert(canon("http://Host.org:80") == "http://host.org/")
+    // emptied query loses its '?'
+    assert(canon("https://h.net/p?gclid=abc") == "https://h.net/p")
+    // non-default port and path case survive
+    assert(canon("https://X.io:8080/PaTh") == "https://x.io:8080/PaTh")
+    // userinfo is case-sensitive; host still lowercases
+    assert(canon("ftp://User@HOST.com/F") == "ftp://User@host.com/F")
+    // not a URL: unchanged
+    assert(canon("plain.io/Path#x") == "plain.io/Path#x")
+    // canonical forms collapse for dedup
+    val urls = Seq(
+      "https://a.com/x?b=1&a=2", "HTTPS://A.com:443/x?a=2&b=1&utm_b=9",
+      "https://a.com//x?b=1&a=2#top").toDF("url")
+    assert(urls.select(TextFns.canonicalizeUrl(col("url"))).distinct().count() == 1)
+  }
 }
