@@ -1700,6 +1700,39 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // RFC 9309 robots evaluation: per-host robots bodies built from the
+    // doc ids (even hosts add a wildcard-anchored rule), four URL
+    // templates hitting different rules; the oracle knows which rule
+    // must govern each URL — group parsing, longest-match-wins, the
+    // Allow tie-break, wildcard+anchor grammar and the host join are
+    // all load-bearing for the kept id set.
+    "q_robots" -> ((s, dir) => {
+      // host key from doc_id/4 so it varies INDEPENDENTLY of the
+      // template selector (doc_id%4==2 would otherwise force even k
+      // and leave the odd-host .bin-keep branch dead)
+      val k = pmod(expr("doc_id div 4"), lit(10L))
+      val id = col("doc_id").cast("string")
+      val docs = t(s, dir, "documents").df
+      val robots = docs.select(k.as("k")).distinct()
+        .select(
+          concat(lit("site"), col("k").cast("string"), lit(".com")).as("host"),
+          concat(
+            lit("User-agent: *\nDisallow: /private\nAllow: /private/ok"),
+            when(col("k") % 2 === 0, lit("\nDisallow: /*.bin$"))
+              .otherwise(lit(""))).as("body"))
+      val url = when(pmod(col("doc_id"), lit(4L)) === 0,
+          concat(lit("https://site"), k.cast("string"), lit(".com/private/x"), id))
+        .when(pmod(col("doc_id"), lit(4L)) === 1,
+          concat(lit("https://site"), k.cast("string"), lit(".com/private/ok/x"), id))
+        .when(pmod(col("doc_id"), lit(4L)) === 2,
+          concat(lit("https://site"), k.cast("string"), lit(".com/files/f"), id, lit(".bin")))
+        .otherwise(
+          concat(lit("https://site"), k.cast("string"), lit(".com/public/p"), id))
+      operators.Robots.dropDisallowed(
+          docs.select(col("doc_id"), url.as("url")), "url", robots)
+        .orderBy("doc_id")
+    }),
+
     // URL canonicalization: four messy templates per doc (case, default
     // ports, dup slashes, tracking params, fragments, userinfo); the
     // oracle constructs the canonical form DIRECTLY from the template —
@@ -3497,6 +3530,19 @@ object SparkEntry {
     // bigram repetition mirror: same tokenization, occurrence counts per
     // (doc, gram), top gram by (count DESC, gram DESC) = Spark's
     // max(struct(cnt, gram)) under binary string order
+    "q_robots" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'https://site' || ((doc_id // 4) % 10) || '.com/private/x' || doc_id
+        |    WHEN 1 THEN 'https://site' || ((doc_id // 4) % 10) || '.com/private/ok/x' || doc_id
+        |    WHEN 2 THEN 'https://site' || ((doc_id // 4) % 10) || '.com/files/f' || doc_id || '.bin'
+        |    ELSE 'https://site' || ((doc_id // 4) % 10) || '.com/public/p' || doc_id
+        |  END AS url
+        |FROM documents
+        |WHERE doc_id % 4 = 1 OR doc_id % 4 = 3
+        |   OR (doc_id % 4 = 2 AND ((doc_id // 4) % 10) % 2 = 1)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_url_canon" ->
       """SELECT doc_id,
         |  CASE doc_id % 4
