@@ -52,6 +52,11 @@ object PlanAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // a BroadcastNestedLoopJoin against a ONE-ROW side is the correct
+    // plan for scalar-context joins (TPC-H scalar thresholds, the
+    // broadcast weight/model rows) — not a scale risk; the audit
+    // reports it as `1row-bnlj` instead of a red flag
+    val oneRowBnlj = Set("q_tpch_q11a", "q_tpch_q20a", "q_tpch_q22a", "q_dsir")
     names.foreach { n =>
       graft.SparkEntry.queries.get(n).foreach { fn =>
         val df = fn(spark, sf)
@@ -59,7 +64,10 @@ object PlanAudit {
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         val flags = Seq(
           "CartesianProduct" -> plan.contains("CartesianProduct"),
-          "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+          "BroadcastNestedLoopJoin" ->
+            (plan.contains("BroadcastNestedLoopJoin") && !oneRowBnlj(n)),
+          "1row-bnlj" ->
+            (plan.contains("BroadcastNestedLoopJoin") && oneRowBnlj(n)),
           "PushedFilters_missing" ->
             (plan.contains("PushedFilters: []") && n.startsWith("q_filter")))
           .collect { case (f, true) => f }
