@@ -266,51 +266,63 @@ object DeltaWrite {
     latest.toSeq.map { case (p, (isAdd, v, ts)) => (p, isAdd, v, ts) }
   }
 
-  /** COMPACT small files: rows of every live file under
-    * `smallFileBytes` are rewritten into `targetFiles` new parquet
-    * files and swapped in via ONE conditional commit of
-    * `remove`+`add` actions with `dataChange=false` — readers see the
-    * same rows before and after; a racing writer to the same version
-    * fails loudly (one side retries), so the swap can't lose an
-    * append. The many-small-files state this repairs is exactly what
-    * incremental ingestion produces (one file per micro-batch).
-    *
-    * Scope (minimal, honest): unpartitioned tables — partitioned
-    * compaction must group by partition to keep `partitionValues`
-    * truthful, and fails loudly here instead of guessing. Time travel
-    * to PRE-compaction versions keeps working: old files stay on disk
-    * until [[vacuum]]. */
+  /** COMPACT small files: live files under `smallFileBytes` are
+    * grouped by PARTITION directory, each group's rows rewritten into
+    * `targetFiles` new parquet files inside the same partition, and
+    * the whole swap lands in ONE conditional commit of `remove`+`add`
+    * actions with `dataChange=false` — readers see the same rows
+    * before and after, `partitionValues` stay truthful (hive partition
+    * columns live in the path, not the files, so per-partition
+    * rewrites preserve them by construction), and a racing writer to
+    * the same version fails loudly (one side retries) so the swap
+    * can't lose an append. The many-small-files state this repairs is
+    * exactly what incremental ingestion produces (one file per
+    * micro-batch and partition). Time travel to PRE-compaction
+    * versions keeps working: old files stay on disk until [[vacuum]].
+    */
   def compact(spark: SparkSession, tablePath: String,
       smallFileBytes: Long = 32L << 20, targetFiles: Int = 1): Unit = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new Path(tablePath))
-    val parts = replayActions(spark, fs, tablePath)
+    val live = replayActions(spark, fs, tablePath)
       .collect { case (p, true, _, _) => p }
-    require(parts.forall(!_.contains("=")),
-      s"compact supports unpartitioned tables only; $tablePath has hive partition dirs")
-    val small = parts.filter { rel =>
-      val st = fs.getFileStatus(new Path(root, rel))
-      st.getLen < smallFileBytes
+    val small = live.filter { rel =>
+      fs.getFileStatus(new Path(root, rel)).getLen < smallFileBytes
     }
-    if (small.size < 2) return // nothing to gain
-    val rows = spark.read.parquet(small.map(rel => new Path(root, rel).toString): _*)
+    // a group = one partition directory ("" for unpartitioned)
+    val groups = small
+      .groupBy(rel => rel.split('/').dropRight(1).mkString("/"))
+      .filter(_._2.size >= 2) // singletons: nothing to gain
+    if (groups.isEmpty) return
 
     val pre = listDataFiles(fs, root).map(_._1).toSet
-    rows.repartition(targetFiles).write.mode("append").parquet(tablePath)
+    groups.toSeq.sortBy(_._1).foreach { case (partDir, rels) =>
+      val rows = spark.read.parquet(rels.map(r => new Path(root, r).toString): _*)
+      val target = if (partDir.isEmpty) root.toString else s"$root/$partDir"
+      rows.repartition(targetFiles).write.mode("append").parquet(target)
+    }
     val added = listDataFiles(fs, root).filterNot { case (p, _) => pre.contains(p) }
     require(added.nonEmpty, "compaction rewrite produced no files")
 
     val now = System.currentTimeMillis()
     val actions =
       added.map { case (rel, size) =>
-        s"""{"add":{"path":${jstr(rel)},"partitionValues":{},"size":$size,"modificationTime":$now,"dataChange":false}}"""
-      } ++ small.map { rel =>
+        s"""{"add":{"path":${jstr(rel)},"partitionValues":{${partitionValuesJson(rel)}},"size":$size,"modificationTime":$now,"dataChange":false}}"""
+      } ++ groups.values.flatten.toSeq.sorted.map { rel =>
         s"""{"remove":{"path":${jstr(rel)},"deletionTimestamp":$now,"dataChange":false}}"""
       }
     val v = DeltaScan.latestVersion(spark, tablePath) + 1
     writeCommitFile(fs, root, v, actions)
   }
+
+  /** hive path segments col=value → partitionValues JSON body */
+  private def partitionValuesJson(rel: String): String =
+    rel.split('/').dropRight(1).collect {
+      case seg if seg.contains('=') =>
+        val Array(k, v) = seg.split("=", 2)
+        s"${jstr(k)}:${jstr(hiveUnescape(v))}"
+    }.mkString(",")
 
   /** VACUUM: physically delete data files whose latest log action is a
     * `remove` older than `retainMs` (default 7 days — the Delta

@@ -550,17 +550,27 @@ class DeltaScanSpec extends SparkSpec {
     assert(DeltaWrite.vacuum(spark, dir, retainMs = 0L).isEmpty)
   }
 
-  test("DeltaWrite.compact refuses partitioned tables loudly") {
-    import graft.sources.DeltaWrite
+  test("DeltaWrite.compact groups by partition and keeps partitionValues truthful") {
+    import graft.sources.{DeltaScan, DeltaWrite}
     val dir = freshDir("graft_delta_compact_part").toString
     DeltaWrite.create(spark, Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "v", "p"),
       dir, partitionBy = Seq("p"))
-    DeltaWrite.append(spark, Seq((3L, "c", "p1")).toDF("id", "v", "p"),
+    (3L to 6L).foreach(i => DeltaWrite.append(spark,
+      Seq((i, s"v$i", if (i % 2 == 0) "p2" else "p1")).toDF("id", "v", "p"),
+      dir, partitionBy = Seq("p")))
+    val before = DeltaScan.read(spark, dir).select("id", "v", "p")
+      .as[(Long, String, String)].collect().toSet
+    DeltaWrite.compact(spark, dir, targetFiles = 1)
+    val after = DeltaScan.read(spark, dir)
+    assert(after.select("id", "v", "p").as[(Long, String, String)]
+      .collect().toSet == before)
+    // partition pruning still works on the compacted files
+    assert(after.filter(col("p") === "p1").count() == 3)
+    // appends continue; a second compact is safe
+    DeltaWrite.append(spark, Seq((7L, "v7", "p1")).toDF("id", "v", "p"),
       dir, partitionBy = Seq("p"))
-    val e = intercept[IllegalArgumentException] {
-      DeltaWrite.compact(spark, dir)
-    }
-    assert(e.getMessage.contains("unpartitioned"))
+    DeltaWrite.compact(spark, dir, targetFiles = 1)
+    assert(DeltaScan.read(spark, dir).count() == 7)
   }
 
   test("Tidier.read(format=delta) falls back to the built-in reader without a connector") {
