@@ -66,7 +66,8 @@ object Bench {
     // densitometric boilerplate removal (native segmentation + HOF tree)
     // and the end-to-end crawl pipeline (WARC explode -> HTTP filter ->
     // extraction -> chunking, one narrow plan)
-    "q_html_extract", "q_pipeline_crawl", "q_robots", "q_url_canon")
+    "q_html_extract", "q_pipeline_crawl", "q_robots", "q_url_canon",
+    "q_asof_tolerance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -567,6 +567,28 @@ object SparkEntry {
         .head(20)
         .df),
 
+    // as-of LEFT join with a staleness TOLERANCE (pandas merge_asof
+    // parity): a nearest match older than the tolerance counts as NO
+    // match (36 h splits the staleness distribution ~50/50 in the
+    // fixture) — the oracle nullifies exactly those matches on top of
+    // DuckDB's native ASOF, so the tolerance carry in the window is
+    // load-bearing
+    "q_asof_tolerance" -> ((s, dir) => {
+      val ev = tev(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val errors = ev.filter(col("event_type") === "error")
+        .transmute(
+          "user_id" -> col("user_id"),
+          "err_ts" -> col("ts"),
+          "err_value" -> col("value"))
+      clicks
+        .asofJoinTolerance(errors, "left", expr("INTERVAL 36 HOURS"),
+          Equi("user_id", "user_id"), Closest("ts", ">=", "err_ts"))
+        .arrange("event_id")
+        .df
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       val ev = tev(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
@@ -4299,6 +4321,18 @@ object SparkEntry {
         |           FROM events WHERE event_type = 'error') r
         |  ON l.user_id = r.user_id AND l.ts >= r.err_ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """SELECT event_id, user_id, ts, value,
+        |  CASE WHEN ts - err_ts <= INTERVAL 36 HOUR THEN err_ts END AS err_ts,
+        |  CASE WHEN ts - err_ts <= INTERVAL 36 HOUR THEN err_value END AS err_value
+        |FROM (
+        |  SELECT l.event_id, l.user_id, l.ts, l.value, r.err_ts, r.err_value
+        |  FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') l
+        |  ASOF LEFT JOIN (SELECT user_id, ts AS err_ts, value AS err_value
+        |                  FROM events WHERE event_type = 'error') r
+        |    ON l.user_id = r.user_id AND l.ts >= r.err_ts)
+        |ORDER BY event_id""".stripMargin,
 
     "q_range_join" ->
       """SELECT l.event_id, l.user_id, l.ts, l.value, r.err_lo, r.err_hi

@@ -191,7 +191,23 @@ trait JoinVerbs { self: TidierFrame =>
     * within-tie choice is partition-order dependent, like DuckDB's own
     * arbitrary tie pick.
     */
-  private def asOfJoin(right: TidierFrame, keys: Seq[JoinKey], how: String): TidierFrame = {
+  /** as-of join with a MATCH TOLERANCE (pandas `merge_asof(tolerance=)`
+    * parity — the reference's DuckDB ASOF has no analog): the nearest
+    * candidate must lie within `tolerance` of the left value or the
+    * row counts as unmatched. Only the nearest candidate is considered
+    * — a farther in-tolerance row never substitutes, exactly pandas'
+    * semantics. `tolerance` is compared against the as-of difference in
+    * its native type: an INTERVAL literal for timestamps
+    * (`expr("INTERVAL 15 MINUTES")`), a numeric literal otherwise. */
+  def asofJoinTolerance(
+      right: TidierFrame,
+      how: String,
+      tolerance: Column,
+      keys: JoinKey*): TidierFrame =
+    asOfJoin(right, keys, how, Some(tolerance))
+
+  private def asOfJoin(right: TidierFrame, keys: Seq[JoinKey], how: String,
+      tolerance: Option[Column] = None): TidierFrame = {
     require(Seq("inner", "left", "right", "full").contains(how),
       s"asof join supports inner/left/right/full, got $how")
     val closest = keys.collect { case c: JoinKey.Closest => c }
@@ -249,9 +265,24 @@ trait JoinVerbs { self: TidierFrame =>
       .partitionBy(equi.map(e => col(e._1)): _*)
       .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned
+    val carried0 = unioned
       .withColumn(PAYC, last(col(PAY), ignoreNulls = true).over(w))
       .withColumn(SEG, sum(col(TAG)).over(w))
+    // tolerance: carry the matched right row's as-of value in the SAME
+    // window and null the match out when it lies too far — the left row
+    // then counts as unmatched everywhere downstream (incl. the
+    // right/full segment logic, which keys off PAYC)
+    val carried = tolerance match {
+      case None => carried0
+      case Some(tol) =>
+        val PAYT = "__asof_rt"
+        val withT = carried0.withColumn(PAYT,
+          last(when(col(TAG) === 1, col(T)), ignoreNulls = true).over(w))
+        val diff = if (descending) col(PAYT) - col(T) else col(T) - col(PAYT)
+        withT
+          .withColumn(PAYC, when(col(PAYC).isNotNull && diff <= tol, col(PAYC)))
+          .drop(PAYT)
+    }
 
     val leftRows = carried.filter(col(TAG) === 0)
     val matchedPart = how match {

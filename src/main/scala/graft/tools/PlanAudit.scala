@@ -42,7 +42,7 @@ object PlanAudit {
         // WARC parse, DSIR scoring, perplexity buckets (near-dup ingest
         // audited via its spec — it writes temp Delta state per run)
         "q_rep_gopher", "q_warc", "q_dsir", "q_ppl_bucket", "q_html_extract",
-        "q_pipeline_crawl", "q_robots", "q_url_canon")
+        "q_pipeline_crawl", "q_robots", "q_url_canon", "q_asof_tolerance")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

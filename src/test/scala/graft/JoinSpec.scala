@@ -161,6 +161,29 @@ class JoinSpec extends SparkSpec {
     assert(got == Set((1, 10), (2, 11), (3, 11))) // and the expected pairs outright
   }
 
+  test("asofJoinTolerance: stale nearest matches count as unmatched (pandas semantics)") {
+    val left = Seq((1L, 10L), (2L, 25L), (3L, 100L)).toDF("id", "t")
+    val right = Seq((8L, "a"), (20L, "b"), (50L, "c")).toDF("rt", "v")
+    // nearest-below with tolerance 10: id1->a (diff 2), id2->b (diff 5),
+    // id3's nearest is c at diff 50 — too stale, and the farther
+    // in-tolerance row must NOT substitute (there is none anyway)
+    val l = Tidier.from(left).asofJoinTolerance(
+      Tidier.from(right), "left", lit(10L), Closest("t", ">=", "rt"))
+    val got = l.df.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("v")))).toSeq
+    assert(got == Seq((1L, Some("a")), (2L, Some("b")), (3L, None)))
+    // inner drops the stale row entirely
+    val inner = Tidier.from(left).asofJoinTolerance(
+      Tidier.from(right), "inner", lit(10L), Closest("t", ">=", "rt"))
+    assert(inner.df.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // full: the never-selected right row (rt=50) comes back unmatched
+    val full = Tidier.from(left).asofJoinTolerance(
+      Tidier.from(right), "full", lit(10L), Closest("t", ">=", "rt"))
+    val fullRows = full.df.collect()
+    assert(fullRows.length == 4) // 3 left + unmatched c
+    assert(fullRows.count(r => r.isNullAt(r.fieldIndex("id"))) == 1)
+  }
+
   test("rangeJoin bands TimestampNTZ columns (pyarrow parquet read-back type)") {
     import java.time.LocalDateTime
     val points = Seq((1L, LocalDateTime.parse("2024-01-01T00:05:00")),
