@@ -185,6 +185,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming crawl ingestion: binaryFile file stream through parse+extract") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import java.nio.file.Files
+    // the continuous-crawl shape: WARC files LAND in a directory, the
+    // file stream picks them up, and the narrow parse->filter->extract
+    // chain runs per micro-batch with no state
+    def rec(rid: String, page: String): Array[Byte] = {
+      val body = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + page).getBytes(UTF_8)
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:$rid>\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++
+        body ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    def page(tag: String) =
+      s"<p>${(1 to 45).map(i => s"$tag$i").mkString(" ")}</p>"
+    val dir = Files.createTempDirectory("warc_stream")
+    val stream = spark.readStream.format("binaryFile")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir.toString)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.operators.Multimodal.parseWarc(col("content"))).as("r"))
+      .filter(col("r.warc_type") === "response" && col("r.http_status") === 200)
+      .select(col("r.record_id").as("record_id"),
+        decode(col("r.payload"), "UTF-8").as("html"))
+    val out = graft.operators.Extract.extractMainContent(
+      stream.toDF(), "html", "text").drop("html")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("crawl_stream_out").start()
+    try {
+      Files.write(dir.resolve("f1.warc"), rec("a", page("x")))
+      q.processAllAvailable()
+      Files.write(dir.resolve("f2.warc"), rec("b", page("y")) ++ rec("c", page("z")))
+      q.processAllAvailable()
+      val got = spark.table("crawl_stream_out")
+        .select("record_id", "text").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got.keySet == Set("<urn:a>", "<urn:b>", "<urn:c>"))
+      assert(got("<urn:b>") == (1 to 45).map(i => s"y$i").mkString(" "))
+    } finally q.stop()
+  }
+
   test("DSIR importance scoring runs unchanged on a stream (narrow + broadcast)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Dsir
