@@ -2028,6 +2028,27 @@ object SparkEntry {
       Similarity.topKByQuantizedDot(q, "qvec", qq, 10)
     }),
 
+    // product quantization encode + ADC scoring (Jégou 2011, the IVF-PQ
+    // 32× memory path): every vector's 8 codes + its exact BIGINT ADC
+    // distance to vec 0's query. The codebook is FORMULAIC (training is
+    // spec-gated like IVF/KMeans — PqSpec) so encode and the
+    // lookup-table sum — pure 1e-7-grid integer arithmetic — mirror
+    // verbatim in SQL.
+    "q_embed_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df
+      val model = gatePqModel
+      val q = e.filter(col("vec_id") === 0L)
+        .select("embedding").first().getSeq[Float](0)
+      val enc = graft.operators.Pq.encode(e, "embedding", model)
+      Tidier.from(
+          graft.operators.Pq.adcScore(enc, "codes", q, model)
+            .select(col("vec_id"),
+              concat_ws(",", col("codes")).as("codes_str"),
+              col("adc_dist")))
+        .arrange("vec_id")
+        .df
+    }),
+
     // =====================================================================
     // training-data pipeline ops: multimodal columns (decode is a STUB —
     // deterministic fake features; Spark-side plumbing is real)
@@ -2305,6 +2326,23 @@ object SparkEntry {
       val a = o.filter(col("o_orderstatus").isin("F", "P"))
       val b = o.filter(col("o_orderstatus").isin("P", "O"))
       a.setdiff(b).arrange("o_orderkey").df
+    }),
+
+    // PageRank over the order↔part co-purchase graph (both directions,
+    // multi-edges kept): 3 exact-integer iterations in 1e-9 units — the
+    // crawl-frontier / quality-weighting graph op, hash-gated because
+    // every step is BIGINT floor arithmetic (see operators.Graph)
+    "q_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      val fwd = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      Tidier.from(
+          graft.operators.Graph.pageRank(edges, "src", "dst",
+            iters = 3, unit = 1000000000L)
+            .withColumn("score", col("rank").cast("double") / lit(1.0e9)))
+        .arrange("node")
+        .df
     }),
   )
 
@@ -4581,5 +4619,101 @@ object SparkEntry {
         |EXCEPT
         |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus IN ('P','O')
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_pagerank" -> pageRankOracleSql,
+
+    "q_embed_pq" -> embedPqOracleSql,
   ) ++ TpchSuite.oracles
+
+  /** The q_embed_pq formula codebook: 8 subspaces × 16 centroids × 8
+    * dims on the 1e-7 grid, centroids in ±0.4 (the data's component
+    * range) via a hash-mix formula both engines evaluate identically. */
+  private def gatePqModel: graft.operators.Pq.PqModel =
+    graft.operators.Pq.PqModel(8, 16, 8,
+      Array.tabulate(8, 16, 8)((s, c, j) =>
+        (s * 73856093L + c * 19349663L + j * 83492791L) % 8000001L - 4000000L))
+
+  /** DuckDB mirror of Pq.encode + Pq.adcScore under the formula
+    * codebook: quantize to the 1e-7 grid (one round each — the Pca
+    * recipe), per-subspace argmin with first-min tie-break
+    * (list_position = lowest code, matching the fold's strict-less),
+    * ADC table from vec 0's quantized query, then the per-row
+    * lookup-table sum — BIGINT end to end. */
+  private def embedPqOracleSql: String = {
+    val cbSql = (s: String, c: String, j: String) =>
+      s"(($s*73856093 + $c*19349663 + $j*83492791) % 8000001 - 4000000)"
+    val gq = (v: String, i: String) =>
+      s"CAST(round(CAST($v[CAST(($i)+1 AS INT)] AS DOUBLE) * 10000000) AS BIGINT)"
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |dists AS (
+       |  SELECT vec_id, t.s AS s,
+       |    list_transform(range(0, 16), c ->
+       |      list_sum(list_transform(range(0, 8), j ->
+       |        (${gq("v", "t.s*8 + j")} - ${cbSql("t.s", "c", "j")})
+       |        * (${gq("v", "t.s*8 + j")} - ${cbSql("t.s", "c", "j")})))) AS dl
+       |  FROM e, range(0, 8) t(s)
+       |),
+       |codes AS (
+       |  SELECT vec_id,
+       |    list(list_position(dl, list_min(dl)) - 1 ORDER BY s) AS codes
+       |  FROM dists GROUP BY vec_id
+       |),
+       |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+       |adct AS (
+       |  SELECT list(dl ORDER BY s) AS tbl FROM (
+       |    SELECT t.s AS s,
+       |      list_transform(range(0, 16), c ->
+       |        list_sum(list_transform(range(0, 8), j ->
+       |          (${gq("q", "t.s*8 + j")} - ${cbSql("t.s", "c", "j")})
+       |          * (${gq("q", "t.s*8 + j")} - ${cbSql("t.s", "c", "j")})))) AS dl
+       |    FROM qv, range(0, 8) t(s)
+       |  )
+       |)
+       |SELECT c.vec_id,
+       |  array_to_string(c.codes, ',') AS codes_str,
+       |  CAST(list_sum(list_transform(range(0, 8), s ->
+       |    tbl[CAST(s+1 AS INT)][CAST(c.codes[CAST(s+1 AS INT)] + 1 AS INT)]))
+       |    AS BIGINT) AS adc_dist
+       |FROM codes c, adct
+       |ORDER BY c.vec_id""".stripMargin
+  }
+
+  /** Unrolled 3-iteration exact-integer PageRank mirror (unit 1e9,
+    * damping 85/100) over the order↔part co-purchase graph — each CTE
+    * round repeats graft.operators.Graph.pageRank's BIGINT recurrence
+    * verbatim: contrib = rank // outdeg per edge, dangling mass share
+    * (structurally present; zero on this both-directions graph),
+    * rank' = unit·15//100 + 85·(in + share)//100. */
+  private def pageRankOracleSql: String = {
+    val unit = 1000000000L
+    val base = unit * 15 / 100
+    val iterCte = (k: Int) => {
+      val p = s"r${k - 1}"
+      s"""c$k AS (
+         |  SELECT e.dst AS node, SUM(r.rank // d.outdeg) AS insum
+         |  FROM edges e JOIN $p r ON r.node = e.src JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst
+         |), d$k AS (
+         |  SELECT COALESCE(SUM(r.rank), 0) // (SELECT n FROM nn) AS share
+         |  FROM $p r LEFT JOIN deg d ON d.src = r.node WHERE d.src IS NULL
+         |), r$k AS (
+         |  SELECT n.node, CAST($base + (85 * (COALESCE(c.insum, 0)
+         |    + (SELECT share FROM d$k))) // 100 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN c$k c ON c.node = n.node
+         |)""".stripMargin
+    }
+    s"""WITH edges AS (
+       |  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+       |  UNION ALL
+       |  SELECT l_partkey * 2 + 1 AS src, l_orderkey * 2 AS dst FROM lineitem
+       |), deg AS (
+       |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+       |), nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+       |), nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |r0 AS (SELECT node, CAST($unit AS BIGINT) AS rank FROM nodes),
+       |${(1 to 3).map(iterCte).mkString(",\n")}
+       |SELECT node, rank, CAST(rank AS DOUBLE) / 1000000000.0 AS score
+       |FROM r3 ORDER BY node""".stripMargin
+  }
 }

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for crawl corpora — PageRank (Page 1999) over
+  * the URL/host graph is the classic crawl-frontier prioritization and
+  * document-quality weight (Common Crawl publishes harmonic-centrality
+  * and PageRank rankings for exactly this purpose; the reference engine
+  * has no graph surface, published recipe).
+  *
+  * Everything is EXACT integer arithmetic in rank "micro-units": rank
+  * values are BIGINT multiples of a unit (1.0 ≡ `unit`), every division
+  * is a floor `div`, and the damping update runs in DECIMAL(38,0) so no
+  * intermediate overflows — results are bit-identical across engines,
+  * partitionings and reruns (the same discipline as [[NgramLm]] /
+  * [[Sampling.mixCorporaByTokens]]), which makes fixed-iteration
+  * PageRank hash-gateable against an unrolled SQL mirror.
+  *
+  * 100 TB shape (the part that must survive 1000 executors):
+  *  - the edge list is repartitioned by `src` ONCE and persisted; every
+  *    iteration joins the (small) rank table TO that stable layout —
+  *    per round only the n-row rank table shuffles, never the edges.
+  *  - per iteration: one src-key join + one dst-key aggregation (both
+  *    high-cardinality uniform keys — hub dsts are handled by map-side
+  *    partial sums since the payload is one BIGINT), one bounded
+  *    one-row dangling-mass aggregate broadcast back (never a driver
+  *    collect), one node-key left join.
+  *  - iteration results are persisted + wrapped in a LogicalRDD leaf
+  *    (the [[Dedup.dupClustersClosure]] recipe) so the logical plan
+  *    stays O(1) per round instead of growing exponentially.
+  */
+object Graph {
+
+  /** In/out degree per node over a directed edge list (multi-edges
+    * count): one union + one aggregation. */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("node"), lit(1L).as("o"), lit(0L).as("i"))
+      .union(edges.select(col(dstCol).as("node"), lit(0L).as("o"), lit(1L).as("i")))
+      .groupBy("node")
+      .agg(sum("o").as("out_degree"), sum("i").as("in_degree"))
+
+  /** Fixed-iteration PageRank with exact integer arithmetic.
+    *
+    * Per iteration, with ranks in micro-units of `unit`:
+    * {{{
+    *   contrib(e)  = rank(src(e)) div outdeg(src(e))        // per edge
+    *   in(v)       = Σ contrib(e) over e with dst(e) = v
+    *   dangShare   = (Σ rank(u) over out-degree-0 u) div n
+    *   rank'(v)    = (unit·(den−num)) div den
+    *               + (num · (in(v) + dangShare)) div den
+    * }}}
+    * Damping is the rational `num/den` (default 85/100). Floor-division
+    * residues mean total mass decays by a few units per round — the
+    * standard price of exact integer PageRank; relative ranking is
+    * unaffected and every engine computes the identical value.
+    *
+    * `unit = 0` auto-sizes to the largest power of ten with
+    * `n·unit ≤ 4·10^18` (kept in Long headroom; the damping product
+    * runs in DECIMAL(38,0) regardless). Multi-edges contribute once
+    * each — pre-`distinct` the edge list for simple-graph semantics.
+    *
+    * @return (node, rank) — BIGINT micro-unit ranks for EVERY node
+    *         appearing as a src or dst.
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 10,
+      dampingNum: Long = 85L,
+      dampingDen: Long = 100L,
+      unit: Long = 0L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
+      s"damping must be a rational in [0,1], got $dampingNum/$dampingDen")
+    val spark = edges.sparkSession
+    import org.apache.spark.storage.StorageLevel
+
+    // persist + eager count + LogicalRDD leaf: truncated plan,
+    // releasable cache (see Dedup.dupClustersClosure for the rationale)
+    def eager(d: DataFrame): (DataFrame, DataFrame) = {
+      val c = d.persist(StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      (spark.createDataFrame(c.rdd, c.schema), c)
+    }
+
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // edges land in their per-iteration join layout ONCE; the static
+    // outdeg column rides WITH them so each round is one join, not two
+    // (the window reuses the repartition's exchange — no extra shuffle)
+    val (e, eCache) = eager(
+      e0.repartition(col("src"))
+        .withColumn("outdeg", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("src"))))
+    val (nodes, nodesCache) = eager(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
+    val n = nodesCache.count()
+    require(n > 0, "pageRank: empty edge list")
+
+    val u =
+      if (unit > 0) unit
+      else {
+        val bound = 4000000000000000000L / n
+        var v = 1L
+        while (v <= bound / 10) v *= 10 // compare-then-multiply: no overflow
+        v
+      }
+    require(u >= 1000L,
+      s"pageRank: unit $u too small for $n nodes — total mass must stay in " +
+        "BIGINT; pass an explicit smaller unit only if you accept the precision")
+    val base = u * (dampingDen - dampingNum) / dampingDen // exact Long floor
+
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(first(col("outdeg")).as("outdeg"))
+    val (deg, degCache) = eager(nodes.join(outdeg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
+
+    var (ranks, ranksCache) = eager(deg.select(col("node"), lit(u).as("rank")))
+    var it = 0
+    while (it < iters) {
+      // per-edge contribution: floor(rank/outdeg) — src side reuses the
+      // edges' stable partitioning, only the rank table shuffles
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+      val inSum = contrib.groupBy(col("dst").as("node"))
+        .agg(sum(col("contrib").cast("decimal(38,0)")).as("insum"))
+      // dangling mass: one-row aggregate broadcast back (never a collect)
+      val dangRow = ranks.join(deg, Seq("node"))
+        .filter(col("outdeg") === 0L)
+        .agg(coalesce(sum(col("rank").cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)"))
+          .as("dangsum"))
+        .select(expr(s"dangsum div ${n}L").as("dangshare"))
+      val stepped = deg.select("node")
+        .join(inSum, Seq("node"), "left")
+        .crossJoin(broadcast(dangRow))
+        .select(col("node"),
+          (lit(base) + expr(
+            s"(${dampingNum}L * (coalesce(insum, cast(0 as decimal(38,0))) " +
+              s"+ cast(dangshare as decimal(38,0)))) div ${dampingDen}L")).as("rank"))
+      val (next, nextCache) = eager(stepped)
+      ranksCache.unpersist()
+      ranks = next
+      ranksCache = nextCache
+      it += 1
+    }
+    eCache.unpersist(); nodesCache.unpersist(); degCache.unpersist()
+    ranksCache
+  }
+
+  /** Corpus weighting by graph rank: attach `rank` (and a double
+    * `rank_score` = rank/unit-total, one IEEE divide of exact integers)
+    * to documents keyed by `nodeCol`. Docs absent from the graph get
+    * rank 0 — no link evidence, not an error. */
+  def attachRank(
+      docs: DataFrame,
+      nodeCol: String,
+      ranks: DataFrame): DataFrame =
+    docs.join(ranks.withColumnRenamed("node", nodeCol), Seq(nodeCol), "left")
+      .withColumn("rank", coalesce(col("rank"), lit(0L)))
+}
