@@ -2344,6 +2344,26 @@ object SparkEntry {
         .arrange("node")
         .df
     }),
+
+    // incrementally-maintained rollup: Delta corpus built in two
+    // commits, per-(lang, source) counts + exact DECIMAL sums advanced
+    // by maintain() reading ONLY the second commit's files — the gate
+    // proves increment-merge ≡ full aggregate (the oracle recomputes
+    // from scratch). Increment-only reads + race discipline: RollupSpec.
+    "q_rollup_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val base = java.nio.file.Files.createTempDirectory("graft_rollup_gate")
+      base.toFile.deleteOnExit()
+      val corpus = s"$base/corpus"; val roll = s"$base/rollup"
+      graft.sources.DeltaWrite.create(s, docs.filter(col("doc_id") < 250), corpus)
+      graft.operators.Rollup.build(s, corpus, roll,
+        Seq("lang", "source"), Seq("n_chars"))
+      graft.sources.DeltaWrite.append(s, docs.filter(col("doc_id") >= 250), corpus)
+      graft.operators.Rollup.maintain(s, corpus, roll)
+      Tidier.from(graft.operators.Rollup.read(s, roll))
+        .arrange("lang", "source")
+        .df
+    }),
   )
 
   /** DuckDB mirror of the whole MinHash+LSH pipeline (tokens → shingles
@@ -4623,6 +4643,15 @@ object SparkEntry {
     "q_pagerank" -> pageRankOracleSql,
 
     "q_embed_pq" -> embedPqOracleSql,
+
+    // full-recompute mirror of the incrementally-maintained rollup:
+    // the increment merge must be bit-identical to aggregating the
+    // final corpus from scratch (counts exact, sums DECIMAL(38,6))
+    "q_rollup_incr" ->
+      """SELECT lang, source, COUNT(*) AS n_rows,
+        |  SUM(CAST(n_chars AS DECIMAL(38,6))) AS sum_n_chars
+        |FROM documents GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
   ) ++ TpchSuite.oracles
 
   /** The q_embed_pq formula codebook: 8 subspaces × 16 centroids × 8

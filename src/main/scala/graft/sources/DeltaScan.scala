@@ -267,6 +267,58 @@ object DeltaScan {
     }
   }
 
+  /** Data-changing ADD file paths (absolute) committed in versions
+    * `(fromExclusive, toInclusive]` — the incremental-consumer view of
+    * an append-only table. Per the protocol, `dataChange=false`
+    * actions (compaction swaps, [[DeltaWrite.compact]]) are SKIPPED —
+    * their rows were already consumed under their original files. A
+    * `dataChange=true` REMOVE in the range (a real delete/rewrite) or
+    * an add carrying a deletion vector fails loudly: an incremental
+    * consumer cannot express those as a pure increment and must fall
+    * back to a full recompute. Requires the range's JSON commits to
+    * still exist (they are recent by construction; vacuuming a log
+    * faster than its consumers read it is operator error). */
+  def changedAddsBetween(
+      spark: SparkSession,
+      tablePath: String,
+      fromExclusive: Long,
+      toInclusive: Long): Seq[String] = {
+    require(fromExclusive <= toInclusive,
+      s"bad version range ($fromExclusive, $toInclusive]")
+    if (fromExclusive == toInclusive) return Seq.empty
+    val (_, versions) = listLog(spark, tablePath)
+    val want = (fromExclusive + 1) to toInclusive
+    val missing = want.filterNot(versions.contains)
+    require(missing.isEmpty,
+      s"Delta log at $tablePath is missing JSON commits ${missing.mkString(", ")} — " +
+        "cannot read the increment; recompute from the full snapshot")
+    val logDir = new Path(tablePath, "_delta_log")
+    val acts = spark.read.schema(actionSchema)
+      .json(want.map(v => new Path(logDir, f"$v%020d.json").toString): _*)
+    val badRemoves = acts
+      .filter(col("remove.path").isNotNull && col("remove.dataChange"))
+      .limit(1).count()
+    require(badRemoves == 0,
+      s"Delta table $tablePath has data-changing removes in ($fromExclusive, " +
+        s"$toInclusive] — not an append-only increment; recompute from the full snapshot")
+    val adds = acts
+      .filter(col("add.path").isNotNull && col("add.dataChange"))
+      .select(col("add.path"), col("add.deletionVector.storageType"),
+        col("add.partitionValues"))
+      .collect()
+    adds.foreach { r =>
+      require(r.isNullAt(1),
+        s"Delta increment add ${r.getString(0)} carries a deletion vector — " +
+          "not an append-only increment; recompute from the full snapshot")
+      val pv = if (r.isNullAt(2)) Map.empty[String, String] else r.getMap[String, String](2)
+      require(pv.isEmpty,
+        s"Delta increment add ${r.getString(0)} is partitioned — incremental " +
+          "consumers support unpartitioned tables only")
+    }
+    adds.map(r => new Path(tablePath,
+      URLDecoder.decode(r.getString(0), StandardCharsets.UTF_8)).toString).toSeq
+  }
+
   /** Collapse `scheme://host` prefixes so the planner-side path strings
     * and `_metadata.file_path` compare equal regardless of how the
     * FileSystem qualified them. */
