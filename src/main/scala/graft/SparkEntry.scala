@@ -2345,6 +2345,19 @@ object SparkEntry {
         .df
     }),
 
+    // EXACT set-similarity self-join by prefix filtering (recall 1.0 by
+    // construction — the deterministic complement of the MinHash gate):
+    // word-3-gram sets, Jaccard ≥ 1/2, all arithmetic integer-exact.
+    // The oracle is an INDEPENDENT brute-force all-pairs join.
+    "q_simjoin" -> ((s, dir) => {
+      val sets = t(s, dir, "documents").df
+        .select(col("doc_id"), TextFns.wordShingles(col("text"), 3).as("g"))
+      Tidier.from(
+          Dedup.similarityJoinPrefix(sets, "doc_id", col("g"), 1L, 2L))
+        .arrange("id_a", "id_b")
+        .df
+    }),
+
     // incrementally-maintained rollup: Delta corpus built in two
     // commits, per-(lang, source) counts + exact DECIMAL sums advanced
     // by maintain() reading ONLY the second commit's files — the gate
@@ -4643,6 +4656,28 @@ object SparkEntry {
     "q_pagerank" -> pageRankOracleSql,
 
     "q_embed_pq" -> embedPqOracleSql,
+
+    // INDEPENDENT brute-force mirror of the prefix-filter similarity
+    // join: all-pairs word-3-gram Jaccard ≥ 1/2 (the engine's prefix
+    // pruning must lose nothing — recall 1.0 is the contract)
+    "q_simjoin" ->
+      s"""WITH toks AS (SELECT doc_id, $tkExpr AS tk FROM documents),
+         |s AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(tk) - 2, 0) + 1),
+         |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+         |  FROM toks WHERE len(tk) >= 3
+         |)
+         |SELECT id_a, id_b,
+         |  CAST((i * 2000000 + u) // (2 * u) AS DOUBLE) / 1000000.0 AS jaccard
+         |FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS i,
+         |    CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS BIGINT) AS u
+         |  FROM s a, s b WHERE a.doc_id < b.doc_id
+         |)
+         |WHERE i * 2 >= u
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // full-recompute mirror of the incrementally-maintained rollup:
     // the increment merge must be bit-identical to aggregating the

@@ -570,6 +570,85 @@ object Dedup {
   def ngramJaccard(shA: Column, shB: Column): Column =
     size(array_intersect(shA, shB)).cast("double") / size(array_union(shA, shB))
 
+  /** EXACT set-similarity self-join by PREFIX FILTERING (Chaudhuri 2006
+    * SSJoin / Xiao 2008 PPJoin, distributed per Vernica 2010): every
+    * pair with Jaccard(sets) ≥ num/den — recall 1.0 BY CONSTRUCTION,
+    * the deterministic complement of the probabilistic MinHash/SimHash
+    * banding paths (use those when approximate recall is acceptable
+    * and sets are huge; use this when the pair list must be complete).
+    *
+    * The theorem: order every set by one GLOBAL token order and keep
+    * only each set's first `|s| − ⌈t·|s|⌉ + 1` tokens (its "prefix");
+    * any pair with J ≥ t shares at least one prefix token. Rarest-first
+    * ordering makes prefixes collide as little as the data allows —
+    * the candidate join is an equi join on prefix tokens, never
+    * all-pairs. A length filter (`den·min ≥ num·max`, exact cross
+    * multiply) prunes before the distinct; exact verification keeps
+    * `|A∩B|·den ≥ num·|A∪B|`. ⌈t·n⌉ = (num·n + den − 1) div den —
+    * integer-exact, so the candidate set and the final pair list are
+    * engine- and partitioning-independent.
+    *
+    * 100 TB shape: one token-frequency aggregation (the term-count
+    * shuffle every similarity engine pays once), one doc-key regroup to
+    * order the sets, one prefix-token equi join, one pair-key refetch —
+    * the [[minHashDupPairs]] shape with exact recall. Zipf means hot
+    * prefix tokens are RARE tokens (by construction), so the join keys
+    * are near-uniform.
+    *
+    * @param setCol array column treated as a set (deduped here)
+    * @return (id_a, id_b, jaccard) — jaccard exact-rounded to 6 dp via
+    *         the BIGINT round-half-up recipe (cross-engine identical)
+    */
+  def similarityJoinPrefix(
+      df: DataFrame,
+      idCol: String,
+      setCol: Column,
+      thresholdNum: Long,
+      thresholdDen: Long,
+      materialize: Materialize = Materialize.Cache): DataFrame = {
+    require(thresholdNum > 0 && thresholdNum <= thresholdDen,
+      s"threshold must be a rational in (0,1], got $thresholdNum/$thresholdDen")
+    val sets0 = df
+      .select(df.col(idCol).as("id"), array_distinct(setCol).as("toks"))
+      .filter(size(col("toks")) > 0)
+    // one global rarest-first order: (corpus frequency, token) asc
+    val toks = sets0.select(col("id"), explode(col("toks")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+    val ordered = toks.join(freq, Seq("tok"))
+      .groupBy("id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("f"), col("tok")))),
+        s => s.getField("tok")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      // prefix length: n − ⌈t·n⌉ + 1, ceil as exact integer arithmetic
+      .withColumn("p",
+        col("n") - expr(s"(${thresholdNum}L * n + ${thresholdDen - 1}L) div ${thresholdDen}L")
+          + 1)
+    val (sets, release) = materialized(ordered, materialize, "id")
+    val pref = sets.select(col("id"), col("n"),
+      explode(slice(col("toks"), lit(1), col("p").cast("int"))).as("tok"))
+    val cand = pref.select(col("tok"), col("id").as("id_a"), col("n").as("n_a"))
+      .join(pref.select(col("tok"), col("id").as("id_b"), col("n").as("n_b")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      // length filter: J ≥ t needs den·min(n_a,n_b) ≥ num·max(n_a,n_b)
+      .filter(least(col("n_a"), col("n_b")) * thresholdDen >=
+        greatest(col("n_a"), col("n_b")) * thresholdNum)
+      // n_a/n_b are functions of the ids — carrying them through the
+      // distinct is free and saves re-deriving sizes after the refetch
+      .select("id_a", "id_b", "n_a", "n_b")
+      .distinct()
+    val pairs = cand
+      .join(sets.select(col("id").as("id_a"), col("toks").as("t_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("toks").as("t_b")), Seq("id_b"))
+      .withColumn("__i", size(array_intersect(col("t_a"), col("t_b"))).cast("long"))
+      .withColumn("__u", col("n_a") + col("n_b") - col("__i"))
+      .filter(col("__i") * thresholdDen >= col("__u") * thresholdNum)
+      .select(col("id_a"), col("id_b"),
+        (expr("(__i * 2000000 + __u) div (2 * __u)").cast("double") /
+          lit(1000000.0)).as("jaccard"))
+    finish(pairs, materialize, release)
+  }
+
   /** Paragraph-level dedup (CCNet / RefinedWeb-style boilerplate
     * removal): any paragraph whose TRIMMED text repeats at least
     * `minRepeats` times across the corpus (cookie banners, nav bars,
