@@ -67,11 +67,21 @@ object Bench {
     // and the end-to-end crawl pipeline (WARC explode -> HTTP filter ->
     // extraction -> chunking, one narrow plan)
     "q_html_extract", "q_pipeline_crawl", "q_robots", "q_url_canon",
-    "q_asof_tolerance")
+    "q_asof_tolerance",
+    // round 4 (cont. 6): iterative exact-integer PageRank (per-round
+    // rank-table shuffle against a stable edge layout), PQ encode +
+    // ADC lookup-table scoring (narrow), prefix-filter similarity join
+    // (freq order + prefix equi join + verify), incremental rollup
+    // maintenance (increment-only aggregation + bounded merge)
+    "q_pagerank", "q_embed_pq", "q_simjoin", "q_rollup_incr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times a subset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(headline)(s => headline.filter(s))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -88,7 +98,7 @@ object Bench {
     // timed window — the timings then measure steady-state execution,
     // not first-query compilation storms (which proved wildly
     // environment-sensitive: 15s vs 634s for the same minhash query).
-    headline.foreach { name =>
+    selected.foreach { name =>
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
@@ -105,7 +115,7 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     (1 to reps).foreach { _ =>
-      headline.foreach { name =>
+      selected.foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
@@ -115,7 +125,7 @@ object Bench {
         }
       }
     }
-    val results = headline.flatMap { name =>
+    val results = selected.flatMap { name =>
       times.get(name).map { ts =>
         val good = ts.filter(_ >= 0)
         name -> (if (good.nonEmpty) good.min else -1.0)

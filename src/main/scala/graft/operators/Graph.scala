@@ -86,16 +86,21 @@ object Graph {
     }
 
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    // edges land in their per-iteration join layout ONCE; the static
-    // outdeg column rides WITH them so each round is one join, not two
-    // (the window reuses the repartition's exchange — no extra shuffle)
-    val (e, eCache) = eager(
-      e0.repartition(col("src"))
-        .withColumn("outdeg", count(lit(1))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy("src"))))
-    val (nodes, nodesCache) = eager(
-      e.select(col("src").as("node")).union(e.select(col("dst").as("node"))).distinct())
-    val n = nodesCache.count()
+    // edges land in their per-iteration join layout ONCE (src-keyed —
+    // the sort-merge path when the rank table outgrows a broadcast)
+    val (e, eCache) = eager(e0.repartition(col("src")))
+
+    // node set AND outdeg in ONE aggregation (outdeg = # src
+    // appearances; pure-dst nodes get 0 = dangling); outdeg rides IN
+    // the rank table — static, so the dangling aggregate is a filter
+    // and no degree join appears anywhere in the loop. The same eager
+    // count supplies n.
+    val (deg, degCache) = eager(
+      e.select(col("src").as("node"), lit(1L).as("o"))
+        .union(e.select(col("dst").as("node"), lit(0L).as("o")))
+        .groupBy("node")
+        .agg(sum("o").as("outdeg")))
+    val n = degCache.count()
     require(n > 0, "pageRank: empty edge list")
 
     val u =
@@ -111,31 +116,39 @@ object Graph {
         "BIGINT; pass an explicit smaller unit only if you accept the precision")
     val base = u * (dampingDen - dampingNum) / dampingDen // exact Long floor
 
-    val outdeg = e.groupBy(col("src").as("node"))
-      .agg(first(col("outdeg")).as("outdeg"))
-    val (deg, degCache) = eager(nodes.join(outdeg, Seq("node"), "left")
-      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg")))
-
-    var (ranks, ranksCache) = eager(deg.select(col("node"), lit(u).as("rank")))
+    // rank column is a narrow projection over the cached degree leaf
+    var ranks = deg.withColumn("rank", lit(u))
+    var ranksCache = degCache
+    // the DANGLING SET is static (outdeg never changes): when it is
+    // empty — the common case for symmetrized graphs — the whole
+    // per-iteration dangling aggregate is a constant zero and its job
+    // is skipped outright
+    val hasDangling =
+      ranks.filter(col("outdeg") === 0L).limit(1).count() > 0
+    val zeroDang = spark.sql("SELECT CAST(0 AS DECIMAL(38,0)) AS dangshare")
     var it = 0
     while (it < iters) {
-      // per-edge contribution: floor(rank/outdeg) — src side reuses the
-      // edges' stable partitioning, only the rank table shuffles
+      // per-edge contribution: floor(rank/outdeg) — the small rank
+      // table ships (broadcast at modest n; src-keyed sort-merge
+      // against the stable edge layout beyond that)
       val contrib = e
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(ranks.select(col("node").as("src"), col("outdeg"), col("rank")),
+          Seq("src"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
       val inSum = contrib.groupBy(col("dst").as("node"))
         .agg(sum(col("contrib").cast("decimal(38,0)")).as("insum"))
       // dangling mass: one-row aggregate broadcast back (never a collect)
-      val dangRow = ranks.join(deg, Seq("node"))
-        .filter(col("outdeg") === 0L)
-        .agg(coalesce(sum(col("rank").cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)"))
-          .as("dangsum"))
-        .select(expr(s"dangsum div ${n}L").as("dangshare"))
-      val stepped = deg.select("node")
+      val dangRow =
+        if (!hasDangling) zeroDang
+        else ranks
+          .filter(col("outdeg") === 0L)
+          .agg(coalesce(sum(col("rank").cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)"))
+            .as("dangsum"))
+          .select(expr(s"dangsum div ${n}L").as("dangshare"))
+      val stepped = ranks.select("node", "outdeg")
         .join(inSum, Seq("node"), "left")
         .crossJoin(broadcast(dangRow))
-        .select(col("node"),
+        .select(col("node"), col("outdeg"),
           (lit(base) + expr(
             s"(${dampingNum}L * (coalesce(insum, cast(0 as decimal(38,0))) " +
               s"+ cast(dangshare as decimal(38,0)))) div ${dampingDen}L")).as("rank"))
@@ -145,8 +158,11 @@ object Graph {
       ranksCache = nextCache
       it += 1
     }
-    eCache.unpersist(); nodesCache.unpersist(); degCache.unpersist()
-    ranksCache
+    eCache.unpersist()
+    // project off the carried outdeg; the final round stays persisted
+    // (same contract as before — reads hit the cache, recompute via
+    // RDD lineage if evicted)
+    ranksCache.select("node", "rank")
   }
 
   /** Corpus weighting by graph rank: attach `rank` (and a double

@@ -228,6 +228,65 @@ object Pq {
         lit(0L), (acc, v) => acc + v))
   }
 
+  /** IVF-PQ index: coarse KMeans cells ([[Similarity.ivfIndex]]) over
+    * PQ codes — the full FAISS-style serving layout. A probe touches
+    * `nprobe/kCells` of the corpus (cell partition pruning when saved
+    * with [[saveIvfPq]]) and scores CODES, never floats: memory and
+    * I/O both collapse. Codes are of the RAW vectors (not cell
+    * residuals — the FastScan-style simplification; exactness of the
+    * gate arithmetic and cross-engine parity matter more here than the
+    * last few % of recall residual coding buys). */
+  def ivfPqIndex(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      kCells: Int,
+      model: PqModel,
+      seed: Long = 42L): (Similarity.IvfIndex, DataFrame) = {
+    val ivf = Similarity.ivfIndex(df, embCol, kCells, seed)
+    val coded = encode(ivf.indexed, embCol, model)
+      .select(col(idCol), col("cell"), col("codes"))
+    (ivf, coded)
+  }
+
+  /** Write the coded index partitioned BY CELL plus the PQ model —
+    * a probing read prunes to the probed cells' partitions. */
+  def saveIvfPq(
+      ivf: Similarity.IvfIndex,
+      coded: DataFrame,
+      model: PqModel,
+      path: String): Unit = {
+    coded.write.mode("overwrite").partitionBy("cell").parquet(s"$path/data")
+    val spark = coded.sparkSession
+    import spark.implicits._
+    ivf.centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell_id", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+    save(model, s"$path/pq", spark)
+  }
+
+  /** ADC top-k over the probed cells only: nearest `nprobe` cells are
+    * picked driver-side from the bounded center table (same as
+    * [[Similarity.ivfTopK]]); the scan prunes to those cells, then the
+    * narrow lookup-table scoring ranks codes. */
+  def ivfPqTopK(
+      centers: Array[Array[Double]],
+      coded: DataFrame,
+      model: PqModel,
+      query: Seq[Float],
+      kTop: Int,
+      nprobe: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val qd = query.map(_.toDouble).toArray
+    val cells = centers.zipWithIndex
+      .map { case (c, i) =>
+        (i, c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1)
+    adcTopK(coded.filter(col("cell").isin(cells: _*)),
+      idCol, "codes", query, model, kTop)
+  }
+
   /** Persist a model as two small parquet tables (meta + one row per
     * (s, c) centroid) — the same bounded-artifact layout as
     * [[Similarity.saveIvfIndex]] and Bpe's merges table. */

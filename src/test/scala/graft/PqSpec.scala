@@ -128,6 +128,26 @@ class PqSpec extends SparkSpec {
       .getSeq[Int](0).length === 4)
   }
 
+  test("IVF-PQ: probed-cell ADC finds the planted cluster; saved layout prunes partitions") {
+    val data = df(400)
+    val model = Pq.train(data, "emb", m = 2, k = 4, iters = 3)
+    val (ivf, coded) = Pq.ivfPqIndex(data, "vec_id", "emb", kCells = 4, model)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Pq.saveIvfPq(ivf, coded, model, dir)
+    val back = spark.read.parquet(s"$dir/data")
+    val backModel = Pq.load(spark, s"$dir/pq")
+    val q = corpus(400).find(_._1 == 0L).get._2
+    val top = Pq.ivfPqTopK(ivf.centers, back, backModel, q, kTop = 10, nprobe = 1)
+      .collect().map(_.getLong(0))
+    assert(top.length === 10)
+    assert(top.forall(_ % 4 === 0L)) // all cluster-0 members
+    // cell filter must reach the scan as a partition filter on the
+    // hive-partitioned layout (one cell probed → one partition read)
+    val probed = Pq.ivfPqTopK(ivf.centers, back, backModel, q, 10, 1)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"))
+  }
+
   test("train fails loudly when a subspace lacks k distinct subvectors") {
     val degenerate = (0L until 50L).map(i => (i, Seq.fill(8)(0.25f))).toDF("vec_id", "emb")
     val e = intercept[IllegalArgumentException] {
