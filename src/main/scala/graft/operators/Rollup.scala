@@ -33,22 +33,33 @@ import graft.sources.DeltaScan
   */
 object Rollup {
 
-  /** one rollup row set: keys..., n_rows, sum_<col>... (decimal 38,6) */
+  /** one rollup row set: keys..., n_rows, sum_<col>… (decimal 38,6),
+    * nd_<col>_sketch… (Datasketches HLL binary — the MERGEABLE distinct
+    * count: a plain COUNT(DISTINCT) cannot be maintained incrementally,
+    * a sketch unions in O(k)) */
   private def aggregateRows(
-      df: DataFrame, keyCols: Seq[String], sumCols: Seq[String]): DataFrame =
+      df: DataFrame, keyCols: Seq[String], sumCols: Seq[String],
+      distinctCols: Seq[String]): DataFrame =
     df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_rows"),
         sumCols.map(c =>
-          sum(col(c).cast("decimal(38,6)")).as(s"sum_$c")): _*)
+          sum(col(c).cast("decimal(38,6)")).as(s"sum_$c")) ++
+        distinctCols.map(c =>
+          expr(s"hll_sketch_agg($c)").as(s"nd_${c}_sketch")): _*)
 
-  /** merge two row sets of the aggregate schema (exact: long + decimal) */
+  /** merge two row sets of the aggregate schema (sums exact: long +
+    * decimal; distinct sketches union losslessly in sparse mode and
+    * within the standard HLL error beyond it) */
   private def merge(
-      a: DataFrame, b: DataFrame, keyCols: Seq[String], sumCols: Seq[String]): DataFrame =
+      a: DataFrame, b: DataFrame, keyCols: Seq[String], sumCols: Seq[String],
+      distinctCols: Seq[String]): DataFrame =
     a.unionByName(b)
       .groupBy(keyCols.map(col): _*)
       .agg(sum("n_rows").cast("long").as("n_rows"),
         sumCols.map(c =>
-          sum(col(s"sum_$c")).cast("decimal(38,6)").as(s"sum_$c")): _*)
+          sum(col(s"sum_$c")).cast("decimal(38,6)").as(s"sum_$c")) ++
+        distinctCols.map(c =>
+          expr(s"hll_union_agg(nd_${c}_sketch)").as(s"nd_${c}_sketch")): _*)
 
   /** Full build at the corpus's current version; fails if the rollup
     * already exists (this is the create path — `maintain` advances it). */
@@ -57,14 +68,16 @@ object Rollup {
       corpusPath: String,
       rollupPath: String,
       keyCols: Seq[String],
-      sumCols: Seq[String]): Unit = {
+      sumCols: Seq[String],
+      distinctCols: Seq[String] = Nil): Unit = {
     require(keyCols.nonEmpty, "rollup needs at least one key column")
     val fs = new Path(rollupPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(committedVersions(fs, new Path(rollupPath)).isEmpty,
       s"rollup already exists at $rollupPath — use maintain")
     val v = DeltaScan.latestVersion(spark, corpusPath)
-    val agg = aggregateRows(DeltaScan.read(spark, corpusPath, Some(v)), keyCols, sumCols)
-    commit(spark, fs, rollupPath, 0L, agg, v, keyCols, sumCols)
+    val agg = aggregateRows(DeltaScan.read(spark, corpusPath, Some(v)),
+      keyCols, sumCols, distinctCols)
+    commit(spark, fs, rollupPath, 0L, agg, v, keyCols, sumCols, distinctCols)
   }
 
   /** Advance the rollup to the corpus's current version by aggregating
@@ -77,7 +90,7 @@ object Rollup {
     val prev = committedVersions(fs, root).maxOption.getOrElse(
       throw new IllegalArgumentException(
         s"no rollup at $rollupPath — use build"))
-    val (corpusV, keyCols, sumCols) = readMeta(fs, root, prev)
+    val (corpusV, keyCols, sumCols, distinctCols) = readMeta(fs, root, prev)
     val nowV = DeltaScan.latestVersion(spark, corpusPath)
     if (nowV == corpusV) return // already current — idempotent
     require(nowV > corpusV,
@@ -88,9 +101,9 @@ object Rollup {
     val next =
       if (files.isEmpty) old // metadata-only commits: just advance the version
       else merge(old,
-        aggregateRows(spark.read.parquet(files: _*), keyCols, sumCols),
-        keyCols, sumCols)
-    commit(spark, fs, rollupPath, prev + 1, next, nowV, keyCols, sumCols)
+        aggregateRows(spark.read.parquet(files: _*), keyCols, sumCols, distinctCols),
+        keyCols, sumCols, distinctCols)
+    commit(spark, fs, rollupPath, prev + 1, next, nowV, keyCols, sumCols, distinctCols)
   }
 
   /** The current rollup rows (highest committed version). */
@@ -99,6 +112,21 @@ object Rollup {
     val v = committedVersions(fs, new Path(rollupPath)).maxOption.getOrElse(
       throw new IllegalArgumentException(s"no rollup at $rollupPath"))
     spark.read.parquet(s"$rollupPath/v$v")
+  }
+
+  /** The rollup rows with every `nd_<col>_sketch` resolved to its
+    * `nd_<col>` BIGINT estimate (sketches stay queryable/mergeable on
+    * disk; estimates are the human surface). */
+  def readEstimates(spark: SparkSession, rollupPath: String): DataFrame = {
+    val fs = new Path(rollupPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(rollupPath)
+    val v = committedVersions(fs, root).maxOption.getOrElse(
+      throw new IllegalArgumentException(s"no rollup at $rollupPath"))
+    val (_, _, _, distinctCols) = readMeta(fs, root, v)
+    distinctCols.foldLeft(read(spark, rollupPath)) { (d, c) =>
+      d.withColumn(s"nd_$c", expr(s"hll_sketch_estimate(nd_${c}_sketch)"))
+        .drop(s"nd_${c}_sketch")
+    }
   }
 
   /** The corpus version the current rollup reflects. */
@@ -123,7 +151,7 @@ object Rollup {
       keyCols: Seq[String],
       sumCols: Seq[String]): Unit = {
     val fs = new Path(rollupPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    commit(spark, fs, rollupPath, version, rows, corpusVersion, keyCols, sumCols)
+    commit(spark, fs, rollupPath, version, rows, corpusVersion, keyCols, sumCols, Nil)
   }
 
   private def commit(
@@ -134,7 +162,8 @@ object Rollup {
       rows: DataFrame,
       corpusVersion: Long,
       keyCols: Seq[String],
-      sumCols: Seq[String]): Unit = {
+      sumCols: Seq[String],
+      distinctCols: Seq[String]): Unit = {
     // data first, marker last: a crash between the two leaves an
     // uncommitted dir that the next maintain overwrites
     rows.write.mode("overwrite").parquet(s"$rollupPath/v$version")
@@ -142,7 +171,8 @@ object Rollup {
       xs.map(x => "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
         .mkString("[", ",", "]")
     val meta = s"""{"corpus_version":$corpusVersion,""" +
-      s""""keys":${jarr(keyCols)},"sums":${jarr(sumCols)}}"""
+      s""""keys":${jarr(keyCols)},"sums":${jarr(sumCols)},""" +
+      s""""distincts":${jarr(distinctCols)}}"""
     val marker = new Path(rollupPath, s"commit-$version.json")
     val out =
       try fs.create(marker, false)
@@ -164,13 +194,14 @@ object Rollup {
   }
 
   private def readMeta(
-      fs: FileSystem, root: Path, version: Long): (Long, Seq[String], Seq[String]) = {
+      fs: FileSystem, root: Path, version: Long)
+      : (Long, Seq[String], Seq[String], Seq[String]) = {
     val in = fs.open(new Path(root, s"commit-$version.json"))
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
     import scala.jdk.CollectionConverters._
-    (node.get("corpus_version").asLong(),
-      node.get("keys").elements().asScala.map(_.asText()).toSeq,
-      node.get("sums").elements().asScala.map(_.asText()).toSeq)
+    def arr(k: String): Seq[String] = Option(node.get(k))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    (node.get("corpus_version").asLong(), arr("keys"), arr("sums"), arr("distincts"))
   }
 }

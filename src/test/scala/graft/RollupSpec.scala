@@ -109,6 +109,32 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("mergeable HLL distinct counts: incremental union matches full rebuild and exact counts") {
+    val corpus = tmp("rollup_corpus"); val roll = tmp("rollup") + "/r"
+    // ids overlap across batches: distinct(chars) per lang exercises the
+    // union (sum of per-batch distincts would over-count)
+    val b1 = docs(0, 120); val b2 = docs(60, 200)
+    DeltaWrite.create(spark, b1, corpus)
+    Rollup.build(spark, corpus, roll, Seq("lang"), Nil, distinctCols = Seq("chars"))
+    DeltaWrite.append(spark, b2, corpus)
+    Rollup.maintain(spark, corpus, roll)
+    val got = Rollup.readEstimates(spark, roll)
+      .select("lang", "nd_chars").collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue)).sortBy(_._1).toSeq
+    // exact reference: sparse-mode HLL is lossless at these cardinalities
+    val exact = b1.union(b2).groupBy("lang")
+      .agg(countDistinct("chars").as("nd")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got === exact)
+    // and the incrementally-unioned estimates equal a from-scratch build
+    val full = tmp("rollup") + "/full"
+    Rollup.build(spark, corpus, full, Seq("lang"), Nil, distinctCols = Seq("chars"))
+    val fullEst = Rollup.readEstimates(spark, full)
+      .select("lang", "nd_chars").collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue)).sortBy(_._1).toSeq
+    assert(got === fullEst)
+  }
+
   test("build refuses an existing rollup; maintain refuses a missing one") {
     val corpus = tmp("rollup_corpus"); val roll = tmp("rollup") + "/r"
     DeltaWrite.create(spark, docs(0, 10), corpus)
