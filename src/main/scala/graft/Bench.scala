@@ -73,7 +73,9 @@ object Bench {
     // ADC lookup-table scoring (narrow), prefix-filter similarity join
     // (freq order + prefix equi join + verify), incremental rollup
     // maintenance (increment-only aggregation + bounded merge)
-    "q_pagerank", "q_embed_pq", "q_simjoin", "q_rollup_incr")
+    "q_pagerank", "q_embed_pq", "q_simjoin", "q_rollup_incr",
+    // HyperBall sketch-union iteration (edge join + hll_union_agg)
+    "q_harmonic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2345,6 +2345,22 @@ object SparkEntry {
         .df
     }),
 
+    // HyperBall harmonic centrality on the DIRECTED order→part graph:
+    // balls are depth-1 and tiny (≤ max in-degree), where the HLL
+    // sketch is sparse-mode EXACT — harmonic(part) = # distinct
+    // in-orders, harmonic(order) = 0 — so the sketch pipeline
+    // (init/union/estimate/delta) hash-gates against an exact mirror.
+    // Approximate regime + convergence: GraphSpec vs exact BFS.
+    "q_harmonic" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").df
+      val edges = li.select((col("l_orderkey") * 2).as("src"),
+        (col("l_partkey") * 2 + 1).as("dst"))
+      Tidier.from(
+          graft.operators.Graph.harmonicCentrality(edges, "src", "dst", maxIters = 4))
+        .arrange("node")
+        .df
+    }),
+
     // EXACT set-similarity self-join by prefix filtering (recall 1.0 by
     // construction — the deterministic complement of the MinHash gate):
     // word-3-gram sets, Jaccard ≥ 1/2, all arithmetic integer-exact.
@@ -4656,6 +4672,21 @@ object SparkEntry {
     "q_pagerank" -> pageRankOracleSql,
 
     "q_embed_pq" -> embedPqOracleSql,
+
+    // exact mirror of depth-1 harmonic centrality: the directed
+    // order→part graph has no 2-step paths, so H(part) = distinct
+    // in-orders / 1 and H(order) = 0 (nothing reaches an order)
+    "q_harmonic" ->
+      """WITH edges AS (
+        |  SELECT l_orderkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+        |), nodes AS (
+        |  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+        |), ind AS (
+        |  SELECT dst AS node, COUNT(DISTINCT src) AS nd FROM edges GROUP BY dst
+        |)
+        |SELECT n.node, CAST(COALESCE(i.nd, 0) AS DOUBLE) AS harmonic
+        |FROM nodes n LEFT JOIN ind i ON i.node = n.node
+        |ORDER BY n.node""".stripMargin,
 
     // INDEPENDENT brute-force mirror of the prefix-filter similarity
     // join: all-pairs word-3-gram Jaccard ≥ 1/2 (the engine's prefix

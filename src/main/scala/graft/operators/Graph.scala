@@ -165,6 +165,87 @@ object Graph {
     ranksCache.select("node", "rank")
   }
 
+  /** HyperBall approximate HARMONIC CENTRALITY (Boldi & Vigna 2013 —
+    * the other ranking Common Crawl publishes beside PageRank):
+    * `H(v) = Σ_{u≠v} 1/d(u→v)`, computed from the growth of v's
+    * incoming ball `B_t(v)` = {u : d(u→v) ≤ t} as
+    * `Σ_t (|B_t| − |B_{t−1}|)/t`. Ball sizes come from Datasketches
+    * HLL counters (Spark's native hll_* expressions): per iteration
+    * each node's sketch absorbs its IN-neighbors' sketches — one
+    * edge join + one union aggregation, the identical loop shape as
+    * [[pageRank]], with a few-KB sketch instead of a BIGINT riding the
+    * shuffle. Exact all-pairs BFS is O(n·m) and unrunnable at crawl
+    * scale; HyperBall is THE published scale path. Register-wise-max
+    * union makes the counters order-insensitive (partition-invariant
+    * results), but estimates are sketch-approximate — spec-gated
+    * against exact BFS on small graphs, not hash-gated.
+    *
+    * Stops after `maxIters` rounds or when no sketch changed (ball
+    * growth is monotone; unchanged estimates everywhere = converged
+    * at the graph's diameter).
+    *
+    * @return (node, harmonic) — the approximate harmonic centrality,
+    *         DOUBLE (sum of estimate deltas over t)
+    */
+  def harmonicCentrality(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIters: Int = 16,
+      lgK: Int = 12): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val spark = edges.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    def eager(d: DataFrame): (DataFrame, DataFrame) = {
+      val c = d.persist(StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      (spark.createDataFrame(c.rdd, c.schema), c)
+    }
+    // balls grow along REVERSE edges: B_t(v) unions the sketches of
+    // nodes with an edge INTO v — key the stable layout by dst
+    val (e, eCache) = eager(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .repartition(col("dst")))
+    // B_0(v) = {v}: the groupBy both dedupes the node set and builds
+    // each node's singleton sketch in one aggregation
+    var (state, stateCache) = eager(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .groupBy("node")
+        .agg(expr(s"hll_sketch_agg(node, $lgK)").as("sketch"))
+        .withColumn("ball", expr("hll_sketch_estimate(sketch)"))
+        .withColumn("harmonic", lit(0.0)))
+    var t = 1
+    var converged = false
+    while (t <= maxIters && !converged) {
+      // union of in-neighbors' sketches, keyed by dst
+      val inbound = e
+        .join(state.select(col("node").as("src"), col("sketch").as("nsk")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(expr("hll_union_agg(nsk)").as("insk"))
+      val stepped = state
+        .join(inbound, Seq("node"), "left")
+        .select(col("node"),
+          when(col("insk").isNull, col("sketch"))
+            .otherwise(expr("hll_union(sketch, insk)")).as("sketch"),
+          col("ball").as("prev_ball"), col("harmonic"))
+        .withColumn("ball", expr("hll_sketch_estimate(sketch)"))
+        .select(col("node"), col("sketch"), col("ball"),
+          (col("harmonic") +
+            (col("ball") - col("prev_ball")).cast("double") / t).as("harmonic"))
+      val (next, nextCache) = eager(stepped)
+      val changed = next.join(
+          state.select(col("node"), col("ball").as("old_ball")), Seq("node"))
+        .filter(col("ball") =!= col("old_ball")).limit(1).count()
+      stateCache.unpersist()
+      state = next
+      stateCache = nextCache
+      converged = changed == 0
+      t += 1
+    }
+    eCache.unpersist()
+    stateCache.select("node", "harmonic")
+  }
+
   /** Corpus weighting by graph rank: attach `rank` (and a double
     * `rank_score` = rank/unit-total, one IEEE divide of exact integers)
     * to documents keyed by `nodeCol`. Docs absent from the graph get

@@ -95,6 +95,52 @@ class GraphSpec extends SparkSpec {
     assert(r(2L) === base + (BigInt(85) * (BigInt(unit) + BigInt(dang)) / 100).toLong)
   }
 
+  /** exact harmonic centrality by plain-Scala BFS along reverse edges */
+  private def refHarmonic(edges: Seq[(Long, Long)]): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val inN = edges.groupBy(_._2).map { case (d, es) => d -> es.map(_._1).distinct }
+    nodes.map { v =>
+      // multi-source backward BFS from v over reverse edges = d(u→v)
+      var frontier = Set(v); val dist = scala.collection.mutable.HashMap(v -> 0)
+      var d = 0
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap(x => inN.getOrElse(x, Nil))
+          .filterNot(dist.contains)
+        frontier.foreach(u => dist(u) = d)
+      }
+      v -> dist.collect { case (u, du) if u != v => 1.0 / du }.sum
+    }.toMap
+  }
+
+  test("HyperBall harmonic centrality matches exact BFS on small graphs") {
+    // small cardinalities: HLL sparse mode is lossless → estimates exact
+    val graphs = Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)), // 4-cycle
+      Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (5L, 1L)), // diamond + tail
+      (1L to 12L).map(i => (i, (i % 12) + 1)) ++ Seq((1L, 7L))) // cycle + chord
+    graphs.foreach { edges =>
+      val got = Graph.harmonicCentrality(edges.toDF("s", "d"), "s", "d", maxIters = 20)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val ref = refHarmonic(edges)
+      assert(got.keySet === ref.keySet)
+      got.foreach { case (v, h) =>
+        assert(math.abs(h - ref(v)) < 1e-9, s"node $v: $h vs ${ref(v)}")
+      }
+    }
+  }
+
+  test("harmonic centrality converges before maxIters (diameter-bounded)") {
+    // path graph 1→2→3: diameter 2, so iterations stop early and the
+    // sink (node 3, reachable from both) scores highest
+    val got = Graph.harmonicCentrality(
+      Seq((1L, 2L), (2L, 3L)).toDF("s", "d"), "s", "d", maxIters = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(3L) === 1.0 + 0.5) // d(2→3)=1, d(1→3)=2
+    assert(got(2L) === 1.0)
+    assert(got(1L) === 0.0)
+  }
+
   test("degrees counts multi-edges and both directions") {
     val d = Graph.degrees(Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("s", "d"), "s", "d")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
