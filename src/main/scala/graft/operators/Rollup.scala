@@ -106,6 +106,12 @@ object Rollup {
     commit(spark, fs, rollupPath, prev + 1, next, nowV, keyCols, sumCols, distinctCols)
   }
 
+  /** Whether a committed rollup exists at the path. */
+  def exists(spark: SparkSession, rollupPath: String): Boolean = {
+    val fs = new Path(rollupPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersions(fs, new Path(rollupPath)).nonEmpty
+  }
+
   /** The current rollup rows (highest committed version). */
   def read(spark: SparkSession, rollupPath: String): DataFrame = {
     val fs = new Path(rollupPath).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -282,6 +282,41 @@ object Streams {
       }
       .start()
 
+  /** [[deltaSink]] plus per-batch ROLLUP MAINTENANCE: after each
+    * micro-batch lands as one Delta commit, the materialized aggregate
+    * at `rollupPath` advances to that commit ([[
+    * graft.operators.Rollup.maintain]] — reads only the batch's own
+    * files, so the serving aggregate tracks the stream at
+    * increment-proportional cost; first batch builds it). Sums are
+    * DECIMAL-exact, so at every point the rollup equals a full
+    * recompute of the corpus so far — the streaming twin of the batch
+    * maintenance loop, proven by StreamingSpec. */
+  def deltaSinkWithRollup(
+      df: DataFrame,
+      tablePath: String,
+      checkpointLocation: String,
+      rollupPath: String,
+      keyCols: Seq[String],
+      sumCols: Seq[String],
+      distinctCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val fs = new org.apache.hadoop.fs.Path(tablePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(new org.apache.hadoop.fs.Path(tablePath, "_delta_log")))
+            graft.sources.DeltaWrite.append(spark, batch.toDF(), tablePath)
+          else graft.sources.DeltaWrite.create(spark, batch.toDF(), tablePath)
+          if (graft.operators.Rollup.exists(spark, rollupPath))
+            graft.operators.Rollup.maintain(spark, tablePath, rollupPath)
+          else graft.operators.Rollup.build(
+            spark, tablePath, rollupPath, keyCols, sumCols, distinctCols)
+        }
+      }
+      .start()
+
   /** Watermarked STREAM-STREAM interval join: left rows matched to
     * right rows with the same key whose event time falls in
     * `[leftTs - before, leftTs + after]`. Both sides carry watermarks,

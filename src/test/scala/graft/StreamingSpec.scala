@@ -475,6 +475,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deltaSinkWithRollup: the serving aggregate tracks every micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Long)]
+    val base = java.nio.file.Files.createTempDirectory("graft_roll_sink").toString
+    val dir = s"$base/t"; val roll = s"$base/r"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_roll_ckpt").toString
+    val q = Streams.deltaSinkWithRollup(
+      input.toDF.toDF("id", "lang", "chars"), dir, ckpt, roll,
+      keyCols = Seq("lang"), sumCols = Seq("chars"))
+    def rollup(): Map[String, (Long, java.math.BigDecimal)] =
+      graft.operators.Rollup.read(spark, roll)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2)))).toMap
+    try {
+      input.addData((1L, "en", 10L), (2L, "de", 20L))
+      q.processAllAvailable()
+      assert(rollup() === Map(
+        "en" -> ((1L, new java.math.BigDecimal("10.000000"))),
+        "de" -> ((1L, new java.math.BigDecimal("20.000000")))))
+      input.addData((3L, "en", 5L))
+      q.processAllAvailable()
+      // the rollup advanced with the second commit — increment-only
+      assert(rollup() === Map(
+        "en" -> ((2L, new java.math.BigDecimal("15.000000"))),
+        "de" -> ((1L, new java.math.BigDecimal("20.000000")))))
+      assert(graft.operators.Rollup.corpusVersion(spark, roll) ===
+        graft.sources.DeltaScan.latestVersion(spark, dir))
+    } finally q.stop()
+  }
+
   test("media signatures run on a stream: image phash + audio fingerprint") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Multimodal
