@@ -2345,6 +2345,23 @@ object SparkEntry {
         .df
     }),
 
+    // exact triangle counting (degree-ordered wedge join) on the
+    // circulant graph C_n(1,2) over doc_ids — edges to +1 and +2 mod n,
+    // so each consecutive triple is a triangle; the oracle counts them
+    // with an independent 3-way self-join over the same edge formula.
+    // Directions and duplicate edges in the input are collapsed.
+    "q_triangles" -> ((s, dir) => {
+      val d = t(s, dir, "documents").df.select(col("doc_id"))
+      val nRow = d.agg(count(lit(1))).first().getLong(0)
+      val edges = d.select(col("doc_id").as("src"),
+          pmod(col("doc_id") + 1, lit(nRow)).as("dst"))
+        .union(d.select(col("doc_id").as("src"),
+          pmod(col("doc_id") + 2, lit(nRow)).as("dst")))
+      Tidier.from(graft.operators.Graph.triangleCount(edges, "src", "dst"))
+        .arrange("node")
+        .df
+    }),
+
     // HyperBall harmonic centrality on the DIRECTED order→part graph:
     // balls are depth-1 and tiny (≤ max in-degree), where the HLL
     // sketch is sparse-mode EXACT — harmonic(part) = # distinct
@@ -4672,6 +4689,30 @@ object SparkEntry {
     "q_pagerank" -> pageRankOracleSql,
 
     "q_embed_pq" -> embedPqOracleSql,
+
+    // INDEPENDENT triangle mirror: undirected-canonical edges from the
+    // same circulant formula, 3-way self-join a<b<c, per-node credit
+    "q_triangles" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        |e0 AS (
+        |  SELECT doc_id AS s, (doc_id + 1) % (SELECT n FROM n) AS d FROM documents
+        |  UNION ALL
+        |  SELECT doc_id AS s, (doc_id + 2) % (SELECT n FROM n) AS d FROM documents
+        |), e AS (
+        |  SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM e0 WHERE s <> d
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3
+        |    ON e3.a = e1.a AND e3.b = e2.b
+        |), corners AS (
+        |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+        |), nodes AS (
+        |  SELECT a AS node FROM e UNION SELECT b AS node FROM e
+        |)
+        |SELECT nodes.node, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS triangles
+        |FROM nodes LEFT JOIN (SELECT node, COUNT(*) AS cnt FROM corners GROUP BY node) c
+        |  ON c.node = nodes.node
+        |ORDER BY nodes.node""".stripMargin,
 
     // exact mirror of depth-1 harmonic centrality: the directed
     // order→part graph has no 2-step paths, so H(part) = distinct

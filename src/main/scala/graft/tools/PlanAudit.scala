@@ -42,7 +42,12 @@ object PlanAudit {
         // WARC parse, DSIR scoring, perplexity buckets (near-dup ingest
         // audited via its spec — it writes temp Delta state per run)
         "q_rep_gopher", "q_warc", "q_dsir", "q_ppl_bucket", "q_html_extract",
-        "q_pipeline_crawl", "q_robots", "q_url_canon", "q_asof_tolerance")
+        "q_pipeline_crawl", "q_robots", "q_url_canon", "q_asof_tolerance",
+        // round-4 cont.: graph ranks (iterative — audits the FINAL
+        // round's plan shape), PQ encode+ADC, prefix similarity join,
+        // harmonic centrality (rollup_incr audited via RollupSpec —
+        // it writes temp Delta state per run)
+        "q_pagerank", "q_harmonic", "q_embed_pq", "q_simjoin")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -56,7 +61,8 @@ object PlanAudit {
     // plan for scalar-context joins (TPC-H scalar thresholds, the
     // broadcast weight/model rows) — not a scale risk; the audit
     // reports it as `1row-bnlj` instead of a red flag
-    val oneRowBnlj = Set("q_tpch_q11a", "q_tpch_q20a", "q_tpch_q22a", "q_dsir")
+    val oneRowBnlj = Set("q_tpch_q11a", "q_tpch_q20a", "q_tpch_q22a", "q_dsir",
+      "q_pagerank") // dangling-mass share: one-row aggregate broadcast
     names.foreach { n =>
       graft.SparkEntry.queries.get(n).foreach { fn =>
         val df = fn(spark, sf)

@@ -141,6 +141,34 @@ class GraphSpec extends SparkSpec {
     assert(got(1L) === 0.0)
   }
 
+  /** exact triangle reference: brute force over all id triples */
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => if (a == b) Nil else Seq((a min b, a max b)) }.toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val counts = scala.collection.mutable.HashMap.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length; k <- (j + 1) until nodes.length
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if und((a, b)) && und((b, c)) && und((a, c))
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    nodes.map(v => v -> counts(v)).toMap
+  }
+
+  test("triangleCount matches brute force; directions, dups and loops collapse") {
+    val graphs = Seq(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)), // one triangle
+      Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (2L, 3L)), // noisy same
+      // K5 minus one edge + a pendant
+      (for (a <- 1L to 5L; b <- (a + 1) to 5L if (a, b) != ((1L, 5L))) yield (a, b)) :+ ((6L, 1L)),
+      // skewed hub: star + one rim edge → exactly 1 triangle through the hub
+      (1L to 30L).map(i => (0L, i)) :+ ((1L, 2L)))
+    graphs.foreach { edges =>
+      val got = Graph.triangleCount(edges.toDF("s", "d"), "s", "d")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === refTriangles(edges), s"edges=$edges")
+    }
+  }
+
   test("degrees counts multi-edges and both directions") {
     val d = Graph.degrees(Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("s", "d"), "s", "d")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
