@@ -1632,6 +1632,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Delta DATA SKIPPING end to end: a doc_id-range-clustered table
+    // (each file covers a disjoint id range, stats from the parquet
+    // footers ride the add actions), read with a skippingFilter whose
+    // range only one file can satisfy — files the stats rule out are
+    // never planned (DeltaSkipSpec proves that physically by deleting
+    // them); the gate proves the pruned read returns EXACTLY the
+    // filter semantics
+    "q_delta_skip" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_skip_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+        .repartitionByRange(8, col("doc_id"))
+      graft.sources.DeltaWrite.create(s, docs, base)
+      graft.sources.DeltaScan.read(s, base,
+          skippingFilter = Some(col("doc_id") >= 100 && col("doc_id") < 160))
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // incremental ingest, twice: batch 1 = even docs (creates the
     // corpus), batch 2 = the full table (only content not already
     // present survives the pruned-hash anti-join) — final table gated
@@ -3588,6 +3606,11 @@ object SparkEntry {
 
     "q_delta_roundtrip" ->
       """SELECT doc_id, lang, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_delta_skip" ->
+      """SELECT doc_id, lang, text FROM documents
+        |WHERE doc_id >= 100 AND doc_id < 160
         |ORDER BY doc_id""".stripMargin,
 
     // set-theoretic mirror of the two-ingest sequence: survivors of

@@ -53,6 +53,7 @@ object DeltaScan {
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("dataChange", BooleanType),
+      StructField("stats", StringType),
       StructField("deletionVector", StructType(Seq(
         StructField("storageType", StringType),
         StructField("pathOrInlineDv", StringType),
@@ -89,8 +90,18 @@ object DeltaScan {
   }
 
   /** The table as a DataFrame, at `versionAsOf` if given else the
-    * latest version. */
-  def read(spark: SparkSession, tablePath: String, versionAsOf: Option[Long] = None): DataFrame = {
+    * latest version.
+    *
+    * `skippingFilter`: a predicate over the table's columns that is
+    * BOTH applied to the rows (the result is exactly `read(...)
+    * .filter(f)`) and evaluated against each live file's `stats`
+    * (numRecords/minValues/maxValues/nullCount, written by
+    * [[DeltaWrite]] from the parquet footers) so files the stats prove
+    * irrelevant are never opened — Delta data skipping. Pruning is
+    * conservative: files without stats, non-conjunct predicate shapes,
+    * and columns outside the stats always stay in. */
+  def read(spark: SparkSession, tablePath: String, versionAsOf: Option[Long] = None,
+      skippingFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val (fs, versions) = listLog(spark, tablePath)
     require(versions.nonEmpty, s"no Delta log found under $tablePath/_delta_log")
     val target = versionAsOf.getOrElse(versions.max)
@@ -155,20 +166,22 @@ object DeltaScan {
     // ---- live-file reconstruction: last action per path wins ------------
     val addsDf = acts.filter(col("add.path").isNotNull)
       .select(col("add.path").as("p"), col("__v"), lit(1).as("isAdd"),
-        col("add.partitionValues").as("pv"), col("add.deletionVector").as("dv"))
+        col("add.partitionValues").as("pv"), col("add.deletionVector").as("dv"),
+        col("add.stats").as("st"))
     val dvType = actionSchema("add").dataType.asInstanceOf[StructType]("deletionVector").dataType
     val removesDf = acts.filter(col("remove.path").isNotNull)
       .select(col("remove.path").as("p"), col("__v"), lit(0).as("isAdd"),
         lit(null).cast(MapType(StringType, StringType)).as("pv"),
-        lit(null).cast(dvType).as("dv"))
+        lit(null).cast(dvType).as("dv"),
+        lit(null).cast(StringType).as("st"))
     val w = Window.partitionBy("p").orderBy(col("__v").desc, col("isAdd").desc)
     val live = addsDf.unionByName(removesDf)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("isAdd") === 1)
-      .select("p", "pv", "dv")
+      .select("p", "pv", "dv", "st")
       .collect()
 
-    val files = live.map { r =>
+    val allFiles = live.map { r =>
       val rel = URLDecoder.decode(r.getString(0), StandardCharsets.UTF_8)
       val pv = if (r.isNullAt(1)) Map.empty[String, String]
                else r.getMap[String, String](1).toMap
@@ -179,10 +192,24 @@ object DeltaScan {
           if (d.isNullAt(2)) None else Some(d.getInt(2)),
           d.getInt(3), d.getLong(4)))
       }
-      (new Path(tablePath, rel).toString, pv, dv)
+      val st = if (r.isNullAt(3)) None else Some(r.getString(3))
+      (new Path(tablePath, rel).toString, pv, dv, st)
     }
-    if (files.isEmpty) return spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // ---- data skipping: stats prove a file can hold no matching row -----
+    val files = skippingFilter match {
+      case None => allFiles.map { case (p, pv, dv, _) => (p, pv, dv) }
+      case Some(f) =>
+        val pred = ParquetStats.predicateExpr(spark, schema, f)
+        allFiles.collect {
+          case (p, pv, dv, st)
+              if ParquetStats.mayMatch(st.flatMap(ParquetStats.parse), pred) =>
+            (p, pv, dv)
+        }
+    }
+    def withFilter(df: DataFrame): DataFrame =
+      skippingFilter.fold(df)(df.filter)
+    if (files.isEmpty) return withFilter(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
 
     // ---- deletion vectors: decode in executors, one anti-join key set ---
     val dvEntries = files.collect { case (p, _, Some(d)) => (normalizePath(p), d) }
@@ -242,27 +269,28 @@ object DeltaScan {
 
     // ---- data read ------------------------------------------------------
     if (partCols.isEmpty) {
-      toLogical(applyDv(spark.read.schema(readSchema).parquet(files.map(_._1).toSeq: _*)))
+      withFilter(toLogical(applyDv(
+        spark.read.schema(readSchema).parquet(files.map(_._1).toSeq: _*))))
     } else {
       val hiveLayout = !columnMapped &&
         files.forall { case (p, _, _) => partCols.forall(c => p.contains(s"$c=")) }
       if (hiveLayout) {
         // scale path: partition values parse from the directory names and
         // cast to the table schema; partition pruning stays effective
-        applyDv(spark.read.option("basePath", tablePath).schema(schema)
+        withFilter(applyDv(spark.read.option("basePath", tablePath).schema(schema)
           .parquet(files.map(_._1).toSeq: _*))
-          .select(schema.fieldNames.map(col).toSeq: _*)
+          .select(schema.fieldNames.map(col).toSeq: _*))
       } else {
         // exact fallback: group files by partition tuple, inject literals.
         // Plan size grows with DISTINCT partition tuples - fine for modest
         // partition counts, hive-layout tables take the branch above.
-        files.groupBy(_._2).map { case (pv, group) =>
+        withFilter(files.groupBy(_._2).map { case (pv, group) =>
           val dataDf = toLogical(applyDv(
             spark.read.schema(readSchema).parquet(group.map(_._1).toSeq: _*)))
           partCols.foldLeft(dataDf) { (d, c) =>
             d.withColumn(c, lit(pv.get(pvKey(c)).orNull).cast(fieldType(c)))
           }.select(schema.fieldNames.map(col).toSeq: _*)
-        }.reduce(_ unionByName _)
+        }.reduce(_ unionByName _))
       }
     }
   }

@@ -115,6 +115,7 @@ object DeltaWrite {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
+      StructField("stats", StringType), // data-skipping survives checkpointing
       StructField("deletionVector", dvType)))
     val metaType = StructType(Seq(
       StructField("id", StringType),
@@ -199,6 +200,7 @@ object DeltaWrite {
     require(added.nonEmpty, "write produced no data files (empty input?)")
 
     val now = System.currentTimeMillis()
+    val conf = spark.sparkContext.hadoopConfiguration
     val adds = added.map { case (rel, size) =>
       // partition values from the hive path segments col=value
       val pv = rel.split('/').dropRight(1).collect {
@@ -206,7 +208,11 @@ object DeltaWrite {
           val Array(k, v) = seg.split("=", 2)
           s"${jstr(k)}:${jstr(hiveUnescape(v))}"
       }.mkString(",")
-      s"""{"add":{"path":${jstr(rel)},"partitionValues":{$pv},"size":$size,"modificationTime":$now,"dataChange":true}}"""
+      // per-file stats from the parquet FOOTER (metadata-only read) —
+      // the data-skipping index DeltaScan prunes with
+      val stats = ParquetStats.statsJson(conf, new Path(root, rel))
+        .map(s => s""","stats":${jstr(s)}""").getOrElse("")
+      s"""{"add":{"path":${jstr(rel)},"partitionValues":{$pv},"size":$size,"modificationTime":$now,"dataChange":true$stats}}"""
     }
     val header =
       if (version == 0L) {
@@ -306,9 +312,12 @@ object DeltaWrite {
     require(added.nonEmpty, "compaction rewrite produced no files")
 
     val now = System.currentTimeMillis()
+    val conf = spark.sparkContext.hadoopConfiguration
     val actions =
       added.map { case (rel, size) =>
-        s"""{"add":{"path":${jstr(rel)},"partitionValues":{${partitionValuesJson(rel)}},"size":$size,"modificationTime":$now,"dataChange":false}}"""
+        val stats = ParquetStats.statsJson(conf, new Path(root, rel))
+          .map(s => s""","stats":${jstr(s)}""").getOrElse("")
+        s"""{"add":{"path":${jstr(rel)},"partitionValues":{${partitionValuesJson(rel)}},"size":$size,"modificationTime":$now,"dataChange":false$stats}}"""
       } ++ groups.values.flatten.toSeq.sorted.map { rel =>
         s"""{"remove":{"path":${jstr(rel)},"deletionTimestamp":$now,"dataChange":false}}"""
       }
