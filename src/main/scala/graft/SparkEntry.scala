@@ -1650,6 +1650,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Z-ORDER + data skipping composed: a deliberately scattered table
+    // (every file spans the full doc_id and length domains) is
+    // rewritten clustered by the interleaved (doc_id, nch) key behind
+    // one dataChange=false commit, then read through a TWO-dimension
+    // skippingFilter — the gate proves the clustered, pruned read is
+    // still exactly the filter semantics (DeltaZorderSpec proves the
+    // pruning itself: either dim's slice keeps ≤ half the files)
+    "q_delta_zorder" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_z_gate").toString
+      val docs = t(s, dir, "documents").df
+        .select(col("doc_id"), length(col("text")).cast("long").as("nch"), col("lang"))
+        .repartition(6)
+      graft.sources.DeltaWrite.create(s, docs, base)
+      graft.sources.DeltaWrite.zorder(s, base, Seq("doc_id", "nch"),
+        bitsPerCol = 8, targetFiles = 8)
+      graft.sources.DeltaScan.read(s, base,
+          skippingFilter = Some(col("doc_id") < 250 && col("nch") >= 200))
+        .orderBy("doc_id")
+    }),
+
     // incremental ingest, twice: batch 1 = even docs (creates the
     // corpus), batch 2 = the full table (only content not already
     // present survives the pruned-hash anti-join) — final table gated
@@ -3611,6 +3631,11 @@ object SparkEntry {
     "q_delta_skip" ->
       """SELECT doc_id, lang, text FROM documents
         |WHERE doc_id >= 100 AND doc_id < 160
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_delta_zorder" ->
+      """SELECT doc_id, len(text) AS nch, lang FROM documents
+        |WHERE doc_id < 250 AND len(text) >= 200
         |ORDER BY doc_id""".stripMargin,
 
     // set-theoretic mirror of the two-ingest sequence: survivors of

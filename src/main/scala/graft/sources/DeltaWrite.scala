@@ -325,6 +325,121 @@ object DeltaWrite {
     writeCommitFile(fs, root, v, actions)
   }
 
+  /** Z-ORDER cluster the table: rewrite the LIVE data files (per
+    * partition directory) with rows ordered by the bit-interleaved
+    * key of `dims` ([[graft.operators.ScaleOps.zorderValue]]), swapped
+    * in behind ONE conditional `dataChange=false` commit — same
+    * reader-transparency contract as [[compact]]. The rewritten files
+    * carry fresh footer stats, so [[DeltaScan]]'s `skippingFilter`
+    * prunes on ANY dimension of the key, not just a lead sort column —
+    * multi-column data skipping is the whole point of Z-ordering.
+    *
+    * Dimension domains are mapped to `bitsPerCol`-bit buckets by
+    * EQUAL-WIDTH division of each dim's global [min, max] (one cheap
+    * aggregate over the dims, never the payload): pure codegen'd
+    * arithmetic per row, no per-row search. Heavily skewed dims get
+    * coarser effective resolution — pre-transform (log, rank) if that
+    * matters; clustering quality is a performance property, file
+    * correctness never depends on it. Dims must be numeric, date, or
+    * timestamp; NULLs sort to bucket 0. The rewrite is a distributed
+    * range-partitioned sort per partition directory (`targetFiles`
+    * output files each), never a single-task funnel.
+    *
+    * Scope: tables this writer maintains (no deletion vectors — a DV
+    * rewrite would resurrect deleted rows; guarded loudly). Time
+    * travel to pre-zorder versions keeps working until [[vacuum]]. */
+  def zorder(spark: SparkSession, tablePath: String, dims: Seq[String],
+      bitsPerCol: Int = 12, targetFiles: Int = 8): Unit = {
+    require(dims.nonEmpty, "need at least one z-order dimension")
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    require(bitsPerCol >= 1 && bitsPerCol * dims.size <= 63,
+      s"bitsPerCol * nDims must fit a signed long, got $bitsPerCol * ${dims.size}")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(tablePath))
+    requireNoDeletionVectors(spark, tablePath)
+    val live = replayActions(spark, fs, tablePath).collect { case (p, true, _, _) => p }
+    require(live.nonEmpty, s"no live data files to z-order at $tablePath")
+    val groups = live.groupBy(rel => rel.split('/').dropRight(1).mkString("/"))
+
+    import org.apache.spark.sql.functions._
+    val full = spark.read.parquet(live.map(r => new Path(root, r).toString): _*)
+    dims.foreach { d =>
+      val f = full.schema.fields.find(_.name == d).getOrElse(
+        throw new IllegalArgumentException(
+          s"z-order dim '$d' not in data columns ${full.columns.mkString(", ")} " +
+            "(partition columns are already directory-pruned — z-order data columns)"))
+      import org.apache.spark.sql.types._
+      require(f.dataType.isInstanceOf[NumericType] || f.dataType == DateType ||
+          f.dataType == TimestampType || f.dataType == TimestampNTZType,
+        s"z-order dim '$d' has type ${f.dataType.simpleString}; " +
+          "numeric/date/timestamp required (hash or rank strings yourself)")
+    }
+    // one metadata-cheap agg: global [min,max] per dim for the bucket grid
+    val aggCols = dims.flatMap(d => Seq(
+      min(col(d).cast("double")).as(s"__mn_$d"), max(col(d).cast("double")).as(s"__mx_$d")))
+    val bounds = full.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val nb = 1L << bitsPerCol
+    val buckets = dims.zipWithIndex.map { case (d, i) =>
+      val mn = if (bounds.isNullAt(2 * i)) 0.0 else bounds.getDouble(2 * i)
+      val mx = if (bounds.isNullAt(2 * i + 1)) 0.0 else bounds.getDouble(2 * i + 1)
+      if (mx <= mn) lit(0L)
+      else least(lit(nb - 1), greatest(lit(0L),
+        floor((col(d).cast("double") - lit(mn)) / lit((mx - mn) / nb)).cast("long")))
+    }
+    val z = graft.operators.ScaleOps.zorderValue(buckets, bitsPerCol)
+
+    val pre = listDataFiles(fs, root).map(_._1).toSet
+    groups.toSeq.sortBy(_._1).foreach { case (partDir, rels) =>
+      val rows = spark.read.parquet(rels.map(r => new Path(root, r).toString): _*)
+      val target = if (partDir.isEmpty) root.toString else s"$root/$partDir"
+      rows.withColumn("__graft_z", z)
+        .repartitionByRange(targetFiles, col("__graft_z"))
+        .sortWithinPartitions("__graft_z")
+        .drop("__graft_z")
+        .write.mode("append").parquet(target)
+    }
+    val added = listDataFiles(fs, root).filterNot { case (p, _) => pre.contains(p) }
+    require(added.nonEmpty, "z-order rewrite produced no files")
+
+    val now = System.currentTimeMillis()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val actions =
+      added.map { case (rel, size) =>
+        val stats = ParquetStats.statsJson(conf, new Path(root, rel))
+          .map(s => s""","stats":${jstr(s)}""").getOrElse("")
+        s"""{"add":{"path":${jstr(rel)},"partitionValues":{${partitionValuesJson(rel)}},"size":$size,"modificationTime":$now,"dataChange":false$stats}}"""
+      } ++ live.sorted.map { rel =>
+        s"""{"remove":{"path":${jstr(rel)},"deletionTimestamp":$now,"dataChange":false}}"""
+      }
+    val v = DeltaScan.latestVersion(spark, tablePath) + 1
+    writeCommitFile(fs, root, v, actions)
+  }
+
+  /** rewriting a DV-carrying file from its raw parquet would resurrect
+    * the deleted rows — refuse loudly */
+  private def requireNoDeletionVectors(spark: SparkSession, tablePath: String): Unit = {
+    val logDir = new Path(tablePath, "_delta_log")
+    val version = DeltaScan.latestVersion(spark, tablePath)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0L to version).foreach { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        lines.map(mapper.readTree).foreach { node =>
+          if (node.has("add")) {
+            val dv = node.get("add").get("deletionVector")
+            require(dv == null || dv.isNull,
+              s"table $tablePath carries deletion vectors — rewriting those files " +
+                "would resurrect deleted rows; this writer does not maintain DV tables")
+          }
+        }
+      }
+    }
+  }
+
   /** hive path segments col=value → partitionValues JSON body */
   private def partitionValuesJson(rel: String): String =
     rel.split('/').dropRight(1).collect {
