@@ -1160,6 +1160,18 @@ object SparkEntry {
       NgramLm.scoreDocsBackoff(docs, "doc_id", "text", model).orderBy("doc_id")
     }),
 
+    // interpolated Kneser-Ney (the KenLM/CCNet smoothing): bigram KN
+    // with continuation counts — the oracle rebuilds the whole
+    // integer cascade (discount cross-multiplication, continuation
+    // fan-outs, per-level floor division), so the smoothing MATH is
+    // gated, not just plumbing
+    "q_text_lm_kn" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      val model = NgramLm.trainKneserNey(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L), "text", n = 2)
+      NgramLm.scoreDocsKneserNey(docs, "doc_id", "text", model).orderBy("doc_id")
+    }),
+
     // REAL BPE tokenizer end-to-end: train merges from the corpus' own
     // word histogram (one shuffle + driver merge-learning), encode every
     // doc with the native expression, then gate two invariants the
@@ -3148,6 +3160,54 @@ object SparkEntry {
          |  LEFT JOIN t2 dn3 ON g.d3 = dn3.gram
          |  LEFT JOIN t1 dn2 ON g.d2 = dn2.gram
          |  CROSS JOIN n1),
+         |perdoc AS (
+         |  SELECT doc_id, COUNT(*) AS n_grams,
+         |    CAST(SUM(backoff) AS BIGINT) AS backoff_grams,
+         |    CAST(SUM(oov) AS BIGINT) AS oov_grams,
+         |    (CAST(SUM(s) AS DOUBLE) / COUNT(*)) / 1000000000.0 AS fluency
+         |  FROM scored GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(p.n_grams, 0) AS n_grams,
+         |  COALESCE(p.backoff_grams, 0) AS backoff_grams,
+         |  COALESCE(p.oov_grams, 0) AS oov_grams,
+         |  p.fluency AS fluency
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // interpolated Kneser-Ney mirror: bigram raw counts → context
+    // totals / fan-outs / continuation counts, then the exact
+    // per-window integer cascade with D = 3/4 and per-level floors
+    "q_text_lm_kn" ->
+      s"""WITH toks AS (SELECT doc_id, $tkExpr AS tk FROM documents),
+         |ref AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+         |t2 AS (SELECT array_to_string(tk[i:i+1], ' ') AS gram,
+         |    tk[i] AS ctx, tk[i+1] AS tok, COUNT(*) AS cnt
+         |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM ref) GROUP BY 1, 2, 3),
+         |b AS (SELECT COUNT(*) AS b FROM t2),
+         |topden AS (SELECT ctx, CAST(SUM(cnt) AS BIGINT) AS total FROM t2 GROUP BY 1),
+         |toplam AS (SELECT ctx, COUNT(*) AS types FROM t2 GROUP BY 1),
+         |cont1 AS (SELECT tok, COUNT(*) AS types FROM t2 GROUP BY 1),
+         |docg AS (SELECT doc_id,
+         |    array_to_string(tk[i:i+1], ' ') AS g2, tk[i] AS d2, tk[i+1] AS g1
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks)),
+         |scored AS (
+         |  SELECT g.doc_id,
+         |    CASE WHEN dn.total IS NULL
+         |      THEN (CAST(1000000000 AS HUGEINT) * COALESCE(c1.types, 0)) // b.b
+         |      ELSE (CAST(1000000000 AS HUGEINT)
+         |              * GREATEST(COALESCE(c2.cnt, 0) * 4 - 3, 0)
+         |            + 3 * COALESCE(lm.types, 0)
+         |              * ((CAST(1000000000 AS HUGEINT) * COALESCE(c1.types, 0)) // b.b))
+         |           // (CAST(4 AS HUGEINT) * dn.total) END AS s,
+         |    CASE WHEN c2.cnt IS NULL THEN 1 ELSE 0 END AS backoff,
+         |    CASE WHEN c1.types IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM docg g
+         |  LEFT JOIN t2 c2 ON g.g2 = c2.gram
+         |  LEFT JOIN topden dn ON g.d2 = dn.ctx
+         |  LEFT JOIN toplam lm ON g.d2 = lm.ctx
+         |  LEFT JOIN cont1 c1 ON g.g1 = c1.tok
+         |  CROSS JOIN b),
          |perdoc AS (
          |  SELECT doc_id, COUNT(*) AS n_grams,
          |    CAST(SUM(backoff) AS BIGINT) AS backoff_grams,

@@ -136,6 +136,147 @@ object NgramLm {
     BackoffModel(orders, total, n)
   }
 
+  /** Interpolated Kneser–Ney model (Kneser & Ney 1995; Chen & Goodman
+    * 1998's interpolated formulation — the smoothing KenLM ships and
+    * CCNet's perplexity filters run on). All tables derive from the raw
+    * k-gram counts of [[trainBackoff]]'s shape; every aggregation is
+    * over the bounded MODEL tables, not the corpus.
+    *
+    *  - `top`/`topDen`/`topLam`: raw n-gram counts, their context
+    *    totals Σ_w c(ctx·w), and context continuation fan-outs
+    *    N1+(ctx·•).
+    *  - `mids(k)` for k = n−1..2: continuation counts N1+(•·g_k)
+    *    (distinct left extensions in the raw (k+1)-grams), the
+    *    mid-level denominators N1+(•·ctx·•), and fan-outs N1+(ctx·•).
+    *  - `cont1`/`bigramTypes`: unigram continuation counts N1+(•·w)
+    *    and their total B = distinct bigram count.
+    */
+  case class KnModel(
+      top: DataFrame, topDen: DataFrame, topLam: DataFrame,
+      mids: Map[Int, (DataFrame, DataFrame, DataFrame)],
+      cont1: DataFrame, bigramTypes: Long, n: Int)
+
+  /** Count an interpolated-KN model. Raw k-gram counting is one count
+    * shuffle per order (identical shape to [[trainBackoff]]); the
+    * continuation/fan-out tables are small aggregations OVER those
+    * model tables (split/slice on ≤n-token strings — bounded rows). */
+  def trainKneserNey(ref: DataFrame, textCol: String, n: Int = 2): KnModel = {
+    require(n >= 2, s"n must be >= 2 (conditional model), got $n")
+    val raw: Map[Int, DataFrame] = (2 to n).map { k =>
+      k -> kgrams(ref, Seq.empty, textCol, k).groupBy("gram").agg(count(lit(1)).as("cnt"))
+    }.toMap
+    def part(from: Int, len: Int): Column =
+      concat_ws(" ", slice(split(col("gram"), " "), from, len))
+    val topDen = raw(n).groupBy(part(1, n - 1).as("ctx"))
+      .agg(sum("cnt").as("total"))
+    val topLam = raw(n).groupBy(part(1, n - 1).as("ctx"))
+      .agg(count(lit(1)).as("types"))
+    val mids = (2 until n).map { k =>
+      val up = raw(k + 1) // (k+1)-token grams: u · ctx · w
+      val numCont = up.groupBy(part(2, k).as("gram"))
+        .agg(count(lit(1)).as("types"))
+      val denCont = up.groupBy(part(2, k - 1).as("ctx"))
+        .agg(count(lit(1)).as("types"))
+      val lam = raw(k).groupBy(part(1, k - 1).as("ctx"))
+        .agg(count(lit(1)).as("types"))
+      k -> ((numCont, denCont, lam))
+    }.toMap
+    val cont1 = raw(2).groupBy(part(2, 1).as("tok"))
+      .agg(count(lit(1)).as("types"))
+    val b = raw(2).count()
+    KnModel(raw(n), topDen, topLam, mids, cont1, b, n)
+  }
+
+  /** Score documents under interpolated Kneser–Ney with absolute
+    * discount D = `dNum/dDen` (default 3/4, the textbook value):
+    *
+    * P_n(w|ctx) = (max(c(ctx·w) − D, 0) + D·N1+(ctx·•)·P_{n−1}) / c(ctx)
+    *
+    * with continuation counts below the top order and base
+    * P_1(w) = N1+(•·w)/B. Every level is ONE exact integer step,
+    * `s_k = (scale·max(num·dDen − dNum, 0) + dNum·λ·s_{k−1}) DIV
+    * (dDen·den)` in DECIMAL(38,0) — deterministic floor at each level,
+    * so fluency values are bit-identical across engines and the whole
+    * cascade mirrors into oracle SQL. An unseen context interpolates
+    * straight through to the next level (s_k = s_{k−1}), the KN
+    * recursion's own base behavior.
+    *
+    * Output: `(idCol, n_grams, backoff_grams, oov_grams, fluency)` —
+    * `backoff_grams` counts windows unseen at full order, `oov_grams`
+    * windows whose final token has no continuation count. Scale shape:
+    * ~3 broadcastable model joins per order (bounded tables), the
+    * per-window arithmetic is narrow and codegen'd.
+    */
+  def scoreDocsKneserNey(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: KnModel,
+      dNum: Long = 3L,
+      dDen: Long = 4L,
+      scale: Long = 1000000000L,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    require(dNum > 0 && dDen > dNum,
+      s"discount must be a rational in (0,1): $dNum/$dDen")
+    val n = model.n
+    def tbl(t: DataFrame) = if (broadcastModel) broadcast(t) else t
+    val fields =
+      (1 to n).map(j =>
+        concat_ws(" ", slice(col("__tk"), col("__i") + (n - j), lit(j))).as(s"g$j")) ++
+      (2 to n).map(j =>
+        concat_ws(" ", slice(col("__tk"), col("__i") + (n - j), lit(j - 1))).as(s"d$j"))
+    var cur = docs
+      .withColumn("__tk", TextFns.tokens(col(textCol)))
+      .filter(size(col("__tk")) >= n)
+      .select(col(idCol), col("__tk"),
+        explode(sequence(lit(1), size(col("__tk")) - (n - 1))).as("__i"))
+      .select(col(idCol) +: fields: _*)
+    cur = cur
+      .join(tbl(model.top.select(col("gram").as(s"g$n"), col("cnt").as("cN"))),
+        Seq(s"g$n"), "left")
+      .join(tbl(model.topDen.select(col("ctx").as(s"d$n"), col("total").as("denN"))),
+        Seq(s"d$n"), "left")
+      .join(tbl(model.topLam.select(col("ctx").as(s"d$n"), col("types").as("lamN"))),
+        Seq(s"d$n"), "left")
+    for (k <- 2 until n) {
+      val (numCont, denCont, lam) = model.mids(k)
+      cur = cur
+        .join(tbl(numCont.select(col("gram").as(s"g$k"), col("types").as(s"nc$k"))),
+          Seq(s"g$k"), "left")
+        .join(tbl(denCont.select(col("ctx").as(s"d$k"), col("types").as(s"dc$k"))),
+          Seq(s"d$k"), "left")
+        .join(tbl(lam.select(col("ctx").as(s"d$k"), col("types").as(s"lm$k"))),
+          Seq(s"d$k"), "left")
+    }
+    cur = cur.join(tbl(model.cont1.select(col("tok").as("g1"), col("types").as("c1t"))),
+      Seq("g1"), "left")
+    // cascade, bottom-up; every __sk is a DECIMAL(38,0) scaled prob
+    cur = cur.withColumn("__s1", expr(
+      s"CAST(CAST($scale AS DECIMAL(38,0)) * COALESCE(c1t, 0) DIV ${math.max(model.bigramTypes, 1L)} AS DECIMAL(38,0))"))
+    def level(k: Int, num: String, den: String, lam: String): String =
+      s"""CASE WHEN $den IS NULL THEN __s${k - 1} ELSE CAST(
+         |  (CAST($scale AS DECIMAL(38,0)) * GREATEST(COALESCE($num, 0) * $dDen - $dNum, 0)
+         |    + $dNum * COALESCE($lam, 0) * __s${k - 1})
+         |  DIV (CAST($dDen AS DECIMAL(38,0)) * $den) AS DECIMAL(38,0)) END""".stripMargin
+    for (k <- 2 until n)
+      cur = cur.withColumn(s"__s$k", expr(level(k, s"nc$k", s"dc$k", s"lm$k")))
+    cur = cur.withColumn(s"__s$n", expr(level(n, "cN", "denN", "lamN")))
+    val scored = cur
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("cN").isNull, 1L).otherwise(0L)).as("backoff_grams"),
+        sum(when(col("c1t").isNull, 1L).otherwise(0L)).as("oov_grams"),
+        (sum(col(s"__s$n")).cast("double") / count(lit(1)) / scale.toDouble).as("fluency"))
+    docs.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("backoff_grams"), lit(0L)).as("backoff_grams"),
+        coalesce(col("oov_grams"), lit(0L)).as("oov_grams"),
+        col("fluency"))
+  }
+
   /** Score documents under stupid backoff: for each full-context gram,
     * S = cnt_n/den_n if the n-gram was seen, else α · cnt_{n-1}/den_{n-1},
     * … down to α^{n-1} · cnt_1/N; unseen even as a unigram scores 0.

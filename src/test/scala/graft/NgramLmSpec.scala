@@ -95,6 +95,61 @@ class NgramLmSpec extends SparkSpec {
     assert(out(5).getLong(1) == 0L && out(5).isNullAt(4))
   }
 
+  test("Kneser-Ney bigram: hand-computed interpolated cascade") {
+    // ref "a b a b" + "a c": raw_2 = {a b:2, b a:1, a c:1}, B = 3
+    // topDen a→3 b→1; topLam a→2 b→1; cont1 a→1 b→1 c→1
+    val ref = Seq("a b a b", "a c").toDF("text")
+    val model = NgramLm.trainKneserNey(ref, "text", n = 2)
+    assert(model.bigramTypes == 3L)
+    // "a b z", D = 3/4:
+    //  (a,b): s1 = 1e9 DIV 3 = 333333333
+    //         s2 = (1e9·(2·4−3) + 3·2·333333333) DIV (4·3)
+    //            = 6999999998 DIV 12 = 583333333
+    //         (true rational: 1.25/3 + (.75·2/3)(1/3) = 0.58333…)
+    //  (b,z): OOV → s1 = 0; s2 = (0 + 0) DIV 4 = 0
+    val out = NgramLm.scoreDocsKneserNey(
+      Seq((1L, "a b z")).toDF("id", "text"), "id", "text", model).head()
+    assert(out.getLong(1) == 2L) // n_grams
+    assert(out.getLong(2) == 1L) // backoff (b,z unseen at top)
+    assert(out.getLong(3) == 1L) // oov (z)
+    assert(out.getDouble(4) == (583333333L + 0L) / 2.0 / 1e9)
+  }
+
+  test("Kneser-Ney trigram: mid-level continuation counts and fall-through") {
+    // ref "a b c a b d": raw_3 {a b c, b c a, c a b, a b d} ×1
+    // raw_2 {a b:2, b c:1, c a:1, b d:1} → B = 4
+    val ref = Seq("a b c a b d").toDF("text")
+    val model = NgramLm.trainKneserNey(ref, "text", n = 3)
+    assert(model.bigramTypes == 4L)
+    val out = NgramLm.scoreDocsKneserNey(
+      Seq((1L, "a b c"), (2L, "x y c")).toDF("id", "text"), "id", "text", model)
+      .orderBy("id").collect()
+    // doc 1, window (a b, c):
+    //  s1(c) = 1e9 DIV 4 = 250000000
+    //  s2: nc(b c)=1 dc(b)=2 lm(b)=2 →
+    //     (1e9·(4−3) + 3·2·250000000) DIV (4·2) = 2.5e9 DIV 8 = 312500000
+    //  s3: c(a b c)=1 den(a b)=2 lam(a b)=2 →
+    //     (1e9 + 3·2·312500000) DIV 8 = 2875000000 DIV 8 = 359375000
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 0L && out(0).getLong(3) == 0L)
+    assert(out(0).getDouble(4) == 359375000L / 1e9)
+    // doc 2: both contexts unseen → falls through to s1(c) = 0.25
+    assert(out(1).getLong(2) == 1L && out(1).getLong(3) == 0L)
+    assert(out(1).getDouble(4) == 250000000L / 1e9)
+  }
+
+  test("Kneser-Ney: partition-invariant and favors fluent docs") {
+    val ref = (1 to 50).map(i => s"the cat sat on the mat $i").toDF("text")
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "mat the on cat sat the"))
+      .toDF("id", "text")
+    val model = NgramLm.trainKneserNey(ref, "text", n = 2)
+    val a = NgramLm.scoreDocsKneserNey(docs, "id", "text", model)
+      .orderBy("id").select("fluency").as[Double].collect()
+    val b = NgramLm.scoreDocsKneserNey(docs.repartition(7), "id", "text", model)
+      .orderBy("id").select("fluency").as[Double].collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a(0) > a(1), s"fluent ${a(0)} should beat scrambled ${a(1)}")
+  }
+
   test("dropDisfluent keeps fluent + unscoreable docs, drops the rest") {
     import graft.operators.Pipelines
     val ref = Seq("the cat sat", "the cat ran", "the dog sat").toDF("text")
