@@ -114,10 +114,13 @@ object Dedup {
   /** signature from materialized 60-bit hashes: each is first reduced
     * mod p (so a·x + b stays < 2^62), then mixed per hash function */
   def minHashFromBases(bases: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val params = hashParams(numHashes, seed)
-    array(params.map { case (a, b) =>
-      array_min(transform(bases, x => pmod(pmod(x, lit(MinHashP)) * lit(a) + lit(b), lit(MinHashP))))
-    }: _*)
+    import org.apache.spark.sql.graftshim.GraftShim
+    // native kernel (graft.plans.MinHashSignature): one codegen'd pass
+    // over the bases computes all k running mins — bit-identical to the
+    // k-fold array_min(transform(...)) HOF it replaces, minus the
+    // numHashes × |bases| interpreted lambda dispatches
+    GraftShim.column(
+      graft.plans.MinHashSignature(GraftShim.expression(bases), numHashes, seed))
   }
 
   /** convenience: signature straight from the shingle array. Prefer

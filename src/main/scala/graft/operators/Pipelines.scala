@@ -498,22 +498,22 @@ object Pipelines {
         Seq("content_hash"), "left_anti")
     val freshC = fresh.cache() // batch-sized; reused by 3 plan branches
 
-    // shingle ONCE: bases (60-bit hashed shingles) are the only text
-    // derivative that flows through signatures, bands and verify
+    // shingle + signature ONCE, in a single cache: bases (60-bit hashed
+    // shingles) feed the exact-Jaccard verify and the bases index;
+    // the minhash signature feeds every band derivation. Band keys are
+    // NOT cached — exploding 6 md5s per doc from the cached signature
+    // is narrow and cheaper than a second cache materialization job
+    // (iterative-workflow wall time is job count, not row count).
     val based = freshC
       .select(col(idCol).as("__id"),
         graft.functions.TextFns
           .hashedWordShingles(col(textCol), shingleSize).as("__bases"))
       .filter(size(col("__bases")) > 0)
-      .cache()
-    // cached: four plan branches consume the band rows (pair join both
-    // sides, the cross-batch probe, the index append) and the minhash
-    // mixes are interpreted HOFs — compute them once
-    val sigBands = based
       .withColumn("__sig", Dedup.minHashFromBases(col("__bases"), numHashes))
+      .cache()
+    val sigBands = based
       .select(col("__id"),
         explode(Dedup.bandKeys(col("__sig"), numHashes, bands)).as("__band"))
-      .cache()
 
     def verified(cand: DataFrame, basesB: DataFrame): DataFrame =
       cand
@@ -559,13 +559,30 @@ object Pipelines {
     val out = afterCross.select(
       (batch.columns.map(col) :+ col("content_hash")).toIndexedSeq: _*)
     val outC = out.cache()
-    if (corpusExists) DeltaWrite.append(spark, outC, corpusPath)
-    else DeltaWrite.create(spark, outC, corpusPath)
+    // one count on the cached batch (materializes it — a job the first
+    // write would run anyway) sizes ALL output files: a small increment
+    // must not shatter into one file per task (32 tiny files × 3 tables
+    // per ingest = footer/open overhead dominating the commit), and a
+    // big one must not funnel through one writer. Row-per-file targets
+    // approximate ~128 MB parquet at typical widths (docs ~1 KB/row,
+    // band index ~50 B/row, bases ~1 KB/row).
+    val nOut = outC.count()
+    def sized(df: DataFrame, rows: Long, rowsPerFile: Long): DataFrame = {
+      val want = math.max(1L, math.min(rows / rowsPerFile + 1, 4096L)).toInt
+      val have = df.rdd.getNumPartitions
+      if (want < have) df.coalesce(want) else df
+    }
+    if (corpusExists) DeltaWrite.append(spark, sized(outC, nOut, 131072L), corpusPath)
+    else DeltaWrite.create(spark, sized(outC, nOut, 131072L), corpusPath)
     val keptIds = outC.select(col(idCol).as("__id"))
-    val newIdxBands = sigBands.join(keptIds, Seq("__id"))
-      .select(col("__band").as("band"), col("__id").as("id"))
-    val newIdxBases = based.join(keptIds, Seq("__id"))
-      .select(col("__id").as("id"), col("__bases").as("bases"))
+    val newIdxBands = sized(
+      sigBands.join(keptIds, Seq("__id"))
+        .select(col("__band").as("band"), col("__id").as("id")),
+      nOut * bands, 2000000L)
+    val newIdxBases = sized(
+      based.join(keptIds, Seq("__id"))
+        .select(col("__id").as("id"), col("__bases").as("bases")),
+      nOut, 131072L)
     if (indexExists) {
       DeltaWrite.append(spark, newIdxBands, bandsPath)
       DeltaWrite.append(spark, newIdxBases, basesPath)
@@ -573,7 +590,7 @@ object Pipelines {
       DeltaWrite.create(spark, newIdxBands, bandsPath)
       DeltaWrite.create(spark, newIdxBases, basesPath)
     }
-    freshC.unpersist(); based.unpersist(); sigBands.unpersist()
+    freshC.unpersist(); based.unpersist()
     outC
   }
 }

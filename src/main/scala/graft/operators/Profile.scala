@@ -88,13 +88,21 @@ object Profile {
       }
       map(entries: _*)
     }
+    // two-level aggregation instead of one groupBy mixing countDistinct
+    // with plain sums: the mixed form plans an Expand that pushes every
+    // unpivoted row through the shuffle TWICE. Level 1 collapses to one
+    // row per (column, distinct value) with map-side combine — the only
+    // shuffle, sized by distinct values; level 2 derives the exact
+    // distinct count AND all rank counts from those collapsed rows.
+    val perValue = stacked.groupBy("__col", "__v")
+      .agg(count(lit(1)).as("__c"))
     val rankAggs = labels.flatMap { case (label, _) =>
       val v = element_at(thresholdMap(label), col("__col"))
       Seq(
-        sum(when(col("__v") < v, 1L).otherwise(0L)).as(s"__lt_$label"),
-        sum(when(col("__v") <= v, 1L).otherwise(0L)).as(s"__le_$label"))
-    } :+ countDistinct(col("__v")).as("__d")
-    val statsByCol = stacked.groupBy("__col")
+        sum(when(col("__v") < v, col("__c")).otherwise(0L)).as(s"__lt_$label"),
+        sum(when(col("__v") <= v, col("__c")).otherwise(0L)).as(s"__le_$label"))
+    } :+ sum(when(col("__v").isNotNull, 1L).otherwise(0L)).as("__d") // countDistinct ignores NULL; so must the collapsed count
+    val statsByCol = perValue.groupBy("__col")
       .agg(rankAggs.head, rankAggs.tail: _*)
       .collect().map(r => r.getString(0) -> r).toMap
     val out = cols.sorted.map { name =>
