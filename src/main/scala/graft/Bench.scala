@@ -75,7 +75,9 @@ object Bench {
     // maintenance (increment-only aggregation + bounded merge)
     "q_pagerank", "q_embed_pq", "q_simjoin", "q_rollup_incr",
     // HyperBall sketch-union iteration (edge join + hll_union_agg)
-    "q_harmonic")
+    "q_harmonic",
+    // r4: temperature mixing + training-shard export
+    "q_mix_temperature", "q_token_shards")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1454,6 +1454,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // temperature-sampled mixture (UniMax/mT5 α = 1/2 over all five
+    // languages): the oracle recomputes the EXACT integer α-weights —
+    // floor sqrt(t·10^12) via a double seed corrected by exact HUGEINT
+    // squaring — plus the binding-source argmin and every per-doc
+    // selection compare, so the root arithmetic, the 10^6
+    // normalization and the selection algebra are all load-bearing
+    "q_mix_temperature" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df
+      Sampling.mixCorporaByTemperature(
+          Seq("de", "en", "es", "fr", "zh").map(l => docs.filter(col("lang") === l)),
+          alphaNum = 1, alphaDen = 2, "temp1", Seq("doc_id"), "text")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // deterministic global shuffle (training order): position = unit
     // hash of (seed, id), exposed as a column so the oracle gates the
     // ORDER itself, not just membership
@@ -1573,6 +1588,21 @@ object SparkEntry {
         .select("lang", "doc_id", "bin")
         .arrange("lang", "doc_id")
         .df
+    }),
+
+    // training-shard export: write the corpus as 8 deterministic shard
+    // dirs, gate the read-back manifest — shard assignment (exact
+    // integer bucket of the unit hash), per-shard doc/token totals and
+    // the order-free md5 checksum are all mirrored analytically, so a
+    // wrong bucket boundary, a dropped row or a short write diverges
+    "q_token_shards" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_shards_gate").toString
+      val docs = t(s, dir, "documents").df
+        .withColumn("toks", TextFns.tokens(col("text")))
+        .select("doc_id", "toks")
+      Packing.writeTokenShards(docs, s"$root/shards", numShards = 8,
+          "shard1", Seq("doc_id"), "toks")
+        .orderBy("shard")
     }),
 
     // built-in Delta reader end to end: fabricate a two-commit Delta
@@ -3525,6 +3555,32 @@ object SparkEntry {
          |    < CAST(tot.w AS HUGEINT) * k.kt * CAST(1152921504606846976 AS HUGEINT)
          |ORDER BY d.doc_id""".stripMargin,
 
+    "q_mix_temperature" ->
+      s"""WITH src AS (SELECT * FROM (VALUES ('de',0),('en',1),('es',2),('fr',3),('zh',4)) AS v(lang, idx)),
+         |toks AS (SELECT doc_id, lang, len($tkExpr) AS nt
+         |         FROM documents WHERE lang IN ('de','en','es','fr','zh')),
+         |tot AS (SELECT s.lang, s.idx, CAST(SUM(t.nt) AS HUGEINT) AS t
+         |        FROM src s JOIN toks t USING (lang) GROUP BY 1, 2),
+         |root AS (SELECT lang, idx, t,
+         |    list_max(list_filter([s0-2, s0-1, s0, s0+1, s0+2],
+         |      c -> c >= 0 AND c*c <= t * CAST(1000000000000 AS HUGEINT))) AS wraw
+         |  FROM (SELECT lang, idx, t,
+         |          CAST(floor(sqrt(CAST(t AS DOUBLE) * 1e12)) AS HUGEINT) AS s0
+         |        FROM tot) q),
+         |wm AS (SELECT MAX(wraw) AS m FROM root),
+         |w AS (SELECT lang, idx, t, (wraw * 1000000) // m AS w FROM root CROSS JOIN wm),
+         |k AS (SELECT a.idx AS kidx, a.w AS kw, a.t AS kt FROM w a
+         |      WHERE NOT EXISTS (SELECT 1 FROM w b
+         |        WHERE b.t * a.w < a.t * b.w
+         |           OR (b.t * a.w = a.t * b.w AND b.idx < a.idx)))
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN w ON d.lang = w.lang CROSS JOIN k
+         |WHERE w.idx = k.kidx
+         |   OR CAST(('0x'||substr(md5('temp1#' || CAST(w.idx AS VARCHAR) || chr(1) || CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT AS HUGEINT)
+         |      * k.kw * w.t
+         |    < w.w * k.kt * CAST(1152921504606846976 AS HUGEINT)
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_profile" ->
       (Seq("l_discount", "l_extendedprice", "l_quantity")
         .map(profileColSql).mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")),
@@ -4084,6 +4140,18 @@ object SparkEntry {
          |  FROM pack p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1
          |)
          |SELECT lang, doc_id, bin FROM pack ORDER BY lang, doc_id""".stripMargin,
+
+    "q_token_shards" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, len($tkExpr) AS nt,
+         |    CAST(('0x'||substr(md5('shard1' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS HUGEINT) AS h,
+         |    CAST(('0x'||substr(md5('shard1#ck' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS BIGINT) % 1000000000 AS ck
+         |  FROM documents)
+         |SELECT CAST((h * 8) // CAST(1152921504606846976 AS HUGEINT) AS INT) AS shard,
+         |  COUNT(*) AS n_seqs,
+         |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(ck) AS BIGINT) AS key_checksum
+         |FROM h GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "q_dedup_embed" -> embedLshOracle,
 

@@ -83,4 +83,69 @@ object Packing {
       .groupBy((groupCols :+ binCol).map(col): _*)
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokensCol).cast("long")).as("fill_tokens"))
+
+  /** TRAINING-SHARD EXPORT — the last mile of the data pipeline: write
+    * sequences (any frame with a token-array column, e.g.
+    * `Bpe.encodeIds` output or packed windows) as `numShards`
+    * hive-partitioned shard directories plus a per-shard manifest.
+    *
+    *  - shard assignment is a PURE FUNCTION of (seed, key): exact
+    *    integer bucketing `shard = h·numShards div 2^60` on the 60-bit
+    *    unit hash (DECIMAL(38,0) — `h·numShards` overflows BIGINT from
+    *    numShards ≥ 16) — reproducible across engines, partitionings
+    *    and reruns, and every shard is an unbiased 1/numShards sample
+    *    of the corpus (loaders can train on a shard prefix);
+    *  - within a shard, rows are laid down in deterministic training
+    *    order: the salted `__pos` hash ([[graft.operators.Sampling
+    *    .shuffleDeterministic]]'s construction), ties by key;
+    *  - ONE shuffle total: repartition on shard, sort within
+    *    partitions, `partitionBy(shard)` write (each shard's rows are
+    *    contiguous in one task, so a shard's files hold its training
+    *    order end to end);
+    *  - the returned MANIFEST is derived by reading BACK what landed
+    *    (not from the input plan): per shard `n_seqs`, `n_tokens`,
+    *    `key_checksum` (exact Σ xxhash64 of the key — order-free) — so
+    *    a short write surfaces as a manifest mismatch, not silence.
+    *
+    * 100 TB shape: assignment/order are narrow projections; the single
+    * shuffle moves each row once to its shard writer; shard count
+    * chooses file granularity (pick `corpus / numShards ≈ 256 MB–1 GB`).
+    */
+  def writeTokenShards(
+      df: DataFrame,
+      path: String,
+      numShards: Int,
+      seed: String,
+      keyCols: Seq[String],
+      tokensCol: String): DataFrame = {
+    require(numShards >= 1 && numShards <= 1000000,
+      s"numShards must be in [1, 1e6], got $numShards")
+    require(keyCols.nonEmpty, "writeTokenShards needs key columns")
+    val spark = df.sparkSession
+    val keyed = df
+      .withColumn("__h", Sampling.unitHashInt(seed, keyCols.map(df.col)))
+      // exact floor via integral divide on DECIMAL — a decimal `/`
+      // would ROUND at its result scale and can bump a just-below-
+      // boundary hash into the next shard before the cast truncates
+      .withColumn("shard",
+        expr(s"CAST((CAST(__h AS DECIMAL(38,0)) * $numShards) " +
+          "DIV 1152921504606846976 AS INT)"))
+      .withColumn("__pos", Sampling.unitHashInt(s"$seed#order", keyCols.map(df.col)))
+      .drop("__h")
+    keyed
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard") +: col("__pos") +: keyCols.map(col): _*)
+      .drop("__pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    // order-free exact checksum over the PORTABLE unit hash (bounded:
+    // each term < 10^9, so the BIGINT sum holds past 9e9 rows/shard;
+    // an external engine reproduces it from md5 alone)
+    val term = pmod(Sampling.unitHashInt(s"$seed#ck", keyCols.map(col)), lit(1000000000L))
+    spark.read.parquet(path)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        coalesce(sum(size(col(tokensCol)).cast("long")), lit(0L)).as("n_tokens"),
+        coalesce(sum(term), lit(0L)).as("key_checksum"))
+  }
 }

@@ -208,25 +208,107 @@ object Sampling {
     require(sources.nonEmpty, "mixCorporaByTokens needs at least one source")
     sources.foreach { case (_, w) =>
       require(w > 0, s"weights must be positive, got $w") }
-    val totals = sources.map { case (df, _) =>
+    mixSelect(sources.map(_._1), tokenTotals(sources.map(_._1), textCol),
+      sources.map(_._2), seed, keyCols)
+  }
+
+  /** one narrow scan + single-row token-sum aggregate per source */
+  private[graft] def tokenTotals(sources: Seq[DataFrame], textCol: String): Seq[Long] =
+    sources.map { df =>
       val t = df.agg(coalesce(sum(graft.functions.TextFns.tokenCount(col(textCol))),
         lit(0L))).head().getLong(0)
       require(t > 0, "every source needs at least one token")
       t
     }
-    val ws = sources.map(_._2)
+
+  /** the shared mixing core: binding source whole, every other source
+    * thinned by the exact-integer-compare Bernoulli selection (see
+    * [[mixCorporaByTokens]] for the algebra and its overflow audit —
+    * weights must stay ≤ ~10^7 so h·w·t fits DECIMAL(38,0)) */
+  private def mixSelect(
+      dfs: Seq[DataFrame],
+      totals: Seq[Long],
+      ws: Seq[Long],
+      seed: String,
+      keyCols: Seq[String]): DataFrame = {
     // binding source k = argmin t_i/w_i, exact cross-multiplied compare
     // (strict < keeps the LOWEST index on ties)
-    val k = (1 until sources.length).foldLeft(0) { (best, i) =>
+    val k = (1 until dfs.length).foldLeft(0) { (best, i) =>
       if (BigInt(totals(i)) * ws(best) < BigInt(totals(best)) * ws(i)) i else best
     }
     val (tk, wk) = (totals(k), ws(k))
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    sources.zipWithIndex.map { case ((df, w), i) =>
+    dfs.zipWithIndex.map { case (df, i) =>
       if (i == k) df
       else df.filter(
         dec(unitHashInt(s"$seed#$i", keyCols.map(df.col))) * dec(lit(wk)) * dec(lit(totals(i)))
-          < dec(lit(w)) * dec(lit(tk)) * dec(lit(1152921504606846976L)))
+          < dec(lit(ws(i))) * dec(lit(tk)) * dec(lit(1152921504606846976L)))
     }.reduce(_.unionByName(_))
+  }
+
+  /** exact floor q-th root of a nonnegative BigInt (binary search —
+    * inputs are bounded driver-side per-source scalars) */
+  private[graft] def nthRootFloor(x: BigInt, q: Int): BigInt = {
+    require(q >= 1 && x >= 0)
+    if (q == 1 || x <= 1) return x // 0^q=0, 1^q=1
+    var lo = BigInt(0)
+    var hi = BigInt(1) << (x.bitLength / q + 1)
+    while (lo < hi) { // invariant: lo^q <= x < (hi+1)^q
+      val mid = (lo + hi + 1) >> 1
+      if (mid.pow(q) <= x) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
+  /** UniMax / mT5-style TEMPERATURE weights over per-source token
+    * totals: `w_i ∝ t_i^(p/q)` for α = p/q ∈ (0, 1] — the standard
+    * way a multilingual/multi-source mixture is flattened (α = 1
+    * reproduces natural proportions, α → 0 approaches uniform; mT5
+    * ships α = 0.3 ≈ 3/10, XLM-R α = 0.7). EXACT integer arithmetic
+    * end to end: `t_i^(p/q)` is the floor q-th root of
+    * `t_i^p · 10^(6q)` (a pure-integer quantity an external engine
+    * reproduces exactly — no `pow`, no transcendental), then weights
+    * are normalized so the largest is 10^6, keeping the selection
+    * algebra inside DECIMAL(38,0) at any corpus size. A source whose
+    * weight would round to 0 (share < 10^-6 of the largest) fails
+    * loudly rather than silently vanish from the mixture.
+    */
+  def temperatureWeights(
+      tokenTotals: Seq[Long], alphaNum: Int, alphaDen: Int): Seq[Long] = {
+    require(alphaNum >= 1 && alphaDen >= alphaNum,
+      s"temperature alpha must be a rational in (0, 1], got $alphaNum/$alphaDen")
+    require(alphaDen <= 12, s"alpha denominator capped at 12, got $alphaDen")
+    tokenTotals.foreach(t => require(t > 0, "every source needs at least one token"))
+    val raw = tokenTotals.map(t =>
+      nthRootFloor(BigInt(t).pow(alphaNum) * BigInt(1000000L).pow(alphaDen), alphaDen))
+    val mx = raw.max
+    val ws = raw.map(r => ((r * 1000000L) / mx).toLong)
+    ws.zipWithIndex.foreach { case (w, i) =>
+      require(w > 0,
+        s"temperature weight for source $i rounds to 0 (token share < 1e-6 of " +
+          "the largest source at this alpha) — drop the source or raise alpha")
+    }
+    ws
+  }
+
+  /** Temperature-sampled corpus mixing: [[temperatureWeights]] over
+    * the sources' token totals feeding the same exact-integer
+    * selection as [[mixCorporaByTokens]] — `Seq(web, wiki, code)` at
+    * α = 1/2 keeps the binding (most-upweighted-relative) source whole
+    * and thins the rest toward the flattened shares. One token-sum
+    * aggregate per source, then narrow filters + union: no shuffle,
+    * reproducible bit-for-bit across engines and partitionings.
+    */
+  def mixCorporaByTemperature(
+      sources: Seq[DataFrame],
+      alphaNum: Int,
+      alphaDen: Int,
+      seed: String,
+      keyCols: Seq[String],
+      textCol: String): DataFrame = {
+    require(sources.nonEmpty, "mixCorporaByTemperature needs at least one source")
+    val totals = tokenTotals(sources, textCol)
+    mixSelect(sources, totals,
+      temperatureWeights(totals, alphaNum, alphaDen), seed, keyCols)
   }
 }

@@ -516,6 +516,103 @@ class TrainPrepSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("temperatureWeights: exact integer roots, normalization, alpha endpoints") {
+    // perfect squares at α=1/2: roots exact, ratios exact
+    // t = (100, 400, 2500) → sqrt = (10, 20, 50) → normalized (200000, 400000, 1000000)
+    assert(Sampling.temperatureWeights(Seq(100L, 400L, 2500L), 1, 2)
+      == Seq(200000L, 400000L, 1000000L))
+    // α = 1 → natural proportions
+    assert(Sampling.temperatureWeights(Seq(100L, 400L), 1, 1) == Seq(250000L, 1000000L))
+    // non-square: floor sqrt(2·10^12) = 1414213, then ·1e6 / itself
+    assert(Sampling.temperatureWeights(Seq(2L, 2L), 1, 2) == Seq(1000000L, 1000000L))
+    // flattening: α=1/2 lifts the small source's relative share
+    val Seq(s1, l1) = Sampling.temperatureWeights(Seq(100L, 10000L), 1, 1)
+    val Seq(s2, l2) = Sampling.temperatureWeights(Seq(100L, 10000L), 1, 2)
+    assert(s1 * 10 == l1 / 10 * 1) // natural: 1:100
+    assert(s2 * 10 == l2)          // α=1/2: 1:10
+    // invalid alphas and vanishing shares fail loudly
+    intercept[IllegalArgumentException] { Sampling.temperatureWeights(Seq(1L), 2, 1) }
+    intercept[IllegalArgumentException] { Sampling.temperatureWeights(Seq(1L), 0, 1) }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(Seq(1L, 100000000000000L), 1, 1)
+    }
+  }
+
+  test("nthRootFloor is the exact floor root at boundary values") {
+    for (q <- 2 to 5; base <- Seq(BigInt(1), BigInt(7), BigInt(123456789))) {
+      val x = base.pow(q)
+      assert(Sampling.nthRootFloor(x, q) == base)
+      assert(Sampling.nthRootFloor(x - 1, q) == base - 1 || x == 1)
+      assert(Sampling.nthRootFloor(x + 1, q) == base)
+    }
+    assert(Sampling.nthRootFloor(BigInt(42), 1) == BigInt(42))
+    assert(Sampling.nthRootFloor(BigInt(0), 3) == BigInt(0))
+  }
+
+  test("mixCorporaByTemperature: alpha=1 equals mixCorporaByTokens with natural weights") {
+    val tenWords = (1 to 10).map(i => s"w$i").mkString(" ")
+    val a = (0L until 10L).map(i => (i, tenWords)).toDF("doc_id", "text")
+    val b = (100L until 140L).map(i => (i, tenWords)).toDF("doc_id", "text")
+    // α=1 weights are (250000, 1000000) ∝ (100, 400) token totals:
+    // every source's kept fraction w_i·t_k/(w_k·t_i) = 1 → nothing thins
+    val got = Sampling.mixCorporaByTemperature(
+        Seq(a, b), 1, 1, "tseed", Seq("doc_id"), "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.size == 50) // natural proportions: both sources whole
+    // α=1/2 actually flattens: B (the big source) thins toward A's share
+    val flat = Sampling.mixCorporaByTemperature(
+        Seq(a, b), 1, 2, "tseed", Seq("doc_id"), "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((0L until 10L).forall(flat.contains)) // small source binding, whole
+    assert(flat.count(_ >= 100L) < 40)           // big source thinned
+    // deterministic across partitionings
+    val again = Sampling.mixCorporaByTemperature(
+        Seq(a.repartition(7), b.repartition(3)), 1, 2, "tseed", Seq("doc_id"), "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == flat)
+  }
+
+  test("writeTokenShards: manifest matches input, assignment deterministic, order laid down") {
+    import graft.operators.Packing
+    val docs = (0L until 300L)
+      .map(i => (i, (0 to (i % 7).toInt).map(j => s"t$j")))
+      .toDF("doc_id", "toks")
+    val root = java.nio.file.Files.createTempDirectory("graft_shard_spec").toString
+
+    val manifest = Packing.writeTokenShards(
+      docs, s"$root/a", numShards = 4, "s1", Seq("doc_id"), "toks")
+    val rows = manifest.orderBy("shard").collect()
+    // every shard populated, ids exactly 0..3
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+    // totals conserve the input exactly
+    assert(rows.map(_.getLong(1)).sum == 300L)
+    assert(rows.map(_.getLong(2)).sum ==
+      docs.agg(sum(size(col("toks")))).head().getLong(0))
+
+    // same manifest from a differently-partitioned input → same shards,
+    // same checksums (assignment is a pure function of seed+key)
+    val manifest2 = Packing.writeTokenShards(
+      docs.repartition(13), s"$root/b", numShards = 4, "s1", Seq("doc_id"), "toks")
+    assert(manifest2.orderBy("shard").collect().toSeq == rows.toSeq)
+
+    // the written rows carry the deterministic training order: reading
+    // one shard back in file order yields doc_ids sorted by the salted
+    // position hash (ties impossible — unique keys)
+    val spark2 = docs.sparkSession
+    val shard0 = spark2.read.parquet(s"$root/a/shard=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val posOf = graft.operators.Sampling
+      .unitHashInt("s1#order", Seq(col("doc_id")))
+    val expected = docs.filter(col("doc_id").isin(shard0: _*))
+      .orderBy(posOf).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(shard0 == expected)
+
+    // numShards=1 degenerates cleanly
+    val one = Packing.writeTokenShards(
+      docs.limit(5), s"$root/c", numShards = 1, "s1", Seq("doc_id"), "toks")
+    assert(one.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((0, 5L)))
+  }
+
   test("mixCorporaByTokens rejects non-positive weights and empty sources") {
     val d = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
