@@ -1547,6 +1547,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // C4-style bad-words matcher: terms planted per doc_id%7 — a case
+    // variant, a multi-word phrase, a regex-metachar term ("x.y" must
+    // NOT match "xzy"), and boundary decoys ("notforbidden1x") — flag +
+    // first-match audit column both mirrored with the identical RE2-
+    // compatible pattern (terms are non-prefix-overlapping, so
+    // leftmost-match is engine-unambiguous)
+    "q_text_badwords" -> ((s, dir) => {
+      val terms = Seq("forbidden1", "bad phrase", "x.y")
+      val m = pmod(col("doc_id"), lit(7L))
+      val txt = concat(col("text"),
+        when(m === 3, lit(" Forbidden1 tail"))
+          .when(m === 5, lit(" very BAD Phrase end"))
+          .when(m === 1, lit(" coord x.y here"))
+          .when(m === 2, lit(" coord xzy here notforbidden1x"))
+          .otherwise(lit("")))
+      t(s, dir, "documents").df
+        .select(col("doc_id"),
+          TextFns.containsBlockedTerm(txt, terms).as("blocked"),
+          TextFns.firstBlockedTerm(txt, terms).as("first_term"))
+        .orderBy("doc_id")
+    }),
+
     // URL blocklist scrub: deterministic synthetic URLs (scheme /
     // userinfo / port / bare-host variants by doc_id), domain + parent-
     // domain suffix matching against a static blocklist — narrow
@@ -3689,6 +3711,21 @@ object SparkEntry {
          |  FROM (SELECT unnest($tkExpr) AS t FROM documents)
          |  GROUP BY 1 ORDER BY cnt DESC, term LIMIT 10)
          |ORDER BY cnt DESC, term""".stripMargin,
+
+    "q_text_badwords" ->
+      """WITH g AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 7
+        |      WHEN 3 THEN ' Forbidden1 tail'
+        |      WHEN 5 THEN ' very BAD Phrase end'
+        |      WHEN 1 THEN ' coord x.y here'
+        |      WHEN 2 THEN ' coord xzy here notforbidden1x'
+        |      ELSE '' END AS txt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_matches(txt, '(?i)\b(forbidden1|bad phrase|x\.y)\b') AS blocked,
+        |  lower(coalesce(regexp_extract(txt, '(?i)\b(forbidden1|bad phrase|x\.y)\b', 1), '')) AS first_term
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     "q_url_filter" ->
       """WITH u AS (

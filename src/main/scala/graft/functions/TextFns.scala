@@ -525,6 +525,64 @@ object TextFns {
       array(blocked.map(b => lit(b.toLowerCase)): _*)))
   }
 
+  /** One regex alternation over an escaped, ASCII word/phrase blocklist
+    * — the C4-style "bad words" document filter's matcher. Word-boundary
+    * semantics (`\b…\b`, ASCII `\w` in BOTH java.util.regex and RE2, so
+    * an external engine mirrors it verbatim), case-insensitive;
+    * multi-word phrases match across single spaces. Regex metachars in
+    * terms are escaped, so the list is data, not pattern syntax. */
+  private def blockedTermPattern(terms: Seq[String]): String = {
+    require(terms.nonEmpty, "empty term blocklist — nothing to match")
+    terms.foreach(t => require(t.trim.nonEmpty, "blank blocklist term"))
+    val escaped = terms.map(_.trim.toLowerCase
+      .replaceAll("""([\\.\[\]{}()*+?^$|\-])""", """\\$1""")
+      .replaceAll(" +", " "))
+    s"(?i)\\b(${escaped.mkString("|")})\\b"
+  }
+
+  /** TRUE iff the text contains any blocklisted word/phrase at word
+    * boundaries — narrow, codegen'd, fused with the scan. */
+  def containsBlockedTerm(text: Column, terms: Seq[String]): Column =
+    text.rlike(blockedTermPattern(terms))
+
+  /** the first blocklisted term that matches, lowercased ('' if none) —
+    * the audit column a filtering report wants beside the drop */
+  def firstBlockedTerm(text: Column, terms: Seq[String]): Column =
+    lower(regexp_extract(text, blockedTermPattern(terms), 1))
+
+  /** C4-style bad-words document filter: drop every document containing
+    * any listed word/phrase (word-boundary, case-insensitive). The
+    * standard list is a few hundred terms — one codegen'd `rlike` per
+    * row, zero shuffles. (A blocklist of many thousands of terms wants
+    * an automaton instead of an alternation; this surface is for the
+    * published bounded lists.) */
+  def dropBlockedTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.filter(!containsBlockedTerm(df.col(textCol), terms))
+
+  /** Bad-words blocklist as a DataFrame (one `term` column) for lists
+    * too big for a regex alternation — the scale path: per doc the
+    * DISTINCT punctuation-stripped lowercase tokens explode (bounded by
+    * vocabulary, not length), semi-join the term list to find blocked
+    * ids, anti-join those out. Two equi joins the optimizer broadcasts
+    * when the list fits and hash-shuffles when it doesn't — never a
+    * per-row scan of the whole list. SINGLE-WORD terms only (token
+    * semantics: whitespace split, then leading/trailing ASCII
+    * punctuation stripped — "spam." matches "spam"); multi-word
+    * phrases need the regex surface [[dropBlockedTerms]]. */
+  def dropBlockedTermsTable(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String,
+      blocklist: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = array_distinct(transform(tokens(df.col(textCol)),
+      t => regexp_replace(t, """^[\p{Punct}]+|[\p{Punct}]+$""", "")))
+    val blockedIds = df
+      .select(df.col(idCol), explode(toks).as("__tok"))
+      .join(blocklist.select(lower(trim(col("term"))).as("__tok")), Seq("__tok"), "left_semi")
+      .select(idCol)
+      .distinct()
+    df.join(blockedIds, Seq(idCol), "left_anti")
+  }
+
   /** Blocklist as a DataFrame (one `domain` column) for lists too big
     * to inline: explode each row's domain suffixes (bounded by label
     * count, ~5), semi-join the suffixes against the list to find

@@ -613,6 +613,42 @@ class TrainPrepSpec extends SparkSpec {
     assert(one.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((0, 5L)))
   }
 
+  test("bad-words filter: boundaries, case, phrases, metachar escaping") {
+    import graft.functions.TextFns
+    val terms = Seq("Spam", "bad phrase", "a.b")
+    val d = Seq(
+      (1L, "clean text here"),
+      (2L, "some SPAM inside"),          // case-insensitive hit
+      (3L, "antispammer tools"),         // no word boundary → keep
+      (4L, "spam."),                     // punctuation is a boundary → hit
+      (5L, "a bad  phrase here"),        // double space ≠ single-space phrase
+      (6L, "a bad phrase here"),         // phrase hit
+      (7L, "coords a.b matched"),        // escaped metachar hit
+      (8L, "coords azb unmatched")       // '.' must not act as wildcard
+    ).toDF("doc_id", "text")
+    val kept = TextFns.dropBlockedTerms(d, "text", terms)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L, 8L))
+    val first = d.filter(col("doc_id") === 2L)
+      .select(TextFns.firstBlockedTerm(col("text"), terms)).head().getString(0)
+    assert(first == "spam")
+    intercept[IllegalArgumentException] {
+      TextFns.dropBlockedTerms(d, "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextFns.dropBlockedTerms(d, "text", Seq("  "))
+    }
+    // table variant (single-word scale path): punctuation-stripped
+    // token semantics, case-insensitive both sides
+    val bl = Seq("SPAM", "a.b").toDF("term")
+    val keptT = TextFns.dropBlockedTermsTable(d, "text", "doc_id", bl)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 2 (SPAM), 4 ("spam." strips to spam), 7 ("a.b" inner dot kept —
+    // only edge punctuation strips) drop; phrase rows survive (no
+    // single-token term matches them)
+    assert(keptT == Set(1L, 3L, 5L, 6L, 8L))
+  }
+
   test("mixCorporaByTokens rejects non-positive weights and empty sources") {
     val d = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
