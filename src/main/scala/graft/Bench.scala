@@ -76,8 +76,9 @@ object Bench {
     "q_pagerank", "q_embed_pq", "q_simjoin", "q_rollup_incr",
     // HyperBall sketch-union iteration (edge join + hll_union_agg)
     "q_harmonic",
-    // r4: temperature mixing + training-shard export
-    "q_mix_temperature", "q_token_shards")
+    // r4: temperature mixing, training-shard export, objective transforms
+    "q_mix_temperature", "q_token_shards", "q_span_corrupt", "q_fim",
+    "q_text_badwords")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

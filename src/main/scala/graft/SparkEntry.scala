@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{Fns, Selector, TextFns}
-import graft.operators.{Bpe, BpeModel, Chunking, Decontaminate, Dedup, Multimodal, NgramLm, Packing, Pca, Pipelines, Profile, Repetition, Sampling, Similarity, Unigram, UnigramModel}
+import graft.operators.{Bpe, BpeModel, Chunking, Corruption, Decontaminate, Dedup, Multimodal, NgramLm, Packing, Pca, Pipelines, Profile, Repetition, Sampling, Similarity, Unigram, UnigramModel}
 import graft.operators.JoinKey
 import graft.operators.JoinKey.{Closest, Equi, Theta}
 
@@ -2044,6 +2044,29 @@ object SparkEntry {
         .arrange("doc_id")
         .df
     }),
+
+    // deterministic T5 span corruption (blocked 3/20 variant): every
+    // block's span offset is hash arithmetic the oracle reproduces —
+    // block math, the offset mod, sentinel numbering and the token
+    // surgery are all load-bearing for input_text AND target_text
+    "q_span_corrupt" -> ((s, dir) =>
+      Tidier.from(Corruption.spanCorruptBlocked(
+          t(s, dir, "documents").df.select("doc_id", "text"),
+          "doc_id", "text", "sc1"))
+        .select("doc_id", "input_text", "target_text", "n_masked")
+        .arrange("doc_id")
+        .df),
+
+    // FIM split at fimRate=1/2: the apply decision (exact-threshold
+    // Bernoulli) and both hash-chosen cut points are mirrored, so the
+    // PSM sentinel layout and every token's side are checked per doc
+    "q_fim" -> ((s, dir) =>
+      Tidier.from(Corruption.fimSplit(
+          t(s, dir, "documents").df.select("doc_id", "text"),
+          "doc_id", "text", "fim1", fimRateNum = 1, fimRateDen = 2))
+        .select("doc_id", "fim_applied", "fim_text")
+        .arrange("doc_id")
+        .df),
 
     // sliding-window chunking: 32-token windows, 8-token overlap —
     // narrow explode, no shuffle; last window short, short docs = 1 chunk
@@ -4121,6 +4144,64 @@ object SparkEntry {
          |FROM c JOIN top USING (doc_id)
          |GROUP BY c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+
+    "q_span_corrupt" ->
+      s"""WITH toks AS (SELECT doc_id, $tkExpr AS tk, len($tkExpr) AS n FROM documents),
+         |b AS (SELECT doc_id, tk, n, UNNEST(range(0, (n + 19) // 20)) AS j
+         |      FROM toks WHERE n > 0),
+         |c AS (SELECT doc_id, tk, j, LEAST(20, n - j*20) AS bl,
+         |    CAST(('0x'||substr(md5('sc1' || chr(1) || CAST(doc_id AS VARCHAR) || chr(1) || CAST(j AS VARCHAR)),1,15))::BIGINT AS BIGINT) AS h
+         |  FROM b),
+         |p AS (SELECT doc_id, tk, j, bl,
+         |    CASE WHEN bl >= 3 THEN h % (bl - 2) ELSE NULL END AS o FROM c),
+         |parts AS (
+         |  SELECT doc_id, j,
+         |    CASE WHEN o IS NOT NULL THEN
+         |      list_concat(list_concat(
+         |        list_slice(tk, j*20+1, j*20+o),
+         |        ['<extra_id_' || CAST(j AS VARCHAR) || '>']),
+         |        list_slice(tk, j*20+o+4, j*20+bl))
+         |    ELSE list_slice(tk, j*20+1, j*20+bl) END AS inp,
+         |    CASE WHEN o IS NOT NULL THEN
+         |      list_concat(['<extra_id_' || CAST(j AS VARCHAR) || '>'],
+         |        list_slice(tk, j*20+o+1, j*20+o+3))
+         |    ELSE [] END AS tgt,
+         |    CASE WHEN o IS NOT NULL THEN 3 ELSE 0 END AS m
+         |  FROM p),
+         |agg AS (
+         |  SELECT doc_id,
+         |    COALESCE(array_to_string(flatten(list(inp ORDER BY j)), ' '), '') AS input_text,
+         |    COALESCE(array_to_string(flatten(list(tgt ORDER BY j)), ' '), '') AS target_text,
+         |    SUM(m) AS n_masked
+         |  FROM parts GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  COALESCE(a.input_text, '') AS input_text,
+         |  COALESCE(a.target_text, '') AS target_text,
+         |  CAST(COALESCE(a.n_masked, 0) AS BIGINT) AS n_masked
+         |FROM toks t LEFT JOIN agg a USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
+
+    "q_fim" ->
+      s"""WITH toks AS (SELECT doc_id, $tkExpr AS tk, len($tkExpr) AS n FROM documents),
+         |h AS (SELECT doc_id, tk, n,
+         |    CAST(('0x'||substr(md5('fim1#apply' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS HUGEINT) AS h0,
+         |    CAST(('0x'||substr(md5('fim1#c1' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS BIGINT) AS h1,
+         |    CAST(('0x'||substr(md5('fim1#c2' || chr(1) || CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS BIGINT) AS h2
+         |  FROM toks),
+         |c AS (SELECT doc_id, tk, n, h2,
+         |    h0 * 2 < CAST(1152921504606846976 AS HUGEINT) AS app,
+         |    h1 % (n + 1) AS c1v
+         |  FROM h),
+         |d AS (SELECT doc_id, tk, n, app, c1v,
+         |    c1v + (h2 % (n - c1v + 1)) AS c2v
+         |  FROM c)
+         |SELECT doc_id, (app AND n > 0) AS fim_applied,
+         |  CASE WHEN app AND n > 0 THEN
+         |    '<fim_prefix>' || COALESCE(array_to_string(list_slice(tk, 1, c1v), ' '), '')
+         |    || '<fim_suffix>' || COALESCE(array_to_string(list_slice(tk, c2v+1, n), ' '), '')
+         |    || '<fim_middle>' || COALESCE(array_to_string(list_slice(tk, c1v+1, c2v), ' '), '')
+         |  ELSE COALESCE(array_to_string(tk, ' '), '') END AS fim_text
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     // sliding-window chunk mirror: window starts every stride=24 tokens,
     // inclusive 1-based list_slice, at least one window per non-empty doc
