@@ -802,6 +802,18 @@ object SparkEntry {
         .arrange("l_returnflag")
         .df),
 
+    // multiple values_from (reference pivots.jl vector form): output
+    // aliases <name>_<vc> per the reference's spv*"_"*vc scheme
+    "q_pivot_wider_multi" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .summarize(
+          "qty" -> dsum(col("l_quantity")),
+          "price" -> dsum(col("l_extendedprice")))
+        .pivotWider("l_linestatus", Seq("qty", "price"), values = Seq("F", "O"))
+        .arrange("l_returnflag")
+        .df),
+
     "q_pivot_longer" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -4850,6 +4862,18 @@ object SparkEntry {
         |  ANY_VALUE(qty) FILTER (WHERE l_linestatus = 'O') AS O
         |FROM (SELECT l_returnflag, l_linestatus,
         |        CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS qty
+        |      FROM lineitem GROUP BY 1, 2)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_pivot_wider_multi" ->
+      """SELECT l_returnflag,
+        |  ANY_VALUE(qty) FILTER (WHERE l_linestatus = 'F') AS F_qty,
+        |  ANY_VALUE(price) FILTER (WHERE l_linestatus = 'F') AS F_price,
+        |  ANY_VALUE(qty) FILTER (WHERE l_linestatus = 'O') AS O_qty,
+        |  ANY_VALUE(price) FILTER (WHERE l_linestatus = 'O') AS O_price
+        |FROM (SELECT l_returnflag, l_linestatus,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS qty,
+        |        CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS price
         |      FROM lineitem GROUP BY 1, 2)
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

@@ -26,6 +26,27 @@ trait ReshapeVerbs { self: TidierFrame =>
     reset(p.agg(first(df.col(valuesFrom))))
   }
 
+  /** Multiple `values_from` columns (reference: src/pivots.jl:20-52 —
+    * `values_from = [a, b]`): output columns alias `<name>_<vc>`,
+    * exactly the reference's `spv * "_" * vc` scheme (Spark's
+    * multi-agg pivot naming `{pivotValue}_{aggAlias}` reproduces it
+    * when each agg is aliased to its source column). A single-element
+    * Seq degrades to the un-suffixed single-values form. */
+  def pivotWider(
+      namesFrom: String,
+      valuesFrom: Seq[String],
+      values: Seq[String]): TidierFrame = {
+    require(valuesFrom.nonEmpty, "pivotWider needs at least one values_from column")
+    if (valuesFrom.sizeIs == 1) pivotWider(namesFrom, valuesFrom.head, values)
+    else {
+      val idCols = df.columns.toSeq.filterNot(c => c == namesFrom || valuesFrom.contains(c))
+      val g = df.groupBy(idCols.map(df.col): _*)
+      val p = if (values.nonEmpty) g.pivot(namesFrom, values) else g.pivot(namesFrom)
+      val aggs = valuesFrom.map(vc => first(df.col(vc)).as(vc))
+      reset(p.agg(aggs.head, aggs.tail: _*))
+    }
+  }
+
   /** `@pivot_longer(cols, names_to, values_to)`
     * (reference: src/pivots.jl:172-274) — Spark-native `unpivot`
     * (no UNION-ALL-per-column blowup; single pass). */

@@ -116,6 +116,22 @@ class WindowReshapeSpec extends SparkSpec {
       Seq((1, "x", 10.0), (1, "y", 20.0), (2, "x", 30.0), (2, "y", 40.0)))
   }
 
+  test("pivotWider with multiple values_from uses the <name>_<vc> alias scheme") {
+    val long = Seq((1, "x", 10.0, 1L), (1, "y", 20.0, 2L), (2, "x", 30.0, 3L))
+      .toDF("id", "variable", "a", "b")
+    val wide = Tidier.from(long)
+      .pivotWider("variable", Seq("a", "b"), values = Seq("x", "y")).df
+    assert(wide.columns.toSeq == Seq("id", "x_a", "x_b", "y_a", "y_b"))
+    val r = wide.orderBy("id").collect()
+    assert(r(0).getDouble(1) == 10.0 && r(0).getLong(2) == 1L)
+    assert(r(0).getDouble(3) == 20.0 && r(0).getLong(4) == 2L)
+    assert(r(1).getDouble(1) == 30.0 && r(1).isNullAt(3)) // missing (2,"y")
+    // single-element Seq degrades to the un-suffixed form
+    val single = Tidier.from(long)
+      .pivotWider("variable", Seq("a"), values = Seq("x", "y")).df
+    assert(single.columns.toSeq == Seq("id", "b", "x", "y"))
+  }
+
   test("unnestWider expands struct fields in place") {
     val d = Seq((1, (1.5, 2.5)), (2, (3.5, 4.5))).toDF("id", "pos")
     val out = Tidier.from(d).unnestWider("pos").df
