@@ -1559,6 +1559,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // writing-system profile: script snippets planted per doc_id%5 —
+    // per-script code-point counts, deterministic dominant pick (ties
+    // by declared order) and the exact-integer mix score all mirrored
+    // (Java \p{IsXxx} and RE2 \p{Xxx} share the Scripts.txt repertoire)
+    "q_text_scripts" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(5L))
+      val txt = concat(col("text"),
+        when(m === 0, lit(" Привет мир"))
+          .when(m === 1, lit(" 汉字处理引擎"))
+          .when(m === 2, lit(" こんにちは カタカナ"))
+          .when(m === 3, lit(" αβγδ שלום"))
+          .otherwise(lit("")))
+      t(s, dir, "documents").df
+        .select(col("doc_id"),
+          TextFns.scriptCounts(txt).as("sc"),
+          TextFns.dominantScript(txt).as("dominant"),
+          TextFns.scriptMixMicro(txt).as("mix_micro"))
+        .select(col("doc_id"),
+          col("sc.latin").as("latin"), col("sc.cyrillic").as("cyrillic"),
+          col("sc.han").as("han"), col("sc.hiragana").as("hiragana"),
+          col("sc.katakana").as("katakana"), col("sc.greek").as("greek"),
+          col("sc.hebrew").as("hebrew"), col("sc.total").as("total"),
+          col("dominant"), col("mix_micro"))
+        .orderBy("doc_id")
+    }),
+
     // C4-style bad-words matcher: terms planted per doc_id%7 — a case
     // variant, a multi-word phrase, a regex-metachar term ("x.y" must
     // NOT match "xzy"), and boundary decoys ("notforbidden1x") — flag +
@@ -3746,6 +3772,52 @@ object SparkEntry {
          |  FROM (SELECT unnest($tkExpr) AS t FROM documents)
          |  GROUP BY 1 ORDER BY cnt DESC, term LIMIT 10)
          |ORDER BY cnt DESC, term""".stripMargin,
+
+    "q_text_scripts" ->
+      """WITH g AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN ' Привет мир'
+        |      WHEN 1 THEN ' 汉字处理引擎'
+        |      WHEN 2 THEN ' こんにちは カタカナ'
+        |      WHEN 3 THEN ' αβγδ שלום'
+        |      ELSE '' END AS txt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(txt, '\p{Latin}')) AS BIGINT) AS latin,
+        |    CAST(len(regexp_extract_all(txt, '\p{Cyrillic}')) AS BIGINT) AS cyrillic,
+        |    CAST(len(regexp_extract_all(txt, '\p{Han}')) AS BIGINT) AS han,
+        |    CAST(len(regexp_extract_all(txt, '\p{Arabic}')) AS BIGINT) AS arabic,
+        |    CAST(len(regexp_extract_all(txt, '\p{Devanagari}')) AS BIGINT) AS devanagari,
+        |    CAST(len(regexp_extract_all(txt, '\p{Hangul}')) AS BIGINT) AS hangul,
+        |    CAST(len(regexp_extract_all(txt, '\p{Hiragana}')) AS BIGINT) AS hiragana,
+        |    CAST(len(regexp_extract_all(txt, '\p{Katakana}')) AS BIGINT) AS katakana,
+        |    CAST(len(regexp_extract_all(txt, '\p{Greek}')) AS BIGINT) AS greek,
+        |    CAST(len(regexp_extract_all(txt, '\p{Hebrew}')) AS BIGINT) AS hebrew,
+        |    CAST(len(regexp_extract_all(txt, '\p{Thai}')) AS BIGINT) AS thai
+        |  FROM g),
+        |t2 AS (
+        |  SELECT *,
+        |    latin+cyrillic+han+arabic+devanagari+hangul+hiragana+katakana+greek+hebrew+thai AS total,
+        |    GREATEST(latin,cyrillic,han,arabic,devanagari,hangul,hiragana,katakana,greek,hebrew,thai) AS mx
+        |  FROM c)
+        |SELECT doc_id, latin, cyrillic, han, hiragana, katakana, greek, hebrew, total,
+        |  CASE WHEN mx = 0 THEN 'und'
+        |       WHEN latin = mx THEN 'latin'
+        |       WHEN cyrillic = mx THEN 'cyrillic'
+        |       WHEN han = mx THEN 'han'
+        |       WHEN arabic = mx THEN 'arabic'
+        |       WHEN devanagari = mx THEN 'devanagari'
+        |       WHEN hangul = mx THEN 'hangul'
+        |       WHEN hiragana = mx THEN 'hiragana'
+        |       WHEN katakana = mx THEN 'katakana'
+        |       WHEN greek = mx THEN 'greek'
+        |       WHEN hebrew = mx THEN 'hebrew'
+        |       ELSE 'thai' END AS dominant,
+        |  CASE WHEN total > 0 THEN ((total - mx) * 2000000 + total) // (2 * total)
+        |       ELSE 0 END AS mix_micro
+        |FROM t2 ORDER BY doc_id""".stripMargin,
 
     "q_text_badwords" ->
       """WITH g AS (

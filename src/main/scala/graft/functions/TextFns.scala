@@ -841,4 +841,58 @@ object TextFns {
     }
     firstMatch
   }
+
+  // ---- writing-system (script) analysis --------------------------------
+
+  /** the major Unicode scripts profiled, in tie-break priority order;
+    * Java spells the property `\p{IsXxx}`, RE2 `\p{Xxx}` — same
+    * Scripts.txt repertoire, so an external engine mirrors the counts
+    * verbatim (modulo Unicode-version drift on recently-added chars) */
+  val ProfiledScripts: Seq[String] = Seq(
+    "Latin", "Cyrillic", "Han", "Arabic", "Devanagari", "Hangul",
+    "Hiragana", "Katakana", "Greek", "Hebrew", "Thai")
+
+  /** per-script CODE-POINT counts as a struct (field = lowercased
+    * script name) plus `total` (sum over profiled scripts) — the
+    * writing-system complement of [[langId]]: script mix is the signal
+    * language markers can't see (wrong-script spam, mixed-script
+    * injection, transliteration residue). Narrow codegen'd
+    * `regexp_count` per script, fused with the scan. */
+  def scriptCounts(text: Column): Column = {
+    val counts = ProfiledScripts.map(s =>
+      regexp_count(text, lit(s"\\p{Is$s}")).cast("long").as(s.toLowerCase))
+    struct((counts :+
+      counts.map(c => c.cast("long")).reduce(_ + _).as("total")): _*)
+  }
+
+  /** dominant script name (lowercase; '''und''' when no profiled-script
+    * char occurs) — ties break by [[ProfiledScripts]] order, so the
+    * answer is engine-deterministic */
+  def dominantScript(text: Column): Column = {
+    val counts = ProfiledScripts.map(s =>
+      s.toLowerCase -> regexp_count(text, lit(s"\\p{Is$s}")).cast("long"))
+    val best = counts.map(_._2).reduce(greatest(_, _))
+    counts.foldRight(lit("und")) { case ((name, c), acc) =>
+      when(c === best && best > 0, lit(name)).otherwise(acc)
+    }
+  }
+
+  /** script-mix score in exact micro-units: `1 − dominant/total` over
+    * profiled-script chars, as round-half-up((total−max)/total · 10^6)
+    * in pure BIGINT — 0 for single-script text, → 1 for an even mix;
+    * 0 when no profiled chars (no evidence). The wrong-script /
+    * injected-script spam signal. */
+  def scriptMixMicro(text: Column): Column = {
+    val counts = ProfiledScripts.map(s =>
+      regexp_count(text, lit(s"\\p{Is$s}")).cast("long"))
+    val total = counts.reduce(_ + _)
+    val mx = counts.reduce(greatest(_, _))
+    val num = (total - mx) * lit(2000000L) + total
+    val den = total * lit(2L)
+    // exact BIGINT floor division: subtract the remainder first, then
+    // ONE IEEE divide of an exact multiple (≤ 2e13 ≪ 2^53 — exact);
+    // a bare `/` would be double division, a DECIMAL `/` rounds
+    when(total > 0, ((num - pmod(num, den)) / den).cast("long"))
+      .otherwise(lit(0L))
+  }
 }

@@ -103,4 +103,29 @@ class UnicodeTextSpec extends SparkSpec {
     // splitSymbols keeps a surrogate pair as ONE symbol
     assert(Bpe.splitSymbols("𝄞a").toSeq == Seq("𝄞", "a", "</w>"))
   }
+
+  test("script profile: counts, dominant tie-break, exact mix score") {
+    val d = Seq(
+      (1L, "hello Привет"),      // 5 latin vs 6 cyrillic
+      (2L, "abc абв"),           // 3 vs 3: tie → latin (declared order)
+      (3L, "汉字"),               // han only → mix 0
+      (4L, "12345 !?"),          // no profiled script → und, mix 0
+      (5L, "aα")                 // 1 latin 1 greek: mix = 1/2
+    ).toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+        TextFns.scriptCounts(col("text")).as("sc"),
+        TextFns.dominantScript(col("text")).as("dom"),
+        TextFns.scriptMixMicro(col("text")).as("mix"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getStruct(1).getAs[Long]("latin") == 5L)
+    assert(r(0).getStruct(1).getAs[Long]("cyrillic") == 6L)
+    assert(r(0).getString(2) == "cyrillic")
+    assert(r(0).getLong(3) == 454545L) // round-half-up(5/11 · 1e6)
+    assert(r(1).getString(2) == "latin") // exact tie breaks by order
+    assert(r(1).getLong(3) == 500000L)
+    assert(r(2).getString(2) == "han" && r(2).getLong(3) == 0L)
+    assert(r(2).getStruct(1).getAs[Long]("total") == 2L)
+    assert(r(3).getString(2) == "und" && r(3).getLong(3) == 0L)
+    assert(r(4).getLong(3) == 500000L)
+  }
 }
