@@ -2162,6 +2162,22 @@ object SparkEntry {
       Similarity.topKByCosine(e, "embedding", q, 10)
     }),
 
+    // semantic decontamination: bench = scaled+shifted copies of every
+    // 37th vector (cosine ≥ 0.992 with their sources, ≤ 0.52 with
+    // everything else at every scale — ≥ 0.19 margin around the 0.8
+    // threshold, so float rounding cannot flip membership); broadcast
+    // nested-loop anti join, corpus never shuffles
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df
+      val bench = e.filter(pmod(col("vec_id"), lit(37L)) === 0)
+        .select(transform(col("embedding"),
+          (x, i) => x * lit(2.0f) + when(i === 0, lit(0.25f)).otherwise(lit(0.0f)))
+          .as("bemb"))
+      Decontaminate.dropContaminatedSemantic(e, "embedding", bench, "bemb", 0.8)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     // LSH-bucketed ANN (scale path) with radius-2 multiprobe — the
     // oracle reproduces bucket assignment + probe expansion by inlining
     // the seed-derived hyperplanes as literals
@@ -4457,6 +4473,17 @@ object SparkEntry {
         |FROM q, qu
         |ORDER BY qdot DESC, q.vec_id
         |LIMIT 10""".stripMargin,
+
+    "q_decontaminate_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT list_concat([2*v[1]+0.25], list_transform(v[2:], x -> 2*x)) AS bv
+        |      FROM e WHERE vec_id % 37 = 0),
+        |bad AS (SELECT DISTINCT e.vec_id FROM e, b
+        |        WHERE list_dot_product(e.v, b.bv)
+        |          / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(b.bv, b.bv)))
+        |          >= 0.8)
+        |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+        |ORDER BY vec_id""".stripMargin,
 
     "q_embed_knn" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

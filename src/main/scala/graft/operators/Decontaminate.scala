@@ -168,4 +168,34 @@ object Decontaminate {
       .select(idCol)
     corpus.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram probes above: drop every corpus row whose embedding is
+    * within `minCosine` of ANY benchmark embedding (paraphrased eval
+    * questions that exact n-gram overlap misses). Published recipe
+    * (the embedding-similarity decontamination used alongside n-gram
+    * checks in recent LLM data reports); no reference-engine analog.
+    *
+    * 100 TB shape: an eval benchmark is thousands of vectors — it
+    * BROADCASTS. The join is a broadcast nested-loop LEFT ANTI with the
+    * cosine predicate: the corpus never shuffles, never materializes a
+    * pair table, and short-circuits per row on the first hit. Cost is
+    * |corpus|·|bench| fused narrow comparisons — the exact-recall
+    * baseline; screen with [[graft.operators.Similarity.embeddingNearDupPairs]]'
+    * banded LSH first when the benchmark outgrows a broadcast. */
+  def dropContaminatedSemantic(
+      corpus: DataFrame,
+      embCol: String,
+      bench: DataFrame,
+      benchEmbCol: String,
+      minCosine: Double): DataFrame = {
+    require(minCosine > 0.0 && minCosine <= 1.0,
+      s"minCosine must be in (0, 1], got $minCosine")
+    val b = bench.select(col(benchEmbCol).as("__bench_emb"))
+    corpus.join(
+      org.apache.spark.sql.functions.broadcast(b),
+      graft.operators.Similarity.cosine(corpus.col(embCol), col("__bench_emb"))
+        >= minCosine,
+      "left_anti")
+  }
 }

@@ -613,6 +613,25 @@ class TrainPrepSpec extends SparkSpec {
     assert(one.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((0, 5L)))
   }
 
+  test("semantic decontamination: cosine anti join, broadcast plan, corpus unshuffled") {
+    import graft.operators.Decontaminate
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),   // cos with (1,0,0) ≈ 0.994 → dropped
+      (3L, Seq(0.0f, 1.0f, 0.0f)),   // orthogonal → kept
+      (4L, Seq(0.0f, 0.0f, -2.0f))   // opposite of nothing → kept
+    ).toDF("id", "emb")
+    val bench = Seq(Tuple1(Seq(2.0f, 0.0f, 0.0f))).toDF("bemb") // scaled: cos 1 with id 1
+    val out = Decontaminate.dropContaminatedSemantic(corpus, "emb", bench, "bemb", 0.95)
+    assert(out.select("id").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan) // corpus never shuffles
+    intercept[IllegalArgumentException] {
+      Decontaminate.dropContaminatedSemantic(corpus, "emb", bench, "bemb", 0.0)
+    }
+  }
+
   test("bad-words filter: boundaries, case, phrases, metachar escaping") {
     import graft.functions.TextFns
     val terms = Seq("Spam", "bad phrase", "a.b")
