@@ -2115,6 +2115,20 @@ object SparkEntry {
         .arrange("doc_id", "chunk_id")
         .df),
 
+    // sentence-aware chunking: terminators planted on three frequent
+    // words (./!/? variants — multi-sentence docs with varied lengths),
+    // greedy whole-sentence packing into 24-token chunks; the oracle
+    // re-derives segmentation AND the sequential fold per doc
+    "q_chunk_sent" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df.select(col("doc_id"),
+        expr("replace(replace(replace(text, ' spark ', ' spark. '), " +
+          "' merge ', ' merge! '), ' join ', ' join? ')").as("text"))
+      Tidier.from(Chunking.chunkBySentences(docs, "text", maxTokens = 24))
+        .select("doc_id", "chunk_id", "chunk", "chunk_tokens")
+        .arrange("doc_id", "chunk_id")
+        .df
+    }),
+
     // content-defined chunking: rolling-fingerprint boundaries
     // (portable hash of the 3-token window ≡ 0 mod 16 → expected
     // 16-token chunks); the oracle recomputes every boundary and span
@@ -4302,6 +4316,45 @@ object SparkEntry {
          |    || '<fim_middle>' || COALESCE(array_to_string(list_slice(tk, c1v+1, c2v), ' '), '')
          |  ELSE COALESCE(array_to_string(tk, ' '), '') END AS fim_text
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    // sentence fold mirror: segmentation by the same RE2 alternation,
+    // then the greedy pack re-derived with a recursive CTE stepping one
+    // sentence per doc per iteration
+    "q_chunk_sent" ->
+      s"""WITH RECURSIVE g AS (
+         |  SELECT doc_id,
+         |    replace(replace(replace(text, ' spark ', ' spark. '),
+         |      ' merge ', ' merge! '), ' join ', ' join? ') AS txt
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(
+         |      regexp_extract_all(txt, '[^.!?]+[.!?]+|[^.!?]+'), x -> trim(x)),
+         |      x -> x != '') AS sents
+         |  FROM g),
+         |sn AS (SELECT doc_id, sents, len(sents) AS ns FROM s WHERE len(sents) > 0),
+         |f AS (
+         |  SELECT doc_id, sents, ns, 1 AS i,
+         |    CAST([] AS VARCHAR[]) AS chunks,
+         |    sents[1] AS cur,
+         |    len(list_filter(string_split_regex(lower(sents[1]), '\\s+'), t -> len(t) > 0)) AS curtok
+         |  FROM sn
+         |  UNION ALL
+         |  SELECT doc_id, sents, ns, i + 1,
+         |    CASE WHEN curtok + ts > 24 THEN list_append(chunks, cur) ELSE chunks END,
+         |    CASE WHEN curtok + ts > 24 THEN sents[i+1] ELSE cur || ' ' || sents[i+1] END,
+         |    CASE WHEN curtok + ts > 24 THEN ts ELSE curtok + ts END
+         |  FROM (SELECT *,
+         |          len(list_filter(string_split_regex(lower(sents[i+1]), '\\s+'), t -> len(t) > 0)) AS ts
+         |        FROM f WHERE i < ns) q),
+         |fin AS (SELECT doc_id, list_append(chunks, cur) AS chunks FROM f WHERE i = ns)
+         |SELECT doc_id,
+         |  CAST(UNNEST(range(len(chunks))) AS BIGINT) AS chunk_id,
+         |  UNNEST(chunks) AS chunk,
+         |  CAST(UNNEST(list_transform(chunks,
+         |    c -> len(list_filter(string_split_regex(lower(c), '\\s+'), t -> len(t) > 0)))) AS BIGINT) AS chunk_tokens
+         |FROM fin
+         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     // sliding-window chunk mirror: window starts every stride=24 tokens,
     // inclusive 1-based list_slice, at least one window per non-empty doc

@@ -109,4 +109,69 @@ object Chunking {
         (col("__cdc_c.e") - col("__cdc_c.s") + 1).cast("long"))
       .drop(tk, "__cdc_bs", "__cdc_c")
   }
+
+  /** Sentence segmentation — trimmed runs up to (and including) a
+    * terminator run `[.!?]+`, via `regexp_extract_all` with an
+    * alternation BOTH java.util.regex and RE2 evaluate identically
+    * (greedy, leftmost-first, no lookaround — RE2 has none, so a
+    * lookbehind split would not be mirrorable). Abbreviation dots
+    * ("e.g.") do split — the standard trade of regex segmenters;
+    * callers needing better boundaries pre-protect abbreviations. */
+  def sentences(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(
+      transform(regexp_extract_all(text, lit("[^.!?]+[.!?]+|[^.!?]+"), lit(0)),
+        s => trim(s)),
+      s => s =!= "")
+
+  /** SENTENCE-AWARE chunking (the retrieval/RAG-side splitter): pack
+    * whole sentences greedily into chunks of at most `maxTokens`
+    * whitespace tokens — a sentence that would overflow the current
+    * chunk starts the next one; a single sentence longer than the
+    * budget gets a chunk of its own (sentences are never split). Same
+    * output shape as [[chunkByTokens]] (`chunk_id`, `chunk`,
+    * `chunk_tokens`); empty docs yield no rows.
+    *
+    * 100 TB shape: the greedy fold is a per-document `aggregate` HOF
+    * over the sentence array — entirely NARROW, fused with the scan,
+    * no shuffle; fan-out bounded by sentences per doc.
+    */
+  def chunkBySentences(
+      df: DataFrame,
+      textCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val sents = "__sent_arr"
+    // fold state: (chunks: array<string>, cur: string, curTok: long);
+    // token count of a sentence = its whitespace token count
+    def ntok(s: org.apache.spark.sql.Column) = size(TextFns.tokens(s)).cast("long")
+    val zero = struct(
+      array().cast("array<string>").as("chunks"),
+      lit("").as("cur"), lit(0L).as("curTok"))
+    val folded = aggregate(
+      col(sents),
+      zero,
+      (acc, s) => {
+        val chunks = acc.getField("chunks")
+        val cur = acc.getField("cur")
+        val curTok = acc.getField("curTok")
+        val ts = ntok(s)
+        val overflow = curTok > 0 && curTok + ts > maxTokens
+        struct(
+          when(overflow, concat(chunks, array(cur))).otherwise(chunks).as("chunks"),
+          when(overflow, s)
+            .when(curTok === 0, s)
+            .otherwise(concat(cur, lit(" "), s)).as("cur"),
+          when(overflow, ts).otherwise(curTok + ts).as("curTok"))
+      },
+      acc => when(acc.getField("curTok") > 0,
+        concat(acc.getField("chunks"), array(acc.getField("cur"))))
+        .otherwise(acc.getField("chunks")))
+    df.withColumn(sents, sentences(col(textCol)))
+      .filter(size(col(sents)) > 0)
+      .withColumn("__sent_chunks", folded)
+      .select(col("*"), posexplode(col("__sent_chunks")).as(Seq("__pos", "chunk")))
+      .withColumn("chunk_id", col("__pos").cast("long"))
+      .withColumn("chunk_tokens", ntok(col("chunk")))
+      .drop(sents, "__sent_chunks", "__pos")
+  }
 }

@@ -613,6 +613,31 @@ class TrainPrepSpec extends SparkSpec {
     assert(one.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq == Seq((0, 5L)))
   }
 
+  test("sentence chunking: whole sentences pack greedily, oversized sentence isolated") {
+    import graft.operators.Chunking
+    val d = Seq(
+      (1L, "one two three. four five! six seven eight? nine"),
+      (2L, "a b c d e f g h i j k l. tail"), // 12-token sentence > budget 8
+      (3L, "   "),                            // whitespace only → no rows
+      (4L, "no terminator here at all")
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunkBySentences(d, "text", maxTokens = 8)
+      .select("doc_id", "chunk_id", "chunk", "chunk_tokens")
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      // 3+2=5 fits; +3 would be 8 → fits too; +1 = 9 overflows
+      (1L, 0L, "one two three. four five! six seven eight?", 8L),
+      (1L, 1L, "nine", 1L),
+      (2L, 0L, "a b c d e f g h i j k l.", 12L), // never split
+      (2L, 1L, "tail", 1L),
+      (4L, 0L, "no terminator here at all", 5L)))
+    // narrow: no Exchange anywhere
+    val plan = Chunking.chunkBySentences(d, "text", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("semantic decontamination: cosine anti join, broadcast plan, corpus unshuffled") {
     import graft.operators.Decontaminate
     val corpus = Seq(
