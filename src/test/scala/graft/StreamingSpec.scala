@@ -185,6 +185,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("r4 narrow ops run unchanged on a stream: badwords + scripts + FIM + sentence chunks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{Chunking, Corruption}
+    import graft.functions.TextFns
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF.toDF("doc_id", "text")
+    val out = Corruption.fimSplit(
+      Chunking.chunkBySentences(
+        TextFns.dropBlockedTerms(
+          docs.withColumn("mix", TextFns.scriptMixMicro(col("text"))),
+          "text", Seq("spamword")),
+        "text", maxTokens = 6)
+        .withColumnRenamed("chunk", "ctext"),
+      "doc_id", "ctext", "fs", 1, 1)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("r4_stream_out").start()
+    try {
+      input.addData((1L, "keep me. and this too! more words here"),
+        (2L, "drop spamword here"))
+      q.processAllAvailable()
+      input.addData((3L, "Привет second batch. short one?"))
+      q.processAllAvailable()
+      val got = spark.table("r4_stream_out")
+        .select("doc_id", "chunk_id", "fim_text", "mix").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      assert(got.nonEmpty && !got.exists(_._1 == 2L)) // blocked doc gone
+      assert(got.exists(_._1 == 3L))                  // later batch flows
+      assert(got.forall(_._3.contains("<fim_prefix>")))
+      assert(got.filter(_._1 == 3L).forall(_._4 > 0L)) // mixed-script signal
+    } finally q.stop()
+  }
+
   test("streaming crawl ingestion: binaryFile file stream through parse+extract") {
     import java.nio.charset.StandardCharsets.UTF_8
     import java.nio.file.Files
