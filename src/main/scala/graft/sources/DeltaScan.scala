@@ -82,11 +82,15 @@ object DeltaScan {
 
   private val physNameKey = "delta.columnMapping.physicalName"
 
-  /** Latest committed version of the table (max JSON commit number). */
+  /** Latest committed version of the table (max JSON commit number,
+    * or the checkpoint version when the JSON tail was fully
+    * truncated). */
   def latestVersion(spark: SparkSession, tablePath: String): Long = {
-    val (_, versions) = listLog(spark, tablePath)
-    require(versions.nonEmpty, s"no Delta log found under $tablePath/_delta_log")
-    versions.max
+    val (fs, versions) = listLog(spark, tablePath)
+    val cp = lastCheckpoint(spark, fs, new Path(tablePath, "_delta_log"))
+    require(versions.nonEmpty || cp.nonEmpty,
+      s"no Delta log found under $tablePath/_delta_log")
+    (versions ++ cp.map(_._1)).max
   }
 
   /** The table as a DataFrame, at `versionAsOf` if given else the
@@ -103,10 +107,17 @@ object DeltaScan {
   def read(spark: SparkSession, tablePath: String, versionAsOf: Option[Long] = None,
       skippingFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val (fs, versions) = listLog(spark, tablePath)
-    require(versions.nonEmpty, s"no Delta log found under $tablePath/_delta_log")
-    val target = versionAsOf.getOrElse(versions.max)
-    require(versions.contains(target) || lastCheckpoint(spark, fs, new Path(tablePath, "_delta_log")).exists(_._1 == target),
-      s"version $target not present in $tablePath/_delta_log (have ${versions.min}..${versions.max})")
+    // a checkpoint with a fully-truncated JSON tail is a legal table
+    // state (everything up to the checkpoint version was vacuumed from
+    // the log) — the checkpoint IS the latest version then
+    val cpOnly = lastCheckpoint(spark, fs, new Path(tablePath, "_delta_log"))
+    require(versions.nonEmpty || cpOnly.nonEmpty,
+      s"no Delta log found under $tablePath/_delta_log")
+    val target = versionAsOf.getOrElse(
+      (versions ++ cpOnly.map(_._1)).max)
+    require(versions.contains(target) || cpOnly.exists(_._1 == target),
+      s"version $target not present in $tablePath/_delta_log" +
+        (if (versions.nonEmpty) s" (have ${versions.min}..${versions.max})" else " (checkpoint only)"))
 
     val logDir = new Path(tablePath, "_delta_log")
     // checkpoint usable only if it is at or before the target version

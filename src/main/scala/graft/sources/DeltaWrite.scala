@@ -53,6 +53,87 @@ object DeltaWrite {
     commit(spark, fs, df, tablePath, partitionBy, version = v)
   }
 
+  /** [[create]]/[[append]] carrying a `txn` action (the public
+    * protocol's application transaction identifier): the commit records
+    * `{appId, version}` in the log, and [[lastTxnVersion]] recovers the
+    * highest committed version for that appId — the EXACTLY-ONCE
+    * handshake a streaming sink needs (a micro-batch re-delivered after
+    * a crash between commit and checkpoint advance is detected and
+    * skipped instead of double-appended). */
+  def createWithTxn(spark: SparkSession, df: DataFrame, tablePath: String,
+      appId: String, txnVersion: Long, partitionBy: Seq[String] = Nil): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(tablePath, "_delta_log")),
+      s"Delta log already exists at $tablePath — use appendWithTxn")
+    commit(spark, fs, df, tablePath, partitionBy, version = 0L,
+      txn = Some((appId, txnVersion)))
+  }
+
+  /** see [[createWithTxn]] */
+  def appendWithTxn(spark: SparkSession, df: DataFrame, tablePath: String,
+      appId: String, txnVersion: Long, partitionBy: Seq[String] = Nil): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    validateAgainstMeta(spark, fs, df, tablePath, partitionBy)
+    val v = DeltaScan.latestVersion(spark, tablePath) + 1
+    commit(spark, fs, df, tablePath, partitionBy, version = v,
+      txn = Some((appId, txnVersion)))
+  }
+
+  /** Highest `txn` version committed for `appId`, from the JSON tail
+    * plus (when the log was checkpoint-truncated) the latest
+    * checkpoint parquet — [[checkpoint]] carries the newest txn per
+    * appId forward exactly so this survives truncation. None if the
+    * table does not exist or has no txn for the app. */
+  def lastTxnVersion(spark: SparkSession, tablePath: String, appId: String): Option[Long] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(fs.makeQualified(new Path(tablePath)), "_delta_log")
+    if (!fs.exists(logDir)) return scala.None
+    // the JSON tail may be empty after checkpoint truncation — list
+    // what is actually there instead of asking for a latest version
+    val jsonVersions = fs.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong }
+      .sorted
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    var best: Option[Long] = scala.None
+    def consider(app: String, v: Long): Unit =
+      if (app == appId && best.forall(_ < v)) best = Some(v)
+    // checkpoint first (older state), then the JSON tail (newer wins on
+    // equal versions anyway — we keep the max)
+    val cpFile = new Path(logDir, "_last_checkpoint")
+    val cpVersion: Long =
+      if (!fs.exists(cpFile)) -1L
+      else {
+        val in = fs.open(cpFile)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val v = mapper.readTree(txt).get("version").asLong(-1L)
+        val cp = new Path(logDir, f"$v%020d.checkpoint.parquet")
+        if (v >= 0 && fs.exists(cp)) {
+          val df = spark.read.parquet(cp.toString)
+          if (df.columns.contains("txn")) {
+            df.select("txn.appId", "txn.version")
+              .where(org.apache.spark.sql.functions.col("appId").isNotNull)
+              .collect()
+              .foreach(r => consider(r.getString(0), r.getLong(1)))
+          }
+          v
+        } else -1L
+      }
+    jsonVersions.filter(_ > cpVersion).foreach { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.foreach { l =>
+        val node = mapper.readTree(l)
+        val t = node.get("txn")
+        if (t != null && t.get("appId") != null)
+          consider(t.get("appId").asText(), t.get("version").asLong())
+      }
+    }
+    best
+  }
+
   /** compare (names, types) and partition columns against the v0
     * metaData this writer wrote; skipped (documented) when commit 0 is
     * absent — e.g. appending to a checkpointed table another writer
@@ -129,12 +210,15 @@ object DeltaWrite {
     val protoType = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType)))
+    val txnType = StructType(Seq(
+      StructField("appId", StringType), StructField("version", LongType)))
     val actionSchema = StructType(Seq(
       StructField("add", addType),
       StructField("remove", StructType(Seq(
         StructField("path", StringType), StructField("dataChange", BooleanType)))),
       StructField("metaData", metaType),
-      StructField("protocol", protoType)))
+      StructField("protocol", protoType),
+      StructField("txn", txnType)))
 
     import org.apache.spark.sql.functions._
     val acts = spark.read.schema(actionSchema).json(jsons.map(_.toString): _*)
@@ -152,17 +236,27 @@ object DeltaWrite {
       .orderBy(col("__v").desc).select("metaData").limit(1)
     val latestProto = acts.filter(col("protocol.minReaderVersion").isNotNull)
       .orderBy(col("__v").desc).select("protocol").limit(1)
+    // newest txn PER APP rides into the checkpoint (protocol behavior:
+    // exactly-once markers must survive log truncation)
+    val wTxn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("txn.appId")).orderBy(col("__v").desc)
+    val latestTxn = acts.filter(col("txn.appId").isNotNull)
+      .withColumn("__rn", row_number().over(wTxn))
+      .filter(col("__rn") === 1)
+      .select("txn")
 
     val nulls = Map(
       "add" -> lit(null).cast(addType), "remove" -> lit(null).cast(
         StructType(Seq(StructField("path", StringType), StructField("dataChange", BooleanType)))),
-      "metaData" -> lit(null).cast(metaType), "protocol" -> lit(null).cast(protoType))
+      "metaData" -> lit(null).cast(metaType), "protocol" -> lit(null).cast(protoType),
+      "txn" -> lit(null).cast(txnType))
     def widen(df: org.apache.spark.sql.DataFrame, keep: String) =
       df.select(actionSchema.fieldNames.map(f =>
         (if (f == keep) col(f) else nulls(f)).as(f)).toSeq: _*)
     val checkpointDf =
       widen(latestProto, "protocol")
         .unionAll(widen(latestMeta, "metaData"))
+        .unionAll(widen(latestTxn, "txn"))
         .unionAll(widen(liveAdds, "add"))
     val cpPath = new Path(logDir, f"$version%020d.checkpoint.parquet")
     val tmp = new Path(logDir, f".tmp-checkpoint-$version")
@@ -189,7 +283,8 @@ object DeltaWrite {
   }
 
   private def commit(spark: SparkSession, fs: FileSystem, df: DataFrame,
-      tablePath: String, partitionBy: Seq[String], version: Long): Unit = {
+      tablePath: String, partitionBy: Seq[String], version: Long,
+      txn: Option[(String, Long)] = None): Unit = {
     val root = fs.makeQualified(new Path(tablePath))
     val pre = listDataFiles(fs, root).map(_._1).toSet
     val writer = df.write.mode("append")
@@ -239,7 +334,10 @@ object DeltaWrite {
             s"concurrent Delta commit detected: $commitFile already exists — " +
               "another writer committed this version; re-read the table and retry", e)
       }
-    try out.write((header ++ adds).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val txnLines = txn.toSeq.map { case (app, v) =>
+      s"""{"txn":{"appId":${jstr(app)},"version":$v,"lastUpdated":$now}}"""
+    }
+    try out.write((header ++ txnLines ++ adds).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 

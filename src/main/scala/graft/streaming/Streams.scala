@@ -263,24 +263,61 @@ object Streams {
     * parquet turds in the table).
     *
     * Returns the started query; callers own awaitTermination. */
+  /** deterministic per-sink transaction app id: a function of the
+    * checkpoint location, so a restarted query (same checkpoint) keeps
+    * the same identity and re-delivered batch ids are recognized */
+  private def sinkAppId(checkpointLocation: String): String =
+    "graft-sink-" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointLocation.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+
+  /** One micro-batch → one EXACTLY-ONCE Delta commit: the commit
+    * carries a `txn {appId, batchId}` action, and a batch whose id is
+    * already recorded for this sink's appId is SKIPPED — the crash
+    * window between "Delta commit lands" and "streaming checkpoint
+    * advances" re-delivers the same batch id on restart, and without
+    * the marker it would double-append (at-least-once, the classic
+    * foreachBatch trap). Returns true iff the batch was applied.
+    * Public so a harness can drive re-delivery directly. */
+  def deltaSinkBatch(
+      batch: DataFrame,
+      tablePath: String,
+      appId: String,
+      batchId: Long,
+      partitionBy: Seq[String] = Nil): Boolean = {
+    if (batch.isEmpty) return false
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(tablePath, "_delta_log"))) {
+      val last = graft.sources.DeltaWrite.lastTxnVersion(spark, tablePath, appId)
+      if (last.exists(_ >= batchId)) false // re-delivered: already committed
+      else {
+        graft.sources.DeltaWrite.appendWithTxn(
+          spark, batch.toDF(), tablePath, appId, batchId, partitionBy)
+        true
+      }
+    } else {
+      graft.sources.DeltaWrite.createWithTxn(
+        spark, batch.toDF(), tablePath, appId, batchId, partitionBy)
+      true
+    }
+  }
+
   def deltaSink(
       df: DataFrame,
       tablePath: String,
       checkpointLocation: String,
-      partitionBy: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+      partitionBy: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+    val appId = sinkAppId(checkpointLocation)
     df.writeStream
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val fs = new org.apache.hadoop.fs.Path(tablePath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(new org.apache.hadoop.fs.Path(tablePath, "_delta_log")))
-            graft.sources.DeltaWrite.append(spark, batch.toDF(), tablePath, partitionBy)
-          else graft.sources.DeltaWrite.create(spark, batch.toDF(), tablePath, partitionBy)
-        }
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        deltaSinkBatch(batch.toDF(), tablePath, appId, bid, partitionBy)
+        ()
       }
       .start()
+  }
 
   /** [[deltaSink]] plus per-batch ROLLUP MAINTENANCE: after each
     * micro-batch lands as one Delta commit, the materialized aggregate
@@ -298,17 +335,17 @@ object Streams {
       rollupPath: String,
       keyCols: Seq[String],
       sumCols: Seq[String],
-      distinctCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+      distinctCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery = {
+    val appId = sinkAppId(checkpointLocation)
     df.writeStream
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val fs = new org.apache.hadoop.fs.Path(tablePath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(new org.apache.hadoop.fs.Path(tablePath, "_delta_log")))
-            graft.sources.DeltaWrite.append(spark, batch.toDF(), tablePath)
-          else graft.sources.DeltaWrite.create(spark, batch.toDF(), tablePath)
+          // exactly-once corpus commit (re-delivered batch id → skip);
+          // the rollup advance is version-driven and idempotent, so it
+          // runs either way and no-ops when already current
+          Streams.deltaSinkBatch(batch.toDF(), tablePath, appId, bid)
           if (graft.operators.Rollup.exists(spark, rollupPath))
             graft.operators.Rollup.maintain(spark, tablePath, rollupPath)
           else graft.operators.Rollup.build(
@@ -316,6 +353,7 @@ object Streams {
         }
       }
       .start()
+  }
 
   /** Watermarked STREAM-STREAM interval join: left rows matched to
     * right rows with the same key whose event time falls in

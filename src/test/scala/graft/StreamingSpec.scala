@@ -508,6 +508,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deltaSinkBatch is exactly-once: re-delivered batch ids are skipped, txn survives checkpointing") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    val dir = java.nio.file.Files.createTempDirectory("graft_txn_sink").toString + "/t"
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b1 = Seq((3L, "c")).toDF("id", "v")
+
+    assert(Streams.deltaSinkBatch(b0, dir, "app1", 0L))
+    assert(Streams.deltaSinkBatch(b1, dir, "app1", 1L))
+    // the crash window: batch 1 re-delivered after its commit landed
+    assert(!Streams.deltaSinkBatch(b1, dir, "app1", 1L))
+    assert(!Streams.deltaSinkBatch(b0, dir, "app1", 0L))
+    assert(DeltaScan.latestVersion(spark, dir) == 1L) // no double commit
+    assert(DeltaScan.read(spark, dir).count() == 3L)  // no double rows
+    assert(DeltaWrite.lastTxnVersion(spark, dir, "app1").contains(1L))
+
+    // a DIFFERENT app's ids are independent
+    assert(DeltaWrite.lastTxnVersion(spark, dir, "app2").isEmpty)
+    assert(Streams.deltaSinkBatch(Seq((9L, "z")).toDF("id", "v"), dir, "app2", 0L))
+
+    // checkpoint + truncate the JSON tail: the txn marker must survive
+    // via the checkpoint parquet (protocol behavior)
+    DeltaWrite.checkpoint(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0L to 2L).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_delta_log", f"$v%020d.json"), false)
+    }
+    assert(DeltaWrite.lastTxnVersion(spark, dir, "app1").contains(1L))
+    assert(DeltaWrite.lastTxnVersion(spark, dir, "app2").contains(0L))
+    assert(!Streams.deltaSinkBatch(b1, dir, "app1", 1L)) // still skipped
+    assert(DeltaScan.read(spark, dir).count() == 4L)
+  }
+
   test("deltaSinkWithRollup: the serving aggregate tracks every micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
