@@ -1,0 +1,131 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan lint: mechanizes the scale audit every operator in
+  * this engine was built under — the handful of plan shapes that are
+  * fine at gate scale and fatal at 100 TB. Run it in tests (several
+  * specs assert individual shapes by string-matching `explain`; this
+  * is that check as a structured API) or ad hoc on a composed
+  * pipeline before shipping it.
+  *
+  * Detectors (each returns a [[PlanLint.Finding]] with the offending
+  * node):
+  *  - `cartesian-product`: `CartesianProductExec` — O(n·m) row pairs;
+  *    almost always a missing join key or an unintended cross.
+  *  - `global-window`: a window operator with an EMPTY partition spec
+  *    — every row flows through ONE task (the trap
+  *    [[graft.operators.WindowVerbs]] engineers around).
+  *  - `single-partition-exchange`: an exchange whose target
+  *    partitioning is `SinglePartition` (global limit/coalesce(1)
+  *    funnels) — one task owns the whole dataset.
+  *  - `unpushed-scan-filter`: a parquet scan directly under a Filter
+  *    whose scan reports NO pushed filters — pushdown was lost
+  *    (casts/UDFs around the column are the usual cause). Conservative:
+  *    only flags when the filter's condition references scan output
+  *    attributes and the scan advertises an empty `PushedFilters`.
+  *
+  * A finding is advice, not an error: broadcast nested-loop joins, for
+  * example, are deliberately NOT flagged (a broadcast-bounded NLJ is
+  * the correct shape for small-side predicates like semantic
+  * decontamination) — the cartesian detector catches the unbounded
+  * case.
+  */
+object PlanLint {
+
+  final case class Finding(rule: String, node: String, detail: String)
+
+  def lint(df: DataFrame): Seq[Finding] = {
+    val ep = df.queryExecution.executedPlan
+    // AQE wraps the physical plan in AdaptiveSparkPlanExec whose
+    // children are Nil — unwrap to its current plan (== initial plan
+    // before execution), falling back to the pre-adaptive sparkPlan
+    val inner =
+      if (ep.getClass.getSimpleName == "AdaptiveSparkPlanExec")
+        try ep.getClass.getMethod("executedPlan").invoke(ep).asInstanceOf[SparkPlan]
+        catch { case _: Throwable => df.queryExecution.sparkPlan }
+      else ep
+    lintPlan(inner)
+  }
+
+  /** wrappers that sit between logical neighbors in a physical plan */
+  private val passThrough = Set(
+    "WholeStageCodegenExec", "InputAdapter", "ColumnarToRowExec",
+    "ProjectExec", "ReusedExchangeExec")
+
+  @scala.annotation.tailrec
+  private def skipWrappers(p: SparkPlan): SparkPlan =
+    if (passThrough.contains(p.getClass.getSimpleName) && p.children.size == 1)
+      skipWrappers(p.children.head)
+    else p
+
+  def lintPlan(plan: SparkPlan): Seq[Finding] = {
+    val findings = scala.collection.mutable.ArrayBuffer.empty[Finding]
+    def nodeName(p: SparkPlan): String = p.getClass.getSimpleName
+
+    plan.foreach { p =>
+      val name = nodeName(p)
+
+      if (name == "CartesianProductExec")
+        findings += Finding("cartesian-product", name,
+          "O(left·right) pair materialization — add a join key or broadcast a bounded side")
+
+      // an UNCONDITIONED nested-loop join is the same cross product in
+      // broadcast clothing; a predicate-ful BNLJ (bounded small side +
+      // per-row filter, e.g. semantic decontamination) is NOT flagged
+      if (name == "BroadcastNestedLoopJoinExec") {
+        val noCond = try {
+          p.getClass.getMethods.find(_.getName == "condition")
+            .exists(_.invoke(p).asInstanceOf[Option[_]].isEmpty)
+        } catch { case _: Throwable => false }
+        if (noCond)
+          findings += Finding("cartesian-product", name,
+            "cross join (nested-loop, no condition) — O(left·right) output rows")
+      }
+
+      if (name.contains("WindowExec") || name == "WindowGroupLimitExec") {
+        val emptyPart = try {
+          p.getClass.getMethods.find(_.getName == "partitionSpec")
+            .exists(_.invoke(p).asInstanceOf[Seq[_]].isEmpty)
+        } catch { case _: Throwable => false }
+        if (emptyPart)
+          findings += Finding("global-window", name,
+            "window with empty PARTITION BY — all rows in one task; partition or use TakeOrdered shapes")
+      }
+
+      if (name.contains("ShuffleExchangeExec") &&
+          p.toString.linesIterator.take(1).exists(_.contains("SinglePartition")))
+        findings += Finding("single-partition-exchange", name,
+          "exchange to a single partition — one task owns the whole dataset")
+
+      if (name == "FilterExec") {
+        p.children.map(skipWrappers).foreach { c =>
+          val cs = c.toString.linesIterator.take(1).mkString
+          val isParquetScan = cs.contains("FileScan parquet") || cs.contains("Scan parquet")
+          // a predicate the scan evaluates (DataFilters) but could not
+          // push (PushedFilters) is the lost-pushdown signature; the
+          // counts differ when a cast/expression wrapped the column
+          def count(tag: String): Int = {
+            val m = s"$tag: \\[(.*?)\\]".r.findFirstMatchIn(cs)
+            m.map(_.group(1).trim).filter(_.nonEmpty).map { body =>
+              var depth = 0; var n = 1
+              body.foreach {
+                case '(' => depth += 1
+                case ')' => depth -= 1
+                case ',' if depth == 0 => n += 1
+                case _ => ()
+              }
+              n
+            }.getOrElse(0)
+          }
+          if (isParquetScan && count("DataFilters") > count("PushedFilters"))
+            findings += Finding("unpushed-scan-filter", nodeName(c),
+              "scan evaluates more DataFilters than it pushed — " +
+                "pushdown lost (cast/expression around the filtered column?)")
+        }
+      }
+    }
+    findings.toSeq
+  }
+}

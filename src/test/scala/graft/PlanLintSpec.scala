@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tools.PlanLint
+
+/** The plan lint must flag each scale-killer shape and stay quiet on
+  * the engine's own (deliberately chosen) plans. */
+class PlanLintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (1L to 100L).map(i => (i, s"t$i", i % 7)).toDF("id", "s", "k")
+
+  test("flags a cartesian product; quiet on a keyed join") {
+    val cross = docs.as("a").crossJoin(docs.as("b"))
+    assert(PlanLint.lint(cross).exists(_.rule == "cartesian-product"))
+    val keyed = docs.as("a").join(docs.as("b"), "k")
+    assert(!PlanLint.lint(keyed).exists(_.rule == "cartesian-product"))
+  }
+
+  test("flags a global window; quiet on a partitioned one") {
+    val global = docs.withColumn("rn", row_number().over(Window.orderBy("id")))
+    assert(PlanLint.lint(global).exists(_.rule == "global-window"))
+    val part = docs.withColumn("rn",
+      row_number().over(Window.partitionBy("k").orderBy("id")))
+    assert(!PlanLint.lint(part).exists(_.rule == "global-window"))
+  }
+
+  test("flags a single-partition exchange; quiet on hash exchange") {
+    val single = docs.repartition(1).groupBy("k").count()
+    val hash = docs.groupBy("k").count()
+    assert(PlanLint.lint(single).exists(_.rule == "single-partition-exchange"))
+    assert(!PlanLint.lint(hash).exists(_.rule == "single-partition-exchange"))
+  }
+
+  test("flags lost parquet pushdown; quiet when the filter pushed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lint").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val t = spark.read.parquet(dir)
+    // cast around the column defeats pushdown
+    val lost = t.filter(col("id").cast("string") === "5")
+    assert(PlanLint.lint(lost).exists(_.rule == "unpushed-scan-filter"),
+      lost.queryExecution.executedPlan.toString)
+    val pushed = t.filter(col("id") === 5L)
+    assert(!PlanLint.lint(pushed).exists(_.rule == "unpushed-scan-filter"))
+  }
+
+  test("the engine's own composed pipelines lint clean") {
+    val d = (1L to 50L).map(i => (i, s"some words here number $i")).toDF("doc_id", "text")
+    val prep = graft.operators.Chunking.chunkBySentences(
+      graft.functions.TextFns.dropBlockedTerms(d, "text", Seq("zzz")), "text", 16)
+    assert(PlanLint.lint(prep).isEmpty, PlanLint.lint(prep).mkString("; "))
+  }
+}
