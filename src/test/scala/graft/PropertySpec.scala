@@ -279,4 +279,89 @@ class PropertySpec extends SparkSpec {
         assert(zs(p) <= zs(q), s"dominance violated: $p -> ${zs(p)}, $q -> ${zs(q)}")
     }
   }
+
+  // ---- r4 operator laws -------------------------------------------------
+
+  private val wordGen: Gen[String] = Gen.oneOf(
+    Gen.alphaLowerStr.map(_.take(6)).suchThat(_.nonEmpty),
+    Gen.oneOf("汉字", "🚀ship", "naïve", "a.b", "x!", "end?"))
+  private val textGen: Gen[String] =
+    Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+
+  test("law: span corruption splice-back restores the normalized text") {
+    import graft.operators.Corruption
+    forAll(Gen.listOfN(8, textGen), n = 10) { texts =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val rows = Corruption.spanCorruptBlocked(d, "doc_id", "text", "prop")
+        .select("doc_id", "input_text", "target_text").collect()
+      rows.foreach { r =>
+        val doc = texts(r.getLong(0).toInt)
+        val expected = doc.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        // walk input, splicing each sentinel's span from the target
+        val tgt = r.getString(2).split(" ").filter(_.nonEmpty)
+        val spans = scala.collection.mutable.Map.empty[String, Seq[String]]
+        var k = 0
+        while (k < tgt.length) {
+          val sent = tgt(k)
+          val span = tgt.slice(k + 1, k + 4).takeWhile(!_.startsWith("<extra_id_"))
+          spans(sent) = span.toSeq
+          k += 1 + span.length
+        }
+        val restored = r.getString(1).split(" ").filter(_.nonEmpty).toSeq
+          .flatMap(t => if (t.startsWith("<extra_id_")) spans(t) else Seq(t))
+        assert(restored == expected, s"doc ${r.getLong(0)}")
+      }
+    }
+  }
+
+  test("law: FIM pieces always reassemble; shard totals always conserve") {
+    import graft.operators.{Corruption, Packing}
+    forAll(Gen.listOfN(12, textGen), n = 6) { texts =>
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val Psm = """<fim_prefix>(.*)<fim_suffix>(.*)<fim_middle>(.*)""".r
+      Corruption.fimSplit(d, "doc_id", "text", "prop", 1, 1)
+        .select("doc_id", "fim_text", "fim_applied").collect().foreach { r =>
+          val expected = texts(r.getLong(0).toInt)
+            .toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+          if (r.getBoolean(2)) r.getString(1) match {
+            case Psm(p, sfx, m) =>
+              assert(Seq(p, m, sfx).filter(_.nonEmpty).mkString(" ") == expected)
+            case other => fail(s"not PSM: $other")
+          } else assert(r.getString(1) == expected)
+        }
+      // shard conservation on the same corpus
+      val toks = d.withColumn("toks", graft.functions.TextFns.tokens(col("text")))
+      val root = java.nio.file.Files.createTempDirectory("graft_prop_shard").toString
+      val man = Packing.writeTokenShards(toks, root + "/s", 3, "prop", Seq("doc_id"), "toks")
+        .collect()
+      assert(man.map(_.getLong(1)).sum == texts.size.toLong)
+      assert(man.map(_.getInt(0)).forall(s => s >= 0 && s < 3))
+      assert(man.map(_.getLong(2)).sum ==
+        toks.agg(coalesce(sum(size(col("toks"))), lit(0))).head().getLong(0))
+    }
+  }
+
+  test("law: temperature weights are monotone, bounded, and exact at alpha=1") {
+    import graft.operators.Sampling
+    val totalsGen = Gen.listOfN(5, Gen.choose(1L, 1000000000L))
+    forAll(totalsGen, n = 20) { ts =>
+      whenever(ts.max / ts.min < 1000000L) {
+        for ((p, q) <- Seq((1, 1), (1, 2), (3, 10), (7, 10))) {
+          val ws = Sampling.temperatureWeights(ts, p, q)
+          assert(ws.max == 1000000L)
+          // monotone: larger corpus never gets a smaller weight
+          ts.zip(ws).combinations(2).foreach { case Seq((t1, w1), (t2, w2)) =>
+            if (t1 <= t2) assert(w1 <= w2 + 1) // ±1 floor slack
+            else assert(w2 <= w1 + 1)
+          }
+        }
+        // α=1 reproduces exact natural ratios (up to the 1e6 floor)
+        val nat = Sampling.temperatureWeights(ts, 1, 1)
+        val mx = ts.max
+        ts.zip(nat).foreach { case (t, w) =>
+          assert(w == (BigInt(t) * 1000000L / mx).toLong)
+        }
+      }
+    }
+  }
 }
