@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // nested-loop range joins → banded equi-joins (opt-in via
     // spark.graft.rangeJoin.bandWidth; no-op otherwise)
     ext.injectOptimizerRule(_ => plans.RangeJoinRule)
+    // aggregations over registered Delta corpora served from their
+    // incrementally-maintained rollups (opt-in via
+    // RollupRewriteRule.register; no-op otherwise)
+    ext.injectOptimizerRule(_ => plans.RollupRewriteRule)
   }
 }
 

@@ -1665,6 +1665,42 @@ object SparkEntry {
         .orderBy("shard")
     }),
 
+    // materialized-rollup rewrite END TO END: corpus → Delta, rollup
+    // built, rule registered — the aggregation MUST be served from the
+    // rollup (required in-query: a silent non-rewrite fails the gate)
+    // and its values hash-match DuckDB's direct aggregation over the
+    // raw documents, so the build→rewrite→cast-back chain is exact
+    "q_rollup_rewrite" -> ((s, dir) => {
+      import graft.sources.{DeltaScan, DeltaWrite}
+      import graft.plans.RollupRewriteRule
+      val root = java.nio.file.Files.createTempDirectory("graft_rwr_gate").toString
+      val docs = t(s, dir, "documents").df
+        .select(col("doc_id"), col("lang"), length(col("text")).cast("long").as("nchars"))
+      DeltaWrite.create(s, docs, s"$root/corpus")
+      operators.Rollup.build(s, s"$root/corpus", s"$root/rollup", Seq("lang"), Seq("nchars"))
+      RollupRewriteRule.install(s)
+      RollupRewriteRule.register(s"$root/corpus", s"$root/rollup")
+      val out = DeltaScan.read(s, s"$root/corpus")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nchars").as("sum_chars"))
+        .orderBy("lang")
+      // force planning NOW (caches the QueryExecution in this Dataset),
+      // then deregister so the gate leaves no session-global state
+      val reads = {
+        import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+        out.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+        }.flatten
+      }
+      RollupRewriteRule.unregister(s"$root/corpus")
+      require(reads.nonEmpty && reads.forall(_.contains("/rollup")),
+        s"rollup rewrite did not engage — plan reads $reads")
+      out
+    }),
+
     // built-in Delta reader end to end: fabricate a two-commit Delta
     // table from `documents` (commit 0 adds docs [0,150) and [150,300)
     // as separate files; commit 1 removes the second), then log-replay
@@ -5224,6 +5260,11 @@ object SparkEntry {
     // full-recompute mirror of the incrementally-maintained rollup:
     // the increment merge must be bit-identical to aggregating the
     // final corpus from scratch (counts exact, sums DECIMAL(38,6))
+    "q_rollup_rewrite" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_rollup_incr" ->
       """SELECT lang, source, COUNT(*) AS n_rows,
         |  SUM(CAST(n_chars AS DECIMAL(38,6))) AS sum_n_chars

@@ -106,6 +106,24 @@ object Rollup {
     commit(spark, fs, rollupPath, prev + 1, next, nowV, keyCols, sumCols, distinctCols)
   }
 
+  /** (recorded corpus version, keyCols, sumCols, distinctCols) of the
+    * current rollup — the freshness/shape contract
+    * [[graft.plans.RollupRewriteRule]] checks before serving an
+    * aggregation from the rollup instead of the corpus. */
+  def meta(spark: SparkSession, rollupPath: String): (Long, Seq[String], Seq[String], Seq[String]) = {
+    val fs = new Path(rollupPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new Path(rollupPath)
+    val v = committedVersions(fs, root).maxOption.getOrElse(
+      throw new IllegalArgumentException(s"no rollup at $rollupPath"))
+    readMeta(fs, root, v)
+  }
+
+  /** Highest committed rollup version at the path, if any. */
+  def currentVersion(spark: SparkSession, rollupPath: String): Option[Long] = {
+    val fs = new Path(rollupPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    committedVersions(fs, new Path(rollupPath)).maxOption
+  }
+
   /** Whether a committed rollup exists at the path. */
   def exists(spark: SparkSession, rollupPath: String): Boolean = {
     val fs = new Path(rollupPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
