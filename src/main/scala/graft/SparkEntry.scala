@@ -2503,6 +2503,28 @@ object SparkEntry {
     // =====================================================================
     // streaming-shape ops on batch: gap sessionization (session_window)
     // =====================================================================
+    // BATCH gap sessionization + per-session stats: lag/running-sum
+    // window per user, exact integer-microsecond gap compares; the
+    // oracle replays the identical window algebra
+    "q_sessionize_batch" -> ((s, dir) => {
+      val sess = operators.Events.assignSessions(
+        tev(s, dir).df, "user_id", "ts", gapSeconds = 1800, orderCol = "event_id")
+      Tidier.from(operators.Events.sessionStats(sess, "user_id", "ts"))
+        .arrange("user_id", "session_id")
+        .df
+    }),
+
+    // funnel analysis (view → click → purchase): greedy-earliest stage
+    // chain per user — the oracle derives each stage as MIN(ts) strictly
+    // after the previous stage, provably the same chain the per-user
+    // fold computes; depth + NULL stages for the drop-offs
+    "q_funnel" -> ((s, dir) =>
+      Tidier.from(operators.Events.funnel(
+          tev(s, dir).df, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase")))
+        .arrange("user_id")
+        .df),
+
     "q_sessionize" -> ((s, dir) =>
       Tidier.from(
           graft.streaming.Streams.sessionize(
@@ -5148,6 +5170,35 @@ object SparkEntry {
     // after its last event; a gap EQUAL to the duration starts a new
     // session (Spark merges sessions only on strict overlap, so the
     // boundary predicate is >=)
+    "q_sessionize_batch" ->
+      """WITH l AS (SELECT user_id, event_id, ts,
+        |  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events),
+        |b AS (SELECT *, CASE WHEN pts IS NULL
+        |    OR epoch_us(ts) - epoch_us(pts) > 1800 * 1000000 THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) - 1 AS session_id FROM b)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT) AS duration_secs
+        |FROM s GROUP BY 1, 2
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events),
+        |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM e
+        |      WHERE event_type IN ('view', 'click', 'purchase'))
+        |SELECT u.user_id, s1.t1 AS stage_1, s2.t2 AS stage_2, s3.t3 AS stage_3,
+        |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2
+        |            WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+
     "q_sessionize" ->
       """WITH marked AS (
         |  SELECT user_id, ts,
