@@ -78,7 +78,9 @@ object Bench {
     "q_harmonic",
     // r4: temperature mixing, training-shard export, objective transforms
     "q_mix_temperature", "q_token_shards", "q_span_corrupt", "q_fim",
-    "q_text_badwords")
+    "q_text_badwords",
+    // r4: event analytics (per-user window, per-user fold, cohort aggs)
+    "q_sessionize_batch", "q_funnel", "q_retention")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

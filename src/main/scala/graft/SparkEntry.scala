@@ -2514,6 +2514,15 @@ object SparkEntry {
         .df
     }),
 
+    // weekly cohort retention: calendar-free integer day buckets, so
+    // cohort assignment and period offsets are pure div arithmetic the
+    // oracle replays verbatim
+    "q_retention" -> ((s, dir) =>
+      Tidier.from(operators.Events.retention(
+          tev(s, dir).df, "user_id", "ts", periodDays = 7))
+        .arrange("cohort", "period_n")
+        .df),
+
     // funnel analysis (view → click → purchase): greedy-earliest stage
     // chain per user — the oracle derives each stage as MIN(ts) strictly
     // after the previous stage, provably the same chain the per-user
@@ -5182,6 +5191,17 @@ object SparkEntry {
         |  CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT) AS duration_secs
         |FROM s GROUP BY 1, 2
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_retention" ->
+      """WITH p AS (
+        |  SELECT user_id, (epoch_us(ts) // 86400000000) // 7 AS pd FROM events),
+        |c AS (SELECT user_id, MIN(pd) AS cohort FROM p GROUP BY user_id),
+        |d AS (SELECT DISTINCT p.user_id, c.cohort, p.pd
+        |      FROM p JOIN c USING (user_id))
+        |SELECT cohort, CAST(pd - cohort AS BIGINT) AS period_n,
+        |  COUNT(*) AS n_users
+        |FROM d GROUP BY cohort, pd
+        |ORDER BY cohort, period_n""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (SELECT user_id, ts, event_type FROM events),

@@ -137,6 +137,40 @@ object Events {
       .select(col(userCol) +: stages :+ depth.as("depth"): _*)
   }
 
+  /** COHORT RETENTION: users grouped by the period of their FIRST
+    * event (the cohort), counted in every later period they return.
+    * Periods are integer day buckets (`periodDays`, day granularity —
+    * calendar-free integer arithmetic: `day = epoch_micros div 86400e6`,
+    * `cohort = first_day div periodDays`, `period_n = (day div
+    * periodDays) - cohort` — engine-portable, no week-start or
+    * timezone conventions to disagree on). Output: one row per
+    * (cohort, period_n) with `n_users`; period 0 is the cohort size.
+    *
+    * Two shuffles: per-user first-event aggregation, then the
+    * (cohort, period) count over user-distinct periods. */
+  def retention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    // epoch micros exceed 2^53, so every division here is an integral
+    // `div` on a materialized column — a double round-trip would be off
+    val perUser = events
+      .withColumn("__us", micros(events, tsCol))
+      .select(col(userCol),
+        expr(s"(__us div 86400000000) div $periodDays").cast("long").as("__p"))
+      .groupBy(col(userCol))
+      .agg(min(col("__p")).as("__cohort"), collect_set(col("__p")).as("__ps"))
+    perUser
+      .select(col("__cohort"), explode(col("__ps")).as("__p"))
+      .groupBy(col("__cohort").as("cohort"),
+        (col("__p") - col("__cohort")).as("period_n"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("cohort"), col("period_n").cast("long").as("period_n"),
+        col("n_users"))
+  }
+
   /** Funnel conversion report: users reaching each stage (a user at
     * depth d counts toward stages 1..d) plus the step name — the
     * chart-ready shape. */

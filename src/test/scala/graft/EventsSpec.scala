@@ -69,6 +69,22 @@ class EventsSpec extends SparkSpec {
     assert(report == Seq(("view", 3L), ("click", 2L), ("purchase", 1L)))
   }
 
+  test("retention: cohort by first period, distinct periods per user, period 0 = cohort size") {
+    def at(day: Int) = new Timestamp(day * 86400000L + 3600000L) // day + 1h
+    val ev = Seq(
+      (1L, 10L, at(0)),  // u10 cohort 0 (periodDays=7)
+      (2L, 10L, at(8)),  // period 1
+      (3L, 10L, at(9)),  // period 1 again — counted once
+      (4L, 11L, at(3)),  // u11 cohort 0, never returns
+      (5L, 12L, at(14)), // u12 cohort 2
+      (6L, 12L, at(28))  // period 2 (relative)
+    ).toDF("event_id", "user_id", "ts")
+    val got = Events.retention(ev, "user_id", "ts", periodDays = 7)
+      .orderBy("cohort", "period_n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 0L, 2L), (0L, 1L, 1L), (2L, 0L, 1L), (2L, 2L, 1L)))
+  }
+
   test("funnel: equal timestamps never satisfy the strictly-after rule") {
     val t0 = ts("2024-01-01 10:00:00")
     val ev = Seq(
