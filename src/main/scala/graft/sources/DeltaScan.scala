@@ -358,6 +358,46 @@ object DeltaScan {
       URLDecoder.decode(r.getString(0), StandardCharsets.UTF_8)).toString).toSeq
   }
 
+  /** INCREMENTAL READ — the rows appended in versions `(fromExclusive,
+    * toInclusive]` as a DataFrame (the CDC-consumer surface for
+    * append-only tables; [[graft.operators.Rollup.maintain]] is built
+    * on the same contract). Strict by construction: data-changing
+    * removes, deletion vectors, or partitioned adds in the range fail
+    * loudly toward a full-snapshot recompute — an increment that is
+    * not purely appended rows must never be served as one. Empty
+    * range / metadata-only commits → empty frame with the table
+    * schema. */
+  def readChanges(
+      spark: SparkSession,
+      tablePath: String,
+      fromExclusive: Long,
+      toInclusive: Long): DataFrame = {
+    val files = changedAddsBetween(spark, tablePath, fromExclusive, toInclusive)
+    if (files.isEmpty)
+      read(spark, tablePath, Some(toInclusive)).limit(0)
+    else spark.read.parquet(files: _*)
+  }
+
+  /** `timestampAsOf` time travel: the table at the LAST version whose
+    * commit landed at or before `ts` (epoch millis) — resolved from the
+    * commit files' modification times, the same source `delta`'s own
+    * timestamp travel uses absent in-commit timestamps. Fails loudly
+    * when `ts` precedes the first commit. */
+  def readTimestampAsOf(spark: SparkSession, tablePath: String, tsMillis: Long): DataFrame = {
+    val (fs, versions) = listLog(spark, tablePath)
+    require(versions.nonEmpty,
+      s"no Delta log found under $tablePath/_delta_log (timestamp travel needs the JSON tail)")
+    val logDir = new Path(tablePath, "_delta_log")
+    val stamped = versions.sorted.map { v =>
+      v -> fs.getFileStatus(new Path(logDir, f"$v%020d.json")).getModificationTime
+    }
+    val eligible = stamped.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"timestamp $tsMillis precedes the first commit of $tablePath " +
+        s"(earliest ${stamped.head._2})")
+    read(spark, tablePath, Some(eligible.map(_._1).max))
+  }
+
   /** Collapse `scheme://host` prefixes so the planner-side path strings
     * and `_metadata.file_path` compare equal regardless of how the
     * FileSystem qualified them. */

@@ -77,6 +77,51 @@ class DeltaScanSpec extends SparkSpec {
     assert(v0 == Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("readChanges: appended rows per version range; non-append ranges fail loudly") {
+    val dir = freshDir("graft_delta_changes")
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b = Seq((3L, "c")).toDF("id", "v")
+    val c = Seq((4L, "d")).toDF("id", "v")
+    graft.sources.DeltaWrite.create(spark, a, dir.toString)
+    graft.sources.DeltaWrite.append(spark, b, dir.toString)
+    graft.sources.DeltaWrite.append(spark, c, dir.toString)
+    def ids(from: Long, to: Long) =
+      DeltaScan.readChanges(spark, dir.toString, from, to)
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(0L, 2L) == Set(3L, 4L))
+    assert(ids(1L, 2L) == Set(4L))
+    assert(ids(2L, 2L) == Set.empty[Long]) // empty range keeps the schema
+    assert(DeltaScan.readChanges(spark, dir.toString, 2L, 2L).columns.toSeq
+      == Seq("id", "v"))
+    // a data-changing remove inside the range is not an append increment
+    val rm = freshDir("graft_delta_changes_rm")
+    val s0 = writeDataFile(a, rm, "f0.parquet")
+    writeCommit(rm, 0, Seq(protoAction, metaAction(), addAction("f0.parquet", s0)))
+    writeCommit(rm, 1, Seq(removeAction("f0.parquet")))
+    intercept[IllegalArgumentException] {
+      DeltaScan.readChanges(spark, rm.toString, 0L, 1L).collect()
+    }
+  }
+
+  test("readTimestampAsOf resolves to the last commit at or before the timestamp") {
+    val dir = freshDir("graft_delta_tsaof")
+    graft.sources.DeltaWrite.create(spark, Seq((1L, "a")).toDF("id", "v"), dir.toString)
+    val fs = new org.apache.hadoop.fs.Path(dir.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pin distinct commit mtimes so the resolution order is deterministic
+    val log = new org.apache.hadoop.fs.Path(dir.toString, "_delta_log")
+    fs.setTimes(new org.apache.hadoop.fs.Path(log, f"${0L}%020d.json"), 1000L, -1)
+    graft.sources.DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), dir.toString)
+    fs.setTimes(new org.apache.hadoop.fs.Path(log, f"${1L}%020d.json"), 5000L, -1)
+    def ids(ts: Long) = DeltaScan.readTimestampAsOf(spark, dir.toString, ts)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(1000L) == Set(1L))  // exactly at commit 0
+    assert(ids(4999L) == Set(1L))  // before commit 1
+    assert(ids(5000L) == Set(1L, 2L))
+    assert(ids(Long.MaxValue) == Set(1L, 2L))
+    intercept[IllegalArgumentException] { ids(999L) } // precedes first commit
+  }
+
   test("hive-layout partitioned table: partition column from dirs, pruning-capable plan") {
     val dir = freshDir("graft_delta_part")
     val partSchema = """["v"]"""
