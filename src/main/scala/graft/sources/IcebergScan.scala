@@ -65,42 +65,10 @@ object IcebergScan {
     if (snapshot.isEmpty) // empty table: no snapshot yet
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-    val manifestListPath = snapshot.get.get("manifest-list").asText()
-    val manifests = readAvro(fs, conf, resolvePath(tablePath, manifestListPath)).map { r =>
-      val content = opt(r, "content").map(_.toString.toInt).getOrElse(0)
-      val seq = opt(r, "sequence_number").map(_.toString.toLong).getOrElse(0L)
-      (r.get("manifest_path").toString, content, seq)
-    }
-
-    val entries = manifests.flatMap { case (mp, _, mSeq) =>
-      readAvro(fs, conf, resolvePath(tablePath, mp)).flatMap { entry =>
-        val status = entry.get("status").toString.toInt
-        if (status == 2) None // DELETED
-        else {
-          val df = entry.get("data_file").asInstanceOf[GenericRecord]
-          val fmt = df.get("file_format").toString
-          require(fmt.equalsIgnoreCase("parquet"),
-            s"file format $fmt not supported by the built-in Iceberg reader")
-          val content = opt(df, "content").map(_.toString.toInt).getOrElse(0)
-          // null entry sequence numbers inherit the manifest's (spec rule)
-          val seq = opt(entry, "sequence_number").map(_.toString.toLong).getOrElse(mSeq)
-          val eqIds = opt(df, "equality_ids").collect {
-            case l: java.util.Collection[_] => l.asScala.map(_.toString.toInt).toSeq
-          }.getOrElse(Seq.empty)
-          val rows = opt(df, "record_count").map(_.toString.toLong).getOrElse(0L)
-          Some(FileEntry(resolvePath(tablePath, df.get("file_path").toString),
-            seq, content, eqIds, rows))
-        }
-      }
-    }
-
-    // a path re-listed across manifests (EXISTING entries) keeps its
-    // highest sequence number
-    def dedupe(es: Seq[FileEntry]): Seq[FileEntry] =
-      es.groupBy(_.path).values.map(_.maxBy(_.seq)).toSeq.sortBy(_.path)
-    val dataFiles = dedupe(entries.filter(_.content == 0))
-    val posFiles = dedupe(entries.filter(_.content == 1))
-    val eqFiles = dedupe(entries.filter(_.content == 2))
+    val entries = snapshotEntries(fs, conf, tablePath, snapshot.get)
+    val dataFiles = dedupeEntries(entries.filter(_.content == 0))
+    val posFiles = dedupeEntries(entries.filter(_.content == 1))
+    val eqFiles = dedupeEntries(entries.filter(_.content == 2))
 
     if (dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
@@ -170,6 +138,86 @@ object IcebergScan {
     groups.toSeq.sortBy(_._2.head.path).map { case (eqSet, group) =>
       applyDeletes(group, eqFiles.filter(e => eqSet(e.path)))
     }.reduce(_ unionByName _)
+  }
+
+  /** the snapshot's LIVE manifest entries (status DELETED dropped; null
+    * entry sequence numbers inherit the manifest's, per spec) */
+  private def snapshotEntries(
+      fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
+      tablePath: String, snapshot: JsonNode): Seq[FileEntry] = {
+    val manifestListPath = snapshot.get("manifest-list").asText()
+    val manifests = readAvro(fs, conf, resolvePath(tablePath, manifestListPath)).map { r =>
+      val seq = opt(r, "sequence_number").map(_.toString.toLong).getOrElse(0L)
+      (r.get("manifest_path").toString, seq)
+    }
+    manifests.flatMap { case (mp, mSeq) =>
+      readAvro(fs, conf, resolvePath(tablePath, mp)).flatMap { entry =>
+        val status = entry.get("status").toString.toInt
+        if (status == 2) None // DELETED
+        else {
+          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          val fmt = df.get("file_format").toString
+          require(fmt.equalsIgnoreCase("parquet"),
+            s"file format $fmt not supported by the built-in Iceberg reader")
+          val content = opt(df, "content").map(_.toString.toInt).getOrElse(0)
+          val seq = opt(entry, "sequence_number").map(_.toString.toLong).getOrElse(mSeq)
+          val eqIds = opt(df, "equality_ids").collect {
+            case l: java.util.Collection[_] => l.asScala.map(_.toString.toInt).toSeq
+          }.getOrElse(Seq.empty)
+          val rows = opt(df, "record_count").map(_.toString.toLong).getOrElse(0L)
+          Some(FileEntry(resolvePath(tablePath, df.get("file_path").toString),
+            seq, content, eqIds, rows))
+        }
+      }
+    }
+  }
+
+  /** a path re-listed across manifests (EXISTING entries) keeps its
+    * highest sequence number */
+  private def dedupeEntries(es: Seq[FileEntry]): Seq[FileEntry] =
+    es.groupBy(_.path).values.map(_.maxBy(_.seq)).toSeq.sortBy(_.path)
+
+  /** INCREMENTAL READ — rows in data files that are live in
+    * `toSnapshot` but absent from `fromSnapshot` (the snapshot-diff
+    * CDC-consumer surface, parity with
+    * [[graft.sources.DeltaScan.readChanges]]). Strictly append-only by
+    * construction: a data file that DISAPPEARED across the range, or
+    * any row-level delete file on either side, fails loudly toward a
+    * full-snapshot recompute. */
+  def readChanges(
+      spark: SparkSession,
+      tablePath: String,
+      fromSnapshot: Long,
+      toSnapshot: Long): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaDir = new Path(tablePath, "metadata")
+    val fs = metaDir.getFileSystem(conf)
+    val meta = parseMetadata(fs, metaDir)
+    val schema = sparkSchema(currentSchema(meta))
+    val snapshots = Option(meta.get("snapshots"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    def node(id: Long): JsonNode =
+      snapshots.find(_.get("snapshot-id").asLong() == id).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $id not found in $tablePath " +
+            s"(have ${snapshots.map(_.get("snapshot-id").asLong()).mkString(",")})"))
+    val fromE = snapshotEntries(fs, conf, tablePath, node(fromSnapshot))
+    val toE = snapshotEntries(fs, conf, tablePath, node(toSnapshot))
+    require((fromE ++ toE).forall(_.content == 0),
+      s"Iceberg table $tablePath carries row-level delete files in the " +
+        s"($fromSnapshot, $toSnapshot] range — not an append-only increment; " +
+        "recompute from the full snapshot")
+    val fromPaths = dedupeEntries(fromE).map(_.path).toSet
+    val toPaths = dedupeEntries(toE).map(_.path).toSet
+    val vanished = fromPaths -- toPaths
+    require(vanished.isEmpty,
+      s"Iceberg data files ${vanished.take(3).mkString(", ")} disappeared across " +
+        s"($fromSnapshot, $toSnapshot] — not an append-only increment; " +
+        "recompute from the full snapshot")
+    val added = (toPaths -- fromPaths).toSeq.sorted
+    if (added.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(added: _*)
   }
 
   /** One manifest entry's file: data (content 0), positional deletes (1),

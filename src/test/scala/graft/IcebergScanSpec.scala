@@ -50,6 +50,27 @@ class IcebergScanSpec extends SparkSpec {
     }.getMessage.contains("schema"))
   }
 
+  test("readChanges: snapshot-diff increments; vanished files fail loudly") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_cdc").toString
+    IcebergWrite.create(spark, Seq((1L, "x"), (2L, "y")).toDF("id", "v"), dir)
+    IcebergWrite.append(spark, Seq((3L, "z")).toDF("id", "v"), dir)
+    IcebergWrite.append(spark, Seq((4L, "w")).toDF("id", "v"), dir)
+    def ids(from: Long, to: Long) =
+      IcebergScan.readChanges(spark, dir, from, to)
+        .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(1L, 3L) == Set(3L, 4L))
+    assert(ids(2L, 3L) == Set(4L))
+    assert(ids(3L, 3L) == Set.empty[Long])
+    assert(IcebergScan.readChanges(spark, dir, 3L, 3L).columns.toSeq == Seq("id", "v"))
+    // reversed range: the newer snapshot's files "disappear" → loud
+    assert(intercept[IllegalArgumentException] { ids(3L, 1L) }
+      .getMessage.contains("not an append-only increment"))
+    // unknown snapshot is loud
+    intercept[IllegalArgumentException] { ids(1L, 99L) }
+  }
+
   test("IcebergWrite: concurrent commit to the same version fails loudly") {
     import graft.sources.IcebergWrite
     import spark.implicits._
