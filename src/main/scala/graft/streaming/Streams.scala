@@ -76,6 +76,9 @@ object Streams {
 
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 
+  final case class FunnelRow(
+      user_id: Long, stages: Seq[Option[java.sql.Timestamp]], depth: Long)
+
   /** Cross-batch streaming DEDUP with event-time TTL — the custom-state
     * shape the built-in `dropDuplicatesWithinWatermark` hides: one
     * boolean-ish state cell per dedup key, expired by an event-time
@@ -253,6 +256,59 @@ object Streams {
       }
       .toDF()
   }
+  /** STREAMING FUNNEL — the keyed-state twin of
+    * [[graft.operators.Events.funnel]]: per user, the greedy-earliest
+    * stage chain maintained in `flatMapGroupsWithState` (state = the k
+    * stage times). Each micro-batch's relevant events apply in
+    * (ts, type) order with the same one-event-one-stage /
+    * strictly-after rules as the batch fold, and a row (stages +
+    * depth) is emitted for every user whose chain ADVANCED this batch
+    * — a live conversion feed. With per-user in-order delivery (or
+    * reordering confined to a micro-batch) the final state equals the
+    * batch funnel; an event arriving in a LATER batch than a
+    * same-or-later-staged event cannot retroactively rewrite the chain
+    * (documented streaming trade; the batch operator is the
+    * backfill). */
+  def funnelStream(
+      events: DataFrame,
+      watermark: String,
+      steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "funnel steps must be non-empty and distinct")
+    val k = steps.size
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", watermark)
+      .as[Ev]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[Option[Long]], FunnelRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[Seq[Option[Long]]]) =>
+          var st = state.getOption.getOrElse(Seq.fill(k)(Option.empty[Long]))
+          val before = st
+          rows.toSeq
+            .filter(e => steps.contains(e.event_type))
+            .sortBy(e => (e.ts.getTime, e.event_type))
+            .foreach { e =>
+              val i = steps.indexOf(e.event_type)
+              val t = e.ts.getTime
+              if (st(i).isEmpty && (i == 0 || st(i - 1).exists(_ < t)))
+                st = st.updated(i, Some(t))
+            }
+          if (st == before) Iterator.empty
+          else {
+            state.update(st)
+            val depth = st.takeWhile(_.isDefined).size.toLong
+            Iterator.single(FunnelRow(uid,
+              st.map(_.map(m => new java.sql.Timestamp(m))), depth))
+          }
+      }
+      .toDF()
+  }
+
   /** Stream → Delta table sink: each micro-batch appends ONE
     * transactional commit through [[graft.sources.DeltaWrite]]
     * (create on the first non-empty batch). foreachBatch gives

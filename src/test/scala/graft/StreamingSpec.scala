@@ -508,6 +508,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream: chain advances across micro-batches, final state equals the batch funnel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val steps = Seq("view", "click", "purchase")
+    val out = Streams.funnelStream(
+      input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "10 minutes", steps)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_stream_out").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+        (2L, ts("2024-01-01 10:01:00"), 1L, "click", 0.0),
+        (3L, ts("2024-01-01 09:00:00"), 2L, "click", 0.0), // click before any view
+        (4L, ts("2024-01-01 09:30:00"), 2L, "view", 0.0),
+        (5L, ts("2024-01-01 10:00:00"), 3L, "error", 0.0)) // irrelevant only
+      q.processAllAvailable()
+      input.addData(
+        (6L, ts("2024-01-01 10:05:00"), 1L, "purchase", 0.0), // completes u1
+        (7L, ts("2024-01-01 11:00:00"), 2L, "click", 0.0))    // now after u2's view
+      q.processAllAvailable()
+      val rows = spark.table("funnel_stream_out")
+        .selectExpr("user_id", "depth").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // per-user LAST emission is the live chain
+      val last = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1._2 }
+      assert(last == Map(1L -> 3L, 2L -> 2L)) // u3 never emitted
+      // equals the batch funnel over the union of batches
+      val batch = graft.operators.Events.funnel(
+          Seq(
+            (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+            (2L, 1L, ts("2024-01-01 10:01:00"), "click"),
+            (3L, 2L, ts("2024-01-01 09:00:00"), "click"),
+            (4L, 2L, ts("2024-01-01 09:30:00"), "view"),
+            (6L, 1L, ts("2024-01-01 10:05:00"), "purchase"),
+            (7L, 2L, ts("2024-01-01 11:00:00"), "click")
+          ).toDF("event_id", "user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", steps)
+        .selectExpr("user_id", "depth").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(last == batch)
+    } finally q.stop()
+  }
+
   test("deltaSinkBatch is exactly-once: re-delivered batch ids are skipped, txn survives checkpointing") {
     import graft.sources.{DeltaScan, DeltaWrite}
     val dir = java.nio.file.Files.createTempDirectory("graft_txn_sink").toString + "/t"
