@@ -229,13 +229,13 @@ object Graph {
             .otherwise(expr("hll_union(sketch, insk)")).as("sketch"),
           col("ball").as("prev_ball"), col("harmonic"))
         .withColumn("ball", expr("hll_sketch_estimate(sketch)"))
-        .select(col("node"), col("sketch"), col("ball"),
+        .select(col("node"), col("sketch"), col("ball"), col("prev_ball"),
           (col("harmonic") +
             (col("ball") - col("prev_ball")).cast("double") / t).as("harmonic"))
       val (next, nextCache) = eager(stepped)
-      val changed = next.join(
-          state.select(col("node"), col("ball").as("old_ball")), Seq("node"))
-        .filter(col("ball") =!= col("old_ball")).limit(1).count()
+      // convergence check reads the CACHED round (prev_ball rides in the
+      // row) — no join back to the old state, no extra shuffle per round
+      val changed = next.filter(col("ball") =!= col("prev_ball")).limit(1).count()
       stateCache.unpersist()
       state = next
       stateCache = nextCache
