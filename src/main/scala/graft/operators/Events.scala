@@ -19,16 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** exact epoch micros for TIMESTAMP and TIMESTAMP_NTZ alike (NTZ is
-    * what pyarrow-written parquet reads back as; `unix_micros` rejects
-    * it, the NtzMicros kernel passes the physical micros through) */
+  /** exact epoch micros for TIMESTAMP and TIMESTAMP_NTZ alike — the
+    * shared dispatch ([[graft.plans.ExactMicros]]) */
   private def micros(df: DataFrame, c: String): Column =
-    df.schema(c).dataType match {
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        import org.apache.spark.sql.graftshim.GraftShim
-        GraftShim.column(graft.plans.NtzMicros(GraftShim.expression(df.col(c))))
-      case _ => unix_micros(df.col(c))
-    }
+    graft.plans.ExactMicros.col(df, c)
 
   /** Gap-based session assignment: within each user, an event starts a
     * new session iff it is the user's first or arrives more than
@@ -181,7 +175,10 @@ object Events {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val aggs = (1 to steps.size).map(i =>
-      sum(when(col(s"stage_$i").isNotNull, 1L).otherwise(0L)).as(s"c$i"))
+      // coalesce: sum over ZERO rows is NULL — an empty funnel must
+      // report zero counts, not NPE
+      coalesce(sum(when(col(s"stage_$i").isNotNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"c$i"))
     val counts = funnelDf.agg(aggs.head, aggs.tail: _*).head()
     val rows = steps.zipWithIndex.map { case (s, i) =>
       Row(i + 1, s, counts.getLong(i))

@@ -122,12 +122,9 @@ trait JoinVerbs { self: TidierFrame =>
     require(bandWidth > 0, s"bandWidth must be positive, got $bandWidth")
     val B = "__range_band"
     def toLong(d: DataFrame, c: String): Column = d.schema(c).dataType match {
-      case org.apache.spark.sql.types.TimestampType => unix_micros(d.col(c))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        // NTZ (what pyarrow-written parquet reads back as) is Long
-        // micros internally; a BIGINT cast is an analysis error here
-        import org.apache.spark.sql.graftshim.GraftShim
-        GraftShim.column(graft.plans.NtzMicros(GraftShim.expression(d.col(c))))
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        graft.plans.ExactMicros.col(d, c) // shared exact dispatch (NTZ-safe)
       case _ => d.col(c).cast("long")
     }
     // Band key = the band's START value (x - pmod(x, w)): floor-aligned

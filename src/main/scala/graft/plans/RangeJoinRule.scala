@@ -227,3 +227,18 @@ private[graft] case class NtzMicros(child: Expression)
     copy(child = newChild)
   override def prettyName: String = "ntz_micros"
 }
+
+/** The ONE exact timestamp→epoch-micros dispatch (TIMESTAMP via
+  * `unix_micros`, TIMESTAMP_NTZ via the [[NtzMicros]] identity —
+  * pyarrow-written parquet reads back NTZ, which `unix_micros`
+  * rejects). Shared by the range join, the event-analytics operators,
+  * and anything else that compares timestamps in integer micros. */
+private[graft] object ExactMicros {
+  def col(df: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        org.apache.spark.sql.graftshim.GraftShim.column(
+          NtzMicros(org.apache.spark.sql.graftshim.GraftShim.expression(df.col(name))))
+      case _ => org.apache.spark.sql.functions.unix_micros(df.col(name))
+    }
+}

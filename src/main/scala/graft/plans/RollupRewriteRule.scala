@@ -160,7 +160,7 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
       case al @ Alias(ae: AggregateExpression, name)
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
-          case Count(Seq(Literal(_, _))) =>
+          case Count(Seq(Literal(v, _))) if v != null => // count(NULL) is always 0, not n_rows
             Alias(
               Cast(Sum(rollupAttr("n_rows")).toAggregateExpression(), LongType),
               name)(exprId = al.exprId)

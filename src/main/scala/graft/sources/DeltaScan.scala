@@ -373,9 +373,19 @@ object DeltaScan {
       fromExclusive: Long,
       toInclusive: Long): DataFrame = {
     val files = changedAddsBetween(spark, tablePath, fromExclusive, toInclusive)
-    if (files.isEmpty)
-      read(spark, tablePath, Some(toInclusive)).limit(0)
-    else spark.read.parquet(files: _*)
+    // both branches carry the table's LOGICAL schema; a bare
+    // parquet-read would surface physical column names on
+    // column-mapped tables and an inference-dependent schema otherwise
+    val template = read(spark, tablePath, Some(toInclusive)).limit(0)
+    if (files.isEmpty) template
+    else {
+      val raw = spark.read.parquet(files: _*)
+      require(template.schema.fieldNames.forall(raw.columns.contains),
+        s"Delta increment files of $tablePath do not carry the table's logical " +
+          "column names (column-mapped table?) — incremental consumers support " +
+          "direct-named tables only; recompute from the full snapshot")
+      spark.read.schema(template.schema).parquet(files: _*)
+    }
   }
 
   /** `timestampAsOf` time travel: the table at the LAST version whose

@@ -106,10 +106,20 @@ object DeltaWrite {
       else {
         val in = fs.open(cpFile)
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        val v = mapper.readTree(txt).get("version").asLong(-1L)
-        val cp = new Path(logDir, f"$v%020d.checkpoint.parquet")
-        if (v >= 0 && fs.exists(cp)) {
-          val df = spark.read.parquet(cp.toString)
+        val node = mapper.readTree(txt)
+        val v = node.get("version").asLong(-1L)
+        // honor multi-part checkpoints (external writers): same layout
+        // DeltaScan.read resolves — missing a part's txns here would
+        // silently break the exactly-once handshake after truncation
+        val parts = Option(node.get("parts")).map(_.asInt())
+        val cpFiles: Seq[Path] = parts match {
+          case Some(n) if n > 1 =>
+            (1 to n).map(i =>
+              new Path(logDir, f"$v%020d.checkpoint.$i%010d.$n%010d.parquet"))
+          case _ => Seq(new Path(logDir, f"$v%020d.checkpoint.parquet"))
+        }
+        if (v >= 0 && cpFiles.forall(fs.exists)) {
+          val df = spark.read.parquet(cpFiles.map(_.toString): _*)
           if (df.columns.contains("txn")) {
             df.select("txn.appId", "txn.version")
               .where(org.apache.spark.sql.functions.col("appId").isNotNull)

@@ -272,38 +272,62 @@ object Streams {
   def funnelStream(
       events: DataFrame,
       watermark: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String],
+      idleTtl: Option[String] = scala.None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       "funnel steps must be non-empty and distinct")
     val k = steps.size
     val spark = events.sparkSession
     import spark.implicits._
+    // EXACT micros (Timestamp.getTime is millis — a same-millisecond
+    // view→click pair would never satisfy strictly-after, diverging
+    // from the micros-exact batch funnel)
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    def fromUs(m: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(m, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
+      t
+    }
     val ds = events
       .select("event_id", "ts", "user_id", "event_type", "value")
       .withWatermark("ts", watermark)
       .as[Ev]
+    val timeout =
+      if (idleTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[Seq[Option[Long]], FunnelRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeout) {
+        case (_, _, state: GroupState[Seq[Option[Long]]]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
         case (uid, rows, state: GroupState[Seq[Option[Long]]]) =>
           var st = state.getOption.getOrElse(Seq.fill(k)(Option.empty[Long]))
           val before = st
+          var lastTs = Long.MinValue
           rows.toSeq
             .filter(e => steps.contains(e.event_type))
-            .sortBy(e => (e.ts.getTime, e.event_type))
+            .sortBy(e => (us(e.ts), e.event_type))
             .foreach { e =>
               val i = steps.indexOf(e.event_type)
-              val t = e.ts.getTime
+              val t = us(e.ts)
+              if (e.ts.getTime > lastTs) lastTs = e.ts.getTime
               if (st(i).isEmpty && (i == 0 || st(i - 1).exists(_ < t)))
                 st = st.updated(i, Some(t))
             }
+          // abandoned-funnel state expires after idleTtl of event time
+          // (same contract as runningUserTotals) — without it, an
+          // unbounded user population grows the state store forever
+          idleTtl.foreach { ttl =>
+            if (lastTs != Long.MinValue && state.getCurrentWatermarkMs() >= 0)
+              state.setTimeoutTimestamp(lastTs, ttl)
+          }
           if (st == before) Iterator.empty
           else {
             state.update(st)
             val depth = st.takeWhile(_.isDefined).size.toLong
-            Iterator.single(FunnelRow(uid,
-              st.map(_.map(m => new java.sql.Timestamp(m))), depth))
+            Iterator.single(FunnelRow(uid, st.map(_.map(fromUs)), depth))
           }
       }
       .toDF()

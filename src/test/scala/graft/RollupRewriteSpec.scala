@@ -97,6 +97,19 @@ class RollupRewriteSpec extends SparkSpec {
       val filt = DeltaScan.read(spark, corpus)
         .filter(col("tokens") > 5L).groupBy("lang").agg(count(lit(1)).as("n"))
       assert(!plansOverRollup(filt, rollup))
+      // count(NULL) is always 0, never n_rows → untouched AND correct
+      val cn = DeltaScan.read(spark, corpus)
+        .groupBy("lang").agg(count(lit(null)).as("n"))
+      assert(!plansOverRollup(cn, rollup))
+      assert(cn.collect().forall(_.getLong(1) == 0L))
+      // empty funnel report: zero counts, no NPE (Events regression)
+      val emptyRep = graft.operators.Events.funnelReport(
+        graft.operators.Events.funnel(
+          Seq.empty[(Long, Long, java.sql.Timestamp, String)]
+            .toDF("event_id", "user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", Seq("a", "b")),
+        Seq("a", "b"))
+      assert(emptyRep.collect().map(_.getLong(2)).toSeq == Seq(0L, 0L))
       // unregistered corpus → untouched even when shapes match
       RollupRewriteRule.clear()
       val off = DeltaScan.read(spark, corpus)

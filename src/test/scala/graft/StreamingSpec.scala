@@ -556,6 +556,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStream: same-millisecond distinct-micros events keep batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tsUs(base: String, plusMicros: Int) = {
+      val t = Timestamp.valueOf(base)
+      val r = new Timestamp(t.getTime)
+      r.setNanos(t.getNanos + plusMicros * 1000)
+      r
+    }
+    val v = tsUs("2024-01-01 10:00:00", 0)
+    val c = tsUs("2024-01-01 10:00:00", 500) // +500 µs: same millisecond
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val out = Streams.funnelStream(
+      input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "10 minutes", Seq("view", "click"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_us_out").start()
+    try {
+      input.addData((1L, v, 1L, "view", 0.0), (2L, c, 1L, "click", 0.0))
+      q.processAllAvailable()
+      val r = spark.table("funnel_us_out").orderBy(org.apache.spark.sql.functions.desc("depth"))
+        .head()
+      assert(r.getAs[Long]("depth") == 2L) // micros-exact strictly-after
+      assert(r.getAs[Seq[Timestamp]]("stages")(1) == c) // micros round-trip
+    } finally q.stop()
+  }
+
   test("deltaSinkBatch is exactly-once: re-delivered batch ids are skipped, txn survives checkpointing") {
     import graft.sources.{DeltaScan, DeltaWrite}
     val dir = java.nio.file.Files.createTempDirectory("graft_txn_sink").toString + "/t"
@@ -587,6 +615,32 @@ class StreamingSpec extends SparkSpec {
     assert(DeltaWrite.lastTxnVersion(spark, dir, "app2").contains(0L))
     assert(!Streams.deltaSinkBatch(b1, dir, "app1", 1L)) // still skipped
     assert(DeltaScan.read(spark, dir).count() == 4L)
+
+    // MULTI-PART checkpoint layout (external writers): fabricate it by
+    // splitting the single-part file — the txn markers must still be
+    // found, or re-delivery double-appends
+    val logDir = new org.apache.hadoop.fs.Path(s"$dir/_delta_log")
+    val v = 2L
+    val single = new org.apache.hadoop.fs.Path(logDir, f"$v%020d.checkpoint.parquet")
+    val cpDf = spark.read.parquet(single.toString).cache()
+    val half1 = cpDf.filter(col("txn").isNotNull)
+    val half2 = cpDf.filter(col("txn").isNull)
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(logDir, s".tmp-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      fs.rename(part, new org.apache.hadoop.fs.Path(logDir, name))
+      fs.delete(tmp, true)
+    }
+    writeOne(half1, f"$v%020d.checkpoint.${1}%010d.${2}%010d.parquet")
+    writeOne(half2, f"$v%020d.checkpoint.${2}%010d.${2}%010d.parquet")
+    fs.delete(single, false)
+    val lc = fs.create(new org.apache.hadoop.fs.Path(logDir, "_last_checkpoint"), true)
+    try lc.write(s"""{"version":$v,"size":${cpDf.count()},"parts":2}""".getBytes("UTF-8"))
+    finally lc.close()
+    cpDf.unpersist()
+    assert(DeltaWrite.lastTxnVersion(spark, dir, "app1").contains(1L))
+    assert(!Streams.deltaSinkBatch(b1, dir, "app1", 1L)) // STILL skipped
   }
 
   test("deltaSinkWithRollup: the serving aggregate tracks every micro-batch") {
