@@ -2523,6 +2523,17 @@ object SparkEntry {
         .arrange("cohort", "period_n")
         .df),
 
+    // windowed funnel ("convert within 30 minutes"): later stages must
+    // land within the window anchored at stage 1 — the window test
+    // depends only on the fixed stage-1 time and the previous stage, so
+    // the greedy fold and the oracle's MIN-in-range chain still agree
+    "q_funnel_window" -> ((s, dir) =>
+      Tidier.from(operators.Events.funnel(
+          tev(s, dir).df, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"), withinSeconds = Some(1800L)))
+        .arrange("user_id")
+        .df),
+
     // funnel analysis (view → click → purchase): greedy-earliest stage
     // chain per user — the oracle derives each stage as MIN(ts) strictly
     // after the previous stage, provably the same chain the per-user
@@ -5202,6 +5213,25 @@ object SparkEntry {
         |  COUNT(*) AS n_users
         |FROM d GROUP BY cohort, pd
         |ORDER BY cohort, period_n""".stripMargin,
+
+    "q_funnel_window" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events),
+        |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |         AND e.ts <= s1.t1 + INTERVAL 1800 SECOND GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3
+        |       FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |         AND e.ts <= s1.t1 + INTERVAL 1800 SECOND GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM e
+        |      WHERE event_type IN ('view', 'click', 'purchase'))
+        |SELECT u.user_id, s1.t1 AS stage_1, s2.t2 AS stage_2, s3.t3 AS stage_3,
+        |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2
+        |            WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (SELECT user_id, ts, event_type FROM events),

@@ -86,9 +86,12 @@ object Events {
       userCol: String,
       tsCol: String,
       typeCol: String,
-      steps: Seq[String]): DataFrame = {
+      steps: Seq[String],
+      withinSeconds: Option[Long] = scala.None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    withinSeconds.foreach(w =>
+      require(w > 0, s"withinSeconds must be positive, got $w"))
     val k = steps.size
     // only the steps' events matter — filter before the shuffle
     val relevant = events
@@ -108,11 +111,18 @@ object Events {
         // strictly after the previous stage's time
         transform(acc, (t, i) => {
           val stepName = element_at(array(steps.map(lit): _*), i + 1)
+          // CONVERSION WINDOW (when set): later stages must land within
+          // `withinSeconds` of stage 1's time — the "convert within N
+          // hours" funnel variant; interval arithmetic is exact micros
+          val windowOk = withinSeconds.fold(lit(true)) { w =>
+            when(i === 0, lit(true))
+              .otherwise(ts <= element_at(acc, lit(1)) + expr(s"INTERVAL '$w' SECOND"))
+          }
           val prevOk = when(i === 0, lit(true))
             .otherwise(element_at(acc, i).isNotNull &&
               ts > element_at(acc, i))
           when(t.isNotNull, t)
-            .when(tp === stepName && prevOk, ts)
+            .when(tp === stepName && prevOk && windowOk, ts)
             .otherwise(lit(null).cast(tsType))
         })
       })

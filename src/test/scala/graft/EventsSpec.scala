@@ -85,6 +85,30 @@ class EventsSpec extends SparkSpec {
     assert(got == Seq((0L, 0L, 2L), (0L, 1L, 1L), (2L, 0L, 1L), (2L, 2L, 1L)))
   }
 
+  test("funnel withinSeconds: later stages must land inside the stage-1 window") {
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:20:00"), "click"),    // inside 30m window
+      (3L, 1L, ts("2024-01-01 10:40:00"), "purchase"), // OUTSIDE → stage 3 null
+      (4L, 2L, ts("2024-01-01 10:00:00"), "view"),
+      (5L, 2L, ts("2024-01-01 10:40:00"), "click")     // outside → stage 2 null
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = Events.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinSeconds = Some(1800L))
+      .orderBy("user_id").collect()
+    assert(got(0).getAs[Long]("depth") == 2L)
+    assert(got(0).isNullAt(got(0).fieldIndex("stage_3")))
+    assert(got(1).getAs[Long]("depth") == 1L)
+    // boundary: exactly at t1 + window is INSIDE (<=)
+    val edge = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2024-01-01 10:30:00"), "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    assert(Events.funnel(edge, "user_id", "ts", "event_type",
+        Seq("view", "click"), withinSeconds = Some(1800L))
+      .head().getAs[Long]("depth") == 2L)
+  }
+
   test("funnel: equal timestamps never satisfy the strictly-after rule") {
     val t0 = ts("2024-01-01 10:00:00")
     val ev = Seq(
