@@ -2639,14 +2639,29 @@ object SparkEntry {
     // in-orders, harmonic(order) = 0 — so the sketch pipeline
     // (init/union/estimate/delta) hash-gates against an exact mirror.
     // Approximate regime + convergence: GraphSpec vs exact BFS.
+    // sketchGate pattern: depth-1 harmonic == exact in-degree, so the
+    // EXACT value hashes and the sketch pipeline's estimate is gated as
+    // a within-tolerance boolean — HLL coupon collisions make "sparse
+    // mode is exact" probabilistically false at sf0.1 (167k nodes ×
+    // ~30-coupon balls ≈ a few off-by-ones), so an exact-value hash of
+    // the estimates cannot survive scale
     "q_harmonic" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").df
       val edges = li.select((col("l_orderkey") * 2).as("src"),
         (col("l_partkey") * 2 + 1).as("dst"))
-      Tidier.from(
-          graft.operators.Graph.harmonicCentrality(edges, "src", "dst", maxIters = 4))
-        .arrange("node")
-        .df
+      val est = graft.operators.Graph
+        .harmonicCentrality(edges, "src", "dst", maxIters = 4)
+      val exact = edges.groupBy(col("dst").as("node"))
+        .agg(countDistinct(col("src")).as("__nd"))
+      est
+        .join(exact, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__nd"), lit(0L)).as("harmonic_exact"),
+          (abs(col("harmonic") - coalesce(col("__nd"), lit(0L)).cast("double"))
+            <= greatest(lit(2.0),
+              coalesce(col("__nd"), lit(0L)).cast("double") * 0.04))
+            .as("harmonic_est_ok"))
+        .orderBy("node")
     }),
 
     // EXACT set-similarity self-join by prefix filtering (recall 1.0 by
@@ -5332,7 +5347,8 @@ object SparkEntry {
         |), ind AS (
         |  SELECT dst AS node, COUNT(DISTINCT src) AS nd FROM edges GROUP BY dst
         |)
-        |SELECT n.node, CAST(COALESCE(i.nd, 0) AS DOUBLE) AS harmonic
+        |SELECT n.node, CAST(COALESCE(i.nd, 0) AS BIGINT) AS harmonic_exact,
+        |  TRUE AS harmonic_est_ok
         |FROM nodes n LEFT JOIN ind i ON i.node = n.node
         |ORDER BY n.node""".stripMargin,
 
