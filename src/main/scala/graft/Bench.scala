@@ -80,7 +80,8 @@ object Bench {
     "q_mix_temperature", "q_token_shards", "q_span_corrupt", "q_fim",
     "q_text_badwords",
     // r4: event analytics (per-user window, per-user fold, cohort aggs)
-    "q_sessionize_batch", "q_funnel", "q_retention")
+    "q_sessionize_batch", "q_funnel", "q_retention",
+    "q_pipeline_objectives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

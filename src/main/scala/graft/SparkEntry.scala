@@ -2142,6 +2142,31 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // COMPOSED objective pipeline (one lazy narrow plan): bad-words
+    // filter → sentence segmentation + greedy chunking → FIM split per
+    // chunk — the oracle chains all three mirrors over the surviving
+    // chunk token streams, so filtering, the sentence fold, chunk
+    // identity AND the cut arithmetic are load-bearing end to end
+    "q_pipeline_objectives" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df.select(col("doc_id"),
+        expr("replace(replace(text, ' spark ', ' spark. '), " +
+          "' merge ', ' merge! ')").as("text"))
+      val kept = TextFns.dropBlockedTerms(
+        docs.withColumn("text",
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(11L)) === 3, lit(" blockedterm tail"))
+              .otherwise(lit("")))),
+        "text", Seq("blockedterm"))
+      val chunks = Chunking.chunkBySentences(kept, "text", maxTokens = 24)
+        .withColumn("chunk_uid", col("doc_id") * 10000L + col("chunk_id"))
+      Tidier.from(Corruption.fimSplit(
+          chunks.select("doc_id", "chunk_id", "chunk_uid", "chunk"),
+          "chunk_uid", "chunk", "pobj", fimRateNum = 1, fimRateDen = 2))
+        .select("doc_id", "chunk_id", "fim_applied", "fim_text")
+        .arrange("doc_id", "chunk_id")
+        .df
+    }),
+
     // sliding-window chunking: 32-token windows, 8-token overlap —
     // narrow explode, no shuffle; last window short, short docs = 1 chunk
     "q_chunk" -> ((s, dir) =>
@@ -4409,6 +4434,59 @@ object SparkEntry {
          |    || '<fim_middle>' || COALESCE(array_to_string(list_slice(tk, c1v+1, c2v), ' '), '')
          |  ELSE COALESCE(array_to_string(tk, ' '), '') END AS fim_text
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_objectives" ->
+      s"""WITH RECURSIVE g AS (
+         |  SELECT doc_id,
+         |    replace(replace(text, ' spark ', ' spark. '), ' merge ', ' merge! ')
+         |      || CASE WHEN doc_id % 11 = 3 THEN ' blockedterm tail' ELSE '' END AS txt
+         |  FROM documents),
+         |kept AS (SELECT * FROM g
+         |         WHERE NOT regexp_matches(txt, '(?i)\\b(blockedterm)\\b')),
+         |s AS (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(
+         |      regexp_extract_all(txt, '[^.!?]+[.!?]+|[^.!?]+'), x -> trim(x)),
+         |      x -> x != '') AS sents
+         |  FROM kept),
+         |sn AS (SELECT doc_id, sents, len(sents) AS ns FROM s WHERE len(sents) > 0),
+         |f AS (
+         |  SELECT doc_id, sents, ns, 1 AS i,
+         |    CAST([] AS VARCHAR[]) AS chunks,
+         |    sents[1] AS cur,
+         |    len(list_filter(string_split_regex(lower(sents[1]), '\\s+'), t -> len(t) > 0)) AS curtok
+         |  FROM sn
+         |  UNION ALL
+         |  SELECT doc_id, sents, ns, i + 1,
+         |    CASE WHEN curtok + ts > 24 THEN list_append(chunks, cur) ELSE chunks END,
+         |    CASE WHEN curtok + ts > 24 THEN sents[i+1] ELSE cur || ' ' || sents[i+1] END,
+         |    CASE WHEN curtok + ts > 24 THEN ts ELSE curtok + ts END
+         |  FROM (SELECT *,
+         |          len(list_filter(string_split_regex(lower(sents[i+1]), '\\s+'), t -> len(t) > 0)) AS ts
+         |        FROM f WHERE i < ns) q),
+         |fin AS (SELECT doc_id, list_append(chunks, cur) AS chunks FROM f WHERE i = ns),
+         |ch AS (SELECT doc_id, UNNEST(range(len(chunks))) AS chunk_id,
+         |              UNNEST(chunks) AS chunk FROM fin),
+         |tkc AS (SELECT doc_id, chunk_id,
+         |    list_filter(string_split_regex(lower(chunk), '\\s+'), t -> len(t) > 0) AS tk,
+         |    CAST(doc_id * 10000 + chunk_id AS VARCHAR) AS uid
+         |  FROM ch),
+         |h AS (SELECT *, len(tk) AS n,
+         |    CAST(('0x'||substr(md5('pobj#apply' || chr(1) || uid),1,15))::BIGINT AS HUGEINT) AS h0,
+         |    CAST(('0x'||substr(md5('pobj#c1' || chr(1) || uid),1,15))::BIGINT AS BIGINT) AS h1,
+         |    CAST(('0x'||substr(md5('pobj#c2' || chr(1) || uid),1,15))::BIGINT AS BIGINT) AS h2
+         |  FROM tkc),
+         |c AS (SELECT *, h0 * 2 < CAST(1152921504606846976 AS HUGEINT) AS app,
+         |             h1 % (n + 1) AS c1v FROM h),
+         |d AS (SELECT *, c1v + (h2 % (n - c1v + 1)) AS c2v FROM c)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  (app AND n > 0) AS fim_applied,
+         |  CASE WHEN app AND n > 0 THEN
+         |    '<fim_prefix>' || COALESCE(array_to_string(list_slice(tk, 1, c1v), ' '), '')
+         |    || '<fim_suffix>' || COALESCE(array_to_string(list_slice(tk, c2v+1, n), ' '), '')
+         |    || '<fim_middle>' || COALESCE(array_to_string(list_slice(tk, c1v+1, c2v), ' '), '')
+         |  ELSE COALESCE(array_to_string(tk, ' '), '') END AS fim_text
+         |FROM d ORDER BY doc_id, chunk_id""".stripMargin,
 
     // sentence fold mirror: segmentation by the same RE2 alternation,
     // then the greedy pack re-derived with a recursive CTE stepping one

@@ -638,6 +638,22 @@ class TrainPrepSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("composed objective pipeline is ONE narrow plan: no Exchange anywhere") {
+    import graft.operators.{Chunking, Corruption}
+    import graft.functions.TextFns
+    val d = (0L until 40L)
+      .map(i => (i, s"alpha beta. gamma delta epsilon! zeta $i"))
+      .toDF("doc_id", "text")
+    val out = Corruption.fimSplit(
+      Chunking.chunkBySentences(
+        TextFns.dropBlockedTerms(d, "text", Seq("zzz")), "text", 6)
+        .withColumn("chunk_uid", col("doc_id") * 10000L + col("chunk_id")),
+      "chunk_uid", "chunk", "p", 1, 2)
+    assert(out.count() > 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("semantic decontamination: cosine anti join, broadcast plan, corpus unshuffled") {
     import graft.operators.Decontaminate
     val corpus = Seq(
