@@ -38,7 +38,8 @@ final case class TidierFrame(
     with SetVerbs
     with WindowVerbs
     with SliceVerbs
-    with ReshapeVerbs {
+    with ReshapeVerbs
+    with operators.PipelineVerbs {
 
   def spark: SparkSession = df.sparkSession
 

@@ -638,6 +638,37 @@ class TrainPrepSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("PipelineVerbs chain equals operator composition and clears grouping") {
+    import graft.Tidier
+    import graft.operators.{Chunking, Corruption, Dedup}
+    import graft.functions.TextFns
+    val d = (0L until 60L)
+      .map(i => (i, s"alpha beta $i. gamma delta! epsilon " + ("zeta " * (i % 5).toInt)))
+      .toDF("doc_id", "text")
+    val chained = Tidier.from(d)
+      .groupBy("doc_id") // must be consumed/cleared by the pipeline verb
+      .dropBlockedTerms("text", Seq("zeta"))
+      .dedupExact("doc_id", Seq("text"))
+      .hashSample(0.7, "pv", Seq("doc_id"))
+      .chunkBySentences("text", 6)
+      .fimSplit("doc_id", "chunk", "pv", 1, 1)
+    assert(chained.groups.isEmpty)
+    val composed = Corruption.fimSplit(
+      Chunking.chunkBySentences(
+        graft.operators.Sampling.hashSample(
+          Dedup.exactDedup(
+            TextFns.dropBlockedTerms(d, "text", Seq("zeta")),
+            "doc_id", Seq("text")),
+          0.7, "pv", Seq("doc_id")),
+        "text", 6),
+      "doc_id", "chunk", "pv", 1, 1)
+    val a = chained.df.select("doc_id", "chunk_id", "fim_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val b = composed.select("doc_id", "chunk_id", "fim_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("composed objective pipeline is ONE narrow plan: no Exchange anywhere") {
     import graft.operators.{Chunking, Corruption}
     import graft.functions.TextFns
