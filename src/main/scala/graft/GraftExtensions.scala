@@ -26,6 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    GraftExtensions.tableFunctions.foreach { case (name, builder) =>
+      ext.injectTableFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
     // nested-loop range joins → banded equi-joins (opt-in via
     // spark.graft.rangeJoin.bandWidth; no-op otherwise)
     ext.injectOptimizerRule(_ => plans.RangeJoinRule)
@@ -96,10 +102,60 @@ object GraftExtensions {
     "decode_html_entities" -> (e => plans.DecodeHtmlEntities(e(0))),
     "parse_warc" -> (e => plans.WarcParse(e(0))))
 
+  // ---- TABLE functions — the reference's SQL scan surface ---------------
+  // (TidierDB emits `FROM delta_scan('p')` / `iceberg_scan('p', ...)` /
+  // `read_parquet('p')` / `read_csv([...])` for its DuckDB backend,
+  // src/TidierDB.jl:164-262; these make the same SQL text run here)
+
+  /** literal string args of a TVF call; CreateArray of literals (the
+    * reference's `read_parquet(['a','b'])` list form) flattens; non-
+    * string extras (e.g. `allow_moved_paths = true`) are ignored */
+  private def pathArgs(args: Seq[Expression], fn: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.CreateArray
+    val out = args.flatMap {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        Seq(s.toString)
+      case CreateArray(children, _) => children.map {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$fn: array elements must be string literals, got ${other.sql}")
+      }
+      case Literal(_, _) => Seq.empty // tolerated non-string option literal
+      case other => throw new IllegalArgumentException(
+        s"$fn expects string-literal paths, got ${other.sql}")
+    }
+    require(out.nonEmpty, s"$fn needs at least one path")
+    out
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.logical
+
+  val tableFunctions: Seq[(String,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    "read_parquet" -> (args =>
+      planOf(SparkSession.active.read.parquet(pathArgs(args, "read_parquet"): _*))),
+    "read_csv" -> (args =>
+      planOf(SparkSession.active.read
+        .option("header", "true").option("inferSchema", "true")
+        .csv(pathArgs(args, "read_csv"): _*))),
+    "read_json" -> (args =>
+      planOf(SparkSession.active.read.json(pathArgs(args, "read_json"): _*))),
+    "delta_scan" -> (args =>
+      planOf(sources.DeltaScan.read(
+        SparkSession.active, pathArgs(args, "delta_scan").head))),
+    "iceberg_scan" -> (args =>
+      planOf(sources.IcebergScan.read(
+        SparkSession.active, pathArgs(args, "iceberg_scan").head))))
+
   /** register all kernels + optimizer rules on an existing session */
   def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       org.apache.spark.sql.graftshim.GraftShim.registerFunction(spark, name, builder)
+    }
+    tableFunctions.foreach { case (name, builder) =>
+      org.apache.spark.sql.graftshim.GraftShim.registerTableFunction(spark, name, builder)
     }
     if (!spark.experimental.extraOptimizations.contains(plans.RangeJoinRule))
       spark.experimental.extraOptimizations =

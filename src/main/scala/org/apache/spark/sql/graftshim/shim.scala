@@ -35,4 +35,13 @@ object GraftShim {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Register a TABLE function (`SELECT * FROM f('arg')`) on this
+    * session — the tableFunctionRegistry is equally private[sql]. */
+  def registerTableFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

@@ -37,6 +37,33 @@ class ExtensibilitySpec extends SparkSpec {
     assert(e.getMessage.contains("integer literal"))
   }
 
+  test("table functions: the reference's SQL scan surface runs verbatim") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf").toString
+    val d = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    d.write.mode("overwrite").parquet(s"$dir/p")
+    d.write.mode("overwrite").option("header", "true").csv(s"$dir/c")
+    graft.sources.DeltaWrite.create(spark, d, s"$dir/delta")
+    graft.sources.IcebergWrite.create(spark, d, s"$dir/ice")
+
+    def ids(sql: String) =
+      spark.sql(sql).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(s"SELECT * FROM read_parquet('$dir/p')") == Set(1L, 2L, 3L))
+    assert(spark.sql(s"SELECT * FROM read_csv('$dir/c') WHERE id > 1").count() == 2L)
+    assert(ids(s"SELECT * FROM delta_scan('$dir/delta')") == Set(1L, 2L, 3L))
+    assert(ids(s"SELECT * FROM iceberg_scan('$dir/ice')") == Set(1L, 2L, 3L))
+    // the reference's list form: read_parquet(['a','b'])
+    d.filter($"id" === 1L).write.mode("overwrite").parquet(s"$dir/p1")
+    d.filter($"id" === 2L).write.mode("overwrite").parquet(s"$dir/p2")
+    assert(ids(s"SELECT * FROM read_parquet(array('$dir/p1', '$dir/p2'))") == Set(1L, 2L))
+    // composes with scalar kernels and plain SQL
+    val n = spark.sql(
+      s"SELECT count(*) AS n FROM delta_scan('$dir/delta') WHERE length(v) = 1")
+      .head().getLong(0)
+    assert(n == 3L)
+  }
+
   test("GraftExtensions applies through the SparkSessionExtensions injection point") {
     // build a FRESH session on the shared context with the extensions
     // class wired the production way (spark.sql.extensions analog)
