@@ -2253,6 +2253,20 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // ColBERT-style MaxSim re-ranking: each 64-dim embedding splits
+    // into four 16-dim "token" vectors, the query = vec 0's tokens —
+    // Σ_q max_d cosine, every pairwise term mirrored with list math
+    "q_embed_maxsim" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df
+      val toks = array((0 until 4).map(i =>
+        slice(col("embedding"), i * 16 + 1, 16)): _*)
+      val q = e.filter(col("vec_id") === 0L)
+        .select("embedding").first().getSeq[Float](0)
+      val queryToks = (0 until 4).map(i => q.slice(i * 16, i * 16 + 16).toSeq)
+      Similarity.maxSimTopK(
+        e.withColumn("tok_vecs", toks), "tok_vecs", queryToks, 10)
+    }),
+
     // LSH-bucketed ANN (scale path) with radius-2 multiprobe — the
     // oracle reproduces bucket assignment + probe expansion by inlining
     // the seed-derived hyperplanes as literals
@@ -4697,6 +4711,26 @@ object SparkEntry {
         |FROM q, qu
         |ORDER BY qdot DESC, q.vec_id
         |LIMIT 10""".stripMargin,
+
+    "q_embed_maxsim" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |t AS (SELECT vec_id, [v[1:16], v[17:32], v[33:48], v[49:64]] AS toks FROM e),
+        |q AS (SELECT toks AS qt FROM t WHERE vec_id = 0),
+        |s AS (
+        |  SELECT t.vec_id,
+        |    round(
+        |      list_max(list_transform(t.toks, d -> list_dot_product(q.qt[1], d)
+        |        / (sqrt(list_dot_product(q.qt[1], q.qt[1])) * sqrt(list_dot_product(d, d))))) +
+        |      list_max(list_transform(t.toks, d -> list_dot_product(q.qt[2], d)
+        |        / (sqrt(list_dot_product(q.qt[2], q.qt[2])) * sqrt(list_dot_product(d, d))))) +
+        |      list_max(list_transform(t.toks, d -> list_dot_product(q.qt[3], d)
+        |        / (sqrt(list_dot_product(q.qt[3], q.qt[3])) * sqrt(list_dot_product(d, d))))) +
+        |      list_max(list_transform(t.toks, d -> list_dot_product(q.qt[4], d)
+        |        / (sqrt(list_dot_product(q.qt[4], q.qt[4])) * sqrt(list_dot_product(d, d))))),
+        |    6) AS maxsim
+        |  FROM t, q)
+        |SELECT vec_id, maxsim FROM s
+        |ORDER BY maxsim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_decontaminate_semantic" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

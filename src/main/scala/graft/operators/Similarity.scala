@@ -79,6 +79,41 @@ object Similarity {
       .orderBy(desc("sim"), col(idCol))
       .limit(k)
 
+  /** ColBERT-style LATE-INTERACTION (MaxSim) retrieval: documents carry
+    * an ARRAY of token vectors; the score against a multi-vector query
+    * is `Σ_q max_d cos(q, d)` — each query token claims its best
+    * document token (Khattab & Zaharia 2020). This is the
+    * token-granular retrieval shape single-vector cosine can't express
+    * (exact phrase/term matching survives pooling).
+    *
+    * 100 TB shape: fully NARROW scoring — per row one HOF pass per
+    * query token over the document's token vectors (the codegen'd
+    * cosine kernel inside), no explode, no join, no shuffle; top-k is
+    * TakeOrdered. |query| is bounded (a query's tokens), so per-row
+    * cost is |q_tokens|·|d_tokens| kernel calls. Score is rounded to 6
+    * decimals for cross-engine order stability (same contract as
+    * [[topKByCosine]]); rows with no token vectors are excluded (no
+    * evidence). Pre-filter candidates with [[topKByCosine]] over
+    * pooled vectors or the LSH/IVF indexes when the corpus outgrows a
+    * full scan — MaxSim is the re-ranker in that stack.
+    */
+  def maxSimTopK(
+      df: DataFrame,
+      tokVecsCol: String,
+      query: Seq[Seq[Float]],
+      k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    require(query.nonEmpty, "maxSimTopK needs at least one query token vector")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val score = query.map(q =>
+        array_max(transform(col(tokVecsCol), d => cosine(vecLit(q), d))))
+      .reduce(_ + _)
+    df.filter(size(col(tokVecsCol)) > 0)
+      .select(col(idCol), round(score, 6).as("maxsim"))
+      .orderBy(desc("maxsim"), col(idCol))
+      .limit(k)
+  }
+
   /** Symmetric per-vector int8 quantization — the memory-reduction path
     * for ANN serving at corpus scale: a 64-dim float vector (256 B)
     * becomes 64 bytes + one double scale (4× smaller; 100 TB of

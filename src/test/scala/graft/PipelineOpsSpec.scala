@@ -164,6 +164,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(sims(3L) - 0.707107) < 1e-6)
   }
 
+  test("MaxSim late interaction: per-query-token best match sums; empty docs excluded") {
+    val d = Seq(
+      // doc 1: a token aligned with each query token → 1 + 1 = 2
+      (1L, Seq(Seq(1f, 0f), Seq(0f, 1f))),
+      // doc 2: only the first query token matches; best for q2 is 0
+      (2L, Seq(Seq(1f, 0f), Seq(1f, 0f))),
+      // doc 3: diagonal token serves both at cos 0.707107
+      (3L, Seq(Seq(1f, 1f))),
+      (4L, Seq.empty[Seq[Float]]) // no tokens → excluded
+    ).toDF("vec_id", "tok_vecs")
+    val got = Similarity.maxSimTopK(
+        d, "tok_vecs", Seq(Seq(1f, 0f), Seq(0f, 1f)), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == 2.0)
+    assert(got(2L) == 1.0)
+    assert(math.abs(got(3L) - 1.414214) < 1e-6)
+    // ranking: doc 1 first (sum of bests beats single best)
+    val order = Similarity.maxSimTopK(
+        d, "tok_vecs", Seq(Seq(1f, 0f), Seq(0f, 1f)), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(order == Seq(1L, 3L))
+  }
+
   test("int8 quantization: values, scale, zero-vector guard, range") {
     val d = Seq(
       (1L, Seq(1f, -2f, 4f), 0),          // maxabs 4 → q = (32, -64, 127)
