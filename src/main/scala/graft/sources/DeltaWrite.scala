@@ -283,6 +283,31 @@ object DeltaWrite {
     finally out.close()
   }
 
+  /** [[append]] with optimistic-concurrency RETRY: a loser of the
+    * conditional-commit race re-reads the log's latest version and
+    * tries the next one, up to `maxRetries` times — the standard
+    * multi-writer append loop (blind appends never conflict
+    * semantically, only on the version number; anything beyond
+    * `maxRetries` losses signals real contention and surfaces the
+    * ConcurrentModificationException to the caller). The parquet data
+    * files of a lost round are already in the table directory but
+    * unreferenced until a commit names them — the retry re-reads the
+    * directory listing, so each round writes fresh files and the lost
+    * ones are vacuum fodder, never data corruption. */
+  def appendWithRetry(spark: SparkSession, df: DataFrame, tablePath: String,
+      partitionBy: Seq[String] = Nil, maxRetries: Int = 5): Unit = {
+    require(maxRetries >= 0, s"maxRetries must be >= 0, got $maxRetries")
+    var attempt = 0
+    while (true) {
+      try { append(spark, df, tablePath, partitionBy); return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
+
   /** test seam for the conditional-commit guard: commit at an explicit
     * log version — what a racing writer with a stale view of the log
     * does right before it loses the race */
@@ -296,12 +321,33 @@ object DeltaWrite {
       tablePath: String, partitionBy: Seq[String], version: Long,
       txn: Option[(String, Long)] = None): Unit = {
     val root = fs.makeQualified(new Path(tablePath))
-    val pre = listDataFiles(fs, root).map(_._1).toSet
+    // STAGE-then-MOVE: the data lands in a writer-private staging dir
+    // and each file is renamed into the table root individually — the
+    // add list is EXACTLY the files this writer moved, never a
+    // directory-listing diff that could cross-claim a concurrent
+    // writer's in-flight files as ours (the unsafe window the old
+    // pre/post listing had). Lost-race files are unreferenced and
+    // vacuumable; renames are same-volume moves on HDFS/local.
+    val staging = new Path(root,
+      s".staging-${java.util.UUID.randomUUID().toString.take(12)}")
     val writer = df.write.mode("append")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(tablePath)
-    val post = listDataFiles(fs, root)
-    val added = post.filterNot { case (p, _) => pre.contains(p) }
+      .parquet(staging.toString)
+    def stagedFiles(dir: Path, prefix: String): Seq[(String, Long)] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) stagedFiles(st.getPath, s"$prefix$name/")
+        else if (name.endsWith(".parquet")) Seq((s"$prefix$name", st.getLen))
+        else Seq.empty
+      }
+    val added = stagedFiles(staging, "").map { case (rel, size) =>
+      val dest = new Path(root, rel)
+      Option(dest.getParent).foreach(fs.mkdirs)
+      require(fs.rename(new Path(staging, rel), dest),
+        s"could not move staged data file $rel into $root")
+      (rel, size)
+    }
+    fs.delete(staging, true)
     require(added.nonEmpty, "write produced no data files (empty input?)")
 
     val now = System.currentTimeMillis()

@@ -514,6 +514,38 @@ class DeltaScanSpec extends SparkSpec {
     assert(before == after) // the winning commit is untouched
   }
 
+  test("appendWithRetry: two racing writers interleave without loss or cross-claimed rows") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val dir = freshDir("graft_delta_retry").toString
+    DeltaWrite.create(spark, Seq((-1L, "seed")).toDF("id", "v"), dir)
+    // two writers, five appends each, racing on version numbers — every
+    // row must land exactly once (the staged-move add discovery cannot
+    // cross-claim the other writer's in-flight files)
+    val writers = (0 until 2).map { w =>
+      Future {
+        (0 until 5).foreach { i =>
+          DeltaWrite.appendWithRetry(spark,
+            Seq((w * 10L + i, s"w$w")).toDF("id", "v"), dir, maxRetries = 20)
+        }
+      }
+    }
+    writers.foreach(Await.result(_, 120.seconds))
+    assert(DeltaScan.latestVersion(spark, dir) == 10L) // 1 create + 10 appends
+    val rows = DeltaScan.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 11) // exactly once each — no dupes, no loss
+    assert(rows.map(_._1).toSet ==
+      (Set(-1L) ++ (0 until 5).map(_.toLong) ++ (0 until 5).map(_ + 10L)))
+    // no orphaned staging directories survive
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .exists(_.getPath.getName.startsWith(".staging-")))
+  }
+
   test("DeltaWrite.checkpoint: reader replays from the checkpoint after log truncation") {
     import graft.sources.DeltaWrite
     val dir = freshDir("graft_delta_ckpt").toString
