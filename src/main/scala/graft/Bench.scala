@@ -81,7 +81,7 @@ object Bench {
     "q_text_badwords",
     // r4: event analytics (per-user window, per-user fold, cohort aggs)
     "q_sessionize_batch", "q_funnel", "q_retention",
-    "q_pipeline_objectives")
+    "q_pipeline_objectives", "q_embed_maxsim")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

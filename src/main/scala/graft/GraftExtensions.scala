@@ -147,7 +147,13 @@ object GraftExtensions {
         SparkSession.active, pathArgs(args, "delta_scan").head))),
     "iceberg_scan" -> (args =>
       planOf(sources.IcebergScan.read(
-        SparkSession.active, pathArgs(args, "iceberg_scan").head))))
+        SparkSession.active, pathArgs(args, "iceberg_scan").head))),
+    "warc_scan" -> (args =>
+      planOf(sources.WarcScan.readWarc(
+        SparkSession.active, pathArgs(args, "warc_scan").head))),
+    "read_wet" -> (args =>
+      planOf(sources.WarcScan.readWet(
+        SparkSession.active, pathArgs(args, "read_wet").head))))
 
   /** register all kernels + optimizer rules on an existing session */
   def register(spark: SparkSession): Unit = {

@@ -62,6 +62,15 @@ class ExtensibilitySpec extends SparkSpec {
       s"SELECT count(*) AS n FROM delta_scan('$dir/delta') WHERE length(v) = 1")
       .head().getLong(0)
     assert(n == 3L)
+    // warc_scan over a minimal single-record WARC file
+    val warc = "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:1>\r\n" +
+      "WARC-Target-URI: https://x/1\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      "Content-Type: text/plain\r\nContent-Length: 5\r\n\r\nhello\r\n\r\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/one.warc"),
+      warc.getBytes("UTF-8"))
+    val recs = spark.sql(s"SELECT warc_type FROM warc_scan('$dir/one.warc')")
+      .collect().map(_.getString(0)).toSeq
+    assert(recs == Seq("conversion"))
   }
 
   test("GraftExtensions applies through the SparkSessionExtensions injection point") {
