@@ -108,8 +108,13 @@ object GraftExtensions {
   // src/TidierDB.jl:164-262; these make the same SQL text run here)
 
   /** literal string args of a TVF call; CreateArray of literals (the
-    * reference's `read_parquet(['a','b'])` list form) flattens; non-
-    * string extras (e.g. `allow_moved_paths = true`) are ignored */
+    * reference's `read_parquet(['a','b'])` list form) flattens. Extra
+    * NON-STRING arguments (positional literals, `opt => v` named args)
+    * are tolerated and ignored. DuckDB's `opt = true` option spelling
+    * cannot reach this builder at all: Spark's analyzer rejects it as
+    * an unresolved column reference first — path-only calls (what the
+    * reference emits for delta_scan/read_parquet) run verbatim, and
+    * iceberg_scan's `allow_moved_paths` needs dropping or respelling. */
   private def pathArgs(args: Seq[Expression], fn: String): Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.CreateArray
     val out = args.flatMap {
@@ -120,12 +125,19 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           s"$fn: array elements must be string literals, got ${other.sql}")
       }
-      case Literal(_, _) => Seq.empty // tolerated non-string option literal
-      case other => throw new IllegalArgumentException(
-        s"$fn expects string-literal paths, got ${other.sql}")
+      case _ => Seq.empty // tolerated option argument (ignored)
     }
-    require(out.nonEmpty, s"$fn needs at least one path")
+    require(out.nonEmpty, s"$fn needs at least one string-literal path")
     out
+  }
+
+  /** exactly-one-path surface for the single-table scans — silently
+    * reading only the first of several paths would be a wrong answer */
+  private def onePath(args: Seq[Expression], fn: String): String = {
+    val ps = pathArgs(args, fn)
+    require(ps.size == 1,
+      s"$fn reads ONE table path, got ${ps.size} (${ps.mkString(", ")})")
+    ps.head
   }
 
   private def planOf(df: org.apache.spark.sql.DataFrame)
@@ -144,16 +156,16 @@ object GraftExtensions {
       planOf(SparkSession.active.read.json(pathArgs(args, "read_json"): _*))),
     "delta_scan" -> (args =>
       planOf(sources.DeltaScan.read(
-        SparkSession.active, pathArgs(args, "delta_scan").head))),
+        SparkSession.active, onePath(args, "delta_scan")))),
     "iceberg_scan" -> (args =>
       planOf(sources.IcebergScan.read(
-        SparkSession.active, pathArgs(args, "iceberg_scan").head))),
+        SparkSession.active, onePath(args, "iceberg_scan")))),
     "warc_scan" -> (args =>
       planOf(sources.WarcScan.readWarc(
-        SparkSession.active, pathArgs(args, "warc_scan").head))),
+        SparkSession.active, onePath(args, "warc_scan")))),
     "read_wet" -> (args =>
       planOf(sources.WarcScan.readWet(
-        SparkSession.active, pathArgs(args, "read_wet").head))))
+        SparkSession.active, onePath(args, "read_wet")))))
 
   /** register all kernels + optimizer rules on an existing session */
   def register(spark: SparkSession): Unit = {

@@ -105,8 +105,13 @@ object Similarity {
       idCol: String = "vec_id"): DataFrame = {
     require(query.nonEmpty, "maxSimTopK needs at least one query token vector")
     require(k >= 1, s"k must be >= 1, got $k")
+    // nanvl: cosine of a ZERO vector is NaN, and both array_max and a
+    // descending sort treat NaN as the LARGEST double — one zero-padded
+    // token would otherwise catapult its document to rank 1. A zero
+    // vector has no direction: its similarity contribution is 0.
     val score = query.map(q =>
-        array_max(transform(col(tokVecsCol), d => cosine(vecLit(q), d))))
+        array_max(transform(col(tokVecsCol),
+          d => nanvl(cosine(vecLit(q), d), lit(0.0)))))
       .reduce(_ + _)
     df.filter(size(col(tokVecsCol)) > 0)
       .select(col(idCol), round(score, 6).as("maxsim"))

@@ -321,33 +321,14 @@ object DeltaWrite {
       tablePath: String, partitionBy: Seq[String], version: Long,
       txn: Option[(String, Long)] = None): Unit = {
     val root = fs.makeQualified(new Path(tablePath))
-    // STAGE-then-MOVE: the data lands in a writer-private staging dir
-    // and each file is renamed into the table root individually — the
-    // add list is EXACTLY the files this writer moved, never a
-    // directory-listing diff that could cross-claim a concurrent
-    // writer's in-flight files as ours (the unsafe window the old
-    // pre/post listing had). Lost-race files are unreferenced and
-    // vacuumable; renames are same-volume moves on HDFS/local.
-    val staging = new Path(root,
-      s".staging-${java.util.UUID.randomUUID().toString.take(12)}")
-    val writer = df.write.mode("append")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(staging.toString)
-    def stagedFiles(dir: Path, prefix: String): Seq[(String, Long)] =
-      fs.listStatus(dir).toSeq.flatMap { st =>
-        val name = st.getPath.getName
-        if (st.isDirectory) stagedFiles(st.getPath, s"$prefix$name/")
-        else if (name.endsWith(".parquet")) Seq((s"$prefix$name", st.getLen))
-        else Seq.empty
-      }
-    val added = stagedFiles(staging, "").map { case (rel, size) =>
-      val dest = new Path(root, rel)
-      Option(dest.getParent).foreach(fs.mkdirs)
-      require(fs.rename(new Path(staging, rel), dest),
-        s"could not move staged data file $rel into $root")
-      (rel, size)
+    // STAGE-then-MOVE: the add list is EXACTLY the files this writer
+    // moved (see writeStaged) — never a directory-listing diff that
+    // could cross-claim a concurrent writer's in-flight files.
+    val added = writeStaged(fs, root, destPrefix = "") { staging =>
+      val writer = df.write.mode("append")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(staging)
     }
-    fs.delete(staging, true)
     require(added.nonEmpty, "write produced no data files (empty input?)")
 
     val now = System.currentTimeMillis()
@@ -456,13 +437,12 @@ object DeltaWrite {
       .filter(_._2.size >= 2) // singletons: nothing to gain
     if (groups.isEmpty) return
 
-    val pre = listDataFiles(fs, root).map(_._1).toSet
-    groups.toSeq.sortBy(_._1).foreach { case (partDir, rels) =>
-      val rows = spark.read.parquet(rels.map(r => new Path(root, r).toString): _*)
-      val target = if (partDir.isEmpty) root.toString else s"$root/$partDir"
-      rows.repartition(targetFiles).write.mode("append").parquet(target)
+    val added = groups.toSeq.sortBy(_._1).flatMap { case (partDir, rels) =>
+      writeStaged(fs, root, destPrefix = partDir) { staging =>
+        spark.read.parquet(rels.map(r => new Path(root, r).toString): _*)
+          .repartition(targetFiles).write.mode("append").parquet(staging)
+      }
     }
-    val added = listDataFiles(fs, root).filterNot { case (p, _) => pre.contains(p) }
     require(added.nonEmpty, "compaction rewrite produced no files")
 
     val now = System.currentTimeMillis()
@@ -542,17 +522,16 @@ object DeltaWrite {
     }
     val z = graft.operators.ScaleOps.zorderValue(buckets, bitsPerCol)
 
-    val pre = listDataFiles(fs, root).map(_._1).toSet
-    groups.toSeq.sortBy(_._1).foreach { case (partDir, rels) =>
-      val rows = spark.read.parquet(rels.map(r => new Path(root, r).toString): _*)
-      val target = if (partDir.isEmpty) root.toString else s"$root/$partDir"
-      rows.withColumn("__graft_z", z)
-        .repartitionByRange(targetFiles, col("__graft_z"))
-        .sortWithinPartitions("__graft_z")
-        .drop("__graft_z")
-        .write.mode("append").parquet(target)
+    val added = groups.toSeq.sortBy(_._1).flatMap { case (partDir, rels) =>
+      writeStaged(fs, root, destPrefix = partDir) { staging =>
+        spark.read.parquet(rels.map(r => new Path(root, r).toString): _*)
+          .withColumn("__graft_z", z)
+          .repartitionByRange(targetFiles, col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
+          .write.mode("append").parquet(staging)
+      }
     }
-    val added = listDataFiles(fs, root).filterNot { case (p, _) => pre.contains(p) }
     require(added.nonEmpty, "z-order rewrite produced no files")
 
     val now = System.currentTimeMillis()
@@ -616,9 +595,25 @@ object DeltaWrite {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new Path(tablePath))
     val cutoff = System.currentTimeMillis() - retainMs
-    val doomed = replayActions(spark, fs, tablePath)
+    val acts = replayActions(spark, fs, tablePath)
+    val removed = acts
       .collect { case (p, false, _, ts) if ts <= cutoff => p }
       .filter(rel => fs.exists(new Path(root, rel)))
+    // UNTRACKED files (no log action references them at all) are
+    // protocol vacuum targets too — that is where a lost
+    // optimistic-concurrency round's data files end up
+    // ([[appendWithRetry]]): renamed into the root, then the
+    // conditional commit lost, so no add ever named them. The mtime
+    // retention window protects any writer currently between its
+    // move and its commit.
+    val trackedSet = acts.map(_._1).toSet
+    val orphans = listDataFiles(fs, root).collect {
+      case (rel, _)
+          if !trackedSet.contains(rel) &&
+            fs.getFileStatus(new Path(root, rel)).getModificationTime <= cutoff =>
+        rel
+    }
+    val doomed = removed ++ orphans
     if (!dryRun) doomed.foreach(rel => fs.delete(new Path(root, rel), false))
     doomed
   }
@@ -644,6 +639,36 @@ object DeltaWrite {
 
   /** all data files under the table root, as (relative path, size),
     * excluding the log dir and non-parquet markers */
+  /** STAGE-then-MOVE write: `run` writes parquet into a writer-private
+    * hidden staging dir; every produced file is then renamed under
+    * `root/destPrefix` and returned as (relative path, size). The
+    * returned list IS the writer's add set — no directory-listing diff,
+    * so a concurrent writer's in-flight files can never be
+    * cross-claimed. Renames are same-volume moves on HDFS/local FS. */
+  private def writeStaged(fs: FileSystem, root: Path, destPrefix: String)
+      (run: String => Unit): Seq[(String, Long)] = {
+    val staging = new Path(root,
+      s".staging-${java.util.UUID.randomUUID().toString.take(12)}")
+    run(staging.toString)
+    def inner(dir: Path, prefix: String): Seq[(String, Long)] =
+      fs.listStatus(dir).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) inner(st.getPath, s"$prefix$name/")
+        else if (name.endsWith(".parquet")) Seq((s"$prefix$name", st.getLen))
+        else Seq.empty
+      }
+    val moved = inner(staging, "").map { case (in, size) =>
+      val rel = if (destPrefix.isEmpty) in else s"$destPrefix/$in"
+      val dest = new Path(root, rel)
+      Option(dest.getParent).foreach(fs.mkdirs)
+      require(fs.rename(new Path(staging, in), dest),
+        s"could not move staged data file $in into $dest")
+      (rel, size)
+    }
+    fs.delete(staging, true)
+    moved
+  }
+
   private def listDataFiles(fs: FileSystem, root: Path): Seq[(String, Long)] = {
     if (!fs.exists(root)) return Seq.empty
     val rootStr = root.toString.stripSuffix("/") + "/"
@@ -654,7 +679,11 @@ object DeltaWrite {
       val p = st.getPath.toString
       if (p.startsWith(rootStr)) {
         val rel = p.substring(rootStr.length)
-        if (!rel.startsWith("_delta_log/") && rel.endsWith(".parquet"))
+        // hidden segments (.staging-* above all) are never table data —
+        // a concurrent writer's in-flight staged files must not be
+        // listed as claimable
+        val hidden = rel.split('/').exists(s => s.startsWith(".") || s.startsWith("_"))
+        if (!hidden && rel.endsWith(".parquet"))
           out += ((rel, st.getLen))
       }
     }

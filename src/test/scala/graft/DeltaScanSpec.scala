@@ -544,6 +544,20 @@ class DeltaScanSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .exists(_.getPath.getName.startsWith(".staging-")))
+    // lost-round data files (moved into the root, never committed) are
+    // UNTRACKED — vacuum reclaims them past retention, and the live
+    // table is untouched
+    val orphan = new org.apache.hadoop.fs.Path(dir, "part-orphan-lostround.parquet")
+    Seq((99L, "ghost")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/.tmp-orphan")
+    val src = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/.tmp-orphan"))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    fs.rename(src, orphan)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/.tmp-orphan"), true)
+    val reclaimed = DeltaWrite.vacuum(spark, dir, retainMs = 0L)
+    assert(reclaimed.contains("part-orphan-lostround.parquet"))
+    assert(!fs.exists(orphan))
+    assert(DeltaScan.read(spark, dir).count() == 11L) // live rows intact
   }
 
   test("DeltaWrite.checkpoint: reader replays from the checkpoint after log truncation") {

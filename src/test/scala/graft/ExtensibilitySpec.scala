@@ -62,6 +62,17 @@ class ExtensibilitySpec extends SparkSpec {
       s"SELECT count(*) AS n FROM delta_scan('$dir/delta') WHERE length(v) = 1")
       .head().getLong(0)
     assert(n == 3L)
+    // option arguments: extra positional/named literals are tolerated
+    // and ignored (DuckDB's `opt = true` spelling is rejected by
+    // Spark's ANALYZER as an unresolved column before any builder
+    // runs — callers use Spark's `=> literal` or positional form)
+    assert(ids(s"SELECT * FROM iceberg_scan('$dir/ice', true)") == Set(1L, 2L, 3L))
+    // multiple paths to a single-table scan are a LOUD error, never a
+    // silent partial read
+    val multi = intercept[Exception] {
+      spark.sql(s"SELECT * FROM delta_scan('$dir/delta', '$dir/delta')").collect()
+    }
+    assert(multi.getMessage.contains("ONE table path"))
     // warc_scan over a minimal single-record WARC file
     val warc = "WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Record-ID: <urn:1>\r\n" +
       "WARC-Target-URI: https://x/1\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +

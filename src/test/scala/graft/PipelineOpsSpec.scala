@@ -186,6 +186,16 @@ class PipelineOpsSpec extends SparkSpec {
         d, "tok_vecs", Seq(Seq(1f, 0f), Seq(0f, 1f)), k = 2)
       .collect().map(_.getLong(0)).toSeq
     assert(order == Seq(1L, 3L))
+    // a ZERO-padded token (the standard fixed-length layout) must score
+    // 0, not NaN-poison the ranking to the top
+    val padded = Seq(
+      (1L, Seq(Seq(0f, 0f), Seq(0.1f, 0.1f))), // zero pad + diagonal token
+      (2L, Seq(Seq(1f, 0f)))                    // aligned token
+    ).toDF("vec_id", "tok_vecs")
+    val top = Similarity.maxSimTopK(padded, "tok_vecs", Seq(Seq(1f, 0f)), 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top.map(_._1) == Seq(2L, 1L)) // zero token did NOT rank doc 1 first
+    assert(top(0)._2 == 1.0 && math.abs(top(1)._2 - 0.707107) < 1e-6)
   }
 
   test("int8 quantization: values, scale, zero-vector guard, range") {
