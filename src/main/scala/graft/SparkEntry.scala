@@ -2573,6 +2573,16 @@ object SparkEntry {
         .arrange("user_id")
         .df),
 
+    // chart-ready conversion report over the same funnel: per-stage
+    // user counts (a user at depth d counts toward stages 1..d)
+    "q_funnel_report" -> ((s, dir) =>
+      Tidier.from(operators.Events.funnelReport(
+          operators.Events.funnel(tev(s, dir).df, "user_id", "ts", "event_type",
+            Seq("view", "click", "purchase")),
+          Seq("view", "click", "purchase")))
+        .arrange("stage")
+        .df),
+
     // funnel analysis (view → click → purchase): greedy-earliest stage
     // chain per user — the oracle derives each stage as MIN(ts) strictly
     // after the previous stage, provably the same chain the per-user
@@ -5340,6 +5350,21 @@ object SparkEntry {
         |  COUNT(*) AS n_users
         |FROM d GROUP BY cohort, pd
         |ORDER BY cohort, period_n""".stripMargin,
+
+    "q_funnel_report" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events),
+        |s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS stage, 'view' AS step,
+        |       (SELECT COUNT(*) FROM s1) AS n_users
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', (SELECT COUNT(*) FROM s2)
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', (SELECT COUNT(*) FROM s3)
+        |ORDER BY stage""".stripMargin,
 
     "q_funnel_window" ->
       """WITH e AS (SELECT user_id, ts, event_type FROM events),
