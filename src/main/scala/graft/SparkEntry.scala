@@ -1715,11 +1715,19 @@ object SparkEntry {
     // Arrow IPC scan: documents round-tripped through a temp .arrow
     // file (reference copy_to's Arrow-register surface) — any byte,
     // offset, or validity-bitmap mishandling diverges the hash
+    // The .arrow file itself carries raw TIMESTAMP/DECIMAL columns (the
+    // round trip is what's under test); the COMPARED frame re-projects
+    // them to driver-hash-stable primitives (BIGINT micros / DOUBLE) so
+    // the gate hashes on values, not on ns-vs-us / int128 encodings.
     "q_arrow_scan" -> ((s, dir) => {
       val path = arrowGateFixture(s, dir)
       Tidier.read(s, path)
         .arrange("doc_id")
         .df
+        .select(col("doc_id"), col("lang"), col("text"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("dec").cast("double").as("dec"),
+          col("flag"), col("nc"))
     }),
 
     // Avro WRITE→READ round trip through the built-in avro-core
@@ -1739,6 +1747,30 @@ object SparkEntry {
           .orderBy("doc_id"),
         path.toString)
       Tidier.read(s, path.toString).arrange("doc_id").df
+        .select(col("doc_id"), col("lang"), col("text"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("dec").cast("double").as("dec"),
+          col("flag"), col("nc"))
+    }),
+
+    // external-database scan end to end (the reference's ext/ surface,
+    // LibPQExt.jl etc.): load documents into an EMBEDDED Derby database
+    // over JDBC, read back through Tidier.readJdbc as a 4-way
+    // range-partitioned parallel scan with a filter that pushes into
+    // Derby's WHERE clause — any type-mapping, partition-range, or
+    // pushdown defect diverges from plain parquet
+    "q_jdbc_scan" -> ((s, dir) => {
+      System.setProperty("derby.stream.error.file", "/tmp/graft_derby.log")
+      val url = "jdbc:derby:memory:graft_gate_" +
+        java.util.UUID.randomUUID().toString.replace("-", "") + ";create=true"
+      val docs = t(s, dir, "documents").df
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      graft.sources.JdbcWrite.write(docs, url, "docs", mode = "overwrite",
+        options = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+      Tidier.readJdbc(s, url, "docs", "doc_id", 0L, 1000L, 4)
+        .filter(col("n_chars") > 100)
+        .arrange("doc_id")
+        .df
     }),
 
     // full Iceberg WRITE→READ round trip: create(evens)+append(odds)
@@ -2741,9 +2773,14 @@ object SparkEntry {
         Seq("lang", "source"), Seq("n_chars"))
       graft.sources.DeltaWrite.append(s, docs.filter(col("doc_id") >= 250), corpus)
       graft.operators.Rollup.maintain(s, corpus, roll)
+      // compared frame re-projects the internal DECIMAL(38,6) running sum
+      // to DOUBLE so the driver hash sees a type-stable primitive (the
+      // DECIMAL-exact maintenance math is what's under test and is
+      // byte-identical before the final cast; RollupSpec pins it exactly)
       Tidier.from(graft.operators.Rollup.read(s, roll))
         .arrange("lang", "source")
         .df
+        .withColumn("sum_n_chars", col("sum_n_chars").cast("double"))
     }),
   )
 
@@ -4042,19 +4079,23 @@ object SparkEntry {
 
     "q_arrow_scan" ->
       """SELECT doc_id, lang, text,
-        |  make_timestamp(doc_id * 1000000) AS ts,
-        |  CAST(doc_id AS DECIMAL(10,2)) AS dec,
+        |  doc_id * 1000000 AS ts_us,
+        |  CAST(CAST(doc_id AS DECIMAL(10,2)) AS DOUBLE) AS dec,
         |  doc_id % 2 = 0 AS flag,
         |  CAST(n_chars AS INTEGER) AS nc
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_avro_scan" ->
       """SELECT doc_id, lang, text,
-        |  make_timestamp(doc_id * 1000000) AS ts,
-        |  CAST(doc_id AS DECIMAL(10,2)) AS dec,
+        |  doc_id * 1000000 AS ts_us,
+        |  CAST(CAST(doc_id AS DECIMAL(10,2)) AS DOUBLE) AS dec,
         |  doc_id % 2 = 0 AS flag,
         |  CAST(n_chars AS INTEGER) AS nc
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_jdbc_scan" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE n_chars > 100 ORDER BY doc_id""".stripMargin,
 
     "q_delta_roundtrip" ->
       """SELECT doc_id, lang, text FROM documents
@@ -4391,7 +4432,7 @@ object SparkEntry {
          |  SELECT doc_id, gram, cnt FROM c
          |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1
          |)
-         |SELECT c.doc_id, SUM(c.cnt) AS n_grams, COUNT(*) AS distinct_ngrams,
+         |SELECT c.doc_id, CAST(SUM(c.cnt) AS BIGINT) AS n_grams, COUNT(*) AS distinct_ngrams,
          |  CAST(((SUM(c.cnt) - COUNT(*)) * 2000000 + SUM(c.cnt)) // (2 * SUM(c.cnt))
          |    AS DOUBLE) / 1000000.0 AS dup_ngram_frac,
          |  ANY_VALUE(top.gram) AS top_gram,
@@ -5521,7 +5562,7 @@ object SparkEntry {
 
     "q_rollup_incr" ->
       """SELECT lang, source, COUNT(*) AS n_rows,
-        |  SUM(CAST(n_chars AS DECIMAL(38,6))) AS sum_n_chars
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS sum_n_chars
         |FROM documents GROUP BY lang, source
         |ORDER BY lang, source""".stripMargin,
   ) ++ TpchSuite.oracles

@@ -259,6 +259,24 @@ object Tidier {
           m.contains("Failed to find data source") || m.contains("DATA_SOURCE_NOT_FOUND"))
     }
   }
+  /** External-database scan over JDBC — the one-API counterpart of the
+    * reference's per-backend `ext/` connections (reference:
+    * ext/LibPQExt.jl:15-39, ext/SQLiteExt.jl, ext/ODBCExt.jl:1-57).
+    * `tableOrQuery` is a table name or SQL text (auto-wrapped as a
+    * derived table). Filters/projections on the returned frame push
+    * into the remote database's WHERE clause. */
+  def readJdbc(spark: SparkSession, url: String, tableOrQuery: String,
+               options: Map[String, String] = Map.empty): TidierFrame =
+    TidierFrame(graft.sources.JdbcScan.read(spark, url, tableOrQuery, options))
+
+  /** Parallel JDBC scan: `numPartitions` concurrent range queries on
+    * `partitionColumn` — the scan shape a big remote fact table needs. */
+  def readJdbc(spark: SparkSession, url: String, tableOrQuery: String,
+               partitionColumn: String, lowerBound: Long, upperBound: Long,
+               numPartitions: Int): TidierFrame =
+    TidierFrame(graft.sources.JdbcScan.readPartitioned(
+      spark, url, tableOrQuery, partitionColumn, lowerBound, upperBound, numPartitions))
+
   /** Catalog table scan. */
   def table(spark: SparkSession, name: String): TidierFrame =
     TidierFrame(spark.table(name))

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** JDBC external-database source (SURVEY §2.1 — the reference's ext/
+  * backend surface, reference: ext/LibPQExt.jl:15-39, ext/SQLiteExt.jl)
+  * exercised end to end against an EMBEDDED Derby database
+  * (jdbc:derby:memory: — no egress, driver jar ships in
+  * /opt/spark/jars): round trip, predicate pushdown into the remote
+  * WHERE clause, partitioned parallel reads, and the subquery form. */
+class JdbcScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  System.setProperty("derby.stream.error.file", "/tmp/graft_derby_spec.log")
+  private val driverOpt = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+
+  private def freshUrl(): String =
+    "jdbc:derby:memory:graft_spec_" +
+      java.util.UUID.randomUUID().toString.replace("-", "") + ";create=true"
+
+  private def seeded(): String = {
+    val url = freshUrl()
+    val df = (1L to 100L).map(i => (i, s"name_$i", i * 10L)).toDF("id", "name", "amount")
+    graft.sources.JdbcWrite.write(df, url, "t", mode = "overwrite", options = driverOpt)
+    url
+  }
+
+  test("write then read round-trips rows and schema through Derby") {
+    val url = seeded()
+    val back = Tidier.readJdbc(spark, url, "t").arrange("id").df
+    assert(back.count() == 100)
+    assert(back.columns.toSeq == Seq("id", "name", "amount"))
+    val r = back.filter($"id" === 7L).first()
+    assert(r.getString(1) == "name_7" && r.getLong(2) == 70L)
+  }
+
+  test("filter on the frame is pushed into the JDBC scan (remote WHERE)") {
+    val url = seeded()
+    val q = Tidier.readJdbc(spark, url, "t").filter($"amount" > 500).df
+    // the JDBC scan must carry the pushed filter; a post-scan Spark
+    // Filter over a full-table JDBC scan would ship the whole remote
+    // table at 100 TB
+    val pushed = q.queryExecution.executedPlan.toString
+    assert(pushed.contains("JDBCRelation"),
+      s"no JDBC relation in executed plan:\n$pushed")
+    assert(pushed.contains("PushedFilters") && pushed.contains("amount"),
+      s"filter not pushed into JDBC scan:\n$pushed")
+    assert(q.count() == 50)
+  }
+
+  test("partitioned read issues numPartitions range scans and loses no rows") {
+    val url = seeded()
+    val q = Tidier.readJdbc(spark, url, "t", "id", 1L, 101L, 4).df
+    assert(q.rdd.getNumPartitions == 4)
+    // rows outside [lower, upper) must still arrive (bounds are stride
+    // hints, not filters) — Spark puts them in the first/last partition
+    assert(q.count() == 100)
+    assert(q.agg(sum("amount")).first().getLong(0) == (1L to 100L).map(_ * 10).sum)
+  }
+
+  test("SQL-text form wraps as a derived table and runs remotely") {
+    val url = seeded()
+    assert(graft.sources.JdbcScan.dbTableClause("t") == "t")
+    assert(graft.sources.JdbcScan
+      .dbTableClause("SELECT id FROM t") == "(SELECT id FROM t) graft_q")
+    // Spark's JDBC writer creates case-sensitive (quoted) lowercase
+    // columns, so raw Derby SQL must quote them — unquoted folds to
+    // uppercase per the SQL standard
+    val q = Tidier.readJdbc(spark, url,
+      """SELECT "id", "amount" FROM t WHERE "id" <= 10""").arrange("id").df
+    assert(q.count() == 10)
+    assert(q.columns.toSeq == Seq("id", "amount"))
+  }
+
+  test("showTables lists the created table") {
+    val url = seeded()
+    assert(graft.sources.JdbcScan.showTables(url).exists(_.equalsIgnoreCase("t")))
+  }
+
+  test("append mode accumulates; overwrite replaces") {
+    val url = freshUrl()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    graft.sources.JdbcWrite.write(df, url, "w", mode = "overwrite", options = driverOpt)
+    graft.sources.JdbcWrite.write(df, url, "w", mode = "append", options = driverOpt)
+    assert(Tidier.readJdbc(spark, url, "w").df.count() == 4)
+    graft.sources.JdbcWrite.write(df, url, "w", mode = "overwrite", options = driverOpt)
+    assert(Tidier.readJdbc(spark, url, "w").df.count() == 2)
+  }
+}

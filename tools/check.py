@@ -44,6 +44,33 @@ def table_repr(cols, rows):
     return [cols[i] for i in order], out
 
 
+# DuckDB fetched-type → coarse class the driver's raw hash distinguishes.
+# HUGEINT-vs-BIGINT, DECIMAL-vs-DOUBLE, TIMESTAMP_NS-vs-TIMESTAMP all
+# hash differently driver-side even when normalized strings match, so a
+# local pass must require same-class types on both sides (r4 lesson:
+# 4 gates were locally green / driver red purely on these).
+def type_class(t):
+    t = str(t).upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "INT"
+    if t == "HUGEINT" or t == "UHUGEINT":
+        return "HUGEINT"
+    if t in ("FLOAT", "DOUBLE"):
+        return "FLOAT"
+    if t.startswith("DECIMAL"):
+        return "DECIMAL"
+    if t.startswith("TIMESTAMP") or t == "DATE" or t.startswith("TIME"):
+        return t  # exact: ns-vs-us-vs-date all encode differently
+    if t in ("VARCHAR", "BOOLEAN", "BLOB"):
+        return t
+    return t
+
+
+def types_of(rel):
+    return {c: type_class(t) for c, t in zip(rel.columns, rel.types)}
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -66,8 +93,15 @@ def main(sf_dir, out_dir):
             print(f"  ✗ {name}: oracle SQL failed: {e}")
             n_fail += 1
             continue
+        gtypes, wtypes = types_of(got_rel), types_of(want_rel)
+        type_diff = {c: (gtypes.get(c), wtypes.get(c))
+                     for c in set(gtypes) | set(wtypes)
+                     if gtypes.get(c) != wtypes.get(c)}
         if gcols != wcols:
             print(f"  ✗ {name}: column mismatch\n      spark={gcols}\n      duck ={wcols}")
+            n_fail += 1
+        elif type_diff:
+            print(f"  ✗ {name}: fetched-TYPE mismatch (driver hash would diverge): {type_diff}")
             n_fail += 1
         elif grows != wrows:
             n_fail += 1
