@@ -1123,6 +1123,29 @@ object SparkEntry {
         .arrange("doc_id")
         .df),
 
+    // REAL-MODEL language id: character-1..3-gram Naive Bayes trained
+    // DISTRIBUTED at gate time on the built-in 8-language / 3-script
+    // seed corpus, pinned equal to the plain-Scala reference trainer
+    // (whose literal weights the oracle embeds — DuckDB mirrors only
+    // the pure-integer inference, so no cross-engine ln), then run
+    // over documents plus the held-out multi-script test sentences
+    "q_text_langid2" -> ((s, dir) => {
+      val model = graft.operators.LangId.train(
+        s.createDataFrame(graft.operators.LangSeedCorpus.train).toDF("lang", "text"),
+        "text", "lang")
+      require(model == gateLangModel,
+        "distributed NB training diverged from the reference model")
+      val docs = t(s, dir, "documents").df.select(col("doc_id"), col("text"))
+      val test = s.createDataFrame(
+        graft.operators.LangSeedCorpus.test.zipWithIndex.map { case ((_, tx), i) =>
+          (1000000L + i, tx)
+        }).toDF("doc_id", "text")
+      docs.unionByName(test)
+        .select(col("doc_id"),
+          graft.operators.LangId.predict(model, col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
     // n-gram LM fluency (CCNet-style quality signal): bigram model
     // counted from the even-doc_id half of the corpus (so odd docs
     // exercise real OOV), every doc scored by mean add-one-smoothed
@@ -3581,6 +3604,8 @@ object SparkEntry {
          |       ELSE 'zh' END AS pred_lang
          |FROM sc ORDER BY doc_id""".stripMargin,
 
+    "q_text_langid2" -> langid2OracleSql,
+
     "q_dedup_exact" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id, text FROM documents
@@ -5570,6 +5595,67 @@ object SparkEntry {
   /** The q_embed_pq formula codebook: 8 subspaces × 16 centroids × 8
     * dims on the 1e-7 grid, centroids in ±0.4 (the data's component
     * range) via a hash-mix formula both engines evaluate identically. */
+  /** The q_text_langid2 reference model: plain-Scala NB training over
+    * the built-in seed corpus — no SparkSession needed, so the SAME
+    * exact-integer weights can be inlined into the DuckDB oracle as
+    * literals (and the gate requires the distributed trainer to
+    * reproduce them bit-for-bit). */
+  private lazy val gateLangModel: graft.operators.LangId.NbModel =
+    graft.operators.LangId.trainRef(graft.operators.LangSeedCorpus.train)
+
+  /** DuckDB mirror of ONLY the inference pass (mixed 1..3-codepoint
+    * grams → md5 buckets → per-language integer micro-log-prob sums →
+    * first-wins argmax) with the trained weights as dense list
+    * literals: training numerics never cross engines, so there is no
+    * ln-rounding surface. Scores are internal (HUGEINT is fine there);
+    * the output is doc_id BIGINT + pred_lang VARCHAR — driver-hash
+    * stable. */
+  private lazy val langid2OracleSql: String = {
+    val m = gateLangModel
+    val langs = m.langs
+    def esc(s: String) = s.replace("'", "''")
+    val testRows = graft.operators.LangSeedCorpus.test.zipWithIndex.map {
+      case ((_, tx), i) => s"(${1000000L + i}, '${esc(tx)}')"
+    }.mkString(",\n         ")
+    val wDefs = langs.zipWithIndex.map { case (l, j) =>
+      s"[${m.weightsMicro(j).mkString(",")}] AS w_$l"
+    }.mkString(",\n         ")
+    val sumDefs = langs.zipWithIndex.map { case (l, j) =>
+      s"${m.priorsMicro(j)} + SUM(list_extract(w_$l, bk + 1)) AS s_$l"
+    }.mkString(",\n         ")
+    val mExpr = langs.map(l => s"s_$l").mkString("greatest(", ",", ")")
+    val argmax = langs.init.map(l =>
+      s"WHEN s_$l = $mExpr THEN '$l'").mkString("\n              ") +
+      s"\n              ELSE '${langs.last}'"
+    s"""WITH docs AS (
+       |  SELECT doc_id, lower(text) AS t FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, lower(txt) AS t FROM (VALUES
+       |         $testRows) v(doc_id, txt)
+       |), g AS (
+       |  SELECT doc_id, unnest(
+       |    list_transform(range(1, len(t) + 1), i -> substr(t, i, 1)) ||
+       |    list_transform(range(1, greatest(len(t) - 1, 0) + 1), i -> substr(t, i, 2)) ||
+       |    list_transform(range(1, greatest(len(t) - 2, 0) + 1), i -> substr(t, i, 3))
+       |  ) AS gram FROM docs
+       |), b AS (
+       |  SELECT doc_id,
+       |    ('0x'||substr(md5('${m.seed}'||chr(1)||gram),1,15))::BIGINT % ${m.nBuckets} AS bk
+       |  FROM g
+       |), w AS (
+       |  SELECT $wDefs
+       |), sc AS (
+       |  SELECT doc_id,
+       |         $sumDefs
+       |  FROM b, w GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CASE WHEN sc.doc_id IS NULL THEN 'und'
+       |       $argmax END AS pred_lang
+       |FROM docs d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   private def gatePqModel: graft.operators.Pq.PqModel =
     graft.operators.Pq.PqModel(8, 16, 8,
       Array.tabulate(8, 16, 8)((s, c, j) =>
