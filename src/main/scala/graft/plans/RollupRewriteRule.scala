@@ -161,8 +161,14 @@ object RollupRewriteRule extends Rule[LogicalPlan] {
           if !ae.isDistinct && ae.filter.isEmpty =>
         ae.aggregateFunction match {
           case Count(Seq(Literal(v, _))) if v != null => // count(NULL) is always 0, not n_rows
+            // Count is non-nullable and returns 0 on empty input;
+            // Sum is nullable and returns NULL — Coalesce restores both
+            // the value (a global aggregate over an empty rollup) and
+            // the output attribute's nullability
             Alias(
-              Cast(Sum(rollupAttr("n_rows")).toAggregateExpression(), LongType),
+              Coalesce(Seq(
+                Cast(Sum(rollupAttr("n_rows")).toAggregateExpression(), LongType),
+                Literal(0L))),
               name)(exprId = al.exprId)
           case Sum(a: AttributeReference, _)
               if cached.sumCols.contains(a.name) && isIntegral(a.dataType) =>

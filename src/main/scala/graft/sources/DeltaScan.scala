@@ -389,22 +389,42 @@ object DeltaScan {
   }
 
   /** `timestampAsOf` time travel: the table at the LAST version whose
-    * commit landed at or before `ts` (epoch millis) — resolved from the
-    * commit files' modification times, the same source `delta`'s own
-    * timestamp travel uses absent in-commit timestamps. Fails loudly
-    * when `ts` precedes the first commit. */
+    * commit landed at or before `ts` (epoch millis). Version timestamps
+    * prefer IN-COMMIT evidence — `commitInfo.timestamp`, else the max
+    * `add.modificationTime` in the commit — falling back to the commit
+    * file's mtime only when neither exists: object stores and
+    * copy/restore operations rewrite file mtimes arbitrarily, and a
+    * restored log must not silently travel to the wrong version. Fails
+    * loudly when `ts` precedes the first commit. */
   def readTimestampAsOf(spark: SparkSession, tablePath: String, tsMillis: Long): DataFrame = {
     val (fs, versions) = listLog(spark, tablePath)
     require(versions.nonEmpty,
       s"no Delta log found under $tablePath/_delta_log (timestamp travel needs the JSON tail)")
     val logDir = new Path(tablePath, "_delta_log")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val stamped = versions.sorted.map { v =>
-      v -> fs.getFileStatus(new Path(logDir, f"$v%020d.json")).getModificationTime
+      val p = new Path(logDir, f"$v%020d.json")
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      val nodes = lines.map(mapper.readTree)
+      val commitInfoTs = nodes.collectFirst {
+        case n if n.has("commitInfo") && n.get("commitInfo").has("timestamp") =>
+          n.get("commitInfo").get("timestamp").asLong()
+      }
+      val addTs = nodes.collect {
+        case n if n.has("add") && n.get("add").has("modificationTime") =>
+          n.get("add").get("modificationTime").asLong()
+      }
+      val ts = commitInfoTs
+        .orElse(if (addTs.nonEmpty) Some(addTs.max) else None)
+        .getOrElse(fs.getFileStatus(p).getModificationTime)
+      v -> ts
     }
     val eligible = stamped.filter(_._2 <= tsMillis)
     require(eligible.nonEmpty,
       s"timestamp $tsMillis precedes the first commit of $tablePath " +
-        s"(earliest ${stamped.head._2})")
+        s"(earliest ${stamped.map(_._2).min})")
     read(spark, tablePath, Some(eligible.map(_._1).max))
   }
 

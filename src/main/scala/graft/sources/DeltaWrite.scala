@@ -395,12 +395,17 @@ object DeltaWrite {
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
       lines.map(mapper.readTree).foreach { node =>
+        // spec-compliant external writers percent-encode action paths;
+        // decode to ON-DISK names (mirroring DeltaScan.read) so
+        // vacuum's tracked-set, compact's live-set, and existence
+        // checks all compare in the same namespace — an encoded live
+        // file must never look untracked (that deleted data)
         if (node.has("add"))
-          latest(node.get("add").get("path").asText()) = (true, v, 0L)
+          latest(decodePath(node.get("add").get("path").asText())) = (true, v, 0L)
         else if (node.has("remove")) {
           val r = node.get("remove")
           val ts = Option(r.get("deletionTimestamp")).map(_.asLong()).getOrElse(0L)
-          latest(r.get("path").asText()) = (false, v, ts)
+          latest(decodePath(r.get("path").asText())) = (false, v, ts)
         }
       }
     }
@@ -615,6 +620,18 @@ object DeltaWrite {
     }
     val doomed = removed ++ orphans
     if (!dryRun) doomed.foreach(rel => fs.delete(new Path(root, rel), false))
+    // crashed writers leave .staging-* dirs behind; listDataFiles hides
+    // them (correctly — in-flight files must not be claimable), so
+    // vacuum is the only reclamation point: delete staging dirs whose
+    // mtime is past the retention window (a LIVE writer's staging dir
+    // is younger than any sane retainMs)
+    if (!dryRun && fs.exists(root)) {
+      fs.listStatus(root).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(".staging-") &&
+            st.getModificationTime <= cutoff)
+          fs.delete(st.getPath, true)
+      }
+    }
     doomed
   }
 
@@ -663,6 +680,12 @@ object DeltaWrite {
       Option(dest.getParent).foreach(fs.mkdirs)
       require(fs.rename(new Path(staging, in), dest),
         s"could not move staged data file $in into $dest")
+      // rename preserves mtime, so a data phase longer than vacuum's
+      // retention window would leave the moved-but-uncommitted file
+      // already outside the orphan protection window; re-stamp the
+      // clock at MOVE time so the window starts when the file becomes
+      // visible in the root
+      fs.setTimes(dest, System.currentTimeMillis(), -1)
       (rel, size)
     }
     fs.delete(staging, true)
@@ -693,6 +716,12 @@ object DeltaWrite {
   /** minimal hive-path unescape (%xx sequences) for partition values */
   private def hiveUnescape(s: String): String =
     java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+
+  /** log action path → on-disk relative path (the same URLDecoder call
+    * DeltaScan.read uses, so reader and writer agree on the decoded
+    * namespace) */
+  private def decodePath(p: String): String =
+    java.net.URLDecoder.decode(p, StandardCharsets.UTF_8)
 
   /** JSON string literal with full control-char escaping */
   private def jstr(s: String): String = "\"" + s.flatMap {

@@ -103,23 +103,58 @@ class DeltaScanSpec extends SparkSpec {
     }
   }
 
-  test("readTimestampAsOf resolves to the last commit at or before the timestamp") {
+  test("readTimestampAsOf resolves to the last commit at or before the timestamp " +
+      "(in-commit add.modificationTime preferred over file mtime)") {
     val dir = freshDir("graft_delta_tsaof")
-    graft.sources.DeltaWrite.create(spark, Seq((1L, "a")).toDF("id", "v"), dir.toString)
+    // handwritten commits: add.modificationTime IS the in-commit
+    // timestamp evidence (1700000000000); stamp the commit FILES with
+    // garbage mtimes to prove a copy/restore can't skew resolution
+    val t0 = 1700000000000L
+    val s0 = writeDataFile(Seq((1L, "a")).toDF("id", "v"), dir, "f0.parquet")
+    writeCommit(dir, 0, Seq(protoAction, metaAction(),
+      s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":$s0,""" +
+        s""""modificationTime":$t0,"dataChange":true}}"""))
+    val s1 = writeDataFile(Seq((2L, "b")).toDF("id", "v"), dir, "f1.parquet")
+    writeCommit(dir, 1, Seq(
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$s1,""" +
+        s""""modificationTime":${t0 + 4000L},"dataChange":true}}"""))
     val fs = new org.apache.hadoop.fs.Path(dir.toString)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // pin distinct commit mtimes so the resolution order is deterministic
+    val log = new org.apache.hadoop.fs.Path(dir.toString, "_delta_log")
+    // a restore rewrote both commit-file mtimes to "now" — irrelevant
+    fs.setTimes(new org.apache.hadoop.fs.Path(log, f"${0L}%020d.json"),
+      System.currentTimeMillis(), -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(log, f"${1L}%020d.json"),
+      System.currentTimeMillis(), -1)
+    def ids(ts: Long) = DeltaScan.readTimestampAsOf(spark, dir.toString, ts)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(t0) == Set(1L))          // exactly at commit 0
+    assert(ids(t0 + 3999L) == Set(1L))  // before commit 1
+    assert(ids(t0 + 4000L) == Set(1L, 2L))
+    assert(ids(Long.MaxValue) == Set(1L, 2L))
+    intercept[IllegalArgumentException] { ids(t0 - 1L) } // precedes first commit
+  }
+
+  test("readTimestampAsOf falls back to commit-file mtime when commits carry no timestamps") {
+    val dir = freshDir("graft_delta_tsaof_mtime")
+    val s0 = writeDataFile(Seq(Tuple1(1L)).toDF("id"), dir, "f0.parquet")
+    // adds WITHOUT modificationTime and no commitInfo → mtime is the
+    // only evidence left
+    writeCommit(dir, 0, Seq(protoAction, metaAction(),
+      s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":$s0,"dataChange":true}}"""))
+    val s1 = writeDataFile(Seq(Tuple1(2L)).toDF("id"), dir, "f1.parquet")
+    writeCommit(dir, 1, Seq(
+      s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$s1,"dataChange":true}}"""))
+    val fs = new org.apache.hadoop.fs.Path(dir.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val log = new org.apache.hadoop.fs.Path(dir.toString, "_delta_log")
     fs.setTimes(new org.apache.hadoop.fs.Path(log, f"${0L}%020d.json"), 1000L, -1)
-    graft.sources.DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), dir.toString)
     fs.setTimes(new org.apache.hadoop.fs.Path(log, f"${1L}%020d.json"), 5000L, -1)
     def ids(ts: Long) = DeltaScan.readTimestampAsOf(spark, dir.toString, ts)
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(ids(1000L) == Set(1L))  // exactly at commit 0
-    assert(ids(4999L) == Set(1L))  // before commit 1
+    assert(ids(1000L) == Set(1L))
     assert(ids(5000L) == Set(1L, 2L))
-    assert(ids(Long.MaxValue) == Set(1L, 2L))
-    intercept[IllegalArgumentException] { ids(999L) } // precedes first commit
+    intercept[IllegalArgumentException] { ids(999L) }
   }
 
   test("hive-layout partitioned table: partition column from dirs, pruning-capable plan") {
@@ -639,6 +674,44 @@ class DeltaScanSpec extends SparkSpec {
     assert(DeltaScan.read(spark, dir).as[(Long, String)].collect().toSet == before)
     // vacuum is idempotent
     assert(DeltaWrite.vacuum(spark, dir, retainMs = 0L).isEmpty)
+  }
+
+  test("vacuum never deletes a live file whose log path is percent-encoded") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    // spec-compliant EXTERNAL writer: on-disk name has a space, the
+    // add action percent-encodes it — an encoded live file must not
+    // look untracked to orphan collection (that would be data loss)
+    val dir = freshDir("graft_delta_vac_enc")
+    val s0 = writeDataFile(Seq((1L, "a")).toDF("id", "v"), dir, "part a.parquet")
+    writeCommit(dir, 0, Seq(protoAction, metaAction(),
+      s"""{"add":{"path":"part%20a.parquet","partitionValues":{},"size":$s0,""" +
+        """"modificationTime":1700000000000,"dataChange":true}}"""))
+    assert(DeltaScan.read(spark, dir.toString).count() == 1)
+    val gone = DeltaWrite.vacuum(spark, dir.toString, retainMs = 0L)
+    assert(gone.isEmpty, s"vacuum claimed live encoded-path files: $gone")
+    assert(DeltaScan.read(spark, dir.toString).count() == 1)
+  }
+
+  test("vacuum reclaims crashed writers' stale .staging-* dirs, keeps fresh ones") {
+    import graft.sources.DeltaWrite
+    val dir = freshDir("graft_delta_vac_staging").toString
+    DeltaWrite.create(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new org.apache.hadoop.fs.Path(dir, ".staging-deadbeef0000")
+    fs.mkdirs(stale)
+    fs.create(new org.apache.hadoop.fs.Path(stale, "part-0.parquet"), true).close()
+    fs.setTimes(stale, 1000L, -1) // crashed long ago
+    val live = new org.apache.hadoop.fs.Path(dir, ".staging-cafebabe0000")
+    fs.mkdirs(live) // a writer mid-flight right now
+    DeltaWrite.vacuum(spark, dir, retainMs = 60L * 1000L)
+    assert(!fs.exists(stale), "stale staging dir not reclaimed")
+    assert(fs.exists(live), "in-flight staging dir must survive")
+    // dryRun touches nothing
+    fs.mkdirs(stale)
+    fs.setTimes(stale, 1000L, -1)
+    DeltaWrite.vacuum(spark, dir, retainMs = 60L * 1000L, dryRun = true)
+    assert(fs.exists(stale))
   }
 
   test("DeltaWrite.compact groups by partition and keeps partitionValues truthful") {

@@ -49,6 +49,12 @@ class RollupRewriteSpec extends SparkSpec {
       // is NOT a key attr list → untouched, still correct
       val global = DeltaScan.read(spark, corpus).agg(count(lit(1)).as("n"))
       assert(global.head().getLong(0) == 4L)
+      // Count semantics survive the rewrite: the served count column is
+      // non-nullable and never NULL (the Sum(n_rows) rewrite wraps in
+      // Coalesce(..., 0) so nullability and empty-input value match)
+      assert(!q.schema("n").nullable,
+        "rewritten count flipped to nullable — Coalesce(Sum, 0) missing")
+      assert(q.collect().forall(!_.isNullAt(1)))
     } finally RollupRewriteRule.clear()
   }
 
