@@ -142,7 +142,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // stop FIRST so no Spark shutdown chatter can land after the
+    // metric line — the driver parses the headline JSON from the tail
+    // of stdout, so it must be the program's last output
     spark.stop()
+    System.out.println(
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }
