@@ -421,7 +421,9 @@ object Dedup {
       numBits: Int = 64,
       chunks: Int = 4,
       portable: Boolean = false,
-      materialize: Materialize = Materialize.Cache): DataFrame = {
+      materialize: Materialize = Materialize.Cache,
+      saltBuckets: Int = 1,
+      autoSaltThreshold: Long = 4096L): DataFrame = {
     require(numBits % chunks == 0 && numBits <= 64 && chunks > 0,
       s"numBits ($numBits) must be a positive multiple of chunks ($chunks), <= 64")
     // pigeonhole guarantee: two docs within Hamming distance < `chunks`
@@ -436,7 +438,8 @@ object Dedup {
       .select(df.col(idCol).as("id"),
         TextFns.simHash(df.col(textCol), numBits, portable).as("sig"))
     val (sigs, release) = materialized(based, materialize, "id")
-    finish(hammingJoin(sigs, maxHamming, numBits, chunks), materialize, release)
+    finish(hammingJoin(sigs, maxHamming, numBits, chunks, saltBuckets, autoSaltThreshold),
+      materialize, release)
   }
 
   /** Pigeonhole Hamming self-join over a 64-bit signature frame
@@ -446,7 +449,9 @@ object Dedup {
     * and perceptual-hash image near-dup — identical scale shape: one
     * shuffle on (chunk_id, chunk), never all-pairs. */
   private def hammingJoin(
-      sigs: DataFrame, maxHamming: Int, numBits: Int, chunks: Int): DataFrame = {
+      sigs: DataFrame, maxHamming: Int, numBits: Int, chunks: Int,
+      saltBuckets: Int = 1, autoSaltThreshold: Long = 4096L): DataFrame = {
+    require(saltBuckets >= 0, s"saltBuckets must be >= 0 (0 = auto), got $saltBuckets")
     val chunkBits = numBits / chunks
     val mask = (1L << chunkBits) - 1
     val chunkArr = array((0 until chunks).map { c =>
@@ -457,7 +462,23 @@ object Dedup {
       .select(col("id"), col("sig"), col("__c.chunk_id").as("chunk_id"), col("__c.chunk").as("chunk"))
     val l = chunked.select(col("chunk_id"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = chunked.select(col("chunk_id"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("chunk_id", "chunk"))
+    // band keys are power-law distributed on real crawls (boilerplate
+    // puts thousands of near-identical signatures on one (chunk_id,
+    // chunk) key → an n² hot task); salting splits the hot key across
+    // `saltBuckets` tasks with the pair set IDENTICAL by construction
+    // (the replicated side meets every salt)
+    val resolvedSalt =
+      if (saltBuckets == 0)
+        ScaleOps.autoSaltBucketsKeys(chunked, Seq("chunk_id", "chunk"), autoSaltThreshold)
+      else saltBuckets
+    val joined =
+      if (resolvedSalt <= 1) l.join(r, Seq("chunk_id", "chunk"))
+      else {
+        val (sl, sr, keys) =
+          ScaleOps.saltedForJoinKeys(l, r, Seq("chunk_id", "chunk"), resolvedSalt)
+        sl.join(sr, keys)
+      }
+    joined
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
@@ -480,9 +501,11 @@ object Dedup {
       kind: String = "dhash",
       maxHamming: Int = 3,
       chunks: Int = 4,
-      materialize: Materialize = Materialize.Cache): DataFrame =
+      materialize: Materialize = Materialize.Cache,
+      saltBuckets: Int = 1): DataFrame =
     signatureDupPairs(df, idCol,
-      Multimodal.imageHash(df.col(mediaCol), kind), maxHamming, chunks, materialize)
+      Multimodal.imageHash(df.col(mediaCol), kind), maxHamming, chunks, materialize,
+      saltBuckets)
 
   /** Near-duplicate AUDIO pairs via the gain-invariant acoustic
     * fingerprint ([[graft.plans.AudioFingerprint]]): re-encoded or
@@ -495,9 +518,11 @@ object Dedup {
       mediaCol: String,
       maxHamming: Int = 3,
       chunks: Int = 4,
-      materialize: Materialize = Materialize.Cache): DataFrame =
+      materialize: Materialize = Materialize.Cache,
+      saltBuckets: Int = 1): DataFrame =
     signatureDupPairs(df, idCol,
-      Multimodal.audioFingerprint(df.col(mediaCol)), maxHamming, chunks, materialize)
+      Multimodal.audioFingerprint(df.col(mediaCol)), maxHamming, chunks, materialize,
+      saltBuckets)
 
   /** Near-duplicate VIDEO pairs via per-frame perceptual hashes
     * ([[graft.plans.VideoFrameHashes]]), frame-index-ALIGNED: candidate
@@ -559,13 +584,16 @@ object Dedup {
       sig: Column,
       maxHamming: Int,
       chunks: Int,
-      materialize: Materialize): DataFrame = {
+      materialize: Materialize,
+      saltBuckets: Int = 1,
+      autoSaltThreshold: Long = 4096L): DataFrame = {
     require(64 % chunks == 0 && chunks > 0, s"chunks ($chunks) must divide 64")
     val based = df
       .select(df.col(idCol).as("id"), sig.as("sig"))
       .filter(col("sig").isNotNull)
     val (sigs, release) = materialized(based, materialize, "id")
-    finish(hammingJoin(sigs, maxHamming, 64, chunks), materialize, release)
+    finish(hammingJoin(sigs, maxHamming, 64, chunks, saltBuckets, autoSaltThreshold),
+      materialize, release)
   }
 
   /** n-gram Jaccard similarity for a candidate pair set (exact verify

@@ -44,13 +44,24 @@ object ScaleOps {
       small: DataFrame,
       key: String,
       buckets: Int,
+      seed: Long = 42L): (DataFrame, DataFrame, Seq[String]) =
+    saltedForJoinKeys(large, small, Seq(key), buckets, seed)
+
+  /** Multi-key variant (e.g. the pigeonhole Hamming join's
+    * (chunk_id, chunk) band key). */
+  def saltedForJoinKeys(
+      large: DataFrame,
+      small: DataFrame,
+      keys: Seq[String],
+      buckets: Int,
       seed: Long = 42L): (DataFrame, DataFrame, Seq[String]) = {
     require(buckets > 1, "salting needs buckets > 1")
+    require(keys.nonEmpty, "salting needs at least one join key")
     val saltedLarge = large.withColumn(
       "__salt", (rand(seed) * buckets).cast("int"))
     val explodedSmall = small.withColumn(
       "__salt", explode(sequence(lit(0), lit(buckets - 1))))
-    (saltedLarge, explodedSmall, Seq(key, "__salt"))
+    (saltedLarge, explodedSmall, keys :+ "__salt")
   }
 
   /** Histogram-probe a join key and pick a salt factor: ONE cheap
@@ -68,9 +79,18 @@ object ScaleOps {
       df: DataFrame,
       key: String,
       hotKeyThreshold: Long = 4096L,
+      maxBuckets: Int = 64): Int =
+    autoSaltBucketsKeys(df, Seq(key), hotKeyThreshold, maxBuckets)
+
+  /** Multi-key probe variant. */
+  def autoSaltBucketsKeys(
+      df: DataFrame,
+      keys: Seq[String],
+      hotKeyThreshold: Long = 4096L,
       maxBuckets: Int = 64): Int = {
     require(hotKeyThreshold >= 1, s"hotKeyThreshold must be >= 1, got $hotKeyThreshold")
-    val mx = df.groupBy(key).count()
+    require(keys.nonEmpty, "probe needs at least one key")
+    val mx = df.groupBy(keys.map(col): _*).count()
       .agg(max(col("count")).as("mx")).first()
     val hot = if (mx.isNullAt(0)) 0L else mx.getLong(0)
     if (hot <= hotKeyThreshold) 1

@@ -41,6 +41,44 @@ class ScaleOpsSpec extends SparkSpec {
     assert(pairs(8) == pairs(1))
   }
 
+  test("salted Hamming band join: planted hot band, identical pairs, bounded task skew") {
+    // 40 IDENTICAL boilerplate docs (10% of a 400-doc corpus) → one
+    // signature → every (chunk_id, chunk) band key carries all 40:
+    // exactly the n² hot band real crawls produce from boilerplate
+    val boiler = "click here to subscribe to our newsletter for daily updates and offers"
+    val corpus = ((1 to 40).map(i => (i.toLong, boiler)) ++
+      (41 to 400).map(i => (i.toLong,
+        s"unique document number $i about topic ${i % 17} with extra words ${i * 31}"))
+      ).toDF("doc_id", "text")
+    def pairs(salt: Int) = Dedup.simHashDupPairs(
+        corpus, "doc_id", "text", maxHamming = 3, saltBuckets = salt)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unsalted = pairs(1)
+    // the boilerplate cluster is really there (40 choose 2 pairs at minimum)
+    assert(unsalted.size >= 40 * 39 / 2)
+    assert(pairs(8) == unsalted)  // manual salt: identical output
+    // auto mode (threshold low enough to trigger on the 40-doc band)
+    val auto = Dedup.simHashDupPairs(corpus, "doc_id", "text", maxHamming = 3,
+        saltBuckets = 0, autoSaltThreshold = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == unsalted)
+    val sigs = corpus.select(col("doc_id"),
+      graft.functions.TextFns.simHash(col("text"), 64, portable = false).as("sig"))
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until 4).map(c => struct(lit(c).as("chunk_id"),
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)).as("b"))
+      .select(col("b.chunk_id"), col("b.chunk"))
+    assert(ScaleOps.autoSaltBucketsKeys(bands, Seq("chunk_id", "chunk"),
+      hotKeyThreshold = 10L) >= 4) // 40-doc hot band / 10 = 4 buckets
+    // and the salt actually spreads the hot band across tasks
+    val l = bands.withColumn("id_a", lit(0L))
+    val (sl, _, _) = ScaleOps.saltedForJoinKeys(l, l, Seq("chunk_id", "chunk"), 8)
+    val hotSpread = sl
+      .groupBy("chunk_id", "chunk").agg(countDistinct("__salt").as("nsalt"))
+      .agg(max("nsalt")).first().getLong(0)
+    assert(hotSpread > 1, "hot band not spread across salt buckets")
+  }
+
   test("written LSH index prunes partitions on probe and reranks identically") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0L).select("embedding").first().getSeq[Float](0)
