@@ -333,6 +333,113 @@ object Streams {
       .toDF()
   }
 
+  /** buffered-funnel state: the committed stage chain (micros, None =
+    * stage not reached) plus the not-yet-finalized event buffer
+    * (ts_us, event_type) still inside the watermark horizon */
+  final case class FunnelBufState(
+      chain: Seq[Option[Long]], buf: Seq[(Long, String)])
+
+  /** EVENT-TIME-ORDERED streaming funnel — the out-of-order-safe twin
+    * of [[funnelStream]]. funnelStream applies events in ARRIVAL order
+    * across micro-batches: an event delivered in a later batch than a
+    * same-or-later-staged event cannot retroactively rewrite the chain,
+    * so its batch parity holds only under per-user in-order delivery.
+    * This variant buffers every funnel event in keyed state until the
+    * WATERMARK passes it, then applies the finalized prefix in
+    * (ts, type) order — identical fold to the batch operator — so ANY
+    * arrival order the watermark admits (late, shuffled, interleaved)
+    * converges to the batch funnel exactly.
+    *
+    * Mechanics: each invocation merges the batch's funnel events into
+    * the buffer, splits the buffer at the current watermark, folds the
+    * final part into the chain, and re-arms an event-time timeout at
+    * the earliest still-buffered event so the group is re-invoked when
+    * the watermark passes it even if the user never sends another
+    * event. Emits a row whenever the committed chain advances.
+    *
+    * State is bounded by the watermark horizon (buffered events) plus
+    * k stage slots; `idleTtl` additionally expires the whole state
+    * after that much event time beyond the last activity.
+    *
+    * The trade vs [[funnelStream]]: emissions wait for the watermark
+    * (latency = allowed lateness), where funnelStream emits
+    * immediately but needs in-order delivery for parity. */
+  def funnelStreamOrdered(
+      events: DataFrame,
+      watermark: String,
+      steps: Seq[String],
+      idleTtl: Option[String] = scala.None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "funnel steps must be non-empty and distinct")
+    val k = steps.size
+    val spark = events.sparkSession
+    import spark.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    def fromUs(m: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(m, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
+      t
+    }
+    val ttlMs = idleTtl.map { s =>
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      iv.months * 2592000000L + iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    val ds = events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", watermark)
+      .as[Ev]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBufState, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state: GroupState[FunnelBufState]) =>
+          val st0 = state.getOption.getOrElse(
+            FunnelBufState(Seq.fill(k)(Option.empty[Long]), Seq.empty))
+          val incoming = rows.toSeq
+            .filter(e => steps.contains(e.event_type))
+            .map(e => (us(e.ts), e.event_type))
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          // finalize everything the watermark has passed (a row with
+          // ts < watermark can no longer arrive), fold it in batch
+          // order — the exact Events.funnel fold
+          val (ready, rest) = (st0.buf ++ incoming).partition(_._1 < wmUs)
+          var chain = st0.chain
+          ready.sorted.foreach { case (t, typ) =>
+            val i = steps.indexOf(typ)
+            if (chain(i).isEmpty && (i == 0 || chain(i - 1).exists(_ < t)))
+              chain = chain.updated(i, Some(t))
+          }
+          val advanced = chain != st0.chain
+          val activityMs = (incoming.map(_._1 / 1000L) :+ Long.MinValue).max
+          if (rest.isEmpty && incoming.isEmpty && ready.isEmpty && state.hasTimedOut &&
+              ttlMs.isDefined) {
+            // idle-TTL expiry: nothing buffered, nothing new — drop
+            state.remove()
+            Iterator.empty
+          } else {
+            state.update(FunnelBufState(chain, rest))
+            if (rest.nonEmpty) {
+              // wake when the watermark passes the earliest buffered
+              // event (strictly-future per the timeout contract)
+              val wake = math.max(wmMs + 1, rest.map(_._1).min / 1000L + 1)
+              state.setTimeoutTimestamp(wake)
+            } else ttlMs.foreach { ttl =>
+              val base = math.max(activityMs, wmMs)
+              state.setTimeoutTimestamp(math.max(wmMs + 1, base + ttl))
+            }
+            if (!advanced) Iterator.empty
+            else {
+              val depth = chain.takeWhile(_.isDefined).size.toLong
+              Iterator.single(FunnelRow(uid, chain.map(_.map(fromUs)), depth))
+            }
+          }
+      }
+      .toDF()
+  }
+
   /** Stream → Delta table sink: each micro-batch appends ONE
     * transactional commit through [[graft.sources.DeltaWrite]]
     * (create on the first non-empty batch). foreachBatch gives

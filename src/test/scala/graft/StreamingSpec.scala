@@ -584,6 +584,126 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStreamOrdered: SHUFFLED arrival order across batches matches the batch funnel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val steps = Seq("view", "click", "purchase")
+    // the event set, listed in EVENT-TIME order:
+    //   u1: view 10:00, click 10:01, purchase 10:05   -> depth 3
+    //   u2: click 09:00 (pre-view), view 09:30, click 11:00 -> depth 2
+    //   u3: purchase 10:00 only                        -> depth 0
+    val all = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 10:05:00"), 1L, "purchase", 0.0),
+      (4L, ts("2024-01-01 09:00:00"), 2L, "click", 0.0),
+      (5L, ts("2024-01-01 09:30:00"), 2L, "view", 0.0),
+      (6L, ts("2024-01-01 11:00:00"), 2L, "click", 0.0),
+      (7L, ts("2024-01-01 10:00:00"), 3L, "purchase", 0.0))
+    // delivery order is ADVERSARIAL: u1's purchase arrives FIRST, the
+    // click next batch, the view LAST — funnelStream (arrival-order)
+    // would lock u1 at depth 0 forever; the ordered variant must not
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val out = Streams.funnelStreamOrdered(
+      input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "2 hours", steps)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_ord_out").start()
+    try {
+      input.addData(all(2), all(5))          // purchase(u1) + late-stage click(u2)
+      q.processAllAvailable()
+      input.addData(all(1), all(3), all(6))  // click(u1), early click(u2), purchase(u3)
+      q.processAllAvailable()
+      input.addData(all(0), all(4))          // the views arrive LAST
+      q.processAllAvailable()
+      // push the watermark far past every buffered event so the chains
+      // finalize (any user's future event advances the global watermark;
+      // other groups wake via their event-time timeout)
+      input.addData((99L, ts("2024-01-02 12:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData((100L, ts("2024-01-02 13:00:00"), 9L, "error", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_ord_out")
+        .selectExpr("user_id", "depth").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val last = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1._2 }
+      val batch = graft.operators.Events.funnel(
+          all.map { case (id, t, u, typ, _) => (id, u, t, typ) }
+            .toDF("event_id", "user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", steps)
+        .selectExpr("user_id", "depth").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // batch funnel emits u3 with depth 0; the stream only emits on
+      // ADVANCE, so u3 (never past stage 0... actually never reaches
+      // stage 1) appears in neither map with depth > 0
+      assert(last - 9L == batch.filter(_._2 > 0L) - 9L,
+        s"stream=$last batch=$batch")
+      assert((last - 9L) == Map(1L -> 3L, 2L -> 2L))
+      // and funnelStream (arrival-order) demonstrably DIVERGES on this
+      // delivery: u1 locks below depth 3 because its view arrived last
+      val input2 = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val out2 = Streams.funnelStream(
+        input2.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "2 hours", steps)
+      val q2 = out2.writeStream.outputMode("append").format("memory")
+        .queryName("funnel_ord_cmp").start()
+      try {
+        input2.addData(all(2), all(5))
+        q2.processAllAvailable()
+        input2.addData(all(1), all(3), all(6))
+        q2.processAllAvailable()
+        input2.addData(all(0), all(4))
+        q2.processAllAvailable()
+        val cmp = spark.table("funnel_ord_cmp")
+          .selectExpr("user_id", "depth").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val cmpLast = cmp.zipWithIndex.groupBy(_._1._1)
+          .map { case (u, rs) => u -> rs.maxBy(_._2)._1._2 }
+        assert(cmpLast.getOrElse(1L, 0L) < 3L,
+          "arrival-order funnel unexpectedly reached depth 3 on shuffled delivery")
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
+  test("funnelStreamOrdered: idleTtl expires abandoned state after the buffer drains") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val out = Streams.funnelStreamOrdered(
+      input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "1 minute", Seq("view", "click"), idleTtl = Some("10 minutes"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_ord_ttl").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0))
+      q.processAllAvailable()
+      // advance the watermark past the event + TTL; user 1's state
+      // expires, then a LATE re-appearance restarts from empty chain
+      input.addData((2L, ts("2024-01-01 11:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData((3L, ts("2024-01-01 12:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData((4L, ts("2024-01-01 11:30:00"), 1L, "click", 0.0))
+      q.processAllAvailable()
+      input.addData((5L, ts("2024-01-01 13:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_ord_ttl")
+        .selectExpr("user_id", "depth").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val u1Last = rows.zipWithIndex.filter(_._1._1 == 1L)
+        .maxBy(_._2)._1._2
+      // the view expired before the click arrived → the click alone
+      // cannot advance past stage 0 → u1's last committed depth is 1
+      // from the original view emission, never 2
+      assert(u1Last == 1L, s"expected expired chain, got depth $u1Last (rows=${rows.toSeq})")
+    } finally q.stop()
+  }
+
   test("deltaSinkBatch is exactly-once: re-delivered batch ids are skipped, txn survives checkpointing") {
     import graft.sources.{DeltaScan, DeltaWrite}
     val dir = java.nio.file.Files.createTempDirectory("graft_txn_sink").toString + "/t"
