@@ -53,6 +53,88 @@ object GSheetScan {
     resp.body()
   }
 
+  /** Replay transport over a RECORDED HTTP transcript (the offline
+    * twin of [[httpGet]]): the transcript file holds raw
+    * request-URL → response exchanges (status line, headers, body
+    * bytes) in the plain `### GET <url>` / `HTTP/1.1 <code> …` format;
+    * the transport follows `Location` redirects exactly like the real
+    * client (the export URL 307s to a googleusercontent host), returns
+    * the terminal 200 body bytes, and fails loudly on an unknown URL,
+    * a non-redirect non-200 status, or a redirect loop. Lets the whole
+    * sheet path — export-URL construction, redirect chase, charset
+    * decode, CSV parse, schema inference — run end to end on real
+    * recorded bytes with zero egress. */
+  def recordedTransport(transcriptPath: String): Transport = {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(transcriptPath))
+    val exchanges = parseTranscript(bytes)
+    url => {
+      @annotation.tailrec
+      def chase(current: String, hops: Int): Array[Byte] = {
+        require(hops < 8, s"redirect loop replaying $url")
+        val (status, headers, body) = exchanges.getOrElse(current,
+          throw new IllegalArgumentException(
+            s"no recorded exchange for $current in $transcriptPath " +
+              s"(recorded: ${exchanges.keys.mkString(", ")})"))
+        if (status >= 300 && status < 400)
+          chase(headers.getOrElse("location",
+            throw new IllegalStateException(
+              s"recorded $status for $current has no Location header")), hops + 1)
+        else {
+          require(status == 200,
+            s"Google Sheets export failed: HTTP $status for $current " +
+              "(is the sheet shared to anyone-with-link?)")
+          body
+        }
+      }
+      chase(url, 0)
+    }
+  }
+
+  /** `### GET <url>\n<status line>\n<headers>\n\n<body bytes>` blocks;
+    * body bytes are preserved VERBATIM (CRLFs and all) up to the next
+    * marker — byte-faithful replay is the point of a transcript */
+  private def parseTranscript(
+      bytes: Array[Byte]): Map[String, (Int, Map[String, String], Array[Byte])] = {
+    val marker = "### GET ".getBytes(StandardCharsets.UTF_8)
+    def indexOf(from: Int): Int = {
+      var i = from
+      while (i <= bytes.length - marker.length) {
+        if (bytes.startsWith(marker, i) && (i == 0 || bytes(i - 1) == '\n')) return i
+        i += 1
+      }
+      -1
+    }
+    val starts = Iterator.iterate(indexOf(0))(p => indexOf(p + 1))
+      .takeWhile(_ >= 0).toSeq
+    require(starts.nonEmpty, "transcript has no '### GET ' exchanges")
+    starts.zipAll(starts.drop(1), -1, bytes.length).map { case (s, e) =>
+      val block = java.util.Arrays.copyOfRange(bytes, s, e)
+      val text = new String(block, StandardCharsets.UTF_8)
+      val headerEnd = {
+        val lf = text.indexOf("\n\n")
+        val crlf = text.indexOf("\r\n\r\n")
+        if (lf >= 0 && (crlf < 0 || lf < crlf)) (lf, 2) else (crlf, 4)
+      }
+      require(headerEnd._1 >= 0, s"exchange missing blank line after headers: $text")
+      val head = text.substring(0, headerEnd._1).split("\r?\n").toSeq
+      val url = head.head.stripPrefix("### GET ").trim
+      val status = head(1).split("\\s+")(1).toInt
+      val headers = head.drop(2).collect {
+        case h if h.contains(":") =>
+          val Array(k, v) = h.split(":", 2)
+          k.trim.toLowerCase -> v.trim
+      }.toMap
+      val bodyStart = s + text.substring(0, headerEnd._1).getBytes(StandardCharsets.UTF_8).length + headerEnd._2
+      // trim ONE trailing newline before the next marker (the
+      // transcript author's block separator, not response bytes)
+      var bodyEnd = e
+      if (bodyEnd > bodyStart && bytes(bodyEnd - 1) == '\n') bodyEnd -= 1
+      if (bodyEnd > bodyStart && bytes(bodyEnd - 1) == '\r') bodyEnd -= 1
+      url -> ((status, headers, java.util.Arrays.copyOfRange(bytes, bodyStart, bodyEnd)))
+    }.toMap
+  }
+
   def read(spark: SparkSession, url: String,
       transport: Transport = httpGet): DataFrame = {
     val csv = new String(transport(exportUrl(url)), StandardCharsets.UTF_8)
@@ -64,6 +146,11 @@ object GSheetScan {
     spark.read
       .option("header", "true")
       .option("inferSchema", "true")
+      // sheet exports are RFC 4180: quotes escape by DOUBLING ("") —
+      // Spark's default escape is backslash and would pass the inner
+      // quotes through literally (caught by the recorded-transcript
+      // fixture)
+      .option("escape", "\"")
       .csv(lines.toDS())
   }
 }

@@ -39,4 +39,38 @@ class GSheetScanSpec extends SparkSpec {
     assert(rows.map(_.getInt(1)).toSeq == Seq(7, 1, 3)) // inferred int
     assert(rows.map(_.getDouble(2)).toSeq == Seq(2.25, 0.5, 1.5))
   }
+
+  private def transcript: String =
+    getClass.getResource("/gsheet/transcript.http").getPath
+
+  test("recorded HTTP transcript end to end: 307 redirect chase + CSV bytes") {
+    val url = "https://docs.google.com/spreadsheets/d/" +
+      "1AbC-dEfGhIjKlMnOpQrStUvWxYz0123456789abcde/edit#gid=0"
+    val df = GSheetScan.read(spark, url, GSheetScan.recordedTransport(transcript))
+    assert(df.columns.toSeq == Seq("name", "qty", "price", "city", "note"))
+    val rows = df.orderBy("name").collect()
+    assert(rows.length == 4)
+    // quoted comma, doubled quotes, unicode — the recorded bytes are
+    // real CSV-export shapes, parsed through the actual reader
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("Anvil, large", "Hammer", "Quoted \"nail\" pack", "Rope"))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(3, 12, 100, 1))
+    val sp = rows.find(_.getString(0).startsWith("Quoted")).get
+    assert(sp.getString(3) == "São Paulo" && sp.getString(4) == "unicode ✓")
+    assert(rows.find(_.getString(0) == "Hammer").get.isNullAt(4)) // empty cell
+  }
+
+  test("recorded transport is loud on unknown URLs and replays redirects only to 200") {
+    val t = GSheetScan.recordedTransport(transcript)
+    val e = intercept[IllegalArgumentException] {
+      t("https://docs.google.com/spreadsheets/d/NOPE/export?format=csv&gid=0")
+    }
+    assert(e.getMessage.contains("no recorded exchange"))
+    // the terminal 200 body comes back byte-decoded through the chain
+    val bytes = t("https://docs.google.com/spreadsheets/d/" +
+      "1AbC-dEfGhIjKlMnOpQrStUvWxYz0123456789abcde/export?format=csv&gid=0")
+    val text = new String(bytes, "UTF-8")
+    assert(text.startsWith("name,qty,price,city,note\r\n"))
+    assert(text.contains("\"Anvil, large\""))
+  }
 }
