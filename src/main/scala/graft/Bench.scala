@@ -81,7 +81,12 @@ object Bench {
     "q_text_badwords",
     // r4: event analytics (per-user window, per-user fold, cohort aggs)
     "q_sessionize_batch", "q_funnel", "q_retention",
-    "q_pipeline_objectives", "q_embed_maxsim")
+    "q_pipeline_objectives", "q_embed_maxsim",
+    // round 5: JDBC external-database round trip through embedded
+    // Derby (write + 4-way partitioned pushdown read), fused NB langid
+    // inference (narrow native kernel), lang-keyed profile under the
+    // real model (kernel pass + one shuffle on the predicted key)
+    "q_jdbc_scan", "q_text_langid2", "q_langid_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

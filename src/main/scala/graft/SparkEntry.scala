@@ -1146,6 +1146,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // lang-keyed release profile under the REAL model: group the corpus
+    // by PREDICTED language (one narrow kernel pass + one shuffle on
+    // the predicted key) — the shape every lang-keyed mixing/release
+    // report takes at 100 TB
+    "q_langid_profile" -> ((s, dir) =>
+      t(s, dir, "documents").df
+        .select(
+          graft.operators.LangId.predict(gateLangModel, col("text")).as("pred_lang"),
+          col("n_chars"))
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("pred_lang")),
+
     // n-gram LM fluency (CCNet-style quality signal): bigram model
     // counted from the even-doc_id half of the corpus (so odd docs
     // exercise real OOV), every doc scored by mean add-one-smoothed
@@ -3606,6 +3619,8 @@ object SparkEntry {
 
     "q_text_langid2" -> langid2OracleSql,
 
+    "q_langid_profile" -> langidProfileOracleSql,
+
     "q_dedup_exact" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id, text FROM documents
@@ -5610,13 +5625,11 @@ object SparkEntry {
     * ln-rounding surface. Scores are internal (HUGEINT is fine there);
     * the output is doc_id BIGINT + pred_lang VARCHAR — driver-hash
     * stable. */
-  private lazy val langid2OracleSql: String = {
+  /** the shared WITH-body: `docsSql` must yield (doc_id, t [lowercased
+    * text]); produces relation `pred(doc_id, pred_lang)` */
+  private def langidPredCtes(docsSql: String): String = {
     val m = gateLangModel
     val langs = m.langs
-    def esc(s: String) = s.replace("'", "''")
-    val testRows = graft.operators.LangSeedCorpus.test.zipWithIndex.map {
-      case ((_, tx), i) => s"(${1000000L + i}, '${esc(tx)}')"
-    }.mkString(",\n         ")
     val wDefs = langs.zipWithIndex.map { case (l, j) =>
       s"[${m.weightsMicro(j).mkString(",")}] AS w_$l"
     }.mkString(",\n         ")
@@ -5627,11 +5640,8 @@ object SparkEntry {
     val argmax = langs.init.map(l =>
       s"WHEN s_$l = $mExpr THEN '$l'").mkString("\n              ") +
       s"\n              ELSE '${langs.last}'"
-    s"""WITH docs AS (
-       |  SELECT doc_id, lower(text) AS t FROM documents
-       |  UNION ALL
-       |  SELECT doc_id, lower(txt) AS t FROM (VALUES
-       |         $testRows) v(doc_id, txt)
+    s"""docs AS (
+       |  $docsSql
        |), g AS (
        |  SELECT doc_id, unnest(
        |    list_transform(range(1, len(t) + 1), i -> substr(t, i, 1)) ||
@@ -5648,13 +5658,38 @@ object SparkEntry {
        |  SELECT doc_id,
        |         $sumDefs
        |  FROM b, w GROUP BY doc_id
-       |)
-       |SELECT d.doc_id,
-       |  CASE WHEN sc.doc_id IS NULL THEN 'und'
-       |       $argmax END AS pred_lang
-       |FROM docs d LEFT JOIN sc ON d.doc_id = sc.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |), pred AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN sc.doc_id IS NULL THEN 'und'
+       |         $argmax END AS pred_lang
+       |  FROM docs d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |)""".stripMargin
   }
+
+  private lazy val langid2OracleSql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val testRows = graft.operators.LangSeedCorpus.test.zipWithIndex.map {
+      case ((_, tx), i) => s"(${1000000L + i}, '${esc(tx)}')"
+    }.mkString(",\n         ")
+    val docsSql =
+      s"""SELECT doc_id, lower(text) AS t FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, lower(txt) AS t FROM (VALUES
+         |         $testRows) v(doc_id, txt)""".stripMargin
+    s"""WITH ${langidPredCtes(docsSql)}
+       |SELECT doc_id, pred_lang FROM pred
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** per-PREDICTED-language release profile — the lang-keyed mixing /
+    * release-report path now keyed by the real model instead of a
+    * stored label */
+  private lazy val langidProfileOracleSql: String =
+    s"""WITH ${langidPredCtes("SELECT doc_id, lower(text) AS t FROM documents")}
+       |SELECT pred_lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+       |FROM pred JOIN documents d USING (doc_id)
+       |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
 
   private def gatePqModel: graft.operators.Pq.PqModel =
     graft.operators.Pq.PqModel(8, 16, 8,

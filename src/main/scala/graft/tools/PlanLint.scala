@@ -99,6 +99,18 @@ object PlanLint {
         findings += Finding("single-partition-exchange", name,
           "exchange to a single partition — one task owns the whole dataset")
 
+      // an UNPARTITIONED JDBC scan is ONE task pulling the whole remote
+      // table through one connection, whatever the cluster size — fine
+      // for dimensions, fatal for facts; use Tidier.readJdbc's
+      // partitionColumn overload ([[graft.sources.JdbcScan.readPartitioned]])
+      if (name == "RowDataSourceScanExec" || name.contains("JDBC")) {
+        val s = p.toString.linesIterator.take(1).mkString
+        if (s.contains("JDBCRelation") && s.contains("[numPartitions=1]"))
+          findings += Finding("single-partition-jdbc-scan", name,
+            "JDBC scan with numPartitions=1 — one executor pulls the whole remote " +
+              "table; pass partitionColumn/bounds for a parallel range scan")
+      }
+
       if (name == "FilterExec") {
         p.children.map(skipWrappers).foreach { c =>
           val cs = c.toString.linesIterator.take(1).mkString

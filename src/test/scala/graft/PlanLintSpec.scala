@@ -45,6 +45,20 @@ class PlanLintSpec extends SparkSpec {
     assert(!PlanLint.lint(pushed).exists(_.rule == "unpushed-scan-filter"))
   }
 
+  test("flags an unpartitioned JDBC scan; quiet on a range-partitioned one") {
+    System.setProperty("derby.stream.error.file", "/tmp/graft_derby_lint.log")
+    val url = "jdbc:derby:memory:graft_lint_" +
+      java.util.UUID.randomUUID().toString.replace("-", "") + ";create=true"
+    val df = (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v")
+    graft.sources.JdbcWrite.write(df, url, "t", mode = "overwrite",
+      options = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
+    val single = Tidier.readJdbc(spark, url, "t").df
+    assert(PlanLint.lint(single).exists(_.rule == "single-partition-jdbc-scan"),
+      single.queryExecution.executedPlan.toString)
+    val ranged = Tidier.readJdbc(spark, url, "t", "id", 1L, 21L, 4).df
+    assert(!PlanLint.lint(ranged).exists(_.rule == "single-partition-jdbc-scan"))
+  }
+
   test("the engine's own composed pipelines lint clean") {
     val d = (1L to 50L).map(i => (i, s"some words here number $i")).toDF("doc_id", "text")
     val prep = graft.operators.Chunking.chunkBySentences(
