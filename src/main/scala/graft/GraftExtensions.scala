@@ -100,7 +100,28 @@ object GraftExtensions {
           s"hash kind must be a string literal ('ahash'|'dhash'), got ${other.sql}")
       })),
     "decode_html_entities" -> (e => plans.DecodeHtmlEntities(e(0))),
-    "parse_warc" -> (e => plans.WarcParse(e(0))))
+    "parse_warc" -> (e => plans.WarcParse(e(0))),
+    // real-model language id under the BUILT-IN seed model (for a
+    // custom-trained model use LangId.predict with your NbModel)
+    "langid" -> (e => {
+      val m = builtinLangModel
+      plans.CharNgramNbScore(e(0), m.n, m.nBuckets, m.seed,
+        m.langs, m.priorsMicro, m.weightsMicro)
+    }),
+    "char_ngram_buckets" -> (e => plans.CharNgramBuckets(
+      e(0), litInt(e(1), "n"), litInt(e(2), "nBuckets"),
+      e.lift(3) match {
+        case Some(Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+          v.toString
+        case None => "lid"
+        case Some(other) => throw new IllegalArgumentException(
+          s"seed must be a string literal, got ${other.sql}")
+      })))
+
+  /** trained once per JVM from the in-tree seed corpus (LangIdSpec pins
+    * the training as deterministic, so this is a constant) */
+  private lazy val builtinLangModel: operators.LangId.NbModel =
+    operators.LangId.trainRef(operators.LangSeedCorpus.train)
 
   // ---- TABLE functions — the reference's SQL scan surface ---------------
   // (TidierDB emits `FROM delta_scan('p')` / `iceberg_scan('p', ...)` /

@@ -107,6 +107,51 @@ object LangId {
     deriveWeights(counts.toMap, docCounts.toMap, n, nBuckets, seed)
   }
 
+  /** Persist a trained model (train once on the bounded seed corpus,
+    * reuse across the 100 TB inference jobs): one JSON file through the
+    * Hadoop FS API, so any fs:// the cluster sees works. The dense
+    * weight arrays are ≲ a few hundred KB — driver-sized by the same
+    * bound that makes training's collect safe. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: NbModel, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("format", "graft-langid-nb-v1")
+    root.put("n", model.n)
+    root.put("nBuckets", model.nBuckets)
+    root.put("seed", model.seed)
+    val langsArr = root.putArray("langs")
+    model.langs.foreach(langsArr.add)
+    val priorsArr = root.putArray("priorsMicro")
+    model.priorsMicro.foreach(priorsArr.add)
+    val wArr = root.putArray("weightsMicro")
+    model.weightsMicro.foreach { row =>
+      val r = wArr.addArray(); row.foreach(r.add)
+    }
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): NbModel = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    require(node.path("format").asText() == "graft-langid-nb-v1",
+      s"$path is not a graft langid model (format=${node.path("format").asText()})")
+    import scala.jdk.CollectionConverters._
+    NbModel(
+      node.get("langs").elements().asScala.map(_.asText()).toSeq,
+      node.get("n").asInt(),
+      node.get("nBuckets").asInt(),
+      node.get("seed").asText(),
+      node.get("priorsMicro").elements().asScala.map(_.asLong()).toArray,
+      node.get("weightsMicro").elements().asScala.map(
+        _.elements().asScala.map(_.asLong()).toArray).toArray)
+  }
+
   /** exact micro-log: round_half_up(1e6 · ln(num/den)) — StrictMath so
     * the result is platform-pinned (fdlibm), driver-only */
   private def lnMicro(num: Long, den: Long): Long =

@@ -64,6 +64,33 @@ class LangIdSpec extends SparkSpec {
     assert(got(0) == "und" && got(1) == "en")
   }
 
+  test("save/load round-trips the model exactly; predictions identical; loud on junk") {
+    val path = java.nio.file.Files.createTempDirectory("graft_lid").toString + "/model.json"
+    LangId.save(spark, refModel, path)
+    val back = LangId.load(spark, path)
+    assert(back == refModel)
+    val texts = LangSeedCorpus.test.map(_._2).toDF("text")
+    val a = texts.select(LangId.predict(refModel, $"text")).as[String].collect().toSeq
+    val b = texts.select(LangId.predict(back, $"text")).as[String].collect().toSeq
+    assert(a == b)
+    val junk = path + ".junk"
+    java.nio.file.Files.write(java.nio.file.Paths.get(junk),
+      """{"format":"something-else"}""".getBytes)
+    assert(intercept[IllegalArgumentException] { LangId.load(spark, junk) }
+      .getMessage.contains("not a graft langid model"))
+  }
+
+  test("SQL surface: langid(text) and char_ngram_buckets run through the registry") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT langid('the quick brown fox jumps over the lazy dog') AS l, " +
+        "langid('学生们经常问关于世界的难题') AS z, " +
+        "size(char_ngram_buckets('abc', 3, 2048)) AS nb")
+      .head()
+    assert(got.getString(0) == "en" && got.getString(1) == "zh")
+    assert(got.getInt(2) == 3 + 2 + 1) // mixed-order 1..3 grams of 'abc'
+  }
+
   test("model is deterministic and weights are dense over all buckets") {
     assert(refModel.langs == Seq("de", "en", "es", "fr", "ja", "pt", "ru", "zh"))
     assert(refModel.weightsMicro.forall(_.length == refModel.nBuckets))
