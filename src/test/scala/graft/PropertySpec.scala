@@ -364,4 +364,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("langid feature extractor: gram-count law and hash-range invariants on random text") {
+    import graft.plans.CharNgramBuckets
+    val textGen = Gen.listOfN(40,
+      Gen.frequency(
+        6 -> Gen.alphaChar,
+        2 -> Gen.const(' '),
+        1 -> Gen.oneOf('好', '世', 'я', 'к', 'é', 'ß'),
+        1 -> Gen.oneOf('0', '9', ',', '.'))).map(_.mkString)
+    forAll(textGen) { t =>
+      val cp = t.codePointCount(0, t.length)
+      val b = CharNgramBuckets.bucketsOf(t, 3, 2048, "lid")
+      // mixed-order 1..3 gram count law over codepoints
+      val expect = cp + math.max(cp - 1, 0) + math.max(cp - 2, 0)
+      assert(b.length == expect, s"text='$t'")
+      assert(b.forall(x => x >= 0 && x < 2048))
+      // determinism + case-fold stability
+      assert(b.sameElements(CharNgramBuckets.bucketsOf(t, 3, 2048, "lid")))
+      assert(b.sameElements(CharNgramBuckets.bucketsOf(
+        t.toUpperCase(java.util.Locale.ROOT)
+          .toLowerCase(java.util.Locale.ROOT), 3, 2048, "lid")) ||
+        t != t.toUpperCase(java.util.Locale.ROOT)
+          .toLowerCase(java.util.Locale.ROOT)) // only when round-trip is identity
+    }
+  }
+
+  test("langid prediction is total and closed over the model's label set") {
+    val model = graft.operators.LangId.trainRef(graft.operators.LangSeedCorpus.train)
+    val valid = model.langs.toSet + "und"
+    val textGen = Gen.listOfN(25,
+      Gen.frequency(5 -> Gen.alphaChar, 2 -> Gen.const(' '),
+        1 -> Gen.oneOf('好', 'я', 'ü'))).map(_.mkString)
+    forAll(textGen, n = 15) { t =>
+      val preds = Seq(t).toDF("text")
+        .select(graft.operators.LangId.predict(model, $"text")).as[String].collect()
+      assert(valid.contains(preds.head), s"text='$t' pred=${preds.head}")
+    }
+  }
 }

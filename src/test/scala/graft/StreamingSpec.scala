@@ -218,6 +218,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("r5 narrow op on a stream: NB langid labels micro-batches (no state, no shuffle)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{LangId, LangSeedCorpus}
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val model = LangId.trainRef(LangSeedCorpus.train)
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDF.toDF("doc_id", "text")
+      .select(col("doc_id"), LangId.predict(model, col("text")).as("lang"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("langid_stream_out").start()
+    try {
+      input.addData((1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "学生们经常问关于世界的难题"))
+      q.processAllAvailable()
+      input.addData((3L, "кошка спокойно спит на столе на кухне"))
+      q.processAllAvailable()
+      val got = spark.table("langid_stream_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == Map(1L -> "en", 2L -> "zh", 3L -> "ru"))
+    } finally q.stop()
+  }
+
   test("streaming crawl ingestion: binaryFile file stream through parse+extract") {
     import java.nio.charset.StandardCharsets.UTF_8
     import java.nio.file.Files
