@@ -2345,6 +2345,18 @@ object SparkEntry {
       gateLsh.annTopK(gateLsh.index(e, "embedding"), "embedding", q, 10)
     }),
 
+    // ANN quality measurement: recall@10 of the multiprobe LSH path vs
+    // exact brute-force top-k over 5 query vectors — the tuning loop
+    // that sizes numPlanes/probes by MEASURED recall; both rankings use
+    // the same rounded-cosine total order so hits are exact integers
+    "q_embed_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df
+      val indexed = gateLsh.index(e, "embedding")
+      Similarity.recallReport(e, "embedding", Seq(0L, 1L, 2L, 3L, 4L), 10,
+          v => gateLsh.annTopK(indexed, "embedding", v, 10))
+        .orderBy("query_id")
+    }),
+
     // int8-quantized retrieval: quantize the corpus (narrow, 4× memory
     // reduction — the 100 TB serving path), rank by EXACT int64 dot
     // product of the quantized vectors. Integer arithmetic end to end,
@@ -3125,6 +3137,49 @@ object SparkEntry {
        |FROM idx, q
        |WHERE idx.bucket IN (SELECT pb FROM probes)
        |ORDER BY sim DESC, idx.vec_id LIMIT 10""".stripMargin
+  }
+
+  /** DuckDB mirror of Similarity.recallReport over the multiprobe LSH
+    * path: per query, |exact top-k ∩ ann top-k| under the shared
+    * (rounded cosine, id) total order — one CTE block per query id,
+    * UNION ALL'd. */
+  private def recallOracle(qids: Seq[Long], k: Int): String = {
+    val np = gateLsh.numPlanes
+    val blocks = qids.map { qid =>
+      s"""q$qid AS (SELECT v AS qv, bucket AS qb FROM idx WHERE vec_id = $qid),
+         |probes$qid AS (
+         |  SELECT DISTINCT unnest(list_concat(list_concat(
+         |    [qb],
+         |    list_transform(range(0, $np), i -> xor(qb, 1 << i))),
+         |    flatten(list_transform(range(0, $np), i ->
+         |      list_transform(range(i + 1, $np), j -> xor(xor(qb, 1 << i), 1 << j))))
+         |  )) AS pb FROM q$qid
+         |),
+         |ann$qid AS (
+         |  SELECT idx.vec_id FROM idx, q$qid q
+         |  WHERE idx.bucket IN (SELECT pb FROM probes$qid)
+         |  ORDER BY round(list_dot_product(idx.v, q.qv)
+         |    / (sqrt(list_dot_product(idx.v, idx.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+         |    DESC, idx.vec_id LIMIT $k
+         |),
+         |exact$qid AS (
+         |  SELECT idx.vec_id FROM idx, q$qid q
+         |  ORDER BY round(list_dot_product(idx.v, q.qv)
+         |    / (sqrt(list_dot_product(idx.v, idx.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+         |    DESC, idx.vec_id LIMIT $k
+         |)""".stripMargin
+    }.mkString(",\n")
+    val selects = qids.map { qid =>
+      s"""SELECT $qid AS query_id,
+         |  (SELECT COUNT(*) FROM ann$qid
+         |   WHERE vec_id IN (SELECT vec_id FROM exact$qid)) AS hits,
+         |  $k AS k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |idx AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM e),
+       |$blocks
+       |$selects
+       |ORDER BY query_id""".stripMargin
   }
 
   /** DuckDB mirror of TextFns.qualityScore (expects `tk` = tokens,
@@ -4705,6 +4760,8 @@ object SparkEntry {
     "q_dedup_semantic" -> semanticDedupOracle,
 
     "q_embed_ann" -> annOracle,
+
+    "q_embed_recall" -> recallOracle(Seq(0L, 1L, 2L, 3L, 4L), 10),
 
     "q_slice_sample" ->
       """SELECT c_mktsegment, LEAST(5, COUNT(*)) AS n_sampled

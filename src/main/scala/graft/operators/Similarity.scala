@@ -378,4 +378,49 @@ object Similarity {
       .filter(col("sim") >= threshold)
     Dedup.finish(pairs, materialize, release)
   }
+
+  /** RECALL@k measurement for an approximate retrieval path — the
+    * tuning loop every ANN deployment needs (you size numPlanes /
+    * probes / nlist by MEASURED recall on a held-out query set, not by
+    * guessing): for each query, the fraction of the EXACT brute-force
+    * top-k ([[topKByCosine]]) the approximate path recovers.
+    *
+    * Both sides rank by the same total order (cosine rounded to 6
+    * decimals, then id), so the top-k SETS are deterministic and the
+    * report is exact integers — gate-able across engines.
+    *
+    * Scale shape: the query set is BOUNDED (an eval set, like
+    * decontamination benchmarks) — the driver loop issues one narrow
+    * scan + TakeOrdered pair per query and collects only 2k ids per
+    * query. The corpus is never shuffled and never collected. For
+    * corpus-sized query sets, self-join the index instead
+    * ([[embeddingNearDupPairs]] shape).
+    *
+    * @param approxOf the ANN path under test: query vector → (idCol,
+    *                 sim) frame, e.g. `v => lsh.annTopK(indexed,
+    *                 "embedding", v, k)`
+    * @return one row per query: (query_id, hits, k) — recall@k =
+    *         hits / k
+    */
+  def recallReport(
+      df: DataFrame,
+      embCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      approxOf: Seq[Float] => DataFrame,
+      idCol: String = "vec_id"): DataFrame = {
+    require(queryIds.nonEmpty, "need at least one query id")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = queryIds.map { qid =>
+      val q = df.filter(col(idCol) === qid).select(embCol).head().getSeq[Float](0)
+      val exact = topKByCosine(df, embCol, q, k, idCol)
+        .select(idCol).collect().map(_.getLong(0)).toSet
+      val approx = approxOf(q)
+        .select(idCol).collect().map(_.getLong(0)).toSet
+      (qid, (exact & approx).size.toLong, k.toLong)
+    }
+    rows.toDF("query_id", "hits", "k")
+  }
 }

@@ -47,7 +47,16 @@ object PlanAudit {
         // round's plan shape), PQ encode+ADC, prefix similarity join,
         // harmonic centrality (rollup_incr audited via RollupSpec —
         // it writes temp Delta state per run)
-        "q_pagerank", "q_harmonic", "q_embed_pq", "q_simjoin")
+        "q_pagerank", "q_harmonic", "q_embed_pq", "q_simjoin",
+        // round-5 additions: JDBC round trip (partitioned scan — the
+        // PlanLint single-partition detector covers the dev-time
+        // check), NB langid inference + lang-keyed profile, event
+        // analytics, temperature mixing, shard export, objectives
+        "q_jdbc_scan", "q_text_langid2", "q_langid_profile",
+        "q_sessionize_batch", "q_funnel", "q_funnel_report",
+        "q_retention", "q_mix_temperature", "q_token_shards",
+        "q_span_corrupt", "q_fim", "q_text_badwords", "q_embed_maxsim",
+        "q_pipeline_objectives", "q_delta_zorder", "q_delta_skip")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -79,6 +79,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(hotSpread > 1, "hot band not spread across salt buckets")
   }
 
+  test("recallReport: exact-vs-exact is k/k; degraded probes lose recall; integers exact") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    // the "approx" path IS brute force → recall must be exactly k/k
+    val perfect = Similarity.recallReport(e, "embedding", Seq(0L, 1L, 2L), 5,
+      v => Similarity.topKByCosine(e, "embedding", v, 5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(perfect.toSeq == Seq((0L, 5L, 5L), (1L, 5L, 5L), (2L, 5L, 5L)))
+    // a narrower probe ring can only lose recall (subset of
+    // candidates), never exceed k
+    val lsh = Similarity.RandomHyperplaneLsh(dim = 64, numPlanes = 8)
+    val indexed = lsh.index(e, "embedding")
+    val ann = Similarity.recallReport(e, "embedding", Seq(0L, 1L, 2L), 5,
+      v => lsh.annTopK(indexed, "embedding", v, 5, multiprobeRadius = 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ann.forall { case (_, hits) => hits >= 0L && hits <= 5L })
+    // widening the probe ring can only help (candidate superset)
+    val wide = Similarity.recallReport(e, "embedding", Seq(0L, 1L, 2L), 5,
+      v => lsh.annTopK(indexed, "embedding", v, 5, multiprobeRadius = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    ann.foreach { case (qid, hits) => assert(wide(qid) >= hits) }
+  }
+
   test("written LSH index prunes partitions on probe and reranks identically") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0L).select("embedding").first().getSeq[Float](0)
