@@ -184,6 +184,30 @@ object GraftExtensions {
     "warc_scan" -> (args =>
       planOf(sources.WarcScan.readWarc(
         SparkSession.active, onePath(args, "warc_scan")))),
+    // external database: jdbc_scan('jdbc:...', 'table-or-sql'[,
+    // 'partitionColumn', lower, upper, numPartitions]) — the SQL twin
+    // of Tidier.readJdbc (the reference's db_table-against-a-connection
+    // surface as verbatim SQL)
+    "jdbc_scan" -> (args => {
+      val strs = args.collect {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+      }
+      require(strs.size >= 2,
+        "jdbc_scan needs (url, tableOrQuery[, partitionColumn, lower, upper, numPartitions])")
+      val nums = args.collect {
+        case Literal(v, t) if t == org.apache.spark.sql.types.IntegerType ||
+            t == org.apache.spark.sql.types.LongType ||
+            t == org.apache.spark.sql.types.ShortType =>
+          v.toString.toLong
+      }
+      if (strs.size >= 3) {
+        require(nums.size == 3,
+          "partitioned jdbc_scan needs integer literals (lower, upper, numPartitions)")
+        planOf(sources.JdbcScan.readPartitioned(SparkSession.active,
+          strs(0), strs(1), strs(2), nums(0), nums(1), nums(2).toInt))
+      } else
+        planOf(sources.JdbcScan.read(SparkSession.active, strs(0), strs(1)))
+    }),
     "read_wet" -> (args =>
       planOf(sources.WarcScan.readWet(
         SparkSession.active, onePath(args, "read_wet")))))

@@ -86,12 +86,24 @@ object JdbcScan {
   * its partition — coalesce first if the remote's connection budget is
   * smaller than the partition count. */
 object JdbcWrite {
+  /** @param maxConnections cap on concurrent connections (each task
+    *        opens one): a 1000-partition frame must not open 1000
+    *        connections against a database with a 100-connection
+    *        budget — the frame is coalesced down first (coalesce, not
+    *        repartition: no shuffle). 0 = no cap. */
   def write(df: DataFrame, url: String, table: String,
             mode: String = "error",
-            options: Map[String, String] = Map.empty): Unit = {
+            options: Map[String, String] = Map.empty,
+            maxConnections: Int = 0): Unit = {
+    require(maxConnections >= 0,
+      s"maxConnections must be >= 0 (0 = uncapped), got $maxConnections")
     val props = new java.util.Properties()
     options.foreach { case (k, v) => props.setProperty(k, v) }
     if (!props.containsKey("batchsize")) props.setProperty("batchsize", "10000")
-    df.write.mode(mode).jdbc(url, table, props)
+    val bounded =
+      if (maxConnections > 0 && df.rdd.getNumPartitions > maxConnections)
+        df.coalesce(maxConnections)
+      else df
+    bounded.write.mode(mode).jdbc(url, table, props)
   }
 }

@@ -77,6 +77,30 @@ class JdbcScanSpec extends SparkSpec {
     assert(graft.sources.JdbcScan.showTables(url).exists(_.equalsIgnoreCase("t")))
   }
 
+  test("SQL table function: jdbc_scan runs verbatim, plain and partitioned") {
+    GraftExtensions.register(spark)
+    val url = seeded()
+    val n = spark.sql(s"SELECT count(*) AS n FROM jdbc_scan('$url', 't')")
+      .head().getLong(0)
+    assert(n == 100)
+    val part = spark.sql(
+      s"SELECT sum(amount) AS s FROM jdbc_scan('$url', 't', 'id', 1, 101, 4)")
+    assert(part.head().getLong(0) == (1L to 100L).map(_ * 10).sum)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM jdbc_scan('$url')").collect()
+    }
+    assert(e.getMessage.contains("jdbc_scan needs"))
+  }
+
+  test("write maxConnections caps task-level connection fan-out without a shuffle") {
+    val url = freshUrl()
+    val df = spark.range(0, 64, 1, 32).selectExpr("id", "CAST(id AS STRING) AS v")
+    assert(df.rdd.getNumPartitions == 32)
+    graft.sources.JdbcWrite.write(df, url, "cap", mode = "overwrite",
+      options = driverOpt, maxConnections = 4)
+    assert(Tidier.readJdbc(spark, url, "cap").df.count() == 64)
+  }
+
   test("append mode accumulates; overwrite replaces") {
     val url = freshUrl()
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
