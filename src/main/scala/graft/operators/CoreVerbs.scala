@@ -98,6 +98,18 @@ trait CoreVerbs { self: TidierFrame =>
   def arrange(cols: Column*): TidierFrame = withDf(df.orderBy(cols: _*))
   def arrange(first: String, rest: String*): TidierFrame =
     withDf(df.orderBy((first +: rest).map(col): _*))
+  /** `@arrange(2)` — 1-based column POSITIONS (reference NEWS v8.10:
+    * "`@arrange` can accept numeric values for columns"); negative =
+    * descending on that position, mirroring `desc(col)`. */
+  def arrange(first: Int, rest: Int*): TidierFrame = {
+    val names = schema
+    val cols = (first +: rest).map { p =>
+      require(p != 0 && math.abs(p) <= names.length,
+        s"arrange position $p out of range 1..${names.length}")
+      if (p > 0) col(names(p - 1)) else col(names(-p - 1)).desc
+    }
+    withDf(df.orderBy(cols: _*))
+  }
 
   // ---- grouping / aggregation ----------------------------------------
 

@@ -44,6 +44,19 @@ class CoreVerbsSpec extends SparkSpec {
     assert(r.head.getAs[Long]("value") == 0L)
   }
 
+  test("arrange by 1-based column position, negative = descending (NEWS v8.10)") {
+    val byPos = Tidier.from(df).arrange(3).df.collect().map(_.getAs[Long]("value")).toSeq
+    assert(byPos == byPos.sorted)
+    val byNeg = Tidier.from(df).arrange(-3).df.collect().map(_.getAs[Long]("value")).toSeq
+    assert(byNeg == byNeg.sorted.reverse)
+    // multi-position: groups asc then value desc
+    val multi = Tidier.from(df).arrange(2, -3).df.collect()
+      .map(r => (r.getAs[String]("groups"), r.getAs[Long]("value"))).toSeq
+    assert(multi == multi.sortBy { case (g, v) => (g, -v) })
+    val e = intercept[IllegalArgumentException] { Tidier.from(df).arrange(9) }
+    assert(e.getMessage.contains("out of range"))
+  }
+
   test("grouped mutate windows aggregates and clears grouping") {
     val tf = Tidier.from(df).groupBy("groups").mutate("gsum" -> sum(col("value")))
     assert(tf.groups.isEmpty)
