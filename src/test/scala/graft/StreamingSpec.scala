@@ -218,6 +218,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("r5: Misra-Gries heavy hitters run under watermarked windows on a stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    GraftExtensions.register(spark)
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Timestamp, String)]
+    // the bounded-state vocabulary sketch (TypedImperativeAggregate
+    // with partial merge) must compose with streaming window aggs —
+    // that is the 100 TB "trending terms per window" shape
+    val out = input.toDF.toDF("ts", "text")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("frequent_terms(text, 4)").as("top"))
+      .select(col("window.start").as("w"), col("top"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("mg_stream_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "spark spark spark engine"),
+        (ts("2024-01-01 10:10:00"), "spark data data"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:20:00"), "spark rare"))
+      q.processAllAvailable()
+      // advance the watermark past the 10:00 window to emit it
+      input.addData((ts("2024-01-01 12:00:00"), "tick"))
+      q.processAllAvailable()
+      val rows = spark.table("mg_stream_out").collect()
+      assert(rows.nonEmpty, "10:00 window never emitted")
+      val top = rows.find(_.getTimestamp(0) == ts("2024-01-01 10:00:00")).get
+        .getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // 'spark' appears 5× across three micro-batches of the window —
+      // the merged sketch must surface it with an exact-dominant count
+      assert(top.contains("spark") && top("spark") >= 3L, s"got $top")
+    } finally q.stop()
+  }
+
   test("r5 narrow op on a stream: NB langid labels micro-batches (no state, no shuffle)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.{LangId, LangSeedCorpus}
