@@ -51,7 +51,23 @@ object CharNgramBuckets {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** Per-thread gram→bucket memo: the 1..3-gram space is Zipf (a task's
+    * documents share most of their grams), and the md5 digest dominates
+    * kernel cost — memoizing cuts it to the DISTINCT grams a task sees.
+    * Keyed by (seed, nBuckets, gram) so interleaved models can't
+    * cross-pollute; size-capped with clear-on-full so a pathological
+    * gram stream cannot grow the map unboundedly (the BpeEncode
+    * memoization discipline). */
+  private val MemoCap = 1 << 17
+  private val memo = new ThreadLocal[java.util.HashMap[String, Integer]] {
+    override def initialValue() = new java.util.HashMap[String, Integer](1 << 12)
+  }
+
   private[plans] def bucket(seed: String, feature: String, nBuckets: Int): Int = {
+    val m = memo.get()
+    val key = seed + "" + nBuckets + "" + feature
+    val hit = m.get(key)
+    if (hit != null) return hit.intValue()
     val d = md5.get()
     d.reset()
     d.update(seed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -61,7 +77,10 @@ object CharNgramBuckets {
     var i = 0
     while (i < 7) { v = (v << 8) | (bytes(i) & 0xffL); i += 1 }
     v = (v << 4) | ((bytes(7) & 0xf0L) >> 4) // 60 bits, non-negative
-    (v % nBuckets).toInt
+    val b = (v % nBuckets).toInt
+    if (m.size() >= MemoCap) m.clear()
+    m.put(key, b)
+    b
   }
 
   /** the shared feature extractor: lowercased codepoint-window grams of
