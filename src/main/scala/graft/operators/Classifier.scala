@@ -35,6 +35,36 @@ object Classifier {
     }
   }
 
+  /** persist the integer-micro model as one JSON (the [[graft.operators.LangId]]
+    * persistence discipline — train once on the bounded seed set,
+    * reuse across filtering jobs) */
+  def save(spark: SparkSession, model: LinearModel, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("format", "graft-linear-classifier-v1")
+    root.put("biasMicro", model.biasMicro)
+    val w = root.putObject("weights")
+    model.weights.toSeq.sortBy(_._1).foreach { case (b, v) => w.put(b.toString, v) }
+    val out = fs.create(p, true)
+    try out.write(mapper.writeValueAsBytes(root)) finally out.close()
+  }
+
+  def load(spark: SparkSession, path: String): LinearModel = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    require(node.path("format").asText() == "graft-linear-classifier-v1",
+      s"$path is not a graft linear classifier (format=${node.path("format").asText()})")
+    import scala.jdk.CollectionConverters._
+    val weights = node.get("weights").fields().asScala
+      .map(e => e.getKey.toInt -> e.getValue.asLong()).toMap
+    LinearModel(weights, node.get("biasMicro").asLong())
+  }
+
   /** train on (text, label∈{0,1}) rows; returns integer-micro weights.
     *
     * @param lrMicro learning-rate in micro-units per unit gradient

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -356,5 +356,94 @@ object NgramLm {
         coalesce(col("backoff_grams"), lit(0L)).as("backoff_grams"),
         coalesce(col("oov_grams"), lit(0L)).as("oov_grams"),
         col("fluency"))
+  }
+
+  // ---- persistence (train once on the bounded reference corpus, ----
+  // ---- reuse across the 100 TB scoring jobs) -----------------------
+
+  private def writeMeta(spark: SparkSession, path: String, json: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_lm_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, path: String,
+      format: String): com.fasterxml.jackson.databind.JsonNode = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_lm_meta.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    require(node.path("format").asText() == format,
+      s"$path is not a $format model (format=${node.path("format").asText()})")
+    node
+  }
+
+  /** model tables as parquet + one meta JSON — any fs:// the cluster
+    * sees; scoring after [[load]] is plan-identical (same broadcastable
+    * dimension-table joins) */
+  def save(model: Model, path: String): Unit = {
+    val spark = model.grams.sparkSession
+    model.grams.write.mode("overwrite").parquet(s"$path/grams")
+    model.ctxTotals.write.mode("overwrite").parquet(s"$path/ctx_totals")
+    writeMeta(spark, path,
+      s"""{"format":"graft-ngram-lm-v1","n":${model.n},"vocabSize":${model.vocabSize}}""")
+  }
+
+  def load(spark: SparkSession, path: String): Model = {
+    val meta = readMeta(spark, path, "graft-ngram-lm-v1")
+    Model(spark.read.parquet(s"$path/grams"),
+      spark.read.parquet(s"$path/ctx_totals"),
+      meta.get("vocabSize").asLong(), meta.get("n").asInt())
+  }
+
+  def saveBackoff(model: BackoffModel, path: String): Unit = {
+    val spark = model.orders.head.sparkSession
+    model.orders.zipWithIndex.foreach { case (df, i) =>
+      df.write.mode("overwrite").parquet(s"$path/order_${i + 1}")
+    }
+    writeMeta(spark, path,
+      s"""{"format":"graft-backoff-lm-v1","n":${model.n},"totalTokens":${model.totalTokens}}""")
+  }
+
+  def loadBackoff(spark: SparkSession, path: String): BackoffModel = {
+    val meta = readMeta(spark, path, "graft-backoff-lm-v1")
+    val n = meta.get("n").asInt()
+    BackoffModel((1 to n).map(k => spark.read.parquet(s"$path/order_$k")),
+      meta.get("totalTokens").asLong(), n)
+  }
+
+  def saveKneserNey(model: KnModel, path: String): Unit = {
+    val spark = model.top.sparkSession
+    model.top.write.mode("overwrite").parquet(s"$path/top")
+    model.topDen.write.mode("overwrite").parquet(s"$path/top_den")
+    model.topLam.write.mode("overwrite").parquet(s"$path/top_lam")
+    model.mids.foreach { case (k, (num, den, lam)) =>
+      num.write.mode("overwrite").parquet(s"$path/mid_${k}_num")
+      den.write.mode("overwrite").parquet(s"$path/mid_${k}_den")
+      lam.write.mode("overwrite").parquet(s"$path/mid_${k}_lam")
+    }
+    model.cont1.write.mode("overwrite").parquet(s"$path/cont1")
+    writeMeta(spark, path,
+      s"""{"format":"graft-kn-lm-v1","n":${model.n},"bigramTypes":${model.bigramTypes},""" +
+        s""""midKs":[${model.mids.keys.toSeq.sorted.mkString(",")}]}""")
+  }
+
+  def loadKneserNey(spark: SparkSession, path: String): KnModel = {
+    val meta = readMeta(spark, path, "graft-kn-lm-v1")
+    import scala.jdk.CollectionConverters._
+    val mids = meta.get("midKs").elements().asScala.map(_.asInt()).map { k =>
+      k -> ((spark.read.parquet(s"$path/mid_${k}_num"),
+        spark.read.parquet(s"$path/mid_${k}_den"),
+        spark.read.parquet(s"$path/mid_${k}_lam")))
+    }.toMap
+    KnModel(spark.read.parquet(s"$path/top"),
+      spark.read.parquet(s"$path/top_den"),
+      spark.read.parquet(s"$path/top_lam"),
+      mids,
+      spark.read.parquet(s"$path/cont1"),
+      meta.get("bigramTypes").asLong(), meta.get("n").asInt())
   }
 }

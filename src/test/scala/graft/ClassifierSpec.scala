@@ -40,6 +40,20 @@ class ClassifierSpec extends SparkSpec {
     assert(a == c)
   }
 
+  test("save/load round-trips the integer-micro model exactly; loud on junk") {
+    val docs = seedSet.toDF("text", "label")
+    val m = Classifier.train(docs, "text", "label", B, iters = 10)
+    val path = java.nio.file.Files.createTempDirectory("graft_cls").toString + "/m.json"
+    Classifier.save(spark, m, path)
+    val back = Classifier.load(spark, path)
+    assert(back == m)
+    val junk = path + ".junk"
+    java.nio.file.Files.write(java.nio.file.Paths.get(junk),
+      """{"format":"nope"}""".getBytes)
+    assert(intercept[IllegalArgumentException] { Classifier.load(spark, junk) }
+      .getMessage.contains("not a graft linear classifier"))
+  }
+
   test("trained model drives the corpus filter") {
     val docs = seedSet.toDF("text", "label")
     val m = Classifier.train(docs, "text", "label", B, iters = 30)

@@ -196,4 +196,40 @@ class NgramLmSpec extends SparkSpec {
       qLow = 0.34, qHigh = 0.67)
     assert(lo <= f(1) && f(1) <= hi)
   }
+
+  test("save/load round-trips all three model families; scores bit-identical") {
+    val ref = Seq("a b a b c d", "a c d b", "b c a a").toDF("text")
+    val docs = Seq((1L, "a b c z"), (2L, "d b a")).toDF("id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_lm_persist").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(_.toSeq).toSeq
+
+    val m = NgramLm.train(ref, "text", n = 2)
+    NgramLm.save(m, s"$root/plain")
+    val m2 = NgramLm.load(spark, s"$root/plain")
+    assert(m2.n == m.n && m2.vocabSize == m.vocabSize)
+    assert(rows(NgramLm.scoreDocs(docs, "id", "text", m2)) ==
+      rows(NgramLm.scoreDocs(docs, "id", "text", m)))
+
+    val b = NgramLm.trainBackoff(ref, "text", n = 3)
+    NgramLm.saveBackoff(b, s"$root/backoff")
+    val b2 = NgramLm.loadBackoff(spark, s"$root/backoff")
+    assert(b2.n == b.n && b2.totalTokens == b.totalTokens)
+    assert(rows(NgramLm.scoreDocsBackoff(docs, "id", "text", b2)) ==
+      rows(NgramLm.scoreDocsBackoff(docs, "id", "text", b)))
+
+    val k = NgramLm.trainKneserNey(ref, "text", n = 3)
+    NgramLm.saveKneserNey(k, s"$root/kn")
+    val k2 = NgramLm.loadKneserNey(spark, s"$root/kn")
+    assert(k2.n == k.n && k2.bigramTypes == k.bigramTypes &&
+      k2.mids.keySet == k.mids.keySet)
+    assert(rows(NgramLm.scoreDocsKneserNey(docs, "id", "text", k2)) ==
+      rows(NgramLm.scoreDocsKneserNey(docs, "id", "text", k)))
+
+    // loud on a mismatched format tag
+    val e = intercept[IllegalArgumentException] {
+      NgramLm.loadBackoff(spark, s"$root/plain")
+    }
+    assert(e.getMessage.contains("graft-backoff-lm-v1"))
+  }
 }
