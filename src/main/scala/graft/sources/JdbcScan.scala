@@ -59,6 +59,39 @@ object JdbcScan {
       lowerBound, upperBound, numPartitions, props)
   }
 
+  /** Auto-bounded parallel read: ONE driver-side `SELECT min, max`
+    * against the remote resolves the partition bounds, then
+    * [[readPartitioned]]. This is the ergonomic that gets fact tables
+    * actually partitioned — the manual-bounds form is skipped in
+    * practice precisely when it matters. The bounds probe is a
+    * single-row aggregate the database answers from its index. */
+  def readPartitionedAuto(spark: SparkSession, url: String, tableOrQuery: String,
+                          partitionColumn: String, numPartitions: Int,
+                          options: Map[String, String] = Map.empty): DataFrame = {
+    require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
+    val conn = java.sql.DriverManager.getConnection(url)
+    val (lo, hi) =
+      try {
+        val st = conn.createStatement()
+        val rs = st.executeQuery(
+          s"""SELECT MIN("$partitionColumn"), MAX("$partitionColumn")
+             |FROM ${dbTableClause(tableOrQuery)}""".stripMargin)
+        require(rs.next(), s"bounds probe returned no row for $tableOrQuery")
+        val lo = rs.getLong(1)
+        val loNull = rs.wasNull()
+        val hi = rs.getLong(2)
+        require(!loNull && !rs.wasNull(),
+          s"cannot auto-partition $tableOrQuery on $partitionColumn: " +
+            "no non-NULL values (empty table?) — use the unpartitioned read")
+        (lo, hi)
+      } finally conn.close()
+    if (lo == hi)
+      read(spark, url, tableOrQuery, options) // single value — one range
+    else
+      readPartitioned(spark, url, tableOrQuery, partitionColumn,
+        lo, hi + 1, numPartitions, options)
+  }
+
   /** A bare identifier passes through; anything with whitespace is
     * treated as SQL and wrapped in the `(…) alias` derived-table form
     * (the `db_table(con, sql"SELECT …")` analog). */

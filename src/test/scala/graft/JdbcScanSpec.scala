@@ -77,6 +77,24 @@ class JdbcScanSpec extends SparkSpec {
     assert(graft.sources.JdbcScan.showTables(url).exists(_.equalsIgnoreCase("t")))
   }
 
+  test("auto-bounded partitioned read probes min/max and loses no rows") {
+    val url = seeded()
+    val q = graft.sources.JdbcScan.readPartitionedAuto(spark, url, "t", "id", 4,
+      options = driverOpt)
+    assert(q.rdd.getNumPartitions == 4)
+    assert(q.count() == 100)
+    assert(q.agg(sum("amount")).first().getLong(0) == (1L to 100L).map(_ * 10).sum)
+    // empty table → loud, not a silent empty scan with bogus bounds
+    val empty = freshUrl()
+    graft.sources.JdbcWrite.write(
+      Seq.empty[(Long, String)].toDF("id", "v"), empty, "e",
+      mode = "overwrite", options = driverOpt)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.JdbcScan.readPartitionedAuto(spark, empty, "e", "id", 4)
+    }
+    assert(e.getMessage.contains("no non-NULL values"))
+  }
+
   test("SQL table function: jdbc_scan runs verbatim, plain and partitioned") {
     GraftExtensions.register(spark)
     val url = seeded()
