@@ -1159,6 +1159,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .orderBy("pred_lang")),
 
+    // COMPOSED multilingual release pipeline: predict language (narrow
+    // kernel) → exact dedup WITHIN language (the planted id+100000
+    // copies make the dedup load-bearing — every shifted copy must lose
+    // to its original) → per-language release profile. One lazy plan;
+    // langid → dedup-key → profile-key composition is what the hash
+    // verifies end to end
+    "q_pipeline_multilingual" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").df.select("doc_id", "text", "n_chars")
+      val doubled = docs.unionByName(
+        docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"), col("n_chars")))
+      val pred = doubled.select(col("doc_id"), col("text"), col("n_chars"),
+        graft.operators.LangId.predict(gateLangModel, col("text")).as("pred_lang"))
+      val deduped = Dedup.exactDedup(pred, "doc_id", Seq("pred_lang", "text"))
+      deduped.groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          min("doc_id").as("first_doc"))
+        .orderBy("pred_lang")
+    }),
+
     // n-gram LM fluency (CCNet-style quality signal): bigram model
     // counted from the even-doc_id half of the corpus (so odd docs
     // exercise real OOV), every doc scored by mean add-one-smoothed
@@ -3676,6 +3696,8 @@ object SparkEntry {
 
     "q_langid_profile" -> langidProfileOracleSql,
 
+    "q_pipeline_multilingual" -> multilingualPipelineOracleSql,
+
     "q_dedup_exact" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id, text FROM documents
@@ -5747,6 +5769,32 @@ object SparkEntry {
        |  CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
        |FROM pred JOIN documents d USING (doc_id)
        |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
+
+  /** composed multilingual pipeline mirror: same doubled corpus through
+    * the inference CTEs, dedup keyed (pred_lang, text) with min-doc_id
+    * tie-break, per-language profile */
+  private lazy val multilingualPipelineOracleSql: String = {
+    val doubled =
+      """SELECT doc_id, lower(text) AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, lower(text) AS t FROM documents""".stripMargin
+    s"""WITH ${langidPredCtes(doubled)},
+       |base AS (
+       |  SELECT doc_id, text, n_chars FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text, n_chars FROM documents
+       |), labeled AS (
+       |  SELECT b.doc_id, b.text, b.n_chars, p.pred_lang
+       |  FROM base b JOIN pred p USING (doc_id)
+       |), ded AS (
+       |  SELECT * FROM labeled
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY pred_lang, text ORDER BY doc_id) = 1
+       |)
+       |SELECT pred_lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  MIN(doc_id) AS first_doc
+       |FROM ded GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
+  }
 
   private def gatePqModel: graft.operators.Pq.PqModel =
     graft.operators.Pq.PqModel(8, 16, 8,
