@@ -56,7 +56,8 @@ object PlanAudit {
         "q_sessionize_batch", "q_funnel", "q_funnel_report",
         "q_retention", "q_mix_temperature", "q_token_shards",
         "q_span_corrupt", "q_fim", "q_text_badwords", "q_embed_maxsim",
-        "q_pipeline_objectives", "q_delta_zorder", "q_delta_skip")
+        "q_pipeline_objectives", "q_delta_zorder", "q_delta_skip",
+        "q_pipeline_multilingual", "q_embed_recall")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
