@@ -85,8 +85,11 @@ object Bench {
     // round 5: JDBC external-database round trip through embedded
     // Derby (write + 4-way partitioned pushdown read), fused NB langid
     // inference (narrow native kernel), lang-keyed profile under the
-    // real model (kernel pass + one shuffle on the predicted key)
-    "q_jdbc_scan", "q_text_langid2", "q_langid_profile")
+    // real model (kernel pass + one shuffle on the predicted key),
+    // the composed multilingual pipeline (kernel → keyed dedup window
+    // → profile), ANN recall measurement (11 TakeOrdered jobs)
+    "q_jdbc_scan", "q_text_langid2", "q_langid_profile",
+    "q_pipeline_multilingual", "q_embed_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
