@@ -64,7 +64,10 @@ object JdbcScan {
     * [[readPartitioned]]. This is the ergonomic that gets fact tables
     * actually partitioned — the manual-bounds form is skipped in
     * practice precisely when it matters. The bounds probe is a
-    * single-row aggregate the database answers from its index. */
+    * single-row aggregate the database answers from its index.
+    * `partitionColumn` is quoted with standard SQL double quotes in the
+    * probe (Derby/Postgres/MSSQL-with-QUOTED_IDENTIFIER); backtick
+    * dialects (MySQL) need ANSI_QUOTES or the manual-bounds form. */
   def readPartitionedAuto(spark: SparkSession, url: String, tableOrQuery: String,
                           partitionColumn: String, numPartitions: Int,
                           options: Map[String, String] = Map.empty): DataFrame = {
