@@ -418,6 +418,16 @@ object SparkEntry {
         .head(100)
         .df),
 
+    // numeric-position arrange (reference NEWS v8.10): sort the
+    // projected frame by position 1 DESC then 2, 3 — mirrored by SQL
+    // ordinal ORDER BY
+    "q_arrange_pos" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_extendedprice", "l_orderkey", "l_linenumber")
+        .arrange(-1, 2, 3)
+        .head(100)
+        .df),
+
     // =====================================================================
     // §2.3 joins
     // =====================================================================
@@ -5201,6 +5211,10 @@ object SparkEntry {
     "q_arrange" ->
       """SELECT l_extendedprice, l_orderkey, l_linenumber FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q_arrange_pos" ->
+      """SELECT l_extendedprice, l_orderkey, l_linenumber FROM lineitem
+        |ORDER BY 1 DESC, 2, 3 LIMIT 100""".stripMargin,
 
     "q_join_inner" ->
       """SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
