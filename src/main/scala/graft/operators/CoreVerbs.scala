@@ -117,6 +117,10 @@ trait CoreVerbs { self: TidierFrame =>
   def groupBy(sels: Selector*): TidierFrame =
     copy(groups = Selector.resolve(schema, sels))
 
+  /** `@group_by(all)` / `_by = all` (reference NEWS v8.10): group by
+    * every current column. */
+  def groupByAll(): TidierFrame = groupBy(graft.functions.Selector.everything())
+
   /** `@group_by(key = expr)` — computed grouping keys become projected
     * columns then grouping names (reference: src/TidierDB_macros.jl:178-220). */
   def groupBy(named: (String, Column)*)(implicit d: DummyImplicit): TidierFrame = {

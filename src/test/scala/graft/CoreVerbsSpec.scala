@@ -57,6 +57,15 @@ class CoreVerbsSpec extends SparkSpec {
     assert(e.getMessage.contains("out of range"))
   }
 
+  test("groupByAll groups by every current column (NEWS v8.10 group_by(all))") {
+    val doubled = Tidier.from(df.select("groups", "value").unionAll(df.select("groups", "value")))
+    val out = doubled.groupByAll().summarize("n" -> count(lit(1)))
+    assert(out.df.columns.toSeq == Seq("groups", "value", "n"))
+    val rows = out.collect()
+    assert(rows.forall(_.getLong(2) >= 2L)) // every (groups, value) pair doubled
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).distinct.length == rows.length)
+  }
+
   test("grouped mutate windows aggregates and clears grouping") {
     val tf = Tidier.from(df).groupBy("groups").mutate("gsum" -> sum(col("value")))
     assert(tf.groups.isEmpty)
