@@ -419,6 +419,11 @@ object Streams {
             // idle-TTL expiry: nothing buffered, nothing new — drop
             state.remove()
             Iterator.empty
+          } else if (state.getOption.isEmpty && rest.isEmpty && !advanced) {
+            // a user who has never sent a FUNNEL event must not grow
+            // the state store (a crawl's error-only users would
+            // otherwise accumulate one empty entry each, forever)
+            Iterator.empty
           } else {
             state.update(FunnelBufState(chain, rest))
             if (rest.nonEmpty) {

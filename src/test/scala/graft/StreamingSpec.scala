@@ -728,6 +728,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStreamOrdered: users with no funnel events never grow the state store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val out = Streams.funnelStreamOrdered(
+      input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "1 minute", Seq("view", "click"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_ord_state").start()
+    try {
+      // 50 error-only users + 1 real funnel user
+      input.addData((1 to 50).map(i =>
+        (i.toLong, ts("2024-01-01 10:00:00"), 100L + i, "error", 0.0)) :+
+        (99L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0): _*)
+      q.processAllAvailable()
+      input.addData((100L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0))
+      q.processAllAvailable()
+      val state = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(state <= 2L,
+        s"state store grew to $state rows — error-only users must not be tracked")
+    } finally q.stop()
+  }
+
   test("funnelStreamOrdered: idleTtl expires abandoned state after the buffer drains") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
