@@ -136,6 +136,18 @@ object JdbcWrite {
     val props = new java.util.Properties()
     options.foreach { case (k, v) => props.setProperty(k, v) }
     if (!props.containsKey("batchsize")) props.setProperty("batchsize", "10000")
+    // Spark's Derby dialect maps StringType → CLOB, and Derby cannot
+    // COMPARE a CLOB against the CHAR literals of a pushed-down string
+    // predicate — a table written with defaults breaks every string
+    // filter on read-back. Create string columns as VARCHAR (Derby's
+    // max length) unless the caller specified their own DDL types.
+    if (url.startsWith("jdbc:derby") && !props.containsKey("createTableColumnTypes")) {
+      val strCols = df.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.StringType)
+        .map(f => s"`${f.name}` VARCHAR(32672)")
+      if (strCols.nonEmpty)
+        props.setProperty("createTableColumnTypes", strCols.mkString(", "))
+    }
     val bounded =
       if (maxConnections > 0 && df.rdd.getNumPartitions > maxConnections)
         df.coalesce(maxConnections)

@@ -72,6 +72,17 @@ class JdbcScanSpec extends SparkSpec {
     assert(q.columns.toSeq == Seq("id", "amount"))
   }
 
+  test("string-predicate pushdown: equality and LIKE reach the remote scan") {
+    val url = seeded()
+    val q = Tidier.readJdbc(spark, url, "t")
+      .filter($"name" === "name_7" || $"name".startsWith("name_1")).df
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("name"),
+      s"string filter not pushed:\n$plan")
+    // name_7 plus name_1, name_10..name_19, name_100
+    assert(q.count() == 13)
+  }
+
   test("showTables lists the created table") {
     val url = seeded()
     assert(graft.sources.JdbcScan.showTables(url).exists(_.equalsIgnoreCase("t")))
