@@ -728,6 +728,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelStreamOrdered: equal-timestamp events keep strictly-after semantics") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val t0 = ts("2024-01-01 10:00:00")
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val out = Streams.funnelStreamOrdered(
+      input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "10 minutes", Seq("view", "click"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_ord_eq").start()
+    try {
+      // same MICROSECOND view+click: click is NOT strictly after → depth 1
+      input.addData((1L, t0, 1L, "view", 0.0), (2L, t0, 1L, "click", 0.0))
+      q.processAllAvailable()
+      input.addData((9L, ts("2024-01-01 12:00:00"), 7L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData((10L, ts("2024-01-01 13:00:00"), 7L, "error", 0.0))
+      q.processAllAvailable()
+      val u1 = spark.table("funnel_ord_eq")
+        .filter(col("user_id") === 1L).selectExpr("max(depth)").head().getLong(0)
+      assert(u1 == 1L, s"equal-ts click advanced the chain (depth $u1)")
+      // matches the batch operator on the same events
+      val batch = graft.operators.Events.funnel(
+          Seq((1L, 1L, t0, "view"), (2L, 1L, t0, "click"))
+            .toDF("event_id", "user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", Seq("view", "click"))
+        .selectExpr("depth").head().getLong(0)
+      assert(batch == 1L)
+    } finally q.stop()
+  }
+
   test("funnelStreamOrdered: users with no funnel events never grow the state store") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
