@@ -91,6 +91,21 @@ class LangIdSpec extends SparkSpec {
     assert(got.getInt(2) == 3 + 2 + 1) // mixed-order 1..3 grams of 'abc'
   }
 
+  test("edge cases: single-language model, NULL text null-out, empty corpus loud") {
+    val solo = LangId.trainRef(LangSeedCorpus.train.filter(_._1 == "en"))
+    assert(solo.langs == Seq("en") && solo.priorsMicro.head == 0L) // ln(1)
+    val got = Seq("anything at all", "学生").toDF("text")
+      .select(LangId.predict(solo, $"text")).as[String].collect()
+    assert(got.forall(_ == "en")) // one label — everything maps to it
+    // NULL text follows Spark null-in-null-out (not 'und' — no row evidence)
+    val withNull = spark.sql("SELECT CAST(NULL AS STRING) AS text")
+      .select(LangId.predict(refModel, $"text")).collect()
+    assert(withNull.head.isNullAt(0))
+    assert(intercept[IllegalArgumentException] {
+      LangId.trainRef(Seq.empty)
+    }.getMessage.contains("no labeled documents"))
+  }
+
   test("model is deterministic and weights are dense over all buckets") {
     assert(refModel.langs == Seq("de", "en", "es", "fr", "ja", "pt", "ru", "zh"))
     assert(refModel.weightsMicro.forall(_.length == refModel.nBuckets))
