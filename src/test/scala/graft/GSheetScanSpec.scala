@@ -60,6 +60,21 @@ class GSheetScanSpec extends SparkSpec {
     assert(rows.find(_.getString(0) == "Hammer").get.isNullAt(4)) // empty cell
   }
 
+  test("transcript parser accepts CRLF header sections (curl-style dumps)") {
+    val crlf = "### GET https://docs.google.com/spreadsheets/d/X/export?format=csv&gid=0\r\n" +
+      "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/csv\r\n" +
+      "\r\n" +
+      "a,b\r\n1,2\r\n"
+    val p = java.nio.file.Files.createTempFile("gsheet_crlf", ".http")
+    java.nio.file.Files.write(p, crlf.getBytes("UTF-8"))
+    val df = GSheetScan.read(spark,
+      "https://docs.google.com/spreadsheets/d/X/edit#gid=0",
+      GSheetScan.recordedTransport(p.toString))
+    assert(df.columns.toSeq == Seq("a", "b"))
+    assert(df.head().getInt(0) == 1 && df.head().getInt(1) == 2)
+  }
+
   test("recorded transport is loud on unknown URLs and replays redirects only to 200") {
     val t = GSheetScan.recordedTransport(transcript)
     val e = intercept[IllegalArgumentException] {
