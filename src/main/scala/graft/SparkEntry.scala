@@ -1819,6 +1819,19 @@ object SparkEntry {
           col("flag"), col("nc"))
     }),
 
+    // Google Sheets scan end to end over the BUILT-IN recorded HTTP
+    // transcript (reference db_table's docs.google.com dispatch,
+    // src/TidierDB.jl:171-174): export-URL construction, the 307
+    // redirect chase to the googleusercontent host, charset decode and
+    // RFC 4180 CSV parse (quoted commas, doubled quotes, unicode,
+    // CRLF) all run on real recorded bytes — zero egress
+    "q_gsheet_scan" -> ((s, dir) =>
+      graft.sources.GSheetScan.read(s,
+        graft.sources.GSheetFixture.sheetUrl,
+        graft.sources.GSheetScan.recordedTransport(
+          graft.sources.GSheetFixture.transcriptFile()))
+        .orderBy("name")),
+
     // external-database scan end to end (the reference's ext/ surface,
     // LibPQExt.jl etc.): load documents into an EMBEDDED Derby database
     // over JDBC, read back through Tidier.readJdbc as a 4-way
@@ -4223,6 +4236,15 @@ object SparkEntry {
     "q_jdbc_scan" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE n_chars > 100 ORDER BY doc_id""".stripMargin,
+
+    "q_gsheet_scan" ->
+      """SELECT * FROM (VALUES
+        |  ('Anvil, large', 3, CAST(19.99 AS DOUBLE), 'Berlin', 'ok'),
+        |  ('Hammer', 12, CAST(7.5 AS DOUBLE), 'Paris', NULL),
+        |  ('Quoted "nail" pack', 100, CAST(0.05 AS DOUBLE), 'São Paulo', 'unicode ✓'),
+        |  ('Rope', 1, CAST(3.25 AS DOUBLE), 'Kyoto', 'multi word note')
+        |) v(name, qty, price, city, note)
+        |ORDER BY name""".stripMargin,
 
     "q_delta_roundtrip" ->
       """SELECT doc_id, lang, text FROM documents
