@@ -65,7 +65,7 @@ object CharNgramBuckets {
 
   private[plans] def bucket(seed: String, feature: String, nBuckets: Int): Int = {
     val m = memo.get()
-    val key = seed + "" + nBuckets + "" + feature
+    val key = seed + "\u0001" + nBuckets + "\u0001" + feature
     val hit = m.get(key)
     if (hit != null) return hit.intValue()
     val d = md5.get()

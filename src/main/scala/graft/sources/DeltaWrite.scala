@@ -344,7 +344,7 @@ object DeltaWrite {
       // the data-skipping index DeltaScan prunes with
       val stats = ParquetStats.statsJson(conf, new Path(root, rel))
         .map(s => s""","stats":${jstr(s)}""").getOrElse("")
-      s"""{"add":{"path":${jstr(rel)},"partitionValues":{$pv},"size":$size,"modificationTime":$now,"dataChange":true$stats}}"""
+      s"""{"add":{"path":${jstr(encodePath(rel))},"partitionValues":{$pv},"size":$size,"modificationTime":$now,"dataChange":true$stats}}"""
     }
     val header =
       if (version == 0L) {
@@ -456,9 +456,9 @@ object DeltaWrite {
       added.map { case (rel, size) =>
         val stats = ParquetStats.statsJson(conf, new Path(root, rel))
           .map(s => s""","stats":${jstr(s)}""").getOrElse("")
-        s"""{"add":{"path":${jstr(rel)},"partitionValues":{${partitionValuesJson(rel)}},"size":$size,"modificationTime":$now,"dataChange":false$stats}}"""
+        s"""{"add":{"path":${jstr(encodePath(rel))},"partitionValues":{${partitionValuesJson(rel)}},"size":$size,"modificationTime":$now,"dataChange":false$stats}}"""
       } ++ groups.values.flatten.toSeq.sorted.map { rel =>
-        s"""{"remove":{"path":${jstr(rel)},"deletionTimestamp":$now,"dataChange":false}}"""
+        s"""{"remove":{"path":${jstr(encodePath(rel))},"deletionTimestamp":$now,"dataChange":false}}"""
       }
     val v = DeltaScan.latestVersion(spark, tablePath) + 1
     writeCommitFile(fs, root, v, actions)
@@ -545,9 +545,9 @@ object DeltaWrite {
       added.map { case (rel, size) =>
         val stats = ParquetStats.statsJson(conf, new Path(root, rel))
           .map(s => s""","stats":${jstr(s)}""").getOrElse("")
-        s"""{"add":{"path":${jstr(rel)},"partitionValues":{${partitionValuesJson(rel)}},"size":$size,"modificationTime":$now,"dataChange":false$stats}}"""
+        s"""{"add":{"path":${jstr(encodePath(rel))},"partitionValues":{${partitionValuesJson(rel)}},"size":$size,"modificationTime":$now,"dataChange":false$stats}}"""
       } ++ live.sorted.map { rel =>
-        s"""{"remove":{"path":${jstr(rel)},"deletionTimestamp":$now,"dataChange":false}}"""
+        s"""{"remove":{"path":${jstr(encodePath(rel))},"deletionTimestamp":$now,"dataChange":false}}"""
       }
     val v = DeltaScan.latestVersion(spark, tablePath) + 1
     writeCommitFile(fs, root, v, actions)
@@ -618,7 +618,11 @@ object DeltaWrite {
             fs.getFileStatus(new Path(root, rel)).getModificationTime <= cutoff =>
         rel
     }
-    val doomed = removed ++ orphans
+    // belt-and-suspenders: whatever classified a path as doomed, a name
+    // the CURRENT snapshot references is never deleted — a residual
+    // encoding mismatch must degrade to unreclaimed space, not data loss
+    val liveSet = acts.collect { case (p, true, _, _) => p }.toSet
+    val doomed = (removed ++ orphans).filterNot(liveSet.contains)
     if (!dryRun) doomed.foreach(rel => fs.delete(new Path(root, rel), false))
     // crashed writers leave .staging-* dirs behind; listDataFiles hides
     // them (correctly — in-flight files must not be claimable), so
@@ -717,11 +721,33 @@ object DeltaWrite {
   private def hiveUnescape(s: String): String =
     java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
 
+  /** on-disk relative path → spec-compliant log action path: every
+    * byte outside the unreserved set percent-encodes (incl. '%' itself
+    * and '+', which URLDecoder would otherwise mangle); '/' and the
+    * hive 'col=value' '=' stay readable. decode(encode(x)) == x by
+    * construction, so the reader's URLDecoder round-trips EXACTLY the
+    * on-disk name — including names that already carry hive escapes
+    * like 'ts=10%3A00' (logged as 'ts=10%253A00'). */
+  private[sources] def encodePath(rel: String): String = {
+    val sb = new StringBuilder(rel.length + 8)
+    rel.getBytes(StandardCharsets.UTF_8).foreach { b =>
+      val c = (b & 0xff).toChar
+      val plain = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '/' || c == '-' || c == '_' ||
+        c == '.' || c == '~' || c == '='
+      if (plain) sb.append(c) else sb.append(f"%%${b & 0xff}%02X")
+    }
+    sb.toString
+  }
+
   /** log action path → on-disk relative path (the same URLDecoder call
     * DeltaScan.read uses, so reader and writer agree on the decoded
-    * namespace) */
+    * namespace); malformed escapes from non-compliant writers pass
+    * through RAW rather than throwing — a legacy log must degrade to
+    * the old raw comparison, never crash replay */
   private def decodePath(p: String): String =
-    java.net.URLDecoder.decode(p, StandardCharsets.UTF_8)
+    try java.net.URLDecoder.decode(p, StandardCharsets.UTF_8)
+    catch { case _: IllegalArgumentException => p }
 
   /** JSON string literal with full control-char escaping */
   private def jstr(s: String): String = "\"" + s.flatMap {

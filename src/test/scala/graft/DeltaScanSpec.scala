@@ -676,6 +676,34 @@ class DeltaScanSpec extends SparkSpec {
     assert(DeltaWrite.vacuum(spark, dir, retainMs = 0L).isEmpty)
   }
 
+  test("special-char partition values survive write/read/compact/vacuum (hive-escaped dirs)") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    // ':' and '%' hive-escape in directory names (ts=10%3A00); the log
+    // must round-trip the ON-DISK name exactly — writer percent-encodes
+    // action paths (spec), reader decodes, so escapes compose
+    val dir = freshDir("graft_delta_specialpart").toString
+    val df0 = Seq((1L, "10:00"), (2L, "90%"), (3L, "plain"), (4L, "10:00"))
+      .toDF("id", "slot")
+    DeltaWrite.create(spark, df0, dir, partitionBy = Seq("slot"))
+    DeltaWrite.append(spark, Seq((5L, "90%")).toDF("id", "slot"), dir,
+      partitionBy = Seq("slot"))
+    def all() = DeltaScan.read(spark, dir).select("id", "slot")
+      .as[(Long, String)].collect().toSet
+    val expect = Set((1L, "10:00"), (2L, "90%"), (3L, "plain"), (4L, "10:00"), (5L, "90%"))
+    assert(all() == expect)
+    // partition pruning on the escaped value still works
+    assert(DeltaScan.read(spark, dir).filter(col("slot") === "10:00").count() == 2)
+    // compact rewrites the escaped dirs without losing/mangling names
+    DeltaWrite.compact(spark, dir, targetFiles = 1)
+    assert(all() == expect)
+    // vacuum must not touch any LIVE file in the escaped dirs
+    DeltaWrite.vacuum(spark, dir, retainMs = 0L)
+    assert(all() == expect)
+    // zorder path shares the rewrite machinery
+    DeltaWrite.zorder(spark, dir, Seq("id"), bitsPerCol = 8)
+    assert(all() == expect)
+  }
+
   test("vacuum never deletes a live file whose log path is percent-encoded") {
     import graft.sources.{DeltaScan, DeltaWrite}
     // spec-compliant EXTERNAL writer: on-disk name has a space, the
