@@ -405,19 +405,26 @@ object DeltaScan {
     val stamped = versions.sorted.map { v =>
       val p = new Path(logDir, f"$v%020d.json")
       val in = fs.open(p)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      val nodes = lines.map(mapper.readTree)
-      val commitInfoTs = nodes.collectFirst {
-        case n if n.has("commitInfo") && n.get("commitInfo").has("timestamp") =>
-          n.get("commitInfo").get("timestamp").asLong()
-      }
-      val addTs = nodes.collect {
-        case n if n.has("add") && n.get("add").has("modificationTime") =>
-          n.get("add").get("modificationTime").asLong()
-      }
+      // stream the lines and STOP at the first commitInfo (connectors
+      // put it first or last; either way this caps the common case at
+      // one or few lines instead of parsing the whole commit) — only a
+      // commitInfo-less commit pays the full scan for its max add time
+      var commitInfoTs = Option.empty[Long]
+      var maxAddTs = Option.empty[Long]
+      try {
+        val it = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        while (commitInfoTs.isEmpty && it.hasNext) {
+          val n = mapper.readTree(it.next())
+          if (n.has("commitInfo") && n.get("commitInfo").has("timestamp"))
+            commitInfoTs = Some(n.get("commitInfo").get("timestamp").asLong())
+          else if (n.has("add") && n.get("add").has("modificationTime")) {
+            val t = n.get("add").get("modificationTime").asLong()
+            if (maxAddTs.forall(_ < t)) maxAddTs = Some(t)
+          }
+        }
+      } finally in.close()
       val ts = commitInfoTs
-        .orElse(if (addTs.nonEmpty) Some(addTs.max) else None)
+        .orElse(maxAddTs)
         .getOrElse(fs.getFileStatus(p).getModificationTime)
       v -> ts
     }

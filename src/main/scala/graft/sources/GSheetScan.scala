@@ -24,12 +24,18 @@ object GSheetScan {
 
   type Transport = String => Array[Byte]
 
-  private val SheetUrl =
-    """https?://docs\.google\.com/spreadsheets/d/([A-Za-z0-9_-]+)[^#]*(?:[#?&]gid=(\d+))?.*""".r
+  private val SheetId =
+    """https?://docs\.google\.com/spreadsheets/d/([A-Za-z0-9_-]+).*""".r
+  private val Gid = """[#?&]gid=(\d+)""".r
 
-  /** spreadsheet URL → (sheetId, gid) — loud on anything else */
+  /** spreadsheet URL → (sheetId, gid) — loud on anything else. The gid
+    * is matched ANYWHERE after the id (modern share links carry it in
+    * the query string, `?gid=123`, not only the `#gid=123` fragment —
+    * a single greedy regex silently dropped the query form and read
+    * worksheet 0). */
   private[graft] def parseUrl(url: String): (String, String) = url match {
-    case SheetUrl(id, gid) => (id, Option(gid).getOrElse("0"))
+    case SheetId(id) =>
+      (id, Gid.findFirstMatchIn(url).map(_.group(1)).getOrElse("0"))
     case _ => throw new IllegalArgumentException(
       s"not a Google Sheets URL: $url (expected docs.google.com/spreadsheets/d/<id>...)")
   }

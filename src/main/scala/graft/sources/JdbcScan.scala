@@ -72,7 +72,7 @@ object JdbcScan {
                           partitionColumn: String, numPartitions: Int,
                           options: Map[String, String] = Map.empty): DataFrame = {
     require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
-    val conn = java.sql.DriverManager.getConnection(url)
+    val conn = openConnection(url, options)
     val (lo, hi) =
       try {
         val st = conn.createStatement()
@@ -105,14 +105,30 @@ object JdbcScan {
 
   /** `show_tables` against a JDBC catalog (reference:
     * ext/LibPQExt.jl:41-43) via DatabaseMetaData — dialect-free. */
-  def showTables(url: String): Seq[String] = {
-    val conn = java.sql.DriverManager.getConnection(url)
+  def showTables(url: String,
+                 options: Map[String, String] = Map.empty): Seq[String] = {
+    val conn = openConnection(url, options)
     try {
       val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
       while (rs.next()) out += rs.getString("TABLE_NAME")
       out.toSeq
     } finally conn.close()
+  }
+
+  /** driver-side probe connection carrying the SAME credentials the
+    * Spark read gets: user/password (and any other driver-recognized
+    * keys) pass through, and an explicit `driver` option is class-loaded
+    * first — without this, the auto-bounds probe would auth-fail
+    * against any credentialed database even though spark.read.jdbc with
+    * identical options succeeds */
+  private def openConnection(url: String,
+      options: Map[String, String]): java.sql.Connection = {
+    options.get("driver").foreach(Class.forName)
+    val props = new java.util.Properties()
+    options.filterNot(_._1 == "driver")
+      .foreach { case (k, v) => props.setProperty(k, v) }
+    java.sql.DriverManager.getConnection(url, props)
   }
 }
 

@@ -79,6 +79,18 @@ object Streams {
   final case class FunnelRow(
       user_id: Long, stages: Seq[Option[java.sql.Timestamp]], depth: Long)
 
+  /** EXACT micros round trip (Timestamp.getTime is millis — a
+    * same-millisecond view→click pair would never satisfy
+    * strictly-after, diverging from the micros-exact batch funnel);
+    * shared by both funnel state operators. */
+  private def us(t: java.sql.Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+  private def fromUs(m: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(m, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Cross-batch streaming DEDUP with event-time TTL — the custom-state
     * shape the built-in `dropDuplicatesWithinWatermark` hides: one
     * boolean-ish state cell per dedup key, expired by an event-time
@@ -283,13 +295,6 @@ object Streams {
     // EXACT micros (Timestamp.getTime is millis — a same-millisecond
     // view→click pair would never satisfy strictly-after, diverging
     // from the micros-exact batch funnel)
-    def us(t: java.sql.Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
-    def fromUs(m: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(m, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
-      t
-    }
     val ds = events
       .select("event_id", "ts", "user_id", "event_type", "value")
       .withWatermark("ts", watermark)
@@ -375,13 +380,6 @@ object Streams {
     val k = steps.size
     val spark = events.sparkSession
     import spark.implicits._
-    def us(t: java.sql.Timestamp): Long =
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
-    def fromUs(m: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(m, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
-      t
-    }
     val ttlMs = idleTtl.map { s =>
       val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
         org.apache.spark.unsafe.types.UTF8String.fromString(s))

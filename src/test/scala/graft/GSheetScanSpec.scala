@@ -17,6 +17,13 @@ class GSheetScanSpec extends SparkSpec {
     assert(GSheetScan.exportUrl(
       "https://docs.google.com/spreadsheets/d/XYZ/edit") ==
       "https://docs.google.com/spreadsheets/d/XYZ/export?format=csv&gid=0")
+    // modern share links carry gid in the QUERY string, not the fragment
+    assert(GSheetScan.exportUrl(
+      "https://docs.google.com/spreadsheets/d/XYZ/edit?gid=123") ==
+      "https://docs.google.com/spreadsheets/d/XYZ/export?format=csv&gid=123")
+    assert(GSheetScan.exportUrl(
+      "https://docs.google.com/spreadsheets/d/XYZ/edit?usp=sharing&gid=9#top") ==
+      "https://docs.google.com/spreadsheets/d/XYZ/export?format=csv&gid=9")
     assert(intercept[IllegalArgumentException] {
       GSheetScan.exportUrl("https://example.com/spreadsheets/d/XYZ")
     }.getMessage.contains("not a Google Sheets URL"))
