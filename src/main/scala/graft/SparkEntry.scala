@@ -1826,9 +1826,9 @@ object SparkEntry {
     // RFC 4180 CSV parse (quoted commas, doubled quotes, unicode,
     // CRLF) all run on real recorded bytes — zero egress
     "q_gsheet_scan" -> ((s, dir) =>
-      graft.sources.GSheetScan.read(s,
+      graft.sources.GSheetScan.readWithHeaders(s,
         graft.sources.GSheetFixture.sheetUrl,
-        graft.sources.GSheetScan.recordedTransport(
+        graft.sources.GSheetScan.recordedHeaderTransport(
           graft.sources.GSheetFixture.transcriptFile()))
         .orderBy("name")),
 
@@ -1840,16 +1840,26 @@ object SparkEntry {
     // pushdown defect diverges from plain parquet
     "q_jdbc_scan" -> ((s, dir) => {
       System.setProperty("derby.stream.error.file", "/tmp/graft_derby.log")
-      val url = "jdbc:derby:memory:graft_gate_" +
-        java.util.UUID.randomUUID().toString.replace("-", "") + ";create=true"
+      val dbName = "graft_gate_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val url = s"jdbc:derby:memory:$dbName;create=true"
       val docs = t(s, dir, "documents").df
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       graft.sources.JdbcWrite.write(docs, url, "docs", mode = "overwrite",
         options = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver"))
-      Tidier.readJdbc(s, url, "docs", "doc_id", 0L, 1000L, 4)
+      val out = Tidier.readJdbc(s, url, "docs", "doc_id", 0L, 1000L, 4)
         .filter(col("n_chars") > 100)
         .arrange("doc_id")
         .df
+      // the lazy JDBC read must run before the database drops, so
+      // materialize (gate-sized by construction), then release the
+      // in-memory Derby instance — repeated gate/bench executions in
+      // one JVM must not accumulate live databases. A successful drop
+      // SIGNALS via SQLException 08006; swallowing it is the protocol.
+      val rows = out.collect().toSeq
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$dbName;drop=true")
+      catch { case _: java.sql.SQLException => () }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
     }),
 
     // full Iceberg WRITE→READ round trip: create(evens)+append(odds)

@@ -152,7 +152,7 @@ object Tidier {
     val lower = path.toLowerCase.stripSuffix("/")
     val df =
       if (lower.contains("docs.google.com/spreadsheets"))
-        graft.sources.GSheetScan.read(spark, path)
+        graft.sources.GSheetScan.readWithHeaders(spark, path)
       else if (lower.endsWith(".csv") || lower.endsWith(".csv.gz"))
         spark.read.option("header", "true").option("inferSchema", "true").csv(path)
       else if (lower.endsWith(".json") || lower.endsWith(".ndjson"))

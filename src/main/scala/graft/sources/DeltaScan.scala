@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.net.URLDecoder
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -81,6 +80,36 @@ object DeltaScan {
   private val dvBroadcastRows = 4L * 1000 * 1000
 
   private val physNameKey = "delta.columnMapping.physicalName"
+
+  /** RFC 3986 percent-decode for Delta action paths: ONLY `%XX`
+    * sequences decode (as UTF-8); '+' stays literal. Form-decoding
+    * (URLDecoder, '+'→' ') would mis-name files from writers that
+    * leave '+' unencoded — delta-spark does — and a mis-decoded
+    * tracked set makes vacuum classify a live `a+b.parquet` as an
+    * orphan. Malformed escapes pass through RAW rather than throwing,
+    * so a legacy log with raw `%`-bearing hive paths degrades to the
+    * old byte-identical comparison, never to a crash or a rename. */
+  private[graft] def percentDecode(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%') {
+        if (i + 2 >= s.length) return s
+        val hi = Character.digit(s.charAt(i + 1), 16)
+        val lo = Character.digit(s.charAt(i + 2), 16)
+        if (hi < 0 || lo < 0) return s
+        out.write((hi << 4) | lo)
+        i += 3
+      } else {
+        val cp = s.codePointAt(i)
+        out.write(new String(Character.toChars(cp)).getBytes(StandardCharsets.UTF_8))
+        i += Character.charCount(cp)
+      }
+    }
+    new String(out.toByteArray, StandardCharsets.UTF_8)
+  }
 
   /** Latest committed version of the table (max JSON commit number,
     * or the checkpoint version when the JSON tail was fully
@@ -193,7 +222,7 @@ object DeltaScan {
       .collect()
 
     val allFiles = live.map { r =>
-      val rel = URLDecoder.decode(r.getString(0), StandardCharsets.UTF_8)
+      val rel = percentDecode(r.getString(0))
       val pv = if (r.isNullAt(1)) Map.empty[String, String]
                else r.getMap[String, String](1).toMap
       val dv = if (r.isNullAt(2) || r.getStruct(2).isNullAt(0)) None else {
@@ -355,7 +384,7 @@ object DeltaScan {
           "consumers support unpartitioned tables only")
     }
     adds.map(r => new Path(tablePath,
-      URLDecoder.decode(r.getString(0), StandardCharsets.UTF_8)).toString).toSeq
+      percentDecode(r.getString(0))).toString).toSeq
   }
 
   /** INCREMENTAL READ — the rows appended in versions `(fromExclusive,

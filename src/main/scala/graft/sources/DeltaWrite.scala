@@ -382,11 +382,20 @@ object DeltaWrite {
     * remove deletionTimestamp). Driver-side metadata work over this
     * writer's own JSON log (never truncated — checkpoint() enforces). */
   private def replayActions(spark: SparkSession, fs: FileSystem,
-      tablePath: String): Seq[(String, Boolean, Long, Long)] = {
+      tablePath: String): Seq[(String, Boolean, Long, Long)] =
+    replayActionsWithRaw(spark, fs, tablePath)._1
+
+  /** like [[replayActions]] but additionally returns the set of RAW
+    * (undecoded) action paths ever logged — vacuum's last-resort
+    * exclusion namespace: whatever an external writer's encoding
+    * convention was, the raw bytes it logged are in here */
+  private def replayActionsWithRaw(spark: SparkSession, fs: FileSystem,
+      tablePath: String): (Seq[(String, Boolean, Long, Long)], Set[String]) = {
     val logDir = new Path(fs.makeQualified(new Path(tablePath)), "_delta_log")
     val version = DeltaScan.latestVersion(spark, tablePath)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val latest = scala.collection.mutable.LinkedHashMap.empty[String, (Boolean, Long, Long)]
+    val raw = Set.newBuilder[String]
     (0L to version).foreach { v =>
       val p = new Path(logDir, f"$v%020d.json")
       require(fs.exists(p),
@@ -400,16 +409,20 @@ object DeltaWrite {
         // vacuum's tracked-set, compact's live-set, and existence
         // checks all compare in the same namespace — an encoded live
         // file must never look untracked (that deleted data)
-        if (node.has("add"))
-          latest(decodePath(node.get("add").get("path").asText())) = (true, v, 0L)
-        else if (node.has("remove")) {
+        if (node.has("add")) {
+          val rp = node.get("add").get("path").asText()
+          raw += rp
+          latest(decodePath(rp)) = (true, v, 0L)
+        } else if (node.has("remove")) {
           val r = node.get("remove")
+          val rp = r.get("path").asText()
+          raw += rp
           val ts = Option(r.get("deletionTimestamp")).map(_.asLong()).getOrElse(0L)
-          latest(decodePath(r.get("path").asText())) = (false, v, ts)
+          latest(decodePath(rp)) = (false, v, ts)
         }
       }
     }
-    latest.toSeq.map { case (p, (isAdd, v, ts)) => (p, isAdd, v, ts) }
+    (latest.toSeq.map { case (p, (isAdd, v, ts)) => (p, isAdd, v, ts) }, raw.result())
   }
 
   /** COMPACT small files: live files under `smallFileBytes` are
@@ -600,7 +613,7 @@ object DeltaWrite {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new Path(tablePath))
     val cutoff = System.currentTimeMillis() - retainMs
-    val acts = replayActions(spark, fs, tablePath)
+    val (acts, rawLogged) = replayActionsWithRaw(spark, fs, tablePath)
     val removed = acts
       .collect { case (p, false, _, ts) if ts <= cutoff => p }
       .filter(rel => fs.exists(new Path(root, rel)))
@@ -610,11 +623,17 @@ object DeltaWrite {
     // ([[appendWithRetry]]): renamed into the root, then the
     // conditional commit lost, so no add ever named them. The mtime
     // retention window protects any writer currently between its
-    // move and its commit.
+    // move and its commit. A file counts as tracked if its DECODED,
+    // RAW, or re-ENCODED name appears in the log — three namespaces
+    // because external writers disagree on encoding (delta-spark
+    // leaves '+' raw; pre-fix graft logged raw hive escapes), and an
+    // encoding mismatch must degrade to unreclaimed space, never to
+    // deleting a live data file.
     val trackedSet = acts.map(_._1).toSet
     val orphans = listDataFiles(fs, root).collect {
       case (rel, _)
-          if !trackedSet.contains(rel) &&
+          if !trackedSet.contains(rel) && !rawLogged.contains(rel) &&
+            !rawLogged.contains(encodePath(rel)) &&
             fs.getFileStatus(new Path(root, rel)).getModificationTime <= cutoff =>
         rel
     }
@@ -718,8 +737,7 @@ object DeltaWrite {
   }
 
   /** minimal hive-path unescape (%xx sequences) for partition values */
-  private def hiveUnescape(s: String): String =
-    java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+  private def hiveUnescape(s: String): String = DeltaScan.percentDecode(s)
 
   /** on-disk relative path → spec-compliant log action path: every
     * byte outside the unreserved set percent-encodes (incl. '%' itself
@@ -740,14 +758,15 @@ object DeltaWrite {
     sb.toString
   }
 
-  /** log action path → on-disk relative path (the same URLDecoder call
-    * DeltaScan.read uses, so reader and writer agree on the decoded
-    * namespace); malformed escapes from non-compliant writers pass
-    * through RAW rather than throwing — a legacy log must degrade to
-    * the old raw comparison, never crash replay */
-  private def decodePath(p: String): String =
-    try java.net.URLDecoder.decode(p, StandardCharsets.UTF_8)
-    catch { case _: IllegalArgumentException => p }
+  /** log action path → on-disk relative path (the same percent-only
+    * decode DeltaScan.read uses, so reader and writer agree on the
+    * decoded namespace). RFC 3986 semantics: '+' stays literal —
+    * form-decoding would turn an external writer's unencoded
+    * `a+b.parquet` into `a b.parquet` and make vacuum delete the live
+    * file as an orphan. Malformed escapes pass through RAW rather than
+    * throwing — a legacy log must degrade to the old raw comparison,
+    * never crash replay. */
+  private def decodePath(p: String): String = DeltaScan.percentDecode(p)
 
   /** JSON string literal with full control-char escaping */
   private def jstr(s: String): String = "\"" + s.flatMap {

@@ -24,6 +24,13 @@ object GSheetScan {
 
   type Transport = String => Array[Byte]
 
+  /** terminal HTTP response: body bytes + response headers
+    * (lowercased keys) — the header-carrying twin of [[Transport]],
+    * so [[read]] can honor `Content-Type: …; charset=…` instead of
+    * assuming UTF-8 */
+  final case class Response(body: Array[Byte], headers: Map[String, String])
+  type HeaderTransport = String => Response
+
   private val SheetId =
     """https?://docs\.google\.com/spreadsheets/d/([A-Za-z0-9_-]+).*""".r
   private val Gid = """[#?&]gid=(\d+)""".r
@@ -47,7 +54,11 @@ object GSheetScan {
 
   /** default transport: plain GET, follows redirects (the export URL
     * 307s to a storage host). Needs egress; fails loudly without. */
-  def httpGet: Transport = url => {
+  def httpGet: Transport = url => httpGetWithHeaders(url).body
+
+  /** [[httpGet]] with the terminal response headers, so charset in
+    * Content-Type survives to the decode */
+  def httpGetWithHeaders: HeaderTransport = url => {
     val client = java.net.http.HttpClient.newBuilder()
       .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
       .build()
@@ -56,7 +67,11 @@ object GSheetScan {
     require(resp.statusCode() == 200,
       s"Google Sheets export failed: HTTP ${resp.statusCode()} for $url " +
         "(is the sheet shared to anyone-with-link?)")
-    resp.body()
+    import scala.jdk.CollectionConverters._
+    val headers = resp.headers().map().asScala.collect {
+      case (k, vs) if !vs.isEmpty => k.toLowerCase -> vs.get(0)
+    }.toMap
+    Response(resp.body(), headers)
   }
 
   /** Replay transport over a RECORDED HTTP transcript (the offline
@@ -71,12 +86,21 @@ object GSheetScan {
     * decode, CSV parse, schema inference — run end to end on real
     * recorded bytes with zero egress. */
   def recordedTransport(transcriptPath: String): Transport = {
+    val h = recordedHeaderTransport(transcriptPath)
+    url => h(url).body
+  }
+
+  /** [[recordedTransport]] that also surfaces the terminal 200's
+    * recorded headers, so the charset in a recorded
+    * `Content-Type: text/csv; charset=…` drives the decode exactly as
+    * it would live */
+  def recordedHeaderTransport(transcriptPath: String): HeaderTransport = {
     val bytes = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(transcriptPath))
     val exchanges = parseTranscript(bytes)
     url => {
       @annotation.tailrec
-      def chase(current: String, hops: Int): Array[Byte] = {
+      def chase(current: String, hops: Int): Response = {
         require(hops < 8, s"redirect loop replaying $url")
         val (status, headers, body) = exchanges.getOrElse(current,
           throw new IllegalArgumentException(
@@ -90,7 +114,7 @@ object GSheetScan {
           require(status == 200,
             s"Google Sheets export failed: HTTP $status for $current " +
               "(is the sheet shared to anyone-with-link?)")
-          body
+          Response(body, headers)
         }
       }
       chase(url, 0)
@@ -133,17 +157,44 @@ object GSheetScan {
       }.toMap
       val bodyStart = s + text.substring(0, headerEnd._1).getBytes(StandardCharsets.UTF_8).length + headerEnd._2
       // trim ONE trailing newline before the next marker (the
-      // transcript author's block separator, not response bytes)
+      // transcript author's block separator, not response bytes) —
+      // but ONLY when a next marker follows: the FINAL exchange has no
+      // separator, so its terminal bytes are genuine response bytes
+      // and must replay byte-faithfully (matters for binary fixtures)
       var bodyEnd = e
-      if (bodyEnd > bodyStart && bytes(bodyEnd - 1) == '\n') bodyEnd -= 1
-      if (bodyEnd > bodyStart && bytes(bodyEnd - 1) == '\r') bodyEnd -= 1
+      if (e < bytes.length) {
+        if (bodyEnd > bodyStart && bytes(bodyEnd - 1) == '\n') bodyEnd -= 1
+        if (bodyEnd > bodyStart && bytes(bodyEnd - 1) == '\r') bodyEnd -= 1
+      }
       url -> ((status, headers, java.util.Arrays.copyOfRange(bytes, bodyStart, bodyEnd)))
     }.toMap
   }
 
   def read(spark: SparkSession, url: String,
-      transport: Transport = httpGet): DataFrame = {
-    val csv = new String(transport(exportUrl(url)), StandardCharsets.UTF_8)
+      transport: Transport = httpGet): DataFrame =
+    readWithHeaders(spark, url, u => Response(transport(u), Map.empty))
+
+  /** charset named by the Content-Type header, UTF-8 when absent,
+    * unparseable, or unsupported by the JVM (a decode should degrade,
+    * not crash, on an exotic label) */
+  private[graft] def charsetOf(headers: Map[String, String]): java.nio.charset.Charset = {
+    val named = for {
+      ct <- headers.get("content-type")
+      m <- """(?i)charset\s*=\s*"?([A-Za-z0-9._\-]+)"?""".r.findFirstMatchIn(ct)
+      cs <- try Some(java.nio.charset.Charset.forName(m.group(1)))
+            catch { case _: Exception => None }
+    } yield cs
+    named.getOrElse(StandardCharsets.UTF_8)
+  }
+
+  /** [[read]] over a header-carrying transport: the terminal
+    * response's `Content-Type: …; charset=…` selects the decode
+    * charset (a latin-1 export must not mojibake), falling back to
+    * UTF-8 when absent */
+  def readWithHeaders(spark: SparkSession, url: String,
+      transport: HeaderTransport = httpGetWithHeaders): DataFrame = {
+    val resp = transport(exportUrl(url))
+    val csv = new String(resp.body, charsetOf(resp.headers))
     import spark.implicits._
     // split preserving quoted newlines is the CSV reader's job — feed
     // whole physical lines; Spark's parser handles quoted commas, and

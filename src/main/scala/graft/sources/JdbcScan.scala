@@ -90,9 +90,15 @@ object JdbcScan {
       } finally conn.close()
     if (lo == hi)
       read(spark, url, tableOrQuery, options) // single value — one range
-    else
+    else {
+      // hi+1 evens the stride, but overflows when MAX == Long.MaxValue;
+      // clamping to hi is still correct — Spark's last JDBC partition
+      // predicate is unbounded above (>= last bound), so rows equal to
+      // the upper bound are always read
+      val upper = if (hi == Long.MaxValue) hi else hi + 1
       readPartitioned(spark, url, tableOrQuery, partitionColumn,
-        lo, hi + 1, numPartitions, options)
+        lo, upper, numPartitions, options)
+    }
   }
 
   /** A bare identifier passes through; anything with whitespace is

@@ -720,6 +720,53 @@ class DeltaScanSpec extends SparkSpec {
     assert(DeltaScan.read(spark, dir.toString).count() == 1)
   }
 
+  test("percentDecode: RFC 3986 semantics — '+' literal, %XX decodes, malformed passes raw") {
+    import graft.sources.DeltaScan.percentDecode
+    assert(percentDecode("a+b.parquet") == "a+b.parquet") // form-decode would say "a b"
+    assert(percentDecode("part%20a.parquet") == "part a.parquet")
+    assert(percentDecode("x%2By.parquet") == "x+y.parquet")
+    assert(percentDecode("ts=10%3A00/f.parquet") == "ts=10:00/f.parquet")
+    assert(percentDecode("caf%C3%A9.parquet") == "café.parquet") // multi-byte UTF-8
+    assert(percentDecode("plain.parquet") == "plain.parquet")
+    // malformed escapes degrade to the raw string, never throw
+    assert(percentDecode("bad%G1.parquet") == "bad%G1.parquet")
+    assert(percentDecode("trunc%2") == "trunc%2")
+    assert(percentDecode("lone%") == "lone%")
+  }
+
+  test("vacuum never form-decodes: a live file with literal '+' survives (delta-spark logs '+' raw)") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    val dir = freshDir("graft_delta_vac_plus")
+    // external writers (delta-spark) leave '+' UNencoded in action
+    // paths; form-decoding would track "a b.parquet" while the disk
+    // holds "a+b.parquet" — orphan collection would delete live data
+    val s0 = writeDataFile(Seq((1L, "a")).toDF("id", "v"), dir, "a+b.parquet")
+    writeCommit(dir, 0, Seq(protoAction, metaAction(), addAction("a+b.parquet", s0)))
+    assert(DeltaScan.read(spark, dir.toString).count() == 1)
+    val gone = DeltaWrite.vacuum(spark, dir.toString, retainMs = 0L)
+    assert(gone.isEmpty, s"vacuum claimed the live '+' file: $gone")
+    assert(DeltaScan.read(spark, dir.toString).count() == 1)
+  }
+
+  test("vacuum excludes on-disk files whose RAW or re-encoded name is logged (legacy raw-escape logs)") {
+    import graft.sources.DeltaWrite
+    val dir = freshDir("graft_delta_vac_rawhive")
+    // a legacy (pre-encoding) writer logged the on-disk hive-escaped
+    // name RAW: 'ts=10%3A00/f.parquet'. Decoding yields
+    // 'ts=10:00/f.parquet' which matches nothing on disk — only the
+    // raw-name exclusion keeps orphan collection from deleting the
+    // live file
+    val s0 = writeDataFile(Seq((1L, "a")).toDF("id", "v"), dir, "ts=10%3A00/f.parquet")
+    writeCommit(dir, 0, Seq(protoAction,
+      metaAction(partCols = """["ts"]"""),
+      s"""{"add":{"path":"ts=10%3A00/f.parquet","partitionValues":{"ts":"10:00"},""" +
+        s""""size":$s0,"modificationTime":1700000000000,"dataChange":true}}"""))
+    val gone = DeltaWrite.vacuum(spark, dir.toString, retainMs = 0L)
+    assert(gone.isEmpty, s"vacuum claimed the raw-logged live file: $gone")
+    assert(Files.exists(dir.resolve("ts=10%3A00/f.parquet")),
+      "live file with raw-logged hive escape was deleted")
+  }
+
   test("vacuum reclaims crashed writers' stale .staging-* dirs, keeps fresh ones") {
     import graft.sources.DeltaWrite
     val dir = freshDir("graft_delta_vac_staging").toString

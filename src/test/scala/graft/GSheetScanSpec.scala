@@ -82,6 +82,57 @@ class GSheetScanSpec extends SparkSpec {
     assert(df.head().getInt(0) == 1 && df.head().getInt(1) == 2)
   }
 
+  test("charset in Content-Type drives the decode (latin-1 export must not mojibake)") {
+    // body is ISO-8859-1 bytes: 'é' = 0xE9, invalid as UTF-8 — a
+    // hardcoded UTF-8 decode would replace it with U+FFFD
+    val header = ("### GET https://docs.google.com/spreadsheets/d/L1/export?format=csv&gid=0\n" +
+      "HTTP/1.1 200 OK\n" +
+      "Content-Type: text/csv; charset=ISO-8859-1\n" +
+      "\n").getBytes("UTF-8")
+    val body = "name,city\nRenée,Montréal\n".getBytes("ISO-8859-1")
+    val p = java.nio.file.Files.createTempFile("gsheet_latin1", ".http")
+    java.nio.file.Files.write(p, header ++ body)
+    val df = GSheetScan.readWithHeaders(spark,
+      "https://docs.google.com/spreadsheets/d/L1/edit#gid=0",
+      GSheetScan.recordedHeaderTransport(p.toString))
+    val r = df.head()
+    assert(r.getString(0) == "Renée", s"mojibake: ${r.getString(0)}")
+    assert(r.getString(1) == "Montréal")
+  }
+
+  test("charsetOf: parses quoted/cased labels, falls back to UTF-8 on absent or bogus") {
+    assert(GSheetScan.charsetOf(Map("content-type" -> "text/csv; charset=ISO-8859-1"))
+      .name == "ISO-8859-1")
+    assert(GSheetScan.charsetOf(Map("content-type" -> "text/csv; CHARSET=\"utf-8\""))
+      .name == "UTF-8")
+    assert(GSheetScan.charsetOf(Map("content-type" -> "text/csv")).name == "UTF-8")
+    assert(GSheetScan.charsetOf(Map.empty).name == "UTF-8")
+    assert(GSheetScan.charsetOf(Map("content-type" -> "text/csv; charset=no-such-cs"))
+      .name == "UTF-8")
+  }
+
+  test("final exchange replays byte-faithfully (no separator trim without a next marker)") {
+    // the terminal response's last bytes are genuine body bytes — the
+    // parser must only strip the separator newline BETWEEN blocks
+    val one = ("### GET https://docs.google.com/spreadsheets/d/F1/export?format=csv&gid=0\n" +
+      "HTTP/1.1 200 OK\n\n" +
+      "a,b\n1,2").getBytes("UTF-8") // note: NO trailing newline
+    val p1 = java.nio.file.Files.createTempFile("gsheet_exact1", ".http")
+    java.nio.file.Files.write(p1, one)
+    val t1 = GSheetScan.recordedTransport(p1.toString)
+    assert(new String(t1("https://docs.google.com/spreadsheets/d/F1/export?format=csv&gid=0"),
+      "UTF-8") == "a,b\n1,2")
+    // WITH a trailing newline in the final block, that byte is body too
+    val two = ("### GET https://docs.google.com/spreadsheets/d/F2/export?format=csv&gid=0\n" +
+      "HTTP/1.1 200 OK\n\n" +
+      "a,b\n1,2\n").getBytes("UTF-8")
+    val p2 = java.nio.file.Files.createTempFile("gsheet_exact2", ".http")
+    java.nio.file.Files.write(p2, two)
+    val t2 = GSheetScan.recordedTransport(p2.toString)
+    assert(new String(t2("https://docs.google.com/spreadsheets/d/F2/export?format=csv&gid=0"),
+      "UTF-8") == "a,b\n1,2\n")
+  }
+
   test("recorded transport is loud on unknown URLs and replays redirects only to 200") {
     val t = GSheetScan.recordedTransport(transcript)
     val e = intercept[IllegalArgumentException] {

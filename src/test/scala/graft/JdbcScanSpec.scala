@@ -106,6 +106,20 @@ class JdbcScanSpec extends SparkSpec {
     assert(e.getMessage.contains("no non-NULL values"))
   }
 
+  test("auto-bounded read survives MAX(col) == Long.MaxValue (no hi+1 overflow)") {
+    val url = freshUrl()
+    val df = Seq((1L, "lo"), (Long.MaxValue, "hi")).toDF("id", "name")
+    graft.sources.JdbcWrite.write(df, url, "t", mode = "overwrite", options = driverOpt)
+    val q = graft.sources.JdbcScan.readPartitionedAuto(spark, url, "t", "id", 4,
+      options = driverOpt)
+    // hi+1 would overflow to Long.MinValue and trip the
+    // upperBound > lowerBound require; the clamp keeps reading — and
+    // the row AT the bound still arrives (last partition is unbounded
+    // above)
+    assert(q.count() == 2)
+    assert(q.agg(max("id")).first().getLong(0) == Long.MaxValue)
+  }
+
   test("SQL table function: jdbc_scan runs verbatim, plain and partitioned") {
     GraftExtensions.register(spark)
     val url = seeded()
