@@ -1796,6 +1796,54 @@ object SparkEntry {
           col("flag"), col("nc"))
     }),
 
+    // executor-side SHARDED Arrow export → distributed read-back (the
+    // 100 TB write path: one IPC file per partition, written in
+    // parallel with no data-sized driver state, ShardedSink manifest
+    // commit; ArrowScan.readSharded parses one file per task) — any
+    // commit, manifest, framing, or type defect diverges from
+    // documents; pyarrow cross-reads the same layout
+    // (tools/crossread_shards.py)
+    "q_arrow_sharded" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_arrow_shard_gate").toString
+      graft.sources.ArrowWrite.writeSharded(
+        t(s, dir, "documents").df
+          .select(col("doc_id"), col("lang"), col("text"),
+            timestamp_micros(col("doc_id") * 1000000L).as("ts"),
+            col("doc_id").cast("decimal(10,2)").as("dec"),
+            (pmod(col("doc_id"), lit(2L)) === 0L).as("flag"),
+            col("n_chars").cast("int").as("nc"))
+          .repartition(4, col("doc_id")),
+        out)
+      graft.sources.ArrowScan.readSharded(s, out)
+        .select(col("doc_id"), col("lang"), col("text"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("dec").cast("double").as("dec"),
+          col("flag"), col("nc"))
+        .orderBy("doc_id")
+    }),
+
+    // the Avro twin of q_arrow_sharded: one object container per
+    // partition, parallel write + manifest commit, distributed
+    // avro-core read-back
+    "q_avro_sharded" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_avro_shard_gate").toString
+      graft.sources.AvroWrite.writeSharded(
+        t(s, dir, "documents").df
+          .select(col("doc_id"), col("lang"), col("text"),
+            timestamp_micros(col("doc_id") * 1000000L).as("ts"),
+            col("doc_id").cast("decimal(10,2)").as("dec"),
+            (pmod(col("doc_id"), lit(2L)) === 0L).as("flag"),
+            col("n_chars").cast("int").as("nc"))
+          .repartition(4, col("doc_id")),
+        out)
+      graft.sources.AvroScan.readSharded(s, out)
+        .select(col("doc_id"), col("lang"), col("text"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("dec").cast("double").as("dec"),
+          col("flag"), col("nc"))
+        .orderBy("doc_id")
+    }),
+
     // Avro WRITE→READ round trip through the built-in avro-core
     // container writer/reader (no spark-avro jar in this env) — same
     // typed-column set as the Arrow gate; spec-compliance against
@@ -4236,6 +4284,22 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_avro_scan" ->
+      """SELECT doc_id, lang, text,
+        |  doc_id * 1000000 AS ts_us,
+        |  CAST(CAST(doc_id AS DECIMAL(10,2)) AS DOUBLE) AS dec,
+        |  doc_id % 2 = 0 AS flag,
+        |  CAST(n_chars AS INTEGER) AS nc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_arrow_sharded" ->
+      """SELECT doc_id, lang, text,
+        |  doc_id * 1000000 AS ts_us,
+        |  CAST(CAST(doc_id AS DECIMAL(10,2)) AS DOUBLE) AS dec,
+        |  doc_id % 2 = 0 AS flag,
+        |  CAST(n_chars AS INTEGER) AS nc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_avro_sharded" ->
       """SELECT doc_id, lang, text,
         |  doc_id * 1000000 AS ts_us,
         |  CAST(CAST(doc_id AS DECIMAL(10,2)) AS DOUBLE) AS dec,

@@ -121,6 +121,11 @@ final case class TidierFrame(
     case "parquet" => df.write.mode("overwrite").parquet(path)
     case "orc" => df.write.mode("overwrite").orc(path)
     case "avro" => graft.sources.AvroWrite.write(df, path)
+    // the scale forms: one Arrow IPC / Avro container per partition,
+    // written executor-side in parallel (ShardedSink manifest commit);
+    // read back with ArrowScan.readSharded / AvroScan.readSharded
+    case "arrow_sharded" => graft.sources.ArrowWrite.writeSharded(df, path)
+    case "avro_sharded" => graft.sources.AvroWrite.writeSharded(df, path)
     case "delta" =>
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)

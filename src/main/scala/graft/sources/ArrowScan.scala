@@ -9,6 +9,7 @@ import org.apache.arrow.vector.complex.{ListVector, StructVector}
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowStreamReader}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Built-in Arrow IPC reader — the `copy_to` Arrow-register surface of
@@ -48,6 +49,17 @@ object ArrowScan {
 
   private def parse(
       spark: SparkSession, bytes: Array[Byte], stream: Boolean, path: String): DataFrame = {
+    val (schema, rows) = parseRows(bytes, stream)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, math.min(32, rows.size / 10000 + 1))), schema)
+  }
+
+  /** one IPC file's bytes → (schema, rows) — pure, so it runs on the
+    * driver (single-file [[read]]) or inside an executor task
+    * ([[readSharded]]) identically */
+  private[sources] def parseRows(
+      bytes: Array[Byte], stream: Boolean): (StructType, Seq[Row]) = {
     val alloc = new RootAllocator()
     try {
       // CommonsCompressionFactory understands the lz4/zstd buffer
@@ -72,11 +84,41 @@ object ArrowScan {
             r += 1
           }
         }
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toSeq,
-            math.max(1, math.min(32, rows.size / 10000 + 1))), schema)
+        (schema, rows.toSeq)
       } finally reader.close()
     } finally alloc.close()
+  }
+
+  /** Distributed scan of a sharded Arrow dir ([[ArrowWrite.writeSharded]]
+    * output, or any directory of uniform-schema `part-*.arrow` files):
+    * the file set comes from the `_manifest.json` commit record (glob
+    * fallback), the schema from ONE file's footer driver-side, and each
+    * file parses inside its own executor task — parallelism = shard
+    * count, no data-sized driver state. Loud on schema drift between
+    * shards. */
+  def readSharded(spark: SparkSession, dir: String): DataFrame = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = ShardedSink.listShards(fs, dirPath, "arrow")
+    require(names.nonEmpty, s"no .arrow shards under $dir")
+    val schema = {
+      val p = new Path(dirPath, names.head)
+      val len = fs.getFileStatus(p).getLen
+      val bytes = new Array[Byte](len.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, bytes) finally in.close()
+      parseRows(bytes, stream = false)._1
+    }
+    val paths = names.map(n => fs.makeQualified(new Path(dirPath, n)).toString)
+    val bin = spark.read.format("binaryFile").load(paths: _*)
+      .select(col("path"), col("content"))
+    val rows = bin.rdd.flatMap { r =>
+      val (s, rs) = parseRows(r.getAs[Array[Byte]](1), stream = false)
+      require(s == schema,
+        s"shard ${r.getString(0)} schema $s drifts from ${names.head}'s $schema")
+      rs
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   private def sparkField(f: org.apache.arrow.vector.types.pojo.Field): StructField = {

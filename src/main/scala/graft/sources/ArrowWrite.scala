@@ -17,26 +17,82 @@ import org.apache.spark.sql.types._
   *
   * Scalar types only (the tabular-interchange scope): byte/short/int/
   * long, float/double, bool, string, binary, date, timestamp,
-  * decimal — list/struct/map fail loudly. Driver-side like the scan
-  * (single-machine artifact); rows are collected, so the caller bounds
-  * the size.
+  * decimal — list/struct/map fail loudly.
+  *
+  * Two forms: [[write]] emits ONE file through the driver with
+  * BOUNDED memory (one `batchRows` batch at a time off a local
+  * iterator — the single-file interchange artifact); [[writeSharded]]
+  * is the scale path — every executor partition writes its own IPC
+  * file in parallel, so a 100 TB frame exports without any
+  * data-sized driver state.
   */
 object ArrowWrite {
 
   def write(df: DataFrame, path: String, batchRows: Int = 65536): Unit = {
     require(batchRows >= 1, s"batchRows must be >= 1, got $batchRows")
     val schema = df.schema
+    schema.fields.foreach(arrowField) // validate before any job runs
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(path),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    // toLocalIterator: one partition in memory at a time — the
+    // single-file form is single-threaded by construction, but its
+    // driver memory is batch-bounded, not data-sized  [lint:bounded]
+    try writeBatches(schema, df.toLocalIterator().asScala, ch, batchRows)
+    finally ch.close()
+  }
+
+  /** Executor-side sharded export: each nonempty partition writes one
+    * `part-NNNNN-xxxxxxxx.arrow` IPC file directly into `dir` (tasks
+    * run in parallel; the driver only sees one (name, rows) pair per
+    * partition), then the driver commits a `_manifest.json` naming the
+    * winning attempts' files — [[ShardedSink]]'s protocol, same shape
+    * as `Packing.writeTokenShards`. Read back distributed with
+    * [[ArrowScan.readSharded]] or file-by-file with any Arrow reader.
+    * Returns (fileName, rowCount) per shard. */
+  def writeSharded(df: DataFrame, dir: String, batchRows: Int = 65536): Seq[(String, Long)] = {
+    require(batchRows >= 1, s"batchRows must be >= 1, got $batchRows")
+    val schema = df.schema
+    schema.fields.foreach(arrowField) // loud on unsupported types before any job
+    val spark = df.sparkSession
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
+    val qualified = fs.makeQualified(dirPath).toString
+    val confB = spark.sparkContext.broadcast(new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration))
+    // one (name, rows) pair per partition — bounded driver state  [lint:bounded]
+    val written = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val name = ShardedSink.shardName(pid, "arrow")
+        val out = new org.apache.hadoop.fs.Path(qualified, name)
+        val os = out.getFileSystem(confB.value.value).create(out, true)
+        val ch = java.nio.channels.Channels.newChannel(os)
+        val rows = try writeBatches(schema, it, ch, batchRows)
+          finally { ch.close(); os.close() }
+        Iterator.single((name, rows))
+      }
+    }.collect().toSeq // [lint:bounded] one (name, rows) pair per partition
+    ShardedSink.commit(fs, dirPath, "arrow", written)
+    written
+  }
+
+  /** shared batch loop (driver single-file and executor shard paths):
+    * streams `rows` into `ch` as IPC record batches of `batchRows`,
+    * holding at most one batch in vectors at a time; returns the row
+    * count written */
+  private def writeBatches(schema: StructType, rows: Iterator[
+      org.apache.spark.sql.Row], ch: java.nio.channels.WritableByteChannel,
+      batchRows: Int): Long = {
     val aFields = schema.fields.map(arrowField).toSeq
-    val rows = df.collect()
+    var n = 0L
     val alloc = new RootAllocator()
     try {
       val root = VectorSchemaRoot.create(new ASchema(aFields.asJava), alloc)
       try {
-        val ch = java.nio.channels.FileChannel.open(
-          java.nio.file.Paths.get(path),
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE,
-          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
         val w = new ArrowFileWriter(root, null, ch)
         try {
           w.start()
@@ -49,11 +105,13 @@ object ArrowWrite {
             }
             root.setRowCount(batch.length)
             w.writeBatch()
+            n += batch.length
           }
           w.end()
-        } finally { w.close(); ch.close() }
+        } finally w.close()
       } finally root.close()
     } finally alloc.close()
+    n
   }
 
   private def arrowField(f: StructField): Field = {

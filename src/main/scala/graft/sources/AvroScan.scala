@@ -40,7 +40,15 @@ object AvroScan {
     val bytes = new Array[Byte](len.toInt)
     val in = fs.open(p)
     try in.readFully(0, bytes) finally in.close()
+    val (schema, rows) = parseRows(bytes)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, math.min(32, rows.size / 10000 + 1))), schema)
+  }
 
+  /** one container's bytes → (schema, rows) — pure, runs on the driver
+    * ([[read]]) or inside an executor task ([[readSharded]]) */
+  private[sources] def parseRows(bytes: Array[Byte]): (StructType, Seq[Row]) = {
     val reader = new DataFileReader[GenericRecord](
       new SeekableByteArrayInput(bytes), new GenericDatumReader[GenericRecord]())
     try {
@@ -55,10 +63,37 @@ object AvroScan {
         val rec = reader.next()
         rows += Row.fromSeq(fields.indices.map(i => cell(rec.get(i), f = fields(i).schema)))
       }
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq,
-          math.max(1, math.min(32, rows.size / 10000 + 1))), schema)
+      (schema, rows.toSeq)
     } finally reader.close()
+  }
+
+  /** Distributed scan of a sharded Avro dir ([[AvroWrite.writeSharded]]
+    * output): file set from `_manifest.json` (glob fallback), schema
+    * from one container's header driver-side, each container parsed in
+    * its own executor task. Loud on schema drift between shards. */
+  def readSharded(spark: SparkSession, dir: String): DataFrame = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = ShardedSink.listShards(fs, dirPath, "avro")
+    require(names.nonEmpty, s"no .avro shards under $dir")
+    val schema = {
+      val p = new Path(dirPath, names.head)
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, bytes) finally in.close()
+      parseRows(bytes)._1
+    }
+    val paths = names.map(n => fs.makeQualified(new Path(dirPath, n)).toString)
+    val bin = spark.read.format("binaryFile").load(paths: _*)
+      .select(org.apache.spark.sql.functions.col("path"),
+        org.apache.spark.sql.functions.col("content"))
+    val rows = bin.rdd.flatMap { r =>
+      val (s, rs) = parseRows(r.getAs[Array[Byte]](1))
+      require(s == schema,
+        s"shard ${r.getString(0)} schema $s drifts from ${names.head}'s $schema")
+      rs
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   /** `[null, T]` (either order) → T; anything else passes through */

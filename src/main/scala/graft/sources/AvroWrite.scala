@@ -13,17 +13,30 @@ import org.apache.spark.sql.types._
   * [[AvroScan]] — same scope statement as ArrowWrite: long/int/string/
   * boolean/float/double/binary/date/timestamp/decimal columns; nested
   * types fail loudly). Container framing and codec come from
-  * avro-core's DataFileWriter; rows are collected driver-side (export
-  * artifact, same bound as the scan). */
+  * avro-core's DataFileWriter.
+  *
+  * [[write]] emits ONE container through the driver with bounded
+  * memory (local iterator — single-threaded by construction);
+  * [[writeSharded]] is the scale path: one container per executor
+  * partition, written in parallel, committed via [[ShardedSink]]'s
+  * manifest protocol and read back distributed with
+  * [[AvroScan.readSharded]]. */
 object AvroWrite {
 
-  def write(df: DataFrame, path: String): Unit = {
-    val fields = df.schema.fields
+  /** the Avro record schema for a Spark schema — shared by both write
+    * forms (and serializable-safe: rebuilt from the JSON string inside
+    * tasks, since avro Schema predates serialization support) */
+  private def avroSchemaOf(fields: Array[StructField]): Schema = {
     val b = SchemaBuilder.record("graft_export").fields()
     fields.foreach { f =>
       b.name(f.name).`type`(avroType(f.dataType, f.name)).withDefault(null)
     }
-    val schema: Schema = b.endRecord()
+    b.endRecord()
+  }
+
+  def write(df: DataFrame, path: String): Unit = {
+    val fields = df.schema.fields
+    val schema = avroSchemaOf(fields)
     val fieldSchemas = schema.getFields.asScala.map(f => unwrap(f.schema)).toArray
 
     val p = new Path(path)
@@ -32,6 +45,7 @@ object AvroWrite {
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
     try {
       w.create(schema, out)
+      // one partition in driver memory at a time  [lint:bounded]
       df.toLocalIterator().asScala.foreach { row =>
         val rec = new GenericData.Record(schema)
         fields.indices.foreach { i =>
@@ -41,6 +55,53 @@ object AvroWrite {
         w.append(rec)
       }
     } finally w.close() // closes the stream
+  }
+
+  /** Executor-side sharded export: one `part-NNNNN-xxxxxxxx.avro`
+    * object container per nonempty partition, written in parallel
+    * directly into `dir`; the driver commits `_manifest.json` over the
+    * winning attempts ([[ShardedSink]]). Returns (fileName, rowCount)
+    * per shard. */
+  def writeSharded(df: DataFrame, dir: String): Seq[(String, Long)] = {
+    val sparkSchema = df.schema
+    val schemaJson = avroSchemaOf(sparkSchema.fields).toString // validates types, loud pre-job
+    val spark = df.sparkSession
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirPath)
+    val qualified = fs.makeQualified(dirPath).toString
+    val confB = spark.sparkContext.broadcast(new org.apache.spark.SerializableWritable(
+      spark.sparkContext.hadoopConfiguration))
+    // one (name, rows) pair per partition — bounded driver state  [lint:bounded]
+    val written = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val schema = new Schema.Parser().parse(schemaJson)
+        val fields = sparkSchema.fields
+        val fieldSchemas = schema.getFields.asScala.map(f => unwrap(f.schema)).toArray
+        val name = ShardedSink.shardName(pid, "avro")
+        val out = new Path(qualified, name)
+        val os = out.getFileSystem(confB.value.value).create(out, true)
+        val w = new DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](schema))
+        var rows = 0L
+        try {
+          w.create(schema, os)
+          it.foreach { row =>
+            val rec = new GenericData.Record(schema)
+            fields.indices.foreach { i =>
+              rec.put(i, if (row.isNullAt(i)) null
+                         else avroValue(row.get(i), fields(i).dataType, fieldSchemas(i)))
+            }
+            w.append(rec)
+            rows += 1
+          }
+        } finally w.close()
+        Iterator.single((name, rows))
+      }
+    }.collect().toSeq // [lint:bounded] one (name, rows) pair per partition
+    ShardedSink.commit(fs, dirPath, "avro", written)
+    written
   }
 
   private def unwrap(s: Schema): Schema =

@@ -180,7 +180,7 @@ object DeltaScan {
 
     // ---- protocol / metadata gates --------------------------------------
     val proto = acts.filter(col("protocol.minReaderVersion").isNotNull)
-      .orderBy(col("__v").desc).select("protocol.*").collect().headOption
+      .orderBy(col("__v").desc).select("protocol.*").collect().headOption // [lint:bounded] one protocol row
     proto.foreach { p =>
       val minReader = p.getInt(0)
       val feats = Option(p.getSeq[String](1)).getOrElse(Seq.empty)
@@ -192,7 +192,7 @@ object DeltaScan {
           s"${feats.filterNot(supportedReaderFeatures).mkString(", ")})")
     }
     val meta = acts.filter(col("metaData.id").isNotNull)
-      .orderBy(col("__v").desc).select("metaData.*").collect().headOption
+      .orderBy(col("__v").desc).select("metaData.*").collect().headOption // [lint:bounded] one metaData row
       .getOrElse(throw new IllegalStateException(
         s"Delta log at $tablePath has no metaData action"))
     val conf = Option(meta.getMap[String, String](3)).map(_.toMap).getOrElse(Map.empty)
@@ -219,7 +219,7 @@ object DeltaScan {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("isAdd") === 1)
       .select("p", "pv", "dv", "st")
-      .collect()
+      .collect() // [lint:bounded] one action row per live data FILE (log metadata, not data)
 
     val allFiles = live.map { r =>
       val rel = percentDecode(r.getString(0))
@@ -373,7 +373,7 @@ object DeltaScan {
       .filter(col("add.path").isNotNull && col("add.dataChange"))
       .select(col("add.path"), col("add.deletionVector.storageType"),
         col("add.partitionValues"))
-      .collect()
+      .collect() // [lint:bounded] one row per incremental add action (log metadata)
     adds.foreach { r =>
       require(r.isNullAt(1),
         s"Delta increment add ${r.getString(0)} carries a deletion vector — " +

@@ -123,7 +123,7 @@ object DeltaWrite {
           if (df.columns.contains("txn")) {
             df.select("txn.appId", "txn.version")
               .where(org.apache.spark.sql.functions.col("appId").isNotNull)
-              .collect()
+              .collect() // [lint:bounded] one row per checkpointed txn app id
               .foreach(r => consider(r.getString(0), r.getLong(1)))
           }
           v
@@ -529,7 +529,7 @@ object DeltaWrite {
     // one metadata-cheap agg: global [min,max] per dim for the bucket grid
     val aggCols = dims.flatMap(d => Seq(
       min(col(d).cast("double")).as(s"__mn_$d"), max(col(d).cast("double")).as(s"__mx_$d")))
-    val bounds = full.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val bounds = full.agg(aggCols.head, aggCols.tail: _*).collect()(0) // [lint:bounded] one agg row
     val nb = 1L << bitsPerCol
     val buckets = dims.zipWithIndex.map { case (d, i) =>
       val mn = if (bounds.isNullAt(2 * i)) 0.0 else bounds.getDouble(2 * i)

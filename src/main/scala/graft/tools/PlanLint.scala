@@ -36,6 +36,35 @@ object PlanLint {
 
   final case class Finding(rule: String, node: String, detail: String)
 
+  /** SOURCE-level detector for data-sized driver collects in sink
+    * code: flags every `.collect()` under `graft/sources/` whose line
+    * does not carry a `[lint:bounded]` marker justifying why the
+    * collected set is bounded by METADATA (file count, partition
+    * count, one-row aggregates), not by data size. This is the check
+    * that would have caught `ArrowWrite.write`'s whole-frame collect —
+    * a sink that funnels the frame through the driver OOMs at 100 TB
+    * however correct it is at gate scale. PlanLintSpec runs it over
+    * the repo tree, so an unjustified sink collect is a failing test,
+    * not a review note. */
+  def lintSinkCollects(sourcesRoot: java.nio.file.Path): Seq[Finding] = {
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(sourcesRoot).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .toSeq.sortBy(_.toString)
+    files.flatMap { p =>
+      val lines = java.nio.file.Files.readAllLines(p).asScala
+      lines.zipWithIndex.collect {
+        case (line, i)
+            if line.contains(".collect()") && !line.contains("lint:bounded") =>
+          Finding("unbounded-sink-collect", s"${p.getFileName}:${i + 1}",
+            "driver-side .collect() in a source/sink without a [lint:bounded] " +
+              "justification — a data-sized collect OOMs the driver at scale; " +
+              "use mapPartitions executor writes (ShardedSink) or mark the " +
+              "line if the set is metadata-bounded")
+      }
+    }
+  }
+
   def lint(df: DataFrame): Seq[Finding] = {
     val ep = df.queryExecution.executedPlan
     // AQE wraps the physical plan in AdaptiveSparkPlanExec whose

@@ -122,4 +122,42 @@ class ArrowScanSpec extends SparkSpec {
         df.withColumn("arr", array(col("id"))), s"${out.getPath}/bad.arrow")
     }
   }
+
+  test("writeSharded: one IPC file per partition, manifest commit, distributed read-back") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1L to 1000L).map(i => (i, s"doc_$i", i % 7 == 0)).toDF("id", "s", "flag")
+      .withColumn("dec", col("id").cast("decimal(12,3)"))
+      .repartition(4, col("id"))
+    // target/ (not temp) so the dev loop can cross-read the shards +
+    // manifest with pyarrow (tools/crossread_shards.py) — the
+    // independent-reader check for the executor write path
+    val dir = new java.io.File("target/arrow-write-out/sharded")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    // a stray part file from a "lost task attempt" must be cleaned at commit
+    dir.mkdirs()
+    java.nio.file.Files.write(dir.toPath.resolve("part-00099-deadbeef.arrow"),
+      Array[Byte](1, 2, 3))
+    val written = graft.sources.ArrowWrite.writeSharded(df, dir.getPath, batchRows = 100)
+    assert(written.size == 4, s"expected 4 shards, got ${written.map(_._1)}")
+    assert(written.map(_._2).sum == 1000L)
+    assert(new java.io.File(dir, "_manifest.json").exists())
+    assert(!new java.io.File(dir, "part-00099-deadbeef.arrow").exists(),
+      "stray uncommitted part file survived commit cleanup")
+    // every shard is an independently-valid IPC FILE (magic ARROW1)
+    written.foreach { case (name, _) =>
+      val head = java.nio.file.Files.readAllBytes(dir.toPath.resolve(name)).take(6)
+      assert(new String(head, "US-ASCII") == "ARROW1", s"$name is not IPC file format")
+    }
+    // distributed read-back equals the original frame
+    val back = graft.sources.ArrowScan.readSharded(spark, dir.getPath)
+    assert(back.rdd.getNumPartitions >= 2, "sharded read should parallelize over files")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+    // single-file read of one shard also works (plain Arrow consumers)
+    assert(written.map { case (n, _) =>
+      graft.sources.ArrowScan.read(spark, s"${dir.getPath}/$n").count()
+    }.sum == 1000L)
+  }
 }

@@ -109,6 +109,36 @@ class AvroScanSpec extends SparkSpec {
     assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
   }
 
+  test("writeSharded: one container per partition, manifest commit, distributed read-back") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"),
+        timestamp_micros(col("doc_id") * 1000000L).as("ts"),
+        col("doc_id").cast("decimal(10,2)").as("dec"))
+      .repartition(3, col("doc_id"))
+    // target/ so the dev loop can cross-read shards with avro-tools/
+    // python (tools/crossread_shards.py)
+    val dir = new java.io.File("target/avro-write-out/sharded")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    val written = graft.sources.AvroWrite.writeSharded(docs, dir.getPath)
+    assert(written.size == 3, s"expected 3 shards, got ${written.map(_._1)}")
+    assert(written.map(_._2).sum == docs.count())
+    assert(new java.io.File(dir, "_manifest.json").exists())
+    // every shard is an independently-valid Avro object container
+    // (magic 'Obj\x01') readable by the avro-core single-file reader
+    written.foreach { case (name, _) =>
+      val head = java.nio.file.Files.readAllBytes(dir.toPath.resolve(name)).take(4)
+      assert(head.toSeq == Seq[Byte]('O', 'b', 'j', 1), s"$name is not an Avro container")
+    }
+    assert(written.map { case (n, _) =>
+      AvroScan.read(spark, s"${dir.getPath}/$n").count()
+    }.sum == docs.count())
+    // distributed read-back equals the original frame
+    val back = graft.sources.AvroScan.readSharded(spark, dir.getPath)
+    assert(back.schema.map(f2 => (f2.name, f2.dataType)) ==
+      docs.schema.map(f2 => (f2.name, f2.dataType)))
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
   test("explicit-format read falls back without the spark-avro jar") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "lang")
     val f = java.nio.file.Files.createTempFile("graft_avro_fb", ".avro")

@@ -65,4 +65,26 @@ class PlanLintSpec extends SparkSpec {
       graft.functions.TextFns.dropBlockedTerms(d, "text", Seq("zzz")), "text", 16)
     assert(PlanLint.lint(prep).isEmpty, PlanLint.lint(prep).mkString("; "))
   }
+
+  test("sink-collect detector: repo sources are clean; a naked sink collect is flagged") {
+    // every .collect() under graft/sources/ must justify its bound —
+    // this is the mechanized form of the ArrowWrite.write review
+    // finding (whole-frame driver collect in a sink)
+    val root = java.nio.file.Paths.get("src/main/scala/graft/sources")
+    assume(java.nio.file.Files.isDirectory(root))
+    val findings = PlanLint.lintSinkCollects(root)
+    assert(findings.isEmpty, findings.mkString("; "))
+    // and the detector actually fires on the pattern it guards against
+    val tmp = java.nio.file.Files.createTempDirectory("lint_sink")
+    java.nio.file.Files.write(tmp.resolve("BadWrite.scala"),
+      "object BadWrite { def write(df: DataFrame) = df.collect().foreach(emit) }"
+        .getBytes("UTF-8"))
+    val flagged = PlanLint.lintSinkCollects(tmp)
+    assert(flagged.size == 1 && flagged.head.rule == "unbounded-sink-collect")
+    // a [lint:bounded]-marked collect passes
+    java.nio.file.Files.write(tmp.resolve("BadWrite.scala"),
+      "object OkWrite { val x = df.limit(1).collect() // [lint:bounded] one row }"
+        .getBytes("UTF-8"))
+    assert(PlanLint.lintSinkCollects(tmp).isEmpty)
+  }
 }
