@@ -2458,6 +2458,17 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // the BATCHED form of the same measurement — one composed plan for
+    // the whole query set (corpus scanned once, probes broadcast, hits
+    // via equi-join) instead of 2 driver jobs per query; same oracle
+    "q_embed_recall_batch" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").df
+      val indexed = gateLsh.index(e, "embedding")
+      Similarity.recallReportBatch(e, "embedding", Seq(0L, 1L, 2L, 3L, 4L), 10,
+          qs => gateLsh.annTopKAll(indexed, "embedding", qs, 10))
+        .orderBy("query_id")
+    }),
+
     // int8-quantized retrieval: quantize the corpus (narrow, 4× memory
     // reduction — the 100 TB serving path), rank by EXACT int64 dot
     // product of the quantized vectors. Integer arithmetic end to end,
@@ -4890,6 +4901,7 @@ object SparkEntry {
     "q_embed_ann" -> annOracle,
 
     "q_embed_recall" -> recallOracle(Seq(0L, 1L, 2L, 3L, 4L), 10),
+    "q_embed_recall_batch" -> recallOracle(Seq(0L, 1L, 2L, 3L, 4L), 10),
 
     "q_slice_sample" ->
       """SELECT c_mktsegment, LEAST(5, COUNT(*)) AS n_sampled

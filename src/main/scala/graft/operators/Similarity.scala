@@ -260,6 +260,48 @@ object Similarity {
         .limit(k)
     }
 
+    /** Batched multiprobe ANN: [[annTopK]] for a whole QUERY SET in one
+      * declarative plan — no per-query driver loop. `queries` carries
+      * (`query_id`, `qvec`); each query's probe buckets are computed
+      * EXECUTOR-side (bucket bits via the codegen'd [[bucket]] kernel,
+      * multiprobe expansion = XOR against a literal flip-mask array),
+      * the bounded probes frame broadcasts into the index join, and
+      * per-query rank/limit is a window over only the probed
+      * candidates. Identical (rounded cosine, id) total order to the
+      * loop form — same top-k sets by construction. */
+    def annTopKAll(
+        indexed: DataFrame,
+        embCol: String,
+        queries: DataFrame,
+        k: Int,
+        idCol: String = "vec_id",
+        multiprobeRadius: Int = 2): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val r1 = (0 until numPlanes).map(b => 1L << b)
+      val r2 =
+        if (multiprobeRadius >= 2)
+          for { i <- 0 until numPlanes; j <- i + 1 until numPlanes }
+            yield (1L << i) | (1L << j)
+        else Nil
+      val masks = (0L +: (r1 ++ r2)).distinct
+      // distinct masks ⇒ distinct (qbucket XOR mask) per query: the
+      // probes frame needs no dedup
+      val probes = queries
+        .withColumn("__qb", bucket(col("qvec")))
+        .select(col("query_id"), col("qvec"), col("__qb"),
+          explode(array(masks.map(lit): _*)).as("__m"))
+        .select(col("query_id"), col("qvec"),
+          expr("__qb ^ __m").as("__probe_bucket"))
+      indexed
+        .join(broadcast(probes), col("bucket") === col("__probe_bucket"))
+        .select(col("query_id"), col(idCol),
+          round(Similarity.cosine(col(embCol), col("qvec")), 6).as("sim"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("sim"), col(idCol))))
+        .filter(col("__rn") <= k)
+        .select("query_id", idCol, "sim")
+    }
+
     /** driver-side bucket computation for a query vector */
     def bucketOf(v: Seq[Float]): Long =
       planes.zipWithIndex.map { case (plane, p) =>
@@ -422,5 +464,65 @@ object Similarity {
       (qid, (exact & approx).size.toLong, k.toLong)
     }
     rows.toDF("query_id", "hits", "k")
+  }
+
+  /** Batched exact top-k: [[topKByCosine]] for a whole query set in one
+    * declarative plan. `queries` carries (`query_id`, `qvec`) and is
+    * BROADCAST into a cross join — the corpus is scanned ONCE (vs once
+    * per query in the loop form) and only the narrow scored (query_id,
+    * id, sim) rows shuffle for the per-query window rank. Shuffle
+    * volume is |corpus| × |queries| ~24-byte rows: the eval-set shape
+    * (bounded |queries|). Same (rounded cosine, id) total order as
+    * [[topKByCosine]] — identical top-k sets. */
+  def topKByCosineAll(
+      df: DataFrame,
+      embCol: String,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(idCol), col(embCol))
+      .crossJoin(broadcast(queries))
+      .select(col("query_id"), col(idCol),
+        round(cosine(col(embCol), col("qvec")), 6).as("sim"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sim"), col(idCol))))
+      .filter(col("__rn") <= k)
+      .select("query_id", idCol, "sim")
+  }
+
+  /** Batched [[recallReport]]: the whole query set in ONE composed plan
+    * — exact side scans the corpus once ([[topKByCosineAll]]), the
+    * approximate side is any batched retrieval of the same (query_id,
+    * id) shape (e.g. [[RandomHyperplaneLsh.annTopKAll]]), hits are an
+    * equi-join + count. A 10k-query tuning sweep is O(2 passes), not
+    * 20k driver-issued jobs. Produces the same (query_id, hits, k)
+    * rows as the loop form — spec-proven equal.
+    *
+    * @param annAll batched ANN path: queries frame (query_id, qvec) →
+    *               per-query top-k candidates carrying (query_id, idCol)
+    */
+  def recallReportBatch(
+      df: DataFrame,
+      embCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      annAll: DataFrame => DataFrame,
+      idCol: String = "vec_id"): DataFrame = {
+    require(queryIds.nonEmpty, "need at least one query id")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val queries = df.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(embCol).as("qvec"))
+    val exact = topKByCosineAll(df, embCol, queries, k, idCol)
+      .select("query_id", idCol)
+    val approx = annAll(queries).select(col("query_id"), col(idCol))
+    val hits = exact.join(approx, Seq("query_id", idCol))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    // left join back so zero-hit queries still report (hits = 0)
+    queries.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        lit(k.toLong).as("k"))
   }
 }

@@ -101,6 +101,50 @@ class ScaleOpsSpec extends SparkSpec {
     ann.foreach { case (qid, hits) => assert(wide(qid) >= hits) }
   }
 
+  test("recallReportBatch: identical report to the loop form; jobs don't scale with |queries|") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val lsh = Similarity.RandomHyperplaneLsh(dim = 64, numPlanes = 8)
+    val indexed = lsh.index(e, "embedding")
+    def asTriples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // identical to the loop form at both probe radii (incl. a zero-hit-prone one)
+    for (radius <- Seq(0, 2)) {
+      val loop = asTriples(Similarity.recallReport(e, "embedding",
+        Seq(0L, 1L, 2L, 3L, 4L), 5,
+        v => lsh.annTopK(indexed, "embedding", v, 5, multiprobeRadius = radius)))
+      val batch = asTriples(Similarity.recallReportBatch(e, "embedding",
+        Seq(0L, 1L, 2L, 3L, 4L), 5,
+        qs => lsh.annTopKAll(indexed, "embedding", qs, 5, multiprobeRadius = radius)))
+      assert(batch == loop, s"radius=$radius")
+    }
+    // O(passes), not O(queries): job count for a 40x-larger query set
+    // stays flat (the loop form would issue 2 jobs per query)
+    val nIds = e.count().toInt
+    def jobsFor(ids: Seq[Long]): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        Similarity.recallReportBatch(e, "embedding", ids, 5,
+          qs => lsh.annTopKAll(indexed, "embedding", qs, 5)).collect()
+        // listener events post asynchronously: wait for the count to settle
+        var last = -1; var settle = 0
+        while (settle < 3 && { Thread.sleep(100); true }) {
+          if (counter.get() == last) settle += 1 else { settle = 0; last = counter.get() }
+        }
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val small = jobsFor((0L until 5L))
+    val large = jobsFor((0L until math.min(200L, nIds.toLong)))
+    assert(large <= small + 2,
+      s"batched recall jobs grew with query count: $small -> $large")
+  }
+
   test("written LSH index prunes partitions on probe and reranks identically") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val q = e.filter(col("vec_id") === 0L).select("embedding").first().getSeq[Float](0)
