@@ -285,10 +285,14 @@ object Streams {
       events: DataFrame,
       watermark: String,
       steps: Seq[String],
-      idleTtl: Option[String] = scala.None): DataFrame = {
+      idleTtl: Option[String] = scala.None,
+      withinSeconds: Option[Long] = scala.None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       "funnel steps must be non-empty and distinct")
+    withinSeconds.foreach(w =>
+      require(w > 0, s"withinSeconds must be positive, got $w"))
+    val withinUs = withinSeconds.map(_ * 1000000L)
     val k = steps.size
     val spark = events.sparkSession
     import spark.implicits._
@@ -318,7 +322,10 @@ object Streams {
               val i = steps.indexOf(e.event_type)
               val t = us(e.ts)
               if (e.ts.getTime > lastTs) lastTs = e.ts.getTime
-              if (st(i).isEmpty && (i == 0 || st(i - 1).exists(_ < t)))
+              val windowOk = i == 0 ||
+                withinUs.forall(w => st(0).exists(t0 => t <= t0 + w))
+              if (st(i).isEmpty && (i == 0 || st(i - 1).exists(_ < t)) &&
+                  windowOk)
                 st = st.updated(i, Some(t))
             }
           // abandoned-funnel state expires after idleTtl of event time
@@ -373,10 +380,18 @@ object Streams {
       events: DataFrame,
       watermark: String,
       steps: Seq[String],
-      idleTtl: Option[String] = scala.None): DataFrame = {
+      idleTtl: Option[String] = scala.None,
+      withinSeconds: Option[Long] = scala.None): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       "funnel steps must be non-empty and distinct")
+    withinSeconds.foreach(w =>
+      require(w > 0, s"withinSeconds must be positive, got $w"))
+    // CONVERSION WINDOW (same contract as Events.funnel withinSeconds):
+    // stages beyond the first must land within this many micros of
+    // stage 1's time — exact integer arithmetic, micros-identical to
+    // the batch fold's INTERVAL comparison
+    val withinUs = withinSeconds.map(_ * 1000000L)
     val k = steps.size
     val spark = events.sparkSession
     import spark.implicits._
@@ -407,7 +422,10 @@ object Streams {
           var chain = st0.chain
           ready.sorted.foreach { case (t, typ) =>
             val i = steps.indexOf(typ)
-            if (chain(i).isEmpty && (i == 0 || chain(i - 1).exists(_ < t)))
+            val windowOk = i == 0 ||
+              withinUs.forall(w => chain(0).exists(t0 => t <= t0 + w))
+            if (chain(i).isEmpty && (i == 0 || chain(i - 1).exists(_ < t)) &&
+                windowOk)
               chain = chain.updated(i, Some(t))
           }
           val advanced = chain != st0.chain
@@ -438,6 +456,123 @@ object Streams {
               val depth = chain.takeWhile(_.isDefined).size.toLong
               Iterator.single(FunnelRow(uid, chain.map(_.map(fromUs)), depth))
             }
+          }
+      }
+      .toDF()
+  }
+
+  /** streaming as-of state: unfinalized left rows + the compacted
+    * right-side buffer, both as (ts_us, event_id, value) */
+  final case class AsofState(
+      lbuf: Seq[(Long, Long, Double)], rbuf: Seq[(Long, Long, Double)])
+
+  /** streaming as-of output: the left event + its matched (or NULL,
+    * how=left) nearest-at-or-before right event */
+  final case class AsofRow(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long, value: Double,
+      right_ts: Option[java.sql.Timestamp], right_event_id: Option[Long],
+      right_value: Option[Double])
+
+  /** STREAMING AS-OF JOIN — the watermark-correct twin of the batch
+    * [[graft.operators.JoinVerbs]] as-of (`closest(">=")`, BACKWARD
+    * inclusive: each left event matches the nearest right event at or
+    * before its time within the same key group), with pandas-style
+    * `tolerance` — the trades-to-latest-quote shape. Left rows are
+    * events of `leftType`, right rows events of `rightType`, keyed by
+    * `user_id`; forward/full as-of variants stay batch-only.
+    *
+    * Watermark-buffered like [[funnelStreamOrdered]]: a left event is
+    * held in keyed state until the watermark passes its timestamp — at
+    * that point every right event at or before it has either arrived
+    * or would be dropped as late, so the nearest-match decision is
+    * FINAL and any admissible arrival order (late, shuffled across
+    * micro-batches) emits exactly the batch join's rows. Emission
+    * latency = allowed lateness, the same trade the ordered funnel
+    * makes.
+    *
+    * State is bounded: unfinalized left rows span at most the
+    * watermark horizon, and the right buffer is COMPACTED to the rows
+    * the watermark hasn't passed plus the single latest finalized row
+    * — the only finalized candidate any future left row can still
+    * match (later rights shadow earlier ones for every left time at or
+    * above the watermark). An event-time timeout re-arms at the
+    * earliest buffered row so finalization proceeds even if the key
+    * goes quiet.
+    *
+    * Tie-break at equal right timestamps: the largest
+    * (event_id, value) payload — the batch operator's
+    * payload-struct-sorts-last rule for a right frame carrying
+    * (event_id, value). */
+  def asofJoinStream(
+      events: DataFrame,
+      watermark: String,
+      leftType: String,
+      rightType: String,
+      how: String = "inner",
+      toleranceSeconds: Option[Long] = scala.None): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(Seq("inner", "left").contains(how),
+      s"asofJoinStream supports inner/left, got $how (right/full are batch-only)")
+    require(leftType != rightType, "left and right event types must differ")
+    toleranceSeconds.foreach(t =>
+      require(t > 0, s"toleranceSeconds must be positive, got $t"))
+    val tolUs = toleranceSeconds.map(_ * 1000000L)
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the type filter happens INSIDE the state function, not in the
+    // plan: a plan-level filter gets pushed below the EventTimeWatermark
+    // node, so non-join event types would stop advancing the clock —
+    // the same reason the funnels filter in their fold
+    val ds = events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", watermark)
+      .as[Ev]
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state: GroupState[AsofState]) =>
+          val st0 = state.getOption.getOrElse(AsofState(Seq.empty, Seq.empty))
+          val batch = rows.toSeq
+          val inL = batch.filter(_.event_type == leftType)
+            .map(e => (us(e.ts), e.event_id, e.value))
+          val inR = batch.filter(_.event_type == rightType)
+            .map(e => (us(e.ts), e.event_id, e.value))
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          // candidates sorted by (ts, payload): nearest-below = last ≤ t,
+          // equal-ts ties resolved to the largest payload by the sort
+          val rAll = (st0.rbuf ++ inR).sorted
+          val (ready, lRest) = (st0.lbuf ++ inL).partition(_._1 < wmUs)
+          val out = ready.sorted.flatMap { case (t, eid, v) =>
+            val m = rAll.takeWhile(_._1 <= t).lastOption
+              .filter { case (rt, _, _) => tolUs.forall(t - rt <= _) }
+            m match {
+              case Some((rt, reid, rv)) => Some(AsofRow(uid, fromUs(t), eid, v,
+                Some(fromUs(rt)), Some(reid), Some(rv)))
+              case scala.None if how == "left" =>
+                Some(AsofRow(uid, fromUs(t), eid, v, scala.None, scala.None, scala.None))
+              case scala.None => scala.None
+            }
+          }
+          // compact: unfinalized rights + the latest finalized one (the
+          // only finalized row a future left can still match)
+          val (rFinal, rRest) = rAll.partition(_._1 < wmUs)
+          val rKept = rFinal.lastOption.toSeq ++ rRest
+          if (lRest.isEmpty && rKept.isEmpty) {
+            // also the non-join-event-type path: a user who never sent a
+            // trade or quote must not grow the state store
+            if (state.getOption.isDefined) state.remove()
+            out.iterator
+          } else {
+            state.update(AsofState(lRest, rKept))
+            // wake when the watermark passes the earliest row still
+            // needing finalization (left) or compaction (right buffer
+            // above one row shrinks as the watermark overtakes it)
+            val wake = lRest.map(_._1) ++
+              (if (rKept.size > 1) Seq(rKept.map(_._1).min) else Seq.empty)
+            if (wake.nonEmpty)
+              state.setTimeoutTimestamp(math.max(wmMs + 1, wake.min / 1000L + 1))
+            out.iterator
           }
       }
       .toDF()

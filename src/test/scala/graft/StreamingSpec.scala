@@ -822,6 +822,166 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofJoinStream: shuffled cross-batch delivery matches batch asofJoinTolerance (left and inner)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.JoinKey.{Closest, Equi}
+    import java.sql.Timestamp
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    // quotes (right) and trades (left), user 1; user 2 trades with no
+    // quote ever; trade 23's nearest quote is 10 min stale (tolerance 5)
+    val quotes = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 1L, "quote", 1.0),
+      (11L, ts("2024-01-01 10:02:00"), 1L, "quote", 2.0),
+      (12L, ts("2024-01-01 10:10:00"), 1L, "quote", 3.0))
+    val trades = Seq(
+      (20L, ts("2024-01-01 10:01:00"), 1L, "trade", 100.0),
+      (21L, ts("2024-01-01 10:02:00"), 1L, "trade", 101.0), // == quote 11 ts: inclusive
+      (22L, ts("2024-01-01 10:05:00"), 1L, "trade", 102.0),
+      (23L, ts("2024-01-01 10:20:00"), 1L, "trade", 103.0), // stale (diff 10 min)
+      (24L, ts("2024-01-01 10:00:30"), 2L, "trade", 104.0)) // user with no quotes
+    def batchExpected(how: String): Set[(Long, Long, Option[Long])] = {
+      val l = trades.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .select("user_id", "ts", "event_id", "value")
+      val r = quotes.toDF("right_event_id", "right_ts", "r_user", "event_type", "right_value")
+        .select("r_user", "right_ts", "right_event_id", "right_value")
+      Tidier.from(l).asofJoinTolerance(Tidier.from(r), how,
+          expr("INTERVAL '5' MINUTE"),
+          Equi("user_id", "r_user"), Closest("ts", ">=", "right_ts"))
+        .df.collect()
+        .map(row => (row.getAs[Long]("user_id"), row.getAs[Long]("event_id"),
+          Option(row.getAs[Any]("right_event_id")).map(_.asInstanceOf[Long])))
+        .toSet
+    }
+    for (how <- Seq("left", "inner")) {
+      val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+      val out = Streams.asofJoinStream(
+        input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"),
+        "30 minutes", "trade", "quote", how = how, toleranceSeconds = Some(300L))
+      val name = s"asof_stream_$how"
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        // ADVERSARIAL delivery: trades before their quotes, shuffled
+        input.addData(trades(0), trades(3))            // trades first
+        q.processAllAvailable()
+        input.addData(quotes(1), trades(2), trades(4)) // later quote before earlier one
+        q.processAllAvailable()
+        input.addData(quotes(0), trades(1), quotes(2)) // earliest quote LAST
+        q.processAllAvailable()
+        // sentinel events (non-join type) advance the watermark so the
+        // buffered trades finalize
+        input.addData((98L, ts("2024-01-01 12:00:00"), 9L, "error", 0.0))
+        q.processAllAvailable()
+        input.addData((99L, ts("2024-01-01 13:00:00"), 9L, "error", 0.0))
+        q.processAllAvailable()
+        val got = spark.table(name).collect()
+          .map(row => (row.getAs[Long]("user_id"), row.getAs[Long]("event_id"),
+            Option(row.getAs[Any]("right_event_id")).map(_.asInstanceOf[Long])))
+          .toSet
+        assert(got == batchExpected(how), s"how=$how")
+        if (how == "inner") {
+          // the stale trade and the quote-less user are gone entirely
+          assert(!got.exists(_._2 == 23L) && !got.exists(_._1 == 2L))
+        } else {
+          assert(got.contains((1L, 23L, scala.None)) && got.contains((2L, 24L, scala.None)))
+        }
+        // matched values ride along correctly: trade 22 -> quote 11
+        val m22 = spark.table(name).filter(col("event_id") === 22L).head()
+        assert(m22.getAs[Double]("right_value") == 2.0)
+      } finally q.stop()
+    }
+  }
+
+  test("asofJoinStream: right buffer compacts to one finalized row; latest-below wins ties") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val out = Streams.asofJoinStream(
+      input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "10 minutes", "trade", "quote")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("asof_compact").start()
+    try {
+      // two quotes at the SAME timestamp: the larger (event_id, value)
+      // payload must win (the batch payload-sorts-last rule)
+      input.addData(
+        (10L, ts("2024-01-01 10:00:00"), 1L, "quote", 1.0),
+        (11L, ts("2024-01-01 10:00:00"), 1L, "quote", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past the quotes: both finalize, the
+      // buffer compacts to the single latest — which must STILL match
+      // a much later trade (carried-forward as-of semantics)
+      input.addData((98L, ts("2024-01-01 11:00:00"), 9L, "error", 0.0))
+      q.processAllAvailable()
+      input.addData((20L, ts("2024-01-01 11:30:00"), 1L, "trade", 100.0))
+      q.processAllAvailable()
+      input.addData((99L, ts("2024-01-01 13:00:00"), 9L, "error", 0.0))
+      q.processAllAvailable()
+      input.addData((100L, ts("2024-01-01 14:00:00"), 9L, "error", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_compact").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("right_event_id"),
+          r.getAs[Double]("right_value")))
+      assert(rows.toSeq == Seq((20L, 11L, 2.0)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("funnelStreamOrdered: withinSeconds conversion window matches the batch windowed funnel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val steps = Seq("view", "click", "purchase")
+    // u1: purchase 90 min after view → outside the 1 h window, depth 2
+    // u2: click 90 min after view → depth 1
+    // u3: all three inside the hour → depth 3
+    val all = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-01-01 10:30:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 11:30:00"), 1L, "purchase", 0.0),
+      (4L, ts("2024-01-01 10:00:00"), 2L, "view", 0.0),
+      (5L, ts("2024-01-01 11:30:00"), 2L, "click", 0.0),
+      (6L, ts("2024-01-01 10:00:00"), 3L, "view", 0.0),
+      (7L, ts("2024-01-01 10:10:00"), 3L, "click", 0.0),
+      (8L, ts("2024-01-01 10:50:00"), 3L, "purchase", 0.0))
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val out = Streams.funnelStreamOrdered(
+      input.toDF.toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "3 hours", steps, withinSeconds = Some(3600L))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_win_out").start()
+    try {
+      // shuffled delivery across batches
+      input.addData(all(2), all(4), all(7))
+      q.processAllAvailable()
+      input.addData(all(0), all(6), all(3))
+      q.processAllAvailable()
+      input.addData(all(1), all(5))
+      q.processAllAvailable()
+      input.addData((98L, ts("2024-01-02 12:00:00"), 9L, "view", 0.0))
+      q.processAllAvailable()
+      input.addData((99L, ts("2024-01-02 13:00:00"), 9L, "error", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_win_out")
+        .selectExpr("user_id", "depth").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val last = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1._2 }
+      val batch = graft.operators.Events.funnel(
+          all.map { case (id, t, u, typ, _) => (id, u, t, typ) }
+            .toDF("event_id", "user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", steps, withinSeconds = Some(3600L))
+        .selectExpr("user_id", "depth").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(last - 9L == batch.filter(_._2 > 0L) - 9L,
+        s"stream=$last batch=$batch")
+      assert((last - 9L) == Map(1L -> 2L, 2L -> 1L, 3L -> 3L))
+    } finally q.stop()
+  }
+
   test("deltaSinkBatch is exactly-once: re-delivered batch ids are skipped, txn survives checkpointing") {
     import graft.sources.{DeltaScan, DeltaWrite}
     val dir = java.nio.file.Files.createTempDirectory("graft_txn_sink").toString + "/t"
