@@ -1923,6 +1923,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Iceberg WRITE-side v2: create + append, then a position-delete
+    // commit (deleteWhere, format-version 2 with a sequence-numbered
+    // content=1 manifest) — the read-back must equal the same filter
+    // over the source table, proving delete planning end to end
+    "q_iceberg_delete" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_del_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(s, docs.filter(col("doc_id") % 2 === 0), base)
+      graft.sources.IcebergWrite.append(s, docs.filter(col("doc_id") % 2 =!= 0), base)
+      graft.sources.IcebergWrite.deleteWhere(s, base, col("doc_id") % 3 === 0)
+      graft.sources.IcebergScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // full Delta WRITE→READ round trip through the built-in writer and
     // reader: create a lang-partitioned table from the even docs,
     // append the odds, read latest — if the log, partition layout, or
@@ -4368,6 +4383,11 @@ object SparkEntry {
 
     "q_iceberg_roundtrip" ->
       """SELECT doc_id, lang, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_delete" ->
+      """SELECT doc_id, lang, text FROM documents
+        |WHERE doc_id % 3 <> 0
         |ORDER BY doc_id""".stripMargin,
 
     // analytic WAV mirror: the decoder's peak/rms must equal the

@@ -140,6 +140,25 @@ object IcebergScan {
     }.reduce(_ unionByName _)
   }
 
+  /** planning surface for [[IcebergWrite.deleteWhere]]: the current
+    * snapshot's spec-derived schema and live DATA file paths (resolved
+    * absolute) — delete files excluded */
+  private[sources] def currentDataFiles(
+      spark: SparkSession, tablePath: String): (StructType, Seq[String]) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaDir = new Path(tablePath, "metadata")
+    val fs = metaDir.getFileSystem(conf)
+    val meta = parseMetadata(fs, metaDir)
+    val schema = sparkSchema(currentSchema(meta))
+    val snapshots = Option(meta.get("snapshots")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    val wantedId = Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+    val snapshot = wantedId.flatMap(id => snapshots.find(_.get("snapshot-id").asLong() == id))
+    val files = snapshot.map(s =>
+      dedupeEntries(snapshotEntries(fs, conf, tablePath, s).filter(_.content == 0))
+        .map(_.path)).getOrElse(Seq.empty)
+    (schema, files)
+  }
+
   /** the snapshot's LIVE manifest entries (status DELETED dropped; null
     * entry sequence numbers inherit the manifest's, per spec) */
   private def snapshotEntries(
@@ -260,6 +279,11 @@ object IcebergScan {
       }
     mapper.readTree(readUtf8(fs, metaFile))
   }
+
+  /** the table's current schema as spec JSON — for
+    * [[IcebergWrite.deleteWhere]]'s metadata carry-forward */
+  private[sources] def currentSchemaJson(meta: JsonNode): String =
+    currentSchema(meta).toString
 
   /** v2 keeps a `schemas` array + `current-schema-id`; v1 a single
     * `schema` field. */

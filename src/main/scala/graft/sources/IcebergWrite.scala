@@ -105,6 +105,7 @@ object IcebergWrite {
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dataPath, conf))
         val rows = try footer.getRecordCount finally footer.close()
         val file = new GenericData.Record(dataFileSchema)
+        file.put("content", 0) // DATA
         file.put("file_path", rel)
         file.put("file_format", "PARQUET")
         file.put("partition", emptyPartition)
@@ -120,25 +121,28 @@ object IcebergWrite {
 
     // snapshot's manifest list = all prior manifests (their length /
     // spec-id / added-snapshot carried forward verbatim) + this one
-    val prevManifests: Seq[(String, Long, Int, Long)] =
-      if (version == 1) Seq.empty
-      else readAvro(fs, conf, new Path(root, s"metadata/snap-${version - 1}.avro"))
-        .map(r => (r.get("manifest_path").toString,
-          r.get("manifest_length").asInstanceOf[Long],
-          r.get("partition_spec_id").asInstanceOf[Int],
-          r.get("added_snapshot_id").asInstanceOf[Long]))
+    val prevManifests = readPrevManifests(fs, conf, root, version)
     val listRel = s"metadata/snap-$version.avro"
     writeAvro(fs, new Path(root, listRel), manifestListSchema,
-      (prevManifests :+ ((manifestRel, manifestLen, 0, version.toLong)))
-        .map { case (mp, len, specId, snapId) =>
-          val r = new GenericData.Record(manifestListSchema)
-          r.put("manifest_path", mp)
-          r.put("manifest_length", len)
-          r.put("partition_spec_id", specId)
-          r.put("added_snapshot_id", snapId)
-          r
-        })
+      (prevManifests :+ ManifestRef(manifestRel, manifestLen, 0, version.toLong, None))
+        .map(manifestRefRecord))
 
+    // a table upgraded to v2 by deleteWhere stays v2 on later appends
+    val fmtVersion = if (version == 1) 1 else prevFormatVersion(fs, metaDir, version - 1)
+    writeMetadataJson(fs, metaDir, root, version, fmtVersion,
+      icebergSchemaJson(df.schema), df.schema.length, listRel)
+  }
+
+  /** shared metadata-JSON commit tail: versioned file created with
+    * overwrite=false — the conditional-commit guard (two writers racing
+    * to the same version fail loudly here, first creator wins; the
+    * version hint is just a hint and may overwrite). v2 metadata
+    * additionally carries last-sequence-number / schemas /
+    * partition-specs / sort-orders and a per-snapshot sequence-number
+    * (= the version — one commit, one sequence). */
+  private def writeMetadataJson(fs: FileSystem, metaDir: Path, root: Path,
+      version: Int, fmtVersion: Int, schemaJson: String, nCols: Int,
+      listRel: String): Unit = {
     val now = System.currentTimeMillis()
     val prevSnapshots: String =
       if (version == 1) ""
@@ -149,21 +153,26 @@ object IcebergWrite {
         node.get("snapshots").elements().asScala
           .map(_.toString).mkString("", ",", ",")
       }
-    val schemaJson = icebergSchemaJson(df.schema)
+    val v2Extra =
+      if (fmtVersion < 2) ""
+      else s""""last-sequence-number":$version,"schemas":[$schemaJson],
+              |"current-schema-id":0,
+              |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
+              |"last-partition-id":999,
+              |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,"""
+        .stripMargin
+    val snapSeq = if (fmtVersion < 2) "" else s""""sequence-number":$version,"""
     val meta =
-      s"""{"format-version":1,"table-uuid":"${java.util.UUID.randomUUID()}",
+      s"""{"format-version":$fmtVersion,"table-uuid":"${java.util.UUID.randomUUID()}",
          |"location":${jstr(root.toString)},"last-updated-ms":$now,
-         |"last-column-id":${df.schema.length},
+         |"last-column-id":$nCols,
+         |$v2Extra
          |"schema":$schemaJson,
          |"partition-spec":[],"properties":{},
          |"current-snapshot-id":$version,
-         |"snapshots":[$prevSnapshots{"snapshot-id":$version,
+         |"snapshots":[$prevSnapshots{"snapshot-id":$version,$snapSeq
          |"timestamp-ms":$now,"manifest-list":${jstr(listRel)}}]}"""
         .stripMargin.replaceAll("\n", "")
-    // conditional commit: the versioned metadata file is created with
-    // overwrite=false, so two writers racing to the same version — the
-    // only way this layout can corrupt — fail loudly here, first
-    // creator wins (the version hint is just a hint and may overwrite)
     val metaPath = new Path(metaDir, s"v$version.metadata.json")
     try writeUtf8(fs, metaPath, meta, overwrite = false)
     catch {
@@ -173,6 +182,135 @@ object IcebergWrite {
             "another writer committed this version; re-read the table and retry", e)
     }
     writeUtf8(fs, new Path(metaDir, "version-hint.text"), version.toString)
+  }
+
+  private def prevFormatVersion(fs: FileSystem, metaDir: Path, prev: Int): Int = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
+    Option(node.get("format-version")).map(_.asInt()).getOrElse(1)
+  }
+
+  /** a manifest list row (sequence_number None = data manifest, readers
+    * default it to 0) */
+  private final case class ManifestRef(
+      path: String, length: Long, specId: Int, snapshotId: Long, seq: Option[Long])
+
+  private def readPrevManifests(fs: FileSystem,
+      conf: org.apache.hadoop.conf.Configuration, root: Path,
+      version: Int): Seq[ManifestRef] =
+    if (version == 1) Seq.empty
+    else readAvro(fs, conf, new Path(root, s"metadata/snap-${version - 1}.avro"))
+      .map { r =>
+        val seq =
+          if (r.getSchema.getField("sequence_number") == null) None
+          else Option(r.get("sequence_number")).map(_.toString.toLong)
+        ManifestRef(r.get("manifest_path").toString,
+          r.get("manifest_length").asInstanceOf[Long],
+          r.get("partition_spec_id").asInstanceOf[Int],
+          r.get("added_snapshot_id").asInstanceOf[Long], seq)
+      }
+
+  private def manifestRefRecord(m: ManifestRef): GenericRecord = {
+    val r = new GenericData.Record(manifestListSchema)
+    r.put("manifest_path", m.path)
+    r.put("manifest_length", m.length)
+    r.put("partition_spec_id", m.specId)
+    r.put("added_snapshot_id", m.snapshotId)
+    m.seq.foreach(s => r.put("sequence_number", s))
+    r
+  }
+
+  /** POSITION-DELETE commit (v2 row-level delete, the spec's simplest):
+    * delete every current row matching `cond`. One distributed pass
+    * computes the victims' (file_path, pos) pairs from the live data
+    * files' `_metadata` (Iceberg's `pos` IS the parquet row ordinal),
+    * written as one sorted-by-(file_path, pos) parquet delete file and
+    * committed in a content=1 manifest whose manifest-list entry
+    * carries sequence_number = the new version — so the reader's
+    * `delete.seq >= data.seq` rule applies it to every pre-existing
+    * data file. The commit upgrades the table's metadata to
+    * format-version 2 (later appends keep it).
+    *
+    * Returns the number of deleted row positions; matching zero rows
+    * commits nothing. Rows already dead under existing delete files may
+    * be re-listed (position re-deletion is a no-op by the spec's
+    * set-union semantics). A delete set is usually tiny relative to the
+    * data, so it is written as ONE file; the data itself is never
+    * rewritten. Same loud-failure scope as the reader: parquet files
+    * only. Stale-delete protection across rewrites holds structurally —
+    * data files are never rewritten in place and fresh writes get fresh
+    * paths, so a position delete can never hit a row it didn't name. */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    val prev = readUtf8(fs, hint).trim.toInt
+    val version = prev + 1
+    val root = fs.makeQualified(new Path(tablePath))
+    val targetMeta = new Path(root, s"metadata/v$version.metadata.json")
+    if (fs.exists(targetMeta))
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent Iceberg commit detected: $targetMeta already exists — " +
+          "another writer committed this version; re-read the table and retry")
+
+    val (schema, dataFiles) = IcebergScan.currentDataFiles(spark, tablePath)
+    if (dataFiles.isEmpty) return 0L
+    import org.apache.spark.sql.functions.col
+    val victims = spark.read.schema(schema).parquet(dataFiles: _*)
+      .withColumn("__fp", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .filter(cond)
+      .select(col("__fp").as("file_path"), col("__pos").as("pos"))
+
+    // one sorted delete file in its own subdir (writing into data/
+    // itself would trip Spark's read-write-same-path guard)
+    val delDir = new Path(root, s"data/deletes-v$version")
+    victims.repartition(1).sortWithinPartitions("file_path", "pos")
+      .write.mode("overwrite").parquet(delDir.toString)
+    val delFiles = listParquet(fs, delDir).map("data/" + _)
+    require(delFiles.size == 1, s"expected one delete file, got $delFiles")
+    val delRel = delFiles.head
+    val delPath = new Path(root, delRel)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(delPath, conf))
+    val nDeleted = try footer.getRecordCount finally footer.close()
+    if (nDeleted == 0L) { fs.delete(delDir, true); return 0L }
+
+    val metaDir = new Path(root, "metadata")
+    val manifestRel = s"metadata/manifest-$version.avro"
+    val dataFileSchema = manifestSchema.getField("data_file").schema()
+    val file = new GenericData.Record(dataFileSchema)
+    file.put("content", 1) // POSITION DELETES
+    file.put("file_path", delRel)
+    file.put("file_format", "PARQUET")
+    file.put("partition",
+      new GenericData.Record(dataFileSchema.getField("partition").schema()))
+    file.put("record_count", nDeleted)
+    file.put("file_size_in_bytes", fs.getFileStatus(delPath).getLen)
+    file.put("block_size_in_bytes", DefaultBlockSize)
+    val entry = new GenericData.Record(manifestSchema)
+    entry.put("status", 1) // ADDED
+    entry.put("data_file", file)
+    writeAvro(fs, new Path(root, manifestRel), manifestSchema, Seq(entry))
+    val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
+
+    val prevManifests = readPrevManifests(fs, conf, root, version)
+    val listRel = s"metadata/snap-$version.avro"
+    writeAvro(fs, new Path(root, listRel), manifestListSchema,
+      (prevManifests :+
+        ManifestRef(manifestRel, manifestLen, 0, version.toLong, Some(version.toLong)))
+        .map(manifestRefRecord))
+
+    // re-derive the schema JSON from the table's own metadata (the
+    // delete commit must not drift the declared schema)
+    val prevNode = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
+    val schemaJson = IcebergScan.currentSchemaJson(prevNode)
+    writeMetadataJson(fs, metaDir, root, version, fmtVersion = 2,
+      schemaJson, schema.length, listRel)
+    nDeleted
   }
 
   /** Spark → Iceberg schema JSON with 1-based field ids; primitives
@@ -206,10 +344,14 @@ object IcebergWrite {
   // is unpartitioned, spec-id 0), record_count, file_size_in_bytes,
   // block_size_in_bytes (deprecated by the spec but REQUIRED in v1
   // schema resolution — writers emit a default)
+  // `content` distinguishes data (0) from position-delete (1) files —
+  // v2's row-level-delete discriminator; v1-era readers that resolve by
+  // name simply ignore it on data entries
   private val manifestSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
       |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int","default":0},
       |{"name":"file_path","type":"string"},
       |{"name":"file_format","type":"string"},
       |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
@@ -219,12 +361,17 @@ object IcebergWrite {
 
   private val DefaultBlockSize = 67108864L // 64 MiB, the spec's customary default
 
+  // optional sequence_number (v2): null on data manifests (readers
+  // default it to 0), the commit's sequence on delete manifests — the
+  // delete.seq >= data.seq application rule then holds for every
+  // pre-existing data file
   private val manifestListSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string"},
       |{"name":"manifest_length","type":"long"},
       |{"name":"partition_spec_id","type":"int"},
-      |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+      |{"name":"added_snapshot_id","type":"long"},
+      |{"name":"sequence_number","type":["null","long"],"default":null}]}""".stripMargin)
 
   private def writeAvro(fs: FileSystem, path: Path, schema: Schema,
       records: Seq[GenericRecord]): Unit = {

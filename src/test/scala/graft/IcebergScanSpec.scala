@@ -50,6 +50,52 @@ class IcebergScanSpec extends SparkSpec {
     }.getMessage.contains("schema"))
   }
 
+  test("deleteWhere: position-delete round trip — rows gone, time travel intact, appends still work") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_del").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "keep"), (2L, "kill"), (3L, "keep")).toDF("id", "v"), dir)
+    IcebergWrite.append(spark, Seq((4L, "kill"), (5L, "keep")).toDF("id", "v"), dir)
+
+    val n = IcebergWrite.deleteWhere(spark, dir, col("v") === "kill")
+    assert(n == 2L)
+    val after = IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after == Seq((1L, "keep"), (3L, "keep"), (5L, "keep")))
+    // time travel to the pre-delete snapshot still sees everything
+    assert(IcebergScan.read(spark, dir, snapshotAsOf = Some(2L)).count() == 5L)
+
+    // metadata upgraded to v2 and later appends keep it + keep deletes applied
+    IcebergWrite.append(spark, Seq((6L, "kill")).toDF("id", "v"), dir)
+    val after2 = IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(after2 == Seq((1L, "keep"), (3L, "keep"), (5L, "keep"), (6L, "kill")),
+      "post-delete append must not resurrect deleted rows or lose new ones")
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/metadata/v4.metadata.json")), "UTF-8")
+    assert(meta.contains("\"format-version\":2") &&
+      meta.contains("\"last-sequence-number\""))
+
+    // a second delete composes (its manifest seq rides the carry-forward)
+    assert(IcebergWrite.deleteWhere(spark, dir, col("id") === 6L) == 1L)
+    assert(IcebergScan.read(spark, dir).count() == 3L)
+
+    // no-match delete commits nothing
+    val hintBefore = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/metadata/version-hint.text")), "UTF-8").trim
+    assert(IcebergWrite.deleteWhere(spark, dir, col("id") === 999L) == 0L)
+    val hintAfter = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/metadata/version-hint.text")), "UTF-8").trim
+    assert(hintBefore == hintAfter, "empty delete must not commit a version")
+
+    // loud on a missing table
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.deleteWhere(spark, dir + "_nope", col("id") === 1L)
+    }
+    assert(e.getMessage.contains("no Iceberg table"))
+  }
+
   test("readChanges: snapshot-diff increments; vanished files fail loudly") {
     import graft.sources.{IcebergScan, IcebergWrite}
     import spark.implicits._
