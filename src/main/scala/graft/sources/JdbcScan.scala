@@ -59,46 +59,98 @@ object JdbcScan {
       lowerBound, upperBound, numPartitions, props)
   }
 
+  /** DATE/TIMESTAMP-partitioned parallel read: Spark's string-bound
+    * jdbc partitioning (`lowerBound`/`upperBound` parsed as
+    * `Date.valueOf`/`Timestamp.valueOf` literals, stride in time).
+    * The shape every event/fact table partitions on in practice. */
+  def readPartitionedTemporal(spark: SparkSession, url: String,
+      tableOrQuery: String, partitionColumn: String,
+      lowerBound: String, upperBound: String, numPartitions: Int,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
+    spark.read.format("jdbc")
+      .options(Map("fetchsize" -> "10000") ++ options)
+      .option("url", url)
+      .option("dbtable", dbTableClause(tableOrQuery))
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions.toString)
+      .load()
+  }
+
   /** Auto-bounded parallel read: ONE driver-side `SELECT min, max`
     * against the remote resolves the partition bounds, then
-    * [[readPartitioned]]. This is the ergonomic that gets fact tables
-    * actually partitioned — the manual-bounds form is skipped in
-    * practice precisely when it matters. The bounds probe is a
+    * [[readPartitioned]] (integral columns) or
+    * [[readPartitionedTemporal]] (DATE/TIMESTAMP columns — Spark
+    * strides them in time). This is the ergonomic that gets fact
+    * tables actually partitioned — the manual-bounds form is skipped
+    * in practice precisely when it matters. The bounds probe is a
     * single-row aggregate the database answers from its index.
-    * `partitionColumn` is quoted with standard SQL double quotes in the
-    * probe (Derby/Postgres/MSSQL-with-QUOTED_IDENTIFIER); backtick
-    * dialects (MySQL) need ANSI_QUOTES or the manual-bounds form. */
+    * `partitionColumn` is quoted per the url's dialect
+    * ([[quoteIdent]]: backticks for MySQL-family urls, brackets for
+    * SQL Server, standard double quotes otherwise). */
   def readPartitionedAuto(spark: SparkSession, url: String, tableOrQuery: String,
                           partitionColumn: String, numPartitions: Int,
                           options: Map[String, String] = Map.empty): DataFrame = {
     require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
     val conn = openConnection(url, options)
-    val (lo, hi) =
+    val (loObj, hiObj) =
       try {
         val st = conn.createStatement()
+        val q = quoteIdent(url, partitionColumn)
         val rs = st.executeQuery(
-          s"""SELECT MIN("$partitionColumn"), MAX("$partitionColumn")
+          s"""SELECT MIN($q), MAX($q)
              |FROM ${dbTableClause(tableOrQuery)}""".stripMargin)
         require(rs.next(), s"bounds probe returned no row for $tableOrQuery")
-        val lo = rs.getLong(1)
-        val loNull = rs.wasNull()
-        val hi = rs.getLong(2)
-        require(!loNull && !rs.wasNull(),
+        val lo = rs.getObject(1)
+        val hi = rs.getObject(2)
+        require(lo != null && hi != null,
           s"cannot auto-partition $tableOrQuery on $partitionColumn: " +
             "no non-NULL values (empty table?) — use the unpartitioned read")
         (lo, hi)
       } finally conn.close()
-    if (lo == hi)
-      read(spark, url, tableOrQuery, options) // single value — one range
-    else {
-      // hi+1 evens the stride, but overflows when MAX == Long.MaxValue;
-      // clamping to hi is still correct — Spark's last JDBC partition
-      // predicate is unbounded above (>= last bound), so rows equal to
-      // the upper bound are always read
-      val upper = if (hi == Long.MaxValue) hi else hi + 1
-      readPartitioned(spark, url, tableOrQuery, partitionColumn,
-        lo, upper, numPartitions, options)
+    (loObj, hiObj) match {
+      case (lo: java.sql.Timestamp, hi: java.sql.Timestamp) =>
+        if (lo == hi) read(spark, url, tableOrQuery, options)
+        else readPartitionedTemporal(spark, url, tableOrQuery, partitionColumn,
+          lo.toString, hi.toString, numPartitions, options)
+      case (lo: java.sql.Date, hi: java.sql.Date) =>
+        if (lo == hi) read(spark, url, tableOrQuery, options)
+        else readPartitionedTemporal(spark, url, tableOrQuery, partitionColumn,
+          lo.toString, hi.toString, numPartitions, options)
+      case (loN: Number, hiN: Number) =>
+        val lo = loN.longValue(); val hi = hiN.longValue()
+        if (lo == hi)
+          read(spark, url, tableOrQuery, options) // single value — one range
+        else {
+          // hi+1 evens the stride, but overflows when MAX == Long.MaxValue;
+          // clamping to hi is still correct — Spark's last JDBC partition
+          // predicate is unbounded above (>= last bound), so rows equal to
+          // the upper bound are always read
+          val upper = if (hi == Long.MaxValue) hi else hi + 1
+          readPartitioned(spark, url, tableOrQuery, partitionColumn,
+            lo, upper, numPartitions, options)
+        }
+      case (lo, _) => throw new IllegalArgumentException(
+        s"cannot auto-partition $tableOrQuery on $partitionColumn: bounds of " +
+          s"type ${lo.getClass.getName} — use an integral, DATE or TIMESTAMP " +
+          "column, or the manual-bounds form")
     }
+  }
+
+  /** Dialect-aware identifier quoting for driver-side probe SQL:
+    * backticks on MySQL-family urls (MySQL/MariaDB default mode rejects
+    * double-quoted identifiers), square brackets on SQL Server (safe
+    * regardless of QUOTED_IDENTIFIER), standard SQL double quotes
+    * everywhere else — each with the dialect's own escape doubling. */
+  private[graft] def quoteIdent(url: String, name: String): String = {
+    val u = url.toLowerCase(java.util.Locale.ROOT)
+    if (u.startsWith("jdbc:mysql:") || u.startsWith("jdbc:mariadb:"))
+      "`" + name.replace("`", "``") + "`"
+    else if (u.startsWith("jdbc:sqlserver:"))
+      "[" + name.replace("]", "]]") + "]"
+    else "\"" + name.replace("\"", "\"\"") + "\""
   }
 
   /** A bare identifier passes through; anything with whitespace is

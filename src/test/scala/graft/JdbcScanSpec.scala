@@ -120,6 +120,60 @@ class JdbcScanSpec extends SparkSpec {
     assert(q.agg(max("id")).first().getLong(0) == Long.MaxValue)
   }
 
+  test("auto-bounded read partitions on a TIMESTAMP column (time-strided ranges)") {
+    val url = freshUrl()
+    val df = (0 until 96).map { i =>
+      (java.sql.Timestamp.valueOf(s"2024-01-01 ${i / 4}:${15 * (i % 4)}:00"), i.toLong)
+    }.toDF("ts", "n")
+    graft.sources.JdbcWrite.write(df, url, "tt", mode = "overwrite", options = driverOpt)
+    val q = graft.sources.JdbcScan.readPartitionedAuto(spark, url, "tt", "ts", 4,
+      options = driverOpt)
+    assert(q.rdd.getNumPartitions == 4)
+    assert(q.count() == 96)
+    assert(q.agg(sum("n")).first().getLong(0) == (0L until 96L).sum)
+    // the stride actually splits the data (no single hot partition)
+    val sizes = q.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(sizes.count(_ > 0) >= 3, s"time stride collapsed: ${sizes.toSeq}")
+    // all-same-timestamp column degrades to the unpartitioned read
+    val url2 = freshUrl()
+    graft.sources.JdbcWrite.write(
+      Seq((java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L),
+          (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2L)).toDF("ts", "n"),
+      url2, "one", mode = "overwrite", options = driverOpt)
+    assert(graft.sources.JdbcScan.readPartitionedAuto(spark, url2, "one", "ts", 4,
+      options = driverOpt).count() == 2)
+  }
+
+  test("auto-bounded read partitions on a DATE column; strings fail loudly") {
+    val url = freshUrl()
+    val df = (1 to 60).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)), i.toLong)
+    }.toDF("d", "n")
+    graft.sources.JdbcWrite.write(df, url, "td", mode = "overwrite", options = driverOpt)
+    val q = graft.sources.JdbcScan.readPartitionedAuto(spark, url, "td", "d", 3,
+      options = driverOpt)
+    assert(q.rdd.getNumPartitions == 3)
+    assert(q.count() == 60)
+    // a string partition column is a loud error, not a bogus scan
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.JdbcScan.readPartitionedAuto(spark, seeded(), "t", "name", 4,
+        options = driverOpt)
+    }
+    assert(e.getMessage.contains("integral, DATE or TIMESTAMP"))
+  }
+
+  test("quoteIdent picks the dialect's quoting and doubles its escapes") {
+    import graft.sources.JdbcScan.quoteIdent
+    assert(quoteIdent("jdbc:mysql://h/db", "order") == "`order`")
+    assert(quoteIdent("jdbc:mariadb://h/db", "a`b") == "`a``b`")
+    assert(quoteIdent("jdbc:sqlserver://h;db", "sel]ect") == "[sel]]ect]")
+    assert(quoteIdent("jdbc:postgresql://h/db", "order") == "\"order\"")
+    assert(quoteIdent("jdbc:derby:memory:x", "a\"b") == "\"a\"\"b\"")
+    // scheme matching is exact-prefix: a hypothetical jdbc:mysqlish
+    // url is NOT backtick-quoted
+    assert(quoteIdent("jdbc:mysqlish://h/db", "c") == "\"c\"")
+  }
+
   test("SQL table function: jdbc_scan runs verbatim, plain and partitioned") {
     GraftExtensions.register(spark)
     val url = seeded()
