@@ -29,10 +29,11 @@ import graft.operators.{Bpe, BpeModel}
   *     entries — adversarial all-unique-words input degrades to the
   *     plain merge loop, never to unbounded memory).
   *
-  * CodegenFallback for the same reason as [[HashedWordShingles]]: the
-  * per-row interpret overhead is paid once per ROW and the work runs in
-  * a tight JVM loop; a codegen'd string-building version would win
-  * nothing (the cost is the merge loop, not the call boundary).
+  * CodegenFallback deliberately: the per-row interpret overhead is paid
+  * once per ROW and the work runs in a tight JVM loop; tools/KernelBench
+  * measured the dispatch difference for exactly this kernel shape
+  * (heavyweight per-row compute) at noise level — the cost is the merge
+  * loop, not the call boundary.
   */
 case class BpeEncode(child: Expression, model: BpeModel, emitIds: Boolean = false)
     extends UnaryExpression with CodegenFallback {

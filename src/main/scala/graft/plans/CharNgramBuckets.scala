@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -15,13 +15,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * as [[HashedNgramBuckets]] but over sliding codepoint windows instead
   * of whitespace tokens — the oracle mirror is
   * `('0x'||substr(md5(seed||chr(1)||substr(lower(text),i,n)),1,15))::BIGINT % nBuckets`.
+  * Codegen'd via the static-invoke shape ([[HashedWordShingles]]); the
+  * seed rides as a codegen reference object.
   */
 case class CharNgramBuckets(
     child: Expression,
     n: Int,
     nBuckets: Int,
     seed: String)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, s"n must be >= 1, got $n")
   require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
@@ -34,10 +36,13 @@ case class CharNgramBuckets(
       s"char_ngram_buckets expects string, got ${other.sql}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
-    ArrayData.toArrayData(CharNgramBuckets.bucketsOf(text, n, nBuckets, seed,
-      alreadyLower = true))
+  override def nullSafeEval(input: Any): Any =
+    CharNgramBuckets.compute(input.asInstanceOf[UTF8String], n, nBuckets, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedRef = ctx.addReferenceObj("seed", seed, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.CharNgramBuckets.compute($c, $n, $nBuckets, $seedRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharNgramBuckets =
@@ -47,6 +52,11 @@ case class CharNgramBuckets(
 }
 
 object CharNgramBuckets {
+  /** the whole kernel — called directly from generated code */
+  def compute(input: UTF8String, n: Int, nBuckets: Int, seed: String): ArrayData =
+    ArrayData.toArrayData(
+      bucketsOf(input.toLowerCase.toString, n, nBuckets, seed, alreadyLower = true))
+
   private val md5 = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,8 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Weights ride the expression tree (≤ langs × nBuckets longs, e.g.
   * 8 × 2048 = 128 KB) — serialized once per task like the PQ ADC
-  * table, never per row. Scoring is pure BIGINT: bit-identical on any
-  * partitioning, any cluster size.
+  * table, never per row; in generated code they ride a single codegen
+  * reference object ([[CharNgramNbScore.Scorer]]), so the inference
+  * loop runs inside WholeStageCodegen with one direct call per row
+  * (no interpreted dispatch). Scoring is pure BIGINT: bit-identical on
+  * any partitioning, any cluster size.
   */
 case class CharNgramNbScore(
     child: Expression,
@@ -33,7 +36,7 @@ case class CharNgramNbScore(
     langs: Seq[String],
     priorsMicro: Array[Long],
     weightsMicro: Array[Array[Long]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, s"n must be >= 1, got $n")
   require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
@@ -51,34 +54,59 @@ case class CharNgramNbScore(
       s"char_ngram_nb_score expects string, got ${other.sql}")
   }
 
-  @transient private lazy val langStrs =
-    langs.map(UTF8String.fromString).toArray
-  @transient private lazy val und = UTF8String.fromString("und")
+  @transient private lazy val scorer =
+    new CharNgramNbScore.Scorer(n, nBuckets, seed, langs.toArray,
+      priorsMicro, weightsMicro)
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
-    val bks = CharNgramBuckets.bucketsOf(text, n, nBuckets, seed,
-      alreadyLower = true)
-    if (bks.isEmpty) return und
-    val k = langs.size
-    val scores = new Array[Long](k)
-    var j = 0
-    while (j < k) { scores(j) = priorsMicro(j); j += 1 }
-    var g = 0
-    while (g < bks.length) {
-      val b = bks(g)
-      j = 0
-      while (j < k) { scores(j) += weightsMicro(j)(b); j += 1 }
-      g += 1
-    }
-    var best = 0
-    j = 1
-    while (j < k) { if (scores(j) > scores(best)) best = j; j += 1 }
-    langStrs(best)
+  override def nullSafeEval(input: Any): Any =
+    scorer.score(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nbScorer", scorer,
+      classOf[CharNgramNbScore.Scorer].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.score($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): CharNgramNbScore =
     copy(child = newChild)
 
   override def prettyName: String = "char_ngram_nb_score"
+}
+
+object CharNgramNbScore {
+  /** the fused inference kernel + its model, as one serializable
+    * codegen reference object */
+  final class Scorer(
+      n: Int,
+      nBuckets: Int,
+      seed: String,
+      langs: Array[String],
+      priorsMicro: Array[Long],
+      weightsMicro: Array[Array[Long]]) extends Serializable {
+
+    @transient private lazy val langStrs = langs.map(UTF8String.fromString)
+    @transient private lazy val und = UTF8String.fromString("und")
+
+    def score(input: UTF8String): UTF8String = {
+      val text = input.toLowerCase.toString
+      val bks = CharNgramBuckets.bucketsOf(text, n, nBuckets, seed,
+        alreadyLower = true)
+      if (bks.isEmpty) return und
+      val k = langs.length
+      val scores = new Array[Long](k)
+      var j = 0
+      while (j < k) { scores(j) = priorsMicro(j); j += 1 }
+      var g = 0
+      while (g < bks.length) {
+        val b = bks(g)
+        j = 0
+        while (j < k) { scores(j) += weightsMicro(j)(b); j += 1 }
+        g += 1
+      }
+      var best = 0
+      j = 1
+      while (j < k) { if (scores(j) > scores(best)) best = j; j += 1 }
+      langStrs(best)
+    }
+  }
 }

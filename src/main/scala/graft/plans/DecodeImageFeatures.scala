@@ -24,10 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * failure — corrupt/truncated/adversarial bytes on an untrusted corpus
   * must never kill the job).
   *
-  * Per-row work is a single pass over the pixel bytes — the same
-  * CodegenFallback-once-per-row shape as [[HashedWordShingles]]; the
-  * expression composes as a normal column, so decode stays inside the
-  * narrow scan stage (no shuffle, partition-parallel).
+  * Per-row work is a single pass over the pixel bytes — CodegenFallback
+  * once-per-row, which tools/KernelBench measured at noise level for
+  * heavyweight kernels like this; the expression composes as a normal
+  * column, so decode stays inside the narrow scan stage (no shuffle,
+  * partition-parallel).
   */
 case class DecodeImageFeatures(child: Expression)
     extends UnaryExpression with CodegenFallback {

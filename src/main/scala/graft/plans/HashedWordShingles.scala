@@ -5,7 +5,7 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,11 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * lambdas cost ~2 ms/row on 300-char docs (interpreted per-element
   * closures + UTF8String churn), which made the shingling pass dominate
   * the whole MinHash pipeline. This expression does the same work in a
-  * tight Scala loop (~20 µs/row): the per-row interpret overhead of
-  * CodegenFallback is paid once per ROW, not once per element.
+  * tight Scala loop (~20 µs/row), and `doGenCode` splices a direct
+  * static call into WholeStageCodegen (the [[CosineSimilarity]]
+  * static-invoke shape) — no interpreted dispatch, no per-row
+  * InternalRow packing. `tools/KernelBench` A/Bs this against the
+  * interpreted fallback.
   */
 case class HashedWordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1, s"shingle size must be >= 1, got $k")
 
@@ -43,11 +46,24 @@ case class HashedWordShingles(child: Expression, k: Int)
       s"hashed_word_shingles expects string, got ${other.sql}")
   }
 
-  @transient private lazy val ws = Pattern.compile("\\s+")
-  @transient private lazy val md5 = new ThreadLocal[MessageDigest] {
+  override def nullSafeEval(input: Any): Any =
+    HashedWordShingles.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashedWordShingles.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedWordShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "hashed_word_shingles"
+}
+
+object HashedWordShingles {
+  private val ws = Pattern.compile("\\s+")
+  private val md5 = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
-  private val hexDigits = "0123456789abcdef".toCharArray
 
   /** decimal value of the first 15 hex chars of md5(s) — 60 bits, the
     * portable cross-engine hash (TextFns.portableHash). */
@@ -62,8 +78,9 @@ case class HashedWordShingles(child: Expression, k: Int)
     (v << 4) | ((bytes(7) & 0xf0L) >> 4)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toLowerCase.toString
+  /** the whole kernel — called directly from generated code */
+  def compute(input: UTF8String, k: Int): ArrayData = {
+    val text = input.toLowerCase.toString
     val raw = ws.split(text)
     // drop empties (leading-whitespace artifact of regex split)
     var nTok = 0
@@ -93,9 +110,4 @@ case class HashedWordShingles(child: Expression, k: Int)
     }
     ArrayData.toArrayData(if (n == out.length) out else java.util.Arrays.copyOf(out, n))
   }
-
-  override protected def withNewChildInternal(newChild: Expression): HashedWordShingles =
-    copy(child = newChild)
-
-  override def prettyName: String = "hashed_word_shingles"
 }
