@@ -1880,6 +1880,22 @@ object SparkEntry {
           graft.sources.GSheetFixture.transcriptFile()))
         .orderBy("name")),
 
+    // REST-SQL warehouse backends on recorded HTTP bytes (the
+    // reference's Snowflake/Databricks clients): typed materialization
+    // from resultSetMetaData for Snowflake; the poll loop + presigned
+    // EXTERNAL_LINKS chunks fetched executor-side for Databricks
+    "q_snowflake_scan" -> ((s, dir) =>
+      graft.sources.RestSql.querySnowflake(s,
+        graft.sources.RestSqlFixture.snowflakeConn,
+        "SELECT o_id, amount, ratio, shipped, region FROM orders_v")
+        .orderBy("o_id")),
+
+    "q_databricks_scan" -> ((s, dir) =>
+      graft.sources.RestSql.queryDatabricks(s,
+        graft.sources.RestSqlFixture.databricksConn,
+        "SELECT doc_id, score, tag FROM scored_docs")
+        .orderBy("doc_id")),
+
     // external-database scan end to end (the reference's ext/ surface,
     // LibPQExt.jl etc.): load documents into an EMBEDDED Derby database
     // over JDBC, read back through Tidier.readJdbc as a 4-way
@@ -4345,6 +4361,26 @@ object SparkEntry {
         |  ('Rope', 1, CAST(3.25 AS DOUBLE), 'Kyoto', 'multi word note')
         |) v(name, qty, price, city, note)
         |ORDER BY name""".stripMargin,
+
+    "q_snowflake_scan" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(19.99 AS DOUBLE), CAST(0.5 AS DOUBLE), true, 'EUROPE'),
+        |  (CAST(2 AS BIGINT), CAST(7.50 AS DOUBLE), CAST(1.25 AS DOUBLE), false, 'ASIA'),
+        |  (CAST(3 AS BIGINT), CAST(NULL AS DOUBLE), CAST(0.0 AS DOUBLE), true, CAST(NULL AS VARCHAR)),
+        |  (CAST(4 AS BIGINT), CAST(1250.00 AS DOUBLE), CAST(2.75 AS DOUBLE), false, 'AMERICA'),
+        |  (CAST(5 AS BIGINT), CAST(0.01 AS DOUBLE), CAST(NULL AS DOUBLE), true, 'EUROPE')
+        |) v(o_id, amount, ratio, shipped, region)
+        |ORDER BY o_id""".stripMargin,
+
+    "q_databricks_scan" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(10 AS BIGINT), CAST(0.125 AS DOUBLE), 'clean'),
+        |  (CAST(11 AS BIGINT), CAST(0.5 AS DOUBLE), CAST(NULL AS VARCHAR)),
+        |  (CAST(12 AS BIGINT), CAST(0.875 AS DOUBLE), 'clean'),
+        |  (CAST(13 AS BIGINT), CAST(1.0 AS DOUBLE), 'flagged'),
+        |  (CAST(14 AS BIGINT), CAST(0.25 AS DOUBLE), 'clean')
+        |) v(doc_id, score, tag)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_delta_roundtrip" ->
       """SELECT doc_id, lang, text FROM documents
