@@ -282,6 +282,20 @@ object Tidier {
     TidierFrame(graft.sources.JdbcScan.readPartitioned(
       spark, url, tableOrQuery, partitionColumn, lowerBound, upperBound, numPartitions))
 
+  /** Snowflake SQL API query → verb-chainable frame (the reference's
+    * `db_table(con::SnowflakeConnection, …)` surface). */
+  def readSnowflake(spark: SparkSession,
+      conn: graft.sources.RestSql.SnowflakeConnection,
+      sql: String): TidierFrame =
+    TidierFrame(graft.sources.RestSql.querySnowflake(spark, conn, sql))
+
+  /** Databricks Statement Execution API query → verb-chainable frame
+    * (the reference's `db_table(con::DatabricksConnection, …)`). */
+  def readDatabricks(spark: SparkSession,
+      conn: graft.sources.RestSql.DatabricksConnection,
+      sql: String): TidierFrame =
+    TidierFrame(graft.sources.RestSql.queryDatabricks(spark, conn, sql))
+
   /** Catalog table scan. */
   def table(spark: SparkSession, name: String): TidierFrame =
     TidierFrame(spark.table(name))

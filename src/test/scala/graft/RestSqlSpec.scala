@@ -180,6 +180,24 @@ class RestSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("POST http://x/a"))
   }
 
+  test("Tidier.readSnowflake/readDatabricks chain into the verb surface") {
+    import org.apache.spark.sql.functions.col
+    val sfDf = Tidier.readSnowflake(spark,
+      graft.sources.RestSqlFixture.snowflakeConn,
+      "SELECT * FROM orders_v")
+      .filter(col("shipped") === true)
+      .arrange("o_id")
+      .select("o_id", "region")
+      .df.collect().map(_.toSeq).toSeq
+    assert(sfDf == Seq(Seq(1L, "EUROPE"), Seq(3L, null), Seq(5L, "EUROPE")))
+    val dbxN = Tidier.readDatabricks(spark,
+      graft.sources.RestSqlFixture.databricksConn,
+      "SELECT * FROM scored_docs")
+      .filter(col("tag") === "clean")
+      .df.count()
+    assert(dbxN == 3L)
+  }
+
   test("snowflakeTableMetadata issues the INFORMATION_SCHEMA probe through the same path") {
     val t = snowflakeTranscript(
       """{"resultSetMetaData":{"rowType":[
