@@ -89,7 +89,15 @@ object Bench {
     // the composed multilingual pipeline (kernel → keyed dedup window
     // → profile), ANN recall measurement (11 TakeOrdered jobs)
     "q_jdbc_scan", "q_text_langid2", "q_langid_profile",
-    "q_pipeline_multilingual", "q_embed_recall")
+    "q_pipeline_multilingual", "q_embed_recall",
+    // round 6: batched recall (one composed plan vs the 11-job loop
+    // above — both stay timed), verbatim TPC-H over synthesized
+    // relations (partsupp 4x explode + decorrelated min-cost join;
+    // triple semi/anti lineitem self-joins), Iceberg position-delete
+    // round trip (write + delete commit + anti-join read), executor-
+    // side sharded Arrow/Avro writes (manifest commit protocol)
+    "q_embed_recall_batch", "q_tpch_q2", "q_tpch_q21",
+    "q_iceberg_delete", "q_arrow_sharded", "q_avro_sharded")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
