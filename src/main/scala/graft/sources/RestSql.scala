@@ -155,7 +155,8 @@ object RestSql {
     }
   }
 
-  private def mapper = new ObjectMapper()
+  // thread-safe once configured; never rebuild per poll/chunk
+  private val mapper = new ObjectMapper()
 
   private def jsonBody(r: Response, what: String): JsonNode = {
     require(r.status == 200,
@@ -206,18 +207,37 @@ object RestSql {
       StructField(name, dt, nullable = true)
     }
     val schema = StructType(cols)
-    val rows = json.path("data").elements().asScala.map { arr =>
-      Row.fromSeq(cols.zipWithIndex.map { case (f, i) =>
-        val v = arr.get(i)
-        if (v == null || v.isNull) null
-        else f.dataType match {
-          case LongType => v.asText().toLong
-          case DoubleType => v.asText().toDouble
-          case BooleanType => v.asText().toBoolean
-          case _ => v.asText()
-        }
-      })
-    }.toSeq
+    def parse(dataArray: JsonNode): Seq[Row] =
+      dataArray.elements().asScala.map { arr =>
+        Row.fromSeq(cols.zipWithIndex.map { case (f, i) =>
+          val v = arr.get(i)
+          if (v == null || v.isNull) null
+          else f.dataType match {
+            case LongType => v.asText().toLong
+            case DoubleType => v.asText().toDouble
+            case BooleanType => v.asText().toBoolean
+            case _ => v.asText()
+          }
+        })
+      }.toSeq
+    var rows = parse(json.path("data"))
+    // multi-partition results: the first response carries partition 0
+    // plus resultSetMetaData.partitionInfo listing the rest — fetch
+    // GET {statements}/{handle}?partition=n for each (silently keeping
+    // only partition 0 would truncate the result)
+    val nParts = json.path("resultSetMetaData").path("partitionInfo").size()
+    if (nParts > 1) {
+      val handle = json.path("statementHandle").asText("")
+      require(handle.nonEmpty,
+        s"Snowflake result has $nParts partitions but no statementHandle to fetch them")
+      for (p <- 1 until nParts) {
+        val part = jsonBody(
+          conn.transport.request("GET", s"${conn.apiUrl}/$handle?partition=$p",
+            Map("Authorization" -> s"Bearer ${conn.authToken}"), None),
+          s"Snowflake partition $p")
+        rows ++= parse(if (part.isArray) part else part.path("data"))
+      }
+    }
     spark.createDataFrame(rows.asJava, schema)
   }
 
@@ -311,18 +331,30 @@ object RestSql {
     val external = result.path("external_links")
     if (external.isArray && external.size() > 0) {
       // presigned chunks → one executor task each; links collected
-      // across pagination first (driver-side link walk is metadata-only)
-      var links = external.elements().asScala
-        .map(_.get("external_link").asText()).toVector
-      var next = result.path("next_chunk_internal_link").asText("")
+      // across pagination first (driver-side link walk is metadata-only).
+      // The API carries the next-chunk pointer INSIDE each
+      // external_links element (next_chunk_internal_link per chunk);
+      // some responses also put one at the result top level — follow
+      // whichever is present, or chunk 0's rows would be the whole
+      // "result", silently
+      def linksOf(node: JsonNode): Vector[String] =
+        node.path("external_links").elements().asScala
+          .map(_.get("external_link").asText()).toVector
+      def nextOf(node: JsonNode): String = {
+        val elem = node.path("external_links").elements().asScala
+          .map(_.path("next_chunk_internal_link").asText(""))
+          .filter(_.nonEmpty).toSeq.lastOption.getOrElse("")
+        if (elem.nonEmpty) elem else node.path("next_chunk_internal_link").asText("")
+      }
+      var links = linksOf(result)
+      var next = nextOf(result)
       val base = conn.apiUrl.replace("/api/2.0/sql/statements", "")
       while (next.nonEmpty) {
         val page = jsonBody(
           conn.transport.request("GET", base + next, auth, None),
           "Databricks chunk page")
-        links ++= page.path("external_links").elements().asScala
-          .map(_.get("external_link").asText())
-        next = page.path("next_chunk_internal_link").asText("")
+        links ++= linksOf(page)
+        next = nextOf(page)
       }
       val transport = conn.transport
       val typesB = types
