@@ -165,12 +165,12 @@ object IcebergScan {
       fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
       tablePath: String, snapshot: JsonNode): Seq[FileEntry] = {
     val manifestListPath = snapshot.get("manifest-list").asText()
-    val manifests = readAvro(fs, conf, resolvePath(tablePath, manifestListPath)).map { r =>
+    val manifests = readAvro(fs, conf, resolvePath(fs, tablePath, manifestListPath)).map { r =>
       val seq = opt(r, "sequence_number").map(_.toString.toLong).getOrElse(0L)
       (r.get("manifest_path").toString, seq)
     }
     manifests.flatMap { case (mp, mSeq) =>
-      readAvro(fs, conf, resolvePath(tablePath, mp)).flatMap { entry =>
+      readAvro(fs, conf, resolvePath(fs, tablePath, mp)).flatMap { entry =>
         val status = entry.get("status").toString.toInt
         if (status == 2) None // DELETED
         else {
@@ -184,7 +184,7 @@ object IcebergScan {
             case l: java.util.Collection[_] => l.asScala.map(_.toString.toInt).toSeq
           }.getOrElse(Seq.empty)
           val rows = opt(df, "record_count").map(_.toString.toLong).getOrElse(0L)
-          Some(FileEntry(resolvePath(tablePath, df.get("file_path").toString),
+          Some(FileEntry(resolvePath(fs, tablePath, df.get("file_path").toString),
             seq, content, eqIds, rows))
         }
       }
@@ -334,9 +334,17 @@ object IcebergScan {
     }
 
   /** Manifest paths are absolute URIs in real tables; tolerate relative
-    * ones (hand-built fixtures) by resolving against the table root. */
-  private def resolvePath(tablePath: String, p: String): String =
-    if (p.contains("://") || p.startsWith("/")) p else new Path(tablePath, p).toString
+    * ones (hand-built fixtures) by resolving against the table root.
+    * Always fully qualify the result (scheme + absolute path) so the
+    * keys this planner hands out live in the same namespace as
+    * `_metadata.file_path` — with a RELATIVE tablePath an unqualified
+    * key would never match the absolute `_metadata` URI and position
+    * deletes would be silently ignored. */
+  private def resolvePath(fs: FileSystem, tablePath: String, p: String): String = {
+    val raw = if (p.contains("://") || p.startsWith("/")) new Path(p)
+              else new Path(tablePath, p)
+    fs.makeQualified(raw).toString
+  }
 
   private def readAvro(fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
                        path: String): Seq[GenericRecord] = {

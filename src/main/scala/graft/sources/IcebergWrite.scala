@@ -19,18 +19,20 @@ import org.apache.spark.sql.types._
   * `metadata/vN.metadata.json` (with field-ids) plus
   * `version-hint.text`.
   *
-  * SCOPE, stated loudly: the reader-required subset of the v1 spec —
-  * unpartitioned tables, primitive column types, no column stats, no
-  * field-id properties inside the Avro manifest schemas. Manifests
-  * carry every v1-required data_file field (partition struct, record
-  * count, file/block sizes) and the manifest list carries length /
-  * spec-id / added-snapshot-id, so Avro schema RESOLUTION succeeds in
-  * spec-conformant readers; readers that additionally demand field-id
-  * annotations in the Avro schemas (the reference implementation
-  * does) still need a connector-written table — [[IcebergScan]] (gate
-  * + spec round-tripped) is the contractual reader. Concurrent
-  * commits are detected and rejected (conditional commit via
-  * create-fail on the version file), not retried.
+  * SCOPE, stated loudly: unpartitioned tables, primitive column
+  * types, no column stats. Within that scope the emitted tree is
+  * spec-conformant for EXTERNAL readers too: every Avro schema field
+  * carries its spec `field-id` (manifest_entry 0-4, data_file
+  * 100-105/134, manifest_file 500-517), manifest files carry the
+  * spec's key-value metadata (`schema`, `partition-spec`,
+  * `partition-spec-id`, `format-version`, `content`), the manifest
+  * list carries the full v2 `manifest_file` shape (content /
+  * sequence_number / min_sequence_number / file and row counts, java
+  * field names, field-id resolution), and position-delete parquet
+  * files carry the reserved column ids 2147483546 (`file_path`) /
+  * 2147483545 (`pos`). Concurrent commits are detected and rejected
+  * (conditional commit via create-fail on the version file), not
+  * retried.
   *
   * Scale: identical to [[DeltaWrite]] — the data write is Spark's
   * distributed parquet writer; per commit the driver reads only new
@@ -92,46 +94,80 @@ object IcebergWrite {
     val metaDir = new Path(root, "metadata")
     fs.mkdirs(metaDir)
 
+    // a table upgraded to v2 by deleteWhere stays v2 on later appends
+    val fmtVersion = if (version == 1) 1 else prevFormatVersion(fs, metaDir, version - 1)
+    val schemaJson = icebergSchemaJson(df.schema)
+
     // one manifest for this commit's files (relative paths; record
     // counts from the parquet footers — no data re-read)
     val manifestRel = s"metadata/manifest-$version.avro"
     val dataFileSchema = manifestSchema.getField("data_file").schema()
     val emptyPartition =
       new GenericData.Record(dataFileSchema.getField("partition").schema())
+    val filesWithRows = added.map { rel =>
+      val dataPath = new Path(root, rel)
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dataPath, conf))
+      val rows = try footer.getRecordCount finally footer.close()
+      (rel, rows, fs.getFileStatus(dataPath).getLen)
+    }
     writeAvro(fs, new Path(root, manifestRel), manifestSchema,
-      added.map { rel =>
-        val dataPath = new Path(root, rel)
-        val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dataPath, conf))
-        val rows = try footer.getRecordCount finally footer.close()
+      filesWithRows.map { case (rel, rows, len) =>
         val file = new GenericData.Record(dataFileSchema)
         file.put("content", 0) // DATA
         file.put("file_path", rel)
         file.put("file_format", "PARQUET")
         file.put("partition", emptyPartition)
         file.put("record_count", rows)
-        file.put("file_size_in_bytes", fs.getFileStatus(dataPath).getLen)
+        file.put("file_size_in_bytes", len)
         file.put("block_size_in_bytes", DefaultBlockSize)
         val entry = new GenericData.Record(manifestSchema)
         entry.put("status", 1) // ADDED
+        entry.put("snapshot_id", version.toLong)
+        // sequence_number / file_sequence_number stay null on ADDED
+        // entries: the spec's inheritance rule fills them from the
+        // manifest-list row at read time
         entry.put("data_file", file)
         entry
-      })
+      }, manifestMeta(schemaJson, fmtVersion, content = "data"))
     val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
 
     // snapshot's manifest list = all prior manifests (their length /
-    // spec-id / added-snapshot carried forward verbatim) + this one
+    // spec-id / seq / counts carried forward verbatim) + this one
     val prevManifests = readPrevManifests(fs, conf, root, version)
     val listRel = s"metadata/snap-$version.avro"
     writeAvro(fs, new Path(root, listRel), manifestListSchema,
-      (prevManifests :+ ManifestRef(manifestRel, manifestLen, 0, version.toLong, None))
-        .map(manifestRefRecord))
+      (prevManifests :+ ManifestRef(manifestRel, manifestLen, 0,
+        content = 0, seq = version.toLong, minSeq = version.toLong,
+        snapshotId = version.toLong, addedFiles = filesWithRows.size,
+        existingFiles = 0, deletedFiles = 0,
+        addedRows = filesWithRows.map(_._2).sum, existingRows = 0L,
+        deletedRows = 0L))
+        .map(manifestRefRecord),
+      manifestListMeta(version, fmtVersion))
 
-    // a table upgraded to v2 by deleteWhere stays v2 on later appends
-    val fmtVersion = if (version == 1) 1 else prevFormatVersion(fs, metaDir, version - 1)
     writeMetadataJson(fs, metaDir, root, version, fmtVersion,
-      icebergSchemaJson(df.schema), df.schema.length, listRel)
+      schemaJson, df.schema.length, listRel, operation = "append")
   }
+
+  /** spec-required key-value metadata on a manifest Avro file — what
+    * external readers use to interpret it without the table metadata */
+  private def manifestMeta(schemaJson: String, fmtVersion: Int,
+      content: String): Seq[(String, String)] =
+    Seq(
+      "schema" -> schemaJson,
+      "schema-id" -> "0",
+      "partition-spec" -> "[]",
+      "partition-spec-id" -> "0",
+      "format-version" -> fmtVersion.toString,
+      "content" -> content)
+
+  private def manifestListMeta(version: Int, fmtVersion: Int): Seq[(String, String)] =
+    Seq(
+      "snapshot-id" -> version.toString,
+      "parent-snapshot-id" -> (if (version == 1) "null" else (version - 1).toString),
+      "sequence-number" -> version.toString,
+      "format-version" -> fmtVersion.toString)
 
   /** shared metadata-JSON commit tail: versioned file created with
     * overwrite=false — the conditional-commit guard (two writers racing
@@ -142,7 +178,7 @@ object IcebergWrite {
     * (= the version — one commit, one sequence). */
   private def writeMetadataJson(fs: FileSystem, metaDir: Path, root: Path,
       version: Int, fmtVersion: Int, schemaJson: String, nCols: Int,
-      listRel: String): Unit = {
+      listRel: String, operation: String): Unit = {
     val now = System.currentTimeMillis()
     val prevSnapshots: String =
       if (version == 1) ""
@@ -171,7 +207,8 @@ object IcebergWrite {
          |"partition-spec":[],"properties":{},
          |"current-snapshot-id":$version,
          |"snapshots":[$prevSnapshots{"snapshot-id":$version,$snapSeq
-         |"timestamp-ms":$now,"manifest-list":${jstr(listRel)}}]}"""
+         |"timestamp-ms":$now,"summary":{"operation":${jstr(operation)}},
+         |"manifest-list":${jstr(listRel)}}]}"""
         .stripMargin.replaceAll("\n", "")
     val metaPath = new Path(metaDir, s"v$version.metadata.json")
     try writeUtf8(fs, metaPath, meta, overwrite = false)
@@ -190,10 +227,12 @@ object IcebergWrite {
     Option(node.get("format-version")).map(_.asInt()).getOrElse(1)
   }
 
-  /** a manifest list row (sequence_number None = data manifest, readers
-    * default it to 0) */
+  /** a full v2 manifest-list row (content 0 = data, 1 = deletes) */
   private final case class ManifestRef(
-      path: String, length: Long, specId: Int, snapshotId: Long, seq: Option[Long])
+      path: String, length: Long, specId: Int, content: Int,
+      seq: Long, minSeq: Long, snapshotId: Long,
+      addedFiles: Int, existingFiles: Int, deletedFiles: Int,
+      addedRows: Long, existingRows: Long, deletedRows: Long)
 
   private def readPrevManifests(fs: FileSystem,
       conf: org.apache.hadoop.conf.Configuration, root: Path,
@@ -201,22 +240,70 @@ object IcebergWrite {
     if (version == 1) Seq.empty
     else readAvro(fs, conf, new Path(root, s"metadata/snap-${version - 1}.avro"))
       .map { r =>
-        val seq =
-          if (r.getSchema.getField("sequence_number") == null) None
-          else Option(r.get("sequence_number")).map(_.toString.toLong)
+        def opt(name: String): Option[AnyRef] =
+          if (r.getSchema.getField(name) == null) None else Option(r.get(name))
+        val seqOpt = opt("sequence_number").map(_.toString.toLong)
+        val seq = seqOpt.getOrElse(0L)
+        // pre-v2-conformance lists (older builds of this writer) had
+        // sequence_number only on delete manifests and no counts:
+        // infer content from that, and re-derive counts from the
+        // manifest itself (driver-side, metadata-sized, legacy only)
+        val content = opt("content").map(_.toString.toInt)
+          .getOrElse(if (seqOpt.isDefined) 1 else 0)
+        val counts: (Int, Int, Int, Long, Long, Long) =
+          opt("added_data_files_count") match {
+            case Some(a) => (a.toString.toInt,
+              opt("existing_data_files_count").fold(0)(_.toString.toInt),
+              opt("deleted_data_files_count").fold(0)(_.toString.toInt),
+              opt("added_rows_count").fold(0L)(_.toString.toLong),
+              opt("existing_rows_count").fold(0L)(_.toString.toLong),
+              opt("deleted_rows_count").fold(0L)(_.toString.toLong))
+            case None =>
+              deriveCounts(fs, conf, new Path(root, r.get("manifest_path").toString))
+          }
         ManifestRef(r.get("manifest_path").toString,
           r.get("manifest_length").asInstanceOf[Long],
           r.get("partition_spec_id").asInstanceOf[Int],
-          r.get("added_snapshot_id").asInstanceOf[Long], seq)
+          content, seq,
+          opt("min_sequence_number").map(_.toString.toLong).getOrElse(seq),
+          r.get("added_snapshot_id").asInstanceOf[Long],
+          counts._1, counts._2, counts._3, counts._4, counts._5, counts._6)
       }
+
+  /** entry counts for a legacy manifest missing them in its list row:
+    * one bounded Avro read of the manifest itself */
+  private def deriveCounts(fs: FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      manifestPath: Path): (Int, Int, Int, Long, Long, Long) = {
+    var (af, ef, df) = (0, 0, 0)
+    var (ar, er, dr) = (0L, 0L, 0L)
+    readAvro(fs, conf, manifestPath).foreach { e =>
+      val rows = e.get("data_file").asInstanceOf[GenericRecord]
+        .get("record_count").toString.toLong
+      e.get("status").toString.toInt match {
+        case 1 => af += 1; ar += rows
+        case 2 => df += 1; dr += rows
+        case _ => ef += 1; er += rows
+      }
+    }
+    (af, ef, df, ar, er, dr)
+  }
 
   private def manifestRefRecord(m: ManifestRef): GenericRecord = {
     val r = new GenericData.Record(manifestListSchema)
     r.put("manifest_path", m.path)
     r.put("manifest_length", m.length)
     r.put("partition_spec_id", m.specId)
+    r.put("content", m.content)
+    r.put("sequence_number", m.seq)
+    r.put("min_sequence_number", m.minSeq)
     r.put("added_snapshot_id", m.snapshotId)
-    m.seq.foreach(s => r.put("sequence_number", s))
+    r.put("added_data_files_count", m.addedFiles)
+    r.put("existing_data_files_count", m.existingFiles)
+    r.put("deleted_data_files_count", m.deletedFiles)
+    r.put("added_rows_count", m.addedRows)
+    r.put("existing_rows_count", m.existingRows)
+    r.put("deleted_rows_count", m.deletedRows)
     r
   }
 
@@ -257,17 +344,30 @@ object IcebergWrite {
     val (schema, dataFiles) = IcebergScan.currentDataFiles(spark, tablePath)
     if (dataFiles.isEmpty) return 0L
     import org.apache.spark.sql.functions.col
+    // the spec reserves parquet field ids for position-delete columns:
+    // file_path = 2147483546, pos = 2147483545 — stamp them via
+    // Spark's parquet.field.id write support so external readers
+    // resolve the delete file by id
+    val fpMeta = new MetadataBuilder().putLong("parquet.field.id", 2147483546L).build()
+    val posMeta = new MetadataBuilder().putLong("parquet.field.id", 2147483545L).build()
     val victims = spark.read.schema(schema).parquet(dataFiles: _*)
       .withColumn("__fp", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
       .filter(cond)
-      .select(col("__fp").as("file_path"), col("__pos").as("pos"))
+      .select(col("__fp").as("file_path", fpMeta), col("__pos").as("pos", posMeta))
 
     // one sorted delete file in its own subdir (writing into data/
     // itself would trip Spark's read-write-same-path guard)
     val delDir = new Path(root, s"data/deletes-v$version")
-    victims.repartition(1).sortWithinPartitions("file_path", "pos")
+    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+    val prevFieldId = spark.conf.getOption(fieldIdKey)
+    spark.conf.set(fieldIdKey, "true")
+    try victims.repartition(1).sortWithinPartitions("file_path", "pos")
       .write.mode("overwrite").parquet(delDir.toString)
+    finally prevFieldId match {
+      case Some(v) => spark.conf.set(fieldIdKey, v)
+      case None => spark.conf.unset(fieldIdKey)
+    }
     val delFiles = listParquet(fs, delDir).map("data/" + _)
     require(delFiles.size == 1, s"expected one delete file, got $delFiles")
     val delRel = delFiles.head
@@ -279,6 +379,12 @@ object IcebergWrite {
     if (nDeleted == 0L) { fs.delete(delDir, true); return 0L }
 
     val metaDir = new Path(root, "metadata")
+    // re-derive the schema JSON from the table's own metadata (the
+    // delete commit must not drift the declared schema)
+    val prevNode = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
+    val schemaJson = IcebergScan.currentSchemaJson(prevNode)
+
     val manifestRel = s"metadata/manifest-$version.avro"
     val dataFileSchema = manifestSchema.getField("data_file").schema()
     val file = new GenericData.Record(dataFileSchema)
@@ -292,24 +398,26 @@ object IcebergWrite {
     file.put("block_size_in_bytes", DefaultBlockSize)
     val entry = new GenericData.Record(manifestSchema)
     entry.put("status", 1) // ADDED
+    entry.put("snapshot_id", version.toLong)
     entry.put("data_file", file)
-    writeAvro(fs, new Path(root, manifestRel), manifestSchema, Seq(entry))
+    writeAvro(fs, new Path(root, manifestRel), manifestSchema, Seq(entry),
+      manifestMeta(schemaJson, fmtVersion = 2, content = "deletes"))
     val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
 
     val prevManifests = readPrevManifests(fs, conf, root, version)
     val listRel = s"metadata/snap-$version.avro"
     writeAvro(fs, new Path(root, listRel), manifestListSchema,
       (prevManifests :+
-        ManifestRef(manifestRel, manifestLen, 0, version.toLong, Some(version.toLong)))
-        .map(manifestRefRecord))
+        ManifestRef(manifestRel, manifestLen, 0,
+          content = 1, seq = version.toLong, minSeq = version.toLong,
+          snapshotId = version.toLong, addedFiles = 1, existingFiles = 0,
+          deletedFiles = 0, addedRows = nDeleted, existingRows = 0L,
+          deletedRows = 0L))
+        .map(manifestRefRecord),
+      manifestListMeta(version, fmtVersion = 2))
 
-    // re-derive the schema JSON from the table's own metadata (the
-    // delete commit must not drift the declared schema)
-    val prevNode = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
-    val schemaJson = IcebergScan.currentSchemaJson(prevNode)
     writeMetadataJson(fs, metaDir, root, version, fmtVersion = 2,
-      schemaJson, schema.length, listRel)
+      schemaJson, schema.length, listRel, operation = "delete")
     nDeleted
   }
 
@@ -340,43 +448,61 @@ object IcebergWrite {
         "(primitive columns only)")
   }
 
-  // v1 required data_file fields: partition (empty struct — the table
-  // is unpartitioned, spec-id 0), record_count, file_size_in_bytes,
-  // block_size_in_bytes (deprecated by the spec but REQUIRED in v1
-  // schema resolution — writers emit a default)
-  // `content` distinguishes data (0) from position-delete (1) files —
-  // v2's row-level-delete discriminator; v1-era readers that resolve by
-  // name simply ignore it on data entries
+  // manifest_entry with the spec's field-ids (manifest_entry 0-4,
+  // data_file 100-105/134) as `field-id` Avro attributes — external
+  // readers (java/pyiceberg) resolve manifest columns BY THESE IDS.
+  // partition is the empty struct (unpartitioned table, spec-id 0);
+  // block_size_in_bytes (105) is v1-required/v2-removed — writing it
+  // is harmless, id 105 is simply unknown to v2 readers.
+  // snapshot_id / sequence_number / file_sequence_number stay null on
+  // ADDED entries (spec inheritance from the manifest-list row).
+  // `content` (134) distinguishes data (0) from position-delete (1)
   private val manifestSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int"},
-      |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
-      |{"name":"content","type":"int","default":0},
-      |{"name":"file_path","type":"string"},
-      |{"name":"file_format","type":"string"},
-      |{"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
-      |{"name":"record_count","type":"long"},
-      |{"name":"file_size_in_bytes","type":"long"},
-      |{"name":"block_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+      |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |{"name":"content","type":"int","default":0,"field-id":134},
+      |{"name":"file_path","type":"string","field-id":100},
+      |{"name":"file_format","type":"string","field-id":101},
+      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"record_count","type":"long","field-id":103},
+      |{"name":"file_size_in_bytes","type":"long","field-id":104},
+      |{"name":"block_size_in_bytes","type":"long","field-id":105}]}}]}""".stripMargin)
 
   private val DefaultBlockSize = 67108864L // 64 MiB, the spec's customary default
 
-  // optional sequence_number (v2): null on data manifests (readers
-  // default it to 0), the commit's sequence on delete manifests — the
-  // delete.seq >= data.seq application rule then holds for every
-  // pre-existing data file
+  // the full v2 manifest_file row — field names as the java
+  // implementation writes them (added_data_files_count etc., ids
+  // 504-506/512-514 — readers resolve by field-id, so the v1 names
+  // stay compatible), counts required, sequence_number (515) the
+  // commit's sequence on EVERY manifest (data manifests too, per
+  // spec): the reader's delete.seq >= data.seq rule then exempts data
+  // appended after a delete and applies it to everything earlier
   private val manifestListSchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
-      |{"name":"manifest_path","type":"string"},
-      |{"name":"manifest_length","type":"long"},
-      |{"name":"partition_spec_id","type":"int"},
-      |{"name":"added_snapshot_id","type":"long"},
-      |{"name":"sequence_number","type":["null","long"],"default":null}]}""".stripMargin)
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","default":0,"field-id":517},
+      |{"name":"sequence_number","type":"long","default":0,"field-id":515},
+      |{"name":"min_sequence_number","type":"long","default":0,"field-id":516},
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"added_data_files_count","type":"int","field-id":504},
+      |{"name":"existing_data_files_count","type":"int","field-id":505},
+      |{"name":"deleted_data_files_count","type":"int","field-id":506},
+      |{"name":"added_rows_count","type":"long","field-id":512},
+      |{"name":"existing_rows_count","type":"long","field-id":513},
+      |{"name":"deleted_rows_count","type":"long","field-id":514}]}""".stripMargin)
 
   private def writeAvro(fs: FileSystem, path: Path, schema: Schema,
-      records: Seq[GenericRecord]): Unit = {
+      records: Seq[GenericRecord],
+      meta: Seq[(String, String)] = Seq.empty): Unit = {
     val out = fs.create(path, false)
     val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    meta.foreach { case (k, v) => writer.setMeta(k, v) }
     writer.create(schema, out)
     try records.foreach(writer.append) finally writer.close()
   }

@@ -245,12 +245,25 @@ object RestSql {
     * `parsing_snowflake.jl:252-261`) — (column_name, data_type) rows. */
   def snowflakeTableMetadata(spark: SparkSession, conn: SnowflakeConnection,
       table: String): DataFrame =
+    // the connection's database/schema and the user-supplied table name
+    // are data, not SQL: quote the identifier and escape the string
+    // literals so a quote character can't break (or inject into) the
+    // probe statement — same posture as JdbcScan.quoteIdent
     querySnowflake(spark, conn,
       s"""SELECT COLUMN_NAME, DATA_TYPE
-         |FROM ${conn.database}.INFORMATION_SCHEMA.COLUMNS
-         |WHERE TABLE_SCHEMA = '${conn.schema}'
-         |AND TABLE_NAME = '${table.toUpperCase(java.util.Locale.ROOT)}'
+         |FROM ${sfIdent(conn.database)}.INFORMATION_SCHEMA.COLUMNS
+         |WHERE TABLE_SCHEMA = ${sfLit(conn.schema)}
+         |AND TABLE_NAME = ${sfLit(table.toUpperCase(java.util.Locale.ROOT))}
          |ORDER BY ORDINAL_POSITION""".stripMargin)
+
+  /** Snowflake double-quoted identifier, embedded quotes doubled. */
+  private[graft] def sfIdent(name: String): String =
+    "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** Snowflake single-quoted string literal, quotes and backslashes
+    * doubled (Snowflake treats backslash as an escape inside literals). */
+  private[graft] def sfLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
   // ---------------- Databricks SQL Statement Execution API ----------------
 

@@ -9,8 +9,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * `_manifest.json` naming exactly the files of the WINNING task
   * attempts and deletes any stray part files a lost speculative or
   * retried attempt left behind. Readers resolve the file set from the
-  * manifest (glob fallback for hand-assembled dirs), so a half-failed
-  * job can never be silently half-read.
+  * manifest; a directory holding writer-named shards WITHOUT a
+  * manifest is a job that died between task writes and the driver
+  * commit, and [[listShards]] fails loudly on it, so a half-failed
+  * job can never be silently half-read. The glob fallback applies
+  * only to hand-assembled dirs (part files that do NOT carry the
+  * writer's `part-NNNNN-xxxxxxxx` attempt-tagged name).
   *
   * The driver-side state is one (name, rows) pair per partition —
   * bounded by partition count, never by data size.
@@ -45,8 +49,16 @@ private[sources] object ShardedSink {
     }
   }
 
+  /** exact shape [[shardName]] produces — presence of such a file is
+    * proof this directory was written by our task writers */
+  private val WriterShardName = raw"part-\d{5}-[0-9a-f]{8}\.[A-Za-z0-9]+".r
+
   /** reader-side file resolution: manifest when present (exactly the
-    * committed set), else a part-file glob (hand-assembled dirs) */
+    * committed set). Without a manifest, writer-named shards mean the
+    * job died before the driver commit → fail loudly (uncommitted
+    * output must not be silently half-read); only hand-assembled part
+    * files (names not matching the writer's attempt-tagged pattern)
+    * take the glob fallback. */
   def listShards(fs: FileSystem, dir: Path, ext: String): Seq[String] = {
     val mf = new Path(dir, ManifestName)
     if (fs.exists(mf)) {
@@ -59,12 +71,20 @@ private[sources] object ShardedSink {
       val files = node.get("files")
       (0 until files.size()).map(i => files.get(i).get("name").asText())
     } else {
-      fs.listStatus(dir).toSeq.collect {
+      val parts = fs.listStatus(dir).toSeq.collect {
         case st if !st.isDirectory &&
             st.getPath.getName.startsWith("part-") &&
             st.getPath.getName.endsWith(s".$ext") =>
           st.getPath.getName
       }.sorted
+      val uncommitted = parts.filter(WriterShardName.pattern.matcher(_).matches)
+      if (uncommitted.nonEmpty) throw new IllegalStateException(
+        s"$dir holds ${uncommitted.size} writer-produced shard file(s) " +
+        s"(e.g. ${uncommitted.head}) but no $ManifestName: the writing job " +
+        "died before the driver commit, so the file set is not trustworthy. " +
+        "Re-run the write, or (to read anyway) write a manifest naming the " +
+        "files you trust.")
+      parts
     }
   }
 

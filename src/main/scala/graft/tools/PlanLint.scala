@@ -48,9 +48,14 @@ object PlanLint {
     * not a review note. */
   def lintSinkCollects(sourcesRoot: java.nio.file.Path): Seq[Finding] = {
     import scala.jdk.CollectionConverters._
-    val files = java.nio.file.Files.walk(sourcesRoot).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .toSeq.sortBy(_.toString)
+    // Files.walk holds directory handles until closed (its javadoc
+    // requires try-with-resources) — materialize inside the scope
+    val walk = java.nio.file.Files.walk(sourcesRoot)
+    val files =
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".scala"))
+        .toSeq.sortBy(_.toString)
+      finally walk.close()
     files.flatMap { p =>
       val lines = java.nio.file.Files.readAllLines(p).asScala
       lines.zipWithIndex.collect {

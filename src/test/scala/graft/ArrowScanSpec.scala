@@ -160,4 +160,26 @@ class ArrowScanSpec extends SparkSpec {
       graft.sources.ArrowScan.read(spark, s"${dir.getPath}/$n").count()
     }.sum == 1000L)
   }
+
+  test("readSharded fails loudly on writer shards without a manifest (half-failed job)") {
+    import spark.implicits._
+    val df = (1L to 10L).toDF("id")
+    val dir = new java.io.File("target/arrow-write-out/uncommitted")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    graft.sources.ArrowWrite.writeSharded(df.repartition(2), dir.getPath)
+    // simulate a job that died between task writes and driver commit
+    assert(new java.io.File(dir, "_manifest.json").delete())
+    val e = intercept[IllegalStateException] {
+      graft.sources.ArrowScan.readSharded(spark, dir.getPath).count()
+    }
+    assert(e.getMessage.contains("_manifest.json"))
+    // hand-assembled dirs (non-writer part names) keep the glob path
+    val hand = new java.io.File("target/arrow-write-out/hand")
+    org.apache.commons.io.FileUtils.deleteQuietly(hand)
+    hand.mkdirs()
+    val shard = new java.io.File(dir,
+      dir.listFiles().map(_.getName).filter(_.endsWith(".arrow")).head)
+    java.nio.file.Files.copy(shard.toPath, hand.toPath.resolve("part-0.arrow"))
+    assert(graft.sources.ArrowScan.readSharded(spark, hand.getPath).count() > 0L)
+  }
 }

@@ -4,6 +4,8 @@ import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.avro.Schema
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
@@ -94,6 +96,96 @@ class IcebergScanSpec extends SparkSpec {
       IcebergWrite.deleteWhere(spark, dir + "_nope", col("id") === 1L)
     }
     assert(e.getMessage.contains("no Iceberg table"))
+  }
+
+  test("v2 interop surface: field-ids, manifest metadata, v2 counts, reserved delete-column ids") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_v2io").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 2L)
+
+    def readAvroFile(p: String) = {
+      val in = new org.apache.avro.mapred.FsInput(
+        new org.apache.hadoop.fs.Path(p), spark.sparkContext.hadoopConfiguration)
+      org.apache.avro.file.DataFileReader.openReader(
+        in, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+        .asInstanceOf[org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord]]
+    }
+
+    // manifest list: full v2 manifest_file shape with field-ids + counts
+    val list = readAvroFile(s"$dir/metadata/snap-2.avro")
+    try {
+      assert(new String(list.getMeta("format-version"), "UTF-8") == "2")
+      assert(new String(list.getMeta("snapshot-id"), "UTF-8") == "2")
+      val sch = list.getSchema
+      assert(sch.getField("manifest_path").getObjectProp("field-id") == 500)
+      assert(sch.getField("sequence_number").getObjectProp("field-id") == 515)
+      assert(sch.getField("min_sequence_number").getObjectProp("field-id") == 516)
+      assert(sch.getField("content").getObjectProp("field-id") == 517)
+      assert(sch.getField("added_data_files_count").getObjectProp("field-id") == 504)
+      val rows = { val b = Seq.newBuilder[org.apache.avro.generic.GenericRecord]
+        while (list.hasNext) b += list.next(); b.result() }
+      assert(rows.size == 2)
+      val dataRow = rows.find(_.get("content").toString.toInt == 0).get
+      val delRow = rows.find(_.get("content").toString.toInt == 1).get
+      assert(dataRow.get("sequence_number").toString.toLong == 1L)
+      assert(dataRow.get("added_data_files_count").toString.toInt >= 1)
+      assert(dataRow.get("added_rows_count").toString.toLong == 3L)
+      assert(delRow.get("sequence_number").toString.toLong == 2L)
+      assert(delRow.get("added_rows_count").toString.toLong == 1L)
+    } finally list.close()
+
+    // delete manifest: spec metadata keys + entry/data_file field-ids
+    val mf = readAvroFile(s"$dir/metadata/manifest-2.avro")
+    try {
+      assert(new String(mf.getMeta("content"), "UTF-8") == "deletes")
+      assert(new String(mf.getMeta("partition-spec-id"), "UTF-8") == "0")
+      assert(new String(mf.getMeta("schema"), "UTF-8").contains("\"fields\""))
+      val es = mf.getSchema
+      assert(es.getField("status").getObjectProp("field-id") == 0)
+      assert(es.getField("data_file").getObjectProp("field-id") == 2)
+      val dfs = es.getField("data_file").schema()
+      assert(dfs.getField("file_path").getObjectProp("field-id") == 100)
+      assert(dfs.getField("content").getObjectProp("field-id") == 134)
+    } finally mf.close()
+
+    // position-delete parquet: reserved column ids 2147483546/2147483545
+    val delParquet = {
+      val d = new java.io.File(s"$dir/data/deletes-v2")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).head
+    }
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(delParquet.getPath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val msgType = footer.getFooter.getFileMetaData.getSchema
+      val ids = msgType.getFields.asScala.map(f => f.getName -> f.getId.intValue()).toMap
+      assert(ids("file_path") == 2147483546, s"file_path id was ${ids("file_path")}")
+      assert(ids("pos") == 2147483545, s"pos id was ${ids("pos")}")
+    } finally footer.close()
+
+    // and the table still reads correctly through our own reader
+    assert(IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("deleteWhere on a RELATIVE tablePath: deletes still apply (qualified path namespace)") {
+    // regression: victims' file_path comes from _metadata (absolute
+    // URI); with a relative tablePath the planner's data-file keys must
+    // be qualified to the same namespace or the position deletes are
+    // silently ignored and deleted rows resurface
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = "target/graft-ice-rel/t"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("target/graft-ice-rel"))
+    IcebergWrite.create(spark, Seq((1L, "keep"), (2L, "kill")).toDF("id", "v"), dir)
+    assert(IcebergWrite.deleteWhere(spark, dir, col("v") === "kill") == 1L)
+    val rows = IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(1L), s"deleted row resurfaced on relative-path table: $rows")
   }
 
   test("readChanges: snapshot-diff increments; vanished files fail loudly") {

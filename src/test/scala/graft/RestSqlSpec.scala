@@ -209,4 +209,15 @@ class RestSqlSpec extends SparkSpec {
     assert(df.collect().map(_.toSeq).toSeq ==
       Seq(Seq("ID", "NUMBER"), Seq("NAME", "TEXT")))
   }
+
+  test("metadata probe escapes identifiers and literals (no SQL injection)") {
+    assert(RestSql.sfIdent("""my"db""") == "\"my\"\"db\"")
+    assert(RestSql.sfLit("sch'ema") == "'sch''ema'")
+    assert(RestSql.sfLit("""a\'b""") == """'a\\''b'""")
+    // an attacker-supplied table name stays INSIDE the literal: the
+    // quote is doubled, so the statement still has exactly 2 literals
+    val hostile = "X' OR '1'='1"
+    val lit = RestSql.sfLit(hostile)
+    assert(lit == "'X'' OR ''1''=''1'")
+  }
 }
