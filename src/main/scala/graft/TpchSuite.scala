@@ -14,13 +14,16 @@ import graft.operators.JoinKey.{Equi, Theta}
   * two-level aggregation, nation self-joins).
   *
   * The driver fixtures are a REDUCED TPC-H schema (no partsupp, no
-  * commit/receipt dates, no phone/container/shipmode columns), so
-  * queries touching those columns are pattern-faithful adaptations —
-  * same plan shape, same subquery structure, fixture columns standing
-  * in — and carry an `a` suffix (q_tpch_q2a …). Queries whose every
-  * column exists are the genuine article (q1, q6, q7, q8, q13, q14,
-  * q15, q17, q19). Constants are chosen so every query is non-empty
-  * at all three driver scales.
+  * commit/receipt dates, no phone/container/shipmode columns).
+  * Queries whose every column exists run verbatim directly (q1, q6,
+  * q7, q8, q13, q14, q15, q17, q19); the rest run verbatim over a
+  * deterministic key-arithmetic synthesis of the missing relations/
+  * columns that a CTE prologue replays identically in each oracle
+  * (q2, q4, q9, q11, q12, q16, q20, q21, q22 — see partsuppF /
+  * lineitemX / synthProlog), and ALSO as pattern-faithful
+  * fixture-native adaptations carrying an `a` suffix (q_tpch_q2a …,
+  * same plan shape, fixture columns standing in). Constants are
+  * chosen so every query is non-empty at all three driver scales.
   *
   * Cross-engine determinism follows the proven q3/q5/q10/q18 recipe:
   * money arithmetic entirely in DECIMAL (exact, order-independent),
@@ -556,6 +559,35 @@ object TpchSuite {
         .df
     }),
 
+    // Q9 product-type profit measure, verbatim over the synthesized
+    // partsupp: amount = l_extendedprice*(1-l_discount)
+    // - ps_supplycost*l_quantity, entirely DECIMAL (exact,
+    // order-independent), one cast to DOUBLE after the SUM. The
+    // (l_partkey, l_suppkey) → partsupp join restricts to pairs the
+    // synthesis emits — identical on the oracle side, so the gate is
+    // exact; q_tpch_q9a keeps the fixture-native profit variant.
+    "q_tpch_q9" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .innerJoin(
+          t(s, dir, "part").filter(col("p_name").contains("red")),
+          Equi("l_partkey", "p_partkey"))
+        .innerJoin(partsuppF(s, dir),
+          Equi("l_partkey", "ps_partkey"), Equi("l_suppkey", "ps_suppkey"))
+        .innerJoin(t(s, dir, "supplier"), Equi("l_suppkey", "s_suppkey"))
+        .innerJoinBroadcast(
+          t(s, dir, "nation").transmute(
+            "sn_key" -> col("n_nationkey"), "nation" -> col("n_name")),
+          Equi("s_nationkey", "sn_key"))
+        .innerJoin(t(s, dir, "orders"), Equi("l_orderkey", "o_orderkey"))
+        .mutate("o_year" -> year(col("o_orderdate")).cast("long"))
+        .groupBy("nation", "o_year")
+        .summarize("sum_profit" ->
+          sum(revCol -
+            col("ps_supplycost") * col("l_quantity").cast("decimal(12,2)"))
+            .cast("double"))
+        .arrange(col("nation"), desc("o_year"))
+        .df),
+
     // Q4 late orders: EXISTS over the synthesized commit/receipt dates
     // as a semi join
     "q_tpch_q4" -> ((s, dir) =>
@@ -998,6 +1030,23 @@ object TpchSuite {
         |      AND r_name = 'EUROPE')
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin),
+
+    "q_tpch_q9" -> (synthProlog +
+      """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        |FROM (
+        |  SELECT n_name AS nation,
+        |    CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+        |      - ps_supplycost * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+        |  FROM part, supplier, lineitem, partsupp, orders, nation
+        |  WHERE s_suppkey = l_suppkey
+        |    AND ps_suppkey = l_suppkey AND ps_partkey = l_partkey
+        |    AND p_partkey = l_partkey AND o_orderkey = l_orderkey
+        |    AND s_nationkey = n_nationkey AND p_name LIKE '%red%'
+        |) profit
+        |GROUP BY nation, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin),
 
     "q_tpch_q4" -> (synthProlog +
       """SELECT o_orderpriority, COUNT(*) AS order_count
