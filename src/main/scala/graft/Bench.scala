@@ -99,8 +99,9 @@ object Bench {
     "q_embed_recall_batch", "q_tpch_q2", "q_tpch_q21",
     "q_iceberg_delete", "q_arrow_sharded", "q_avro_sharded",
     // round 7: verbatim q9 (5-way join over synthesized partsupp with
-    // DECIMAL profit arithmetic)
-    "q_tpch_q9")
+    // DECIMAL profit arithmetic); Delta MERGE upsert (victim-file
+    // location + copy-on-write rewrite + conditional commit)
+    "q_tpch_q9", "q_delta_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1954,6 +1954,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Delta copy-on-write row-level DELETE: lang-partitioned table,
+    // delete over a data-column predicate, read back — victims
+    // rewritten behind one remove+add commit, survivors intact
+    "q_delta_delete" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_del_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.DeltaWrite.create(
+        s, docs.filter(col("doc_id") % 2 === 0), base, partitionBy = Seq("lang"))
+      graft.sources.DeltaWrite.append(
+        s, docs.filter(col("doc_id") % 2 =!= 0), base, partitionBy = Seq("lang"))
+      graft.sources.DeltaWrite.deleteWhere(s, base, col("doc_id") % 3 === 0)
+      graft.sources.DeltaScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Delta MERGE (upsert): every doc_id % 3 == 0 row upserts with a
+    // marked text (evens update in place, odds insert) — files holding
+    // matched keys rewritten, everything else untouched
+    "q_delta_merge" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_merge_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.DeltaWrite.create(
+        s, docs.filter(col("doc_id") % 2 === 0), base)
+      val source = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("text", concat(lit("UPD:"), col("text")))
+      graft.sources.DeltaWrite.merge(s, base, source, Seq("doc_id"))
+      graft.sources.DeltaScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // full Delta WRITE→READ round trip through the built-in writer and
     // reader: create a lang-partitioned table from the even docs,
     // append the odds, read latest — if the log, partition layout, or
@@ -4424,6 +4456,19 @@ object SparkEntry {
     "q_iceberg_delete" ->
       """SELECT doc_id, lang, text FROM documents
         |WHERE doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_delta_delete" ->
+      """SELECT doc_id, lang, text FROM documents
+        |WHERE doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_delta_merge" ->
+      """SELECT doc_id, lang, text FROM documents
+        |WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+        |UNION ALL
+        |SELECT doc_id, lang, 'UPD:' || text FROM documents
+        |WHERE doc_id % 3 = 0
         |ORDER BY doc_id""".stripMargin,
 
     // analytic WAV mirror: the decoder's peak/rms must equal the

@@ -477,6 +477,192 @@ object DeltaWrite {
     writeCommitFile(fs, root, v, actions)
   }
 
+  // ---- row-level DELETE / MERGE (copy-on-write) -----------------------
+
+  /** table schema + partition columns from the commit-0 metaData */
+  private def tableMeta(fs: FileSystem, tablePath: String): (StructType, Seq[String]) = {
+    val v0 = new Path(tablePath, "_delta_log/00000000000000000000.json")
+    require(fs.exists(v0), s"no Delta table at $tablePath")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = fs.open(v0)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+      finally in.close()
+    val md = lines.map(mapper.readTree).find(_.has("metaData")).map(_.get("metaData"))
+      .getOrElse(throw new IllegalStateException(
+        s"commit 0 of $tablePath carries no metaData"))
+    val partCols = Option(md.get("partitionColumns"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    (DataType.fromJson(md.get("schemaString").asText()).asInstanceOf[StructType],
+      partCols)
+  }
+
+  /** Live table rows plus a `__rel` column naming each row's data file
+    * (table-relative path — the victim locator deleteWhere/merge
+    * aggregate on). Hive-partitioned tables read with basePath so
+    * partition columns come back typed; `__rel` strips the qualified
+    * root from `_metadata.file_path` after scheme normalization. */
+  private def liveScan(spark: SparkSession, root: Path, schema: StructType,
+      partCols: Seq[String], live: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val abs = live.map(r => new Path(root, r).toString)
+    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    val base =
+      if (partCols.isEmpty) spark.read.schema(dataSchema).parquet(abs: _*)
+      else spark.read.option("basePath", root.toString).schema(schema)
+        .parquet(abs: _*)
+    val rootNorm = root.toString.replaceFirst("^[A-Za-z][A-Za-z0-9+.\\-]*:/+", "/")
+      .stripSuffix("/") + "/"
+    // resolve `_metadata` directly on the scan relation (a projection
+    // in between could hide the metadata pseudo-column), THEN project
+    base.withColumn("__rel", regexp_replace(
+      regexp_replace(col("_metadata.file_path"), "^[A-Za-z][A-Za-z0-9+.\\-]*:/+", "/"),
+      "^" + java.util.regex.Pattern.quote(rootNorm), ""))
+      .select((schema.fieldNames :+ "__rel").map(col).toSeq: _*)
+  }
+
+  /** shared rewrite-commit tail: drop zero-row staged files (a victim
+    * file whose every row died leaves an empty part), log adds with
+    * footer stats + removes, one conditional commit */
+  private def commitRewrite(spark: SparkSession, fs: FileSystem, root: Path,
+      added: Seq[(String, Long)], removedRels: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (kept, empty) = added.partition { case (rel, _) =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(root, rel), conf))
+      (try r.getRecordCount finally r.close()) > 0L
+    }
+    empty.foreach { case (rel, _) => fs.delete(new Path(root, rel), false) }
+    val now = System.currentTimeMillis()
+    val actions =
+      kept.map { case (rel, size) =>
+        val stats = ParquetStats.statsJson(conf, new Path(root, rel))
+          .map(s => s""","stats":${jstr(s)}""").getOrElse("")
+        s"""{"add":{"path":${jstr(encodePath(rel))},"partitionValues":{${partitionValuesJson(rel)}},"size":$size,"modificationTime":$now,"dataChange":true$stats}}"""
+      } ++ removedRels.map { rel =>
+        s"""{"remove":{"path":${jstr(encodePath(rel))},"deletionTimestamp":$now,"dataChange":true}}"""
+      }
+    val v = DeltaScan.latestVersion(spark, root.toString) + 1
+    writeCommitFile(fs, root, v, actions)
+  }
+
+  /** Row-level DELETE, copy-on-write: remove every current row
+    * matching `cond` by rewriting ONLY the files that hold matching
+    * rows — survivors rewritten beside them, untouched files
+    * untouched — behind one conditional `dataChange=true` commit
+    * (removes + adds). Returns the number of rows deleted; matching
+    * zero rows commits nothing. SQL DELETE semantics: rows where
+    * `cond` is NULL are kept.
+    *
+    * Scale shape: victim location is ONE distributed aggregate
+    * (count + collect_set of file path — driver state bounded by FILE
+    * COUNT, never rows); the rewrite reads only victim files. Time
+    * travel to pre-delete versions keeps working until [[vacuum]].
+    * Scope: tables this writer maintains (no deletion vectors —
+    * guarded loudly — and no column mapping). */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoDeletionVectors(spark, tablePath)
+    val root = fs.makeQualified(new Path(tablePath))
+    val (schema, partCols) = tableMeta(fs, tablePath)
+    val live = replayActions(spark, fs, tablePath).collect { case (p, true, _, _) => p }
+    if (live.isEmpty) return 0L
+    val hit = liveScan(spark, root, schema, partCols, live).filter(cond)
+      .agg(count(lit(1)).as("n"), collect_set(col("__rel")).as("files"))
+      .head() // [lint:bounded] one row: a count and a file-count-bounded set
+    val nDeleted = hit.getLong(0)
+    if (nDeleted == 0L) return 0L
+    val victims = hit.getSeq[String](1).sorted
+
+    val keep = !coalesce(cond, lit(false))
+    val dataCols = schema.fieldNames.filterNot(partCols.contains)
+    val added = victims.groupBy(r => r.split('/').dropRight(1).mkString("/"))
+      .toSeq.sortBy(_._1).flatMap { case (partDir, rels) =>
+        writeStaged(fs, root, destPrefix = partDir) { staging =>
+          liveScan(spark, root, schema, partCols, rels).filter(keep)
+            .select(dataCols.map(col).toSeq: _*)
+            .write.mode("append").parquet(staging)
+        }
+      }
+    commitRewrite(spark, fs, root, added, victims)
+    nDeleted
+  }
+
+  /** MERGE (upsert) by key, copy-on-write: every current row whose key
+    * tuple appears in `source` is replaced by the source row; source
+    * rows with no match are inserted — one conditional
+    * `dataChange=true` commit rewriting only the files that hold
+    * matched rows. Returns (updatedRows, insertedRows). Source key
+    * tuples must be unique (an ambiguous upsert fails loudly); the
+    * source schema must match the table's; NULL keys never match
+    * (standard equi-join semantics — such source rows insert).
+    *
+    * Scale shape: victim location and the matched-key count run ONLY
+    * against victim-file rows after one semi-join aggregate (driver
+    * state bounded by file count); survivors + source are written with
+    * the table's own partitioning. Same scope guards as
+    * [[deleteWhere]]. */
+  def merge(spark: SparkSession, tablePath: String, source: DataFrame,
+      keys: Seq[String]): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoDeletionVectors(spark, tablePath)
+    val root = fs.makeQualified(new Path(tablePath))
+    val (schema, partCols) = tableMeta(fs, tablePath)
+    require(
+      schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        source.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"merge source schema ${source.schema.simpleString} does not match " +
+        s"the table's ${schema.simpleString}")
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"merge key column '$k' is not in the table schema"))
+
+    val src = source.persist()
+    try {
+      val srcRows = src.count()
+      if (srcRows == 0L) return (0L, 0L)
+      require(src.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count() == 0L,
+        "merge source has duplicate key tuples — ambiguous upsert")
+      val srcK = src.select(keys.map(col): _*)
+
+      val live = replayActions(spark, fs, tablePath).collect { case (p, true, _, _) => p }
+      val (updated, victims) =
+        if (live.isEmpty) (0L, Seq.empty[String])
+        else {
+          val hit = liveScan(spark, root, schema, partCols, live)
+            .join(srcK, keys, "left_semi")
+            .agg(count(lit(1)).as("n"), collect_set(col("__rel")).as("files"))
+            .head() // [lint:bounded] one row: a count and a file-count-bounded set
+          (hit.getLong(0), hit.getSeq[String](1).sorted)
+        }
+      // matched rows live only in victim files by construction, so the
+      // matched-source-key count scans just those
+      val matchedSrc =
+        if (victims.isEmpty) 0L
+        else srcK.join(
+          liveScan(spark, root, schema, partCols, victims)
+            .select(keys.map(col): _*), keys, "left_semi").count()
+      val inserted = srcRows - matchedSrc
+
+      val survivors =
+        if (victims.isEmpty) None
+        else Some(liveScan(spark, root, schema, partCols, victims)
+          .join(srcK, keys, "left_anti")
+          .select(schema.fieldNames.map(col).toSeq: _*))
+      val newData = (survivors.toSeq :+
+        src.select(schema.fieldNames.map(col).toSeq: _*)).reduce(_ unionByName _)
+      val added = writeStaged(fs, root, destPrefix = "") { staging =>
+        val w = newData.write.mode("append")
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging)
+      }
+      commitRewrite(spark, fs, root, added, victims)
+      (updated, inserted)
+    } finally src.unpersist()
+  }
+
   /** Z-ORDER cluster the table: rewrite the LIVE data files (per
     * partition directory) with rows ordered by the bit-interleaved
     * key of `dims` ([[graft.operators.ScaleOps.zorderValue]]), swapped

@@ -649,6 +649,111 @@ class DeltaScanSpec extends SparkSpec {
     assert(DeltaScan.latestVersion(spark, dir) >= v2) // may compact the pair or skip
   }
 
+  test("DeltaWrite.deleteWhere: copy-on-write delete — victims rewritten, rest untouched") {
+    import graft.sources.DeltaWrite
+    val dir = freshDir("graft_delta_del").toString
+    // two commits → at least two files; ids 1-6 in c0, 7-9 in c1
+    DeltaWrite.create(spark, (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+    DeltaWrite.append(spark, (7L to 9L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+    val filesBefore = DeltaScan.read(spark, dir)
+      .select(col("_metadata.file_path")).distinct().collect().map(_.getString(0)).toSet
+
+    val n = DeltaWrite.deleteWhere(spark, dir, col("id") % 3 === 0)
+    assert(n == 3L) // 3, 6, 9
+    val after = DeltaScan.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(after == Set(1L, 2L, 4L, 5L, 7L, 8L))
+    // time travel to the pre-delete version still sees everything
+    assert(DeltaScan.read(spark, dir, versionAsOf = Some(1L)).count() == 9L)
+    // no-match delete commits nothing
+    val vBefore = DeltaScan.latestVersion(spark, dir)
+    assert(DeltaWrite.deleteWhere(spark, dir, col("id") === 999L) == 0L)
+    assert(DeltaScan.latestVersion(spark, dir) == vBefore)
+    // NULL cond keeps the row (SQL DELETE semantics)
+    val dir2 = freshDir("graft_delta_del_null").toString
+    DeltaWrite.create(spark,
+      Seq((1L, Some("a")), (2L, scala.None), (3L, Some("kill")))
+        .toDF("id", "v"), dir2)
+    assert(DeltaWrite.deleteWhere(spark, dir2, col("v") === "kill") == 1L)
+    assert(DeltaScan.read(spark, dir2).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L), "NULL-cond row must survive")
+    // sanity on the rewrite scope: deleted table still has >= 1 of the
+    // original files only if it held no victim (here every file had one,
+    // so all were rewritten — assert the victim files are gone from the scan)
+    val filesAfter = DeltaScan.read(spark, dir)
+      .select(col("_metadata.file_path")).distinct().collect().map(_.getString(0)).toSet
+    assert(filesAfter.intersect(filesBefore).forall(f =>
+      !DeltaScan.read(spark, dir).filter(col("_metadata.file_path") === f)
+        .filter(col("id") % 3 === 0).head(1).nonEmpty))
+  }
+
+  test("DeltaWrite.deleteWhere on a hive-partitioned table, cond on partition + data cols") {
+    import graft.sources.DeltaWrite
+    val dir = freshDir("graft_delta_del_part").toString
+    val df = Seq((1L, "x", "en"), (2L, "y", "de"), (3L, "z", "en"),
+      (4L, "w", "de"), (5L, "q", "fr")).toDF("id", "v", "lang")
+    DeltaWrite.create(spark, df, dir, partitionBy = Seq("lang"))
+    val n = DeltaWrite.deleteWhere(spark, dir,
+      col("lang") === "de" || col("id") === 5L)
+    assert(n == 3L)
+    val left = DeltaScan.read(spark, dir).select("id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(left == Set((1L, "en"), (3L, "en")))
+    // the fr partition's only file died entirely → no empty add remains
+    assert(!new java.io.File(dir, "lang=fr").exists() ||
+      new java.io.File(dir, "lang=fr").listFiles().forall(f =>
+        !DeltaScan.read(spark, dir).select(col("_metadata.file_path"))
+          .collect().map(_.getString(0)).exists(_.contains("lang=fr"))))
+  }
+
+  test("DeltaWrite.merge: upsert by key — matched rows replaced, unmatched inserted") {
+    import graft.sources.DeltaWrite
+    val dir = freshDir("graft_delta_merge").toString
+    DeltaWrite.create(spark,
+      Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("id", "v"), dir)
+    DeltaWrite.append(spark, Seq((4L, "old4")).toDF("id", "v"), dir)
+    val source = Seq((2L, "NEW2"), (4L, "NEW4"), (9L, "NEW9")).toDF("id", "v")
+    val (updated, inserted) = DeltaWrite.merge(spark, dir, source, Seq("id"))
+    assert(updated == 2L && inserted == 1L)
+    val rows = DeltaScan.read(spark, dir).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "old1"), (2L, "NEW2"), (3L, "old3"),
+      (4L, "NEW4"), (9L, "NEW9")))
+    // time travel pre-merge intact
+    assert(DeltaScan.read(spark, dir, versionAsOf = Some(1L))
+      .filter(col("v") === "old2").count() == 1L)
+    // duplicate source keys are loud
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.merge(spark, dir,
+        Seq((5L, "a"), (5L, "b")).toDF("id", "v"), Seq("id"))
+    }.getMessage.contains("duplicate"))
+    // schema drift is loud
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.merge(spark, dir, Seq((5, "a")).toDF("id", "v"), Seq("id"))
+    }.getMessage.contains("schema"))
+    // empty source: no-op, no commit
+    val vB = DeltaScan.latestVersion(spark, dir)
+    assert(DeltaWrite.merge(spark, dir,
+      Seq.empty[(Long, String)].toDF("id", "v"), Seq("id")) == ((0L, 0L)))
+    assert(DeltaScan.latestVersion(spark, dir) == vB)
+  }
+
+  test("DeltaWrite.merge on a hive-partitioned table moves rows across partitions") {
+    import graft.sources.DeltaWrite
+    val dir = freshDir("graft_delta_merge_part").toString
+    DeltaWrite.create(spark,
+      Seq((1L, "x", "en"), (2L, "y", "de")).toDF("id", "v", "lang"),
+      dir, partitionBy = Seq("lang"))
+    // id=2 moves de → fr; id=7 inserts into a brand-new partition
+    val source = Seq((2L, "y2", "fr"), (7L, "n", "it")).toDF("id", "v", "lang")
+    val (u, i) = DeltaWrite.merge(spark, dir, source, Seq("id"))
+    assert(u == 1L && i == 1L)
+    val rows = DeltaScan.read(spark, dir).select("id", "v", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1L, "x", "en"), (2L, "y2", "fr"), (7L, "n", "it")))
+    // partition pruning still works on the merged table
+    assert(DeltaScan.read(spark, dir).filter(col("lang") === "fr").count() == 1L)
+  }
+
   test("DeltaWrite.vacuum: removed files delete after retention; live files never") {
     import graft.sources.{DeltaScan, DeltaWrite}
     val dir = freshDir("graft_delta_vacuum").toString
