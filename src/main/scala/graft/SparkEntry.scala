@@ -1954,6 +1954,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Iceberg EQUALITY delete: kill every doc_id % 3 == 0 key with an
+    // O(keys) commit (no table scan), then re-append those rows — the
+    // spec's delete.seq > data.seq rule must exempt the re-append, so
+    // the final read equals the FULL documents table; wrong sequence
+    // gating (deletes hitting new data, or not hitting old) diverges
+    "q_iceberg_eqdelete" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_eqdel_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(s, docs.filter(col("doc_id") % 2 === 0), base)
+      graft.sources.IcebergWrite.append(s, docs.filter(col("doc_id") % 2 =!= 0), base)
+      graft.sources.IcebergWrite.deleteEqual(s, base,
+        docs.filter(col("doc_id") % 3 === 0).select("doc_id"))
+      graft.sources.IcebergWrite.append(s, docs.filter(col("doc_id") % 3 === 0), base)
+      graft.sources.IcebergScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // Delta copy-on-write row-level DELETE: lang-partitioned table,
     // delete over a data-column predicate, read back — victims
     // rewritten behind one remove+add commit, survivors intact
@@ -4456,6 +4474,10 @@ object SparkEntry {
     "q_iceberg_delete" ->
       """SELECT doc_id, lang, text FROM documents
         |WHERE doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_eqdelete" ->
+      """SELECT doc_id, lang, text FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "q_delta_delete" ->

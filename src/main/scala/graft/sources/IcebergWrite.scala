@@ -421,6 +421,118 @@ object IcebergWrite {
     nDeleted
   }
 
+  /** EQUALITY-DELETE commit (v2): delete every row whose values in
+    * `keys`' columns null-safely equal ANY key tuple. Readers apply it
+    * to data files with sequence number STRICTLY below this commit's
+    * (the spec's delete.seq > data.seq rule), so rows appended AFTER
+    * the delete survive even when their keys match — the CDC-upsert
+    * primitive. The distinct key set is written as ONE parquet delete
+    * file whose columns carry the TABLE schema's field ids (spec
+    * requirement for equality delete files), committed in a content=2
+    * manifest carrying `equality_ids`.
+    *
+    * Returns the number of distinct key tuples committed; the rows
+    * removed are whatever matches at read time — that is the point of
+    * an equality delete: O(keys) write cost, NO table scan at all
+    * (contrast [[deleteWhere]], which scans to pin positions). Same
+    * scope as the reader: top-level primitive key columns, types
+    * matching the table schema exactly. */
+  def deleteEqual(spark: SparkSession, tablePath: String, keys: DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    require(keys.schema.fields.nonEmpty, "deleteEqual needs at least one key column")
+    val prev = readUtf8(fs, hint).trim.toInt
+    val version = prev + 1
+    val root = fs.makeQualified(new Path(tablePath))
+    val targetMeta = new Path(root, s"metadata/v$version.metadata.json")
+    if (fs.exists(targetMeta))
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent Iceberg commit detected: $targetMeta already exists — " +
+          "another writer committed this version; re-read the table and retry")
+
+    val metaDir = new Path(root, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val prevNode = mapper.readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
+    val schemaJson = IcebergScan.currentSchemaJson(prevNode)
+    val schemaNode = mapper.readTree(schemaJson)
+    val idByName = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    val declared = IcebergScan.sparkSchema(schemaNode)
+    keys.schema.fields.foreach { f =>
+      require(idByName.contains(f.name),
+        s"key column '${f.name}' is not a column of the table at $tablePath")
+      require(declared(f.name).dataType == f.dataType,
+        s"key column '${f.name}' type ${f.dataType.sql} does not match the " +
+          s"table's ${declared(f.name).dataType.sql}")
+    }
+    val eqIds = keys.schema.fields.map(f => idByName(f.name)).toSeq
+
+    // one distinct, sorted delete file stamped with the table field ids
+    val keyCols = keys.schema.fields.map { f =>
+      val m = new MetadataBuilder()
+        .putLong("parquet.field.id", idByName(f.name).toLong).build()
+      col(f.name).as(f.name, m)
+    }.toSeq
+    val delDir = new Path(root, s"data/eqdeletes-v$version")
+    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+    val prevFieldId = spark.conf.getOption(fieldIdKey)
+    spark.conf.set(fieldIdKey, "true")
+    try keys.select(keyCols: _*).distinct().repartition(1)
+      .sortWithinPartitions(keys.schema.fieldNames.map(col).toSeq: _*)
+      .write.mode("overwrite").parquet(delDir.toString)
+    finally prevFieldId match {
+      case Some(v) => spark.conf.set(fieldIdKey, v)
+      case None => spark.conf.unset(fieldIdKey)
+    }
+    val delFiles = listParquet(fs, delDir).map("data/" + _)
+    require(delFiles.size == 1, s"expected one delete file, got $delFiles")
+    val delRel = delFiles.head
+    val delPath = new Path(root, delRel)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(delPath, conf))
+    val nKeys = try footer.getRecordCount finally footer.close()
+    if (nKeys == 0L) { fs.delete(delDir, true); return 0L }
+
+    val manifestRel = s"metadata/manifest-$version.avro"
+    val dataFileSchema = manifestSchema.getField("data_file").schema()
+    val file = new GenericData.Record(dataFileSchema)
+    file.put("content", 2) // EQUALITY DELETES
+    file.put("file_path", delRel)
+    file.put("file_format", "PARQUET")
+    file.put("partition",
+      new GenericData.Record(dataFileSchema.getField("partition").schema()))
+    file.put("record_count", nKeys)
+    file.put("file_size_in_bytes", fs.getFileStatus(delPath).getLen)
+    file.put("block_size_in_bytes", DefaultBlockSize)
+    file.put("equality_ids", eqIds.map(Int.box).asJava)
+    val entry = new GenericData.Record(manifestSchema)
+    entry.put("status", 1) // ADDED
+    entry.put("snapshot_id", version.toLong)
+    entry.put("data_file", file)
+    writeAvro(fs, new Path(root, manifestRel), manifestSchema, Seq(entry),
+      manifestMeta(schemaJson, fmtVersion = 2, content = "deletes"))
+    val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
+
+    val prevManifests = readPrevManifests(fs, conf, root, version)
+    val listRel = s"metadata/snap-$version.avro"
+    writeAvro(fs, new Path(root, listRel), manifestListSchema,
+      (prevManifests :+
+        ManifestRef(manifestRel, manifestLen, 0,
+          content = 1, seq = version.toLong, minSeq = version.toLong,
+          snapshotId = version.toLong, addedFiles = 1, existingFiles = 0,
+          deletedFiles = 0, addedRows = nKeys, existingRows = 0L,
+          deletedRows = 0L))
+        .map(manifestRefRecord),
+      manifestListMeta(version, fmtVersion = 2))
+
+    writeMetadataJson(fs, metaDir, root, version, fmtVersion = 2,
+      schemaJson, declared.length, listRel, operation = "delete")
+    nKeys
+  }
+
   /** Spark → Iceberg schema JSON with 1-based field ids; primitives
     * only (the minimal-writer scope — nested types fail loudly). */
   private[graft] def icebergSchemaJson(schema: StructType): String = {
@@ -470,7 +582,9 @@ object IcebergWrite {
       |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
       |{"name":"record_count","type":"long","field-id":103},
       |{"name":"file_size_in_bytes","type":"long","field-id":104},
-      |{"name":"block_size_in_bytes","type":"long","field-id":105}]}}]}""".stripMargin)
+      |{"name":"block_size_in_bytes","type":"long","field-id":105},
+      |{"name":"equality_ids","field-id":135,"default":null,
+      |"type":["null",{"type":"array","items":"int","element-id":136}]}]}}]}""".stripMargin)
 
   private val DefaultBlockSize = 67108864L // 64 MiB, the spec's customary default
 

@@ -172,6 +172,49 @@ class IcebergScanSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(1L, 3L))
   }
 
+  test("deleteEqual: equality-delete commit — keys die, later appends with same keys survive") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_eqdel").toString + "/t"
+    IcebergWrite.create(spark,
+      Seq((1L, Some("a")), (2L, Some("b")), (3L, scala.None), (4L, Some("b")))
+        .toDF("id", "v"), dir)
+    // delete by v-key: 'b' kills 2 and 4; a NULL key kills 3 (null-safe
+    // equality per spec); duplicate source keys collapse via distinct
+    val n = IcebergWrite.deleteEqual(spark, dir,
+      Seq(Some("b"), scala.None, Some("b")).toDF("v"))
+    assert(n == 2L, s"expected 2 distinct key tuples, got $n")
+    assert(IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // sequence gating: rows appended AFTER the delete survive matching keys
+    IcebergWrite.append(spark, Seq((5L, Some("b"))).toDF("id", "v"), dir)
+    assert(IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 5L),
+      "post-delete append with a matching key must survive (delete.seq > data.seq rule)")
+    // a second equality delete composes with the first
+    assert(IcebergWrite.deleteEqual(spark, dir, Seq(1L).toDF("id")) == 1L)
+    assert(IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // unknown or mistyped key columns are loud
+    assert(intercept[IllegalArgumentException] {
+      IcebergWrite.deleteEqual(spark, dir, Seq(1).toDF("nope"))
+    }.getMessage.contains("not a column"))
+    assert(intercept[IllegalArgumentException] {
+      IcebergWrite.deleteEqual(spark, dir, Seq(1).toDF("id")) // int, not long
+    }.getMessage.contains("does not match"))
+    // the delete parquet carries the TABLE's field ids
+    val delFile = new java.io.File(s"$dir/data/eqdeletes-v2")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(delFile.getPath),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val ids = footer.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(f => f.getName -> f.getId.intValue()).toMap
+      assert(ids("v") == 2, s"v should carry table field id 2, got $ids")
+    } finally footer.close()
+  }
+
   test("deleteWhere on a RELATIVE tablePath: deletes still apply (qualified path namespace)") {
     // regression: victims' file_path comes from _metadata (absolute
     // URI); with a relative tablePath the planner's data-file keys must
