@@ -1988,6 +1988,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Delta row-level UPDATE: mark every doc_id % 3 == 0 row's text in
+    // place — only files holding matches rewritten, SET sees original
+    // values, one remove+add commit
+    "q_delta_update" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_upd_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.DeltaWrite.create(s, docs, base, partitionBy = Seq("lang"))
+      graft.sources.DeltaWrite.updateWhere(s, base, col("doc_id") % 3 === 0,
+        Seq("text" -> concat(lit("UPD:"), col("text"))))
+      graft.sources.DeltaScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // Delta MERGE (upsert): every doc_id % 3 == 0 row upserts with a
     // marked text (evens update in place, odds insert) — files holding
     // matched keys rewritten, everything else untouched
@@ -4483,6 +4497,12 @@ object SparkEntry {
     "q_delta_delete" ->
       """SELECT doc_id, lang, text FROM documents
         |WHERE doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_delta_update" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'UPD:' || text ELSE text END AS text
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "q_delta_merge" ->

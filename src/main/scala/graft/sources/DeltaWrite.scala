@@ -589,6 +589,72 @@ object DeltaWrite {
     nDeleted
   }
 
+  /** Row-level UPDATE, copy-on-write: set `assignments` on every
+    * current row matching `cond`, rewriting only the files that hold
+    * matching rows. Every SET right-hand side sees the ORIGINAL row
+    * values (one projection, SQL UPDATE semantics); rows where `cond`
+    * is NULL are not updated. Partition columns cannot be assigned
+    * (that moves rows across files — use [[merge]]); the assignment
+    * must preserve the column's type (checked against the table
+    * schema, loud otherwise). Returns the number of rows updated.
+    * Same victim-location shape and scope guards as [[deleteWhere]]. */
+  def updateWhere(spark: SparkSession, tablePath: String,
+      cond: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    import org.apache.spark.sql.functions._
+    require(assignments.nonEmpty, "updateWhere needs at least one SET assignment")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoDeletionVectors(spark, tablePath)
+    val root = fs.makeQualified(new Path(tablePath))
+    val (schema, partCols) = tableMeta(fs, tablePath)
+    val setByName = assignments.toMap
+    require(setByName.size == assignments.size, "duplicate SET column")
+    assignments.foreach { case (n, _) =>
+      require(schema.fieldNames.contains(n), s"SET column '$n' is not in the table schema")
+      require(!partCols.contains(n),
+        s"SET column '$n' is a partition column — updating it moves rows " +
+          "across files; use merge for key-relocating updates")
+    }
+    val live = replayActions(spark, fs, tablePath).collect { case (p, true, _, _) => p }
+    if (live.isEmpty) return 0L
+    val hit = liveScan(spark, root, schema, partCols, live).filter(cond)
+      .agg(count(lit(1)).as("n"), collect_set(col("__rel")).as("files"))
+      .head() // [lint:bounded] one row: a count and a file-count-bounded set
+    val nUpdated = hit.getLong(0)
+    if (nUpdated == 0L) return 0L
+    val victims = hit.getSeq[String](1).sorted
+
+    val fire = coalesce(cond, lit(false))
+    val dataCols = schema.fieldNames.filterNot(partCols.contains)
+    // one projection so every RHS reads pre-update values
+    val projected = dataCols.map { n =>
+      setByName.get(n).map(e => when(fire, e).otherwise(col(n)).as(n))
+        .getOrElse(col(n))
+    }
+    // schema-preservation guard BEFORE any file is staged (plan-only,
+    // no job): a widening coercion in a SET expression would silently
+    // drift the table type otherwise
+    val declared = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    val probe = liveScan(spark, root, schema, partCols, victims.take(1))
+      .select(projected.toSeq: _*).schema
+    require(
+      probe.fields.map(f => (f.name, f.dataType)).toSeq ==
+        declared.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"UPDATE changes the schema to ${probe.simpleString} — " +
+        s"assignments must preserve the table's ${declared.simpleString}")
+
+    val added = victims.groupBy(r => r.split('/').dropRight(1).mkString("/"))
+      .toSeq.sortBy(_._1).flatMap { case (partDir, rels) =>
+        writeStaged(fs, root, destPrefix = partDir) { staging =>
+          liveScan(spark, root, schema, partCols, rels)
+            .select(projected.toSeq: _*)
+            .write.mode("append").parquet(staging)
+        }
+      }
+    commitRewrite(spark, fs, root, added, victims)
+    nUpdated
+  }
+
   /** MERGE (upsert) by key, copy-on-write: every current row whose key
     * tuple appears in `source` is replaced by the source row; source
     * rows with no match are inserted — one conditional

@@ -705,6 +705,41 @@ class DeltaScanSpec extends SparkSpec {
           .collect().map(_.getString(0)).exists(_.contains("lang=fr"))))
   }
 
+  test("DeltaWrite.updateWhere: SET sees original values; partition-col SET is loud") {
+    import graft.sources.DeltaWrite
+    val dir = freshDir("graft_delta_upd").toString
+    DeltaWrite.create(spark,
+      Seq((1L, 10L, 20L, "en"), (2L, 30L, 40L, "de"), (3L, 50L, 60L, "en"))
+        .toDF("id", "a", "b", "lang"), dir, partitionBy = Seq("lang"))
+    // swap a and b where id < 3: both RHS must read PRE-update values
+    val n = DeltaWrite.updateWhere(spark, dir, col("id") < 3,
+      Seq("a" -> col("b"), "b" -> col("a")))
+    assert(n == 2L)
+    val rows = DeltaScan.read(spark, dir).select("id", "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 20L, 10L), (2L, 40L, 30L), (3L, 50L, 60L)),
+      "SET right-hand sides must see original row values (true swap)")
+    // no-match: no commit
+    val vB = DeltaScan.latestVersion(spark, dir)
+    assert(DeltaWrite.updateWhere(spark, dir, col("id") === 99L,
+      Seq("a" -> lit(0L))) == 0L)
+    assert(DeltaScan.latestVersion(spark, dir) == vB)
+    // partition-column SET is loud
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.updateWhere(spark, dir, col("id") === 1L,
+        Seq("lang" -> lit("fr")))
+    }.getMessage.contains("partition column"))
+    // type-changing SET is loud (bigint column widened to double by
+    // coercion → the schema-preservation guard fires)
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.updateWhere(spark, dir, col("id") === 1L,
+        Seq("a" -> lit(1.5)))
+    }.getMessage.contains("schema"))
+    // time travel pre-update intact
+    assert(DeltaScan.read(spark, dir, versionAsOf = Some(0L))
+      .filter(col("a") === 10L).count() == 1L)
+  }
+
   test("DeltaWrite.merge: upsert by key — matched rows replaced, unmatched inserted") {
     import graft.sources.DeltaWrite
     val dir = freshDir("graft_delta_merge").toString
