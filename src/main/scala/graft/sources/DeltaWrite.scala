@@ -53,6 +53,62 @@ object DeltaWrite {
     commit(spark, fs, df, tablePath, partitionBy, version = v)
   }
 
+  /** APPEND WITH SCHEMA EVOLUTION (the mergeSchema contract): columns
+    * of `df` the table lacks are ADDED to the table schema (nullable,
+    * after the existing columns); columns the table has but `df`
+    * lacks ride along as NULLs; existing columns must keep their
+    * EXACT types — silent widening would corrupt downstream
+    * consumers, so a type change is a loud error, never a coercion.
+    * The commit re-declares the merged metaData, and readers resolve
+    * old files' missing columns to NULL (by-name parquet resolution),
+    * so NO existing data is rewritten. Later strict [[append]]s
+    * validate against the EVOLVED schema. */
+  def appendEvolve(spark: SparkSession, df: DataFrame, tablePath: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(tablePath, "_delta_log")),
+      s"no Delta table at $tablePath — use create")
+    val md = latestMetaNode(fs, tablePath).getOrElse(throw new IllegalStateException(
+      s"the JSON log of $tablePath carries no metaData — cannot evolve " +
+        "a checkpoint-truncated table"))
+    val declaredParts = Option(md.get("partitionColumns"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    require(declaredParts == partitionBy,
+      s"append partitioning $partitionBy does not match the table's $declaredParts")
+    val declared = DataType.fromJson(md.get("schemaString").asText())
+      .asInstanceOf[StructType]
+    val byName = df.schema.fields.map(f => f.name -> f).toMap
+    declared.fields.foreach { f =>
+      byName.get(f.name).foreach { g =>
+        require(g.dataType == f.dataType,
+          s"column '${f.name}' type ${g.dataType.sql} does not match the " +
+            s"table's ${f.dataType.sql} — appendEvolve adds columns, it " +
+            "never changes types")
+      }
+    }
+    val newFields = df.schema.fields
+      .filterNot(f => declared.fieldNames.contains(f.name))
+    val merged = StructType(declared.fields ++ newFields.map(_.copy(nullable = true)))
+    val aligned = df.select(merged.fields.map { f =>
+      if (byName.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    val metaAction =
+      if (newFields.isEmpty) scala.None
+      else Some(
+        s"""{"metaData":{"id":${jstr(Option(md.get("id")).map(_.asText())
+            .getOrElse(java.util.UUID.randomUUID().toString))},""" +
+          s""""format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jstr(merged.json)},""" +
+          s""""partitionColumns":[${partitionBy.map(jstr).mkString(",")}],""" +
+          s""""configuration":{},"createdTime":${Option(md.get("createdTime"))
+            .map(_.asLong()).getOrElse(System.currentTimeMillis())}}}""")
+    val v = DeltaScan.latestVersion(spark, tablePath) + 1
+    commit(spark, fs, aligned, tablePath, partitionBy, version = v,
+      metaOverride = metaAction)
+  }
+
   /** [[create]]/[[append]] carrying a `txn` action (the public
     * protocol's application transaction identifier): the commit records
     * `{appId, version}` in the log, and [[lastTxnVersion]] recovers the
@@ -144,20 +200,15 @@ object DeltaWrite {
     best
   }
 
-  /** compare (names, types) and partition columns against the v0
-    * metaData this writer wrote; skipped (documented) when commit 0 is
-    * absent — e.g. appending to a checkpointed table another writer
-    * created, where metaData lives only in the checkpoint parquet */
+  /** compare (names, types) and partition columns against the LATEST
+    * metaData (an [[appendEvolve]]d table validates against the
+    * evolved schema, not commit 0's); skipped (documented) when the
+    * JSON tail carries no metaData — e.g. appending to a
+    * checkpoint-truncated table another writer created, where metaData
+    * lives only in the checkpoint parquet */
   private def validateAgainstMeta(spark: SparkSession, fs: FileSystem,
       df: DataFrame, tablePath: String, partitionBy: Seq[String]): Unit = {
-    val v0 = new Path(tablePath, "_delta_log/00000000000000000000.json")
-    if (!fs.exists(v0)) return
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val in = fs.open(v0)
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
-      finally in.close()
-    lines.map(mapper.readTree).find(_.has("metaData")).foreach { node =>
-      val md = node.get("metaData")
+    latestMetaNode(fs, tablePath).foreach { md =>
       val declaredParts = Option(md.get("partitionColumns"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
       require(declaredParts == partitionBy,
@@ -319,7 +370,8 @@ object DeltaWrite {
 
   private def commit(spark: SparkSession, fs: FileSystem, df: DataFrame,
       tablePath: String, partitionBy: Seq[String], version: Long,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      metaOverride: Option[String] = None): Unit = {
     val root = fs.makeQualified(new Path(tablePath))
     // STAGE-then-MOVE: the add list is EXACTLY the files this writer
     // moved (see writeStaged) — never a directory-listing diff that
@@ -356,7 +408,7 @@ object DeltaWrite {
             s""""format":{"provider":"parquet","options":{}},""" +
             s""""schemaString":${jstr(schemaJson)},""" +
             s""""partitionColumns":[$pcols],"configuration":{},"createdTime":$now}}""")
-      } else Seq.empty
+      } else metaOverride.toSeq // an evolved-schema commit re-declares metaData
     val logDir = new Path(root, "_delta_log")
     fs.mkdirs(logDir)
     val commitFile = new Path(logDir, f"$version%020d.json")
@@ -479,17 +531,33 @@ object DeltaWrite {
 
   // ---- row-level DELETE / MERGE (copy-on-write) -----------------------
 
-  /** table schema + partition columns from the commit-0 metaData */
-  private def tableMeta(fs: FileSystem, tablePath: String): (StructType, Seq[String]) = {
-    val v0 = new Path(tablePath, "_delta_log/00000000000000000000.json")
-    require(fs.exists(v0), s"no Delta table at $tablePath")
+  /** LATEST metaData action in the JSON log (newest commit wins —
+    * [[appendEvolve]] rewrites it, so commit 0 is only the initial
+    * value), scanning commits newest-first and stopping at the first
+    * hit. None when the JSON tail carries no metaData (fully
+    * checkpoint-truncated log — the checkpoint parquet has it then). */
+  private def latestMetaNode(fs: FileSystem,
+      tablePath: String): Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val logDir = new Path(tablePath, "_delta_log")
+    if (!fs.exists(logDir)) return scala.None
+    val versions = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong }
+      .sorted.reverse
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val in = fs.open(v0)
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
-      finally in.close()
-    val md = lines.map(mapper.readTree).find(_.has("metaData")).map(_.get("metaData"))
-      .getOrElse(throw new IllegalStateException(
-        s"commit 0 of $tablePath carries no metaData"))
+    versions.iterator.flatMap { v =>
+      val in = fs.open(new Path(logDir, f"$v%020d.json"))
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+        finally in.close()
+      lines.map(mapper.readTree).filter(_.has("metaData")).map(_.get("metaData"))
+        .lastOption
+    }.nextOption()
+  }
+
+  /** table schema + partition columns from the latest metaData */
+  private def tableMeta(fs: FileSystem, tablePath: String): (StructType, Seq[String]) = {
+    require(fs.exists(new Path(tablePath, "_delta_log")), s"no Delta table at $tablePath")
+    val md = latestMetaNode(fs, tablePath).getOrElse(throw new IllegalStateException(
+      s"the JSON log of $tablePath carries no metaData"))
     val partCols = Option(md.get("partitionColumns"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
     (DataType.fromJson(md.get("schemaString").asText()).asInstanceOf[StructType],

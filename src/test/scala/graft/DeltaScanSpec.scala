@@ -705,6 +705,42 @@ class DeltaScanSpec extends SparkSpec {
           .collect().map(_.getString(0)).exists(_.contains("lang=fr"))))
   }
 
+  test("DeltaWrite.appendEvolve: new columns merge in, old rows read NULL, strict append follows the evolved schema") {
+    import graft.sources.DeltaWrite
+    val dir = freshDir("graft_delta_evolve").toString
+    DeltaWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    // evolve: add a score column
+    DeltaWrite.appendEvolve(spark,
+      Seq((3L, "c", 0.5), (4L, "d", 0.7)).toDF("id", "v", "score"), dir)
+    val rows = DeltaScan.read(spark, dir).select("id", "v", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) scala.None else Some(r.getDouble(2)))).toSet
+    assert(rows == Set((1L, "a", scala.None), (2L, "b", scala.None),
+      (3L, "c", Some(0.5)), (4L, "d", Some(0.7))),
+      "old files must resolve the evolved column to NULL")
+    // strict append now validates against the EVOLVED schema
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.append(spark, Seq((5L, "e")).toDF("id", "v"), dir)
+    }.getMessage.contains("schema"))
+    DeltaWrite.append(spark, Seq((5L, "e", 0.9)).toDF("id", "v", "score"), dir)
+    assert(DeltaScan.read(spark, dir).count() == 5L)
+    // evolve with a MISSING old column: rides as NULL
+    DeltaWrite.appendEvolve(spark, Seq((6L, 1.0)).toDF("id", "score"), dir)
+    assert(DeltaScan.read(spark, dir).filter(col("id") === 6L)
+      .select("v").head().isNullAt(0))
+    // type change is loud, never a coercion
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.appendEvolve(spark, Seq((7, "x")).toDF("id", "v"), dir)
+    }.getMessage.contains("never changes types"))
+    // time travel to the pre-evolve version shows the original schema
+    assert(DeltaScan.read(spark, dir, versionAsOf = Some(0L)).columns.toSeq ==
+      Seq("id", "v"))
+    // row-level ops honor the evolved schema (tableMeta is latest-wins):
+    // score > 0.8 hits id=5 (0.9) and id=6 (1.0)
+    assert(DeltaWrite.deleteWhere(spark, dir, col("score") > 0.8) == 2L)
+    assert(DeltaScan.read(spark, dir).count() == 4L)
+  }
+
   test("DeltaWrite.updateWhere: SET sees original values; partition-col SET is loud") {
     import graft.sources.DeltaWrite
     val dir = freshDir("graft_delta_upd").toString
