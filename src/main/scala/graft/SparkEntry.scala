@@ -1988,6 +1988,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Iceberg SCHEMA EVOLUTION: create with (doc_id, lang), evolve-
+    // append the odds WITH text under a fresh field id — old files
+    // resolve the new column to NULL, ids never reused
+    "q_iceberg_evolve" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_evo_gate").toString
+      val docs = t(s, dir, "documents").df
+      graft.sources.IcebergWrite.create(
+        s, docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang"), base)
+      graft.sources.IcebergWrite.appendEvolve(
+        s, docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "lang", "text"), base)
+      graft.sources.IcebergScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // Delta SCHEMA EVOLUTION: create with (doc_id, lang) only, evolve-
     // append the odds WITH text — the read resolves old files' missing
     // column to NULL and new files' to real values, no rewrite
@@ -4512,6 +4527,12 @@ object SparkEntry {
     "q_delta_delete" ->
       """SELECT doc_id, lang, text FROM documents
         |WHERE doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_evolve" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 <> 0 THEN text ELSE NULL END AS text
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "q_delta_evolve" ->

@@ -64,6 +64,71 @@ object IcebergWrite {
     commit(spark, fs, df, tablePath, version = prev + 1)
   }
 
+  /** APPEND WITH SCHEMA EVOLUTION: columns of `df` the table lacks are
+    * ADDED to the table schema with FRESH field ids continuing from
+    * `last-column-id` (the spec's add-column evolution — ids are never
+    * reused), registered as a NEW schema (next `schema-id`) in the
+    * `schemas` list with `current-schema-id` advanced; columns the
+    * table has but `df` lacks ride as NULLs; existing columns must
+    * keep their exact types (loud otherwise, never coerced). Old data
+    * files resolve the new columns to NULL by name — nothing is
+    * rewritten. Plain [[append]]s then validate against the evolved
+    * schema and carry it forward untouched. */
+  def appendEvolve(spark: SparkSession, df: DataFrame, tablePath: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    val prev = readUtf8(fs, hint).trim.toInt
+    val metaDir = new Path(fs.makeQualified(new Path(tablePath)), "metadata")
+    val prevCarry = carryFromPrev(fs, metaDir, prev)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schemaNode = mapper.readTree(prevCarry.schemaJson)
+    val declared = IcebergScan.sparkSchema(schemaNode)
+    val byName = df.schema.fields.map(f => f.name -> f).toMap
+    declared.fields.foreach { f =>
+      byName.get(f.name).foreach { g =>
+        require(g.dataType == f.dataType,
+          s"column '${f.name}' type ${g.dataType.sql} does not match the " +
+            s"table's ${f.dataType.sql} — appendEvolve adds columns, it " +
+            "never changes types")
+      }
+    }
+    val newFields = df.schema.fields
+      .filterNot(f => declared.fieldNames.contains(f.name))
+    val carry =
+      if (newFields.isEmpty) prevCarry
+      else {
+        // merged schema: previous field nodes verbatim + new fields with
+        // fresh ids after last-column-id, under the next schema-id
+        val schemasNode = mapper.readTree(prevCarry.schemasArray)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+        val newSchemaId = schemasNode.elements().asScala
+          .map(_.get("schema-id").asInt()).max + 1
+        val merged = schemaNode.deepCopy()
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        merged.put("schema-id", newSchemaId)
+        val fieldsArr = merged.withArray("fields")
+        newFields.zipWithIndex.foreach { case (f, i) =>
+          val id = prevCarry.lastColumnId + 1 + i
+          fieldsArr.add(mapper.readTree(
+            s"""{"id":$id,"name":${jstr(f.name)},"required":false,""" +
+              s""""type":${jstr(icebergType(f.dataType, f.name))}}"""))
+        }
+        schemasNode.add(merged)
+        SchemaCarry(merged.toString, schemasNode.toString, newSchemaId,
+          prevCarry.lastColumnId + newFields.length, prevCarry.tableUuid)
+      }
+    val mergedStruct = StructType(declared.fields ++
+      newFields.map(_.copy(nullable = true)))
+    val aligned = df.select(mergedStruct.fields.map { f =>
+      if (byName.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    commit(spark, fs, aligned, tablePath, version = prev + 1,
+      carryOverride = Some(carry))
+  }
+
   /** test seam for the conditional-commit guard: commit at an explicit
     * metadata version — what a racing writer with a stale version hint
     * does right before it loses the race */
@@ -73,8 +138,38 @@ object IcebergWrite {
     commit(spark, fs, df, tablePath, version)
   }
 
+  /** The schema-tracking state a commit writes into the metadata JSON.
+    * Carried FORWARD verbatim on plain appends/deletes (a regenerated
+    * schema would reset the ids/uuid an [[appendEvolve]] advanced);
+    * fresh only at create; replaced by appendEvolve. */
+  private final case class SchemaCarry(
+      schemaJson: String, schemasArray: String, currentSchemaId: Int,
+      lastColumnId: Int, tableUuid: String)
+
+  private def freshCarry(schema: StructType): SchemaCarry = {
+    val json = icebergSchemaJson(schema)
+    SchemaCarry(json, s"[$json]", 0, schema.length,
+      java.util.UUID.randomUUID().toString)
+  }
+
+  private def carryFromPrev(fs: FileSystem, metaDir: Path, prev: Int): SchemaCarry = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
+    val schemaJson = IcebergScan.currentSchemaJson(node)
+    val nFields = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(schemaJson).get("fields").size()
+    SchemaCarry(
+      schemaJson,
+      Option(node.get("schemas")).map(_.toString).getOrElse(s"[$schemaJson]"),
+      Option(node.get("current-schema-id")).map(_.asInt()).getOrElse(0),
+      Option(node.get("last-column-id")).map(_.asInt()).getOrElse(nFields),
+      Option(node.get("table-uuid")).map(_.asText())
+        .getOrElse(java.util.UUID.randomUUID().toString))
+  }
+
   private def commit(spark: SparkSession, fs: FileSystem, df: DataFrame,
-      tablePath: String, version: Int): Unit = {
+      tablePath: String, version: Int,
+      carryOverride: Option[SchemaCarry] = None): Unit = {
     val root = fs.makeQualified(new Path(tablePath))
     // fast-fail a stale racing writer BEFORE any data is written (no
     // orphan parquet); the overwrite=false create below remains the
@@ -96,7 +191,10 @@ object IcebergWrite {
 
     // a table upgraded to v2 by deleteWhere stays v2 on later appends
     val fmtVersion = if (version == 1) 1 else prevFormatVersion(fs, metaDir, version - 1)
-    val schemaJson = icebergSchemaJson(df.schema)
+    val carry = carryOverride.getOrElse(
+      if (version == 1) freshCarry(df.schema)
+      else carryFromPrev(fs, metaDir, version - 1))
+    val schemaJson = carry.schemaJson
 
     // one manifest for this commit's files (relative paths; record
     // counts from the parquet footers — no data re-read)
@@ -147,7 +245,7 @@ object IcebergWrite {
       manifestListMeta(version, fmtVersion))
 
     writeMetadataJson(fs, metaDir, root, version, fmtVersion,
-      schemaJson, df.schema.length, listRel, operation = "append")
+      carry, listRel, operation = "append")
   }
 
   /** spec-required key-value metadata on a manifest Avro file — what
@@ -177,7 +275,7 @@ object IcebergWrite {
     * partition-specs / sort-orders and a per-snapshot sequence-number
     * (= the version — one commit, one sequence). */
   private def writeMetadataJson(fs: FileSystem, metaDir: Path, root: Path,
-      version: Int, fmtVersion: Int, schemaJson: String, nCols: Int,
+      version: Int, fmtVersion: Int, carry: SchemaCarry,
       listRel: String, operation: String): Unit = {
     val now = System.currentTimeMillis()
     val prevSnapshots: String =
@@ -191,19 +289,19 @@ object IcebergWrite {
       }
     val v2Extra =
       if (fmtVersion < 2) ""
-      else s""""last-sequence-number":$version,"schemas":[$schemaJson],
-              |"current-schema-id":0,
+      else s""""last-sequence-number":$version,"schemas":${carry.schemasArray},
+              |"current-schema-id":${carry.currentSchemaId},
               |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
               |"last-partition-id":999,
               |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,"""
         .stripMargin
     val snapSeq = if (fmtVersion < 2) "" else s""""sequence-number":$version,"""
     val meta =
-      s"""{"format-version":$fmtVersion,"table-uuid":"${java.util.UUID.randomUUID()}",
+      s"""{"format-version":$fmtVersion,"table-uuid":"${carry.tableUuid}",
          |"location":${jstr(root.toString)},"last-updated-ms":$now,
-         |"last-column-id":$nCols,
+         |"last-column-id":${carry.lastColumnId},
          |$v2Extra
-         |"schema":$schemaJson,
+         |"schema":${carry.schemaJson},
          |"partition-spec":[],"properties":{},
          |"current-snapshot-id":$version,
          |"snapshots":[$prevSnapshots{"snapshot-id":$version,$snapSeq
@@ -379,11 +477,10 @@ object IcebergWrite {
     if (nDeleted == 0L) { fs.delete(delDir, true); return 0L }
 
     val metaDir = new Path(root, "metadata")
-    // re-derive the schema JSON from the table's own metadata (the
-    // delete commit must not drift the declared schema)
-    val prevNode = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
-    val schemaJson = IcebergScan.currentSchemaJson(prevNode)
+    // schema state carried verbatim from the table's own metadata (the
+    // delete commit must not drift the declared schema or its ids)
+    val carry = carryFromPrev(fs, metaDir, prev)
+    val schemaJson = carry.schemaJson
 
     val manifestRel = s"metadata/manifest-$version.avro"
     val dataFileSchema = manifestSchema.getField("data_file").schema()
@@ -417,7 +514,7 @@ object IcebergWrite {
       manifestListMeta(version, fmtVersion = 2))
 
     writeMetadataJson(fs, metaDir, root, version, fmtVersion = 2,
-      schemaJson, schema.length, listRel, operation = "delete")
+      carry, listRel, operation = "delete")
     nDeleted
   }
 
@@ -454,8 +551,8 @@ object IcebergWrite {
 
     val metaDir = new Path(root, "metadata")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val prevNode = mapper.readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
-    val schemaJson = IcebergScan.currentSchemaJson(prevNode)
+    val carry = carryFromPrev(fs, metaDir, prev)
+    val schemaJson = carry.schemaJson
     val schemaNode = mapper.readTree(schemaJson)
     val idByName = schemaNode.get("fields").elements().asScala
       .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
@@ -529,7 +626,7 @@ object IcebergWrite {
       manifestListMeta(version, fmtVersion = 2))
 
     writeMetadataJson(fs, metaDir, root, version, fmtVersion = 2,
-      schemaJson, declared.length, listRel, operation = "delete")
+      carry, listRel, operation = "delete")
     nKeys
   }
 

@@ -215,6 +215,46 @@ class IcebergScanSpec extends SparkSpec {
     } finally footer.close()
   }
 
+  test("appendEvolve: fresh field ids, schemas list advances, old rows read NULL, uuid stable") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_evolve").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    // force v2 first so the schemas list is observable
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 0L + 99L) // no-op, no commit
+    IcebergWrite.appendEvolve(spark,
+      Seq((3L, "c", 0.5), (4L, "d", 0.7)).toDF("id", "v", "score"), dir)
+    val rows = IcebergScan.read(spark, dir).select("id", "v", "score")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(2)) scala.None else Some(r.getDouble(2)))).toSet
+    assert(rows == Set((1L, scala.None), (2L, scala.None),
+      (3L, Some(0.5)), (4L, Some(0.7))))
+    // metadata: new field got id 3 (after last-column-id 2), schema-id advanced
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/metadata/v2.metadata.json")), "UTF-8"))
+    assert(meta.get("last-column-id").asInt() == 3)
+    val scoreField = meta.get("schema").get("fields").elements()
+      .asScala.find(_.get("name").asText() == "score").get
+    assert(scoreField.get("id").asInt() == 3 && !scoreField.get("required").asBoolean())
+    val uuid1 = meta.get("table-uuid").asText()
+    // strict append now validates against the evolved schema and keeps it
+    assert(intercept[IllegalArgumentException] {
+      IcebergWrite.append(spark, Seq((5L, "e")).toDF("id", "v"), dir)
+    }.getMessage.contains("schema"))
+    IcebergWrite.append(spark, Seq((5L, "e", 0.9)).toDF("id", "v", "score"), dir)
+    assert(IcebergScan.read(spark, dir).count() == 5L)
+    val meta3 = mapper.readTree(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/metadata/v3.metadata.json")), "UTF-8"))
+    assert(meta3.get("last-column-id").asInt() == 3, "append must carry the evolved ids")
+    assert(meta3.get("table-uuid").asText() == uuid1, "table-uuid must be stable across commits")
+    // type change is loud
+    assert(intercept[IllegalArgumentException] {
+      IcebergWrite.appendEvolve(spark, Seq((6, "x")).toDF("id", "v"), dir)
+    }.getMessage.contains("never changes types"))
+  }
+
   test("deleteWhere on a RELATIVE tablePath: deletes still apply (qualified path namespace)") {
     // regression: victims' file_path comes from _metadata (absolute
     // URI); with a relative tablePath the planner's data-file keys must
