@@ -1988,6 +1988,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Iceberg COMPACTION (replace snapshot): multi-commit table with a
+    // position delete, compacted to one file — deletes must stay
+    // applied through the rewrite, kept/added sequence gating intact
+    "q_iceberg_compact" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_cpt_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(s, docs.filter(col("doc_id") % 2 === 0), base)
+      graft.sources.IcebergWrite.append(s, docs.filter(col("doc_id") % 2 =!= 0), base)
+      graft.sources.IcebergWrite.deleteWhere(s, base, col("doc_id") % 3 === 0)
+      graft.sources.IcebergWrite.compact(s, base)
+      graft.sources.IcebergScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // Iceberg SCHEMA EVOLUTION: create with (doc_id, lang), evolve-
     // append the odds WITH text under a fresh field id — old files
     // resolve the new column to NULL, ids never reused
@@ -4525,6 +4540,11 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q_delta_delete" ->
+      """SELECT doc_id, lang, text FROM documents
+        |WHERE doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_compact" ->
       """SELECT doc_id, lang, text FROM documents
         |WHERE doc_id % 3 <> 0
         |ORDER BY doc_id""".stripMargin,

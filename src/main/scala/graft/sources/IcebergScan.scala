@@ -47,7 +47,15 @@ object IcebergScan {
 
   /** The table as a DataFrame, at `snapshotAsOf` (a snapshot id) if
     * given, else the current snapshot. */
-  def read(spark: SparkSession, tablePath: String, snapshotAsOf: Option[Long] = None): DataFrame = {
+  def read(spark: SparkSession, tablePath: String, snapshotAsOf: Option[Long] = None): DataFrame =
+    readFiltered(spark, tablePath, snapshotAsOf, None)
+
+  /** [[read]] restricted to a subset of data-file paths (all applicable
+    * deletes still applied) — [[IcebergWrite.compact]]'s rewrite input:
+    * the compacted output must hold the SURVIVING rows of exactly the
+    * files being replaced. */
+  private[sources] def readFiltered(spark: SparkSession, tablePath: String,
+      snapshotAsOf: Option[Long], onlyDataFiles: Option[Set[String]]): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val metaDir = new Path(tablePath, "metadata")
     val fs = metaDir.getFileSystem(conf)
@@ -67,6 +75,7 @@ object IcebergScan {
 
     val entries = snapshotEntries(fs, conf, tablePath, snapshot.get)
     val dataFiles = dedupeEntries(entries.filter(_.content == 0))
+      .filter(f => onlyDataFiles.forall(_.contains(f.path)))
     val posFiles = dedupeEntries(entries.filter(_.content == 1))
     val eqFiles = dedupeEntries(entries.filter(_.content == 2))
 
@@ -143,8 +152,17 @@ object IcebergScan {
   /** planning surface for [[IcebergWrite.deleteWhere]]: the current
     * snapshot's spec-derived schema and live DATA file paths (resolved
     * absolute) — delete files excluded */
-  private[sources] def currentDataFiles(
+  private[graft] def currentDataFiles(
       spark: SparkSession, tablePath: String): (StructType, Seq[String]) = {
+    val (schema, entries) = currentEntries(spark, tablePath)
+    (schema, entries.filter(_.content == 0).map(_.path))
+  }
+
+  /** planning surface for [[IcebergWrite.compact]]: the current
+    * snapshot's spec-derived schema and ALL live deduped entries (data
+    * AND delete files) with their resolved sequence numbers */
+  private[sources] def currentEntries(
+      spark: SparkSession, tablePath: String): (StructType, Seq[FileEntry]) = {
     val conf = spark.sessionState.newHadoopConf()
     val metaDir = new Path(tablePath, "metadata")
     val fs = metaDir.getFileSystem(conf)
@@ -153,10 +171,9 @@ object IcebergScan {
     val snapshots = Option(meta.get("snapshots")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val wantedId = Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
     val snapshot = wantedId.flatMap(id => snapshots.find(_.get("snapshot-id").asLong() == id))
-    val files = snapshot.map(s =>
-      dedupeEntries(snapshotEntries(fs, conf, tablePath, s).filter(_.content == 0))
-        .map(_.path)).getOrElse(Seq.empty)
-    (schema, files)
+    val entries = snapshot.map(s =>
+      dedupeEntries(snapshotEntries(fs, conf, tablePath, s))).getOrElse(Seq.empty)
+    (schema, entries)
   }
 
   /** the snapshot's LIVE manifest entries (status DELETED dropped; null
@@ -241,7 +258,7 @@ object IcebergScan {
 
   /** One manifest entry's file: data (content 0), positional deletes (1),
     * or equality deletes (2), with its resolved data sequence number. */
-  private final case class FileEntry(
+  private[sources] final case class FileEntry(
       path: String, seq: Long, content: Int, eqIds: Seq[Int], rows: Long)
 
   /** Broadcast a delete key set below this many declared rows. */

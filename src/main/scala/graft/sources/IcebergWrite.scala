@@ -248,6 +248,137 @@ object IcebergWrite {
       carry, listRel, operation = "append")
   }
 
+  /** COMPACTION (the spec's `replace` snapshot): rewrite the live data
+    * files smaller than `smallFileBytes` into `targetFiles` outputs,
+    * WITH every applicable row-level delete applied during the rewrite
+    * (the compacted output holds exactly the surviving rows), behind
+    * one conditional commit whose manifest list REPLACES the previous
+    * data manifests with a single rewritten manifest: ADDED entries
+    * for the compacted outputs (sequence = this commit, so older
+    * position/equality deletes never re-apply to them) + EXISTING
+    * entries for the untouched files CARRYING THEIR ORIGINAL sequence
+    * numbers (so existing equality deletes keep applying to them
+    * exactly as before). Delete manifests carry forward unchanged —
+    * position deletes naming rewritten (dead) paths are structurally
+    * inert. Time travel to pre-compaction snapshots keeps working.
+    *
+    * Returns (filesCompacted, filesWritten); fewer than two small
+    * files is a no-op (nothing to gain, no commit). */
+  def compact(spark: SparkSession, tablePath: String,
+      smallFileBytes: Long = 32L << 20, targetFiles: Int = 1): (Int, Int) = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    val prev = readUtf8(fs, hint).trim.toInt
+    val version = prev + 1
+    val root = fs.makeQualified(new Path(tablePath))
+    val targetMeta = new Path(root, s"metadata/v$version.metadata.json")
+    if (fs.exists(targetMeta))
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent Iceberg commit detected: $targetMeta already exists — " +
+          "another writer committed this version; re-read the table and retry")
+
+    val (_, entries) = IcebergScan.currentEntries(spark, tablePath)
+    val dataEntries = entries.filter(_.content == 0)
+    val sized = dataEntries.map(e => (e, fs.getFileStatus(new Path(e.path)).getLen))
+    val (small, kept) = sized.partition(_._2 < smallFileBytes)
+    if (small.size < 2) return (0, 0)
+
+    // rewrite through the READER so every applicable delete lands in
+    // the output — compacting raw parquet would resurrect deleted rows
+    val rewrite = IcebergScan.readFiltered(spark, tablePath, scala.None,
+      Some(small.map(_._1.path).toSet))
+    val dataDir = new Path(root, "data")
+    val pre = listParquet(fs, dataDir).toSet
+    rewrite.repartition(targetFiles).write.mode("append").parquet(dataDir.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val added0 = listParquet(fs, dataDir).filterNot(pre.contains)
+    // drop empty outputs (every row of the small set may have died)
+    val added = added0.filter { rel =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(root, rel), conf))
+      val n = try r.getRecordCount finally r.close()
+      if (n == 0L) fs.delete(new Path(root, rel), false)
+      n > 0L
+    }
+
+    val metaDir = new Path(root, "metadata")
+    val fmtVersion = prevFormatVersion(fs, metaDir, prev)
+    val carry = carryFromPrev(fs, metaDir, prev)
+    val rootPrefix = root.toString.stripSuffix("/") + "/"
+    def relOf(abs: String): String =
+      if (abs.startsWith(rootPrefix)) abs.substring(rootPrefix.length) else abs
+
+    // ONE rewritten data manifest: ADDED outputs (seq inherits the
+    // list row = this commit) + EXISTING kept files with explicit
+    // original sequence numbers
+    val manifestRel = s"metadata/manifest-$version.avro"
+    val dataFileSchema = manifestSchema.getField("data_file").schema()
+    val emptyPartition =
+      new GenericData.Record(dataFileSchema.getField("partition").schema())
+    def fileRecord(relPath: String, rows: Long, len: Long): GenericData.Record = {
+      val f = new GenericData.Record(dataFileSchema)
+      f.put("content", 0)
+      f.put("file_path", relPath)
+      f.put("file_format", "PARQUET")
+      f.put("partition", emptyPartition)
+      f.put("record_count", rows)
+      f.put("file_size_in_bytes", len)
+      f.put("block_size_in_bytes", DefaultBlockSize)
+      f
+    }
+    val addedWithRows = added.map { rel =>
+      val p = new Path(root, rel)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      val rows = try r.getRecordCount finally r.close()
+      (rel, rows, fs.getFileStatus(p).getLen)
+    }
+    val addedRecords = addedWithRows.map { case (rel, rows, len) =>
+      val e = new GenericData.Record(manifestSchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", version.toLong)
+      e.put("data_file", fileRecord(rel, rows, len))
+      e
+    }
+    val keptRecords = kept.map { case (entry, len) =>
+      val e = new GenericData.Record(manifestSchema)
+      e.put("status", 0) // EXISTING
+      e.put("snapshot_id", version.toLong)
+      e.put("sequence_number", entry.seq) // original — delete gating intact
+      e.put("file_sequence_number", entry.seq)
+      e.put("data_file", fileRecord(relOf(entry.path), entry.rows, len))
+      e
+    }
+    writeAvro(fs, new Path(root, manifestRel), manifestSchema,
+      addedRecords ++ keptRecords,
+      manifestMeta(carry.schemaJson, fmtVersion, content = "data"))
+    val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
+
+    // manifest list: the rewritten data manifest + delete manifests
+    // carried forward verbatim (previous DATA manifests are replaced)
+    val prevDeleteManifests = readPrevManifests(fs, conf, root, version)
+      .filter(_.content == 1)
+    val minSeq = (kept.map(_._1.seq) :+ version.toLong).min
+    val listRel = s"metadata/snap-$version.avro"
+    writeAvro(fs, new Path(root, listRel), manifestListSchema,
+      (ManifestRef(manifestRel, manifestLen, 0,
+        content = 0, seq = version.toLong, minSeq = minSeq,
+        snapshotId = version.toLong,
+        addedFiles = addedRecords.size, existingFiles = kept.size,
+        deletedFiles = 0,
+        addedRows = addedWithRows.map(_._2).sum,
+        existingRows = kept.map(_._1.rows).sum, deletedRows = 0L) +:
+        prevDeleteManifests)
+        .map(manifestRefRecord),
+      manifestListMeta(version, fmtVersion))
+
+    writeMetadataJson(fs, metaDir, root, version, fmtVersion,
+      carry, listRel, operation = "replace")
+    (small.size, added.size)
+  }
+
   /** spec-required key-value metadata on a manifest Avro file — what
     * external readers use to interpret it without the table metadata */
   private def manifestMeta(schemaJson: String, fmtVersion: Int,

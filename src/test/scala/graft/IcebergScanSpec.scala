@@ -255,6 +255,61 @@ class IcebergScanSpec extends SparkSpec {
     }.getMessage.contains("never changes types"))
   }
 
+  test("compact: small files merge with deletes applied, kept files keep their sequence") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_compact").toString + "/t"
+    // three single-file commits
+    IcebergWrite.create(spark, Seq((1L, "a"), (2L, "kill")).toDF("id", "v").coalesce(1), dir)
+    IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "v").coalesce(1), dir)
+    IcebergWrite.append(spark, Seq((4L, "d")).toDF("id", "v").coalesce(1), dir)
+    // a position delete (v2) that must NOT resurrect through compaction
+    assert(IcebergWrite.deleteWhere(spark, dir, col("v") === "kill") == 1L)
+    def dataFileCount = IcebergScan.currentDataFiles(spark, dir)._2.size
+    assert(dataFileCount == 3)
+
+    val (nSmall, nNew) = IcebergWrite.compact(spark, dir)
+    assert(nSmall == 3 && nNew == 1, s"expected 3→1, got ($nSmall, $nNew)")
+    assert(dataFileCount == 1)
+    assert(IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L),
+      "compaction must keep deletes applied, not resurrect row 2")
+    // time travel to the pre-compaction snapshot still works
+    assert(IcebergScan.read(spark, dir, snapshotAsOf = Some(4L)).count() == 3L)
+    // appends and deletes still work on the compacted table
+    IcebergWrite.append(spark, Seq((5L, "e")).toDF("id", "v"), dir)
+    assert(IcebergScan.read(spark, dir).count() == 4L)
+    assert(IcebergWrite.deleteWhere(spark, dir, col("id") === 3L) == 1L)
+    assert(IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 4L, 5L))
+    // below-2-small no-op: everything is already one file
+    assert(IcebergWrite.compact(spark, dir,
+      smallFileBytes = 1L) == ((0, 0)))
+  }
+
+  test("compact preserves equality-delete gating on kept files") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_compact_eq").toString + "/t"
+    // one BIG file (kept) and two small ones (compacted)
+    IcebergWrite.create(spark,
+      (1L to 2000L).map(i => (i, s"pad_$i" * 8)).toDF("id", "v").coalesce(1), dir)
+    IcebergWrite.append(spark, Seq((9001L, "x")).toDF("id", "v").coalesce(1), dir)
+    IcebergWrite.append(spark, Seq((9002L, "y")).toDF("id", "v").coalesce(1), dir)
+    // equality delete AFTER the big file: kills id=1 in it
+    assert(IcebergWrite.deleteEqual(spark, dir, Seq(1L, 9001L).toDF("id")) == 2L)
+    val sizes = IcebergScan.currentDataFiles(spark, dir)._2
+    val threshold = 20000L // big file is ~100KB of padded strings, smalls are ~1KB
+    val (ns, nn) = IcebergWrite.compact(spark, dir, smallFileBytes = threshold)
+    assert(ns == 2 && nn == 1, s"expected the two small files compacted, got ($ns,$nn) sizes=$sizes")
+    val ids = IcebergScan.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1L), "equality delete must still apply to the KEPT big file")
+    assert(!ids.contains(9001L), "deleted row must not resurrect through the rewrite")
+    assert(ids.contains(9002L) && ids.contains(2000L))
+    assert(ids.size == 2000L, s"expected 1999 survivors of the big file + 9002, got ${ids.size}")
+  }
+
   test("deleteWhere on a RELATIVE tablePath: deletes still apply (qualified path namespace)") {
     // regression: victims' file_path comes from _metadata (absolute
     // URI); with a relative tablePath the planner's data-file keys must
