@@ -1988,6 +1988,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Iceberg table maintenance composed: rollback re-points the
+    // current snapshot (metadata-only), the next append chains onto
+    // the RESTORED state, expireSnapshots trims history and deletes
+    // exclusively-referenced files — the final read must still equal
+    // the full documents table
+    "q_iceberg_maintain" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_mnt_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(s, docs.filter(col("doc_id") % 2 === 0), base)
+      graft.sources.IcebergWrite.append(s, docs.filter(col("doc_id") % 2 =!= 0), base)
+      graft.sources.IcebergWrite.rollback(s, base, snapshotId = 1L)
+      graft.sources.IcebergWrite.append(s, docs.filter(col("doc_id") % 2 =!= 0), base)
+      graft.sources.IcebergWrite.expireSnapshots(s, base, keepLast = 1)
+      graft.sources.IcebergScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Delta RESTORE: delete a third of the rows, then restore to the
+    // pre-delete version — the re-add/remove commit must bring back
+    // exactly the original table
+    "q_delta_restore" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_rst_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.DeltaWrite.create(s, docs, base)
+      graft.sources.DeltaWrite.deleteWhere(s, base, col("doc_id") % 3 === 0)
+      graft.sources.DeltaWrite.restore(s, base, 0L)
+      graft.sources.DeltaScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // Iceberg COMPACTION (replace snapshot): multi-commit table with a
     // position delete, compacted to one file — deletes must stay
     // applied through the rewrite, kept/added sequence gating intact
@@ -4547,6 +4579,14 @@ object SparkEntry {
     "q_iceberg_compact" ->
       """SELECT doc_id, lang, text FROM documents
         |WHERE doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_maintain" ->
+      """SELECT doc_id, lang, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_delta_restore" ->
+      """SELECT doc_id, lang, text FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "q_iceberg_evolve" ->

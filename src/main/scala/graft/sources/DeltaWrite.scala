@@ -442,9 +442,9 @@ object DeltaWrite {
     * exclusion namespace: whatever an external writer's encoding
     * convention was, the raw bytes it logged are in here */
   private def replayActionsWithRaw(spark: SparkSession, fs: FileSystem,
-      tablePath: String): (Seq[(String, Boolean, Long, Long)], Set[String]) = {
+      tablePath: String, upTo: Option[Long] = None): (Seq[(String, Boolean, Long, Long)], Set[String]) = {
     val logDir = new Path(fs.makeQualified(new Path(tablePath)), "_delta_log")
-    val version = DeltaScan.latestVersion(spark, tablePath)
+    val version = upTo.getOrElse(DeltaScan.latestVersion(spark, tablePath))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val latest = scala.collection.mutable.LinkedHashMap.empty[String, (Boolean, Long, Long)]
     val raw = Set.newBuilder[String]
@@ -475,6 +475,72 @@ object DeltaWrite {
       }
     }
     (latest.toSeq.map { case (p, (isAdd, v, ts)) => (p, isAdd, v, ts) }, raw.result())
+  }
+
+  /** RESTORE the table to `toVersion` as a NEW commit (the RESTORE
+    * command): files live at `toVersion` but dead now are re-ADDED,
+    * files live now but absent then are REMOVED — history is
+    * preserved (the restore is itself a commit, so the in-between
+    * versions stay time-travelable until [[vacuum]]), and the
+    * re-added files must still exist on disk (loud if vacuum already
+    * reclaimed them — a restore across a vacuum horizon is
+    * unrecoverable in Delta proper too). Returns
+    * (filesReAdded, filesRemoved). */
+  def restore(spark: SparkSession, tablePath: String, toVersion: Long): (Int, Int) = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoDeletionVectors(spark, tablePath)
+    val root = fs.makeQualified(new Path(tablePath))
+    val cur = DeltaScan.latestVersion(spark, tablePath)
+    require(toVersion >= 0 && toVersion <= cur,
+      s"version $toVersion out of range 0..$cur for $tablePath")
+    def liveAt(v: Long): Set[String] =
+      replayActionsWithRaw(spark, fs, tablePath, Some(v))._1
+        .collect { case (p, true, _, _) => p }.toSet
+    val target = liveAt(toVersion)
+    val now = liveAt(cur)
+    val toAdd = (target -- now).toSeq.sorted
+    val toRemove = (now -- target).toSeq.sorted
+    if (toAdd.isEmpty && toRemove.isEmpty) return (0, 0)
+    toAdd.foreach { rel =>
+      require(fs.exists(new Path(root, rel)),
+        s"cannot restore $tablePath to version $toVersion: data file $rel " +
+          "was already vacuumed from disk")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val nowMs = System.currentTimeMillis()
+    // RESTORE also restores the SCHEMA (delta-spark semantics): when
+    // the metaData in force at toVersion differs from the current one
+    // (appendEvolve in between), the restore commit re-declares it
+    val metaAt: Option[String] = {
+      val logDir = new Path(root, "_delta_log")
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      (toVersion to 0L by -1L).iterator.flatMap { v =>
+        val p = new Path(logDir, f"$v%020d.json")
+        if (!fs.exists(p)) Iterator.empty
+        else {
+          val in = fs.open(p)
+          val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+            finally in.close()
+          lines.map(mapper.readTree).filter(_.has("metaData"))
+            .map(_.get("metaData")).lastOption.iterator
+        }
+      }.nextOption().map(_.toString)
+    }
+    val metaAction = (metaAt, latestMetaNode(fs, tablePath).map(_.toString)) match {
+      case (Some(old), Some(curMeta)) if old != curMeta => Seq(s"""{"metaData":$old}""")
+      case _ => Seq.empty
+    }
+    val actions = metaAction ++
+      toAdd.map { rel =>
+        val p = new Path(root, rel)
+        val stats = ParquetStats.statsJson(conf, p)
+          .map(s => s""","stats":${jstr(s)}""").getOrElse("")
+        s"""{"add":{"path":${jstr(encodePath(rel))},"partitionValues":{${partitionValuesJson(rel)}},"size":${fs.getFileStatus(p).getLen},"modificationTime":$nowMs,"dataChange":true$stats}}"""
+      } ++ toRemove.map { rel =>
+        s"""{"remove":{"path":${jstr(encodePath(rel))},"deletionTimestamp":$nowMs,"dataChange":true}}"""
+      }
+    writeCommitFile(fs, root, cur + 1, actions)
+    (toAdd.size, toRemove.size)
   }
 
   /** COMPACT small files: live files under `smallFileBytes` are

@@ -379,6 +379,122 @@ object IcebergWrite {
     (small.size, added.size)
   }
 
+  /** ROLLBACK: re-point `current-snapshot-id` at an earlier snapshot
+    * in a NEW metadata version — pure metadata, no data movement, and
+    * every snapshot (including the rolled-back-over ones) stays
+    * time-travelable until [[expireSnapshots]]. Later appends chain
+    * onto the restored snapshot's manifest list (the commit path
+    * resolves the previous list through the metadata pointer, never by
+    * file-name convention). */
+  def rollback(spark: SparkSession, tablePath: String, snapshotId: Long): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    val prev = readUtf8(fs, hint).trim.toInt
+    val version = prev + 1
+    val root = fs.makeQualified(new Path(tablePath))
+    val metaDir = new Path(root, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val ids = Option(node.get("snapshots")).map(_.elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSeq).getOrElse(Seq.empty)
+    require(ids.contains(snapshotId),
+      s"snapshot $snapshotId not found in $tablePath (have ${ids.mkString(",")})")
+    node.put("current-snapshot-id", snapshotId)
+    node.put("last-updated-ms", System.currentTimeMillis())
+    val metaPath = new Path(metaDir, s"v$version.metadata.json")
+    try writeUtf8(fs, metaPath, node.toString, overwrite = false)
+    catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent Iceberg commit detected: $metaPath already exists — " +
+            "another writer committed this version; re-read the table and retry", e)
+    }
+    writeUtf8(fs, new Path(metaDir, "version-hint.text"), version.toString)
+  }
+
+  /** every path a snapshot pins: its manifest list, its manifests, and
+    * every data/delete file they name (all resolved absolute) */
+  private def snapshotFootprint(fs: FileSystem,
+      conf: org.apache.hadoop.conf.Configuration, root: Path,
+      snapshot: com.fasterxml.jackson.databind.JsonNode):
+      (String, Seq[String], Seq[String]) = {
+    def abs(p: String): String =
+      if (p.contains("://") || p.startsWith("/")) fs.makeQualified(new Path(p)).toString
+      else fs.makeQualified(new Path(root, p)).toString
+    val listAbs = abs(snapshot.get("manifest-list").asText())
+    val manifests = readAvro(fs, conf, new Path(listAbs))
+      .map(r => abs(r.get("manifest_path").toString))
+    val files = manifests.flatMap { mp =>
+      readAvro(fs, conf, new Path(mp)).map { e =>
+        abs(e.get("data_file").asInstanceOf[GenericRecord].get("file_path").toString)
+      }
+    }
+    (listAbs, manifests, files)
+  }
+
+  /** EXPIRE SNAPSHOTS: drop all but the newest `keepLast` snapshots
+    * from the metadata and physically delete every file (data, delete,
+    * manifest, manifest list) referenced ONLY by the expired ones —
+    * the Iceberg twin of [[DeltaWrite.vacuum]]. The current snapshot
+    * is always kept. Time travel to expired snapshots stops working,
+    * exactly as in Iceberg proper. Returns (snapshotsExpired,
+    * filesDeleted). Driver-side METADATA work: the footprint walk
+    * reads manifests (KBs), never data. */
+  def expireSnapshots(spark: SparkSession, tablePath: String,
+      keepLast: Int = 1): (Int, Seq[String]) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    val prev = readUtf8(fs, hint).trim.toInt
+    val version = prev + 1
+    val root = fs.makeQualified(new Path(tablePath))
+    val metaDir = new Path(root, "metadata")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snaps = Option(node.get("snapshots")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty)
+    if (snaps.size <= keepLast) return (0, Seq.empty)
+    val currentId = Option(node.get("current-snapshot-id")).map(_.asLong())
+      .getOrElse(-1L)
+    val sorted = snaps.sortBy(_.get("snapshot-id").asLong())
+    val (expired0, kept0) = sorted.splitAt(sorted.size - keepLast)
+    // the current snapshot is never expired, whatever its position
+    val (kept, expired) = (
+      kept0 ++ expired0.filter(_.get("snapshot-id").asLong() == currentId),
+      expired0.filterNot(_.get("snapshot-id").asLong() == currentId))
+    if (expired.isEmpty) return (0, Seq.empty)
+
+    val keptFp = kept.map(snapshotFootprint(fs, conf, root, _))
+    val live: Set[String] =
+      (keptFp.map(_._1) ++ keptFp.flatMap(_._2) ++ keptFp.flatMap(_._3)).toSet
+    val expFp = expired.map(snapshotFootprint(fs, conf, root, _))
+    val doomed = (expFp.map(_._1) ++ expFp.flatMap(_._2) ++ expFp.flatMap(_._3))
+      .distinct.filterNot(live.contains)
+
+    // commit the trimmed metadata FIRST (readers re-resolving the hint
+    // never see a snapshot whose files are already gone), then delete
+    val keptArr = mapper.createArrayNode()
+    kept.sortBy(_.get("snapshot-id").asLong()).foreach(keptArr.add)
+    node.set("snapshots", keptArr)
+    node.put("last-updated-ms", System.currentTimeMillis())
+    val metaPath = new Path(metaDir, s"v$version.metadata.json")
+    try writeUtf8(fs, metaPath, node.toString, overwrite = false)
+    catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent Iceberg commit detected: $metaPath already exists — " +
+            "another writer committed this version; re-read the table and retry", e)
+    }
+    writeUtf8(fs, new Path(metaDir, "version-hint.text"), version.toString)
+    doomed.foreach(p => fs.delete(new Path(p), false))
+    (expired.size, doomed)
+  }
+
   /** spec-required key-value metadata on a manifest Avro file — what
     * external readers use to interpret it without the table metadata */
   private def manifestMeta(schemaJson: String, fmtVersion: Int,
@@ -463,11 +579,25 @@ object IcebergWrite {
       addedFiles: Int, existingFiles: Int, deletedFiles: Int,
       addedRows: Long, existingRows: Long, deletedRows: Long)
 
+  /** the previous CURRENT snapshot's manifest list, resolved through
+    * the metadata JSON's manifest-list pointer — never by file-name
+    * convention, because [[rollback]] re-points current-snapshot-id at
+    * an older snapshot whose list is not `snap-{version-1}` */
   private def readPrevManifests(fs: FileSystem,
       conf: org.apache.hadoop.conf.Configuration, root: Path,
-      version: Int): Seq[ManifestRef] =
-    if (version == 1) Seq.empty
-    else readAvro(fs, conf, new Path(root, s"metadata/snap-${version - 1}.avro"))
+      version: Int): Seq[ManifestRef] = {
+    if (version == 1) return Seq.empty
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readUtf8(fs, new Path(root, s"metadata/v${version - 1}.metadata.json")))
+    val currentId = Option(node.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+      .getOrElse(return Seq.empty)
+    val listPath = Option(node.get("snapshots"))
+      .flatMap(_.elements().asScala.find(_.get("snapshot-id").asLong() == currentId))
+      .map(_.get("manifest-list").asText())
+      .getOrElse(return Seq.empty)
+    val abs = if (listPath.contains("://") || listPath.startsWith("/"))
+      new Path(listPath) else new Path(root, listPath)
+    readAvro(fs, conf, abs)
       .map { r =>
         def opt(name: String): Option[AnyRef] =
           if (r.getSchema.getField(name) == null) None else Option(r.get(name))
@@ -498,6 +628,7 @@ object IcebergWrite {
           r.get("added_snapshot_id").asInstanceOf[Long],
           counts._1, counts._2, counts._3, counts._4, counts._5, counts._6)
       }
+  }
 
   /** entry counts for a legacy manifest missing them in its list row:
     * one bounded Avro read of the manifest itself */

@@ -825,6 +825,40 @@ class DeltaScanSpec extends SparkSpec {
     assert(DeltaScan.read(spark, dir).filter(col("lang") === "fr").count() == 1L)
   }
 
+  test("DeltaWrite.restore: files and schema roll back as a new commit; vacuumed target is loud") {
+    import graft.sources.DeltaWrite
+    val dir = freshDir("graft_delta_restore").toString
+    DeltaWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)    // v0
+    DeltaWrite.deleteWhere(spark, dir, col("id") === 2L)                        // v1
+    DeltaWrite.appendEvolve(spark, Seq((3L, "c", 1.5)).toDF("id", "v", "s"), dir) // v2: evolved
+    assert(DeltaScan.read(spark, dir).columns.toSeq == Seq("id", "v", "s"))
+    val (added, removed) = DeltaWrite.restore(spark, dir, 0L)
+    assert(added >= 1 && removed >= 1, s"expected file churn, got ($added, $removed)")
+    // data back to v0, schema back to v0, history intact
+    assert(DeltaScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+    assert(DeltaScan.read(spark, dir).columns.toSeq == Seq("id", "v"),
+      "restore must re-declare the pre-evolution schema")
+    assert(DeltaScan.read(spark, dir, versionAsOf = Some(2L)).count() == 2L,
+      "in-between versions stay time-travelable")
+    // restoring to the current state is a no-op
+    val vNow = DeltaScan.latestVersion(spark, dir)
+    assert(DeltaWrite.restore(spark, dir, vNow) == ((0, 0)))
+    assert(DeltaScan.latestVersion(spark, dir) == vNow)
+    // a vacuumed-away target fails loudly: physically delete a file
+    // that only version 1..2 reference, then try restoring to 2
+    val victims = DeltaScan.read(spark, dir, versionAsOf = Some(2L))
+      .select(col("_metadata.file_path")).distinct().collect().map(_.getString(0))
+    val nowFiles = DeltaScan.read(spark, dir)
+      .select(col("_metadata.file_path")).distinct().collect().map(_.getString(0)).toSet
+    val gone = victims.filterNot(nowFiles.contains)
+    assert(gone.nonEmpty)
+    gone.foreach(p => new java.io.File(new java.net.URI(p).getPath).delete())
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.restore(spark, dir, 2L)
+    }.getMessage.contains("vacuumed"))
+  }
+
   test("DeltaWrite.vacuum: removed files delete after retention; live files never") {
     import graft.sources.{DeltaScan, DeltaWrite}
     val dir = freshDir("graft_delta_vacuum").toString

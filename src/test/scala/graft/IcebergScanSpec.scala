@@ -310,6 +310,61 @@ class IcebergScanSpec extends SparkSpec {
     assert(ids.size == 2000L, s"expected 1999 survivors of the big file + 9002, got ${ids.size}")
   }
 
+  test("rollback: metadata-only restore of an earlier snapshot; appends chain onto it") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_rb").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), dir)
+    IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(IcebergScan.read(spark, dir).count() == 3L)
+    IcebergWrite.rollback(spark, dir, snapshotId = 2L)
+    assert(IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L), "rollback must restore snapshot 2's view")
+    // the rolled-over snapshot is still time-travelable (metadata-only)
+    assert(IcebergScan.read(spark, dir, snapshotAsOf = Some(3L)).count() == 3L)
+    // an append after rollback chains onto the RESTORED state, not the rolled-over one
+    IcebergWrite.append(spark, Seq((4L, "d")).toDF("id", "v"), dir)
+    assert(IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L),
+      "post-rollback append must not resurrect the rolled-back snapshot's rows")
+    // unknown snapshot is loud
+    assert(intercept[IllegalArgumentException] {
+      IcebergWrite.rollback(spark, dir, 99L)
+    }.getMessage.contains("not found"))
+  }
+
+  test("expireSnapshots: old snapshots drop, their exclusive files delete, live data intact") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_exp").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "a"), (2L, "kill")).toDF("id", "v").coalesce(1), dir)
+    IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "v").coalesce(1), dir)
+    IcebergWrite.deleteWhere(spark, dir, col("v") === "kill")
+    IcebergWrite.compact(spark, dir) // v4: replace snapshot — old files now exclusive to v<=3
+    val before = IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(before == Seq(1L, 3L))
+    val (nExp, deleted) = IcebergWrite.expireSnapshots(spark, dir, keepLast = 1)
+    assert(nExp == 3, s"expected 3 expired snapshots, got $nExp")
+    assert(deleted.nonEmpty, "pre-compaction files were exclusive to expired snapshots")
+    deleted.foreach(p => assert(!new java.io.File(new java.net.URI(p).getPath).exists(),
+      s"$p should be physically gone"))
+    // current data reads identically after expiry
+    assert(IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == before)
+    // time travel to expired snapshots is loudly gone
+    assert(intercept[IllegalArgumentException] {
+      IcebergScan.read(spark, dir, snapshotAsOf = Some(1L)).count()
+    }.getMessage.contains("not found"))
+    // appends still work on the trimmed table
+    IcebergWrite.append(spark, Seq((9L, "z")).toDF("id", "v"), dir)
+    assert(IcebergScan.read(spark, dir).count() == 3L)
+    // nothing left to expire below keepLast
+    assert(IcebergWrite.expireSnapshots(spark, dir, keepLast = 5) == ((0, Seq.empty)))
+  }
+
   test("deleteWhere on a RELATIVE tablePath: deletes still apply (qualified path namespace)") {
     // regression: victims' file_path comes from _metadata (absolute
     // URI); with a relative tablePath the planner's data-file keys must
