@@ -268,6 +268,68 @@ object Streams {
       }
       .toDF()
   }
+  final case class RetentionHit(user_id: Long, cohort: Long, period_n: Long)
+
+  /** STREAMING RETENTION — the keyed-state twin of
+    * [[graft.operators.Events.retention]]: per user, the cohort
+    * (first SEEN period) and the set of periods already counted ride
+    * in `flatMapGroupsWithState`, and each micro-batch emits one row
+    * per NEW (user, period) — so `groupBy(cohort, period_n).count()`
+    * over the emitted stream equals the batch retention table (the
+    * spec proves that identity across batches). Periods use the same
+    * calendar-free integer `div` arithmetic as the batch operator,
+    * micros-exact. Per-user reordering confined to a micro-batch is
+    * safe (events apply in ts order); an earlier-period event arriving
+    * in a LATER batch cannot re-base the cohort retroactively
+    * (append-mode streams cannot retract — its hit emits with a
+    * NEGATIVE period_n, honest rather than silently wrong), the same
+    * documented trade as [[funnelStream]], batch op as backfill.
+    * State per user is bounded by the DISTINCT periods the user spans
+    * (a 10-year weekly-period user is ~520 longs); `idleTtl` evicts
+    * idle users entirely. */
+  def retentionStream(
+      events: DataFrame, watermark: String, periodDays: Int = 7,
+      idleTtl: Option[String] = scala.None): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ds = events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", watermark)
+      .as[Ev]
+    val timeout =
+      if (idleTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Set[Long]), RetentionHit](
+        OutputMode.Append, timeout) {
+        case (_, _, state: GroupState[(Long, Set[Long])]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
+        case (uid, rows, state: GroupState[(Long, Set[Long])]) =>
+          var (cohort, seen) = state.getOption.getOrElse((Long.MaxValue, Set.empty[Long]))
+          val out = Seq.newBuilder[RetentionHit]
+          var lastMs = Long.MinValue
+          rows.toSeq.sortBy(e => us(e.ts)).foreach { e =>
+            val m = us(e.ts)
+            if (e.ts.getTime > lastMs) lastMs = e.ts.getTime
+            val p = (m / 86400000000L) / periodDays
+            if (cohort == Long.MaxValue) cohort = p
+            if (!seen.contains(p)) {
+              seen += p
+              out += RetentionHit(uid, cohort, p - cohort)
+            }
+          }
+          state.update((cohort, seen))
+          idleTtl.foreach { ttl =>
+            if (state.getCurrentWatermarkMs() >= 0)
+              state.setTimeoutTimestamp(lastMs, ttl)
+          }
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   /** STREAMING FUNNEL — the keyed-state twin of
     * [[graft.operators.Events.funnel]]: per user, the greedy-earliest
     * stage chain maintained in `flatMapGroupsWithState` (state = the k

@@ -1102,4 +1102,62 @@ class StreamingSpec extends SparkSpec {
       assert(got.toSeq == expect.toSeq && got.nonEmpty)
     } finally q.stop()
   }
+
+  test("retentionStream: aggregated hits across batches equal the batch retention table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streams.Ev]
+    val out = Streams.retentionStream(input.toDF(), watermark = "90 days", periodDays = 7)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("retention_stream").start()
+    def ev(id: Long, day: Long, u: Long) =
+      Streams.Ev(id, new java.sql.Timestamp(day * 86400000L), u, "click", 1.0)
+    // users 1,2 start week 1; user 3 starts week 3; activity spread so
+    // cohorts diverge; per-user IN-ORDER across batches, shuffled within
+    val b1 = Seq(ev(2, 9, 1), ev(1, 8, 1), ev(3, 8, 2))   // in-batch shuffle for u1
+    val b2 = Seq(ev(4, 16, 1), ev(5, 22, 3), ev(6, 17, 2))
+    val b3 = Seq(ev(7, 30, 1), ev(8, 29, 3), ev(9, 30, 2), ev(10, 31, 1))
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      input.addData(b3: _*); q.processAllAvailable()
+      val streamed = spark.table("retention_stream")
+        .groupBy("cohort", "period_n").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = graft.operators.Events.retention(
+        (b1 ++ b2 ++ b3).toDF(), "user_id", "ts", periodDays = 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"streamed retention $streamed must equal batch $batch")
+      // a re-visit of an already-counted period emits nothing
+      val n0 = spark.table("retention_stream").count()
+      input.addData(ev(11, 31, 1)); q.processAllAvailable()
+      assert(spark.table("retention_stream").count() == n0,
+        "an already-counted (user, period) must not re-emit")
+    } finally q.stop()
+  }
+
+  test("retentionStream idleTtl evicts idle users (reappearance = new cohort)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streams.Ev]
+    val out = Streams.retentionStream(
+      input.toDF(), watermark = "1 day", periodDays = 1, idleTtl = Some("2 days"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("retention_ttl").start()
+    def ev(id: Long, day: Long, u: Long) =
+      Streams.Ev(id, new java.sql.Timestamp(day * 86400000L), u, "click", 1.0)
+    try {
+      input.addData(ev(1, 10, 1)); q.processAllAvailable()
+      // push the watermark far past user 1's ttl with another user
+      input.addData(ev(2, 20, 2)); q.processAllAvailable()
+      input.addData(ev(3, 21, 2)); q.processAllAvailable()
+      // user 1 reappears AFTER eviction: state restarted, fresh cohort
+      input.addData(ev(4, 25, 1)); q.processAllAvailable()
+      val u1 = spark.table("retention_ttl").filter(col("user_id") === 1L)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      assert(u1 == Set((10L, 0L), (25L, 0L)),
+        s"evicted user must re-cohort at reappearance, got $u1")
+    } finally q.stop()
+  }
 }
