@@ -54,8 +54,22 @@ object IcebergScan {
     * deletes still applied) — [[IcebergWrite.compact]]'s rewrite input:
     * the compacted output must hold the SURVIVING rows of exactly the
     * files being replaced. */
+  /** [[readFiltered]] additionally carrying each surviving row's
+    * physical lineage — `__raw_file` (the data file's
+    * `_metadata.file_path` URI, the form position-delete files must
+    * name) and `__pos` (row ordinal) — with ALL deletes applied:
+    * [[IcebergWrite.deleteWhere]] plans its victims on this view so a
+    * row already dead under an earlier delete is never re-counted. */
+  private[sources] def readWithLineage(spark: SparkSession, tablePath: String): DataFrame =
+    readInternal(spark, tablePath, None, None, keepLineage = true)
+
   private[sources] def readFiltered(spark: SparkSession, tablePath: String,
-      snapshotAsOf: Option[Long], onlyDataFiles: Option[Set[String]]): DataFrame = {
+      snapshotAsOf: Option[Long], onlyDataFiles: Option[Set[String]]): DataFrame =
+    readInternal(spark, tablePath, snapshotAsOf, onlyDataFiles, keepLineage = false)
+
+  private def readInternal(spark: SparkSession, tablePath: String,
+      snapshotAsOf: Option[Long], onlyDataFiles: Option[Set[String]],
+      keepLineage: Boolean): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val metaDir = new Path(tablePath, "metadata")
     val fs = metaDir.getFileSystem(conf)
@@ -70,8 +84,12 @@ object IcebergScan {
         throw new IllegalArgumentException(
           s"snapshot $id not found in $tablePath (have ${snapshots.map(_.get("snapshot-id").asLong()).mkString(",")})"))
     }
+    val outSchema =
+      if (!keepLineage) schema
+      else StructType(schema.fields ++ Seq(
+        StructField("__raw_file", StringType), StructField("__pos", LongType)))
     if (snapshot.isEmpty) // empty table: no snapshot yet
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
 
     val entries = snapshotEntries(fs, conf, tablePath, snapshot.get)
     val dataFiles = dedupeEntries(entries.filter(_.content == 0))
@@ -79,10 +97,15 @@ object IcebergScan {
     val posFiles = dedupeEntries(entries.filter(_.content == 1))
     val eqFiles = dedupeEntries(entries.filter(_.content == 2))
 
+    def withLineage(df: DataFrame): DataFrame =
+      df.withColumn("__raw_file", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index"))
     if (dataFiles.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    if (posFiles.isEmpty && eqFiles.isEmpty) // fast path: no row-level deletes
-      return spark.read.schema(schema).parquet(dataFiles.map(_.path): _*)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    if (posFiles.isEmpty && eqFiles.isEmpty) { // fast path: no row-level deletes
+      val plain = spark.read.schema(schema).parquet(dataFiles.map(_.path): _*)
+      return if (keepLineage) withLineage(plain) else plain
+    }
 
     // ---- positional deletes: one seq-filtered (file, pos) key set -------
     val posSet: Option[DataFrame] = if (posFiles.isEmpty) None else {
@@ -119,14 +142,15 @@ object IcebergScan {
     }
 
     def applyDeletes(group: Seq[FileEntry], applicableEq: Seq[FileEntry]): DataFrame = {
-      var scan = spark.read.schema(schema).parquet(group.map(_.path): _*)
+      // lineage resolves on the scan relation (a projection would hide
+      // the metadata pseudo-column), then rides the anti-joins
+      var scan = withLineage(
+        spark.read.schema(schema).parquet(group.map(_.path): _*))
       posSet.foreach { pos =>
-        val out = scan.columns
         scan = scan
-          .withColumn("__file", normalizePathCol(col("_metadata.file_path")))
-          .withColumn("__pos", col("_metadata.row_index"))
+          .withColumn("__file", normalizePathCol(col("__raw_file")))
           .join(pos, Seq("__file", "__pos"), "left_anti")
-          .select(out.map(col).toSeq: _*)
+          .drop("__file")
       }
       applicableEq.groupBy(_.eqIds).foldLeft(scan) { case (acc, (ids, files)) =>
         val fields = eqColumns(ids)
@@ -146,6 +170,7 @@ object IcebergScan {
     val groups = dataFiles.groupBy(f => eqFiles.filter(_.seq > f.seq).map(_.path).toSet)
     groups.toSeq.sortBy(_._2.head.path).map { case (eqSet, group) =>
       applyDeletes(group, eqFiles.filter(e => eqSet(e.path)))
+        .select(outSchema.fieldNames.map(col).toSeq: _*)
     }.reduce(_ unionByName _)
   }
 

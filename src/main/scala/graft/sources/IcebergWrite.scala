@@ -679,9 +679,10 @@ object IcebergWrite {
     * format-version 2 (later appends keep it).
     *
     * Returns the number of deleted row positions; matching zero rows
-    * commits nothing. Rows already dead under existing delete files may
-    * be re-listed (position re-deletion is a no-op by the spec's
-    * set-union semantics). A delete set is usually tiny relative to the
+    * commits nothing. Victims are planned on the DELETE-APPLIED view
+    * ([[IcebergScan.readWithLineage]]), so rows already dead under
+    * existing position/equality deletes are neither re-listed nor
+    * double-counted. A delete set is usually tiny relative to the
     * data, so it is written as ONE file; the data itself is never
     * rewritten. Same loud-failure scope as the reader: parquet files
     * only. Stale-delete protection across rewrites holds structurally —
@@ -710,11 +711,13 @@ object IcebergWrite {
     // resolve the delete file by id
     val fpMeta = new MetadataBuilder().putLong("parquet.field.id", 2147483546L).build()
     val posMeta = new MetadataBuilder().putLong("parquet.field.id", 2147483545L).build()
-    val victims = spark.read.schema(schema).parquet(dataFiles: _*)
-      .withColumn("__fp", col("_metadata.file_path"))
-      .withColumn("__pos", col("_metadata.row_index"))
+    // victims come from the DELETE-APPLIED lineage view, so a row
+    // already dead under an earlier position/equality delete is never
+    // re-listed or re-counted
+    val victims = IcebergScan.readWithLineage(spark, tablePath)
       .filter(cond)
-      .select(col("__fp").as("file_path", fpMeta), col("__pos").as("pos", posMeta))
+      .select(col("__raw_file").as("file_path", fpMeta),
+        col("__pos").as("pos", posMeta))
 
     // one sorted delete file in its own subdir (writing into data/
     // itself would trip Spark's read-write-same-path guard)

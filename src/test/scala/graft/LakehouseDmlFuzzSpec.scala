@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{DeltaScan, DeltaWrite, IcebergScan, IcebergWrite}
+
+/** Randomized DML-sequence fuzz for both lakehouse writers: a fixed-
+  * seed stream of append / delete / update / merge / compact / restore
+  * (Delta) and append / positional-delete / equality-delete / compact /
+  * rollback / expire (Iceberg) runs against a driver-side model (a
+  * plain Map the same mutations are applied to), and the table read
+  * must equal the model after EVERY op. This is the strongest
+  * interleaving evidence the unit specs can't give: the ops compose in
+  * orders no hand-written case covers (delete after compact after
+  * merge, restore across all of it, expire after rollback, …).
+  * Seeds are fixed — failures reproduce exactly. */
+class LakehouseDmlFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def readDeltaModel(dir: String): Map[Long, (String, Long)] =
+    DeltaScan.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  test("Delta: 40 random append/delete/update/merge/compact/restore ops track the model") {
+    val rnd = new scala.util.Random(421107L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_fuzz").toString + "/t"
+    var model = Map.empty[Long, (String, Long)] // id -> (tag, score)
+    var nextId = 0L
+    // log version -> model state AT that version (restore targets);
+    // keyed by the REAL latestVersion so 0-commit ops can't skew it
+    var hist = Map.empty[Long, Map[Long, (String, Long)]]
+
+    def freshRows(n: Int): Seq[(Long, String, Long)] =
+      (1 to n).map { _ =>
+        nextId += 1
+        (nextId, s"t${rnd.nextInt(5)}", rnd.nextInt(100).toLong)
+      }
+    def df(rows: Seq[(Long, String, Long)]) = rows.toDF("id", "tag", "score")
+    def sync(): Unit = hist += DeltaScan.latestVersion(spark, dir) -> model
+
+    val r0 = freshRows(6)
+    DeltaWrite.create(spark, df(r0), dir)
+    model = r0.map(r => r._1 -> (r._2, r._3)).toMap
+    sync()
+
+    (1 to 40).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 => // append
+          val rows = freshRows(1 + rnd.nextInt(4))
+          DeltaWrite.append(spark, df(rows), dir)
+          model ++= rows.map(r => r._1 -> (r._2, r._3))
+        case 1 => // deleteWhere on a random tag
+          val tag = s"t${rnd.nextInt(5)}"
+          val n = DeltaWrite.deleteWhere(spark, dir, col("tag") === tag)
+          val victims = model.filter(_._2._1 == tag)
+          assert(n == victims.size, s"step $step: delete count $n != ${victims.size}")
+          model --= victims.keys
+        case 2 => // updateWhere: bump score where score < k
+          val k = 20L + rnd.nextInt(60)
+          val n = DeltaWrite.updateWhere(spark, dir, col("score") < k,
+            Seq("score" -> (col("score") + 1000L)))
+          val hits = model.filter(_._2._2 < k)
+          assert(n == hits.size, s"step $step: update count $n != ${hits.size}")
+          model ++= hits.map { case (id, (t, s)) => id -> (t, s + 1000L) }
+        case 3 => // merge: update a random live subset + insert fresh
+          val updates = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextBoolean()).take(3)
+            .map(id => (id, s"t${rnd.nextInt(5)}", rnd.nextInt(100).toLong))
+          val inserts = freshRows(rnd.nextInt(3))
+          val src = updates ++ inserts
+          if (src.nonEmpty) {
+            val (u, i) = DeltaWrite.merge(spark, dir, df(src), Seq("id"))
+            assert(u == updates.size && i == inserts.size,
+              s"step $step: merge counts ($u,$i) != (${updates.size},${inserts.size})")
+            model ++= src.map(r => r._1 -> (r._2, r._3))
+          }
+        case 4 => // compact (content no-op)
+          DeltaWrite.compact(spark, dir, smallFileBytes = 1L << 20, targetFiles = 1)
+        case 5 => // restore to a random recorded version
+          val versions = hist.keys.toSeq.sorted
+          val v = versions(rnd.nextInt(versions.size))
+          DeltaWrite.restore(spark, dir, v)
+          model = hist(v)
+      }
+      sync()
+      val got = readDeltaModel(dir)
+      assert(got == model,
+        s"step $step: table ${got.size} rows diverged from model ${model.size}")
+    }
+  }
+
+  private def readIceModel(dir: String): Map[Long, String] =
+    IcebergScan.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("Iceberg: 35 random append/posdelete/eqdelete/compact/rollback/expire ops track the model") {
+    val rnd = new scala.util.Random(70842L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_fuzz").toString + "/t"
+    var model = Map.empty[Long, String]
+    var nextId = 0L
+    // snapshot-id -> model view at that snapshot (rollback targets);
+    // expire prunes it by the same keepLast+current rule as the writer
+    var snaps = Map.empty[Long, Map[Long, String]]
+
+    def freshRows(n: Int): Seq[(Long, String)] =
+      (1 to n).map { _ => nextId += 1; (nextId, s"t${rnd.nextInt(4)}") }
+    def currentSnapshotId: Long = {
+      val hint = java.nio.file.Paths.get(dir, "metadata", "version-hint.text")
+      val v = new String(java.nio.file.Files.readAllBytes(hint), "UTF-8").trim
+      val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, "metadata", s"v$v.metadata.json")), "UTF-8"))
+      meta.get("current-snapshot-id").asLong()
+    }
+    def sync(): Unit = snaps += currentSnapshotId -> model
+
+    val r0 = freshRows(5)
+    IcebergWrite.create(spark, r0.toDF("id", "tag"), dir)
+    model = r0.toMap
+    sync()
+
+    (1 to 35).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 =>
+          val rows = freshRows(1 + rnd.nextInt(4))
+          IcebergWrite.append(spark, rows.toDF("id", "tag"), dir)
+          model ++= rows
+        case 1 => // positional delete by tag
+          val tag = s"t${rnd.nextInt(4)}"
+          val n = IcebergWrite.deleteWhere(spark, dir, col("tag") === tag)
+          val victims = model.filter(_._2 == tag)
+          assert(n == victims.size, s"step $step: posdelete $n != ${victims.size}")
+          model --= victims.keys
+        case 2 => // equality delete by id keys
+          val keys = model.keys.toSeq.sorted.filter(_ => rnd.nextBoolean()).take(3)
+          if (keys.nonEmpty) {
+            val n = IcebergWrite.deleteEqual(spark, dir, keys.toDF("id"))
+            assert(n == keys.size)
+            model --= keys
+          }
+        case 3 =>
+          IcebergWrite.compact(spark, dir, smallFileBytes = 1L << 20)
+        case 4 => // rollback to a random recorded snapshot
+          if (rnd.nextInt(3) == 0) {
+            val ids = snaps.keys.toSeq.sorted
+            val target = ids(rnd.nextInt(ids.size))
+            IcebergWrite.rollback(spark, dir, target)
+            model = snaps(target)
+          }
+        case 5 => // expire history, keep the newest 3 + current
+          if (rnd.nextInt(3) == 0) {
+            IcebergWrite.expireSnapshots(spark, dir, keepLast = 3)
+            val kept = snaps.keys.toSeq.sorted.takeRight(3).toSet + currentSnapshotId
+            snaps = snaps.filter { case (k, _) => kept.contains(k) }
+          }
+      }
+      sync()
+      val got = readIceModel(dir)
+      assert(got == model,
+        s"step $step: table ${got.size} rows diverged from model ${model.size}")
+    }
+  }
+}
