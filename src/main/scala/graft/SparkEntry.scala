@@ -2035,6 +2035,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Iceberg Z-ORDER (replace snapshot over ALL files): recluster by
+    // doc_id after a delete — content must be exactly the surviving
+    // rows, reclustered not resurrected
+    "q_iceberg_zorder" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_z_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+        .repartition(6)
+      graft.sources.IcebergWrite.create(s, docs, base)
+      graft.sources.IcebergWrite.deleteWhere(s, base, col("doc_id") % 3 === 0)
+      graft.sources.IcebergWrite.zorder(s, base, Seq("doc_id"),
+        bitsPerCol = 12, targetFiles = 4)
+      graft.sources.IcebergScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // Iceberg SCHEMA EVOLUTION: create with (doc_id, lang), evolve-
     // append the odds WITH text under a fresh field id — old files
     // resolve the new column to NULL, ids never reused
@@ -4583,6 +4599,11 @@ object SparkEntry {
 
     "q_iceberg_maintain" ->
       """SELECT doc_id, lang, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_zorder" ->
+      """SELECT doc_id, lang, text FROM documents
+        |WHERE doc_id % 3 <> 0
         |ORDER BY doc_id""".stripMargin,
 
     "q_delta_restore" ->

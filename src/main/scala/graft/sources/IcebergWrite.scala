@@ -265,7 +265,60 @@ object IcebergWrite {
     * Returns (filesCompacted, filesWritten); fewer than two small
     * files is a no-op (nothing to gain, no commit). */
   def compact(spark: SparkSession, tablePath: String,
-      smallFileBytes: Long = 32L << 20, targetFiles: Int = 1): (Int, Int) = {
+      smallFileBytes: Long = 32L << 20, targetFiles: Int = 1): (Int, Int) =
+    rewriteSnapshot(spark, tablePath, smallFileBytes, minPicked = 2,
+      targetFiles, (df, t) => df.repartition(t))
+
+  /** Z-ORDER the table (a `replace` snapshot like [[compact]], over
+    * ALL live files): rows re-clustered by the bit-interleaved key of
+    * `dims` ([[graft.operators.ScaleOps.zorderValue]]) via a
+    * distributed range-partitioned sort, deletes applied during the
+    * rewrite. Same equal-width bucket-grid domain mapping as
+    * [[DeltaWrite.zorder]]; the payoff here is parquet ROW-GROUP
+    * pruning on every clustered dim (Spark's parquet reader skips row
+    * groups by footer min/max on pushed filters). Dims must be
+    * numeric/date/timestamp data columns. */
+  def zorder(spark: SparkSession, tablePath: String, dims: Seq[String],
+      bitsPerCol: Int = 12, targetFiles: Int = 8): (Int, Int) = {
+    require(dims.nonEmpty, "need at least one z-order dimension")
+    require(bitsPerCol >= 1 && bitsPerCol * dims.size <= 63,
+      s"bitsPerCol * nDims must fit a signed long, got $bitsPerCol * ${dims.size}")
+    import org.apache.spark.sql.functions._
+    rewriteSnapshot(spark, tablePath, Long.MaxValue, minPicked = 1,
+      targetFiles, { (df, t) =>
+        dims.foreach { d =>
+          val f = df.schema.fields.find(_.name == d).getOrElse(
+            throw new IllegalArgumentException(
+              s"z-order dim '$d' not in table columns ${df.columns.mkString(", ")}"))
+          require(f.dataType.isInstanceOf[NumericType] || f.dataType == DateType ||
+              f.dataType == TimestampType || f.dataType == TimestampNTZType,
+            s"z-order dim '$d' has type ${f.dataType.simpleString}; " +
+              "numeric/date/timestamp required (hash or rank strings yourself)")
+        }
+        // one metadata-cheap agg: global [min,max] per dim → bucket grid
+        val aggCols = dims.flatMap(d => Seq(
+          min(col(d).cast("double")).as(s"__mn_$d"),
+          max(col(d).cast("double")).as(s"__mx_$d")))
+        val bounds = df.agg(aggCols.head, aggCols.tail: _*).collect()(0) // [lint:bounded] one agg row
+        val nb = 1L << bitsPerCol
+        val buckets = dims.zipWithIndex.map { case (d, i) =>
+          val mn = if (bounds.isNullAt(2 * i)) 0.0 else bounds.getDouble(2 * i)
+          val mx = if (bounds.isNullAt(2 * i + 1)) 0.0 else bounds.getDouble(2 * i + 1)
+          if (mx <= mn) lit(0L)
+          else least(lit(nb - 1), greatest(lit(0L),
+            floor((col(d).cast("double") - lit(mn)) / lit((mx - mn) / nb)).cast("long")))
+        }
+        val z = graft.operators.ScaleOps.zorderValue(buckets, bitsPerCol)
+        df.withColumn("__graft_z", z)
+          .repartitionByRange(t, col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
+      })
+  }
+
+  private def rewriteSnapshot(spark: SparkSession, tablePath: String,
+      smallFileBytes: Long, minPicked: Int, targetFiles: Int,
+      shape: (DataFrame, Int) => DataFrame): (Int, Int) = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hint = new Path(tablePath, "metadata/version-hint.text")
@@ -283,7 +336,7 @@ object IcebergWrite {
     val dataEntries = entries.filter(_.content == 0)
     val sized = dataEntries.map(e => (e, fs.getFileStatus(new Path(e.path)).getLen))
     val (small, kept) = sized.partition(_._2 < smallFileBytes)
-    if (small.size < 2) return (0, 0)
+    if (small.size < minPicked) return (0, 0)
 
     // rewrite through the READER so every applicable delete lands in
     // the output — compacting raw parquet would resurrect deleted rows
@@ -291,7 +344,7 @@ object IcebergWrite {
       Some(small.map(_._1.path).toSet))
     val dataDir = new Path(root, "data")
     val pre = listParquet(fs, dataDir).toSet
-    rewrite.repartition(targetFiles).write.mode("append").parquet(dataDir.toString)
+    shape(rewrite, targetFiles).write.mode("append").parquet(dataDir.toString)
     val conf = spark.sparkContext.hadoopConfiguration
     val added0 = listParquet(fs, dataDir).filterNot(pre.contains)
     // drop empty outputs (every row of the small set may have died)

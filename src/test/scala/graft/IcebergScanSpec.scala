@@ -310,6 +310,52 @@ class IcebergScanSpec extends SparkSpec {
     assert(ids.size == 2000L, s"expected 1999 survivors of the big file + 9002, got ${ids.size}")
   }
 
+  test("zorder: replace-snapshot recluster — rows exact, files bound BOTH dims, deletes applied") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_z").toString + "/t"
+    // 64×64 grid scattered over 6 files, plus a position delete
+    val grid = spark.range(0, 4096)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"),
+        col("id").as("payload"))
+      .repartition(6)
+    IcebergWrite.create(spark, grid, dir)
+    IcebergWrite.deleteWhere(spark, dir, col("payload") === 0L)
+    val before = IcebergScan.read(spark, dir).orderBy("payload")
+      .collect().map(_.toSeq).toSeq
+    val (nIn, nOut) = IcebergWrite.zorder(spark, dir, Seq("x", "y"),
+      bitsPerCol = 6, targetFiles = 16)
+    assert(nIn == 6 && nOut == 16, s"expected 6→16, got ($nIn,$nOut)")
+    val after = IcebergScan.read(spark, dir).orderBy("payload")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "zorder must preserve surviving rows exactly")
+    assert(after.size == 4095, "the deleted row must not resurrect")
+    // clustering: every output file bounds BOTH dims below the full range
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = IcebergScan.currentDataFiles(spark, dir)._2
+    assert(files.size == 16)
+    val spans = files.map { f =>
+      val stats = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("x"),
+          org.apache.spark.sql.functions.max("x"),
+          org.apache.spark.sql.functions.min("y"),
+          org.apache.spark.sql.functions.max("y")).head()
+      (stats.getLong(1) - stats.getLong(0), stats.getLong(3) - stats.getLong(2))
+    }
+    // z-range cuts can straddle a block boundary, so a couple of files
+    // may span wider — but the bulk must bound BOTH dims to a quadrant
+    // (an unclustered scatter leaves every file at span 63/63)
+    val tight = spans.count { case (sx, sy) => sx <= 31 && sy <= 31 }
+    assert(tight >= spans.size - 3,
+      s"z-order should bound both dims in most files, got spans $spans")
+    assert(spans.forall { case (sx, sy) => sx <= 63 && sy <= 63 })
+    // string dim is loud
+    assert(intercept[IllegalArgumentException] {
+      IcebergWrite.zorder(spark, dir, Seq("nope"))
+    }.getMessage.contains("not in table columns"))
+  }
+
   test("rollback: metadata-only restore of an earlier snapshot; appends chain onto it") {
     import graft.sources.{IcebergScan, IcebergWrite}
     import spark.implicits._
