@@ -2134,6 +2134,21 @@ object SparkEntry {
     // never planned (DeltaSkipSpec proves that physically by deleting
     // them); the gate proves the pruned read returns EXACTLY the
     // filter semantics
+    // Iceberg DATA SKIPPING: manifest lower/upper bounds (spec binary
+    // single-value serialization, written from the parquet footers at
+    // commit) prune a range-clustered table's files at plan time — the
+    // gate proves the pruned read returns EXACTLY the filter semantics
+    "q_iceberg_skip" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_skip_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+        .repartitionByRange(8, col("doc_id"))
+      graft.sources.IcebergWrite.create(s, docs, base)
+      graft.sources.IcebergScan.read(s, base,
+          skippingFilter = Some(col("doc_id") >= 100 && col("doc_id") < 160))
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     "q_delta_skip" -> ((s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("graft_delta_skip_gate").toString
       val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
@@ -4544,6 +4559,11 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q_delta_skip" ->
+      """SELECT doc_id, lang, text FROM documents
+        |WHERE doc_id >= 100 AND doc_id < 160
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_skip" ->
       """SELECT doc_id, lang, text FROM documents
         |WHERE doc_id >= 100 AND doc_id < 160
         |ORDER BY doc_id""".stripMargin,

@@ -47,8 +47,10 @@ object IcebergScan {
 
   /** The table as a DataFrame, at `snapshotAsOf` (a snapshot id) if
     * given, else the current snapshot. */
-  def read(spark: SparkSession, tablePath: String, snapshotAsOf: Option[Long] = None): DataFrame =
-    readFiltered(spark, tablePath, snapshotAsOf, None)
+  def read(spark: SparkSession, tablePath: String, snapshotAsOf: Option[Long] = None,
+      skippingFilter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    readInternal(spark, tablePath, snapshotAsOf, None, keepLineage = false,
+      skippingFilter = skippingFilter)
 
   /** [[read]] restricted to a subset of data-file paths (all applicable
     * deletes still applied) — [[IcebergWrite.compact]]'s rewrite input:
@@ -69,7 +71,8 @@ object IcebergScan {
 
   private def readInternal(spark: SparkSession, tablePath: String,
       snapshotAsOf: Option[Long], onlyDataFiles: Option[Set[String]],
-      keepLineage: Boolean): DataFrame = {
+      keepLineage: Boolean,
+      skippingFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val metaDir = new Path(tablePath, "metadata")
     val fs = metaDir.getFileSystem(conf)
@@ -92,10 +95,29 @@ object IcebergScan {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
 
     val entries = snapshotEntries(fs, conf, tablePath, snapshot.get)
-    val dataFiles = dedupeEntries(entries.filter(_.content == 0))
-      .filter(f => onlyDataFiles.forall(_.contains(f.path)))
+    // manifest-carried column bounds prune files BEFORE any scan plans
+    // — the Iceberg twin of DeltaScan's stats skipping, same pruner
+    val dataFiles = {
+      val base = dedupeEntries(entries.filter(_.content == 0))
+        .filter(f => onlyDataFiles.forall(_.contains(f.path)))
+      skippingFilter match {
+        case None => base
+        case Some(f) =>
+          val expr = ParquetStats.predicateExpr(spark, schema, f)
+          val byId: Map[Int, StructField] =
+            currentSchema(meta).get("fields").elements().asScala.toSeq
+              .map(n => n.get("id").asInt() -> schema(n.get("name").asText())).toMap
+          base.filter { e =>
+            val st = IcebergStats.toFileStats(schema, byId, e.rows,
+              e.lower, e.upper, e.nullCounts)
+            ParquetStats.mayMatch(Some(st), expr)
+          }
+      }
+    }
     val posFiles = dedupeEntries(entries.filter(_.content == 1))
     val eqFiles = dedupeEntries(entries.filter(_.content == 2))
+    def finish(df: DataFrame): DataFrame =
+      skippingFilter.map(df.filter).getOrElse(df)
 
     def withLineage(df: DataFrame): DataFrame =
       df.withColumn("__raw_file", col("_metadata.file_path"))
@@ -104,7 +126,7 @@ object IcebergScan {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     if (posFiles.isEmpty && eqFiles.isEmpty) { // fast path: no row-level deletes
       val plain = spark.read.schema(schema).parquet(dataFiles.map(_.path): _*)
-      return if (keepLineage) withLineage(plain) else plain
+      return finish(if (keepLineage) withLineage(plain) else plain)
     }
 
     // ---- positional deletes: one seq-filtered (file, pos) key set -------
@@ -168,10 +190,10 @@ object IcebergScan {
     // data.seq) — distinct sequence numbers are few, so each data file
     // is scanned exactly once and the union stays small
     val groups = dataFiles.groupBy(f => eqFiles.filter(_.seq > f.seq).map(_.path).toSet)
-    groups.toSeq.sortBy(_._2.head.path).map { case (eqSet, group) =>
+    finish(groups.toSeq.sortBy(_._2.head.path).map { case (eqSet, group) =>
       applyDeletes(group, eqFiles.filter(e => eqSet(e.path)))
         .select(outSchema.fieldNames.map(col).toSeq: _*)
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _))
   }
 
   /** planning surface for [[IcebergWrite.deleteWhere]]: the current
@@ -226,8 +248,23 @@ object IcebergScan {
             case l: java.util.Collection[_] => l.asScala.map(_.toString.toInt).toSeq
           }.getOrElse(Seq.empty)
           val rows = opt(df, "record_count").map(_.toString.toLong).getOrElse(0L)
+          def bytesOf(v: AnyRef): Array[Byte] = v match {
+            case b: java.nio.ByteBuffer =>
+              val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+            case a: Array[Byte] => a
+            case other => other.toString.getBytes("UTF-8")
+          }
+          def kvMap[A](name: String)(conv: AnyRef => A): Map[Int, A] =
+            opt(df, name).collect { case l: java.util.Collection[_] =>
+              l.asScala.collect { case r: GenericRecord =>
+                r.get("key").toString.toInt -> conv(r.get("value").asInstanceOf[AnyRef])
+              }.toMap
+            }.getOrElse(Map.empty)
           Some(FileEntry(resolvePath(fs, tablePath, df.get("file_path").toString),
-            seq, content, eqIds, rows))
+            seq, content, eqIds, rows,
+            lower = kvMap("lower_bounds")(bytesOf),
+            upper = kvMap("upper_bounds")(bytesOf),
+            nullCounts = kvMap("null_value_counts")(_.toString.toLong)))
         }
       }
     }
@@ -284,7 +321,10 @@ object IcebergScan {
   /** One manifest entry's file: data (content 0), positional deletes (1),
     * or equality deletes (2), with its resolved data sequence number. */
   private[sources] final case class FileEntry(
-      path: String, seq: Long, content: Int, eqIds: Seq[Int], rows: Long)
+      path: String, seq: Long, content: Int, eqIds: Seq[Int], rows: Long,
+      lower: Map[Int, Array[Byte]] = Map.empty,
+      upper: Map[Int, Array[Byte]] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty)
 
   /** Broadcast a delete key set below this many declared rows. */
   private val deleteBroadcastRows = 4L * 1000 * 1000

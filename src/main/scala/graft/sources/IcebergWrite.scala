@@ -219,6 +219,7 @@ object IcebergWrite {
         file.put("record_count", rows)
         file.put("file_size_in_bytes", len)
         file.put("block_size_in_bytes", DefaultBlockSize)
+        attachStats(file, dataFileSchema, conf, new Path(root, rel), schemaJson)
         val entry = new GenericData.Record(manifestSchema)
         entry.put("status", 1) // ADDED
         entry.put("snapshot_id", version.toLong)
@@ -379,6 +380,7 @@ object IcebergWrite {
       f.put("record_count", rows)
       f.put("file_size_in_bytes", len)
       f.put("block_size_in_bytes", DefaultBlockSize)
+      attachStats(f, dataFileSchema, conf, new Path(root, relPath), carry.schemaJson)
       f
     }
     val addedWithRows = added.map { rel =>
@@ -998,8 +1000,60 @@ object IcebergWrite {
       |{"name":"record_count","type":"long","field-id":103},
       |{"name":"file_size_in_bytes","type":"long","field-id":104},
       |{"name":"block_size_in_bytes","type":"long","field-id":105},
+      |{"name":"null_value_counts","field-id":110,"default":null,
+      |"type":["null",{"type":"array","logicalType":"map",
+      |"items":{"type":"record","name":"k121_v122","fields":[
+      |{"name":"key","type":"int","field-id":121},
+      |{"name":"value","type":"long","field-id":122}]}}]},
+      |{"name":"lower_bounds","field-id":125,"default":null,
+      |"type":["null",{"type":"array","logicalType":"map",
+      |"items":{"type":"record","name":"k126_v127","fields":[
+      |{"name":"key","type":"int","field-id":126},
+      |{"name":"value","type":"bytes","field-id":127}]}}]},
+      |{"name":"upper_bounds","field-id":128,"default":null,
+      |"type":["null",{"type":"array","logicalType":"map",
+      |"items":{"type":"record","name":"k129_v130","fields":[
+      |{"name":"key","type":"int","field-id":129},
+      |{"name":"value","type":"bytes","field-id":130}]}}]},
       |{"name":"equality_ids","field-id":135,"default":null,
       |"type":["null",{"type":"array","items":"int","element-id":136}]}]}}]}""".stripMargin)
+
+  /** GenericData for the map-as-array encoding above */
+  private def kvArray[V](dataFileSchema: Schema, fieldName: String,
+      m: Map[Int, V], enc: V => AnyRef): AnyRef = {
+    val arrSchema = dataFileSchema.getField(fieldName).schema().getTypes.get(1)
+    val itemSchema = arrSchema.getElementType
+    val arr = new GenericData.Array[GenericRecord](m.size, arrSchema)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val r = new GenericData.Record(itemSchema)
+      r.put("key", k)
+      r.put("value", enc(v))
+      arr.add(r)
+    }
+    arr
+  }
+
+  /** attach lower/upper bounds + null counts (from one parquet footer)
+    * to a data_file record — column stats external planners and our
+    * own skippingFilter prune with */
+  private def attachStats(file: GenericData.Record, dataFileSchema: Schema,
+      conf: org.apache.hadoop.conf.Configuration, dataPath: Path,
+      schemaJson: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val idByName = mapper.readTree(schemaJson).get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    val sparkSch = IcebergScan.sparkSchema(mapper.readTree(schemaJson))
+    val (lo, hi, nulls) = IcebergStats.footerBounds(conf, dataPath, sparkSch, idByName)
+    if (nulls.nonEmpty)
+      file.put("null_value_counts", kvArray(dataFileSchema, "null_value_counts",
+        nulls, (v: Long) => java.lang.Long.valueOf(v)))
+    if (lo.nonEmpty)
+      file.put("lower_bounds", kvArray(dataFileSchema, "lower_bounds",
+        lo, (v: Array[Byte]) => java.nio.ByteBuffer.wrap(v)))
+    if (hi.nonEmpty)
+      file.put("upper_bounds", kvArray(dataFileSchema, "upper_bounds",
+        hi, (v: Array[Byte]) => java.nio.ByteBuffer.wrap(v)))
+  }
 
   private val DefaultBlockSize = 67108864L // 64 MiB, the spec's customary default
 

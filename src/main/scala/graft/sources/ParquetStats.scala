@@ -136,6 +136,9 @@ object ParquetStats {
 
   /** fixed-width sortable micros-precision timestamp (matches the form
     * Literal timestamps are rendered to in [[mayMatch]]) */
+  /** public bridge for [[IcebergStats]]' timestamp decoding */
+  private[sources] def microsString(us: Long): String = micros(us)
+
   private def micros(us: Long): String = {
     val secs = Math.floorDiv(us, 1000000L)
     val frac = Math.floorMod(us, 1000000L)
