@@ -100,8 +100,10 @@ object Bench {
     "q_iceberg_delete", "q_arrow_sharded", "q_avro_sharded",
     // round 7: verbatim q9 (5-way join over synthesized partsupp with
     // DECIMAL profit arithmetic); Delta MERGE upsert (victim-file
-    // location + copy-on-write rewrite + conditional commit)
-    "q_tpch_q9", "q_delta_merge")
+    // location + copy-on-write rewrite + conditional commit); Iceberg
+    // replace-snapshot compaction with deletes applied; Iceberg
+    // stats-pruned range scan (manifest bounds skipping)
+    "q_tpch_q9", "q_delta_merge", "q_iceberg_compact", "q_iceberg_skip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
