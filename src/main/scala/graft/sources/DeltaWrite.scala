@@ -658,7 +658,8 @@ object DeltaWrite {
     * file whose every row died leaves an empty part), log adds with
     * footer stats + removes, one conditional commit */
   private def commitRewrite(spark: SparkSession, fs: FileSystem, root: Path,
-      added: Seq[(String, Long)], removedRels: Seq[String]): Unit = {
+      added: Seq[(String, Long)], removedRels: Seq[String],
+      txn: Option[(String, Long)] = None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val (kept, empty) = added.partition { case (rel, _) =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -675,8 +676,11 @@ object DeltaWrite {
       } ++ removedRels.map { rel =>
         s"""{"remove":{"path":${jstr(encodePath(rel))},"deletionTimestamp":$now,"dataChange":true}}"""
       }
+    val txnLines = txn.toSeq.map { case (app, tv) =>
+      s"""{"txn":{"appId":${jstr(app)},"version":$tv,"lastUpdated":$now}}"""
+    }
     val v = DeltaScan.latestVersion(spark, root.toString) + 1
-    writeCommitFile(fs, root, v, actions)
+    writeCommitFile(fs, root, v, txnLines ++ actions)
   }
 
   /** Row-level DELETE, copy-on-write: remove every current row
@@ -804,7 +808,7 @@ object DeltaWrite {
     * the table's own partitioning. Same scope guards as
     * [[deleteWhere]]. */
   def merge(spark: SparkSession, tablePath: String, source: DataFrame,
-      keys: Seq[String]): (Long, Long) = {
+      keys: Seq[String], txn: Option[(String, Long)] = None): (Long, Long) = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "merge needs at least one key column")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -858,7 +862,7 @@ object DeltaWrite {
         val w = newData.write.mode("append")
         (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging)
       }
-      commitRewrite(spark, fs, root, added, victims)
+      commitRewrite(spark, fs, root, added, victims, txn)
       (updated, inserted)
     } finally src.unpersist()
   }

@@ -691,6 +691,67 @@ object Streams {
     }
   }
 
+  /** One micro-batch of the EXACTLY-ONCE CDC UPSERT sink: the batch
+    * MERGEs into the Delta table by `keys` (matched rows replaced,
+    * unmatched inserted — [[graft.sources.DeltaWrite.merge]]), the
+    * merge commit carrying the `txn` {appId, batchId} handshake so a
+    * batch re-delivered after a crash between commit and checkpoint
+    * advance is detected and SKIPPED (re-merging different values
+    * twice is not idempotent, so the guard is load-bearing here in a
+    * way plain appends only need for duplication). `dedupOrder` keeps
+    * only the LAST row per key within the batch (max of that column —
+    * the CDC latest-wins collapse); without it, duplicate in-batch
+    * keys fail loudly via merge's uniqueness check. Returns
+    * (updated, inserted), (0, 0) for empty/re-delivered batches. */
+  def deltaUpsertSinkBatch(
+      batch: DataFrame,
+      tablePath: String,
+      keys: Seq[String],
+      appId: String,
+      batchId: Long,
+      dedupOrder: Option[String] = scala.None): (Long, Long) = {
+    if (batch.isEmpty) return (0L, 0L)
+    val spark = batch.sparkSession
+    val collapsed = dedupOrder match {
+      case scala.None => batch.toDF()
+      case Some(ord) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(ord).desc)
+        batch.toDF().withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+    }
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(tablePath, "_delta_log"))) {
+      graft.sources.DeltaWrite.createWithTxn(
+        spark, collapsed, tablePath, appId, batchId)
+      (0L, collapsed.count())
+    } else {
+      val last = graft.sources.DeltaWrite.lastTxnVersion(spark, tablePath, appId)
+      if (last.exists(_ >= batchId)) (0L, 0L) // re-delivered: already merged
+      else graft.sources.DeltaWrite.merge(
+        spark, tablePath, collapsed, keys, txn = Some((appId, batchId)))
+    }
+  }
+
+  /** the [[deltaUpsertSinkBatch]] loop as a foreachBatch stream — a
+    * keyed CDC stream materialized as an always-current Delta table */
+  def deltaUpsertSink(
+      df: DataFrame,
+      tablePath: String,
+      keys: Seq[String],
+      checkpointLocation: String,
+      dedupOrder: Option[String] = scala.None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val appId = sinkAppId(checkpointLocation)
+    df.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        deltaUpsertSinkBatch(batch.toDF(), tablePath, keys, appId, bid, dedupOrder)
+        ()
+      }
+      .start()
+  }
+
   def deltaSink(
       df: DataFrame,
       tablePath: String,

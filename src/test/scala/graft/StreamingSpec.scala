@@ -1103,6 +1103,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deltaUpsertSink: CDC stream materializes last-writer-wins; re-delivery skipped") {
+    import graft.sources.DeltaScan
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_sink").toString + "/t"
+    val appId = "test-upsert-app"
+    def batch(rows: (Long, String, Long)*): org.apache.spark.sql.DataFrame =
+      rows.toDF("id", "v", "seq")
+    // batch 0 creates; in-batch dup of key 1 collapses to the max seq
+    val (u0, i0) = Streams.deltaUpsertSinkBatch(
+      batch((1L, "a0", 1L), (1L, "a1", 2L), (2L, "b0", 1L)),
+      dir, Seq("id"), appId, 0L, dedupOrder = Some("seq"))
+    assert((u0, i0) == ((0L, 2L)))
+    // batch 1 updates key 1, inserts key 3
+    val (u1, i1) = Streams.deltaUpsertSinkBatch(
+      batch((1L, "a2", 3L), (3L, "c0", 1L)), dir, Seq("id"), appId, 1L)
+    assert((u1, i1) == ((1L, 1L)))
+    // RE-DELIVERY of batch 1 (crash between commit and checkpoint
+    // advance): must be a no-op, not a second merge
+    val vBefore = DeltaScan.latestVersion(spark, dir)
+    assert(Streams.deltaUpsertSinkBatch(
+      batch((1L, "aX", 9L), (3L, "cX", 9L)), dir, Seq("id"), appId, 1L) == ((0L, 0L)))
+    assert(DeltaScan.latestVersion(spark, dir) == vBefore)
+    val rows = DeltaScan.read(spark, dir).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a2"), (2L, "b0"), (3L, "c0")))
+    // and through the real streaming sink: two micro-batches of upserts
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_upsert_sink2").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("graft_upsert_ck").toString
+    val q = Streams.deltaUpsertSink(
+      input.toDF().toDF("id", "v", "seq"), dir2, Seq("id"), ck,
+      dedupOrder = Some("seq"))
+    try {
+      input.addData((1L, "x1", 1L), (2L, "y1", 1L)); q.processAllAvailable()
+      input.addData((1L, "x2", 2L), (3L, "z1", 1L)); q.processAllAvailable()
+      val got = DeltaScan.read(spark, dir2).select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "x2"), (2L, "y1"), (3L, "z1")))
+    } finally q.stop()
+  }
+
   test("retentionStream: aggregated hits across batches equal the batch retention table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
