@@ -1972,6 +1972,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Delta MERGE-ON-READ delete: matching rows recorded as deletion
+    // vectors (protocol 'u'-storage RoaringBitmapArray bins, written
+    // executor-side) — data files untouched, the read applies the DV
+    // anti-join; a second overlapping delete unions into the DVs
+    "q_delta_dv" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_dv_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.DeltaWrite.create(s, docs, base)
+      graft.sources.DeltaWrite.deleteWhereDV(s, base, col("doc_id") % 3 === 0)
+      graft.sources.DeltaWrite.deleteWhereDV(s, base,
+        col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0)
+      graft.sources.DeltaScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // Delta copy-on-write row-level DELETE: lang-partitioned table,
     // delete over a data-column predicate, read back — victims
     // rewritten behind one remove+add commit, survivors intact
@@ -4610,6 +4626,11 @@ object SparkEntry {
     "q_delta_delete" ->
       """SELECT doc_id, lang, text FROM documents
         |WHERE doc_id % 3 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_delta_dv" ->
+      """SELECT doc_id, lang, text FROM documents
+        |WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0
         |ORDER BY doc_id""".stripMargin,
 
     "q_iceberg_compact" ->

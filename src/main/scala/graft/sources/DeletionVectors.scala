@@ -161,6 +161,92 @@ object DeletionVectors {
     positions
   }
 
+  // ---- encoding (the write side of the same public formats) -----------
+
+  /** Serialize sorted row indexes into `<magic><RoaringBitmapArray
+    * portable>` — the exact inverse of [[decode]]: one 32-bit
+    * RoaringBitmap per high-32-bit key (empties included, the array is
+    * dense), each in the interoperable no-run serialization (array
+    * containers ≤4096 values, bitset containers above). */
+  private[graft] def encode(positions: Array[Long]): Array[Byte] = {
+    require(positions.sameElements(positions.sorted), "positions must be sorted")
+    val nBitmaps = if (positions.isEmpty) 0L else (positions.last >>> 32) + 1
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+      out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+    }
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    def le64(v: Long): Unit = { le32(v.toInt); le32((v >>> 32).toInt) }
+    le32(1681511377) // magic
+    le64(nBitmaps)
+    var key = 0L
+    var idx = 0
+    while (key < nBitmaps) {
+      // values of this 32-bit bitmap
+      val start = idx
+      while (idx < positions.length && (positions(idx) >>> 32) == key) idx += 1
+      val vals = java.util.Arrays.copyOfRange(positions, start, idx)
+        .map(p => (p & 0xFFFFFFFFL).toInt)
+      // group into containers by high 16 bits of the 32-bit value
+      val containers = vals.groupBy(v => (v >>> 16) & 0xFFFF).toSeq.sortBy(_._1)
+      le32(12346) // SERIAL_COOKIE_NO_RUN
+      le32(containers.size)
+      containers.foreach { case (k, vs) => le16(k); le16(vs.length - 1) }
+      // offset header (always present with the no-run cookie): byte
+      // offsets of each container's data from the bitmap's start
+      val headerLen = 4 + 4 + containers.size * 4 + containers.size * 4
+      var off = headerLen
+      containers.foreach { case (_, vs) =>
+        le32(off)
+        off += (if (vs.length <= 4096) vs.length * 2 else 8192)
+      }
+      containers.foreach { case (_, vs) =>
+        if (vs.length <= 4096) vs.foreach(v => le16(v & 0xFFFF))
+        else {
+          val words = new Array[Long](1024)
+          vs.foreach { v =>
+            val low = v & 0xFFFF
+            words(low >>> 6) |= (1L << (low & 63))
+          }
+          words.foreach(le64)
+        }
+      }
+      key += 1
+    }
+    out.toByteArray
+  }
+
+  /** Write one deletion vector as a 'u'-storage file under the table
+    * root (`deletion_vector_<uuid>.bin`: 1-byte format version, 4-byte
+    * BIG-endian length, data, 4-byte BIG-endian CRC-32) and return its
+    * descriptor. Safe to call from executor tasks (pass the conf via
+    * [[ConfHolder]]). */
+  private[graft] def writeDvFile(conf: Configuration, tablePath: String,
+      positions: Array[Long]): Descriptor = {
+    val data = encode(positions)
+    val uuid = java.util.UUID.randomUUID()
+    val bb = ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits)
+    bb.putLong(uuid.getLeastSignificantBits)
+    val ref = z85Encode(bb.array())
+    val file = new Path(tablePath, s"deletion_vector_$uuid.bin")
+    val fs = file.getFileSystem(conf)
+    val outS = fs.create(file, false)
+    try {
+      outS.write(1) // format version
+      val lenBuf = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(data.length)
+      outS.write(lenBuf.array())
+      outS.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      val crcBuf = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+        .putInt(crc.getValue.toInt)
+      outS.write(crcBuf.array())
+    } finally outS.close()
+    Descriptor("u", ref, Some(1), data.length, positions.length.toLong)
+  }
+
   /** Parse `<magic><RoaringBitmapArray portable>` into sorted row indexes. */
   private[graft] def decode(data: Array[Byte], size: Int): Array[Long] = {
     val bb = ByteBuffer.wrap(data, 0, size).order(ByteOrder.LITTLE_ENDIAN)

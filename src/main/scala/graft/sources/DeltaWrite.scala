@@ -270,7 +270,11 @@ object DeltaWrite {
       StructField("createdTime", LongType)))
     val protoType = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      // feature-bearing protocols (deletionVectors) must survive
+      // checkpoint truncation or readers lose the capability gate
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
     val txnType = StructType(Seq(
       StructField("appId", StringType), StructField("version", LongType)))
     val actionSchema = StructType(Seq(
@@ -561,6 +565,9 @@ object DeltaWrite {
       smallFileBytes: Long = 32L << 20, targetFiles: Int = 1): Unit = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a raw-parquet rewrite of a DV-carrying file would resurrect its
+    // deleted rows (the re-add drops the descriptor) — refuse loudly
+    requireNoDeletionVectors(spark, tablePath)
     val root = fs.makeQualified(new Path(tablePath))
     val live = replayActions(spark, fs, tablePath)
       .collect { case (p, true, _, _) => p }
@@ -651,7 +658,8 @@ object DeltaWrite {
     base.withColumn("__rel", regexp_replace(
       regexp_replace(col("_metadata.file_path"), "^[A-Za-z][A-Za-z0-9+.\\-]*:/+", "/"),
       "^" + java.util.regex.Pattern.quote(rootNorm), ""))
-      .select((schema.fieldNames :+ "__rel").map(col).toSeq: _*)
+      .withColumn("__pos", col("_metadata.row_index"))
+      .select((schema.fieldNames ++ Seq("__rel", "__pos")).map(col).toSeq: _*)
   }
 
   /** shared rewrite-commit tail: drop zero-row staged files (a victim
@@ -791,6 +799,141 @@ object DeltaWrite {
       }
     commitRewrite(spark, fs, root, added, victims)
     nUpdated
+  }
+
+  /** Latest ADD action (as a mutable Jackson node) per live file, plus
+    * the latest protocol action — the raw-JSON view [[deleteWhereDV]]
+    * clones so re-adds keep stats/partitionValues/size byte-identical */
+  private def replayLatestAdds(fs: FileSystem, tablePath: String)
+      : (Map[String, com.fasterxml.jackson.databind.node.ObjectNode],
+         Option[com.fasterxml.jackson.databind.node.ObjectNode]) = {
+    val logDir = new Path(tablePath, "_delta_log")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val latest = scala.collection.mutable.LinkedHashMap
+      .empty[String, Option[com.fasterxml.jackson.databind.node.ObjectNode]]
+    var proto: Option[com.fasterxml.jackson.databind.node.ObjectNode] = scala.None
+    val versions = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong }
+      .sorted
+    versions.foreach { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.map(mapper.readTree).foreach { node =>
+        if (node.has("add")) {
+          val add = node.get("add").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          latest(decodePath(add.get("path").asText())) = Some(add)
+        } else if (node.has("remove"))
+          latest(decodePath(node.get("remove").get("path").asText())) = scala.None
+        else if (node.has("protocol"))
+          proto = Some(node.get("protocol").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      }
+    }
+    (latest.collect { case (p, Some(n)) => p -> n }.toMap, proto)
+  }
+
+  /** Row-level DELETE, merge-on-read: instead of rewriting files,
+    * record the matching rows' ordinals as DELETION VECTORS (the
+    * protocol's 'u'-storage RoaringBitmapArray files) and re-add each
+    * victim file with its descriptor — an O(matching rows) commit that
+    * never touches the data, the write-cheap twin of [[deleteWhere]]
+    * (which stays the read-cheap choice: DV reads pay an anti-join).
+    * Existing DVs union in; rows already dead are neither re-counted
+    * nor re-listed. The commit upgrades the protocol to
+    * reader 3 / writer 7 with the deletionVectors feature (readers
+    * without DV support then refuse loudly instead of resurrecting
+    * rows — including this library's own copy-on-write ops, which
+    * refuse DV tables by design).
+    *
+    * Scale shape: victims aggregate per FILE (sorted ordinal arrays,
+    * bounded by rows-per-file); each task writes its files' DV bins
+    * EXECUTOR-side, so the driver sees only (file, descriptor) pairs —
+    * bounded by victim file count. Crashed tasks may orphan
+    * `deletion_vector_*.bin` files; they are never read (only
+    * committed descriptors are) — same class as `.staging-*` dirs.
+    * Returns the number of NEWLY deleted rows. */
+  def deleteWhereDV(spark: SparkSession, tablePath: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(tablePath))
+    val (schema, partCols) = tableMeta(fs, tablePath)
+    val (latestAdds, proto) = replayLatestAdds(fs, root.toString)
+    if (latestAdds.isEmpty) return 0L
+    val live = latestAdds.keys.toSeq.sorted
+
+    // existing DV positions as a (rel, pos) frame — built executor-side
+    // from the descriptors (bounded per task by one file's cardinality)
+    val oldDescByRel: Map[String, DeletionVectors.Descriptor] =
+      latestAdds.flatMap { case (rel, add) =>
+        val dv = add.get("deletionVector")
+        if (dv == null || dv.isNull) scala.None
+        else Some(rel -> DeletionVectors.Descriptor(
+          dv.get("storageType").asText(), dv.get("pathOrInlineDv").asText(),
+          Option(dv.get("offset")).map(_.asInt()),
+          dv.get("sizeInBytes").asInt(), dv.get("cardinality").asLong()))
+      }
+    val holder = new DeletionVectors.ConfHolder(spark.sparkContext.hadoopConfiguration)
+    val rootStr = root.toString
+    val oldPosDf = {
+      import spark.implicits._
+      spark.sparkContext.parallelize(oldDescByRel.toSeq, math.max(1, oldDescByRel.size))
+        .flatMap { case (rel, d) =>
+          DeletionVectors.readPositions(holder.value, rootStr, d).map(p => (rel, p))
+        }.toDF("__rel", "__pos")
+    }
+
+    val victims = liveScan(spark, root, schema, partCols, live)
+      .filter(cond)
+      .select(col("__rel"), col("__pos"))
+      .join(oldPosDf, Seq("__rel", "__pos"), "left_anti")
+
+    // one pass: per victim file, the sorted new ordinals; DV files are
+    // written INSIDE the tasks, the driver collects only descriptors
+    val perFile = victims.groupBy("__rel")
+      .agg(sort_array(collect_list(col("__pos"))).as("__ps"))
+    val oldB = spark.sparkContext.broadcast(oldDescByRel)
+    import spark.implicits._
+    val written: Seq[(String, String, Int, Int, Long, Long)] = perFile
+      .as[(String, Seq[Long])]
+      .mapPartitions { rows =>
+        rows.map { case (rel, newPos) =>
+          val old = oldB.value.get(rel)
+            .map(d => DeletionVectors.readPositions(holder.value, rootStr, d))
+            .getOrElse(Array.empty[Long])
+          val union = (old ++ newPos).distinct.sorted
+          val d = DeletionVectors.writeDvFile(holder.value, rootStr, union)
+          (rel, d.pathOrInlineDv, d.offset.getOrElse(1), d.sizeInBytes,
+            d.cardinality, newPos.length.toLong)
+        }
+      }.collect().toSeq // [lint:bounded] one row per VICTIM FILE, never per row
+    if (written.isEmpty) return 0L
+    val nDeleted = written.map(_._6).sum
+
+    val needsUpgrade = proto.forall { p =>
+      p.get("minReaderVersion").asInt() < 3 ||
+        !Option(p.get("readerFeatures")).exists(_.elements().asScala
+          .exists(_.asText() == "deletionVectors"))
+    }
+    val protoAction =
+      if (!needsUpgrade) Seq.empty
+      else Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+    val adds = written.sortBy(_._1).map { case (rel, ref, off, size, card, _) =>
+      val node = latestAdds(rel).deepCopy()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      node.set[com.fasterxml.jackson.databind.node.ObjectNode]("deletionVector",
+        mapper.readTree(
+          s"""{"storageType":"u","pathOrInlineDv":${jstr(ref)},"offset":$off,""" +
+            s""""sizeInBytes":$size,"cardinality":$card}""")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      node.put("dataChange", true)
+      s"""{"add":${node.toString}}"""
+    }
+    val v = DeltaScan.latestVersion(spark, root.toString) + 1
+    writeCommitFile(fs, root, v, protoAction ++ adds)
+    nDeleted
   }
 
   /** MERGE (upsert) by key, copy-on-write: every current row whose key

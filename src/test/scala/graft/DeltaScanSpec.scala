@@ -825,6 +825,69 @@ class DeltaScanSpec extends SparkSpec {
     assert(DeltaScan.read(spark, dir).filter(col("lang") === "fr").count() == 1L)
   }
 
+  test("DV encode/decode round-trips every container shape") {
+    import graft.sources.DeletionVectors
+    val cases: Seq[Array[Long]] = Seq(
+      Array.empty[Long],
+      Array(0L),
+      Array(1L, 5L, 65535L),                       // one array container
+      (0L until 5000L).toArray,                    // bitset container (>4096)
+      Array(3L, 70000L, 140000L),                  // multiple containers
+      (0L until 100L).map(_ * 97L).toArray ++      // mixed + high-32-bit keys
+        Array((1L << 32) | 7L, (1L << 32) | 9L, (3L << 32) | 2L))
+    cases.foreach { ps =>
+      val enc = DeletionVectors.encode(ps)
+      val dec = DeletionVectors.decode(enc, enc.length)
+      assert(dec.toSeq == ps.toSeq, s"round trip failed for ${ps.take(5).toSeq}...")
+    }
+  }
+
+  test("deleteWhereDV: merge-on-read delete — no rewrite, DV union, protocol upgrade") {
+    import graft.sources.{DeltaWrite, DeletionVectors}
+    val dir = freshDir("graft_delta_dv").toString
+    DeltaWrite.create(spark, (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+    DeltaWrite.append(spark, (7L to 9L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+    val parquetsBefore = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+    val n = DeltaWrite.deleteWhereDV(spark, dir, col("id") % 3 === 0)
+    assert(n == 3L) // 3, 6, 9
+    assert(DeltaScan.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L, 5L, 7L, 8L))
+    // merge-on-read: the data files are EXACTLY the ones written before
+    val parquetsAfter = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(parquetsAfter == parquetsBefore, "a DV delete must not rewrite data files")
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("deletion_vector_")), "DV bin file expected")
+    // time travel to the pre-delete version still sees everything
+    assert(DeltaScan.read(spark, dir, versionAsOf = Some(1L)).count() == 9L)
+
+    // overlapping second delete: already-dead rows not re-counted; DVs union
+    assert(DeltaWrite.deleteWhereDV(spark, dir, col("id") >= 5L) == 3L) // 5, 7, 8 (6, 9 dead)
+    assert(DeltaScan.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L))
+    // no-match: no commit
+    val vB = DeltaScan.latestVersion(spark, dir)
+    assert(DeltaWrite.deleteWhereDV(spark, dir, col("id") === 99L) == 0L)
+    assert(DeltaScan.latestVersion(spark, dir) == vB)
+
+    // the copy-on-write ops refuse DV tables loudly (a rewrite would
+    // resurrect deleted rows)
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.deleteWhere(spark, dir, col("id") === 1L)
+    }.getMessage.contains("deletion vectors"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.compact(spark, dir, smallFileBytes = 1L << 20)
+    }.getMessage.contains("deletion vectors"))
+
+    // appends still work; checkpoint carries the DVs + feature protocol
+    DeltaWrite.append(spark, Seq((10L, "v10")).toDF("id", "v"), dir)
+    DeltaWrite.checkpoint(spark, dir)
+    assert(DeltaScan.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L, 10L), "DVs and protocol must survive checkpointing")
+  }
+
   test("DeltaWrite.restore: files and schema roll back as a new commit; vacuumed target is loud") {
     import graft.sources.DeltaWrite
     val dir = freshDir("graft_delta_restore").toString
