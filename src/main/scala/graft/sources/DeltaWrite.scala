@@ -1188,7 +1188,33 @@ object DeltaWrite {
           fs.delete(st.getPath, true)
       }
     }
-    doomed
+    // deletion-vector bins: live = the descriptors on the CURRENT
+    // latest adds; superseded DVs (each deleteWhereDV replaces a
+    // file's descriptor) and crashed tasks' orphans reclaim past the
+    // window — time travel to the versions that referenced them dies
+    // with them, the standard vacuum trade
+    val dvDoomed: Seq[String] =
+      if (!fs.exists(root)) Seq.empty
+      else {
+        val liveDv: Set[String] = replayLatestAdds(fs, root.toString)._1
+          .values.flatMap { add =>
+            val dv = add.get("deletionVector")
+            if (dv == null || dv.isNull) scala.None
+            else if (dv.get("storageType").asText() != "u") scala.None
+            else Some(DeletionVectors.uuidFile(root.toString,
+              dv.get("pathOrInlineDv").asText()).getName)
+          }.toSet
+        fs.listStatus(root).toSeq.collect {
+          case s if !s.isDirectory &&
+              s.getPath.getName.startsWith("deletion_vector_") &&
+              s.getPath.getName.endsWith(".bin") &&
+              !liveDv.contains(s.getPath.getName) &&
+              s.getModificationTime <= cutoff =>
+            if (!dryRun) fs.delete(s.getPath, false)
+            s.getPath.getName
+        }
+      }
+    doomed ++ dvDoomed
   }
 
   /** shared conditional-commit write (create with overwrite=false is

@@ -888,6 +888,28 @@ class DeltaScanSpec extends SparkSpec {
       Set(1L, 2L, 4L, 10L), "DVs and protocol must survive checkpointing")
   }
 
+  test("vacuum reclaims superseded DV bins; the live DV never") {
+    import graft.sources.{DeltaWrite, DeltaScan}
+    val dir = freshDir("graft_delta_dv_vac").toString
+    DeltaWrite.create(spark,
+      (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), dir)
+    DeltaWrite.deleteWhereDV(spark, dir, col("id") === 2L)
+    DeltaWrite.deleteWhereDV(spark, dir, col("id") === 4L) // supersedes the first DV
+    def bins = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("deletion_vector_")).map(_.getName).toSet
+    assert(bins.size == 2)
+    val doomed = DeltaWrite.vacuum(spark, dir, retainMs = 0L)
+    assert(doomed.count(_.startsWith("deletion_vector_")) == 1,
+      s"exactly the superseded DV should reclaim, got $doomed")
+    assert(bins.size == 1, "the live DV bin must survive")
+    // and the table still reads correctly through the surviving DV
+    assert(DeltaScan.read(spark, dir).select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 5L, 6L))
+    // a fresh dry run reports nothing left
+    assert(DeltaWrite.vacuum(spark, dir, retainMs = 0L, dryRun = true)
+      .count(_.startsWith("deletion_vector_")) == 0)
+  }
+
   test("DeltaWrite.restore: files and schema roll back as a new commit; vacuumed target is loud") {
     import graft.sources.DeltaWrite
     val dir = freshDir("graft_delta_restore").toString
