@@ -252,7 +252,12 @@ object DeltaScan {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
 
     // ---- deletion vectors: decode in executors, one anti-join key set ---
-    val dvEntries = files.collect { case (p, _, Some(d)) => (normalizePath(p), d) }
+    // key by the file's URI form: `_metadata.file_path` re-encodes
+    // hive-escaped dir names ('%' → '%25'), so the raw path string
+    // would sit in a different namespace and the anti-join would
+    // silently skip those files' DVs (resurrecting deleted rows)
+    val dvEntries = files.collect { case (p, _, Some(d)) =>
+      (normalizePath(new Path(p).toUri.toString), d) }
     val deletedPos: Option[DataFrame] = if (dvEntries.isEmpty) None else {
       import spark.implicits._
       val bcConf = spark.sparkContext.broadcast(

@@ -651,14 +651,29 @@ object DeltaWrite {
       if (partCols.isEmpty) spark.read.schema(dataSchema).parquet(abs: _*)
       else spark.read.option("basePath", root.toString).schema(schema)
         .parquet(abs: _*)
-    val rootNorm = root.toString.replaceFirst("^[A-Za-z][A-Za-z0-9+.\\-]*:/+", "/")
-      .stripSuffix("/") + "/"
+    // `_metadata.file_path` is the file's URI form — hive-escaped dir
+    // names re-encode ('%' → '%25'), so a string-munged rel would sit
+    // in a DIFFERENT namespace than the log's on-disk rels and the DML
+    // ops would remove/rewrite the wrong paths. Instead map URI → rel
+    // through a broadcast lookup built from the SAME live list the
+    // scan reads (Path.toUri produces the same encoding), keyed
+    // scheme-stripped. Lookup size = live file count, always tiny.
+    val stripScheme = "^[A-Za-z][A-Za-z0-9+.\\-]*:/+"
+    def norm(s: String): String = s.replaceFirst(stripScheme, "/")
+    val uriToRel = live.map { r =>
+      (norm(new Path(root, r).toUri.toString), r)
+    }
+    require(uriToRel.map(_._1).distinct.size == live.size,
+      "live file URIs are not distinct — cannot key the rel lookup")
+    val lookup = broadcast(
+      spark.createDataFrame(uriToRel).toDF("__uri", "__rel"))
     // resolve `_metadata` directly on the scan relation (a projection
-    // in between could hide the metadata pseudo-column), THEN project
-    base.withColumn("__rel", regexp_replace(
-      regexp_replace(col("_metadata.file_path"), "^[A-Za-z][A-Za-z0-9+.\\-]*:/+", "/"),
-      "^" + java.util.regex.Pattern.quote(rootNorm), ""))
+    // in between could hide the metadata pseudo-column), THEN join
+    base
+      .withColumn("__uri",
+        regexp_replace(col("_metadata.file_path"), stripScheme, "/"))
       .withColumn("__pos", col("_metadata.row_index"))
+      .join(lookup, Seq("__uri"))
       .select((schema.fieldNames ++ Seq("__rel", "__pos")).map(col).toSeq: _*)
   }
 

@@ -997,6 +997,24 @@ class DeltaScanSpec extends SparkSpec {
     // zorder path shares the rewrite machinery
     DeltaWrite.zorder(spark, dir, Seq("id"), bitsPerCol = 8)
     assert(all() == expect)
+    // row-level DML's victim location (_metadata-derived rel paths)
+    // must agree with the log's decoded namespace in the ESCAPED dirs:
+    // a mismatch would remove the wrong path or rewrite nothing
+    assert(DeltaWrite.deleteWhere(spark, dir, col("id") === 4L) == 1L)
+    assert(all() == expect - ((4L, "10:00")))
+    assert(DeltaWrite.updateWhere(spark, dir, col("id") === 2L,
+      Seq("id" -> lit(20L))) == 1L)
+    assert(all() == Set((1L, "10:00"), (20L, "90%"), (3L, "plain"), (5L, "90%")))
+    val (u, i) = DeltaWrite.merge(spark, dir,
+      Seq((3L, "moved"), (6L, "10:00")).toDF("id", "slot"), Seq("id"))
+    assert((u, i) == ((1L, 1L)))
+    assert(all() == Set((1L, "10:00"), (20L, "90%"), (3L, "moved"),
+      (5L, "90%"), (6L, "10:00")))
+    // merge-on-read DV delete in the escaped dirs: the descriptor key
+    // and the reader's anti-join must share the URI namespace, or the
+    // DV is silently unapplied and the row resurrects
+    assert(DeltaWrite.deleteWhereDV(spark, dir, col("id") === 5L) == 1L)
+    assert(all() == Set((1L, "10:00"), (20L, "90%"), (3L, "moved"), (6L, "10:00")))
   }
 
   test("vacuum never deletes a live file whose log path is percent-encoded") {
