@@ -830,6 +830,13 @@ object DeltaWrite {
     val versions = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
       .collect { case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong }
       .sorted
+    // a checkpoint-truncated tail would yield a silently PARTIAL add
+    // view — deleting/DV-ing against it corrupts; fail loudly instead
+    require(versions.headOption.contains(0L) &&
+        versions == (0L to versions.lastOption.getOrElse(-1L)),
+      s"the JSON log of $tablePath is truncated (have ${versions.size} of " +
+        s"${versions.lastOption.map(_ + 1).getOrElse(0L)} commits) — " +
+        "row-level ops need the full JSON history")
     versions.foreach { v =>
       val p = new Path(logDir, f"$v%020d.json")
       val in = fs.open(p)
