@@ -48,6 +48,41 @@ object IcebergStats {
   private def le(n: Int): ByteBuffer =
     ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
 
+  /** bounds for a wide string column must not bloat every manifest —
+    * Iceberg's write.metadata.metrics default truncates to 16 chars.
+    * Truncation happens in CHAR space (code units, never splitting a
+    * surrogate pair) so the result is always valid Unicode and the
+    * pruner's String.compareTo ordering is preserved. */
+  private val StringBoundChars = 16
+
+  /** a prefix is ≤ the full string → always a valid LOWER bound */
+  private[graft] def truncateLowerStr(s: String): String =
+    if (s.length <= StringBoundChars) s
+    else {
+      var cut = StringBoundChars
+      if (Character.isHighSurrogate(s.charAt(cut - 1))) cut -= 1
+      s.substring(0, cut)
+    }
+
+  /** truncated UPPER bound: the prefix with its last safely-
+    * incrementable char bumped (and the tail dropped) is > every
+    * string sharing the prefix. A char is safe to bump when +1 does
+    * not overflow, land in the surrogate range, or corrupt a pair;
+    * unsafe trailing chars are dropped first. None when nothing can
+    * be bumped — the column then carries no upper bound, which only
+    * costs pruning power, never correctness. */
+  private[graft] def truncateUpperStr(s: String): Option[String] = {
+    if (s.length <= StringBoundChars) return Some(s)
+    val p = truncateLowerStr(s)
+    var i = p.length - 1
+    def safe(c: Char): Boolean =
+      !Character.isSurrogate(c) && c != 0xFFFF.toChar &&
+        !(c >= 0xD7FF.toChar && c < 0xE000.toChar)
+    while (i >= 0 && !safe(p.charAt(i))) i -= 1
+    if (i < 0) scala.None
+    else scala.Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+  }
+
   private def encode(dt: DataType, v: Any): Option[Array[Byte]] = (dt, v) match {
     case (BooleanType, b: java.lang.Boolean) =>
       Some(Array[Byte](if (b) 1 else 0))
@@ -97,8 +132,19 @@ object IcebergStats {
                 } yield (lo, hi, loC, hiC)
               }
               if (per.length == stats.length) {
-                lower += id -> per.minBy(_._3)(cmpOrd)._1
-                upper += id -> per.maxBy(_._4)(cmpOrd)._2
+                val lo0 = per.minBy(_._3)(cmpOrd)._1
+                val hi0 = per.maxBy(_._4)(cmpOrd)._2
+                f.dataType match {
+                  case StringType =>
+                    lower += id -> truncateLowerStr(
+                      new String(lo0, StandardCharsets.UTF_8))
+                      .getBytes(StandardCharsets.UTF_8)
+                    truncateUpperStr(new String(hi0, StandardCharsets.UTF_8))
+                      .foreach(u => upper += id -> u.getBytes(StandardCharsets.UTF_8))
+                  case _ =>
+                    lower += id -> lo0
+                    upper += id -> hi0
+                }
               }
             }
           }

@@ -421,6 +421,37 @@ class IcebergScanSpec extends SparkSpec {
     assert(other.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
   }
 
+  test("string bounds truncate to 16 chars; truncated pruning stays sound") {
+    import graft.sources.{IcebergScan, IcebergStats, IcebergWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // unit: upper-bound bump semantics
+    assert(IcebergStats.truncateLowerStr("a" * 40) == "a" * 16)
+    assert(IcebergStats.truncateUpperStr("a" * 40).contains("a" * 15 + "b"))
+    assert(IcebergStats.truncateUpperStr("short").contains("short"))
+    assert(IcebergStats.truncateUpperStr("￿" * 40).isEmpty,
+      "un-bumpable prefixes must drop the upper bound, not corrupt it")
+    // e2e: a long-text table's manifests stay small and prune correctly
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_trunc").toString + "/t"
+    val longText = (i: Int) => f"doc_$i%05d_" + ("x" * 500)
+    IcebergWrite.create(spark,
+      (0 until 100).map(i => (i.toLong, longText(i))).toDF("id", "txt")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"), dir)
+    val manifest = new java.io.File(s"$dir/metadata/manifest-1.avro")
+    assert(manifest.length() < 8 * 1024,
+      s"manifest is ${manifest.length()} B — string bounds must be truncated, " +
+        "not carry 500-char texts")
+    // a value outside every file's range prunes to empty
+    assert(IcebergScan.read(spark, dir,
+      skippingFilter = Some(col("txt") === "zzz")).count() == 0L)
+    // a real value (whose 16-char prefix the bounds share) is FOUND —
+    // truncation must never prune a live match
+    assert(IcebergScan.read(spark, dir,
+      skippingFilter = Some(col("txt") === longText(57))).count() == 1L)
+    assert(IcebergScan.read(spark, dir,
+      skippingFilter = Some(col("txt") < longText(3))).count() == 3L)
+  }
+
   test("rollback: metadata-only restore of an earlier snapshot; appends chain onto it") {
     import graft.sources.{IcebergScan, IcebergWrite}
     import spark.implicits._
