@@ -88,6 +88,48 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
     }
   }
 
+  test("Delta DV track: 30 random append/dvdelete/checkpoint/vacuum ops track the model") {
+    val rnd = new scala.util.Random(90210L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv_fuzz").toString + "/t"
+    var model = Map.empty[Long, String] // id -> tag
+    var nextId = 0L
+    def freshRows(n: Int): Seq[(Long, String)] =
+      (1 to n).map { _ => nextId += 1; (nextId, s"t${rnd.nextInt(4)}") }
+
+    val r0 = freshRows(5)
+    DeltaWrite.create(spark, r0.toDF("id", "tag"), dir)
+    model = r0.toMap
+
+    (1 to 30).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 | 1 => // append keeps the table growing
+          val rows = freshRows(1 + rnd.nextInt(3))
+          DeltaWrite.append(spark, rows.toDF("id", "tag"), dir)
+          model ++= rows
+        case 2 => // DV delete by tag — existing DVs must union in
+          val tag = s"t${rnd.nextInt(4)}"
+          val n = DeltaWrite.deleteWhereDV(spark, dir, col("tag") === tag)
+          val victims = model.filter(_._2 == tag)
+          assert(n == victims.size,
+            s"step $step: dv delete counted $n, model says ${victims.size}")
+          model --= victims.keys
+        case 3 => // checkpoint must carry DVs + feature protocol
+          DeltaWrite.checkpoint(spark, dir)
+        case 4 => // vacuum reclaims superseded DV bins, never live state
+          DeltaWrite.vacuum(spark, dir, retainMs = 0L)
+      }
+      val got = DeltaScan.read(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == model,
+        s"step $step: table ${got.size} rows diverged from model ${model.size}")
+    }
+    // end state: the copy-on-write ops still refuse the DV table
+    if (DeltaScan.read(spark, dir).count() > 0)
+      intercept[IllegalArgumentException] {
+        DeltaWrite.compact(spark, dir, smallFileBytes = 1L << 20)
+      }
+  }
+
   private def readIceModel(dir: String): Map[Long, String] =
     IcebergScan.read(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
