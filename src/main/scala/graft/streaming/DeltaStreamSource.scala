@@ -1,0 +1,263 @@
+package graft.streaming
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.example.data.Group
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{DeletionVectors, DeltaScan}
+
+/** STREAMING SOURCE over the built-in Delta tables — a real
+  * DataSource-V2 `MicroBatchStream`, not a polling loop:
+  *
+  * {{{
+  * spark.readStream
+  *   .format("graft.streaming.DeltaStreamProvider")
+  *   .option("startingVersion", "0")   // default 0 = existing content first
+  *   .load(tablePath)
+  * }}}
+  *
+  * Offsets are LOG VERSIONS (exclusive start, inclusive end): each
+  * micro-batch reads exactly the `add` actions of the newly committed
+  * versions, so progress is transactional and a checkpoint restart
+  * resumes at the committed version with no duplicates (spec-proven).
+  * Append-only contract like [[graft.sources.DeltaScan.readChanges]]:
+  * a `dataChange=true` remove (copy-on-write DELETE/UPDATE/MERGE) or a
+  * deletion-vector re-add inside the range fails the stream loudly —
+  * a streaming consumer cannot retract rows it already emitted.
+  * Compaction commits (`dataChange=false`) are skipped per protocol.
+  *
+  * Scale shape: planning reads only the new commits' JSON (KBs);
+  * each data file becomes one input partition whose reader is a plain
+  * parquet-mr scan — executor-side, no driver data movement.
+  * Scope: primitive top-level columns, hive partitioning (values from
+  * the add's partitionValues), INT64-micros timestamps (Spark's
+  * INT96 default is refused loudly — write with
+  * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`). */
+class DeltaStreamProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DeltaStreamSource.tableSchema(DeltaStreamSource.pathOf(options))._1
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new DeltaStreamTable(schema,
+      DeltaStreamSource.pathOf(new CaseInsensitiveStringMap(properties)))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+private[streaming] class DeltaStreamTable(schema: StructType, path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-delta-stream(`$path`)"
+  override def schema(): StructType = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new DeltaMicroBatchStream(path, schema,
+            Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
+      }
+    }
+}
+
+/** offset = highest log version already processed */
+private[streaming] case class DeltaVersionOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+private[streaming] class DeltaMicroBatchStream(
+    path: String, schema: StructType, startingVersion: Long)
+    extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = DeltaVersionOffset(startingVersion - 1)
+
+  override def latestOffset(): Offset =
+    DeltaVersionOffset(DeltaScan.latestVersion(spark, path))
+
+  override def deserializeOffset(json: String): Offset =
+    DeltaVersionOffset(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json).get("version").asLong())
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[DeltaVersionOffset].version
+    val to = end.asInstanceOf[DeltaVersionOffset].version
+    if (to <= from) return Array.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val root = fs.makeQualified(new Path(path))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parts = Seq.newBuilder[InputPartition]
+    ((from + 1) to to).foreach { v =>
+      val p = new Path(root, f"_delta_log/$v%020d.json")
+      require(fs.exists(p),
+        s"streaming source lost commit $v of $path (log truncated?)")
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.map(mapper.readTree).foreach { node =>
+        if (node.has("add")) {
+          val add = node.get("add")
+          val dataChange = Option(add.get("dataChange")).forall(_.asBoolean(true))
+          val dv = add.get("deletionVector")
+          require(dv == null || dv.isNull,
+            s"commit $v of $path re-adds a file with a deletion vector — " +
+              "an append-only stream cannot retract already-emitted rows; " +
+              "use the batch reader for DV tables")
+          if (dataChange) {
+            val decoded = graft.sources.DeltaScan.percentDecode(add.get("path").asText())
+            val pv: Map[String, String] =
+              Option(add.get("partitionValues")).map(_.fields().asScala.map(e =>
+                e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+                .getOrElse(Map.empty)
+            parts += DeltaFilePartition(
+              new Path(root, decoded).toString, pv)
+          }
+        } else if (node.has("remove")) {
+          val rm = node.get("remove")
+          val dataChange = Option(rm.get("dataChange")).forall(_.asBoolean(true))
+          require(!dataChange,
+            s"commit $v of $path removes data (delete/update/merge/restore) — " +
+              "an append-only stream cannot retract already-emitted rows; " +
+              "re-derive downstream state from the batch reader instead")
+        }
+      }
+    }
+    parts.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DeltaFileReaderFactory(schema,
+      new DeletionVectors.ConfHolder(spark.sparkContext.hadoopConfiguration))
+}
+
+private[streaming] case class DeltaFilePartition(
+    absPath: String, partitionValues: Map[String, String]) extends InputPartition
+
+private[streaming] class DeltaFileReaderFactory(
+    schema: StructType, holder: DeletionVectors.ConfHolder)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val fp = partition.asInstanceOf[DeltaFilePartition]
+    new PartitionReader[InternalRow] {
+      private val reader: ParquetReader[Group] = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(fp.absPath), holder.value)
+        new ParquetReader.Builder[Group](in) {
+          override def getReadSupport() = new GroupReadSupport()
+        }.build()
+      }
+      private var row: Group = _
+      override def next(): Boolean = { row = reader.read(); row != null }
+      override def get(): InternalRow =
+        DeltaStreamSource.toInternalRow(schema, fp.partitionValues, row)
+      override def close(): Unit = reader.close()
+    }
+  }
+}
+
+private[streaming] object DeltaStreamSource {
+
+  def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-delta-stream needs a table path: .load(path) or .option(\"path\", ...)"))
+    p
+  }
+
+  /** (schema, partition columns) from the latest metaData in the log */
+  def tableSchema(path: String): (StructType, Seq[String]) = {
+    val spark = SparkSession.active
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(path, "_delta_log")
+    require(fs.exists(logDir), s"no Delta table at $path")
+    val versions = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong }
+      .sorted.reverse
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = versions.iterator.flatMap { v =>
+      val in = fs.open(new Path(logDir, f"$v%020d.json"))
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+        finally in.close()
+      lines.map(mapper.readTree).filter(_.has("metaData")).map(_.get("metaData"))
+        .lastOption
+    }.nextOption().getOrElse(throw new IllegalStateException(
+      s"the JSON log of $path carries no metaData"))
+    val schema = DataType.fromJson(md.get("schemaString").asText())
+      .asInstanceOf[StructType]
+    val partCols = Option(md.get("partitionColumns"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    (schema, partCols)
+  }
+
+  /** one parquet-mr Group + the hive partition values → InternalRow in
+    * schema order; executors only, no Spark scan machinery */
+  def toInternalRow(schema: StructType, partitionValues: Map[String, String],
+      g: Group): InternalRow = {
+    val groupFields = (0 until g.getType.getFieldCount)
+      .map(i => g.getType.getFieldName(i)).toSet
+    val values = schema.fields.map { f =>
+      if (partitionValues.contains(f.name)) partitionValue(f, partitionValues(f.name))
+      else if (!groupFields.contains(f.name)) null // evolved column absent in old files
+      else if (g.getFieldRepetitionCount(f.name) == 0) null
+      else f.dataType match {
+        case LongType => g.getLong(f.name, 0)
+        case IntegerType | DateType => g.getInteger(f.name, 0)
+        case ShortType => g.getInteger(f.name, 0).toShort
+        case ByteType => g.getInteger(f.name, 0).toByte
+        case DoubleType => g.getDouble(f.name, 0)
+        case FloatType => g.getFloat(f.name, 0)
+        case BooleanType => g.getBoolean(f.name, 0)
+        case StringType => UTF8String.fromBytes(g.getBinary(f.name, 0).getBytes)
+        case TimestampType | TimestampNTZType =>
+          // INT64 micros only; Spark's INT96 default throws inside
+          // parquet-mr with a type error — surface the remedy
+          try g.getLong(f.name, 0)
+          catch {
+            case e: RuntimeException => throw new IllegalArgumentException(
+              s"timestamp column '${f.name}' is not INT64 micros — write the " +
+                "table with spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS", e)
+          }
+        case other => throw new IllegalArgumentException(
+          s"column '${f.name}': type ${other.sql} not supported by the " +
+            "streaming source (primitive top-level columns only)")
+      }
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  private def partitionValue(f: StructField, raw: String): Any =
+    if (raw == null) null
+    else f.dataType match {
+      case StringType => UTF8String.fromString(raw)
+      case LongType => raw.toLong
+      case IntegerType => raw.toInt
+      case DoubleType => raw.toDouble
+      case BooleanType => raw.toBoolean
+      case other => throw new IllegalArgumentException(
+        s"partition column '${f.name}': type ${other.sql} not supported by " +
+          "the streaming source")
+    }
+}

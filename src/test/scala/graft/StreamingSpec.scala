@@ -1145,6 +1145,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("DeltaStreamProvider: micro-batches track commits, restart resumes, CoW delete is loud") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    val dir = java.nio.file.Files.createTempDirectory("graft_dstream").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("graft_dstream_ck").toString
+    DeltaWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+
+    // foreachBatch sink: the memory sink cannot recover from a
+    // checkpoint, and recovery is exactly what this test proves
+    val delivered = scala.collection.mutable.ListBuffer[Long]()
+    def startStream() = spark.readStream
+      .format(classOf[graft.streaming.DeltaStreamProvider].getName)
+      .load(dir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = b.collect().map(_.getLong(0))
+        delivered.synchronized { delivered ++= ids }
+        ()
+      }.start()
+
+    val q = startStream()
+    try {
+      q.processAllAvailable()
+      assert(delivered.synchronized(delivered.toSet) == Set(1L, 2L),
+        "existing content must arrive as the first batch")
+      // live append lands in the next micro-batch
+      DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), dir)
+      q.processAllAvailable()
+      assert(delivered.synchronized(delivered.toSet) == Set(1L, 2L, 3L))
+      // compaction (dataChange=false) must NOT re-emit rows
+      DeltaWrite.compact(spark, dir, smallFileBytes = 1L << 20, targetFiles = 1)
+      q.processAllAvailable()
+      assert(delivered.synchronized(delivered.size) == 3,
+        "a compaction commit must not duplicate rows in the stream")
+    } finally q.stop()
+
+    // append while the stream is DOWN; restart from the checkpoint —
+    // exactly the missed rows arrive, no re-delivery of old ones
+    DeltaWrite.append(spark, Seq((4L, "d"), (5L, "e")).toDF("id", "v"), dir)
+    val q2 = startStream()
+    try {
+      q2.processAllAvailable()
+      assert(delivered.synchronized(delivered.sorted.toSeq) == Seq(1L, 2L, 3L, 4L, 5L),
+        s"checkpoint restart must resume at the committed version, got $delivered")
+      // a copy-on-write delete breaks the append-only contract loudly
+      DeltaWrite.deleteWhere(spark, dir, col("id") === 1L)
+      DeltaWrite.append(spark, Seq((6L, "f")).toDF("id", "v"), dir)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      def mentionsRetract(t: Throwable): Boolean =
+        t != null && (Option(t.getMessage).exists(_.contains("retract")) ||
+          mentionsRetract(t.getCause))
+      assert(mentionsRetract(e))
+    } finally q2.stop()
+  }
+
   test("retentionStream: aggregated hits across batches equal the batch retention table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
