@@ -2111,6 +2111,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Iceberg twin of q_delta_update: copy-on-write row-level UPDATE
+    // through the overwrite snapshot — only files holding matching
+    // rows rewritten, sequence numbers preserved on the rest
+    "q_iceberg_update" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_upd_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(s, docs, base)
+      graft.sources.IcebergWrite.updateWhere(s, base, col("doc_id") % 3 === 0,
+        Seq("text" -> concat(lit("UPD:"), col("text"))))
+      graft.sources.IcebergScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Iceberg twin of q_delta_merge: upsert by key through the
+    // overwrite snapshot (evens update in place, odds insert)
+    "q_iceberg_merge" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_merge_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(
+        s, docs.filter(col("doc_id") % 2 === 0), base)
+      val source = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("text", concat(lit("UPD:"), col("text")))
+      graft.sources.IcebergWrite.merge(s, base, source, Seq("doc_id"))
+      graft.sources.IcebergScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // Delta MERGE (upsert): every doc_id % 3 == 0 row upserts with a
     // marked text (evens update in place, odds insert) — files holding
     // matched keys rewritten, everything else untouched
@@ -4670,6 +4699,20 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q_delta_merge" ->
+      """SELECT doc_id, lang, text FROM documents
+        |WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+        |UNION ALL
+        |SELECT doc_id, lang, 'UPD:' || text FROM documents
+        |WHERE doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_update" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'UPD:' || text ELSE text END AS text
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_merge" ->
       """SELECT doc_id, lang, text FROM documents
         |WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
         |UNION ALL

@@ -335,10 +335,10 @@ object IcebergScan {
   private def opt(r: GenericRecord, field: String): Option[AnyRef] =
     if (r.getSchema.getField(field) == null) None else Option(r.get(field))
 
-  private def normalizePath(p: String): String =
+  private[sources] def normalizePath(p: String): String =
     p.replaceFirst("^[A-Za-z][A-Za-z0-9+.\\-]*:/+", "/")
 
-  private def normalizePathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[sources] def normalizePathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.\\-]*:/+", "/")
 
   /** Latest table metadata as parsed JSON: prefer version-hint.text

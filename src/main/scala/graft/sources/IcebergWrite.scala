@@ -40,14 +40,19 @@ import org.apache.spark.sql.types._
   */
 object IcebergWrite {
 
-  def create(spark: SparkSession, df: DataFrame, tablePath: String): Unit = {
+  def create(spark: SparkSession, df: DataFrame, tablePath: String,
+      txn: Option[(String, Long)] = None): Unit = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(tablePath, "metadata")),
       s"Iceberg metadata already exists at $tablePath — use append")
-    commit(spark, fs, df, tablePath, version = 1)
+    commit(spark, fs, df, tablePath, version = 1, txn = txn)
   }
 
-  def append(spark: SparkSession, df: DataFrame, tablePath: String): Unit = {
+  def append(spark: SparkSession, df: DataFrame, tablePath: String): Unit =
+    appendTxn(spark, df, tablePath, txn = None)
+
+  private def appendTxn(spark: SparkSession, df: DataFrame, tablePath: String,
+      txn: Option[(String, Long)]): Unit = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hint = new Path(tablePath, "metadata/version-hint.text")
     require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
@@ -61,7 +66,33 @@ object IcebergWrite {
       declared.fields.map(f => (f.name, f.dataType)).toSeq ==
         df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
       s"append schema ${df.schema.simpleString} does not match the table's ${declared.simpleString}")
-    commit(spark, fs, df, tablePath, version = prev + 1)
+    commit(spark, fs, df, tablePath, version = prev + 1, txn = txn)
+  }
+
+  /** [[create]]/[[append]] carrying an exactly-once streaming-sink txn
+    * marker: table property `graft.txn.<appId>` = batchId, carried
+    * forward by every later commit and SURVIVING snapshot expiry
+    * (properties live in the metadata JSON, not in any snapshot).
+    * The Iceberg twin of [[DeltaWrite.appendWithTxn]]'s txn action. */
+  def createWithTxn(spark: SparkSession, df: DataFrame, tablePath: String,
+      appId: String, batchId: Long): Unit =
+    create(spark, df, tablePath, txn = Some((appId, batchId)))
+
+  def appendWithTxn(spark: SparkSession, df: DataFrame, tablePath: String,
+      appId: String, batchId: Long): Unit =
+    appendTxn(spark, df, tablePath, txn = Some((appId, batchId)))
+
+  /** highest batch id committed for `appId`, from the current metadata
+    * JSON's table properties; None if this app never committed */
+  def lastTxnVersion(spark: SparkSession, tablePath: String, appId: String): Option[Long] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    if (!fs.exists(hint)) return scala.None
+    val v = readUtf8(fs, hint).trim.toInt
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readUtf8(fs, new Path(tablePath, s"metadata/v$v.metadata.json")))
+    Option(node.get("properties")).flatMap(p =>
+      Option(p.get(s"graft.txn.$appId")).map(_.asText().toLong))
   }
 
   /** APPEND WITH SCHEMA EVOLUTION: columns of `df` the table lacks are
@@ -167,9 +198,13 @@ object IcebergWrite {
         .getOrElse(java.util.UUID.randomUUID().toString))
   }
 
+  private def txnProps(txn: Option[(String, Long)]): Map[String, String] =
+    txn.map { case (appId, batchId) => s"graft.txn.$appId" -> batchId.toString }.toMap
+
   private def commit(spark: SparkSession, fs: FileSystem, df: DataFrame,
       tablePath: String, version: Int,
-      carryOverride: Option[SchemaCarry] = None): Unit = {
+      carryOverride: Option[SchemaCarry] = None,
+      txn: Option[(String, Long)] = None): Unit = {
     val root = fs.makeQualified(new Path(tablePath))
     // fast-fail a stale racing writer BEFORE any data is written (no
     // orphan parquet); the overwrite=false create below remains the
@@ -246,7 +281,7 @@ object IcebergWrite {
       manifestListMeta(version, fmtVersion))
 
     writeMetadataJson(fs, metaDir, root, version, fmtVersion,
-      carry, listRel, operation = "append")
+      carry, listRel, operation = "append", propsOverride = txnProps(txn))
   }
 
   /** COMPACTION (the spec's `replace` snapshot): rewrite the live data
@@ -267,8 +302,12 @@ object IcebergWrite {
     * files is a no-op (nothing to gain, no commit). */
   def compact(spark: SparkSession, tablePath: String,
       smallFileBytes: Long = 32L << 20, targetFiles: Int = 1): (Int, Int) =
-    rewriteSnapshot(spark, tablePath, smallFileBytes, minPicked = 2,
-      targetFiles, (df, t) => df.repartition(t))
+    rewriteSnapshot(spark, tablePath,
+      pick = { sized =>
+        val small = sized.filter(_._2 < smallFileBytes)
+        if (small.size < 2) Seq.empty else small // fewer than 2: nothing to gain
+      },
+      targetFiles, (df, t) => df.repartition(t), operation = "replace")
 
   /** Z-ORDER the table (a `replace` snapshot like [[compact]], over
     * ALL live files): rows re-clustered by the bit-interleaved key of
@@ -285,7 +324,7 @@ object IcebergWrite {
     require(bitsPerCol >= 1 && bitsPerCol * dims.size <= 63,
       s"bitsPerCol * nDims must fit a signed long, got $bitsPerCol * ${dims.size}")
     import org.apache.spark.sql.functions._
-    rewriteSnapshot(spark, tablePath, Long.MaxValue, minPicked = 1,
+    rewriteSnapshot(spark, tablePath, pick = identity,
       targetFiles, { (df, t) =>
         dims.foreach { d =>
           val f = df.schema.fields.find(_.name == d).getOrElse(
@@ -314,12 +353,21 @@ object IcebergWrite {
           .repartitionByRange(t, col("__graft_z"))
           .sortWithinPartitions("__graft_z")
           .drop("__graft_z")
-      })
+      }, operation = "replace")
   }
 
+  /** Shared OVERWRITE/REPLACE snapshot core: `pick` selects the victim
+    * data files from the sized live entries (empty ⇒ no-op, no commit),
+    * `shape` maps the victims-through-the-reader view (all applicable
+    * deletes applied) to the replacement rows. The commit's single data
+    * manifest holds ADDED entries for the outputs (sequence = this
+    * commit) + EXISTING entries for untouched files with their original
+    * sequence numbers; delete manifests carry forward verbatim. */
   private def rewriteSnapshot(spark: SparkSession, tablePath: String,
-      smallFileBytes: Long, minPicked: Int, targetFiles: Int,
-      shape: (DataFrame, Int) => DataFrame): (Int, Int) = {
+      pick: Seq[(IcebergScan.FileEntry, Long)] => Seq[(IcebergScan.FileEntry, Long)],
+      targetFiles: Int,
+      shape: (DataFrame, Int) => DataFrame, operation: String,
+      txn: Option[(String, Long)] = None): (Int, Int) = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hint = new Path(tablePath, "metadata/version-hint.text")
@@ -336,8 +384,10 @@ object IcebergWrite {
     val (_, entries) = IcebergScan.currentEntries(spark, tablePath)
     val dataEntries = entries.filter(_.content == 0)
     val sized = dataEntries.map(e => (e, fs.getFileStatus(new Path(e.path)).getLen))
-    val (small, kept) = sized.partition(_._2 < smallFileBytes)
-    if (small.size < minPicked) return (0, 0)
+    val small = pick(sized)
+    if (small.isEmpty) return (0, 0)
+    val victimPaths = small.map(_._1.path).toSet
+    val kept = sized.filterNot(s => victimPaths.contains(s._1.path))
 
     // rewrite through the READER so every applicable delete lands in
     // the output — compacting raw parquet would resurrect deleted rows
@@ -430,8 +480,153 @@ object IcebergWrite {
       manifestListMeta(version, fmtVersion))
 
     writeMetadataJson(fs, metaDir, root, version, fmtVersion,
-      carry, listRel, operation = "replace")
+      carry, listRel, operation = operation, propsOverride = txnProps(txn))
     (small.size, added.size)
+  }
+
+  /** Row-level UPDATE, copy-on-write (the spec's `overwrite` snapshot):
+    * set `assignments` on every current row matching `cond`, rewriting
+    * only the data files that hold matching rows. Every SET right-hand
+    * side sees the ORIGINAL row values (one projection, SQL UPDATE
+    * semantics); rows where `cond` is NULL are not updated; the
+    * assignment must preserve the column's type (checked against the
+    * table schema, loud otherwise). Victims are planned on the
+    * delete-applied lineage view, so rows already dead under an earlier
+    * position/equality delete are neither counted nor resurrected —
+    * the rewrite reads through [[IcebergScan]], and the rewritten files
+    * take this commit's sequence number so older equality deletes never
+    * re-apply to them. Untouched files keep their original sequence
+    * numbers; time travel to pre-update snapshots keeps working.
+    * Returns the number of rows updated.
+    *
+    * Scale shape: victim location is ONE count+collect_set aggregate
+    * (driver state bounded by file count); the rewrite reads only the
+    * victim files. Mirrors [[DeltaWrite.updateWhere]]. */
+  def updateWhere(spark: SparkSession, tablePath: String,
+      cond: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    import org.apache.spark.sql.functions._
+    require(assignments.nonEmpty, "updateWhere needs at least one SET assignment")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (schema, _) = IcebergScan.currentDataFiles(spark, tablePath)
+    val setByName = assignments.toMap
+    require(setByName.size == assignments.size, "duplicate SET column")
+    assignments.foreach { case (n, _) =>
+      require(schema.fieldNames.contains(n),
+        s"SET column '$n' is not in the table schema") }
+
+    // victims from the DELETE-APPLIED lineage view: a row already dead
+    // under an earlier position/equality delete never fires the update
+    val hit = IcebergScan.readWithLineage(spark, tablePath).filter(cond)
+      .agg(count(lit(1)).as("n"),
+        collect_set(IcebergScan.normalizePathCol(col("__raw_file"))).as("files"))
+      .head() // [lint:bounded] one row: a count and a file-count-bounded set
+    val nUpdated = hit.getLong(0)
+    if (nUpdated == 0L) return 0L
+    val victims = hit.getSeq[String](1).toSet
+
+    val fire = coalesce(cond, lit(false))
+    // one projection so every RHS reads pre-update values
+    val projected = schema.fieldNames.map { n =>
+      setByName.get(n).map(e => when(fire, e).otherwise(col(n)).as(n))
+        .getOrElse(col(n))
+    }.toSeq
+    val (picked, written) = rewriteSnapshot(spark, tablePath,
+      pick = { sized =>
+        val hits = sized.filter(s => victims.contains(IcebergScan.normalizePath(s._1.path)))
+        // a victim the live entries can't name means the path namespaces
+        // diverged (the silent-no-op bug class) — corrupt loudly, never quietly
+        require(hits.size == victims.size,
+          s"victim files ${victims.size} != matched live entries ${hits.size} — " +
+            "path namespace mismatch between the lineage view and the manifest")
+        hits
+      },
+      targetFiles = 1,
+      shape = { (df, _) =>
+        // type-preservation guard BEFORE any file is written (plan-only):
+        // a widening coercion in a SET expression would drift the table type
+        val probe = df.select(projected: _*).schema
+        require(
+          probe.fields.map(f => (f.name, f.dataType)).toSeq ==
+            schema.fields.map(f => (f.name, f.dataType)).toSeq,
+          s"UPDATE changes the schema to ${probe.simpleString} — " +
+            s"assignments must preserve the table's ${schema.simpleString}")
+        df.select(projected: _*)
+      }, operation = "overwrite")
+    require(picked > 0 && written > 0,
+      s"update rewrite wrote no files (picked=$picked written=$written)")
+    nUpdated
+  }
+
+  /** MERGE (upsert) by key, copy-on-write (the spec's `overwrite`
+    * snapshot): every current row whose key tuple appears in `source`
+    * is replaced by the source row; source rows with no match are
+    * inserted — rewriting only the data files that hold matched rows.
+    * Returns (updatedRows, insertedRows). Source key tuples must be
+    * unique (an ambiguous upsert fails loudly); the source schema must
+    * match the table's; NULL keys never match (standard equi-join
+    * semantics — such source rows insert). Same lineage-view victim
+    * planning and sequence-number rules as [[updateWhere]]; with no
+    * matched rows the merge degrades to a plain append.
+    * Mirrors [[DeltaWrite.merge]]. */
+  def merge(spark: SparkSession, tablePath: String, source: DataFrame,
+      keys: Seq[String], txn: Option[(String, Long)] = None): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val (schema, _) = IcebergScan.currentDataFiles(spark, tablePath)
+    require(
+      schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        source.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"merge source schema ${source.schema.simpleString} does not match " +
+        s"the table's ${schema.simpleString}")
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"merge key column '$k' is not in the table schema"))
+
+    val src = source.persist()
+    try {
+      val srcRows = src.count()
+      if (srcRows == 0L) return (0L, 0L)
+      require(src.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count() == 0L,
+        "merge source has duplicate key tuples — ambiguous upsert")
+      val srcK = src.select(keys.map(col): _*)
+
+      val lineage = IcebergScan.readWithLineage(spark, tablePath)
+      val hit = lineage.join(srcK, keys, "left_semi")
+        .agg(count(lit(1)).as("n"),
+          collect_set(IcebergScan.normalizePathCol(col("__raw_file"))).as("files"))
+        .head() // [lint:bounded] one row: a count and a file-count-bounded set
+      val updated = hit.getLong(0)
+      val victims = hit.getSeq[String](1).toSet
+      if (victims.isEmpty) { // pure insert: a plain append commit
+        appendTxn(spark, src, tablePath, txn)
+        return (0L, srcRows)
+      }
+      // matched rows live only in victim files by construction, so the
+      // matched-source-key count scans just those
+      val matchedSrc = srcK.join(
+        lineage.filter(IcebergScan.normalizePathCol(col("__raw_file"))
+            .isInCollection(victims))
+          .select(keys.map(col).toSeq: _*), keys, "left_semi").count()
+      val inserted = srcRows - matchedSrc
+
+      val cols = schema.fieldNames.map(col).toSeq
+      val (picked, written) = rewriteSnapshot(spark, tablePath,
+        pick = { sized =>
+          val hits = sized.filter(s => victims.contains(IcebergScan.normalizePath(s._1.path)))
+          require(hits.size == victims.size,
+            s"victim files ${victims.size} != matched live entries ${hits.size} — " +
+              "path namespace mismatch between the lineage view and the manifest")
+          hits
+        },
+        targetFiles = 1,
+        shape = (df, _) => df.join(srcK, keys, "left_anti").select(cols: _*)
+          .unionByName(src.select(cols: _*)),
+        operation = "overwrite", txn = txn)
+      require(picked > 0 && written > 0,
+        s"merge rewrite wrote no files (picked=$picked written=$written)")
+      (updated, inserted)
+    } finally src.unpersist()
   }
 
   /** ROLLBACK: re-point `current-snapshot-id` at an earlier snapshot
@@ -578,17 +773,24 @@ object IcebergWrite {
     * (= the version — one commit, one sequence). */
   private def writeMetadataJson(fs: FileSystem, metaDir: Path, root: Path,
       version: Int, fmtVersion: Int, carry: SchemaCarry,
-      listRel: String, operation: String): Unit = {
+      listRel: String, operation: String,
+      propsOverride: Map[String, String] = Map.empty): Unit = {
     val now = System.currentTimeMillis()
-    val prevSnapshots: String =
-      if (version == 1) ""
+    val (prevSnapshots, prevProps): (String, Map[String, String]) =
+      if (version == 1) ("", Map.empty)
       else {
-        // carry prior snapshots forward from the previous metadata JSON
+        // carry prior snapshots AND table properties forward from the
+        // previous metadata JSON (properties hold the streaming-sink
+        // txn markers — they must survive snapshot expiry)
         val prevMeta = readUtf8(fs, new Path(metaDir, s"v${version - 1}.metadata.json"))
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(prevMeta)
-        node.get("snapshots").elements().asScala
-          .map(_.toString).mkString("", ",", ",")
+        val props = Option(node.get("properties")).map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
+        (node.get("snapshots").elements().asScala
+          .map(_.toString).mkString("", ",", ","), props)
       }
+    val propsJson = (prevProps ++ propsOverride).toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
     val v2Extra =
       if (fmtVersion < 2) ""
       else s""""last-sequence-number":$version,"schemas":${carry.schemasArray},
@@ -604,7 +806,7 @@ object IcebergWrite {
          |"last-column-id":${carry.lastColumnId},
          |$v2Extra
          |"schema":${carry.schemaJson},
-         |"partition-spec":[],"properties":{},
+         |"partition-spec":[],"properties":{$propsJson},
          |"current-snapshot-id":$version,
          |"snapshots":[$prevSnapshots{"snapshot-id":$version,$snapSeq
          |"timestamp-ms":$now,"summary":{"operation":${jstr(operation)}},

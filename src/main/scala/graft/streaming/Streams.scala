@@ -752,6 +752,106 @@ object Streams {
       .start()
   }
 
+  /** One micro-batch → one EXACTLY-ONCE Iceberg append commit: the
+    * commit stamps table property `graft.txn.<appId>` = batchId (the
+    * Iceberg twin of the Delta txn action — properties live in the
+    * metadata JSON, so the marker SURVIVES snapshot expiry), and a
+    * batch whose id is already recorded for this sink's appId is
+    * SKIPPED on crash-window re-delivery. Returns true iff applied. */
+  def icebergSinkBatch(
+      batch: DataFrame,
+      tablePath: String,
+      appId: String,
+      batchId: Long): Boolean = {
+    if (batch.isEmpty) return false
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(tablePath, "metadata/version-hint.text"))) {
+      val last = graft.sources.IcebergWrite.lastTxnVersion(spark, tablePath, appId)
+      if (last.exists(_ >= batchId)) false // re-delivered: already committed
+      else {
+        graft.sources.IcebergWrite.appendWithTxn(
+          spark, batch.toDF(), tablePath, appId, batchId)
+        true
+      }
+    } else {
+      graft.sources.IcebergWrite.createWithTxn(
+        spark, batch.toDF(), tablePath, appId, batchId)
+      true
+    }
+  }
+
+  /** the [[icebergSinkBatch]] loop as a foreachBatch stream */
+  def icebergSink(
+      df: DataFrame,
+      tablePath: String,
+      checkpointLocation: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val appId = sinkAppId(checkpointLocation)
+    df.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        icebergSinkBatch(batch.toDF(), tablePath, appId, bid)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of the EXACTLY-ONCE Iceberg CDC UPSERT sink:
+    * MERGE by `keys` through [[graft.sources.IcebergWrite.merge]]'s
+    * overwrite snapshot, the commit carrying the txn property
+    * handshake (merging twice is not idempotent — the guard is
+    * load-bearing). `dedupOrder` keeps the LAST row per key within
+    * the batch. Returns (updated, inserted); (0,0) for
+    * empty/re-delivered batches. Twin of [[deltaUpsertSinkBatch]]. */
+  def icebergUpsertSinkBatch(
+      batch: DataFrame,
+      tablePath: String,
+      keys: Seq[String],
+      appId: String,
+      batchId: Long,
+      dedupOrder: Option[String] = scala.None): (Long, Long) = {
+    if (batch.isEmpty) return (0L, 0L)
+    val spark = batch.sparkSession
+    val collapsed = dedupOrder match {
+      case scala.None => batch.toDF()
+      case Some(ord) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col(ord).desc)
+        batch.toDF().withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+    }
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(tablePath, "metadata/version-hint.text"))) {
+      graft.sources.IcebergWrite.createWithTxn(
+        spark, collapsed, tablePath, appId, batchId)
+      (0L, collapsed.count())
+    } else {
+      val last = graft.sources.IcebergWrite.lastTxnVersion(spark, tablePath, appId)
+      if (last.exists(_ >= batchId)) (0L, 0L) // re-delivered: already merged
+      else graft.sources.IcebergWrite.merge(
+        spark, tablePath, collapsed, keys, txn = Some((appId, batchId)))
+    }
+  }
+
+  /** the [[icebergUpsertSinkBatch]] loop as a foreachBatch stream */
+  def icebergUpsertSink(
+      df: DataFrame,
+      tablePath: String,
+      keys: Seq[String],
+      checkpointLocation: String,
+      dedupOrder: Option[String] = scala.None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val appId = sinkAppId(checkpointLocation)
+    df.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        icebergUpsertSinkBatch(batch.toDF(), tablePath, keys, appId, bid, dedupOrder)
+        ()
+      }
+      .start()
+  }
+
   def deltaSink(
       df: DataFrame,
       tablePath: String,

@@ -172,6 +172,94 @@ class IcebergScanSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(1L, 3L))
   }
 
+  test("updateWhere: copy-on-write update — RHS sees originals, untouched files keep sequence, travel intact") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_upd").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "score", "v"), dir)
+    IcebergWrite.append(spark, Seq((3L, 30L, "a"), (4L, 40L, "b")).toDF("id", "score", "v"), dir)
+
+    // swap-style: both RHS read the ORIGINAL row (score -> score+id, v untouched rows keep theirs)
+    val n = IcebergWrite.updateWhere(spark, dir, col("v") === "a",
+      Seq("score" -> (col("score") + col("id")), "v" -> concat(col("v"), lit("!"))))
+    assert(n == 2L)
+    val after = IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(after == Seq((1L, 11L, "a!"), (2L, 20L, "b"), (3L, 33L, "a!"), (4L, 40L, "b")))
+    // time travel to pre-update still sees originals
+    assert(IcebergScan.read(spark, dir, snapshotAsOf = Some(2L))
+      .filter(col("id") === 1L).head().getLong(1) == 10L)
+    // the overwrite snapshot is recorded as such
+    val v = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/metadata/version-hint.text")), "UTF-8").trim
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/metadata/v$v.metadata.json")), "UTF-8")
+    assert(meta.contains("\"operation\":\"overwrite\""))
+
+    // no-match update commits nothing
+    assert(IcebergWrite.updateWhere(spark, dir, col("id") === 99L,
+      Seq("score" -> lit(0L))) == 0L)
+    val vAfter = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/metadata/version-hint.text")), "UTF-8").trim
+    assert(v == vAfter, "empty update must not commit a version")
+
+    // type drift is loud BEFORE anything is written: a double RHS would
+    // silently widen the BIGINT column through when/otherwise coercion
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.updateWhere(spark, dir, col("id") === 2L,
+        Seq("score" -> (col("score") * lit(0.5))))
+    }
+    assert(e.getMessage.contains("preserve"))
+
+    // rows already dead under an equality delete never fire the update
+    IcebergWrite.deleteEqual(spark, dir, Seq(1L).toDF("id"))
+    assert(IcebergWrite.updateWhere(spark, dir, col("id") === 1L,
+      Seq("score" -> lit(0L))) == 0L)
+  }
+
+  test("merge: upsert by key — matched rows replace, unmatched insert, pure insert appends") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_merge").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "tag", "score"), dir)
+    IcebergWrite.append(spark, Seq((3L, "c", 3L)).toDF("id", "tag", "score"), dir)
+
+    val (u, i) = IcebergWrite.merge(spark, dir,
+      Seq((2L, "B", 20L), (4L, "d", 4L)).toDF("id", "tag", "score"), Seq("id"))
+    assert((u, i) == (1L, 1L))
+    val after = IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(after == Seq((1L, "a", 1L), (2L, "B", 20L), (3L, "c", 3L), (4L, "d", 4L)))
+
+    // pure insert (no key matches) degrades to a plain append commit
+    val (u2, i2) = IcebergWrite.merge(spark, dir,
+      Seq((9L, "z", 9L)).toDF("id", "tag", "score"), Seq("id"))
+    assert((u2, i2) == (0L, 1L))
+    assert(IcebergScan.read(spark, dir).count() == 5L)
+
+    // duplicate source keys are an ambiguous upsert — loud
+    val e = intercept[IllegalArgumentException] {
+      IcebergWrite.merge(spark, dir,
+        Seq((2L, "x", 0L), (2L, "y", 0L)).toDF("id", "tag", "score"), Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+
+    // schema mismatch is loud
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergWrite.merge(spark, dir, Seq((2L, "x")).toDF("id", "tag"), Seq("id"))
+    }
+    assert(e2.getMessage.contains("schema"))
+
+    // merge composes with row-level deletes: delete then upsert the same key re-inserts
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 3L)
+    val (u3, i3) = IcebergWrite.merge(spark, dir,
+      Seq((3L, "c2", 30L)).toDF("id", "tag", "score"), Seq("id"))
+    assert((u3, i3) == (0L, 1L), "a deleted row must not count as matched")
+    assert(IcebergScan.read(spark, dir).filter(col("id") === 3L).head().getString(1) == "c2")
+  }
+
   test("deleteEqual: equality-delete commit — keys die, later appends with same keys survive") {
     import graft.sources.{IcebergScan, IcebergWrite}
     import org.apache.spark.sql.functions.col

@@ -134,7 +134,7 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
     IcebergScan.read(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
-  test("Iceberg: 35 random append/posdelete/eqdelete/compact/rollback/expire ops track the model") {
+  test("Iceberg: 40 random append/posdelete/eqdelete/compact/rollback/expire/update/merge ops track the model") {
     val rnd = new scala.util.Random(70842L)
     val dir = java.nio.file.Files.createTempDirectory("graft_ice_fuzz").toString + "/t"
     var model = Map.empty[Long, String]
@@ -160,8 +160,8 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
     model = r0.toMap
     sync()
 
-    (1 to 35).foreach { step =>
-      rnd.nextInt(6) match {
+    (1 to 40).foreach { step =>
+      rnd.nextInt(8) match {
         case 0 =>
           val rows = freshRows(1 + rnd.nextInt(4))
           IcebergWrite.append(spark, rows.toDF("id", "tag"), dir)
@@ -193,6 +193,26 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
             IcebergWrite.expireSnapshots(spark, dir, keepLast = 3)
             val kept = snaps.keys.toSeq.sorted.takeRight(3).toSet + currentSnapshotId
             snaps = snaps.filter { case (k, _) => kept.contains(k) }
+          }
+        case 6 => // copy-on-write update: retag every row of a random tag
+          val from = s"t${rnd.nextInt(4)}"
+          val to = s"t${rnd.nextInt(4)}"
+          val n = IcebergWrite.updateWhere(spark, dir, col("tag") === from,
+            Seq("tag" -> lit(to)))
+          val hits = model.filter(_._2 == from)
+          assert(n == hits.size, s"step $step: update count $n != ${hits.size}")
+          model ++= hits.keys.map(_ -> to)
+        case 7 => // merge: retag a random live subset + insert fresh
+          val updates = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextBoolean()).take(3)
+            .map(id => (id, s"t${rnd.nextInt(4)}"))
+          val inserts = freshRows(rnd.nextInt(3))
+          val src = updates ++ inserts
+          if (src.nonEmpty) {
+            val (u, i) = IcebergWrite.merge(spark, dir, src.toDF("id", "tag"), Seq("id"))
+            assert(u == updates.size && i == inserts.size,
+              s"step $step: merge counts ($u,$i) != (${updates.size},${inserts.size})")
+            model ++= src
           }
       }
       sync()

@@ -1145,6 +1145,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("icebergSinkBatch is exactly-once: re-delivered ids skipped, txn marker survives snapshot expiry") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_txn_sink").toString + "/t"
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b1 = Seq((3L, "c")).toDF("id", "v")
+
+    assert(Streams.icebergSinkBatch(b0, dir, "app1", 0L))
+    assert(Streams.icebergSinkBatch(b1, dir, "app1", 1L))
+    // the crash window: batch 1 re-delivered after its commit landed
+    assert(!Streams.icebergSinkBatch(b1, dir, "app1", 1L))
+    assert(!Streams.icebergSinkBatch(b0, dir, "app1", 0L))
+    assert(IcebergScan.read(spark, dir).count() == 3L) // no double rows
+    assert(IcebergWrite.lastTxnVersion(spark, dir, "app1").contains(1L))
+
+    // a DIFFERENT app's ids are independent
+    assert(IcebergWrite.lastTxnVersion(spark, dir, "app2").isEmpty)
+    assert(Streams.icebergSinkBatch(Seq((9L, "z")).toDF("id", "v"), dir, "app2", 0L))
+    assert(IcebergWrite.lastTxnVersion(spark, dir, "app1").contains(1L),
+      "another app's commit must carry app1's marker forward")
+
+    // non-sink commits (delete, compact) carry the markers too
+    IcebergWrite.deleteWhere(spark, dir, col("id") === 9L)
+    IcebergWrite.compact(spark, dir, smallFileBytes = 1L << 20)
+    assert(IcebergWrite.lastTxnVersion(spark, dir, "app1").contains(1L))
+
+    // snapshot EXPIRY must not lose the marker (properties live in the
+    // metadata JSON, not in any snapshot) — the trap a summary-based
+    // marker would fall into
+    IcebergWrite.expireSnapshots(spark, dir, keepLast = 1)
+    assert(IcebergWrite.lastTxnVersion(spark, dir, "app1").contains(1L))
+    assert(!Streams.icebergSinkBatch(b1, dir, "app1", 1L)) // still skipped
+    assert(IcebergScan.read(spark, dir).count() == 3L)
+  }
+
+  test("icebergUpsertSink: CDC stream materializes last-writer-wins; re-delivery skipped") {
+    import graft.sources.IcebergScan
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_upsert_sink").toString + "/t"
+    val appId = "test-ice-upsert-app"
+    def batch(rows: (Long, String, Long)*): org.apache.spark.sql.DataFrame =
+      rows.toDF("id", "v", "seq")
+    // batch 0 creates; in-batch dup of key 1 collapses to the max seq
+    val (u0, i0) = Streams.icebergUpsertSinkBatch(
+      batch((1L, "a0", 1L), (1L, "a1", 2L), (2L, "b0", 1L)),
+      dir, Seq("id"), appId, 0L, dedupOrder = Some("seq"))
+    assert((u0, i0) == ((0L, 2L)))
+    // batch 1 updates key 1, inserts key 3
+    val (u1, i1) = Streams.icebergUpsertSinkBatch(
+      batch((1L, "a2", 3L), (3L, "c0", 1L)), dir, Seq("id"), appId, 1L)
+    assert((u1, i1) == ((1L, 1L)))
+    // RE-DELIVERY of batch 1 must be a no-op, not a second merge
+    assert(Streams.icebergUpsertSinkBatch(
+      batch((1L, "aX", 9L), (3L, "cX", 9L)), dir, Seq("id"), appId, 1L) == ((0L, 0L)))
+    val rows = IcebergScan.read(spark, dir).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a2"), (2L, "b0"), (3L, "c0")))
+    // and through the real streaming sink: two micro-batches of upserts
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ice_upsert2").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("graft_ice_upsert_ck").toString
+    val q = Streams.icebergUpsertSink(
+      input.toDF().toDF("id", "v", "seq"), dir2, Seq("id"), ck,
+      dedupOrder = Some("seq"))
+    try {
+      input.addData((1L, "x1", 1L), (2L, "y1", 1L)); q.processAllAvailable()
+      input.addData((1L, "x2", 2L), (3L, "z1", 1L)); q.processAllAvailable()
+      val got = IcebergScan.read(spark, dir2).select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "x2"), (2L, "y1"), (3L, "z1")))
+    } finally q.stop()
+  }
+
   test("DeltaStreamProvider: micro-batches track commits, restart resumes, CoW delete is loud") {
     import graft.sources.{DeltaScan, DeltaWrite}
     val dir = java.nio.file.Files.createTempDirectory("graft_dstream").toString + "/t"
