@@ -318,6 +318,93 @@ object IcebergScan {
     else spark.read.schema(schema).parquet(added: _*)
   }
 
+  /** current table schema without planning any files — the streaming
+    * source's inferSchema surface */
+  private[graft] def tableSchema(spark: SparkSession, tablePath: String): StructType = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaDir = new Path(tablePath, "metadata")
+    sparkSchema(currentSchema(parseMetadata(metaDir.getFileSystem(conf), metaDir)))
+  }
+
+  /** latest committed metadata version — the streaming source's offset
+    * domain. Listed from the `vN.metadata.json` files themselves (each
+    * an atomic overwrite=false create, THE commit point) rather than
+    * version-hint.text: the hint rewrite is not atomic, so a poll
+    * racing a concurrent writer could read an empty hint. */
+  private[graft] def latestMetadataVersion(spark: SparkSession, tablePath: String): Int = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaDir = new Path(tablePath, "metadata")
+    val fs = metaDir.getFileSystem(conf)
+    require(fs.exists(metaDir), s"no Iceberg table at $tablePath")
+    val versions = fs.listStatus(metaDir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
+    require(versions.nonEmpty, s"no Iceberg metadata versions at $tablePath")
+    versions.max
+  }
+
+  /** STREAMING-SOURCE planning: the data files ADDED by metadata
+    * version `v` relative to `v-1`, resolved absolute — loud on any
+    * shape an append-only stream cannot represent. Appends return
+    * their new files; a row-count-preserving `replace` (compaction /
+    * recluster) returns nothing (no data change — the Delta stream's
+    * dataChange=false analog); delete/overwrite/rollback and any live
+    * row-level delete file fail loudly (a streaming consumer cannot
+    * retract rows it already emitted). Planning reads only the two
+    * versions' metadata JSON + manifests — KBs, never data. */
+  private[graft] def versionIncrement(
+      spark: SparkSession, tablePath: String, v: Int): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaDir = new Path(tablePath, "metadata")
+    val fs = metaDir.getFileSystem(conf)
+    val mapper = new ObjectMapper()
+    def metaAt(n: Int): JsonNode = {
+      val p = new Path(metaDir, s"v$n.metadata.json")
+      require(fs.exists(p),
+        s"streaming source lost metadata version $n of $tablePath (expired?)")
+      val in = fs.open(p)
+      try mapper.readTree(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+    def snapshotOf(meta: JsonNode): Option[JsonNode] =
+      Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+        .flatMap { id =>
+          Option(meta.get("snapshots")).flatMap(_.elements().asScala
+            .find(_.get("snapshot-id").asLong() == id))
+        }
+    def live(meta: JsonNode): Seq[FileEntry] =
+      snapshotOf(meta).map(s => dedupeEntries(snapshotEntries(fs, conf, tablePath, s)))
+        .getOrElse(Seq.empty)
+
+    val cur = metaAt(v)
+    val prevEntries = if (v <= 1) Seq.empty else live(metaAt(v - 1))
+    val curEntries = live(cur)
+    require((prevEntries ++ curEntries).forall(_.content == 0),
+      s"Iceberg table $tablePath carries live row-level delete files at " +
+        s"version $v — an append-only stream cannot retract already-emitted " +
+        "rows; use the batch reader for tables with deletes")
+    val prevPaths = prevEntries.map(_.path).toSet
+    val curPaths = curEntries.map(_.path).toSet
+    val vanished = prevPaths -- curPaths
+    if (vanished.isEmpty) (curPaths -- prevPaths).toSeq.sorted
+    else {
+      // files were rewritten: only a row-preserving replace (compaction,
+      // recluster) is append-only-safe, and it emits nothing new
+      val op = snapshotOf(cur)
+        .flatMap(s => Option(s.get("summary")).flatMap(x => Option(x.get("operation"))))
+        .map(_.asText()).getOrElse("unknown")
+      require(op == "replace",
+        s"version $v of $tablePath removes data files (operation '$op' — " +
+          "delete/update/merge/rollback): an append-only stream cannot " +
+          "retract already-emitted rows; re-derive downstream state from " +
+          "the batch reader instead")
+      require(prevEntries.map(_.rows).sum == curEntries.map(_.rows).sum,
+        s"replace snapshot at version $v of $tablePath changed the row " +
+          "count — not a pure compaction; the stream cannot stay consistent")
+      Seq.empty
+    }
+  }
+
   /** One manifest entry's file: data (content 0), positional deletes (1),
     * or equality deletes (2), with its resolved data sequence number. */
   private[sources] final case class FileEntry(

@@ -1274,6 +1274,82 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("IcebergStreamProvider: micro-batches track commits, restart resumes, overwrite is loud") {
+    import graft.sources.IcebergWrite
+    val dir = java.nio.file.Files.createTempDirectory("graft_istream").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("graft_istream_ck").toString
+    IcebergWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+
+    val delivered = scala.collection.mutable.ListBuffer[Long]()
+    def startStream() = spark.readStream
+      .format(classOf[graft.streaming.IcebergStreamProvider].getName)
+      .load(dir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = b.collect().map(_.getLong(0))
+        delivered.synchronized { delivered ++= ids }
+        ()
+      }.start()
+
+    val q = startStream()
+    try {
+      q.processAllAvailable()
+      assert(delivered.synchronized(delivered.toSet) == Set(1L, 2L),
+        "existing content must arrive as the first batch")
+      // live append lands in the next micro-batch
+      IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), dir)
+      q.processAllAvailable()
+      assert(delivered.synchronized(delivered.toSet) == Set(1L, 2L, 3L))
+      // a row-preserving replace (compaction) must NOT re-emit rows
+      IcebergWrite.compact(spark, dir, smallFileBytes = 1L << 20, targetFiles = 1)
+      q.processAllAvailable()
+      assert(delivered.synchronized(delivered.size) == 3,
+        "a compaction commit must not duplicate rows in the stream")
+    } finally q.stop()
+
+    // append while the stream is DOWN; restart from the checkpoint —
+    // exactly the missed rows arrive, no re-delivery of old ones
+    IcebergWrite.append(spark, Seq((4L, "d"), (5L, "e")).toDF("id", "v"), dir)
+    val q2 = startStream()
+    try {
+      q2.processAllAvailable()
+      assert(delivered.synchronized(delivered.sorted.toSeq) == Seq(1L, 2L, 3L, 4L, 5L),
+        s"checkpoint restart must resume at the committed version, got $delivered")
+      // a copy-on-write overwrite (merge) breaks the append-only contract loudly
+      IcebergWrite.merge(spark, dir,
+        Seq((1L, "A!")).toDF("id", "v"), Seq("id"))
+      IcebergWrite.append(spark, Seq((6L, "f")).toDF("id", "v"), dir)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      def mentionsRetract(t: Throwable): Boolean =
+        t != null && (Option(t.getMessage).exists(_.contains("retract")) ||
+          mentionsRetract(t.getCause))
+      assert(mentionsRetract(e))
+    } finally q2.stop()
+
+    // a live equality-delete file is equally loud (fresh stream, fresh table)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_istream2").toString + "/t"
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_istream2_ck").toString
+    IcebergWrite.create(spark, Seq((1L, "a")).toDF("id", "v"), dir2)
+    IcebergWrite.deleteEqual(spark, dir2, Seq(1L).toDF("id"))
+    val q3 = spark.readStream
+      .format(classOf[graft.streaming.IcebergStreamProvider].getName)
+      .load(dir2)
+      .writeStream.option("checkpointLocation", ck2)
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => () }
+      .start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      def mentionsDeletes(t: Throwable): Boolean =
+        t != null && (Option(t.getMessage).exists(_.contains("delete files")) ||
+          mentionsDeletes(t.getCause))
+      assert(mentionsDeletes(e))
+    } finally q3.stop()
+  }
+
   test("retentionStream: aggregated hits across batches equal the batch retention table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
