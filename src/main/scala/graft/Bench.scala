@@ -103,7 +103,11 @@ object Bench {
     // location + copy-on-write rewrite + conditional commit); Iceberg
     // replace-snapshot compaction with deletes applied; Iceberg
     // stats-pruned range scan (manifest bounds skipping)
-    "q_tpch_q9", "q_delta_merge", "q_iceberg_compact", "q_iceberg_skip")
+    "q_tpch_q9", "q_delta_merge", "q_iceberg_compact", "q_iceberg_skip",
+    // late round 7: Iceberg MERGE (lineage-view victim location +
+    // overwrite-snapshot rewrite); identity-partitioned Iceberg write
+    // → partition-discovered read + plan-time partition-value pruning
+    "q_iceberg_merge", "q_iceberg_partitioned")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

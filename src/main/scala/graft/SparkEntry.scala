@@ -2111,6 +2111,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // PARTITIONED Iceberg write→read round trip: identity spec, hive
+    // layout, typed manifest partition records — plus a partition-
+    // PRUNED read whose filter only one partition satisfies (manifest
+    // partition values prune at plan time; union proves both paths)
+    "q_iceberg_partitioned" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_part_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(
+        s, docs.filter(col("doc_id") % 2 === 0), base, partitionBy = Seq("lang"))
+      graft.sources.IcebergWrite.append(
+        s, docs.filter(col("doc_id") % 2 =!= 0), base)
+      val all = graft.sources.IcebergScan.read(s, base)
+      val pruned = graft.sources.IcebergScan.read(s, base,
+        skippingFilter = Some(col("lang") === "en"))
+      all.unionByName(pruned)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id", "lang")
+    }),
+
     // Iceberg twin of q_delta_update: copy-on-write row-level UPDATE
     // through the overwrite snapshot — only files holding matching
     // rows rewritten, sequence numbers preserved on the rest
@@ -4705,6 +4724,12 @@ object SparkEntry {
         |SELECT doc_id, lang, 'UPD:' || text FROM documents
         |WHERE doc_id % 3 = 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_partitioned" ->
+      """SELECT doc_id, lang, text FROM documents
+        |UNION ALL
+        |SELECT doc_id, lang, text FROM documents WHERE lang = 'en'
+        |ORDER BY doc_id, lang""".stripMargin,
 
     "q_iceberg_update" ->
       """SELECT doc_id, lang,

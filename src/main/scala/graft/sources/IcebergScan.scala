@@ -21,9 +21,11 @@ import org.apache.spark.sql.types._
   * Supported: format-version 1 and 2 tables, HadoopTables
   * (`version-hint.text`) and uuid-suffixed metadata layouts, snapshot
   * selection (`snapshotAsOf`), manifest-entry status replay
-  * (existing/added/deleted), identity partitioning (Iceberg data files
-  * carry the full row, so identity partition columns come back from the
-  * parquet itself), and V2 ROW-LEVEL DELETES: positional delete files
+  * (existing/added/deleted), IDENTITY PARTITIONING (hive-layout tables
+  * read as one partition-discovered scan — partition values from the
+  * path; other layouts inject the manifest partition records, one scan
+  * per live partition tuple; partition values prune files at plan time
+  * as exact manifest bounds), and V2 ROW-LEVEL DELETES: positional delete files
   * (applied when `delete.seq >= data.seq`, via an anti-join on the file
   * source's `_metadata.(file_path, row_index)` — Iceberg's `pos` is
   * exactly the row ordinal in the data file) and equality delete files
@@ -79,6 +81,7 @@ object IcebergScan {
     val meta = parseMetadata(fs, metaDir)
 
     val schema = sparkSchema(currentSchema(meta))
+    val partSpec = identityPartitionFields(meta, schema)
     val snapshots = Option(meta.get("snapshots")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val wantedId = snapshotAsOf.orElse(
       Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L))
@@ -104,12 +107,28 @@ object IcebergScan {
         case None => base
         case Some(f) =>
           val expr = ParquetStats.predicateExpr(spark, schema, f)
+          val schemaFields = currentSchema(meta).get("fields").elements().asScala.toSeq
           val byId: Map[Int, StructField] =
-            currentSchema(meta).get("fields").elements().asScala.toSeq
-              .map(n => n.get("id").asInt() -> schema(n.get("name").asText())).toMap
+            schemaFields.map(n => n.get("id").asInt() -> schema(n.get("name").asText())).toMap
+          val idByName: Map[String, Int] =
+            schemaFields.map(n => n.get("name").asText() -> n.get("id").asInt()).toMap
           base.filter { e =>
-            val st = IcebergStats.toFileStats(schema, byId, e.rows,
-              e.lower, e.upper, e.nullCounts)
+            // identity partition values are EXACT per-file bounds
+            // (lower = upper = the value) — pruned through the same
+            // machinery as the footer stats
+            var lo = e.lower; var hi = e.upper; var nulls = e.nullCounts
+            partSpec.foreach { case (specName, sf) =>
+              val id = idByName(sf.name)
+              e.partition.get(specName) match {
+                case Some(null) => nulls += id -> e.rows // a true NULL partition
+                case Some(v) =>
+                  IcebergStats.encodeValue(sf.dataType, v).foreach { b =>
+                    lo += id -> b; hi += id -> b; nulls += id -> 0L
+                  }
+                case None => () // manifest carries no value — unknown, never prune on it
+              }
+            }
+            val st = IcebergStats.toFileStats(schema, byId, e.rows, lo, hi, nulls)
             ParquetStats.mayMatch(Some(st), expr)
           }
       }
@@ -122,11 +141,17 @@ object IcebergScan {
     def withLineage(df: DataFrame): DataFrame =
       df.withColumn("__raw_file", col("_metadata.file_path"))
         .withColumn("__pos", col("_metadata.row_index"))
+    def scanData(files: Seq[FileEntry]): DataFrame =
+      if (partSpec.isEmpty) spark.read.schema(schema).parquet(files.map(_.path): _*)
+      else scanPartitioned(spark, schema, partSpec, files)
     if (dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     if (posFiles.isEmpty && eqFiles.isEmpty) { // fast path: no row-level deletes
-      val plain = spark.read.schema(schema).parquet(dataFiles.map(_.path): _*)
-      return finish(if (keepLineage) withLineage(plain) else plain)
+      val plain = scanData(dataFiles)
+      // partition discovery appends partition columns last — restore the
+      // declared order (AFTER lineage so _metadata still resolves)
+      return finish((if (keepLineage) withLineage(plain) else plain)
+        .select(outSchema.fieldNames.map(col).toSeq: _*))
     }
 
     // ---- positional deletes: one seq-filtered (file, pos) key set -------
@@ -166,8 +191,7 @@ object IcebergScan {
     def applyDeletes(group: Seq[FileEntry], applicableEq: Seq[FileEntry]): DataFrame = {
       // lineage resolves on the scan relation (a projection would hide
       // the metadata pseudo-column), then rides the anti-joins
-      var scan = withLineage(
-        spark.read.schema(schema).parquet(group.map(_.path): _*))
+      var scan = withLineage(scanData(group))
       posSet.foreach { pos =>
         scan = scan
           .withColumn("__file", normalizePathCol(col("__raw_file")))
@@ -260,11 +284,21 @@ object IcebergScan {
                 r.get("key").toString.toInt -> conv(r.get("value").asInstanceOf[AnyRef])
               }.toMap
             }.getOrElse(Map.empty)
+          val partition: Map[String, AnyRef] =
+            opt(df, "partition").collect { case r: GenericRecord =>
+              r.getSchema.getFields.asScala.map { f =>
+                f.name() -> (r.get(f.pos()) match {
+                  case u: org.apache.avro.util.Utf8 => u.toString: AnyRef
+                  case other => other
+                })
+              }.toMap
+            }.getOrElse(Map.empty)
           Some(FileEntry(resolvePath(fs, tablePath, df.get("file_path").toString),
             seq, content, eqIds, rows,
             lower = kvMap("lower_bounds")(bytesOf),
             upper = kvMap("upper_bounds")(bytesOf),
-            nullCounts = kvMap("null_value_counts")(_.toString.toLong)))
+            nullCounts = kvMap("null_value_counts")(_.toString.toLong),
+            partition = partition))
         }
       }
     }
@@ -312,10 +346,16 @@ object IcebergScan {
       s"Iceberg data files ${vanished.take(3).mkString(", ")} disappeared across " +
         s"($fromSnapshot, $toSnapshot] — not an append-only increment; " +
         "recompute from the full snapshot")
-    val added = (toPaths -- fromPaths).toSeq.sorted
+    val added = dedupeEntries(toE).filter(e => !fromPaths.contains(e.path))
     if (added.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(added: _*)
+    else {
+      val partSpec = identityPartitionFields(meta, schema)
+      if (partSpec.isEmpty)
+        spark.read.schema(schema).parquet(added.map(_.path).sorted: _*)
+      else scanPartitioned(spark, schema, partSpec, added)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    }
   }
 
   /** current table schema without planning any files — the streaming
@@ -324,6 +364,16 @@ object IcebergScan {
     val conf = spark.sessionState.newHadoopConf()
     val metaDir = new Path(tablePath, "metadata")
     sparkSchema(currentSchema(parseMetadata(metaDir.getFileSystem(conf), metaDir)))
+  }
+
+  /** identity-partition spec field names (empty when unpartitioned) —
+    * the streaming source parses these columns' values from the hive
+    * path segments of each planned file */
+  private[graft] def partitionSpecNames(spark: SparkSession, tablePath: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaDir = new Path(tablePath, "metadata")
+    val meta = parseMetadata(metaDir.getFileSystem(conf), metaDir)
+    identityPartitionFields(meta, sparkSchema(currentSchema(meta))).map(_._1)
   }
 
   /** latest committed metadata version — the streaming source's offset
@@ -406,12 +456,102 @@ object IcebergScan {
   }
 
   /** One manifest entry's file: data (content 0), positional deletes (1),
-    * or equality deletes (2), with its resolved data sequence number. */
-  private[sources] final case class FileEntry(
+    * or equality deletes (2), with its resolved data sequence number.
+    * `partition` carries the manifest partition record's values by spec
+    * field name (String/Long/Integer/Boolean/epoch-day Integer, null
+    * for a NULL partition); empty for unpartitioned tables. */
+  private[graft] final case class FileEntry(
       path: String, seq: Long, content: Int, eqIds: Seq[Int], rows: Long,
       lower: Map[Int, Array[Byte]] = Map.empty,
       upper: Map[Int, Array[Byte]] = Map.empty,
-      nullCounts: Map[Int, Long] = Map.empty)
+      nullCounts: Map[Int, Long] = Map.empty,
+      partition: Map[String, AnyRef] = Map.empty)
+
+  /** the table's identity partition spec: (spec field name, source
+    * schema field) in spec order. Non-identity transforms are loud
+    * (bucket/truncate/temporal projections need transform evaluation);
+    * `void` fields (dropped partitions) contribute nothing. */
+  private def identityPartitionFields(
+      meta: JsonNode, schema: StructType): Seq[(String, StructField)] = {
+    val fieldsNode = Option(meta.get("partition-specs")).flatMap { specs =>
+      val d = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+      specs.elements().asScala.find(_.get("spec-id").asInt() == d).map(_.get("fields"))
+    }.orElse(Option(meta.get("partition-spec")))
+    val nameById = currentSchema(meta).get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    fieldsNode.map(_.elements().asScala.toSeq.flatMap { f =>
+      f.get("transform").asText() match {
+        case "void" => scala.None
+        case "identity" =>
+          val src = f.get("source-id").asInt()
+          val name = nameById.getOrElse(src, throw new IllegalArgumentException(
+            s"partition spec references field id $src which is not a top-level column"))
+          Some(f.get("name").asText() -> schema(name))
+        case other => throw new IllegalArgumentException(
+          s"partition transform '$other' not supported by the built-in " +
+            "Iceberg reader (identity only)")
+      }
+    }).getOrElse(Seq.empty)
+  }
+
+  /** Partition-aware data scan. Hive-layout tables (every file path
+    * carries `name=value` segments under one base — this writer's and
+    * the reference java writer's identity layout) read as ONE
+    * partition-discovered scan: partition pruning, lineage metadata
+    * columns, and pushed filters all work natively. Other layouts fall
+    * back to manifest-value injection, one scan per live partition
+    * tuple (bounded: the plan grows with touched partitions — the same
+    * cost class any engine pays for a non-path-derivable layout). */
+  private[graft] def scanPartitioned(spark: SparkSession, schema: StructType,
+      partSpec: Seq[(String, StructField)], files: Seq[FileEntry]): DataFrame = {
+    val firstSeg = "/" + partSpec.head._1 + "="
+    val bases = files.map { f =>
+      val i = f.path.indexOf(firstSeg)
+      if (i < 0) null else f.path.substring(0, i)
+    }
+    val hive = bases.forall(_ != null) && bases.distinct.size == 1 &&
+      files.forall(f => IcebergWrite.hivePathValues(f.path, partSpec.map(_._1)).isDefined)
+    if (hive)
+      spark.read.option("basePath", bases.head)
+        .schema(schema).parquet(files.map(_.path): _*)
+    else {
+      // inject only the spec fields EVERY manifest entry carries a
+      // value for; the rest read from the data files themselves (the
+      // spec permits identity source columns to be materialized there)
+      val injectable = partSpec.filter { case (sn, _) => files.forall(_.partition.contains(sn)) }
+      val injectNames = injectable.map(_._2.name).toSet
+      val dataOnly = StructType(schema.fields.filterNot(f => injectNames.contains(f.name)))
+      val groups = files.groupBy(f => injectable.map { case (sn, _) => f.partition(sn) })
+      require(groups.size <= 10000,
+        s"non-hive-layout partitioned table touches ${groups.size} partition " +
+          "tuples in one scan — restrict the file set (snapshot filter) or " +
+          "rewrite to a path-derivable layout")
+      groups.toSeq.sortBy(_._2.head.path).map { case (vals, fsG) =>
+        val base = spark.read.schema(dataOnly).parquet(fsG.map(_.path): _*)
+        val withParts = injectable.zip(vals).foldLeft(base) {
+          case (df, ((_, sf), v)) => df.withColumn(sf.name, partitionLit(sf, v))
+        }
+        withParts.select(schema.fieldNames.map(col).toSeq: _*)
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** a manifest partition value as a TYPED literal column */
+  private def partitionLit(sf: StructField, v: AnyRef): org.apache.spark.sql.Column =
+    (sf.dataType, v) match {
+      case (_, null) => lit(null).cast(sf.dataType)
+      case (DateType, i: java.lang.Integer) =>
+        lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue())))
+      case (LongType, l: java.lang.Long) => lit(l.longValue())
+      case (IntegerType, i: java.lang.Integer) => lit(i.intValue())
+      case (ShortType, i: java.lang.Integer) => lit(i.shortValue())
+      case (ByteType, i: java.lang.Integer) => lit(i.byteValue())
+      case (BooleanType, b: java.lang.Boolean) => lit(b.booleanValue())
+      case (StringType, s) => lit(s.toString)
+      case (dt, other) => throw new IllegalArgumentException(
+        s"partition column '${sf.name}': manifest value $other " +
+          s"(${other.getClass.getSimpleName}) does not fit ${dt.sql}")
+    }
 
   /** Broadcast a delete key set below this many declared rows. */
   private val deleteBroadcastRows = 4L * 1000 * 1000

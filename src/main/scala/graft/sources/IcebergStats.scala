@@ -99,6 +99,13 @@ object IcebergStats {
     case _ => None
   }
 
+  /** [[encode]] for plain JVM values (manifest partition records hand
+    * us String, not parquet Binary) — the partition-pruning entry */
+  private[sources] def encodeValue(dt: DataType, v: Any): Option[Array[Byte]] = v match {
+    case s: String => encode(dt, org.apache.parquet.io.api.Binary.fromString(s))
+    case other => encode(dt, other)
+  }
+
   /** (lower, upper, nullCounts) keyed by Iceberg field id, from one
     * parquet footer — a metadata-only read, same cost class as the
     * row-count the commit already takes. Bounds only for columns whose

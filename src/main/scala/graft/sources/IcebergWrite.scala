@@ -41,11 +41,33 @@ import org.apache.spark.sql.types._
 object IcebergWrite {
 
   def create(spark: SparkSession, df: DataFrame, tablePath: String,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      partitionBy: Seq[String] = Nil): Unit = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(tablePath, "metadata")),
       s"Iceberg metadata already exists at $tablePath — use append")
-    commit(spark, fs, df, tablePath, version = 1, txn = txn)
+    partitionBy.foreach { n =>
+      val f = df.schema.fields.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"partition column '$n' is not a column of the DataFrame"))
+      require(hivePartitionable(f.dataType),
+        s"partition column '$n' has type ${f.dataType.sql}; supported: " +
+          "string/long/int/short/byte/boolean/date")
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"partition column name '$n' is not a valid Avro/identifier name")
+    }
+    require(partitionBy.size < df.schema.length || partitionBy.isEmpty,
+      "cannot partition by every column")
+    commit(spark, fs, df, tablePath, version = 1, txn = txn,
+      carryOverride = Some(freshCarry(df.schema, partitionBy)))
+  }
+
+  /** identity-partition column types the hive path layout round-trips
+    * exactly (floats/timestamps intentionally excluded — their path
+    * encodings are lossy or writer-dependent) */
+  private def hivePartitionable(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | ShortType | ByteType |
+         BooleanType | DateType => true
+    case _ => false
   }
 
   def append(spark: SparkSession, df: DataFrame, tablePath: String): Unit =
@@ -148,7 +170,8 @@ object IcebergWrite {
         }
         schemasNode.add(merged)
         SchemaCarry(merged.toString, schemasNode.toString, newSchemaId,
-          prevCarry.lastColumnId + newFields.length, prevCarry.tableUuid)
+          prevCarry.lastColumnId + newFields.length, prevCarry.tableUuid,
+          prevCarry.specFieldsJson)
       }
     val mergedStruct = StructType(declared.fields ++
       newFields.map(_.copy(nullable = true)))
@@ -172,15 +195,29 @@ object IcebergWrite {
   /** The schema-tracking state a commit writes into the metadata JSON.
     * Carried FORWARD verbatim on plain appends/deletes (a regenerated
     * schema would reset the ids/uuid an [[appendEvolve]] advanced);
-    * fresh only at create; replaced by appendEvolve. */
+    * fresh only at create; replaced by appendEvolve. `specFieldsJson`
+    * is the partition spec's fields array (identity transforms only,
+    * spec field-ids from 1000) — `[]` for unpartitioned tables. */
   private final case class SchemaCarry(
       schemaJson: String, schemasArray: String, currentSchemaId: Int,
-      lastColumnId: Int, tableUuid: String)
+      lastColumnId: Int, tableUuid: String, specFieldsJson: String = "[]") {
+    /** partition column names, in spec order */
+    def partCols: Seq[String] = IcebergWrite.specColNames(specFieldsJson)
+  }
 
-  private def freshCarry(schema: StructType): SchemaCarry = {
+  private[sources] def specColNames(specFieldsJson: String): Seq[String] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(specFieldsJson)
+    node.elements().asScala.map(_.get("name").asText()).toSeq
+  }
+
+  private def freshCarry(schema: StructType, partitionBy: Seq[String]): SchemaCarry = {
     val json = icebergSchemaJson(schema)
+    val specJson = partitionBy.zipWithIndex.map { case (n, i) =>
+      val sourceId = schema.fieldNames.indexOf(n) + 1 // ids are 1-based field order
+      s"""{"name":${jstr(n)},"transform":"identity","source-id":$sourceId,"field-id":${1000 + i}}"""
+    }.mkString("[", ",", "]")
     SchemaCarry(json, s"[$json]", 0, schema.length,
-      java.util.UUID.randomUUID().toString)
+      java.util.UUID.randomUUID().toString, specJson)
   }
 
   private def carryFromPrev(fs: FileSystem, metaDir: Path, prev: Int): SchemaCarry = {
@@ -189,17 +226,44 @@ object IcebergWrite {
     val schemaJson = IcebergScan.currentSchemaJson(node)
     val nFields = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(schemaJson).get("fields").size()
+    // partition spec: v2 partition-specs[default-spec-id], else the v1
+    // flat partition-spec array
+    val specFields = Option(node.get("partition-specs")).flatMap { specs =>
+      val defaultId = Option(node.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+      specs.elements().asScala.find(_.get("spec-id").asInt() == defaultId)
+        .map(_.get("fields").toString)
+    }.orElse(Option(node.get("partition-spec")).map(_.toString))
+      .getOrElse("[]")
     SchemaCarry(
       schemaJson,
       Option(node.get("schemas")).map(_.toString).getOrElse(s"[$schemaJson]"),
       Option(node.get("current-schema-id")).map(_.asInt()).getOrElse(0),
       Option(node.get("last-column-id")).map(_.asInt()).getOrElse(nFields),
       Option(node.get("table-uuid")).map(_.asText())
-        .getOrElse(java.util.UUID.randomUUID().toString))
+        .getOrElse(java.util.UUID.randomUUID().toString),
+      specFields)
   }
 
   private def txnProps(txn: Option[(String, Long)]): Map[String, String] =
     txn.map { case (appId, batchId) => s"graft.txn.$appId" -> batchId.toString }.toMap
+
+
+  /** Row-level deletes and whole-file rewrites are implemented for
+    * UNPARTITIONED tables only (delete files and rewritten outputs
+    * would need partition records and per-partition planning) — loud,
+    * never a silent wrong answer. Partitioned tables are maintained by
+    * append + the streaming/batch readers. */
+  private def requireUnpartitioned(spark: SparkSession, tablePath: String, op: String): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    if (!fs.exists(hint)) return // the missing-table error surfaces downstream
+    val prev = readUtf8(fs, hint).trim.toInt
+    val metaDir = new Path(fs.makeQualified(new Path(tablePath)), "metadata")
+    val parts = carryFromPrev(fs, metaDir, prev).partCols
+    require(parts.isEmpty,
+      s"$op requires an unpartitioned table; $tablePath is partitioned by " +
+        s"${parts.mkString(", ")} — maintain partitioned tables by append only")
+  }
 
   private def commit(spark: SparkSession, fs: FileSystem, df: DataFrame,
       tablePath: String, version: Int,
@@ -214,29 +278,34 @@ object IcebergWrite {
       throw new java.util.ConcurrentModificationException(
         s"concurrent Iceberg commit detected: $targetMeta already exists — " +
           "another writer committed this version; re-read the table and retry")
-    val dataDir = new Path(root, "data")
-    val pre = listParquet(fs, dataDir).toSet
-    df.write.mode("append").parquet(dataDir.toString)
-    val added = listParquet(fs, dataDir).filterNot(pre.contains)
-    require(added.nonEmpty, "write produced no data files (empty input?)")
-
     val conf = spark.sparkContext.hadoopConfiguration
     val metaDir = new Path(root, "metadata")
-    fs.mkdirs(metaDir)
 
     // a table upgraded to v2 by deleteWhere stays v2 on later appends
     val fmtVersion = if (version == 1) 1 else prevFormatVersion(fs, metaDir, version - 1)
     val carry = carryOverride.getOrElse(
-      if (version == 1) freshCarry(df.schema)
+      if (version == 1) freshCarry(df.schema, Nil)
       else carryFromPrev(fs, metaDir, version - 1))
     val schemaJson = carry.schemaJson
+    val partCols = carry.partCols
+    partCols.foreach(n => require(df.schema.fieldNames.contains(n),
+      s"the table is partitioned by '$n' which is not a column of the input"))
+
+    val dataDir = new Path(root, "data")
+    val pre = listParquet(fs, dataDir).toSet
+    val writer = df.write.mode("append")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+      .parquet(dataDir.toString)
+    val added = listParquet(fs, dataDir).filterNot(pre.contains)
+    require(added.nonEmpty, "write produced no data files (empty input?)")
+    fs.mkdirs(metaDir)
 
     // one manifest for this commit's files (relative paths; record
-    // counts from the parquet footers — no data re-read)
+    // counts from the parquet footers — no data re-read); partitioned
+    // tables get typed partition records parsed from the hive path
     val manifestRel = s"metadata/manifest-$version.avro"
-    val dataFileSchema = manifestSchema.getField("data_file").schema()
-    val emptyPartition =
-      new GenericData.Record(dataFileSchema.getField("partition").schema())
+    val entrySchema = manifestSchemaFor(partFieldsOf(df.schema, partCols))
+    val dataFileSchema = entrySchema.getField("data_file").schema()
     val filesWithRows = added.map { rel =>
       val dataPath = new Path(root, rel)
       val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -244,18 +313,19 @@ object IcebergWrite {
       val rows = try footer.getRecordCount finally footer.close()
       (rel, rows, fs.getFileStatus(dataPath).getLen)
     }
-    writeAvro(fs, new Path(root, manifestRel), manifestSchema,
+    writeAvro(fs, new Path(root, manifestRel), entrySchema,
       filesWithRows.map { case (rel, rows, len) =>
         val file = new GenericData.Record(dataFileSchema)
         file.put("content", 0) // DATA
         file.put("file_path", rel)
         file.put("file_format", "PARQUET")
-        file.put("partition", emptyPartition)
+        file.put("partition",
+          partitionRecord(dataFileSchema, df.schema, partCols, rel))
         file.put("record_count", rows)
         file.put("file_size_in_bytes", len)
         file.put("block_size_in_bytes", DefaultBlockSize)
         attachStats(file, dataFileSchema, conf, new Path(root, rel), schemaJson)
-        val entry = new GenericData.Record(manifestSchema)
+        val entry = new GenericData.Record(entrySchema)
         entry.put("status", 1) // ADDED
         entry.put("snapshot_id", version.toLong)
         // sequence_number / file_sequence_number stay null on ADDED
@@ -263,7 +333,8 @@ object IcebergWrite {
         // manifest-list row at read time
         entry.put("data_file", file)
         entry
-      }, manifestMeta(schemaJson, fmtVersion, content = "data"))
+      }, manifestMeta(schemaJson, fmtVersion, content = "data",
+        specFieldsJson = carry.specFieldsJson))
     val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
 
     // snapshot's manifest list = all prior manifests (their length /
@@ -368,6 +439,7 @@ object IcebergWrite {
       targetFiles: Int,
       shape: (DataFrame, Int) => DataFrame, operation: String,
       txn: Option[(String, Long)] = None): (Int, Int) = {
+    requireUnpartitioned(spark, tablePath, "compact/zorder/rewrite")
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hint = new Path(tablePath, "metadata/version-hint.text")
@@ -507,6 +579,7 @@ object IcebergWrite {
       assignments: Seq[(String, org.apache.spark.sql.Column)]): Long = {
     import org.apache.spark.sql.functions._
     require(assignments.nonEmpty, "updateWhere needs at least one SET assignment")
+    requireUnpartitioned(spark, tablePath, "updateWhere")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (schema, _) = IcebergScan.currentDataFiles(spark, tablePath)
     val setByName = assignments.toMap
@@ -573,6 +646,7 @@ object IcebergWrite {
       keys: Seq[String], txn: Option[(String, Long)] = None): (Long, Long) = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "merge needs at least one key column")
+    requireUnpartitioned(spark, tablePath, "merge")
     val (schema, _) = IcebergScan.currentDataFiles(spark, tablePath)
     require(
       schema.fields.map(f => (f.name, f.dataType)).toSeq ==
@@ -748,11 +822,11 @@ object IcebergWrite {
   /** spec-required key-value metadata on a manifest Avro file — what
     * external readers use to interpret it without the table metadata */
   private def manifestMeta(schemaJson: String, fmtVersion: Int,
-      content: String): Seq[(String, String)] =
+      content: String, specFieldsJson: String = "[]"): Seq[(String, String)] =
     Seq(
       "schema" -> schemaJson,
       "schema-id" -> "0",
-      "partition-spec" -> "[]",
+      "partition-spec" -> specFieldsJson,
       "partition-spec-id" -> "0",
       "format-version" -> fmtVersion.toString,
       "content" -> content)
@@ -791,12 +865,13 @@ object IcebergWrite {
       }
     val propsJson = (prevProps ++ propsOverride).toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
+    val nSpecFields = specColNames(carry.specFieldsJson).size
     val v2Extra =
       if (fmtVersion < 2) ""
       else s""""last-sequence-number":$version,"schemas":${carry.schemasArray},
               |"current-schema-id":${carry.currentSchemaId},
-              |"partition-specs":[{"spec-id":0,"fields":[]}],"default-spec-id":0,
-              |"last-partition-id":999,
+              |"partition-specs":[{"spec-id":0,"fields":${carry.specFieldsJson}}],"default-spec-id":0,
+              |"last-partition-id":${999 + nSpecFields},
               |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,"""
         .stripMargin
     val snapSeq = if (fmtVersion < 2) "" else s""""sequence-number":$version,"""
@@ -806,7 +881,7 @@ object IcebergWrite {
          |"last-column-id":${carry.lastColumnId},
          |$v2Extra
          |"schema":${carry.schemaJson},
-         |"partition-spec":[],"properties":{$propsJson},
+         |"partition-spec":${carry.specFieldsJson},"properties":{$propsJson},
          |"current-snapshot-id":$version,
          |"snapshots":[$prevSnapshots{"snapshot-id":$version,$snapSeq
          |"timestamp-ms":$now,"summary":{"operation":${jstr(operation)}},
@@ -947,6 +1022,7 @@ object IcebergWrite {
     * paths, so a position delete can never hit a row it didn't name. */
   def deleteWhere(spark: SparkSession, tablePath: String,
       cond: org.apache.spark.sql.Column): Long = {
+    requireUnpartitioned(spark, tablePath, "deleteWhere")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hint = new Path(tablePath, "metadata/version-hint.text")
     require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
@@ -1057,6 +1133,7 @@ object IcebergWrite {
     * scope as the reader: top-level primitive key columns, types
     * matching the table schema exactly. */
   def deleteEqual(spark: SparkSession, tablePath: String, keys: DataFrame): Long = {
+    requireUnpartitioned(spark, tablePath, "deleteEqual")
     import org.apache.spark.sql.functions.col
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hint = new Path(tablePath, "metadata/version-hint.text")
@@ -1188,7 +1265,37 @@ object IcebergWrite {
   // snapshot_id / sequence_number / file_sequence_number stay null on
   // ADDED entries (spec inheritance from the manifest-list row).
   // `content` (134) distinguishes data (0) from position-delete (1)
-  private val manifestSchema = new Schema.Parser().parse(
+  /** the table's identity-partition source fields, in spec order */
+  private def partFieldsOf(schema: StructType, partCols: Seq[String]): Seq[StructField] =
+    partCols.map(n => schema.fields.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"partition column '$n' not in schema")))
+
+  /** Avro primitive for a partition record field (the subset
+    * [[hivePartitionable]] admits) */
+  private def avroPartType(dt: DataType, name: String): String = dt match {
+    case StringType => "\"string\""
+    case LongType => "\"long\""
+    case IntegerType | ShortType | ByteType => "\"int\""
+    case BooleanType => "\"boolean\""
+    case DateType => """{"type":"int","logicalType":"date"}"""
+    case other => throw new IllegalArgumentException(
+      s"partition column '$name': type ${other.sql} not supported")
+  }
+
+  /** manifest_entry Avro schema whose data_file.partition record
+    * carries one nullable field per identity-partition column (spec
+    * partition field-ids from 1000) — [[manifestSchema]] is the
+    * unpartitioned instance */
+  private def manifestSchemaFor(partFields: Seq[StructField]): Schema = {
+    val pf = partFields.zipWithIndex.map { case (f, i) =>
+      s"""{"name":${jstr(f.name)},"type":["null",${avroPartType(f.dataType, f.name)}],""" +
+        s""""default":null,"field-id":${1000 + i}}"""
+    }.mkString(",")
+    new Schema.Parser().parse(manifestSchemaJson.replace(
+      "\"__PARTITION_FIELDS__\"", pf))
+  }
+
+  private val manifestSchemaJson =
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
@@ -1198,7 +1305,7 @@ object IcebergWrite {
       |{"name":"content","type":"int","default":0,"field-id":134},
       |{"name":"file_path","type":"string","field-id":100},
       |{"name":"file_format","type":"string","field-id":101},
-      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+      |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":["__PARTITION_FIELDS__"]}},
       |{"name":"record_count","type":"long","field-id":103},
       |{"name":"file_size_in_bytes","type":"long","field-id":104},
       |{"name":"block_size_in_bytes","type":"long","field-id":105},
@@ -1218,7 +1325,53 @@ object IcebergWrite {
       |{"name":"key","type":"int","field-id":129},
       |{"name":"value","type":"bytes","field-id":130}]}}]},
       |{"name":"equality_ids","field-id":135,"default":null,
-      |"type":["null",{"type":"array","items":"int","element-id":136}]}]}}]}""".stripMargin)
+      |"type":["null",{"type":"array","items":"int","element-id":136}]}]}}]}""".stripMargin
+
+  private val manifestSchema = manifestSchemaFor(Nil)
+
+  /** typed partition record for one hive-layout data file, values
+    * parsed from the file's `k=v` path segments */
+  private def partitionRecord(dataFileSchema: Schema, schema: StructType,
+      partCols: Seq[String], relPath: String): GenericData.Record = {
+    val rec = new GenericData.Record(dataFileSchema.getField("partition").schema())
+    if (partCols.isEmpty) return rec
+    val raw = hivePathValues(relPath, partCols).getOrElse(
+      throw new IllegalStateException(
+        s"written data file $relPath does not carry hive segments for " +
+          s"partition columns ${partCols.mkString(", ")}"))
+    partCols.foreach { n =>
+      val dt = schema(n).dataType
+      rec.put(n, raw(n).map(typedPartitionValue(dt, n, _)).orNull)
+    }
+    rec
+  }
+
+  /** `k=v` hive segments of a path, percent-decoded;
+    * `__HIVE_DEFAULT_PARTITION__` → None (NULL). None overall if any
+    * partition column has no segment. */
+  private[graft] def hivePathValues(path: String,
+      partCols: Seq[String]): Option[Map[String, Option[String]]] = {
+    val segs = path.split('/').iterator.filter(_.contains('=')).map { s =>
+      val i = s.indexOf('=')
+      s.substring(0, i) -> DeltaScan.percentDecode(s.substring(i + 1))
+    }.toMap
+    if (!partCols.forall(segs.contains)) scala.None
+    else Some(partCols.map(n => n ->
+      (if (segs(n) == "__HIVE_DEFAULT_PARTITION__") scala.None else Some(segs(n)))).toMap)
+  }
+
+  /** hive path string → the Avro/manifest value domain */
+  private[sources] def typedPartitionValue(dt: DataType, name: String, s: String): AnyRef =
+    dt match {
+      case StringType => s
+      case LongType => java.lang.Long.valueOf(s)
+      case IntegerType | ShortType | ByteType => java.lang.Integer.valueOf(s)
+      case BooleanType => java.lang.Boolean.valueOf(s)
+      case DateType =>
+        java.lang.Integer.valueOf(java.time.LocalDate.parse(s).toEpochDay.toInt)
+      case other => throw new IllegalArgumentException(
+        s"partition column '$name': type ${other.sql} not supported")
+    }
 
   /** GenericData for the map-as-array encoding above */
   private def kvArray[V](dataFileSchema: Schema, fieldName: String,

@@ -95,9 +95,21 @@ private[streaming] class IcebergMicroBatchStream(
     val from = start.asInstanceOf[IcebergVersionOffset].version
     val to = end.asInstanceOf[IcebergVersionOffset].version
     if (to <= from) return Array.empty
+    // identity-partitioned tables: the hive path segments carry each
+    // file's partition values (this writer's layout); loud otherwise
+    val partNames = IcebergScan.partitionSpecNames(spark, path)
     ((from + 1) to to).flatMap { v =>
-      IcebergScan.versionIncrement(spark, path, v.toInt)
-        .map(abs => DeltaFilePartition(abs, Map.empty): InputPartition)
+      IcebergScan.versionIncrement(spark, path, v.toInt).map { abs =>
+        val pv: Map[String, String] =
+          if (partNames.isEmpty) Map.empty
+          else graft.sources.IcebergWrite.hivePathValues(abs, partNames)
+            .getOrElse(throw new IllegalArgumentException(
+              s"data file $abs of $path carries no hive segments for " +
+                s"partition columns ${partNames.mkString(", ")} — the " +
+                "streaming source reads path-derivable layouts only"))
+            .map { case (k, ov) => k -> ov.orNull }
+        DeltaFilePartition(abs, pv): InputPartition
+      }
     }.toArray
   }
 
