@@ -2111,6 +2111,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Delta V2 CHECKPOINT round trip: sidecar-layout checkpoint, whole
+    // JSON tail deleted — the replay must reconstruct the exact table
+    // from the UUID-named top file + parquet sidecar alone
+    "q_delta_ckpt_v2" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_v2ck_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.DeltaWrite.create(s, docs.filter(col("doc_id") % 2 === 0), base)
+      graft.sources.DeltaWrite.append(s, docs.filter(col("doc_id") % 2 =!= 0), base)
+      graft.sources.DeltaWrite.checkpointV2(s, base)
+      val log = new java.io.File(s"$base/_delta_log")
+      log.listFiles().filter(_.getName.matches("\\d{20}\\.json"))
+        .foreach(f => { f.delete(); () })
+      graft.sources.DeltaScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // PARTITIONED Iceberg write→read round trip: identity spec, hive
     // layout, typed manifest partition records — plus a partition-
     // PRUNED read whose filter only one partition satisfies (manifest
@@ -4723,6 +4740,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, lang, 'UPD:' || text FROM documents
         |WHERE doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_delta_ckpt_v2" ->
+      """SELECT doc_id, lang, text FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "q_iceberg_partitioned" ->

@@ -25,7 +25,9 @@ import org.apache.spark.sql.types._
   * DELETION VECTORS (storage types u/i/p; decoded by
   * [[DeletionVectors]] and applied as an anti-join on the file-source
   * `_metadata.row_index`). Unsupported (fails with a clear message
-  * rather than wrong answers): v2 checkpoints.
+  * rather than wrong answers): unknown reader table features. V2
+  * checkpoints (UUID-named top files, parquet or JSON, with file
+  * actions in parquet sidecars) read natively.
   *
   * 100 TB shape: log replay is DISTRIBUTED — commit JSONs and the
   * checkpoint are read as DataFrames and the live-file set is one
@@ -72,7 +74,34 @@ object DeltaScan {
       StructField("readerFeatures", ArrayType(StringType)))))))
 
   private val supportedReaderFeatures =
-    Set("timestampNtz", "deletionVectors", "columnMapping")
+    Set("timestampNtz", "deletionVectors", "columnMapping", "v2Checkpoint")
+
+  /** Resolve the checkpoint top file(s) at `v`: classic single file,
+    * multi-part (`parts` from `_last_checkpoint`), or a V2 UUID-named
+    * top file (`<v>.checkpoint.<uniqueStr>.{parquet,json}`). Returns
+    * (paths, isJson, isV2Named) — V2 tops are the only ones that may
+    * carry `sidecar` actions. */
+  private[sources] def checkpointTopFiles(fs: FileSystem, logDir: Path,
+      v: Long, parts: Option[Int]): (Seq[String], Boolean, Boolean) = parts match {
+    case Some(n) if n > 1 =>
+      ((1 to n).map(i =>
+        new Path(logDir, f"$v%020d.checkpoint.$i%010d.$n%010d.parquet").toString),
+        false, false)
+    case _ =>
+      val classic = new Path(logDir, f"$v%020d.checkpoint.parquet")
+      if (fs.exists(classic)) (Seq(classic.toString), false, false)
+      else {
+        // v2 naming: one dot-free uniqueStr segment (multi-part names
+        // have two numeric segments, so they never match)
+        val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+        val pqc = names.filter(_.matches(f"$v%020d\\.checkpoint\\.[A-Za-z0-9-]+\\.parquet"))
+        val jsc = names.filter(_.matches(f"$v%020d\\.checkpoint\\.[A-Za-z0-9-]+\\.json"))
+        if (pqc.nonEmpty) (Seq(new Path(logDir, pqc.max).toString), false, true)
+        else if (jsc.nonEmpty) (Seq(new Path(logDir, jsc.max).toString), true, true)
+        else throw new IllegalStateException(
+          s"_last_checkpoint names version $v but no checkpoint file exists in $logDir")
+      }
+  }
 
   /** Broadcast the deleted-position set below this many total rows
     * (~16 B/row → ≤64 MB); above it, let sort-merge handle the anti
@@ -166,15 +195,28 @@ object DeltaScan {
     // extra checkpoint fields (stats, txn, ...) and nulls out any field
     // a given writer version didn't emit, so both sources union cleanly
     val cpActs = checkpoint.map { case (v, parts) =>
-      val cpFiles = parts match {
-        case Some(n) if n > 1 =>
-          // multi-part layout: <v>.checkpoint.<part>.<total>.parquet
-          (1 to n).map(i =>
-            new Path(logDir, f"$v%020d.checkpoint.$i%010d.$n%010d.parquet").toString)
-        case _ =>
-          Seq(new Path(logDir, f"$v%020d.checkpoint.parquet").toString)
+      val (cpFiles, isJson, isV2Named) = checkpointTopFiles(fs, logDir, v, parts)
+      def rd(paths: Seq[String], sch: StructType) =
+        if (isJson) spark.read.schema(sch).json(paths: _*)
+        else spark.read.schema(sch).parquet(paths: _*)
+      val top = rd(cpFiles, actionSchema).withColumn("__v", lit(v))
+      if (!isV2Named) top
+      else {
+        // V2 checkpoint: file actions may live in parquet SIDECARS
+        // under _delta_log/_sidecars (top file then carries only
+        // non-file actions + the sidecar pointers)
+        val sidecarSchema = StructType(Seq(StructField("sidecar",
+          StructType(Seq(StructField("path", StringType))))))
+        val scPaths = rd(cpFiles, sidecarSchema)
+          .select(col("sidecar.path").as("p")).filter(col("p").isNotNull)
+          .collect().map(_.getString(0)).toSeq.sorted // [lint:bounded] one row per sidecar FILE
+        if (scPaths.isEmpty) top
+        else top.unionByName(
+          spark.read.schema(actionSchema).parquet(scPaths.map { p =>
+            if (p.contains("://") || p.startsWith("/")) p
+            else new Path(logDir, s"_sidecars/$p").toString
+          }: _*).withColumn("__v", lit(v)))
       }
-      spark.read.schema(actionSchema).parquet(cpFiles: _*).withColumn("__v", lit(v))
     }
     val acts = (cpActs.toSeq ++ jsonActs.toSeq).reduce(_ unionByName _)
 
@@ -184,8 +226,8 @@ object DeltaScan {
     proto.foreach { p =>
       val minReader = p.getInt(0)
       val feats = Option(p.getSeq[String](1)).getOrElse(Seq.empty)
-      // 1 = base, 2 = legacy column mapping, 3 = table features (must all
-      // be understood). v2Checkpoint in particular is NOT supported.
+      // 1 = base, 2 = legacy column mapping, 3 = table features (must
+      // all be understood, else loud).
       require(minReader <= 2 || (minReader == 3 && feats.forall(supportedReaderFeatures)),
         s"Delta reader protocol $minReader with features $feats is not supported " +
           "by the built-in reader (unsupported: " +

@@ -164,26 +164,29 @@ object DeltaWrite {
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
         val node = mapper.readTree(txt)
         val v = node.get("version").asLong(-1L)
-        // honor multi-part checkpoints (external writers): same layout
-        // DeltaScan.read resolves — missing a part's txns here would
-        // silently break the exactly-once handshake after truncation
+        // honor multi-part AND v2 UUID-named checkpoints (external
+        // writers): same resolution DeltaScan.read uses — missing a
+        // txn here would silently break the exactly-once handshake
+        // after truncation. V2 keeps non-file actions (txn included)
+        // in the TOP file, so sidecars never need reading here.
         val parts = Option(node.get("parts")).map(_.asInt())
-        val cpFiles: Seq[Path] = parts match {
-          case Some(n) if n > 1 =>
-            (1 to n).map(i =>
-              new Path(logDir, f"$v%020d.checkpoint.$i%010d.$n%010d.parquet"))
-          case _ => Seq(new Path(logDir, f"$v%020d.checkpoint.parquet"))
+        val resolved =
+          if (v < 0) scala.None
+          else scala.util.Try(
+            DeltaScan.checkpointTopFiles(fs, logDir, v, parts)).toOption
+        resolved match {
+          case Some((cpFiles, isJson, _)) if cpFiles.forall(p => fs.exists(new Path(p))) =>
+            val df = if (isJson) spark.read.json(cpFiles: _*)
+                     else spark.read.parquet(cpFiles: _*)
+            if (df.columns.contains("txn")) {
+              df.select("txn.appId", "txn.version")
+                .where(org.apache.spark.sql.functions.col("appId").isNotNull)
+                .collect() // [lint:bounded] one row per checkpointed txn app id
+                .foreach(r => consider(r.getString(0), r.getLong(1)))
+            }
+            v
+          case _ => -1L
         }
-        if (v >= 0 && cpFiles.forall(fs.exists)) {
-          val df = spark.read.parquet(cpFiles.map(_.toString): _*)
-          if (df.columns.contains("txn")) {
-            df.select("txn.appId", "txn.version")
-              .where(org.apache.spark.sql.functions.col("appId").isNotNull)
-              .collect() // [lint:bounded] one row per checkpointed txn app id
-              .foreach(r => consider(r.getString(0), r.getLong(1)))
-          }
-          v
-        } else -1L
       }
     jsonVersions.filter(_ > cpVersion).foreach { v =>
       val p = new Path(logDir, f"$v%020d.json")
@@ -238,13 +241,36 @@ object DeltaWrite {
     * partitionValues/size/deletionVector, metaData, protocol); like the
     * commit step, this is driver-side METADATA work proportional to the
     * live-file count, not data size. */
-  def checkpoint(spark: SparkSession, tablePath: String): Unit = {
+  def checkpoint(spark: SparkSession, tablePath: String): Unit =
+    checkpointImpl(spark, tablePath, v2 = false)
+
+  /** V2 CHECKPOINT: the protocol's UUID-named checkpoint layout — file
+    * actions land in a parquet SIDECAR under `_delta_log/_sidecars/`,
+    * the top file `<v>.checkpoint.<uuid>.parquet` carries only the
+    * non-file actions (protocol, metaData, per-app txn markers) plus
+    * the `checkpointMetadata` row and the sidecar pointer. Readers
+    * need the `v2Checkpoint` table feature, so the first call upgrades
+    * the protocol (one commit, existing features preserved) — after
+    * that the table is only readable by v2-aware readers, which is the
+    * point of the feature gate. Functionally identical to [[checkpoint]]
+    * (log truncation, txn survival); the layout is what scales: sidecars
+    * shard the file manifest so a 100M-file table's checkpoint is many
+    * parallel-written (and parallel-read) parts instead of one row-blob. */
+  def checkpointV2(spark: SparkSession, tablePath: String): Unit =
+    checkpointImpl(spark, tablePath, v2 = true)
+
+  private def checkpointImpl(spark: SparkSession, tablePath: String, v2: Boolean): Unit = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(fs.makeQualified(new Path(tablePath)), "_delta_log")
+    // full-JSON-history contract first (clear error), THEN the v2
+    // protocol upgrade (which may add one commit — recompute after)
+    (0L to DeltaScan.latestVersion(spark, tablePath)).foreach { v =>
+      require(fs.exists(new Path(logDir, f"$v%020d.json")),
+        s"cannot checkpoint $tablePath: commit $v is missing (log truncated?)")
+    }
+    if (v2) ensureV2CheckpointProtocol(spark, fs, tablePath)
     val version = DeltaScan.latestVersion(spark, tablePath)
     val jsons = (0L to version).map(v => new Path(logDir, f"$v%020d.json"))
-    jsons.foreach(p => require(fs.exists(p),
-      s"cannot checkpoint $tablePath: commit $p is missing (log truncated?)"))
 
     import org.apache.spark.sql.types._
     val dvType = StructType(Seq(
@@ -318,24 +344,98 @@ object DeltaWrite {
     def widen(df: org.apache.spark.sql.DataFrame, keep: String) =
       df.select(actionSchema.fieldNames.map(f =>
         (if (f == keep) col(f) else nulls(f)).as(f)).toSeq: _*)
-    val checkpointDf =
-      widen(latestProto, "protocol")
-        .unionAll(widen(latestMeta, "metaData"))
-        .unionAll(widen(latestTxn, "txn"))
-        .unionAll(widen(liveAdds, "add"))
-    val cpPath = new Path(logDir, f"$version%020d.checkpoint.parquet")
-    val tmp = new Path(logDir, f".tmp-checkpoint-$version")
-    checkpointDf.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = fs.listStatus(tmp).map(_.getPath)
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
-    require(fs.rename(part, cpPath) || fs.exists(cpPath),
-      s"could not move checkpoint into place at $cpPath")
-    fs.delete(tmp, true)
-    val size = spark.read.parquet(cpPath.toString).count()
-    val out = fs.create(new Path(logDir, "_last_checkpoint"), true)
-    try out.write(s"""{"version":$version,"size":$size}""".getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    def writeOne(df: org.apache.spark.sql.DataFrame, dest: Path, tag: String): Long = {
+      val tmp = new Path(logDir, s".tmp-checkpoint-$tag")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
+      require(fs.rename(part, dest) || fs.exists(dest),
+        s"could not move checkpoint file into place at $dest")
+      fs.delete(tmp, true)
+      fs.getFileStatus(dest).getLen
+    }
+
+    if (!v2) {
+      val checkpointDf =
+        widen(latestProto, "protocol")
+          .unionAll(widen(latestMeta, "metaData"))
+          .unionAll(widen(latestTxn, "txn"))
+          .unionAll(widen(liveAdds, "add"))
+      val cpPath = new Path(logDir, f"$version%020d.checkpoint.parquet")
+      writeOne(checkpointDf, cpPath, version.toString)
+      val size = spark.read.parquet(cpPath.toString).count()
+      val out = fs.create(new Path(logDir, "_last_checkpoint"), true)
+      try out.write(s"""{"version":$version,"size":$size}""".getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } else {
+      // ---- V2 layout: sidecar with the file actions ------------------
+      val uuid = java.util.UUID.randomUUID().toString
+      fs.mkdirs(new Path(logDir, "_sidecars"))
+      val sidecarRel = s"$uuid.parquet"
+      val sidecarPath = new Path(logDir, s"_sidecars/$sidecarRel")
+      val sidecarLen = writeOne(widen(liveAdds, "add"), sidecarPath, s"sc-$uuid")
+      val nAdds = spark.read.parquet(sidecarPath.toString).count()
+
+      // ---- top file: non-file actions + checkpointMetadata + pointer -
+      val sidecarType = StructType(Seq(
+        StructField("path", StringType), StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType)))
+      val cpMetaType = StructType(Seq(StructField("version", LongType)))
+      def widenV2(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        df.withColumn("sidecar", lit(null).cast(sidecarType))
+          .withColumn("checkpointMetadata", lit(null).cast(cpMetaType))
+      val one = spark.range(1)
+      val pointerRow = one.select(
+        (actionSchema.fieldNames.map(f => nulls(f).as(f)) :+
+          struct(lit(sidecarRel).as("path"), lit(sidecarLen).as("sizeInBytes"),
+            lit(fs.getFileStatus(sidecarPath).getModificationTime).as("modificationTime"))
+            .as("sidecar") :+
+          lit(null).cast(cpMetaType).as("checkpointMetadata")).toSeq: _*)
+      val cpMetaRow = one.select(
+        (actionSchema.fieldNames.map(f => nulls(f).as(f)) :+
+          lit(null).cast(sidecarType).as("sidecar") :+
+          struct(lit(version).as("version")).as("checkpointMetadata")).toSeq: _*)
+      val topDf = widenV2(widen(latestProto, "protocol"))
+        .unionAll(widenV2(widen(latestMeta, "metaData")))
+        .unionAll(widenV2(widen(latestTxn, "txn")))
+        .unionAll(pointerRow)
+        .unionAll(cpMetaRow)
+      val topPath = new Path(logDir, f"$version%020d.checkpoint.$uuid.parquet")
+      writeOne(topDf, topPath, s"top-$uuid")
+      val size = spark.read.parquet(topPath.toString).count() + nAdds
+      val out = fs.create(new Path(logDir, "_last_checkpoint"), true)
+      try out.write(s"""{"version":$version,"size":$size}""".getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** upgrade the table protocol with the `v2Checkpoint` reader+writer
+    * feature (one commit; existing features preserved; no-op when
+    * already present). Legacy column-mapping protocol (minReader 2)
+    * maps to the columnMapping feature per spec. */
+  private def ensureV2CheckpointProtocol(spark: SparkSession, fs: FileSystem,
+      tablePath: String): Unit = {
+    val root = fs.makeQualified(new Path(tablePath))
+    val (_, proto) = replayLatestAdds(fs, tablePath)
+    val (minReader, readerFeats, writerFeats) = proto match {
+      case Some(p) =>
+        def feats(name: String): Seq[String] =
+          Option(p.get(name)).filter(_.isArray).map(_.elements().asScala
+            .map(_.asText()).toSeq).getOrElse(Seq.empty)
+        (Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
+          feats("readerFeatures"), feats("writerFeatures"))
+      case scala.None => (1, Seq.empty[String], Seq.empty[String])
+    }
+    if (readerFeats.contains("v2Checkpoint")) return
+    val legacy = if (minReader == 2) Seq("columnMapping") else Seq.empty
+    val newReader = (readerFeats ++ legacy :+ "v2Checkpoint").distinct.sorted
+    val newWriter = (writerFeats ++ legacy :+ "v2Checkpoint").distinct.sorted
+    def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+    val v = DeltaScan.latestVersion(spark, root.toString) + 1
+    writeCommitFile(fs, root, v,
+      Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":${arr(newReader)},"writerFeatures":${arr(newWriter)}}}"""))
   }
 
   /** [[append]] with optimistic-concurrency RETRY: a loser of the

@@ -235,14 +235,21 @@ class DeltaScanSpec extends SparkSpec {
     assert(out == Seq((2L, "b"), (3L, "c")))
   }
 
-  test("unsupported reader features fail loudly: v2Checkpoint") {
+  test("reader features: v2Checkpoint accepted; unknown features fail loudly") {
     val dir = freshDir("graft_delta_unsup")
     val s0 = writeDataFile(Seq((1L, "a")).toDF("id", "v"), dir, "f0.parquet")
     val v2proto =
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}"""
     writeCommit(dir, 0, Seq(v2proto, metaAction(), addAction("f0.parquet", s0)))
-    val e = intercept[IllegalArgumentException] { DeltaScan.read(spark, dir.toString) }
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(DeltaScan.read(spark, dir.toString).count() == 1L)
+
+    val dir2 = freshDir("graft_delta_unsup2")
+    val s1 = writeDataFile(Seq((1L, "a")).toDF("id", "v"), dir2, "f0.parquet")
+    val unknown =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["futureFeatureX"]}}"""
+    writeCommit(dir2, 0, Seq(unknown, metaAction(), addAction("f0.parquet", s1)))
+    val e = intercept[IllegalArgumentException] { DeltaScan.read(spark, dir2.toString) }
+    assert(e.getMessage.contains("futureFeatureX"))
   }
 
   // ---- deletion vectors ------------------------------------------------
@@ -623,6 +630,91 @@ class DeltaScanSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       DeltaWrite.checkpoint(spark, dir)
     }.getMessage.contains("truncated"))
+  }
+
+  test("checkpointV2: sidecar layout round-trips, protocol merges features, txns survive truncation") {
+    import graft.sources.DeltaWrite
+    import graft.streaming.Streams
+    val dir = freshDir("graft_delta_v2ckpt").toString
+    // exactly-once txn marker + a DV delete BEFORE the v2 checkpoint:
+    // the protocol upgrade must merge deletionVectors with v2Checkpoint
+    assert(Streams.deltaSinkBatch(Seq((1L, "a"), (2L, "b"), (3L, "kill")).toDF("id", "v"),
+      dir, "appV2", 0L))
+    DeltaWrite.deleteWhereDV(spark, dir, col("v") === "kill")
+    DeltaWrite.append(spark, Seq((4L, "d")).toDF("id", "v"), dir)
+    DeltaWrite.checkpointV2(spark, dir)
+
+    val log = new java.io.File(s"$dir/_delta_log")
+    // layout: UUID-named top + one sidecar, no classic file
+    val cpVersion = graft.sources.DeltaScan.latestVersion(spark, dir)
+    val tops = log.listFiles().map(_.getName)
+      .filter(_.matches(f"$cpVersion%020d\\.checkpoint\\.[a-f0-9-]+\\.parquet"))
+    assert(tops.length == 1, s"expected one v2 top file, got ${tops.mkString(", ")}")
+    assert(!new java.io.File(log, f"$cpVersion%020d.checkpoint.parquet").exists())
+    assert(new java.io.File(log, "_sidecars").listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    // the top file carries NO add actions (they live in the sidecar)
+    val topDf = spark.read.parquet(new java.io.File(log, tops.head).toString)
+    assert(!topDf.columns.contains("add") || topDf.filter(col("add.path").isNotNull).count() == 0)
+    assert(topDf.filter(col("checkpointMetadata.version").isNotNull).count() == 1)
+
+    def readAll() = DeltaScan.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = Set((1L, "a"), (2L, "b"), (4L, "d"))
+    assert(readAll() == expected)
+
+    // truncate the whole JSON tail: replay must come from the v2
+    // checkpoint (protocol+meta+txn from top, adds from the sidecar)
+    (0L to cpVersion).foreach { v =>
+      new java.io.File(log, f"$v%020d.json").delete(); ()
+    }
+    assert(readAll() == expected)
+    assert(DeltaWrite.lastTxnVersion(spark, dir, "appV2").contains(0L),
+      "txn marker must survive v2 checkpoint truncation (exactly-once)")
+    // DV capability gate survives too: CoW ops still refuse the table
+    intercept[IllegalArgumentException] {
+      DeltaWrite.compact(spark, dir, smallFileBytes = 1L << 20)
+    }
+    // appends continue on top
+    DeltaWrite.append(spark, Seq((5L, "e")).toDF("id", "v"), dir)
+    assert(readAll() == expected + ((5L, "e")))
+    // re-checkpointing a truncated log keeps the clear contract error
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.checkpointV2(spark, dir)
+    }.getMessage.contains("truncated"))
+
+    // on an intact table, a second v2 checkpoint does NOT re-upgrade
+    // the protocol (idempotent — no extra commit)
+    val dir2 = freshDir("graft_delta_v2ckpt2").toString
+    DeltaWrite.create(spark, Seq((1L, "x")).toDF("id", "v"), dir2)
+    DeltaWrite.checkpointV2(spark, dir2)
+    val vBefore = DeltaScan.latestVersion(spark, dir2)
+    DeltaWrite.checkpointV2(spark, dir2)
+    assert(DeltaScan.latestVersion(spark, dir2) == vBefore)
+    assert(DeltaScan.read(spark, dir2).count() == 1L)
+  }
+
+  test("v2 checkpoint with a JSON top file reads (external-writer shape)") {
+    import graft.sources.DeltaWrite
+    val dir = freshDir("graft_delta_v2json").toString
+    DeltaWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    DeltaWrite.checkpointV2(spark, dir)
+    val log = new java.io.File(s"$dir/_delta_log")
+    val cpVersion = DeltaScan.latestVersion(spark, dir)
+    val top = log.listFiles().map(_.getName)
+      .find(_.matches(f"$cpVersion%020d\\.checkpoint\\.[a-f0-9-]+\\.parquet")).get
+    // convert the parquet top to JSON lines (same actions, .json name)
+    val rows = spark.read.parquet(new java.io.File(log, top).toString)
+      .toJSON.collect()
+    val jsonName = top.stripSuffix(".parquet") + ".json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(log.toString, jsonName),
+      rows.mkString("\n").getBytes("UTF-8"))
+    assert(new java.io.File(log, top).delete())
+    (0L to cpVersion).foreach { v =>
+      new java.io.File(log, f"$v%020d.json").delete(); ()
+    }
+    val got = DeltaScan.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
   }
 
   test("DeltaWrite.compact: small files merge behind one dataChange=false commit") {

@@ -113,8 +113,10 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
           assert(n == victims.size,
             s"step $step: dv delete counted $n, model says ${victims.size}")
           model --= victims.keys
-        case 3 => // checkpoint must carry DVs + feature protocol
-          DeltaWrite.checkpoint(spark, dir)
+        case 3 => // checkpoint must carry DVs + feature protocol; v2
+          // (sidecar layout) interleaves with classic from step 15 on
+          if (step >= 15 && step % 2 == 0) DeltaWrite.checkpointV2(spark, dir)
+          else DeltaWrite.checkpoint(spark, dir)
         case 4 => // vacuum reclaims superseded DV bins, never live state
           DeltaWrite.vacuum(spark, dir, retainMs = 0L)
       }
