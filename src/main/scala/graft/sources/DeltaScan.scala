@@ -546,7 +546,7 @@ object DeltaScan {
   }
 
   /** `_last_checkpoint` → (version, parts), if present. */
-  private def lastCheckpoint(
+  private[sources] def lastCheckpoint(
       spark: SparkSession, fs: FileSystem, logDir: Path): Option[(Long, Option[Int])] = {
     val p = new Path(logDir, "_last_checkpoint")
     if (!fs.exists(p)) return None

@@ -259,18 +259,23 @@ object DeltaWrite {
   def checkpointV2(spark: SparkSession, tablePath: String): Unit =
     checkpointImpl(spark, tablePath, v2 = true)
 
+  /** INCREMENTAL: a new checkpoint builds from the PREVIOUS checkpoint
+    * plus the JSON tail after it — O(tail), not O(history) — so a
+    * long-lived table (a streaming sink committing every micro-batch)
+    * checkpoints at constant cost and old JSON commits can be cleaned
+    * up after each checkpoint without ever blocking the next one. The
+    * tail must be gapless between the checkpoint and the head (loud
+    * otherwise). */
   private def checkpointImpl(spark: SparkSession, tablePath: String, v2: Boolean): Unit = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(fs.makeQualified(new Path(tablePath)), "_delta_log")
-    // full-JSON-history contract first (clear error), THEN the v2
-    // protocol upgrade (which may add one commit — recompute after)
-    (0L to DeltaScan.latestVersion(spark, tablePath)).foreach { v =>
-      require(fs.exists(new Path(logDir, f"$v%020d.json")),
-        s"cannot checkpoint $tablePath: commit $v is missing (log truncated?)")
-    }
-    if (v2) ensureV2CheckpointProtocol(spark, fs, tablePath)
     val version = DeltaScan.latestVersion(spark, tablePath)
-    val jsons = (0L to version).map(v => new Path(logDir, f"$v%020d.json"))
+    val prevCp = DeltaScan.lastCheckpoint(spark, fs, logDir).filter(_._1 <= version)
+    val cpV = prevCp.map(_._1).getOrElse(-1L)
+    val jsons = ((cpV + 1) to version).map(v => new Path(logDir, f"$v%020d.json"))
+    jsons.foreach(p => require(fs.exists(p),
+      s"cannot checkpoint $tablePath: commit $p is missing " +
+        "(log truncated past the last checkpoint?)"))
 
     import org.apache.spark.sql.types._
     val dvType = StructType(Seq(
@@ -312,8 +317,36 @@ object DeltaWrite {
       StructField("txn", txnType)))
 
     import org.apache.spark.sql.functions._
-    val acts = spark.read.schema(actionSchema).json(jsons.map(_.toString): _*)
-      .withColumn("__v", regexp_extract(input_file_name(), "(\\d+)\\.json", 1).cast("long"))
+    // previous checkpoint read with THIS (writer) schema — richer than
+    // the reader's projection, so txn/size/writerFeatures survive;
+    // v2 tops expand their sidecars
+    val prevActs: Option[org.apache.spark.sql.DataFrame] = prevCp.map { case (v, parts) =>
+      val (cpFiles, isJson, isV2Named) = DeltaScan.checkpointTopFiles(fs, logDir, v, parts)
+      def rd(paths: Seq[String], sch: StructType) =
+        if (isJson) spark.read.schema(sch).json(paths: _*)
+        else spark.read.schema(sch).parquet(paths: _*)
+      val top = rd(cpFiles, actionSchema)
+      val full =
+        if (!isV2Named) top
+        else {
+          val scProbe = StructType(Seq(StructField("sidecar",
+            StructType(Seq(StructField("path", StringType))))))
+          val scPaths = rd(cpFiles, scProbe)
+            .select(col("sidecar.path").as("p")).filter(col("p").isNotNull)
+            .collect().map(_.getString(0)).toSeq.sorted // [lint:bounded] one row per sidecar FILE
+          if (scPaths.isEmpty) top
+          else top.unionByName(spark.read.schema(actionSchema).parquet(scPaths.map { p =>
+            if (p.contains("://") || p.startsWith("/")) p
+            else new Path(logDir, s"_sidecars/$p").toString
+          }: _*))
+        }
+      full.withColumn("__v", lit(v))
+    }
+    val tailActs: Option[org.apache.spark.sql.DataFrame] =
+      if (jsons.isEmpty) scala.None
+      else Some(spark.read.schema(actionSchema).json(jsons.map(_.toString): _*)
+        .withColumn("__v", regexp_extract(input_file_name(), "(\\d+)\\.json", 1).cast("long")))
+    val acts = (prevActs.toSeq ++ tailActs.toSeq).reduce(_ unionByName _)
     // latest action per path wins; survivors are adds
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(coalesce(col("add.path"), col("remove.path")))
@@ -327,6 +360,27 @@ object DeltaWrite {
       .orderBy(col("__v").desc).select("metaData").limit(1)
     val latestProto = acts.filter(col("protocol.minReaderVersion").isNotNull)
       .orderBy(col("__v").desc).select("protocol").limit(1)
+
+    // v2 needs the v2Checkpoint table feature: upgrade once (existing
+    // features preserved; legacy minReader 2 maps to columnMapping),
+    // then re-enter so the upgrade commit itself is checkpointed
+    if (v2) {
+      val p = latestProto.collect().headOption.map(_.getStruct(0)) // [lint:bounded] one protocol row
+      val readerFeats = p.flatMap(r => Option(r.getSeq[String](2))).getOrElse(Seq.empty)
+      if (!readerFeats.contains("v2Checkpoint")) {
+        val minReader = p.map(r => if (r.isNullAt(0)) 1 else r.getInt(0)).getOrElse(1)
+        val writerFeats = p.flatMap(r => Option(r.getSeq[String](3))).getOrElse(Seq.empty)
+        val legacy = if (minReader == 2) Seq("columnMapping") else Seq.empty[String]
+        val newReader = (readerFeats ++ legacy :+ "v2Checkpoint").distinct.sorted
+        val newWriter = (writerFeats ++ legacy :+ "v2Checkpoint").distinct.sorted
+        def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+        writeCommitFile(fs, fs.makeQualified(new Path(tablePath)), version + 1,
+          Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+            s""""readerFeatures":${arr(newReader)},"writerFeatures":${arr(newWriter)}}}"""))
+        return checkpointImpl(spark, tablePath, v2) // feature present now
+      }
+    }
+
     // newest txn PER APP rides into the checkpoint (protocol behavior:
     // exactly-once markers must survive log truncation)
     val wTxn = org.apache.spark.sql.expressions.Window
@@ -410,33 +464,6 @@ object DeltaWrite {
     }
   }
 
-  /** upgrade the table protocol with the `v2Checkpoint` reader+writer
-    * feature (one commit; existing features preserved; no-op when
-    * already present). Legacy column-mapping protocol (minReader 2)
-    * maps to the columnMapping feature per spec. */
-  private def ensureV2CheckpointProtocol(spark: SparkSession, fs: FileSystem,
-      tablePath: String): Unit = {
-    val root = fs.makeQualified(new Path(tablePath))
-    val (_, proto) = replayLatestAdds(fs, tablePath)
-    val (minReader, readerFeats, writerFeats) = proto match {
-      case Some(p) =>
-        def feats(name: String): Seq[String] =
-          Option(p.get(name)).filter(_.isArray).map(_.elements().asScala
-            .map(_.asText()).toSeq).getOrElse(Seq.empty)
-        (Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1),
-          feats("readerFeatures"), feats("writerFeatures"))
-      case scala.None => (1, Seq.empty[String], Seq.empty[String])
-    }
-    if (readerFeats.contains("v2Checkpoint")) return
-    val legacy = if (minReader == 2) Seq("columnMapping") else Seq.empty
-    val newReader = (readerFeats ++ legacy :+ "v2Checkpoint").distinct.sorted
-    val newWriter = (writerFeats ++ legacy :+ "v2Checkpoint").distinct.sorted
-    def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
-    val v = DeltaScan.latestVersion(spark, root.toString) + 1
-    writeCommitFile(fs, root, v,
-      Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        s""""readerFeatures":${arr(newReader)},"writerFeatures":${arr(newWriter)}}}"""))
-  }
 
   /** [[append]] with optimistic-concurrency RETRY: a loser of the
     * conditional-commit race re-reads the log's latest version and

@@ -671,24 +671,36 @@ object Streams {
       tablePath: String,
       appId: String,
       batchId: Long,
-      partitionBy: Seq[String] = Nil): Boolean = {
+      partitionBy: Seq[String] = Nil,
+      checkpointEvery: Int = 10): Boolean = {
     if (batch.isEmpty) return false
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(tablePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(tablePath, "_delta_log"))) {
-      val last = graft.sources.DeltaWrite.lastTxnVersion(spark, tablePath, appId)
-      if (last.exists(_ >= batchId)) false // re-delivered: already committed
-      else {
-        graft.sources.DeltaWrite.appendWithTxn(
+    val applied =
+      if (fs.exists(new org.apache.hadoop.fs.Path(tablePath, "_delta_log"))) {
+        val last = graft.sources.DeltaWrite.lastTxnVersion(spark, tablePath, appId)
+        if (last.exists(_ >= batchId)) false // re-delivered: already committed
+        else {
+          graft.sources.DeltaWrite.appendWithTxn(
+            spark, batch.toDF(), tablePath, appId, batchId, partitionBy)
+          true
+        }
+      } else {
+        graft.sources.DeltaWrite.createWithTxn(
           spark, batch.toDF(), tablePath, appId, batchId, partitionBy)
         true
       }
-    } else {
-      graft.sources.DeltaWrite.createWithTxn(
-        spark, batch.toDF(), tablePath, appId, batchId, partitionBy)
-      true
+    // a sink commits every micro-batch forever — without periodic
+    // checkpoints every reader pays O(commits) log replay. Checkpoints
+    // are incremental (previous checkpoint + tail), so this is O(N)
+    // per write, amortized O(1) per commit. 0 disables.
+    if (applied && checkpointEvery > 0) {
+      val v = graft.sources.DeltaScan.latestVersion(spark, tablePath)
+      if (v > 0 && v % checkpointEvery == 0)
+        graft.sources.DeltaWrite.checkpoint(spark, tablePath)
     }
+    applied
   }
 
   /** One micro-batch of the EXACTLY-ONCE CDC UPSERT sink: the batch

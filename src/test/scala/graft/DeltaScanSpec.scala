@@ -626,10 +626,19 @@ class DeltaScanSpec extends SparkSpec {
       assert(new java.io.File(log, f"$v%020d.json").delete())
     }
     assert(readAll() == expected + ((5L, "e")))
-    // checkpointing a truncated log fails loudly instead of guessing
+    // INCREMENTAL checkpointing: the truncated-before-checkpoint log
+    // re-checkpoints fine (prev checkpoint + tail is the whole input)
+    DeltaWrite.checkpoint(spark, dir)
+    assert(new java.io.File(log, "00000000000000000003.checkpoint.parquet").exists())
+    assert(new java.io.File(log, "00000000000000000003.json").delete())
+    assert(readAll() == expected + ((5L, "e")))
+    // but a GAP in the tail after the checkpoint stays loud
+    DeltaWrite.append(spark, Seq((6L, "f")).toDF("id", "v"), dir)
+    DeltaWrite.append(spark, Seq((7L, "g")).toDF("id", "v"), dir)
+    assert(new java.io.File(log, "00000000000000000004.json").delete())
     assert(intercept[IllegalArgumentException] {
       DeltaWrite.checkpoint(spark, dir)
-    }.getMessage.contains("truncated"))
+    }.getMessage.contains("missing"))
   }
 
   test("checkpointV2: sidecar layout round-trips, protocol merges features, txns survive truncation") {
@@ -677,10 +686,14 @@ class DeltaScanSpec extends SparkSpec {
     // appends continue on top
     DeltaWrite.append(spark, Seq((5L, "e")).toDF("id", "v"), dir)
     assert(readAll() == expected + ((5L, "e")))
-    // re-checkpointing a truncated log keeps the clear contract error
-    assert(intercept[IllegalArgumentException] {
-      DeltaWrite.checkpointV2(spark, dir)
-    }.getMessage.contains("truncated"))
+    // INCREMENTAL: re-checkpointing the truncated log succeeds (builds
+    // from the previous v2 checkpoint + the one-commit tail), and the
+    // txn marker carried THROUGH a v2 checkpoint into the next one
+    DeltaWrite.checkpointV2(spark, dir)
+    val cpV2 = DeltaScan.latestVersion(spark, dir)
+    new java.io.File(log, f"$cpV2%020d.json").delete()
+    assert(readAll() == expected + ((5L, "e")))
+    assert(DeltaWrite.lastTxnVersion(spark, dir, "appV2").contains(0L))
 
     // on an intact table, a second v2 checkpoint does NOT re-upgrade
     // the protocol (idempotent — no extra commit)

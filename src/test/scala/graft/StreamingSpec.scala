@@ -1145,6 +1145,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("deltaSinkBatch auto-checkpoints every N commits; replay stays exact after log cleanup") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    val dir = java.nio.file.Files.createTempDirectory("graft_auto_ckpt").toString + "/t"
+    (0L until 11L).foreach { b =>
+      assert(Streams.deltaSinkBatch(Seq((b, s"v$b")).toDF("id", "v"), dir, "appCk", b,
+        checkpointEvery = 5))
+    }
+    val log = new java.io.File(s"$dir/_delta_log")
+    assert(new java.io.File(log, "00000000000000000005.checkpoint.parquet").exists())
+    assert(new java.io.File(log, "00000000000000000010.checkpoint.parquet").exists())
+    // clean the pre-checkpoint JSONs (the operational payoff): replay
+    // + the exactly-once marker must both survive
+    (0L to 9L).foreach { v => new java.io.File(log, f"$v%020d.json").delete(); () }
+    assert(DeltaScan.read(spark, dir).count() == 11L)
+    assert(DeltaWrite.lastTxnVersion(spark, dir, "appCk").contains(10L))
+    assert(!Streams.deltaSinkBatch(Seq((99L, "x")).toDF("id", "v"), dir, "appCk", 10L,
+      checkpointEvery = 5))
+  }
+
   test("icebergSinkBatch is exactly-once: re-delivered ids skipped, txn marker survives snapshot expiry") {
     import graft.sources.{IcebergScan, IcebergWrite}
     val dir = java.nio.file.Files.createTempDirectory("graft_ice_txn_sink").toString + "/t"
