@@ -106,8 +106,10 @@ object Bench {
     "q_tpch_q9", "q_delta_merge", "q_iceberg_compact", "q_iceberg_skip",
     // late round 7: Iceberg MERGE (lineage-view victim location +
     // overwrite-snapshot rewrite); identity-partitioned Iceberg write
-    // → partition-discovered read + plan-time partition-value pruning
-    "q_iceberg_merge", "q_iceberg_partitioned")
+    // → partition-discovered read + plan-time partition-value pruning;
+    // the partitioned-DML composition (per-partition position deletes,
+    // partition-migrating update, re-inserting merge, pruned read)
+    "q_iceberg_merge", "q_iceberg_partitioned", "q_iceberg_part_dml")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

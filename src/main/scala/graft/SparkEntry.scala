@@ -2176,6 +2176,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the full PARTITIONED Iceberg DML composition: position deletes
+    // shard per partition, an UPDATE migrates rows across partitions,
+    // a MERGE re-inserts previously-deleted keys — then a full read
+    // plus a partition-pruned read of the migrated partition
+    "q_iceberg_part_dml" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_pdml_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(s, docs, base, partitionBy = Seq("lang"))
+      graft.sources.IcebergWrite.deleteWhere(s, base, col("doc_id") % 7 === 0)
+      graft.sources.IcebergWrite.updateWhere(s, base, col("doc_id") % 5 === 0,
+        Seq("lang" -> lit("xx")))
+      val source = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("lang", lit("yy"))
+        .withColumn("text", concat(lit("UPD:"), col("text")))
+        .select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.merge(s, base, source, Seq("doc_id"))
+      val all = graft.sources.IcebergScan.read(s, base)
+      val pruned = graft.sources.IcebergScan.read(s, base,
+        skippingFilter = Some(col("lang") === "xx"))
+      all.unionByName(pruned)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id", "lang")
+    }),
+
     // Delta MERGE (upsert): every doc_id % 3 == 0 row upserts with a
     // marked text (evens update in place, odds insert) — files holding
     // matched keys rewritten, everything else untouched
@@ -4757,6 +4781,21 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 0 THEN 'UPD:' || text ELSE text END AS text
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // delete %7 → update %5's lang to xx (partition migration) → merge
+    // %3 as yy (re-inserting deleted 21-multiples) + a pruned read of
+    // the xx partition
+    "q_iceberg_part_dml" ->
+      """SELECT doc_id, lang, text FROM (
+        |  SELECT doc_id, 'yy' AS lang, 'UPD:' || text AS text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang, text
+        |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 'xx' AS lang, text FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id % 3 <> 0 AND doc_id % 7 <> 0
+        |) ORDER BY doc_id, lang""".stripMargin,
 
     "q_iceberg_merge" ->
       """SELECT doc_id, lang, text FROM documents

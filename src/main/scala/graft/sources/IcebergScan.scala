@@ -64,8 +64,10 @@ object IcebergScan {
     * name) and `__pos` (row ordinal) — with ALL deletes applied:
     * [[IcebergWrite.deleteWhere]] plans its victims on this view so a
     * row already dead under an earlier delete is never re-counted. */
-  private[sources] def readWithLineage(spark: SparkSession, tablePath: String): DataFrame =
-    readInternal(spark, tablePath, None, None, keepLineage = true)
+  private[sources] def readWithLineage(spark: SparkSession, tablePath: String,
+      pruneBy: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    readInternal(spark, tablePath, None, None, keepLineage = true,
+      skippingFilter = pruneBy)
 
   private[sources] def readFiltered(spark: SparkSession, tablePath: String,
       snapshotAsOf: Option[Long], onlyDataFiles: Option[Set[String]]): DataFrame =

@@ -19,8 +19,11 @@ import org.apache.spark.sql.types._
   * `metadata/vN.metadata.json` (with field-ids) plus
   * `version-hint.text`.
   *
-  * SCOPE, stated loudly: unpartitioned tables, primitive column
-  * types, no column stats. Within that scope the emitted tree is
+  * SCOPE, stated loudly: primitive column types; identity (hive
+  * layout) partitioning, including row-level DML and rewrites on
+  * partitioned tables — position deletes partition-scoped, equality
+  * deletes global under the registered unpartitioned spec-id 1.
+  * Within that scope the emitted tree is
   * spec-conformant for EXTERNAL readers too: every Avro schema field
   * carries its spec `field-id` (manifest_entry 0-4, data_file
   * 100-105/134, manifest_file 500-517), manifest files carry the
@@ -248,21 +251,20 @@ object IcebergWrite {
     txn.map { case (appId, batchId) => s"graft.txn.$appId" -> batchId.toString }.toMap
 
 
-  /** Row-level deletes and whole-file rewrites are implemented for
-    * UNPARTITIONED tables only (delete files and rewritten outputs
-    * would need partition records and per-partition planning) — loud,
-    * never a silent wrong answer. Partitioned tables are maintained by
-    * append + the streaming/batch readers. */
-  private def requireUnpartitioned(spark: SparkSession, tablePath: String, op: String): Unit = {
-    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hint = new Path(tablePath, "metadata/version-hint.text")
-    if (!fs.exists(hint)) return // the missing-table error surfaces downstream
-    val prev = readUtf8(fs, hint).trim.toInt
-    val metaDir = new Path(fs.makeQualified(new Path(tablePath)), "metadata")
-    val parts = carryFromPrev(fs, metaDir, prev).partCols
-    require(parts.isEmpty,
-      s"$op requires an unpartitioned table; $tablePath is partitioned by " +
-        s"${parts.mkString(", ")} — maintain partitioned tables by append only")
+  /** typed partition record rebuilt from a live manifest entry's
+    * partition values (the EXISTING-entry path of a rewrite — the
+    * original record must be carried byte-identical, not re-parsed
+    * from the path, so non-hive layouts survive too) */
+  private def partitionRecordFromEntry(dataFileSchema: Schema,
+      partCols: Seq[String], e: IcebergScan.FileEntry): GenericData.Record = {
+    val rec = new GenericData.Record(dataFileSchema.getField("partition").schema())
+    partCols.foreach { n =>
+      require(e.partition.contains(n),
+        s"live entry ${e.path} carries no partition value for spec field '$n' — " +
+          "cannot rewrite a table whose manifests omit partition records")
+      rec.put(n, e.partition(n))
+    }
+    rec
   }
 
   private def commit(spark: SparkSession, fs: FileSystem, df: DataFrame,
@@ -439,7 +441,6 @@ object IcebergWrite {
       targetFiles: Int,
       shape: (DataFrame, Int) => DataFrame, operation: String,
       txn: Option[(String, Long)] = None): (Int, Int) = {
-    requireUnpartitioned(spark, tablePath, "compact/zorder/rewrite")
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hint = new Path(tablePath, "metadata/version-hint.text")
@@ -461,13 +462,24 @@ object IcebergWrite {
     val victimPaths = small.map(_._1.path).toSet
     val kept = sized.filterNot(s => victimPaths.contains(s._1.path))
 
+    val metaDir0 = new Path(root, "metadata")
+    val carry0 = carryFromPrev(fs, metaDir0, prev)
+    val partCols = carry0.partCols
+
     // rewrite through the READER so every applicable delete lands in
     // the output — compacting raw parquet would resurrect deleted rows
     val rewrite = IcebergScan.readFiltered(spark, tablePath, scala.None,
       Some(small.map(_._1.path).toSet))
     val dataDir = new Path(root, "data")
     val pre = listParquet(fs, dataDir).toSet
-    shape(rewrite, targetFiles).write.mode("append").parquet(dataDir.toString)
+    val shaped = shape(rewrite, targetFiles)
+    val writer0 = shaped.write.mode("append")
+    // partitioned tables keep their identity layout: rewritten rows
+    // land back in their (possibly NEW, for an UPDATE that moves a
+    // partition value) hive directories, so partition pruning and
+    // path-derived partition records keep working
+    (if (partCols.nonEmpty) writer0.partitionBy(partCols: _*) else writer0)
+      .parquet(dataDir.toString)
     val conf = spark.sparkContext.hadoopConfiguration
     val added0 = listParquet(fs, dataDir).filterNot(pre.contains)
     // drop empty outputs (every row of the small set may have died)
@@ -481,7 +493,9 @@ object IcebergWrite {
 
     val metaDir = new Path(root, "metadata")
     val fmtVersion = prevFormatVersion(fs, metaDir, prev)
-    val carry = carryFromPrev(fs, metaDir, prev)
+    val carry = carry0
+    val tableSchema = IcebergScan.sparkSchema(
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(carry.schemaJson))
     val rootPrefix = root.toString.stripSuffix("/") + "/"
     def relOf(abs: String): String =
       if (abs.startsWith(rootPrefix)) abs.substring(rootPrefix.length) else abs
@@ -490,15 +504,15 @@ object IcebergWrite {
     // list row = this commit) + EXISTING kept files with explicit
     // original sequence numbers
     val manifestRel = s"metadata/manifest-$version.avro"
-    val dataFileSchema = manifestSchema.getField("data_file").schema()
-    val emptyPartition =
-      new GenericData.Record(dataFileSchema.getField("partition").schema())
-    def fileRecord(relPath: String, rows: Long, len: Long): GenericData.Record = {
+    val entrySchema = manifestSchemaFor(partFieldsOf(tableSchema, partCols))
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    def fileRecord(relPath: String, rows: Long, len: Long,
+        part: GenericData.Record): GenericData.Record = {
       val f = new GenericData.Record(dataFileSchema)
       f.put("content", 0)
       f.put("file_path", relPath)
       f.put("file_format", "PARQUET")
-      f.put("partition", emptyPartition)
+      f.put("partition", part)
       f.put("record_count", rows)
       f.put("file_size_in_bytes", len)
       f.put("block_size_in_bytes", DefaultBlockSize)
@@ -513,24 +527,27 @@ object IcebergWrite {
       (rel, rows, fs.getFileStatus(p).getLen)
     }
     val addedRecords = addedWithRows.map { case (rel, rows, len) =>
-      val e = new GenericData.Record(manifestSchema)
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", version.toLong)
-      e.put("data_file", fileRecord(rel, rows, len))
+      e.put("data_file", fileRecord(rel, rows, len,
+        partitionRecord(dataFileSchema, tableSchema, partCols, rel)))
       e
     }
     val keptRecords = kept.map { case (entry, len) =>
-      val e = new GenericData.Record(manifestSchema)
+      val e = new GenericData.Record(entrySchema)
       e.put("status", 0) // EXISTING
       e.put("snapshot_id", version.toLong)
       e.put("sequence_number", entry.seq) // original — delete gating intact
       e.put("file_sequence_number", entry.seq)
-      e.put("data_file", fileRecord(relOf(entry.path), entry.rows, len))
+      e.put("data_file", fileRecord(relOf(entry.path), entry.rows, len,
+        partitionRecordFromEntry(dataFileSchema, partCols, entry)))
       e
     }
-    writeAvro(fs, new Path(root, manifestRel), manifestSchema,
+    writeAvro(fs, new Path(root, manifestRel), entrySchema,
       addedRecords ++ keptRecords,
-      manifestMeta(carry.schemaJson, fmtVersion, content = "data"))
+      manifestMeta(carry.schemaJson, fmtVersion, content = "data",
+        specFieldsJson = carry.specFieldsJson))
     val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
 
     // manifest list: the rewritten data manifest + delete manifests
@@ -579,7 +596,6 @@ object IcebergWrite {
       assignments: Seq[(String, org.apache.spark.sql.Column)]): Long = {
     import org.apache.spark.sql.functions._
     require(assignments.nonEmpty, "updateWhere needs at least one SET assignment")
-    requireUnpartitioned(spark, tablePath, "updateWhere")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (schema, _) = IcebergScan.currentDataFiles(spark, tablePath)
     val setByName = assignments.toMap
@@ -589,8 +605,12 @@ object IcebergWrite {
         s"SET column '$n' is not in the table schema") }
 
     // victims from the DELETE-APPLIED lineage view: a row already dead
-    // under an earlier position/equality delete never fires the update
-    val hit = IcebergScan.readWithLineage(spark, tablePath).filter(cond)
+    // under an earlier position/equality delete never fires the update.
+    // `cond` doubles as the manifest pruner (partition values + column
+    // bounds), so victim location never scans files the metadata can
+    // prove clean — on a partitioned table an UPDATE touching one
+    // partition plans one partition
+    val hit = IcebergScan.readWithLineage(spark, tablePath, Some(cond)).filter(cond)
       .agg(count(lit(1)).as("n"),
         collect_set(IcebergScan.normalizePathCol(col("__raw_file"))).as("files"))
       .head() // [lint:bounded] one row: a count and a file-count-bounded set
@@ -646,7 +666,6 @@ object IcebergWrite {
       keys: Seq[String], txn: Option[(String, Long)] = None): (Long, Long) = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "merge needs at least one key column")
-    requireUnpartitioned(spark, tablePath, "merge")
     val (schema, _) = IcebergScan.currentDataFiles(spark, tablePath)
     require(
       schema.fields.map(f => (f.name, f.dataType)).toSeq ==
@@ -822,12 +841,13 @@ object IcebergWrite {
   /** spec-required key-value metadata on a manifest Avro file — what
     * external readers use to interpret it without the table metadata */
   private def manifestMeta(schemaJson: String, fmtVersion: Int,
-      content: String, specFieldsJson: String = "[]"): Seq[(String, String)] =
+      content: String, specFieldsJson: String = "[]",
+      specId: Int = 0): Seq[(String, String)] =
     Seq(
       "schema" -> schemaJson,
       "schema-id" -> "0",
       "partition-spec" -> specFieldsJson,
-      "partition-spec-id" -> "0",
+      "partition-spec-id" -> specId.toString,
       "format-version" -> fmtVersion.toString,
       "content" -> content)
 
@@ -866,11 +886,16 @@ object IcebergWrite {
     val propsJson = (prevProps ++ propsOverride).toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
     val nSpecFields = specColNames(carry.specFieldsJson).size
+    // a partitioned v2 table also registers the UNPARTITIONED spec-id 1
+    // — the spec global equality deletes commit under
+    val specsJson =
+      if (nSpecFields == 0) s"""[{"spec-id":0,"fields":${carry.specFieldsJson}}]"""
+      else s"""[{"spec-id":0,"fields":${carry.specFieldsJson}},{"spec-id":1,"fields":[]}]"""
     val v2Extra =
       if (fmtVersion < 2) ""
       else s""""last-sequence-number":$version,"schemas":${carry.schemasArray},
               |"current-schema-id":${carry.currentSchemaId},
-              |"partition-specs":[{"spec-id":0,"fields":${carry.specFieldsJson}}],"default-spec-id":0,
+              |"partition-specs":$specsJson,"default-spec-id":0,
               |"last-partition-id":${999 + nSpecFields},
               |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,"""
         .stripMargin
@@ -1014,15 +1039,22 @@ object IcebergWrite {
     * commits nothing. Victims are planned on the DELETE-APPLIED view
     * ([[IcebergScan.readWithLineage]]), so rows already dead under
     * existing position/equality deletes are neither re-listed nor
-    * double-counted. A delete set is usually tiny relative to the
-    * data, so it is written as ONE file; the data itself is never
-    * rewritten. Same loud-failure scope as the reader: parquet files
-    * only. Stale-delete protection across rewrites holds structurally —
-    * data files are never rewritten in place and fresh writes get fresh
-    * paths, so a position delete can never hit a row it didn't name. */
+    * double-counted, and `cond` rides into the planner as a manifest
+    * pruner (partition values + column bounds) so victim location
+    * never scans files the metadata proves clean. A delete set is
+    * usually tiny relative to the data, so an unpartitioned table gets
+    * ONE delete file; a PARTITIONED table gets one delete file per
+    * touched partition (the spec scopes position deletes to their
+    * partition — only an unpartitioned-spec EQUALITY delete may be
+    * global), each manifest entry carrying the partition record, so a
+    * partition-pruned reader prunes the deletes too. The data itself
+    * is never rewritten. Same loud-failure scope as the reader:
+    * parquet files only. Stale-delete protection across rewrites holds
+    * structurally — data files are never rewritten in place and fresh
+    * writes get fresh paths, so a position delete can never hit a row
+    * it didn't name. */
   def deleteWhere(spark: SparkSession, tablePath: String,
       cond: org.apache.spark.sql.Column): Long = {
-    requireUnpartitioned(spark, tablePath, "deleteWhere")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hint = new Path(tablePath, "metadata/version-hint.text")
     require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
@@ -1035,9 +1067,18 @@ object IcebergWrite {
         s"concurrent Iceberg commit detected: $targetMeta already exists — " +
           "another writer committed this version; re-read the table and retry")
 
-    val (schema, dataFiles) = IcebergScan.currentDataFiles(spark, tablePath)
+    val (_, dataFiles) = IcebergScan.currentDataFiles(spark, tablePath)
     if (dataFiles.isEmpty) return 0L
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val metaDir = new Path(root, "metadata")
+    // schema state carried verbatim from the table's own metadata (the
+    // delete commit must not drift the declared schema or its ids)
+    val carry = carryFromPrev(fs, metaDir, prev)
+    val schemaJson = carry.schemaJson
+    val partCols = carry.partCols
+    val tableSchema = IcebergScan.sparkSchema(
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(schemaJson))
+
     // the spec reserves parquet field ids for position-delete columns:
     // file_path = 2147483546, pos = 2147483545 — stamp them via
     // Spark's parquet.field.id write support so external readers
@@ -1046,57 +1087,101 @@ object IcebergWrite {
     val posMeta = new MetadataBuilder().putLong("parquet.field.id", 2147483545L).build()
     // victims come from the DELETE-APPLIED lineage view, so a row
     // already dead under an earlier position/equality delete is never
-    // re-listed or re-counted
-    val victims = IcebergScan.readWithLineage(spark, tablePath)
+    // re-listed or re-counted; `cond` rides in as the manifest pruner
+    val victims = IcebergScan.readWithLineage(spark, tablePath, Some(cond))
       .filter(cond)
       .select(col("__raw_file").as("file_path", fpMeta),
         col("__pos").as("pos", posMeta))
 
-    // one sorted delete file in its own subdir (writing into data/
+    // delete files land in their own subdir (writing into data/
     // itself would trip Spark's read-write-same-path guard)
     val delDir = new Path(root, s"data/deletes-v$version")
     val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
     val prevFieldId = spark.conf.getOption(fieldIdKey)
     spark.conf.set(fieldIdKey, "true")
-    try victims.repartition(1).sortWithinPartitions("file_path", "pos")
-      .write.mode("overwrite").parquet(delDir.toString)
-    finally prevFieldId match {
+    try {
+      if (partCols.isEmpty)
+        // one sorted delete file
+        victims.repartition(1).sortWithinPartitions("file_path", "pos")
+          .write.mode("overwrite").parquet(delDir.toString)
+      else {
+        // PARTITIONED: position deletes are partition-scoped by spec, so
+        // each touched partition gets its own delete file(s) in a hive
+        // directory mirroring the data layout. Partition values come
+        // from the live MANIFEST entries of the victim files (typed,
+        // layout-independent), joined in broadcast-size
+        val victimFiles = victims
+          .select(IcebergScan.normalizePathCol(col("file_path")).as("f"))
+          .distinct().collect().map(_.getString(0))
+          .toSet // [lint:bounded] live-data-file-count rows
+        if (victimFiles.isEmpty) { fs.delete(delDir, true); return 0L }
+        val (_, entries) = IcebergScan.currentEntries(spark, tablePath)
+        val hitEntries = entries.filter(e =>
+          e.content == 0 && victimFiles.contains(IcebergScan.normalizePath(e.path)))
+        require(hitEntries.size == victimFiles.size,
+          s"victim files ${victimFiles.size} != matched live entries " +
+            s"${hitEntries.size} — path namespace mismatch between the " +
+            "lineage view and the manifest")
+        val partFields = partFieldsOf(tableSchema, partCols)
+        val pmapSchema = StructType(
+          StructField("__file", StringType) +: partFields.map(_.copy(nullable = true)))
+        val pmapRows: java.util.List[org.apache.spark.sql.Row] = hitEntries.map { e =>
+          org.apache.spark.sql.Row.fromSeq(IcebergScan.normalizePath(e.path) +:
+            partFields.map { f =>
+              require(e.partition.contains(f.name),
+                s"live entry ${e.path} carries no partition value for '${f.name}'")
+              partitionExternal(f.dataType, e.partition(f.name))
+            })
+        }.asJava
+        val pmap = spark.createDataFrame(pmapRows, pmapSchema)
+        victims
+          .withColumn("__file", IcebergScan.normalizePathCol(col("file_path")))
+          .join(broadcast(pmap), Seq("__file"))
+          .select(col("file_path").as("file_path", fpMeta) +:
+            col("pos").as("pos", posMeta) +: partCols.map(col): _*)
+          .repartition(partCols.map(col): _*) // all rows of a partition in one task → one file per touched partition
+          .sortWithinPartitions("file_path", "pos")
+          .write.partitionBy(partCols: _*).mode("overwrite").parquet(delDir.toString)
+      }
+    } finally prevFieldId match {
       case Some(v) => spark.conf.set(fieldIdKey, v)
       case None => spark.conf.unset(fieldIdKey)
     }
-    val delFiles = listParquet(fs, delDir).map("data/" + _)
-    require(delFiles.size == 1, s"expected one delete file, got $delFiles")
-    val delRel = delFiles.head
-    val delPath = new Path(root, delRel)
     val conf = spark.sparkContext.hadoopConfiguration
-    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(delPath, conf))
-    val nDeleted = try footer.getRecordCount finally footer.close()
+    val delWithRows = listParquet(fs, delDir).map("data/" + _).map { rel =>
+      val p = new Path(root, rel)
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      val rows = try footer.getRecordCount finally footer.close()
+      (rel, rows, fs.getFileStatus(p).getLen)
+    }.filter(_._2 > 0L)
+    if (partCols.isEmpty) require(delWithRows.size <= 1,
+      s"expected one delete file, got ${delWithRows.map(_._1)}")
+    val nDeleted = delWithRows.map(_._2).sum
     if (nDeleted == 0L) { fs.delete(delDir, true); return 0L }
 
-    val metaDir = new Path(root, "metadata")
-    // schema state carried verbatim from the table's own metadata (the
-    // delete commit must not drift the declared schema or its ids)
-    val carry = carryFromPrev(fs, metaDir, prev)
-    val schemaJson = carry.schemaJson
-
     val manifestRel = s"metadata/manifest-$version.avro"
-    val dataFileSchema = manifestSchema.getField("data_file").schema()
-    val file = new GenericData.Record(dataFileSchema)
-    file.put("content", 1) // POSITION DELETES
-    file.put("file_path", delRel)
-    file.put("file_format", "PARQUET")
-    file.put("partition",
-      new GenericData.Record(dataFileSchema.getField("partition").schema()))
-    file.put("record_count", nDeleted)
-    file.put("file_size_in_bytes", fs.getFileStatus(delPath).getLen)
-    file.put("block_size_in_bytes", DefaultBlockSize)
-    val entry = new GenericData.Record(manifestSchema)
-    entry.put("status", 1) // ADDED
-    entry.put("snapshot_id", version.toLong)
-    entry.put("data_file", file)
-    writeAvro(fs, new Path(root, manifestRel), manifestSchema, Seq(entry),
-      manifestMeta(schemaJson, fmtVersion = 2, content = "deletes"))
+    val entrySchema = manifestSchemaFor(partFieldsOf(tableSchema, partCols))
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val delEntries = delWithRows.map { case (rel, rows, len) =>
+      val file = new GenericData.Record(dataFileSchema)
+      file.put("content", 1) // POSITION DELETES
+      file.put("file_path", rel)
+      file.put("file_format", "PARQUET")
+      file.put("partition",
+        partitionRecord(dataFileSchema, tableSchema, partCols, rel))
+      file.put("record_count", rows)
+      file.put("file_size_in_bytes", len)
+      file.put("block_size_in_bytes", DefaultBlockSize)
+      val entry = new GenericData.Record(entrySchema)
+      entry.put("status", 1) // ADDED
+      entry.put("snapshot_id", version.toLong)
+      entry.put("data_file", file)
+      entry
+    }
+    writeAvro(fs, new Path(root, manifestRel), entrySchema, delEntries,
+      manifestMeta(schemaJson, fmtVersion = 2, content = "deletes",
+        specFieldsJson = carry.specFieldsJson))
     val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
 
     val prevManifests = readPrevManifests(fs, conf, root, version)
@@ -1105,7 +1190,8 @@ object IcebergWrite {
       (prevManifests :+
         ManifestRef(manifestRel, manifestLen, 0,
           content = 1, seq = version.toLong, minSeq = version.toLong,
-          snapshotId = version.toLong, addedFiles = 1, existingFiles = 0,
+          snapshotId = version.toLong, addedFiles = delEntries.size,
+          existingFiles = 0,
           deletedFiles = 0, addedRows = nDeleted, existingRows = 0L,
           deletedRows = 0L))
         .map(manifestRefRecord),
@@ -1114,6 +1200,19 @@ object IcebergWrite {
     writeMetadataJson(fs, metaDir, root, version, fmtVersion = 2,
       carry, listRel, operation = "delete")
     nDeleted
+  }
+
+  /** manifest partition value → the Spark EXTERNAL type for a
+    * createDataFrame row (epoch-day Integer → java.sql.Date, manifest
+    * int → short/byte where the column says so) */
+  private def partitionExternal(dt: DataType, v: AnyRef): Any = (dt, v) match {
+    case (_, null) => null
+    case (DateType, i: java.lang.Integer) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+    case (ShortType, i: java.lang.Integer) => i.shortValue()
+    case (ByteType, i: java.lang.Integer) => i.byteValue()
+    case (StringType, s) => s.toString
+    case (_, other) => other
   }
 
   /** EQUALITY-DELETE commit (v2): delete every row whose values in
@@ -1131,9 +1230,15 @@ object IcebergWrite {
     * an equality delete: O(keys) write cost, NO table scan at all
     * (contrast [[deleteWhere]], which scans to pin positions). Same
     * scope as the reader: top-level primitive key columns, types
-    * matching the table schema exactly. */
+    * matching the table schema exactly.
+    *
+    * On a PARTITIONED table the delete commits as the spec's GLOBAL
+    * equality delete: written under the UNPARTITIONED spec (spec-id 1,
+    * registered in the metadata's partition-specs), applying to every
+    * partition — the one delete shape the spec allows to cross
+    * partitions, and the right one here because a key tuple says
+    * nothing about which partition holds it. */
   def deleteEqual(spark: SparkSession, tablePath: String, keys: DataFrame): Long = {
-    requireUnpartitioned(spark, tablePath, "deleteEqual")
     import org.apache.spark.sql.functions.col
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hint = new Path(tablePath, "metadata/version-hint.text")
@@ -1208,15 +1313,20 @@ object IcebergWrite {
     entry.put("status", 1) // ADDED
     entry.put("snapshot_id", version.toLong)
     entry.put("data_file", file)
+    // on a partitioned table this manifest declares the UNPARTITIONED
+    // spec-id 1 (a global delete); the empty partition record above is
+    // exactly that spec's record shape
+    val globalSpecId = if (carry.partCols.isEmpty) 0 else 1
     writeAvro(fs, new Path(root, manifestRel), manifestSchema, Seq(entry),
-      manifestMeta(schemaJson, fmtVersion = 2, content = "deletes"))
+      manifestMeta(schemaJson, fmtVersion = 2, content = "deletes",
+        specId = globalSpecId))
     val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
 
     val prevManifests = readPrevManifests(fs, conf, root, version)
     val listRel = s"metadata/snap-$version.avro"
     writeAvro(fs, new Path(root, listRel), manifestListSchema,
       (prevManifests :+
-        ManifestRef(manifestRel, manifestLen, 0,
+        ManifestRef(manifestRel, manifestLen, globalSpecId,
           content = 1, seq = version.toLong, minSeq = version.toLong,
           snapshotId = version.toLong, addedFiles = 1, existingFiles = 0,
           deletedFiles = 0, addedRows = nKeys, existingRows = 0L,

@@ -210,19 +210,126 @@ class IcebergScanSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("schema") || e.getMessage.contains("partition"))
 
-    // row-level/maintenance ops refuse partitioned tables loudly
-    Seq[(String, () => Any)](
-      "deleteWhere" -> (() => IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)),
-      "deleteEqual" -> (() => IcebergWrite.deleteEqual(spark, dir, Seq(1L).toDF("id"))),
-      "updateWhere" -> (() => IcebergWrite.updateWhere(spark, dir, col("id") === 1L,
-        Seq("score" -> col("score")))),
-      "merge" -> (() => IcebergWrite.merge(spark, dir,
-        Seq((1L, "en", 0L)).toDF("id", "lang", "score"), Seq("id"))),
-      "compact" -> (() => IcebergWrite.compact(spark, dir, smallFileBytes = 1L << 20))
-    ).foreach { case (name, op) =>
-      val err = intercept[IllegalArgumentException](op())
-      assert(err.getMessage.contains("unpartitioned"), s"$name must refuse loudly")
+  }
+
+  test("partitioned deleteWhere: per-partition delete files with partition records, exact read-back") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_part_del").toString + "/t"
+    IcebergWrite.create(spark,
+      Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L), (4L, "fr", 40L),
+        (5L, null.asInstanceOf[String], 50L)).toDF("id", "lang", "score"),
+      dir, partitionBy = Seq("lang"))
+
+    // a delete spanning two partitions (and leaving fr/null untouched)
+    val n = IcebergWrite.deleteWhere(spark, dir, col("id").isin(1L, 2L))
+    assert(n == 2L)
+    val got = IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1))).toSeq
+    assert(got == Seq((3L, "en"), (4L, "fr"), (5L, null)))
+
+    // the delete files are PARTITION-SCOPED: one hive dir per touched
+    // partition under deletes-v2, none for the untouched partitions
+    val delRoot = java.nio.file.Paths.get(dir, "data", "deletes-v2")
+    val delDirs = java.nio.file.Files.list(delRoot).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("lang=")).toSet
+    assert(delDirs == Set("lang=en", "lang=de"))
+
+    // time travel to the pre-delete snapshot still sees all 5 rows
+    assert(IcebergScan.read(spark, dir, snapshotAsOf = Some(1L)).count() == 5L)
+
+    // a second delete hitting the NULL partition (hive default dir)
+    assert(IcebergWrite.deleteWhere(spark, dir, col("lang").isNull) == 1L)
+    assert(IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    // zero matches commits nothing
+    val v = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/metadata/version-hint.text")), "UTF-8").trim.toInt
+    assert(IcebergWrite.deleteWhere(spark, dir, col("id") === 999L) == 0L)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/metadata/version-hint.text")), "UTF-8").trim.toInt == v)
+  }
+
+  test("partitioned updateWhere: victim partitions rewritten, partition-column update migrates the row") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_part_upd").toString + "/t"
+    IcebergWrite.create(spark,
+      Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L), (4L, "fr", 40L))
+        .toDF("id", "lang", "score"),
+      dir, partitionBy = Seq("lang"))
+    def dataFilesOf(part: String): Set[String] = {
+      val p = java.nio.file.Paths.get(dir, "data", s"lang=$part")
+      java.nio.file.Files.list(p).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
     }
+    val frBefore = dataFilesOf("fr")
+
+    // non-partition-column update inside one partition
+    assert(IcebergWrite.updateWhere(spark, dir, col("lang") === "en",
+      Seq("score" -> (col("score") + 1L))) == 2L)
+    assert(IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 11L), (2L, 20L), (3L, 31L), (4L, 40L)))
+    // untouched partitions keep their physical files (EXISTING entries)
+    assert(dataFilesOf("fr") == frBefore, "fr partition must not be rewritten")
+
+    // PARTITION-COLUMN update: the row migrates to its new hive dir
+    assert(IcebergWrite.updateWhere(spark, dir, col("id") === 4L,
+      Seq("lang" -> lit("en"))) == 1L)
+    val got = IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "en"), (2L, "de"), (3L, "en"), (4L, "en")))
+    // pruned read of the new partition finds the migrated row
+    assert(IcebergScan.read(spark, dir, skippingFilter = Some(col("lang") === "en"))
+      .count() == 3L)
+  }
+
+  test("partitioned merge + deleteEqual (global, spec-id 1) + compact") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_part_merge").toString + "/t"
+    IcebergWrite.create(spark,
+      Seq((1L, "en", 10L), (2L, "de", 20L)).toDF("id", "lang", "score"),
+      dir, partitionBy = Seq("lang"))
+
+    // upsert: id=2 updated (moves partition de→fr), id=7 inserted
+    val (upd, ins) = IcebergWrite.merge(spark, dir,
+      Seq((2L, "fr", 99L), (7L, "en", 70L)).toDF("id", "lang", "score"), Seq("id"))
+    assert((upd, ins) == (1L, 1L))
+    assert(IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "en", 10L), (2L, "fr", 99L), (7L, "en", 70L)))
+
+    // GLOBAL equality delete: key says nothing about the partition
+    assert(IcebergWrite.deleteEqual(spark, dir, Seq(2L).toDF("id")) == 1L)
+    assert(IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 7L))
+    // the metadata registers the unpartitioned spec-id 1 it commits under
+    val v = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/metadata/version-hint.text")), "UTF-8").trim
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/metadata/v$v.metadata.json")), "UTF-8")
+    assert(meta.contains(""""spec-id":1,"fields":[]"""))
+    // a row with the deleted key appended AFTER the delete survives
+    // (delete.seq > data.seq strictly)
+    IcebergWrite.append(spark, Seq((2L, "de", 21L)).toDF("id", "lang", "score"), dir)
+    assert(IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 7L))
+
+    // compaction folds the small files per partition and applies deletes
+    val (picked, written) = IcebergWrite.compact(spark, dir, smallFileBytes = 1L << 20)
+    assert(picked >= 2 && written >= 1)
+    assert(IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "en", 10L), (2L, "de", 21L), (7L, "en", 70L)))
+    // post-compaction DML still works (partition records on EXISTING entries intact)
+    assert(IcebergWrite.deleteWhere(spark, dir,
+      org.apache.spark.sql.functions.col("id") === 7L) == 1L)
+    assert(IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
   test("partitioned pruning: partition values in manifests prune files the scan never touches") {

@@ -223,4 +223,95 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
         s"step $step: table ${got.size} rows diverged from model ${model.size}")
     }
   }
+
+  test("PARTITIONED Iceberg: 40 random ops track the model — updates migrate partitions constantly") {
+    // same op mix, but the table is partitioned BY THE MUTATED COLUMN
+    // (tag): every retagging update/merge moves rows across hive
+    // partitions, position deletes shard per partition, equality
+    // deletes go global under spec-id 1, compaction re-buckets — the
+    // adversarial composition no hand case covers
+    val rnd = new scala.util.Random(515253L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_part_fuzz").toString + "/t"
+    var model = Map.empty[Long, String]
+    var nextId = 0L
+    var snaps = Map.empty[Long, Map[Long, String]]
+
+    def freshRows(n: Int): Seq[(Long, String)] =
+      (1 to n).map { _ => nextId += 1; (nextId, s"t${rnd.nextInt(4)}") }
+    def currentSnapshotId: Long = {
+      val hint = java.nio.file.Paths.get(dir, "metadata", "version-hint.text")
+      val v = new String(java.nio.file.Files.readAllBytes(hint), "UTF-8").trim
+      val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, "metadata", s"v$v.metadata.json")), "UTF-8"))
+      meta.get("current-snapshot-id").asLong()
+    }
+    def sync(): Unit = snaps += currentSnapshotId -> model
+
+    val r0 = freshRows(5)
+    IcebergWrite.create(spark, r0.toDF("id", "tag"), dir, partitionBy = Seq("tag"))
+    model = r0.toMap
+    sync()
+
+    (1 to 40).foreach { step =>
+      rnd.nextInt(8) match {
+        case 0 =>
+          val rows = freshRows(1 + rnd.nextInt(4))
+          IcebergWrite.append(spark, rows.toDF("id", "tag"), dir)
+          model ++= rows
+        case 1 => // positional delete ON the partition column
+          val tag = s"t${rnd.nextInt(4)}"
+          val n = IcebergWrite.deleteWhere(spark, dir, col("tag") === tag)
+          val victims = model.filter(_._2 == tag)
+          assert(n == victims.size, s"step $step: posdelete $n != ${victims.size}")
+          model --= victims.keys
+        case 2 => // global equality delete by id keys
+          val keys = model.keys.toSeq.sorted.filter(_ => rnd.nextBoolean()).take(3)
+          if (keys.nonEmpty) {
+            val n = IcebergWrite.deleteEqual(spark, dir, keys.toDF("id"))
+            assert(n == keys.size)
+            model --= keys
+          }
+        case 3 =>
+          IcebergWrite.compact(spark, dir, smallFileBytes = 1L << 20)
+        case 4 =>
+          if (rnd.nextInt(3) == 0) {
+            val ids = snaps.keys.toSeq.sorted
+            val target = ids(rnd.nextInt(ids.size))
+            IcebergWrite.rollback(spark, dir, target)
+            model = snaps(target)
+          }
+        case 5 =>
+          if (rnd.nextInt(3) == 0) {
+            IcebergWrite.expireSnapshots(spark, dir, keepLast = 3)
+            val kept = snaps.keys.toSeq.sorted.takeRight(3).toSet + currentSnapshotId
+            snaps = snaps.filter { case (k, _) => kept.contains(k) }
+          }
+        case 6 => // update migrates every row of one partition to another
+          val from = s"t${rnd.nextInt(4)}"
+          val to = s"t${rnd.nextInt(4)}"
+          val n = IcebergWrite.updateWhere(spark, dir, col("tag") === from,
+            Seq("tag" -> lit(to)))
+          val hits = model.filter(_._2 == from)
+          assert(n == hits.size, s"step $step: update count $n != ${hits.size}")
+          model ++= hits.keys.map(_ -> to)
+        case 7 => // merge: retags (partition moves) + inserts
+          val updates = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextBoolean()).take(3)
+            .map(id => (id, s"t${rnd.nextInt(4)}"))
+          val inserts = freshRows(rnd.nextInt(3))
+          val src = updates ++ inserts
+          if (src.nonEmpty) {
+            val (u, i) = IcebergWrite.merge(spark, dir, src.toDF("id", "tag"), Seq("id"))
+            assert(u == updates.size && i == inserts.size,
+              s"step $step: merge counts ($u,$i) != (${updates.size},${inserts.size})")
+            model ++= src
+          }
+      }
+      sync()
+      val got = readIceModel(dir)
+      assert(got == model,
+        s"step $step: table ${got.size} rows diverged from model ${model.size}")
+    }
+  }
 }
