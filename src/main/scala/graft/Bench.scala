@@ -109,7 +109,10 @@ object Bench {
     // → partition-discovered read + plan-time partition-value pruning;
     // the partitioned-DML composition (per-partition position deletes,
     // partition-migrating update, re-inserting merge, pruned read)
-    "q_iceberg_merge", "q_iceberg_partitioned", "q_iceberg_part_dml")
+    // columnMapping rename/drop (metadata-only schema evolution) +
+    // a post-rename physical-name append
+    "q_iceberg_merge", "q_iceberg_partitioned", "q_iceberg_part_dml",
+    "q_delta_rename")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2200,6 +2200,24 @@ object SparkEntry {
         .orderBy("doc_id", "lang")
     }),
 
+    // schema evolution WITHOUT rewrite: columnMapping rename + drop are
+    // pure metadata commits (zero data movement — THE rename at 100 TB),
+    // and post-rename appends write physical names behind the mapping
+    "q_delta_rename" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_ren_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.DeltaWrite.create(s, docs, base)
+      graft.sources.DeltaWrite.renameColumn(s, base, "text", "body")
+      graft.sources.DeltaWrite.dropColumn(s, base, "lang")
+      graft.sources.DeltaWrite.append(s,
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text").as("body")),
+        base)
+      graft.sources.DeltaScan.read(s, base)
+        .select("doc_id", "body")
+        .orderBy("doc_id")
+    }),
+
     // Delta MERGE (upsert): every doc_id % 3 == 0 row upserts with a
     // marked text (evens update in place, odds insert) — files holding
     // matched keys rewritten, everything else untouched
@@ -4781,6 +4799,16 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 0 THEN 'UPD:' || text ELSE text END AS text
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // rename text→body, drop lang (both metadata-only), append shifted
+    // copies of the %10 rows under the evolved schema
+    "q_delta_rename" ->
+      """SELECT doc_id, body FROM (
+        |  SELECT doc_id, text AS body FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text AS body FROM documents
+        |  WHERE doc_id % 10 = 0
+        |) ORDER BY doc_id""".stripMargin,
 
     // delete %7 → update %5's lang to xx (partition migration) → merge
     // %3 as yy (re-inserting deleted 21-multiples) + a pruned read of

@@ -520,12 +520,12 @@ object DeltaScan {
   private def normalizePathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.\\-]*:/+", "/")
 
-  private def physicalName(f: StructField): String =
+  private[sources] def physicalName(f: StructField): String =
     if (f.metadata.contains(physNameKey)) f.metadata.getString(physNameKey) else f.name
 
   /** Recursively rewrite a logical type to its physical (on-disk) shape:
     * struct fields take their `delta.columnMapping.physicalName`. */
-  private def physicalType(dt: DataType): DataType = dt match {
+  private[sources] def physicalType(dt: DataType): DataType = dt match {
     case s: StructType => StructType(s.fields.map(f =>
       StructField(physicalName(f), physicalType(f.dataType), f.nullable)))
     case a: ArrayType => a.copy(elementType = physicalType(a.elementType))

@@ -87,27 +87,162 @@ object DeltaWrite {
             "never changes types")
       }
     }
-    val newFields = df.schema.fields
+    val newFields0 = df.schema.fields
       .filterNot(f => declared.fieldNames.contains(f.name))
+    // on a COLUMN-MAPPED table, new columns take fresh ids and fresh
+    // SYNTHETIC physical names: a reused human name could collide with
+    // an old physical column left behind by renameColumn/dropColumn
+    val config = configOf(md)
+    val mapped = config.getOrElse("delta.columnMapping.mode", "none") != "none"
+    val maxId = config.get("delta.columnMapping.maxColumnId").map(_.toLong).getOrElse(0L)
+    val newFields =
+      if (!mapped) newFields0
+      else newFields0.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", maxId + 1 + i)
+          .putString("delta.columnMapping.physicalName",
+            s"col-${java.util.UUID.randomUUID()}")
+          .build())
+      }
     val merged = StructType(declared.fields ++ newFields.map(_.copy(nullable = true)))
     val aligned = df.select(merged.fields.map { f =>
       if (byName.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
+    val newConfig =
+      if (!mapped || newFields.isEmpty) config
+      else config + ("delta.columnMapping.maxColumnId" ->
+        (maxId + newFields.length).toString)
     val metaAction =
       if (newFields.isEmpty) scala.None
-      else Some(
-        s"""{"metaData":{"id":${jstr(Option(md.get("id")).map(_.asText())
-            .getOrElse(java.util.UUID.randomUUID().toString))},""" +
-          s""""format":{"provider":"parquet","options":{}},""" +
-          s""""schemaString":${jstr(merged.json)},""" +
-          s""""partitionColumns":[${partitionBy.map(jstr).mkString(",")}],""" +
-          s""""configuration":{},"createdTime":${Option(md.get("createdTime"))
-            .map(_.asLong()).getOrElse(System.currentTimeMillis())}}}""")
+      else Some(metaDataJson(md, merged, partitionBy, newConfig))
     val v = DeltaScan.latestVersion(spark, tablePath) + 1
     commit(spark, fs, aligned, tablePath, partitionBy, version = v,
       metaOverride = metaAction)
   }
+
+  /** RENAME a top-level column WITHOUT rewriting any data — the Delta
+    * `columnMapping` protocol path: logical names live only in the
+    * metaData, each column's `physicalName` pins its on-disk parquet
+    * name forever. First use upgrades the table (mode=name; existing
+    * columns take their current name as the physical name, so every
+    * already-written file stays readable), a pure metadata commit.
+    * At 100 TB this is THE way to rename: zero data movement.
+    * Partition columns refuse (their physical name is baked into the
+    * hive path layout); top-level columns only. */
+  def renameColumn(spark: SparkSession, tablePath: String,
+      from: String, to: String): Unit =
+    alterMapped(spark, tablePath, s"renameColumn($from -> $to)") { (schema, partCols) =>
+      require(schema.fieldNames.contains(from), s"no column '$from' to rename")
+      require(!schema.fieldNames.contains(to), s"column '$to' already exists")
+      require(!partCols.contains(from),
+        s"'$from' is a partition column — its physical name is the hive " +
+          "path layout; repartition into a new table to rename it")
+      StructType(schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    }
+
+  /** DROP a top-level column without rewriting any data (the dropped
+    * physical column stays in old files, invisible behind the mapping;
+    * a later appendEvolve re-adding the same LOGICAL name gets a fresh
+    * physical name, so the orphaned bytes can never resurface). */
+  def dropColumn(spark: SparkSession, tablePath: String, name: String): Unit =
+    alterMapped(spark, tablePath, s"dropColumn($name)") { (schema, partCols) =>
+      require(schema.fieldNames.contains(name), s"no column '$name' to drop")
+      require(!partCols.contains(name),
+        s"'$name' is a partition column — repartition into a new table to drop it")
+      require(schema.length > 1, "cannot drop the last column")
+      StructType(schema.fields.filterNot(_.name == name))
+    }
+
+  /** shared rename/drop core: enable columnMapping if needed (ids +
+    * physical names + protocol upgrade preserving existing features),
+    * apply the schema transform, commit ONE metadata-only version */
+  private def alterMapped(spark: SparkSession, tablePath: String, op: String)(
+      xform: (StructType, Seq[String]) => StructType): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(tablePath))
+    val md = latestMetaNode(fs, tablePath).getOrElse(throw new IllegalStateException(
+      s"the JSON log of $tablePath carries no metaData — cannot $op"))
+    val declared = DataType.fromJson(md.get("schemaString").asText())
+      .asInstanceOf[StructType]
+    val partCols = Option(md.get("partitionColumns"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    val config = configOf(md)
+    val alreadyMapped = config.getOrElse("delta.columnMapping.mode", "none") != "none"
+    val (mappedSchema, maxId) =
+      if (alreadyMapped)
+        (declared, config.get("delta.columnMapping.maxColumnId")
+          .map(_.toLong).getOrElse(declared.length.toLong))
+      else (StructType(declared.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", i + 1L)
+          .putString("delta.columnMapping.physicalName", f.name)
+          .build())
+      }), declared.length.toLong)
+    val next = xform(mappedSchema, partCols)
+    val newConfig = config ++ Map(
+      "delta.columnMapping.mode" -> "name",
+      "delta.columnMapping.maxColumnId" -> maxId.toString)
+
+    // protocol: legacy (2,5) carries columnMapping implicitly; a table
+    // already on reader 3 (table features) gets the feature ADDED with
+    // everything it has preserved
+    val protoLine: Option[String] =
+      if (alreadyMapped) scala.None
+      else {
+        val (_, proto) = replayLatestAdds(fs, tablePath)
+        val minReader = proto.flatMap(p => Option(p.get("minReaderVersion")))
+          .map(_.asInt()).getOrElse(1)
+        def feats(name: String): Seq[String] = proto.toSeq.flatMap(p =>
+          Option(p.get(name)).filter(_.isArray)
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty))
+        if (minReader < 3)
+          Some("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+        else {
+          def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+          val r = (feats("readerFeatures") :+ "columnMapping").distinct.sorted
+          val w = (feats("writerFeatures") :+ "columnMapping").distinct.sorted
+          Some(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+            s""""readerFeatures":${arr(r)},"writerFeatures":${arr(w)}}}""")
+        }
+      }
+    val v = DeltaScan.latestVersion(spark, tablePath) + 1
+    writeCommitFile(fs, root, v,
+      protoLine.toSeq :+ metaDataJson(md, next, partCols, newConfig))
+  }
+
+  private def configOf(md: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+    Option(md.get("configuration")).map(_.properties().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty)
+
+  /** a metaData action line carrying `schema`/`partCols`/`config`, id
+    * and createdTime from the previous metaData */
+  private def metaDataJson(prev: com.fasterxml.jackson.databind.JsonNode,
+      schema: StructType, partCols: Seq[String],
+      config: Map[String, String]): String = {
+    val cfg = config.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
+    s"""{"metaData":{"id":${jstr(Option(prev.get("id")).map(_.asText())
+        .getOrElse(java.util.UUID.randomUUID().toString))},""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jstr(schema.json)},""" +
+      s""""partitionColumns":[${partCols.map(jstr).mkString(",")}],""" +
+      s""""configuration":{$cfg},"createdTime":${Option(prev.get("createdTime"))
+        .map(_.asLong()).getOrElse(System.currentTimeMillis())}}}"""
+  }
+
+  /** copy-on-write rewrites read logical rows and write new parquet —
+    * on a column-mapped table that would write LOGICAL names into
+    * files whose readers expect physical names. Refuse loudly until
+    * the rewrite paths learn the physical projection. */
+  private def requireUnmapped(fs: FileSystem, tablePath: String, op: String): Unit =
+    latestMetaNode(fs, tablePath).foreach { md =>
+      val mode = configOf(md).getOrElse("delta.columnMapping.mode", "none")
+      require(mode == "none",
+        s"$op does not support column-mapped tables (columnMapping.mode=$mode) — " +
+          "supported on mapped tables: read, append, appendEvolve, " +
+          "renameColumn, dropColumn, checkpoint, restore, vacuum")
+    }
 
   /** [[create]]/[[append]] carrying a `txn` action (the public
     * protocol's application transaction identifier): the commit records
@@ -504,12 +639,39 @@ object DeltaWrite {
       txn: Option[(String, Long)] = None,
       metaOverride: Option[String] = None): Unit = {
     val root = fs.makeQualified(new Path(tablePath))
+    // COLUMN-MAPPED tables store PHYSICAL column names in parquet (and
+    // physical hive partition dirs); `df` arrives logical, validated
+    // against the logical schema — project right before the write. The
+    // governing metaData is the override when this commit re-declares
+    // it (appendEvolve), else the table's latest.
+    val (wdf, wparts) = {
+      val mdNode =
+        if (version == 0L) scala.None
+        else metaOverride match {
+          case Some(j) => Option(new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(j).get("metaData"))
+          case None => latestMetaNode(fs, tablePath)
+        }
+      mdNode.filter(md =>
+          configOf(md).getOrElse("delta.columnMapping.mode", "none") != "none") match {
+        case scala.None => (df, partitionBy)
+        case Some(md) =>
+          import org.apache.spark.sql.functions.col
+          val declared = DataType.fromJson(md.get("schemaString").asText())
+            .asInstanceOf[StructType]
+          val proj = declared.fields.map(f =>
+            col(f.name).cast(DeltaScan.physicalType(f.dataType))
+              .as(DeltaScan.physicalName(f))).toSeq
+          (df.select(proj: _*),
+            partitionBy.map(p => DeltaScan.physicalName(declared(p))))
+      }
+    }
     // STAGE-then-MOVE: the add list is EXACTLY the files this writer
     // moved (see writeStaged) — never a directory-listing diff that
     // could cross-claim a concurrent writer's in-flight files.
     val added = writeStaged(fs, root, destPrefix = "") { staging =>
-      val writer = df.write.mode("append")
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      val writer = wdf.write.mode("append")
+      (if (wparts.nonEmpty) writer.partitionBy(wparts: _*) else writer)
         .parquet(staging)
     }
     require(added.nonEmpty, "write produced no data files (empty input?)")
@@ -692,6 +854,7 @@ object DeltaWrite {
       smallFileBytes: Long = 32L << 20, targetFiles: Int = 1): Unit = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireUnmapped(fs, tablePath, "compact")
     // a raw-parquet rewrite of a DV-carrying file would resurrect its
     // deleted rows (the re-add drops the descriptor) — refuse loudly
     requireNoDeletionVectors(spark, tablePath)
@@ -851,6 +1014,7 @@ object DeltaWrite {
       cond: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions._
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireUnmapped(fs, tablePath, "deleteWhere")
     requireNoDeletionVectors(spark, tablePath)
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
@@ -891,6 +1055,8 @@ object DeltaWrite {
       assignments: Seq[(String, org.apache.spark.sql.Column)]): Long = {
     import org.apache.spark.sql.functions._
     require(assignments.nonEmpty, "updateWhere needs at least one SET assignment")
+    requireUnmapped(new Path(tablePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), tablePath, "updateWhere")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNoDeletionVectors(spark, tablePath)
     val root = fs.makeQualified(new Path(tablePath))
@@ -1006,6 +1172,7 @@ object DeltaWrite {
       cond: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions._
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireUnmapped(fs, tablePath, "deleteWhereDV")
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
     val (latestAdds, proto) = replayLatestAdds(fs, root.toString)
@@ -1104,6 +1271,7 @@ object DeltaWrite {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "merge needs at least one key column")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireUnmapped(fs, tablePath, "merge")
     requireNoDeletionVectors(spark, tablePath)
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
@@ -1185,6 +1353,8 @@ object DeltaWrite {
   def zorder(spark: SparkSession, tablePath: String, dims: Seq[String],
       bitsPerCol: Int = 12, targetFiles: Int = 8): Unit = {
     require(dims.nonEmpty, "need at least one z-order dimension")
+    requireUnmapped(new Path(tablePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration), tablePath, "zorder")
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     require(bitsPerCol >= 1 && bitsPerCol * dims.size <= 63,
       s"bitsPerCol * nDims must fit a signed long, got $bitsPerCol * ${dims.size}")

@@ -11,6 +11,8 @@ import graft.sources.DeltaScan
 /** Built-in Delta Lake reader against hand-fabricated tables — the log
   * JSON is written per the public protocol spec, so what's tested is
   * the replay semantics, not a connector round-trip. */
+import scala.jdk.CollectionConverters._
+
 class DeltaScanSpec extends SparkSpec {
   import spark.implicits._
 
@@ -1237,5 +1239,92 @@ class DeltaScanSpec extends SparkSpec {
     val out = Tidier.read(spark, dir.toString, "delta").df
       .as[(Long, String)].collect().toSeq
     assert(out == Seq((7L, "z")))
+  }
+
+  test("renameColumn/dropColumn: zero data movement, mapped reads exact, physical names pinned") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_rename").toString + "/t"
+    DeltaWrite.create(spark, Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "tag", "score"), dir)
+    DeltaWrite.append(spark, Seq((3L, "c", 30L)).toDF("id", "tag", "score"), dir)
+    def dataFiles(): Set[String] = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    val before = dataFiles()
+
+    // rename: pure metadata — NOT ONE data file changes
+    DeltaWrite.renameColumn(spark, dir, "tag", "label")
+    assert(dataFiles() == before, "rename must move zero data")
+    assert(DeltaScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)))
+    assert(DeltaScan.read(spark, dir).columns.toSeq == Seq("id", "label", "score"))
+    // time travel BEFORE the rename still shows the old logical name
+    assert(DeltaScan.read(spark, dir, versionAsOf = Some(1L)).columns.toSeq ==
+      Seq("id", "tag", "score"))
+
+    // appends keep working with the NEW logical name, and the parquet
+    // they write carries the PHYSICAL (original) name
+    DeltaWrite.append(spark, Seq((4L, "d", 40L)).toDF("id", "label", "score"), dir)
+    val newFile = (dataFiles() -- before).head
+    val raw = spark.read.parquet(s"$dir/$newFile")
+    assert(raw.columns.contains("tag") && !raw.columns.contains("label"),
+      s"mapped append must write physical names, got ${raw.columns.toSeq}")
+    assert(DeltaScan.read(spark, dir).count() == 4L)
+
+    // drop: metadata-only again
+    val mid = dataFiles()
+    DeltaWrite.dropColumn(spark, dir, "score")
+    assert(dataFiles() == mid, "drop must move zero data")
+    assert(DeltaScan.read(spark, dir).columns.toSeq == Seq("id", "label"))
+
+    // re-adding the dropped LOGICAL name gets a FRESH physical column:
+    // the old score bytes can never resurface
+    DeltaWrite.appendEvolve(spark, Seq((5L, "e", 999L)).toDF("id", "label", "score"), dir)
+    val got = DeltaScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq((1L, -1L), (2L, -1L), (3L, -1L), (4L, -1L), (5L, 999L)),
+      s"old physical score must NOT resurface, got $got")
+
+    // guard rails
+    intercept[IllegalArgumentException](DeltaWrite.renameColumn(spark, dir, "id", "label"))
+    intercept[IllegalArgumentException](DeltaWrite.renameColumn(spark, dir, "nope", "x"))
+    val e = intercept[IllegalArgumentException](
+      DeltaWrite.updateWhere(spark, dir, col("id") === 1L, Seq("label" -> col("label"))))
+    assert(e.getMessage.contains("column-mapped"))
+    intercept[IllegalArgumentException](DeltaWrite.compact(spark, dir, smallFileBytes = 1L << 20))
+  }
+
+  test("renameColumn on a DV + partitioned table: features merge, deletes stay applied") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // DV first (reader 3 + deletionVectors feature), THEN the mapping
+    // upgrade must PRESERVE that feature
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_ren_dv").toString + "/t"
+    DeltaWrite.create(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag"), dir)
+    assert(DeltaWrite.deleteWhereDV(spark, dir, col("id") === 2L) == 1L)
+    DeltaWrite.renameColumn(spark, dir, "tag", "label")
+    assert(DeltaScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (3L, "c")))
+    val logText = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/_delta_log"))
+      .iterator().asScala.filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+      .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8")).mkString
+    assert(logText.contains("deletionVectors") && logText.contains("columnMapping"))
+
+    // partitioned table: partition-column rename refuses, data-column
+    // rename works and later appends land in the same hive layout
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_delta_ren_part").toString + "/t"
+    DeltaWrite.create(spark, Seq((1L, "en", 10L), (2L, "de", 20L)).toDF("id", "lang", "n"),
+      dir2, partitionBy = Seq("lang"))
+    intercept[IllegalArgumentException](DeltaWrite.renameColumn(spark, dir2, "lang", "l2"))
+    DeltaWrite.renameColumn(spark, dir2, "n", "cnt")
+    DeltaWrite.append(spark, Seq((3L, "en", 30L)).toDF("id", "lang", "cnt"), dir2,
+      partitionBy = Seq("lang"))
+    assert(DeltaScan.read(spark, dir2).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L)))
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir2)).iterator().asScala
+      .map(_.getFileName.toString).count(_ == "lang=en") == 1)
   }
 }
