@@ -2200,6 +2200,26 @@ object SparkEntry {
         .orderBy("doc_id", "lang")
     }),
 
+    // Iceberg rename via FIELD IDS: one metadata version, no new
+    // snapshot, zero data movement; pre-rename files resolve the
+    // renamed column by id, and post-rename appends + row-level DML
+    // keep composing on top
+    "q_iceberg_rename" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_ren_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(s, docs, base)
+      graft.sources.IcebergWrite.renameColumn(s, base, "text", "body")
+      graft.sources.IcebergWrite.append(s,
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            col("text").as("body")), base)
+      graft.sources.IcebergWrite.updateWhere(s, base, col("doc_id") % 9 === 0,
+        Seq("body" -> concat(lit("R:"), col("body"))))
+      graft.sources.IcebergScan.read(s, base)
+        .select("doc_id", "lang", "body")
+        .orderBy("doc_id")
+    }),
+
     // schema evolution WITHOUT rewrite: columnMapping rename + drop are
     // pure metadata commits (zero data movement — THE rename at 100 TB),
     // and post-rename appends write physical names behind the mapping
@@ -4798,6 +4818,18 @@ object SparkEntry {
       """SELECT doc_id, lang,
         |  CASE WHEN doc_id % 3 = 0 THEN 'UPD:' || text ELSE text END AS text
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // rename text→body (ids), append shifted %10 copies, then update
+    // %9 bodies — all over the renamed column
+    "q_iceberg_rename" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 9 = 0 THEN 'R:' || text ELSE text END AS body
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, lang,
+        |  CASE WHEN (doc_id + 1000000) % 9 = 0 THEN 'R:' || text ELSE text END AS body
+        |FROM documents WHERE doc_id % 10 = 0
         |ORDER BY doc_id""".stripMargin,
 
     // rename text→body, drop lang (both metadata-only), append shifted

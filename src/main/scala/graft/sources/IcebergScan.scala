@@ -84,6 +84,25 @@ object IcebergScan {
 
     val schema = sparkSchema(currentSchema(meta))
     val partSpec = identityPartitionFields(meta, schema)
+    // RENAME-PROOF reads: tables whose files all carry parquet field
+    // ids ([[IcebergWrite.FieldIdsProp]], stamped at write) resolve
+    // data columns BY ID, so a renamed column finds its bytes in every
+    // pre-rename file. The conf is a no-op for schemas without id
+    // metadata, so enabling it session-wide is safe.
+    val idRead = Option(meta.get("properties"))
+      .flatMap(p => Option(p.get(IcebergWrite.FieldIdsProp)))
+      .exists(_.asText() == "true")
+    val idByName: Map[String, Long] =
+      if (!idRead) Map.empty
+      else currentSchema(meta).get("fields").elements().asScala
+        .map(f => f.get("name").asText() -> f.get("id").asLong()).toMap
+    def withIds(st: StructType): StructType =
+      if (!idRead) st
+      else StructType(st.fields.map(f => idByName.get(f.name).map(id =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong("parquet.field.id", id).build()))
+        .getOrElse(f)))
+    if (idRead) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val snapshots = Option(meta.get("snapshots")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val wantedId = snapshotAsOf.orElse(
       Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L))
@@ -144,8 +163,8 @@ object IcebergScan {
       df.withColumn("__raw_file", col("_metadata.file_path"))
         .withColumn("__pos", col("_metadata.row_index"))
     def scanData(files: Seq[FileEntry]): DataFrame =
-      if (partSpec.isEmpty) spark.read.schema(schema).parquet(files.map(_.path): _*)
-      else scanPartitioned(spark, schema, partSpec, files)
+      if (partSpec.isEmpty) spark.read.schema(withIds(schema)).parquet(files.map(_.path): _*)
+      else scanPartitioned(spark, withIds(schema), partSpec, files)
     if (dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     if (posFiles.isEmpty && eqFiles.isEmpty) { // fast path: no row-level deletes
@@ -202,7 +221,10 @@ object IcebergScan {
       }
       applicableEq.groupBy(_.eqIds).foldLeft(scan) { case (acc, (ids, files)) =>
         val fields = eqColumns(ids)
-        val del0 = spark.read.schema(StructType(fields)).parquet(files.map(_.path): _*)
+        // id-stamped tables read delete-file key columns by id too — an
+        // equality delete written before a rename keeps applying after
+        val del0 = spark.read.schema(withIds(StructType(fields)))
+          .parquet(files.map(_.path): _*)
         val del = if (files.map(_.rows).sum <= deleteBroadcastRows) broadcast(del0) else del0
         val a = acc.as("d")
         val x = del.as("x")

@@ -295,9 +295,11 @@ object IcebergWrite {
 
     val dataDir = new Path(root, "data")
     val pre = listParquet(fs, dataDir).toSet
-    val writer = df.write.mode("append")
-    (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
-      .parquet(dataDir.toString)
+    withFieldIdWrites(spark) {
+      val writer = stampFieldIds(df, schemaJson).write.mode("append")
+      (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
+        .parquet(dataDir.toString)
+    }
     val added = listParquet(fs, dataDir).filterNot(pre.contains)
     require(added.nonEmpty, "write produced no data files (empty input?)")
     fs.mkdirs(metaDir)
@@ -353,8 +355,111 @@ object IcebergWrite {
         .map(manifestRefRecord),
       manifestListMeta(version, fmtVersion))
 
+    // the field-id marker rides the FIRST commit: every data file this
+    // writer emits carries parquet field ids, which is what makes
+    // renameColumn's id-based read resolution sound for the whole table
     writeMetadataJson(fs, metaDir, root, version, fmtVersion,
-      carry, listRel, operation = "append", propsOverride = txnProps(txn))
+      carry, listRel, operation = "append", propsOverride = txnProps(txn) ++
+        (if (version == 1) Map(FieldIdsProp -> "true") else Map.empty))
+  }
+
+  /** table property marking that every data file was written with
+    * parquet field ids (set at create by this writer; absent on tables
+    * created before field-id stamping existed) */
+  private[sources] val FieldIdsProp = "graft.write.field-ids"
+
+  /** stamp `parquet.field.id` metadata on every column present in the
+    * table schema — the spec REQUIRES ids in data files, and they make
+    * reads rename-proof (resolution by id, not name) */
+  private def stampFieldIds(df: DataFrame, schemaJson: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val idByName = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(schemaJson).get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    df.select(df.schema.fields.map { f =>
+      idByName.get(f.name) match {
+        case Some(id) => col(f.name).as(f.name,
+          new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
+        case scala.None => col(f.name)
+      }
+    }.toSeq: _*)
+  }
+
+  private def withFieldIdWrites[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.fieldId.write.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case scala.None => spark.conf.unset(key)
+    }
+  }
+
+  /** RENAME a top-level column WITHOUT rewriting any data — the
+    * field-id path: ids never change, so a new schema (same ids, new
+    * name) registered under the next schema-id re-labels every byte in
+    * place; the reader resolves parquet columns BY ID. One new
+    * metadata.json version, NO new snapshot. Requires a table whose
+    * files all carry field ids (created by this writer — the
+    * [[FieldIdsProp]] marker; older tables refuse loudly rather than
+    * mis-resolve old files by name). Partition-spec source columns
+    * refuse (their name is the hive path layout). */
+  def renameColumn(spark: SparkSession, tablePath: String,
+      from: String, to: String): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    val prev = readUtf8(fs, hint).trim.toInt
+    val version = prev + 1
+    val root = fs.makeQualified(new Path(tablePath))
+    val metaDir = new Path(root, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val hasIds = Option(node.get("properties"))
+      .flatMap(p => Option(p.get(FieldIdsProp))).exists(_.asText() == "true")
+    require(hasIds,
+      s"renameColumn needs every data file to carry parquet field ids — " +
+        s"$tablePath predates field-id stamping (no $FieldIdsProp property); " +
+        "rewrite it (compact into a fresh table) to rename")
+    val carry = carryFromPrev(fs, metaDir, prev)
+    require(!carry.partCols.contains(from),
+      s"'$from' is a partition column — its name is the hive path layout; " +
+        "repartition into a new table to rename it")
+
+    val schemaNode = mapper.readTree(carry.schemaJson)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val names = schemaNode.get("fields").elements().asScala
+      .map(_.get("name").asText()).toSeq
+    require(names.contains(from), s"no column '$from' to rename")
+    require(!names.contains(to), s"column '$to' already exists")
+    val schemasNode = mapper.readTree(carry.schemasArray)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val newSchemaId = schemasNode.elements().asScala
+      .map(_.get("schema-id").asInt()).max + 1
+    val renamed = schemaNode.deepCopy().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    renamed.put("schema-id", newSchemaId)
+    renamed.withArray("fields").elements().asScala.foreach { f =>
+      if (f.get("name").asText() == from)
+        f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].put("name", to)
+    }
+    schemasNode.add(renamed)
+
+    // metadata-only version bump (same snapshot — nothing moved)
+    node.set("schema", renamed)
+    node.set("schemas", schemasNode)
+    node.put("current-schema-id", newSchemaId)
+    node.put("last-updated-ms", System.currentTimeMillis())
+    val metaPath = new Path(metaDir, s"v$version.metadata.json")
+    try writeUtf8(fs, metaPath, node.toString, overwrite = false)
+    catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent Iceberg commit detected: $metaPath already exists — " +
+            "another writer committed this version; re-read the table and retry", e)
+    }
+    writeUtf8(fs, new Path(metaDir, "version-hint.text"), version.toString)
   }
 
   /** COMPACTION (the spec's `replace` snapshot): rewrite the live data
@@ -473,13 +578,15 @@ object IcebergWrite {
     val dataDir = new Path(root, "data")
     val pre = listParquet(fs, dataDir).toSet
     val shaped = shape(rewrite, targetFiles)
-    val writer0 = shaped.write.mode("append")
     // partitioned tables keep their identity layout: rewritten rows
     // land back in their (possibly NEW, for an UPDATE that moves a
     // partition value) hive directories, so partition pruning and
     // path-derived partition records keep working
-    (if (partCols.nonEmpty) writer0.partitionBy(partCols: _*) else writer0)
-      .parquet(dataDir.toString)
+    withFieldIdWrites(spark) {
+      val writer0 = stampFieldIds(shaped, carry0.schemaJson).write.mode("append")
+      (if (partCols.nonEmpty) writer0.partitionBy(partCols: _*) else writer0)
+        .parquet(dataDir.toString)
+    }
     val conf = spark.sparkContext.hadoopConfiguration
     val added0 = listParquet(fs, dataDir).filterNot(pre.contains)
     // drop empty outputs (every row of the small set may have died)

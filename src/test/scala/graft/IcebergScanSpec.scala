@@ -1121,4 +1121,72 @@ class IcebergScanSpec extends SparkSpec {
       .orderBy("id").as[(Long, String)].collect().toSeq
     assert(out == Seq((1L, "a"), (2L, "b"), (4L, "d")))
   }
+
+  test("renameColumn: field-id reads make renames rewrite-free; eq deletes keep applying") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_rename").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "tag", "score"), dir)
+    IcebergWrite.append(spark, Seq((3L, "c", 30L)).toDF("id", "tag", "score"), dir)
+    // an equality delete on a column we are ABOUT to rename
+    assert(IcebergWrite.deleteEqual(spark, dir, Seq(20L).toDF("score")) == 1L)
+    def dataFiles(): Set[String] = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(dir, "data")).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSet
+    val before = dataFiles()
+
+    IcebergWrite.renameColumn(spark, dir, "score", "points")
+    assert(dataFiles() == before, "rename must move zero data")
+    // old files resolve the renamed column BY FIELD ID; the pre-rename
+    // equality delete still kills id=2
+    assert(IcebergScan.read(spark, dir).columns.toSeq == Seq("id", "tag", "points"))
+    assert(IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq == Seq((1L, 10L), (3L, 30L)))
+
+    // appends under the NEW logical name keep the same field id
+    IcebergWrite.append(spark, Seq((4L, "d", 40L)).toDF("id", "tag", "points"), dir)
+    assert(IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 10L), (3L, 30L), (4L, 40L)))
+    // DML on the renamed column works (victims located through id reads)
+    assert(IcebergWrite.updateWhere(spark, dir, col("points") === 10L,
+      Seq("points" -> (col("points") + 5L))) == 1L)
+    assert(IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 15L), (3L, 30L), (4L, 40L)))
+
+    // guard rails: duplicate/unknown names
+    intercept[IllegalArgumentException](IcebergWrite.renameColumn(spark, dir, "id", "tag"))
+    intercept[IllegalArgumentException](IcebergWrite.renameColumn(spark, dir, "nope", "x"))
+  }
+
+  test("renameColumn refuses partition columns and tables without the field-id marker") {
+    import graft.sources.IcebergWrite
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_ren_part").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "en", 10L)).toDF("id", "lang", "n"), dir,
+      partitionBy = Seq("lang"))
+    val e1 = intercept[IllegalArgumentException](
+      IcebergWrite.renameColumn(spark, dir, "lang", "l2"))
+    assert(e1.getMessage.contains("partition column"))
+    // non-partition columns rename fine on a partitioned table
+    IcebergWrite.renameColumn(spark, dir, "n", "cnt")
+    assert(graft.sources.IcebergScan.read(spark, dir).columns.toSeq ==
+      Seq("id", "lang", "cnt"))
+
+    // a table whose metadata lacks the marker (pre-stamping vintage) refuses
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ice_ren_old").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "a")).toDF("id", "tag"), dir2)
+    val mp = java.nio.file.Paths.get(dir2, "metadata", "v1.metadata.json")
+    val stripped = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+      .replace("\"graft.write.field-ids\":\"true\"", "\"graft.noop\":\"x\"")
+    java.nio.file.Files.write(mp, stripped.getBytes("UTF-8"))
+    // drop the local-FS checksum sidecar the hand edit invalidated
+    java.nio.file.Files.deleteIfExists(
+      mp.getParent.resolve(".v1.metadata.json.crc"))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergWrite.renameColumn(spark, dir2, "tag", "label"))
+    assert(e2.getMessage.contains("field ids"))
+  }
 }
