@@ -406,7 +406,60 @@ object IcebergWrite {
     * mis-resolve old files by name). Partition-spec source columns
     * refuse (their name is the hive path layout). */
   def renameColumn(spark: SparkSession, tablePath: String,
-      from: String, to: String): Unit = {
+      from: String, to: String): Unit =
+    evolveSchema(spark, tablePath, s"renameColumn($from -> $to)", from) {
+      (schemaNode, names) =>
+        require(names.contains(from), s"no column '$from' to rename")
+        require(!names.contains(to), s"column '$to' already exists")
+        schemaNode.withArray("fields").elements().asScala.foreach { f =>
+          if (f.get("name").asText() == from)
+            f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              .put("name", to)
+        }
+    }
+
+  /** DROP a top-level column without rewriting any data — the dropped
+    * field id is simply absent from the new schema, so old files' bytes
+    * become invisible; `last-column-id` never decreases, so a later
+    * [[appendEvolve]] re-adding the same LOGICAL name gets a FRESH id
+    * and (under id-resolved reads) can never resurrect the orphaned
+    * bytes. Refuses when a live equality-delete file references the
+    * dropped field (its keys would become unresolvable). */
+  def dropColumn(spark: SparkSession, tablePath: String, name: String): Unit = {
+    // live eq-delete reference check BEFORE the metadata edit
+    val mapper0 = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fs0 = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint0 = new Path(tablePath, "metadata/version-hint.text")
+    if (fs0.exists(hint0)) {
+      val prev0 = readUtf8(fs0, hint0).trim.toInt
+      val metaDir0 = new Path(fs0.makeQualified(new Path(tablePath)), "metadata")
+      val idByName = mapper0.readTree(carryFromPrev(fs0, metaDir0, prev0).schemaJson)
+        .get("fields").elements().asScala
+        .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+      idByName.get(name).foreach { id =>
+        val (_, entries) = IcebergScan.currentEntries(spark, tablePath)
+        require(!entries.exists(e => e.content == 2 && e.eqIds.contains(id)),
+          s"cannot drop '$name': a live equality-delete file references its " +
+            s"field id $id — compact first so the delete is applied and retired")
+      }
+    }
+    evolveSchema(spark, tablePath, s"dropColumn($name)", name) { (schemaNode, names) =>
+      require(names.contains(name), s"no column '$name' to drop")
+      require(names.size > 1, "cannot drop the last column")
+      val fields = schemaNode.withArray("fields")
+      val keep = fields.elements().asScala.filter(_.get("name").asText() != name).toSeq
+      fields.removeAll()
+      keep.foreach(fields.add)
+    }
+  }
+
+  /** shared rename/drop core: field-id-marker + partition-column
+    * guards, then ONE metadata-only version bump registering the
+    * transformed schema under the next schema-id (same snapshot —
+    * nothing moves) */
+  private def evolveSchema(spark: SparkSession, tablePath: String, op: String,
+      touched: String)(
+      xform: (com.fasterxml.jackson.databind.node.ObjectNode, Seq[String]) => Unit): Unit = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hint = new Path(tablePath, "metadata/version-hint.text")
     require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
@@ -420,34 +473,30 @@ object IcebergWrite {
     val hasIds = Option(node.get("properties"))
       .flatMap(p => Option(p.get(FieldIdsProp))).exists(_.asText() == "true")
     require(hasIds,
-      s"renameColumn needs every data file to carry parquet field ids — " +
+      s"$op needs every data file to carry parquet field ids — " +
         s"$tablePath predates field-id stamping (no $FieldIdsProp property); " +
-        "rewrite it (compact into a fresh table) to rename")
+        "rewrite it (compact into a fresh table) first")
     val carry = carryFromPrev(fs, metaDir, prev)
-    require(!carry.partCols.contains(from),
-      s"'$from' is a partition column — its name is the hive path layout; " +
-        "repartition into a new table to rename it")
+    require(!carry.partCols.contains(touched),
+      s"'$touched' is a partition column — its name is the hive path layout; " +
+        "repartition into a new table to change it")
 
     val schemaNode = mapper.readTree(carry.schemaJson)
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     val names = schemaNode.get("fields").elements().asScala
       .map(_.get("name").asText()).toSeq
-    require(names.contains(from), s"no column '$from' to rename")
-    require(!names.contains(to), s"column '$to' already exists")
     val schemasNode = mapper.readTree(carry.schemasArray)
       .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
     val newSchemaId = schemasNode.elements().asScala
       .map(_.get("schema-id").asInt()).max + 1
-    val renamed = schemaNode.deepCopy().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-    renamed.put("schema-id", newSchemaId)
-    renamed.withArray("fields").elements().asScala.foreach { f =>
-      if (f.get("name").asText() == from)
-        f.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode].put("name", to)
-    }
-    schemasNode.add(renamed)
+    val evolved = schemaNode.deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    evolved.put("schema-id", newSchemaId)
+    xform(evolved, names)
+    schemasNode.add(evolved)
 
     // metadata-only version bump (same snapshot — nothing moved)
-    node.set("schema", renamed)
+    node.set("schema", evolved)
     node.set("schemas", schemasNode)
     node.put("current-schema-id", newSchemaId)
     node.put("last-updated-ms", System.currentTimeMillis())

@@ -1189,4 +1189,37 @@ class IcebergScanSpec extends SparkSpec {
       IcebergWrite.renameColumn(spark, dir2, "tag", "label"))
     assert(e2.getMessage.contains("field ids"))
   }
+
+  test("dropColumn: bytes vanish without rewrite; re-added name never resurrects them") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_drop").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "tag", "score"), dir)
+    def dataFiles(): Set[String] = java.nio.file.Files.walk(
+      java.nio.file.Paths.get(dir, "data")).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSet
+    val before = dataFiles()
+    IcebergWrite.dropColumn(spark, dir, "score")
+    assert(dataFiles() == before, "drop must move zero data")
+    assert(IcebergScan.read(spark, dir).columns.toSeq == Seq("id", "tag"))
+
+    // re-add the same LOGICAL name: fresh field id, old bytes stay dead
+    IcebergWrite.appendEvolve(spark, Seq((3L, "c", 999L)).toDF("id", "tag", "score"), dir)
+    val got = IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq((1L, -1L), (2L, -1L), (3L, 999L)),
+      s"old physical score must NOT resurface, got $got")
+
+    // a live equality delete referencing the column blocks the drop
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ice_drop_eq").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, 5L), (2L, 6L)).toDF("id", "k"), dir2)
+    IcebergWrite.deleteEqual(spark, dir2, Seq(5L).toDF("k"))
+    val e = intercept[IllegalArgumentException](IcebergWrite.dropColumn(spark, dir2, "k"))
+    assert(e.getMessage.contains("equality-delete"))
+    // dropping the OTHER column is fine — and then 'k' refuses again
+    // (still eq-referenced, and now also the last column)
+    IcebergWrite.dropColumn(spark, dir2, "id")
+    assert(graft.sources.IcebergScan.read(spark, dir2).columns.toSeq == Seq("k"))
+    intercept[IllegalArgumentException](IcebergWrite.dropColumn(spark, dir2, "k"))
+  }
 }
