@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Minimal dependency-free Delta Lake WRITER — the sink half of the
   * built-in lakehouse support (reader: [[DeltaScan]]). Writes the
@@ -231,18 +231,7 @@ object DeltaWrite {
         .map(_.asLong()).getOrElse(System.currentTimeMillis())}}}"""
   }
 
-  /** copy-on-write rewrites read logical rows and write new parquet —
-    * on a column-mapped table that would write LOGICAL names into
-    * files whose readers expect physical names. Refuse loudly until
-    * the rewrite paths learn the physical projection. */
-  private def requireUnmapped(fs: FileSystem, tablePath: String, op: String): Unit =
-    latestMetaNode(fs, tablePath).foreach { md =>
-      val mode = configOf(md).getOrElse("delta.columnMapping.mode", "none")
-      require(mode == "none",
-        s"$op does not support column-mapped tables (columnMapping.mode=$mode) — " +
-          "supported on mapped tables: read, append, appendEvolve, " +
-          "renameColumn, dropColumn, checkpoint, restore, vacuum")
-    }
+
 
   /** [[create]]/[[append]] carrying a `txn` action (the public
     * protocol's application transaction identifier): the commit records
@@ -854,7 +843,8 @@ object DeltaWrite {
       smallFileBytes: Long = 32L << 20, targetFiles: Int = 1): Unit = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireUnmapped(fs, tablePath, "compact")
+    // (mapped tables compact fine: the raw-parquet rewrite is
+    // column-name agnostic — physical names ride through verbatim)
     // a raw-parquet rewrite of a DV-carrying file would resurrect its
     // deleted rows (the re-add drops the descriptor) — refuse loudly
     requireNoDeletionVectors(spark, tablePath)
@@ -933,13 +923,23 @@ object DeltaWrite {
     * partition columns come back typed; `__rel` strips the qualified
     * root from `_metadata.file_path` after scheme normalization. */
   private def liveScan(spark: SparkSession, root: Path, schema: StructType,
-      partCols: Seq[String], live: Seq[String]): DataFrame = {
+      partCols: Seq[String], live: Seq[String],
+      mapped: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     val abs = live.map(r => new Path(root, r).toString)
-    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    // column-mapped tables store PHYSICAL names in parquet AND in the
+    // hive partition dirs — read physical, project back to logical at
+    // the end (schema field metadata carries the physicalName mapping)
+    val readSchema =
+      if (!mapped) schema
+      else StructType(schema.fields.map(f => StructField(
+        DeltaScan.physicalName(f), DeltaScan.physicalType(f.dataType), f.nullable)))
+    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name))
+      .map(f => if (!mapped) f else StructField(
+        DeltaScan.physicalName(f), DeltaScan.physicalType(f.dataType), f.nullable)))
     val base =
       if (partCols.isEmpty) spark.read.schema(dataSchema).parquet(abs: _*)
-      else spark.read.option("basePath", root.toString).schema(schema)
+      else spark.read.option("basePath", root.toString).schema(readSchema)
         .parquet(abs: _*)
     // `_metadata.file_path` is the file's URI form — hive-escaped dir
     // names re-encode ('%' → '%25'), so a string-munged rel would sit
@@ -964,7 +964,29 @@ object DeltaWrite {
         regexp_replace(col("_metadata.file_path"), stripScheme, "/"))
       .withColumn("__pos", col("_metadata.row_index"))
       .join(lookup, Seq("__uri"))
-      .select((schema.fieldNames ++ Seq("__rel", "__pos")).map(col).toSeq: _*)
+      .select(schema.fields.map(f =>
+        if (!mapped) col(f.name)
+        else col(DeltaScan.physicalName(f)).cast(f.dataType).as(f.name)).toSeq ++
+        Seq(col("__rel"), col("__pos")): _*)
+  }
+
+  /** is the table's latest metaData column-mapped? */
+  private def isMapped(fs: FileSystem, tablePath: String): Boolean =
+    latestMetaNode(fs, tablePath).exists(md =>
+      configOf(md).getOrElse("delta.columnMapping.mode", "none") != "none")
+
+  /** logical column list -> the physical write projection (identity
+    * when unmapped); nested logical names re-label via a positional
+    * struct cast, the reverse of the reader's toLogical */
+  private def toPhysical(schema: StructType, mapped: Boolean,
+      names: Seq[String]): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.col
+    names.map { n =>
+      val f = schema(n)
+      if (!mapped) col(n)
+      else col(n).cast(DeltaScan.physicalType(f.dataType))
+        .as(DeltaScan.physicalName(f))
+    }
   }
 
   /** shared rewrite-commit tail: drop zero-row staged files (a victim
@@ -1014,13 +1036,13 @@ object DeltaWrite {
       cond: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions._
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireUnmapped(fs, tablePath, "deleteWhere")
     requireNoDeletionVectors(spark, tablePath)
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
+    val mapped = isMapped(fs, tablePath)
     val live = replayActions(spark, fs, tablePath).collect { case (p, true, _, _) => p }
     if (live.isEmpty) return 0L
-    val hit = liveScan(spark, root, schema, partCols, live).filter(cond)
+    val hit = liveScan(spark, root, schema, partCols, live, mapped).filter(cond)
       .agg(count(lit(1)).as("n"), collect_set(col("__rel")).as("files"))
       .head() // [lint:bounded] one row: a count and a file-count-bounded set
     val nDeleted = hit.getLong(0)
@@ -1032,8 +1054,8 @@ object DeltaWrite {
     val added = victims.groupBy(r => r.split('/').dropRight(1).mkString("/"))
       .toSeq.sortBy(_._1).flatMap { case (partDir, rels) =>
         writeStaged(fs, root, destPrefix = partDir) { staging =>
-          liveScan(spark, root, schema, partCols, rels).filter(keep)
-            .select(dataCols.map(col).toSeq: _*)
+          liveScan(spark, root, schema, partCols, rels, mapped).filter(keep)
+            .select(toPhysical(schema, mapped, dataCols.toSeq): _*)
             .write.mode("append").parquet(staging)
         }
       }
@@ -1055,12 +1077,11 @@ object DeltaWrite {
       assignments: Seq[(String, org.apache.spark.sql.Column)]): Long = {
     import org.apache.spark.sql.functions._
     require(assignments.nonEmpty, "updateWhere needs at least one SET assignment")
-    requireUnmapped(new Path(tablePath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration), tablePath, "updateWhere")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNoDeletionVectors(spark, tablePath)
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
+    val mapped = isMapped(fs, tablePath)
     val setByName = assignments.toMap
     require(setByName.size == assignments.size, "duplicate SET column")
     assignments.foreach { case (n, _) =>
@@ -1071,7 +1092,7 @@ object DeltaWrite {
     }
     val live = replayActions(spark, fs, tablePath).collect { case (p, true, _, _) => p }
     if (live.isEmpty) return 0L
-    val hit = liveScan(spark, root, schema, partCols, live).filter(cond)
+    val hit = liveScan(spark, root, schema, partCols, live, mapped).filter(cond)
       .agg(count(lit(1)).as("n"), collect_set(col("__rel")).as("files"))
       .head() // [lint:bounded] one row: a count and a file-count-bounded set
     val nUpdated = hit.getLong(0)
@@ -1089,7 +1110,7 @@ object DeltaWrite {
     // no job): a widening coercion in a SET expression would silently
     // drift the table type otherwise
     val declared = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
-    val probe = liveScan(spark, root, schema, partCols, victims.take(1))
+    val probe = liveScan(spark, root, schema, partCols, victims.take(1), mapped)
       .select(projected.toSeq: _*).schema
     require(
       probe.fields.map(f => (f.name, f.dataType)).toSeq ==
@@ -1100,8 +1121,9 @@ object DeltaWrite {
     val added = victims.groupBy(r => r.split('/').dropRight(1).mkString("/"))
       .toSeq.sortBy(_._1).flatMap { case (partDir, rels) =>
         writeStaged(fs, root, destPrefix = partDir) { staging =>
-          liveScan(spark, root, schema, partCols, rels)
+          liveScan(spark, root, schema, partCols, rels, mapped)
             .select(projected.toSeq: _*)
+            .select(toPhysical(schema, mapped, dataCols.toSeq): _*)
             .write.mode("append").parquet(staging)
         }
       }
@@ -1172,9 +1194,9 @@ object DeltaWrite {
       cond: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions._
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireUnmapped(fs, tablePath, "deleteWhereDV")
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
+    val mapped = isMapped(fs, tablePath)
     val (latestAdds, proto) = replayLatestAdds(fs, root.toString)
     if (latestAdds.isEmpty) return 0L
     val live = latestAdds.keys.toSeq.sorted
@@ -1200,7 +1222,7 @@ object DeltaWrite {
         }.toDF("__rel", "__pos")
     }
 
-    val victims = liveScan(spark, root, schema, partCols, live)
+    val victims = liveScan(spark, root, schema, partCols, live, mapped)
       .filter(cond)
       .select(col("__rel"), col("__pos"))
       .join(oldPosDf, Seq("__rel", "__pos"), "left_anti")
@@ -1271,10 +1293,10 @@ object DeltaWrite {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "merge needs at least one key column")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireUnmapped(fs, tablePath, "merge")
     requireNoDeletionVectors(spark, tablePath)
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
+    val mapped = isMapped(fs, tablePath)
     require(
       schema.fields.map(f => (f.name, f.dataType)).toSeq ==
         source.schema.fields.map(f => (f.name, f.dataType)).toSeq,
@@ -1296,7 +1318,7 @@ object DeltaWrite {
       val (updated, victims) =
         if (live.isEmpty) (0L, Seq.empty[String])
         else {
-          val hit = liveScan(spark, root, schema, partCols, live)
+          val hit = liveScan(spark, root, schema, partCols, live, mapped)
             .join(srcK, keys, "left_semi")
             .agg(count(lit(1)).as("n"), collect_set(col("__rel")).as("files"))
             .head() // [lint:bounded] one row: a count and a file-count-bounded set
@@ -1307,20 +1329,23 @@ object DeltaWrite {
       val matchedSrc =
         if (victims.isEmpty) 0L
         else srcK.join(
-          liveScan(spark, root, schema, partCols, victims)
+          liveScan(spark, root, schema, partCols, victims, mapped)
             .select(keys.map(col): _*), keys, "left_semi").count()
       val inserted = srcRows - matchedSrc
 
       val survivors =
         if (victims.isEmpty) None
-        else Some(liveScan(spark, root, schema, partCols, victims)
+        else Some(liveScan(spark, root, schema, partCols, victims, mapped)
           .join(srcK, keys, "left_anti")
           .select(schema.fieldNames.map(col).toSeq: _*))
       val newData = (survivors.toSeq :+
         src.select(schema.fieldNames.map(col).toSeq: _*)).reduce(_ unionByName _)
+        .select(toPhysical(schema, mapped, schema.fieldNames.toSeq): _*)
+      val physParts = partCols.map(p =>
+        if (mapped) DeltaScan.physicalName(schema(p)) else p)
       val added = writeStaged(fs, root, destPrefix = "") { staging =>
         val w = newData.write.mode("append")
-        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging)
+        (if (physParts.nonEmpty) w.partitionBy(physParts: _*) else w).parquet(staging)
       }
       commitRewrite(spark, fs, root, added, victims, txn)
       (updated, inserted)
@@ -1353,8 +1378,6 @@ object DeltaWrite {
   def zorder(spark: SparkSession, tablePath: String, dims: Seq[String],
       bitsPerCol: Int = 12, targetFiles: Int = 8): Unit = {
     require(dims.nonEmpty, "need at least one z-order dimension")
-    requireUnmapped(new Path(tablePath).getFileSystem(
-      spark.sparkContext.hadoopConfiguration), tablePath, "zorder")
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     require(bitsPerCol >= 1 && bitsPerCol * dims.size <= 63,
       s"bitsPerCol * nDims must fit a signed long, got $bitsPerCol * ${dims.size}")
@@ -1366,8 +1389,17 @@ object DeltaWrite {
     val groups = live.groupBy(rel => rel.split('/').dropRight(1).mkString("/"))
 
     import org.apache.spark.sql.functions._
+    // the raw read below sees PHYSICAL column names — translate the
+    // caller's logical dims on a mapped table
+    val physDims = if (!isMapped(fs, tablePath)) dims else {
+      val (sch, _) = tableMeta(fs, tablePath)
+      dims.map { d =>
+        sch.fields.find(_.name == d).map(DeltaScan.physicalName)
+          .getOrElse(d) // unknown dims keep their name for the loud check below
+      }
+    }
     val full = spark.read.parquet(live.map(r => new Path(root, r).toString): _*)
-    dims.foreach { d =>
+    physDims.foreach { d =>
       val f = full.schema.fields.find(_.name == d).getOrElse(
         throw new IllegalArgumentException(
           s"z-order dim '$d' not in data columns ${full.columns.mkString(", ")} " +
@@ -1379,11 +1411,11 @@ object DeltaWrite {
           "numeric/date/timestamp required (hash or rank strings yourself)")
     }
     // one metadata-cheap agg: global [min,max] per dim for the bucket grid
-    val aggCols = dims.flatMap(d => Seq(
+    val aggCols = physDims.flatMap(d => Seq(
       min(col(d).cast("double")).as(s"__mn_$d"), max(col(d).cast("double")).as(s"__mx_$d")))
     val bounds = full.agg(aggCols.head, aggCols.tail: _*).collect()(0) // [lint:bounded] one agg row
     val nb = 1L << bitsPerCol
-    val buckets = dims.zipWithIndex.map { case (d, i) =>
+    val buckets = physDims.zipWithIndex.map { case (d, i) =>
       val mn = if (bounds.isNullAt(2 * i)) 0.0 else bounds.getDouble(2 * i)
       val mx = if (bounds.isNullAt(2 * i + 1)) 0.0 else bounds.getDouble(2 * i + 1)
       if (mx <= mn) lit(0L)

@@ -1289,10 +1289,72 @@ class DeltaScanSpec extends SparkSpec {
     // guard rails
     intercept[IllegalArgumentException](DeltaWrite.renameColumn(spark, dir, "id", "label"))
     intercept[IllegalArgumentException](DeltaWrite.renameColumn(spark, dir, "nope", "x"))
-    val e = intercept[IllegalArgumentException](
-      DeltaWrite.updateWhere(spark, dir, col("id") === 1L, Seq("label" -> col("label"))))
-    assert(e.getMessage.contains("column-mapped"))
-    intercept[IllegalArgumentException](DeltaWrite.compact(spark, dir, smallFileBytes = 1L << 20))
+  }
+
+  test("CoW DML on a column-mapped table: update/delete/merge/DV/compact/zorder over renamed columns") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_map_dml").toString + "/t"
+    DeltaWrite.create(spark,
+      (1L to 20L).map(i => (i, s"t${i % 3}", i * 10L)).toDF("id", "tag", "score"), dir)
+    DeltaWrite.renameColumn(spark, dir, "score", "points")
+    DeltaWrite.renameColumn(spark, dir, "tag", "label")
+
+    // UPDATE over the renamed column (RHS reads originals)
+    assert(DeltaWrite.updateWhere(spark, dir, col("points") > 150L,
+      Seq("points" -> (col("points") + 1L))) == 5L)
+    // CoW DELETE over the renamed column
+    assert(DeltaWrite.deleteWhere(spark, dir, col("label") === "t0") == 6L)
+    // MERGE: upsert by id — one update, one insert (logical schema)
+    val (u, i) = DeltaWrite.merge(spark, dir,
+      Seq((1L, "tX", 111L), (99L, "tY", 999L)).toDF("id", "label", "points"), Seq("id"))
+    assert((u, i) == (1L, 1L))
+    // compact + zorder on the mapped table (logical dims)
+    DeltaWrite.compact(spark, dir, smallFileBytes = 1L << 20, targetFiles = 1)
+    DeltaWrite.zorder(spark, dir, Seq("points"), bitsPerCol = 8, targetFiles = 2)
+    // DV delete over renamed columns
+    assert(DeltaWrite.deleteWhereDV(spark, dir, col("id") === 99L) == 1L)
+
+    val model = (1L to 20L).map(i => (i, s"t${i % 3}", i * 10L))
+      .map { case (id, t, sc) => (id, t, if (sc > 150L) sc + 1L else sc) }
+      .filterNot(_._2 == "t0")
+      .map { case (id, t, sc) => if (id == 1L) (1L, "tX", 111L) else (id, t, sc) }
+    val got = DeltaScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == model.sortBy(_._1), s"mapped DML diverged:\n$got\nvs\n${model.sortBy(_._1)}")
+    // the final files on disk still carry PHYSICAL names
+    val aFile = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.head
+    val rawCols = spark.read.parquet(aFile).columns.toSet
+    assert(rawCols.contains("score") && rawCols.contains("tag") &&
+      !rawCols.contains("points") && !rawCols.contains("label"),
+      s"rewrites must keep physical names, got $rawCols")
+  }
+
+  test("mapped + partitioned: merge and delete keep the physical hive layout") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_map_part").toString + "/t"
+    DeltaWrite.create(spark,
+      Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L)).toDF("id", "lang", "n"),
+      dir, partitionBy = Seq("lang"))
+    DeltaWrite.renameColumn(spark, dir, "n", "cnt")
+    // CoW delete inside one partition
+    assert(DeltaWrite.deleteWhere(spark, dir, col("cnt") === 10L) == 1L)
+    // merge moves id=2 de→fr and inserts id=7
+    val (u, i) = DeltaWrite.merge(spark, dir,
+      Seq((2L, "fr", 99L), (7L, "en", 70L)).toDF("id", "lang", "cnt"), Seq("id"))
+    assert((u, i) == (1L, 1L))
+    assert(DeltaScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((2L, "fr", 99L), (3L, "en", 30L), (7L, "en", 70L)))
+    // partition dirs use the PHYSICAL lang name (it was never renamed —
+    // but the layout must still be lang=<v> hive dirs)
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("lang=")).toSet
+    assert(dirs.contains("lang=fr") && dirs.contains("lang=en"))
   }
 
   test("renameColumn on a DV + partitioned table: features merge, deletes stay applied") {

@@ -88,6 +88,78 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
     }
   }
 
+  test("MAPPED Delta: 40 random ops with renames interleaved track the model") {
+    // the round-7 composition: columnMapping renames keep LANDING in
+    // the middle of the DML stream — every op after a rename addresses
+    // the moved logical name, and the physical bytes never move
+    val rnd = new scala.util.Random(777321L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_map_fuzz").toString + "/t"
+    var model = Map.empty[Long, (String, Long)] // id -> (tag, score)
+    var nextId = 0L
+    var tagCol = "tag"
+    var scoreCol = "score"
+    var gen = 0
+
+    def freshRows(n: Int): Seq[(Long, String, Long)] =
+      (1 to n).map { _ =>
+        nextId += 1
+        (nextId, s"t${rnd.nextInt(4)}", rnd.nextInt(100).toLong)
+      }
+    def df(rows: Seq[(Long, String, Long)]) = rows.toDF("id", tagCol, scoreCol)
+
+    val r0 = freshRows(6)
+    DeltaWrite.create(spark, df(r0), dir)
+    model = r0.map(r => r._1 -> (r._2, r._3)).toMap
+    DeltaWrite.renameColumn(spark, dir, "tag", "tag_g0") // mapped from the start
+    tagCol = "tag_g0"
+
+    (1 to 40).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 => // rename one of the two mutable columns
+          gen += 1
+          if (rnd.nextBoolean()) {
+            DeltaWrite.renameColumn(spark, dir, tagCol, s"tag_g$gen"); tagCol = s"tag_g$gen"
+          } else {
+            DeltaWrite.renameColumn(spark, dir, scoreCol, s"score_g$gen"); scoreCol = s"score_g$gen"
+          }
+        case 1 =>
+          val rows = freshRows(1 + rnd.nextInt(4))
+          DeltaWrite.append(spark, df(rows), dir)
+          model ++= rows.map(r => r._1 -> (r._2, r._3))
+        case 2 =>
+          val tag = s"t${rnd.nextInt(4)}"
+          val n = DeltaWrite.deleteWhere(spark, dir, col(tagCol) === tag)
+          val victims = model.filter(_._2._1 == tag)
+          assert(n == victims.size, s"step $step: delete count $n != ${victims.size}")
+          model --= victims.keys
+        case 3 =>
+          val k = 20L + rnd.nextInt(60)
+          val n = DeltaWrite.updateWhere(spark, dir, col(scoreCol) < k,
+            Seq(scoreCol -> (col(scoreCol) + 1000L)))
+          val hits = model.filter(_._2._2 < k)
+          assert(n == hits.size, s"step $step: update count $n != ${hits.size}")
+          model ++= hits.map { case (id, (t, s)) => id -> (t, s + 1000L) }
+        case 4 =>
+          val updates = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextBoolean()).take(3)
+            .map(id => (id, s"t${rnd.nextInt(4)}", rnd.nextInt(100).toLong))
+          val inserts = freshRows(rnd.nextInt(3))
+          val src = updates ++ inserts
+          if (src.nonEmpty) {
+            val (u, i) = DeltaWrite.merge(spark, dir, df(src), Seq("id"))
+            assert(u == updates.size && i == inserts.size,
+              s"step $step: merge counts ($u,$i) != (${updates.size},${inserts.size})")
+            model ++= src.map(r => r._1 -> (r._2, r._3))
+          }
+        case 5 =>
+          DeltaWrite.compact(spark, dir, smallFileBytes = 1L << 20, targetFiles = 1)
+      }
+      val got = readDeltaModel(dir)
+      assert(got == model,
+        s"step $step: table ${got.size} rows diverged from model ${model.size}")
+    }
+  }
+
   test("Delta DV track: 30 random append/dvdelete/checkpoint/vacuum ops track the model") {
     val rnd = new scala.util.Random(90210L)
     val dir = java.nio.file.Files.createTempDirectory("graft_dv_fuzz").toString + "/t"
