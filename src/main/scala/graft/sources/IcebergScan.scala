@@ -387,7 +387,23 @@ object IcebergScan {
   private[graft] def tableSchema(spark: SparkSession, tablePath: String): StructType = {
     val conf = spark.sessionState.newHadoopConf()
     val metaDir = new Path(tablePath, "metadata")
-    sparkSchema(currentSchema(parseMetadata(metaDir.getFileSystem(conf), metaDir)))
+    val meta = parseMetadata(metaDir.getFileSystem(conf), metaDir)
+    val schema = sparkSchema(currentSchema(meta))
+    // id-stamped tables expose field ids in the schema metadata, so the
+    // streaming source's parquet-mr decode resolves renamed columns by
+    // id in pre-rename files (same contract as the batch reader)
+    val idStamped = Option(meta.get("properties"))
+      .flatMap(p => Option(p.get(IcebergWrite.FieldIdsProp)))
+      .exists(_.asText() == "true")
+    if (!idStamped) schema
+    else {
+      val idByName = currentSchema(meta).get("fields").elements().asScala
+        .map(f => f.get("name").asText() -> f.get("id").asLong()).toMap
+      StructType(schema.fields.map(f => idByName.get(f.name).map(id =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong("parquet.field.id", id).build()))
+        .getOrElse(f)))
+    }
   }
 
   /** identity-partition spec field names (empty when unpartitioned) —

@@ -213,40 +213,62 @@ private[streaming] object DeltaStreamSource {
   }
 
   /** one parquet-mr Group + the hive partition values → InternalRow in
-    * schema order; executors only, no Spark scan machinery */
+    * schema order; executors only, no Spark scan machinery.
+    *
+    * Column resolution is RENAME-PROOF: a field reads its Delta
+    * columnMapping physicalName when mapped, then falls back to
+    * parquet field-id matching (Iceberg renames — the schema field and
+    * the file column share an id even when the stored name is the
+    * pre-rename one), then the plain name; still-unresolved columns are
+    * NULL (schema evolution: the column postdates the file). */
   def toInternalRow(schema: StructType, partitionValues: Map[String, String],
       g: Group): InternalRow = {
-    val groupFields = (0 until g.getType.getFieldCount)
-      .map(i => g.getType.getFieldName(i)).toSet
+    val gt = g.getType
+    val groupFields = (0 until gt.getFieldCount).map(i => gt.getFieldName(i)).toSet
+    val byId: Map[Int, String] = (0 until gt.getFieldCount).flatMap { i =>
+      Option(gt.getType(i).getId).map(id => id.intValue() -> gt.getFieldName(i))
+    }.toMap
     val values = schema.fields.map { f =>
-      if (partitionValues.contains(f.name)) partitionValue(f, partitionValues(f.name))
-      else if (!groupFields.contains(f.name)) null // evolved column absent in old files
-      else if (g.getFieldRepetitionCount(f.name) == 0) null
-      else f.dataType match {
-        case LongType => g.getLong(f.name, 0)
-        case IntegerType | DateType => g.getInteger(f.name, 0)
-        case ShortType => g.getInteger(f.name, 0).toShort
-        case ByteType => g.getInteger(f.name, 0).toByte
-        case DoubleType => g.getDouble(f.name, 0)
-        case FloatType => g.getFloat(f.name, 0)
-        case BooleanType => g.getBoolean(f.name, 0)
-        case StringType => UTF8String.fromBytes(g.getBinary(f.name, 0).getBytes)
-        case TimestampType | TimestampNTZType =>
-          // INT64 micros only; Spark's INT96 default throws inside
-          // parquet-mr with a type error — surface the remedy
-          try g.getLong(f.name, 0)
-          catch {
-            case e: RuntimeException => throw new IllegalArgumentException(
-              s"timestamp column '${f.name}' is not INT64 micros — write the " +
-                "table with spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS", e)
-          }
-        case other => throw new IllegalArgumentException(
-          s"column '${f.name}': type ${other.sql} not supported by the " +
-            "streaming source (primitive top-level columns only)")
-      }
+      val phys =
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name
+      val fileCol: String =
+        if (groupFields.contains(phys)) phys
+        else if (f.metadata.contains("parquet.field.id"))
+          byId.getOrElse(f.metadata.getLong("parquet.field.id").toInt, null)
+        else null
+      if (partitionValues.contains(phys)) partitionValue(f, partitionValues(phys))
+      else if (fileCol == null) null // evolved column absent in old files
+      else if (g.getFieldRepetitionCount(fileCol) == 0) null
+      else decodeField(f, fileCol, g)
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])
   }
+
+  private def decodeField(f: StructField, name: String, g: Group): Any =
+    f.dataType match {
+      case LongType => g.getLong(name, 0)
+      case IntegerType | DateType => g.getInteger(name, 0)
+      case ShortType => g.getInteger(name, 0).toShort
+      case ByteType => g.getInteger(name, 0).toByte
+      case DoubleType => g.getDouble(name, 0)
+      case FloatType => g.getFloat(name, 0)
+      case BooleanType => g.getBoolean(name, 0)
+      case StringType => UTF8String.fromBytes(g.getBinary(name, 0).getBytes)
+      case TimestampType | TimestampNTZType =>
+        // INT64 micros only; Spark's INT96 default throws inside
+        // parquet-mr with a type error — surface the remedy
+        try g.getLong(name, 0)
+        catch {
+          case e: RuntimeException => throw new IllegalArgumentException(
+            s"timestamp column '${f.name}' is not INT64 micros — write the " +
+              "table with spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS", e)
+        }
+      case other => throw new IllegalArgumentException(
+        s"column '${f.name}': type ${other.sql} not supported by the " +
+          "streaming source (primitive top-level columns only)")
+    }
 
   private def partitionValue(f: StructField, raw: String): Any =
     if (raw == null) null

@@ -1222,4 +1222,57 @@ class IcebergScanSpec extends SparkSpec {
     assert(graft.sources.IcebergScan.read(spark, dir2).columns.toSeq == Seq("k"))
     intercept[IllegalArgumentException](IcebergWrite.dropColumn(spark, dir2, "k"))
   }
+
+  test("streams decode RENAMED tables: Iceberg by field id, Delta by physicalName") {
+    import graft.sources.{DeltaWrite, IcebergWrite}
+    import spark.implicits._
+    // Iceberg: pre-rename files must decode the renamed column by id
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_ren_stream").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("graft_ice_ren_stream_ck").toString
+    IcebergWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), dir)
+    IcebergWrite.renameColumn(spark, dir, "tag", "label")
+    val delivered = scala.collection.mutable.ListBuffer[(Long, String)]()
+    val q = spark.readStream
+      .format(classOf[graft.streaming.IcebergStreamProvider].getName)
+      .load(dir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        assert(b.columns.toSeq == Seq("id", "label"))
+        val rows = b.collect().map(r => (r.getLong(0), r.getString(1)))
+        delivered.synchronized { delivered ++= rows }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "label"), dir)
+      q.processAllAvailable()
+      assert(delivered.synchronized(delivered.toSet) ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")),
+        s"renamed column must decode by id, got ${delivered.toSet}")
+    } finally q.stop()
+
+    // Delta: mapped table files carry physical names
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_delta_ren_stream").toString + "/t"
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_delta_ren_stream_ck").toString
+    DeltaWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), dir2)
+    DeltaWrite.renameColumn(spark, dir2, "tag", "label")
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "label"), dir2)
+    val delivered2 = scala.collection.mutable.ListBuffer[(Long, String)]()
+    val q2 = spark.readStream
+      .format(classOf[graft.streaming.DeltaStreamProvider].getName)
+      .load(dir2)
+      .writeStream.option("checkpointLocation", ck2)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        assert(b.columns.toSeq == Seq("id", "label"))
+        val rows = b.collect().map(r => (r.getLong(0), r.getString(1)))
+        delivered2.synchronized { delivered2 ++= rows }
+        ()
+      }.start()
+    try {
+      q2.processAllAvailable()
+      assert(delivered2.synchronized(delivered2.toSet) ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")),
+        s"mapped columns must decode by physicalName, got ${delivered2.toSet}")
+    } finally q2.stop()
+  }
 }
