@@ -511,6 +511,59 @@ object DeltaScan {
     read(spark, tablePath, Some(eligible.map(_._1).max))
   }
 
+  /** HISTORY metadata table (the operational DESCRIBE HISTORY
+    * surface): one row per JSON commit — version, timestamp (the same
+    * in-commit-evidence preference as [[readTimestampAsOf]]: commitInfo
+    * > max add.modificationTime > file mtime), action counts, whether
+    * the commit re-declared metaData or protocol, and its txn appIds.
+    * Driver-side metadata, O(commits) — a long-lived table reads this
+    * after [[DeltaWrite.checkpoint]]-based log cleanup, so the row set
+    * is the JSON tail, not all of history. */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    val (fs, versions) = listLog(spark, tablePath)
+    val logDir = new Path(tablePath, "_delta_log")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rows = versions.sorted.map { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      var commitInfoTs = Option.empty[Long]
+      var maxAddTs = Option.empty[Long]
+      var (nAdds, nRemoves) = (0L, 0L)
+      var (metaChanged, protoChanged) = (false, false)
+      val txns = Seq.newBuilder[String]
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { line =>
+        val n = mapper.readTree(line)
+        if (n.has("commitInfo") && n.get("commitInfo").has("timestamp"))
+          commitInfoTs = Some(n.get("commitInfo").get("timestamp").asLong())
+        if (n.has("add")) {
+          nAdds += 1
+          if (n.get("add").has("modificationTime")) {
+            val t = n.get("add").get("modificationTime").asLong()
+            if (maxAddTs.forall(_ < t)) maxAddTs = Some(t)
+          }
+        }
+        if (n.has("remove")) nRemoves += 1
+        if (n.has("metaData")) metaChanged = true
+        if (n.has("protocol")) protoChanged = true
+        if (n.has("txn")) txns += n.get("txn").get("appId").asText()
+      } finally in.close()
+      val ts = commitInfoTs.orElse(maxAddTs)
+        .getOrElse(fs.getFileStatus(p).getModificationTime)
+      org.apache.spark.sql.Row(v, ts, nAdds, nRemoves, metaChanged,
+        protoChanged, txns.result())
+    }
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("timestamp_ms", LongType, nullable = false),
+        StructField("num_added_files", LongType, nullable = false),
+        StructField("num_removed_files", LongType, nullable = false),
+        StructField("metadata_changed", BooleanType, nullable = false),
+        StructField("protocol_changed", BooleanType, nullable = false),
+        StructField("txn_app_ids", ArrayType(StringType), nullable = false))))
+  }
+
   /** Collapse `scheme://host` prefixes so the planner-side path strings
     * and `_metadata.file_path` compare equal regardless of how the
     * FileSystem qualified them. */

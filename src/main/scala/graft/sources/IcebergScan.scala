@@ -54,6 +54,84 @@ object IcebergScan {
     readInternal(spark, tablePath, snapshotAsOf, None, keepLineage = false,
       skippingFilter = skippingFilter)
 
+  /** TIMESTAMP time travel: the table at the LAST snapshot whose
+    * `timestamp-ms` is at or before `tsMillis` — in-metadata evidence
+    * only (snapshot timestamps are written by the committer, never
+    * file mtimes, so copies/restores can't skew the answer). Fails
+    * loudly when `tsMillis` precedes the first snapshot. The Iceberg
+    * twin of [[DeltaScan.readTimestampAsOf]]. */
+  def readTimestampAsOf(spark: SparkSession, tablePath: String,
+      tsMillis: Long): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaDir = new Path(tablePath, "metadata")
+    val meta = parseMetadata(metaDir.getFileSystem(conf), metaDir)
+    val stamped = Option(meta.get("snapshots"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      .map(s => (s.get("snapshot-id").asLong(), s.get("timestamp-ms").asLong()))
+      .sortBy(_._2)
+    require(stamped.nonEmpty, s"no snapshots at $tablePath to time-travel")
+    val at = stamped.takeWhile(_._2 <= tsMillis).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"timestamp $tsMillis precedes the first snapshot " +
+          s"(${stamped.head._2}) of $tablePath"))
+    read(spark, tablePath, snapshotAsOf = Some(at._1))
+  }
+
+  /** SNAPSHOTS metadata table (the operational `table$snapshots`
+    * surface): one row per snapshot — id, committed_at millis,
+    * sequence number, operation, manifest-list path, parent. Driver-
+    * side METADATA only (one JSON read), O(snapshots) rows. */
+  def snapshots(spark: SparkSession, tablePath: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaDir = new Path(tablePath, "metadata")
+    val meta = parseMetadata(metaDir.getFileSystem(conf), metaDir)
+    val current = Option(meta.get("current-snapshot-id")).map(_.asLong()).getOrElse(-1L)
+    val rows = Option(meta.get("snapshots"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      .map { s =>
+        org.apache.spark.sql.Row(
+          s.get("snapshot-id").asLong(),
+          s.get("timestamp-ms").asLong(),
+          Option(s.get("sequence-number")).map(_.asLong()).getOrElse(
+            s.get("snapshot-id").asLong()),
+          Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
+            .map(_.asText()).orNull,
+          s.get("manifest-list").asText(),
+          s.get("snapshot-id").asLong() == current)
+      }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("committed_at_ms", LongType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("operation", StringType),
+      StructField("manifest_list", StringType, nullable = false),
+      StructField("is_current", BooleanType, nullable = false))))
+  }
+
+  /** FILES metadata table (the operational `table$files` surface):
+    * one row per LIVE manifest entry of the current snapshot — path,
+    * content kind, row count, sequence number, partition values
+    * (string-rendered map). Reads manifests only (KBs), never data. */
+  def files(spark: SparkSession, tablePath: String): DataFrame = {
+    val (_, entries) = currentEntries(spark, tablePath)
+    val rows = entries.map { e =>
+      org.apache.spark.sql.Row(
+        e.path,
+        e.content match {
+          case 0 => "data"; case 1 => "position-deletes"; case 2 => "equality-deletes"
+          case other => s"unknown($other)"
+        },
+        e.rows, e.seq,
+        e.partition.map { case (k, v) => k -> (if (v == null) null else v.toString) })
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("content", StringType, nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("partition", MapType(StringType, StringType)))))
+  }
+
   /** [[read]] restricted to a subset of data-file paths (all applicable
     * deletes still applied) — [[IcebergWrite.compact]]'s rewrite input:
     * the compacted output must hold the SURVIVING rows of exactly the

@@ -1389,4 +1389,28 @@ class DeltaScanSpec extends SparkSpec {
     assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir2)).iterator().asScala
       .map(_.getFileName.toString).count(_ == "lang=en") == 1)
   }
+
+  test("history metadata table: one row per commit with action counts and txn apps") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_hist").toString + "/t"
+    DeltaWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    DeltaWrite.appendWithTxn(spark, Seq((3L, "c")).toDF("id", "v"), dir, "appH", 7L)
+    DeltaWrite.deleteWhere(spark, dir, col("id") === 1L)
+    DeltaWrite.renameColumn(spark, dir, "v", "w")
+
+    val h = DeltaScan.history(spark, dir).orderBy("version").collect()
+    assert(h.length == 4)
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(h(0).getBoolean(4), "commit 0 declares metaData")
+    assert(h(1).getSeq[String](6) == Seq("appH"))
+    assert(h(2).getLong(3) >= 1, "delete removes its victim file")
+    assert(h(3).getBoolean(4) && h(3).getBoolean(5),
+      "rename re-declares metaData and upgrades protocol")
+    assert(h(3).getLong(2) == 0 && h(3).getLong(3) == 0, "rename moves no files")
+    // timestamps are monotone non-decreasing under in-commit evidence
+    val ts = h.map(_.getLong(1))
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+  }
 }

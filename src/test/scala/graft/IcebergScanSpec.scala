@@ -1275,4 +1275,38 @@ class IcebergScanSpec extends SparkSpec {
         s"mapped columns must decode by physicalName, got ${delivered2.toSet}")
     } finally q2.stop()
   }
+
+  test("metadata tables + timestamp travel: snapshots/files reflect DML, travel picks by timestamp-ms") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_meta_tbl").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), dir)
+    IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "tag"), dir)
+    IcebergWrite.deleteWhere(spark, dir, org.apache.spark.sql.functions.col("id") === 2L)
+
+    val snaps = IcebergScan.snapshots(spark, dir).orderBy("snapshot_id").collect()
+    assert(snaps.length == 3)
+    assert(snaps.map(_.getString(3)).toSeq == Seq("append", "append", "delete"))
+    assert(snaps.count(_.getBoolean(5)) == 1 && snaps.last.getBoolean(5))
+    val ts = snaps.map(r => (r.getLong(0), r.getLong(1)))
+
+    val files = IcebergScan.files(spark, dir).collect()
+    assert(files.count(_.getString(1) == "data") >= 1)
+    assert(files.count(_.getString(1) == "position-deletes") == 1)
+
+    // timestamp travel: at snapshot-2's stamp the delete hasn't happened
+    assert(IcebergScan.readTimestampAsOf(spark, dir, ts(1)._2).count() == 3L)
+    assert(IcebergScan.readTimestampAsOf(spark, dir, System.currentTimeMillis() + 60000)
+      .count() == 2L)
+    intercept[IllegalArgumentException](
+      IcebergScan.readTimestampAsOf(spark, dir, ts(0)._2 - 1000000L))
+
+    // partitioned table: files carries partition values
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ice_meta_tbl2").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "en"), (2L, "de")).toDF("id", "lang"), dir2,
+      partitionBy = Seq("lang"))
+    val parts = IcebergScan.files(spark, dir2).collect()
+      .map(_.getMap[String, String](4).get("lang").orNull).toSet
+    assert(parts == Set("en", "de"))
+  }
 }
