@@ -48,9 +48,10 @@ object DeltaWrite {
   def append(spark: SparkSession, df: DataFrame, tablePath: String,
       partitionBy: Seq[String] = Nil): Unit = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    validateAgainstMeta(spark, fs, df, tablePath, partitionBy)
+    val md = latestMetaNodeAny(spark, fs, tablePath)
+    validateAgainstMeta(md, df, partitionBy)
     val v = DeltaScan.latestVersion(spark, tablePath) + 1
-    commit(spark, fs, df, tablePath, partitionBy, version = v)
+    commit(spark, fs, df, tablePath, partitionBy, version = v, metaNode = md)
   }
 
   /** APPEND WITH SCHEMA EVOLUTION (the mergeSchema contract): columns
@@ -253,10 +254,11 @@ object DeltaWrite {
   def appendWithTxn(spark: SparkSession, df: DataFrame, tablePath: String,
       appId: String, txnVersion: Long, partitionBy: Seq[String] = Nil): Unit = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    validateAgainstMeta(spark, fs, df, tablePath, partitionBy)
+    val md = latestMetaNodeAny(spark, fs, tablePath)
+    validateAgainstMeta(md, df, partitionBy)
     val v = DeltaScan.latestVersion(spark, tablePath) + 1
     commit(spark, fs, df, tablePath, partitionBy, version = v,
-      txn = Some((appId, txnVersion)))
+      txn = Some((appId, txnVersion)), metaNode = md)
   }
 
   /** Highest `txn` version committed for `appId`, from the JSON tail
@@ -333,9 +335,10 @@ object DeltaWrite {
     * JSON tail carries no metaData — e.g. appending to a
     * checkpoint-truncated table another writer created, where metaData
     * lives only in the checkpoint parquet */
-  private def validateAgainstMeta(spark: SparkSession, fs: FileSystem,
-      df: DataFrame, tablePath: String, partitionBy: Seq[String]): Unit = {
-    latestMetaNode(fs, tablePath).foreach { md =>
+  private def validateAgainstMeta(
+      metaNode: Option[com.fasterxml.jackson.databind.JsonNode],
+      df: DataFrame, partitionBy: Seq[String]): Unit = {
+    metaNode.foreach { md =>
       val declaredParts = Option(md.get("partitionColumns"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
       require(declaredParts == partitionBy,
@@ -626,7 +629,8 @@ object DeltaWrite {
   private def commit(spark: SparkSession, fs: FileSystem, df: DataFrame,
       tablePath: String, partitionBy: Seq[String], version: Long,
       txn: Option[(String, Long)] = None,
-      metaOverride: Option[String] = None): Unit = {
+      metaOverride: Option[String] = None,
+      metaNode: Option[com.fasterxml.jackson.databind.JsonNode] = None): Unit = {
     val root = fs.makeQualified(new Path(tablePath))
     // COLUMN-MAPPED tables store PHYSICAL column names in parquet (and
     // physical hive partition dirs); `df` arrives logical, validated
@@ -639,7 +643,7 @@ object DeltaWrite {
         else metaOverride match {
           case Some(j) => Option(new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(j).get("metaData"))
-          case None => latestMetaNode(fs, tablePath)
+          case None => metaNode.orElse(latestMetaNodeAny(spark, fs, tablePath))
         }
       mdNode.filter(md =>
           configOf(md).getOrElse("delta.columnMapping.mode", "none") != "none") match {
@@ -905,6 +909,30 @@ object DeltaWrite {
         .lastOption
     }.nextOption()
   }
+
+  /** [[latestMetaNode]] with a CHECKPOINT fallback: when the JSON tail
+    * has been cleaned past the last metaData-carrying commit (a
+    * long-lived streaming sink after [[checkpoint]]-based cleanup), the
+    * metaData lives in the checkpoint — read it there, one bounded job.
+    * Without this, appends to a checkpoint-truncated COLUMN-MAPPED
+    * table would miss the mapping and write logical names into files
+    * whose readers expect physical names. */
+  private def latestMetaNodeAny(spark: SparkSession, fs: FileSystem,
+      tablePath: String): Option[com.fasterxml.jackson.databind.JsonNode] =
+    latestMetaNode(fs, tablePath).orElse {
+      val logDir = new Path(fs.makeQualified(new Path(tablePath)), "_delta_log")
+      DeltaScan.lastCheckpoint(spark, fs, logDir).flatMap { case (v, parts) =>
+        val (cpFiles, isJson, _) = DeltaScan.checkpointTopFiles(fs, logDir, v, parts)
+        val df = if (isJson) spark.read.json(cpFiles: _*)
+                 else spark.read.parquet(cpFiles: _*)
+        if (!df.columns.contains("metaData")) scala.None
+        else df.filter(org.apache.spark.sql.functions.col("metaData.id").isNotNull)
+          .select("metaData").toJSON.collect() // [lint:bounded] one metaData row
+          .headOption
+          .map(j => new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(j).get("metaData"))
+      }
+    }
 
   /** table schema + partition columns from the latest metaData */
   private def tableMeta(fs: FileSystem, tablePath: String): (StructType, Seq[String]) = {

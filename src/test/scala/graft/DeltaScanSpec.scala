@@ -1413,4 +1413,32 @@ class DeltaScanSpec extends SparkSpec {
     val ts = h.map(_.getLong(1))
     assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
   }
+
+  test("mapped append after checkpoint-based log cleanup still writes physical names") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_map_ckpt").toString + "/t"
+    DeltaWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), dir)
+    DeltaWrite.renameColumn(spark, dir, "tag", "label")
+    DeltaWrite.checkpoint(spark, dir)
+    // clean the whole JSON tail: metaData now lives ONLY in the checkpoint
+    val log = new java.io.File(s"$dir/_delta_log")
+    (0L to DeltaScan.latestVersion(spark, dir)).foreach { v =>
+      new java.io.File(log, f"$v%020d.json").delete(); ()
+    }
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "label"), dir)
+    assert(DeltaScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the post-cleanup append's file carries the PHYSICAL name
+    val newest = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.toFile).filter(_.getName.endsWith(".parquet"))
+      .toSeq.maxBy(_.lastModified)
+    val rawCols = spark.read.parquet(newest.toString).columns.toSet
+    assert(rawCols.contains("tag") && !rawCols.contains("label"),
+      s"append after log cleanup must still map to physical names, got $rawCols")
+    // and a wrong-schema append is still validated (from the checkpoint)
+    intercept[IllegalArgumentException](
+      DeltaWrite.append(spark, Seq((4L, 4L)).toDF("id", "label"), dir))
+  }
 }
