@@ -77,6 +77,21 @@ object IcebergScan {
     read(spark, tablePath, snapshotAsOf = Some(at._1))
   }
 
+  /** read the table AT a named ref (tag) — the spec's `refs` map.
+    * `IcebergWrite.tagSnapshot` writes them; [[read]] with the resolved
+    * snapshot id does the rest. */
+  def readRef(spark: SparkSession, tablePath: String, ref: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaDir = new Path(tablePath, "metadata")
+    val meta = parseMetadata(metaDir.getFileSystem(conf), metaDir)
+    val id = Option(meta.get("refs")).flatMap(r => Option(r.get(ref)))
+      .map(_.get("snapshot-id").asLong())
+      .getOrElse(throw new IllegalArgumentException(
+        s"no ref '$ref' at $tablePath (have ${Option(meta.get("refs"))
+          .map(_.properties().asScala.map(_.getKey).mkString(",")).getOrElse("none")})"))
+    read(spark, tablePath, snapshotAsOf = Some(id))
+  }
+
   /** SNAPSHOTS metadata table (the operational `table$snapshots`
     * surface): one row per snapshot — id, committed_at millis,
     * sequence number, operation, manifest-list path, parent. Driver-

@@ -913,6 +913,62 @@ object IcebergWrite {
     writeUtf8(fs, new Path(metaDir, "version-hint.text"), version.toString)
   }
 
+  /** TAG a snapshot (the spec's `refs` map, type=tag): a named,
+    * immutable pointer — `IcebergScan.readRef` resolves it, and
+    * [[expireSnapshots]] never expires a ref-pinned snapshot. One
+    * metadata-only version bump; tagging the same name twice refuses
+    * (drop it first), tagging a missing snapshot refuses. */
+  def tagSnapshot(spark: SparkSession, tablePath: String,
+      name: String, snapshotId: Long): Unit =
+    editRefs(spark, tablePath, s"tag($name)") { (mapper, refs, snapIds) =>
+      require(snapIds.contains(snapshotId),
+        s"snapshot $snapshotId not found in $tablePath (have ${snapIds.mkString(",")})")
+      require(!refs.has(name), s"ref '$name' already exists — dropRef first")
+      refs.set[com.fasterxml.jackson.databind.JsonNode](name, mapper.readTree(
+        s"""{"snapshot-id":$snapshotId,"type":"tag"}"""))
+      ()
+    }
+
+  /** drop a named ref (tag); the snapshot itself stays until
+    * [[expireSnapshots]] */
+  def dropRef(spark: SparkSession, tablePath: String, name: String): Unit =
+    editRefs(spark, tablePath, s"dropRef($name)") { (_, refs, _) =>
+      require(refs.has(name), s"no ref '$name' at $tablePath")
+      refs.remove(name); ()
+    }
+
+  private def editRefs(spark: SparkSession, tablePath: String, op: String)(
+      edit: (com.fasterxml.jackson.databind.ObjectMapper,
+             com.fasterxml.jackson.databind.node.ObjectNode,
+             Seq[Long]) => Unit): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    val prev = readUtf8(fs, hint).trim.toInt
+    val version = prev + 1
+    val metaDir = new Path(fs.makeQualified(new Path(tablePath)), "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val snapIds = Option(node.get("snapshots")).map(_.elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSeq).getOrElse(Seq.empty)
+    val refs = Option(node.get("refs"))
+      .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      .getOrElse(mapper.createObjectNode())
+    edit(mapper, refs, snapIds)
+    node.set[com.fasterxml.jackson.databind.JsonNode]("refs", refs)
+    node.put("last-updated-ms", System.currentTimeMillis())
+    val metaPath = new Path(metaDir, s"v$version.metadata.json")
+    try writeUtf8(fs, metaPath, node.toString, overwrite = false)
+    catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent Iceberg commit detected: $metaPath already exists — " +
+            "another writer committed this version; re-read the table and retry", e)
+    }
+    writeUtf8(fs, new Path(metaDir, "version-hint.text"), version.toString)
+  }
+
   /** every path a snapshot pins: its manifest list, its manifests, and
     * every data/delete file they name (all resolved absolute) */
   private def snapshotFootprint(fs: FileSystem,
@@ -962,10 +1018,16 @@ object IcebergWrite {
       .getOrElse(-1L)
     val sorted = snaps.sortBy(_.get("snapshot-id").asLong())
     val (expired0, kept0) = sorted.splitAt(sorted.size - keepLast)
-    // the current snapshot is never expired, whatever its position
+    // the current snapshot and every REF-PINNED snapshot (tags) are
+    // never expired, whatever their position
+    val pinned: Set[Long] = Option(node.get("refs"))
+      .map(_.properties().asScala.map(_.getValue.get("snapshot-id").asLong()).toSet)
+      .getOrElse(Set.empty)
+    def protectedSnap(s: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+      val id = s.get("snapshot-id").asLong(); id == currentId || pinned(id)
+    }
     val (kept, expired) = (
-      kept0 ++ expired0.filter(_.get("snapshot-id").asLong() == currentId),
-      expired0.filterNot(_.get("snapshot-id").asLong() == currentId))
+      kept0 ++ expired0.filter(protectedSnap), expired0.filterNot(protectedSnap))
     if (expired.isEmpty) return (0, Seq.empty)
 
     val keptFp = kept.map(snapshotFootprint(fs, conf, root, _))
@@ -1026,18 +1088,20 @@ object IcebergWrite {
       listRel: String, operation: String,
       propsOverride: Map[String, String] = Map.empty): Unit = {
     val now = System.currentTimeMillis()
-    val (prevSnapshots, prevProps): (String, Map[String, String]) =
-      if (version == 1) ("", Map.empty)
+    val (prevSnapshots, prevProps, prevRefs): (String, Map[String, String], Option[String]) =
+      if (version == 1) ("", Map.empty, scala.None)
       else {
-        // carry prior snapshots AND table properties forward from the
-        // previous metadata JSON (properties hold the streaming-sink
-        // txn markers — they must survive snapshot expiry)
+        // carry prior snapshots, table properties AND refs forward from
+        // the previous metadata JSON (properties hold the streaming-
+        // sink txn markers, refs hold tags — both must survive commits
+        // and snapshot expiry)
         val prevMeta = readUtf8(fs, new Path(metaDir, s"v${version - 1}.metadata.json"))
         val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(prevMeta)
         val props = Option(node.get("properties")).map(_.properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
         (node.get("snapshots").elements().asScala
-          .map(_.toString).mkString("", ",", ","), props)
+          .map(_.toString).mkString("", ",", ","), props,
+          Option(node.get("refs")).map(_.toString))
       }
     val propsJson = (prevProps ++ propsOverride).toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
@@ -1056,12 +1120,13 @@ object IcebergWrite {
               |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,"""
         .stripMargin
     val snapSeq = if (fmtVersion < 2) "" else s""""sequence-number":$version,"""
+    val refsJson = prevRefs.map(r => s""""refs":$r,""").getOrElse("")
     val meta =
       s"""{"format-version":$fmtVersion,"table-uuid":"${carry.tableUuid}",
          |"location":${jstr(root.toString)},"last-updated-ms":$now,
          |"last-column-id":${carry.lastColumnId},
          |$v2Extra
-         |"schema":${carry.schemaJson},
+         |$refsJson"schema":${carry.schemaJson},
          |"partition-spec":${carry.specFieldsJson},"properties":{$propsJson},
          |"current-snapshot-id":$version,
          |"snapshots":[$prevSnapshots{"snapshot-id":$version,$snapSeq

@@ -1309,4 +1309,36 @@ class IcebergScanSpec extends SparkSpec {
       .map(_.getMap[String, String](4).get("lang").orNull).toSet
     assert(parts == Set("en", "de"))
   }
+
+  test("tags: named refs read, survive expireSnapshots, and drop cleanly") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_tags").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "a")).toDF("id", "tag"), dir)   // snap 1
+    IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "tag"), dir)  // snap 2
+    IcebergWrite.tagSnapshot(spark, dir, "v1.0", 1L)
+    IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "tag"), dir)  // snap 4
+    IcebergWrite.append(spark, Seq((4L, "d")).toDF("id", "tag"), dir)  // snap 5
+
+    assert(IcebergScan.readRef(spark, dir, "v1.0").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(IcebergScan.read(spark, dir).count() == 4L)
+
+    // expire keeps the tagged snapshot alive even though it is oldest
+    val (expired, _) = IcebergWrite.expireSnapshots(spark, dir, keepLast = 1)
+    assert(expired >= 1)
+    assert(IcebergScan.readRef(spark, dir, "v1.0").collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "tag-pinned snapshot must survive expiry")
+    assert(IcebergScan.read(spark, dir).count() == 4L)
+
+    // guards: duplicate tag, missing snapshot, unknown ref
+    intercept[IllegalArgumentException](IcebergWrite.tagSnapshot(spark, dir, "v1.0", 1L))
+    intercept[IllegalArgumentException](IcebergWrite.tagSnapshot(spark, dir, "vX", 999L))
+    intercept[IllegalArgumentException](IcebergScan.readRef(spark, dir, "nope"))
+
+    // drop the tag: ref gone, snapshot now expirable
+    IcebergWrite.dropRef(spark, dir, "v1.0")
+    intercept[IllegalArgumentException](IcebergScan.readRef(spark, dir, "v1.0"))
+    IcebergWrite.expireSnapshots(spark, dir, keepLast = 1)
+    intercept[Exception](IcebergScan.read(spark, dir, snapshotAsOf = Some(1L)).count())
+  }
 }
