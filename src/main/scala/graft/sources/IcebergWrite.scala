@@ -1333,8 +1333,8 @@ object IcebergWrite {
         // layout-independent), joined in broadcast-size
         val victimFiles = victims
           .select(IcebergScan.normalizePathCol(col("file_path")).as("f"))
-          .distinct().collect().map(_.getString(0))
-          .toSet // [lint:bounded] live-data-file-count rows
+          .distinct().collect().map(_.getString(0)) // [lint:bounded] live-data-file-count rows
+          .toSet
         if (victimFiles.isEmpty) { fs.delete(delDir, true); return 0L }
         val (_, entries) = IcebergScan.currentEntries(spark, tablePath)
         val hitEntries = entries.filter(e =>
