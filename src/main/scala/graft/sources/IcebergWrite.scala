@@ -270,7 +270,8 @@ object IcebergWrite {
   private def commit(spark: SparkSession, fs: FileSystem, df: DataFrame,
       tablePath: String, version: Int,
       carryOverride: Option[SchemaCarry] = None,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      branch: Option[String] = scala.None): Unit = {
     val root = fs.makeQualified(new Path(tablePath))
     // fast-fail a stale racing writer BEFORE any data is written (no
     // orphan parquet); the overwrite=false create below remains the
@@ -342,8 +343,19 @@ object IcebergWrite {
     val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
 
     // snapshot's manifest list = all prior manifests (their length /
-    // spec-id / seq / counts carried forward verbatim) + this one
-    val prevManifests = readPrevManifests(fs, conf, root, version)
+    // spec-id / seq / counts carried forward verbatim) + this one.
+    // A BRANCH commit chains from the branch head (falling back to the
+    // branching point = the current snapshot on first branch commit)
+    val branchHead: Option[Long] = branch.flatMap { b =>
+      if (version == 1) scala.None
+      else {
+        val prevNode = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(readUtf8(fs, new Path(root, s"metadata/v${version - 1}.metadata.json")))
+        Option(prevNode.get("refs")).flatMap(r => Option(r.get(b)))
+          .map(_.get("snapshot-id").asLong())
+      }
+    }
+    val prevManifests = readPrevManifests(fs, conf, root, version, branchHead)
     val listRel = s"metadata/snap-$version.avro"
     writeAvro(fs, new Path(root, listRel), manifestListSchema,
       (prevManifests :+ ManifestRef(manifestRel, manifestLen, 0,
@@ -360,7 +372,8 @@ object IcebergWrite {
     // renameColumn's id-based read resolution sound for the whole table
     writeMetadataJson(fs, metaDir, root, version, fmtVersion,
       carry, listRel, operation = "append", propsOverride = txnProps(txn) ++
-        (if (version == 1) Map(FieldIdsProp -> "true") else Map.empty))
+        (if (version == 1) Map(FieldIdsProp -> "true") else Map.empty),
+      branchRef = branch)
   }
 
   /** table property marking that every data file was written with
@@ -929,6 +942,69 @@ object IcebergWrite {
       ()
     }
 
+  /** APPEND TO A BRANCH (the spec's write-audit-publish workflow): the
+    * new snapshot chains onto the BRANCH head (first branch commit
+    * branches from the current snapshot), `refs[branch]` advances, and
+    * the main table (`current-snapshot-id`) is untouched — readers of
+    * the table see nothing until [[fastForward]] publishes the branch.
+    * `IcebergScan.readRef(branch)` is the audit read. Branch heads are
+    * expiry-pinned like tags. Row-level DML stays a main-branch
+    * operation (audit data by reading the ref). */
+  def appendToBranch(spark: SparkSession, df: DataFrame, tablePath: String,
+      branch: String): Unit = {
+    require(branch != "main", "'main' IS the table — use append")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    val prev = readUtf8(fs, hint).trim.toInt
+    // same schema guard as plain append — a branch must not drift
+    val prevMeta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readUtf8(fs, new Path(tablePath, s"metadata/v$prev.metadata.json")))
+    val declared = IcebergScan.sparkSchema(prevMeta.get("schema"))
+    require(
+      declared.fields.map(f => (f.name, f.dataType)).toSeq ==
+        df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"branch append schema ${df.schema.simpleString} does not match the " +
+        s"table's ${declared.simpleString}")
+    // an existing ref named like the branch must BE a branch (never
+    // silently advance a tag)
+    Option(prevMeta.get("refs")).flatMap(r => Option(r.get(branch))).foreach { ref =>
+      require(ref.get("type").asText() == "branch",
+        s"ref '$branch' is a ${ref.get("type").asText()}, not a branch")
+    }
+    commit(spark, fs, df, tablePath, version = prev + 1, branch = Some(branch))
+  }
+
+  /** PUBLISH a branch: re-point `current-snapshot-id` at the branch
+    * head (metadata-only — the WAP publish step). The branch ref stays;
+    * later branch appends keep chaining from its head. */
+  def fastForward(spark: SparkSession, tablePath: String, branch: String): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    val prev = readUtf8(fs, hint).trim.toInt
+    val metaDir = new Path(fs.makeQualified(new Path(tablePath)), "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val head = Option(node.get("refs")).flatMap(r => Option(r.get(branch)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no branch '$branch' at $tablePath"))
+    require(head.get("type").asText() == "branch",
+      s"ref '$branch' is a ${head.get("type").asText()}, not a branch")
+    node.put("current-snapshot-id", head.get("snapshot-id").asLong())
+    node.put("last-updated-ms", System.currentTimeMillis())
+    val metaPath = new Path(metaDir, s"v${prev + 1}.metadata.json")
+    try writeUtf8(fs, metaPath, node.toString, overwrite = false)
+    catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent Iceberg commit detected: $metaPath already exists — " +
+            "another writer committed this version; re-read the table and retry", e)
+    }
+    writeUtf8(fs, new Path(metaDir, "version-hint.text"), (prev + 1).toString)
+  }
+
   /** drop a named ref (tag); the snapshot itself stays until
     * [[expireSnapshots]] */
   def dropRef(spark: SparkSession, tablePath: String, name: String): Unit =
@@ -1086,10 +1162,12 @@ object IcebergWrite {
   private def writeMetadataJson(fs: FileSystem, metaDir: Path, root: Path,
       version: Int, fmtVersion: Int, carry: SchemaCarry,
       listRel: String, operation: String,
-      propsOverride: Map[String, String] = Map.empty): Unit = {
+      propsOverride: Map[String, String] = Map.empty,
+      branchRef: Option[String] = scala.None): Unit = {
     val now = System.currentTimeMillis()
-    val (prevSnapshots, prevProps, prevRefs): (String, Map[String, String], Option[String]) =
-      if (version == 1) ("", Map.empty, scala.None)
+    val (prevSnapshots, prevProps, prevRefs, prevCurrentId)
+        : (String, Map[String, String], Option[String], Long) =
+      if (version == 1) ("", Map.empty, scala.None, -1L)
       else {
         // carry prior snapshots, table properties AND refs forward from
         // the previous metadata JSON (properties hold the streaming-
@@ -1101,7 +1179,8 @@ object IcebergWrite {
           .map(e => e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
         (node.get("snapshots").elements().asScala
           .map(_.toString).mkString("", ",", ","), props,
-          Option(node.get("refs")).map(_.toString))
+          Option(node.get("refs")).map(_.toString),
+          Option(node.get("current-snapshot-id")).map(_.asLong()).getOrElse(-1L))
       }
     val propsJson = (prevProps ++ propsOverride).toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
@@ -1120,7 +1199,17 @@ object IcebergWrite {
               |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,"""
         .stripMargin
     val snapSeq = if (fmtVersion < 2) "" else s""""sequence-number":$version,"""
-    val refsJson = prevRefs.map(r => s""""refs":$r,""").getOrElse("")
+    // a branch commit advances ITS ref and leaves main (current) alone
+    val refsJson = {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val base = prevRefs.map(mapper.readTree)
+        .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+        .getOrElse(mapper.createObjectNode())
+      branchRef.foreach(b => base.set[com.fasterxml.jackson.databind.JsonNode](
+        b, mapper.readTree(s"""{"snapshot-id":$version,"type":"branch"}""")))
+      if (base.isEmpty) "" else s""""refs":${base.toString},"""
+    }
+    val newCurrentId = if (branchRef.isEmpty) version.toLong else prevCurrentId
     val meta =
       s"""{"format-version":$fmtVersion,"table-uuid":"${carry.tableUuid}",
          |"location":${jstr(root.toString)},"last-updated-ms":$now,
@@ -1128,7 +1217,7 @@ object IcebergWrite {
          |$v2Extra
          |$refsJson"schema":${carry.schemaJson},
          |"partition-spec":${carry.specFieldsJson},"properties":{$propsJson},
-         |"current-snapshot-id":$version,
+         |"current-snapshot-id":$newCurrentId,
          |"snapshots":[$prevSnapshots{"snapshot-id":$version,$snapSeq
          |"timestamp-ms":$now,"summary":{"operation":${jstr(operation)}},
          |"manifest-list":${jstr(listRel)}}]}"""
@@ -1163,11 +1252,12 @@ object IcebergWrite {
     * an older snapshot whose list is not `snap-{version-1}` */
   private def readPrevManifests(fs: FileSystem,
       conf: org.apache.hadoop.conf.Configuration, root: Path,
-      version: Int): Seq[ManifestRef] = {
+      version: Int, fromSnapshot: Option[Long] = scala.None): Seq[ManifestRef] = {
     if (version == 1) return Seq.empty
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(readUtf8(fs, new Path(root, s"metadata/v${version - 1}.metadata.json")))
-    val currentId = Option(node.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+    val currentId = fromSnapshot.orElse(
+      Option(node.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L))
       .getOrElse(return Seq.empty)
     val listPath = Option(node.get("snapshots"))
       .flatMap(_.elements().asScala.find(_.get("snapshot-id").asLong() == currentId))

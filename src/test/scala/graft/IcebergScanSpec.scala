@@ -1341,4 +1341,44 @@ class IcebergScanSpec extends SparkSpec {
     IcebergWrite.expireSnapshots(spark, dir, keepLast = 1)
     intercept[Exception](IcebergScan.read(spark, dir, snapshotAsOf = Some(1L)).count())
   }
+
+  test("branches: write-audit-publish — appends invisible on main until fastForward") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_wap").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "a")).toDF("id", "tag"), dir)
+    IcebergWrite.append(spark, Seq((2L, "b")).toDF("id", "tag"), dir)
+
+    // two staged commits on the audit branch
+    IcebergWrite.appendToBranch(spark, Seq((3L, "c")).toDF("id", "tag"), dir, "audit")
+    IcebergWrite.appendToBranch(spark, Seq((4L, "d")).toDF("id", "tag"), dir, "audit")
+    // main is untouched; the branch sees the staged rows CHAINED on main
+    assert(IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(IcebergScan.readRef(spark, dir, "audit").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L))
+    // a main append DURING the audit does not disturb the branch
+    IcebergWrite.append(spark, Seq((9L, "z")).toDF("id", "tag"), dir)
+    assert(IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 9L))
+    assert(IcebergScan.readRef(spark, dir, "audit").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L))
+
+    // publish: main fast-forwards to the branch head
+    IcebergWrite.fastForward(spark, dir, "audit")
+    assert(IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 4L))
+
+    // branch heads are expiry-pinned; guards hold
+    IcebergWrite.expireSnapshots(spark, dir, keepLast = 1)
+    assert(IcebergScan.readRef(spark, dir, "audit").count() == 4L)
+    intercept[IllegalArgumentException](
+      IcebergWrite.appendToBranch(spark, Seq((5L, "e")).toDF("id", "tag"), dir, "main"))
+    IcebergWrite.tagSnapshot(spark, dir,
+      "rel", IcebergScan.snapshots(spark, dir).orderBy("snapshot_id")
+        .collect().last.getLong(0))
+    intercept[IllegalArgumentException](
+      IcebergWrite.appendToBranch(spark, Seq((5L, "e")).toDF("id", "tag"), dir, "rel"))
+    intercept[IllegalArgumentException](IcebergWrite.fastForward(spark, dir, "rel"))
+    intercept[IllegalArgumentException](
+      IcebergWrite.appendToBranch(spark, Seq((5L, 5L)).toDF("id", "n"), dir, "audit"))
+  }
 }
