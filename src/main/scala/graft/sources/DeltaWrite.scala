@@ -122,6 +122,65 @@ object DeltaWrite {
       metaOverride = metaAction)
   }
 
+  /** SHALLOW CLONE: a new Delta table whose commit 0 re-declares the
+    * source's metaData (new table id) and ADDs every live source file
+    * BY ABSOLUTE PATH — zero data copied, the spec's absolute-path add
+    * form. The clone reads, time-travels (its own history), appends
+    * (new files land locally), and takes DV deletes; copy-on-write
+    * rewrites refuse absolute adds loudly, and vacuum NEVER deletes a
+    * path outside the table root — dropping a clone can never damage
+    * the source. Source DV tables refuse (their descriptors are
+    * source-root-relative). The experimentation twin of Iceberg's
+    * [[IcebergWrite.appendToBranch]] WAP branches. */
+  def cloneShallow(spark: SparkSession, sourcePath: String, targetPath: String): Unit = {
+    val fs = new Path(sourcePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(targetPath, "_delta_log")),
+      s"Delta log already exists at $targetPath")
+    val sourceRoot = fs.makeQualified(new Path(sourcePath))
+    val targetRoot = fs.makeQualified(new Path(targetPath))
+    val (latestAdds, proto) = replayLatestAdds(fs, sourceRoot.toString)
+    require(latestAdds.nonEmpty, s"no live files to clone at $sourcePath")
+    val md = latestMetaNode(fs, sourceRoot.toString).getOrElse(
+      throw new IllegalStateException(
+        s"the JSON log of $sourcePath carries no metaData — cannot clone"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mdClone = md.deepCopy().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    mdClone.put("id", java.util.UUID.randomUUID().toString)
+    mdClone.put("createdTime", System.currentTimeMillis())
+    val protoLine = proto.map(p => s"""{"protocol":${p.toString}}""").getOrElse(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+    val addLines = latestAdds.toSeq.sortBy(_._1).map { case (rel, add) =>
+      require(add.get("deletionVector") == null || add.get("deletionVector").isNull,
+        s"source file $rel carries a deletion vector — DV descriptors are " +
+          "source-root-relative; compact the source first, then clone")
+      val a = add.deepCopy().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      a.put("path", fs.makeQualified(new Path(sourceRoot, rel)).toString)
+      a.put("dataChange", true)
+      s"""{"add":${a.toString}}"""
+    }
+    writeCommitFile(fs, targetRoot, 0,
+      protoLine +: s"""{"metaData":${mdClone.toString}}""" +: addLines)
+  }
+
+  /** absolute add path (leading '/' or a URI scheme — note qualified
+    * local URIs are `file:/x`, a SINGLE slash) */
+  private def isAbsolutePath(p: String): Boolean =
+    p.startsWith("/") || p.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:/.*")
+
+  /** copy-on-write rewrites regroup victims by their path's partition
+    * directory and stage new files under it — an ABSOLUTE add (a
+    * shallow clone's pointer into the source table) would stage into
+    * the SOURCE tree. Refuse loudly. */
+  private def requireNoAbsoluteAdds(spark: SparkSession, fs: FileSystem,
+      tablePath: String, op: String): Unit = {
+    val abs = replayActions(spark, fs, tablePath)
+      .collect { case (p, true, _, _) if isAbsolutePath(p) => p }
+    require(abs.isEmpty,
+      s"$op does not support tables with absolute-path adds (a shallow " +
+        s"clone?): ${abs.take(3).mkString(", ")} — operate on the source " +
+        "table, or append+compact locally first")
+  }
+
   /** RENAME a top-level column WITHOUT rewriting any data — the Delta
     * `columnMapping` protocol path: logical names live only in the
     * metaData, each column's `physicalName` pins its on-disk parquet
@@ -852,6 +911,7 @@ object DeltaWrite {
     // a raw-parquet rewrite of a DV-carrying file would resurrect its
     // deleted rows (the re-add drops the descriptor) — refuse loudly
     requireNoDeletionVectors(spark, tablePath)
+    requireNoAbsoluteAdds(spark, fs, tablePath, "compact")
     val root = fs.makeQualified(new Path(tablePath))
     val live = replayActions(spark, fs, tablePath)
       .collect { case (p, true, _, _) => p }
@@ -1065,6 +1125,7 @@ object DeltaWrite {
     import org.apache.spark.sql.functions._
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNoDeletionVectors(spark, tablePath)
+    requireNoAbsoluteAdds(spark, fs, tablePath, "deleteWhere")
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
     val mapped = isMapped(fs, tablePath)
@@ -1107,6 +1168,7 @@ object DeltaWrite {
     require(assignments.nonEmpty, "updateWhere needs at least one SET assignment")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNoDeletionVectors(spark, tablePath)
+    requireNoAbsoluteAdds(spark, fs, tablePath, "updateWhere")
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
     val mapped = isMapped(fs, tablePath)
@@ -1322,6 +1384,7 @@ object DeltaWrite {
     require(keys.nonEmpty, "merge needs at least one key column")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNoDeletionVectors(spark, tablePath)
+    requireNoAbsoluteAdds(spark, fs, tablePath, "merge")
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
     val mapped = isMapped(fs, tablePath)
@@ -1412,6 +1475,7 @@ object DeltaWrite {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new Path(tablePath))
     requireNoDeletionVectors(spark, tablePath)
+    requireNoAbsoluteAdds(spark, fs, tablePath, "zorder")
     val live = replayActions(spark, fs, tablePath).collect { case (p, true, _, _) => p }
     require(live.nonEmpty, s"no live data files to z-order at $tablePath")
     val groups = live.groupBy(rel => rel.split('/').dropRight(1).mkString("/"))
@@ -1553,7 +1617,11 @@ object DeltaWrite {
     // the CURRENT snapshot references is never deleted — a residual
     // encoding mismatch must degrade to unreclaimed space, not data loss
     val liveSet = acts.collect { case (p, true, _, _) => p }.toSet
+    // a path OUTSIDE the table root (absolute adds — a shallow clone's
+    // pointers into its source) is never deleted: dropping or vacuuming
+    // a clone must not damage the source table
     val doomed = (removed ++ orphans).filterNot(liveSet.contains)
+      .filterNot(isAbsolutePath)
     if (!dryRun) doomed.foreach(rel => fs.delete(new Path(root, rel), false))
     // crashed writers leave .staging-* dirs behind; listDataFiles hides
     // them (correctly — in-flight files must not be claimable), so

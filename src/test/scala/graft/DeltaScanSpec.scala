@@ -1441,4 +1441,46 @@ class DeltaScanSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       DeltaWrite.append(spark, Seq((4L, 4L)).toDF("id", "label"), dir))
   }
+
+  test("cloneShallow: zero-copy reads, local appends, DV deletes; vacuum never touches the source") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_clone_src").toString + "/t"
+    val cl = java.nio.file.Files.createTempDirectory("graft_clone_dst").toString + "/t"
+    DeltaWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+    DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), src)
+    DeltaWrite.cloneShallow(spark, src, cl)
+
+    // zero data under the clone, full reads through the source pointers
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(cl)).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet")) == 0)
+    assert(DeltaScan.read(spark, cl).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // divergence: clone appends locally, source appends stay invisible
+    DeltaWrite.append(spark, Seq((4L, "d")).toDF("id", "v"), cl)
+    DeltaWrite.append(spark, Seq((9L, "z")).toDF("id", "v"), src)
+    assert(DeltaScan.read(spark, cl).count() == 4L)
+    assert(DeltaScan.read(spark, src).count() == 4L)
+    assert(DeltaScan.read(spark, cl).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+
+    // copy-on-write ops refuse the absolute adds loudly
+    val e = intercept[IllegalArgumentException](
+      DeltaWrite.deleteWhere(spark, cl, col("id") === 1L))
+    assert(e.getMessage.contains("absolute"))
+    intercept[IllegalArgumentException](DeltaWrite.compact(spark, cl, smallFileBytes = 1L << 30))
+
+    // merge-on-read DV delete works on the clone (no rewrite needed)
+    assert(DeltaWrite.deleteWhereDV(spark, cl, col("id") === 2L) == 1L)
+    assert(DeltaScan.read(spark, cl).collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+    // and the SOURCE is untouched by the clone's delete
+    assert(DeltaScan.read(spark, src).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 9L))
+
+    // vacuum on the clone never deletes outside its root: the removed
+    // (absolute) source file survives even at zero retention
+    DeltaWrite.vacuum(spark, cl, retainMs = 0L)
+    assert(DeltaScan.read(spark, src).count() == 4L, "vacuuming a clone must not damage the source")
+  }
 }
