@@ -162,6 +162,76 @@ object DeltaWrite {
       protoLine +: s"""{"metaData":${mdClone.toString}}""" +: addLines)
   }
 
+  /** ADD a CHECK CONSTRAINT (the protocol's `delta.constraints.<name>`
+    * configuration + minWriter 3): from this commit on, EVERY logical
+    * write — append, evolve, txn/streaming sink, merge, update — must
+    * satisfy `sqlExpr` on every row or fails loudly BEFORE any file is
+    * staged. Enforcement is one `limit(1)` early-exit pass per
+    * constraint per write: narrow, codegen'd, scale-free. Existing
+    * rows are validated once at ADD time (same shape). */
+  def addCheckConstraint(spark: SparkSession, tablePath: String,
+      name: String, sqlExpr: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name '$name' is not an identifier")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(tablePath))
+    val md = latestMetaNodeAny(spark, fs, tablePath).getOrElse(
+      throw new IllegalStateException(
+        s"no metaData at $tablePath — cannot add a constraint"))
+    val config = configOf(md)
+    val key = s"delta.constraints.$name"
+    require(!config.contains(key), s"constraint '$name' already exists")
+    // existing rows must already satisfy it — loud otherwise
+    val bad = DeltaScan.read(spark, tablePath)
+      .filter(org.apache.spark.sql.functions.not(
+        org.apache.spark.sql.functions.expr(sqlExpr)))
+      .limit(1).count()
+    require(bad == 0L,
+      s"existing rows violate CHECK ($sqlExpr) — constraint not added")
+    val declared = DataType.fromJson(md.get("schemaString").asText())
+      .asInstanceOf[StructType]
+    val partCols = Option(md.get("partitionColumns"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    val v = DeltaScan.latestVersion(spark, tablePath) + 1
+    // CHECK constraints are a writer-3 protocol feature
+    writeCommitFile(fs, root, v, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
+      metaDataJson(md, declared, partCols, config + (key -> sqlExpr))))
+  }
+
+  /** drop a CHECK constraint (metadata-only) */
+  def dropCheckConstraint(spark: SparkSession, tablePath: String,
+      name: String): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(tablePath))
+    val md = latestMetaNodeAny(spark, fs, tablePath).getOrElse(
+      throw new IllegalStateException(s"no metaData at $tablePath"))
+    val config = configOf(md)
+    val key = s"delta.constraints.$name"
+    require(config.contains(key), s"no constraint '$name' at $tablePath")
+    val declared = DataType.fromJson(md.get("schemaString").asText())
+      .asInstanceOf[StructType]
+    val partCols = Option(md.get("partitionColumns"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    val v = DeltaScan.latestVersion(spark, tablePath) + 1
+    writeCommitFile(fs, root, v,
+      Seq(metaDataJson(md, declared, partCols, config - key)))
+  }
+
+  /** every `delta.constraints.*` in `config` must hold on every row of
+    * `df` (LOGICAL column names) — loud with the first violating
+    * constraint; one narrow limit-1 job per constraint */
+  private def enforceConstraints(df: DataFrame, config: Map[String, String]): Unit =
+    config.toSeq.sortBy(_._1).foreach { case (k, sqlExpr) =>
+      if (k.startsWith("delta.constraints.")) {
+        val bad = df.filter(org.apache.spark.sql.functions.not(
+          org.apache.spark.sql.functions.expr(sqlExpr))).limit(1).count()
+        require(bad == 0L,
+          s"write violates CHECK constraint ${k.stripPrefix("delta.constraints.")} " +
+            s"($sqlExpr) — nothing committed")
+      }
+    }
+
   /** absolute add path (leading '/' or a URI scheme — note qualified
     * local URIs are `file:/x`, a SINGLE slash) */
   private def isAbsolutePath(p: String): Boolean =
@@ -704,6 +774,9 @@ object DeltaWrite {
             .readTree(j).get("metaData"))
           case None => metaNode.orElse(latestMetaNodeAny(spark, fs, tablePath))
         }
+      // CHECK constraints gate every logical write BEFORE any file is
+      // staged (one limit-1 early-exit pass per constraint)
+      mdNode.foreach(md => enforceConstraints(df, configOf(md)))
       mdNode.filter(md =>
           configOf(md).getOrElse("delta.columnMapping.mode", "none") != "none") match {
         case scala.None => (df, partitionBy)
@@ -1208,6 +1281,11 @@ object DeltaWrite {
       s"UPDATE changes the schema to ${probe.simpleString} — " +
         s"assignments must preserve the table's ${declared.simpleString}")
 
+    // CHECK constraints gate the post-update rows (logical names)
+    latestMetaNodeAny(spark, fs, tablePath).foreach(md =>
+      enforceConstraints(liveScan(spark, root, schema, partCols, victims, mapped)
+        .select(projected.toSeq: _*), configOf(md)))
+
     val added = victims.groupBy(r => r.split('/').dropRight(1).mkString("/"))
       .toSeq.sortBy(_._1).flatMap { case (partDir, rels) =>
         writeStaged(fs, root, destPrefix = partDir) { staging =>
@@ -1429,8 +1507,12 @@ object DeltaWrite {
         else Some(liveScan(spark, root, schema, partCols, victims, mapped)
           .join(srcK, keys, "left_anti")
           .select(schema.fieldNames.map(col).toSeq: _*))
-      val newData = (survivors.toSeq :+
+      val newLogical = (survivors.toSeq :+
         src.select(schema.fieldNames.map(col).toSeq: _*)).reduce(_ unionByName _)
+      // CHECK constraints gate the merged rows (logical names)
+      latestMetaNodeAny(spark, fs, tablePath).foreach(md =>
+        enforceConstraints(newLogical, configOf(md)))
+      val newData = newLogical
         .select(toPhysical(schema, mapped, schema.fieldNames.toSeq): _*)
       val physParts = partCols.map(p =>
         if (mapped) DeltaScan.physicalName(schema(p)) else p)

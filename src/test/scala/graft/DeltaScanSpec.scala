@@ -1483,4 +1483,46 @@ class DeltaScanSpec extends SparkSpec {
     DeltaWrite.vacuum(spark, cl, retainMs = 0L)
     assert(DeltaScan.read(spark, src).count() == 4L, "vacuuming a clone must not damage the source")
   }
+
+  test("CHECK constraints: gate appends, updates, merges, and the streaming sink; drop lifts them") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_check").toString + "/t"
+    DeltaWrite.create(spark, Seq((1L, 10L), (2L, 20L)).toDF("id", "score"), dir)
+    DeltaWrite.addCheckConstraint(spark, dir, "score_pos", "score > 0")
+
+    // valid append passes; violating append refuses with NOTHING committed
+    DeltaWrite.append(spark, Seq((3L, 30L)).toDF("id", "score"), dir)
+    val vBefore = DeltaScan.latestVersion(spark, dir)
+    val e = intercept[IllegalArgumentException](
+      DeltaWrite.append(spark, Seq((4L, -1L)).toDF("id", "score"), dir))
+    assert(e.getMessage.contains("score_pos"))
+    assert(DeltaScan.latestVersion(spark, dir) == vBefore, "failed write must not commit")
+    assert(DeltaScan.read(spark, dir).count() == 3L)
+
+    // UPDATE and MERGE are gated too
+    intercept[IllegalArgumentException](DeltaWrite.updateWhere(spark, dir,
+      col("id") === 1L, Seq("score" -> lit(-5L))))
+    intercept[IllegalArgumentException](DeltaWrite.merge(spark, dir,
+      Seq((2L, -9L)).toDF("id", "score"), Seq("id")))
+    assert(DeltaScan.read(spark, dir).filter(col("score") <= 0).count() == 0L)
+    // valid DML passes
+    assert(DeltaWrite.updateWhere(spark, dir, col("id") === 1L,
+      Seq("score" -> lit(99L))) == 1L)
+
+    // the streaming sink path (appendWithTxn) is gated as well
+    intercept[IllegalArgumentException](DeltaWrite.appendWithTxn(spark,
+      Seq((7L, 0L)).toDF("id", "score"), dir, "appC", 1L))
+
+    // adding a constraint existing rows violate refuses
+    intercept[IllegalArgumentException](
+      DeltaWrite.addCheckConstraint(spark, dir, "small", "score < 50"))
+    // duplicate name refuses; drop lifts enforcement
+    intercept[IllegalArgumentException](
+      DeltaWrite.addCheckConstraint(spark, dir, "score_pos", "score > 10"))
+    DeltaWrite.dropCheckConstraint(spark, dir, "score_pos")
+    DeltaWrite.append(spark, Seq((4L, -1L)).toDF("id", "score"), dir)
+    assert(DeltaScan.read(spark, dir).count() == 4L)
+  }
 }
