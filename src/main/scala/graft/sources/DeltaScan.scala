@@ -526,6 +526,7 @@ object DeltaScan {
     val rows = versions.sorted.map { v =>
       val p = new Path(logDir, f"$v%020d.json")
       var commitInfoTs = Option.empty[Long]
+      var operation = Option.empty[String]
       var maxAddTs = Option.empty[Long]
       var (nAdds, nRemoves) = (0L, 0L)
       var (metaChanged, protoChanged) = (false, false)
@@ -535,6 +536,8 @@ object DeltaScan {
         val n = mapper.readTree(line)
         if (n.has("commitInfo") && n.get("commitInfo").has("timestamp"))
           commitInfoTs = Some(n.get("commitInfo").get("timestamp").asLong())
+        if (n.has("commitInfo") && n.get("commitInfo").has("operation"))
+          operation = Some(n.get("commitInfo").get("operation").asText())
         if (n.has("add")) {
           nAdds += 1
           if (n.get("add").has("modificationTime")) {
@@ -549,14 +552,15 @@ object DeltaScan {
       } finally in.close()
       val ts = commitInfoTs.orElse(maxAddTs)
         .getOrElse(fs.getFileStatus(p).getModificationTime)
-      org.apache.spark.sql.Row(v, ts, nAdds, nRemoves, metaChanged,
-        protoChanged, txns.result())
+      org.apache.spark.sql.Row(v, ts, operation.orNull, nAdds, nRemoves,
+        metaChanged, protoChanged, txns.result())
     }
     spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
       StructType(Seq(
         StructField("version", LongType, nullable = false),
         StructField("timestamp_ms", LongType, nullable = false),
+        StructField("operation", StringType),
         StructField("num_added_files", LongType, nullable = false),
         StructField("num_removed_files", LongType, nullable = false),
         StructField("metadata_changed", BooleanType, nullable = false),

@@ -159,7 +159,8 @@ object DeltaWrite {
       s"""{"add":${a.toString}}"""
     }
     writeCommitFile(fs, targetRoot, 0,
-      protoLine +: s"""{"metaData":${mdClone.toString}}""" +: addLines)
+      protoLine +: s"""{"metaData":${mdClone.toString}}""" +: addLines,
+      operation = Some("CLONE"))
   }
 
   /** ADD a CHECK CONSTRAINT (the protocol's `delta.constraints.<name>`
@@ -196,7 +197,8 @@ object DeltaWrite {
     // CHECK constraints are a writer-3 protocol feature
     writeCommitFile(fs, root, v, Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":3}}""",
-      metaDataJson(md, declared, partCols, config + (key -> sqlExpr))))
+      metaDataJson(md, declared, partCols, config + (key -> sqlExpr))),
+      operation = Some("ADD CONSTRAINT"))
   }
 
   /** drop a CHECK constraint (metadata-only) */
@@ -215,7 +217,8 @@ object DeltaWrite {
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
     val v = DeltaScan.latestVersion(spark, tablePath) + 1
     writeCommitFile(fs, root, v,
-      Seq(metaDataJson(md, declared, partCols, config - key)))
+      Seq(metaDataJson(md, declared, partCols, config - key)),
+      operation = Some("DROP CONSTRAINT"))
   }
 
   /** every `delta.constraints.*` in `config` must hold on every row of
@@ -338,7 +341,8 @@ object DeltaWrite {
       }
     val v = DeltaScan.latestVersion(spark, tablePath) + 1
     writeCommitFile(fs, root, v,
-      protoLine.toSeq :+ metaDataJson(md, next, partCols, newConfig))
+      protoLine.toSeq :+ metaDataJson(md, next, partCols, newConfig),
+      operation = Some("ALTER COLUMN MAPPING"))
   }
 
   private def configOf(md: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
@@ -844,7 +848,9 @@ object DeltaWrite {
     val txnLines = txn.toSeq.map { case (app, v) =>
       s"""{"txn":{"appId":${jstr(app)},"version":$v,"lastUpdated":$now}}"""
     }
-    try out.write((header ++ txnLines ++ adds).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val ci = s"""{"commitInfo":{"timestamp":$now,"operation":${jstr(
+      if (version == 0L) "CREATE TABLE AS SELECT" else "WRITE")}}}"""
+    try out.write((ci +: (header ++ txnLines ++ adds)).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
 
@@ -957,7 +963,7 @@ object DeltaWrite {
       } ++ toRemove.map { rel =>
         s"""{"remove":{"path":${jstr(encodePath(rel))},"deletionTimestamp":$nowMs,"dataChange":true}}"""
       }
-    writeCommitFile(fs, root, cur + 1, actions)
+    writeCommitFile(fs, root, cur + 1, actions, operation = Some("RESTORE"))
     (toAdd.size, toRemove.size)
   }
 
@@ -1016,7 +1022,7 @@ object DeltaWrite {
         s"""{"remove":{"path":${jstr(encodePath(rel))},"deletionTimestamp":$now,"dataChange":false}}"""
       }
     val v = DeltaScan.latestVersion(spark, tablePath) + 1
-    writeCommitFile(fs, root, v, actions)
+    writeCommitFile(fs, root, v, actions, operation = Some("OPTIMIZE"))
   }
 
   // ---- row-level DELETE / MERGE (copy-on-write) -----------------------
@@ -1155,7 +1161,8 @@ object DeltaWrite {
     * footer stats + removes, one conditional commit */
   private def commitRewrite(spark: SparkSession, fs: FileSystem, root: Path,
       added: Seq[(String, Long)], removedRels: Seq[String],
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      operation: Option[String] = scala.None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val (kept, empty) = added.partition { case (rel, _) =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -1176,7 +1183,7 @@ object DeltaWrite {
       s"""{"txn":{"appId":${jstr(app)},"version":$tv,"lastUpdated":$now}}"""
     }
     val v = DeltaScan.latestVersion(spark, root.toString) + 1
-    writeCommitFile(fs, root, v, txnLines ++ actions)
+    writeCommitFile(fs, root, v, txnLines ++ actions, operation = operation)
   }
 
   /** Row-level DELETE, copy-on-write: remove every current row
@@ -1221,7 +1228,7 @@ object DeltaWrite {
             .write.mode("append").parquet(staging)
         }
       }
-    commitRewrite(spark, fs, root, added, victims)
+    commitRewrite(spark, fs, root, added, victims, operation = Some("DELETE"))
     nDeleted
   }
 
@@ -1295,7 +1302,7 @@ object DeltaWrite {
             .write.mode("append").parquet(staging)
         }
       }
-    commitRewrite(spark, fs, root, added, victims)
+    commitRewrite(spark, fs, root, added, victims, operation = Some("UPDATE"))
     nUpdated
   }
 
@@ -1438,7 +1445,7 @@ object DeltaWrite {
       s"""{"add":${node.toString}}"""
     }
     val v = DeltaScan.latestVersion(spark, root.toString) + 1
-    writeCommitFile(fs, root, v, protoAction ++ adds)
+    writeCommitFile(fs, root, v, protoAction ++ adds, operation = Some("DELETE (DV)"))
     nDeleted
   }
 
@@ -1520,7 +1527,7 @@ object DeltaWrite {
         val w = newData.write.mode("append")
         (if (physParts.nonEmpty) w.partitionBy(physParts: _*) else w).parquet(staging)
       }
-      commitRewrite(spark, fs, root, added, victims, txn)
+      commitRewrite(spark, fs, root, added, victims, txn, operation = Some("MERGE"))
       (updated, inserted)
     } finally src.unpersist()
   }
@@ -1621,7 +1628,7 @@ object DeltaWrite {
         s"""{"remove":{"path":${jstr(encodePath(rel))},"deletionTimestamp":$now,"dataChange":false}}"""
       }
     val v = DeltaScan.latestVersion(spark, tablePath) + 1
-    writeCommitFile(fs, root, v, actions)
+    writeCommitFile(fs, root, v, actions, operation = Some("OPTIMIZE (ZORDER)"))
   }
 
   /** rewriting a DV-carrying file from its raw parquet would resurrect
@@ -1749,7 +1756,12 @@ object DeltaWrite {
   /** shared conditional-commit write (create with overwrite=false is
     * the atomic guard) */
   private def writeCommitFile(fs: FileSystem, root: Path, version: Long,
-      actions: Seq[String]): Unit = {
+      actions0: Seq[String], operation: Option[String] = scala.None): Unit = {
+    // a commitInfo with the operation name makes DESCRIBE-HISTORY-style
+    // tooling (and timestamp travel) read in-commit evidence
+    val actions = operation.map(op =>
+      s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":${jstr(op)}}}""")
+      .toSeq ++ actions0
     val logDir = new Path(root, "_delta_log")
     fs.mkdirs(logDir)
     val commitFile = new Path(logDir, f"$version%020d.json")

@@ -1403,12 +1403,15 @@ class DeltaScanSpec extends SparkSpec {
     val h = DeltaScan.history(spark, dir).orderBy("version").collect()
     assert(h.length == 4)
     assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
-    assert(h(0).getBoolean(4), "commit 0 declares metaData")
-    assert(h(1).getSeq[String](6) == Seq("appH"))
-    assert(h(2).getLong(3) >= 1, "delete removes its victim file")
-    assert(h(3).getBoolean(4) && h(3).getBoolean(5),
+    // commitInfo operations ride every commit this writer makes
+    assert(h.map(_.getString(2)).toSeq ==
+      Seq("CREATE TABLE AS SELECT", "WRITE", "DELETE", "ALTER COLUMN MAPPING"))
+    assert(h(0).getBoolean(5), "commit 0 declares metaData")
+    assert(h(1).getSeq[String](7) == Seq("appH"))
+    assert(h(2).getLong(4) >= 1, "delete removes its victim file")
+    assert(h(3).getBoolean(5) && h(3).getBoolean(6),
       "rename re-declares metaData and upgrades protocol")
-    assert(h(3).getLong(2) == 0 && h(3).getLong(3) == 0, "rename moves no files")
+    assert(h(3).getLong(3) == 0 && h(3).getLong(4) == 0, "rename moves no files")
     // timestamps are monotone non-decreasing under in-commit evidence
     val ts = h.map(_.getLong(1))
     assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
