@@ -112,7 +112,9 @@ object Bench {
     // columnMapping rename/drop (metadata-only schema evolution) +
     // a post-rename physical-name append
     "q_iceberg_merge", "q_iceberg_partitioned", "q_iceberg_part_dml",
-    "q_delta_rename", "q_iceberg_rename")
+    "q_delta_rename", "q_iceberg_rename",
+    // snapshot-diff change feeds (two snapshot scans + exceptAll both ways)
+    "q_delta_cdf", "q_iceberg_cdf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2200,6 +2200,38 @@ object SparkEntry {
         .orderBy("doc_id", "lang")
     }),
 
+    // row-level snapshot-diff CDC: delete %7, update %5 — the diff
+    // from the create version is the exact change feed (updates as
+    // delete+insert pairs, without-preimage semantics)
+    "q_delta_cdf" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_cdf_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.DeltaWrite.create(s, docs, base)
+      graft.sources.DeltaWrite.deleteWhere(s, base, col("doc_id") % 7 === 0)
+      graft.sources.DeltaWrite.updateWhere(s, base, col("doc_id") % 5 === 0,
+        Seq("text" -> concat(lit("U:"), col("text"))))
+      graft.sources.DeltaScan.changesBetween(s, base, 0L,
+        graft.sources.DeltaScan.latestVersion(s, base))
+        .select("doc_id", "lang", "text", "_change_type")
+        .orderBy("doc_id", "_change_type", "text")
+    }),
+
+    // the Iceberg twin (position delete + CoW update between snapshots)
+    "q_iceberg_cdf" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_cdf_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(s, docs, base)
+      graft.sources.IcebergWrite.deleteWhere(s, base, col("doc_id") % 7 === 0)
+      graft.sources.IcebergWrite.updateWhere(s, base, col("doc_id") % 5 === 0,
+        Seq("text" -> concat(lit("U:"), col("text"))))
+      val snaps = graft.sources.IcebergScan.snapshots(s, base)
+        .orderBy("snapshot_id").collect() // [lint:bounded] snapshot rows
+      graft.sources.IcebergScan.changesBetween(s, base,
+        snaps.head.getLong(0), snaps.last.getLong(0))
+        .select("doc_id", "lang", "text", "_change_type")
+        .orderBy("doc_id", "_change_type", "text")
+    }),
+
     // Iceberg rename via FIELD IDS: one metadata version, no new
     // snapshot, zero data movement; pre-rename files resolve the
     // renamed column by id, and post-rename appends + row-level DML
@@ -4819,6 +4851,32 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 0 THEN 'UPD:' || text ELSE text END AS text
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // change feed = deletes of the %7 originals, delete+insert pairs
+    // for the %5∧¬%7 updates
+    "q_delta_cdf" ->
+      """SELECT doc_id, lang, text, _change_type FROM (
+        |  SELECT doc_id, lang, text, 'delete' AS _change_type
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, text, 'delete'
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, 'U:' || text, 'insert'
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+        |) ORDER BY doc_id, _change_type, text""".stripMargin,
+
+    "q_iceberg_cdf" ->
+      """SELECT doc_id, lang, text, _change_type FROM (
+        |  SELECT doc_id, lang, text, 'delete' AS _change_type
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, text, 'delete'
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, 'U:' || text, 'insert'
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+        |) ORDER BY doc_id, _change_type, text""".stripMargin,
 
     // rename text→body (ids), append shifted %10 copies, then update
     // %9 bodies — all over the renamed column

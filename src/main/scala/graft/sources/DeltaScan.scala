@@ -511,6 +511,24 @@ object DeltaScan {
     read(spark, tablePath, Some(eligible.map(_._1).max))
   }
 
+  /** ROW-LEVEL CHANGES between two versions, computed as a SNAPSHOT
+    * DIFF (`exceptAll` both ways): every row in `to` but not `from` is
+    * an `insert`, the reverse a `delete`; an UPDATE appears as its
+    * delete+insert pair (change-feed-without-preimage semantics). This
+    * is the AUDIT-path CDC — exact for any commit mix (row-level DML,
+    * compaction, restore), at the cost of reading both snapshots (two
+    * scans + one shuffle each). The INCREMENTAL path for append-only
+    * ranges is [[readChanges]], which reads only the new files. */
+  def changesBetween(spark: SparkSession, tablePath: String,
+      fromVersion: Long, toVersion: Long): DataFrame =
+    snapshotDiff(read(spark, tablePath, Some(fromVersion)),
+      read(spark, tablePath, Some(toVersion)))
+
+  private[sources] def snapshotDiff(before: DataFrame, after: DataFrame): DataFrame =
+    after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        before.exceptAll(after).withColumn("_change_type", lit("delete")))
+
   /** HISTORY metadata table (the operational DESCRIBE HISTORY
     * surface): one row per JSON commit — version, timestamp (the same
     * in-commit-evidence preference as [[readTimestampAsOf]]: commitInfo

@@ -77,6 +77,17 @@ object IcebergScan {
     read(spark, tablePath, snapshotAsOf = Some(at._1))
   }
 
+  /** ROW-LEVEL CHANGES between two snapshots as a SNAPSHOT DIFF —
+    * the Iceberg twin of [[DeltaScan.changesBetween]]: exact for any
+    * commit mix (row-level deletes, compaction, rollback) at two-scan
+    * cost; [[readChanges]] stays the cheap incremental path for
+    * append-only ranges. Updates appear as delete+insert pairs. */
+  def changesBetween(spark: SparkSession, tablePath: String,
+      fromSnapshot: Long, toSnapshot: Long): DataFrame =
+    DeltaScan.snapshotDiff(
+      read(spark, tablePath, snapshotAsOf = Some(fromSnapshot)),
+      read(spark, tablePath, snapshotAsOf = Some(toSnapshot)))
+
   /** read the table AT a named ref (tag) — the spec's `refs` map.
     * `IcebergWrite.tagSnapshot` writes them; [[read]] with the resolved
     * snapshot id does the rest. */
