@@ -384,6 +384,21 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
       val got = readIceModel(dir)
       assert(got == model,
         s"step $step: table ${got.size} rows diverged from model ${model.size}")
+      // CDC invariant (every 10th step): the snapshot diff from the
+      // oldest RECORDED snapshot replays its model into the current one
+      if (step % 10 == 0 && snaps.size >= 2) {
+        val ids = snaps.keys.toSeq.sorted
+        val (from, to) = (ids.head, currentSnapshotId)
+        if (from != to) {
+          val diff = IcebergScan.changesBetween(spark, dir, from, to).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          var replay = snaps(from)
+          diff.filter(_._3 == "delete").foreach { case (id, _, _) => replay -= id }
+          diff.filter(_._3 == "insert").foreach { case (id, tag, _) => replay += id -> tag }
+          assert(replay == model,
+            s"step $step: snapshot diff $from->$to does not replay the model")
+        }
+      }
     }
   }
 }
