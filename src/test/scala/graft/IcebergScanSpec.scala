@@ -1381,4 +1381,36 @@ class IcebergScanSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       IcebergWrite.appendToBranch(spark, Seq((5L, 5L)).toDF("id", "n"), dir, "audit"))
   }
+
+  test("streaming x WAP: branch commits emit nothing; fastForward emits the staged rows once") {
+    import graft.sources.IcebergWrite
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_wap_stream").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("graft_ice_wap_stream_ck").toString
+    IcebergWrite.create(spark, Seq((1L, "a")).toDF("id", "tag"), dir)
+    val delivered = scala.collection.mutable.ListBuffer[Long]()
+    val q = spark.readStream
+      .format(classOf[graft.streaming.IcebergStreamProvider].getName)
+      .load(dir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.collect().map(_.getLong(0))
+        delivered.synchronized { delivered ++= rows }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // staged-but-unpublished data must NOT reach the consumer
+      IcebergWrite.appendToBranch(spark, Seq((2L, "b")).toDF("id", "tag"), dir, "audit")
+      IcebergWrite.appendToBranch(spark, Seq((3L, "c")).toDF("id", "tag"), dir, "audit")
+      q.processAllAvailable()
+      assert(delivered.synchronized(delivered.toSet) == Set(1L),
+        s"unpublished branch rows leaked: ${delivered.toSet}")
+      // publish: the staged rows arrive, exactly once
+      IcebergWrite.fastForward(spark, dir, "audit")
+      q.processAllAvailable()
+      assert(delivered.synchronized(delivered.sorted.toSeq) == Seq(1L, 2L, 3L),
+        s"publish must emit staged rows exactly once, got ${delivered.sorted}")
+    } finally q.stop()
+  }
 }
