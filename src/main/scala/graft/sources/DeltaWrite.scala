@@ -235,6 +235,23 @@ object DeltaWrite {
       }
     }
 
+  /** declared non-nullable columns must hold no NULL — checked only
+    * for columns the INCOMING frame declares nullable (when its schema
+    * already proves non-nullability, no job runs at all); one combined
+    * limit-1 pass otherwise */
+  private def enforceRequired(df: DataFrame, declared: StructType): Unit = {
+    import org.apache.spark.sql.functions.col
+    val dfNullable = df.schema.fields.filter(_.nullable).map(_.name).toSet
+    val risky = declared.fields
+      .filter(f => !f.nullable && dfNullable.contains(f.name)).map(_.name)
+    if (risky.nonEmpty) {
+      val anyNull = risky.map(col(_).isNull).reduce(_ || _)
+      require(df.filter(anyNull).limit(1).count() == 0L,
+        s"write carries NULL in non-nullable column(s) ${risky.mkString(", ")} — " +
+          "nothing committed")
+    }
+  }
+
   /** absolute add path (leading '/' or a URI scheme — note qualified
     * local URIs are `file:/x`, a SINGLE slash) */
   private def isAbsolutePath(p: String): Boolean =
@@ -778,9 +795,15 @@ object DeltaWrite {
             .readTree(j).get("metaData"))
           case None => metaNode.orElse(latestMetaNodeAny(spark, fs, tablePath))
         }
-      // CHECK constraints gate every logical write BEFORE any file is
-      // staged (one limit-1 early-exit pass per constraint)
-      mdNode.foreach(md => enforceConstraints(df, configOf(md)))
+      // CHECK constraints + declared NOT NULL gate every logical write
+      // BEFORE any file is staged (one limit-1 early-exit pass per
+      // constraint; the null check is FREE when the incoming frame's
+      // own schema already proves non-nullability)
+      mdNode.foreach { md =>
+        enforceConstraints(df, configOf(md))
+        enforceRequired(df, DataType.fromJson(md.get("schemaString").asText())
+          .asInstanceOf[StructType])
+      }
       mdNode.filter(md =>
           configOf(md).getOrElse("delta.columnMapping.mode", "none") != "none") match {
         case scala.None => (df, partitionBy)
@@ -1288,10 +1311,13 @@ object DeltaWrite {
       s"UPDATE changes the schema to ${probe.simpleString} — " +
         s"assignments must preserve the table's ${declared.simpleString}")
 
-    // CHECK constraints gate the post-update rows (logical names)
-    latestMetaNodeAny(spark, fs, tablePath).foreach(md =>
-      enforceConstraints(liveScan(spark, root, schema, partCols, victims, mapped)
-        .select(projected.toSeq: _*), configOf(md)))
+    // CHECK constraints + NOT NULL gate the post-update rows (logical names)
+    latestMetaNodeAny(spark, fs, tablePath).foreach { md =>
+      val updatedRows = liveScan(spark, root, schema, partCols, victims, mapped)
+        .select(projected.toSeq: _*)
+      enforceConstraints(updatedRows, configOf(md))
+      enforceRequired(updatedRows, schema)
+    }
 
     val added = victims.groupBy(r => r.split('/').dropRight(1).mkString("/"))
       .toSeq.sortBy(_._1).flatMap { case (partDir, rels) =>
@@ -1516,9 +1542,11 @@ object DeltaWrite {
           .select(schema.fieldNames.map(col).toSeq: _*))
       val newLogical = (survivors.toSeq :+
         src.select(schema.fieldNames.map(col).toSeq: _*)).reduce(_ unionByName _)
-      // CHECK constraints gate the merged rows (logical names)
-      latestMetaNodeAny(spark, fs, tablePath).foreach(md =>
-        enforceConstraints(newLogical, configOf(md)))
+      // CHECK constraints + NOT NULL gate the merged rows (logical names)
+      latestMetaNodeAny(spark, fs, tablePath).foreach { md =>
+        enforceConstraints(newLogical, configOf(md))
+        enforceRequired(newLogical, schema)
+      }
       val newData = newLogical
         .select(toPhysical(schema, mapped, schema.fieldNames.toSeq): _*)
       val physParts = partCols.map(p =>

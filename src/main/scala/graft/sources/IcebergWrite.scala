@@ -247,6 +247,22 @@ object IcebergWrite {
       specFields)
   }
 
+  /** spec `required` (non-nullable) fields must hold no NULL in every
+    * written batch — checked only for columns the incoming frame
+    * declares nullable (no job otherwise), one combined limit-1 pass */
+  private def enforceRequired(df: DataFrame, declared: StructType): Unit = {
+    import org.apache.spark.sql.functions.col
+    val dfNullable = df.schema.fields.filter(_.nullable).map(_.name).toSet
+    val risky = declared.fields
+      .filter(f => !f.nullable && dfNullable.contains(f.name)).map(_.name)
+    if (risky.nonEmpty) {
+      val anyNull = risky.map(col(_).isNull).reduce(_ || _)
+      require(df.filter(anyNull).limit(1).count() == 0L,
+        s"write carries NULL in required column(s) ${risky.mkString(", ")} — " +
+          "nothing committed")
+    }
+  }
+
   private def txnProps(txn: Option[(String, Long)]): Map[String, String] =
     txn.map { case (appId, batchId) => s"graft.txn.$appId" -> batchId.toString }.toMap
 
@@ -293,6 +309,11 @@ object IcebergWrite {
     val partCols = carry.partCols
     partCols.foreach(n => require(df.schema.fieldNames.contains(n),
       s"the table is partitioned by '$n' which is not a column of the input"))
+
+    // spec `required` fields must hold no NULL — free when the
+    // incoming frame's schema already proves non-nullability
+    enforceRequired(df, IcebergScan.sparkSchema(
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(schemaJson)))
 
     val dataDir = new Path(root, "data")
     val pre = listParquet(fs, dataDir).toSet
@@ -632,6 +653,8 @@ object IcebergWrite {
     val metaDir0 = new Path(root, "metadata")
     val carry0 = carryFromPrev(fs, metaDir0, prev)
     val partCols = carry0.partCols
+    val tableSchema0 = IcebergScan.sparkSchema(
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(carry0.schemaJson))
 
     // rewrite through the READER so every applicable delete lands in
     // the output — compacting raw parquet would resurrect deleted rows
@@ -640,6 +663,7 @@ object IcebergWrite {
     val dataDir = new Path(root, "data")
     val pre = listParquet(fs, dataDir).toSet
     val shaped = shape(rewrite, targetFiles)
+    enforceRequired(shaped, tableSchema0)
     // partitioned tables keep their identity layout: rewritten rows
     // land back in their (possibly NEW, for an UPDATE that moves a
     // partition value) hive directories, so partition pruning and

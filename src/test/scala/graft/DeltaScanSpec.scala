@@ -1528,4 +1528,35 @@ class DeltaScanSpec extends SparkSpec {
     DeltaWrite.append(spark, Seq((4L, -1L)).toDF("id", "score"), dir)
     assert(DeltaScan.read(spark, dir).count() == 4L)
   }
+
+  test("NOT NULL: declared non-nullable columns refuse null-bearing writes on both writers") {
+    import graft.sources.{DeltaScan, DeltaWrite, IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // tuple dfs declare longs non-nullable -> both tables pin id as required
+    val d = java.nio.file.Files.createTempDirectory("graft_nn_delta").toString + "/t"
+    val i = java.nio.file.Files.createTempDirectory("graft_nn_ice").toString + "/t"
+    DeltaWrite.create(spark, Seq((1L, "a")).toDF("id", "v"), d)
+    IcebergWrite.create(spark, Seq((1L, "a")).toDF("id", "v"), i)
+    // a NULLABLE frame carrying an actual null refuses on both
+    val sch = StructType(Seq(StructField("id", LongType, nullable = true),
+      StructField("v", StringType, nullable = true)))
+    val bad = spark.createDataFrame(
+      java.util.Arrays.asList(Row(null, "x"), Row(2L, "y")), sch)
+    val e1 = intercept[IllegalArgumentException](DeltaWrite.append(spark, bad, d))
+    assert(e1.getMessage.contains("non-nullable"))
+    val e2 = intercept[IllegalArgumentException](IcebergWrite.append(spark, bad, i))
+    assert(e2.getMessage.contains("required"))
+    // a nullable frame with NO nulls passes (value check, not schema pedantry)
+    val ok = spark.createDataFrame(java.util.Arrays.asList(Row(2L, "y")), sch)
+    DeltaWrite.append(spark, ok, d)
+    IcebergWrite.append(spark, ok, i)
+    assert(DeltaScan.read(spark, d).count() == 2L)
+    assert(IcebergScan.read(spark, i).count() == 2L)
+    // an UPDATE cannot null a required column either
+    intercept[IllegalArgumentException](DeltaWrite.updateWhere(spark, d,
+      org.apache.spark.sql.functions.col("id") === 1L,
+      Seq("id" -> org.apache.spark.sql.functions.lit(null).cast("long"))))
+  }
 }
