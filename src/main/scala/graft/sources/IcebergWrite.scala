@@ -975,7 +975,7 @@ object IcebergWrite {
     * expiry-pinned like tags. Row-level DML stays a main-branch
     * operation (audit data by reading the ref). */
   def appendToBranch(spark: SparkSession, df: DataFrame, tablePath: String,
-      branch: String): Unit = {
+      branch: String, txn: Option[(String, Long)] = scala.None): Unit = {
     require(branch != "main", "'main' IS the table — use append")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hint = new Path(tablePath, "metadata/version-hint.text")
@@ -996,7 +996,8 @@ object IcebergWrite {
       require(ref.get("type").asText() == "branch",
         s"ref '$branch' is a ${ref.get("type").asText()}, not a branch")
     }
-    commit(spark, fs, df, tablePath, version = prev + 1, branch = Some(branch))
+    commit(spark, fs, df, tablePath, version = prev + 1, branch = Some(branch),
+      txn = txn)
   }
 
   /** PUBLISH a branch: re-point `current-snapshot-id` at the branch

@@ -794,6 +794,30 @@ object Streams {
     }
   }
 
+  /** EXACTLY-ONCE STAGED ingestion: each micro-batch commits to a
+    * BRANCH ([[graft.sources.IcebergWrite.appendToBranch]]) with the
+    * same txn-marker re-delivery protection as [[icebergSinkBatch]] —
+    * production readers of the table see NOTHING until
+    * `IcebergWrite.fastForward(branch)` publishes the audited batches.
+    * The streaming half of the write-audit-publish pattern; the table
+    * must already exist (a branch stages against a production table). */
+  def icebergSinkBranchBatch(
+      batch: DataFrame,
+      tablePath: String,
+      branch: String,
+      appId: String,
+      batchId: Long): Boolean = {
+    if (batch.isEmpty) return false
+    val spark = batch.sparkSession
+    val last = graft.sources.IcebergWrite.lastTxnVersion(spark, tablePath, appId)
+    if (last.exists(_ >= batchId)) false // re-delivered: already committed
+    else {
+      graft.sources.IcebergWrite.appendToBranch(
+        spark, batch.toDF(), tablePath, branch, txn = Some((appId, batchId)))
+      true
+    }
+  }
+
   /** the [[icebergSinkBatch]] loop as a foreachBatch stream */
   def icebergSink(
       df: DataFrame,

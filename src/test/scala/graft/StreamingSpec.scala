@@ -1426,4 +1426,25 @@ class StreamingSpec extends SparkSpec {
         s"evicted user must re-cohort at reappearance, got $u1")
     } finally q.stop()
   }
+
+  test("icebergSinkBranchBatch: staged exactly-once micro-batches, invisible until fastForward") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_branch_sink").toString + "/t"
+    IcebergWrite.create(spark, Seq((0L, "seed")).toDF("id", "v"), dir)
+    // three staged micro-batches + one re-delivery
+    assert(Streams.icebergSinkBranchBatch(Seq((1L, "a")).toDF("id", "v"), dir, "stage", "appB", 0L))
+    assert(Streams.icebergSinkBranchBatch(Seq((2L, "b")).toDF("id", "v"), dir, "stage", "appB", 1L))
+    assert(!Streams.icebergSinkBranchBatch(Seq((2L, "dup")).toDF("id", "v"), dir, "stage", "appB", 1L),
+      "re-delivered batch must be skipped")
+    assert(Streams.icebergSinkBranchBatch(Seq((3L, "c")).toDF("id", "v"), dir, "stage", "appB", 2L))
+    // production readers see only the seed; the branch sees all staged rows
+    assert(IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSet == Set(0L))
+    assert(IcebergScan.readRef(spark, dir, "stage").collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 2L, 3L))
+    // publish: exactly-once rows on main
+    IcebergWrite.fastForward(spark, dir, "stage")
+    assert(IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 2L, 3L))
+    assert(IcebergScan.read(spark, dir).count() == 4L, "no duplicates after publish")
+  }
 }
