@@ -1017,6 +1017,15 @@ object IcebergWrite {
         s"no branch '$branch' at $tablePath"))
     require(head.get("type").asText() == "branch",
       s"ref '$branch' is a ${head.get("type").asText()}, not a branch")
+    // REFUSE a non-fast-forward publish: if main advanced past the
+    // branching point, re-pointing would silently DROP main's newer
+    // rows (the branch never saw them). Re-stage the branch instead.
+    val currentId = Option(node.get("current-snapshot-id")).map(_.asLong()).getOrElse(-1L)
+    val branchBase = Option(head.get("graft-base")).map(_.asLong())
+    branchBase.foreach(b => require(currentId == b,
+      s"cannot fast-forward '$branch': the table advanced from snapshot $b " +
+        s"to $currentId since the branch was created — publishing would drop " +
+        "those rows; re-stage the branch from the current state"))
     node.put("current-snapshot-id", head.get("snapshot-id").asLong())
     node.put("last-updated-ms", System.currentTimeMillis())
     val metaPath = new Path(metaDir, s"v${prev + 1}.metadata.json")
@@ -1224,14 +1233,21 @@ object IcebergWrite {
               |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,"""
         .stripMargin
     val snapSeq = if (fmtVersion < 2) "" else s""""sequence-number":$version,"""
-    // a branch commit advances ITS ref and leaves main (current) alone
+    // a branch commit advances ITS ref and leaves main (current) alone;
+    // the ref records its BRANCHING POINT (graft-base, set once at the
+    // first branch commit) so fastForward can refuse a diverged main
     val refsJson = {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val base = prevRefs.map(mapper.readTree)
         .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
         .getOrElse(mapper.createObjectNode())
-      branchRef.foreach(b => base.set[com.fasterxml.jackson.databind.JsonNode](
-        b, mapper.readTree(s"""{"snapshot-id":$version,"type":"branch"}""")))
+      branchRef.foreach { b =>
+        val branchBase = Option(base.get(b))
+          .flatMap(r => Option(r.get("graft-base"))).map(_.asLong())
+          .getOrElse(prevCurrentId)
+        base.set[com.fasterxml.jackson.databind.JsonNode](
+          b, mapper.readTree(s"""{"snapshot-id":$version,"type":"branch","graft-base":$branchBase}"""))
+      }
       if (base.isEmpty) "" else s""""refs":${base.toString},"""
     }
     val newCurrentId = if (branchRef.isEmpty) version.toLong else prevCurrentId

@@ -1356,20 +1356,30 @@ class IcebergScanSpec extends SparkSpec {
     assert(IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
     assert(IcebergScan.readRef(spark, dir, "audit").collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L, 3L, 4L))
-    // a main append DURING the audit does not disturb the branch
+    // a main append DURING the audit does not disturb the branch —
+    // and publishing the now-STALE branch refuses (it would silently
+    // drop main's newer rows)
     IcebergWrite.append(spark, Seq((9L, "z")).toDF("id", "tag"), dir)
     assert(IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 9L))
     assert(IcebergScan.readRef(spark, dir, "audit").collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L, 3L, 4L))
+    val eDiv = intercept[IllegalArgumentException](
+      IcebergWrite.fastForward(spark, dir, "audit"))
+    assert(eDiv.getMessage.contains("drop"), s"diverged publish must refuse: $eDiv")
+    assert(IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 9L), "refused publish must change nothing")
 
-    // publish: main fast-forwards to the branch head
+    // re-stage from the CURRENT state, then publish fast-forwards
+    IcebergWrite.dropRef(spark, dir, "audit")
+    IcebergWrite.appendToBranch(spark, Seq((3L, "c")).toDF("id", "tag"), dir, "audit")
+    IcebergWrite.appendToBranch(spark, Seq((4L, "d")).toDF("id", "tag"), dir, "audit")
     IcebergWrite.fastForward(spark, dir, "audit")
     assert(IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSet ==
-      Set(1L, 2L, 3L, 4L))
+      Set(1L, 2L, 3L, 4L, 9L))
 
     // branch heads are expiry-pinned; guards hold
     IcebergWrite.expireSnapshots(spark, dir, keepLast = 1)
-    assert(IcebergScan.readRef(spark, dir, "audit").count() == 4L)
+    assert(IcebergScan.readRef(spark, dir, "audit").count() == 5L)
     intercept[IllegalArgumentException](
       IcebergWrite.appendToBranch(spark, Seq((5L, "e")).toDF("id", "tag"), dir, "main"))
     IcebergWrite.tagSnapshot(spark, dir,
