@@ -359,8 +359,14 @@ object DeltaScan {
       withFilter(toLogical(applyDv(
         spark.read.schema(readSchema).parquet(files.map(_._1).toSeq: _*))))
     } else {
+      // absolute-path adds (a shallow clone of a partitioned source) sit
+      // OUTSIDE the table root, so the basePath branch would be rejected
+      // by Spark ('Wrong basePath') — those take the value-injection
+      // fallback below, which reads each partition group by explicit path
+      val inRoot = new Path(tablePath).toString + "/"
       val hiveLayout = !columnMapped &&
-        files.forall { case (p, _, _) => partCols.forall(c => p.contains(s"$c=")) }
+        files.forall { case (p, _, _) =>
+          p.startsWith(inRoot) && partCols.forall(c => p.contains(s"$c=")) }
       if (hiveLayout) {
         // scale path: partition values parse from the directory names and
         // cast to the table schema; partition pruning stays effective

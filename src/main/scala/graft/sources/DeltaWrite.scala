@@ -154,7 +154,11 @@ object DeltaWrite {
         s"source file $rel carries a deletion vector — DV descriptors are " +
           "source-root-relative; compact the source first, then clone")
       val a = add.deepCopy().asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-      a.put("path", fs.makeQualified(new Path(sourceRoot, rel)).toString)
+      // absolute paths go through the SAME percent-encoding as relative
+      // adds: the reader percent-decodes every action path, so a raw
+      // source path containing a literal '%' (hive-escaped partition
+      // dirs) would decode to a DIFFERENT on-disk name and 404
+      a.put("path", encodePath(fs.makeQualified(new Path(sourceRoot, rel)).toString))
       a.put("dataChange", true)
       s"""{"add":${a.toString}}"""
     }
@@ -330,6 +334,25 @@ object DeltaWrite {
           .build())
       }), declared.length.toLong)
     val next = xform(mappedSchema, partCols)
+    // a CHECK constraint referencing a renamed/dropped column would make
+    // EVERY later write fail analysis on the stale name (enforceConstraints
+    // resolves the stored expr against the new schema) — refuse up front,
+    // matching Delta's ALTER TABLE behavior; drop the constraint first
+    val gone = declared.fieldNames.map(_.toLowerCase).toSet --
+      next.fieldNames.map(_.toLowerCase).toSet
+    if (gone.nonEmpty) config.toSeq.sortBy(_._1).foreach { case (k, ex) =>
+      if (k.startsWith("delta.constraints.")) {
+        val refs = spark.sessionState.sqlParser.parseExpression(ex).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head.toLowerCase
+        }.toSet
+        val hit = refs.intersect(gone)
+        require(hit.isEmpty,
+          s"cannot $op: CHECK constraint " +
+            s"'${k.stripPrefix("delta.constraints.")}' ($ex) references " +
+            s"column(s) ${hit.mkString(", ")} — drop the constraint first")
+      }
+    }
     val newConfig = config ++ Map(
       "delta.columnMapping.mode" -> "name",
       "delta.columnMapping.maxColumnId" -> maxId.toString)

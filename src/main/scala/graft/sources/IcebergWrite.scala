@@ -1027,6 +1027,13 @@ object IcebergWrite {
         s"to $currentId since the branch was created — publishing would drop " +
         "those rows; re-stage the branch from the current state"))
     node.put("current-snapshot-id", head.get("snapshot-id").asLong())
+    // RE-BASE the ref at the published head: current-snapshot-id now equals
+    // the branch head, so the branching point moves with it. Without this a
+    // second stage→publish cycle would compare current (== this head) to the
+    // ORIGINAL graft-base and spuriously refuse — stranding staged batches
+    // whose txn markers already read committed.
+    head.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("graft-base", head.get("snapshot-id").asLong())
     node.put("last-updated-ms", System.currentTimeMillis())
     val metaPath = new Path(metaDir, s"v${prev + 1}.metadata.json")
     try writeUtf8(fs, metaPath, node.toString, overwrite = false)

@@ -1487,6 +1487,70 @@ class DeltaScanSpec extends SparkSpec {
     assert(DeltaScan.read(spark, src).count() == 4L, "vacuuming a clone must not damage the source")
   }
 
+  test("cloneShallow: PARTITIONED sources read through the clone (absolute adds skip the basePath branch)") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_clone_psrc").toString + "/t"
+    val cl = java.nio.file.Files.createTempDirectory("graft_clone_pdst").toString + "/t"
+    DeltaWrite.create(spark,
+      Seq((1L, "x", "a"), (2L, "x", "b"), (3L, "y", "c")).toDF("id", "part", "v"),
+      src, partitionBy = Seq("part"))
+    DeltaWrite.append(spark, Seq((4L, "y", "d")).toDF("id", "part", "v"),
+      src, partitionBy = Seq("part"))
+    DeltaWrite.cloneShallow(spark, src, cl)
+    // partition values come from the add actions' partitionValues, typed
+    assert(DeltaScan.read(spark, cl).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "x", "a"), (2L, "x", "b"), (3L, "y", "c"), (4L, "y", "d")))
+    // partition-predicate reads work; the SOURCE's own basePath read is intact
+    assert(DeltaScan.read(spark, cl).filter(col("part") === "y")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    assert(DeltaScan.read(spark, src).count() == 4L)
+    // a local append to the clone lands under the CLONE root and reads back
+    DeltaWrite.append(spark, Seq((5L, "z", "e")).toDF("id", "part", "v"),
+      cl, partitionBy = Seq("part"))
+    assert(DeltaScan.read(spark, cl).count() == 5L)
+    assert(DeltaScan.read(spark, src).count() == 4L, "clone append must not touch the source")
+  }
+
+  test("cloneShallow: a literal '%' in the source path survives the log round-trip") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_clone_pct").toString
+    val src = base + "/t%3Asrc" // decodes to 't:src' if the path were mis-decoded
+    val cl = base + "/clone"
+    DeltaWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+    DeltaWrite.cloneShallow(spark, src, cl)
+    assert(DeltaScan.read(spark, cl).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("renameColumn/dropColumn refuse while a CHECK constraint references the column") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_alter_chk").toString + "/t"
+    DeltaWrite.create(spark, Seq((1L, 10L), (2L, 20L)).toDF("id", "score"), dir)
+    DeltaWrite.addCheckConstraint(spark, dir, "score_pos", "score > 0")
+    val v = DeltaScan.latestVersion(spark, dir)
+    val eR = intercept[IllegalArgumentException](
+      DeltaWrite.renameColumn(spark, dir, "score", "points"))
+    assert(eR.getMessage.contains("score_pos"), s"rename must name the constraint: $eR")
+    val eD = intercept[IllegalArgumentException](DeltaWrite.dropColumn(spark, dir, "score"))
+    assert(eD.getMessage.contains("score_pos"))
+    assert(DeltaScan.latestVersion(spark, dir) == v, "refused alters must not commit")
+    // untouched columns still rename; appends still enforce the constraint
+    DeltaWrite.renameColumn(spark, dir, "id", "key")
+    intercept[IllegalArgumentException](
+      DeltaWrite.append(spark, Seq((3L, -1L)).toDF("key", "score"), dir))
+    DeltaWrite.append(spark, Seq((3L, 30L)).toDF("key", "score"), dir)
+    // dropping the constraint lifts the guard
+    DeltaWrite.dropCheckConstraint(spark, dir, "score_pos")
+    DeltaWrite.renameColumn(spark, dir, "score", "points")
+    assert(DeltaScan.read(spark, dir).columns.toSeq == Seq("key", "points"))
+    assert(DeltaScan.read(spark, dir).count() == 3L)
+  }
+
   test("CHECK constraints: gate appends, updates, merges, and the streaming sink; drop lifts them") {
     import graft.sources.{DeltaScan, DeltaWrite}
     import org.apache.spark.sql.functions.{col, lit}

@@ -1446,5 +1446,24 @@ class StreamingSpec extends SparkSpec {
     assert(IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSet ==
       Set(0L, 1L, 2L, 3L))
     assert(IcebergScan.read(spark, dir).count() == 4L, "no duplicates after publish")
+    // SECOND stage→publish cycle on the SAME branch: publish re-bases the
+    // ref at the published head, so continued staging + a later publish
+    // must succeed (a stale graft-base here would refuse and strand the
+    // staged batches — their txn markers already read committed)
+    assert(Streams.icebergSinkBranchBatch(Seq((4L, "d")).toDF("id", "v"), dir, "stage", "appB", 3L))
+    assert(!Streams.icebergSinkBranchBatch(Seq((4L, "dup")).toDF("id", "v"), dir, "stage", "appB", 3L))
+    assert(Streams.icebergSinkBranchBatch(Seq((5L, "e")).toDF("id", "v"), dir, "stage", "appB", 4L))
+    assert(IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 2L, 3L), "second-cycle staged rows invisible until publish")
+    IcebergWrite.fastForward(spark, dir, "stage")
+    assert(IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 2L, 3L, 4L, 5L))
+    assert(IcebergScan.read(spark, dir).count() == 6L,
+      "no duplicates across two publish cycles")
+    // and a main append BETWEEN cycles still trips the divergence guard
+    assert(Streams.icebergSinkBranchBatch(Seq((6L, "f")).toDF("id", "v"), dir, "stage", "appB", 5L))
+    IcebergWrite.append(spark, Seq((9L, "z")).toDF("id", "v"), dir)
+    val eDiv = intercept[IllegalArgumentException](IcebergWrite.fastForward(spark, dir, "stage"))
+    assert(eDiv.getMessage.contains("drop"), s"diverged third publish must refuse: $eDiv")
   }
 }
