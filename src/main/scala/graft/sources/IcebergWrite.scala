@@ -1387,8 +1387,12 @@ object IcebergWrite {
     * delete every current row matching `cond`. One distributed pass
     * computes the victims' (file_path, pos) pairs from the live data
     * files' `_metadata` (Iceberg's `pos` IS the parquet row ordinal),
-    * written as one sorted-by-(file_path, pos) parquet delete file and
-    * committed in a content=1 manifest whose manifest-list entry
+    * written as sorted-by-(file_path, pos) parquet delete files (one
+    * per hash-group of victim data files — a billion-row predicate
+    * delete on an unpartitioned 100 TB table fans out across tasks
+    * instead of serializing through one; AQE coalesces a small victim
+    * set back to one file) committed in a content=1 manifest whose
+    * manifest-list entry
     * carries sequence_number = the new version — so the reader's
     * `delete.seq >= data.seq` rule applies it to every pre-existing
     * data file. The commit upgrades the table's metadata to
@@ -1400,9 +1404,9 @@ object IcebergWrite {
     * existing position/equality deletes are neither re-listed nor
     * double-counted, and `cond` rides into the planner as a manifest
     * pruner (partition values + column bounds) so victim location
-    * never scans files the metadata proves clean. A delete set is
-    * usually tiny relative to the data, so an unpartitioned table gets
-    * ONE delete file; a PARTITIONED table gets one delete file per
+    * never scans files the metadata proves clean. An unpartitioned
+    * table gets one delete file per victim-file hash-group (a single
+    * file for small sets, under AQE); a PARTITIONED table gets one delete file per
     * touched partition (the spec scopes position deletes to their
     * partition — only an unpartitioned-spec EQUALITY delete may be
     * global), each manifest entry carrying the partition record, so a
@@ -1460,8 +1464,16 @@ object IcebergWrite {
     spark.conf.set(fieldIdKey, "true")
     try {
       if (partCols.isEmpty)
-        // one sorted delete file
-        victims.repartition(1).sortWithinPartitions("file_path", "pos")
+        // hash-partition by victim FILE so a predicate delete touching
+        // billions of rows never serializes through one task: each task
+        // holds complete file groups (skew bounded by rows-per-data-file,
+        // itself bounded by the write-time file size), writes ONE sorted
+        // delete file per group (the spec allows many delete files), and
+        // AQE coalesces a small victim set back to a single file. A
+        // range-partition would need a sampling pass — i.e. a second
+        // victim scan — for no better bound.
+        victims.repartition(col("file_path"))
+          .sortWithinPartitions("file_path", "pos")
           .write.mode("overwrite").parquet(delDir.toString)
       else {
         // PARTITIONED: position deletes are partition-scoped by spec, so
@@ -1514,8 +1526,6 @@ object IcebergWrite {
       val rows = try footer.getRecordCount finally footer.close()
       (rel, rows, fs.getFileStatus(p).getLen)
     }.filter(_._2 > 0L)
-    if (partCols.isEmpty) require(delWithRows.size <= 1,
-      s"expected one delete file, got ${delWithRows.map(_._1)}")
     val nDeleted = delWithRows.map(_._2).sum
     if (nDeleted == 0L) { fs.delete(delDir, true); return 0L }
 
@@ -1579,10 +1589,12 @@ object IcebergWrite {
     * to data files with sequence number STRICTLY below this commit's
     * (the spec's delete.seq > data.seq rule), so rows appended AFTER
     * the delete survive even when their keys match — the CDC-upsert
-    * primitive. The distinct key set is written as ONE parquet delete
-    * file whose columns carry the TABLE schema's field ids (spec
-    * requirement for equality delete files), committed in a content=2
-    * manifest carrying `equality_ids`.
+    * primitive. The distinct key set is written as sorted parquet
+    * delete files — one per key hash-group, so a CDC backfill's giant
+    * key set never funnels through one task (AQE coalesces a small set
+    * to one file) — whose columns carry the TABLE schema's field ids
+    * (spec requirement for equality delete files), committed in a
+    * content=2 manifest carrying `equality_ids` on every entry.
     *
     * Returns the number of distinct key tuples committed; the rows
     * removed are whatever matches at read time — that is the point of
@@ -1639,44 +1651,52 @@ object IcebergWrite {
     val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
     val prevFieldId = spark.conf.getOption(fieldIdKey)
     spark.conf.set(fieldIdKey, "true")
-    try keys.select(keyCols: _*).distinct().repartition(1)
+    // distinct() already hash-partitions by the key columns, so each task
+    // holds complete key groups and writes its own sorted delete file —
+    // a giant key set (a CDC backfill) never funnels through one task;
+    // AQE coalesces a small set back to a single file
+    try keys.select(keyCols: _*).distinct()
       .sortWithinPartitions(keys.schema.fieldNames.map(col).toSeq: _*)
       .write.mode("overwrite").parquet(delDir.toString)
     finally prevFieldId match {
       case Some(v) => spark.conf.set(fieldIdKey, v)
       case None => spark.conf.unset(fieldIdKey)
     }
-    val delFiles = listParquet(fs, delDir).map("data/" + _)
-    require(delFiles.size == 1, s"expected one delete file, got $delFiles")
-    val delRel = delFiles.head
-    val delPath = new Path(root, delRel)
     val conf = spark.sparkContext.hadoopConfiguration
-    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(delPath, conf))
-    val nKeys = try footer.getRecordCount finally footer.close()
+    val delWithRows = listParquet(fs, delDir).map("data/" + _).map { rel =>
+      val p = new Path(root, rel)
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      val rows = try footer.getRecordCount finally footer.close()
+      (rel, rows, fs.getFileStatus(p).getLen)
+    }.filter(_._2 > 0L)
+    val nKeys = delWithRows.map(_._2).sum
     if (nKeys == 0L) { fs.delete(delDir, true); return 0L }
 
     val manifestRel = s"metadata/manifest-$version.avro"
     val dataFileSchema = manifestSchema.getField("data_file").schema()
-    val file = new GenericData.Record(dataFileSchema)
-    file.put("content", 2) // EQUALITY DELETES
-    file.put("file_path", delRel)
-    file.put("file_format", "PARQUET")
-    file.put("partition",
-      new GenericData.Record(dataFileSchema.getField("partition").schema()))
-    file.put("record_count", nKeys)
-    file.put("file_size_in_bytes", fs.getFileStatus(delPath).getLen)
-    file.put("block_size_in_bytes", DefaultBlockSize)
-    file.put("equality_ids", eqIds.map(Int.box).asJava)
-    val entry = new GenericData.Record(manifestSchema)
-    entry.put("status", 1) // ADDED
-    entry.put("snapshot_id", version.toLong)
-    entry.put("data_file", file)
+    val delEntries = delWithRows.map { case (rel, rows, len) =>
+      val file = new GenericData.Record(dataFileSchema)
+      file.put("content", 2) // EQUALITY DELETES
+      file.put("file_path", rel)
+      file.put("file_format", "PARQUET")
+      file.put("partition",
+        new GenericData.Record(dataFileSchema.getField("partition").schema()))
+      file.put("record_count", rows)
+      file.put("file_size_in_bytes", len)
+      file.put("block_size_in_bytes", DefaultBlockSize)
+      file.put("equality_ids", eqIds.map(Int.box).asJava)
+      val entry = new GenericData.Record(manifestSchema)
+      entry.put("status", 1) // ADDED
+      entry.put("snapshot_id", version.toLong)
+      entry.put("data_file", file)
+      entry
+    }
     // on a partitioned table this manifest declares the UNPARTITIONED
-    // spec-id 1 (a global delete); the empty partition record above is
+    // spec-id 1 (a global delete); the empty partition records above are
     // exactly that spec's record shape
     val globalSpecId = if (carry.partCols.isEmpty) 0 else 1
-    writeAvro(fs, new Path(root, manifestRel), manifestSchema, Seq(entry),
+    writeAvro(fs, new Path(root, manifestRel), manifestSchema, delEntries,
       manifestMeta(schemaJson, fmtVersion = 2, content = "deletes",
         specId = globalSpecId))
     val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
@@ -1687,7 +1707,8 @@ object IcebergWrite {
       (prevManifests :+
         ManifestRef(manifestRel, manifestLen, globalSpecId,
           content = 1, seq = version.toLong, minSeq = version.toLong,
-          snapshotId = version.toLong, addedFiles = 1, existingFiles = 0,
+          snapshotId = version.toLong, addedFiles = delEntries.size,
+          existingFiles = 0,
           deletedFiles = 0, addedRows = nKeys, existingRows = 0L,
           deletedRows = 0L))
         .map(manifestRefRecord),

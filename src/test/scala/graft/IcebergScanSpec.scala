@@ -98,6 +98,56 @@ class IcebergScanSpec extends SparkSpec {
     assert(e.getMessage.contains("no Iceberg table"))
   }
 
+  test("multi-file victim sets fan position/equality deletes across tasks (no single-task funnel)") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_multidel").toString + "/t"
+    // 6 data files on an UNPARTITIONED table, victims in every one
+    IcebergWrite.create(spark, (0L until 20L).map(i => (i, i % 2 == 0)).toDF("id", "kill"), dir)
+    (1 to 5).foreach { k =>
+      IcebergWrite.append(spark,
+        (k * 100L until k * 100L + 20L).map(i => (i, i % 2 == 0)).toDF("id", "kill"), dir)
+    }
+    // AQE's small-set coalescing is the single-file path; switch it off so
+    // the write exercises the scale shape (one delete file per hash-group)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val n = IcebergWrite.deleteWhere(spark, dir, col("kill") === true)
+      assert(n == 60L)
+      val posDelFiles = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dir/data/deletes-v7")).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+      assert(posDelFiles.size > 1,
+        s"6 victim files must fan out to >1 position-delete file, got $posDelFiles")
+      // every delete file individually sorted by (file_path, pos) — spec
+      posDelFiles.foreach { f =>
+        val rows = spark.read.parquet(s"$dir/data/deletes-v7/$f")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        assert(rows == rows.sortBy(identity), s"delete file $f must be sorted")
+      }
+      assert(IcebergScan.read(spark, dir).collect().map(_.getLong(0)).forall(_ % 2 == 1L))
+      assert(IcebergScan.read(spark, dir).count() == 60L)
+
+      // equality delete with a wide key set also fans out, still applies
+      val m = IcebergWrite.deleteEqual(spark, dir,
+        (0L until 1000L).filter(_ % 4 == 1).toDF("id"))
+      assert(m == 250L)
+      val eqDelFiles = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$dir/data/eqdeletes-v8")).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+      assert(eqDelFiles.size > 1,
+        s"250-key equality delete must fan out to >1 delete file, got $eqDelFiles")
+      val left = IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSet
+      assert(left.forall(i => i % 2 == 1L && i % 4 != 1L), s"wrong survivors: $left")
+      assert(left.size == 30, s"expected 30 survivors, got ${left.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    // with AQE back on, a small follow-up delete coalesces and still reads
+    assert(IcebergWrite.deleteWhere(spark, dir, col("id") === 103L) == 1L)
+    assert(IcebergScan.read(spark, dir).count() == 29L)
+  }
+
   test("v2 interop surface: field-ids, manifest metadata, v2 counts, reserved delete-column ids") {
     import graft.sources.{IcebergScan, IcebergWrite}
     import org.apache.spark.sql.functions.col
