@@ -904,8 +904,8 @@ object DeltaWrite {
     * remove deletionTimestamp). Driver-side metadata work over this
     * writer's own JSON log (never truncated — checkpoint() enforces). */
   private def replayActions(spark: SparkSession, fs: FileSystem,
-      tablePath: String): Seq[(String, Boolean, Long, Long)] =
-    replayActionsWithRaw(spark, fs, tablePath)._1
+      tablePath: String, upTo: Option[Long] = None): Seq[(String, Boolean, Long, Long)] =
+    replayActionsWithRaw(spark, fs, tablePath, upTo)._1
 
   /** like [[replayActions]] but additionally returns the set of RAW
     * (undecoded) action paths ever logged — vacuum's last-resort
@@ -1038,7 +1038,8 @@ object DeltaWrite {
     requireNoDeletionVectors(spark, tablePath)
     requireNoAbsoluteAdds(spark, fs, tablePath, "compact")
     val root = fs.makeQualified(new Path(tablePath))
-    val live = replayActions(spark, fs, tablePath)
+    val readV = DeltaScan.latestVersion(spark, tablePath)
+    val live = replayActions(spark, fs, tablePath, Some(readV))
       .collect { case (p, true, _, _) => p }
     val small = live.filter { rel =>
       fs.getFileStatus(new Path(root, rel)).getLen < smallFileBytes
@@ -1067,8 +1068,10 @@ object DeltaWrite {
       } ++ groups.values.flatten.toSeq.sorted.map { rel =>
         s"""{"remove":{"path":${jstr(encodePath(rel))},"deletionTimestamp":$now,"dataChange":false}}"""
       }
-    val v = DeltaScan.latestVersion(spark, tablePath) + 1
-    writeCommitFile(fs, root, v, actions, operation = Some("OPTIMIZE"))
+    // reads only the named small files — concurrent appends commute
+    commitWithRetry(spark, fs, root, actions, Some("OPTIMIZE"),
+      CommitScope("OPTIMIZE", readV, groups.values.flatten.toSet,
+        readsWholeTable = false, pred = scala.None))
   }
 
   // ---- row-level DELETE / MERGE (copy-on-write) -----------------------
@@ -1208,7 +1211,8 @@ object DeltaWrite {
   private def commitRewrite(spark: SparkSession, fs: FileSystem, root: Path,
       added: Seq[(String, Long)], removedRels: Seq[String],
       txn: Option[(String, Long)] = None,
-      operation: Option[String] = scala.None): Unit = {
+      operation: Option[String] = scala.None,
+      scope: Option[CommitScope] = scala.None): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val (kept, empty) = added.partition { case (rel, _) =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -1228,8 +1232,12 @@ object DeltaWrite {
     val txnLines = txn.toSeq.map { case (app, tv) =>
       s"""{"txn":{"appId":${jstr(app)},"version":$tv,"lastUpdated":$now}}"""
     }
-    val v = DeltaScan.latestVersion(spark, root.toString) + 1
-    writeCommitFile(fs, root, v, txnLines ++ actions, operation = operation)
+    scope match {
+      case Some(s) => commitWithRetry(spark, fs, root, txnLines ++ actions, operation, s)
+      case None =>
+        val v = DeltaScan.latestVersion(spark, root.toString) + 1
+        writeCommitFile(fs, root, v, txnLines ++ actions, operation = operation)
+    }
   }
 
   /** Row-level DELETE, copy-on-write: remove every current row
@@ -1255,7 +1263,9 @@ object DeltaWrite {
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
     val mapped = isMapped(fs, tablePath)
-    val live = replayActions(spark, fs, tablePath).collect { case (p, true, _, _) => p }
+    val readV = DeltaScan.latestVersion(spark, tablePath)
+    val live = replayActions(spark, fs, tablePath, Some(readV))
+      .collect { case (p, true, _, _) => p }
     if (live.isEmpty) return 0L
     val hit = liveScan(spark, root, schema, partCols, live, mapped).filter(cond)
       .agg(count(lit(1)).as("n"), collect_set(col("__rel")).as("files"))
@@ -1274,7 +1284,9 @@ object DeltaWrite {
             .write.mode("append").parquet(staging)
         }
       }
-    commitRewrite(spark, fs, root, added, victims, operation = Some("DELETE"))
+    commitRewrite(spark, fs, root, added, victims, operation = Some("DELETE"),
+      scope = Some(CommitScope("DELETE", readV, victims.toSet,
+        readsWholeTable = false, pred = Some((schema, cond)))))
     nDeleted
   }
 
@@ -1306,7 +1318,9 @@ object DeltaWrite {
         s"SET column '$n' is a partition column — updating it moves rows " +
           "across files; use merge for key-relocating updates")
     }
-    val live = replayActions(spark, fs, tablePath).collect { case (p, true, _, _) => p }
+    val readV = DeltaScan.latestVersion(spark, tablePath)
+    val live = replayActions(spark, fs, tablePath, Some(readV))
+      .collect { case (p, true, _, _) => p }
     if (live.isEmpty) return 0L
     val hit = liveScan(spark, root, schema, partCols, live, mapped).filter(cond)
       .agg(count(lit(1)).as("n"), collect_set(col("__rel")).as("files"))
@@ -1351,7 +1365,9 @@ object DeltaWrite {
             .write.mode("append").parquet(staging)
         }
       }
-    commitRewrite(spark, fs, root, added, victims, operation = Some("UPDATE"))
+    commitRewrite(spark, fs, root, added, victims, operation = Some("UPDATE"),
+      scope = Some(CommitScope("UPDATE", readV, victims.toSet,
+        readsWholeTable = false, pred = Some((schema, cond)))))
     nUpdated
   }
 
@@ -1421,6 +1437,7 @@ object DeltaWrite {
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
     val mapped = isMapped(fs, tablePath)
+    val readV = DeltaScan.latestVersion(spark, tablePath)
     val (latestAdds, proto) = replayLatestAdds(fs, root.toString)
     if (latestAdds.isEmpty) return 0L
     val live = latestAdds.keys.toSeq.sorted
@@ -1493,8 +1510,9 @@ object DeltaWrite {
       node.put("dataChange", true)
       s"""{"add":${node.toString}}"""
     }
-    val v = DeltaScan.latestVersion(spark, root.toString) + 1
-    writeCommitFile(fs, root, v, protoAction ++ adds, operation = Some("DELETE (DV)"))
+    commitWithRetry(spark, fs, root, protoAction ++ adds, Some("DELETE (DV)"),
+      CommitScope("DELETE (DV)", readV, written.map(_._1).toSet,
+        readsWholeTable = false, pred = Some((schema, cond))))
     nDeleted
   }
 
@@ -1539,7 +1557,9 @@ object DeltaWrite {
         "merge source has duplicate key tuples — ambiguous upsert")
       val srcK = src.select(keys.map(col): _*)
 
-      val live = replayActions(spark, fs, tablePath).collect { case (p, true, _, _) => p }
+      val readV = DeltaScan.latestVersion(spark, tablePath)
+      val live = replayActions(spark, fs, tablePath, Some(readV))
+        .collect { case (p, true, _, _) => p }
       val (updated, victims) =
         if (live.isEmpty) (0L, Seq.empty[String])
         else {
@@ -1578,7 +1598,12 @@ object DeltaWrite {
         val w = newData.write.mode("append")
         (if (physParts.nonEmpty) w.partitionBy(physParts: _*) else w).parquet(staging)
       }
-      commitRewrite(spark, fs, root, added, victims, txn, operation = Some("MERGE"))
+      // merge read the WHOLE table (any concurrently appended row could
+      // collide with a source key and flip a not-matched INSERT into a
+      // duplicate) — every concurrent data append is a conflict
+      commitRewrite(spark, fs, root, added, victims, txn, operation = Some("MERGE"),
+        scope = Some(CommitScope("MERGE", readV, victims.toSet,
+          readsWholeTable = true, pred = scala.None)))
       (updated, inserted)
     } finally src.unpersist()
   }
@@ -1616,7 +1641,9 @@ object DeltaWrite {
     val root = fs.makeQualified(new Path(tablePath))
     requireNoDeletionVectors(spark, tablePath)
     requireNoAbsoluteAdds(spark, fs, tablePath, "zorder")
-    val live = replayActions(spark, fs, tablePath).collect { case (p, true, _, _) => p }
+    val readV = DeltaScan.latestVersion(spark, tablePath)
+    val live = replayActions(spark, fs, tablePath, Some(readV))
+      .collect { case (p, true, _, _) => p }
     require(live.nonEmpty, s"no live data files to z-order at $tablePath")
     val groups = live.groupBy(rel => rel.split('/').dropRight(1).mkString("/"))
 
@@ -1678,8 +1705,11 @@ object DeltaWrite {
       } ++ live.sorted.map { rel =>
         s"""{"remove":{"path":${jstr(encodePath(rel))},"deletionTimestamp":$now,"dataChange":false}}"""
       }
-    val v = DeltaScan.latestVersion(spark, tablePath) + 1
-    writeCommitFile(fs, root, v, actions, operation = Some("OPTIMIZE (ZORDER)"))
+    // rewrites exactly the live files it read — concurrent appends land
+    // as files this swap never touches and commute
+    commitWithRetry(spark, fs, root, actions, Some("OPTIMIZE (ZORDER)"),
+      CommitScope("OPTIMIZE (ZORDER)", readV, live.toSet,
+        readsWholeTable = false, pred = scala.None))
   }
 
   /** rewriting a DV-carrying file from its raw parquet would resurrect
@@ -1802,6 +1832,120 @@ object DeltaWrite {
         }
       }
     doomed ++ dvDoomed
+  }
+
+  /** What a DML commit READ, for optimistic-concurrency validation:
+    * the log version its plan was computed from, the live files it
+    * removes/rewrites, and how wide its read was — `pred` (the DML's
+    * row predicate, resolved against the LOGICAL schema) lets
+    * stats-provably-disjoint concurrent appends commute;
+    * `readsWholeTable` (merge: any appended row could collide with a
+    * source key) makes every concurrent data append a conflict. */
+  private final case class CommitScope(
+      op: String,
+      readVersion: Long,
+      touched: Set[String],
+      readsWholeTable: Boolean,
+      pred: Option[(StructType, org.apache.spark.sql.Column)])
+
+  private val MaxCommitRetries = 5
+
+  /** OCC validation of the commits in `(fromExclusive, toInclusive]`
+    * against a DML's read/write scope — the delta-spark conflict
+    * rules, conservatively:
+    *  - metaData / protocol changes always conflict (schema,
+    *    constraints, or features may invalidate the plan);
+    *  - a remove (or re-add) of a file the DML rewrites/removes
+    *    conflicts (lost update otherwise);
+    *  - a `dataChange=true` add conflicts when the DML read the whole
+    *    table, or when its footer stats cannot PROVE the new file
+    *    holds no row matching the DML's predicate (disjoint files /
+    *    partitions commute — the stats check is the same pruner the
+    *    reader skips with);
+    *  - txn / commitInfo / cdc actions and `dataChange=false`
+    *    compaction swaps of UNtouched files commute.
+    * Throws ConcurrentModificationException on conflict. */
+  private def checkDmlConflicts(spark: SparkSession, fs: FileSystem, root: Path,
+      scope: CommitScope, fromExclusive: Long, toInclusive: Long): Unit = {
+    val logDir = new Path(root, "_delta_log")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val predExpr = scope.pred.map { case (schema, c) =>
+      ParquetStats.predicateExpr(spark, schema, c)
+    }
+    def conflict(v: Long, why: String): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"${scope.op} (planned at version ${scope.readVersion}) conflicts " +
+          s"with concurrent commit $v: $why — re-run the operation on the " +
+          "current table state")
+    ((fromExclusive + 1) to toInclusive).foreach { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      require(fs.exists(p),
+        s"cannot validate concurrent commit $v of $root — log truncated?")
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.map(mapper.readTree).foreach { node =>
+        if (node.has("metaData")) conflict(v, "table metadata changed")
+        else if (node.has("protocol")) conflict(v, "table protocol changed")
+        else if (node.has("remove")) {
+          val rel = decodePath(node.get("remove").get("path").asText())
+          if (scope.touched(rel))
+            conflict(v, s"file $rel this operation rewrites/removes was " +
+              "removed concurrently")
+        } else if (node.has("add")) {
+          val add = node.get("add")
+          val rel = decodePath(add.get("path").asText())
+          if (scope.touched(rel))
+            conflict(v, s"file $rel this operation rewrites/removes was " +
+              "rewritten concurrently")
+          val dataChange = Option(add.get("dataChange")).forall(_.asBoolean())
+          if (dataChange) {
+            if (scope.readsWholeTable)
+              conflict(v, s"data file $rel was added concurrently and this " +
+                "operation read the whole table")
+            predExpr.foreach { pe =>
+              val st = Option(add.get("stats")).filterNot(_.isNull).map(_.asText())
+              if (ParquetStats.mayMatch(st.flatMap(ParquetStats.parse), pe))
+                conflict(v, s"concurrently added file $rel may hold rows " +
+                  "matching this operation's predicate")
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** conditional DML commit with OCC RETRY: validates EVERY commit
+    * that landed after the DML's read version (including ones that
+    * landed between planning and this call — the classic TOCTOU
+    * window), then commits at the next version; a lost CAS re-reads,
+    * re-validates just the new commits, and tries again, up to
+    * [[MaxCommitRetries]]. Commuting winners (appends the stats prove
+    * disjoint, compactions of untouched files, txn markers) never
+    * force a replan; conflicting ones abort loudly with the reason. */
+  /** test seam: runs between a DML's planning and its first commit
+    * attempt — the deterministic way to land a racing commit inside
+    * the TOCTOU window the OCC validation closes */
+  private[graft] var beforeDmlCommit: () => Unit = () => ()
+
+  private def commitWithRetry(spark: SparkSession, fs: FileSystem, root: Path,
+      lines: Seq[String], operation: Option[String], scope: CommitScope): Unit = {
+    beforeDmlCommit()
+    var checked = scope.readVersion
+    var attempt = 0
+    while (true) {
+      val latest = DeltaScan.latestVersion(spark, root.toString)
+      if (latest > checked) {
+        checkDmlConflicts(spark, fs, root, scope, checked, latest)
+        checked = latest
+      }
+      try { writeCommitFile(fs, root, latest + 1, lines, operation = operation); return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > MaxCommitRetries) throw e
+      }
+    }
   }
 
   /** shared conditional-commit write (create with overwrite=false is

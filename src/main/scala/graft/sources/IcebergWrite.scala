@@ -76,6 +76,51 @@ object IcebergWrite {
   def append(spark: SparkSession, df: DataFrame, tablePath: String): Unit =
     appendTxn(spark, df, tablePath, txn = None)
 
+  /** [[append]] with full OCC RETRY. Two layers: (a) a CAS lost AFTER
+    * the data files are staged retries metadata assembly only — the
+    * parquet is reused verbatim, see the loop in [[commit]]; (b) a
+    * race detected BEFORE any data is written (the fast-fail) re-runs
+    * the whole append here. Blind appends commute with everything
+    * except a concurrent schema/partition-spec change, which re-runs
+    * (the re-run re-validates against the NEW schema and fails loudly
+    * on a real mismatch). Lost attempts leave unreferenced files for
+    * [[removeOrphanFiles]]-style cleanup, never corruption. */
+  def appendWithRetry(spark: SparkSession, df: DataFrame, tablePath: String,
+      maxRetries: Int = 5): Unit = {
+    require(maxRetries >= 0, s"maxRetries must be >= 0, got $maxRetries")
+    var attempt = 0
+    while (true) {
+      try { append(spark, df, tablePath); return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+  }
+
+  /** OCC RE-EXECUTION wrapper for the copy-on-write ops (updateWhere /
+    * merge / compact / zorder): a loser re-RUNS `body`, which replans
+    * from the new current snapshot — always serializable, no conflict
+    * taxonomy needed, at the cost of redoing the rewrite. The cheap
+    * metadata-validating retries live inside [[append]] (assembly
+    * reuse) and [[deleteWhere]]/[[deleteEqual]] (delete files reused
+    * when the winner commutes); use this for everything else:
+    * `IcebergWrite.retryOnConflict() { IcebergWrite.merge(...) }`. */
+  def retryOnConflict[T](maxRetries: Int = 5)(body: => T): T = {
+    require(maxRetries >= 0, s"maxRetries must be >= 0, got $maxRetries")
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def appendTxn(spark: SparkSession, df: DataFrame, tablePath: String,
       txn: Option[(String, Long)]): Unit = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -326,12 +371,9 @@ object IcebergWrite {
     require(added.nonEmpty, "write produced no data files (empty input?)")
     fs.mkdirs(metaDir)
 
-    // one manifest for this commit's files (relative paths; record
-    // counts from the parquet footers — no data re-read); partitioned
-    // tables get typed partition records parsed from the hive path
-    val manifestRel = s"metadata/manifest-$version.avro"
-    val entrySchema = manifestSchemaFor(partFieldsOf(df.schema, partCols))
-    val dataFileSchema = entrySchema.getField("data_file").schema()
+    // record counts / sizes from the parquet footers — no data
+    // re-read; reusable verbatim across OCC retries (the data files
+    // never move, only the metadata around them is re-assembled)
     val filesWithRows = added.map { rel =>
       val dataPath = new Path(root, rel)
       val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -339,63 +381,118 @@ object IcebergWrite {
       val rows = try footer.getRecordCount finally footer.close()
       (rel, rows, fs.getFileStatus(dataPath).getLen)
     }
-    writeAvro(fs, new Path(root, manifestRel), entrySchema,
-      filesWithRows.map { case (rel, rows, len) =>
-        val file = new GenericData.Record(dataFileSchema)
-        file.put("content", 0) // DATA
-        file.put("file_path", rel)
-        file.put("file_format", "PARQUET")
-        file.put("partition",
-          partitionRecord(dataFileSchema, df.schema, partCols, rel))
-        file.put("record_count", rows)
-        file.put("file_size_in_bytes", len)
-        file.put("block_size_in_bytes", DefaultBlockSize)
-        attachStats(file, dataFileSchema, conf, new Path(root, rel), schemaJson)
-        val entry = new GenericData.Record(entrySchema)
-        entry.put("status", 1) // ADDED
-        entry.put("snapshot_id", version.toLong)
-        // sequence_number / file_sequence_number stay null on ADDED
-        // entries: the spec's inheritance rule fills them from the
-        // manifest-list row at read time
-        entry.put("data_file", file)
-        entry
-      }, manifestMeta(schemaJson, fmtVersion, content = "data",
-        specFieldsJson = carry.specFieldsJson))
-    val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
 
-    // snapshot's manifest list = all prior manifests (their length /
-    // spec-id / seq / counts carried forward verbatim) + this one.
-    // A BRANCH commit chains from the branch head (falling back to the
-    // branching point = the current snapshot on first branch commit)
-    val branchHead: Option[Long] = branch.flatMap { b =>
-      if (version == 1) scala.None
-      else {
-        val prevNode = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(readUtf8(fs, new Path(root, s"metadata/v${version - 1}.metadata.json")))
-        Option(prevNode.get("refs")).flatMap(r => Option(r.get(b)))
-          .map(_.get("snapshot-id").asLong())
+    // one manifest for this commit's files (relative paths);
+    // partitioned tables get typed partition records parsed from the
+    // hive path. Version-DEPENDENT (snapshot ids, seq, file names) —
+    // assembled per OCC attempt.
+    def assemble(version: Int, carry: SchemaCarry, fmtVersion: Int): Unit = {
+      // nonce'd names: two writers racing to the same version must not
+      // collide on the avro paths (resolution is pointer-based through
+      // the metadata JSON; only the v$N.metadata.json CAS arbitrates)
+      val manifestRel = s"metadata/manifest-$version-${pathNonce()}.avro"
+      val entrySchema = manifestSchemaFor(partFieldsOf(df.schema, carry.partCols))
+      val dataFileSchema = entrySchema.getField("data_file").schema()
+      writeAvro(fs, new Path(root, manifestRel), entrySchema,
+        filesWithRows.map { case (rel, rows, len) =>
+          val file = new GenericData.Record(dataFileSchema)
+          file.put("content", 0) // DATA
+          file.put("file_path", rel)
+          file.put("file_format", "PARQUET")
+          file.put("partition",
+            partitionRecord(dataFileSchema, df.schema, carry.partCols, rel))
+          file.put("record_count", rows)
+          file.put("file_size_in_bytes", len)
+          file.put("block_size_in_bytes", DefaultBlockSize)
+          attachStats(file, dataFileSchema, conf, new Path(root, rel), carry.schemaJson)
+          val entry = new GenericData.Record(entrySchema)
+          entry.put("status", 1) // ADDED
+          entry.put("snapshot_id", version.toLong)
+          // sequence_number / file_sequence_number stay null on ADDED
+          // entries: the spec's inheritance rule fills them from the
+          // manifest-list row at read time
+          entry.put("data_file", file)
+          entry
+        }, manifestMeta(carry.schemaJson, fmtVersion, content = "data",
+          specFieldsJson = carry.specFieldsJson))
+      val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
+
+      // snapshot's manifest list = all prior manifests (their length /
+      // spec-id / seq / counts carried forward verbatim) + this one.
+      // A BRANCH commit chains from the branch head (falling back to the
+      // branching point = the current snapshot on first branch commit)
+      val branchHead: Option[Long] = branch.flatMap { b =>
+        if (version == 1) scala.None
+        else {
+          val prevNode = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(readUtf8(fs, new Path(root, s"metadata/v${version - 1}.metadata.json")))
+          Option(prevNode.get("refs")).flatMap(r => Option(r.get(b)))
+            .map(_.get("snapshot-id").asLong())
+        }
+      }
+      val prevManifests = readPrevManifests(fs, conf, root, version, branchHead)
+      val listRel = s"metadata/snap-$version-${pathNonce()}.avro"
+      writeAvro(fs, new Path(root, listRel), manifestListSchema,
+        (prevManifests :+ ManifestRef(manifestRel, manifestLen, 0,
+          content = 0, seq = version.toLong, minSeq = version.toLong,
+          snapshotId = version.toLong, addedFiles = filesWithRows.size,
+          existingFiles = 0, deletedFiles = 0,
+          addedRows = filesWithRows.map(_._2).sum, existingRows = 0L,
+          deletedRows = 0L))
+          .map(manifestRefRecord),
+        manifestListMeta(version, fmtVersion))
+
+      // the field-id marker rides the FIRST commit: every data file this
+      // writer emits carries parquet field ids, which is what makes
+      // renameColumn's id-based read resolution sound for the whole table
+      writeMetadataJson(fs, metaDir, root, version, fmtVersion,
+        carry, listRel, operation = "append", propsOverride = txnProps(txn) ++
+          (if (version == 1) Map(FieldIdsProp -> "true") else Map.empty),
+        branchRef = branch)
+    }
+
+    // OCC assembly retry: a fast-append commutes with ANY concurrent
+    // commit that leaves the schema and partition spec intact — on a
+    // lost CAS the winner's manifests are re-read, ours is rebuilt at
+    // the next version (the expensive data files are reused verbatim;
+    // the lost attempt's manifest/list avros are unreferenced orphans).
+    // A concurrent schema/spec change rethrows loudly: the staged
+    // files were stamped with the OLD schema's field ids.
+    beforeCommit()
+    var v = version
+    var c = carry
+    var fv = fmtVersion
+    var attempt = 0
+    while (attempt <= MaxCommitRetries) {
+      try { assemble(v, c, fv); return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (version == 1 || attempt > MaxCommitRetries) throw e
+          val latest = readUtf8(fs, new Path(root, "metadata/version-hint.text")).trim.toInt
+          val nc = carryFromPrev(fs, metaDir, latest)
+          if (nc.schemaJson != c.schemaJson || nc.specFieldsJson != c.specFieldsJson)
+            throw new java.util.ConcurrentModificationException(
+              s"append lost the commit race at $tablePath and the winner " +
+                "changed the schema or partition spec — the staged files " +
+                "carry the old field ids; re-run the append", e)
+          c = nc
+          fv = prevFormatVersion(fs, metaDir, latest)
+          v = latest + 1
       }
     }
-    val prevManifests = readPrevManifests(fs, conf, root, version, branchHead)
-    val listRel = s"metadata/snap-$version.avro"
-    writeAvro(fs, new Path(root, listRel), manifestListSchema,
-      (prevManifests :+ ManifestRef(manifestRel, manifestLen, 0,
-        content = 0, seq = version.toLong, minSeq = version.toLong,
-        snapshotId = version.toLong, addedFiles = filesWithRows.size,
-        existingFiles = 0, deletedFiles = 0,
-        addedRows = filesWithRows.map(_._2).sum, existingRows = 0L,
-        deletedRows = 0L))
-        .map(manifestRefRecord),
-      manifestListMeta(version, fmtVersion))
-
-    // the field-id marker rides the FIRST commit: every data file this
-    // writer emits carries parquet field ids, which is what makes
-    // renameColumn's id-based read resolution sound for the whole table
-    writeMetadataJson(fs, metaDir, root, version, fmtVersion,
-      carry, listRel, operation = "append", propsOverride = txnProps(txn) ++
-        (if (version == 1) Map(FieldIdsProp -> "true") else Map.empty),
-      branchRef = branch)
   }
+
+  private val MaxCommitRetries = 5
+
+  /** test seam: runs right before a commit's first CAS attempt — the
+    * deterministic way to land a racing commit inside the window the
+    * OCC retry covers */
+  private[graft] var beforeCommit: () => Unit = () => ()
+
+  /** short unique suffix for manifest/list file names (see assemble) */
+  private def pathNonce(): String =
+    java.util.UUID.randomUUID().toString.take(8)
 
   /** table property marking that every data file was written with
     * parquet field ids (set at create by this writer; absent on tables
@@ -696,7 +793,8 @@ object IcebergWrite {
     // ONE rewritten data manifest: ADDED outputs (seq inherits the
     // list row = this commit) + EXISTING kept files with explicit
     // original sequence numbers
-    val manifestRel = s"metadata/manifest-$version.avro"
+    beforeCommit()
+    val manifestRel = s"metadata/manifest-$version-${pathNonce()}.avro"
     val entrySchema = manifestSchemaFor(partFieldsOf(tableSchema, partCols))
     val dataFileSchema = entrySchema.getField("data_file").schema()
     def fileRecord(relPath: String, rows: Long, len: Long,
@@ -748,7 +846,7 @@ object IcebergWrite {
     val prevDeleteManifests = readPrevManifests(fs, conf, root, version)
       .filter(_.content == 1)
     val minSeq = (kept.map(_._1.seq) :+ version.toLong).min
-    val listRel = s"metadata/snap-$version.avro"
+    val listRel = s"metadata/snap-$version-${pathNonce()}.avro"
     writeAvro(fs, new Path(root, listRel), manifestListSchema,
       (ManifestRef(manifestRel, manifestLen, 0,
         content = 0, seq = version.toLong, minSeq = minSeq,
@@ -1529,46 +1627,98 @@ object IcebergWrite {
     val nDeleted = delWithRows.map(_._2).sum
     if (nDeleted == 0L) { fs.delete(delDir, true); return 0L }
 
-    val manifestRel = s"metadata/manifest-$version.avro"
-    val entrySchema = manifestSchemaFor(partFieldsOf(tableSchema, partCols))
-    val dataFileSchema = entrySchema.getField("data_file").schema()
-    val delEntries = delWithRows.map { case (rel, rows, len) =>
-      val file = new GenericData.Record(dataFileSchema)
-      file.put("content", 1) // POSITION DELETES
-      file.put("file_path", rel)
-      file.put("file_format", "PARQUET")
-      file.put("partition",
-        partitionRecord(dataFileSchema, tableSchema, partCols, rel))
-      file.put("record_count", rows)
-      file.put("file_size_in_bytes", len)
-      file.put("block_size_in_bytes", DefaultBlockSize)
-      val entry = new GenericData.Record(entrySchema)
-      entry.put("status", 1) // ADDED
-      entry.put("snapshot_id", version.toLong)
-      entry.put("data_file", file)
-      entry
+    def assemble(v: Int, c: SchemaCarry): Unit = {
+      val manifestRel = s"metadata/manifest-$v-${pathNonce()}.avro"
+      val entrySchema = manifestSchemaFor(partFieldsOf(tableSchema, partCols))
+      val dataFileSchema = entrySchema.getField("data_file").schema()
+      val delEntries = delWithRows.map { case (rel, rows, len) =>
+        val file = new GenericData.Record(dataFileSchema)
+        file.put("content", 1) // POSITION DELETES
+        file.put("file_path", rel)
+        file.put("file_format", "PARQUET")
+        file.put("partition",
+          partitionRecord(dataFileSchema, tableSchema, partCols, rel))
+        file.put("record_count", rows)
+        file.put("file_size_in_bytes", len)
+        file.put("block_size_in_bytes", DefaultBlockSize)
+        val entry = new GenericData.Record(entrySchema)
+        entry.put("status", 1) // ADDED
+        entry.put("snapshot_id", v.toLong)
+        entry.put("data_file", file)
+        entry
+      }
+      writeAvro(fs, new Path(root, manifestRel), entrySchema, delEntries,
+        manifestMeta(c.schemaJson, fmtVersion = 2, content = "deletes",
+          specFieldsJson = c.specFieldsJson))
+      val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
+
+      val prevManifests = readPrevManifests(fs, conf, root, v)
+      val listRel = s"metadata/snap-$v-${pathNonce()}.avro"
+      writeAvro(fs, new Path(root, listRel), manifestListSchema,
+        (prevManifests :+
+          ManifestRef(manifestRel, manifestLen, 0,
+            content = 1, seq = v.toLong, minSeq = v.toLong,
+            snapshotId = v.toLong, addedFiles = delEntries.size,
+            existingFiles = 0,
+            deletedFiles = 0, addedRows = nDeleted, existingRows = 0L,
+            deletedRows = 0L))
+          .map(manifestRefRecord),
+        manifestListMeta(v, fmtVersion = 2))
+
+      writeMetadataJson(fs, metaDir, root, v, fmtVersion = 2,
+        c, listRel, operation = "delete")
     }
-    writeAvro(fs, new Path(root, manifestRel), entrySchema, delEntries,
-      manifestMeta(schemaJson, fmtVersion = 2, content = "deletes",
-        specFieldsJson = carry.specFieldsJson))
-    val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
-
-    val prevManifests = readPrevManifests(fs, conf, root, version)
-    val listRel = s"metadata/snap-$version.avro"
-    writeAvro(fs, new Path(root, listRel), manifestListSchema,
-      (prevManifests :+
-        ManifestRef(manifestRel, manifestLen, 0,
-          content = 1, seq = version.toLong, minSeq = version.toLong,
-          snapshotId = version.toLong, addedFiles = delEntries.size,
-          existingFiles = 0,
-          deletedFiles = 0, addedRows = nDeleted, existingRows = 0L,
-          deletedRows = 0L))
-        .map(manifestRefRecord),
-      manifestListMeta(version, fmtVersion = 2))
-
-    writeMetadataJson(fs, metaDir, root, version, fmtVersion = 2,
-      carry, listRel, operation = "delete")
+    // OCC retry: the staged delete files reference (file_path, pos) of
+    // the PLANNED snapshot's data files — a lost CAS re-validates that
+    // the winner (a) left schema + partition spec intact and (b)
+    // removed NO planned data file (a concurrent compact/rewrite would
+    // resurrect the deleted rows through the rewritten copies), then
+    // re-commits the same delete files at the next version. Pure
+    // concurrent APPENDS commute: the delete's higher sequence number
+    // applies it to pre-existing files only, and the staged positions
+    // name exactly the files this plan saw.
+    commitDeleteWithRetry(spark, fs, root, metaDir, tablePath, carry,
+      dataFiles.toSet, version, assemble)
     nDeleted
+  }
+
+  /** shared OCC loop for delete commits (see [[deleteWhere]]): retry
+    * `assemble` at successive versions while the winner's commits
+    * commute; `plannedLive` empty skips the file-liveness check
+    * (equality deletes reference keys, not files). */
+  private def commitDeleteWithRetry(spark: SparkSession, fs: FileSystem,
+      root: Path, metaDir: Path, tablePath: String, carry: SchemaCarry,
+      plannedLive: Set[String], version: Int,
+      assemble: (Int, SchemaCarry) => Unit): Unit = {
+    beforeCommit()
+    var v = version
+    var c = carry
+    var attempt = 0
+    while (true) {
+      try { assemble(v, c); return }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > MaxCommitRetries) throw e
+          val latest = readUtf8(fs,
+            new Path(root, "metadata/version-hint.text")).trim.toInt
+          val nc = carryFromPrev(fs, metaDir, latest)
+          if (nc.schemaJson != c.schemaJson || nc.specFieldsJson != c.specFieldsJson)
+            throw new java.util.ConcurrentModificationException(
+              s"delete lost the commit race at $tablePath and the winner " +
+                "changed the schema or partition spec — re-run the delete", e)
+          if (plannedLive.nonEmpty) {
+            val nowLive = IcebergScan.currentDataFiles(spark, tablePath)._2.toSet
+            if (!plannedLive.subsetOf(nowLive))
+              throw new java.util.ConcurrentModificationException(
+                s"delete lost the commit race at $tablePath and the winner " +
+                  "removed/rewrote data files this delete references — " +
+                  "re-run the delete on the current table state", e)
+          }
+          c = nc
+          v = latest + 1
+      }
+    }
   }
 
   /** manifest partition value → the Spark EXTERNAL type for a
@@ -1673,49 +1823,57 @@ object IcebergWrite {
     val nKeys = delWithRows.map(_._2).sum
     if (nKeys == 0L) { fs.delete(delDir, true); return 0L }
 
-    val manifestRel = s"metadata/manifest-$version.avro"
-    val dataFileSchema = manifestSchema.getField("data_file").schema()
-    val delEntries = delWithRows.map { case (rel, rows, len) =>
-      val file = new GenericData.Record(dataFileSchema)
-      file.put("content", 2) // EQUALITY DELETES
-      file.put("file_path", rel)
-      file.put("file_format", "PARQUET")
-      file.put("partition",
-        new GenericData.Record(dataFileSchema.getField("partition").schema()))
-      file.put("record_count", rows)
-      file.put("file_size_in_bytes", len)
-      file.put("block_size_in_bytes", DefaultBlockSize)
-      file.put("equality_ids", eqIds.map(Int.box).asJava)
-      val entry = new GenericData.Record(manifestSchema)
-      entry.put("status", 1) // ADDED
-      entry.put("snapshot_id", version.toLong)
-      entry.put("data_file", file)
-      entry
+    def assemble(v: Int, c: SchemaCarry): Unit = {
+      val manifestRel = s"metadata/manifest-$v-${pathNonce()}.avro"
+      val dataFileSchema = manifestSchema.getField("data_file").schema()
+      val delEntries = delWithRows.map { case (rel, rows, len) =>
+        val file = new GenericData.Record(dataFileSchema)
+        file.put("content", 2) // EQUALITY DELETES
+        file.put("file_path", rel)
+        file.put("file_format", "PARQUET")
+        file.put("partition",
+          new GenericData.Record(dataFileSchema.getField("partition").schema()))
+        file.put("record_count", rows)
+        file.put("file_size_in_bytes", len)
+        file.put("block_size_in_bytes", DefaultBlockSize)
+        file.put("equality_ids", eqIds.map(Int.box).asJava)
+        val entry = new GenericData.Record(manifestSchema)
+        entry.put("status", 1) // ADDED
+        entry.put("snapshot_id", v.toLong)
+        entry.put("data_file", file)
+        entry
+      }
+      // on a partitioned table this manifest declares the UNPARTITIONED
+      // spec-id 1 (a global delete); the empty partition records above are
+      // exactly that spec's record shape
+      val globalSpecId = if (c.partCols.isEmpty) 0 else 1
+      writeAvro(fs, new Path(root, manifestRel), manifestSchema, delEntries,
+        manifestMeta(c.schemaJson, fmtVersion = 2, content = "deletes",
+          specId = globalSpecId))
+      val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
+
+      val prevManifests = readPrevManifests(fs, conf, root, v)
+      val listRel = s"metadata/snap-$v-${pathNonce()}.avro"
+      writeAvro(fs, new Path(root, listRel), manifestListSchema,
+        (prevManifests :+
+          ManifestRef(manifestRel, manifestLen, globalSpecId,
+            content = 1, seq = v.toLong, minSeq = v.toLong,
+            snapshotId = v.toLong, addedFiles = delEntries.size,
+            existingFiles = 0,
+            deletedFiles = 0, addedRows = nKeys, existingRows = 0L,
+            deletedRows = 0L))
+          .map(manifestRefRecord),
+        manifestListMeta(v, fmtVersion = 2))
+
+      writeMetadataJson(fs, metaDir, root, v, fmtVersion = 2,
+        c, listRel, operation = "delete")
     }
-    // on a partitioned table this manifest declares the UNPARTITIONED
-    // spec-id 1 (a global delete); the empty partition records above are
-    // exactly that spec's record shape
-    val globalSpecId = if (carry.partCols.isEmpty) 0 else 1
-    writeAvro(fs, new Path(root, manifestRel), manifestSchema, delEntries,
-      manifestMeta(schemaJson, fmtVersion = 2, content = "deletes",
-        specId = globalSpecId))
-    val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
-
-    val prevManifests = readPrevManifests(fs, conf, root, version)
-    val listRel = s"metadata/snap-$version.avro"
-    writeAvro(fs, new Path(root, listRel), manifestListSchema,
-      (prevManifests :+
-        ManifestRef(manifestRel, manifestLen, globalSpecId,
-          content = 1, seq = version.toLong, minSeq = version.toLong,
-          snapshotId = version.toLong, addedFiles = delEntries.size,
-          existingFiles = 0,
-          deletedFiles = 0, addedRows = nKeys, existingRows = 0L,
-          deletedRows = 0L))
-        .map(manifestRefRecord),
-      manifestListMeta(version, fmtVersion = 2))
-
-    writeMetadataJson(fs, metaDir, root, version, fmtVersion = 2,
-      carry, listRel, operation = "delete")
+    // equality deletes reference KEYS, not files — they commute with
+    // any winner that keeps the schema/spec (the delete's higher
+    // sequence number applies it to every file the winner added or
+    // rewrote, which IS the operation's read-time semantics)
+    commitDeleteWithRetry(spark, fs, root, metaDir, tablePath, carry,
+      plannedLive = Set.empty, version, assemble)
     nKeys
   }
 

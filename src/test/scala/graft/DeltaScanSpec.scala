@@ -604,6 +604,96 @@ class DeltaScanSpec extends SparkSpec {
     assert(DeltaScan.read(spark, dir).count() == 11L) // live rows intact
   }
 
+  test("DML OCC: disjoint appends commute with a racing DELETE; overlapping work aborts loudly") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    import org.apache.spark.sql.functions.col
+    def racing(body: => Unit)(dml: => Unit): Unit = {
+      DeltaWrite.beforeDmlCommit = () => { DeltaWrite.beforeDmlCommit = () => (); body }
+      try dml finally DeltaWrite.beforeDmlCommit = () => ()
+    }
+
+    // 1) a DELETE whose predicate the racing append's stats PROVE disjoint
+    //    commutes: both effects land, serial order append-then-delete
+    val d1 = freshDir("graft_occ_commute").toString
+    DeltaWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), d1)
+    DeltaWrite.append(spark, Seq((3L, "c"), (4L, "d")).toDF("id", "v"), d1)
+    var n1 = -1L
+    racing(DeltaWrite.append(spark, Seq((100L, "late")).toDF("id", "v"), d1)) {
+      n1 = DeltaWrite.deleteWhere(spark, d1, col("id") <= 2L)
+    }
+    assert(n1 == 2L)
+    assert(DeltaScan.read(spark, d1).collect().map(_.getLong(0)).toSet ==
+      Set(3L, 4L, 100L), "commuting append must survive the delete's retry")
+
+    // 2) a racing append whose rows MAY match the predicate aborts the
+    //    DELETE — nothing committed by the loser, the append's rows live
+    val d2 = freshDir("graft_occ_append_conflict").toString
+    DeltaWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), d2)
+    val e2 = intercept[java.util.ConcurrentModificationException] {
+      racing(DeltaWrite.append(spark, Seq((1L, "dup")).toDF("id", "v"), d2)) {
+        DeltaWrite.deleteWhere(spark, d2, col("id") === 1L)
+      }
+    }
+    assert(e2.getMessage.contains("matching"), s"wrong conflict reason: $e2")
+    assert(DeltaScan.read(spark, d2).count() == 3L,
+      "refused delete must leave winner's rows + original rows intact")
+
+    // 3) two DMLs rewriting the SAME file conflict — the loser aborts
+    //    instead of removing an already-removed file
+    val d3 = freshDir("graft_occ_samefile").toString
+    // ONE data file, so both DMLs rewrite the same file (separate files
+    // would correctly commute — that's scenario 1)
+    DeltaWrite.create(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").coalesce(1), d3)
+    val e3 = intercept[java.util.ConcurrentModificationException] {
+      racing { assert(DeltaWrite.deleteWhere(spark, d3, col("id") === 2L) == 1L) } {
+        DeltaWrite.updateWhere(spark, d3, col("id") === 3L,
+          Seq("v" -> org.apache.spark.sql.functions.lit("z")))
+      }
+    }
+    // the conflict may surface as the survivor-file add matching the
+    // update's predicate OR as the victim-file remove — both are the
+    // same lost-update hazard
+    assert(e3.getMessage.contains("conflicts with concurrent commit"),
+      s"wrong conflict reason: $e3")
+    assert(DeltaScan.read(spark, d3).collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (3L, "c")), "winner's delete applied exactly once, loser aborted clean")
+
+    // 4) MERGE read the whole table: ANY racing data append conflicts
+    //    (an unseen row could collide with a source key)
+    val d4 = freshDir("graft_occ_merge").toString
+    import spark.implicits._
+    DeltaWrite.create(spark, Seq((1L, "a")).toDF("id", "v"), d4)
+    val e4 = intercept[java.util.ConcurrentModificationException] {
+      racing(DeltaWrite.append(spark, Seq((5L, "late")).toDF("id", "v"), d4)) {
+        DeltaWrite.merge(spark, d4, Seq((1L, "upd"), (9L, "new")).toDF("id", "v"), Seq("id"))
+      }
+    }
+    assert(e4.getMessage.contains("whole table"), s"wrong conflict reason: $e4")
+
+    // 5) compact racing a disjoint append commutes (reads only its victims)
+    val d5 = freshDir("graft_occ_compact").toString
+    DeltaWrite.create(spark, Seq((1L, "a")).toDF("id", "v"), d5)
+    DeltaWrite.append(spark, Seq((2L, "b")).toDF("id", "v"), d5)
+    racing(DeltaWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), d5)) {
+      DeltaWrite.compact(spark, d5, smallFileBytes = 1L << 30)
+    }
+    assert(DeltaScan.read(spark, d5).collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+
+    // 6) a racing metadata change (new CHECK constraint) aborts any DML
+    val d6 = freshDir("graft_occ_meta").toString
+    DeltaWrite.create(spark, Seq((1L, 5L), (2L, -7L)).toDF("id", "score"), d6)
+    val e6 = intercept[java.util.ConcurrentModificationException] {
+      racing(DeltaWrite.addCheckConstraint(spark, d6, "neg_ok", "id > 0")) {
+        DeltaWrite.deleteWhere(spark, d6, col("score") < 0L)
+      }
+    }
+    // the constraint commit carries a protocol upgrade + metaData — either
+    // action is a valid conflict reason
+    assert(e6.getMessage.contains("metadata") || e6.getMessage.contains("protocol"),
+      s"wrong conflict reason: $e6")
+  }
+
   test("DeltaWrite.checkpoint: reader replays from the checkpoint after log truncation") {
     import graft.sources.DeltaWrite
     val dir = freshDir("graft_delta_ckpt").toString

@@ -148,6 +148,95 @@ class IcebergScanSpec extends SparkSpec {
     assert(IcebergScan.read(spark, dir).count() == 29L)
   }
 
+  test("OCC: appends reuse staged data on a lost CAS; deletes commute with appends, abort on rewrites") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def racing(body: => Unit)(op: => Unit): Unit = {
+      IcebergWrite.beforeCommit = () => { IcebergWrite.beforeCommit = () => (); body }
+      try op finally IcebergWrite.beforeCommit = () => ()
+    }
+
+    // 1) append racing append: the loser re-assembles metadata at the next
+    //    version WITHOUT rewriting its data files — both appends land once
+    val d1 = java.nio.file.Files.createTempDirectory("graft_ice_occ1").toString + "/t"
+    IcebergWrite.create(spark, Seq((0L, "seed")).toDF("id", "v"), d1)
+    val preData = java.nio.file.Files.list(java.nio.file.Paths.get(s"$d1/data"))
+      .iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    racing(IcebergWrite.append(spark, Seq((1L, "winner")).toDF("id", "v"), d1)) {
+      IcebergWrite.append(spark, Seq((2L, "loser")).toDF("id", "v"), d1)
+    }
+    assert(IcebergScan.read(spark, d1).collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 2L))
+    val postData = java.nio.file.Files.list(java.nio.file.Paths.get(s"$d1/data"))
+      .iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    // winner's files + loser's ORIGINAL files — no rewrite on retry
+    assert(postData == preData + 2, s"expected ${preData + 2} data files, got $postData")
+    // history is linear: three committed versions + create
+    assert(IcebergScan.snapshots(spark, d1).count() == 3L)
+
+    // 2) position delete racing a disjoint append commutes: the staged
+    //    delete files are reused, the appended rows survive
+    val d2 = java.nio.file.Files.createTempDirectory("graft_ice_occ2").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "kill"), (2L, "keep")).toDF("id", "v"), d2)
+    racing(IcebergWrite.append(spark, Seq((3L, "kill")).toDF("id", "v"), d2)) {
+      assert(IcebergWrite.deleteWhere(spark, d2, col("v") === "kill") == 1L,
+        "the delete kills only the rows its plan saw")
+    }
+    assert(IcebergScan.read(spark, d2).collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L), "appended row must survive a delete planned before it")
+
+    // 3) position delete racing a COMPACT aborts loudly: the rewritten
+    //    copies would resurrect the deleted rows
+    val d3 = java.nio.file.Files.createTempDirectory("graft_ice_occ3").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "kill")).toDF("id", "v"), d3)
+    IcebergWrite.append(spark, Seq((2L, "keep")).toDF("id", "v"), d3)
+    val e3 = intercept[java.util.ConcurrentModificationException] {
+      racing { IcebergWrite.compact(spark, d3, smallFileBytes = 1L << 30) } {
+        IcebergWrite.deleteWhere(spark, d3, col("v") === "kill")
+      }
+    }
+    assert(e3.getMessage.contains("removed/rewrote"), s"wrong reason: $e3")
+    assert(IcebergScan.read(spark, d3).count() == 2L, "aborted delete changed nothing")
+
+    // 4) equality delete racing an append commutes AND kills the appended
+    //    matching key too (read-time semantics: delete.seq > data.seq)
+    val d4 = java.nio.file.Files.createTempDirectory("graft_ice_occ4").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), d4)
+    racing(IcebergWrite.append(spark, Seq((1L, "late"), (9L, "z")).toDF("id", "v"), d4)) {
+      assert(IcebergWrite.deleteEqual(spark, d4, Seq(1L).toDF("id")) == 1L)
+    }
+    assert(IcebergScan.read(spark, d4).collect().map(_.getLong(0)).toSet ==
+      Set(2L, 9L), "both id=1 rows (original AND raced-in) must die")
+
+    // 5) retryOnConflict re-executes a CoW update that lost its race
+    val d5 = java.nio.file.Files.createTempDirectory("graft_ice_occ5").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, 10L), (2L, 20L)).toDF("id", "score"), d5)
+    var n5 = -1L
+    racing(IcebergWrite.append(spark, Seq((3L, 30L)).toDF("id", "score"), d5)) {
+      n5 = IcebergWrite.retryOnConflict() {
+        IcebergWrite.updateWhere(spark, d5, col("id") === 1L,
+          Seq("score" -> org.apache.spark.sql.functions.lit(99L)))
+      }
+    }
+    assert(n5 == 1L)
+    assert(IcebergScan.read(spark, d5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 99L), (2L, 20L), (3L, 30L)),
+      "re-executed update lands on the post-race state with the append intact")
+
+    // 6) append racing a schema change re-runs and fails LOUDLY on the
+    //    real mismatch (never a silent wrong-schema commit)
+    val d6 = java.nio.file.Files.createTempDirectory("graft_ice_occ6").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "a")).toDF("id", "v"), d6)
+    intercept[Exception] {
+      racing(IcebergWrite.appendEvolve(spark,
+          Seq((5L, "e", 1.5)).toDF("id", "v", "w"), d6)) {
+        IcebergWrite.appendWithRetry(spark, Seq((2L, "b")).toDF("id", "v"), d6)
+      }
+    }
+  }
+
   test("v2 interop surface: field-ids, manifest metadata, v2 counts, reserved delete-column ids") {
     import graft.sources.{IcebergScan, IcebergWrite}
     import org.apache.spark.sql.functions.col
@@ -164,8 +253,22 @@ class IcebergScanSpec extends SparkSpec {
         .asInstanceOf[org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord]]
     }
 
+    // resolve the current snapshot's manifest list via the metadata
+    // JSON (avro names carry an OCC nonce — only the pointer is stable)
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/metadata/v2.metadata.json")), "UTF-8"))
+    val curId = meta.get("current-snapshot-id").asLong()
+    val listPath = {
+      val snaps = meta.get("snapshots").elements().asScala.toList
+      val p = snaps.find(_.get("snapshot-id").asLong() == curId).get
+        .get("manifest-list").asText()
+      if (p.startsWith("/") || p.contains("://")) p else s"$dir/$p"
+    }
+
     // manifest list: full v2 manifest_file shape with field-ids + counts
-    val list = readAvroFile(s"$dir/metadata/snap-2.avro")
+    var deleteManifestPath: String = null
+    val list = readAvroFile(listPath)
     try {
       assert(new String(list.getMeta("format-version"), "UTF-8") == "2")
       assert(new String(list.getMeta("snapshot-id"), "UTF-8") == "2")
@@ -185,10 +288,14 @@ class IcebergScanSpec extends SparkSpec {
       assert(dataRow.get("added_rows_count").toString.toLong == 3L)
       assert(delRow.get("sequence_number").toString.toLong == 2L)
       assert(delRow.get("added_rows_count").toString.toLong == 1L)
+      deleteManifestPath = {
+        val p = delRow.get("manifest_path").toString
+        if (p.startsWith("/") || p.contains("://")) p else s"$dir/$p"
+      }
     } finally list.close()
 
     // delete manifest: spec metadata keys + entry/data_file field-ids
-    val mf = readAvroFile(s"$dir/metadata/manifest-2.avro")
+    val mf = readAvroFile(deleteManifestPath)
     try {
       assert(new String(mf.getMeta("content"), "UTF-8") == "deletes")
       assert(new String(mf.getMeta("partition-spec-id"), "UTF-8") == "0")
@@ -838,7 +945,8 @@ class IcebergScanSpec extends SparkSpec {
     IcebergWrite.create(spark,
       (0 until 100).map(i => (i.toLong, longText(i))).toDF("id", "txt")
         .repartitionByRange(4, col("id")).sortWithinPartitions("id"), dir)
-    val manifest = new java.io.File(s"$dir/metadata/manifest-1.avro")
+    val manifest = new java.io.File(s"$dir/metadata").listFiles()
+      .filter(f => f.getName.startsWith("manifest-1-") && f.getName.endsWith(".avro")).head
     assert(manifest.length() < 8 * 1024,
       s"manifest is ${manifest.length()} B — string bounds must be truncated, " +
         "not carry 500-char texts")

@@ -160,6 +160,82 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
     }
   }
 
+  test("Delta OCC fuzz: 30 random DMLs each racing a random winner track the serial outcome") {
+    // every loser DML plans against the pre-race snapshot; a random
+    // winner (append or a disjoint-tag delete) commits inside the
+    // commit window. The engine may COMMUTE (stats/files disjoint) or
+    // ABORT — both must leave the table equal to the serial model:
+    // winner first, then (only if the loser committed) the loser's
+    // pre-race plan.
+    val rnd = new scala.util.Random(90815L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_occ_fuzz").toString + "/t"
+    var model = Map.empty[Long, (String, Long)] // id -> (tag, score)
+    var nextId = 0L
+    def freshRows(n: Int, tags: Seq[String]): Seq[(Long, String, Long)] =
+      (1 to n).map { _ =>
+        nextId += 1
+        (nextId, tags(rnd.nextInt(tags.size)), rnd.nextInt(100).toLong)
+      }
+    def df(rows: Seq[(Long, String, Long)]) = rows.toDF("id", "tag", "score")
+    // winner tags and loser tags are disjoint ROW sets (a row has one
+    // tag), so a commuting outcome is always serializable; file overlap
+    // still forces aborts, which the model handles too
+    val winnerTags = Seq("t0", "t1")
+    val loserTags = Seq("t2", "t3", "t4")
+
+    val r0 = freshRows(8, winnerTags ++ loserTags)
+    DeltaWrite.create(spark, df(r0), dir)
+    model = r0.map(r => r._1 -> (r._2, r._3)).toMap
+
+    (1 to 30).foreach { step =>
+      var afterWinner = model
+      val winner: () => Unit = rnd.nextInt(3) match {
+        case 0 => // append
+          val rows = freshRows(1 + rnd.nextInt(3), winnerTags ++ loserTags)
+          afterWinner = model ++ rows.map(r => r._1 -> (r._2, r._3))
+          () => DeltaWrite.append(spark, df(rows), dir)
+        case 1 => // delete a winner-only tag
+          val tag = winnerTags(rnd.nextInt(winnerTags.size))
+          afterWinner = model.filterNot(_._2._1 == tag)
+          () => { DeltaWrite.deleteWhere(spark, dir, col("tag") === tag); () }
+        case 2 => // no racer this round
+          () => ()
+      }
+      // a loser that matches nothing returns WITHOUT committing — the
+      // hook never fires and the winner never ran; track that
+      var winnerRan = false
+      DeltaWrite.beforeDmlCommit =
+        () => { DeltaWrite.beforeDmlCommit = () => (); winnerRan = true; winner() }
+      def base = if (winnerRan) afterWinner else model
+      val outcome: Either[Unit, Map[Long, (String, Long)]] =
+        try Right(rnd.nextInt(3) match {
+          case 0 =>
+            val tag = loserTags(rnd.nextInt(loserTags.size))
+            val n = DeltaWrite.deleteWhere(spark, dir, col("tag") === tag)
+            val victims = model.filter(_._2._1 == tag)
+            assert(n == victims.size, s"step $step: delete count $n != ${victims.size}")
+            base -- victims.keys
+          case 1 =>
+            val k = 20L + rnd.nextInt(60)
+            val n = DeltaWrite.updateWhere(spark, dir, col("score") < k,
+              Seq("score" -> (col("score") + 1000L)))
+            val hits = model.filter(_._2._2 < k)
+            assert(n == hits.size, s"step $step: update count $n != ${hits.size}")
+            base ++ hits.map { case (id, (t, s)) => id -> (t, s + 1000L) }
+          case 2 =>
+            DeltaWrite.compact(spark, dir, smallFileBytes = 1L << 20, targetFiles = 1)
+            base
+        })
+        catch { case _: java.util.ConcurrentModificationException => Left(()) }
+        finally DeltaWrite.beforeDmlCommit = () => ()
+      model = outcome.getOrElse(base)
+      val got = readDeltaModel(dir)
+      assert(got == model,
+        s"step $step (${if (outcome.isRight) "commuted" else "aborted"}): " +
+          s"table ${got.size} rows diverged from model ${model.size}")
+    }
+  }
+
   test("Delta DV track: 30 random append/dvdelete/checkpoint/vacuum ops track the model") {
     val rnd = new scala.util.Random(90210L)
     val dir = java.nio.file.Files.createTempDirectory("graft_dv_fuzz").toString + "/t"
