@@ -153,6 +153,27 @@ object Bench {
     // query-major: a query's retries are separated by a whole suite
     // pass, so phases shorter than a pass can't poison every rep of
     // one query. Steady-state suite cost is ~10 s per pass.
+    // Stall-phase marker: a 10 ms heartbeat thread; any gap >100 ms
+    // means this JVM lost the CPU for that long (the host's documented
+    // vCPU-starvation phases — hrtimer stalls in the guest kernel log).
+    // Total stolen seconds ride the metric line so a driver record that
+    // was inflated by a stall phase SAYS so, instead of reading as a
+    // regression. Probe overhead: one sleeping thread, ~0.
+    val stallCount = new java.util.concurrent.atomic.AtomicLong(0)
+    val stallNanos = new java.util.concurrent.atomic.AtomicLong(0)
+    val probe = new Thread(() => {
+      var last = System.nanoTime()
+      while (true) {
+        Thread.sleep(10)
+        val now = System.nanoTime()
+        val gap = now - last - 10_000_000L
+        if (gap > 100_000_000L) { stallCount.incrementAndGet(); stallNanos.addAndGet(gap) }
+        last = now
+      }
+    }, "graft-stall-probe")
+    probe.setDaemon(true)
+    probe.start()
+
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     (1 to reps).foreach { _ =>
@@ -185,7 +206,8 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     def line(rs: Seq[(String, Double)], dropped: Int): String = {
       val d = if (dropped == 0) "" else s""","dropped":$dropped"""
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":${fmt(rs)}$d,"sf":"$sfDir"}"""
+      val st = f""","stalls":${stallCount.get()},"stall_sec":${stallNanos.get() / 1e9}%.1f"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":${fmt(rs)}$d$st,"sf":"$sfDir"}"""
     }
     try {
       val detail = new java.io.File("BENCH_DETAIL.json").getAbsoluteFile
