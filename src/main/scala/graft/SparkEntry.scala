@@ -2176,6 +2176,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // MERGE-ON-READ twin of q_iceberg_update: the same logical UPDATE
+    // under write.update.mode=merge-on-read — one snapshot commits
+    // position deletes + new row images, no victim file rewritten
+    // (write cost O(matched rows), the high-churn path at 100 TB)
+    "q_iceberg_update_mor" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_updmor_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(s, docs, base)
+      graft.sources.IcebergWrite.setProperties(s, base,
+        Map("write.update.mode" -> "merge-on-read"))
+      graft.sources.IcebergWrite.updateWhere(s, base, col("doc_id") % 3 === 0,
+        Seq("text" -> concat(lit("UPD:"), col("text"))))
+      graft.sources.IcebergScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
+    // MERGE-ON-READ twin of q_iceberg_merge: equality-delete upsert
+    // (delete files on the key + appended source, zero table rewrite),
+    // then a full COMPACT folds the deltas away — the read must be
+    // identical before and after the fold, so the gate reads the
+    // compacted table
+    "q_iceberg_merge_mor" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_mrgmor_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(
+        s, docs.filter(col("doc_id") % 2 === 0), base)
+      graft.sources.IcebergWrite.setProperties(s, base,
+        Map("write.merge.mode" -> "merge-on-read"))
+      val source = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("text", concat(lit("UPD:"), col("text")))
+      graft.sources.IcebergWrite.merge(s, base, source, Seq("doc_id"))
+      graft.sources.IcebergWrite.compact(s, base, smallFileBytes = 1L << 30)
+      graft.sources.IcebergScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // the full PARTITIONED Iceberg DML composition: position deletes
     // shard per partition, an UPDATE migrates rows across partitions,
     // a MERGE re-inserts previously-deleted keys — then a full read
@@ -4916,6 +4954,22 @@ object SparkEntry {
         |) ORDER BY doc_id, lang""".stripMargin,
 
     "q_iceberg_merge" ->
+      """SELECT doc_id, lang, text FROM documents
+        |WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+        |UNION ALL
+        |SELECT doc_id, lang, 'UPD:' || text FROM documents
+        |WHERE doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // the MOR twins compute the same logical result as their
+    // copy-on-write counterparts — identical oracles
+    "q_iceberg_update_mor" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'UPD:' || text ELSE text END AS text
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_merge_mor" ->
       """SELECT doc_id, lang, text FROM documents
         |WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
         |UNION ALL

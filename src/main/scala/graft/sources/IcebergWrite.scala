@@ -842,9 +842,16 @@ object IcebergWrite {
     val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
 
     // manifest list: the rewritten data manifest + delete manifests
-    // carried forward verbatim (previous DATA manifests are replaced)
+    // carried forward (previous DATA manifests are replaced). FOLDING:
+    // a delete manifest older than every surviving data file can never
+    // fire again — position deletes need delete.seq >= data.seq and
+    // equality deletes strictly > — so it drops here instead of riding
+    // every future snapshot; a FULL rewrite (kept empty) folds them all
+    // (this is what makes compact() fold merge-on-read deltas away).
+    val minKeptDataSeq =
+      if (kept.isEmpty) Long.MaxValue else kept.map(_._1.seq).min
     val prevDeleteManifests = readPrevManifests(fs, conf, root, version)
-      .filter(_.content == 1)
+      .filter(m => m.content == 1 && m.seq >= minKeptDataSeq)
     val minSeq = (kept.map(_._1.seq) :+ version.toLong).min
     val listRel = s"metadata/snap-$version-${pathNonce()}.avro"
     writeAvro(fs, new Path(root, listRel), manifestListSchema,
@@ -894,6 +901,12 @@ object IcebergWrite {
     assignments.foreach { case (n, _) =>
       require(schema.fieldNames.contains(n),
         s"SET column '$n' is not in the table schema") }
+
+    // table property write.update.mode=merge-on-read → delta commit
+    // (position deletes + new images) instead of a victim-file rewrite
+    if (tableProperty(spark, tablePath, "write.update.mode")
+        .contains("merge-on-read"))
+      return updateWhereMor(spark, tablePath, cond, setByName, schema)
 
     // victims from the DELETE-APPLIED lineage view: a row already dead
     // under an earlier position/equality delete never fires the update.
@@ -973,6 +986,13 @@ object IcebergWrite {
       require(src.groupBy(keys.map(col): _*).count()
         .filter(col("count") > 1).limit(1).count() == 0L,
         "merge source has duplicate key tuples — ambiguous upsert")
+
+      // table property write.merge.mode=merge-on-read → equality-delete
+      // upsert (delete files + appended source), no table rewrite
+      if (tableProperty(spark, tablePath, "write.merge.mode")
+          .contains("merge-on-read"))
+        return mergeMor(spark, tablePath, src, keys, txn, schema, srcRows)
+
       val srcK = src.select(keys.map(col): _*)
 
       val lineage = IcebergScan.readWithLineage(spark, tablePath)
@@ -1011,6 +1031,331 @@ object IcebergWrite {
         s"merge rewrite wrote no files (picked=$picked written=$written)")
       (updated, inserted)
     } finally src.unpersist()
+  }
+
+  /** Set/overwrite table properties in a metadata-only commit (no new
+    * snapshot — the rollback pattern: clone the previous JSON, merge the
+    * properties, CAS the next version). The DML mode switches live here:
+    * `write.update.mode` / `write.merge.mode` = `merge-on-read` flips
+    * [[updateWhere]] / [[merge]] from copy-on-write rewrites to delta
+    * (delete-file) commits. */
+  def setProperties(spark: SparkSession, tablePath: String,
+      props: Map[String, String]): Unit = {
+    require(props.nonEmpty, "setProperties needs at least one property")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    val prev = readUtf8(fs, hint).trim.toInt
+    val version = prev + 1
+    val metaDir = new Path(fs.makeQualified(new Path(tablePath)), "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val pnode = Option(node.get("properties"))
+      .map(_.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      .getOrElse(node.putObject("properties"))
+    props.foreach { case (k, v) => pnode.put(k, v) }
+    node.set[com.fasterxml.jackson.databind.JsonNode]("properties", pnode)
+    node.put("last-updated-ms", System.currentTimeMillis())
+    val metaPath = new Path(metaDir, s"v$version.metadata.json")
+    try writeUtf8(fs, metaPath, node.toString, overwrite = false)
+    catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent Iceberg commit detected: $metaPath already exists — " +
+            "another writer committed this version; re-read and retry", e)
+    }
+    writeUtf8(fs, new Path(metaDir, "version-hint.text"), version.toString)
+  }
+
+  /** current value of a table property, if set */
+  def tableProperty(spark: SparkSession, tablePath: String,
+      key: String): Option[String] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    if (!fs.exists(hint)) return scala.None
+    val prev = readUtf8(fs, hint).trim.toInt
+    val metaDir = new Path(fs.makeQualified(new Path(tablePath)), "metadata")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
+    Option(node.get("properties")).flatMap(p => Option(p.get(key))).map(_.asText())
+  }
+
+  // ---- merge-on-read DML -----------------------------------------------
+
+  /** Merge-on-read UPDATE: instead of rewriting victim files, ONE
+    * snapshot commits (a) position-delete files naming every matched
+    * row and (b) new data files holding the updated row images —
+    * write cost O(matched rows), not O(victim-file bytes), the spec's
+    * high-churn path. New data files take this commit's sequence
+    * number, so the commit's own position deletes (which name only OLD
+    * file paths) and every earlier equality delete leave them intact.
+    * Reads apply the deltas; [[compact]] folds them away. Same
+    * lineage-view planning, projection semantics, and type guard as
+    * the copy-on-write path. */
+  private def updateWhereMor(spark: SparkSession, tablePath: String,
+      cond: org.apache.spark.sql.Column,
+      setByName: Map[String, org.apache.spark.sql.Column],
+      tableSchema: StructType): Long = {
+    import org.apache.spark.sql.functions._
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    val prev = readUtf8(fs, hint).trim.toInt
+    val version = prev + 1
+    val root = fs.makeQualified(new Path(tablePath))
+    val metaDir = new Path(root, "metadata")
+    val carry = carryFromPrev(fs, metaDir, prev)
+    val partCols = carry.partCols
+    val (_, plannedLive) = IcebergScan.currentDataFiles(spark, tablePath)
+
+    // ONE persisted matched-row set feeds both halves of the commit —
+    // the delete positions and the new images must name the same rows
+    val matched = IcebergScan.readWithLineage(spark, tablePath, Some(cond))
+      .filter(cond).persist()
+    try {
+      val delWithRows = stagePositionDeletes(spark, fs, root, tablePath,
+        matched.select(col("__raw_file"), col("__pos")), version,
+        tableSchema, partCols)
+      val nUpdated = delWithRows.map(_._2).sum
+      if (nUpdated == 0L) return 0L
+
+      val fire = coalesce(cond, lit(false)) // all matched, but keep UPDATE semantics
+      val projected = tableSchema.fieldNames.map { n =>
+        setByName.get(n).map(e => when(fire, e).otherwise(col(n)).as(n))
+          .getOrElse(col(n))
+      }.toSeq
+      val shaped = matched.select(projected: _*)
+      require(
+        shaped.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+          tableSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"UPDATE changes the schema to ${shaped.schema.simpleString} — " +
+          s"assignments must preserve the table's ${tableSchema.simpleString}")
+      enforceRequired(shaped, tableSchema)
+      val dataDir = new Path(root, "data")
+      val pre = listParquet(fs, dataDir).toSet
+      withFieldIdWrites(spark) {
+        val w = stampFieldIds(shaped, carry.schemaJson).write.mode("append")
+        (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+          .parquet(dataDir.toString)
+      }
+      val dataWithRows = sizeParquet(fs, root,
+        listParquet(fs, dataDir).filterNot(pre.contains))
+      require(dataWithRows.map(_._2).sum == nUpdated,
+        s"MOR update wrote ${dataWithRows.map(_._2).sum} new rows for " +
+          s"$nUpdated deleted positions — aborting before commit")
+
+      commitMorSnapshot(spark, fs, root, metaDir, tablePath, carry,
+        plannedLive.toSet, version, "overwrite", txn = scala.None,
+        tableSchema, dataWithRows, posDeletes = delWithRows,
+        eqDeletes = scala.None)
+      nUpdated
+    } finally matched.unpersist()
+  }
+
+  /** Merge-on-read MERGE (upsert): ONE snapshot commits (a) a GLOBAL
+    * equality delete on the key columns for every non-NULL-key source
+    * tuple and (b) data files holding ALL source rows — write cost
+    * O(source), with NO table rewrite at all. Read-time sequence rules
+    * do the work: the delete (seq = this commit) kills matching rows
+    * in every STRICTLY older file, while this commit's own data files
+    * are immune — exactly upsert. A concurrent append that slips in
+    * between planning and commit is ALSO upserted (its matching rows
+    * die under the delete's higher sequence number) — the serial
+    * winner-first order, the same CDC-upsert semantics as
+    * [[deleteEqual]]; the returned counts describe the PLANNED
+    * snapshot. NULL-key source rows insert without deleting (NULL
+    * keys never match, but an equality delete is null-safe — they must
+    * stay out of the key set). */
+  private def mergeMor(spark: SparkSession, tablePath: String,
+      src: DataFrame, keys: Seq[String], txn: Option[(String, Long)],
+      tableSchema: StructType, srcRows: Long): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    val prev = readUtf8(fs, hint).trim.toInt
+    val version = prev + 1
+    val root = fs.makeQualified(new Path(tablePath))
+    val metaDir = new Path(root, "metadata")
+    val carry = carryFromPrev(fs, metaDir, prev)
+    val partCols = carry.partCols
+
+    // counts against the planned snapshot (one pass over the pruned
+    // lineage view): updated = live rows a source key hits
+    val srcK = src.select(keys.map(col): _*)
+    val lineage = IcebergScan.readWithLineage(spark, tablePath)
+    val updated = lineage.select(keys.map(col).toSeq: _*)
+      .join(srcK, keys, "left_semi").count()
+    val matchedSrc = srcK.join(lineage.select(keys.map(col).toSeq: _*),
+      keys, "left_semi").count()
+    val inserted = srcRows - matchedSrc
+
+    // the equality-delete key set: distinct non-NULL-key source tuples
+    val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val (delWithRows, eqIds) = stageEqualityDeletes(spark, fs, root,
+      src.filter(nonNull).select(keys.map(col): _*), version, carry, tablePath)
+
+    enforceRequired(src, tableSchema)
+    val dataDir = new Path(root, "data")
+    val pre = listParquet(fs, dataDir).toSet
+    val cols = tableSchema.fieldNames.map(col).toSeq
+    withFieldIdWrites(spark) {
+      val w = stampFieldIds(src.select(cols: _*), carry.schemaJson)
+        .write.mode("append")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+        .parquet(dataDir.toString)
+    }
+    val dataWithRows = sizeParquet(fs, root,
+      listParquet(fs, dataDir).filterNot(pre.contains))
+    require(dataWithRows.map(_._2).sum == srcRows,
+      s"MOR merge wrote ${dataWithRows.map(_._2).sum} rows for a " +
+        s"$srcRows-row source — aborting before commit")
+
+    // equality deletes reference KEYS, not files: commute with any
+    // winner that keeps schema + spec (plannedLive empty, like
+    // deleteEqual) — the serial order is winner-first by construction
+    commitMorSnapshot(spark, fs, root, metaDir, tablePath, carry,
+      plannedLive = Set.empty, version, "overwrite", txn,
+      tableSchema, dataWithRows, posDeletes = Seq.empty,
+      eqDeletes = if (delWithRows.isEmpty) scala.None
+                  else Some((delWithRows, eqIds)))
+    (updated, inserted)
+  }
+
+  /** parquet footer row counts + file sizes for a set of staged rels */
+  private def sizeParquet(fs: FileSystem, root: Path,
+      rels: Seq[String]): Seq[(String, Long, Long)] = {
+    val conf = fs.getConf
+    rels.map { rel =>
+      val p = new Path(root, rel)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      val rows = try r.getRecordCount finally r.close()
+      (rel, rows, fs.getFileStatus(p).getLen)
+    }.filter { case (rel, rows, _) =>
+      if (rows == 0L) fs.delete(new Path(root, rel), false)
+      rows > 0L
+    }
+  }
+
+  /** ONE snapshot carrying a data manifest (ADDED files, seq = this
+    * commit) plus up to one position-delete and one equality-delete
+    * manifest at the same sequence number — the merge-on-read commit
+    * shape. OCC semantics delegate to [[commitDeleteWithRetry]]:
+    * assembly (manifests + list + metadata JSON) retries at successive
+    * versions while the winner commutes; the staged parquet is reused
+    * verbatim. */
+  private def commitMorSnapshot(spark: SparkSession, fs: FileSystem,
+      root: Path, metaDir: Path, tablePath: String, carry: SchemaCarry,
+      plannedLive: Set[String], version: Int, operation: String,
+      txn: Option[(String, Long)], tableSchema: StructType,
+      dataWithRows: Seq[(String, Long, Long)],
+      posDeletes: Seq[(String, Long, Long)],
+      eqDeletes: Option[(Seq[(String, Long, Long)], Seq[Int])]): Unit = {
+    require(dataWithRows.nonEmpty, "MOR commit with no data files")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def assemble(v: Int, c: SchemaCarry): Unit = {
+      val partCols = c.partCols
+      val entrySchema = manifestSchemaFor(partFieldsOf(tableSchema, partCols))
+      val dataFileSchema = entrySchema.getField("data_file").schema()
+
+      // data manifest
+      val dataRel = s"metadata/manifest-$v-${pathNonce()}.avro"
+      writeAvro(fs, new Path(root, dataRel), entrySchema,
+        dataWithRows.map { case (rel, rows, len) =>
+          val file = new GenericData.Record(dataFileSchema)
+          file.put("content", 0)
+          file.put("file_path", rel)
+          file.put("file_format", "PARQUET")
+          file.put("partition",
+            partitionRecord(dataFileSchema, tableSchema, partCols, rel))
+          file.put("record_count", rows)
+          file.put("file_size_in_bytes", len)
+          file.put("block_size_in_bytes", DefaultBlockSize)
+          attachStats(file, dataFileSchema, conf, new Path(root, rel), c.schemaJson)
+          val entry = new GenericData.Record(entrySchema)
+          entry.put("status", 1) // ADDED
+          entry.put("snapshot_id", v.toLong)
+          entry.put("data_file", file)
+          entry
+        }, manifestMeta(c.schemaJson, fmtVersion = 2, content = "data",
+          specFieldsJson = c.specFieldsJson))
+      val dataRef = ManifestRef(dataRel,
+        fs.getFileStatus(new Path(root, dataRel)).getLen, 0,
+        content = 0, seq = v.toLong, minSeq = v.toLong, snapshotId = v.toLong,
+        addedFiles = dataWithRows.size, existingFiles = 0, deletedFiles = 0,
+        addedRows = dataWithRows.map(_._2).sum, existingRows = 0L,
+        deletedRows = 0L)
+
+      // position-delete manifest (partition-scoped entries)
+      val posRef = if (posDeletes.isEmpty) scala.None else {
+        val rel = s"metadata/manifest-$v-${pathNonce()}.avro"
+        writeAvro(fs, new Path(root, rel), entrySchema,
+          posDeletes.map { case (r, rows, len) =>
+            val file = new GenericData.Record(dataFileSchema)
+            file.put("content", 1) // POSITION DELETES
+            file.put("file_path", r)
+            file.put("file_format", "PARQUET")
+            file.put("partition",
+              partitionRecord(dataFileSchema, tableSchema, partCols, r))
+            file.put("record_count", rows)
+            file.put("file_size_in_bytes", len)
+            file.put("block_size_in_bytes", DefaultBlockSize)
+            val entry = new GenericData.Record(entrySchema)
+            entry.put("status", 1)
+            entry.put("snapshot_id", v.toLong)
+            entry.put("data_file", file)
+            entry
+          }, manifestMeta(c.schemaJson, fmtVersion = 2, content = "deletes",
+            specFieldsJson = c.specFieldsJson))
+        Some(ManifestRef(rel, fs.getFileStatus(new Path(root, rel)).getLen, 0,
+          content = 1, seq = v.toLong, minSeq = v.toLong, snapshotId = v.toLong,
+          addedFiles = posDeletes.size, existingFiles = 0, deletedFiles = 0,
+          addedRows = posDeletes.map(_._2).sum, existingRows = 0L,
+          deletedRows = 0L))
+      }
+
+      // equality-delete manifest (GLOBAL — unpartitioned spec)
+      val eqRef = eqDeletes.map { case (dels, eqIds) =>
+        val rel = s"metadata/manifest-$v-${pathNonce()}.avro"
+        val globalSpecId = if (partCols.isEmpty) 0 else 1
+        val gSchema = manifestSchema.getField("data_file").schema()
+        writeAvro(fs, new Path(root, rel), manifestSchema,
+          dels.map { case (r, rows, len) =>
+            val file = new GenericData.Record(gSchema)
+            file.put("content", 2) // EQUALITY DELETES
+            file.put("file_path", r)
+            file.put("file_format", "PARQUET")
+            file.put("partition",
+              new GenericData.Record(gSchema.getField("partition").schema()))
+            file.put("record_count", rows)
+            file.put("file_size_in_bytes", len)
+            file.put("block_size_in_bytes", DefaultBlockSize)
+            file.put("equality_ids", eqIds.map(Int.box).asJava)
+            val entry = new GenericData.Record(manifestSchema)
+            entry.put("status", 1)
+            entry.put("snapshot_id", v.toLong)
+            entry.put("data_file", file)
+            entry
+          }, manifestMeta(c.schemaJson, fmtVersion = 2, content = "deletes",
+            specId = globalSpecId))
+        ManifestRef(rel, fs.getFileStatus(new Path(root, rel)).getLen,
+          globalSpecId, content = 1, seq = v.toLong, minSeq = v.toLong,
+          snapshotId = v.toLong, addedFiles = dels.size, existingFiles = 0,
+          deletedFiles = 0, addedRows = dels.map(_._2).sum,
+          existingRows = 0L, deletedRows = 0L)
+      }
+
+      val prevManifests = readPrevManifests(fs, conf, root, v)
+      val listRel = s"metadata/snap-$v-${pathNonce()}.avro"
+      writeAvro(fs, new Path(root, listRel), manifestListSchema,
+        (prevManifests ++ Seq(dataRef) ++ posRef.toSeq ++ eqRef.toSeq)
+          .map(manifestRefRecord),
+        manifestListMeta(v, fmtVersion = 2))
+      writeMetadataJson(fs, metaDir, root, v, fmtVersion = 2,
+        c, listRel, operation = operation, propsOverride = txnProps(txn))
+    }
+    commitDeleteWithRetry(spark, fs, root, metaDir, tablePath, carry,
+      plannedLive, version, assemble)
   }
 
   /** ROLLBACK: re-point `current-snapshot-id` at an earlier snapshot
@@ -1540,92 +1885,16 @@ object IcebergWrite {
     val tableSchema = IcebergScan.sparkSchema(
       new com.fasterxml.jackson.databind.ObjectMapper().readTree(schemaJson))
 
-    // the spec reserves parquet field ids for position-delete columns:
-    // file_path = 2147483546, pos = 2147483545 — stamp them via
-    // Spark's parquet.field.id write support so external readers
-    // resolve the delete file by id
-    val fpMeta = new MetadataBuilder().putLong("parquet.field.id", 2147483546L).build()
-    val posMeta = new MetadataBuilder().putLong("parquet.field.id", 2147483545L).build()
     // victims come from the DELETE-APPLIED lineage view, so a row
     // already dead under an earlier position/equality delete is never
     // re-listed or re-counted; `cond` rides in as the manifest pruner
     val victims = IcebergScan.readWithLineage(spark, tablePath, Some(cond))
-      .filter(cond)
-      .select(col("__raw_file").as("file_path", fpMeta),
-        col("__pos").as("pos", posMeta))
-
-    // delete files land in their own subdir (writing into data/
-    // itself would trip Spark's read-write-same-path guard)
-    val delDir = new Path(root, s"data/deletes-v$version")
-    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
-    val prevFieldId = spark.conf.getOption(fieldIdKey)
-    spark.conf.set(fieldIdKey, "true")
-    try {
-      if (partCols.isEmpty)
-        // hash-partition by victim FILE so a predicate delete touching
-        // billions of rows never serializes through one task: each task
-        // holds complete file groups (skew bounded by rows-per-data-file,
-        // itself bounded by the write-time file size), writes ONE sorted
-        // delete file per group (the spec allows many delete files), and
-        // AQE coalesces a small victim set back to a single file. A
-        // range-partition would need a sampling pass — i.e. a second
-        // victim scan — for no better bound.
-        victims.repartition(col("file_path"))
-          .sortWithinPartitions("file_path", "pos")
-          .write.mode("overwrite").parquet(delDir.toString)
-      else {
-        // PARTITIONED: position deletes are partition-scoped by spec, so
-        // each touched partition gets its own delete file(s) in a hive
-        // directory mirroring the data layout. Partition values come
-        // from the live MANIFEST entries of the victim files (typed,
-        // layout-independent), joined in broadcast-size
-        val victimFiles = victims
-          .select(IcebergScan.normalizePathCol(col("file_path")).as("f"))
-          .distinct().collect().map(_.getString(0)) // [lint:bounded] live-data-file-count rows
-          .toSet
-        if (victimFiles.isEmpty) { fs.delete(delDir, true); return 0L }
-        val (_, entries) = IcebergScan.currentEntries(spark, tablePath)
-        val hitEntries = entries.filter(e =>
-          e.content == 0 && victimFiles.contains(IcebergScan.normalizePath(e.path)))
-        require(hitEntries.size == victimFiles.size,
-          s"victim files ${victimFiles.size} != matched live entries " +
-            s"${hitEntries.size} — path namespace mismatch between the " +
-            "lineage view and the manifest")
-        val partFields = partFieldsOf(tableSchema, partCols)
-        val pmapSchema = StructType(
-          StructField("__file", StringType) +: partFields.map(_.copy(nullable = true)))
-        val pmapRows: java.util.List[org.apache.spark.sql.Row] = hitEntries.map { e =>
-          org.apache.spark.sql.Row.fromSeq(IcebergScan.normalizePath(e.path) +:
-            partFields.map { f =>
-              require(e.partition.contains(f.name),
-                s"live entry ${e.path} carries no partition value for '${f.name}'")
-              partitionExternal(f.dataType, e.partition(f.name))
-            })
-        }.asJava
-        val pmap = spark.createDataFrame(pmapRows, pmapSchema)
-        victims
-          .withColumn("__file", IcebergScan.normalizePathCol(col("file_path")))
-          .join(broadcast(pmap), Seq("__file"))
-          .select(col("file_path").as("file_path", fpMeta) +:
-            col("pos").as("pos", posMeta) +: partCols.map(col): _*)
-          .repartition(partCols.map(col): _*) // all rows of a partition in one task → one file per touched partition
-          .sortWithinPartitions("file_path", "pos")
-          .write.partitionBy(partCols: _*).mode("overwrite").parquet(delDir.toString)
-      }
-    } finally prevFieldId match {
-      case Some(v) => spark.conf.set(fieldIdKey, v)
-      case None => spark.conf.unset(fieldIdKey)
-    }
-    val conf = spark.sparkContext.hadoopConfiguration
-    val delWithRows = listParquet(fs, delDir).map("data/" + _).map { rel =>
-      val p = new Path(root, rel)
-      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      val rows = try footer.getRecordCount finally footer.close()
-      (rel, rows, fs.getFileStatus(p).getLen)
-    }.filter(_._2 > 0L)
+      .filter(cond).select(col("__raw_file"), col("__pos"))
+    val delWithRows = stagePositionDeletes(spark, fs, root, tablePath,
+      victims, version, tableSchema, partCols)
     val nDeleted = delWithRows.map(_._2).sum
-    if (nDeleted == 0L) { fs.delete(delDir, true); return 0L }
+    if (nDeleted == 0L) return 0L // helper already cleaned its staging dir
+    val conf = spark.sparkContext.hadoopConfiguration
 
     def assemble(v: Int, c: SchemaCarry): Unit = {
       val manifestRel = s"metadata/manifest-$v-${pathNonce()}.avro"
@@ -1682,6 +1951,100 @@ object IcebergWrite {
     nDeleted
   }
 
+  /** stage position-delete parquet files for `victims` (columns
+    * `__raw_file`, `__pos` from the lineage view) under
+    * `data/deletes-v$version/`, returning (relPath, rows, bytes) per
+    * non-empty delete file. Shared by [[deleteWhere]] and the
+    * merge-on-read [[updateWhere]] path. */
+  private def stagePositionDeletes(spark: SparkSession, fs: FileSystem,
+      root: Path, tablePath: String, victims0: DataFrame, version: Int,
+      tableSchema: StructType, partCols: Seq[String]): Seq[(String, Long, Long)] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    // the spec reserves parquet field ids for position-delete columns:
+    // file_path = 2147483546, pos = 2147483545 — stamp them via
+    // Spark's parquet.field.id write support so external readers
+    // resolve the delete file by id
+    val fpMeta = new MetadataBuilder().putLong("parquet.field.id", 2147483546L).build()
+    val posMeta = new MetadataBuilder().putLong("parquet.field.id", 2147483545L).build()
+    val victims = victims0.select(col("__raw_file").as("file_path", fpMeta),
+      col("__pos").as("pos", posMeta))
+
+    // delete files land in their own subdir (writing into data/
+    // itself would trip Spark's read-write-same-path guard); the nonce
+    // keeps two writers racing to the same version from overwriting
+    // each other's staged files — only the metadata CAS arbitrates
+    val delDir = new Path(root, s"data/deletes-v$version-${pathNonce()}")
+    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+    val prevFieldId = spark.conf.getOption(fieldIdKey)
+    spark.conf.set(fieldIdKey, "true")
+    try {
+      if (partCols.isEmpty)
+        // hash-partition by victim FILE so a predicate delete touching
+        // billions of rows never serializes through one task: each task
+        // holds complete file groups (skew bounded by rows-per-data-file,
+        // itself bounded by the write-time file size), writes ONE sorted
+        // delete file per group (the spec allows many delete files), and
+        // AQE coalesces a small victim set back to a single file. A
+        // range-partition would need a sampling pass — i.e. a second
+        // victim scan — for no better bound.
+        victims.repartition(col("file_path"))
+          .sortWithinPartitions("file_path", "pos")
+          .write.mode("overwrite").parquet(delDir.toString)
+      else {
+        // PARTITIONED: position deletes are partition-scoped by spec, so
+        // each touched partition gets its own delete file(s) in a hive
+        // directory mirroring the data layout. Partition values come
+        // from the live MANIFEST entries of the victim files (typed,
+        // layout-independent), joined in broadcast-size
+        val victimFiles = victims
+          .select(IcebergScan.normalizePathCol(col("file_path")).as("f"))
+          .distinct().collect().map(_.getString(0)) // [lint:bounded] live-data-file-count rows
+          .toSet
+        if (victimFiles.isEmpty) { fs.delete(delDir, true); return Seq.empty }
+        val (_, entries) = IcebergScan.currentEntries(spark, tablePath)
+        val hitEntries = entries.filter(e =>
+          e.content == 0 && victimFiles.contains(IcebergScan.normalizePath(e.path)))
+        require(hitEntries.size == victimFiles.size,
+          s"victim files ${victimFiles.size} != matched live entries " +
+            s"${hitEntries.size} — path namespace mismatch between the " +
+            "lineage view and the manifest")
+        val partFields = partFieldsOf(tableSchema, partCols)
+        val pmapSchema = StructType(
+          StructField("__file", StringType) +: partFields.map(_.copy(nullable = true)))
+        val pmapRows: java.util.List[org.apache.spark.sql.Row] = hitEntries.map { e =>
+          org.apache.spark.sql.Row.fromSeq(IcebergScan.normalizePath(e.path) +:
+            partFields.map { f =>
+              require(e.partition.contains(f.name),
+                s"live entry ${e.path} carries no partition value for '${f.name}'")
+              partitionExternal(f.dataType, e.partition(f.name))
+            })
+        }.asJava
+        val pmap = spark.createDataFrame(pmapRows, pmapSchema)
+        victims
+          .withColumn("__file", IcebergScan.normalizePathCol(col("file_path")))
+          .join(broadcast(pmap), Seq("__file"))
+          .select(col("file_path").as("file_path", fpMeta) +:
+            col("pos").as("pos", posMeta) +: partCols.map(col): _*)
+          .repartition(partCols.map(col): _*) // all rows of a partition in one task → one file per touched partition
+          .sortWithinPartitions("file_path", "pos")
+          .write.partitionBy(partCols: _*).mode("overwrite").parquet(delDir.toString)
+      }
+    } finally prevFieldId match {
+      case Some(v) => spark.conf.set(fieldIdKey, v)
+      case None => spark.conf.unset(fieldIdKey)
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val staged = listParquet(fs, delDir).map("data/" + _).map { rel =>
+      val p = new Path(root, rel)
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      val rows = try footer.getRecordCount finally footer.close()
+      (rel, rows, fs.getFileStatus(p).getLen)
+    }.filter(_._2 > 0L)
+    if (staged.isEmpty) fs.delete(delDir, true)
+    staged
+  }
+
   /** shared OCC loop for delete commits (see [[deleteWhere]]): retry
     * `assemble` at successive versions while the winner's commits
     * commute; `plannedLive` empty skips the file-liveness check
@@ -1734,6 +2097,56 @@ object IcebergWrite {
     case (_, other) => other
   }
 
+  /** validate + stage equality-delete parquet files (distinct sorted
+    * key tuples, table field ids stamped) under
+    * `data/eqdeletes-v$version-<nonce>/`; returns the non-empty staged
+    * files and the key columns' field ids. Shared by [[deleteEqual]]
+    * and the merge-on-read [[merge]] path. */
+  private def stageEqualityDeletes(spark: SparkSession, fs: FileSystem,
+      root: Path, keys: DataFrame, version: Int, carry: SchemaCarry,
+      tablePath: String): (Seq[(String, Long, Long)], Seq[Int]) = {
+    import org.apache.spark.sql.functions.col
+    val schemaNode = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(carry.schemaJson)
+    val idByName = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    val declared = IcebergScan.sparkSchema(schemaNode)
+    keys.schema.fields.foreach { f =>
+      require(idByName.contains(f.name),
+        s"key column '${f.name}' is not a column of the table at $tablePath")
+      require(declared(f.name).dataType == f.dataType,
+        s"key column '${f.name}' type ${f.dataType.sql} does not match the " +
+          s"table's ${declared(f.name).dataType.sql}")
+    }
+    val eqIds = keys.schema.fields.map(f => idByName(f.name)).toSeq
+
+    // one distinct, sorted delete file stamped with the table field ids
+    val keyCols = keys.schema.fields.map { f =>
+      val m = new MetadataBuilder()
+        .putLong("parquet.field.id", idByName(f.name).toLong).build()
+      col(f.name).as(f.name, m)
+    }.toSeq
+    // nonce: racing writers must not overwrite each other's staged files
+    val delDir = new Path(root, s"data/eqdeletes-v$version-${pathNonce()}")
+    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
+    val prevFieldId = spark.conf.getOption(fieldIdKey)
+    spark.conf.set(fieldIdKey, "true")
+    // distinct() already hash-partitions by the key columns, so each task
+    // holds complete key groups and writes its own sorted delete file —
+    // a giant key set (a CDC backfill) never funnels through one task;
+    // AQE coalesces a small set back to a single file
+    try keys.select(keyCols: _*).distinct()
+      .sortWithinPartitions(keys.schema.fieldNames.map(col).toSeq: _*)
+      .write.mode("overwrite").parquet(delDir.toString)
+    finally prevFieldId match {
+      case Some(v) => spark.conf.set(fieldIdKey, v)
+      case None => spark.conf.unset(fieldIdKey)
+    }
+    val staged = sizeParquet(fs, root, listParquet(fs, delDir).map("data/" + _))
+    if (staged.isEmpty) fs.delete(delDir, true)
+    (staged, eqIds)
+  }
+
   /** EQUALITY-DELETE commit (v2): delete every row whose values in
     * `keys`' columns null-safely equal ANY key tuple. Readers apply it
     * to data files with sequence number STRICTLY below this commit's
@@ -1775,53 +2188,12 @@ object IcebergWrite {
           "another writer committed this version; re-read the table and retry")
 
     val metaDir = new Path(root, "metadata")
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val carry = carryFromPrev(fs, metaDir, prev)
-    val schemaJson = carry.schemaJson
-    val schemaNode = mapper.readTree(schemaJson)
-    val idByName = schemaNode.get("fields").elements().asScala
-      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
-    val declared = IcebergScan.sparkSchema(schemaNode)
-    keys.schema.fields.foreach { f =>
-      require(idByName.contains(f.name),
-        s"key column '${f.name}' is not a column of the table at $tablePath")
-      require(declared(f.name).dataType == f.dataType,
-        s"key column '${f.name}' type ${f.dataType.sql} does not match the " +
-          s"table's ${declared(f.name).dataType.sql}")
-    }
-    val eqIds = keys.schema.fields.map(f => idByName(f.name)).toSeq
-
-    // one distinct, sorted delete file stamped with the table field ids
-    val keyCols = keys.schema.fields.map { f =>
-      val m = new MetadataBuilder()
-        .putLong("parquet.field.id", idByName(f.name).toLong).build()
-      col(f.name).as(f.name, m)
-    }.toSeq
-    val delDir = new Path(root, s"data/eqdeletes-v$version")
-    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
-    val prevFieldId = spark.conf.getOption(fieldIdKey)
-    spark.conf.set(fieldIdKey, "true")
-    // distinct() already hash-partitions by the key columns, so each task
-    // holds complete key groups and writes its own sorted delete file —
-    // a giant key set (a CDC backfill) never funnels through one task;
-    // AQE coalesces a small set back to a single file
-    try keys.select(keyCols: _*).distinct()
-      .sortWithinPartitions(keys.schema.fieldNames.map(col).toSeq: _*)
-      .write.mode("overwrite").parquet(delDir.toString)
-    finally prevFieldId match {
-      case Some(v) => spark.conf.set(fieldIdKey, v)
-      case None => spark.conf.unset(fieldIdKey)
-    }
+    val (delWithRows, eqIds) =
+      stageEqualityDeletes(spark, fs, root, keys, version, carry, tablePath)
     val conf = spark.sparkContext.hadoopConfiguration
-    val delWithRows = listParquet(fs, delDir).map("data/" + _).map { rel =>
-      val p = new Path(root, rel)
-      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-      val rows = try footer.getRecordCount finally footer.close()
-      (rel, rows, fs.getFileStatus(p).getLen)
-    }.filter(_._2 > 0L)
     val nKeys = delWithRows.map(_._2).sum
-    if (nKeys == 0L) { fs.delete(delDir, true); return 0L }
+    if (nKeys == 0L) return 0L // helper already cleaned its staging dir
 
     def assemble(v: Int, c: SchemaCarry): Unit = {
       val manifestRel = s"metadata/manifest-$v-${pathNonce()}.avro"

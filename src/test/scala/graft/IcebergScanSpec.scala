@@ -19,6 +19,15 @@ import graft.sources.IcebergScan
   * replay/selection semantics are what's under test. */
 class IcebergScanSpec extends SparkSpec {
 
+  /** delete staging dirs carry an OCC nonce (deletes-vN-<nonce>) —
+    * resolve by prefix */
+  private def deleteDir(tableDir: String, prefix: String): java.io.File =
+    new java.io.File(s"$tableDir/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix)) match {
+      case Array(one) => one
+      case other => fail(s"expected one $prefix* dir, got ${other.mkString(", ")}")
+    }
+
   test("IcebergWrite round-trip: create + append read back by the built-in reader") {
     import graft.sources.{IcebergScan, IcebergWrite}
     import org.apache.spark.sql.functions.col
@@ -116,14 +125,14 @@ class IcebergScanSpec extends SparkSpec {
     try {
       val n = IcebergWrite.deleteWhere(spark, dir, col("kill") === true)
       assert(n == 60L)
-      val posDelFiles = java.nio.file.Files.list(
-        java.nio.file.Paths.get(s"$dir/data/deletes-v7")).iterator().asScala
-        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+      val posDelDir = deleteDir(dir, "deletes-v7")
+      val posDelFiles = posDelDir.listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSeq
       assert(posDelFiles.size > 1,
         s"6 victim files must fan out to >1 position-delete file, got $posDelFiles")
       // every delete file individually sorted by (file_path, pos) — spec
       posDelFiles.foreach { f =>
-        val rows = spark.read.parquet(s"$dir/data/deletes-v7/$f")
+        val rows = spark.read.parquet(s"$posDelDir/$f")
           .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
         assert(rows == rows.sortBy(identity), s"delete file $f must be sorted")
       }
@@ -134,9 +143,8 @@ class IcebergScanSpec extends SparkSpec {
       val m = IcebergWrite.deleteEqual(spark, dir,
         (0L until 1000L).filter(_ % 4 == 1).toDF("id"))
       assert(m == 250L)
-      val eqDelFiles = java.nio.file.Files.list(
-        java.nio.file.Paths.get(s"$dir/data/eqdeletes-v8")).iterator().asScala
-        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+      val eqDelFiles = deleteDir(dir, "eqdeletes-v8").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSeq
       assert(eqDelFiles.size > 1,
         s"250-key equality delete must fan out to >1 delete file, got $eqDelFiles")
       val left = IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSet
@@ -237,6 +245,106 @@ class IcebergScanSpec extends SparkSpec {
     }
   }
 
+  test("merge-on-read DML: delta commits instead of rewrites; compact folds the deltas away") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import spark.implicits._
+    def dataFiles(dir: String): Set[String] =
+      IcebergScan.files(spark, dir).filter(col("content") === "data")
+        .collect().map(_.getString(0)).toSet
+    def contents(dir: String): Set[String] =
+      IcebergScan.files(spark, dir).collect().map(_.getString(1)).toSet
+
+    // ---- MOR UPDATE: position deletes + new images, originals untouched
+    val d = java.nio.file.Files.createTempDirectory("graft_ice_mor_u").toString + "/t"
+    IcebergWrite.create(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v").repartition(2), d)
+    IcebergWrite.setProperties(spark, d, Map("write.update.mode" -> "merge-on-read"))
+    val before = dataFiles(d)
+    val n = IcebergWrite.updateWhere(spark, d, col("id") % 2 === 0,
+      Seq("v" -> concat(lit("U:"), col("v"))))
+    assert(n == 5L)
+    val after = dataFiles(d)
+    assert(before.subsetOf(after) && after.size > before.size,
+      "MOR update must keep every original data file live and only add images")
+    assert(contents(d).contains("position-deletes"),
+      "MOR update must commit position-delete files")
+    val got = IcebergScan.read(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == (1L to 10L).map(i =>
+      i -> (if (i % 2 == 0) s"U:v$i" else s"v$i")).toMap)
+
+    // deltas STACK: a second MOR update hits an already-updated row
+    // (its image lives in a NEW file the first delete never named)
+    assert(IcebergWrite.updateWhere(spark, d, col("id") === 2L,
+      Seq("v" -> lit("final"))) == 1L)
+    assert(IcebergScan.read(spark, d).filter(col("id") === 2L)
+      .head().getString(1) == "final")
+    // time travel to the pre-update snapshot sees the originals
+    assert(IcebergScan.read(spark, d, snapshotAsOf = Some(1L))
+      .filter(col("v").startsWith("U:")).count() == 0L)
+
+    // ---- compact FOLDS the deltas: full rewrite drops every delete manifest
+    val (picked, _) = IcebergWrite.compact(spark, d, smallFileBytes = 1L << 30)
+    assert(picked > 0)
+    assert(contents(d) == Set("data"),
+      s"full compaction must fold delete manifests away, still have ${contents(d)}")
+    val got2 = IcebergScan.read(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got2(2L) == "final" && got2(4L) == "U:v4" && got2(3L) == "v3")
+    assert(got2.size == 10)
+
+    // ---- MOR MERGE: equality-delete upsert, no table rewrite
+    val m = java.nio.file.Files.createTempDirectory("graft_ice_mor_m").toString + "/t"
+    val seed: Seq[(java.lang.Long, String)] =
+      Seq((1L: java.lang.Long, "a"), (2L: java.lang.Long, "b"),
+        (3L: java.lang.Long, "c"), (null, "nullkey-keep"))
+    IcebergWrite.create(spark, seed.toDF("id", "v"), m)
+    IcebergWrite.setProperties(spark, m, Map("write.merge.mode" -> "merge-on-read"))
+    val beforeM = dataFiles(m)
+    val src: Seq[(java.lang.Long, String)] =
+      Seq((2L: java.lang.Long, "B!"), (9L: java.lang.Long, "new"),
+        (null, "nullkey-insert"))
+    val (upd, ins) = IcebergWrite.merge(spark, m, src.toDF("id", "v"), Seq("id"))
+    assert(upd == 1L && ins == 2L, s"got ($upd, $ins)")
+    assert(beforeM.subsetOf(dataFiles(m)),
+      "MOR merge must not rewrite any data file")
+    assert(contents(m).contains("equality-deletes"),
+      "MOR merge must commit equality-delete files")
+    val gotM = IcebergScan.read(spark, m).collect()
+      .map(r => (Option(r.get(0)).map(_.toString).getOrElse("null"), r.getString(1)))
+      .toSet
+    assert(gotM == Set("1" -> "a", "2" -> "B!", "3" -> "c", "9" -> "new",
+      "null" -> "nullkey-keep", "null" -> "nullkey-insert").map(identity),
+      s"wrong merge result: $gotM")
+    // both NULL-key rows live: NULL keys never match, never delete
+    assert(gotM.count(_._1 == "null") == 2)
+
+    // a FOLLOW-UP append with a merged key survives (eq delete is
+    // strictly-older-files only)
+    IcebergWrite.append(spark,
+      Seq((2L: java.lang.Long, "later")).toDF("id", "v"), m)
+    assert(IcebergScan.read(spark, m).filter(col("id") === 2L).count() == 2L)
+
+    // ---- PARTITIONED MOR update: partition-scoped deletes, migrating image
+    val p = java.nio.file.Files.createTempDirectory("graft_ice_mor_p").toString + "/t"
+    IcebergWrite.create(spark,
+      Seq((1L, "en", "t1"), (2L, "en", "t2"), (3L, "de", "t3"))
+        .toDF("id", "lang", "text"), p, partitionBy = Seq("lang"))
+    IcebergWrite.setProperties(spark, p, Map("write.update.mode" -> "merge-on-read"))
+    assert(IcebergWrite.updateWhere(spark, p, col("id") === 2L,
+      Seq("lang" -> lit("fr"))) == 1L)
+    val gotP = IcebergScan.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(gotP == Map(1L -> "en", 2L -> "fr", 3L -> "de"))
+    // the migrated row is found by a partition-PRUNED read of its NEW home
+    assert(IcebergScan.read(spark, p,
+      skippingFilter = Some(col("lang") === "fr")).count() == 1L)
+    assert(IcebergScan.read(spark, p,
+      skippingFilter = Some(col("lang") === "en"))
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("v2 interop surface: field-ids, manifest metadata, v2 counts, reserved delete-column ids") {
     import graft.sources.{IcebergScan, IcebergWrite}
     import org.apache.spark.sql.functions.col
@@ -309,10 +417,8 @@ class IcebergScanSpec extends SparkSpec {
     } finally mf.close()
 
     // position-delete parquet: reserved column ids 2147483546/2147483545
-    val delParquet = {
-      val d = new java.io.File(s"$dir/data/deletes-v2")
-      d.listFiles().filter(_.getName.endsWith(".parquet")).head
-    }
+    val delParquet = deleteDir(dir, "deletes-v2")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
     val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(delParquet.getPath),
@@ -388,9 +494,8 @@ class IcebergScanSpec extends SparkSpec {
 
     // the delete files are PARTITION-SCOPED: one hive dir per touched
     // partition under deletes-v2, none for the untouched partitions
-    val delRoot = java.nio.file.Paths.get(dir, "data", "deletes-v2")
-    val delDirs = java.nio.file.Files.list(delRoot).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("lang=")).toSet
+    val delDirs = deleteDir(dir, "deletes-v2").listFiles()
+      .map(_.getName).filter(_.startsWith("lang=")).toSet
     assert(delDirs == Set("lang=en", "lang=de"))
 
     // time travel to the pre-delete snapshot still sees all 5 rows
@@ -710,7 +815,7 @@ class IcebergScanSpec extends SparkSpec {
       IcebergWrite.deleteEqual(spark, dir, Seq(1).toDF("id")) // int, not long
     }.getMessage.contains("does not match"))
     // the delete parquet carries the TABLE's field ids
-    val delFile = new java.io.File(s"$dir/data/eqdeletes-v2")
+    val delFile = deleteDir(dir, "eqdeletes-v2")
       .listFiles().filter(_.getName.endsWith(".parquet")).head
     val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(

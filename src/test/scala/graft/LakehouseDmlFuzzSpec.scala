@@ -372,6 +372,94 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
     }
   }
 
+  test("MERGE-ON-READ Iceberg: 40 random ops track the model — updates/merges commit deltas, compact folds them") {
+    // the CoW fuzz mix with write.update.mode/write.merge.mode =
+    // merge-on-read: UPDATE stacks position deletes + images, MERGE
+    // stacks equality deletes + appends, deleteWhere/deleteEqual stack
+    // more deltas on the deltas, compact folds everything, rollback
+    // crosses MOR snapshots — the interleavings no hand case covers
+    val rnd = new scala.util.Random(80815L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_mor_fuzz").toString + "/t"
+    var model = Map.empty[Long, String]
+    var nextId = 0L
+    var snaps = Map.empty[Long, Map[Long, String]]
+
+    def freshRows(n: Int): Seq[(Long, String)] =
+      (1 to n).map { _ => nextId += 1; (nextId, s"t${rnd.nextInt(4)}") }
+    def currentSnapshotId: Long = {
+      val hint = java.nio.file.Paths.get(dir, "metadata", "version-hint.text")
+      val v = new String(java.nio.file.Files.readAllBytes(hint), "UTF-8").trim
+      val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, "metadata", s"v$v.metadata.json")), "UTF-8"))
+      meta.get("current-snapshot-id").asLong()
+    }
+    def sync(): Unit = snaps += currentSnapshotId -> model
+
+    val r0 = freshRows(5)
+    IcebergWrite.create(spark, r0.toDF("id", "tag"), dir)
+    IcebergWrite.setProperties(spark, dir, Map(
+      "write.update.mode" -> "merge-on-read",
+      "write.merge.mode" -> "merge-on-read"))
+    model = r0.toMap
+    sync()
+
+    (1 to 40).foreach { step =>
+      rnd.nextInt(7) match {
+        case 0 =>
+          val rows = freshRows(1 + rnd.nextInt(4))
+          IcebergWrite.append(spark, rows.toDF("id", "tag"), dir)
+          model ++= rows
+        case 1 => // positional delete by tag (stacks on MOR images)
+          val tag = s"t${rnd.nextInt(4)}"
+          val n = IcebergWrite.deleteWhere(spark, dir, col("tag") === tag)
+          val victims = model.filter(_._2 == tag)
+          assert(n == victims.size, s"step $step: posdelete $n != ${victims.size}")
+          model --= victims.keys
+        case 2 => // equality delete by id keys
+          val keys = model.keys.toSeq.sorted.filter(_ => rnd.nextBoolean()).take(3)
+          if (keys.nonEmpty) {
+            val n = IcebergWrite.deleteEqual(spark, dir, keys.toDF("id"))
+            assert(n == keys.size)
+            model --= keys
+          }
+        case 3 =>
+          IcebergWrite.compact(spark, dir, smallFileBytes = 1L << 20)
+        case 4 => // rollback across MOR snapshots
+          if (rnd.nextInt(3) == 0) {
+            val ids = snaps.keys.toSeq.sorted
+            val target = ids(rnd.nextInt(ids.size))
+            IcebergWrite.rollback(spark, dir, target)
+            model = snaps(target)
+          }
+        case 5 => // MOR update: retag every row of a random tag
+          val from = s"t${rnd.nextInt(4)}"
+          val to = s"t${rnd.nextInt(4)}"
+          val n = IcebergWrite.updateWhere(spark, dir, col("tag") === from,
+            Seq("tag" -> lit(to)))
+          val hits = model.filter(_._2 == from)
+          assert(n == hits.size, s"step $step: MOR update count $n != ${hits.size}")
+          model ++= hits.keys.map(_ -> to)
+        case 6 => // MOR merge: retag a random live subset + insert fresh
+          val updates = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextBoolean()).take(3)
+            .map(id => (id, s"t${rnd.nextInt(4)}"))
+          val inserts = freshRows(rnd.nextInt(3))
+          val src = updates ++ inserts
+          if (src.nonEmpty) {
+            val (u, i) = IcebergWrite.merge(spark, dir, src.toDF("id", "tag"), Seq("id"))
+            assert(u == updates.size && i == inserts.size,
+              s"step $step: MOR merge counts ($u,$i) != (${updates.size},${inserts.size})")
+            model ++= src
+          }
+      }
+      sync()
+      val got = readIceModel(dir)
+      assert(got == model,
+        s"step $step: table ${got.size} rows diverged from model ${model.size}")
+    }
+  }
+
   test("PARTITIONED Iceberg: 40 random ops track the model — updates migrate partitions constantly") {
     // same op mix, but the table is partitioned BY THE MUTATED COLUMN
     // (tag): every retagging update/merge moves rows across hive
