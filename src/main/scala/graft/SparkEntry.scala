@@ -2111,6 +2111,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DELETION-VECTOR twin of q_delta_update: the same logical UPDATE
+    // as a merge-on-read commit — matched rows die via their files'
+    // DVs, images append, no victim rewrite (O(matched rows) write
+    // cost, the high-churn path)
+    "q_delta_update_dv" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_upddv_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.DeltaWrite.create(s, docs, base, partitionBy = Seq("lang"))
+      graft.sources.DeltaWrite.updateWhereDV(s, base, col("doc_id") % 3 === 0,
+        Seq("text" -> concat(lit("UPD:"), col("text"))))
+      graft.sources.DeltaScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
+    // DELETION-VECTOR twin of q_delta_merge: upsert where matched keys
+    // die via DV and all source rows append — zero rewrite, zero
+    // survivor copy
+    "q_delta_merge_dv" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_mrgdv_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.DeltaWrite.create(
+        s, docs.filter(col("doc_id") % 2 === 0), base)
+      val source = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("text", concat(lit("UPD:"), col("text")))
+      graft.sources.DeltaWrite.mergeDV(s, base, source, Seq("doc_id"))
+      graft.sources.DeltaScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // Delta V2 CHECKPOINT round trip: sidecar-layout checkpoint, whole
     // JSON tail deleted — the replay must reconstruct the exact table
     // from the UUID-named top file + parquet sidecar alone
@@ -4876,6 +4907,22 @@ object SparkEntry {
 
     "q_delta_ckpt_v2" ->
       """SELECT doc_id, lang, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // the DV twins compute the same logical result as their
+    // copy-on-write counterparts — identical oracles
+    "q_delta_update_dv" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'UPD:' || text ELSE text END AS text
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_delta_merge_dv" ->
+      """SELECT doc_id, lang, text FROM documents
+        |WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+        |UNION ALL
+        |SELECT doc_id, lang, 'UPD:' || text FROM documents
+        |WHERE doc_id % 3 = 0
         |ORDER BY doc_id""".stripMargin,
 
     "q_iceberg_partitioned" ->

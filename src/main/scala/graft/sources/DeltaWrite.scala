@@ -1213,20 +1213,9 @@ object DeltaWrite {
       txn: Option[(String, Long)] = None,
       operation: Option[String] = scala.None,
       scope: Option[CommitScope] = scala.None): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val (kept, empty) = added.partition { case (rel, _) =>
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(root, rel), conf))
-      (try r.getRecordCount finally r.close()) > 0L
-    }
-    empty.foreach { case (rel, _) => fs.delete(new Path(root, rel), false) }
     val now = System.currentTimeMillis()
     val actions =
-      kept.map { case (rel, size) =>
-        val stats = ParquetStats.statsJson(conf, new Path(root, rel))
-          .map(s => s""","stats":${jstr(s)}""").getOrElse("")
-        s"""{"add":{"path":${jstr(encodePath(rel))},"partitionValues":{${partitionValuesJson(rel)}},"size":$size,"modificationTime":$now,"dataChange":true$stats}}"""
-      } ++ removedRels.map { rel =>
+      stagedAddLines(spark, fs, root, added) ++ removedRels.map { rel =>
         s"""{"remove":{"path":${jstr(encodePath(rel))},"deletionTimestamp":$now,"dataChange":true}}"""
       }
     val txnLines = txn.toSeq.map { case (app, tv) =>
@@ -1237,6 +1226,26 @@ object DeltaWrite {
       case None =>
         val v = DeltaScan.latestVersion(spark, root.toString) + 1
         writeCommitFile(fs, root, v, txnLines ++ actions, operation = operation)
+    }
+  }
+
+  /** add-action lines for freshly staged files: zero-row parts dropped
+    * (a victim file whose every row died leaves an empty part), footer
+    * stats attached — shared by [[commitRewrite]] and the DV DMLs */
+  private def stagedAddLines(spark: SparkSession, fs: FileSystem, root: Path,
+      added: Seq[(String, Long)]): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (kept, empty) = added.partition { case (rel, _) =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(root, rel), conf))
+      (try r.getRecordCount finally r.close()) > 0L
+    }
+    empty.foreach { case (rel, _) => fs.delete(new Path(root, rel), false) }
+    val now = System.currentTimeMillis()
+    kept.map { case (rel, size) =>
+      val stats = ParquetStats.statsJson(conf, new Path(root, rel))
+        .map(s => s""","stats":${jstr(s)}""").getOrElse("")
+      s"""{"add":{"path":${jstr(encodePath(rel))},"partitionValues":{${partitionValuesJson(rel)}},"size":$size,"modificationTime":$now,"dataChange":true$stats}}"""
     }
   }
 
@@ -1442,8 +1451,28 @@ object DeltaWrite {
     if (latestAdds.isEmpty) return 0L
     val live = latestAdds.keys.toSeq.sorted
 
-    // existing DV positions as a (rel, pos) frame — built executor-side
-    // from the descriptors (bounded per task by one file's cardinality)
+    val (oldDescByRel, oldPosDf) = dvState(spark, root.toString, latestAdds)
+    val victims = liveScan(spark, root, schema, partCols, live, mapped)
+      .filter(cond)
+      .select(col("__rel"), col("__pos"))
+      .join(oldPosDf, Seq("__rel", "__pos"), "left_anti")
+
+    val (dvAdds, nDeleted, victimFiles) =
+      stageDvReAdds(spark, root.toString, latestAdds, oldDescByRel, victims)
+    if (nDeleted == 0L) return 0L
+    commitWithRetry(spark, fs, root, dvProtocolAction(proto) ++ dvAdds,
+      Some("DELETE (DV)"),
+      CommitScope("DELETE (DV)", readV, victimFiles,
+        readsWholeTable = false, pred = Some((schema, cond))))
+    nDeleted
+  }
+
+  /** existing DV descriptors per live file + their dead positions as a
+    * (__rel, __pos) frame — built executor-side from the descriptors
+    * (bounded per task by one file's cardinality) */
+  private def dvState(spark: SparkSession, rootStr: String,
+      latestAdds: Map[String, com.fasterxml.jackson.databind.node.ObjectNode])
+      : (Map[String, DeletionVectors.Descriptor], DataFrame) = {
     val oldDescByRel: Map[String, DeletionVectors.Descriptor] =
       latestAdds.flatMap { case (rel, add) =>
         val dv = add.get("deletionVector")
@@ -1454,20 +1483,26 @@ object DeltaWrite {
           dv.get("sizeInBytes").asInt(), dv.get("cardinality").asLong()))
       }
     val holder = new DeletionVectors.ConfHolder(spark.sparkContext.hadoopConfiguration)
-    val rootStr = root.toString
-    val oldPosDf = {
-      import spark.implicits._
+    import spark.implicits._
+    val oldPosDf =
       spark.sparkContext.parallelize(oldDescByRel.toSeq, math.max(1, oldDescByRel.size))
         .flatMap { case (rel, d) =>
           DeletionVectors.readPositions(holder.value, rootStr, d).map(p => (rel, p))
         }.toDF("__rel", "__pos")
-    }
+    (oldDescByRel, oldPosDf)
+  }
 
-    val victims = liveScan(spark, root, schema, partCols, live, mapped)
-      .filter(cond)
-      .select(col("__rel"), col("__pos"))
-      .join(oldPosDf, Seq("__rel", "__pos"), "left_anti")
-
+  /** per-victim-file DV union + EXECUTOR-side bin writes for a
+    * (__rel, __pos) victim frame (already excluding rows dead under
+    * existing DVs): returns (re-add action lines carrying the new
+    * descriptors, newly-dead row count, victim file set). Shared by
+    * the three DV DMLs. */
+  private def stageDvReAdds(spark: SparkSession, rootStr: String,
+      latestAdds: Map[String, com.fasterxml.jackson.databind.node.ObjectNode],
+      oldDescByRel: Map[String, DeletionVectors.Descriptor],
+      victims: DataFrame): (Seq[String], Long, Set[String]) = {
+    import org.apache.spark.sql.functions._
+    val holder = new DeletionVectors.ConfHolder(spark.sparkContext.hadoopConfiguration)
     // one pass: per victim file, the sorted new ordinals; DV files are
     // written INSIDE the tasks, the driver collects only descriptors
     val perFile = victims.groupBy("__rel")
@@ -1487,18 +1522,6 @@ object DeltaWrite {
             d.cardinality, newPos.length.toLong)
         }
       }.collect().toSeq // [lint:bounded] one row per VICTIM FILE, never per row
-    if (written.isEmpty) return 0L
-    val nDeleted = written.map(_._6).sum
-
-    val needsUpgrade = proto.forall { p =>
-      p.get("minReaderVersion").asInt() < 3 ||
-        !Option(p.get("readerFeatures")).exists(_.elements().asScala
-          .exists(_.asText() == "deletionVectors"))
-    }
-    val protoAction =
-      if (!needsUpgrade) Seq.empty
-      else Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
     val adds = written.sortBy(_._1).map { case (rel, ref, off, size, card, _) =>
       val node = latestAdds(rel).deepCopy()
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1510,10 +1533,188 @@ object DeltaWrite {
       node.put("dataChange", true)
       s"""{"add":${node.toString}}"""
     }
-    commitWithRetry(spark, fs, root, protoAction ++ adds, Some("DELETE (DV)"),
-      CommitScope("DELETE (DV)", readV, written.map(_._1).toSet,
+    (adds, written.map(_._6).sum, written.map(_._1).toSet)
+  }
+
+  /** the reader-3/writer-7 deletionVectors feature upgrade, when the
+    * table's current protocol lacks it (readers without DV support
+    * then refuse loudly instead of resurrecting rows) */
+  private def dvProtocolAction(
+      proto: Option[com.fasterxml.jackson.databind.node.ObjectNode]): Seq[String] = {
+    val needsUpgrade = proto.forall { p =>
+      p.get("minReaderVersion").asInt() < 3 ||
+        !Option(p.get("readerFeatures")).exists(_.elements().asScala
+          .exists(_.asText() == "deletionVectors"))
+    }
+    if (!needsUpgrade) Seq.empty
+    else Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+      """"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+  }
+
+  /** Row-level UPDATE, merge-on-read (deletion vectors): ONE commit
+    * marks every matched row dead in its file's DV and appends new
+    * data files holding the updated images — write cost O(matched
+    * rows), never a victim-file rewrite; the DV twin of [[updateWhere]]
+    * the way [[deleteWhereDV]] twins [[deleteWhere]]. Same projection
+    * semantics (every SET right-hand side sees the ORIGINAL values),
+    * same partition-column and type guards, CHECK/NOT NULL constraints
+    * enforced on the images. Rows already dead under existing DVs
+    * neither fire nor count. Returns the number of rows updated. */
+  def updateWhereDV(spark: SparkSession, tablePath: String,
+      cond: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    import org.apache.spark.sql.functions._
+    require(assignments.nonEmpty, "updateWhereDV needs at least one SET assignment")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(tablePath))
+    val (schema, partCols) = tableMeta(fs, tablePath)
+    val mapped = isMapped(fs, tablePath)
+    val setByName = assignments.toMap
+    require(setByName.size == assignments.size, "duplicate SET column")
+    assignments.foreach { case (n, _) =>
+      require(schema.fieldNames.contains(n), s"SET column '$n' is not in the table schema")
+      require(!partCols.contains(n),
+        s"SET column '$n' is a partition column — updating it moves rows " +
+          "across files; use merge for key-relocating updates")
+    }
+    val readV = DeltaScan.latestVersion(spark, tablePath)
+    val (latestAdds, proto) = replayLatestAdds(fs, root.toString)
+    if (latestAdds.isEmpty) return 0L
+    val live = latestAdds.keys.toSeq.sorted
+    val (oldDescByRel, oldPosDf) = dvState(spark, root.toString, latestAdds)
+
+    val matched = liveScan(spark, root, schema, partCols, live, mapped)
+      .filter(cond)
+      .join(oldPosDf, Seq("__rel", "__pos"), "left_anti")
+
+    val (dvAdds, nUpdated, victimFiles) = stageDvReAdds(spark, root.toString,
+      latestAdds, oldDescByRel, matched.select(col("__rel"), col("__pos")))
+    if (nUpdated == 0L) return 0L
+
+    val fire = coalesce(cond, lit(false))
+    val dataCols = schema.fieldNames.filterNot(partCols.contains)
+    // one projection so every RHS reads pre-update values (all staged
+    // rows matched, but the guard keeps NULL-cond semantics airtight)
+    val projected = dataCols.map { n =>
+      setByName.get(n).map(e => when(fire, e).otherwise(col(n)).as(n))
+        .getOrElse(col(n))
+    }
+    // schema-preservation guard BEFORE any file is staged (plan-only)
+    val declared = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
+    val probe = matched.select(projected.toSeq: _*).schema
+    require(
+      probe.fields.map(f => (f.name, f.dataType)).toSeq ==
+        declared.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"UPDATE changes the schema to ${probe.simpleString} — " +
+        s"assignments must preserve the table's ${declared.simpleString}")
+    // CHECK constraints + NOT NULL gate the post-update images
+    latestMetaNodeAny(spark, fs, tablePath).foreach { md =>
+      val images = matched.select(projected.toSeq: _*)
+      enforceConstraints(images, configOf(md))
+      enforceRequired(images, schema)
+    }
+
+    // images land beside their source files (partition columns are not
+    // assignable, so each victim partition dir keeps its own rows)
+    val added = victimFiles.toSeq.sorted
+      .groupBy(r => r.split('/').dropRight(1).mkString("/"))
+      .toSeq.sortBy(_._1).flatMap { case (partDir, rels) =>
+        writeStaged(fs, root, destPrefix = partDir) { staging =>
+          liveScan(spark, root, schema, partCols, rels, mapped)
+            .filter(cond)
+            .join(oldPosDf, Seq("__rel", "__pos"), "left_anti")
+            .select(projected.toSeq: _*)
+            .select(toPhysical(schema, mapped, dataCols.toSeq): _*)
+            .write.mode("append").parquet(staging)
+        }
+      }
+    commitWithRetry(spark, fs, root,
+      dvProtocolAction(proto) ++ dvAdds ++ stagedAddLines(spark, fs, root, added),
+      Some("UPDATE (DV)"),
+      CommitScope("UPDATE (DV)", readV, victimFiles,
         readsWholeTable = false, pred = Some((schema, cond))))
-    nDeleted
+    nUpdated
+  }
+
+  /** MERGE (upsert) by key, merge-on-read (deletion vectors): matched
+    * rows die via their files' DVs and ALL source rows land as new
+    * data files — ONE commit, no victim rewrite, no survivor copy; the
+    * DV twin of [[merge]]. Same source validation (schema match,
+    * unique keys, NULL keys never match → insert) and constraint
+    * gating; returns (updatedRows, insertedRows). */
+  def mergeDV(spark: SparkSession, tablePath: String, source: DataFrame,
+      keys: Seq[String], txn: Option[(String, Long)] = None): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(tablePath))
+    val (schema, partCols) = tableMeta(fs, tablePath)
+    val mapped = isMapped(fs, tablePath)
+    require(
+      schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        source.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"merge source schema ${source.schema.simpleString} does not match " +
+        s"the table's ${schema.simpleString}")
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"merge key column '$k' is not in the table schema"))
+
+    val src = source.persist()
+    try {
+      val srcRows = src.count()
+      if (srcRows == 0L) return (0L, 0L)
+      require(src.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count() == 0L,
+        "merge source has duplicate key tuples — ambiguous upsert")
+      val srcK = src.select(keys.map(col): _*)
+
+      val readV = DeltaScan.latestVersion(spark, tablePath)
+      val (latestAdds, proto) = replayLatestAdds(fs, root.toString)
+      val live = latestAdds.keys.toSeq.sorted
+      val (oldDescByRel, oldPosDf) = dvState(spark, root.toString, latestAdds)
+
+      val matched =
+        if (live.isEmpty) scala.None
+        else Some(liveScan(spark, root, schema, partCols, live, mapped)
+          .join(oldPosDf, Seq("__rel", "__pos"), "left_anti")
+          .join(srcK, keys, "left_semi"))
+      val (dvAdds, updated, victimFiles) = matched match {
+        case Some(m) => stageDvReAdds(spark, root.toString, latestAdds,
+          oldDescByRel, m.select(col("__rel"), col("__pos")))
+        case scala.None => (Seq.empty[String], 0L, Set.empty[String])
+      }
+      // matched rows live only in victim files by construction
+      val matchedSrc =
+        if (victimFiles.isEmpty) 0L
+        else srcK.join(
+          liveScan(spark, root, schema, partCols, victimFiles.toSeq.sorted, mapped)
+            .join(oldPosDf, Seq("__rel", "__pos"), "left_anti")
+            .select(keys.map(col): _*), keys, "left_semi").count()
+      val inserted = srcRows - matchedSrc
+
+      val newLogical = src.select(schema.fieldNames.map(col).toSeq: _*)
+      latestMetaNodeAny(spark, fs, tablePath).foreach { md =>
+        enforceConstraints(newLogical, configOf(md))
+        enforceRequired(newLogical, schema)
+      }
+      val newData = newLogical
+        .select(toPhysical(schema, mapped, schema.fieldNames.toSeq): _*)
+      val physParts = partCols.map(p =>
+        if (mapped) DeltaScan.physicalName(schema(p)) else p)
+      val added = writeStaged(fs, root, destPrefix = "") { staging =>
+        val w = newData.write.mode("append")
+        (if (physParts.nonEmpty) w.partitionBy(physParts: _*) else w).parquet(staging)
+      }
+      // merge read the WHOLE table — every concurrent data append conflicts
+      commitWithRetry(spark, fs, root,
+        txn.toSeq.map { case (app, tv) =>
+          s"""{"txn":{"appId":${jstr(app)},"version":$tv,"lastUpdated":${System.currentTimeMillis()}}}"""
+        } ++ dvProtocolAction(proto) ++ dvAdds ++
+          stagedAddLines(spark, fs, root, added),
+        Some("MERGE (DV)"),
+        CommitScope("MERGE (DV)", readV, victimFiles,
+          readsWholeTable = true, pred = scala.None))
+      (updated, inserted)
+    } finally src.unpersist()
   }
 
   /** MERGE (upsert) by key, copy-on-write: every current row whose key

@@ -1085,6 +1085,73 @@ class DeltaScanSpec extends SparkSpec {
       Set(1L, 2L, 4L, 10L), "DVs and protocol must survive checkpointing")
   }
 
+  test("updateWhereDV / mergeDV: merge-on-read DML — DVs kill the old rows, images append, no rewrite") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    val dir = freshDir("graft_delta_dvdml").toString
+    DeltaWrite.create(spark, (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+    val parquetsBefore = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+    // DV UPDATE: matched rows die via DV, images land as new files
+    val n = DeltaWrite.updateWhereDV(spark, dir, col("id") % 2 === 0,
+      Seq("v" -> concat(lit("U:"), col("v"))))
+    assert(n == 3L)
+    assert(DeltaScan.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap ==
+      (1L to 6L).map(i => i -> (if (i % 2 == 0) s"U:v$i" else s"v$i")).toMap)
+    val parquetsAfter = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(parquetsBefore.subsetOf(parquetsAfter) &&
+      parquetsAfter.size > parquetsBefore.size,
+      "a DV update must keep every original data file and only append images")
+    // time travel to the pre-update version sees the originals
+    assert(DeltaScan.read(spark, dir, versionAsOf = Some(0L))
+      .filter(col("v").startsWith("U:")).count() == 0L)
+
+    // stacking: a second DV update hits an image row (in a NEW file)
+    assert(DeltaWrite.updateWhereDV(spark, dir, col("id") === 2L,
+      Seq("v" -> lit("final"))) == 1L)
+    assert(DeltaScan.read(spark, dir).filter(col("id") === 2L)
+      .head().getString(1) == "final")
+    // no-match commits nothing
+    val vB = DeltaScan.latestVersion(spark, dir)
+    assert(DeltaWrite.updateWhereDV(spark, dir, col("id") === 99L,
+      Seq("v" -> lit("x"))) == 0L)
+    assert(DeltaScan.latestVersion(spark, dir) == vB)
+    // partition columns stay un-assignable, schema drift stays loud
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.updateWhereDV(spark, dir, col("id") === 1L,
+        Seq("v" -> col("id"))) // long into a string column
+    }.getMessage.contains("preserve"))
+
+    // DV MERGE: matched keys die via DV, ALL source rows append
+    val (u, ins) = DeltaWrite.mergeDV(spark, dir,
+      Seq((3L, "M3"), (9L, "M9")).toDF("id", "v"), Seq("id"))
+    assert(u == 1L && ins == 1L, s"got ($u, $ins)")
+    val got = DeltaScan.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(3L) == "M3" && got(9L) == "M9" && got(1L) == "v1" &&
+      got(2L) == "final" && got.size == 7)
+    // the CDC snapshot diff sees the merge as its delete+insert pair
+    val diff = DeltaScan.changesBetween(spark, dir, vB, vB + 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(diff == Set((3L, "v3", "delete"), (3L, "M3", "insert"),
+      (9L, "M9", "insert")), s"wrong diff: $diff")
+
+    // a DV-merge into a PARTITIONED table relocates a row across
+    // partitions (old row DV'd in lang=en, image appended under lang=fr)
+    val p = freshDir("graft_delta_dvdml_p").toString
+    DeltaWrite.create(spark,
+      Seq((1L, "en", "t1"), (2L, "en", "t2")).toDF("id", "lang", "text"),
+      p, partitionBy = Seq("lang"))
+    val (u2, i2) = DeltaWrite.mergeDV(spark, p,
+      Seq((2L, "fr", "t2moved")).toDF("id", "lang", "text"), Seq("id"))
+    assert(u2 == 1L && i2 == 0L)
+    assert(DeltaScan.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "en"), (2L, "fr")))
+  }
+
   test("vacuum reclaims superseded DV bins; the live DV never") {
     import graft.sources.{DeltaWrite, DeltaScan}
     val dir = freshDir("graft_delta_dv_vac").toString

@@ -244,12 +244,18 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
     def freshRows(n: Int): Seq[(Long, String)] =
       (1 to n).map { _ => nextId += 1; (nextId, s"t${rnd.nextInt(4)}") }
 
+    // version -> model view, for the CDC-replay invariant; vacuum
+    // reclaims superseded files, so recorded history resets there
+    var vsnaps = Map.empty[Long, Map[Long, String]]
+    def syncV(): Unit = vsnaps += DeltaScan.latestVersion(spark, dir) -> model
+
     val r0 = freshRows(5)
     DeltaWrite.create(spark, r0.toDF("id", "tag"), dir)
     model = r0.toMap
+    syncV()
 
     (1 to 30).foreach { step =>
-      rnd.nextInt(5) match {
+      rnd.nextInt(7) match {
         case 0 | 1 => // append keeps the table growing
           val rows = freshRows(1 + rnd.nextInt(3))
           DeltaWrite.append(spark, rows.toDF("id", "tag"), dir)
@@ -267,11 +273,50 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
           else DeltaWrite.checkpoint(spark, dir)
         case 4 => // vacuum reclaims superseded DV bins, never live state
           DeltaWrite.vacuum(spark, dir, retainMs = 0L)
+          vsnaps = Map.empty // older snapshots' files may be gone now
+        case 5 => // DV update: retag a random tag — DV the old rows,
+          // append images; stacks on rows whose files already carry DVs
+          val from = s"t${rnd.nextInt(4)}"
+          val to = s"t${rnd.nextInt(4)}"
+          val n = DeltaWrite.updateWhereDV(spark, dir, col("tag") === from,
+            Seq("tag" -> lit(to)))
+          val hits = model.filter(_._2 == from)
+          assert(n == hits.size,
+            s"step $step: dv update counted $n, model says ${hits.size}")
+          model ++= hits.keys.map(_ -> to)
+        case 6 => // DV merge: retag a random live subset + insert fresh
+          val updates = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextBoolean()).take(3)
+            .map(id => (id, s"t${rnd.nextInt(4)}"))
+          val inserts = freshRows(rnd.nextInt(3))
+          val srcRows = updates ++ inserts
+          if (srcRows.nonEmpty) {
+            val (u, i) = DeltaWrite.mergeDV(spark, dir,
+              srcRows.toDF("id", "tag"), Seq("id"))
+            assert(u == updates.size && i == inserts.size,
+              s"step $step: dv merge counts ($u,$i) != (${updates.size},${inserts.size})")
+            model ++= srcRows
+          }
       }
+      syncV()
       val got = DeltaScan.read(spark, dir).collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(got == model,
         s"step $step: table ${got.size} rows diverged from model ${model.size}")
+      // CDC invariant (every 10th step): the snapshot diff from the
+      // oldest surviving recorded version replays its model into the
+      // current one — a DV update must diff as its delete+insert pair
+      if (step % 10 == 0 && vsnaps.size >= 2) {
+        val vs = vsnaps.keys.toSeq.sorted
+        val (from, to) = (vs.head, vs.last)
+        val diff = DeltaScan.changesBetween(spark, dir, from, to).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        var replay = vsnaps(from)
+        diff.filter(_._3 == "delete").foreach { case (id, _, _) => replay -= id }
+        diff.filter(_._3 == "insert").foreach { case (id, tag, _) => replay += id -> tag }
+        assert(replay == model,
+          s"step $step: snapshot diff v$from->v$to does not replay the model")
+      }
     }
     // end state: the copy-on-write ops still refuse the DV table
     if (DeltaScan.read(spark, dir).count() > 0)
