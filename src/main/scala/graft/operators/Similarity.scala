@@ -450,9 +450,18 @@ object Similarity {
       queryIds: Seq[Long],
       k: Int,
       approxOf: Seq[Float] => DataFrame,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      maxQueries: Int = 64): DataFrame = {
     require(queryIds.nonEmpty, "need at least one query id")
     require(k >= 1, s"k must be >= 1, got $k")
+    // each query id costs one exact-top-k job + one approx job from
+    // the driver — fine for a handful, pathological for a sweep; the
+    // batched form runs any query-set size in one composed plan
+    require(queryIds.size <= maxQueries,
+      s"recallReport's loop form issues 2 driver jobs PER QUERY — " +
+        s"${queryIds.size} queries exceeds maxQueries=$maxQueries; use " +
+        "recallReportBatch (one composed plan for the whole query set), " +
+        "or raise maxQueries explicitly if you accept the job storm")
     val spark = df.sparkSession
     import spark.implicits._
     val rows = queryIds.map { qid =>

@@ -28,7 +28,8 @@ import org.apache.spark.sql.types._
   */
 object ArrowWrite {
 
-  def write(df: DataFrame, path: String, batchRows: Int = 65536): Unit = {
+  def write(df: DataFrame, path: String, batchRows: Int = 65536,
+      maxRows: Long = SingleFileMaxRows): Unit = {
     require(batchRows >= 1, s"batchRows must be >= 1, got $batchRows")
     val schema = df.schema
     schema.fields.foreach(arrowField) // validate before any job runs
@@ -40,8 +41,38 @@ object ArrowWrite {
     // toLocalIterator: one partition in memory at a time — the
     // single-file form is single-threaded by construction, but its
     // driver memory is batch-bounded, not data-sized  [lint:bounded]
-    try writeBatches(schema, df.toLocalIterator().asScala, ch, batchRows)
-    finally ch.close()
+    var failed = false
+    try writeBatches(schema,
+      guardedRows(df.toLocalIterator().asScala, maxRows, path, "arrow"),
+      ch, batchRows)
+    catch { case e: Throwable => failed = true; throw e }
+    finally {
+      ch.close()
+      if (failed) java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+    }
+  }
+
+  /** single-file exports serialize through the DRIVER — refuse past
+    * this many rows (override per call) instead of silently spending
+    * hours; the partial file is deleted on refusal */
+  val SingleFileMaxRows: Long = 50L * 1000 * 1000
+
+  /** wraps a row iterator with the size guard: crossing `maxRows`
+    * aborts the export with a pointer to the sharded sink — the damage
+    * is capped at the threshold, not at full serialization */
+  private[sources] def guardedRows[T](it: Iterator[T], maxRows: Long,
+      path: String, fmt: String): Iterator[T] = {
+    require(maxRows >= 1, s"maxRows must be >= 1, got $maxRows")
+    var n = 0L
+    it.map { r =>
+      n += 1
+      if (n > maxRows) throw new IllegalArgumentException(
+        s"single-file $fmt export of $path exceeds maxRows=$maxRows — " +
+          s"the single-file form streams through the driver; use " +
+          s"writeSharded (write_file '${fmt}_sharded') for frames this " +
+          "size, or raise maxRows explicitly if you accept the cost")
+      r
+    }
   }
 
   /** Executor-side sharded export: each nonempty partition writes one

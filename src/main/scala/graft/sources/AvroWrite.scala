@@ -34,7 +34,8 @@ object AvroWrite {
     b.endRecord()
   }
 
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String,
+      maxRows: Long = ArrowWrite.SingleFileMaxRows): Unit = {
     val fields = df.schema.fields
     val schema = avroSchemaOf(fields)
     val fieldSchemas = schema.getFields.asScala.map(f => unwrap(f.schema)).toArray
@@ -43,18 +44,25 @@ object AvroWrite {
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    var failed = false
     try {
       w.create(schema, out)
-      // one partition in driver memory at a time  [lint:bounded]
-      df.toLocalIterator().asScala.foreach { row =>
-        val rec = new GenericData.Record(schema)
-        fields.indices.foreach { i =>
-          rec.put(i, if (row.isNullAt(i)) null
-                     else avroValue(row.get(i), fields(i).dataType, fieldSchemas(i)))
+      // one partition in driver memory at a time; the size guard
+      // refuses past maxRows with a pointer at writeSharded  [lint:bounded]
+      ArrowWrite.guardedRows(df.toLocalIterator().asScala, maxRows, path, "avro")
+        .foreach { row =>
+          val rec = new GenericData.Record(schema)
+          fields.indices.foreach { i =>
+            rec.put(i, if (row.isNullAt(i)) null
+                       else avroValue(row.get(i), fields(i).dataType, fieldSchemas(i)))
+          }
+          w.append(rec)
         }
-        w.append(rec)
-      }
-    } finally w.close() // closes the stream
+    } catch { case e: Throwable => failed = true; throw e }
+    finally {
+      w.close() // closes the stream
+      if (failed) fs.delete(p, false)
+    }
   }
 
   /** Executor-side sharded export: one `part-NNNNN-xxxxxxxx.avro`

@@ -123,6 +123,33 @@ class ArrowScanSpec extends SparkSpec {
     }
   }
 
+  test("single-file size guard: arrow/avro writes refuse past maxRows, point at the sharded sink, leave no partial file") {
+    import spark.implicits._
+    val df = (1L to 100L).toDF("id")
+    val out = new java.io.File("target/arrow-guard-out")
+    out.mkdirs()
+    val pArrow = s"${out.getPath}/big.arrow"
+    val eA = intercept[IllegalArgumentException] {
+      graft.sources.ArrowWrite.write(df, pArrow, maxRows = 10L)
+    }
+    assert(eA.getMessage.contains("writeSharded") &&
+      eA.getMessage.contains("maxRows=10"), s"wrong refusal: $eA")
+    assert(!new java.io.File(pArrow).exists(),
+      "a refused arrow export must delete its partial file")
+    val pAvro = s"${out.getPath}/big.avro"
+    val eV = intercept[IllegalArgumentException] {
+      graft.sources.AvroWrite.write(df, pAvro, maxRows = 10L)
+    }
+    assert(eV.getMessage.contains("writeSharded"), s"wrong refusal: $eV")
+    assert(!new java.io.File(pAvro).exists(),
+      "a refused avro export must delete its partial file")
+    // at or under the threshold both formats round-trip unchanged
+    graft.sources.ArrowWrite.write(df, pArrow, maxRows = 100L)
+    assert(ArrowScan.read(spark, pArrow).count() == 100L)
+    graft.sources.AvroWrite.write(df, pAvro, maxRows = 100L)
+    assert(graft.sources.AvroScan.read(spark, pAvro).count() == 100L)
+  }
+
   test("writeSharded: one IPC file per partition, manifest commit, distributed read-back") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

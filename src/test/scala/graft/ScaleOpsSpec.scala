@@ -101,6 +101,20 @@ class ScaleOpsSpec extends SparkSpec {
     ann.foreach { case (qid, hits) => assert(wide(qid) >= hits) }
   }
 
+  test("recallReport loop form refuses oversized query sets with a pointer at the batch form") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val msg = intercept[IllegalArgumentException] {
+      Similarity.recallReport(e, "embedding", (0L until 100L), 5,
+        v => Similarity.topKByCosine(e, "embedding", v, 5))
+    }.getMessage
+    assert(msg.contains("recallReportBatch") && msg.contains("maxQueries=64"),
+      s"wrong refusal: $msg")
+    // explicit override still runs (caller accepts the job storm)
+    assert(Similarity.recallReport(e, "embedding", (0L until 66L), 5,
+      v => Similarity.topKByCosine(e, "embedding", v, 5),
+      maxQueries = 66).count() == 66L)
+  }
+
   test("recallReportBatch: identical report to the loop form; jobs don't scale with |queries|") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val lsh = Similarity.RandomHyperplaneLsh(dim = 64, numPlanes = 8)
