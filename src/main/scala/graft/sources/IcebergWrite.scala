@@ -1616,6 +1616,65 @@ object IcebergWrite {
     (expired.size, doomed)
   }
 
+  /** ORPHAN-FILE CLEANUP (the `removeOrphanFiles` maintenance action):
+    * finds every `.parquet` under `data/`, every `.avro` under
+    * `metadata/`, and every crashed-job `_temporary` attempt file that
+    * NO snapshot in the current metadata references — crashed writes,
+    * lost OCC attempts, abandoned staging — and returns them;
+    * `dryRun=false` also deletes them. DRY-RUN BY DEFAULT, and only
+    * files older than `olderThanMs` (default 3 days, Iceberg's own
+    * default) are candidates: an in-flight writer's staged-but-not-yet-
+    * committed files (the append OCC path re-commits staged parquet
+    * verbatim) must never be swept mid-commit — pass 0 only on a table
+    * you know has no concurrent writers. The referenced set is the
+    * union of every snapshot's footprint (manifest list, manifests,
+    * data + delete files), so time travel, tags, and branch heads all
+    * stay intact — the safety mirror of [[DeltaWrite.vacuum]].
+    * Metadata JSONs and the version hint are never candidates. Driver-
+    * side metadata work: the footprint walk reads manifests (KBs) and
+    * a directory listing, never data. */
+  def removeOrphanFiles(spark: SparkSession, tablePath: String,
+      olderThanMs: Long = 3L * 24 * 3600 * 1000,
+      dryRun: Boolean = true): Seq[String] = {
+    require(olderThanMs >= 0, s"olderThanMs must be >= 0, got $olderThanMs")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    val prev = readUtf8(fs, hint).trim.toInt
+    val root = fs.makeQualified(new Path(tablePath))
+    val metaDir = new Path(root, "metadata")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
+    val snaps = Option(node.get("snapshots")).map(_.elements().asScala.toSeq)
+      .getOrElse(Seq.empty)
+    val referenced: Set[String] = snaps.flatMap { s =>
+      val (list, manifests, files) = snapshotFootprint(fs, conf, root, s)
+      (list +: manifests) ++ files
+    }.toSet
+
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def candidatesUnder(dir: Path, keep: String => Boolean): Seq[String] = {
+      if (!fs.exists(dir)) return Seq.empty
+      val out = Seq.newBuilder[String]
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath.toString
+        val isTempAttempt = p.contains("/_temporary/")
+        if ((keep(p) || isTempAttempt) && st.getModificationTime < cutoff &&
+            !referenced.contains(p))
+          out += p
+      }
+      out.result()
+    }
+    val orphans =
+      candidatesUnder(new Path(root, "data"), _.endsWith(".parquet")) ++
+        candidatesUnder(metaDir, _.endsWith(".avro"))
+    if (!dryRun) orphans.foreach(p => fs.delete(new Path(p), false))
+    orphans
+  }
+
   /** spec-required key-value metadata on a manifest Avro file — what
     * external readers use to interpret it without the table metadata */
   private def manifestMeta(schemaJson: String, fmtVersion: Int,

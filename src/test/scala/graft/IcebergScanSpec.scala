@@ -345,6 +345,58 @@ class IcebergScanSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("removeOrphanFiles: crashed-write leftovers reclaimed, live files never, dry-run default, age guard") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_orphan").toString + "/t"
+    IcebergWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "v"), dir)
+
+    // a REAL crashed write: the commit hook throws after the data files
+    // are staged — the append fails, its parquet stays unreferenced
+    IcebergWrite.beforeCommit = () => {
+      IcebergWrite.beforeCommit = () => ()
+      throw new RuntimeException("simulated crash between staging and commit")
+    }
+    intercept[RuntimeException] {
+      IcebergWrite.append(spark, Seq((99L, "crash")).toDF("id", "v"), dir)
+    }
+    IcebergWrite.beforeCommit = () => ()
+    // plus a stray manifest-looking avro (a lost OCC assembly attempt)
+    val strayAvro = java.nio.file.Paths.get(dir, "metadata", "manifest-9-deadbeef.avro")
+    java.nio.file.Files.write(strayAvro, Array[Byte](1, 2, 3))
+
+    // fresh files are protected by the age guard (in-flight writers)
+    assert(IcebergWrite.removeOrphanFiles(spark, dir).isEmpty,
+      "files younger than olderThanMs must never be candidates")
+
+    // with the guard at 0 the dry run names exactly the orphans ...
+    val listed = IcebergWrite.removeOrphanFiles(spark, dir, olderThanMs = 0L)
+    assert(listed.size == 2 && listed.exists(_.endsWith(".avro")) &&
+      listed.count(_.endsWith(".parquet")) == 1, s"wrong orphan set: $listed")
+    // ... and deletes nothing (dry-run default)
+    assert(java.nio.file.Files.exists(strayAvro))
+
+    // delete mode reclaims them; the table reads unchanged
+    val deleted = IcebergWrite.removeOrphanFiles(spark, dir,
+      olderThanMs = 0L, dryRun = false)
+    assert(deleted.toSet == listed.toSet)
+    assert(!java.nio.file.Files.exists(strayAvro))
+    assert(IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    // idempotent: a second sweep finds nothing
+    assert(IcebergWrite.removeOrphanFiles(spark, dir, olderThanMs = 0L).isEmpty)
+
+    // every snapshot's footprint is protected: after a delete commit
+    // (delete files) and a compact (old files still pinned by history),
+    // a sweep still leaves time travel working
+    IcebergWrite.deleteWhere(spark, dir, org.apache.spark.sql.functions.col("id") === 2L)
+    IcebergWrite.compact(spark, dir, smallFileBytes = 1L << 30)
+    assert(IcebergWrite.removeOrphanFiles(spark, dir, olderThanMs = 0L).isEmpty,
+      "history-pinned files must never list as orphans")
+    assert(IcebergScan.read(spark, dir, snapshotAsOf = Some(2L)).count() == 3L)
+  }
+
   test("v2 interop surface: field-ids, manifest metadata, v2 counts, reserved delete-column ids") {
     import graft.sources.{IcebergScan, IcebergWrite}
     import org.apache.spark.sql.functions.col

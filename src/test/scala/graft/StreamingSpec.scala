@@ -1369,6 +1369,78 @@ class StreamingSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("stream sources survive mid-stream schema evolution: column ADD keeps the sink consuming, restart picks up the column") {
+    import graft.sources.{DeltaWrite, IcebergWrite}
+
+    // delivered as (id, w-or-null) so the post-restart schema is provable
+    def run(fmt: Class[_], dir: String, ck: String, create: () => Unit,
+        appendNew: (Long, Double) => Unit, evolve: (Long, Double) => Unit): Unit = {
+      create()
+      val delivered = scala.collection.mutable.ListBuffer[(Long, Option[Double])]()
+      def startStream() = spark.readStream.format(fmt.getName).load(dir)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.collect().map { r =>
+            val wIdx = r.schema.fieldNames.indexOf("w")
+            (r.getLong(r.schema.fieldNames.indexOf("id")),
+              if (wIdx < 0 || r.isNullAt(wIdx)) scala.None else Some(r.getDouble(wIdx)))
+          }
+          delivered.synchronized { delivered ++= rows }
+          ()
+        }.start()
+
+      val q = startStream()
+      try {
+        q.processAllAvailable()
+        assert(delivered.synchronized(delivered.toSet) == Set((1L, scala.None)))
+        // the EVOLUTION commit lands mid-stream: the running query keeps
+        // its start-time projection and must keep consuming — the new
+        // column is simply not selected yet
+        evolve(2L, 2.5)
+        q.processAllAvailable()
+        assert(delivered.synchronized(delivered.toSet) ==
+          Set((1L, scala.None), (2L, scala.None)),
+          s"$fmt: the running stream must consume across the evolution commit")
+        // further evolved-schema appends keep flowing
+        appendNew(3L, 3.5)
+        q.processAllAvailable()
+        assert(delivered.synchronized(delivered.map(_._1).toSet) == Set(1L, 2L, 3L))
+      } finally q.stop()
+
+      // restart from the same checkpoint: the source re-infers the
+      // schema, the ADDED column appears, committed offsets are not
+      // re-read, and the new column carries values for new rows
+      delivered.synchronized(delivered.clear())
+      appendNew(4L, 4.5)
+      val q2 = startStream()
+      try {
+        q2.processAllAvailable()
+        assert(delivered.synchronized(delivered.toSet) == Set((4L, Some(4.5))),
+          s"$fmt: restart must resume at the committed offset WITH the added column")
+      } finally q2.stop()
+    }
+
+    // Delta
+    val dDir = java.nio.file.Files.createTempDirectory("graft_dstream_evo").toString + "/t"
+    val dCk = java.nio.file.Files.createTempDirectory("graft_dstream_evo_ck").toString
+    run(classOf[graft.streaming.DeltaStreamProvider], dDir, dCk,
+      () => DeltaWrite.create(spark, Seq((1L, "a")).toDF("id", "v"), dDir),
+      (id, w) => DeltaWrite.append(spark,
+        Seq((id, "x", w)).toDF("id", "v", "w"), dDir),
+      (id, w) => DeltaWrite.appendEvolve(spark,
+        Seq((id, "x", w)).toDF("id", "v", "w"), dDir))
+
+    // Iceberg
+    val iDir = java.nio.file.Files.createTempDirectory("graft_istream_evo").toString + "/t"
+    val iCk = java.nio.file.Files.createTempDirectory("graft_istream_evo_ck").toString
+    run(classOf[graft.streaming.IcebergStreamProvider], iDir, iCk,
+      () => IcebergWrite.create(spark, Seq((1L, "a")).toDF("id", "v"), iDir),
+      (id, w) => IcebergWrite.append(spark,
+        Seq((id, "x", w)).toDF("id", "v", "w"), iDir),
+      (id, w) => IcebergWrite.appendEvolve(spark,
+        Seq((id, "x", w)).toDF("id", "v", "w"), iDir))
+  }
+
   test("retentionStream: aggregated hits across batches equal the batch retention table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
