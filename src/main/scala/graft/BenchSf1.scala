@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-order-up benchmark (VERDICT r7 item 7): the 10 most expensive
+  * headline shapes from BENCH_DETAIL, run at a synthesized ~sf1 (10x
+  * the sf0.1 fixtures) to expose shuffle/skew behavior the 600k-row
+  * scale hides.
+  *
+  * Synthesis: 10 key-offset copies of each input table, written ONCE
+  * to `SPARK_GRAFT_SF1_DIR` (default /tmp/graft_sf1) and reused across
+  * runs. Keys are offset per copy so joins/graphs scale as 10 disjoint
+  * replicas (component structure preserved, volume 10x); text and
+  * embeddings are deterministically perturbed per copy so the dedup
+  * shapes see realistic near-duplicates instead of a pathological
+  * 10-way exact-duplicate cluster on every row.
+  *
+  * Output: ONE JSON line + BENCH_SF1.json — per query, seconds at
+  * sf0.1 and sf1, the per-row cost ratio `sf1 / (10 * sf0.1)`, any
+  * PlanLint findings on the sf1 plan, and an `audit` flag when the
+  * per-row ratio exceeds 2 (the VERDICT threshold for a plan audit
+  * note). Fixed commit/job latency (the lakehouse DML shapes) makes
+  * sub-1 ratios EXPECTED there; a >2 ratio means the plan stopped
+  * scaling linearly.
+  */
+object BenchSf1 {
+
+  /** the 10 most expensive rows of BENCH_DETAIL r8 */
+  private val top = Seq(
+    "q_ingest_neardup", "q_pagerank", "q_profile_sketch",
+    "q_iceberg_part_dml", "q_harmonic", "q_pipeline_clean",
+    "q_pipeline_prepare", "q_dedup_semantic", "q_simjoin", "q_delta_cdf")
+
+  private val Copies = 10
+
+  private def synthesize(spark: SparkSession, sf01: String, out: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(out, "_SYNTH_DONE"))) return
+    System.err.println(s"[bench-sf1] synthesizing ${Copies}x of $sf01 into $out")
+
+    def copies(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until Copies).map(i => f(df, i)).reduce(_ unionByName _)
+
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    copies(docs, (d, i) => d
+      .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10_000_000L))
+      // perturb text per copy (i>0): near-dup structure, not exact clones
+      .withColumn("text",
+        if (i == 0) col("text") else concat(col("text"), lit(s" c$i"))))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+    copies(emb, (d, i) => d
+      .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10_000_000L))
+      .withColumn("embedding",
+        if (i == 0) col("embedding")
+        else transform(col("embedding"),
+          (x, j) => (x + cos(col("vec_id") * (j + lit(1))) * lit(0.01)).cast("float"))))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val li = spark.read.parquet(s"$sf01/lineitem.parquet")
+    copies(li, (d, i) => d
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100_000_000L))
+      .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * 100_000_000L))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(i.toLong * 100_000_000L)))
+      .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    fs.create(new org.apache.hadoop.fs.Path(out, "_SYNTH_DONE"), true).close()
+  }
+
+  private def timeOne(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir).count()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    synthesize(spark, sf01, sf1)
+
+    // warm codegen/JIT on the smallest SF, as graft.Bench does
+    top.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+
+    val rows = top.map { name =>
+      val t01 = timeOne(spark, name, sf01)
+      val lint = try graft.tools.PlanLint.lint(SparkEntry.queries(name)(spark, sf1))
+        .map(f => s"${f.rule}@${f.node}") catch { case _: Throwable => Seq.empty[String] }
+      val t1 = timeOne(spark, name, sf1)
+      val ratio = t1 / (Copies * t01)
+      System.err.println(f"[bench-sf1] $name%-22s sf0.1=$t01%6.2fs sf1=$t1%7.2fs " +
+        f"per-row-ratio=$ratio%5.2f${if (ratio > 2.0) "  AUDIT" else ""}" +
+        (if (lint.nonEmpty) s"  lint=${lint.mkString(";")}" else ""))
+      (name, t01, t1, ratio, lint)
+    }
+
+    def j(rs: Seq[(String, Double, Double, Double, Seq[String])]): String =
+      rs.map { case (n, a, b, r, l) =>
+        val lintJ = l.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+        f""""$n":{"sf01":$a%.3f,"sf1":$b%.3f,"per_row_ratio":$r%.2f,"audit":${r > 2.0},"lint":$lintJ}"""
+      }.mkString("{", ",", "}")
+    val line =
+      f"""{"metric":"sf1_total","value":${rows.map(_._3).sum}%.3f,"unit":"sec","copies":$Copies,"queries":${j(rows)}}"""
+    try {
+      val w = new java.io.PrintWriter(new java.io.File("BENCH_SF1.json"), "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => () }
+    spark.stop()
+    System.out.println(line)
+    System.out.flush()
+  }
+}

@@ -1717,6 +1717,68 @@ object DeltaWrite {
     } finally src.unpersist()
   }
 
+  /** PURGE (the REORG TABLE ... APPLY (PURGE) maintenance op):
+    * materialize deletion vectors by rewriting every DV-carrying live
+    * file WITHOUT its dead rows, clearing the DVs — `dataChange=false`
+    * on both sides (the logical view is row-preserving, so streams
+    * skip the commit and CDC sees no change). After a purge the
+    * live view carries no DVs, so [[compact]]/[[zorder]] and the
+    * copy-on-write DMLs work again; the superseded DV bins and
+    * pre-purge parquet are reclaimed by [[vacuum]]. This closes the DV
+    * lifecycle: DV DML absorbs high-churn writes cheaply, periodic
+    * purge folds the debt back into clean files. Returns
+    * (filesPurged, deadRowsDropped). */
+  def purge(spark: SparkSession, tablePath: String): (Int, Long) = {
+    import org.apache.spark.sql.functions._
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoAbsoluteAdds(spark, fs, tablePath, "purge")
+    val root = fs.makeQualified(new Path(tablePath))
+    val (schema, partCols) = tableMeta(fs, tablePath)
+    val mapped = isMapped(fs, tablePath)
+    val readV = DeltaScan.latestVersion(spark, tablePath)
+    val (latestAdds, _) = replayLatestAdds(fs, root.toString)
+    val dvAdds = latestAdds.filter { case (_, add) =>
+      add.get("deletionVector") != null && !add.get("deletionVector").isNull }
+    if (dvAdds.isEmpty) return (0, 0L)
+    val victims = dvAdds.keys.toSeq.sorted
+    val dropped = dvAdds.values
+      .map(_.get("deletionVector").get("cardinality").asLong()).sum
+
+    val (_, oldPosDf) = dvState(spark, root.toString, latestAdds)
+    val dataCols = schema.fieldNames.filterNot(partCols.contains)
+    val added = victims.groupBy(r => r.split('/').dropRight(1).mkString("/"))
+      .toSeq.sortBy(_._1).flatMap { case (partDir, rels) =>
+        writeStaged(fs, root, destPrefix = partDir) { staging =>
+          liveScan(spark, root, schema, partCols, rels, mapped)
+            .join(oldPosDf, Seq("__rel", "__pos"), "left_anti")
+            .select(toPhysical(schema, mapped, dataCols.toSeq): _*)
+            .write.mode("append").parquet(staging)
+        }
+      }
+    // row-preserving swap: dataChange=false adds (no DV) + removes
+    val conf = spark.sparkContext.hadoopConfiguration
+    val (kept, empty) = added.partition { case (rel, _) =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(root, rel), conf))
+      (try r.getRecordCount finally r.close()) > 0L
+    }
+    empty.foreach { case (rel, _) => fs.delete(new Path(root, rel), false) }
+    val now = System.currentTimeMillis()
+    val actions =
+      kept.map { case (rel, size) =>
+        val stats = ParquetStats.statsJson(conf, new Path(root, rel))
+          .map(s => s""","stats":${jstr(s)}""").getOrElse("")
+        s"""{"add":{"path":${jstr(encodePath(rel))},"partitionValues":{${partitionValuesJson(rel)}},"size":$size,"modificationTime":$now,"dataChange":false$stats}}"""
+      } ++ victims.map { rel =>
+        s"""{"remove":{"path":${jstr(encodePath(rel))},"deletionTimestamp":$now,"dataChange":false}}"""
+      }
+    // reads exactly the victim files — disjoint concurrent work commutes
+    commitWithRetry(spark, fs, root, actions, Some("PURGE"),
+      CommitScope("PURGE", readV, victims.toSet,
+        readsWholeTable = false, pred = scala.None))
+    (victims.size, dropped)
+  }
+
   /** MERGE (upsert) by key, copy-on-write: every current row whose key
     * tuple appears in `source` is replaced by the source row; source
     * rows with no match are inserted — one conditional
@@ -1915,27 +1977,21 @@ object DeltaWrite {
 
   /** rewriting a DV-carrying file from its raw parquet would resurrect
     * the deleted rows — refuse loudly */
+  /** the safety condition for raw-parquet rewrites is the LIVE view:
+    * a file whose CURRENT add carries a deletion vector cannot be
+    * rewritten from its raw parquet (the dead rows would resurrect).
+    * Superseded/historic DV adds are harmless — which is what lets
+    * [[purge]] re-enable the copy-on-write ops on a DV table. */
   private def requireNoDeletionVectors(spark: SparkSession, tablePath: String): Unit = {
-    val logDir = new Path(tablePath, "_delta_log")
-    val version = DeltaScan.latestVersion(spark, tablePath)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    (0L to version).foreach { v =>
-      val p = new Path(logDir, f"$v%020d.json")
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-          finally in.close()
-        lines.map(mapper.readTree).foreach { node =>
-          if (node.has("add")) {
-            val dv = node.get("add").get("deletionVector")
-            require(dv == null || dv.isNull,
-              s"table $tablePath carries deletion vectors — rewriting those files " +
-                "would resurrect deleted rows; this writer does not maintain DV tables")
-          }
-        }
-      }
-    }
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (latestAdds, _) = replayLatestAdds(fs,
+      fs.makeQualified(new Path(tablePath)).toString)
+    val dvFiles = latestAdds.collect { case (rel, add)
+        if add.get("deletionVector") != null && !add.get("deletionVector").isNull => rel }
+    require(dvFiles.isEmpty,
+      s"table $tablePath carries LIVE deletion vectors on ${dvFiles.size} " +
+        "file(s) — rewriting those files from raw parquet would resurrect " +
+        "deleted rows; run purge() first to materialize the DVs")
   }
 
   /** hive path segments col=value → partitionValues JSON body */

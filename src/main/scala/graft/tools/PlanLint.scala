@@ -150,22 +150,36 @@ object PlanLint {
           val cs = c.toString.linesIterator.take(1).mkString
           val isParquetScan = cs.contains("FileScan parquet") || cs.contains("Scan parquet")
           // a predicate the scan evaluates (DataFilters) but could not
-          // push (PushedFilters) is the lost-pushdown signature; the
-          // counts differ when a cast/expression wrapped the column
-          def count(tag: String): Int = {
+          // push (PushedFilters) is the lost-pushdown signature — when
+          // the predicate COULD have pushed. Arithmetic/function
+          // wrappers (x % 20, length(x) > n) are inherently
+          // un-pushable: parquet source filters speak bare-column
+          // comparisons only, so those never count. `cast(` stays
+          // counted deliberately — a cast around the column is the
+          // classic FIXABLE pushdown loss this detector exists for.
+          def elements(tag: String): Seq[String] = {
             val m = s"$tag: \\[(.*?)\\]".r.findFirstMatchIn(cs)
             m.map(_.group(1).trim).filter(_.nonEmpty).map { body =>
-              var depth = 0; var n = 1
+              val out = Seq.newBuilder[String]
+              var depth = 0; val cur = new StringBuilder
               body.foreach {
-                case '(' => depth += 1
-                case ')' => depth -= 1
-                case ',' if depth == 0 => n += 1
-                case _ => ()
+                case '(' => depth += 1; cur += '('
+                case ')' => depth -= 1; cur += ')'
+                case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+                case ch => cur += ch
               }
-              n
-            }.getOrElse(0)
+              out += cur.result().trim
+              out.result()
+            }.getOrElse(Seq.empty)
           }
-          if (isParquetScan && count("DataFilters") > count("PushedFilters"))
+          val neverPushable = Seq(" % ", " + ", " - ", " * ", " / ",
+            "length(", "substring(", "lower(", "upper(", "abs(", "concat(",
+            "coalesce(", "round(", "pmod(", "hash(", "xxhash64(", "crc32(",
+            "md5(", "conv(", "regexp", "rlike", "split(", "size(",
+            "element_at(", "array_", "like(")
+          val pushableShaped = elements("DataFilters")
+            .count(e => !neverPushable.exists(e.toLowerCase.contains))
+          if (isParquetScan && pushableShaped > elements("PushedFilters").size)
             findings += Finding("unpushed-scan-filter", nodeName(c),
               "scan evaluates more DataFilters than it pushed — " +
                 "pushdown lost (cast/expression around the filtered column?)")

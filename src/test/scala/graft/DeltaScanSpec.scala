@@ -1152,6 +1152,71 @@ class DeltaScanSpec extends SparkSpec {
       Set((1L, "en"), (2L, "fr")))
   }
 
+  test("purge materializes deletion vectors: DVs cleared, CoW ops re-enabled, streams skip the commit") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    val dir = freshDir("graft_delta_purge").toString
+    DeltaWrite.create(spark, (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+    DeltaWrite.deleteWhereDV(spark, dir, col("id") % 2 === 0)
+    DeltaWrite.updateWhereDV(spark, dir, col("id") === 3L, Seq("v" -> lit("U3")))
+    val expected = Map(1L -> "v1", 3L -> "U3", 5L -> "v5", 7L -> "v7")
+    assert(DeltaScan.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap == expected)
+    // CoW ops refuse while DVs are live
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.compact(spark, dir, smallFileBytes = 1L << 20)
+    }.getMessage.contains("purge"))
+
+    val (files, dead) = DeltaWrite.purge(spark, dir)
+    assert(files > 0 && dead == 5L, s"got ($files, $dead)") // 4 deleted + 1 updated
+    // the logical view is unchanged...
+    assert(DeltaScan.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap == expected)
+    // ...no live DV remains, CoW ops and compact work again
+    DeltaWrite.compact(spark, dir, smallFileBytes = 1L << 30)
+    assert(DeltaWrite.deleteWhere(spark, dir, col("id") === 7L) == 1L)
+    assert(DeltaScan.read(spark, dir).count() == 3L)
+    // ...and CDC across the purge commit sees NO row change
+    val vPre = 2L // version before purge (create=0, dvdelete=1, dvupdate=2)
+    assert(DeltaScan.changesBetween(spark, dir, vPre, vPre + 1).count() == 0L,
+      "a purge commit is row-preserving — the snapshot diff must be empty")
+    // idempotent
+    assert(DeltaWrite.purge(spark, dir) == ((0, 0L)))
+    // vacuum reclaims the pre-purge parquet and the superseded DV bins
+    val reclaimed = DeltaWrite.vacuum(spark, dir, retainMs = 0L)
+    assert(reclaimed.exists(_.contains("deletion_vector_")),
+      s"vacuum after purge must reclaim the DV bins, got $reclaimed")
+    assert(DeltaScan.read(spark, dir).count() == 3L)
+
+    // a running stream survives a purge commit (dataChange=false skip)
+    // — rows are never re-emitted. The stream starts AFTER the DV era
+    // (a DV re-add inside the offset range is a loud refusal by design)
+    val sDir = freshDir("graft_delta_purge_s").toString
+    DeltaWrite.create(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), sDir)
+    DeltaWrite.deleteWhereDV(spark, sDir, col("id") === 2L)
+    DeltaWrite.purge(spark, sDir)
+    // range starts AT the purge commit: its dataChange=false removes
+    // and DV-free adds must be skipped, not refused and not emitted
+    val vPurge = DeltaScan.latestVersion(spark, sDir)
+    val delivered2 = scala.collection.mutable.ListBuffer[Long]()
+    val q2 = spark.readStream
+      .format(classOf[graft.streaming.DeltaStreamProvider].getName)
+      .option("startingVersion", vPurge.toString).load(sDir)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_purge_ck2").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        delivered2.synchronized { delivered2 ++= b.collect().map(_.getLong(0)) }
+        ()
+      }.start()
+    try {
+      DeltaWrite.append(spark, Seq((9L, "i")).toDF("id", "v"), sDir)
+      DeltaWrite.append(spark, Seq((10L, "j")).toDF("id", "v"), sDir)
+      q2.processAllAvailable()
+      assert(delivered2.synchronized(delivered2.toSet) == Set(9L, 10L),
+        s"stream across purge must deliver exactly the appends, got $delivered2")
+    } finally q2.stop()
+  }
+
   test("vacuum reclaims superseded DV bins; the live DV never") {
     import graft.sources.{DeltaWrite, DeltaScan}
     val dir = freshDir("graft_delta_dv_vac").toString

@@ -343,6 +343,29 @@ class IcebergScanSpec extends SparkSpec {
     assert(IcebergScan.read(spark, p,
       skippingFilter = Some(col("lang") === "en"))
       .collect().map(_.getLong(0)).toSet == Set(1L))
+
+    // partitioned MOR MERGE: the equality delete is GLOBAL (spec-id 1,
+    // crossing partitions), the appended source lands hive-partitioned —
+    // a merge that moves a key across partitions just works
+    IcebergWrite.setProperties(spark, p, Map("write.merge.mode" -> "merge-on-read"))
+    val (um, im) = IcebergWrite.merge(spark, p,
+      Seq((1L, "de", "moved"), (9L, "it", "new")).toDF("id", "lang", "text"),
+      Seq("id"))
+    assert(um == 1L && im == 1L, s"got ($um, $im)")
+    val gotM2 = IcebergScan.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(gotM2 == Map(1L -> "de", 2L -> "fr", 3L -> "de", 9L -> "it"))
+    // pruned read of the target partition finds the migrated + new rows
+    assert(IcebergScan.read(spark, p,
+      skippingFilter = Some(col("lang") === "de"))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(IcebergScan.read(spark, p,
+      skippingFilter = Some(col("lang") === "en")).count() == 0L)
+    // compaction folds the global delete away on the partitioned table too
+    IcebergWrite.compact(spark, p, smallFileBytes = 1L << 30)
+    assert(contents(p) == Set("data"))
+    assert(IcebergScan.read(spark, p).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap == gotM2)
   }
 
   test("removeOrphanFiles: crashed-write leftovers reclaimed, live files never, dry-run default, age guard") {

@@ -255,7 +255,7 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
     syncV()
 
     (1 to 30).foreach { step =>
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 | 1 => // append keeps the table growing
           val rows = freshRows(1 + rnd.nextInt(3))
           DeltaWrite.append(spark, rows.toDF("id", "tag"), dir)
@@ -297,6 +297,8 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
               s"step $step: dv merge counts ($u,$i) != (${updates.size},${inserts.size})")
             model ++= srcRows
           }
+        case 7 => // purge: materialize the DV debt, logical view unchanged
+          DeltaWrite.purge(spark, dir)
       }
       syncV()
       val got = DeltaScan.read(spark, dir).collect()
@@ -318,11 +320,15 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
           s"step $step: snapshot diff v$from->v$to does not replay the model")
       }
     }
-    // end state: the copy-on-write ops still refuse the DV table
-    if (DeltaScan.read(spark, dir).count() > 0)
-      intercept[IllegalArgumentException] {
-        DeltaWrite.compact(spark, dir, smallFileBytes = 1L << 20)
-      }
+    // end state: purge clears whatever DV debt remains, after which the
+    // copy-on-write ops work again and the table still tracks the model
+    DeltaWrite.purge(spark, dir)
+    if (model.nonEmpty) {
+      DeltaWrite.compact(spark, dir, smallFileBytes = 1L << 30, targetFiles = 1)
+      val got = DeltaScan.read(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == model, "post-purge compact diverged from the model")
+    }
   }
 
   private def readIceModel(dir: String): Map[Long, String] =

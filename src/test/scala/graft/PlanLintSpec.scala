@@ -43,6 +43,17 @@ class PlanLintSpec extends SparkSpec {
       lost.queryExecution.executedPlan.toString)
     val pushed = t.filter(col("id") === 5L)
     assert(!PlanLint.lint(pushed).exists(_.rule == "unpushed-scan-filter"))
+    // inherently un-pushable predicates (arithmetic/function wrappers)
+    // are NOT lost pushdown — parquet source filters can never express
+    // them, so they must stay quiet (sf1-bench false-positive class)
+    val modulo = t.filter(col("id") % 20 =!= 0)
+    assert(!PlanLint.lint(modulo).exists(_.rule == "unpushed-scan-filter"),
+      modulo.queryExecution.executedPlan.toString)
+    val fn = t.filter(length(col("k")) > 0)
+    assert(!PlanLint.lint(fn).exists(_.rule == "unpushed-scan-filter"))
+    // ...while a cast-wrapped column in the SAME plan still flags
+    val mixed = t.filter(col("id") % 20 =!= 0 && col("id").cast("string") === "5")
+    assert(PlanLint.lint(mixed).exists(_.rule == "unpushed-scan-filter"))
   }
 
   test("flags an unpartitioned JDBC scan; quiet on a range-partitioned one") {
