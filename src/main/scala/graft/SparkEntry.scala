@@ -1988,6 +1988,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the DV lifecycle end to end: DV delete + DV update absorb churn
+    // as deltas, PURGE materializes them behind a row-preserving
+    // dataChange=false swap, vacuum reclaims the bins, and the read of
+    // the purged table must equal the logical view throughout
+    "q_delta_purge" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_purge_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.DeltaWrite.create(s, docs, base)
+      graft.sources.DeltaWrite.deleteWhereDV(s, base, col("doc_id") % 7 === 0)
+      graft.sources.DeltaWrite.updateWhereDV(s, base, col("doc_id") % 5 === 0,
+        Seq("text" -> concat(lit("U:"), col("text"))))
+      graft.sources.DeltaWrite.purge(s, base)
+      graft.sources.DeltaWrite.vacuum(s, base, retainMs = 0L)
+      graft.sources.DeltaScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // Delta copy-on-write row-level DELETE: lang-partitioned table,
     // delete over a data-column predicate, read back — victims
     // rewritten behind one remove+add commit, survivors intact
@@ -2243,6 +2261,35 @@ object SparkEntry {
       graft.sources.IcebergScan.read(s, base)
         .select("doc_id", "lang", "text")
         .orderBy("doc_id")
+    }),
+
+    // the SAME partitioned DML composition in MERGE-ON-READ mode: the
+    // update commits partition-scoped position deletes + migrated
+    // images, the merge a global equality delete + hive-partitioned
+    // source — then a full compact folds every delta and the pruned
+    // read must still see exactly the migrated partition
+    "q_iceberg_part_dml_mor" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_pdmlmor_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(s, docs, base, partitionBy = Seq("lang"))
+      graft.sources.IcebergWrite.setProperties(s, base, Map(
+        "write.update.mode" -> "merge-on-read",
+        "write.merge.mode" -> "merge-on-read"))
+      graft.sources.IcebergWrite.deleteWhere(s, base, col("doc_id") % 7 === 0)
+      graft.sources.IcebergWrite.updateWhere(s, base, col("doc_id") % 5 === 0,
+        Seq("lang" -> lit("xx")))
+      val source = docs.filter(col("doc_id") % 3 === 0)
+        .withColumn("lang", lit("yy"))
+        .withColumn("text", concat(lit("UPD:"), col("text")))
+        .select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.merge(s, base, source, Seq("doc_id"))
+      graft.sources.IcebergWrite.compact(s, base, smallFileBytes = 1L << 30)
+      val all = graft.sources.IcebergScan.read(s, base)
+      val pruned = graft.sources.IcebergScan.read(s, base,
+        skippingFilter = Some(col("lang") === "xx"))
+      all.unionByName(pruned)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id", "lang")
     }),
 
     // the full PARTITIONED Iceberg DML composition: position deletes
@@ -4909,6 +4956,14 @@ object SparkEntry {
       """SELECT doc_id, lang, text FROM documents
         |ORDER BY doc_id""".stripMargin,
 
+    // DV churn (delete %7, update %5) absorbed as deltas, then purged
+    // + vacuumed — the logical view is the plain filtered/updated table
+    "q_delta_purge" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'U:' || text ELSE text END AS text
+        |FROM documents WHERE doc_id % 7 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
     // the DV twins compute the same logical result as their
     // copy-on-write counterparts — identical oracles
     "q_delta_update_dv" ->
@@ -4988,6 +5043,19 @@ object SparkEntry {
     // delete %7 → update %5's lang to xx (partition migration) → merge
     // %3 as yy (re-inserting deleted 21-multiples) + a pruned read of
     // the xx partition
+    // the MOR twin computes the same logical result — identical oracle
+    "q_iceberg_part_dml_mor" ->
+      """SELECT doc_id, lang, text FROM (
+        |  SELECT doc_id, 'yy' AS lang, 'UPD:' || text AS text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang, text
+        |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 'xx' AS lang, text FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id % 3 <> 0 AND doc_id % 7 <> 0
+        |) ORDER BY doc_id, lang""".stripMargin,
+
     "q_iceberg_part_dml" ->
       """SELECT doc_id, lang, text FROM (
         |  SELECT doc_id, 'yy' AS lang, 'UPD:' || text AS text

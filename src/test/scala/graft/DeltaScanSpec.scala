@@ -1579,6 +1579,38 @@ class DeltaScanSpec extends SparkSpec {
     assert(dirs.contains("lang=fr") && dirs.contains("lang=en"))
   }
 
+  test("DV DML + purge compose with column mapping: renamed table, DV update/merge by logical name, purge clears") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_map_dvdml").toString + "/t"
+    DeltaWrite.create(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "tag"), dir)
+    DeltaWrite.renameColumn(spark, dir, "tag", "label") // table is now MAPPED
+    // DV UPDATE addresses the RENAMED logical column; images must land
+    // under the pinned physical name so mapped reads resolve them
+    assert(DeltaWrite.updateWhereDV(spark, dir, col("id") % 2 === 0,
+      Seq("label" -> lit("even"))) == 2L)
+    assert(DeltaScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "even"), (3L, "c"), (4L, "even")))
+    // DV MERGE with the renamed schema
+    val (u, i) = DeltaWrite.mergeDV(spark, dir,
+      Seq((3L, "M3"), (9L, "M9")).toDF("id", "label"), Seq("id"))
+    assert(u == 1L && i == 1L)
+    assert(DeltaScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "even"), (3L, "M3"), (4L, "even"), (9L, "M9")))
+    // purge on the mapped table: logical view unchanged, DVs gone,
+    // mapped CoW maintenance re-enabled
+    val (files, dead) = DeltaWrite.purge(spark, dir)
+    assert(files > 0 && dead == 3L, s"got ($files, $dead)")
+    DeltaWrite.compact(spark, dir, smallFileBytes = 1L << 30)
+    assert(DeltaScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "even"), (3L, "M3"), (4L, "even"), (9L, "M9")))
+  }
+
   test("renameColumn on a DV + partitioned table: features merge, deletes stay applied") {
     import graft.sources.{DeltaScan, DeltaWrite}
     import org.apache.spark.sql.functions.col

@@ -236,6 +236,86 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
     }
   }
 
+  test("Delta DV-DML OCC fuzz: 25 random DV ops each racing a random winner track the serial outcome") {
+    // DV DMLs re-ADD their victim files (descriptor swap) — a racing
+    // writer touching the same file must abort or the winner's DV is
+    // lost; disjoint files/stats commute. Losers plan pre-race, a
+    // random winner commits inside the commit window; outcome must
+    // equal the serial model (winner first, loser iff it committed).
+    val rnd = new scala.util.Random(81508L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dv_occ_fuzz").toString + "/t"
+    var model = Map.empty[Long, (String, Long)] // id -> (tag, score)
+    var nextId = 0L
+    def freshRows(n: Int, tags: Seq[String]): Seq[(Long, String, Long)] =
+      (1 to n).map { _ =>
+        nextId += 1
+        (nextId, tags(rnd.nextInt(tags.size)), rnd.nextInt(100).toLong)
+      }
+    def df(rows: Seq[(Long, String, Long)]) = rows.toDF("id", "tag", "score")
+    val winnerTags = Seq("t0", "t1")
+    val loserTags = Seq("t2", "t3", "t4")
+
+    val r0 = freshRows(8, winnerTags ++ loserTags)
+    DeltaWrite.create(spark, df(r0), dir)
+    model = r0.map(r => r._1 -> (r._2, r._3)).toMap
+
+    (1 to 25).foreach { step =>
+      var afterWinner = model
+      val winner: () => Unit = rnd.nextInt(3) match {
+        case 0 => // append
+          val rows = freshRows(1 + rnd.nextInt(3), winnerTags ++ loserTags)
+          afterWinner = model ++ rows.map(r => r._1 -> (r._2, r._3))
+          () => DeltaWrite.append(spark, df(rows), dir)
+        case 1 => // DV delete of a winner-only tag
+          val tag = winnerTags(rnd.nextInt(winnerTags.size))
+          afterWinner = model.filterNot(_._2._1 == tag)
+          () => { DeltaWrite.deleteWhereDV(spark, dir, col("tag") === tag); () }
+        case 2 => () => ()
+      }
+      var winnerRan = false
+      DeltaWrite.beforeDmlCommit =
+        () => { DeltaWrite.beforeDmlCommit = () => (); winnerRan = true; winner() }
+      def base = if (winnerRan) afterWinner else model
+      val outcome: Either[Unit, Map[Long, (String, Long)]] =
+        try Right(rnd.nextInt(4) match {
+          case 0 => // DV delete by loser tag
+            val tag = loserTags(rnd.nextInt(loserTags.size))
+            val n = DeltaWrite.deleteWhereDV(spark, dir, col("tag") === tag)
+            val victims = model.filter(_._2._1 == tag)
+            assert(n == victims.size, s"step $step: dv delete $n != ${victims.size}")
+            base -- victims.keys
+          case 1 => // DV update by score predicate
+            val k = 20L + rnd.nextInt(60)
+            val n = DeltaWrite.updateWhereDV(spark, dir, col("score") < k,
+              Seq("score" -> (col("score") + 1000L)))
+            val hits = model.filter(_._2._2 < k)
+            assert(n == hits.size, s"step $step: dv update $n != ${hits.size}")
+            base ++ hits.map { case (id, (t, s)) => id -> (t, s + 1000L) }
+          case 2 => // purge: row-preserving whatever raced it
+            DeltaWrite.purge(spark, dir)
+            base
+          case 3 => // DV merge reads the whole table: commits only alone
+            val updates = model.keys.toSeq.sorted
+              .filter(_ => rnd.nextBoolean()).take(2)
+              .map(id => (id, model(id)._1, model(id)._2 + 5000L))
+            val inserts = freshRows(1, loserTags)
+            val (u, i) = DeltaWrite.mergeDV(spark, dir,
+              df(updates ++ inserts), Seq("id"))
+            assert(u == updates.size && i == inserts.size,
+              s"step $step: dv merge ($u,$i) != (${updates.size},${inserts.size})")
+            base ++ (updates ++ inserts).map(r => r._1 -> (r._2, r._3))
+        })
+        catch { case _: java.util.ConcurrentModificationException => Left(()) }
+        finally DeltaWrite.beforeDmlCommit = () => ()
+      model = outcome.getOrElse(base)
+      val got = DeltaScan.read(spark, dir).collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+      assert(got == model,
+        s"step $step (${if (outcome.isRight) "committed" else "aborted"}): " +
+          s"table ${got.size} rows diverged from model ${model.size}")
+    }
+  }
+
   test("Delta DV track: 30 random append/dvdelete/checkpoint/vacuum ops track the model") {
     val rnd = new scala.util.Random(90210L)
     val dir = java.nio.file.Files.createTempDirectory("graft_dv_fuzz").toString + "/t"
@@ -541,6 +621,13 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
     sync()
 
     (1 to 40).foreach { step =>
+      // mid-life mode switch: the second half runs the SAME op mix under
+      // merge-on-read — partitioned MOR update (pos deletes + migrating
+      // images) and MOR merge (global eq delete + partitioned appends)
+      // interleave with CoW-era snapshots, rollback crosses the modes
+      if (step == 21) IcebergWrite.setProperties(spark, dir, Map(
+        "write.update.mode" -> "merge-on-read",
+        "write.merge.mode" -> "merge-on-read"))
       rnd.nextInt(8) match {
         case 0 =>
           val rows = freshRows(1 + rnd.nextInt(4))
