@@ -2225,6 +2225,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HIDDEN PARTITIONING (Iceberg transform specs): events land
+    // day(ts) + bucket(8, user_id) partitioned — the source columns
+    // stay in the data files, readers filter on ts/user_id and the
+    // manifest pruner skips via the derived values (a one-day read of
+    // a year-long 100 TB event table plans one day). Full read + a
+    // day-pruned read + a bucket-pruned equality read, unioned.
+    "q_iceberg_transform" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_tr_gate").toString
+      val ev = t(s, dir, "events").df
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"))
+      graft.sources.IcebergWrite.create(s, ev, base,
+        partitionBy = Seq("day(ts)", "bucket(8, user_id)"))
+      val all = graft.sources.IcebergScan.read(s, base)
+      val day = graft.sources.IcebergScan.read(s, base, skippingFilter = Some(
+        col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-11 00:00:00"))))
+      val user = graft.sources.IcebergScan.read(s, base,
+        skippingFilter = Some(col("user_id") === 42L))
+      all.unionByName(day).unionByName(user)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"))
+        .orderBy("event_id", "ts_us")
+    }),
+
     // MERGE-ON-READ twin of q_iceberg_update: the same logical UPDATE
     // under write.update.mode=merge-on-read — one snapshot commits
     // position deletes + new row images, no victim file rewritten
@@ -5075,6 +5100,18 @@ object SparkEntry {
         |SELECT doc_id, lang, 'UPD:' || text FROM documents
         |WHERE doc_id % 3 = 0
         |ORDER BY doc_id""".stripMargin,
+
+    // hidden partitioning: full read + the day slice + one user's rows
+    "q_iceberg_transform" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events
+        |UNION ALL
+        |SELECT event_id, epoch_us(ts), user_id, event_type FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-11 00:00:00'
+        |UNION ALL
+        |SELECT event_id, epoch_us(ts), user_id, event_type FROM events
+        |WHERE user_id = 42
+        |ORDER BY event_id, ts_us""".stripMargin,
 
     // the MOR twins compute the same logical result as their
     // copy-on-write counterparts — identical oracles

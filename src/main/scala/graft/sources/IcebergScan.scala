@@ -187,7 +187,8 @@ object IcebergScan {
     val meta = parseMetadata(fs, metaDir)
 
     val schema = sparkSchema(currentSchema(meta))
-    val partSpec = identityPartitionFields(meta, schema)
+    val specFields = partitionSpecFields(meta, schema)
+    val partSpec = specFields.filter(_.isIdentity).map(pf => pf.specName -> pf.source)
     // RENAME-PROOF reads: tables whose files all carry parquet field
     // ids ([[IcebergWrite.FieldIdsProp]], stamped at write) resolve
     // data columns BY ID, so a renamed column finds its bytes in every
@@ -237,24 +238,42 @@ object IcebergScan {
             schemaFields.map(n => n.get("id").asInt() -> schema(n.get("name").asText())).toMap
           val idByName: Map[String, Int] =
             schemaFields.map(n => n.get("name").asText() -> n.get("id").asInt()).toMap
+          // bucket fields are not range-expressible; prune them by
+          // EQUALITY conjuncts of the filter (source = literal → one
+          // expected bucket id per field)
+          val bucketExpect: Map[String, Set[Int]] =
+            bucketEqualityTargets(specFields, expr)
           base.filter { e =>
-            // identity partition values are EXACT per-file bounds
-            // (lower = upper = the value) — pruned through the same
-            // machinery as the footer stats
+            // partition values become per-file bounds on the SOURCE
+            // column — exact for identity (lower = upper = the value),
+            // transform-derived ranges for day/month/year/hour/truncate
+            // — pruned through the same machinery as the footer stats
             var lo = e.lower; var hi = e.upper; var nulls = e.nullCounts
-            partSpec.foreach { case (specName, sf) =>
-              val id = idByName(sf.name)
-              e.partition.get(specName) match {
-                case Some(null) => nulls += id -> e.rows // a true NULL partition
+            specFields.foreach { pf =>
+              val id = idByName(pf.source.name)
+              e.partition.get(pf.specName) match {
+                case Some(null) if pf.isIdentity =>
+                  nulls += id -> e.rows // a true NULL partition
                 case Some(v) =>
-                  IcebergStats.encodeValue(sf.dataType, v).foreach { b =>
-                    lo += id -> b; hi += id -> b; nulls += id -> 0L
+                  IcebergTransforms.sourceBounds(pf, v).foreach { case (l, h) =>
+                    IcebergStats.encodeValue(pf.source.dataType, l)
+                      .foreach(b => lo += id -> b)
+                    Option(h).flatMap(hh =>
+                      IcebergStats.encodeValue(pf.source.dataType, hh))
+                      .foreach(b => hi += id -> b)
+                    if (pf.isIdentity) nulls += id -> 0L
                   }
-                case None => () // manifest carries no value — unknown, never prune on it
+                case _ => () // manifest carries no value — unknown, never prune on it
+              }
+            }
+            val bucketOk = bucketExpect.forall { case (specName, expected) =>
+              e.partition.get(specName) match {
+                case Some(b: java.lang.Integer) => expected.contains(b.intValue())
+                case _ => true // unknown value — never prune on it
               }
             }
             val st = IcebergStats.toFileStats(schema, byId, e.rows, lo, hi, nulls)
-            ParquetStats.mayMatch(Some(st), expr)
+            bucketOk && ParquetStats.mayMatch(Some(st), expr)
           }
       }
     }
@@ -267,8 +286,13 @@ object IcebergScan {
       df.withColumn("__raw_file", col("_metadata.file_path"))
         .withColumn("__pos", col("_metadata.row_index"))
     def scanData(files: Seq[FileEntry]): DataFrame =
+      // transform fields need no injection (their SOURCE columns live in
+      // the data files); a transform-only spec reads as plain parquet. A
+      // MIXED spec forces the injection branch — the hive basePath read
+      // would try to discover the transform dirs as partition columns.
       if (partSpec.isEmpty) spark.read.schema(withIds(schema)).parquet(files.map(_.path): _*)
-      else scanPartitioned(spark, withIds(schema), partSpec, files)
+      else scanPartitioned(spark, withIds(schema), partSpec, files,
+        forceInject = specFields.exists(!_.isIdentity))
     if (dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     if (posFiles.isEmpty && eqFiles.isEmpty) { // fast path: no row-level deletes
@@ -479,9 +503,10 @@ object IcebergScan {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
       val partSpec = identityPartitionFields(meta, schema)
+      val mixed = partitionSpecFields(meta, schema).exists(!_.isIdentity)
       if (partSpec.isEmpty)
         spark.read.schema(schema).parquet(added.map(_.path).sorted: _*)
-      else scanPartitioned(spark, schema, partSpec, added)
+      else scanPartitioned(spark, schema, partSpec, added, forceInject = mixed)
         .select(schema.fieldNames.map(col).toSeq: _*)
     }
   }
@@ -611,32 +636,69 @@ object IcebergScan {
       nullCounts: Map[Int, Long] = Map.empty,
       partition: Map[String, AnyRef] = Map.empty)
 
-  /** the table's identity partition spec: (spec field name, source
-    * schema field) in spec order. Non-identity transforms are loud
-    * (bucket/truncate/temporal projections need transform evaluation);
-    * `void` fields (dropped partitions) contribute nothing. */
-  private def identityPartitionFields(
-      meta: JsonNode, schema: StructType): Seq[(String, StructField)] = {
+  /** bucket spec fields constrained by top-level EQUALITY conjuncts of
+    * the pruning filter (`source = lit` / `source IN (...)` → the
+    * allowed bucket ids) — the one predicate shape a hash transform can
+    * prune on. Cast-wrapped attributes and disjunctions stay
+    * unconstrained (never prune on a shape we cannot prove). */
+  private def bucketEqualityTargets(
+      specFields: Seq[IcebergTransforms.PartField],
+      pred: org.apache.spark.sql.catalyst.expressions.Expression): Map[String, Set[Int]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val buckets = specFields.filter(_.transform == "bucket")
+    if (buckets.isEmpty) return Map.empty
+    def attrName(e: Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.nameParts.mkString("."))
+      case a: AttributeReference => Some(a.name)
+      case _ => scala.None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val out = scala.collection.mutable.Map.empty[String, Set[Int]]
+    def constrain(name: String, values: Seq[Any]): Unit =
+      buckets.filter(_.source.name == name).foreach { pf =>
+        val ids = values.map(v =>
+          IcebergTransforms.bucketOf(pf.source.dataType, v, pf.param)).toSet
+        out(pf.specName) = out.get(pf.specName).map(_ intersect ids).getOrElse(ids)
+      }
+    conjuncts(pred).foreach {
+      case EqualTo(a, Literal(v, _)) if v != null =>
+        attrName(a).foreach(constrain(_, Seq(v)))
+      case EqualTo(Literal(v, _), a) if v != null =>
+        attrName(a).foreach(constrain(_, Seq(v)))
+      case In(a, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+        attrName(a).foreach(constrain(_,
+          list.collect { case Literal(v, _) if v != null => v }))
+      case _ => ()
+    }
+    out.toMap
+  }
+
+  /** the table's default partition spec, parsed into transform-aware
+    * fields ([[IcebergTransforms.PartField]] — identity plus the
+    * hidden-partitioning transforms day/month/year/hour/bucket/
+    * truncate); unknown transforms are loud, `void` fields (dropped
+    * partitions) contribute nothing. */
+  private def partitionSpecFields(
+      meta: JsonNode, schema: StructType): Seq[IcebergTransforms.PartField] = {
     val fieldsNode = Option(meta.get("partition-specs")).flatMap { specs =>
       val d = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
       specs.elements().asScala.find(_.get("spec-id").asInt() == d).map(_.get("fields"))
     }.orElse(Option(meta.get("partition-spec")))
     val nameById = currentSchema(meta).get("fields").elements().asScala
       .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
-    fieldsNode.map(_.elements().asScala.toSeq.flatMap { f =>
-      f.get("transform").asText() match {
-        case "void" => scala.None
-        case "identity" =>
-          val src = f.get("source-id").asInt()
-          val name = nameById.getOrElse(src, throw new IllegalArgumentException(
-            s"partition spec references field id $src which is not a top-level column"))
-          Some(f.get("name").asText() -> schema(name))
-        case other => throw new IllegalArgumentException(
-          s"partition transform '$other' not supported by the built-in " +
-            "Iceberg reader (identity only)")
-      }
-    }).getOrElse(Seq.empty)
+    fieldsNode.map(n => IcebergTransforms.fromSpecJson(n.toString, nameById, schema))
+      .getOrElse(Seq.empty)
   }
+
+  /** identity view of the spec: (spec field name, source field) */
+  private def identityPartitionFields(
+      meta: JsonNode, schema: StructType): Seq[(String, StructField)] =
+    partitionSpecFields(meta, schema)
+      .filter(_.isIdentity).map(pf => pf.specName -> pf.source)
 
   /** Partition-aware data scan. Hive-layout tables (every file path
     * carries `name=value` segments under one base — this writer's and
@@ -647,13 +709,14 @@ object IcebergScan {
     * tuple (bounded: the plan grows with touched partitions — the same
     * cost class any engine pays for a non-path-derivable layout). */
   private[graft] def scanPartitioned(spark: SparkSession, schema: StructType,
-      partSpec: Seq[(String, StructField)], files: Seq[FileEntry]): DataFrame = {
+      partSpec: Seq[(String, StructField)], files: Seq[FileEntry],
+      forceInject: Boolean = false): DataFrame = {
     val firstSeg = "/" + partSpec.head._1 + "="
     val bases = files.map { f =>
       val i = f.path.indexOf(firstSeg)
       if (i < 0) null else f.path.substring(0, i)
     }
-    val hive = bases.forall(_ != null) && bases.distinct.size == 1 &&
+    val hive = !forceInject && bases.forall(_ != null) && bases.distinct.size == 1 &&
       files.forall(f => IcebergWrite.hivePathValues(f.path, partSpec.map(_._1)).isDefined)
     if (hive)
       spark.read.option("basePath", bases.head)

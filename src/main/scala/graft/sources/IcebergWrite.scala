@@ -43,25 +43,36 @@ import org.apache.spark.sql.types._
   */
 object IcebergWrite {
 
+  /** `partitionBy` entries are bare column names (identity spec) or
+    * the spec's HIDDEN-partitioning transforms: `day(ts)` / `month(ts)`
+    * / `year(ts)` / `hour(ts)` / `bucket(16, id)` / `truncate(4, s)` —
+    * transform SOURCE columns stay in the data files (readers filter on
+    * the source, the manifest pruner skips via the derived values). */
   def create(spark: SparkSession, df: DataFrame, tablePath: String,
       txn: Option[(String, Long)] = None,
       partitionBy: Seq[String] = Nil): Unit = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(tablePath, "metadata")),
       s"Iceberg metadata already exists at $tablePath — use append")
-    partitionBy.foreach { n =>
-      val f = df.schema.fields.find(_.name == n).getOrElse(throw new IllegalArgumentException(
-        s"partition column '$n' is not a column of the DataFrame"))
-      require(hivePartitionable(f.dataType),
-        s"partition column '$n' has type ${f.dataType.sql}; supported: " +
+    val pfs = partitionBy.map(IcebergTransforms.parse(_, df.schema))
+    pfs.foreach { pf =>
+      // the hive path must round-trip the RECORD type exactly
+      require(hivePartitionable(pf.recordField.dataType),
+        s"partition field '${pf.specName}' has path-lossy type " +
+          s"${pf.recordField.dataType.sql}; supported: " +
           "string/long/int/short/byte/boolean/date")
-      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
-        s"partition column name '$n' is not a valid Avro/identifier name")
+      require(pf.specName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"partition field name '${pf.specName}' is not a valid Avro/identifier name")
+      require(!pf.isIdentity || pf.specName == pf.source.name, "identity names its source")
+      require(pf.isIdentity || !df.schema.fieldNames.contains(pf.specName),
+        s"derived partition field '${pf.specName}' collides with a data column")
     }
-    require(partitionBy.size < df.schema.length || partitionBy.isEmpty,
-      "cannot partition by every column")
+    require(pfs.map(_.specName).distinct.size == pfs.size,
+      s"duplicate partition field names in ${partitionBy.mkString(", ")}")
+    require(pfs.filter(_.isIdentity).size < df.schema.length || pfs.isEmpty,
+      "cannot identity-partition by every column")
     commit(spark, fs, df, tablePath, version = 1, txn = txn,
-      carryOverride = Some(freshCarry(df.schema, partitionBy)))
+      carryOverride = Some(freshCarry(df.schema, pfs)))
   }
 
   /** identity-partition column types the hive path layout round-trips
@@ -249,20 +260,39 @@ object IcebergWrite {
   private final case class SchemaCarry(
       schemaJson: String, schemasArray: String, currentSchemaId: Int,
       lastColumnId: Int, tableUuid: String, specFieldsJson: String = "[]") {
-    /** partition column names, in spec order */
+    /** partition spec field names, in spec order */
     def partCols: Seq[String] = IcebergWrite.specColNames(specFieldsJson)
+    /** parsed spec fields (transform + source) */
+    def partFields: Seq[IcebergTransforms.PartField] = {
+      val schemaNode = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(schemaJson)
+      val nameById = schemaNode.get("fields").elements().asScala
+        .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+      IcebergTransforms.fromSpecJson(specFieldsJson, nameById,
+        IcebergScan.sparkSchema(schemaNode))
+    }
+    def hasTransforms: Boolean = partFields.exists(!_.isIdentity)
   }
+
+  /** refuse the ops whose partition plumbing assumes identity specs */
+  private def requireIdentitySpec(carry: SchemaCarry, op: String): Unit =
+    require(!carry.hasTransforms,
+      s"$op on a transform-partitioned table is not supported yet — " +
+        "the built-in writer's row-level DML and rewrites run on " +
+        "identity specs only (appends, equality deletes, and reads all work)")
 
   private[sources] def specColNames(specFieldsJson: String): Seq[String] = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(specFieldsJson)
     node.elements().asScala.map(_.get("name").asText()).toSeq
   }
 
-  private def freshCarry(schema: StructType, partitionBy: Seq[String]): SchemaCarry = {
+  private def freshCarry(schema: StructType,
+      partitionBy: Seq[IcebergTransforms.PartField]): SchemaCarry = {
     val json = icebergSchemaJson(schema)
-    val specJson = partitionBy.zipWithIndex.map { case (n, i) =>
-      val sourceId = schema.fieldNames.indexOf(n) + 1 // ids are 1-based field order
-      s"""{"name":${jstr(n)},"transform":"identity","source-id":$sourceId,"field-id":${1000 + i}}"""
+    val specJson = partitionBy.zipWithIndex.map { case (pf, i) =>
+      val sourceId = schema.fieldNames.indexOf(pf.source.name) + 1 // 1-based field order
+      s"""{"name":${jstr(pf.specName)},"transform":${jstr(pf.transformJson)},""" +
+        s""""source-id":$sourceId,"field-id":${1000 + i}}"""
     }.mkString("[", ",", "]")
     SchemaCarry(json, s"[$json]", 0, schema.length,
       java.util.UUID.randomUUID().toString, specJson)
@@ -351,9 +381,11 @@ object IcebergWrite {
       if (version == 1) freshCarry(df.schema, Nil)
       else carryFromPrev(fs, metaDir, version - 1))
     val schemaJson = carry.schemaJson
-    val partCols = carry.partCols
-    partCols.foreach(n => require(df.schema.fieldNames.contains(n),
-      s"the table is partitioned by '$n' which is not a column of the input"))
+    val partFields = carry.partFields
+    val partCols = partFields.map(_.specName)
+    partFields.foreach(pf => require(df.schema.fieldNames.contains(pf.source.name),
+      s"the table is partitioned by '${pf.specName}' whose source column " +
+        s"'${pf.source.name}' is not a column of the input"))
 
     // spec `required` fields must hold no NULL — free when the
     // incoming frame's schema already proves non-nullability
@@ -363,7 +395,15 @@ object IcebergWrite {
     val dataDir = new Path(root, "data")
     val pre = listParquet(fs, dataDir).toSet
     withFieldIdWrites(spark) {
-      val writer = stampFieldIds(df, schemaJson).write.mode("append")
+      // transform fields derive their hive value; partitionBy drops the
+      // DERIVED column from the payload while the SOURCE column stays —
+      // exactly the spec's hidden-partitioning layout (identity fields
+      // keep the existing column-dropped hive layout)
+      val derived = partFields.filterNot(_.isIdentity).foldLeft(
+        stampFieldIds(df, schemaJson)) { (d, pf) =>
+        d.withColumn(pf.specName, IcebergTransforms.columnExpr(pf))
+      }
+      val writer = derived.write.mode("append")
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(dataDir.toString)
     }
@@ -391,7 +431,8 @@ object IcebergWrite {
       // collide on the avro paths (resolution is pointer-based through
       // the metadata JSON; only the v$N.metadata.json CAS arbitrates)
       val manifestRel = s"metadata/manifest-$version-${pathNonce()}.avro"
-      val entrySchema = manifestSchemaFor(partFieldsOf(df.schema, carry.partCols))
+      val recordFields = carry.partFields.map(_.recordField)
+      val entrySchema = manifestSchemaFor(recordFields)
       val dataFileSchema = entrySchema.getField("data_file").schema()
       writeAvro(fs, new Path(root, manifestRel), entrySchema,
         filesWithRows.map { case (rel, rows, len) =>
@@ -400,7 +441,7 @@ object IcebergWrite {
           file.put("file_path", rel)
           file.put("file_format", "PARQUET")
           file.put("partition",
-            partitionRecord(dataFileSchema, df.schema, carry.partCols, rel))
+            partitionRecordOf(dataFileSchema, recordFields, rel))
           file.put("record_count", rows)
           file.put("file_size_in_bytes", len)
           file.put("block_size_in_bytes", DefaultBlockSize)
@@ -749,6 +790,8 @@ object IcebergWrite {
 
     val metaDir0 = new Path(root, "metadata")
     val carry0 = carryFromPrev(fs, metaDir0, prev)
+    requireIdentitySpec(carry0, operation match {
+      case "replace" => "compact/zorder"; case o => s"copy-on-write $o" })
     val partCols = carry0.partCols
     val tableSchema0 = IcebergScan.sparkSchema(
       new com.fasterxml.jackson.databind.ObjectMapper().readTree(carry0.schemaJson))
@@ -1105,6 +1148,7 @@ object IcebergWrite {
     val root = fs.makeQualified(new Path(tablePath))
     val metaDir = new Path(root, "metadata")
     val carry = carryFromPrev(fs, metaDir, prev)
+    requireIdentitySpec(carry, "merge-on-read UPDATE")
     val partCols = carry.partCols
     val (_, plannedLive) = IcebergScan.currentDataFiles(spark, tablePath)
 
@@ -1177,6 +1221,7 @@ object IcebergWrite {
     val root = fs.makeQualified(new Path(tablePath))
     val metaDir = new Path(root, "metadata")
     val carry = carryFromPrev(fs, metaDir, prev)
+    requireIdentitySpec(carry, "merge-on-read MERGE")
     val partCols = carry.partCols
 
     // counts against the planned snapshot (one pass over the pruned
@@ -1939,6 +1984,7 @@ object IcebergWrite {
     // schema state carried verbatim from the table's own metadata (the
     // delete commit must not drift the declared schema or its ids)
     val carry = carryFromPrev(fs, metaDir, prev)
+    requireIdentitySpec(carry, "deleteWhere (position deletes)")
     val schemaJson = carry.schemaJson
     val partCols = carry.partCols
     val tableSchema = IcebergScan.sparkSchema(
@@ -2410,17 +2456,26 @@ object IcebergWrite {
 
   /** typed partition record for one hive-layout data file, values
     * parsed from the file's `k=v` path segments */
+  /** identity-spec form: record fields ARE the source schema fields */
   private def partitionRecord(dataFileSchema: Schema, schema: StructType,
-      partCols: Seq[String], relPath: String): GenericData.Record = {
+      partCols: Seq[String], relPath: String): GenericData.Record =
+    partitionRecordOf(dataFileSchema, partCols.map(n => schema(n)
+      .copy(name = n)), relPath)
+
+  /** typed manifest partition record parsed from the hive path, typed
+    * by the spec fields' RECORD types (transform result types — a
+    * day field parses as a date, a bucket as an int) */
+  private def partitionRecordOf(dataFileSchema: Schema,
+      recordFields: Seq[StructField], relPath: String): GenericData.Record = {
     val rec = new GenericData.Record(dataFileSchema.getField("partition").schema())
-    if (partCols.isEmpty) return rec
-    val raw = hivePathValues(relPath, partCols).getOrElse(
+    if (recordFields.isEmpty) return rec
+    val names = recordFields.map(_.name)
+    val raw = hivePathValues(relPath, names).getOrElse(
       throw new IllegalStateException(
         s"written data file $relPath does not carry hive segments for " +
-          s"partition columns ${partCols.mkString(", ")}"))
-    partCols.foreach { n =>
-      val dt = schema(n).dataType
-      rec.put(n, raw(n).map(typedPartitionValue(dt, n, _)).orNull)
+          s"partition fields ${names.mkString(", ")}"))
+    recordFields.foreach { f =>
+      rec.put(f.name, raw(f.name).map(typedPartitionValue(f.dataType, f.name, _)).orNull)
     }
     rec
   }

@@ -225,10 +225,16 @@ object ParquetStats {
       case a: AttributeReference => Some(a.name)
       case _ => None
     }
-    // literal → comparable, aligned with the serialized stats domains
+    // literal → comparable, aligned with the serialized stats domains.
+    // ANY resolved deterministic expression with NO column references
+    // evaluates first — a filter written as to_timestamp('2021-03-05')
+    // or date_add(...) is as prunable as a bare literal (the analyzed
+    // condition has not been constant-folded, and RuntimeReplaceable
+    // wrappers report foldable=false even when their value is fixed)
     def litVal(e: Expression): Option[Any] = e match {
-      case c: Cast if c.resolved && c.foldable && c.deterministic =>
-        litVal(Literal(c.eval(null), c.dataType))
+      case f if !f.isInstanceOf[Literal] && f.resolved && f.deterministic &&
+          f.references.isEmpty =>
+        scala.util.Try(Literal(f.eval(null), f.dataType)).toOption.flatMap(litVal)
       case Literal(v, dt) if v != null => dt match {
         case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>

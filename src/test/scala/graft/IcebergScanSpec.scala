@@ -420,6 +420,134 @@ class IcebergScanSpec extends SparkSpec {
     assert(IcebergScan.read(spark, dir, snapshotAsOf = Some(2L)).count() == 3L)
   }
 
+  test("partition transforms: spec bucket-hash vectors; day/bucket/truncate round-trip with source-column pruning") {
+    import graft.sources.{IcebergScan, IcebergTransforms, IcebergWrite}
+    import org.apache.spark.sql.functions.{col, lit, to_date, to_timestamp}
+    import spark.implicits._
+
+    // ---- the PUBLIC spec's hash test vectors (Iceberg spec, Appendix B)
+    assert(IcebergTransforms.hashLong(34L) == 2017239379, "hashLong(34)")
+    assert(IcebergTransforms.hashString("iceberg") == 1210000089, "hashString")
+    assert(IcebergTransforms.hashLong(
+      java.time.LocalDate.of(2017, 11, 16).toEpochDay) == -653330422, "hashDate")
+    assert(IcebergTransforms.hashLong(
+      java.time.LocalDateTime.of(2017, 11, 16, 22, 31, 8)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L) == -2047944441,
+      "hashTimestampMicros")
+
+    // ---- day(ts) + bucket(4, id) + truncate(2, cat): write → read
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_transforms").toString + "/t"
+    val rows = Seq(
+      (1L, "2021-03-05 10:00:00", "alpha"),
+      (2L, "2021-03-05 23:59:59", "alpine"),
+      (3L, "2021-03-06 00:00:01", "beta"),
+      (4L, "2021-04-01 12:00:00", "bravo"),
+      (5L, "2022-01-15 08:30:00", "gamma"))
+    val df = rows.toDF("id", "ts_s", "cat")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .select("id", "ts", "cat")
+    IcebergWrite.create(spark, df, dir,
+      partitionBy = Seq("day(ts)", "bucket(4, id)", "truncate(2, cat)"))
+    // source columns STAY in the data files; full read is exact
+    val got = IcebergScan.read(spark, dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getString(2)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got(0)._2.startsWith("2021-03-05 10:00") && got(0)._3 == "alpha")
+    // appends keep the transform layout
+    IcebergWrite.append(spark,
+      Seq((6L, java.sql.Timestamp.valueOf("2021-03-05 11:00:00"), "alto"))
+        .toDF("id", "ts", "cat"), dir)
+    assert(IcebergScan.read(spark, dir).count() == 6L)
+    // the hive layout carries the DERIVED values (human-readable day)
+    val dataDirs = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dataDirs.exists(_.startsWith("ts_day=2021-03-05")), s"dirs: $dataDirs")
+
+    // ---- PRUNING on the SOURCE columns, proven by deleting ruled-out
+    // files: a matching read works, a pruned-away read never plans them
+    val metaDirs = IcebergScan.files(spark, dir).collect().map(_.getString(0))
+    def livePaths(filter: org.apache.spark.sql.Column): Set[String] =
+      // which files survive the pruner for this filter (the scan's
+      // planned input files ARE the post-prune set)
+      IcebergScan.read(spark, dir, skippingFilter = Some(filter))
+        .inputFiles.toSet
+    val all = livePaths(lit(true))
+    assert(all.size >= 4, s"expected several files, got ${all.size}")
+    // day pruning: a timestamp range inside 2021-03-05 keeps only that day
+    val day1 = livePaths(col("ts") >= to_timestamp(lit("2021-03-05 00:00:00")) &&
+      col("ts") <= to_timestamp(lit("2021-03-05 23:59:59")))
+    assert(day1.forall(_.contains("ts_day=2021-03-05")), s"day prune leaked: $day1")
+    assert(day1.nonEmpty)
+    // bucket pruning: id = 5 keeps only id's bucket
+    val b5 = IcebergTransforms.bucketOf(org.apache.spark.sql.types.LongType, 5L, 4)
+    val bucket5 = livePaths(col("id") === 5L)
+    assert(bucket5.nonEmpty && bucket5.forall(_.contains(s"id_bucket=$b5")),
+      s"bucket prune leaked (want id_bucket=$b5): $bucket5")
+    // truncate pruning: cat = 'gamma' keeps only the 'ga' prefix group
+    val trunc = livePaths(col("cat") === "gamma")
+    assert(trunc.nonEmpty && trunc.forall(_.contains("cat_trunc=ga")),
+      s"truncate prune leaked: $trunc")
+    // prefix RANGE pruning: cat >= 'b' rules out the 'al' groups
+    val bplus = livePaths(col("cat") >= "b")
+    assert(bplus.nonEmpty && bplus.forall(!_.contains("cat_trunc=al")),
+      s"truncate range prune leaked: $bplus")
+
+    // physically delete every file the day filter rules out — the
+    // pruned read must still answer without touching them
+    (all -- day1).foreach(p => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(new java.net.URI(p))))
+    assert(IcebergScan.read(spark, dir,
+      skippingFilter = Some(col("ts") >= to_timestamp(lit("2021-03-05 00:00:00")) &&
+        col("ts") <= to_timestamp(lit("2021-03-05 23:59:59"))))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 6L),
+      "day-pruned read must not touch ruled-out (deleted) files")
+
+    // ---- month/year transforms + equality deletes stay global
+    val d2 = java.nio.file.Files.createTempDirectory("graft_ice_tr2").toString + "/t"
+    IcebergWrite.create(spark,
+      Seq((1L, java.sql.Date.valueOf("2021-03-05")),
+        (2L, java.sql.Date.valueOf("2021-07-20")),
+        (3L, java.sql.Date.valueOf("2022-02-01"))).toDF("id", "d"), d2,
+      partitionBy = Seq("month(d)"))
+    assert(IcebergScan.read(spark, d2).count() == 3L)
+    // month value is the spec ordinal (months since 1970-01)
+    assert(new java.io.File(s"$d2/data").listFiles().map(_.getName).toSet
+      .contains("d_month=614")) // (2021-1970)*12 + 3 - 1
+    val m = IcebergScan.read(spark, d2,
+      skippingFilter = Some(col("d") === java.sql.Date.valueOf("2021-07-20")))
+      .inputFiles
+    assert(m.forall(_.contains("d_month=618")), s"month prune leaked: ${m.toSeq}")
+    // equality deletes are global — allowed on transform specs
+    assert(IcebergWrite.deleteEqual(spark, d2, Seq(2L).toDF("id")) == 1L)
+    assert(IcebergScan.read(spark, d2).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+
+    // ---- row-level position DML and rewrites refuse loudly (scope)
+    Seq(
+      () => IcebergWrite.deleteWhere(spark, d2, col("id") === 1L),
+      () => IcebergWrite.updateWhere(spark, d2, col("id") === 1L,
+        Seq("id" -> lit(9L))),
+      () => { IcebergWrite.merge(spark, d2,
+        Seq((1L, java.sql.Date.valueOf("2021-01-01"))).toDF("id", "d"), Seq("id")); () },
+      () => { IcebergWrite.compact(spark, d2, smallFileBytes = 1L << 30); () }
+    ).foreach { op =>
+      assert(intercept[IllegalArgumentException](op())
+        .getMessage.contains("identity specs only"))
+    }
+
+    // ---- parse validation is loud
+    val base = Seq((1L, "x")).toDF("id", "v")
+    assert(intercept[IllegalArgumentException] {
+      IcebergWrite.create(spark, base,
+        java.nio.file.Files.createTempDirectory("graft_tr_bad").toString + "/t",
+        partitionBy = Seq("day(v)")) // string source
+    }.getMessage.contains("date/timestamp"))
+    assert(intercept[IllegalArgumentException] {
+      IcebergWrite.create(spark, base,
+        java.nio.file.Files.createTempDirectory("graft_tr_bad2").toString + "/t",
+        partitionBy = Seq("shard(4, id)"))
+    }.getMessage.contains("unknown partition transform"))
+  }
+
   test("v2 interop surface: field-ids, manifest metadata, v2 counts, reserved delete-column ids") {
     import graft.sources.{IcebergScan, IcebergWrite}
     import org.apache.spark.sql.functions.col
