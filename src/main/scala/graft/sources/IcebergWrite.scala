@@ -278,8 +278,8 @@ object IcebergWrite {
   private def requireIdentitySpec(carry: SchemaCarry, op: String): Unit =
     require(!carry.hasTransforms,
       s"$op on a transform-partitioned table is not supported yet — " +
-        "the built-in writer's row-level DML and rewrites run on " +
-        "identity specs only (appends, equality deletes, and reads all work)")
+        "rewrites and merge-on-read image writes run on identity specs " +
+        "only (appends, position/equality deletes, and reads all work)")
 
   private[sources] def specColNames(specFieldsJson: String): Seq[String] = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(specFieldsJson)
@@ -1159,7 +1159,7 @@ object IcebergWrite {
     try {
       val delWithRows = stagePositionDeletes(spark, fs, root, tablePath,
         matched.select(col("__raw_file"), col("__pos")), version,
-        tableSchema, partCols)
+        carry.partFields.map(_.recordField))
       val nUpdated = delWithRows.map(_._2).sum
       if (nUpdated == 0L) return 0L
 
@@ -1984,11 +1984,11 @@ object IcebergWrite {
     // schema state carried verbatim from the table's own metadata (the
     // delete commit must not drift the declared schema or its ids)
     val carry = carryFromPrev(fs, metaDir, prev)
-    requireIdentitySpec(carry, "deleteWhere (position deletes)")
     val schemaJson = carry.schemaJson
-    val partCols = carry.partCols
-    val tableSchema = IcebergScan.sparkSchema(
-      new com.fasterxml.jackson.databind.ObjectMapper().readTree(schemaJson))
+    // transform specs work here too: the delete files shard per derived
+    // partition tuple (the values live in the manifest entries), so a
+    // partition-pruned reader prunes the deletes alongside the data
+    val recordFields = carry.partFields.map(_.recordField)
 
     // victims come from the DELETE-APPLIED lineage view, so a row
     // already dead under an earlier position/equality delete is never
@@ -1996,14 +1996,14 @@ object IcebergWrite {
     val victims = IcebergScan.readWithLineage(spark, tablePath, Some(cond))
       .filter(cond).select(col("__raw_file"), col("__pos"))
     val delWithRows = stagePositionDeletes(spark, fs, root, tablePath,
-      victims, version, tableSchema, partCols)
+      victims, version, recordFields)
     val nDeleted = delWithRows.map(_._2).sum
     if (nDeleted == 0L) return 0L // helper already cleaned its staging dir
     val conf = spark.sparkContext.hadoopConfiguration
 
     def assemble(v: Int, c: SchemaCarry): Unit = {
       val manifestRel = s"metadata/manifest-$v-${pathNonce()}.avro"
-      val entrySchema = manifestSchemaFor(partFieldsOf(tableSchema, partCols))
+      val entrySchema = manifestSchemaFor(recordFields)
       val dataFileSchema = entrySchema.getField("data_file").schema()
       val delEntries = delWithRows.map { case (rel, rows, len) =>
         val file = new GenericData.Record(dataFileSchema)
@@ -2011,7 +2011,7 @@ object IcebergWrite {
         file.put("file_path", rel)
         file.put("file_format", "PARQUET")
         file.put("partition",
-          partitionRecord(dataFileSchema, tableSchema, partCols, rel))
+          partitionRecordOf(dataFileSchema, recordFields, rel))
         file.put("record_count", rows)
         file.put("file_size_in_bytes", len)
         file.put("block_size_in_bytes", DefaultBlockSize)
@@ -2063,7 +2063,8 @@ object IcebergWrite {
     * merge-on-read [[updateWhere]] path. */
   private def stagePositionDeletes(spark: SparkSession, fs: FileSystem,
       root: Path, tablePath: String, victims0: DataFrame, version: Int,
-      tableSchema: StructType, partCols: Seq[String]): Seq[(String, Long, Long)] = {
+      recordFields: Seq[StructField]): Seq[(String, Long, Long)] = {
+    val partCols = recordFields.map(_.name)
     import org.apache.spark.sql.functions.{broadcast, col}
     // the spec reserves parquet field ids for position-delete columns:
     // file_path = 2147483546, pos = 2147483545 — stamp them via
@@ -2113,7 +2114,7 @@ object IcebergWrite {
           s"victim files ${victimFiles.size} != matched live entries " +
             s"${hitEntries.size} — path namespace mismatch between the " +
             "lineage view and the manifest")
-        val partFields = partFieldsOf(tableSchema, partCols)
+        val partFields = recordFields
         val pmapSchema = StructType(
           StructField("__file", StringType) +: partFields.map(_.copy(nullable = true)))
         val pmapRows: java.util.List[org.apache.spark.sql.Row] = hitEntries.map { e =>

@@ -520,10 +520,18 @@ class IcebergScanSpec extends SparkSpec {
     // equality deletes are global — allowed on transform specs
     assert(IcebergWrite.deleteEqual(spark, d2, Seq(2L).toDF("id")) == 1L)
     assert(IcebergScan.read(spark, d2).collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // POSITION deletes shard per DERIVED partition tuple — they work on
+    // transform specs too (the GDPR-delete path on hidden-partitioned
+    // event tables), and the delete files land partition-scoped
+    assert(IcebergWrite.deleteWhere(spark, d2, col("id") === 3L) == 1L)
+    assert(IcebergScan.read(spark, d2).collect().map(_.getLong(0)).toSet == Set(1L))
+    val delDirs = deleteDir(d2.stripSuffix("/t") + "/t", "deletes-v")
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(delDirs.exists(_.startsWith("d_month=")),
+      s"transform-spec position deletes must shard by derived partition, got $delDirs")
 
-    // ---- row-level position DML and rewrites refuse loudly (scope)
+    // ---- rewrites and MOR image writes refuse loudly (scope)
     Seq(
-      () => IcebergWrite.deleteWhere(spark, d2, col("id") === 1L),
       () => IcebergWrite.updateWhere(spark, d2, col("id") === 1L,
         Seq("id" -> lit(9L))),
       () => { IcebergWrite.merge(spark, d2,
