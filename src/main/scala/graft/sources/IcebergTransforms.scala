@@ -232,7 +232,7 @@ object IcebergTransforms {
       case IntegerType => hashLong(value.asInstanceOf[Int].toLong)
       case LongType => hashLong(value.asInstanceOf[Long])
       case DateType => hashLong(value.asInstanceOf[Int].toLong)
-      case TimestampType => hashLong(value.asInstanceOf[Long])
+      case TimestampType | TimestampNTZType => hashLong(value.asInstanceOf[Long])
       case StringType => hashString(value.toString)
       case other => throw new IllegalArgumentException(
         s"bucket(): unsupported source type ${other.sql}")
@@ -252,7 +252,8 @@ object IcebergTransforms {
       case ("identity", x) => Some((x, x))
       case ("day", d: java.lang.Integer) => pf.source.dataType match {
         case DateType => Some((d.intValue(), d.intValue()))
-        case TimestampType => Some(dayRangeMicros(d.longValue(), d.longValue() + 1))
+        case TimestampType | TimestampNTZType =>
+          Some(dayRangeMicros(d.longValue(), d.longValue() + 1))
         case _ => scala.None
       }
       case ("month", m: java.lang.Integer) =>
@@ -261,7 +262,8 @@ object IcebergTransforms {
         val next = first.plusMonths(1)
         pf.source.dataType match {
           case DateType => Some((first.toEpochDay.toInt, next.toEpochDay.toInt - 1))
-          case TimestampType => Some(dayRangeMicros(first.toEpochDay, next.toEpochDay))
+          case TimestampType | TimestampNTZType =>
+            Some(dayRangeMicros(first.toEpochDay, next.toEpochDay))
           case _ => scala.None
         }
       case ("year", y: java.lang.Integer) =>
@@ -269,7 +271,8 @@ object IcebergTransforms {
         val next = first.plusYears(1)
         pf.source.dataType match {
           case DateType => Some((first.toEpochDay.toInt, next.toEpochDay.toInt - 1))
-          case TimestampType => Some(dayRangeMicros(first.toEpochDay, next.toEpochDay))
+          case TimestampType | TimestampNTZType =>
+            Some(dayRangeMicros(first.toEpochDay, next.toEpochDay))
           case _ => scala.None
         }
       case ("hour", h: java.lang.Integer) =>

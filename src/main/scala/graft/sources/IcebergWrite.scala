@@ -558,13 +558,19 @@ object IcebergWrite {
   }
 
   private def withFieldIdWrites[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.parquet.fieldId.write.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
+    // field ids make rename-by-id resolution sound; INT64 micros is the
+    // SPEC's timestamp physical type (Spark's INT96 default is a
+    // non-conformant legacy encoding external Iceberg readers — and our
+    // own parquet-mr streaming decode — reject)
+    val keys = Seq(
+      "spark.sql.parquet.fieldId.write.enabled" -> "true",
+      "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case scala.None => spark.conf.unset(key)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, scala.None) => spark.conf.unset(k)
     }
   }
 
@@ -2080,10 +2086,7 @@ object IcebergWrite {
     // keeps two writers racing to the same version from overwriting
     // each other's staged files — only the metadata CAS arbitrates
     val delDir = new Path(root, s"data/deletes-v$version-${pathNonce()}")
-    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
-    val prevFieldId = spark.conf.getOption(fieldIdKey)
-    spark.conf.set(fieldIdKey, "true")
-    try {
+    withFieldIdWrites(spark) {
       if (partCols.isEmpty)
         // hash-partition by victim FILE so a predicate delete touching
         // billions of rows never serializes through one task: each task
@@ -2135,9 +2138,6 @@ object IcebergWrite {
           .sortWithinPartitions("file_path", "pos")
           .write.partitionBy(partCols: _*).mode("overwrite").parquet(delDir.toString)
       }
-    } finally prevFieldId match {
-      case Some(v) => spark.conf.set(fieldIdKey, v)
-      case None => spark.conf.unset(fieldIdKey)
     }
     val conf = spark.sparkContext.hadoopConfiguration
     val staged = listParquet(fs, delDir).map("data/" + _).map { rel =>
@@ -2234,19 +2234,14 @@ object IcebergWrite {
     }.toSeq
     // nonce: racing writers must not overwrite each other's staged files
     val delDir = new Path(root, s"data/eqdeletes-v$version-${pathNonce()}")
-    val fieldIdKey = "spark.sql.parquet.fieldId.write.enabled"
-    val prevFieldId = spark.conf.getOption(fieldIdKey)
-    spark.conf.set(fieldIdKey, "true")
     // distinct() already hash-partitions by the key columns, so each task
     // holds complete key groups and writes its own sorted delete file —
     // a giant key set (a CDC backfill) never funnels through one task;
     // AQE coalesces a small set back to a single file
-    try keys.select(keyCols: _*).distinct()
-      .sortWithinPartitions(keys.schema.fieldNames.map(col).toSeq: _*)
-      .write.mode("overwrite").parquet(delDir.toString)
-    finally prevFieldId match {
-      case Some(v) => spark.conf.set(fieldIdKey, v)
-      case None => spark.conf.unset(fieldIdKey)
+    withFieldIdWrites(spark) {
+      keys.select(keyCols: _*).distinct()
+        .sortWithinPartitions(keys.schema.fieldNames.map(col).toSeq: _*)
+        .write.mode("overwrite").parquet(delDir.toString)
     }
     val staged = sizeParquet(fs, root, listParquet(fs, delDir).map("data/" + _))
     if (staged.isEmpty) fs.delete(delDir, true)

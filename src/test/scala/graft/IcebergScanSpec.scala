@@ -542,6 +542,32 @@ class IcebergScanSpec extends SparkSpec {
         .getMessage.contains("identity specs only"))
     }
 
+    // ---- the DSv2 stream source consumes a transform-partitioned
+    // table (source columns live in the files; no path injection)
+    val sDir = java.nio.file.Files.createTempDirectory("graft_ice_tr_s").toString + "/t"
+    IcebergWrite.create(spark,
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-05 10:00:00")))
+        .toDF("id", "ts"), sDir, partitionBy = Seq("day(ts)", "bucket(4, id)"))
+    val delivered = scala.collection.mutable.ListBuffer[Long]()
+    val q = spark.readStream
+      .format(classOf[graft.streaming.IcebergStreamProvider].getName).load(sDir)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ice_tr_s_ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        delivered.synchronized { delivered ++= b.collect().map(_.getLong(0)) }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      IcebergWrite.append(spark,
+        Seq((2L, java.sql.Timestamp.valueOf("2024-01-06 11:00:00")))
+          .toDF("id", "ts"), sDir)
+      q.processAllAvailable()
+      assert(delivered.synchronized(delivered.toSet) == Set(1L, 2L),
+        s"stream over a transform-partitioned table, got $delivered")
+    } finally q.stop()
+
     // ---- parse validation is loud
     val base = Seq((1L, "x")).toDF("id", "v")
     assert(intercept[IllegalArgumentException] {
@@ -1367,6 +1393,97 @@ class IcebergScanSpec extends SparkSpec {
       .getMessage.contains("not an append-only increment"))
     // unknown snapshot is loud
     intercept[IllegalArgumentException] { ids(1L, 99L) }
+  }
+
+  test("EXTERNAL transform-partitioned table: flat paths, partition values only in manifests — reads + prunes") {
+    import graft.sources.IcebergScan
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    import spark.implicits._
+    // an external writer's layout: NO hive segments, transform values
+    // live only in the manifest partition records
+    val dir = Files.createTempDirectory("graft_ice_ext_tr")
+    val meta = dir.resolve("metadata")
+    Files.createDirectories(meta)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      writeDataFile(Seq((1L, ts("2021-03-05 10:00:00"))).toDF("id", "ts"),
+        dir, "data/00000-0-aaa.parquet")
+      writeDataFile(Seq((5L, ts("2022-01-15 08:30:00"))).toDF("id", "ts"),
+        dir, "data/00001-0-bbb.parquet")
+    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+
+    val extEntry = new Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"content","type":"int","default":0},
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
+        |    {"name":"ts_day","type":["null",{"type":"int","logicalType":"date"}],"default":null},
+        |    {"name":"id_bucket","type":["null","int"],"default":null}]}},
+        |  {"name":"record_count","type":"long"}]}}]}""".stripMargin)
+    def extRow(path: String, day: Int, bucket: Int): GenericRecord = {
+      val dfr = new GenericData.Record(extEntry.getField("data_file").schema())
+      dfr.put("content", 0)
+      dfr.put("file_path", path)
+      dfr.put("file_format", "PARQUET")
+      val part = new GenericData.Record(
+        extEntry.getField("data_file").schema().getField("partition").schema())
+      part.put("ts_day", day)
+      part.put("id_bucket", bucket)
+      dfr.put("partition", part)
+      dfr.put("record_count", 1L)
+      val e = new GenericData.Record(extEntry)
+      e.put("status", 1)
+      e.put("data_file", dfr)
+      e
+    }
+    val b1 = graft.sources.IcebergTransforms.bucketOf(
+      org.apache.spark.sql.types.LongType, 1L, 4)
+    val b5 = graft.sources.IcebergTransforms.bucketOf(
+      org.apache.spark.sql.types.LongType, 5L, 4)
+    writeAvro(meta.resolve("m1.avro"), extEntry, Seq(
+      extRow(s"$dir/data/00000-0-aaa.parquet",
+        java.time.LocalDate.of(2021, 3, 5).toEpochDay.toInt, b1),
+      extRow(s"$dir/data/00001-0-bbb.parquet",
+        java.time.LocalDate.of(2022, 1, 15).toEpochDay.toInt, b5)))
+    writeAvro(meta.resolve("l1.avro"), listSchema,
+      Seq(listEntry(s"$dir/metadata/m1.avro")))
+    val schemaJson =
+      """{"type":"struct","schema-id":0,"fields":[
+        |{"id":1,"name":"id","required":false,"type":"long"},
+        |{"id":2,"name":"ts","required":false,"type":"timestamp"}]}""".stripMargin
+    Files.write(meta.resolve("v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"ext1","location":"$dir",
+         |"current-schema-id":0,"schemas":[$schemaJson],
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |  {"name":"ts_day","transform":"day","source-id":2,"field-id":1000},
+         |  {"name":"id_bucket","transform":"bucket[4]","source-id":1,"field-id":1001}]}],
+         |"default-spec-id":0,
+         |"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,"manifest-list":"$dir/metadata/l1.avro"}]}"""
+        .stripMargin.replaceAll("\n", "").getBytes(StandardCharsets.UTF_8))
+    Files.write(meta.resolve("version-hint.text"), "1".getBytes(StandardCharsets.UTF_8))
+
+    // full read: both rows, source columns straight from the flat files
+    assert(IcebergScan.read(spark, dir.toString).orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 5L))
+    // day pruning from MANIFEST records only (no path hints at all);
+    // iceberg `timestamp` is NTZ — the literal must be NTZ-typed too
+    // (a tz-typed literal would cast the ATTRIBUTE and defeat pruning)
+    val dayRead = IcebergScan.read(spark, dir.toString, skippingFilter = Some(
+      col("ts") >= lit("2022-01-01 00:00:00").cast("timestamp_ntz")))
+    assert(dayRead.inputFiles.toSeq.forall(_.contains("00001-0-bbb")),
+      s"day prune leaked: ${dayRead.inputFiles.toSeq}")
+    assert(dayRead.collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // bucket pruning by key equality
+    val idRead = IcebergScan.read(spark, dir.toString,
+      skippingFilter = Some(col("id") === 1L))
+    assert(idRead.inputFiles.toSeq.forall(_.contains("00000-0-aaa")),
+      s"bucket prune leaked: ${idRead.inputFiles.toSeq}")
+    assert(idRead.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
   test("IcebergWrite: concurrent commit to the same version fails loudly") {
