@@ -274,13 +274,6 @@ object IcebergWrite {
     def hasTransforms: Boolean = partFields.exists(!_.isIdentity)
   }
 
-  /** refuse the ops whose partition plumbing assumes identity specs */
-  private def requireIdentitySpec(carry: SchemaCarry, op: String): Unit =
-    require(!carry.hasTransforms,
-      s"$op on a transform-partitioned table is not supported yet — " +
-        "rewrites and merge-on-read image writes run on identity specs " +
-        "only (appends, position/equality deletes, and reads all work)")
-
   private[sources] def specColNames(specFieldsJson: String): Seq[String] = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(specFieldsJson)
     node.elements().asScala.map(_.get("name").asText()).toSeq
@@ -796,8 +789,6 @@ object IcebergWrite {
 
     val metaDir0 = new Path(root, "metadata")
     val carry0 = carryFromPrev(fs, metaDir0, prev)
-    requireIdentitySpec(carry0, operation match {
-      case "replace" => "compact/zorder"; case o => s"copy-on-write $o" })
     val partCols = carry0.partCols
     val tableSchema0 = IcebergScan.sparkSchema(
       new com.fasterxml.jackson.databind.ObjectMapper().readTree(carry0.schemaJson))
@@ -815,7 +806,14 @@ object IcebergWrite {
     // partition value) hive directories, so partition pruning and
     // path-derived partition records keep working
     withFieldIdWrites(spark) {
-      val writer0 = stampFieldIds(shaped, carry0.schemaJson).write.mode("append")
+      // transform fields re-derive their hive value from the (possibly
+      // updated) source columns — a partition-migrating UPDATE on a
+      // hidden-partitioned table lands its rows in their new derived dirs
+      val derived = carry0.partFields.filterNot(_.isIdentity).foldLeft(
+        stampFieldIds(shaped, carry0.schemaJson)) { (d, pf) =>
+        d.withColumn(pf.specName, IcebergTransforms.columnExpr(pf))
+      }
+      val writer0 = derived.write.mode("append")
       (if (partCols.nonEmpty) writer0.partitionBy(partCols: _*) else writer0)
         .parquet(dataDir.toString)
     }
@@ -844,7 +842,8 @@ object IcebergWrite {
     // original sequence numbers
     beforeCommit()
     val manifestRel = s"metadata/manifest-$version-${pathNonce()}.avro"
-    val entrySchema = manifestSchemaFor(partFieldsOf(tableSchema, partCols))
+    val recordFields = carry.partFields.map(_.recordField)
+    val entrySchema = manifestSchemaFor(recordFields)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     def fileRecord(relPath: String, rows: Long, len: Long,
         part: GenericData.Record): GenericData.Record = {
@@ -871,7 +870,7 @@ object IcebergWrite {
       e.put("status", 1) // ADDED
       e.put("snapshot_id", version.toLong)
       e.put("data_file", fileRecord(rel, rows, len,
-        partitionRecord(dataFileSchema, tableSchema, partCols, rel)))
+        partitionRecordOf(dataFileSchema, recordFields, rel)))
       e
     }
     val keptRecords = kept.map { case (entry, len) =>
@@ -1154,7 +1153,6 @@ object IcebergWrite {
     val root = fs.makeQualified(new Path(tablePath))
     val metaDir = new Path(root, "metadata")
     val carry = carryFromPrev(fs, metaDir, prev)
-    requireIdentitySpec(carry, "merge-on-read UPDATE")
     val partCols = carry.partCols
     val (_, plannedLive) = IcebergScan.currentDataFiles(spark, tablePath)
 
@@ -1184,7 +1182,11 @@ object IcebergWrite {
       val dataDir = new Path(root, "data")
       val pre = listParquet(fs, dataDir).toSet
       withFieldIdWrites(spark) {
-        val w = stampFieldIds(shaped, carry.schemaJson).write.mode("append")
+        val derived = carry.partFields.filterNot(_.isIdentity).foldLeft(
+          stampFieldIds(shaped, carry.schemaJson)) { (d, pf) =>
+          d.withColumn(pf.specName, IcebergTransforms.columnExpr(pf))
+        }
+        val w = derived.write.mode("append")
         (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
           .parquet(dataDir.toString)
       }
@@ -1227,7 +1229,6 @@ object IcebergWrite {
     val root = fs.makeQualified(new Path(tablePath))
     val metaDir = new Path(root, "metadata")
     val carry = carryFromPrev(fs, metaDir, prev)
-    requireIdentitySpec(carry, "merge-on-read MERGE")
     val partCols = carry.partCols
 
     // counts against the planned snapshot (one pass over the pruned
@@ -1250,8 +1251,11 @@ object IcebergWrite {
     val pre = listParquet(fs, dataDir).toSet
     val cols = tableSchema.fieldNames.map(col).toSeq
     withFieldIdWrites(spark) {
-      val w = stampFieldIds(src.select(cols: _*), carry.schemaJson)
-        .write.mode("append")
+      val derived = carry.partFields.filterNot(_.isIdentity).foldLeft(
+        stampFieldIds(src.select(cols: _*), carry.schemaJson)) { (d, pf) =>
+        d.withColumn(pf.specName, IcebergTransforms.columnExpr(pf))
+      }
+      val w = derived.write.mode("append")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
         .parquet(dataDir.toString)
     }
@@ -1305,8 +1309,8 @@ object IcebergWrite {
     require(dataWithRows.nonEmpty, "MOR commit with no data files")
     val conf = spark.sparkContext.hadoopConfiguration
     def assemble(v: Int, c: SchemaCarry): Unit = {
-      val partCols = c.partCols
-      val entrySchema = manifestSchemaFor(partFieldsOf(tableSchema, partCols))
+      val recordFields = c.partFields.map(_.recordField)
+      val entrySchema = manifestSchemaFor(recordFields)
       val dataFileSchema = entrySchema.getField("data_file").schema()
 
       // data manifest
@@ -1318,7 +1322,7 @@ object IcebergWrite {
           file.put("file_path", rel)
           file.put("file_format", "PARQUET")
           file.put("partition",
-            partitionRecord(dataFileSchema, tableSchema, partCols, rel))
+            partitionRecordOf(dataFileSchema, recordFields, rel))
           file.put("record_count", rows)
           file.put("file_size_in_bytes", len)
           file.put("block_size_in_bytes", DefaultBlockSize)
@@ -1347,7 +1351,7 @@ object IcebergWrite {
             file.put("file_path", r)
             file.put("file_format", "PARQUET")
             file.put("partition",
-              partitionRecord(dataFileSchema, tableSchema, partCols, r))
+              partitionRecordOf(dataFileSchema, recordFields, r))
             file.put("record_count", rows)
             file.put("file_size_in_bytes", len)
             file.put("block_size_in_bytes", DefaultBlockSize)
@@ -1368,7 +1372,7 @@ object IcebergWrite {
       // equality-delete manifest (GLOBAL — unpartitioned spec)
       val eqRef = eqDeletes.map { case (dels, eqIds) =>
         val rel = s"metadata/manifest-$v-${pathNonce()}.avro"
-        val globalSpecId = if (partCols.isEmpty) 0 else 1
+        val globalSpecId = if (recordFields.isEmpty) 0 else 1
         val gSchema = manifestSchema.getField("data_file").schema()
         writeAvro(fs, new Path(root, rel), manifestSchema,
           dels.map { case (r, rows, len) =>

@@ -530,17 +530,32 @@ class IcebergScanSpec extends SparkSpec {
     assert(delDirs.exists(_.startsWith("d_month=")),
       s"transform-spec position deletes must shard by derived partition, got $delDirs")
 
-    // ---- rewrites and MOR image writes refuse loudly (scope)
-    Seq(
-      () => IcebergWrite.updateWhere(spark, d2, col("id") === 1L,
-        Seq("id" -> lit(9L))),
-      () => { IcebergWrite.merge(spark, d2,
-        Seq((1L, java.sql.Date.valueOf("2021-01-01"))).toDF("id", "d"), Seq("id")); () },
-      () => { IcebergWrite.compact(spark, d2, smallFileBytes = 1L << 30); () }
-    ).foreach { op =>
-      assert(intercept[IllegalArgumentException](op())
-        .getMessage.contains("identity specs only"))
-    }
+    // ---- the FULL DML surface runs on transform specs: a CoW UPDATE
+    // that moves a row across derived (month) partitions, a MERGE that
+    // re-inserts, and a compact that folds the deltas
+    assert(IcebergWrite.updateWhere(spark, d2, col("id") === 1L,
+      Seq("d" -> lit(java.sql.Date.valueOf("2022-06-15")))) == 1L)
+    assert(IcebergScan.read(spark, d2).head().getDate(1).toString == "2022-06-15")
+    // the migrated row lives in its NEW derived partition dir
+    assert(IcebergScan.read(spark, d2,
+      skippingFilter = Some(col("d") === java.sql.Date.valueOf("2022-06-15")))
+      .inputFiles.forall(_.contains("d_month=629")), // (2022-1970)*12 + 6 - 1
+      "partition-migrating update must land in the new derived dir")
+    val (um, im) = IcebergWrite.merge(spark, d2,
+      Seq((1L, java.sql.Date.valueOf("2021-01-01")),
+        (9L, java.sql.Date.valueOf("2023-02-02"))).toDF("id", "d"), Seq("id"))
+    assert(um == 1L && im == 1L)
+    IcebergWrite.compact(spark, d2, smallFileBytes = 1L << 30)
+    assert(IcebergScan.read(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString)).toSet ==
+      Set((1L, "2021-01-01"), (9L, "2023-02-02")))
+    // merge-on-read UPDATE derives transform partitions for its images too
+    IcebergWrite.setProperties(spark, d2, Map("write.update.mode" -> "merge-on-read"))
+    assert(IcebergWrite.updateWhere(spark, d2, col("id") === 9L,
+      Seq("d" -> lit(java.sql.Date.valueOf("2024-03-03")))) == 1L)
+    assert(IcebergScan.read(spark, d2).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString)).toSet ==
+      Set((1L, "2021-01-01"), (9L, "2024-03-03")))
 
     // ---- the DSv2 stream source consumes a transform-partitioned
     // table (source columns live in the files; no path injection)
