@@ -295,7 +295,7 @@ object IcebergTransforms {
 
   /** smallest string STRICTLY greater than every string with prefix
     * `p`: bump the last bumpable codepoint, drop the tail */
-  private[sources] def bumpPrefix(p: String): Option[String] = {
+  private[graft] def bumpPrefix(p: String): Option[String] = {
     val cps = p.codePoints().toArray
     var i = cps.length - 1
     while (i >= 0) {

@@ -435,6 +435,37 @@ class IcebergScanSpec extends SparkSpec {
         .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L) == -2047944441,
       "hashTimestampMicros")
 
+    // ---- source-bounds unit vectors for the transforms the e2e table
+    // below does not exercise (year/hour/truncate-int/prefix bump)
+    {
+      import org.apache.spark.sql.types._
+      def pf(t: String, p: Int, dt: DataType) =
+        IcebergTransforms.PartField("x", t, p, StructField("s", dt))
+      // year 52 = 2022: micros range over the whole year
+      assert(IcebergTransforms.sourceBounds(pf("year", 0, TimestampType),
+        java.lang.Integer.valueOf(52)).contains(
+        (java.time.LocalDate.of(2022, 1, 1).toEpochDay * 86400000000L,
+          java.time.LocalDate.of(2023, 1, 1).toEpochDay * 86400000000L - 1)))
+      // year on a DATE source: epoch-day range
+      assert(IcebergTransforms.sourceBounds(pf("year", 0, DateType),
+        java.lang.Integer.valueOf(52)).contains(
+        (java.time.LocalDate.of(2022, 1, 1).toEpochDay.toInt,
+          java.time.LocalDate.of(2023, 1, 1).toEpochDay.toInt - 1)))
+      // hour 17 = micros [17h, 18h)
+      assert(IcebergTransforms.sourceBounds(pf("hour", 0, TimestampType),
+        java.lang.Integer.valueOf(17)).contains(
+        (17L * 3600000000L, 18L * 3600000000L - 1)))
+      // truncate(10) over ints: value 120 covers [120, 129]
+      assert(IcebergTransforms.sourceBounds(pf("truncate", 10, IntegerType),
+        java.lang.Integer.valueOf(120)).contains((120, 129)))
+      // truncate prefix bump: "ab" < everything-with-prefix < "ac";
+      // an all-max-codepoint prefix keeps only the lower bound
+      assert(IcebergTransforms.bumpPrefix("ab").contains("ac"))
+      assert(IcebergTransforms.bumpPrefix("􏿿").isEmpty) // U+10FFFF
+      assert(IcebergTransforms.sourceBounds(pf("truncate", 2, StringType),
+        "􏿿") == Some(("􏿿", null)))
+    }
+
     // ---- day(ts) + bucket(4, id) + truncate(2, cat): write → read
     val dir = java.nio.file.Files.createTempDirectory("graft_ice_transforms").toString + "/t"
     val rows = Seq(
