@@ -12,6 +12,11 @@ import org.apache.spark.sql.SparkSession
   * + top-k).
   */
 object Bench {
+  // stall-probe singleton state — see the probe comment in run()
+  private val probeStarted = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val stallCount = new java.util.concurrent.atomic.AtomicLong(0)
+  private val stallNanos = new java.util.concurrent.atomic.AtomicLong(0)
+
   private val headline = Seq(
     "q1_agg", "q_filter", "q_count", "q_join_multi", "q_join_inner",
     "q_asof_join", "q_window_rank", "q_cumsum", "q_pivot_wider",
@@ -159,20 +164,27 @@ object Bench {
     // Total stolen seconds ride the metric line so a driver record that
     // was inflated by a stall phase SAYS so, instead of reading as a
     // regression. Probe overhead: one sleeping thread, ~0.
-    val stallCount = new java.util.concurrent.atomic.AtomicLong(0)
-    val stallNanos = new java.util.concurrent.atomic.AtomicLong(0)
-    val probe = new Thread(() => {
-      var last = System.nanoTime()
-      while (true) {
-        Thread.sleep(10)
-        val now = System.nanoTime()
-        val gap = now - last - 10_000_000L
-        if (gap > 100_000_000L) { stallCount.incrementAndGet(); stallNanos.addAndGet(gap) }
-        last = now
-      }
-    }, "graft-stall-probe")
-    probe.setDaemon(true)
-    probe.start()
+    // ONE probe per JVM (lazily started): repeated run() calls in one
+    // process (tests, REPL) must not accumulate 10 ms-wakeup threads.
+    // Counters are zeroed per run so each metric line is self-contained.
+    if (Bench.probeStarted.compareAndSet(false, true)) {
+      val probe = new Thread(() => {
+        var last = System.nanoTime()
+        while (true) {
+          Thread.sleep(10)
+          val now = System.nanoTime()
+          val gap = now - last - 10_000_000L
+          if (gap > 100_000_000L) {
+            Bench.stallCount.incrementAndGet(); Bench.stallNanos.addAndGet(gap)
+          }
+          last = now
+        }
+      }, "graft-stall-probe")
+      probe.setDaemon(true)
+      probe.start()
+    }
+    val stallCount = Bench.stallCount; stallCount.set(0)
+    val stallNanos = Bench.stallNanos; stallNanos.set(0)
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val times = scala.collection.mutable.Map.empty[String, List[Double]]

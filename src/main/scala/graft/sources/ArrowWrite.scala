@@ -47,8 +47,12 @@ object ArrowWrite {
       ch, batchRows)
     catch { case e: Throwable => failed = true; throw e }
     finally {
-      ch.close()
-      if (failed) java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+      // close in its own guard so a close() failure (stream already
+      // dead) can't skip the failure-path cleanup of the partial file
+      try ch.close()
+      catch { case e: Throwable => if (!failed) throw e }
+      finally if (failed)
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
     }
   }
 

@@ -60,8 +60,12 @@ object AvroWrite {
         }
     } catch { case e: Throwable => failed = true; throw e }
     finally {
-      w.close() // closes the stream
-      if (failed) fs.delete(p, false)
+      // close in its own guard: if the underlying stream already died,
+      // close() throws too — the failure-path delete must still run so
+      // no truncated file is left at the destination
+      try w.close() // closes the stream
+      catch { case e: Throwable => if (!failed) throw e }
+      finally if (failed) fs.delete(p, false)
     }
   }
 

@@ -151,12 +151,19 @@ object IcebergTransforms {
     * micros/days (timezone-free), never on session-local calendars. */
   def columnExpr(pf: PartField): Column = {
     val c = col(pf.source.name)
+    // floorDiv of the timestamp to a whole-second-multiple unit, EXACT
+    // over the full timestamp domain: Column `/` is double division,
+    // which rounds past ±2^53, so divide SECONDS (|epoch seconds| <
+    // 2^43, and unix_seconds itself floorDivs micros) — the subtraction
+    // makes the numerator an exact multiple of the unit, so the double
+    // quotient is exact. floorDiv composition: floorDiv(floorDiv(µs,
+    // 1e6), unit) == floorDiv(µs, unit*1e6) for positive divisors.
+    def floorDivSecs(unitSecs: Long): Column =
+      ((unix_seconds(c) - pmod(unix_seconds(c), lit(unitSecs)))
+        / lit(unitSecs)).cast(IntegerType)
     def asDate: Column = pf.source.dataType match {
       case DateType => c
-      // floorDiv semantics for pre-1970 micros
-      case TimestampType =>
-        date_from_unix_date(((unix_micros(c) - pmod(unix_micros(c), lit(86400000000L)))
-          / lit(86400000000L)).cast(IntegerType))
+      case TimestampType => date_from_unix_date(floorDivSecs(86400L))
       case other => throw new IllegalArgumentException(
         s"${pf.transform}(${pf.source.name}): unsupported source ${other.sql}")
     }
@@ -165,9 +172,7 @@ object IcebergTransforms {
       case "day" => asDate
       case "month" => (year(asDate) - lit(1970)) * lit(12) + month(asDate) - lit(1)
       case "year" => year(asDate) - lit(1970)
-      case "hour" =>
-        ((unix_micros(c) - pmod(unix_micros(c), lit(3600000000L)))
-          / lit(3600000000L)).cast(IntegerType)
+      case "hour" => floorDivSecs(3600L)
       case "bucket" =>
         GraftShim.column(IcebergBucket(GraftShim.expression(c), pf.param, pf.source.dataType))
       case "truncate" => pf.source.dataType match {

@@ -210,31 +210,32 @@ object ParquetStats {
         scalars("minValues"), scalars("maxValues"), nulls))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** true ⇔ the file MAY contain rows matching `pred`; false only when
-    * the stats PROVE it cannot. Unknown expression shapes, missing
-    * stats, and type mismatches all answer true (keep the file). */
-  def mayMatch(
-      stats: Option[FileStats],
-      pred: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
-    import org.apache.spark.sql.catalyst.expressions._
-    val st = stats.getOrElse(return true)
+  // literal → comparable, aligned with the serialized stats domains.
+  // ANY resolved deterministic expression with NO column references
+  // evaluates first — a filter written as to_timestamp('2021-03-05')
+  // or date_add(...) is as prunable as a bare literal (the analyzed
+  // condition has not been constant-folded, and RuntimeReplaceable
+  // wrappers report foldable=false even when their value is fixed).
+  // Folding is MEMOIZED: mayMatch runs once per candidate FILE, and
+  // re-eval'ing a constant subexpression (worst case a no-arg
+  // deterministic UDF) per file per comparison is wasted work —
+  // deterministic + reference-free makes the value a pure function of
+  // the expression tree, so structural keying is sound. The cache is
+  // bounded (cleared past 1024 entries) so long-lived sessions with
+  // many distinct predicates can't grow it without limit.
+  private val foldCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.catalyst.expressions.Expression, Option[Any]]()
 
-    def name(e: Expression): Option[String] = e match {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        Some(a.nameParts.mkString("."))
-      case a: AttributeReference => Some(a.name)
-      case _ => None
-    }
-    // literal → comparable, aligned with the serialized stats domains.
-    // ANY resolved deterministic expression with NO column references
-    // evaluates first — a filter written as to_timestamp('2021-03-05')
-    // or date_add(...) is as prunable as a bare literal (the analyzed
-    // condition has not been constant-folded, and RuntimeReplaceable
-    // wrappers report foldable=false even when their value is fixed)
-    def litVal(e: Expression): Option[Any] = e match {
+  private[sources] def litVal(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Option[Any] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    e match {
       case f if !f.isInstanceOf[Literal] && f.resolved && f.deterministic &&
           f.references.isEmpty =>
-        scala.util.Try(Literal(f.eval(null), f.dataType)).toOption.flatMap(litVal)
+        if (foldCache.size > 1024) foldCache.clear()
+        foldCache.computeIfAbsent(f, fe =>
+          scala.util.Try(Literal(fe.eval(null), fe.dataType)).toOption.flatMap(litVal))
       case Literal(v, dt) if v != null => dt match {
         case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
@@ -257,6 +258,24 @@ object ParquetStats {
       }
       case _ => None
     }
+  }
+
+  /** true ⇔ the file MAY contain rows matching `pred`; false only when
+    * the stats PROVE it cannot. Unknown expression shapes, missing
+    * stats, and type mismatches all answer true (keep the file). */
+  def mayMatch(
+      stats: Option[FileStats],
+      pred: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val st = stats.getOrElse(return true)
+
+    def name(e: Expression): Option[String] = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(a.nameParts.mkString("."))
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def litVal(e: Expression): Option[Any] = ParquetStats.litVal(e)
     def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
       case (x: JBigDecimal, y: JBigDecimal) => Some(x.compareTo(y))
       case (x: String, y: String) => Some(x.compareTo(y))

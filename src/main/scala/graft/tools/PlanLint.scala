@@ -176,9 +176,23 @@ object PlanLint {
             "length(", "substring(", "lower(", "upper(", "abs(", "concat(",
             "coalesce(", "round(", "pmod(", "hash(", "xxhash64(", "crc32(",
             "md5(", "conv(", "regexp", "rlike", "split(", "size(",
-            "element_at(", "array_", "like(")
+            "element_at(", "array_")
+          // test the wrapper ONLY on the operand(s) carrying a column
+          // reference (`name#id`): a string LITERAL containing ' - ' or
+          // 'abs(' must not flag a pushable bare-column comparison, and
+          // LIKE-prefix predicates DO push (as StringStartsWith) so
+          // 'like(' is not in the list at all
+          def columnSide(e: String): String = {
+            val ops = Seq(" <=> ", " >= ", " <= ", " != ", " = ", " > ", " < ")
+            ops.iterator.map { op =>
+              val i = e.indexOf(op)
+              if (i < 0) null
+              else Seq(e.substring(0, i), e.substring(i + op.length))
+                .filter(_.matches("(?s).*#\\d+.*")).mkString(" ")
+            }.find(_ != null).getOrElse(e)
+          }
           val pushableShaped = elements("DataFilters")
-            .count(e => !neverPushable.exists(e.toLowerCase.contains))
+            .count(e => !neverPushable.exists(columnSide(e).toLowerCase.contains))
           if (isParquetScan && pushableShaped > elements("PushedFilters").size)
             findings += Finding("unpushed-scan-filter", nodeName(c),
               "scan evaluates more DataFilters than it pushed — " +
