@@ -703,4 +703,266 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("TRANSFORM-PARTITIONED Iceberg: randomized day/month/year/hour/bucket/truncate specs × random ops track the model") {
+    // the round-8 surface under the same randomized hardening every
+    // other DML track got: tables created under RANDOM transform specs,
+    // then the full op mix — position deletes (incl. on the transform
+    // SOURCE column, so pruning is in the victim path), CoW and MOR
+    // update/merge with PARTITION-MIGRATING assignments (retag moves
+    // truncate(tag) dirs, a ts rewrite moves day/hour dirs), compact +
+    // zorder folds, rollback/expire across spec'd snapshots, and the
+    // snapshot-diff CDC replay. Mid-stream switch to merge-on-read.
+    val rnd = new scala.util.Random(190901L)
+    val tsPool = Seq(
+      "2021-03-05 10:00:00", "2021-03-05 23:30:00", "2021-03-06 00:00:01",
+      "2021-04-01 12:00:00", "2021-07-20 07:45:00", "2022-01-15 08:30:00")
+      .map(java.sql.Timestamp.valueOf)
+    def randTs(): java.sql.Timestamp = tsPool(rnd.nextInt(tsPool.size))
+    def randomSpec(): Seq[String] = rnd.nextInt(6) match {
+      case 0 => Seq("day(ts)")
+      case 1 => Seq("month(ts)", s"bucket(${2 + rnd.nextInt(7)}, id)")
+      case 2 => Seq(s"truncate(${1 + rnd.nextInt(2)}, tag)", "day(ts)")
+      case 3 => Seq(s"bucket(${2 + rnd.nextInt(7)}, id)")
+      case 4 => Seq("hour(ts)")
+      case 5 => Seq("year(ts)", s"truncate(${1 + rnd.nextInt(2)}, tag)")
+    }
+
+    (1 to 3).foreach { table =>
+      val spec = randomSpec()
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_ice_transform_fuzz$table").toString + "/t"
+      var model = Map.empty[Long, (String, java.sql.Timestamp)]
+      var nextId = 0L
+      var snaps = Map.empty[Long, Map[Long, (String, java.sql.Timestamp)]]
+
+      def freshRows(n: Int): Seq[(Long, String, java.sql.Timestamp)] =
+        (1 to n).map { _ => nextId += 1; (nextId, s"t${rnd.nextInt(4)}", randTs()) }
+      def df(rows: Seq[(Long, String, java.sql.Timestamp)]) =
+        rows.toDF("id", "tag", "ts")
+      def currentSnapshotId: Long = {
+        val hint = java.nio.file.Paths.get(dir, "metadata", "version-hint.text")
+        val v = new String(java.nio.file.Files.readAllBytes(hint), "UTF-8").trim
+        val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+          new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(dir, "metadata", s"v$v.metadata.json")), "UTF-8"))
+        meta.get("current-snapshot-id").asLong()
+      }
+      def sync(): Unit = snaps += currentSnapshotId -> model
+      def readModel(): Map[Long, (String, java.sql.Timestamp)] =
+        IcebergScan.read(spark, dir).collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getTimestamp(2))).toMap
+
+      val r0 = freshRows(6)
+      IcebergWrite.create(spark, df(r0), dir, partitionBy = spec)
+      model = r0.map(r => r._1 -> (r._2, r._3)).toMap
+      sync()
+
+      (1 to 22).foreach { step =>
+        // mid-life mode switch: the back half runs the same mix MOR —
+        // transform-derived delete-file partitions and migrating MOR
+        // images interleave with CoW-era snapshots
+        if (step == 12) IcebergWrite.setProperties(spark, dir, Map(
+          "write.update.mode" -> "merge-on-read",
+          "write.merge.mode" -> "merge-on-read"))
+        rnd.nextInt(10) match {
+          case 0 =>
+            val rows = freshRows(1 + rnd.nextInt(4))
+            IcebergWrite.append(spark, df(rows), dir)
+            model ++= rows.map(r => r._1 -> (r._2, r._3))
+          case 1 => // positional delete by tag (truncate-source pruning)
+            val tag = s"t${rnd.nextInt(4)}"
+            val n = IcebergWrite.deleteWhere(spark, dir, col("tag") === tag)
+            val victims = model.filter(_._2._1 == tag)
+            assert(n == victims.size, s"spec $spec step $step: posdelete $n != ${victims.size}")
+            model --= victims.keys
+          case 2 => // positional delete by ts DAY RANGE on the source
+            // column — the manifest pruner sits in the victim path
+            val d = tsPool(rnd.nextInt(tsPool.size)).toLocalDateTime.toLocalDate
+            val lo = java.sql.Timestamp.valueOf(d.atStartOfDay)
+            val hi = java.sql.Timestamp.valueOf(d.plusDays(1).atStartOfDay)
+            val n = IcebergWrite.deleteWhere(spark, dir,
+              col("ts") >= lit(lo) && col("ts") < lit(hi))
+            val victims = model.filter { case (_, (_, t)) =>
+              t.getTime >= lo.getTime && t.getTime < hi.getTime }
+            assert(n == victims.size, s"spec $spec step $step: ts delete $n != ${victims.size}")
+            model --= victims.keys
+          case 3 => // global equality delete by id keys
+            val keys = model.keys.toSeq.sorted.filter(_ => rnd.nextBoolean()).take(3)
+            if (keys.nonEmpty) {
+              val n = IcebergWrite.deleteEqual(spark, dir, keys.toDF("id"))
+              assert(n == keys.size)
+              model --= keys
+            }
+          case 4 =>
+            IcebergWrite.compact(spark, dir, smallFileBytes = 1L << 20)
+          case 5 => // zorder fold: full rewrite, deletes applied, layout re-derived
+            IcebergWrite.zorder(spark, dir, Seq("id"), bitsPerCol = 8, targetFiles = 2)
+          case 6 =>
+            if (rnd.nextInt(3) == 0) {
+              val ids = snaps.keys.toSeq.sorted
+              val target = ids(rnd.nextInt(ids.size))
+              IcebergWrite.rollback(spark, dir, target)
+              model = snaps(target)
+            }
+          case 7 =>
+            if (rnd.nextInt(3) == 0) {
+              IcebergWrite.expireSnapshots(spark, dir, keepLast = 3)
+              val kept = snaps.keys.toSeq.sorted.takeRight(3).toSet + currentSnapshotId
+              snaps = snaps.filter { case (k, _) => kept.contains(k) }
+            }
+          case 8 => // update; both flavors MIGRATE partitions under some spec
+            if (rnd.nextBoolean()) { // retag (moves truncate(tag) dirs)
+              val from = s"t${rnd.nextInt(4)}"
+              val to = s"t${rnd.nextInt(4)}"
+              val n = IcebergWrite.updateWhere(spark, dir, col("tag") === from,
+                Seq("tag" -> lit(to)))
+              val hits = model.filter(_._2._1 == from)
+              assert(n == hits.size, s"spec $spec step $step: update $n != ${hits.size}")
+              model ++= hits.map { case (id, (_, t)) => id -> (to, t) }
+            } else { // ts rewrite (moves day/month/year/hour dirs)
+              val from = s"t${rnd.nextInt(4)}"
+              val to = randTs()
+              val n = IcebergWrite.updateWhere(spark, dir, col("tag") === from,
+                Seq("ts" -> lit(to)))
+              val hits = model.filter(_._2._1 == from)
+              assert(n == hits.size, s"spec $spec step $step: ts update $n != ${hits.size}")
+              model ++= hits.map { case (id, (tg, _)) => id -> (tg, to) }
+            }
+          case 9 => // merge: retag + re-time a live subset, insert fresh
+            val updates = model.keys.toSeq.sorted
+              .filter(_ => rnd.nextBoolean()).take(3)
+              .map(id => (id, s"t${rnd.nextInt(4)}", randTs()))
+            val inserts = freshRows(rnd.nextInt(3))
+            val src = updates ++ inserts
+            if (src.nonEmpty) {
+              val (u, i) = IcebergWrite.merge(spark, dir, df(src), Seq("id"))
+              assert(u == updates.size && i == inserts.size,
+                s"spec $spec step $step: merge ($u,$i) != (${updates.size},${inserts.size})")
+              model ++= src.map(r => r._1 -> (r._2, r._3))
+            }
+        }
+        sync()
+        val got = readModel()
+        assert(got == model,
+          s"spec $spec step $step: table ${got.size} rows diverged from model ${model.size}")
+        // pruned-read equivalence (every 7th step): a source-column
+        // day filter through the manifest pruner returns exactly the
+        // model's subset — whatever partition state the DML left behind
+        if (step % 7 == 0) {
+          val d = tsPool(step % tsPool.size).toLocalDateTime.toLocalDate
+          val lo = java.sql.Timestamp.valueOf(d.atStartOfDay)
+          val hi = java.sql.Timestamp.valueOf(d.plusDays(1).atStartOfDay)
+          val cond = col("ts") >= lit(lo) && col("ts") < lit(hi)
+          val gotSub = IcebergScan.read(spark, dir, skippingFilter = Some(cond))
+            .filter(cond).collect()
+            .map(r => r.getLong(0) -> (r.getString(1), r.getTimestamp(2))).toMap
+          val want = model.filter { case (_, (_, t)) =>
+            t.getTime >= lo.getTime && t.getTime < hi.getTime }
+          assert(gotSub == want,
+            s"spec $spec step $step: pruned day read ${gotSub.size} != model ${want.size}")
+        }
+        // CDC invariant (every 10th step): diff replay from the oldest
+        // recorded snapshot — transform DML must diff as delete+insert
+        if (step % 10 == 0 && snaps.size >= 2) {
+          val ids = snaps.keys.toSeq.sorted
+          val (from, to) = (ids.head, currentSnapshotId)
+          if (from != to) {
+            val diff = IcebergScan.changesBetween(spark, dir, from, to).collect()
+              .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2), r.getString(3)))
+            var replay = snaps(from)
+            diff.filter(_._4 == "delete").foreach { case (id, _, _, _) => replay -= id }
+            diff.filter(_._4 == "insert").foreach { case (id, tg, t, _) => replay += id -> (tg, t) }
+            assert(replay == model,
+              s"spec $spec step $step: snapshot diff $from->$to does not replay the model")
+          }
+        }
+      }
+    }
+  }
+
+  test("TRANSFORM-PARTITIONED Iceberg OCC fuzz: raced DMLs abort or commit to the serial outcome") {
+    // the Delta OCC fuzz shape on a hidden-partitioned Iceberg table:
+    // every loser DML plans against the pre-race snapshot; a random
+    // winner (append, or a position delete of a winner-only tag)
+    // commits inside the commit window via the beforeCommit hook. graft
+    // Iceberg DMLs never auto-retry — a raced commit must throw
+    // ConcurrentModificationException (abort), and either way the table
+    // must equal the serial model: winner first, then the loser's
+    // pre-race plan iff it committed.
+    val rnd = new scala.util.Random(90919L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_occ_tfuzz").toString + "/t"
+    val tsPool = Seq(
+      "2021-03-05 10:00:00", "2021-03-06 00:00:01", "2021-04-01 12:00:00",
+      "2022-01-15 08:30:00").map(java.sql.Timestamp.valueOf)
+    def randTs(): java.sql.Timestamp = tsPool(rnd.nextInt(tsPool.size))
+    var model = Map.empty[Long, (String, java.sql.Timestamp)]
+    var nextId = 0L
+    def freshRows(n: Int, tags: Seq[String]): Seq[(Long, String, java.sql.Timestamp)] =
+      (1 to n).map { _ =>
+        nextId += 1
+        (nextId, tags(rnd.nextInt(tags.size)), randTs())
+      }
+    def df(rows: Seq[(Long, String, java.sql.Timestamp)]) = rows.toDF("id", "tag", "ts")
+    val winnerTags = Seq("t0", "t1")
+    val loserTags = Seq("t2", "t3", "t4")
+
+    val r0 = freshRows(8, winnerTags ++ loserTags)
+    IcebergWrite.create(spark, df(r0), dir,
+      partitionBy = Seq("day(ts)", "truncate(1, tag)"))
+    model = r0.map(r => r._1 -> (r._2, r._3)).toMap
+
+    (1 to 20).foreach { step =>
+      var afterWinner = model
+      val winner: () => Unit = rnd.nextInt(3) match {
+        case 0 => // append
+          val rows = freshRows(1 + rnd.nextInt(3), winnerTags ++ loserTags)
+          afterWinner = model ++ rows.map(r => r._1 -> (r._2, r._3))
+          () => IcebergWrite.append(spark, df(rows), dir)
+        case 1 => // position delete of a winner-only tag
+          val tag = winnerTags(rnd.nextInt(winnerTags.size))
+          afterWinner = model.filterNot(_._2._1 == tag)
+          () => { IcebergWrite.deleteWhere(spark, dir, col("tag") === tag); () }
+        case 2 => // no racer this round
+          () => ()
+      }
+      // a loser that matches nothing returns WITHOUT committing — the
+      // hook never fires and the winner never ran; track that
+      var winnerRan = false
+      IcebergWrite.beforeCommit =
+        () => { IcebergWrite.beforeCommit = () => (); winnerRan = true; winner() }
+      def base = if (winnerRan) afterWinner else model
+      val outcome: Either[Unit, Map[Long, (String, java.sql.Timestamp)]] =
+        try Right(rnd.nextInt(4) match {
+          case 0 => // position delete by loser tag
+            val tag = loserTags(rnd.nextInt(loserTags.size))
+            val n = IcebergWrite.deleteWhere(spark, dir, col("tag") === tag)
+            val victims = model.filter(_._2._1 == tag)
+            assert(n == victims.size, s"step $step: delete count $n != ${victims.size}")
+            base -- victims.keys
+          case 1 => // CoW ts-migrating update on a loser tag
+            val tag = loserTags(rnd.nextInt(loserTags.size))
+            val to = randTs()
+            val n = IcebergWrite.updateWhere(spark, dir, col("tag") === tag,
+              Seq("ts" -> lit(to)))
+            val hits = model.filter(_._2._1 == tag)
+            assert(n == hits.size, s"step $step: update count $n != ${hits.size}")
+            base ++ hits.map { case (id, (tg, _)) => id -> (tg, to) }
+          case 2 =>
+            IcebergWrite.compact(spark, dir, smallFileBytes = 1L << 20)
+            base
+          case 3 =>
+            IcebergWrite.zorder(spark, dir, Seq("id"), bitsPerCol = 8, targetFiles = 2)
+            base
+        })
+        catch { case _: java.util.ConcurrentModificationException => Left(()) }
+        finally IcebergWrite.beforeCommit = () => ()
+      model = outcome.getOrElse(base)
+      val got = IcebergScan.read(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getTimestamp(2))).toMap
+      assert(got == model,
+        s"step $step (${if (outcome.isRight) "committed" else "aborted"}): " +
+          s"table ${got.size} rows diverged from model ${model.size}")
+    }
+  }
 }
