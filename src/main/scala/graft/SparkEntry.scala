@@ -2250,6 +2250,34 @@ object SparkEntry {
         .orderBy("event_id", "ts_us")
     }),
 
+    // STORAGE-PARTITIONED JOIN: orders and customer both laid out
+    // bucket(8, custkey) — the aligned join reads bucket k against
+    // bucket k, fact side never shuffled (union of per-bucket
+    // broadcast joins; plan asserted in BucketJoinSpec). A position
+    // delete on the fact table proves the aligned reads go through
+    // the delete-applied reader. The 100 TB join lever: co-location
+    // is decided once at WRITE time, then every join is shuffle-free.
+    "q_bucket_join" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_bktjoin_gate").toString
+      val orders = t(s, dir, "orders").df
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          col("o_totalprice"))
+      val cust = t(s, dir, "customer").df
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      graft.sources.IcebergWrite.create(s, orders, s"$base/o",
+        partitionBy = Seq("bucket(8, custkey)"))
+      graft.sources.IcebergWrite.create(s, cust, s"$base/c",
+        partitionBy = Seq("bucket(8, custkey)"))
+      graft.sources.IcebergWrite.deleteWhere(s, s"$base/o",
+        col("o_orderkey") % 5 === 0)
+      graft.sources.BucketJoin.join(s, s"$base/o", s"$base/c", "custkey")
+        .groupBy("custkey", "c_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("custkey")
+    }),
+
     // MERGE-ON-READ twin of q_iceberg_update: the same logical UPDATE
     // under write.update.mode=merge-on-read — one snapshot commits
     // position deletes + new row images, no victim file rewritten
@@ -5112,6 +5140,18 @@ object SparkEntry {
         |SELECT event_id, epoch_us(ts), user_id, event_type FROM events
         |WHERE user_id = 42
         |ORDER BY event_id, ts_us""".stripMargin,
+
+    // the bucket-aligned join computes plain inner-join semantics over
+    // the delete-filtered fact — the oracle is the ordinary SQL join
+    "q_bucket_join" ->
+      """SELECT o.o_custkey AS custkey, c.c_name,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderkey % 5 <> 0
+        |GROUP BY o.o_custkey, c.c_name
+        |ORDER BY custkey""".stripMargin,
 
     // the MOR twins compute the same logical result as their
     // copy-on-write counterparts — identical oracles

@@ -677,6 +677,18 @@ object IcebergScan {
     out.toMap
   }
 
+  /** current schema + default partition spec of the table — the
+    * planning surface [[BucketJoin]] aligns two tables' bucket layouts
+    * with (one metadata JSON read, no data I/O) */
+  private[sources] def partitionFields(spark: SparkSession,
+      tablePath: String): (StructType, Seq[IcebergTransforms.PartField]) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaDir = new Path(tablePath, "metadata")
+    val meta = parseMetadata(metaDir.getFileSystem(conf), metaDir)
+    val schema = sparkSchema(currentSchema(meta))
+    (schema, partitionSpecFields(meta, schema))
+  }
+
   /** the table's default partition spec, parsed into transform-aware
     * fields ([[IcebergTransforms.PartField]] — identity plus the
     * hidden-partitioning transforms day/month/year/hour/bucket/

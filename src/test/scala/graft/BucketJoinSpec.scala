@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{BucketJoin, IcebergScan, IcebergWrite}
+
+class BucketJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTables(n: Int): (String, String) = {
+    val base = java.nio.file.Files.createTempDirectory("graft_bktjoin").toString
+    // left (fact): several rows per key, some keys null, key gaps
+    val left = ((1 to 300).map(i => (Some((i % 60).toLong), s"l$i")) ++
+      Seq((Option.empty[Long], "lnull1"), (Option.empty[Long], "lnull2")))
+      .toDF("k", "lv")
+    // right (dim): one row per key, covers only part of the key space
+    val right = ((0 to 40).map(i => (Some(i.toLong), s"r$i")) ++
+      Seq((Option.empty[Long], "rnull"))).toDF("k", "rv")
+    IcebergWrite.create(spark, left, s"$base/l",
+      partitionBy = Seq(s"bucket($n, k)"))
+    IcebergWrite.create(spark, right, s"$base/r",
+      partitionBy = Seq(s"bucket($n, k)"))
+    (s"$base/l", s"$base/r")
+  }
+
+  test("bucket-aligned inner join equals the plain join and never exchanges the fact side") {
+    val (l, r) = mkTables(4)
+    val joined = BucketJoin.join(spark, l, r, "k")
+    val expect = IcebergScan.read(spark, l)
+      .join(IcebergScan.read(spark, r), Seq("k"))
+      .select("k", "lv", "rv").as[(Long, String, String)].collect().sorted
+    val got = joined.select("k", "lv", "rv")
+      .as[(Long, String, String)].collect().sorted
+    assert(got.nonEmpty && got.toSeq == expect.toSeq)
+
+    // the plan is a union of per-bucket BroadcastHashJoins directly
+    // over the fact-side scans: zero shuffle exchange ANYWHERE — the
+    // whole point of the aligned layout
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucket-aligned join must not shuffle:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+  }
+
+  test("bucket-aligned left join keeps unmatched and null-key fact rows") {
+    val (l, r) = mkTables(4)
+    val joined = BucketJoin.join(spark, l, r, "k", joinType = "left")
+    val expect = IcebergScan.read(spark, l)
+      .join(IcebergScan.read(spark, r), Seq("k"), "left")
+      .select("k", "lv", "rv").collect()
+      .map(x => (if (x.isNullAt(0)) -1L else x.getLong(0), x.getString(1),
+        Option(x.getString(2)).getOrElse(""))).sorted
+    val got = joined.select("k", "lv", "rv").collect()
+      .map(x => (if (x.isNullAt(0)) -1L else x.getLong(0), x.getString(1),
+        Option(x.getString(2)).getOrElse(""))).sorted
+    assert(got.toSeq == expect.toSeq)
+    // null-key fact rows survive with null right columns
+    assert(got.count(_._1 == -1L) == 2)
+  }
+
+  test("bucket-aligned join reads through deletes and MOR deltas") {
+    val (l, r) = mkTables(8)
+    IcebergWrite.deleteWhere(spark, l, col("lv").startsWith("l1")) // l1, l10..l19, ...
+    IcebergWrite.setProperties(spark, r, Map("write.update.mode" -> "merge-on-read"))
+    IcebergWrite.updateWhere(spark, r, col("k") % 2 === 0,
+      Seq("rv" -> concat(lit("U:"), col("rv"))))
+    val got = BucketJoin.join(spark, l, r, "k")
+      .select("k", "lv", "rv").as[(Long, String, String)].collect().sorted
+    val expect = IcebergScan.read(spark, l)
+      .join(IcebergScan.read(spark, r), Seq("k"))
+      .select("k", "lv", "rv").as[(Long, String, String)].collect().sorted
+    assert(got.nonEmpty && got.toSeq == expect.toSeq)
+    assert(got.forall(x => !x._2.startsWith("l1")))
+    assert(got.exists(_._3.startsWith("U:")))
+  }
+
+  test("misaligned layouts refuse loudly") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bktjoin_bad").toString
+    val df = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    IcebergWrite.create(spark, df, s"$base/b4", partitionBy = Seq("bucket(4, k)"))
+    IcebergWrite.create(spark, df, s"$base/b8", partitionBy = Seq("bucket(8, k)"))
+    IcebergWrite.create(spark, df, s"$base/id", partitionBy = Seq("k"))
+    IcebergWrite.create(spark, df.withColumn("k", col("k").cast("string")),
+      s"$base/str", partitionBy = Seq("bucket(4, k)"))
+    // different N
+    val e1 = intercept[IllegalArgumentException](
+      BucketJoin.join(spark, s"$base/b4", s"$base/b8", "k"))
+    assert(e1.getMessage.contains("bucket counts differ"))
+    // not bucket-partitioned on the key
+    val e2 = intercept[IllegalArgumentException](
+      BucketJoin.join(spark, s"$base/b4", s"$base/id", "k"))
+    assert(e2.getMessage.contains("not bucket-partitioned"))
+    // hash-incompatible key types (long vs string)
+    val e3 = intercept[IllegalArgumentException](
+      BucketJoin.join(spark, s"$base/b4", s"$base/str", "k"))
+    assert(e3.getMessage.contains("do not hash"))
+  }
+
+  test("per-bucket shuffled form (broadcastRight=false) stays correct") {
+    val (l, r) = mkTables(4)
+    val got = BucketJoin.join(spark, l, r, "k", broadcastRight = false)
+      .select("k", "lv", "rv").as[(Long, String, String)].collect().sorted
+    val expect = IcebergScan.read(spark, l)
+      .join(IcebergScan.read(spark, r), Seq("k"))
+      .select("k", "lv", "rv").as[(Long, String, String)].collect().sorted
+    assert(got.toSeq == expect.toSeq)
+  }
+}
