@@ -577,7 +577,24 @@ object IcebergWrite {
     * mis-resolve old files by name). Partition-spec source columns
     * refuse (their name is the hive path layout). */
   def renameColumn(spark: SparkSession, tablePath: String,
-      from: String, to: String): Unit =
+      from: String, to: String): Unit = {
+    // the target must not shadow a partition-spec FIELD name: transform
+    // spec names (ts_day, id_bucket) are hive path segments and
+    // partition-record keys, and a data column with the same name would
+    // collide in partition discovery. Renaming a transform SOURCE
+    // column is fine — spec fields reference it by source-id, so
+    // derivation and source-column pruning follow the new name
+    // (proven in IcebergScanSpec).
+    val fs0 = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint0 = new Path(tablePath, "metadata/version-hint.text")
+    if (fs0.exists(hint0)) {
+      val prev0 = readUtf8(fs0, hint0).trim.toInt
+      val metaDir0 = new Path(fs0.makeQualified(new Path(tablePath)), "metadata")
+      val specNames = carryFromPrev(fs0, metaDir0, prev0).partCols
+      require(!specNames.contains(to),
+        s"cannot rename to '$to': it is a partition field name of the " +
+          "table's spec (the hive path layout)")
+    }
     evolveSchema(spark, tablePath, s"renameColumn($from -> $to)", from) {
       (schemaNode, names) =>
         require(names.contains(from), s"no column '$from' to rename")
@@ -588,6 +605,7 @@ object IcebergWrite {
               .put("name", to)
         }
     }
+  }
 
   /** DROP a top-level column without rewriting any data — the dropped
     * field id is simply absent from the new schema, so old files' bytes
@@ -604,7 +622,19 @@ object IcebergWrite {
     if (fs0.exists(hint0)) {
       val prev0 = readUtf8(fs0, hint0).trim.toInt
       val metaDir0 = new Path(fs0.makeQualified(new Path(tablePath)), "metadata")
-      val idByName = mapper0.readTree(carryFromPrev(fs0, metaDir0, prev0).schemaJson)
+      val carry0 = carryFromPrev(fs0, metaDir0, prev0)
+      // a TRANSFORM spec field derives from its source by source-id: with
+      // the source dropped the spec becomes unresolvable and every later
+      // read/append fails parsing it — refuse up front (identity sources
+      // are already refused by the partition-column guard below)
+      carry0.partFields.find(pf => !pf.isIdentity && pf.source.name == name)
+        .foreach { pf =>
+          throw new IllegalArgumentException(
+            s"cannot drop '$name': partition field '${pf.specName}' " +
+              s"(${pf.transformJson}) derives from it — rewrite into a table " +
+              "without that partition field first")
+        }
+      val idByName = mapper0.readTree(carry0.schemaJson)
         .get("fields").elements().asScala
         .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
       idByName.get(name).foreach { id =>

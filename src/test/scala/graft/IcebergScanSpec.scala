@@ -628,6 +628,75 @@ class IcebergScanSpec extends SparkSpec {
     }.getMessage.contains("unknown partition transform"))
   }
 
+  test("schema evolution x hidden partitioning: renaming a transform source keeps pruning; dropping it refuses") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_tr_evolve").toString + "/t"
+    val rows = Seq(
+      (1L, "2021-03-05 10:00:00", "alpha"),
+      (2L, "2021-03-06 08:00:00", "beta"),
+      (3L, "2021-04-01 12:00:00", "gamma"))
+    IcebergWrite.create(spark,
+      rows.toDF("id", "ts_s", "cat")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+        .select("id", "ts", "cat"),
+      dir, partitionBy = Seq("day(ts)", "bucket(4, id)"))
+
+    // rename the transform SOURCE — spec fields reference it by
+    // source-id, so the spec survives; reads resolve old files by
+    // parquet field id
+    IcebergWrite.renameColumn(spark, dir, "ts", "event_ts")
+    val after = IcebergScan.read(spark, dir)
+    assert(after.columns.toSeq == Seq("id", "event_ts", "cat"))
+    assert(after.count() == 3L)
+
+    // appends under the NEW name still derive the transform dirs
+    IcebergWrite.append(spark,
+      Seq((4L, java.sql.Timestamp.valueOf("2021-03-05 11:00:00"), "delta"))
+        .toDF("id", "event_ts", "cat"), dir)
+    assert(new java.io.File(s"$dir/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).count(_.startsWith("ts_day=2021-03-05")) == 1)
+
+    // DML against the renamed source keeps migrating partitions
+    assert(IcebergWrite.updateWhere(spark, dir, col("id") === 1L,
+      Seq("event_ts" -> lit(java.sql.Timestamp.valueOf("2021-03-05 09:00:00")))) == 1L)
+
+    // dropping a transform source refuses loudly (the spec would
+    // become unresolvable); the table stays readable afterwards
+    val eDrop = intercept[IllegalArgumentException](
+      IcebergWrite.dropColumn(spark, dir, "event_ts"))
+    assert(eDrop.getMessage.contains("derives from it"), eDrop.getMessage)
+    val eDrop2 = intercept[IllegalArgumentException](
+      IcebergWrite.dropColumn(spark, dir, "id")) // bucket source
+    assert(eDrop2.getMessage.contains("derives from it"), eDrop2.getMessage)
+
+    // renaming TO a spec field name refuses (hive path collision)
+    val eRen = intercept[IllegalArgumentException](
+      IcebergWrite.renameColumn(spark, dir, "cat", "ts_day"))
+    assert(eRen.getMessage.contains("partition field name"), eRen.getMessage)
+
+    // an unrelated column still drops fine
+    IcebergWrite.dropColumn(spark, dir, "cat")
+    assert(IcebergScan.read(spark, dir).columns.toSeq == Seq("id", "event_ts"))
+
+    // PRUNING on the RENAMED source column still skips files — proven
+    // by physically deleting everything the day filter rules out
+    // (destructive: keep this LAST)
+    def dayCond = col("event_ts") >= to_timestamp(lit("2021-03-05 00:00:00")) &&
+      col("event_ts") < to_timestamp(lit("2021-03-06 00:00:00"))
+    val all = IcebergScan.read(spark, dir).inputFiles.toSet
+    val kept = IcebergScan.read(spark, dir, skippingFilter = Some(dayCond)).inputFiles.toSet
+    assert(kept.nonEmpty && kept.size < all.size,
+      s"rename must not break transform pruning: kept ${kept.size} of ${all.size}")
+    assert(kept.forall(_.contains("ts_day=2021-03-05")))
+    (all -- kept).foreach(p => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(new java.net.URI(p))))
+    assert(IcebergScan.read(spark, dir, skippingFilter = Some(dayCond))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 4L),
+      "pruned read after rename must not touch ruled-out (deleted) files")
+  }
+
   test("v2 interop surface: field-ids, manifest metadata, v2 counts, reserved delete-column ids") {
     import graft.sources.{IcebergScan, IcebergWrite}
     import org.apache.spark.sql.functions.col
