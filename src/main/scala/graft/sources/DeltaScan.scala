@@ -262,6 +262,12 @@ object DeltaScan {
       .filter(col("__rn") === 1 && col("isAdd") === 1)
       .select("p", "pv", "dv", "st")
       .collect() // [lint:bounded] one action row per live data FILE (log metadata, not data)
+    // planning-size guard: the live-file array is O(file count) DRIVER
+    // memory — refuse loudly past the bound ([[PlanningGuard]]) instead
+    // of OOMing mid-plan at 100 TB x small files
+    PlanningGuard.check(tablePath, live.length.toLong,
+      live.iterator.map(r => 96L + r.getString(0).length +
+        (if (r.isNullAt(3)) 0L else r.getString(3).length.toLong)).sum)
 
     val allFiles = live.map { r =>
       val rel = percentDecode(r.getString(0))

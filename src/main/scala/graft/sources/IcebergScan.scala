@@ -409,6 +409,12 @@ object IcebergScan {
       val seq = opt(r, "sequence_number").map(_.toString.toLong).getOrElse(0L)
       (r.get("manifest_path").toString, seq)
     }
+    // planning-size counters: the entry list is O(live files) DRIVER
+    // memory — count entries and approximate bytes AS THE WALK RUNS so
+    // an oversized table aborts early and loudly ([[PlanningGuard]]),
+    // not as an OOM after materializing everything
+    var planFiles = 0L
+    var planBytes = 0L
     manifests.flatMap { case (mp, mSeq) =>
       readAvro(fs, conf, resolvePath(fs, tablePath, mp)).flatMap { entry =>
         val status = entry.get("status").toString.toInt
@@ -445,12 +451,19 @@ object IcebergScan {
                 })
               }.toMap
             }.getOrElse(Map.empty)
-          Some(FileEntry(resolvePath(fs, tablePath, df.get("file_path").toString),
+          val fe = FileEntry(resolvePath(fs, tablePath, df.get("file_path").toString),
             seq, content, eqIds, rows,
             lower = kvMap("lower_bounds")(bytesOf),
             upper = kvMap("upper_bounds")(bytesOf),
             nullCounts = kvMap("null_value_counts")(_.toString.toLong),
-            partition = partition))
+            partition = partition)
+          planFiles += 1
+          planBytes += 96L + fe.path.length +
+            fe.lower.valuesIterator.map(_.length + 16L).sum +
+            fe.upper.valuesIterator.map(_.length + 16L).sum +
+            24L * fe.nullCounts.size + 48L * fe.partition.size
+          PlanningGuard.check(tablePath, planFiles, planBytes)
+          Some(fe)
         }
       }
     }
