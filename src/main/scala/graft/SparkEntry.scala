@@ -2278,6 +2278,33 @@ object SparkEntry {
         .orderBy("custkey")
     }),
 
+    // DELTA GENERATED-COLUMN PARTITIONING — the hidden-partitioning
+    // twin: day(ts) + truncate(2, event_type) become generated columns
+    // (delta.generationExpression metadata, derived on every write),
+    // a source-predicate DELETE composes on the layout, and the pruned
+    // reads filter on the SOURCE columns — partition values map back
+    // to source bounds, the same pruning mapping as Iceberg transforms
+    "q_delta_transform" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_tr_gate").toString + "/t"
+      val ev = t(s, dir, "events").df
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"))
+      graft.sources.DeltaWrite.create(s, ev, base,
+        partitionBy = Seq("day(ts)", "truncate(2, event_type)"))
+      graft.sources.DeltaWrite.deleteWhere(s, base,
+        col("ts") >= to_timestamp(lit("2024-01-12 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-13 00:00:00")))
+      def rd(f: Option[org.apache.spark.sql.Column]) =
+        graft.sources.DeltaScan.read(s, base, skippingFilter = f)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"))
+      val all = rd(scala.None)
+      val day = rd(Some(col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+        col("ts") < to_timestamp(lit("2024-01-11 00:00:00"))))
+      val pref = rd(Some(col("event_type") === "purchase"))
+      all.unionByName(day).unionByName(pref).orderBy("event_id", "ts_us")
+    }),
+
     // MERGE-ON-READ twin of q_iceberg_update: the same logical UPDATE
     // under write.update.mode=merge-on-read — one snapshot commits
     // position deletes + new row images, no victim file rewritten
@@ -5152,6 +5179,21 @@ object SparkEntry {
         |WHERE o.o_orderkey % 5 <> 0
         |GROUP BY o.o_custkey, c.c_name
         |ORDER BY custkey""".stripMargin,
+
+    "q_delta_transform" ->
+      """WITH live AS (
+        |  SELECT event_id, ts, user_id, event_type FROM events
+        |  WHERE NOT (ts >= TIMESTAMP '2024-01-12 00:00:00'
+        |         AND ts <  TIMESTAMP '2024-01-13 00:00:00'))
+        |SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM live
+        |UNION ALL
+        |SELECT event_id, epoch_us(ts), user_id, event_type FROM live
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-11 00:00:00'
+        |UNION ALL
+        |SELECT event_id, epoch_us(ts), user_id, event_type FROM live
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id, ts_us""".stripMargin,
 
     // the MOR twins compute the same logical result as their
     // copy-on-write counterparts — identical oracles

@@ -284,13 +284,49 @@ object DeltaScan {
       (new Path(tablePath, rel).toString, pv, dv, st)
     }
     // ---- data skipping: stats prove a file can hold no matching row -----
+    // generated-column partitioning: each file's partition VALUE implies
+    // bounds on the SOURCE column (the same sourceBounds mapping Iceberg
+    // hidden partitioning prunes with) — merged into the stats the
+    // pruner consumes, for source columns the footer stats don't cover
+    // (stats-less files: foreign writers, stats disabled). Footer stats
+    // win when present (they are at least as tight). Skipped on
+    // column-mapped tables (pv is keyed by physical names there).
+    val genPfs =
+      if (columnMapped) Seq.empty
+      else DeltaTransforms.generatedFields(schema)
+        .filter(g => partCols.contains(g._1.name))
+        .flatMap { case (f2, sql) =>
+          DeltaTransforms.parseGenExpr(f2.name, sql, schema) }
+    def withPartBounds(st0: Option[ParquetStats.FileStats],
+        pv: Map[String, String]): Option[ParquetStats.FileStats] =
+      if (genPfs.isEmpty) st0
+      else {
+        var st = st0.getOrElse(
+          ParquetStats.FileStats(-1L, Map.empty, Map.empty, Map.empty))
+        genPfs.foreach { pf =>
+          for {
+            raw <- pv.get(pf.specName)
+            typed <- DeltaTransforms.decodePartValue(pf, raw)
+            (lo, hi) <- IcebergTransforms.sourceBounds(pf, typed)
+          } {
+            if (!st.min.contains(pf.source.name))
+              DeltaTransforms.comparable(pf.source.dataType, lo)
+                .foreach(v => st = st.copy(min = st.min + (pf.source.name -> v)))
+            if (!st.max.contains(pf.source.name))
+              Option(hi).flatMap(DeltaTransforms.comparable(pf.source.dataType, _))
+                .foreach(v => st = st.copy(max = st.max + (pf.source.name -> v)))
+          }
+        }
+        Some(st)
+      }
     val files = skippingFilter match {
       case None => allFiles.map { case (p, pv, dv, _) => (p, pv, dv) }
       case Some(f) =>
         val pred = ParquetStats.predicateExpr(spark, schema, f)
         allFiles.collect {
           case (p, pv, dv, st)
-              if ParquetStats.mayMatch(st.flatMap(ParquetStats.parse), pred) =>
+              if ParquetStats.mayMatch(
+                withPartBounds(st.flatMap(ParquetStats.parse), pv), pred) =>
             (p, pv, dv)
         }
     }

@@ -33,25 +33,115 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
 object DeltaWrite {
 
   /** Create a new Delta table at `tablePath` (commit 0). Fails if a
-    * Delta log already exists there. */
+    * Delta log already exists there.
+    *
+    * `partitionBy` entries are bare column names (identity layout) or
+    * hidden-partitioning transforms (`day(ts)`, `month(ts)`,
+    * `year(ts)`, `hour(ts)`, `truncate(W, c)`) — a transform becomes a
+    * GENERATED COLUMN: a real schema column whose field metadata
+    * carries `delta.generationExpression` (plain Spark SQL any Delta
+    * engine can evaluate), derived on every write path and partitioned
+    * by; reads prune on the SOURCE column through the bounds each
+    * file's partition value implies ([[DeltaTransforms]]). `bucket` is
+    * Iceberg-only (its spec hash is not SQL-expressible) — refused. */
   def create(spark: SparkSession, df: DataFrame, tablePath: String,
       partitionBy: Seq[String] = Nil): Unit = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(tablePath, "_delta_log")),
       s"Delta log already exists at $tablePath — use append")
-    commit(spark, fs, df, tablePath, partitionBy, version = 0L)
+    val (ddf, parts) = withGenerated(df, partitionBy)
+    commit(spark, fs, ddf, tablePath, parts, version = 0L)
+  }
+
+  /** transform `partitionBy` entries → generated columns appended to
+    * `df` with their generation SQL recorded in field metadata */
+  private def withGenerated(df: DataFrame,
+      partitionBy: Seq[String]): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val parsed = partitionBy.map(DeltaTransforms.parseEntry(_, df.schema))
+    if (parsed.forall(_.isLeft)) (df, partitionBy)
+    else {
+      val genCols = parsed.collect { case Right(pf) =>
+        require(!df.schema.fieldNames.contains(pf.specName),
+          s"derived partition column '${pf.specName}' collides with a data column")
+        val sql = DeltaTransforms.genSql(pf)
+        expr(sql).as(pf.specName, new org.apache.spark.sql.types.MetadataBuilder()
+          .putString(DeltaTransforms.GenExprKey, sql).build())
+      }
+      (df.select(df.columns.map(col).toSeq ++ genCols: _*),
+        parsed.map { case Left(n) => n; case Right(pf) => pf.specName })
+    }
+  }
+
+  /** recompute the table's generated columns on an incoming frame —
+    * added if absent, OVERWRITTEN if present (the generation expression
+    * is the contract; trusting caller-provided values would let one bad
+    * writer break partition pruning for every reader) — and auto-fill
+    * `partitionBy` from the declared partitions when the caller passed
+    * none (the hidden-partitioning UX: callers never name derived
+    * columns). */
+  private def deriveGenerated(
+      md: Option[com.fasterxml.jackson.databind.JsonNode],
+      df: DataFrame, partitionBy: Seq[String]): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, expr}
+    md match {
+      case scala.None => (df, partitionBy)
+      case Some(m) =>
+        val declared = DataType.fromJson(m.get("schemaString").asText())
+          .asInstanceOf[StructType]
+        val gens = DeltaTransforms.generatedFields(declared)
+        if (gens.isEmpty) (df, partitionBy)
+        else {
+          val genNames = gens.map(_._1.name).toSet
+          val keep = df.columns.filterNot(genNames.contains).map(col).toSeq
+          val derived = gens.map { case (f, sql) =>
+            expr(sql).cast(f.dataType).as(f.name, f.metadata)
+          }
+          val withGen = df.select(keep ++ derived: _*)
+          // declared order first, any EXTRA columns (appendEvolve) last
+          val ordered = withGen.select(
+            (declared.fieldNames.filter(withGen.columns.contains) ++
+              withGen.columns.filterNot(declared.fieldNames.contains))
+              .map(col).toSeq: _*)
+          val declaredParts = Option(m.get("partitionColumns"))
+            .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+          (ordered, if (partitionBy.isEmpty) declaredParts else partitionBy)
+        }
+    }
+  }
+
+  /** refuse DML assignments that touch a generated column or any
+    * column its generation expression reads — in-place rewrites cannot
+    * move rows across partition dirs; [[merge]] re-derives and CAN */
+  private def refuseGeneratedAssignments(schema: StructType,
+      setCols: Iterable[String], op: String): Unit = {
+    val gens = DeltaTransforms.generatedFields(schema)
+    setCols.foreach { n =>
+      gens.foreach { case (f, sql) =>
+        require(f.name != n,
+          s"$op cannot SET generated column '${f.name}' — its value is " +
+            s"defined by `$sql`")
+        require(!s"\\b${java.util.regex.Pattern.quote(n)}\\b".r
+            .findFirstIn(sql).isDefined,
+          s"$op cannot SET '$n': generated partition column '${f.name}' " +
+            s"derives from it (`$sql`) and rows would need to move across " +
+            "partition directories; use merge for relocating updates")
+      }
+    }
   }
 
   /** Append `df` as a new commit. Schema and partitioning are
     * validated against the table's commit-0 `metaData` — a mismatched
-    * append would silently corrupt the table otherwise. */
+    * append would silently corrupt the table otherwise. Generated
+    * partition columns are re-derived, never trusted. */
   def append(spark: SparkSession, df: DataFrame, tablePath: String,
       partitionBy: Seq[String] = Nil): Unit = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val md = latestMetaNodeAny(spark, fs, tablePath)
-    validateAgainstMeta(md, df, partitionBy)
+    val (ddf, parts) = deriveGenerated(md, df, partitionBy)
+    validateAgainstMeta(md, ddf, parts)
     val v = DeltaScan.latestVersion(spark, tablePath) + 1
-    commit(spark, fs, df, tablePath, partitionBy, version = v, metaNode = md)
+    commit(spark, fs, ddf, tablePath, parts, version = v, metaNode = md)
   }
 
   /** APPEND WITH SCHEMA EVOLUTION (the mergeSchema contract): columns
@@ -73,13 +163,14 @@ object DeltaWrite {
     val md = latestMetaNode(fs, tablePath).getOrElse(throw new IllegalStateException(
       s"the JSON log of $tablePath carries no metaData — cannot evolve " +
         "a checkpoint-truncated table"))
+    val (df1, partitionBy1) = deriveGenerated(Some(md), df, partitionBy)
     val declaredParts = Option(md.get("partitionColumns"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
-    require(declaredParts == partitionBy,
-      s"append partitioning $partitionBy does not match the table's $declaredParts")
+    require(declaredParts == partitionBy1,
+      s"append partitioning $partitionBy1 does not match the table's $declaredParts")
     val declared = DataType.fromJson(md.get("schemaString").asText())
       .asInstanceOf[StructType]
-    val byName = df.schema.fields.map(f => f.name -> f).toMap
+    val byName = df1.schema.fields.map(f => f.name -> f).toMap
     declared.fields.foreach { f =>
       byName.get(f.name).foreach { g =>
         require(g.dataType == f.dataType,
@@ -88,7 +179,7 @@ object DeltaWrite {
             "never changes types")
       }
     }
-    val newFields0 = df.schema.fields
+    val newFields0 = df1.schema.fields
       .filterNot(f => declared.fieldNames.contains(f.name))
     // on a COLUMN-MAPPED table, new columns take fresh ids and fresh
     // SYNTHETIC physical names: a reused human name could collide with
@@ -106,7 +197,7 @@ object DeltaWrite {
           .build())
       }
     val merged = StructType(declared.fields ++ newFields.map(_.copy(nullable = true)))
-    val aligned = df.select(merged.fields.map { f =>
+    val aligned = df1.select(merged.fields.map { f =>
       if (byName.contains(f.name)) col(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
@@ -116,9 +207,9 @@ object DeltaWrite {
         (maxId + newFields.length).toString)
     val metaAction =
       if (newFields.isEmpty) scala.None
-      else Some(metaDataJson(md, merged, partitionBy, newConfig))
+      else Some(metaDataJson(md, merged, partitionBy1, newConfig))
     val v = DeltaScan.latestVersion(spark, tablePath) + 1
-    commit(spark, fs, aligned, tablePath, partitionBy, version = v,
+    commit(spark, fs, aligned, tablePath, partitionBy1, version = v,
       metaOverride = metaAction)
   }
 
@@ -292,7 +383,21 @@ object DeltaWrite {
       require(!partCols.contains(from),
         s"'$from' is a partition column — its physical name is the hive " +
           "path layout; repartition into a new table to rename it")
+      requireNotGenerationSource(schema, from, "rename")
       StructType(schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    }
+
+  /** unlike Iceberg (spec fields reference a source-id, names are
+    * free), a Delta generation EXPRESSION names its source column
+    * textually — renaming or dropping the source would leave every
+    * writer unable to evaluate the expression; refuse loudly */
+  private def requireNotGenerationSource(schema: StructType, name: String,
+      op: String): Unit =
+    DeltaTransforms.generatedFields(schema).foreach { case (f, sql) =>
+      require(s"\\b${java.util.regex.Pattern.quote(name)}\\b".r
+          .findFirstIn(sql).isEmpty,
+        s"cannot $op '$name': generated column '${f.name}' derives from it " +
+          s"(`$sql`) — rewrite into a table without that generated column first")
     }
 
   /** DROP a top-level column without rewriting any data (the dropped
@@ -304,6 +409,7 @@ object DeltaWrite {
       require(schema.fieldNames.contains(name), s"no column '$name' to drop")
       require(!partCols.contains(name),
         s"'$name' is a partition column — repartition into a new table to drop it")
+      requireNotGenerationSource(schema, name, "drop")
       require(schema.length > 1, "cannot drop the last column")
       StructType(schema.fields.filterNot(_.name == name))
     }
@@ -419,7 +525,8 @@ object DeltaWrite {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new Path(tablePath, "_delta_log")),
       s"Delta log already exists at $tablePath — use appendWithTxn")
-    commit(spark, fs, df, tablePath, partitionBy, version = 0L,
+    val (ddf, parts) = withGenerated(df, partitionBy)
+    commit(spark, fs, ddf, tablePath, parts, version = 0L,
       txn = Some((appId, txnVersion)))
   }
 
@@ -428,9 +535,10 @@ object DeltaWrite {
       appId: String, txnVersion: Long, partitionBy: Seq[String] = Nil): Unit = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val md = latestMetaNodeAny(spark, fs, tablePath)
-    validateAgainstMeta(md, df, partitionBy)
+    val (ddf, parts) = deriveGenerated(md, df, partitionBy)
+    validateAgainstMeta(md, ddf, parts)
     val v = DeltaScan.latestVersion(spark, tablePath) + 1
-    commit(spark, fs, df, tablePath, partitionBy, version = v,
+    commit(spark, fs, ddf, tablePath, parts, version = v,
       txn = Some((appId, txnVersion)), metaNode = md)
   }
 
@@ -1327,6 +1435,7 @@ object DeltaWrite {
         s"SET column '$n' is a partition column — updating it moves rows " +
           "across files; use merge for key-relocating updates")
     }
+    refuseGeneratedAssignments(schema, setByName.keys, "updateWhere")
     val readV = DeltaScan.latestVersion(spark, tablePath)
     val live = replayActions(spark, fs, tablePath, Some(readV))
       .collect { case (p, true, _, _) => p }
@@ -1577,6 +1686,7 @@ object DeltaWrite {
         s"SET column '$n' is a partition column — updating it moves rows " +
           "across files; use merge for key-relocating updates")
     }
+    refuseGeneratedAssignments(schema, setByName.keys, "updateWhereDV")
     val readV = DeltaScan.latestVersion(spark, tablePath)
     val (latestAdds, proto) = replayLatestAdds(fs, root.toString)
     if (latestAdds.isEmpty) return 0L
@@ -1650,15 +1760,21 @@ object DeltaWrite {
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
     val mapped = isMapped(fs, tablePath)
+    // generated partition columns are derived ON the source (hidden-
+    // partitioning UX; merge is also the op that MOVES rows across
+    // derived partition dirs — the partitioned write lands each merged
+    // row in the directory its re-derived value names)
+    val source1 = deriveGenerated(latestMetaNodeAny(spark, fs, tablePath),
+      source, Nil)._1
     require(
       schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-        source.schema.fields.map(f => (f.name, f.dataType)).toSeq,
-      s"merge source schema ${source.schema.simpleString} does not match " +
+        source1.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"merge source schema ${source1.schema.simpleString} does not match " +
         s"the table's ${schema.simpleString}")
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key column '$k' is not in the table schema"))
 
-    val src = source.persist()
+    val src = source1.persist()
     try {
       val srcRows = src.count()
       if (srcRows == 0L) return (0L, 0L)
@@ -1803,15 +1919,21 @@ object DeltaWrite {
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
     val mapped = isMapped(fs, tablePath)
+    // generated partition columns are derived ON the source (hidden-
+    // partitioning UX; merge is also the op that MOVES rows across
+    // derived partition dirs — the partitioned write lands each merged
+    // row in the directory its re-derived value names)
+    val source1 = deriveGenerated(latestMetaNodeAny(spark, fs, tablePath),
+      source, Nil)._1
     require(
       schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-        source.schema.fields.map(f => (f.name, f.dataType)).toSeq,
-      s"merge source schema ${source.schema.simpleString} does not match " +
+        source1.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"merge source schema ${source1.schema.simpleString} does not match " +
         s"the table's ${schema.simpleString}")
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key column '$k' is not in the table schema"))
 
-    val src = source.persist()
+    val src = source1.persist()
     try {
       val srcRows = src.count()
       if (srcRows == 0L) return (0L, 0L)
