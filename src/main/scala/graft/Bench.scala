@@ -119,7 +119,12 @@ object Bench {
     "q_iceberg_merge", "q_iceberg_partitioned", "q_iceberg_part_dml",
     "q_delta_rename", "q_iceberg_rename",
     // snapshot-diff change feeds (two snapshot scans + exceptAll both ways)
-    "q_delta_cdf", "q_iceberg_cdf")
+    "q_delta_cdf", "q_iceberg_cdf",
+    // round 9: bucket-aligned storage-partitioned join (two bucketed
+    // writes + per-bucket broadcast joins, zero fact-side exchange) and
+    // the Delta generated-column layout (transform write + source-
+    // predicate DELETE + source-pruned reads)
+    "q_bucket_join", "q_delta_transform")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

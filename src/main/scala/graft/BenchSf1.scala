@@ -26,48 +26,91 @@ import org.apache.spark.sql.functions._
   */
 object BenchSf1 {
 
-  /** the 10 most expensive rows of BENCH_DETAIL r8 */
+  /** the 10 most expensive rows of BENCH_DETAIL r8, plus (round 9)
+    * the hidden-partitioning gate — transform-spec pruning must hold
+    * one order up */
   private val top = Seq(
     "q_ingest_neardup", "q_pagerank", "q_profile_sketch",
     "q_iceberg_part_dml", "q_harmonic", "q_pipeline_clean",
-    "q_pipeline_prepare", "q_dedup_semantic", "q_simjoin", "q_delta_cdf")
+    "q_pipeline_prepare", "q_dedup_semantic", "q_simjoin", "q_delta_cdf",
+    "q_iceberg_transform")
 
   private val Copies = 10
 
   private def synthesize(spark: SparkSession, sf01: String, out: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(out, "_SYNTH_DONE"))) return
-    System.err.println(s"[bench-sf1] synthesizing ${Copies}x of $sf01 into $out")
+    // per-table guards: a synth dir from an earlier round back-fills
+    // only the tables it lacks
+    def need(name: String): Boolean =
+      !fs.exists(new org.apache.hadoop.fs.Path(out, s"$name/_SUCCESS"))
 
     def copies(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until Copies).map(i => f(df, i)).reduce(_ unionByName _)
 
-    val docs = spark.read.parquet(s"$sf01/documents.parquet")
-    copies(docs, (d, i) => d
-      .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10_000_000L))
-      // perturb text per copy (i>0): near-dup structure, not exact clones
-      .withColumn("text",
-        if (i == 0) col("text") else concat(col("text"), lit(s" c$i"))))
-      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    if (need("documents.parquet")) {
+      System.err.println(s"[bench-sf1] synthesizing ${Copies}x documents into $out")
+      val docs = spark.read.parquet(s"$sf01/documents.parquet")
+      copies(docs, (d, i) => d
+        .withColumn("doc_id", col("doc_id") + lit(i.toLong * 10_000_000L))
+        // perturb text per copy (i>0): near-dup structure, not exact clones
+        .withColumn("text",
+          if (i == 0) col("text") else concat(col("text"), lit(s" c$i"))))
+        .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
 
-    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
-    copies(emb, (d, i) => d
-      .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10_000_000L))
-      .withColumn("embedding",
-        if (i == 0) col("embedding")
-        else transform(col("embedding"),
-          (x, j) => (x + cos(col("vec_id") * (j + lit(1))) * lit(0.01)).cast("float"))))
-      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    if (need("embeddings.parquet")) {
+      val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+      copies(emb, (d, i) => d
+        .withColumn("vec_id", col("vec_id") + lit(i.toLong * 10_000_000L))
+        .withColumn("embedding",
+          if (i == 0) col("embedding")
+          else transform(col("embedding"),
+            (x, j) => (x + cos(col("vec_id") * (j + lit(1))) * lit(0.01)).cast("float"))))
+        .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
 
-    val li = spark.read.parquet(s"$sf01/lineitem.parquet")
-    copies(li, (d, i) => d
-      .withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100_000_000L))
-      .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * 100_000_000L))
-      .withColumn("l_suppkey", col("l_suppkey") + lit(i.toLong * 100_000_000L)))
-      .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    if (need("lineitem.parquet")) {
+      val li = spark.read.parquet(s"$sf01/lineitem.parquet")
+      copies(li, (d, i) => d
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100_000_000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(i.toLong * 100_000_000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i.toLong * 100_000_000L)))
+        .repartition(32).write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+    }
 
-    fs.create(new org.apache.hadoop.fs.Path(out, "_SYNTH_DONE"), true).close()
+    if (need("events.parquet")) {
+      val ev = spark.read.parquet(s"$sf01/events.parquet")
+      copies(ev, (d, i) => d
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 100_000_000L)))
+        .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+  }
+
+  /** round-9 pruning assertion one order up: a ONE-DAY source filter
+    * on an sf1 transform-partitioned events table must plan a small
+    * fraction of the files (events span ~30 days) — file skipping is
+    * the whole point of hidden partitioning, and it must not decay
+    * with volume. Returns (filesTotal, filesPlanned). */
+  private def transformSkipProbe(spark: SparkSession, sf1: String): (Int, Int) = {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    val base = s"$sf1/_transform_probe/t"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(base, "metadata/version-hint.text"))) {
+      val ev = spark.read.parquet(s"$sf1/events.parquet")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"))
+      IcebergWrite.create(spark, ev, base,
+        partitionBy = Seq("day(ts)", "bucket(8, user_id)"))
+    }
+    val all = IcebergScan.read(spark, base).inputFiles.length
+    val day = IcebergScan.read(spark, base, skippingFilter = Some(
+      col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+        col("ts") < to_timestamp(lit("2024-01-11 00:00:00")))).inputFiles.length
+    require(day > 0 && day.toDouble / all < 0.2,
+      s"sf1 transform pruning decayed: planned $day of $all files for a one-day filter")
+    (all, day)
   }
 
   private def timeOne(spark: SparkSession, name: String, dir: String): Double = {
@@ -110,13 +153,19 @@ object BenchSf1 {
       (name, t01, t1, ratio, lint)
     }
 
+    // transform pruning must hold at sf1 — loud require + recorded ratio
+    val (skipAll, skipDay) = transformSkipProbe(spark, sf1)
+    System.err.println(f"[bench-sf1] transform skip probe: one-day filter plans " +
+      f"$skipDay of $skipAll files (${skipDay.toDouble / skipAll}%.3f)")
+
     def j(rs: Seq[(String, Double, Double, Double, Seq[String])]): String =
       rs.map { case (n, a, b, r, l) =>
         val lintJ = l.map(s => "\"" + s + "\"").mkString("[", ",", "]")
         f""""$n":{"sf01":$a%.3f,"sf1":$b%.3f,"per_row_ratio":$r%.2f,"audit":${r > 2.0},"lint":$lintJ}"""
       }.mkString("{", ",", "}")
     val line =
-      f"""{"metric":"sf1_total","value":${rows.map(_._3).sum}%.3f,"unit":"sec","copies":$Copies,"queries":${j(rows)}}"""
+      f"""{"metric":"sf1_total","value":${rows.map(_._3).sum}%.3f,"unit":"sec","copies":$Copies,""" +
+        f""""transform_skip":{"files":$skipAll,"planned_one_day":$skipDay},"queries":${j(rows)}}"""
     try {
       val w = new java.io.PrintWriter(new java.io.File("BENCH_SF1.json"), "UTF-8")
       try w.println(line) finally w.close()

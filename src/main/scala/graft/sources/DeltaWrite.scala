@@ -952,8 +952,15 @@ object DeltaWrite {
     // STAGE-then-MOVE: the add list is EXACTLY the files this writer
     // moved (see writeStaged) — never a directory-listing diff that
     // could cross-claim a concurrent writer's in-flight files.
+    // Partitioned writes CLUSTER by the partition columns first: one
+    // hash shuffle puts each partition tuple in exactly one task, so
+    // files = touched partitions instead of tasks x partitions (the
+    // small-file explosion measured at sf1 on the generated layout).
     val added = writeStaged(fs, root, destPrefix = "") { staging =>
-      val writer = wdf.write.mode("append")
+      val clustered =
+        if (wparts.isEmpty) wdf
+        else wdf.repartition(wparts.map(org.apache.spark.sql.functions.col): _*)
+      val writer = clustered.write.mode("append")
       (if (wparts.nonEmpty) writer.partitionBy(wparts: _*) else writer)
         .parquet(staging)
     }
@@ -961,7 +968,10 @@ object DeltaWrite {
 
     val now = System.currentTimeMillis()
     val conf = spark.sparkContext.hadoopConfiguration
-    val adds = added.map { case (rel, size) =>
+    // footer stats read in bounded parallel — a partitioned write can
+    // emit thousands of files and a sequential footer walk is a
+    // single-core commit bottleneck (16 concurrent metadata reads)
+    val adds = parMetaMap(added) { case (rel, size) =>
       // partition values from the hive path segments col=value
       val pv = rel.split('/').dropRight(1).collect {
         case seg if seg.contains('=') =>
@@ -1343,19 +1353,38 @@ object DeltaWrite {
   private def stagedAddLines(spark: SparkSession, fs: FileSystem, root: Path,
       added: Seq[(String, Long)]): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val (kept, empty) = added.partition { case (rel, _) =>
+    val counted = parMetaMap(added) { case (rel, size) =>
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(root, rel), conf))
-      (try r.getRecordCount finally r.close()) > 0L
+      (rel, size, (try r.getRecordCount finally r.close()) > 0L)
     }
-    empty.foreach { case (rel, _) => fs.delete(new Path(root, rel), false) }
+    val (kept, empty) = counted.partition(_._3)
+    empty.foreach { case (rel, _, _) => fs.delete(new Path(root, rel), false) }
     val now = System.currentTimeMillis()
-    kept.map { case (rel, size) =>
+    parMetaMap(kept) { case (rel, size, _) =>
       val stats = ParquetStats.statsJson(conf, new Path(root, rel))
         .map(s => s""","stats":${jstr(s)}""").getOrElse("")
       s"""{"add":{"path":${jstr(encodePath(rel))},"partitionValues":{${partitionValuesJson(rel)}},"size":$size,"modificationTime":$now,"dataChange":true$stats}}"""
     }
   }
+
+  /** bounded driver-side parallel map for per-file METADATA I/O
+    * (parquet footer reads) — a partitioned DML can touch thousands of
+    * files, and a sequential footer walk single-cores the commit.
+    * Order-preserving; exceptions propagate. */
+  private def parMetaMap[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.lengthCompare(8) < 0) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try {
+        val futs = xs.map { x =>
+          pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(x) })
+        }
+        futs.map(_.get())
+      } catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      } finally pool.shutdown()
+    }
 
   /** Row-level DELETE, copy-on-write: remove every current row
     * matching `cond` by rewriting ONLY the files that hold matching
@@ -1817,7 +1846,12 @@ object DeltaWrite {
       val physParts = partCols.map(p =>
         if (mapped) DeltaScan.physicalName(schema(p)) else p)
       val added = writeStaged(fs, root, destPrefix = "") { staging =>
-        val w = newData.write.mode("append")
+        // cluster by partition columns: files = touched partitions,
+        // not tasks x partitions (see commit())
+        val clustered =
+          if (physParts.isEmpty) newData
+          else newData.repartition(physParts.map(col): _*)
+        val w = clustered.write.mode("append")
         (if (physParts.nonEmpty) w.partitionBy(physParts: _*) else w).parquet(staging)
       }
       // merge read the WHOLE table — every concurrent data append conflicts
@@ -1980,7 +2014,12 @@ object DeltaWrite {
       val physParts = partCols.map(p =>
         if (mapped) DeltaScan.physicalName(schema(p)) else p)
       val added = writeStaged(fs, root, destPrefix = "") { staging =>
-        val w = newData.write.mode("append")
+        // cluster by partition columns: files = touched partitions,
+        // not tasks x partitions (see commit())
+        val clustered =
+          if (physParts.isEmpty) newData
+          else newData.repartition(physParts.map(col): _*)
+        val w = clustered.write.mode("append")
         (if (physParts.nonEmpty) w.partitionBy(physParts: _*) else w).parquet(staging)
       }
       // merge read the WHOLE table (any concurrently appended row could

