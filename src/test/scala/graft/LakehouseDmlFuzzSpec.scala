@@ -881,6 +881,152 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
     }
   }
 
+  test("GENERATED-COLUMN Delta (hidden-partitioning twin): randomized specs × random ops track the model") {
+    // the Delta generated-column layout under the same randomized
+    // hardening as the Iceberg transform specs: tables created with
+    // RANDOM generation specs, then appends (including LYING appends
+    // that provide wrong derived values — recomputed, never trusted),
+    // deletes on tag and on ts day ranges, updates to unrelated
+    // columns, REFUSED updates to generation sources (model unchanged),
+    // partition-migrating merges, compact, restore across generated
+    // snapshots, and pruned-read equivalence on the SOURCE column.
+    val rnd = new scala.util.Random(190902L)
+    val tsPool = Seq(
+      "2021-03-05 10:00:00", "2021-03-05 23:30:00", "2021-03-06 00:00:01",
+      "2021-04-01 12:00:00", "2021-07-20 07:45:00", "2022-01-15 08:30:00")
+      .map(java.sql.Timestamp.valueOf)
+    def randTs(): java.sql.Timestamp = tsPool(rnd.nextInt(tsPool.size))
+    def randomSpec(): Seq[String] = rnd.nextInt(4) match {
+      case 0 => Seq("day(ts)")
+      case 1 => Seq("month(ts)", s"truncate(${1 + rnd.nextInt(2)}, tag)")
+      case 2 => Seq(s"truncate(${1 + rnd.nextInt(2)}, tag)")
+      case 3 => Seq("year(ts)", "day(ts)")
+    }
+
+    (1 to 3).foreach { table =>
+      val spec = randomSpec()
+      val specTouchesTag = spec.exists(_.contains("tag"))
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_delta_gen_fuzz$table").toString + "/t"
+      var model = Map.empty[Long, (String, java.sql.Timestamp, Long)]
+      var nextId = 0L
+      var hist = Map.empty[Long, Map[Long, (String, java.sql.Timestamp, Long)]]
+
+      def freshRows(n: Int): Seq[(Long, String, java.sql.Timestamp, Long)] =
+        (1 to n).map { _ =>
+          nextId += 1
+          (nextId, s"t${rnd.nextInt(4)}", randTs(), rnd.nextInt(100).toLong)
+        }
+      def df(rows: Seq[(Long, String, java.sql.Timestamp, Long)]) =
+        rows.toDF("id", "tag", "ts", "score")
+      def sync(): Unit = hist += DeltaScan.latestVersion(spark, dir) -> model
+      def readModel(): Map[Long, (String, java.sql.Timestamp, Long)] =
+        DeltaScan.read(spark, dir).collect().map(r =>
+          r.getAs[Long]("id") -> ((r.getAs[String]("tag"),
+            r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("score")))).toMap
+
+      val r0 = freshRows(6)
+      DeltaWrite.create(spark, df(r0), dir, partitionBy = spec)
+      model = r0.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      sync()
+
+      (1 to 20).foreach { step =>
+        rnd.nextInt(9) match {
+          case 0 => // honest append: source columns only
+            val rows = freshRows(1 + rnd.nextInt(4))
+            DeltaWrite.append(spark, df(rows), dir)
+            model ++= rows.map(r => r._1 -> ((r._2, r._3, r._4)))
+          case 1 => // LYING append: wrong derived values provided — recomputed
+            val rows = freshRows(1 + rnd.nextInt(3))
+            val lying = spec.map(e =>
+              graft.sources.IcebergTransforms.parse(e, df(rows).schema))
+              .filterNot(_.isIdentity)
+              .foldLeft(df(rows)) { (d, pf) =>
+                d.withColumn(pf.specName, pf.transform match {
+                  case "day" => lit(java.sql.Date.valueOf("1999-01-01"))
+                  case "truncate" => lit("zz")
+                  case _ => lit(-999)
+                })
+              }
+            DeltaWrite.append(spark, lying, dir)
+            model ++= rows.map(r => r._1 -> ((r._2, r._3, r._4)))
+          case 2 => // delete by tag
+            val tag = s"t${rnd.nextInt(4)}"
+            val n = DeltaWrite.deleteWhere(spark, dir, col("tag") === tag)
+            val victims = model.filter(_._2._1 == tag)
+            assert(n == victims.size, s"spec $spec step $step: delete $n != ${victims.size}")
+            model --= victims.keys
+          case 3 => // delete by ts DAY RANGE on the generation source
+            val d = tsPool(rnd.nextInt(tsPool.size)).toLocalDateTime.toLocalDate
+            val lo = java.sql.Timestamp.valueOf(d.atStartOfDay)
+            val hi = java.sql.Timestamp.valueOf(d.plusDays(1).atStartOfDay)
+            val n = DeltaWrite.deleteWhere(spark, dir,
+              col("ts") >= lit(lo) && col("ts") < lit(hi))
+            val victims = model.filter { case (_, (_, t, _)) =>
+              t.getTime >= lo.getTime && t.getTime < hi.getTime }
+            assert(n == victims.size, s"spec $spec step $step: ts delete $n != ${victims.size}")
+            model --= victims.keys
+          case 4 => // update an UNRELATED column (always legal)
+            val k = 20L + rnd.nextInt(60)
+            val n = DeltaWrite.updateWhere(spark, dir, col("score") < k,
+              Seq("score" -> (col("score") + 1000L)))
+            val hits = model.filter(_._2._3 < k)
+            assert(n == hits.size, s"spec $spec step $step: update $n != ${hits.size}")
+            model ++= hits.map { case (id, (tg, t, s)) => id -> ((tg, t, s + 1000L)) }
+          case 5 => // updating a generation source REFUSES; model unchanged
+            if (spec.exists(_.contains("ts"))) {
+              val e = intercept[IllegalArgumentException](
+                DeltaWrite.updateWhere(spark, dir, col("id") > 0L,
+                  Seq("ts" -> lit(randTs()))))
+              assert(e.getMessage.contains("derives from it"), e.getMessage)
+            }
+            if (specTouchesTag) {
+              val e2 = intercept[IllegalArgumentException](
+                DeltaWrite.updateWhere(spark, dir, col("id") > 0L,
+                  Seq("tag" -> lit("t0"))))
+              assert(e2.getMessage.contains("derives from it"), e2.getMessage)
+            }
+          case 6 => // merge migrates partition dirs (re-time + retag + insert)
+            val updates = model.keys.toSeq.sorted
+              .filter(_ => rnd.nextBoolean()).take(3)
+              .map(id => (id, s"t${rnd.nextInt(4)}", randTs(), rnd.nextInt(100).toLong))
+            val inserts = freshRows(rnd.nextInt(3))
+            val src = updates ++ inserts
+            if (src.nonEmpty) {
+              val (u, i) = DeltaWrite.merge(spark, dir, df(src), Seq("id"))
+              assert(u == updates.size && i == inserts.size,
+                s"spec $spec step $step: merge ($u,$i) != (${updates.size},${inserts.size})")
+              model ++= src.map(r => r._1 -> ((r._2, r._3, r._4)))
+            }
+          case 7 =>
+            DeltaWrite.compact(spark, dir, smallFileBytes = 1L << 20, targetFiles = 1)
+          case 8 => // restore to a random recorded version
+            val versions = hist.keys.toSeq.sorted
+            val v = versions(rnd.nextInt(versions.size))
+            DeltaWrite.restore(spark, dir, v)
+            model = hist(v)
+        }
+        sync()
+        val got = readModel()
+        assert(got == model,
+          s"spec $spec step $step: table ${got.size} rows diverged from model ${model.size}")
+        // pruned-read equivalence on the SOURCE column every 7th step
+        if (step % 7 == 0) {
+          val d = tsPool(step % tsPool.size).toLocalDateTime.toLocalDate
+          val lo = java.sql.Timestamp.valueOf(d.atStartOfDay)
+          val hi = java.sql.Timestamp.valueOf(d.plusDays(1).atStartOfDay)
+          val cond = col("ts") >= lit(lo) && col("ts") < lit(hi)
+          val gotSub = DeltaScan.read(spark, dir, skippingFilter = Some(cond))
+            .collect().map(r => r.getAs[Long]("id")).toSet
+          val want = model.filter { case (_, (_, t, _)) =>
+            t.getTime >= lo.getTime && t.getTime < hi.getTime }.keySet
+          assert(gotSub == want,
+            s"spec $spec step $step: pruned day read ${gotSub.size} != model ${want.size}")
+        }
+      }
+    }
+  }
+
   test("TRANSFORM-PARTITIONED Iceberg OCC fuzz: raced DMLs abort or commit to the serial outcome") {
     // the Delta OCC fuzz shape on a hidden-partitioned Iceberg table:
     // every loser DML plans against the pre-race snapshot; a random
