@@ -333,7 +333,7 @@ object Similarity {
 
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
     val centers = spark.read.parquet(s"$path/centers")
-      .orderBy("cell_id").collect()
+      .orderBy("cell_id").collect() // [lint:bounded] k cell centroids (model state, k chosen at build)
       .map(r => r.getSeq[Double](1).toArray)
     IvfIndex(centers, spark.read.parquet(s"$path/data"))
   }

@@ -46,14 +46,20 @@ object BucketJoin {
 
   /** bucket-aligned join of two Iceberg tables on `key`. Requires both
     * tables' default partition spec to carry `bucket(N, key)` with the
-    * SAME N and hash-compatible key types. Returns key, left columns,
-    * right columns (duplicate non-key names keep Spark's usual
-    * disambiguation rules). */
+    * SAME N and hash-compatible key types. `extraKeys` adds further
+    * equi-join columns for COMPOSITE keys — alignment only needs the
+    * bucketed column (rows agreeing on `key` are co-located whatever
+    * the other columns say), so the extra conditions just ride each
+    * per-bucket join. Returns key columns, left columns, right columns
+    * (duplicate non-key names keep Spark's usual disambiguation
+    * rules). */
   def join(spark: SparkSession, leftPath: String, rightPath: String,
       key: String, joinType: String = "inner",
-      broadcastRight: Boolean = true): DataFrame = {
+      broadcastRight: Boolean = true,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     require(JoinTypes.contains(joinType),
       s"bucket-aligned join supports ${JoinTypes.mkString("/")}, got '$joinType'")
+    require(!extraKeys.contains(key), s"'$key' is already the bucket key")
 
     val (lSchema, lBucket) = bucketFieldOf(spark, leftPath, key, "left")
     val (rSchema, rBucket) = bucketFieldOf(spark, rightPath, key, "right")
@@ -85,18 +91,23 @@ object BucketJoin {
         .toSeq.sortBy(_.getOrElse(-1))
     }
 
+    val joinCols = key +: extraKeys
+    extraKeys.foreach { k =>
+      require(lSchema.fieldNames.contains(k) && rSchema.fieldNames.contains(k),
+        s"extra join key '$k' must be a column of both tables")
+    }
     val pieces = buckets.map { b =>
       val l = side(leftPath, leftByBucket.getOrElse(b, Seq.empty), lSchema)
       val rFiles = if (b.isEmpty) Seq.empty // null keys never equi-match
                    else rightByBucket.getOrElse(b, Seq.empty)
       val r0 = side(rightPath, rFiles, rSchema)
       val r = if (broadcastRight) broadcast(r0) else r0
-      l.join(r, Seq(key), if (joinType == "inner") "inner" else "left")
+      l.join(r, joinCols, if (joinType == "inner") "inner" else "left")
     }
     if (pieces.isEmpty) { // no aligned buckets: empty result, joined schema
       val l = side(leftPath, Seq.empty, lSchema)
       val r = side(rightPath, Seq.empty, rSchema)
-      l.join(r, Seq(key), if (joinType == "inner") "inner" else "left")
+      l.join(r, joinCols, if (joinType == "inner") "inner" else "left")
     } else pieces.reduce(_ unionByName _)
   }
 

@@ -95,6 +95,27 @@ class BucketJoinSpec extends SparkSpec {
     assert(e3.getMessage.contains("do not hash"))
   }
 
+  test("composite keys: extraKeys ride the aligned join (bucket key does the co-location)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bktjoin_ck").toString
+    val l = (1 to 100).map(i => (i.toLong % 10, s"g${i % 3}", s"l$i"))
+      .toDF("k", "grp", "lv")
+    val r = (0 to 9).flatMap(k => Seq((k.toLong, "g0", s"r$k-0"), (k.toLong, "g1", s"r$k-1")))
+      .toDF("k", "grp", "rv")
+    IcebergWrite.create(spark, l, s"$base/l", partitionBy = Seq("bucket(4, k)"))
+    IcebergWrite.create(spark, r, s"$base/r", partitionBy = Seq("bucket(4, k)"))
+    val got = BucketJoin.join(spark, s"$base/l", s"$base/r", "k",
+      extraKeys = Seq("grp"))
+      .select("k", "grp", "lv", "rv")
+      .as[(Long, String, String, String)].collect().sorted
+    val expect = IcebergScan.read(spark, s"$base/l")
+      .join(IcebergScan.read(spark, s"$base/r"), Seq("k", "grp"))
+      .select("k", "grp", "lv", "rv")
+      .as[(Long, String, String, String)].collect().sorted
+    assert(got.nonEmpty && got.toSeq == expect.toSeq)
+    // g2 rows never match (right has only g0/g1)
+    assert(got.forall(_._2 != "g2"))
+  }
+
   test("per-bucket shuffled form (broadcastRight=false) stays correct") {
     val (l, r) = mkTables(4)
     val got = BucketJoin.join(spark, l, r, "k", broadcastRight = false)
