@@ -27,13 +27,13 @@ import org.apache.spark.sql.functions._
 object BenchSf1 {
 
   /** the 10 most expensive rows of BENCH_DETAIL r8, plus (round 9)
-    * the hidden-partitioning gate — transform-spec pruning must hold
-    * one order up */
+    * the hidden-partitioning gate and the bucket-aligned join — the
+    * two new layout levers must hold one order up */
   private val top = Seq(
     "q_ingest_neardup", "q_pagerank", "q_profile_sketch",
     "q_iceberg_part_dml", "q_harmonic", "q_pipeline_clean",
     "q_pipeline_prepare", "q_dedup_semantic", "q_simjoin", "q_delta_cdf",
-    "q_iceberg_transform")
+    "q_iceberg_transform", "q_bucket_join", "q_delta_transform")
 
   private val Copies = 10
 
@@ -84,6 +84,23 @@ object BenchSf1 {
       copies(ev, (d, i) => d
         .withColumn("event_id", col("event_id") + lit(i.toLong * 100_000_000L)))
         .repartition(32).write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
+
+    // the bucket-join shape needs both sides; keys offset IN STEP so
+    // each copy's orders join its own copy's customers (structure
+    // preserved, volume 10x)
+    if (need("orders.parquet")) {
+      val o = spark.read.parquet(s"$sf01/orders.parquet")
+      copies(o, (d, i) => d
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 100_000_000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 100_000_000L)))
+        .repartition(32).write.mode("overwrite").parquet(s"$out/orders.parquet")
+    }
+    if (need("customer.parquet")) {
+      val c = spark.read.parquet(s"$sf01/customer.parquet")
+      copies(c, (d, i) => d
+        .withColumn("c_custkey", col("c_custkey") + lit(i.toLong * 100_000_000L)))
+        .repartition(32).write.mode("overwrite").parquet(s"$out/customer.parquet")
     }
   }
 
