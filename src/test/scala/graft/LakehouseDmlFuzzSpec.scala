@@ -1027,6 +1027,84 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
     }
   }
 
+  test("GENERATED-COLUMN Delta OCC fuzz: raced DMLs on the generated layout track the serial outcome") {
+    // the Delta OCC fuzz shape on a generated-column-partitioned table:
+    // losers plan pre-race, a random winner (derived append / position
+    // delete of a winner-only tag) commits inside the commit window;
+    // the engine may COMMUTE (scope-provably disjoint) or ABORT — both
+    // must equal the serial model. Every write in the race derives its
+    // generated columns.
+    val rnd = new scala.util.Random(90929L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_gen_occ").toString + "/t"
+    val tsPool = Seq(
+      "2021-03-05 10:00:00", "2021-03-06 00:00:01", "2021-04-01 12:00:00",
+      "2022-01-15 08:30:00").map(java.sql.Timestamp.valueOf)
+    def randTs(): java.sql.Timestamp = tsPool(rnd.nextInt(tsPool.size))
+    var model = Map.empty[Long, (String, java.sql.Timestamp, Long)]
+    var nextId = 0L
+    def freshRows(n: Int, tags: Seq[String]): Seq[(Long, String, java.sql.Timestamp, Long)] =
+      (1 to n).map { _ =>
+        nextId += 1
+        (nextId, tags(rnd.nextInt(tags.size)), randTs(), rnd.nextInt(100).toLong)
+      }
+    def df(rows: Seq[(Long, String, java.sql.Timestamp, Long)]) =
+      rows.toDF("id", "tag", "ts", "score")
+    val winnerTags = Seq("t0", "t1")
+    val loserTags = Seq("t2", "t3", "t4")
+
+    val r0 = freshRows(8, winnerTags ++ loserTags)
+    DeltaWrite.create(spark, df(r0), dir,
+      partitionBy = Seq("day(ts)", "truncate(1, tag)"))
+    model = r0.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    (1 to 20).foreach { step =>
+      var afterWinner = model
+      val winner: () => Unit = rnd.nextInt(3) match {
+        case 0 => // derived append
+          val rows = freshRows(1 + rnd.nextInt(3), winnerTags ++ loserTags)
+          afterWinner = model ++ rows.map(r => r._1 -> ((r._2, r._3, r._4)))
+          () => DeltaWrite.append(spark, df(rows), dir)
+        case 1 => // delete of a winner-only tag
+          val tag = winnerTags(rnd.nextInt(winnerTags.size))
+          afterWinner = model.filterNot(_._2._1 == tag)
+          () => { DeltaWrite.deleteWhere(spark, dir, col("tag") === tag); () }
+        case 2 => () => ()
+      }
+      var winnerRan = false
+      DeltaWrite.beforeDmlCommit =
+        () => { DeltaWrite.beforeDmlCommit = () => (); winnerRan = true; winner() }
+      def base = if (winnerRan) afterWinner else model
+      val outcome: Either[Unit, Map[Long, (String, java.sql.Timestamp, Long)]] =
+        try Right(rnd.nextInt(3) match {
+          case 0 => // delete by loser tag
+            val tag = loserTags(rnd.nextInt(loserTags.size))
+            val n = DeltaWrite.deleteWhere(spark, dir, col("tag") === tag)
+            val victims = model.filter(_._2._1 == tag)
+            assert(n == victims.size, s"step $step: delete count $n != ${victims.size}")
+            base -- victims.keys
+          case 1 => // legal update (unrelated column)
+            val k = 20L + rnd.nextInt(60)
+            val n = DeltaWrite.updateWhere(spark, dir, col("score") < k,
+              Seq("score" -> (col("score") + 1000L)))
+            val hits = model.filter(_._2._3 < k)
+            assert(n == hits.size, s"step $step: update count $n != ${hits.size}")
+            base ++ hits.map { case (id, (tg, t, s)) => id -> ((tg, t, s + 1000L)) }
+          case 2 =>
+            DeltaWrite.compact(spark, dir, smallFileBytes = 1L << 20, targetFiles = 1)
+            base
+        })
+        catch { case _: java.util.ConcurrentModificationException => Left(()) }
+        finally DeltaWrite.beforeDmlCommit = () => ()
+      model = outcome.getOrElse(base)
+      val got = DeltaScan.read(spark, dir).collect().map(r =>
+        r.getAs[Long]("id") -> ((r.getAs[String]("tag"),
+          r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("score")))).toMap
+      assert(got == model,
+        s"step $step (${if (outcome.isRight) "committed" else "aborted"}): " +
+          s"table ${got.size} rows diverged from model ${model.size}")
+    }
+  }
+
   test("TRANSFORM-PARTITIONED Iceberg OCC fuzz: raced DMLs abort or commit to the serial outcome") {
     // the Delta OCC fuzz shape on a hidden-partitioned Iceberg table:
     // every loser DML plans against the pre-race snapshot; a random
