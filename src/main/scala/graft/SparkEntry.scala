@@ -2250,6 +2250,32 @@ object SparkEntry {
         .orderBy("event_id", "ts_us")
     }),
 
+    // PARTITION-SPEC EVOLUTION: the canonical lakehouse lifecycle —
+    // start unpartitioned, add day(ts) once volume demands it, with
+    // ZERO data rewritten. Old flat files read conservatively (never
+    // pruned), post-evolution appends land in derived dirs and prune,
+    // and a row-level DELETE spans both layouts in one commit.
+    "q_iceberg_spec_evolve" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_specevo_gate").toString + "/t"
+      val ev = t(s, dir, "events").df
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"))
+      graft.sources.IcebergWrite.create(s, ev.filter(col("event_id") % 2 === 0), base)
+      graft.sources.IcebergWrite.updatePartitionSpec(s, base, Seq("day(ts)"))
+      graft.sources.IcebergWrite.append(s, ev.filter(col("event_id") % 2 =!= 0), base)
+      graft.sources.IcebergWrite.deleteWhere(s, base,
+        col("ts") >= to_timestamp(lit("2024-01-12 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-13 00:00:00")))
+      def rd(f: Option[org.apache.spark.sql.Column]) =
+        graft.sources.IcebergScan.read(s, base, skippingFilter = f)
+          .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+            col("user_id"), col("event_type"))
+      rd(scala.None)
+        .unionByName(rd(Some(col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-11 00:00:00")))))
+        .orderBy("event_id", "ts_us")
+    }),
+
     // STORAGE-PARTITIONED JOIN: orders and customer both laid out
     // bucket(8, custkey) — the aligned join reads bucket k against
     // bucket k, fact side never shuffled (union of per-bucket
@@ -5166,6 +5192,20 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_id, epoch_us(ts), user_id, event_type FROM events
         |WHERE user_id = 42
+        |ORDER BY event_id, ts_us""".stripMargin,
+
+    // spec evolution changes LAYOUT, never content: the oracle is the
+    // plain table minus the deleted day, plus the day-pruned subset
+    "q_iceberg_spec_evolve" ->
+      """WITH live AS (
+        |  SELECT event_id, ts, user_id, event_type FROM events
+        |  WHERE NOT (ts >= TIMESTAMP '2024-01-12 00:00:00'
+        |         AND ts <  TIMESTAMP '2024-01-13 00:00:00'))
+        |SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM live
+        |UNION ALL
+        |SELECT event_id, epoch_us(ts), user_id, event_type FROM live
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-11 00:00:00'
         |ORDER BY event_id, ts_us""".stripMargin,
 
     // the bucket-aligned join computes plain inner-join semantics over

@@ -259,9 +259,22 @@ object IcebergWrite {
     * spec field-ids from 1000) — `[]` for unpartitioned tables. */
   private final case class SchemaCarry(
       schemaJson: String, schemasArray: String, currentSchemaId: Int,
-      lastColumnId: Int, tableUuid: String, specFieldsJson: String = "[]") {
+      lastColumnId: Int, tableUuid: String, specFieldsJson: String = "[]",
+      allSpecsJson: String = "", defaultSpecId: Int = 0) {
     /** partition spec field names, in spec order */
     def partCols: Seq[String] = IcebergWrite.specColNames(specFieldsJson)
+    /** the spec-id of the registered UNPARTITIONED spec (global
+      * equality deletes commit under it); classic tables pin it at 1
+      * (0 when the table itself is unpartitioned) */
+    def emptySpecId: Int =
+      if (allSpecsJson.isEmpty) (if (partCols.isEmpty) 0 else 1)
+      else {
+        val specs = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(allSpecsJson)
+        specs.elements().asScala.find(_.get("fields").size() == 0)
+          .map(_.get("spec-id").asInt())
+          .getOrElse(if (partCols.isEmpty) defaultSpecId else 1)
+      }
     /** parsed spec fields (transform + source) */
     def partFields: Seq[IcebergTransforms.PartField] = {
       val schemaNode = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -298,9 +311,11 @@ object IcebergWrite {
     val nFields = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(schemaJson).get("fields").size()
     // partition spec: v2 partition-specs[default-spec-id], else the v1
-    // flat partition-spec array
+    // flat partition-spec array. The FULL spec list + default id carry
+    // forward verbatim so partition-spec EVOLUTION survives later
+    // commits (old specs stay registered; old manifests reference them)
+    val defaultId = Option(node.get("default-spec-id")).map(_.asInt()).getOrElse(0)
     val specFields = Option(node.get("partition-specs")).flatMap { specs =>
-      val defaultId = Option(node.get("default-spec-id")).map(_.asInt()).getOrElse(0)
       specs.elements().asScala.find(_.get("spec-id").asInt() == defaultId)
         .map(_.get("fields").toString)
     }.orElse(Option(node.get("partition-spec")).map(_.toString))
@@ -312,7 +327,9 @@ object IcebergWrite {
       Option(node.get("last-column-id")).map(_.asInt()).getOrElse(nFields),
       Option(node.get("table-uuid")).map(_.asText())
         .getOrElse(java.util.UUID.randomUUID().toString),
-      specFields)
+      specFields,
+      allSpecsJson = Option(node.get("partition-specs")).map(_.toString).getOrElse(""),
+      defaultSpecId = defaultId)
   }
 
   /** spec `required` (non-nullable) fields must hold no NULL in every
@@ -340,13 +357,22 @@ object IcebergWrite {
     * original record must be carried byte-identical, not re-parsed
     * from the path, so non-hive layouts survive too) */
   private def partitionRecordFromEntry(dataFileSchema: Schema,
-      partCols: Seq[String], e: IcebergScan.FileEntry): GenericData.Record = {
+      partFields: Seq[IcebergTransforms.PartField],
+      e: IcebergScan.FileEntry): GenericData.Record = {
     val rec = new GenericData.Record(dataFileSchema.getField("partition").schema())
-    partCols.foreach { n =>
-      require(e.partition.contains(n),
-        s"live entry ${e.path} carries no partition value for spec field '$n' — " +
-          "cannot rewrite a table whose manifests omit partition records")
-      rec.put(n, e.partition(n))
+    partFields.foreach { pf =>
+      val n = pf.specName
+      if (e.partition.contains(n)) rec.put(n, e.partition(n))
+      else if (pf.isIdentity)
+        // identity layouts drop the column from the payload — a missing
+        // value is unreconstructable, never silently nulled
+        throw new IllegalArgumentException(
+          s"live entry ${e.path} carries no partition value for identity " +
+            s"spec field '$n' — cannot rewrite a table whose manifests omit " +
+            "partition records")
+      else rec.put(n, null) // pre-evolution file under an older spec:
+        // the transform value is UNKNOWN — the pruner never prunes a
+        // null transform value, and the source column is in the file
     }
     rec
   }
@@ -459,7 +485,7 @@ object IcebergWrite {
           entry.put("data_file", file)
           entry
         }, manifestMeta(carry.schemaJson, fmtVersion, content = "data",
-          specFieldsJson = carry.specFieldsJson))
+          specFieldsJson = carry.specFieldsJson, specId = carry.defaultSpecId))
       val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
 
       // snapshot's manifest list = all prior manifests (their length /
@@ -478,7 +504,7 @@ object IcebergWrite {
       val prevManifests = readPrevManifests(fs, conf, root, version, branchHead)
       val listRel = s"metadata/snap-$version-${pathNonce()}.avro"
       writeAvro(fs, new Path(root, listRel), manifestListSchema,
-        (prevManifests :+ ManifestRef(manifestRel, manifestLen, 0,
+        (prevManifests :+ ManifestRef(manifestRel, manifestLen, carry.defaultSpecId,
           content = 0, seq = version.toLong, minSeq = version.toLong,
           snapshotId = version.toLong, addedFiles = filesWithRows.size,
           existingFiles = 0, deletedFiles = 0,
@@ -663,6 +689,112 @@ object IcebergWrite {
       fields.removeAll()
       keep.foreach(fields.add)
     }
+  }
+
+  /** PARTITION-SPEC EVOLUTION (transform specs only): register a new
+    * DEFAULT spec without rewriting any data — the canonical lakehouse
+    * lifecycle is "start unpartitioned, add day(ts) once volume
+    * demands it". One metadata-only version bump: the new spec joins
+    * `partition-specs` under the next spec-id and becomes the default;
+    * old files stay under their original specs (their manifests carry
+    * their own partition records), readers prune NEW files through the
+    * new spec and keep OLD files conservatively (no transform value →
+    * never pruned), and a COMPACT folds old files into the new layout.
+    *
+    * Transform fields only, in the new spec AND in every spec the
+    * table ever had: identity fields change the PAYLOAD layout (the
+    * source column is dropped from the data files), so evolving across
+    * them would corrupt reads of pre-evolution files — refused loudly.
+    * An empty `partitionBy` evolves the table to the unpartitioned
+    * spec (future writes land flat). v1 tables upgrade to
+    * format-version 2 (the version that defines spec evolution). */
+  def updatePartitionSpec(spark: SparkSession, tablePath: String,
+      partitionBy: Seq[String]): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    val prev = readUtf8(fs, hint).trim.toInt
+    val version = prev + 1
+    val root = fs.makeQualified(new Path(tablePath))
+    val metaDir = new Path(root, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val carry = carryFromPrev(fs, metaDir, prev)
+    val schema = IcebergScan.sparkSchema(mapper.readTree(carry.schemaJson))
+
+    val pfs = partitionBy.map(IcebergTransforms.parse(_, schema))
+    pfs.find(_.isIdentity).foreach { pf =>
+      throw new IllegalArgumentException(
+        s"partition-spec evolution supports transform fields only; " +
+          s"'${pf.specName}' is identity — identity layouts drop the source " +
+          "column from the data files, so old files could not be read back; " +
+          "repartition into a fresh table instead")
+    }
+    require(pfs.map(_.specName).distinct.size == pfs.size,
+      s"duplicate partition field names in ${partitionBy.mkString(", ")}")
+
+    val nameById = mapper.readTree(carry.schemaJson).get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    val existingSpecs: Seq[(Int, String)] =
+      if (carry.allSpecsJson.nonEmpty)
+        mapper.readTree(carry.allSpecsJson).elements().asScala
+          .map(sp => sp.get("spec-id").asInt() -> sp.get("fields").toString).toSeq
+      else if (carry.partCols.isEmpty) Seq(0 -> carry.specFieldsJson)
+      else Seq(0 -> carry.specFieldsJson, 1 -> "[]")
+    existingSpecs.foreach { case (id, fieldsJson) =>
+      IcebergTransforms.fromSpecJson(fieldsJson, nameById, schema).foreach { pf =>
+        require(!pf.isIdentity,
+          s"cannot evolve the partition spec: existing spec $id has identity " +
+            s"field '${pf.specName}' whose source column is not in the old " +
+            "data files — rewrite into a fresh table instead")
+      }
+    }
+
+    val existingFieldIds = existingSpecs.flatMap { case (_, fj) =>
+      mapper.readTree(fj).elements().asScala.map(_.get("field-id").asInt()).toSeq
+    }
+    val maxFieldId = (existingFieldIds :+ 999).max
+    val idByName = nameById.map(_.swap)
+    val newFieldsJson = pfs.zipWithIndex.map { case (pf, i) =>
+      s"""{"name":${jstr(pf.specName)},"transform":${jstr(pf.transformJson)},""" +
+        s""""source-id":${idByName(pf.source.name)},"field-id":${maxFieldId + 1 + i}}"""
+    }.mkString("[", ",", "]")
+    val newSpecId = existingSpecs.map(_._1).max + 1
+    val allSpecs = existingSpecs :+ (newSpecId -> newFieldsJson)
+    val specsJson = allSpecs
+      .map { case (id, fj) => s"""{"spec-id":$id,"fields":$fj}""" }
+      .mkString("[", ",", "]")
+
+    // v1 tables upgrade to format-version 2 (same upgrade shape the
+    // first row-level delete performs)
+    val fmtV = Option(node.get("format-version")).map(_.asInt()).getOrElse(1)
+    if (fmtV < 2) {
+      node.put("format-version", 2)
+      node.put("last-sequence-number", prev)
+      node.set[com.fasterxml.jackson.databind.JsonNode](
+        "schemas", mapper.readTree(carry.schemasArray))
+      node.put("current-schema-id", carry.currentSchemaId)
+      node.set[com.fasterxml.jackson.databind.JsonNode](
+        "sort-orders", mapper.readTree("""[{"order-id":0,"fields":[]}]"""))
+      node.put("default-sort-order-id", 0)
+    }
+    node.set[com.fasterxml.jackson.databind.JsonNode](
+      "partition-specs", mapper.readTree(specsJson))
+    node.put("default-spec-id", newSpecId)
+    node.set[com.fasterxml.jackson.databind.JsonNode](
+      "partition-spec", mapper.readTree(newFieldsJson))
+    node.put("last-partition-id", maxFieldId + pfs.size)
+    node.put("last-updated-ms", System.currentTimeMillis())
+    val metaPath = new Path(metaDir, s"v$version.metadata.json")
+    try writeUtf8(fs, metaPath, node.toString, overwrite = false)
+    catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent Iceberg commit detected: $metaPath already exists — " +
+            "another writer committed this version; re-read the table and retry", e)
+    }
+    writeUtf8(fs, new Path(metaDir, "version-hint.text"), version.toString)
   }
 
   /** shared rename/drop core: field-id-marker + partition-column
@@ -921,13 +1053,13 @@ object IcebergWrite {
       e.put("sequence_number", entry.seq) // original — delete gating intact
       e.put("file_sequence_number", entry.seq)
       e.put("data_file", fileRecord(relOf(entry.path), entry.rows, len,
-        partitionRecordFromEntry(dataFileSchema, partCols, entry)))
+        partitionRecordFromEntry(dataFileSchema, carry.partFields, entry)))
       e
     }
     writeAvro(fs, new Path(root, manifestRel), entrySchema,
       addedRecords ++ keptRecords,
       manifestMeta(carry.schemaJson, fmtVersion, content = "data",
-        specFieldsJson = carry.specFieldsJson))
+        specFieldsJson = carry.specFieldsJson, specId = carry.defaultSpecId))
     val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
 
     // manifest list: the rewritten data manifest + delete manifests
@@ -944,7 +1076,7 @@ object IcebergWrite {
     val minSeq = (kept.map(_._1.seq) :+ version.toLong).min
     val listRel = s"metadata/snap-$version-${pathNonce()}.avro"
     writeAvro(fs, new Path(root, listRel), manifestListSchema,
-      (ManifestRef(manifestRel, manifestLen, 0,
+      (ManifestRef(manifestRel, manifestLen, carry.defaultSpecId,
         content = 0, seq = version.toLong, minSeq = minSeq,
         snapshotId = version.toLong,
         addedFiles = addedRecords.size, existingFiles = kept.size,
@@ -1382,9 +1514,9 @@ object IcebergWrite {
           entry.put("data_file", file)
           entry
         }, manifestMeta(c.schemaJson, fmtVersion = 2, content = "data",
-          specFieldsJson = c.specFieldsJson))
+          specFieldsJson = c.specFieldsJson, specId = c.defaultSpecId))
       val dataRef = ManifestRef(dataRel,
-        fs.getFileStatus(new Path(root, dataRel)).getLen, 0,
+        fs.getFileStatus(new Path(root, dataRel)).getLen, c.defaultSpecId,
         content = 0, seq = v.toLong, minSeq = v.toLong, snapshotId = v.toLong,
         addedFiles = dataWithRows.size, existingFiles = 0, deletedFiles = 0,
         addedRows = dataWithRows.map(_._2).sum, existingRows = 0L,
@@ -1410,8 +1542,8 @@ object IcebergWrite {
             entry.put("data_file", file)
             entry
           }, manifestMeta(c.schemaJson, fmtVersion = 2, content = "deletes",
-            specFieldsJson = c.specFieldsJson))
-        Some(ManifestRef(rel, fs.getFileStatus(new Path(root, rel)).getLen, 0,
+            specFieldsJson = c.specFieldsJson, specId = c.defaultSpecId))
+        Some(ManifestRef(rel, fs.getFileStatus(new Path(root, rel)).getLen, c.defaultSpecId,
           content = 1, seq = v.toLong, minSeq = v.toLong, snapshotId = v.toLong,
           addedFiles = posDeletes.size, existingFiles = 0, deletedFiles = 0,
           addedRows = posDeletes.map(_._2).sum, existingRows = 0L,
@@ -1421,7 +1553,7 @@ object IcebergWrite {
       // equality-delete manifest (GLOBAL — unpartitioned spec)
       val eqRef = eqDeletes.map { case (dels, eqIds) =>
         val rel = s"metadata/manifest-$v-${pathNonce()}.avro"
-        val globalSpecId = if (recordFields.isEmpty) 0 else 1
+        val globalSpecId = c.emptySpecId
         val gSchema = manifestSchema.getField("data_file").schema()
         writeAvro(fs, new Path(root, rel), manifestSchema,
           dels.map { case (r, rows, len) =>
@@ -1833,16 +1965,24 @@ object IcebergWrite {
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
     val nSpecFields = specColNames(carry.specFieldsJson).size
     // a partitioned v2 table also registers the UNPARTITIONED spec-id 1
-    // — the spec global equality deletes commit under
+    // — the spec global equality deletes commit under. An EVOLVED table
+    // carries its full spec history + default id forward verbatim.
     val specsJson =
-      if (nSpecFields == 0) s"""[{"spec-id":0,"fields":${carry.specFieldsJson}}]"""
+      if (carry.allSpecsJson.nonEmpty) carry.allSpecsJson
+      else if (nSpecFields == 0) s"""[{"spec-id":0,"fields":${carry.specFieldsJson}}]"""
       else s"""[{"spec-id":0,"fields":${carry.specFieldsJson}},{"spec-id":1,"fields":[]}]"""
+    val lastPartitionId = {
+      val ids = new com.fasterxml.jackson.databind.ObjectMapper().readTree(specsJson)
+        .elements().asScala.flatMap(_.get("fields").elements().asScala)
+        .map(f => f.get("field-id").asInt()).toSeq
+      if (ids.isEmpty) 999 else ids.max
+    }
     val v2Extra =
       if (fmtVersion < 2) ""
       else s""""last-sequence-number":$version,"schemas":${carry.schemasArray},
               |"current-schema-id":${carry.currentSchemaId},
-              |"partition-specs":$specsJson,"default-spec-id":0,
-              |"last-partition-id":${999 + nSpecFields},
+              |"partition-specs":$specsJson,"default-spec-id":${carry.defaultSpecId},
+              |"last-partition-id":$lastPartitionId,
               |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,"""
         .stripMargin
     val snapSeq = if (fmtVersion < 2) "" else s""""sequence-number":$version,"""
@@ -2082,14 +2222,14 @@ object IcebergWrite {
       }
       writeAvro(fs, new Path(root, manifestRel), entrySchema, delEntries,
         manifestMeta(c.schemaJson, fmtVersion = 2, content = "deletes",
-          specFieldsJson = c.specFieldsJson))
+          specFieldsJson = c.specFieldsJson, specId = c.defaultSpecId))
       val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
 
       val prevManifests = readPrevManifests(fs, conf, root, v)
       val listRel = s"metadata/snap-$v-${pathNonce()}.avro"
       writeAvro(fs, new Path(root, listRel), manifestListSchema,
         (prevManifests :+
-          ManifestRef(manifestRel, manifestLen, 0,
+          ManifestRef(manifestRel, manifestLen, c.defaultSpecId,
             content = 1, seq = v.toLong, minSeq = v.toLong,
             snapshotId = v.toLong, addedFiles = delEntries.size,
             existingFiles = 0,
@@ -2176,9 +2316,12 @@ object IcebergWrite {
         val pmapRows: java.util.List[org.apache.spark.sql.Row] = hitEntries.map { e =>
           org.apache.spark.sql.Row.fromSeq(IcebergScan.normalizePath(e.path) +:
             partFields.map { f =>
-              require(e.partition.contains(f.name),
-                s"live entry ${e.path} carries no partition value for '${f.name}'")
-              partitionExternal(f.dataType, e.partition(f.name))
+              // a PRE-EVOLUTION victim (older spec) has no value for the
+              // current spec's fields — its deletes land in the NULL
+              // partition dir; application is by (file, pos), unaffected
+              if (e.partition.contains(f.name))
+                partitionExternal(f.dataType, e.partition(f.name))
+              else null
             })
         }.asJava
         val pmap = spark.createDataFrame(pmapRows, pmapSchema)
@@ -2372,7 +2515,7 @@ object IcebergWrite {
       // on a partitioned table this manifest declares the UNPARTITIONED
       // spec-id 1 (a global delete); the empty partition records above are
       // exactly that spec's record shape
-      val globalSpecId = if (c.partCols.isEmpty) 0 else 1
+      val globalSpecId = c.emptySpecId
       writeAvro(fs, new Path(root, manifestRel), manifestSchema, delEntries,
         manifestMeta(c.schemaJson, fmtVersion = 2, content = "deletes",
           specId = globalSpecId))

@@ -628,6 +628,88 @@ class IcebergScanSpec extends SparkSpec {
     }.getMessage.contains("unknown partition transform"))
   }
 
+  test("partition-spec evolution: unpartitioned -> day(ts) -> month+bucket; old files conservative, compact folds, identity refuses") {
+    import graft.sources.{IcebergScan, IcebergTransforms, IcebergWrite}
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_spec_evo").toString + "/t"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def rows(ids: Seq[Long]): Seq[(Long, java.sql.Timestamp, String)] =
+      ids.map(i => (i, ts(f"2021-03-${(i % 4 + 3)}%02d 10:00:00"), s"v$i"))
+    def df(rs: Seq[(Long, java.sql.Timestamp, String)]) = rs.toDF("id", "ts", "v")
+    def readIds() = IcebergScan.read(spark, dir).collect().map(_.getLong(0)).toSet
+
+    // v1 unpartitioned table, two flat appends
+    IcebergWrite.create(spark, df(rows(1L to 4L)), dir)
+    IcebergWrite.append(spark, df(rows(5L to 8L)), dir)
+    // EVOLVE: day(ts) becomes the default spec; no data moves
+    IcebergWrite.updatePartitionSpec(spark, dir, Seq("day(ts)"))
+    assert(readIds() == (1L to 8L).toSet, "evolution must not move data")
+    // new appends land in derived hive dirs
+    IcebergWrite.append(spark, df(rows(9L to 12L)), dir)
+    assert(new java.io.File(s"$dir/data").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("ts_day=2021-03-")),
+      "post-evolution appends must use the new layout")
+    assert(readIds() == (1L to 12L).toSet)
+
+    // pruning: a one-day filter PRUNES new files to the day and keeps
+    // every old (pre-evolution) file conservatively
+    def dayCond = col("ts") >= to_timestamp(lit("2021-03-03 00:00:00")) &&
+      col("ts") < to_timestamp(lit("2021-03-04 00:00:00"))
+    val planned = IcebergScan.read(spark, dir, skippingFilter = Some(dayCond)).inputFiles
+    assert(planned.filter(_.contains("ts_day=")).forall(_.contains("ts_day=2021-03-03")),
+      s"new-layout files must prune to the day: ${planned.toSeq}")
+    assert(planned.exists(!_.contains("ts_day=")), "old flat files stay (conservative)")
+    val want3 = (1L to 12L).filter(_ % 4 == 0).toSet // ids with day 03
+    assert(IcebergScan.read(spark, dir, skippingFilter = Some(dayCond))
+      .collect().map(_.getLong(0)).toSet == want3)
+
+    // DML across MIXED layouts: delete one day's rows everywhere
+    val n = IcebergWrite.deleteWhere(spark, dir, dayCond)
+    assert(n == want3.size.toLong)
+    assert(readIds() == (1L to 12L).toSet -- want3)
+
+    // COMPACT folds old flat files into the new layout; after the fold
+    // pruning covers EVERY file (prove by deleting ruled-out files)
+    IcebergWrite.compact(spark, dir, smallFileBytes = 1L << 30)
+    val all2 = IcebergScan.read(spark, dir).inputFiles.toSet
+    assert(all2.forall(_.contains("ts_day=")), s"compact must fold the layout: $all2")
+    def day5 = col("ts") >= to_timestamp(lit("2021-03-05 00:00:00")) &&
+      col("ts") < to_timestamp(lit("2021-03-06 00:00:00"))
+    val kept2 = IcebergScan.read(spark, dir, skippingFilter = Some(day5)).inputFiles.toSet
+    assert(kept2.nonEmpty && kept2.forall(_.contains("ts_day=2021-03-05")))
+
+    // SECOND evolution: day -> month + bucket; appends follow it
+    IcebergWrite.updatePartitionSpec(spark, dir, Seq("month(ts)", "bucket(4, id)"))
+    IcebergWrite.append(spark, df(Seq((20L, ts("2021-07-20 08:00:00"), "v20"))), dir)
+    val julyFiles = IcebergScan.read(spark, dir,
+      skippingFilter = Some(col("ts") >= to_timestamp(lit("2021-07-01 00:00:00")))).inputFiles
+    assert(julyFiles.exists(_.contains("ts_month=618")), s"got ${julyFiles.toSeq}")
+    assert(readIds().contains(20L))
+    // ... and the metadata registers the history (3 specs + empty)
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir,
+        "metadata", s"v${new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, "metadata", "version-hint.text")), "UTF-8").trim}.metadata.json")), "UTF-8"))
+    assert(meta.get("partition-specs").size() >= 3)
+    assert(meta.get("format-version").asInt() == 2)
+
+    // evolve to the UNPARTITIONED spec: future appends land flat
+    IcebergWrite.updatePartitionSpec(spark, dir, Nil)
+    IcebergWrite.append(spark, df(Seq((21L, ts("2021-08-01 08:00:00"), "v21"))), dir)
+    assert(readIds().contains(21L))
+
+    // refusals: identity fields, in the new spec or anywhere in history
+    val e1 = intercept[IllegalArgumentException](
+      IcebergWrite.updatePartitionSpec(spark, dir, Seq("v")))
+    assert(e1.getMessage.contains("identity"), e1.getMessage)
+    val idDir = java.nio.file.Files.createTempDirectory("graft_ice_spec_evo_id").toString + "/t"
+    IcebergWrite.create(spark, df(rows(1L to 2L)), idDir, partitionBy = Seq("v"))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergWrite.updatePartitionSpec(spark, idDir, Seq("day(ts)")))
+    assert(e2.getMessage.contains("identity"), e2.getMessage)
+  }
+
   test("schema evolution x hidden partitioning: renaming a transform source keeps pruning; dropping it refuses") {
     import graft.sources.{IcebergScan, IcebergWrite}
     import org.apache.spark.sql.functions.{col, lit, to_timestamp}
