@@ -729,7 +729,7 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
     }
 
     (1 to 3).foreach { table =>
-      val spec = randomSpec()
+      var spec = randomSpec()
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft_ice_transform_fuzz$table").toString + "/t"
       var model = Map.empty[Long, (String, java.sql.Timestamp)]
@@ -765,7 +765,13 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
         if (step == 12) IcebergWrite.setProperties(spark, dir, Map(
           "write.update.mode" -> "merge-on-read",
           "write.merge.mode" -> "merge-on-read"))
-        rnd.nextInt(10) match {
+        rnd.nextInt(11) match {
+          case 10 => // mid-stream PARTITION-SPEC EVOLUTION: later ops
+            // run under the new layout, older files stay conservative,
+            // rollback/CDC cross the evolution boundary
+            val newSpec = randomSpec()
+            IcebergWrite.updatePartitionSpec(spark, dir, newSpec)
+            spec = newSpec
           case 0 =>
             val rows = freshRows(1 + rnd.nextInt(4))
             IcebergWrite.append(spark, df(rows), dir)
