@@ -2304,6 +2304,31 @@ object SparkEntry {
         .orderBy("custkey")
     }),
 
+    // STORAGE-PARTITIONED AGGREGATION: the same bucket(8, custkey)
+    // layout makes groupBy(custkey) shuffle-free — every key lives in
+    // exactly one bucket, so a union of per-bucket COMPLETE aggregates
+    // (one task per bucket, zero Exchange; plan asserted in
+    // BucketJoinSpec) is the global answer. A delete proves the
+    // per-bucket reads stay delete-applied. The other half of the
+    // write-once-co-locate lever: joins AND aggregations reuse the
+    // layout the writers already paid for.
+    "q_bucket_agg" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_bktagg_gate").toString
+      val orders = t(s, dir, "orders").df
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          col("o_totalprice"))
+      graft.sources.IcebergWrite.create(s, orders, s"$base/o",
+        partitionBy = Seq("bucket(8, custkey)"))
+      graft.sources.IcebergWrite.deleteWhere(s, s"$base/o",
+        col("o_orderkey") % 7 === 0)
+      graft.sources.BucketJoin.aggregate(s, s"$base/o", "custkey",
+        Seq(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          max(col("o_orderkey")).as("max_orderkey")))
+        .orderBy("custkey")
+    }),
+
     // DELTA GENERATED-COLUMN PARTITIONING — the hidden-partitioning
     // twin: day(ts) + truncate(2, event_type) become generated columns
     // (delta.generationExpression metadata, derived on every write),
@@ -5218,6 +5243,18 @@ object SparkEntry {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |WHERE o.o_orderkey % 5 <> 0
         |GROUP BY o.o_custkey, c.c_name
+        |ORDER BY custkey""".stripMargin,
+
+    // the storage-partitioned aggregate computes plain GROUP BY
+    // semantics over the delete-filtered table — ordinary SQL oracle
+    "q_bucket_agg" ->
+      """SELECT o_custkey AS custkey,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  MAX(o_orderkey) AS max_orderkey
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_custkey
         |ORDER BY custkey""".stripMargin,
 
     "q_delta_transform" ->

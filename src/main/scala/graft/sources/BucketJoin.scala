@@ -4,36 +4,49 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** STORAGE-PARTITIONED (bucket-aligned) JOIN — the join lever hidden
-  * partitioning unlocks: two Iceberg tables both laid out
-  * `bucket(N, key)` on the same key with the same N put every row of a
-  * given key in the SAME bucket ordinal on both sides (the spec pins
-  * one hash: murmur3_x86_32, [[IcebergTransforms.bucketOf]], and
-  * int/long/date/timestamp hash identically). Joining bucket k against
-  * bucket k is therefore complete — no global shuffle is ever needed
-  * to co-locate the keys, because the WRITERS already did it.
+/** STORAGE-PARTITIONED (bucket-aligned) JOIN + AGGREGATION — the
+  * operator levers hidden partitioning unlocks: two Iceberg tables
+  * both laid out `bucket(N, key)` on the same key with the same N put
+  * every row of a given key in the SAME bucket ordinal on both sides
+  * (the spec pins one hash: murmur3_x86_32,
+  * [[IcebergTransforms.bucketOf]], and int/long/date/timestamp hash
+  * identically). Joining bucket k against bucket k is therefore
+  * complete — no global shuffle is ever needed to co-locate the keys,
+  * because the WRITERS already did it. The same layout fact makes
+  * `groupBy(key)` shuffle-free: every key lives in exactly one bucket,
+  * so a union of per-bucket COMPLETE aggregates is the global answer
+  * ([[aggregate]]).
   *
-  * Execution shape: one join per bucket ordinal, unioned.
+  * Execution shape: one join (or aggregate) per bucket ordinal, unioned.
   *
-  *  - `broadcastRight = true` (default): each right bucket is
-  *    broadcast to its matching left bucket's scan. The left (fact)
-  *    side is NEVER exchanged — the plan is a union of N
+  *  - `broadcastRight = true` (default for inner/left): each right
+  *    bucket is broadcast to its matching left bucket's scan. The left
+  *    (fact) side is NEVER exchanged — the plan is a union of N
   *    BroadcastHashJoins directly over the fact-side file scans
-  *    (asserted in BucketJoinSpec). The broadcast budget scales with
-  *    N: each bucket ships 1/N of the dimension, so a dimension N×
-  *    the single-broadcast limit still joins shuffle-free. This is
-  *    the 100 TB fact-to-dimension shape.
+  *    (asserted in BucketJoinSpec). The PER-RELATION broadcast limit
+  *    scales with N (each bucket ships 1/N of the dimension), but all
+  *    N broadcast relations are live CONCURRENTLY in the one union
+  *    job, so executor/driver heap still holds the whole dimension —
+  *    the guard below sums the right side's live-file bytes from the
+  *    planning state already in hand and auto-falls-back to shuffled
+  *    per-bucket joins past [[maxBroadcastTotalBytes]].
   *  - `broadcastRight = false`: per-bucket shuffled joins — one giant
   *    N-way shuffle becomes N independent small joins (1/N state per
   *    join, skew bounded per bucket, failed buckets retry alone).
   *    For big-big joins where neither side's buckets broadcast.
+  *  - `right`/`full` joins always take the shuffled per-bucket form:
+  *    Spark cannot broadcast the preserved side of an outer join, so
+  *    the hint would be silently ignored — we don't pretend.
   *
-  * Both sides read through the full delete-applied reader
-  * ([[IcebergScan.readFiltered]]), so position/equality deletes and
-  * MOR images on either table are honored. Rows with a NULL key live
-  * in the null partition: they never equi-join (SQL semantics), are
-  * skipped for `inner`, and are preserved with null right columns for
-  * `left`.
+  * Both sides read through the full delete-applied reader (the same
+  * machinery as [[IcebergScan.readFiltered]]) — position/equality
+  * deletes and MOR images on either table are honored — but each
+  * table's manifests are walked ONCE ([[IcebergScan.planTable]]) and
+  * every per-bucket subset read reuses that planning state; planning
+  * cost is one walk per side, not buckets × manifests. Rows with a
+  * NULL key live in the null partition: they never equi-join (SQL
+  * semantics), are skipped for `inner`, and are preserved with null
+  * opposite-side columns for the outer types.
   *
   * Plan-size note: the union grows with N (bucket count), which is a
   * table-layout constant chosen at design time (typically 16-512) —
@@ -42,7 +55,17 @@ import org.apache.spark.sql.types._
 object BucketJoin {
 
   /** join types this aligned form supports */
-  private val JoinTypes = Set("inner", "left", "left_outer")
+  private val JoinTypes =
+    Set("inner", "left", "left_outer", "right", "right_outer", "full", "full_outer")
+
+  /** total bytes of per-bucket broadcast relations allowed live at
+    * once (manifest-recorded file sizes, pre-decompression) before the
+    * aligned join auto-falls-back to `broadcastRight=false`. All N
+    * broadcasts coexist in the one union job, so this bounds REAL heap,
+    * not the per-relation 8 GiB cap. Var + env for ops override. */
+  @volatile var maxBroadcastTotalBytes: Long =
+    sys.env.get("GRAFT_BUCKET_BROADCAST_MAX_BYTES").map(_.toLong)
+      .getOrElse(2L << 30) // 2 GiB of parquet ≈ several GiB of heap
 
   /** bucket-aligned join of two Iceberg tables on `key`. Requires both
     * tables' default partition spec to carry `bucket(N, key)` with the
@@ -60,9 +83,16 @@ object BucketJoin {
     require(JoinTypes.contains(joinType),
       s"bucket-aligned join supports ${JoinTypes.mkString("/")}, got '$joinType'")
     require(!extraKeys.contains(key), s"'$key' is already the bucket key")
+    val jt = joinType match {
+      case "left_outer" => "left"
+      case "right_outer" => "right"
+      case "full_outer" => "full"
+      case t => t
+    }
 
-    val (lSchema, lBucket) = bucketFieldOf(spark, leftPath, key, "left")
-    val (rSchema, rBucket) = bucketFieldOf(spark, rightPath, key, "right")
+    val (lPlanned, lBucket) = planBucketed(spark, leftPath, key, "left")
+    val (rPlanned, rBucket) = planBucketed(spark, rightPath, key, "right")
+    val (lSchema, rSchema) = (lPlanned.schema, rPlanned.schema)
     require(lBucket.param == rBucket.param,
       s"bucket counts differ: left bucket(${lBucket.param}, $key) vs " +
         s"right bucket(${rBucket.param}, $key) — storage-partitioned joins " +
@@ -72,55 +102,113 @@ object BucketJoin {
       s"bucket(${lBucket.param}) union plan would carry ${lBucket.param} " +
         "branches — use fewer, larger buckets")
 
-    val leftByBucket = filesByBucket(spark, leftPath, lBucket.specName)
-    val rightByBucket = filesByBucket(spark, rightPath, rBucket.specName)
+    val leftByBucket = filesByBucket(lPlanned, lBucket.specName)
+    val rightByBucket = filesByBucket(rPlanned, rBucket.specName)
 
-    def side(path: String, files: Seq[String], schema: StructType): DataFrame =
+    def side(planned: IcebergScan.PlannedTable,
+        files: Seq[IcebergScan.FileEntry]): DataFrame =
       if (files.isEmpty)
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else IcebergScan.readFiltered(spark, path, scala.None, Some(files.toSet))
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], planned.schema)
+      else IcebergScan.readPlanned(spark, planned, Some(files.map(_.path).toSet))
 
     // which bucket ordinals produce output: inner needs both sides
-    // populated; left needs every populated left bucket (incl. the
-    // null-key partition, which joins an empty right → null columns)
+    // populated; each outer type needs every populated bucket of its
+    // preserved side(s) — incl. the null-key partition, which never
+    // equi-matches and surfaces with null opposite-side columns
     val buckets: Seq[Option[Int]] = {
       val l = leftByBucket.keySet
       val r = rightByBucket.keySet
-      (if (joinType == "inner") l.filter(b => b.isDefined && r.contains(b)) else l)
-        .toSeq.sortBy(_.getOrElse(-1))
+      (jt match {
+        case "inner" => l.filter(b => b.isDefined && r.contains(b))
+        case "left" => l
+        case "right" => r
+        case "full" => l ++ r
+      }).toSeq.sortBy(_.getOrElse(-1))
     }
+
+    // broadcast-budget guard: N concurrent per-bucket broadcasts hold
+    // the WHOLE right side in memory at once — past the bound, fall
+    // back to shuffled per-bucket joins (still no global co-location
+    // shuffle; each bucket exchanges only its own 1/N)
+    val rightLiveBytes = rightByBucket.valuesIterator.flatten.map(_.bytes).sum
+    val doBroadcast = broadcastRight && (jt == "inner" || jt == "left") &&
+      (rightLiveBytes <= maxBroadcastTotalBytes || {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"bucket-aligned join: right side holds $rightLiveBytes live bytes " +
+            s"> budget $maxBroadcastTotalBytes for ${buckets.size} concurrent " +
+            "per-bucket broadcasts — falling back to shuffled per-bucket joins")
+        false
+      })
 
     val joinCols = key +: extraKeys
     extraKeys.foreach { k =>
       require(lSchema.fieldNames.contains(k) && rSchema.fieldNames.contains(k),
         s"extra join key '$k' must be a column of both tables")
     }
-    val pieces = buckets.map { b =>
-      val l = side(leftPath, leftByBucket.getOrElse(b, Seq.empty), lSchema)
-      val rFiles = if (b.isEmpty) Seq.empty // null keys never equi-match
-                   else rightByBucket.getOrElse(b, Seq.empty)
-      val r0 = side(rightPath, rFiles, rSchema)
-      val r = if (broadcastRight) broadcast(r0) else r0
-      l.join(r, joinCols, if (joinType == "inner") "inner" else "left")
+    def piece(b: Option[Int]): DataFrame = {
+      // null keys never equi-match: scan a null partition only on the
+      // side(s) the join type preserves
+      val lFiles = if (b.isDefined || jt == "left" || jt == "full")
+        leftByBucket.getOrElse(b, Seq.empty) else Seq.empty
+      val rFiles = if (b.isDefined || jt == "right" || jt == "full")
+        rightByBucket.getOrElse(b, Seq.empty) else Seq.empty
+      val l = side(lPlanned, lFiles)
+      val r0 = side(rPlanned, rFiles)
+      val r = if (doBroadcast) broadcast(r0) else r0
+      l.join(r, joinCols, jt)
     }
+    val pieces = buckets.map(piece)
     if (pieces.isEmpty) { // no aligned buckets: empty result, joined schema
-      val l = side(leftPath, Seq.empty, lSchema)
-      val r = side(rightPath, Seq.empty, rSchema)
-      l.join(r, joinCols, if (joinType == "inner") "inner" else "left")
+      side(lPlanned, Seq.empty).join(side(rPlanned, Seq.empty), joinCols, jt)
     } else pieces.reduce(_ unionByName _)
   }
 
-  /** the spec's bucket field over `key`, or loud */
-  private def bucketFieldOf(spark: SparkSession, path: String, key: String,
-      sideName: String): (StructType, IcebergTransforms.PartField) = {
-    val (schema, fields) = IcebergScan.partitionFields(spark, path)
+  /** STORAGE-PARTITIONED AGGREGATION: `groupBy(key, extraGroupCols)`
+    * over one `bucket(N, key)` table with ZERO Exchange. Every value of
+    * `key` lives in exactly one bucket ordinal, so a COMPLETE aggregate
+    * per bucket, unioned, IS the global answer — any group tuple that
+    * contains the bucketed key is wholly inside one bucket. Each bucket
+    * is coalesced to ONE task (narrow, no shuffle): parallelism = the
+    * layout's N, which is the design point of bucketing — the writers
+    * already paid the co-location shuffle once, every aggregate after
+    * reads it back for free. `aggs` are ordinary aggregate Columns
+    * (alias them — the names become the output schema). */
+  def aggregate(spark: SparkSession, path: String, key: String,
+      aggs: Seq[Column], extraGroupCols: Seq[String] = Nil): DataFrame = {
+    require(aggs.nonEmpty, "aggregate needs at least one aggregate column")
+    val (planned, bucket) = planBucketed(spark, path, key, "the")
+    require(bucket.param <= 4096,
+      s"bucket(${bucket.param}) union plan would carry ${bucket.param} " +
+        "branches — use fewer, larger buckets")
+    val byBucket = filesByBucket(planned, bucket.specName)
+    val groupCols = key +: extraGroupCols
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    if (byBucket.isEmpty)
+      return aggOf(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], planned.schema))
+    byBucket.toSeq.sortBy(_._1.getOrElse(-1)).map { case (_, files) =>
+      // coalesce(1): a single-partition child satisfies the aggregate's
+      // clustered-distribution requirement, so Catalyst plans the
+      // HashAggregate COMPLETE with no Exchange (plan-asserted in
+      // BucketJoinSpec) — one task per bucket, reading only its files
+      aggOf(IcebergScan.readPlanned(spark, planned,
+        Some(files.map(_.path).toSet)).coalesce(1))
+    }.reduce(_ unionByName _)
+  }
+
+  /** one-walk planning state + the spec's bucket field over `key`, or loud */
+  private def planBucketed(spark: SparkSession, path: String, key: String,
+      sideName: String): (IcebergScan.PlannedTable, IcebergTransforms.PartField) = {
+    val planned = IcebergScan.planTable(spark, path)
+    val fields = IcebergScan.partitionFieldsOf(planned)
     val pf = fields.find(f => f.transform == "bucket" && f.source.name == key)
       .getOrElse(throw new IllegalArgumentException(
         s"$sideName table $path is not bucket-partitioned on '$key' " +
           s"(spec: ${fields.map(_.transformJson).mkString(", ")}); " +
           "create it with partitionBy = Seq(\"bucket(N, " + key + ")\")"))
-    (schema, pf)
+    (planned, pf)
   }
 
   /** int/long/date/timestamp all hash as 8-byte little-endian longs
@@ -135,13 +223,12 @@ object BucketJoin {
       "to the same buckets — the aligned join would silently drop matches")
   }
 
-  /** live data files grouped by bucket ordinal (None = the NULL-key
-    * partition). Driver-side metadata only — one manifest walk, the
-    * same planning state every scan already builds. */
-  private def filesByBucket(spark: SparkSession, path: String,
-      specName: String): Map[Option[Int], Seq[String]] = {
-    val (_, entries) = IcebergScan.currentEntries(spark, path)
-    val data = entries.filter(_.content == 0)
+  /** live data-file entries grouped by bucket ordinal (None = the
+    * NULL-key partition). Driver-side metadata only — consumes the
+    * one-walk planning state, no further metadata reads. */
+  private def filesByBucket(planned: IcebergScan.PlannedTable,
+      specName: String): Map[Option[Int], Seq[IcebergScan.FileEntry]] = {
+    val data = IcebergScan.dedupedDataEntries(planned)
     data.foreach { e =>
       require(e.partition.contains(specName),
         s"data file ${e.path} carries no '$specName' partition value — " +
@@ -154,6 +241,6 @@ object BucketJoin {
       case other => throw new IllegalArgumentException(
         s"bucket partition value of ${e.path} is ${other.getClass.getName}, " +
           "expected int")
-    }).map { case (b, es) => b -> es.map(_.path) }
+    })
   }
 }

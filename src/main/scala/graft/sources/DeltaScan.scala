@@ -257,17 +257,27 @@ object DeltaScan {
         lit(null).cast(dvType).as("dv"),
         lit(null).cast(StringType).as("st"))
     val w = Window.partitionBy("p").orderBy(col("__v").desc, col("isAdd").desc)
-    val live = addsDf.unionByName(removesDf)
+    val liveDf = addsDf.unionByName(removesDf)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("isAdd") === 1)
       .select("p", "pv", "dv", "st")
-      .collect() // [lint:bounded] one action row per live data FILE (log metadata, not data)
     // planning-size guard: the live-file array is O(file count) DRIVER
     // memory — refuse loudly past the bound ([[PlanningGuard]]) instead
-    // of OOMing mid-plan at 100 TB x small files
-    PlanningGuard.check(tablePath, live.length.toLong,
-      live.iterator.map(r => 96L + r.getString(0).length +
-        (if (r.isNullAt(3)) 0L else r.getString(3).length.toLong)).sum)
+    // of OOMing mid-plan at 100 TB x small files. The guard must fire
+    // BEFORE the array exists, so accumulate through toLocalIterator
+    // (one partition resident at a time) and count AS rows arrive —
+    // an oversized table aborts with at most one partition + the
+    // so-far buffer on the driver, never the whole live set
+    val liveBuf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var planBytes = 0L
+    scala.jdk.CollectionConverters.IteratorHasAsScala(
+      liveDf.toLocalIterator()).asScala.foreach { r => // [lint:bounded] one action row per live data FILE (log metadata, not data); guarded incrementally
+      planBytes += 96L + r.getString(0).length +
+        (if (r.isNullAt(3)) 0L else r.getString(3).length.toLong)
+      PlanningGuard.check(tablePath, liveBuf.length + 1L, planBytes)
+      liveBuf += r
+    }
+    val live = liveBuf.toArray
 
     val allFiles = live.map { r =>
       val rel = percentDecode(r.getString(0))
@@ -291,12 +301,20 @@ object DeltaScan {
     // (stats-less files: foreign writers, stats disabled). Footer stats
     // win when present (they are at least as tight). Skipped on
     // column-mapped tables (pv is keyed by physical names there).
+    // session-TZ-dependent shapes (day/month/year over TimestampType)
+    // may only imply source bounds when the write TZ is known UTC —
+    // graft stamps the property at create; a foreign table written
+    // under another TZ would yield bounds that exclude rows actually
+    // in the file (wrong results, not just weaker pruning)
+    val utcWritten =
+      conf.get(DeltaTransforms.WriteTimezoneKey).contains("UTC")
     val genPfs =
       if (columnMapped) Seq.empty
       else DeltaTransforms.generatedFields(schema)
         .filter(g => partCols.contains(g._1.name))
         .flatMap { case (f2, sql) =>
           DeltaTransforms.parseGenExpr(f2.name, sql, schema) }
+        .filter(pf => utcWritten || DeltaTransforms.tzIndependent(pf))
     def withPartBounds(st0: Option[ParquetStats.FileStats],
         pv: Map[String, String]): Option[ParquetStats.FileStats] =
       if (genPfs.isEmpty) st0

@@ -42,6 +42,26 @@ object DeltaTransforms {
   /** metadata key the Delta protocol defines for generated columns */
   val GenExprKey = "delta.generationExpression"
 
+  /** table property recording the session timezone generation
+    * expressions were evaluated under (graft stamps "UTC" at create).
+    * Pruning on a session-TZ-dependent shape (day/month/year over a
+    * TimestampType source) is only sound when this says UTC — a table
+    * written under another TZ yields partition values whose UTC-derived
+    * source bounds exclude rows actually in the file. */
+  val WriteTimezoneKey = "graft.write.timezone"
+
+  /** can a partition VALUE of this transform soundly imply source
+    * bounds WITHOUT knowing the writer's session timezone?
+    * `hour` computes on unix_seconds (TZ-independent even on
+    * TimestampType); `truncate` is non-temporal; `day/month/year`
+    * go through CAST(ts AS DATE)/year(ts)/month(ts), which evaluate in
+    * the writer's session TZ for TimestampType sources — but are
+    * TZ-independent for DateType / TimestampNTZType sources. */
+  def tzIndependent(pf: PartField): Boolean = pf.transform match {
+    case "day" | "month" | "year" => pf.source.dataType != TimestampType
+    case _ => true // hour (unix_seconds-based), truncate, identity
+  }
+
   /** canonical generation SQL for a transform field */
   def genSql(pf: PartField): String = {
     val src = pf.source.name
@@ -87,13 +107,19 @@ object DeltaTransforms {
   def parseGenExpr(specName: String, sql: String,
       schema: StructType): Option[PartField] = {
     def src(name: String): Option[StructField] = schema.fields.find(_.name == name)
+    // a foreign-written width can exceed Int (substring(s,1,9999999999));
+    // an unparseable width is just an unrecognized shape — fall back to
+    // the documented no-pruning path, never fail the scan
+    def width(w: String): Option[Int] = scala.util.Try(w.toInt).toOption
     sql.trim match {
       case DayRx(s) => src(s).map(PartField(specName, "day", 0, _))
       case MonthRx(s) => src(s).map(PartField(specName, "month", 0, _))
       case YearRx(s) => src(s).map(PartField(specName, "year", 0, _))
       case HourRx(s) => src(s).map(PartField(specName, "hour", 0, _))
-      case TruncStrRx(s, w) => src(s).map(PartField(specName, "truncate", w.toInt, _))
-      case TruncNumRx(s, w) => src(s).map(PartField(specName, "truncate", w.toInt, _))
+      case TruncStrRx(s, w) =>
+        for (f <- src(s); p <- width(w)) yield PartField(specName, "truncate", p, f)
+      case TruncNumRx(s, w) =>
+        for (f <- src(s); p <- width(w)) yield PartField(specName, "truncate", p, f)
       case _ => scala.None
     }
   }

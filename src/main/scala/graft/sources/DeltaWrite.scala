@@ -988,12 +988,23 @@ object DeltaWrite {
       if (version == 0L) {
         val schemaJson = df.schema.json // already a JSON document
         val pcols = partitionBy.map(jstr).mkString(",")
+        // generated-column tables record the timezone their generation
+        // expressions were evaluated under (graft pins UTC in every
+        // entry point): readers may derive source-column bounds from a
+        // partition VALUE only when the write TZ is known — CAST(ts AS
+        // DATE)/year(ts) are session-TZ-dependent on TimestampType, so
+        // a foreign table without this property must not source-prune
+        // those shapes ([[DeltaScan]] checks it)
+        val cfg =
+          if (DeltaTransforms.generatedFields(df.schema).nonEmpty)
+            s"""${jstr(DeltaTransforms.WriteTimezoneKey)}:${jstr("UTC")}"""
+          else ""
         Seq(
           """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
           s"""{"metaData":{"id":${jstr(java.util.UUID.randomUUID().toString)},""" +
             s""""format":{"provider":"parquet","options":{}},""" +
             s""""schemaString":${jstr(schemaJson)},""" +
-            s""""partitionColumns":[$pcols],"configuration":{},"createdTime":$now}}""")
+            s""""partitionColumns":[$pcols],"configuration":{$cfg},"createdTime":$now}}""")
       } else metaOverride.toSeq // an evolved-schema commit re-declares metaData
     val logDir = new Path(root, "_delta_log")
     fs.mkdirs(logDir)

@@ -185,7 +185,56 @@ object IcebergScan {
     val metaDir = new Path(tablePath, "metadata")
     val fs = metaDir.getFileSystem(conf)
     val meta = parseMetadata(fs, metaDir)
+    val snapshots = Option(meta.get("snapshots")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    val wantedId = snapshotAsOf.orElse(
+      Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L))
+    val snapshot = wantedId.map { id =>
+      snapshots.find(_.get("snapshot-id").asLong() == id).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot $id not found in $tablePath (have ${snapshots.map(_.get("snapshot-id").asLong()).mkString(",")})"))
+    }
+    val entries = snapshot.map(s =>
+      snapshotEntries(fs, conf, tablePath, s)).getOrElse(Seq.empty)
+    readEntries(spark, tablePath, meta, entries, onlyDataFiles,
+      keepLineage, skippingFilter)
+  }
 
+  /** one-walk planning state for callers issuing MANY subset reads of
+    * the same current snapshot ([[BucketJoin]]: one read per bucket
+    * ordinal) — N [[readFiltered]] calls would mean N full manifest
+    * walks; plan once, then [[readPlanned]] each subset */
+  private[sources] final case class PlannedTable(
+      tablePath: String, meta: JsonNode, schema: StructType,
+      entries: Seq[FileEntry])
+
+  private[sources] def planTable(spark: SparkSession,
+      tablePath: String): PlannedTable = {
+    val conf = spark.sessionState.newHadoopConf()
+    val metaDir = new Path(tablePath, "metadata")
+    val fs = metaDir.getFileSystem(conf)
+    val meta = parseMetadata(fs, metaDir)
+    val schema = sparkSchema(currentSchema(meta))
+    val snapshots = Option(meta.get("snapshots")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    val wantedId = Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+    val snapshot = wantedId.flatMap(id => snapshots.find(_.get("snapshot-id").asLong() == id))
+    val entries = snapshot.map(s =>
+      snapshotEntries(fs, conf, tablePath, s)).getOrElse(Seq.empty)
+    PlannedTable(tablePath, meta, schema, entries)
+  }
+
+  /** [[readFiltered]] over pre-walked planning state (deletes still
+    * applied; delete files come from the SAME snapshot's entries) */
+  private[sources] def readPlanned(spark: SparkSession, planned: PlannedTable,
+      onlyDataFiles: Option[Set[String]]): DataFrame =
+    readEntries(spark, planned.tablePath, planned.meta, planned.entries,
+      onlyDataFiles, keepLineage = false, skippingFilter = None)
+
+  private def readEntries(spark: SparkSession, tablePath: String,
+      meta: JsonNode, entries: Seq[FileEntry],
+      onlyDataFiles: Option[Set[String]],
+      keepLineage: Boolean,
+      skippingFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
     val schema = sparkSchema(currentSchema(meta))
     val specFields = partitionSpecFields(meta, schema)
     val partSpec = specFields.filter(_.isIdentity).map(pf => pf.specName -> pf.source)
@@ -208,22 +257,13 @@ object IcebergScan {
           .withMetadata(f.metadata).putLong("parquet.field.id", id).build()))
         .getOrElse(f)))
     if (idRead) spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val snapshots = Option(meta.get("snapshots")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
-    val wantedId = snapshotAsOf.orElse(
-      Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L))
-    val snapshot = wantedId.map { id =>
-      snapshots.find(_.get("snapshot-id").asLong() == id).getOrElse(
-        throw new IllegalArgumentException(
-          s"snapshot $id not found in $tablePath (have ${snapshots.map(_.get("snapshot-id").asLong()).mkString(",")})"))
-    }
     val outSchema =
       if (!keepLineage) schema
       else StructType(schema.fields ++ Seq(
         StructField("__raw_file", StringType), StructField("__pos", LongType)))
-    if (snapshot.isEmpty) // empty table: no snapshot yet
+    if (entries.isEmpty) // empty table: no snapshot yet (or nothing live)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
 
-    val entries = snapshotEntries(fs, conf, tablePath, snapshot.get)
     // manifest-carried column bounds prune files BEFORE any scan plans
     // — the Iceberg twin of DeltaScan's stats skipping, same pruner
     val dataFiles = {
@@ -386,17 +426,8 @@ object IcebergScan {
     * AND delete files) with their resolved sequence numbers */
   private[sources] def currentEntries(
       spark: SparkSession, tablePath: String): (StructType, Seq[FileEntry]) = {
-    val conf = spark.sessionState.newHadoopConf()
-    val metaDir = new Path(tablePath, "metadata")
-    val fs = metaDir.getFileSystem(conf)
-    val meta = parseMetadata(fs, metaDir)
-    val schema = sparkSchema(currentSchema(meta))
-    val snapshots = Option(meta.get("snapshots")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
-    val wantedId = Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
-    val snapshot = wantedId.flatMap(id => snapshots.find(_.get("snapshot-id").asLong() == id))
-    val entries = snapshot.map(s =>
-      dedupeEntries(snapshotEntries(fs, conf, tablePath, s))).getOrElse(Seq.empty)
-    (schema, entries)
+    val p = planTable(spark, tablePath)
+    (p.schema, dedupeEntries(p.entries))
   }
 
   /** the snapshot's LIVE manifest entries (status DELETED dropped; null
@@ -407,7 +438,8 @@ object IcebergScan {
     val manifestListPath = snapshot.get("manifest-list").asText()
     val manifests = readAvro(fs, conf, resolvePath(fs, tablePath, manifestListPath)).map { r =>
       val seq = opt(r, "sequence_number").map(_.toString.toLong).getOrElse(0L)
-      (r.get("manifest_path").toString, seq)
+      val specId = opt(r, "partition_spec_id").map(_.toString.toInt).getOrElse(0)
+      (r.get("manifest_path").toString, seq, specId)
     }
     // planning-size counters: the entry list is O(live files) DRIVER
     // memory — count entries and approximate bytes AS THE WALK RUNS so
@@ -415,7 +447,7 @@ object IcebergScan {
     // not as an OOM after materializing everything
     var planFiles = 0L
     var planBytes = 0L
-    manifests.flatMap { case (mp, mSeq) =>
+    manifests.flatMap { case (mp, mSeq, mSpecId) =>
       readAvro(fs, conf, resolvePath(fs, tablePath, mp)).flatMap { entry =>
         val status = entry.get("status").toString.toInt
         if (status == 2) None // DELETED
@@ -456,7 +488,8 @@ object IcebergScan {
             lower = kvMap("lower_bounds")(bytesOf),
             upper = kvMap("upper_bounds")(bytesOf),
             nullCounts = kvMap("null_value_counts")(_.toString.toLong),
-            partition = partition)
+            partition = partition, specId = mSpecId,
+            bytes = opt(df, "file_size_in_bytes").map(_.toString.toLong).getOrElse(0L))
           planFiles += 1
           planBytes += 96L + fe.path.length +
             fe.lower.valuesIterator.map(_.length + 16L).sum +
@@ -647,7 +680,16 @@ object IcebergScan {
       lower: Map[Int, Array[Byte]] = Map.empty,
       upper: Map[Int, Array[Byte]] = Map.empty,
       nullCounts: Map[Int, Long] = Map.empty,
-      partition: Map[String, AnyRef] = Map.empty)
+      partition: Map[String, AnyRef] = Map.empty,
+      // the owning manifest's partition-spec-id: a rewrite must carry a
+      // kept file forward under its ORIGINAL spec (one manifest per
+      // spec), never re-stamp it with the current default — a null
+      // transform value under the new spec means "source is null" to
+      // external partition evaluators, which would silently prune it
+      specId: Int = 0,
+      // manifest-recorded file_size_in_bytes — broadcast-budget
+      // estimation reads it from planning state, no filesystem stat
+      bytes: Long = 0L)
 
   /** bucket spec fields constrained by top-level EQUALITY conjuncts of
     * the pruning filter (`source = lit` / `source IN (...)` → the
@@ -701,6 +743,16 @@ object IcebergScan {
     val schema = sparkSchema(currentSchema(meta))
     (schema, partitionSpecFields(meta, schema))
   }
+
+  /** [[partitionFields]] from already-planned state (no metadata read) */
+  private[sources] def partitionFieldsOf(
+      planned: PlannedTable): Seq[IcebergTransforms.PartField] =
+    partitionSpecFields(planned.meta, planned.schema)
+
+  /** the planned snapshot's live DATA entries, deduped */
+  private[sources] def dedupedDataEntries(
+      planned: PlannedTable): Seq[FileEntry] =
+    dedupeEntries(planned.entries.filter(_.content == 0))
 
   /** the table's default partition spec, parsed into transform-aware
     * fields ([[IcebergTransforms.PartField]] — identity plus the

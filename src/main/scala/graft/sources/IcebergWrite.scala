@@ -276,12 +276,39 @@ object IcebergWrite {
           .getOrElse(if (partCols.isEmpty) defaultSpecId else 1)
       }
     /** parsed spec fields (transform + source) */
-    def partFields: Seq[IcebergTransforms.PartField] = {
+    def partFields: Seq[IcebergTransforms.PartField] =
+      parseSpecFields(specFieldsJson)
+    /** the fields-json of a HISTORICAL spec by id (spec evolution keeps
+      * every spec in `partition-specs`; a rewrite carries each kept
+      * file under its original spec) — loud if the id is unknown */
+    def specFieldsJsonFor(specId: Int): String =
+      if (specId == defaultSpecId) specFieldsJson
+      else if (allSpecsJson.isEmpty) {
+        // classic single-spec tables register only spec 0 (+ the
+        // unpartitioned spec 1 for global deletes)
+        if (specId == emptySpecId) "[]"
+        else throw new IllegalArgumentException(
+          s"manifest references partition-spec-id $specId but the table " +
+            "metadata records no partition-specs history")
+      } else {
+        val specs = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(allSpecsJson)
+        specs.elements().asScala.find(_.get("spec-id").asInt() == specId)
+          .map(_.get("fields").toString)
+          .getOrElse(throw new IllegalArgumentException(
+            s"manifest references partition-spec-id $specId which is not in " +
+              "the table's partition-specs"))
+      }
+    /** [[partFields]] for a historical spec-id */
+    def partFieldsFor(specId: Int): Seq[IcebergTransforms.PartField] =
+      parseSpecFields(specFieldsJsonFor(specId))
+    private def parseSpecFields(
+        fieldsJson: String): Seq[IcebergTransforms.PartField] = {
       val schemaNode = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(schemaJson)
       val nameById = schemaNode.get("fields").elements().asScala
         .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
-      IcebergTransforms.fromSpecJson(specFieldsJson, nameById,
+      IcebergTransforms.fromSpecJson(fieldsJson, nameById,
         IcebergScan.sparkSchema(schemaNode))
     }
     def hasTransforms: Boolean = partFields.exists(!_.isIdentity)
@@ -370,9 +397,11 @@ object IcebergWrite {
           s"live entry ${e.path} carries no partition value for identity " +
             s"spec field '$n' — cannot rewrite a table whose manifests omit " +
             "partition records")
-      else rec.put(n, null) // pre-evolution file under an older spec:
-        // the transform value is UNKNOWN — the pruner never prunes a
-        // null transform value, and the source column is in the file
+      else rec.put(n, null) // defensive: entries are carried under
+        // their ORIGINAL spec (one rewrite manifest per spec-id), so
+        // every spec field should be present in the source record —
+        // including genuinely-null values, which land in the map as
+        // name -> null and take the branch above
     }
     rec
   }
@@ -1046,21 +1075,63 @@ object IcebergWrite {
         partitionRecordOf(dataFileSchema, recordFields, rel)))
       e
     }
-    val keptRecords = kept.map { case (entry, len) =>
-      val e = new GenericData.Record(entrySchema)
+    // kept files group by their ORIGINAL spec-id: one manifest per
+    // spec, each with its own partition-spec-id header and a partition
+    // record typed by THAT spec. Folding a pre-evolution file into a
+    // manifest stamped with the current spec would null-fill the new
+    // transform fields — and a null partition value means "source is
+    // null" to external partition evaluators, which would silently
+    // prune the file (dropping its rows for any interop reader).
+    val keptBySpec = kept.groupBy(_._1.specId)
+    def keptEntryRecord(es: Schema, dfs: Schema,
+        pfs: Seq[IcebergTransforms.PartField],
+        entry: IcebergScan.FileEntry, len: Long): GenericData.Record = {
+      val f = new GenericData.Record(dfs)
+      f.put("content", 0)
+      f.put("file_path", relOf(entry.path))
+      f.put("file_format", "PARQUET")
+      f.put("partition", partitionRecordFromEntry(dfs, pfs, entry))
+      f.put("record_count", entry.rows)
+      f.put("file_size_in_bytes", len)
+      f.put("block_size_in_bytes", DefaultBlockSize)
+      attachStats(f, dfs, conf, new Path(root, relOf(entry.path)), carry.schemaJson)
+      val e = new GenericData.Record(es)
       e.put("status", 0) // EXISTING
       e.put("snapshot_id", version.toLong)
       e.put("sequence_number", entry.seq) // original — delete gating intact
       e.put("file_sequence_number", entry.seq)
-      e.put("data_file", fileRecord(relOf(entry.path), entry.rows, len,
-        partitionRecordFromEntry(dataFileSchema, carry.partFields, entry)))
+      e.put("data_file", f)
       e
+    }
+    val defaultKept = keptBySpec.getOrElse(carry.defaultSpecId, Seq.empty)
+    val keptRecords = defaultKept.map { case (entry, len) =>
+      keptEntryRecord(entrySchema, dataFileSchema, carry.partFields, entry, len)
     }
     writeAvro(fs, new Path(root, manifestRel), entrySchema,
       addedRecords ++ keptRecords,
       manifestMeta(carry.schemaJson, fmtVersion, content = "data",
         specFieldsJson = carry.specFieldsJson, specId = carry.defaultSpecId))
     val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
+    // one EXISTING-only manifest per historical spec still holding files
+    val historicalManifests =
+      (keptBySpec - carry.defaultSpecId).toSeq.sortBy(_._1).map {
+        case (sid, entries) =>
+          val specPartFields = carry.partFieldsFor(sid)
+          val es = manifestSchemaFor(specPartFields.map(_.recordField))
+          val dfs = es.getField("data_file").schema()
+          val rel = s"metadata/manifest-$version-spec$sid-${pathNonce()}.avro"
+          writeAvro(fs, new Path(root, rel), es,
+            entries.map { case (entry, len) =>
+              keptEntryRecord(es, dfs, specPartFields, entry, len) },
+            manifestMeta(carry.schemaJson, fmtVersion, content = "data",
+              specFieldsJson = carry.specFieldsJsonFor(sid), specId = sid))
+          ManifestRef(rel, fs.getFileStatus(new Path(root, rel)).getLen,
+            sid, content = 0, seq = version.toLong,
+            minSeq = entries.map(_._1.seq).min, snapshotId = version.toLong,
+            addedFiles = 0, existingFiles = entries.size, deletedFiles = 0,
+            addedRows = 0L, existingRows = entries.map(_._1.rows).sum,
+            deletedRows = 0L)
+      }
 
     // manifest list: the rewritten data manifest + delete manifests
     // carried forward (previous DATA manifests are replaced). FOLDING:
@@ -1079,11 +1150,11 @@ object IcebergWrite {
       (ManifestRef(manifestRel, manifestLen, carry.defaultSpecId,
         content = 0, seq = version.toLong, minSeq = minSeq,
         snapshotId = version.toLong,
-        addedFiles = addedRecords.size, existingFiles = kept.size,
+        addedFiles = addedRecords.size, existingFiles = defaultKept.size,
         deletedFiles = 0,
         addedRows = addedWithRows.map(_._2).sum,
-        existingRows = kept.map(_._1.rows).sum, deletedRows = 0L) +:
-        prevDeleteManifests)
+        existingRows = defaultKept.map(_._1.rows).sum, deletedRows = 0L) +:
+        (historicalManifests ++ prevDeleteManifests))
         .map(manifestRefRecord),
       manifestListMeta(version, fmtVersion))
 

@@ -125,4 +125,91 @@ class BucketJoinSpec extends SparkSpec {
       .select("k", "lv", "rv").as[(Long, String, String)].collect().sorted
     assert(got.toSeq == expect.toSeq)
   }
+
+  private def rowKey(x: org.apache.spark.sql.Row): (Long, String, String) =
+    (if (x.isNullAt(0)) -1L else x.getLong(0),
+      Option(x.getString(1)).getOrElse(""), Option(x.getString(2)).getOrElse(""))
+
+  test("bucket-aligned right join preserves unmatched and null-key dim rows") {
+    val (l, r) = mkTables(4)
+    val got = BucketJoin.join(spark, l, r, "k", joinType = "right")
+      .select("k", "lv", "rv").collect().map(rowKey).sorted
+    val expect = IcebergScan.read(spark, l)
+      .join(IcebergScan.read(spark, r), Seq("k"), "right")
+      .select("k", "lv", "rv").collect().map(rowKey).sorted
+    assert(got.nonEmpty && got.toSeq == expect.toSeq)
+    // the right null-key row survives with null left columns
+    assert(got.count(x => x._1 == -1L && x._2 == "") == 1)
+  }
+
+  test("bucket-aligned full join preserves both sides' unmatched and null-key rows") {
+    val (l, r) = mkTables(4)
+    val got = BucketJoin.join(spark, l, r, "k", joinType = "full")
+      .select("k", "lv", "rv").collect().map(rowKey).sorted
+    val expect = IcebergScan.read(spark, l)
+      .join(IcebergScan.read(spark, r), Seq("k"), "full")
+      .select("k", "lv", "rv").collect().map(rowKey).sorted
+    assert(got.nonEmpty && got.toSeq == expect.toSeq)
+    // 2 left null-key rows + 1 right null-key row, none matching
+    assert(got.count(_._1 == -1L) == 3)
+  }
+
+  test("broadcast budget: an over-budget right side auto-falls-back to shuffled joins") {
+    val (l, r) = mkTables(4)
+    val before = BucketJoin.maxBroadcastTotalBytes
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      BucketJoin.maxBroadcastTotalBytes = 1L // everything is over budget
+      // silence Catalyst's own size-based broadcast so the plan shows
+      // whether the verb FORCED one (at scale the buckets exceed the
+      // auto threshold anyway — this models that)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = BucketJoin.join(spark, l, r, "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"over-budget join must not broadcast:\n$plan")
+      val got = joined.select("k", "lv", "rv")
+        .as[(Long, String, String)].collect().sorted
+      val expect = IcebergScan.read(spark, l)
+        .join(IcebergScan.read(spark, r), Seq("k"))
+        .select("k", "lv", "rv").as[(Long, String, String)].collect().sorted
+      assert(got.nonEmpty && got.toSeq == expect.toSeq)
+    } finally {
+      BucketJoin.maxBroadcastTotalBytes = before
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+    }
+  }
+
+  test("storage-partitioned aggregation: complete per-bucket aggregates, zero Exchange") {
+    val (l, _) = mkTables(8)
+    val agg = BucketJoin.aggregate(spark, l, "k",
+      Seq(count(lit(1)).as("n"), max(col("lv")).as("mx")))
+    val expect = IcebergScan.read(spark, l).groupBy("k")
+      .agg(count(lit(1)).as("n"), max(col("lv")).as("mx"))
+      .collect().map(x => (if (x.isNullAt(0)) -1L else x.getLong(0),
+        x.getLong(1), x.getString(2))).sorted
+    val got = agg.collect().map(x => (if (x.isNullAt(0)) -1L else x.getLong(0),
+      x.getLong(1), x.getString(2))).sorted
+    assert(got.nonEmpty && got.toSeq == expect.toSeq)
+    // null keys form exactly one global group (they live in one bucket)
+    assert(got.count(_._1 == -1L) == 1)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"storage-partitioned aggregation must not shuffle:\n$plan")
+  }
+
+  test("storage-partitioned aggregation with extra group columns and deletes applied") {
+    val base = java.nio.file.Files.createTempDirectory("graft_bktagg").toString
+    val df = (1 to 200).map(i => (i.toLong % 10, s"g${i % 3}", i.toLong))
+      .toDF("k", "grp", "v")
+    IcebergWrite.create(spark, df, s"$base/t", partitionBy = Seq("bucket(4, k)"))
+    IcebergWrite.deleteWhere(spark, s"$base/t", col("v") > 150L)
+    val agg = BucketJoin.aggregate(spark, s"$base/t", "k",
+      Seq(sum(col("v")).as("s")), extraGroupCols = Seq("grp"))
+    val expect = IcebergScan.read(spark, s"$base/t").groupBy("k", "grp")
+      .agg(sum(col("v")).as("s"))
+      .as[(Long, String, Long)].collect().sorted
+    val got = agg.as[(Long, String, Long)].collect().sorted
+    assert(got.nonEmpty && got.toSeq == expect.toSeq)
+  }
 }

@@ -104,6 +104,74 @@ class DeltaTransformSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("foreign tables without the write-timezone property never prune TZ-dependent shapes") {
+    val dir = mkTable()
+    // graft's create stamped the property (its generation expressions
+    // ran under the pinned-UTC session)
+    val logFile = java.nio.file.Paths.get(dir, "_delta_log",
+      "00000000000000000000.json")
+    val log0 = new String(java.nio.file.Files.readAllBytes(logFile), "UTF-8")
+    assert(log0.contains(DeltaTransforms.WriteTimezoneKey),
+      "create must record the generation timezone")
+
+    def dayCond = col("ts") >= lit(ts("2021-03-05 00:00:00")) &&
+      col("ts") < lit(ts("2021-03-06 00:00:00"))
+    val all = DeltaScan.read(spark, dir).inputFiles.toSet
+    assert(DeltaScan.read(spark, dir, skippingFilter = Some(dayCond))
+      .inputFiles.toSet.size < all.size, "UTC-stamped table prunes")
+
+    // simulate a FOREIGN writer: strip footer stats AND the property —
+    // CAST(ts AS DATE) under an unknown session TZ yields partition
+    // values whose UTC-derived bounds could exclude rows actually in
+    // the file, so day/month/year over TimestampType must NOT prune
+    val noStats = log0
+      .replaceAll(""","stats":"(\\.|[^"\\])*"""", "")
+      .replace(s""""${DeltaTransforms.WriteTimezoneKey}":"UTC"""", "")
+    assert(!noStats.contains("\"stats\"") &&
+      !noStats.contains(DeltaTransforms.WriteTimezoneKey))
+    java.nio.file.Files.write(logFile, noStats.getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir,
+      "_delta_log", ".00000000000000000000.json.crc"))
+
+    val keptDay = DeltaScan.read(spark, dir,
+      skippingFilter = Some(dayCond)).inputFiles.toSet
+    assert(keptDay == all,
+      s"day(TimestampType) must not prune on unknown write TZ: kept ${keptDay.size}/${all.size}")
+    // ... but the read stays correct (filter still applies row-level)
+    assert(DeltaScan.read(spark, dir, skippingFilter = Some(dayCond))
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // TZ-independent shapes still prune on foreign tables: truncate
+    val ga = DeltaScan.read(spark, dir,
+      skippingFilter = Some(col("cat") === "gamma")).inputFiles.toSet
+    assert(ga.nonEmpty && ga.size < all.size && ga.forall(_.contains("cat_trunc=ga")),
+      s"truncate must keep pruning without the TZ property: $ga")
+  }
+
+  test("parseGenExpr: oversized foreign truncate widths degrade to no-pruning, never fail the scan") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType)))
+    // a valid foreign table may carry widths past Int.MaxValue — the
+    // documented fallback is derive-without-pruning, not a crash
+    assert(DeltaTransforms.parseGenExpr("p", "substring(s, 1, 9999999999)", schema).isEmpty)
+    assert(DeltaTransforms.parseGenExpr("p", "(n - pmod(n, 99999999999))", schema).isEmpty)
+    // sane widths still parse
+    assert(DeltaTransforms.parseGenExpr("p", "substring(s, 1, 2)", schema)
+      .exists(pf => pf.transform == "truncate" && pf.param == 2))
+    // TZ-independence classification: hour computes on unix_seconds
+    import graft.sources.IcebergTransforms.PartField
+    val tsF = org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.TimestampType)
+    val ntzF = org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.TimestampNTZType)
+    assert(!DeltaTransforms.tzIndependent(PartField("d", "day", 0, tsF)))
+    assert(!DeltaTransforms.tzIndependent(PartField("m", "month", 0, tsF)))
+    assert(DeltaTransforms.tzIndependent(PartField("h", "hour", 0, tsF)))
+    assert(DeltaTransforms.tzIndependent(PartField("d", "day", 0, ntzF)))
+  }
+
   test("DML composes on the generated layout: merge migrates dirs, update refuses the source, delete/compact fold") {
     val dir = mkTable()
     // updates to unrelated columns are fine

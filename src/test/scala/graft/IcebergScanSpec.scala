@@ -779,6 +779,92 @@ class IcebergScanSpec extends SparkSpec {
       "pruned read after rename must not touch ruled-out (deleted) files")
   }
 
+  test("rewrites carry kept pre-evolution files under their ORIGINAL spec — one manifest per spec-id") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import org.apache.spark.sql.functions.{col, concat, lit, to_timestamp}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_spec_keep").toString + "/t"
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // spec 0 = day(ts): ids 1-8 over two days
+    IcebergWrite.create(spark,
+      (1L to 8L).map(i => (i, ts(f"2021-03-${i % 2 + 3}%02d 10:00:00"), s"v$i"))
+        .toDF("id", "ts", "v"),
+      dir, partitionBy = Seq("day(ts)"))
+    // evolve to bucket(4, id); ids 9-16 land under the new spec
+    IcebergWrite.updatePartitionSpec(spark, dir, Seq("bucket(4, id)"))
+    IcebergWrite.append(spark,
+      (9L to 16L).map(i => (i, ts("2021-03-05 10:00:00"), s"v$i"))
+        .toDF("id", "ts", "v"), dir)
+    // CoW rewrite whose victims are only NEW-spec files: the old
+    // day-spec files are KEPT entries of the rewrite manifest(s)
+    val n = IcebergWrite.updateWhere(spark, dir, col("id") >= 9L,
+      Seq("v" -> concat(lit("U:"), col("v"))))
+    assert(n == 8L)
+    val got = IcebergScan.read(spark, dir).select("id", "v")
+      .as[(Long, String)].collect().toMap
+    assert(got.keySet == (1L to 16L).toSet)
+    assert((9L to 16L).forall(i => got(i) == s"U:v$i"))
+    assert((1L to 8L).forall(i => got(i) == s"v$i"))
+
+    def readAvroFile(p: String) = {
+      val in = new org.apache.avro.mapred.FsInput(
+        new org.apache.hadoop.fs.Path(p), spark.sparkContext.hadoopConfiguration)
+      org.apache.avro.file.DataFileReader.openReader(
+        in, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+        .asInstanceOf[org.apache.avro.file.DataFileReader[org.apache.avro.generic.GenericRecord]]
+    }
+    val hint = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "metadata", "version-hint.text")), "UTF-8").trim
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "metadata", s"v$hint.metadata.json")), "UTF-8"))
+    val curId = meta.get("current-snapshot-id").asLong()
+    val listPath = meta.get("snapshots").elements().asScala
+      .find(_.get("snapshot-id").asLong() == curId).get.get("manifest-list").asText()
+    val list = readAvroFile(if (listPath.startsWith("/")) listPath else s"$dir/$listPath")
+    val listRows = try {
+      val b = Seq.newBuilder[org.apache.avro.generic.GenericRecord]
+      while (list.hasNext) b += list.next(); b.result()
+    } finally list.close()
+    val dataManifests = listRows.filter(_.get("content").toString.toInt == 0)
+    val bySpec = dataManifests.map(r =>
+      r.get("partition_spec_id").toString.toInt -> r.get("manifest_path").toString)
+    // kept old-spec files must NOT be folded under the current default
+    // spec (null transform values read as "source is null" to external
+    // partition evaluators → silent pruning): one manifest per spec-id
+    assert(bySpec.map(_._1).distinct.size >= 2,
+      s"expected manifests for BOTH specs, got spec-ids ${bySpec.map(_._1)}")
+    bySpec.foreach { case (sid, mp) =>
+      val m = readAvroFile(if (mp.startsWith("/")) mp else s"$dir/$mp")
+      try {
+        assert(new String(m.getMeta("partition-spec-id"), "UTF-8").toInt == sid,
+          s"manifest header spec-id must match the list row for $mp")
+        val partSchema = m.getSchema.getField("data_file").schema()
+          .getField("partition").schema()
+        val fieldNames = partSchema.getFields.asScala.map(_.name()).toSet
+        val expect = if (sid == 0) Set("ts_day") else Set("id_bucket")
+        assert(fieldNames == expect,
+          s"spec-$sid manifest must carry exactly that spec's fields, got $fieldNames")
+        while (m.hasNext) {
+          val e = m.next()
+          val part = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+            .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          fieldNames.foreach(f => assert(part.get(f) != null,
+            s"partition value '$f' must be carried, not null-filled (spec $sid)"))
+        }
+      } finally m.close()
+    }
+
+    // the kept files' day values survived the rewrite → a day filter
+    // still prunes them (pre-fix they were null-filled and unprunable
+    // by external readers / wrongly prunable by spec-conformant ones)
+    val day3 = col("ts") >= to_timestamp(lit("2021-03-03 00:00:00")) &&
+      col("ts") < to_timestamp(lit("2021-03-04 00:00:00"))
+    val planned = IcebergScan.read(spark, dir, skippingFilter = Some(day3)).inputFiles
+    assert(planned.filter(_.contains("ts_day=")).forall(_.contains("ts_day=2021-03-03")),
+      s"kept old-spec files must still day-prune: ${planned.toSeq}")
+  }
+
   test("v2 interop surface: field-ids, manifest metadata, v2 counts, reserved delete-column ids") {
     import graft.sources.{IcebergScan, IcebergWrite}
     import org.apache.spark.sql.functions.col
