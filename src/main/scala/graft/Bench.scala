@@ -124,7 +124,11 @@ object Bench {
     // writes + per-bucket broadcast joins, zero fact-side exchange) and
     // the Delta generated-column layout (transform write + source-
     // predicate DELETE + source-pruned reads)
-    "q_bucket_join", "q_delta_transform")
+    "q_bucket_join", "q_delta_transform",
+    // round 10: storage-partitioned aggregation (zero-Exchange
+    // per-bucket complete aggregates) and the spec-evolution
+    // mixed-layout read (pre/post-evolution manifests + pruned re-read)
+    "q_bucket_agg", "q_iceberg_spec_evolve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -212,6 +216,25 @@ object Bench {
     }
     val total = results.map(_._2).filter(_ >= 0).sum
 
+    // FULL-EVALUATION secondary column (round 10): the count() action
+    // under-prices pure projections — parquet count-star short-circuits
+    // and Catalyst prunes unreferenced projections (documented since
+    // round 5, BASELINE.md). ONE extra pass per query through the noop
+    // sink (every output column materialized, full expression
+    // evaluation, no I/O priced in) recorded ONLY in BENCH_DETAIL.json;
+    // the count() column stays the primary for cross-round
+    // comparability. Single pass, not min-of-3: a secondary diagnostic
+    // column, kept cheap.
+    val fullTimes = selected.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    }
+
     // FULL per-query record (all queries, 3 decimals) goes to
     // BENCH_DETAIL.json in the repo root — the metric LINE below must
     // fit the driver's ~2KB stdout tail window together with sbt's
@@ -229,7 +252,9 @@ object Bench {
     try {
       val detail = new java.io.File("BENCH_DETAIL.json").getAbsoluteFile
       val w = new java.io.PrintWriter(detail, "UTF-8")
-      try w.println(line(results, 0)) finally w.close()
+      val detailLine =
+        line(results, 0).stripSuffix("}") + s""","queries_full":${fmt(fullTimes)}}"""
+      try w.println(detailLine) finally w.close()
     } catch { case _: Throwable => () } // detail record is best-effort
     val maxLine = 1800 // 2000-char tail minus sbt's trailer, with margin
     var kept = results

@@ -33,7 +33,11 @@ object BenchSf1 {
     "q_ingest_neardup", "q_pagerank", "q_profile_sketch",
     "q_iceberg_part_dml", "q_harmonic", "q_pipeline_clean",
     "q_pipeline_prepare", "q_dedup_semantic", "q_simjoin", "q_delta_cdf",
-    "q_iceberg_transform", "q_bucket_join", "q_delta_transform")
+    "q_iceberg_transform", "q_bucket_join", "q_delta_transform",
+    // round 10: spec evolution proven one order up (r9 proved it only
+    // at gate scale) — the mixed-layout read must keep pruning and
+    // stay linear when the pre/post-evolution file sets are 10x
+    "q_iceberg_spec_evolve")
 
   private val Copies = 10
 

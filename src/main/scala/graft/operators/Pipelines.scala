@@ -181,9 +181,12 @@ object Pipelines {
       bands: Int = 4,
       materialize: Dedup.Materialize = Dedup.Materialize.Cache,
       localEdgeLimit: Long = 2000000L,
-      repPolicy: RepPolicy = RepPolicy.MinId): DataFrame = {
+      repPolicy: RepPolicy = RepPolicy.MinId,
+      saltBuckets: Int = 0, // 0 = auto-detect band skew (ScaleOps.autoSaltBuckets)
+      autoSaltThreshold: Long = 4096L): DataFrame = {
     val pairs = Similarity.embeddingNearDupPairs(
-      docs, idCol, embCol, threshold, lsh, bands, materialize)
+      docs, idCol, embCol, threshold, lsh, bands, materialize,
+      saltBuckets = saltBuckets, autoSaltThreshold = autoSaltThreshold)
     val clusters = Dedup.dupClustersClosure(pairs, localEdgeLimit = localEdgeLimit)
     pairs.unpersist()
     val dropped = repPolicy match {

@@ -382,7 +382,10 @@ object Similarity {
       threshold: Double,
       lsh: RandomHyperplaneLsh,
       bands: Int = 1,
-      materialize: Dedup.Materialize = Dedup.Materialize.Cache): DataFrame = {
+      materialize: Dedup.Materialize = Dedup.Materialize.Cache,
+      saltBuckets: Int = 1,
+      autoSaltThreshold: Long = 4096L): DataFrame = {
+    require(saltBuckets >= 0, s"saltBuckets must be >= 0 (0 = auto), got $saltBuckets")
     // Banded sign-LSH (same pigeonhole shape as MinHash banding): split
     // the hyperplanes into `bands` groups; two docs become a candidate
     // pair when ALL sign bits of at least one band agree. More bands →
@@ -405,10 +408,26 @@ object Similarity {
     // candidate ids only through the band self-join; pairs distinct
     // BEFORE re-fetching embedding payloads (a pair colliding in k bands
     // would otherwise pay k cosine evaluations and drag the vectors
-    // through the wide stage)
+    // through the wide stage). saltBuckets splits hot (band_id, bkey)
+    // keys — sign-LSH concentrates near-zero embeddings and template
+    // documents onto few buckets the same way MinHash bands do — across
+    // that many tasks (0 = histogram-probe the banded frame first; the
+    // probe reads the materialized index, not the raw corpus).
+    val resolvedSalt =
+      if (saltBuckets == 0)
+        ScaleOps.autoSaltBucketsKeys(
+          banded, Seq("band_id", "bkey"), autoSaltThreshold)
+      else saltBuckets
     val l = banded.select(col("band_id"), col("bkey"), col("id").as("id_a"))
     val r = banded.select(col("band_id"), col("bkey"), col("id").as("id_b"))
-    val cand = l.join(r, Seq("band_id", "bkey"))
+    val joined =
+      if (resolvedSalt <= 1) l.join(r, Seq("band_id", "bkey"))
+      else {
+        val (sl, sr, keys) = ScaleOps.saltedForJoinKeys(
+          l, r, Seq("band_id", "bkey"), resolvedSalt)
+        sl.join(sr, keys)
+      }
+    val cand = joined
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()

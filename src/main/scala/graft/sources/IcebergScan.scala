@@ -148,14 +148,16 @@ object IcebergScan {
           case other => s"unknown($other)"
         },
         e.rows, e.seq,
-        e.partition.map { case (k, v) => k -> (if (v == null) null else v.toString) })
+        e.partition.map { case (k, v) => k -> (if (v == null) null else v.toString) },
+        e.sortOrderId.map(Integer.valueOf).orNull)
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("file_path", StringType, nullable = false),
       StructField("content", StringType, nullable = false),
       StructField("record_count", LongType, nullable = false),
       StructField("sequence_number", LongType, nullable = false),
-      StructField("partition", MapType(StringType, StringType)))))
+      StructField("partition", MapType(StringType, StringType)),
+      StructField("sort_order_id", IntegerType, nullable = true))))
   }
 
   /** [[read]] restricted to a subset of data-file paths (all applicable
@@ -489,7 +491,8 @@ object IcebergScan {
             upper = kvMap("upper_bounds")(bytesOf),
             nullCounts = kvMap("null_value_counts")(_.toString.toLong),
             partition = partition, specId = mSpecId,
-            bytes = opt(df, "file_size_in_bytes").map(_.toString.toLong).getOrElse(0L))
+            bytes = opt(df, "file_size_in_bytes").map(_.toString.toLong).getOrElse(0L),
+            sortOrderId = opt(df, "sort_order_id").map(_.toString.toInt))
           planFiles += 1
           planBytes += 96L + fe.path.length +
             fe.lower.valuesIterator.map(_.length + 16L).sum +
@@ -689,7 +692,12 @@ object IcebergScan {
       specId: Int = 0,
       // manifest-recorded file_size_in_bytes — broadcast-budget
       // estimation reads it from planning state, no filesystem stat
-      bytes: Long = 0L)
+      bytes: Long = 0L,
+      // data_file.sort_order_id (field 140): the table sort order the
+      // file's rows are sorted by; None/null = unsorted. Carried
+      // verbatim when a rewrite keeps the file (the rows don't move,
+      // their ordering claim must not change either)
+      sortOrderId: Option[Int] = scala.None)
 
   /** bucket spec fields constrained by top-level EQUALITY conjuncts of
     * the pruning filter (`source = lit` / `source IN (...)` → the

@@ -260,7 +260,36 @@ object IcebergWrite {
   private final case class SchemaCarry(
       schemaJson: String, schemasArray: String, currentSchemaId: Int,
       lastColumnId: Int, tableUuid: String, specFieldsJson: String = "[]",
-      allSpecsJson: String = "", defaultSpecId: Int = 0) {
+      allSpecsJson: String = "", defaultSpecId: Int = 0,
+      // spec §Sort Orders: the table's registered sort orders (the full
+      // array, carried VERBATIM across commits — an order set by an
+      // external writer must survive a graft DML) and the default id.
+      // "" = nothing recorded yet (emit the unsorted order 0)
+      sortOrdersJson: String = "", defaultSortOrderId: Int = 0) {
+    /** one field of the default sort order this writer can HONOR:
+      * (column name, ascending, nulls-first) — identity transforms over
+      * current primitive columns only */
+    def defaultSortFields: Seq[(String, Boolean, Boolean)] =
+      if (defaultSortOrderId == 0 || sortOrdersJson.isEmpty) Seq.empty
+      else {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val nameById = mapper.readTree(schemaJson).get("fields").elements().asScala
+          .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+        val order = mapper.readTree(sortOrdersJson).elements().asScala
+          .find(_.get("order-id").asInt() == defaultSortOrderId)
+        val fields = order.toSeq.flatMap(_.get("fields").elements().asScala).map { f =>
+          val transform = f.get("transform").asText()
+          val name = nameById.get(f.get("source-id").asInt())
+          val asc = f.get("direction").asText() == "asc"
+          val nf = f.get("null-order").asText() == "nulls-first"
+          (transform, name, asc, nf)
+        }
+        // honor only an order made ENTIRELY of identity fields over
+        // known columns — sorting by a subset would stamp a false claim
+        if (fields.forall { case (t, n, _, _) => t == "identity" && n.isDefined })
+          fields.map { case (_, n, asc, nf) => (n.get, asc, nf) }
+        else Seq.empty
+      }
     /** partition spec field names, in spec order */
     def partCols: Seq[String] = IcebergWrite.specColNames(specFieldsJson)
     /** the spec-id of the registered UNPARTITIONED spec (global
@@ -356,7 +385,10 @@ object IcebergWrite {
         .getOrElse(java.util.UUID.randomUUID().toString),
       specFields,
       allSpecsJson = Option(node.get("partition-specs")).map(_.toString).getOrElse(""),
-      defaultSpecId = defaultId)
+      defaultSpecId = defaultId,
+      sortOrdersJson = Option(node.get("sort-orders")).map(_.toString).getOrElse(""),
+      defaultSortOrderId =
+        Option(node.get("default-sort-order-id")).map(_.asInt()).getOrElse(0))
   }
 
   /** spec `required` (non-nullable) fields must hold no NULL in every
@@ -442,6 +474,13 @@ object IcebergWrite {
 
     val dataDir = new Path(root, "data")
     val pre = listParquet(fs, dataDir).toSet
+    // the physical sort applied below follows the carry READ AT WRITE
+    // TIME — an OCC retry must stamp this order's id even if a racing
+    // setSortOrder changed the default (order ids are never reused, so
+    // the id stays resolvable in the winner's metadata)
+    val sortFields = carry.defaultSortFields
+    val stampSortId =
+      if (sortFields.isEmpty) scala.None else Some(carry.defaultSortOrderId)
     withFieldIdWrites(spark) {
       // transform fields derive their hive value; partitionBy drops the
       // DERIVED column from the payload while the SOURCE column stays —
@@ -462,7 +501,17 @@ object IcebergWrite {
       val clustered =
         if (partCols.isEmpty) derived
         else derived.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
-      val writer = clustered.write.mode("append")
+      // HONOR the table's default sort order: each data file's rows
+      // sorted by it (prefixing the partition columns keeps the
+      // FileFormatWriter's required ordering satisfied, so it adds no
+      // sort of its own on top). The manifest entries then stamp
+      // sort_order_id — the claim external engines read.
+      val sorted =
+        if (sortFields.isEmpty) clustered
+        else clustered.sortWithinPartitions(
+          (partCols.map(org.apache.spark.sql.functions.col) ++
+            sortOrderExprs(sortFields)): _*)
+      val writer = sorted.write.mode("append")
       (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
         .parquet(dataDir.toString)
     }
@@ -504,6 +553,7 @@ object IcebergWrite {
           file.put("record_count", rows)
           file.put("file_size_in_bytes", len)
           file.put("block_size_in_bytes", DefaultBlockSize)
+          stampSortId.foreach(id => file.put("sort_order_id", Integer.valueOf(id)))
           attachStats(file, dataFileSchema, conf, new Path(root, rel), carry.schemaJson)
           val entry = new GenericData.Record(entrySchema)
           entry.put("status", 1) // ADDED
@@ -804,9 +854,12 @@ object IcebergWrite {
       node.set[com.fasterxml.jackson.databind.JsonNode](
         "schemas", mapper.readTree(carry.schemasArray))
       node.put("current-schema-id", carry.currentSchemaId)
-      node.set[com.fasterxml.jackson.databind.JsonNode](
-        "sort-orders", mapper.readTree("""[{"order-id":0,"fields":[]}]"""))
-      node.put("default-sort-order-id", 0)
+      // a v1 table MAY already record sort-orders (optional in v1) —
+      // the upgrade must not clobber them
+      if (!node.has("sort-orders"))
+        node.set[com.fasterxml.jackson.databind.JsonNode](
+          "sort-orders", mapper.readTree("""[{"order-id":0,"fields":[]}]"""))
+      if (!node.has("default-sort-order-id")) node.put("default-sort-order-id", 0)
     }
     node.set[com.fasterxml.jackson.databind.JsonNode](
       "partition-specs", mapper.readTree(specsJson))
@@ -824,6 +877,137 @@ object IcebergWrite {
             "another writer committed this version; re-read the table and retry", e)
     }
     writeUtf8(fs, new Path(metaDir, "version-hint.text"), version.toString)
+  }
+
+  /** Register a table SORT ORDER (spec §Sort Orders) and make it the
+    * default — the metadata external engines read to know how data
+    * files are clustered (a sort-merge join or range scan can skip the
+    * sort when the files already claim the order). Metadata-only
+    * commit: nothing moves; SUBSEQUENT writes honor the order
+    * ([[append]] sorts each file's rows by it and stamps
+    * `sort_order_id` on the manifest entries; [[compact]] rewrites into
+    * the order). Files written before the order keep `sort_order_id`
+    * null — their rows genuinely aren't sorted.
+    *
+    * `orderBy` entries: `"col"`, `"col desc"`, `"col asc nulls-last"`
+    * (direction defaults to asc; null order defaults to the spec's
+    * convention — nulls-first for asc, nulls-last for desc). Identity
+    * transforms over current primitive columns only. `Nil` resets the
+    * default to the unsorted order 0 (registered orders stay — order
+    * ids are never reused).
+    *
+    * An existing order with identical fields is REUSED (its id becomes
+    * the default) — repeated calls are idempotent. v1 tables upgrade to
+    * format-version 2, same shape as [[updatePartitionSpec]]. */
+  def setSortOrder(spark: SparkSession, tablePath: String,
+      orderBy: Seq[String]): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    val prev = readUtf8(fs, hint).trim.toInt
+    val version = prev + 1
+    val root = fs.makeQualified(new Path(tablePath))
+    val metaDir = new Path(root, "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val carry = carryFromPrev(fs, metaDir, prev)
+
+    val idByName = mapper.readTree(carry.schemaJson).get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    val parsed = orderBy.map { raw =>
+      val toks = raw.trim.split("\\s+").toSeq
+      val name = toks.head
+      val mods = toks.tail.map(_.toLowerCase.replace("_", "-"))
+      val bad = mods.filterNot(Set("asc", "desc", "nulls-first", "nulls-last"))
+      require(bad.isEmpty,
+        s"sort field '$raw': unknown modifier(s) ${bad.mkString(", ")} — " +
+          "expected [asc|desc] [nulls-first|nulls-last]")
+      require(!(mods.contains("asc") && mods.contains("desc")),
+        s"sort field '$raw' declares both asc and desc")
+      val sourceId = idByName.getOrElse(name, throw new IllegalArgumentException(
+        s"sort column '$name' is not a column of the table " +
+          s"(columns: ${idByName.keys.toSeq.sorted.mkString(", ")})"))
+      val asc = !mods.contains("desc")
+      val nullsFirst =
+        if (mods.contains("nulls-first")) true
+        else if (mods.contains("nulls-last")) false
+        else asc // the spec convention: asc → nulls-first, desc → nulls-last
+      s"""{"transform":"identity","source-id":$sourceId,""" +
+        s""""direction":"${if (asc) "asc" else "desc"}",""" +
+        s""""null-order":"${if (nullsFirst) "nulls-first" else "nulls-last"}"}"""
+    }
+    require(parsed.size == parsed.distinct.size,
+      s"duplicate sort fields in ${orderBy.mkString(", ")}")
+    val fieldsJson = parsed.mkString("[", ",", "]")
+
+    val existing: Seq[(Int, String)] =
+      (if (carry.sortOrdersJson.nonEmpty)
+        mapper.readTree(carry.sortOrdersJson).elements().asScala
+          .map(o => o.get("order-id").asInt() -> o.get("fields").toString).toSeq
+      else Seq(0 -> "[]")).sortBy(_._1)
+    require(existing.exists(_._1 == 0) || orderBy.nonEmpty,
+      "sort order 0 (unsorted) is not registered") // defensive; 0 always present below
+    val (allOrders, defaultId) = existing.find(_._2 == fieldsJson) match {
+      case Some((id, _)) => (existing, id) // identical order → idempotent
+      case scala.None if orderBy.isEmpty => (existing, 0)
+      case scala.None =>
+        val newId = existing.map(_._1).max + 1
+        (existing :+ (newId -> fieldsJson), newId)
+    }
+    val ordersJson = allOrders
+      .map { case (id, fj) => s"""{"order-id":$id,"fields":$fj}""" }
+      .mkString("[", ",", "]")
+
+    // v1 tables upgrade to format-version 2 (same upgrade shape
+    // updatePartitionSpec performs)
+    val fmtV = Option(node.get("format-version")).map(_.asInt()).getOrElse(1)
+    if (fmtV < 2) {
+      node.put("format-version", 2)
+      node.put("last-sequence-number", prev)
+      node.set[com.fasterxml.jackson.databind.JsonNode](
+        "schemas", mapper.readTree(carry.schemasArray))
+      node.put("current-schema-id", carry.currentSchemaId)
+      if (!node.has("partition-specs")) {
+        val nSpec = specColNames(carry.specFieldsJson).size
+        val specsJson =
+          if (nSpec == 0) s"""[{"spec-id":0,"fields":${carry.specFieldsJson}}]"""
+          else s"""[{"spec-id":0,"fields":${carry.specFieldsJson}},{"spec-id":1,"fields":[]}]"""
+        node.set[com.fasterxml.jackson.databind.JsonNode](
+          "partition-specs", mapper.readTree(specsJson))
+        node.put("default-spec-id", 0)
+        val ids = mapper.readTree(specsJson).elements().asScala
+          .flatMap(_.get("fields").elements().asScala)
+          .map(_.get("field-id").asInt()).toSeq
+        node.put("last-partition-id", if (ids.isEmpty) 999 else ids.max)
+      }
+    }
+    node.set[com.fasterxml.jackson.databind.JsonNode](
+      "sort-orders", mapper.readTree(ordersJson))
+    node.put("default-sort-order-id", defaultId)
+    node.put("last-updated-ms", System.currentTimeMillis())
+    val metaPath = new Path(metaDir, s"v$version.metadata.json")
+    try writeUtf8(fs, metaPath, node.toString, overwrite = false)
+    catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent Iceberg commit detected: $metaPath already exists — " +
+            "another writer committed this version; re-read the table and retry", e)
+    }
+    writeUtf8(fs, new Path(metaDir, "version-hint.text"), version.toString)
+  }
+
+  /** the table's default sort order as (order-id, fields) —
+    * fields empty when the default is the unsorted order 0 or holds
+    * transforms this writer can't honor */
+  private[graft] def defaultSortOrder(spark: SparkSession,
+      tablePath: String): (Int, Seq[(String, Boolean, Boolean)]) = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    if (!fs.exists(hint)) return (0, Seq.empty)
+    val prev = readUtf8(fs, hint).trim.toInt
+    val carry = carryFromPrev(fs, new Path(tablePath, "metadata"), prev)
+    (carry.defaultSortOrderId, carry.defaultSortFields)
   }
 
   /** shared rename/drop core: field-id-marker + partition-column
@@ -901,13 +1085,22 @@ object IcebergWrite {
     * Returns (filesCompacted, filesWritten); fewer than two small
     * files is a no-op (nothing to gain, no commit). */
   def compact(spark: SparkSession, tablePath: String,
-      smallFileBytes: Long = 32L << 20, targetFiles: Int = 1): (Int, Int) =
+      smallFileBytes: Long = 32L << 20, targetFiles: Int = 1): (Int, Int) = {
+    // honor the table's default sort order: range-cluster the rewrite
+    // across the target files (distributed sort, no single-task funnel)
+    // so the output is globally clustered, per-file sorted, and stamped
+    // with the order's id. Unsorted tables keep the plain repartition.
+    val (_, sortFields) = defaultSortOrder(spark, tablePath)
+    val shape: (DataFrame, Int) => DataFrame =
+      if (sortFields.isEmpty) (df, t) => df.repartition(t)
+      else (df, t) => df.repartitionByRange(t, sortOrderExprs(sortFields): _*)
     rewriteSnapshot(spark, tablePath,
       pick = { sized =>
         val small = sized.filter(_._2 < smallFileBytes)
         if (small.size < 2) Seq.empty else small // fewer than 2: nothing to gain
       },
-      targetFiles, (df, t) => df.repartition(t), operation = "replace")
+      targetFiles, shape, operation = "replace", honorSortOrder = true)
+  }
 
   /** Z-ORDER the table (a `replace` snapshot like [[compact]], over
     * ALL live files): rows re-clustered by the bit-interleaved key of
@@ -967,7 +1160,13 @@ object IcebergWrite {
       pick: Seq[(IcebergScan.FileEntry, Long)] => Seq[(IcebergScan.FileEntry, Long)],
       targetFiles: Int,
       shape: (DataFrame, Int) => DataFrame, operation: String,
-      txn: Option[(String, Long)] = None): (Int, Int) = {
+      txn: Option[(String, Long)] = None,
+      // true (compact): rewritten files sorted by the table's default
+      // sort order + stamped with its id; false (zorder/DML): the shape
+      // owns the physical ordering — a table-order sort on top would
+      // destroy the z-clustering, and stamping an order the rows don't
+      // follow would be a false claim
+      honorSortOrder: Boolean = false): (Int, Int) = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hint = new Path(tablePath, "metadata/version-hint.text")
@@ -1007,6 +1206,10 @@ object IcebergWrite {
     // land back in their (possibly NEW, for an UPDATE that moves a
     // partition value) hive directories, so partition pruning and
     // path-derived partition records keep working
+    val sortFields =
+      if (honorSortOrder) carry0.defaultSortFields else Seq.empty
+    val stampSortId =
+      if (sortFields.isEmpty) scala.None else Some(carry0.defaultSortOrderId)
     withFieldIdWrites(spark) {
       // transform fields re-derive their hive value from the (possibly
       // updated) source columns — a partition-migrating UPDATE on a
@@ -1015,7 +1218,12 @@ object IcebergWrite {
         stampFieldIds(shaped, carry0.schemaJson)) { (d, pf) =>
         d.withColumn(pf.specName, IcebergTransforms.columnExpr(pf))
       }
-      val writer0 = derived.write.mode("append")
+      val sorted =
+        if (sortFields.isEmpty) derived
+        else derived.sortWithinPartitions(
+          (partCols.map(org.apache.spark.sql.functions.col) ++
+            sortOrderExprs(sortFields)): _*)
+      val writer0 = sorted.write.mode("append")
       (if (partCols.nonEmpty) writer0.partitionBy(partCols: _*) else writer0)
         .parquet(dataDir.toString)
     }
@@ -1057,6 +1265,7 @@ object IcebergWrite {
       f.put("record_count", rows)
       f.put("file_size_in_bytes", len)
       f.put("block_size_in_bytes", DefaultBlockSize)
+      stampSortId.foreach(id => f.put("sort_order_id", Integer.valueOf(id)))
       attachStats(f, dataFileSchema, conf, new Path(root, relPath), carry.schemaJson)
       f
     }
@@ -1094,6 +1303,9 @@ object IcebergWrite {
       f.put("record_count", entry.rows)
       f.put("file_size_in_bytes", len)
       f.put("block_size_in_bytes", DefaultBlockSize)
+      // the kept file's rows don't move — its ordering claim carries
+      // forward verbatim
+      entry.sortOrderId.foreach(id => f.put("sort_order_id", Integer.valueOf(id)))
       attachStats(f, dfs, conf, new Path(root, relOf(entry.path)), carry.schemaJson)
       val e = new GenericData.Record(es)
       e.put("status", 0) // EXISTING
@@ -2048,13 +2260,17 @@ object IcebergWrite {
         .map(f => f.get("field-id").asInt()).toSeq
       if (ids.isEmpty) 999 else ids.max
     }
+    val sortOrdersJson =
+      if (carry.sortOrdersJson.nonEmpty) carry.sortOrdersJson
+      else """[{"order-id":0,"fields":[]}]"""
     val v2Extra =
       if (fmtVersion < 2) ""
       else s""""last-sequence-number":$version,"schemas":${carry.schemasArray},
               |"current-schema-id":${carry.currentSchemaId},
               |"partition-specs":$specsJson,"default-spec-id":${carry.defaultSpecId},
               |"last-partition-id":$lastPartitionId,
-              |"sort-orders":[{"order-id":0,"fields":[]}],"default-sort-order-id":0,"""
+              |"sort-orders":$sortOrdersJson,
+              |"default-sort-order-id":${carry.defaultSortOrderId},"""
         .stripMargin
     val snapSeq = if (fmtVersion < 2) "" else s""""sequence-number":$version,"""
     // a branch commit advances ITS ref and leaves main (current) alone;
@@ -2653,6 +2869,21 @@ object IcebergWrite {
   // snapshot_id / sequence_number / file_sequence_number stay null on
   // ADDED entries (spec inheritance from the manifest-list row).
   // `content` (134) distinguishes data (0) from position-delete (1)
+  /** Spark sort expressions for honored sort-order fields
+    * ((name, ascending, nulls-first) triples from
+    * [[SchemaCarry.defaultSortFields]]) */
+  private def sortOrderExprs(
+      fields: Seq[(String, Boolean, Boolean)]): Seq[org.apache.spark.sql.Column] =
+    fields.map { case (n, asc, nullsFirst) =>
+      val c = org.apache.spark.sql.functions.col(n)
+      (asc, nullsFirst) match {
+        case (true, true) => c.asc_nulls_first
+        case (true, false) => c.asc_nulls_last
+        case (false, true) => c.desc_nulls_first
+        case (false, false) => c.desc_nulls_last
+      }
+    }
+
   /** the table's identity-partition source fields, in spec order */
   private def partFieldsOf(schema: StructType, partCols: Seq[String]): Seq[StructField] =
     partCols.map(n => schema.fields.find(_.name == n).getOrElse(
@@ -2713,7 +2944,8 @@ object IcebergWrite {
       |{"name":"key","type":"int","field-id":129},
       |{"name":"value","type":"bytes","field-id":130}]}}]},
       |{"name":"equality_ids","field-id":135,"default":null,
-      |"type":["null",{"type":"array","items":"int","element-id":136}]}]}}]}""".stripMargin
+      |"type":["null",{"type":"array","items":"int","element-id":136}]},
+      |{"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}]}}]}""".stripMargin
 
   private val manifestSchema = manifestSchemaFor(Nil)
 

@@ -278,6 +278,10 @@ private[streaming] object DeltaStreamSource {
       case IntegerType => raw.toInt
       case DoubleType => raw.toDouble
       case BooleanType => raw.toBoolean
+      // a day(ts) GENERATED column is a DateType partition column —
+      // serialized yyyy-MM-dd in the log (Delta PROTOCOL §Partition
+      // Value Serialization), decoded to Spark's epoch-day int
+      case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
       case other => throw new IllegalArgumentException(
         s"partition column '${f.name}': type ${other.sql} not supported by " +
           "the streaming source")

@@ -2297,4 +2297,156 @@ class IcebergScanSpec extends SparkSpec {
         s"publish must emit staged rows exactly once, got ${delivered.sorted}")
     } finally q.stop()
   }
+
+  test("sort orders: setSortOrder registers metadata; appends + compact honor and stamp it; kept claims carry") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_sort").toString
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def meta(): com.fasterxml.jackson.databind.JsonNode = {
+      val v = new String(Files.readAllBytes(
+        Paths.get(s"$dir/metadata/version-hint.text")), StandardCharsets.UTF_8).trim
+      mapper.readTree(new String(Files.readAllBytes(
+        Paths.get(s"$dir/metadata/v$v.metadata.json")), StandardCharsets.UTF_8))
+    }
+    def fileOrders(): Map[String, Option[Int]] =
+      IcebergScan.files(spark, dir).collect()
+        .filter(_.getString(1) == "data")
+        .map(r => r.getString(0) -> Option(r.get(5)).map(_.toString.toInt)).toMap
+
+    IcebergWrite.create(spark,
+      Seq((3L, "c", 30L), (1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "k"), dir)
+    // before any order is set: files claim nothing
+    assert(fileOrders().values.forall(_.isEmpty))
+
+    // register "k desc, id" and make it the default — metadata-only
+    IcebergWrite.setSortOrder(spark, dir, Seq("k desc nulls-last", "id"))
+    val m1 = meta()
+    assert(m1.get("default-sort-order-id").asInt() == 1)
+    val orders = m1.get("sort-orders").elements().asScala.toSeq
+    assert(orders.map(_.get("order-id").asInt()) == Seq(0, 1))
+    val f1 = orders(1).get("fields").elements().asScala.toSeq
+    assert(f1.size == 2)
+    assert(f1(0).get("transform").asText() == "identity" &&
+      f1(0).get("source-id").asInt() == 3 &&
+      f1(0).get("direction").asText() == "desc" &&
+      f1(0).get("null-order").asText() == "nulls-last")
+    assert(f1(1).get("direction").asText() == "asc" &&
+      f1(1).get("null-order").asText() == "nulls-first")
+    // idempotent: identical fields reuse the registered order
+    IcebergWrite.setSortOrder(spark, dir, Seq("k desc nulls-last", "id"))
+    assert(meta().get("sort-orders").size() == 2 &&
+      meta().get("default-sort-order-id").asInt() == 1)
+
+    // an append now honors the order: file stamped AND physically sorted
+    IcebergWrite.append(spark,
+      Seq((6L, "f", 55L), (4L, "d", 77L), (5L, "e", 55L)).toDF("id", "v", "k")
+        .repartition(1), dir)
+    val afterAppend = fileOrders()
+    val stamped = afterAppend.filter(_._2.contains(1)).keys.toSeq
+    assert(stamped.size == 1, s"expected 1 stamped file, got $afterAppend")
+    assert(afterAppend.values.count(_.isEmpty) >= 1) // the create-time file claims nothing
+    val sortedRows = spark.read.parquet(stamped.head)
+      .select("id", "k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sortedRows == Seq((4L, 77L), (5L, 55L), (6L, 55L)),
+      s"file rows must be sorted by (k desc, id asc): $sortedRows")
+
+    // compact rewrites EVERYTHING into the order and stamps it
+    val (picked, written) = IcebergWrite.compact(spark, dir,
+      smallFileBytes = Long.MaxValue, targetFiles = 1)
+    assert(picked >= 2 && written == 1)
+    val afterCompact = fileOrders()
+    assert(afterCompact.values.forall(_.contains(1)), s"compact must stamp: $afterCompact")
+    val compacted = spark.read.parquet(afterCompact.keys.head)
+      .select("id", "k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(compacted == Seq((4L, 77L), (5L, 55L), (6L, 55L), (3L, 30L), (2L, 20L), (1L, 10L)))
+    assert(IcebergScan.read(spark, dir).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+
+    // reset to unsorted: order 1 stays registered, new appends claim nothing
+    IcebergWrite.setSortOrder(spark, dir, Nil)
+    assert(meta().get("default-sort-order-id").asInt() == 0 &&
+      meta().get("sort-orders").size() == 2)
+    IcebergWrite.append(spark, Seq((7L, "g", 5L)).toDF("id", "v", "k"), dir)
+    val afterReset = fileOrders()
+    assert(afterReset.values.count(_.isEmpty) == 1 &&
+      afterReset.values.count(_.contains(1)) == 1)
+
+    // a DML rewrite KEEPS untouched files' claims and does not stamp
+    // its own (unsorted) outputs; the sort-orders metadata survives
+    val updated = IcebergWrite.updateWhere(spark, dir,
+      col("id") === 7L, Seq("v" -> lit("G")))
+    assert(updated == 1L)
+    val afterDml = fileOrders()
+    assert(afterDml.values.count(_.contains(1)) == 1,
+      s"kept file must carry its ordering claim: $afterDml")
+    assert(afterDml.values.count(_.isEmpty) == 1)
+    assert(meta().get("sort-orders").size() == 2 &&
+      meta().get("default-sort-order-id").asInt() == 0)
+
+    // loud errors: unknown column, bad modifier, conflicting direction
+    assert(intercept[IllegalArgumentException] {
+      IcebergWrite.setSortOrder(spark, dir, Seq("nope"))
+    }.getMessage.contains("not a column"))
+    assert(intercept[IllegalArgumentException] {
+      IcebergWrite.setSortOrder(spark, dir, Seq("id sideways"))
+    }.getMessage.contains("unknown modifier"))
+    assert(intercept[IllegalArgumentException] {
+      IcebergWrite.setSortOrder(spark, dir, Seq("id asc desc"))
+    }.getMessage.contains("both asc and desc"))
+  }
+
+  test("sort orders: partitioned tables sort within each partition dir; foreign transform orders are carried, not faked") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_sortp").toString
+    IcebergWrite.create(spark,
+      Seq((1L, "p1", 9L)).toDF("id", "p", "k"), dir, partitionBy = Seq("p"))
+    IcebergWrite.setSortOrder(spark, dir, Seq("k"))
+    IcebergWrite.append(spark,
+      Seq((2L, "p1", 30L), (3L, "p1", 10L), (4L, "p2", 20L), (5L, "p2", 5L))
+        .toDF("id", "p", "k"), dir)
+    // each partition's appended file is sorted by k and stamped
+    val entries = IcebergScan.files(spark, dir).collect()
+      .filter(r => r.getString(1) == "data" && Option(r.get(5)).exists(_.toString == "1"))
+    assert(entries.length == 2, s"both partition files stamped: ${entries.length}")
+    entries.foreach { r =>
+      val ks = spark.read.parquet(r.getString(0)).select("k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ks == ks.sorted, s"partition file not sorted by k: $ks")
+    }
+    assert(IcebergScan.read(spark, dir).count() == 5L)
+
+    // FOREIGN default order with a transform this writer can't honor:
+    // carried verbatim in metadata, but appends must NOT claim it
+    val hintP = Paths.get(s"$dir/metadata/version-hint.text")
+    val v = new String(Files.readAllBytes(hintP), StandardCharsets.UTF_8).trim.toInt
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(new String(Files.readAllBytes(
+        Paths.get(s"$dir/metadata/v$v.metadata.json")), StandardCharsets.UTF_8))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.set[com.fasterxml.jackson.databind.JsonNode]("sort-orders", mapper.readTree(
+      """[{"order-id":0,"fields":[]},{"order-id":1,"fields":[
+        |{"transform":"identity","source-id":3,"direction":"asc","null-order":"nulls-first"}]},
+        |{"order-id":2,"fields":[{"transform":"bucket[4]","source-id":1,
+        |"direction":"asc","null-order":"nulls-first"}]}]""".stripMargin))
+    node.put("default-sort-order-id", 2)
+    Files.write(Paths.get(s"$dir/metadata/v${v + 1}.metadata.json"),
+      node.toString.getBytes(StandardCharsets.UTF_8))
+    Files.write(hintP, (v + 1).toString.getBytes(StandardCharsets.UTF_8))
+    // the side-channel edit invalidates Hadoop's local-FS checksum
+    Files.deleteIfExists(Paths.get(s"$dir/metadata/.version-hint.text.crc"))
+    IcebergWrite.append(spark, Seq((6L, "p1", 1L)).toDF("id", "p", "k"), dir)
+    val after = IcebergScan.files(spark, dir).collect()
+      .filter(_.getString(1) == "data")
+      .map(r => Option(r.get(5)).map(_.toString.toInt)).toSeq
+    assert(after.count(_.contains(1)) == 2 && after.count(_.isEmpty) == 2,
+      s"transform order must not be claimed: $after")
+    // the foreign orders array survived the append verbatim
+    val mAfter = mapper.readTree(new String(Files.readAllBytes(Paths.get(
+      s"$dir/metadata/v${IcebergScan.latestMetadataVersion(spark, dir)}.metadata.json")),
+      StandardCharsets.UTF_8))
+    assert(mAfter.get("sort-orders").size() == 3 &&
+      mAfter.get("default-sort-order-id").asInt() == 2)
+  }
 }

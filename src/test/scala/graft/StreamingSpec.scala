@@ -1538,4 +1538,92 @@ class StreamingSpec extends SparkSpec {
     val eDiv = intercept[IllegalArgumentException](IcebergWrite.fastForward(spark, dir, "stage"))
     assert(eDiv.getMessage.contains("drop"), s"diverged third publish must refuse: $eDiv")
   }
+
+  test("IcebergStreamProvider streams a TRANSFORM-partitioned table; mid-stream spec evolution doesn't wedge it") {
+    import graft.sources.{IcebergScan, IcebergWrite}
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_tr_stream").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("graft_ice_tr_stream_ck").toString
+    // hidden partitioning: the derived day/bucket columns live in the
+    // hive dirs only; the SOURCE columns stay in the payload — the
+    // stream must decode rows without demanding path segments for them
+    IcebergWrite.create(spark,
+      Seq((1L, ts("2024-03-05 10:00:00"), "a"),
+          (2L, ts("2024-03-06 11:00:00"), "b")).toDF("id", "ts", "v"),
+      dir, partitionBy = Seq("day(ts)", "bucket(4, id)"))
+    val delivered = scala.collection.mutable.ListBuffer[(Long, java.sql.Timestamp, String)]()
+    val q = spark.readStream
+      .format(classOf[graft.streaming.IcebergStreamProvider].getName)
+      .load(dir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+        delivered.synchronized { delivered ++= rows }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(delivered.synchronized(delivered.map(_._1).toSet) == Set(1L, 2L))
+      IcebergWrite.append(spark,
+        Seq((3L, ts("2024-03-07 09:00:00"), "c")).toDF("id", "ts", "v"), dir)
+      q.processAllAvailable()
+      // SPEC EVOLUTION mid-stream: metadata-only commit — the increment
+      // is empty and the reader must not wedge on it
+      IcebergWrite.updatePartitionSpec(spark, dir, Seq("month(ts)"))
+      q.processAllAvailable()
+      // post-evolution appends land under the NEW layout and still stream
+      IcebergWrite.append(spark,
+        Seq((4L, ts("2024-05-20 10:30:00"), "d")).toDF("id", "ts", "v"), dir)
+      q.processAllAvailable()
+      val got = delivered.synchronized(delivered.toSeq).sortBy(_._1)
+      assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L),
+        s"every row exactly once across the evolution: $got")
+      assert(got.map(_._2.toString) == Seq(
+        "2024-03-05 10:00:00.0", "2024-03-06 11:00:00.0",
+        "2024-03-07 09:00:00.0", "2024-05-20 10:30:00.0"))
+      assert(got.map(_._3) == Seq("a", "b", "c", "d"))
+      // batch and stream agree post-evolution
+      assert(IcebergScan.read(spark, dir).count() == 4L)
+    } finally q.stop()
+  }
+
+  test("DeltaStreamProvider streams a GENERATED-COLUMN table; derived partition values decode (DateType included)") {
+    import graft.sources.DeltaWrite
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_gen_stream").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("graft_delta_gen_stream_ck").toString
+    // the stream's parquet-mr reader needs INT64-micros timestamps
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      DeltaWrite.create(spark,
+        Seq((1L, ts("2024-03-05 10:00:00"), "alpha"),
+            (2L, ts("2024-04-01 12:00:00"), "bravo")).toDF("id", "ts", "cat"),
+        dir, partitionBy = Seq("day(ts)", "truncate(2, cat)"))
+      val delivered =
+        scala.collection.mutable.ListBuffer[(Long, java.sql.Date, String)]()
+      val q = spark.readStream
+        .format(classOf[graft.streaming.DeltaStreamProvider].getName)
+        .load(dir)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // generated columns are REAL schema columns — the stream must
+          // surface them, decoded from the log's partitionValues
+          val rows = b.select("id", "ts_day", "cat_trunc").collect()
+            .map(r => (r.getLong(0), r.getDate(1), r.getString(2)))
+          delivered.synchronized { delivered ++= rows }
+          ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        DeltaWrite.append(spark,
+          Seq((3L, ts("2025-01-15 08:30:00"), "gamma")).toDF("id", "ts", "cat"), dir)
+        q.processAllAvailable()
+        val got = delivered.synchronized(delivered.toSeq).sortBy(_._1)
+        assert(got.map(_._1) == Seq(1L, 2L, 3L))
+        assert(got.map(_._2.toString) == Seq("2024-03-05", "2024-04-01", "2025-01-15"),
+          s"DateType partition values must decode from the log: $got")
+        assert(got.map(_._3) == Seq("al", "br", "ga"))
+      } finally q.stop()
+    } finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+  }
 }
