@@ -126,9 +126,10 @@ object Bench {
     // predicate DELETE + source-pruned reads)
     "q_bucket_join", "q_delta_transform",
     // round 10: storage-partitioned aggregation (zero-Exchange
-    // per-bucket complete aggregates) and the spec-evolution
-    // mixed-layout read (pre/post-evolution manifests + pruned re-read)
-    "q_bucket_agg", "q_iceberg_spec_evolve")
+    // per-bucket complete aggregates), the spec-evolution mixed-layout
+    // read (pre/post-evolution manifests + pruned re-read), and the
+    // sort-order round trip (sorted append + range-clustered compact)
+    "q_bucket_agg", "q_iceberg_spec_evolve", "q_iceberg_sorted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2276,6 +2276,29 @@ object SparkEntry {
         .orderBy("event_id", "ts_us")
     }),
 
+    // SORT-ORDER round trip: register a default sort order (metadata-
+    // only), append under it (per-file sorted rows, manifest entries
+    // stamped sort_order_id), compact into the order (range-clustered
+    // rewrite) — content must equal the plain table regardless of the
+    // layout machinery. Ordering claims themselves are spec-asserted
+    // (IcebergScanSpec); the gate proves the data path.
+    "q_iceberg_sorted" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_sorted_gate").toString + "/t"
+      val orders = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      graft.sources.IcebergWrite.create(s,
+        orders.filter(col("o_orderkey") % 2 === 0), base)
+      graft.sources.IcebergWrite.setSortOrder(s, base,
+        Seq("o_custkey", "o_orderkey desc"))
+      graft.sources.IcebergWrite.append(s,
+        orders.filter(col("o_orderkey") % 2 =!= 0), base)
+      graft.sources.IcebergWrite.compact(s, base,
+        smallFileBytes = Long.MaxValue, targetFiles = 4)
+      graft.sources.IcebergScan.read(s, base)
+        .orderBy("o_orderkey")
+    }),
+
     // STORAGE-PARTITIONED JOIN: orders and customer both laid out
     // bucket(8, custkey) — the aligned join reads bucket k against
     // bucket k, fact side never shuffled (union of per-bucket
@@ -5218,6 +5241,13 @@ object SparkEntry {
         |SELECT event_id, epoch_us(ts), user_id, event_type FROM events
         |WHERE user_id = 42
         |ORDER BY event_id, ts_us""".stripMargin,
+
+    // a sort order changes LAYOUT, never content: the oracle is the
+    // plain table
+    "q_iceberg_sorted" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // spec evolution changes LAYOUT, never content: the oracle is the
     // plain table minus the deleted day, plus the day-pruned subset

@@ -687,6 +687,75 @@ object DeltaScan {
   }
 
   /** `_last_checkpoint` → (version, parts), if present. */
+  /** Current DOMAIN METADATA state (PROTOCOL §Domain Metadata): domain
+    * → configuration for every domain whose latest action is not a
+    * `removed` tombstone — checkpoint state first, JSON tail overrides
+    * by domain. Driver-side walk of the tail only (domain actions are
+    * a handful of bytes per commit; the checkpoint reads through
+    * spark.read with a domain-only projection). The clustered-table
+    * surface ([[clusteringColumns]]) sits on top. */
+  def domainMetadata(spark: SparkSession, tablePath: String): Map[String, String] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(fs.makeQualified(new Path(tablePath)), "_delta_log")
+    require(fs.exists(logDir), s"no Delta table at $tablePath")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cp = lastCheckpoint(spark, fs, logDir)
+    // (domain -> (configuration, removed)), oldest..newest application
+    var state = Map.empty[String, (String, Boolean)]
+    cp.foreach { case (v, parts) =>
+      val (cpFiles, isJson, _) = checkpointTopFiles(fs, logDir, v, parts)
+      val domainType = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("domain", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("configuration", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("removed", org.apache.spark.sql.types.BooleanType)))
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("domainMetadata", domainType)))
+      val df = if (isJson) spark.read.schema(sch).json(cpFiles: _*)
+               else spark.read.schema(sch).parquet(cpFiles: _*)
+      df.filter(org.apache.spark.sql.functions.col("domainMetadata.domain").isNotNull)
+        .select("domainMetadata.domain", "domainMetadata.configuration",
+          "domainMetadata.removed")
+        .collect() // [lint:bounded] one row per metadata DOMAIN
+        .foreach { r =>
+          state += r.getString(0) ->
+            (Option(r.getString(1)).getOrElse(""),
+              !r.isNullAt(2) && r.getBoolean(2))
+        }
+    }
+    val from = cp.map(_._1 + 1).getOrElse(0L)
+    val to = latestVersion(spark, tablePath)
+    (from to to).foreach { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        lines.map(mapper.readTree).filter(_.has("domainMetadata")).foreach { n =>
+          val d = n.get("domainMetadata")
+          state += d.get("domain").asText() ->
+            (Option(d.get("configuration")).map(_.asText()).getOrElse(""),
+              Option(d.get("removed")).exists(_.asBoolean(false)))
+        }
+      }
+    }
+    state.collect { case (k, (cfg, false)) => k -> cfg }
+  }
+
+  /** the table's clustering columns (PHYSICAL names, top-level) from
+    * the `delta.clustering` domain — empty when not a clustered table */
+  def clusteringColumns(spark: SparkSession, tablePath: String): Seq[String] =
+    domainMetadata(spark, tablePath).get("delta.clustering").toSeq.flatMap { cfg =>
+      if (cfg.isEmpty) Seq.empty
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(cfg)
+        import scala.jdk.CollectionConverters.IteratorHasAsScala
+        Option(node.get("clusteringColumns")).toSeq.flatMap(a =>
+          a.elements().asScala.map { parts =>
+            parts.elements().asScala.map(_.asText()).mkString(".")
+          }.toSeq)
+      }
+    }
+
   private[sources] def lastCheckpoint(
       spark: SparkSession, fs: FileSystem, logDir: Path): Option[(Long, Option[Int])] = {
     val p = new Path(logDir, "_last_checkpoint")

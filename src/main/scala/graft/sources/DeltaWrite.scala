@@ -316,6 +316,148 @@ object DeltaWrite {
       operation = Some("DROP CONSTRAINT"))
   }
 
+  // ---- clustered tables (PROTOCOL §Clustered Table) --------------------
+
+  /** Mark the table CLUSTERED by `cols` — the Delta twin of Iceberg's
+    * sort orders ([[IcebergWrite.setSortOrder]]): advisory LAYOUT
+    * metadata recorded once, honored by maintenance rewrites, readable
+    * by every engine. Per the protocol, clustering columns live in a
+    * `domainMetadata` action under the reserved `delta.clustering`
+    * domain (configuration `{"clusteringColumns":[["col"],...]}`,
+    * PHYSICAL names), gated by the `clustering` + `domainMetadata`
+    * writer table features (writer version 7; readers are unaffected —
+    * which is what makes this metadata-only commit safe on a live
+    * table). [[compact]] honors it: rewritten files are range-clustered
+    * and sorted by the columns, so parquet min/max prunes on them — the
+    * ordering cost is paid at maintenance time, every read after gets
+    * the clustering from the layout for free. `Nil` removes the domain
+    * (a `removed:true` tombstone, per the protocol's domain-metadata
+    * replay rule). Top-level columns only; partition columns refuse
+    * (they are already the coarser layout dimension). */
+  def setClusteringColumns(spark: SparkSession, tablePath: String,
+      cols: Seq[String]): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(tablePath))
+    val md = latestMetaNodeAny(spark, fs, tablePath).getOrElse(
+      throw new IllegalStateException(
+        s"no metaData at $tablePath — cannot set clustering columns"))
+    val declared = DataType.fromJson(md.get("schemaString").asText())
+      .asInstanceOf[StructType]
+    val partCols = Option(md.get("partitionColumns"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    require(cols.distinct.size == cols.size,
+      s"duplicate clustering columns in ${cols.mkString(", ")}")
+    cols.foreach { c =>
+      require(declared.fieldNames.contains(c),
+        s"clustering column '$c' is not a column of the table " +
+          s"(columns: ${declared.fieldNames.mkString(", ")})")
+      require(!partCols.contains(c),
+        s"clustering column '$c' is a partition column — it already " +
+          "drives the coarser directory layout")
+    }
+    val mapped = configOf(md)
+      .getOrElse("delta.columnMapping.mode", "none") != "none"
+    val action =
+      if (cols.isEmpty) {
+        require(DeltaScan.domainMetadata(spark, tablePath)
+            .contains(ClusteringDomain),
+          s"no clustering columns set at $tablePath — nothing to remove")
+        s"""{"domainMetadata":{"domain":${jstr(ClusteringDomain)},""" +
+          s""""configuration":"","removed":true}}"""
+      } else {
+        // the protocol stores PHYSICAL name paths (nested as arrays of
+        // parts; this writer scopes to top-level columns)
+        val phys = cols.map { c =>
+          val f = declared(c)
+          if (mapped) DeltaScan.physicalName(f) else f.name
+        }
+        val cfg = phys.map(p => s"[${jstr(p)}]").mkString(
+          """{"clusteringColumns":[""", ",", "]}")
+        s"""{"domainMetadata":{"domain":${jstr(ClusteringDomain)},""" +
+          s""""configuration":${jstr(cfg)},"removed":false}}"""
+      }
+    val proto = latestProtoNodeAny(spark, fs, tablePath)
+    val v = DeltaScan.latestVersion(spark, tablePath) + 1
+    writeCommitFile(fs, root, v, clusteringProtocolAction(proto) ++ Seq(action),
+      operation = Some(if (cols.isEmpty) "DROP CLUSTER BY" else "CLUSTER BY"))
+  }
+
+  private[sources] val ClusteringDomain = "delta.clustering"
+
+  /** legacy minWriterVersion → the writer features it implies — when a
+    * table upgrades to feature-listing writer version 7, the implied
+    * features must be listed explicitly or other writers drop the
+    * capabilities (protocol upgrade rule) */
+  private def legacyWriterFeatures(minWriter: Int): Seq[String] = {
+    val ladder = Seq(
+      2 -> Seq("appendOnly", "invariants"),
+      3 -> Seq("checkConstraints"),
+      4 -> Seq("changeDataFeed", "generatedColumns"),
+      5 -> Seq("columnMapping"),
+      6 -> Seq("identityColumns"))
+    ladder.filter(_._1 <= minWriter).flatMap(_._2)
+  }
+
+  /** protocol action upgrading to writer features `domainMetadata` +
+    * `clustering` (empty when already present); reader version and
+    * reader features carry verbatim — both features are writer-only */
+  private def clusteringProtocolAction(
+      proto: Option[com.fasterxml.jackson.databind.node.ObjectNode]): Seq[String] = {
+    val need = Seq("clustering", "domainMetadata")
+    val existingW = proto.toSeq.flatMap(p =>
+      Option(p.get("writerFeatures")).toSeq.flatMap(_.elements().asScala
+        .map(_.asText()).toSeq))
+    if (need.forall(existingW.contains)) return Seq.empty
+    val minReader = proto.map(_.get("minReaderVersion").asInt()).getOrElse(1)
+    val minWriter = proto.map(_.get("minWriterVersion").asInt()).getOrElse(2)
+    val readerFeats = proto.toSeq.flatMap(p =>
+      Option(p.get("readerFeatures")).toSeq.flatMap(_.elements().asScala
+        .map(_.asText()).toSeq))
+    val legacyReader = if (minReader == 2 && readerFeats.isEmpty)
+      Seq("columnMapping") else Seq.empty
+    val w = (existingW ++
+      (if (minWriter < 7) legacyWriterFeatures(minWriter) else Seq.empty) ++
+      need).distinct.sorted
+    def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+    val readerPart =
+      if (readerFeats.nonEmpty || legacyReader.nonEmpty)
+        s""""minReaderVersion":3,"readerFeatures":${arr((readerFeats ++ legacyReader).distinct.sorted)},"""
+      else s""""minReaderVersion":$minReader,"""
+    Seq(s"""{"protocol":{$readerPart"minWriterVersion":7,"writerFeatures":${arr(w)}}}""")
+  }
+
+  /** latest protocol action — JSON tail newest-first, else the
+    * checkpoint top files (mirrors [[latestMetaNodeAny]]) */
+  private def latestProtoNodeAny(spark: SparkSession, fs: FileSystem,
+      tablePath: String): Option[com.fasterxml.jackson.databind.node.ObjectNode] = {
+    val logDir = new Path(fs.makeQualified(new Path(tablePath)), "_delta_log")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val versions = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.matches("\\d{20}\\.json") => n.stripSuffix(".json").toLong }
+      .sorted.reverse
+    val fromTail = versions.iterator.flatMap { v =>
+      val in = fs.open(new Path(logDir, f"$v%020d.json"))
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.map(mapper.readTree).filter(_.has("protocol"))
+        .map(_.get("protocol").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+        .lastOption
+    }.nextOption()
+    fromTail.orElse {
+      DeltaScan.lastCheckpoint(spark, fs, logDir).flatMap { case (v, parts) =>
+        val (cpFiles, isJson, _) = DeltaScan.checkpointTopFiles(fs, logDir, v, parts)
+        val df = if (isJson) spark.read.json(cpFiles: _*)
+                 else spark.read.parquet(cpFiles: _*)
+        if (!df.columns.contains("protocol")) scala.None
+        else df.filter(org.apache.spark.sql.functions.col("protocol.minReaderVersion").isNotNull)
+          .select("protocol").toJSON.collect() // [lint:bounded] one protocol row
+          .headOption
+          .map(j => mapper.readTree(j).get("protocol")
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      }
+    }
+  }
+
   /** every `delta.constraints.*` in `config` must hold on every row of
     * `df` (LOGICAL column names) — loud with the first violating
     * constraint; one narrow limit-1 job per constraint */
@@ -716,13 +858,19 @@ object DeltaWrite {
       StructField("writerFeatures", ArrayType(StringType))))
     val txnType = StructType(Seq(
       StructField("appId", StringType), StructField("version", LongType)))
+    val domainType = StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType)))
     val actionSchema = StructType(Seq(
       StructField("add", addType),
       StructField("remove", StructType(Seq(
         StructField("path", StringType), StructField("dataChange", BooleanType)))),
       StructField("metaData", metaType),
       StructField("protocol", protoType),
-      StructField("txn", txnType)))
+      StructField("txn", txnType),
+      // clustering columns etc. must survive log truncation
+      StructField("domainMetadata", domainType)))
 
     import org.apache.spark.sql.functions._
     // previous checkpoint read with THIS (writer) schema — richer than
@@ -798,11 +946,24 @@ object DeltaWrite {
       .filter(col("__rn") === 1)
       .select("txn")
 
+    // latest state PER DOMAIN rides into the checkpoint; removed
+    // tombstones drop here (protocol: checkpoints carry current domain
+    // metadata only — a dropped domain needs no tombstone once no JSON
+    // commit re-creates it)
+    val wDom = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domainMetadata.domain")).orderBy(col("__v").desc)
+    val latestDomains = acts.filter(col("domainMetadata.domain").isNotNull)
+      .withColumn("__rn", row_number().over(wDom))
+      .filter(col("__rn") === 1 &&
+        !coalesce(col("domainMetadata.removed"), lit(false)))
+      .select("domainMetadata")
+
     val nulls = Map(
       "add" -> lit(null).cast(addType), "remove" -> lit(null).cast(
         StructType(Seq(StructField("path", StringType), StructField("dataChange", BooleanType)))),
       "metaData" -> lit(null).cast(metaType), "protocol" -> lit(null).cast(protoType),
-      "txn" -> lit(null).cast(txnType))
+      "txn" -> lit(null).cast(txnType),
+      "domainMetadata" -> lit(null).cast(domainType))
     def widen(df: org.apache.spark.sql.DataFrame, keep: String) =
       df.select(actionSchema.fieldNames.map(f =>
         (if (f == keep) col(f) else nulls(f)).as(f)).toSeq: _*)
@@ -823,6 +984,7 @@ object DeltaWrite {
         widen(latestProto, "protocol")
           .unionAll(widen(latestMeta, "metaData"))
           .unionAll(widen(latestTxn, "txn"))
+          .unionAll(widen(latestDomains, "domainMetadata"))
           .unionAll(widen(liveAdds, "add"))
       val cpPath = new Path(logDir, f"$version%020d.checkpoint.parquet")
       writeOne(checkpointDf, cpPath, version.toString)
@@ -861,6 +1023,7 @@ object DeltaWrite {
       val topDf = widenV2(widen(latestProto, "protocol"))
         .unionAll(widenV2(widen(latestMeta, "metaData")))
         .unionAll(widenV2(widen(latestTxn, "txn")))
+        .unionAll(widenV2(widen(latestDomains, "domainMetadata")))
         .unionAll(pointerRow)
         .unionAll(cpMetaRow)
       val topPath = new Path(logDir, f"$version%020d.checkpoint.$uuid.parquet")
@@ -1179,10 +1342,23 @@ object DeltaWrite {
       .filter(_._2.size >= 2) // singletons: nothing to gain
     if (groups.isEmpty) return
 
+    // HONOR the table's clustering columns (setClusteringColumns):
+    // range-cluster + sort each rewritten group so parquet min/max
+    // prunes on the clustered dims after the rewrite. Physical names —
+    // the raw-parquet read returns them for mapped tables too. Columns
+    // missing from the files (post-drop metadata) fall back to the
+    // plain repartition rather than failing maintenance.
+    val cluster = DeltaScan.clusteringColumns(spark, tablePath)
     val added = groups.toSeq.sortBy(_._1).flatMap { case (partDir, rels) =>
       writeStaged(fs, root, destPrefix = partDir) { staging =>
-        spark.read.parquet(rels.map(r => new Path(root, r).toString): _*)
-          .repartition(targetFiles).write.mode("append").parquet(staging)
+        val src = spark.read.parquet(rels.map(r => new Path(root, r).toString): _*)
+        val shaped =
+          if (cluster.nonEmpty && cluster.forall(src.columns.contains)) {
+            import org.apache.spark.sql.functions.col
+            src.repartitionByRange(targetFiles, cluster.map(col): _*)
+              .sortWithinPartitions(cluster.map(col): _*)
+          } else src.repartition(targetFiles)
+        shaped.write.mode("append").parquet(staging)
       }
     }
     require(added.nonEmpty, "compaction rewrite produced no files")

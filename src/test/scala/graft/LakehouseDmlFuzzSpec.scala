@@ -442,7 +442,7 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
     sync()
 
     (1 to 40).foreach { step =>
-      rnd.nextInt(8) match {
+      rnd.nextInt(9) match {
         case 0 =>
           val rows = freshRows(1 + rnd.nextInt(4))
           IcebergWrite.append(spark, rows.toDF("id", "tag"), dir)
@@ -495,12 +495,33 @@ class LakehouseDmlFuzzSpec extends SparkSpec {
               s"step $step: merge counts ($u,$i) != (${updates.size},${inserts.size})")
             model ++= src
           }
+        case 8 => // sort-order flip (round 10): LAYOUT metadata only —
+          // later appends sort+stamp, compact range-clusters, and
+          // content must never move; the registered orders must
+          // survive every other op's metadata rewrite
+          IcebergWrite.setSortOrder(spark, dir,
+            rnd.nextInt(3) match {
+              case 0 => Seq("id")
+              case 1 => Seq("tag", "id desc")
+              case 2 => Nil
+            })
       }
       sync()
       val got = readIceModel(dir)
       assert(got == model,
         s"step $step: table ${got.size} rows diverged from model ${model.size}")
     }
+    // the final metadata must still resolve its default sort order
+    val hint = java.nio.file.Paths.get(dir, "metadata", "version-hint.text")
+    val v = new String(java.nio.file.Files.readAllBytes(hint), "UTF-8").trim
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "metadata", s"v$v.metadata.json")), "UTF-8"))
+    val defId = meta.get("default-sort-order-id").asInt()
+    val ids = meta.get("sort-orders").elements()
+    var found = false
+    while (ids.hasNext) if (ids.next().get("order-id").asInt() == defId) found = true
+    assert(found, s"default-sort-order-id $defId not registered in sort-orders")
   }
 
   test("MERGE-ON-READ Iceberg: 40 random ops track the model — updates/merges commit deltas, compact folds them") {
