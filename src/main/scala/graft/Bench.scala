@@ -129,7 +129,8 @@ object Bench {
     // per-bucket complete aggregates), the spec-evolution mixed-layout
     // read (pre/post-evolution manifests + pruned re-read), and the
     // sort-order round trip (sorted append + range-clustered compact)
-    "q_bucket_agg", "q_iceberg_spec_evolve", "q_iceberg_sorted")
+    "q_bucket_agg", "q_iceberg_spec_evolve", "q_iceberg_sorted",
+    "q_delta_cluster")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

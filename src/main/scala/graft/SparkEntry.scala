@@ -2276,6 +2276,27 @@ object SparkEntry {
         .orderBy("event_id", "ts_us")
     }),
 
+    // CLUSTERED-TABLE round trip (the Delta twin of q_iceberg_sorted):
+    // declare clustering columns (metadata domain + feature upgrade),
+    // append, compact into the clustering — content must equal the
+    // plain table; the layout shapes are spec-asserted
+    // (DeltaClusteringSpec), the gate proves the data path.
+    "q_delta_cluster" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_clust_gate").toString + "/t"
+      val orders = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+      graft.sources.DeltaWrite.create(s,
+        orders.filter(col("o_orderkey") % 2 === 0), base)
+      graft.sources.DeltaWrite.setClusteringColumns(s, base, Seq("o_custkey"))
+      graft.sources.DeltaWrite.append(s,
+        orders.filter(col("o_orderkey") % 2 =!= 0), base)
+      graft.sources.DeltaWrite.compact(s, base,
+        smallFileBytes = Long.MaxValue, targetFiles = 4)
+      graft.sources.DeltaScan.read(s, base)
+        .orderBy("o_orderkey")
+    }),
+
     // SORT-ORDER round trip: register a default sort order (metadata-
     // only), append under it (per-file sorted rows, manifest entries
     // stamped sort_order_id), compact into the order (range-clustered
@@ -5241,6 +5262,13 @@ object SparkEntry {
         |SELECT event_id, epoch_us(ts), user_id, event_type FROM events
         |WHERE user_id = 42
         |ORDER BY event_id, ts_us""".stripMargin,
+
+    // clustering changes LAYOUT, never content: the oracle is the
+    // plain table
+    "q_delta_cluster" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // a sort order changes LAYOUT, never content: the oracle is the
     // plain table

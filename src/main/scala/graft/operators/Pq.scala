@@ -155,8 +155,21 @@ object Pq {
   }
 
   /** Append `codes` (array<int>, length m) — the PQ compression of the
-    * embedding. Fully narrow. */
+    * embedding. Fully narrow, via the native codegen'd
+    * [[graft.plans.PqEncode]] kernel (the HOF formulation below is
+    * m·k·subDim CodegenFallback evaluations per row — the round-10
+    * full-evaluation bench priced that ~50× slower; PqSpec asserts the
+    * two paths agree code-for-code). */
   def encode(df: DataFrame, embCol: String, model: PqModel): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShim
+    df.withColumn("codes", GraftShim.column(graft.plans.PqEncode(
+      GraftShim.expression(col(embCol)), model.subDim, model.codebooks)))
+  }
+
+  /** the composable higher-order-function formulation — kept as the
+    * reference implementation the kernel must agree with (the
+    * dotHof/cosineHof pattern) */
+  private[graft] def encodeHof(df: DataFrame, embCol: String, model: PqModel): DataFrame = {
     val cb = codebookLit(model)
     val codes = transform(sequence(lit(0), lit(model.m - 1)), s => {
       val q = transform(sequence(lit(0), lit(model.subDim - 1)),

@@ -92,160 +92,90 @@ object Repetition {
     * Missing evidence (doc shorter than n tokens, single line) scores
     * 0 — absence of repetition signal never penalizes.
     *
-    * 100 TB shape: one narrow tokenize+shingle projection fused with
-    * the scan emits (doc, n, unit-hash) rows for lines, paragraphs and
-    * all nine gram sizes at once, then TWO aggregations — (doc, n,
-    * unit) counts, (doc, n) roll-up — both on high-cardinality
-    * doc-local keys (no hot keys; unit text never rides a shuffle,
-    * only its md5 + length). The span-union char mass is a narrow
-    * per-doc interval-merge fold over sorted start positions (O(tokens)
-    * via incremental slices); the only doc-keyed join ships the small
-    * (doc → starts-per-n) map back to the token arrays — the same
-    * shape the span-dedup operator uses. The shuffle carries ~9 rows
-    * per token; that is the price of six exact span unions plus three
-    * exact top-gram signals in one pass.
+    * 100 TB shape (round 10): FULLY NARROW — zero shuffles, zero
+    * joins. The aggregation key of the natural formulation is
+    * `(doc, n, unit-hash)`, and every such group lives inside ONE
+    * document, so the per-unit counting happens IN-ROW in the native
+    * [[graft.plans.GopherUnitStats]] kernel (one pass over the
+    * document's lines, paragraphs and all nine gram sizes; ~9·tokens
+    * hash-map updates per doc) — nothing per-token ever reaches a
+    * shuffle (the previous explode-then-groupBy shape shipped ~9 rows
+    * per TOKEN through two full shuffles, priced at 28 s/sf0.1-pass by
+    * the round-10 full-evaluation bench; this form runs it in ~2 s).
+    * The n≥5 span-union char mass is the native
+    * [[graft.plans.SpanUnionChars]] interval merge over each n's
+    * sorted duplicate starts, also in-row. The shuffled formulation is
+    * kept as [[gopherRepetitionSignalsShuffled]] and spec-asserted
+    * identical.
     */
   def gopherRepetitionSignals(
       df: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.GraftShim
     val spark = df.sparkSession
     val parallelism = spark.sparkContext.defaultParallelism
     val src0 = if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
 
     val tk = TextFns.tokens(col(textCol))
     val nonEmpty = (xs: Column) => filter(xs, x => length(x) > 0)
-    def unitRows(kind: Int, units: Column): Column =
-      transform(units, u => struct(
-        lit(kind).as("n"), lit(null).cast("int").as("pos"),
-        md5(u).as("uh"), length(u).cast("long").as("ul")))
-    def gramRows(n: Int): Column = {
-      val g = (i: Column) => concat_ws(" ", slice(col("__tk"), i, lit(n)))
-      // positions only matter for the n>=5 span union — keep them off
-      // the shuffle for the top-gram sizes
-      def pos(i: Column): Column =
-        if (n >= 5) i.cast("int") else lit(null).cast("int")
-      when(size(col("__tk")) >= n,
-        transform(sequence(lit(1), size(col("__tk")) - n + 1),
-          i => struct(lit(n).as("n"), pos(i).as("pos"),
-            md5(g(i)).as("uh"), length(g(i)).cast("long").as("ul"))))
-        .otherwise(array().cast("array<struct<n:int,pos:int,uh:string,ul:bigint>>"))
-    }
-
     val base = src0.select(col(idCol), tk.as("__tk"),
       nonEmpty(split(col(textCol), "\n")).as("__ln"),
       nonEmpty(split(col(textCol), "\n\n")).as("__pa"))
-    val exploded = base.select(
-      col(idCol),
-      length(concat_ws(" ", col("__tk"))).cast("long").as("__nch"),
-      explode(concat(
-        unitRows(0, col("__ln")) +: unitRows(1, col("__pa")) +:
-          (2 to 10).map(gramRows): _*)).as("__u"))
-      .select(col(idCol), col("__nch"), col("__u.n").as("__n"),
-        col("__u.pos").as("__pos"), col("__u.uh").as("__uh"), col("__u.ul").as("__ul"))
 
-    val counts = exploded
-      .groupBy(col(idCol), col("__n"), col("__uh"))
-      .agg(first(col("__ul")).as("__ul"), count(lit(1)).as("__cnt"),
-        sort_array(collect_list(col("__pos"))).as("__ps"),
-        first(col("__nch")).as("__nch"))
-    val perN = counts
-      .groupBy(col(idCol), col("__n"))
-      .agg(
-        sum("__cnt").as("__total"),
-        count(lit(1)).as("__distinct"),
-        sum((col("__cnt") - 1) * col("__ul")).as("__dupch"),
-        sum(col("__cnt") * col("__ul")).as("__totch"),
-        max(col("__cnt") * col("__ul")).as("__topch"),
-        sort_array(flatten(collect_list(when(col("__cnt") >= 2, col("__ps")))))
-          .as("__starts"),
-        first(col("__nch")).as("__nch"))
+    val statsCol = GraftShim.column(graft.plans.GopherUnitStats(
+      GraftShim.expression(col("__tk")), GraftShim.expression(col("__ln")),
+      GraftShim.expression(col("__pa")), 2, 10, 5))
+    // one named struct column per n (≤11 elements to filter over —
+    // interpreted HOF cost is per-DOC, not per-token); NULL when the
+    // doc has no units of that n (try_: ANSI element_at is loud on the
+    // empty filter result)
+    val named = base
+      .withColumn("__st", statsCol)
+      .withColumn("__nch", length(concat_ws(" ", col("__tk"))).cast("long"))
+      .select(col(idCol) +: col("__tk") +: col("__nch") +:
+        (0 to 10).map(n =>
+          try_element_at(filter(col("__st"), s => s.getField("n") === lit(n)), lit(1))
+            .as(s"__s$n")): _*)
 
     // exact round-half-up(num/den · 10^6) in pure BIGINT, then ONE
     // IEEE divide by 10^6 — the cross-engine-exact recipe used
-    // throughout (see repetitionReport)
+    // throughout (see repetitionReport). The outer coalesce catches a
+    // NULL numerator over a live denominator (doc has tokens but no
+    // units of that n) — no evidence scores 0.
     def fr(num: String, den: String): Column =
-      when(expr(den) > 0,
-        expr(s"(($num) * 2000000 + ($den)) div (2 * ($den))").cast("double") /
-          lit(1000000.0))
-        .otherwise(lit(0.0))
+      coalesce(
+        when(expr(den) > 0,
+          expr(s"(($num) * 2000000 + ($den)) div (2 * ($den))").cast("double") /
+            lit(1000000.0))
+          .otherwise(lit(0.0)),
+        lit(0.0))
 
-    // n ∈ {0 lines, 1 paragraphs, 2..4 top-gram}: pure column math
-    val flat = perN.select(
-      col(idCol), col("__n"),
-      fr("__total - __distinct", "__total").as("__fa"),
-      fr("__dupch", "__totch").as("__fb"),
-      fr("__topch", "__nch").as("__ft"),
-      col("__starts"))
+    def coveredChars(starts: Column, toks: Column, w: Int): Column =
+      coalesce(GraftShim.column(graft.plans.SpanUnionChars(
+        GraftShim.expression(starts), GraftShim.expression(toks), w)), lit(0L))
 
-    // n ∈ {5..10}: overlap-aware span-union char mass — ship the small
-    // (doc → starts per n) map back beside the token arrays, then an
-    // O(tokens) interval-merge fold per n. concat_ws slices are sized
-    // to the EXTENSION, so total work per doc stays linear.
-    val startsMap = flat
-      .filter(col("__n") >= 5 && size(col("__starts")) > 0)
-      .groupBy(col(idCol))
-      .agg(map_from_entries(collect_list(struct(col("__n"), col("__starts"))))
-        .as("__sm"))
-
-    def coveredChars(starts: Column, toks: Column, w: Int): Column = {
-      val zero = struct(lit(0).as("e"), lit(0L).as("c"))
-      val folded = aggregate(
-        starts,
-        zero,
-        (acc, s) => {
-          val e = acc.getField("e"); val c = acc.getField("c")
-          val disjoint = s >= e
-          val contained = (s + w) <= e
-          val addDisjoint = length(concat_ws(" ", slice(toks, s, lit(w)))).cast("long")
-          val addOverlap =
-            lit(1L) + length(concat_ws(" ", slice(toks, e, s + w - e))).cast("long")
-          struct(
-            when(contained, e).otherwise(s + w).as("e"),
-            when(contained, c)
-              .when(disjoint, c + addDisjoint)
-              .otherwise(c + addOverlap).as("c"))
-        },
-        acc => acc.getField("c"))
-      coalesce(folded, lit(0L))
-    }
-
-    val spanFracs = base
-      .join(startsMap, Seq(idCol), "left")
-      .select(
-        col(idCol) +:
-          length(concat_ws(" ", col("__tk"))).cast("long").as("__nch") +:
+    named.select(
+      col(idCol) +: col("__nch") +:
+        (Seq(
+          fr("__s0.total - __s0.dcnt", "__s0.total").as("dup_line_frac"),
+          fr("__s0.dupch", "__s0.totch").as("dup_line_char_frac"),
+          fr("__s1.total - __s1.dcnt", "__s1.total").as("dup_para_frac"),
+          fr("__s1.dupch", "__s1.totch").as("dup_para_char_frac"),
+          fr("__s2.topch", "__nch").as("top_2gram_char_frac"),
+          fr("__s3.topch", "__nch").as("top_3gram_char_frac"),
+          fr("__s4.topch", "__nch").as("top_4gram_char_frac")) ++
           (5 to 10).map { n =>
             coveredChars(
-              coalesce(element_at(col("__sm"), n), array().cast("array<int>")),
+              coalesce(col(s"__s$n.starts"), array().cast("array<int>")),
               col("__tk"), n).as(s"__cov$n")
-          }: _*)
-    val spanCols = (5 to 10).map(n =>
-      fr(s"__cov$n", "__nch").as(s"dup_${n}gram_char_frac"))
-    val spanOut = spanFracs.select(col(idCol) +: spanCols: _*)
-
-    def pick(n: Int, c: String): Column =
-      coalesce(max(when(col("__n") === n, col(c))), lit(0.0))
-    val flatOut = flat
-      .groupBy(col(idCol))
-      .agg(
-        pick(0, "__fa").as("dup_line_frac"),
-        pick(0, "__fb").as("dup_line_char_frac"),
-        pick(1, "__fa").as("dup_para_frac"),
-        pick(1, "__fb").as("dup_para_char_frac"),
-        pick(2, "__ft").as("top_2gram_char_frac"),
-        pick(3, "__ft").as("top_3gram_char_frac"),
-        pick(4, "__ft").as("top_4gram_char_frac"))
-
-    val zeroes = Seq(
-      "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
-      "dup_para_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
-      "top_4gram_char_frac")
-    spanOut
-      .join(flatOut, Seq(idCol), "left")
+          }): _*)
       .select(col(idCol) +:
-        (zeroes.map(c => coalesce(col(c), lit(0.0)).as(c)) ++
-          (5 to 10).map(n => col(s"dup_${n}gram_char_frac"))): _*)
+        (Seq("dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+          "dup_para_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
+          "top_4gram_char_frac").map(col) ++
+          (5 to 10).map(n =>
+            fr(s"__cov$n", "__nch").as(s"dup_${n}gram_char_frac"))): _*)
   }
 
   /** Published Gopher repetition thresholds (Rae et al. 2021 Table A1);
@@ -290,5 +220,145 @@ object Repetition {
       .filter(col("dup_ngram_frac") > maxDupFrac || col("top_gram_frac") > maxTopFrac)
       .select(idCol)
     df.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** the composable higher-order-function formulation of one n's gram
+    * unit rows — kept as the reference the [[graft.plans.GramUnitRows]]
+    * kernel must agree with (RepetitionSpec), the dotHof/cosineHof
+    * pattern */
+  /** the original explode-then-groupBy formulation of
+    * [[gopherRepetitionSignals]] — ~9 unit rows per TOKEN through two
+    * shuffles, built from the composable HOF pieces. Kept as the
+    * reference the in-row kernel path must agree with (RepetitionSpec
+    * asserts signal-for-signal equality); never the production path. */
+  private[graft] def gopherRepetitionSignalsShuffled(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val tk = TextFns.tokens(col(textCol))
+    val nonEmpty = (xs: Column) => filter(xs, x => length(x) > 0)
+    def unitRows(kind: Int, units: Column): Column =
+      transform(units, u => struct(
+        lit(kind).as("n"), lit(null).cast("int").as("pos"),
+        TextFns.portableHash(u).as("uh"), length(u).cast("long").as("ul")))
+
+    val base = df.select(col(idCol), tk.as("__tk"),
+      nonEmpty(split(col(textCol), "\n")).as("__ln"),
+      nonEmpty(split(col(textCol), "\n\n")).as("__pa"))
+    val exploded = base.select(
+      col(idCol),
+      length(concat_ws(" ", col("__tk"))).cast("long").as("__nch"),
+      explode(concat(
+        unitRows(0, col("__ln")) +: unitRows(1, col("__pa")) +:
+          (2 to 10).map(n => gramRowsHof(col("__tk"), n, 5)): _*)).as("__u"))
+      .select(col(idCol), col("__nch"), col("__u.n").as("__n"),
+        col("__u.pos").as("__pos"), col("__u.uh").as("__uh"), col("__u.ul").as("__ul"))
+
+    val counts = exploded
+      .groupBy(col(idCol), col("__n"), col("__uh"))
+      .agg(first(col("__ul")).as("__ul"), count(lit(1)).as("__cnt"),
+        sort_array(collect_list(col("__pos"))).as("__ps"),
+        first(col("__nch")).as("__nch"))
+    val perN = counts
+      .groupBy(col(idCol), col("__n"))
+      .agg(
+        sum("__cnt").as("__total"),
+        count(lit(1)).as("__distinct"),
+        sum((col("__cnt") - 1) * col("__ul")).as("__dupch"),
+        sum(col("__cnt") * col("__ul")).as("__totch"),
+        max(col("__cnt") * col("__ul")).as("__topch"),
+        sort_array(flatten(collect_list(when(col("__cnt") >= 2, col("__ps")))))
+          .as("__starts"),
+        first(col("__nch")).as("__nch"))
+
+    def fr(num: String, den: String): Column =
+      when(expr(den) > 0,
+        expr(s"(($num) * 2000000 + ($den)) div (2 * ($den))").cast("double") /
+          lit(1000000.0))
+        .otherwise(lit(0.0))
+
+    val flat = perN.select(
+      col(idCol), col("__n"),
+      fr("__total - __distinct", "__total").as("__fa"),
+      fr("__dupch", "__totch").as("__fb"),
+      fr("__topch", "__nch").as("__ft"),
+      col("__starts"))
+
+    val startsMap = flat
+      .filter(col("__n") >= 5 && size(col("__starts")) > 0)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__n"), col("__starts"))))
+        .as("__sm"))
+
+    val spanFracs = base
+      .join(startsMap, Seq(idCol), "left")
+      .select(
+        col(idCol) +:
+          length(concat_ws(" ", col("__tk"))).cast("long").as("__nch") +:
+          (5 to 10).map { n =>
+            coveredCharsHof(
+              coalesce(element_at(col("__sm"), n), array().cast("array<int>")),
+              col("__tk"), n).as(s"__cov$n")
+          }: _*)
+    val spanOut = spanFracs.select(col(idCol) +: (5 to 10).map(n =>
+      fr(s"__cov$n", "__nch").as(s"dup_${n}gram_char_frac")): _*)
+
+    def pick(n: Int, c: String): Column =
+      coalesce(max(when(col("__n") === n, col(c))), lit(0.0))
+    val flatOut = flat
+      .groupBy(col(idCol))
+      .agg(
+        pick(0, "__fa").as("dup_line_frac"),
+        pick(0, "__fb").as("dup_line_char_frac"),
+        pick(1, "__fa").as("dup_para_frac"),
+        pick(1, "__fb").as("dup_para_char_frac"),
+        pick(2, "__ft").as("top_2gram_char_frac"),
+        pick(3, "__ft").as("top_3gram_char_frac"),
+        pick(4, "__ft").as("top_4gram_char_frac"))
+
+    val zeroes = Seq(
+      "dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+      "dup_para_char_frac", "top_2gram_char_frac", "top_3gram_char_frac",
+      "top_4gram_char_frac")
+    spanOut
+      .join(flatOut, Seq(idCol), "left")
+      .select(col(idCol) +:
+        (zeroes.map(c => coalesce(col(c), lit(0.0)).as(c)) ++
+          (5 to 10).map(n => col(s"dup_${n}gram_char_frac"))): _*)
+  }
+
+  /** the fold formulation of the span-union char mass — the reference
+    * [[graft.plans.SpanUnionChars]] must agree with (RepetitionSpec) */
+  private[graft] def coveredCharsHof(starts: Column, toks: Column, w: Int): Column = {
+    val zero = struct(lit(0).as("e"), lit(0L).as("c"))
+    val folded = aggregate(
+      starts,
+      zero,
+      (acc, s) => {
+        val e = acc.getField("e"); val c = acc.getField("c")
+        val disjoint = s >= e
+        val contained = (s + w) <= e
+        val addDisjoint = length(concat_ws(" ", slice(toks, s, lit(w)))).cast("long")
+        val addOverlap =
+          lit(1L) + length(concat_ws(" ", slice(toks, e, s + w - e))).cast("long")
+        struct(
+          when(contained, e).otherwise(s + w).as("e"),
+          when(contained, c)
+            .when(disjoint, c + addDisjoint)
+            .otherwise(c + addOverlap).as("c"))
+      },
+      acc => acc.getField("c"))
+    coalesce(folded, lit(0L))
+  }
+
+  private[graft] def gramRowsHof(tk: Column, n: Int, posFromN: Int): Column = {
+    val g = (i: Column) => concat_ws(" ", slice(tk, i, lit(n)))
+    def pos(i: Column): Column =
+      if (n >= posFromN) i.cast("int") else lit(null).cast("int")
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - n + 1),
+        i => struct(lit(n).as("n"), pos(i).as("pos"),
+          TextFns.portableHash(g(i)).as("uh"), length(g(i)).cast("long").as("ul"))))
+      .otherwise(array().cast("array<struct<n:int,pos:int,uh:bigint,ul:bigint>>"))
   }
 }

@@ -89,6 +89,33 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("native encode kernel agrees with the HOF reference path code-for-code") {
+    val data = df(512)
+    val model = Pq.train(df(64), "emb", m = 4, k = 4, iters = 2)
+    def codesOf(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_id", "codes").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val kernel = codesOf(Pq.encode(data, "emb", model))
+    val hof = codesOf(Pq.encodeHof(data, "emb", model))
+    assert(kernel == hof)
+    // grid-rounding edge values (tiny magnitudes quantize to 0/±1 — the
+    // half-up boundary region) must agree too
+    val tricky = Seq(
+      (0L, Seq(5.0e-8f, -5.0e-8f, 1.5e-7f, -1.5e-7f, 0.25f, -0.25f, 0.1f, -0.1f)),
+      (1L, Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, Seq(-0.4f, 0.3f, -0.2f, 0.1f, 0.4f, -0.3f, 0.2f, -0.1f)))
+      .toDF("vec_id", "emb")
+    assert(codesOf(Pq.encode(tricky, "emb", model)) ==
+      codesOf(Pq.encodeHof(tricky, "emb", model)))
+    // short embeddings are loud on the kernel path (ANSI element_at is
+    // loud on the HOF path)
+    val short = Seq((9L, Seq(1.0f, 2.0f))).toDF("vec_id", "emb")
+    val e = intercept[Exception] {
+      Pq.encode(short, "emb", model).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("ADC of a row sitting exactly on centroids equals the table sum; zero for the query's own cell") {
     // formula codebook — no training needed for this invariant
     val model = PqModel(2, 3, 4,

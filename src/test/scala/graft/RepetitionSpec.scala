@@ -107,4 +107,58 @@ class RepetitionSpec extends SparkSpec {
     assert(sig(r, "dup_10gram_char_frac") == expect)
     assert(sig(r, "dup_5gram_char_frac") == expect) // same covered span
   }
+
+  test("in-row kernel path agrees with the shuffled reference formulation signal-for-signal") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat\nthe cat sat on the mat\n\nthe cat sat on the mat again and again and again"),
+      (2L, "a"),                       // shorter than every n
+      (3L, ""),                        // no tokens at all
+      (4L, "x y"),                     // exactly one 2-gram, one line
+      (5L, "héllo wörld émojis 😀 here twice 😀 here twice\n\nhéllo wörld émojis 😀 here twice 😀 here twice"),
+      (6L, (1 to 60).map(i => s"t${i % 5}").mkString(" ")), // wall-to-wall dup grams
+      (7L, "one two three four five six seven eight nine ten eleven twelve " +
+        "one two three four five six seven eight nine ten eleven twelve tail"))
+      .toDF("doc_id", "text")
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val kernel = rowsOf(Repetition.gopherRepetitionSignals(docs, "doc_id", "text"))
+    val shuffled = rowsOf(
+      Repetition.gopherRepetitionSignalsShuffled(docs, "doc_id", "text"))
+    assert(kernel == shuffled)
+    // and the narrow plan really is narrow: no Exchange anywhere
+    val plan = Repetition.gopherRepetitionSignals(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") ||
+      // the input-spreading repartition of a tiny test frame is the
+      // ONLY allowed exchange (input splits < cores)
+      plan.split("Exchange").length <= 2,
+      s"gopher signals must stay shuffle-free past the input spread:\n$plan")
+  }
+
+  test("native span-union kernel agrees with the fold reference path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftshim.GraftShim
+    // disjoint, overlapping, contained, repeated, beyond-array starts;
+    // multi-codepoint tokens
+    val rows = Seq(
+      (1L, Seq(1, 7, 13), (1 to 20).map(i => s"tk$i")),
+      (2L, Seq(1, 3, 5, 7), (1 to 12).map(i => s"w$i")),
+      (3L, Seq(2, 2, 3, 4, 4), (1 to 10).map(i => s"😀$i")),
+      (4L, Seq(9, 50), (1 to 10).map(i => s"t$i")),
+      (5L, Seq.empty[Int], Seq("a", "b")),
+      (6L, Seq(1), Seq.empty[String]))
+      .toDF("id", "starts", "toks")
+    (3 to 7).foreach { w =>
+      def run(c: org.apache.spark.sql.Column) =
+        rows.select(col("id"), c.as("v")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val kernel = run(coalesce(GraftShim.column(graft.plans.SpanUnionChars(
+        GraftShim.expression(col("starts")), GraftShim.expression(col("toks")), w)),
+        lit(0L)))
+      val hof = run(Repetition.coveredCharsHof(col("starts"), col("toks"), w))
+      assert(kernel == hof, s"w=$w")
+    }
+  }
 }
