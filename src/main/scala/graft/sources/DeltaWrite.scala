@@ -989,9 +989,8 @@ object DeltaWrite {
       val cpPath = new Path(logDir, f"$version%020d.checkpoint.parquet")
       writeOne(checkpointDf, cpPath, version.toString)
       val size = spark.read.parquet(cpPath.toString).count()
-      val out = fs.create(new Path(logDir, "_last_checkpoint"), true)
-      try out.write(s"""{"version":$version,"size":$size}""".getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      AtomicFiles.publishUtf8(fs, new Path(logDir, "_last_checkpoint"),
+        s"""{"version":$version,"size":$size}""", overwrite = true)
     } else {
       // ---- V2 layout: sidecar with the file actions ------------------
       val uuid = java.util.UUID.randomUUID().toString
@@ -1029,9 +1028,8 @@ object DeltaWrite {
       val topPath = new Path(logDir, f"$version%020d.checkpoint.$uuid.parquet")
       writeOne(topDf, topPath, s"top-$uuid")
       val size = spark.read.parquet(topPath.toString).count() + nAdds
-      val out = fs.create(new Path(logDir, "_last_checkpoint"), true)
-      try out.write(s"""{"version":$version,"size":$size}""".getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      AtomicFiles.publishUtf8(fs, new Path(logDir, "_last_checkpoint"),
+        s"""{"version":$version,"size":$size}""", overwrite = true)
     }
   }
 
@@ -1172,24 +1170,24 @@ object DeltaWrite {
     val logDir = new Path(root, "_delta_log")
     fs.mkdirs(logDir)
     val commitFile = new Path(logDir, f"$version%020d.json")
-    // conditional commit: create with overwrite=false is the atomic
-    // guard — of two writers racing to the same log version, the
-    // second fails loudly here instead of clobbering the first
-    val out =
-      try fs.create(commitFile, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new java.util.ConcurrentModificationException(
-            s"concurrent Delta commit detected: $commitFile already exists — " +
-              "another writer committed this version; re-read the table and retry", e)
-      }
     val txnLines = txn.toSeq.map { case (app, v) =>
       s"""{"txn":{"appId":${jstr(app)},"version":$v,"lastUpdated":$now}}"""
     }
     val ci = s"""{"commitInfo":{"timestamp":$now,"operation":${jstr(
       if (version == 0L) "CREATE TABLE AS SELECT" else "WRITE")}}}"""
-    try out.write((ci +: (header ++ txnLines ++ adds)).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    // conditional commit via content-atomic rename ([[AtomicFiles]]):
+    // of two writers racing to the same log version the second fails
+    // loudly here, and a concurrent reader can never observe a torn
+    // commit file
+    try AtomicFiles.publishUtf8(fs, commitFile,
+      (ci +: (header ++ txnLines ++ adds)).mkString("", "\n", "\n"),
+      overwrite = false)
+    catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent Delta commit detected: $commitFile already exists — " +
+            "another writer committed this version; re-read the table and retry", e)
+    }
   }
 
   /** full-history replay → per path: (latest action is add?, version,
@@ -2565,16 +2563,14 @@ object DeltaWrite {
     val logDir = new Path(root, "_delta_log")
     fs.mkdirs(logDir)
     val commitFile = new Path(logDir, f"$version%020d.json")
-    val out =
-      try fs.create(commitFile, false)
-      catch {
-        case e: java.io.IOException =>
-          throw new java.util.ConcurrentModificationException(
-            s"concurrent Delta commit detected: $commitFile already exists — " +
-              "another writer committed this version; re-read the table and retry", e)
-      }
-    try out.write(actions.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    try AtomicFiles.publishUtf8(fs, commitFile,
+      actions.mkString("", "\n", "\n"), overwrite = false)
+    catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent Delta commit detected: $commitFile already exists — " +
+            "another writer committed this version; re-read the table and retry", e)
+    }
   }
 
   /** all data files under the table root, as (relative path, size),

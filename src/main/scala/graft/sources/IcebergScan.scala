@@ -621,7 +621,14 @@ object IcebergScan {
     * retract rows it already emitted). Planning reads only the two
     * versions' metadata JSON + manifests — KBs, never data. */
   private[graft] def versionIncrement(
-      spark: SparkSession, tablePath: String, v: Int): Seq[String] = {
+      spark: SparkSession, tablePath: String, v: Int): Seq[String] =
+    versionIncrementSized(spark, tablePath, v).map(_._1)
+
+  /** [[versionIncrement]] + each new file's manifest-recorded
+    * file_size_in_bytes — the streaming source's admission control
+    * accounts bytes from planning state, no filesystem stat. */
+  private[graft] def versionIncrementSized(
+      spark: SparkSession, tablePath: String, v: Int): Seq[(String, Long)] = {
     val conf = spark.sessionState.newHadoopConf()
     val metaDir = new Path(tablePath, "metadata")
     val fs = metaDir.getFileSystem(conf)
@@ -654,8 +661,10 @@ object IcebergScan {
     val prevPaths = prevEntries.map(_.path).toSet
     val curPaths = curEntries.map(_.path).toSet
     val vanished = prevPaths -- curPaths
-    if (vanished.isEmpty) (curPaths -- prevPaths).toSeq.sorted
-    else {
+    if (vanished.isEmpty) {
+      val bytesOf = curEntries.map(e => e.path -> e.bytes).toMap
+      (curPaths -- prevPaths).toSeq.sorted.map(p => p -> bytesOf(p))
+    } else {
       // files were rewritten: only a row-preserving replace (compaction,
       // recluster) is append-only-safe, and it emits nothing new
       val op = snapshotOf(cur)

@@ -3128,11 +3128,13 @@ object IcebergWrite {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
+  // content-atomic ([[AtomicFiles]]): the metadata-json CAS
+  // (overwrite=false) and the version-hint swap (overwrite=true) are
+  // both rename-published, so no reader — the admission-controlled
+  // stream source in particular — can observe a torn control file
   private def writeUtf8(fs: FileSystem, p: Path, s: String,
-      overwrite: Boolean = true): Unit = {
-    val out = fs.create(p, overwrite)
-    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
-  }
+      overwrite: Boolean = true): Unit =
+    AtomicFiles.publishUtf8(fs, p, s, overwrite)
 
   private def jstr(s: String): String = "\"" + s.flatMap {
     case '"'  => "\\\""

@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -47,7 +47,21 @@ import graft.sources.{DeletionVectors, DeltaScan}
   * Scope: primitive top-level columns, hive partitioning (values from
   * the add's partitionValues), INT64-micros timestamps (Spark's
   * INT96 default is refused loudly — write with
-  * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`). */
+  * `spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`).
+  *
+  * ADMISSION CONTROL (the 100 TB knob): without it the FIRST
+  * micro-batch swallows the whole initial snapshot — on a large table
+  * that is one giant batch the cluster must finish (and checkpoint)
+  * in one piece. `.option("maxFilesPerTrigger", n)` /
+  * `.option("maxBytesPerTrigger", b)` bound each batch; offsets then
+  * address MID-COMMIT positions (`{"version":v,"index":i}` = versions
+  * < v fully consumed + the first i dataChange adds of v), so one huge
+  * commit splits across many batches and a restart resumes at the
+  * exact file boundary. A batch always admits at least one file (a
+  * single file larger than maxBytesPerTrigger still flows, alone).
+  * Old `{"version":v}` checkpoints deserialize as fully-consumed-v.
+  * `Trigger.AvailableNow` is supported natively: the end version is
+  * pinned at query start and drained in capped batches. */
 class DeltaStreamProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     DeltaStreamSource.tableSchema(DeltaStreamSource.pathOf(options))._1
@@ -72,77 +86,164 @@ private[streaming] class DeltaStreamTable(schema: StructType, path: String)
         override def readSchema(): StructType = schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new DeltaMicroBatchStream(path, schema,
-            Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L))
+            Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
+            Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+            Option(options.get("maxBytesPerTrigger")).map(_.toLong))
       }
     }
 }
 
-/** offset = highest log version already processed */
-private[streaming] case class DeltaVersionOffset(version: Long) extends Offset {
-  override def json(): String = s"""{"version":$version}"""
+/** Stream position: versions `< version` fully consumed, plus the first
+  * `index` dataChange add-files of `version`. `index = Long.MaxValue`
+  * means the whole version is consumed (and is what pre-admission
+  * checkpoints — bare `{"version":v}` — deserialize to). */
+private[streaming] case class DeltaStreamOffset(version: Long, index: Long)
+    extends Offset {
+  override def json(): String = s"""{"version":$version,"index":$index}"""
 }
 
 private[streaming] class DeltaMicroBatchStream(
-    path: String, schema: StructType, startingVersion: Long)
-    extends MicroBatchStream {
+    path: String, schema: StructType, startingVersion: Long,
+    maxFilesPerTrigger: Option[Int], maxBytesPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
 
-  override def initialOffset(): Offset = DeltaVersionOffset(startingVersion - 1)
+  maxFilesPerTrigger.foreach(n => require(n > 0,
+    s"maxFilesPerTrigger must be positive, got $n"))
+  maxBytesPerTrigger.foreach(b => require(b > 0,
+    s"maxBytesPerTrigger must be positive, got $b"))
 
-  override def latestOffset(): Offset =
-    DeltaVersionOffset(DeltaScan.latestVersion(spark, path))
+  /** parsed dataChange adds of one committed version, in log-line order
+    * (the order is part of the offset contract — `index` counts these).
+    * Bounded memo: latestOffset and planInputPartitions both walk the
+    * same versions each trigger; without it every poll re-parses the
+    * same KBs of JSON. */
+  private val addsMemo =
+    new java.util.LinkedHashMap[Long, IndexedSeq[DeltaAddFile]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: JMap.Entry[Long, IndexedSeq[DeltaAddFile]]): Boolean = size() > 64
+    }
 
-  override def deserializeOffset(json: String): Offset =
-    DeltaVersionOffset(new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(json).get("version").asLong())
+  private def addsOf(v: Long): IndexedSeq[DeltaAddFile] = addsMemo.synchronized {
+    val hit = addsMemo.get(v)
+    if (hit != null) return hit
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(path).getFileSystem(conf)
+    val root = fs.makeQualified(new Path(path))
+    val p = new Path(root, f"_delta_log/$v%020d.json")
+    require(fs.exists(p),
+      s"streaming source lost commit $v of $path (log truncated?)")
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val adds = IndexedSeq.newBuilder[DeltaAddFile]
+    lines.map(mapper.readTree).foreach { node =>
+      if (node.has("add")) {
+        val add = node.get("add")
+        val dataChange = Option(add.get("dataChange")).forall(_.asBoolean(true))
+        val dv = add.get("deletionVector")
+        require(dv == null || dv.isNull,
+          s"commit $v of $path re-adds a file with a deletion vector — " +
+            "an append-only stream cannot retract already-emitted rows; " +
+            "use the batch reader for DV tables")
+        if (dataChange) {
+          val decoded = graft.sources.DeltaScan.percentDecode(add.get("path").asText())
+          val pv: Map[String, String] =
+            Option(add.get("partitionValues")).map(_.fields().asScala.map(e =>
+              e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+              .getOrElse(Map.empty)
+          adds += DeltaAddFile(new Path(root, decoded).toString, pv,
+            Option(add.get("size")).map(_.asLong()).getOrElse(0L))
+        }
+      } else if (node.has("remove")) {
+        val rm = node.get("remove")
+        val dataChange = Option(rm.get("dataChange")).forall(_.asBoolean(true))
+        require(!dataChange,
+          s"commit $v of $path removes data (delete/update/merge/restore) — " +
+            "an append-only stream cannot retract already-emitted rows; " +
+            "re-derive downstream state from the batch reader instead")
+      }
+    }
+    val r = adds.result()
+    addsMemo.put(v, r)
+    r
+  }
+
+  override def initialOffset(): Offset =
+    DeltaStreamOffset(startingVersion - 1, Long.MaxValue)
+
+  // Trigger.AvailableNow pins the drain target at query start; capped
+  // batches then walk up to it and the query stops there.
+  @volatile private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(DeltaScan.latestVersion(spark, path))
+
+  override def getDefaultReadLimit: ReadLimit =
+    StreamAdmission.defaultLimit(maxFilesPerTrigger, maxBytesPerTrigger)
+
+  override def reportLatestOffset(): Offset =
+    DeltaStreamOffset(DeltaScan.latestVersion(spark, path), Long.MaxValue)
+
+  // SupportsAdmissionControl routes planning through the 2-arg form;
+  // the legacy no-arg answer is simply "everything"
+  override def latestOffset(): Offset = reportLatestOffset()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[DeltaStreamOffset]
+    val caps = StreamAdmission.capsOf(limit)
+    val latest = availableNowEnd.getOrElse(DeltaScan.latestVersion(spark, path))
+    var (curV, curI) = (s.version, s.index)
+    var (files, bytes) = (0L, 0L)
+    var v = if (s.index == Long.MaxValue) s.version + 1 else s.version
+    while (v <= latest) {
+      val adds = addsOf(v)
+      var i = if (v == s.version && s.index != Long.MaxValue)
+        math.min(s.index, adds.size.toLong).toInt else 0
+      while (i < adds.size) {
+        if (!caps.accepts(files, bytes, adds(i).bytes))
+          return DeltaStreamOffset(curV, curI)
+        files += 1; bytes += adds(i).bytes
+        curV = v; curI = i + 1L
+        i += 1
+      }
+      v += 1
+    }
+    // post-loop = every add through `latest` is consumed (caps return
+    // mid-loop): mark the latest version fully consumed — also when its
+    // tail is metadata-only commits — so polls don't re-walk them; only
+    // a genuinely unchanged log returns the start offset (no batch)
+    if (files == 0L && latest <= s.version) DeltaStreamOffset(s.version, s.index)
+    else DeltaStreamOffset(latest, Long.MaxValue)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    DeltaStreamOffset(node.get("version").asLong(),
+      Option(node.get("index")).map(_.asLong()).getOrElse(Long.MaxValue))
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[DeltaVersionOffset].version
-    val to = end.asInstanceOf[DeltaVersionOffset].version
-    if (to <= from) return Array.empty
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new Path(path).getFileSystem(conf)
-    val root = fs.makeQualified(new Path(path))
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val s = start.asInstanceOf[DeltaStreamOffset]
+    val e = end.asInstanceOf[DeltaStreamOffset]
+    if (e.version < s.version ||
+        (e.version == s.version && e.index <= s.index)) return Array.empty
     val parts = Seq.newBuilder[InputPartition]
-    ((from + 1) to to).foreach { v =>
-      val p = new Path(root, f"_delta_log/$v%020d.json")
-      require(fs.exists(p),
-        s"streaming source lost commit $v of $path (log truncated?)")
-      val in = fs.open(p)
-      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-        finally in.close()
-      lines.map(mapper.readTree).foreach { node =>
-        if (node.has("add")) {
-          val add = node.get("add")
-          val dataChange = Option(add.get("dataChange")).forall(_.asBoolean(true))
-          val dv = add.get("deletionVector")
-          require(dv == null || dv.isNull,
-            s"commit $v of $path re-adds a file with a deletion vector — " +
-              "an append-only stream cannot retract already-emitted rows; " +
-              "use the batch reader for DV tables")
-          if (dataChange) {
-            val decoded = graft.sources.DeltaScan.percentDecode(add.get("path").asText())
-            val pv: Map[String, String] =
-              Option(add.get("partitionValues")).map(_.fields().asScala.map(e =>
-                e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
-                .getOrElse(Map.empty)
-            parts += DeltaFilePartition(
-              new Path(root, decoded).toString, pv)
-          }
-        } else if (node.has("remove")) {
-          val rm = node.get("remove")
-          val dataChange = Option(rm.get("dataChange")).forall(_.asBoolean(true))
-          require(!dataChange,
-            s"commit $v of $path removes data (delete/update/merge/restore) — " +
-              "an append-only stream cannot retract already-emitted rows; " +
-              "re-derive downstream state from the batch reader instead")
-        }
+    var v = if (s.index == Long.MaxValue) s.version + 1 else s.version
+    while (v <= e.version) {
+      val adds = addsOf(v)
+      val from = if (v == s.version && s.index != Long.MaxValue)
+        math.min(s.index, adds.size.toLong).toInt else 0
+      val to = if (v == e.version)
+        math.min(e.index, adds.size.toLong).toInt else adds.size
+      (from until to).foreach { i =>
+        parts += DeltaFilePartition(adds(i).abs, adds(i).partitionValues)
       }
+      v += 1
     }
     parts.result().toArray
   }
@@ -150,6 +251,46 @@ private[streaming] class DeltaMicroBatchStream(
   override def createReaderFactory(): PartitionReaderFactory =
     new DeltaFileReaderFactory(schema,
       new DeletionVectors.ConfHolder(spark.sparkContext.hadoopConfiguration))
+}
+
+/** one dataChange add action: absolute file path, hive partition
+  * values, and the action's recorded byte size (admission accounting) */
+private[streaming] case class DeltaAddFile(
+    abs: String, partitionValues: Map[String, String], bytes: Long)
+
+/** Shared ReadLimit → per-batch caps decoding for the lakehouse stream
+  * sources. Files/bytes caps only — these sources admit whole FILES
+  * (the transactional unit of both logs); row limits would split a
+  * file and are refused loudly. */
+private[streaming] object StreamAdmission {
+  final case class Caps(maxFiles: Option[Long], maxBytes: Option[Long]) {
+    /** at least one file per batch, else both caps must hold */
+    def accepts(filesTaken: Long, bytesTaken: Long, nextBytes: Long): Boolean =
+      filesTaken == 0L ||
+        (maxFiles.forall(filesTaken < _) &&
+          maxBytes.forall(bytesTaken + nextBytes <= _))
+  }
+
+  def defaultLimit(maxFiles: Option[Int], maxBytes: Option[Long]): ReadLimit =
+    (maxFiles.map(ReadLimit.maxFiles).toSeq ++
+      maxBytes.map(ReadLimit.maxBytes).toSeq) match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+
+  def capsOf(limit: ReadLimit): Caps = limit match {
+    case _: ReadAllAvailable => Caps(None, None)
+    case f: ReadMaxFiles => Caps(Some(f.maxFiles().toLong), None)
+    case b: ReadMaxBytes => Caps(None, Some(b.maxBytes()))
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(capsOf).foldLeft(Caps(None, None)) { (acc, x) =>
+        Caps(acc.maxFiles.orElse(x.maxFiles), acc.maxBytes.orElse(x.maxBytes))
+      }
+    case other => throw new IllegalArgumentException(
+      s"unsupported ReadLimit $other — the lakehouse stream sources admit " +
+        "whole files: use maxFilesPerTrigger / maxBytesPerTrigger")
+  }
 }
 
 private[streaming] case class DeltaFilePartition(
