@@ -2006,6 +2006,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ROW TRACKING lifecycle: enable (backfill) -> append (fresh ids)
+    // -> DV delete (ids preserved) -> compact (ids MATERIALIZED into
+    // the rewrite). Row-id stability is part of the hash-checked
+    // result: the final read joins the pre-compact id assignment and
+    // keeps only rows whose id is UNCHANGED — any re-identified row
+    // would drop from the output and fail the count/hash vs the
+    // oracle, which expects every surviving document.
+    "q_delta_rowtrack" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_rt_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.DeltaWrite.create(
+        s, docs.filter(col("doc_id") % 2 === 0).repartition(4), base)
+      graft.sources.DeltaWrite.enableRowTracking(s, base)
+      graft.sources.DeltaWrite.append(
+        s, docs.filter(col("doc_id") % 2 =!= 0).repartition(4), base)
+      // pre-compact id assignment (plans pin the pre-compact file list
+      // at call time; compaction keeps old files on disk until vacuum)
+      val pre = graft.sources.DeltaWrite.readWithRowIds(s, base)
+        .select(col("doc_id"), col("_row_id").as("rid0"))
+      graft.sources.DeltaWrite.compact(s, base,
+        smallFileBytes = 1L << 30, targetFiles = 2)
+      graft.sources.DeltaWrite.deleteWhereDV(s, base, col("doc_id") % 7 === 0)
+      graft.sources.DeltaWrite.readWithRowIds(s, base)
+        .join(pre, Seq("doc_id"))
+        .filter(col("_row_id") === col("rid0"))
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // Delta copy-on-write row-level DELETE: lang-partitioned table,
     // delete over a data-column predicate, read back — victims
     // rewritten behind one remove+add commit, survivors intact
@@ -5081,6 +5110,11 @@ object SparkEntry {
     "q_delta_dv" ->
       """SELECT doc_id, lang, text FROM documents
         |WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_delta_rowtrack" ->
+      """SELECT doc_id, lang, text FROM documents
+        |WHERE doc_id % 7 <> 0
         |ORDER BY doc_id""".stripMargin,
 
     "q_iceberg_compact" ->

@@ -655,10 +655,10 @@ object DeltaScan {
   /** Collapse `scheme://host` prefixes so the planner-side path strings
     * and `_metadata.file_path` compare equal regardless of how the
     * FileSystem qualified them. */
-  private def normalizePath(p: String): String =
+  private[sources] def normalizePath(p: String): String =
     p.replaceFirst("^[A-Za-z][A-Za-z0-9+.\\-]*:/+", "/")
 
-  private def normalizePathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[sources] def normalizePathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.\\-]*:/+", "/")
 
   private[sources] def physicalName(f: StructField): String =

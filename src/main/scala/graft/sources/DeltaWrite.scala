@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
 
 /** Minimal dependency-free Delta Lake WRITER — the sink half of the
   * built-in lakehouse support (reader: [[DeltaScan]]). Writes the
@@ -225,6 +225,7 @@ object DeltaWrite {
     * [[IcebergWrite.appendToBranch]] WAP branches. */
   def cloneShallow(spark: SparkSession, sourcePath: String, targetPath: String): Unit = {
     val fs = new Path(sourcePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireNoRowTracking(spark, fs, sourcePath, "cloneShallow")
     require(!fs.exists(new Path(targetPath, "_delta_log")),
       s"Delta log already exists at $targetPath")
     val sourceRoot = fs.makeQualified(new Path(sourcePath))
@@ -402,29 +403,8 @@ object DeltaWrite {
     * `clustering` (empty when already present); reader version and
     * reader features carry verbatim — both features are writer-only */
   private def clusteringProtocolAction(
-      proto: Option[com.fasterxml.jackson.databind.node.ObjectNode]): Seq[String] = {
-    val need = Seq("clustering", "domainMetadata")
-    val existingW = proto.toSeq.flatMap(p =>
-      Option(p.get("writerFeatures")).toSeq.flatMap(_.elements().asScala
-        .map(_.asText()).toSeq))
-    if (need.forall(existingW.contains)) return Seq.empty
-    val minReader = proto.map(_.get("minReaderVersion").asInt()).getOrElse(1)
-    val minWriter = proto.map(_.get("minWriterVersion").asInt()).getOrElse(2)
-    val readerFeats = proto.toSeq.flatMap(p =>
-      Option(p.get("readerFeatures")).toSeq.flatMap(_.elements().asScala
-        .map(_.asText()).toSeq))
-    val legacyReader = if (minReader == 2 && readerFeats.isEmpty)
-      Seq("columnMapping") else Seq.empty
-    val w = (existingW ++
-      (if (minWriter < 7) legacyWriterFeatures(minWriter) else Seq.empty) ++
-      need).distinct.sorted
-    def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
-    val readerPart =
-      if (readerFeats.nonEmpty || legacyReader.nonEmpty)
-        s""""minReaderVersion":3,"readerFeatures":${arr((readerFeats ++ legacyReader).distinct.sorted)},"""
-      else s""""minReaderVersion":$minReader,"""
-    Seq(s"""{"protocol":{$readerPart"minWriterVersion":7,"writerFeatures":${arr(w)}}}""")
-  }
+      proto: Option[com.fasterxml.jackson.databind.node.ObjectNode]): Seq[String] =
+    featureProtocolAction(proto, Seq("clustering", "domainMetadata"))
 
   /** latest protocol action — JSON tail newest-first, else the
     * checkpoint top files (mirrors [[latestMetaNodeAny]]) */
@@ -839,7 +819,11 @@ object DeltaWrite {
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
       StructField("stats", StringType), // data-skipping survives checkpointing
-      StructField("deletionVector", dvType)))
+      StructField("deletionVector", dvType),
+      // row tracking: ids must survive log truncation or every row
+      // would silently re-identify at the next checkpoint cleanup
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))
     val metaType = StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(
@@ -1178,9 +1162,10 @@ object DeltaWrite {
     // conditional commit via content-atomic rename ([[AtomicFiles]]):
     // of two writers racing to the same log version the second fails
     // loudly here, and a concurrent reader can never observe a torn
-    // commit file
+    // commit file. Row-tracked tables stamp baseRowIds first.
+    val lines = stampRowTracking(fs, root, version, header ++ txnLines ++ adds)
     try AtomicFiles.publishUtf8(fs, commitFile,
-      (ci +: (header ++ txnLines ++ adds)).mkString("", "\n", "\n"),
+      (ci +: lines).mkString("", "\n", "\n"),
       overwrite = false)
     catch {
       case e: java.io.IOException =>
@@ -1249,6 +1234,7 @@ object DeltaWrite {
   def restore(spark: SparkSession, tablePath: String, toVersion: Long): (Int, Int) = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNoDeletionVectors(spark, tablePath)
+    requireNoRowTracking(spark, fs, tablePath, "restore")
     val root = fs.makeQualified(new Path(tablePath))
     val cur = DeltaScan.latestVersion(spark, tablePath)
     require(toVersion >= 0 && toVersion <= cur,
@@ -1347,9 +1333,54 @@ object DeltaWrite {
     // missing from the files (post-drop metadata) fall back to the
     // plain repartition rather than failing maintenance.
     val cluster = DeltaScan.clusteringColumns(spark, tablePath)
+    // ROW-TRACKED tables: a compaction MOVES rows, so the rewrite
+    // MATERIALIZES each row's id/commit-version into the hidden
+    // materialized columns (coalesced over any value an earlier
+    // compaction already materialized; fresh rows compute
+    // baseRowId + file position from the parquet source's own
+    // `_metadata.row_index`). The new files still get fresh
+    // baseRowIds from the commit stamp, as the protocol requires —
+    // the materialized values win on read.
+    val rtConf = latestMetaNodeAny(spark, fs, tablePath).map(configOf)
+      .getOrElse(Map.empty)
+    val rtOn = rowTrackingEnabledConf(rtConf)
+    val rtState: Map[String, (Long, Long)] =
+      if (!rtOn) Map.empty else rowTrackingFileState(fs, root.toString)
+    def materializeIds(src: DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+      val matId = rtConf(MatRowIdKey)
+      val matCv = rtConf(MatRowCommitKey)
+      import spark.implicits._
+      val baseDf = broadcast(rtState.toSeq
+        .map { case (rel, (b, cv)) =>
+          (DeltaScan.normalizePath(new Path(root, rel).toUri.toString), b, cv)
+        }.toDF("__file", "__base", "__dcv"))
+      src
+        .withColumn("__file",
+          DeltaScan.normalizePathCol(col("_metadata.file_path")))
+        .withColumn("__idx", col("_metadata.row_index"))
+        .join(baseDf, Seq("__file"), "left")
+        .withColumn(matId, coalesce(col(matId), col("__base") + col("__idx")))
+        .withColumn(matCv, coalesce(col(matCv), col("__dcv")))
+        .drop("__file", "__idx", "__base", "__dcv")
+    }
     val added = groups.toSeq.sortBy(_._1).flatMap { case (partDir, rels) =>
       writeStaged(fs, root, destPrefix = partDir) { staging =>
-        val src = spark.read.parquet(rels.map(r => new Path(root, r).toString): _*)
+        val paths = rels.map(r => new Path(root, r).toString)
+        val src0 = spark.read.parquet(paths: _*)
+        val src =
+          if (!rtOn) src0
+          else {
+            // explicit schema: data columns + the materialized columns
+            // (files that predate materialization read them as NULL —
+            // default parquet schema inference would drop them when the
+            // first file lacks the columns)
+            val matCols = Seq(rtConf(MatRowIdKey), rtConf(MatRowCommitKey))
+            val withMat = StructType(
+              src0.schema.fields.filterNot(f => matCols.contains(f.name)) ++
+                matCols.map(StructField(_, LongType, nullable = true)))
+            materializeIds(spark.read.schema(withMat).parquet(paths: _*))
+          }
         val shaped =
           if (cluster.nonEmpty && cluster.forall(src.columns.contains)) {
             import org.apache.spark.sql.functions.col
@@ -1443,19 +1474,26 @@ object DeltaWrite {
     * root from `_metadata.file_path` after scheme normalization. */
   private def liveScan(spark: SparkSession, root: Path, schema: StructType,
       partCols: Seq[String], live: Seq[String],
-      mapped: Boolean = false): DataFrame = {
+      mapped: Boolean = false,
+      // hidden physical long columns read ALONGSIDE the table schema
+      // (row tracking's materialized columns — absent files read NULL)
+      extraLongCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     val abs = live.map(r => new Path(root, r).toString)
+    val extraFields = extraLongCols.map(StructField(_, LongType, nullable = true))
     // column-mapped tables store PHYSICAL names in parquet AND in the
     // hive partition dirs — read physical, project back to logical at
     // the end (schema field metadata carries the physicalName mapping)
-    val readSchema =
-      if (!mapped) schema
-      else StructType(schema.fields.map(f => StructField(
-        DeltaScan.physicalName(f), DeltaScan.physicalType(f.dataType), f.nullable)))
-    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name))
-      .map(f => if (!mapped) f else StructField(
-        DeltaScan.physicalName(f), DeltaScan.physicalType(f.dataType), f.nullable)))
+    val readSchema = StructType(
+      (if (!mapped) schema.fields.toSeq
+       else schema.fields.toSeq.map(f => StructField(
+         DeltaScan.physicalName(f), DeltaScan.physicalType(f.dataType), f.nullable)))
+        ++ extraFields)
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => partCols.contains(f.name))
+        .map(f => if (!mapped) f else StructField(
+          DeltaScan.physicalName(f), DeltaScan.physicalType(f.dataType), f.nullable))
+        .toSeq ++ extraFields)
     val base =
       if (partCols.isEmpty) spark.read.schema(dataSchema).parquet(abs: _*)
       else spark.read.option("basePath", root.toString).schema(readSchema)
@@ -1486,6 +1524,7 @@ object DeltaWrite {
       .select(schema.fields.map(f =>
         if (!mapped) col(f.name)
         else col(DeltaScan.physicalName(f)).cast(f.dataType).as(f.name)).toSeq ++
+        extraLongCols.map(col) ++
         Seq(col("__rel"), col("__pos")): _*)
   }
 
@@ -1591,6 +1630,7 @@ object DeltaWrite {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNoDeletionVectors(spark, tablePath)
     requireNoAbsoluteAdds(spark, fs, tablePath, "deleteWhere")
+    requireNoRowTracking(spark, fs, tablePath, "deleteWhere")
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
     val mapped = isMapped(fs, tablePath)
@@ -1638,6 +1678,7 @@ object DeltaWrite {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNoDeletionVectors(spark, tablePath)
     requireNoAbsoluteAdds(spark, fs, tablePath, "updateWhere")
+    requireNoRowTracking(spark, fs, tablePath, "updateWhere")
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
     val mapped = isMapped(fs, tablePath)
@@ -2067,6 +2108,7 @@ object DeltaWrite {
     import org.apache.spark.sql.functions._
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNoAbsoluteAdds(spark, fs, tablePath, "purge")
+    requireNoRowTracking(spark, fs, tablePath, "purge")
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
     val mapped = isMapped(fs, tablePath)
@@ -2135,6 +2177,7 @@ object DeltaWrite {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireNoDeletionVectors(spark, tablePath)
     requireNoAbsoluteAdds(spark, fs, tablePath, "merge")
+    requireNoRowTracking(spark, fs, tablePath, "merge")
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
     val mapped = isMapped(fs, tablePath)
@@ -2250,6 +2293,7 @@ object DeltaWrite {
     val root = fs.makeQualified(new Path(tablePath))
     requireNoDeletionVectors(spark, tablePath)
     requireNoAbsoluteAdds(spark, fs, tablePath, "zorder")
+    requireNoRowTracking(spark, fs, tablePath, "zorder")
     val readV = DeltaScan.latestVersion(spark, tablePath)
     val live = replayActions(spark, fs, tablePath, Some(readV))
       .collect { case (p, true, _, _) => p }
@@ -2490,6 +2534,12 @@ object DeltaWrite {
       lines.map(mapper.readTree).foreach { node =>
         if (node.has("metaData")) conflict(v, "table metadata changed")
         else if (node.has("protocol")) conflict(v, "table protocol changed")
+        else if (node.has("domainMetadata"))
+          // a concurrent domain write (clustering declaration, row-id
+          // high-watermark bump) and this DML's own stamped domain
+          // cannot both be replayed blindly — conservative conflict
+          conflict(v, "table domain metadata changed concurrently " +
+            s"(domain ${node.get("domainMetadata").get("domain").asText()})")
         else if (node.has("remove")) {
           val rel = decodePath(node.get("remove").get("path").asText())
           if (scope.touched(rel))
@@ -2555,11 +2605,15 @@ object DeltaWrite {
     * the atomic guard) */
   private def writeCommitFile(fs: FileSystem, root: Path, version: Long,
       actions0: Seq[String], operation: Option[String] = scala.None): Unit = {
+    // row-tracked tables: adds get baseRowId/defaultRowCommitVersion +
+    // the bumped high-watermark HERE, inside the commit write, so OCC
+    // retries re-stamp from fresh state (identity when not enabled)
+    val stamped = stampRowTracking(fs, root, version, actions0)
     // a commitInfo with the operation name makes DESCRIBE-HISTORY-style
     // tooling (and timestamp travel) read in-commit evidence
     val actions = operation.map(op =>
       s"""{"commitInfo":{"timestamp":${System.currentTimeMillis()},"operation":${jstr(op)}}}""")
-      .toSeq ++ actions0
+      .toSeq ++ stamped
     val logDir = new Path(root, "_delta_log")
     fs.mkdirs(logDir)
     val commitFile = new Path(logDir, f"$version%020d.json")
@@ -2674,4 +2728,286 @@ object DeltaWrite {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   } + "\""
+
+  // ======================================================================
+  // ROW TRACKING (Delta PROTOCOL §Row Tracking): stable per-row
+  // identifiers that survive maintenance. Every add-file carries a
+  // `baseRowId` and `defaultRowCommitVersion`; a row's FRESH id is
+  // baseRowId + its position in the file, and rewrites that MOVE rows
+  // (compact) carry the old ids forward in hidden MATERIALIZED columns
+  // (table properties delta.rowTracking.materializedRowId/
+  // RowCommitVersionColumnName) which readers coalesce over the fresh
+  // computation. Allocation state is the `delta.rowTracking` metadata
+  // domain's rowIdHighWaterMark, bumped in the same commit that
+  // consumes it.
+  //
+  // Scale shape: id assignment is pure METADATA work — per new FILE,
+  // one footer row count the commit already reads for stats; no row is
+  // ever touched. The reader computes ids from the parquet source's
+  // own `_metadata.row_index` (zero storage for fresh rows) and only
+  // compaction pays materialization, at maintenance time.
+  //
+  // Semantics scope (stated loudly, enforced loudly):
+  // - DV (merge-on-read) DELETE preserves ids exactly — rows never
+  //   move, and the DV re-add carries the original add node verbatim.
+  // - COMPACT preserves ids by materializing them into the rewritten
+  //   files (fresh baseRowIds are still assigned to the new files, as
+  //   the protocol requires; the materialized values win on read).
+  // - updateWhereDV / mergeDV keep working: their surviving rows keep
+  //   ids (DV side), their IMAGE/source rows are NEW rows and get
+  //   fresh ids — row identity is not preserved across row rewrites
+  //   by these ops (the protocol's unpreserved-update mode).
+  // - Copy-on-write row DML (deleteWhere/updateWhere/merge), restore,
+  //   purge and cloneShallow REFUSE on row-tracked tables: each would
+  //   silently re-identify rows; the DV twins + compact cover the
+  //   lifecycle.
+  // ======================================================================
+
+  private[sources] val RowTrackingDomain = "delta.rowTracking"
+  private[sources] val EnableRowTrackingKey = "delta.enableRowTracking"
+  private[sources] val MatRowIdKey = "delta.rowTracking.materializedRowIdColumnName"
+  private[sources] val MatRowCommitKey =
+    "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+  private def rowTrackingEnabledConf(conf: Map[String, String]): Boolean =
+    conf.get(EnableRowTrackingKey).contains("true")
+
+  /** is the TABLE row-tracked (latest metaData configuration)? */
+  private[sources] def rowTrackingEnabled(spark: SparkSession, fs: FileSystem,
+      tablePath: String): Boolean =
+    latestMetaNodeAny(spark, fs, tablePath)
+      .exists(md => rowTrackingEnabledConf(configOf(md)))
+
+  private def requireNoRowTracking(spark: SparkSession, fs: FileSystem,
+      tablePath: String, op: String): Unit =
+    require(!rowTrackingEnabled(spark, fs, tablePath),
+      s"$op would silently re-identify rows of the row-tracked table " +
+        s"$tablePath (row ids are not preserved through this path) — use " +
+        "the deletion-vector DML twins (deleteWhereDV/updateWhereDV/mergeDV) " +
+        "and compact, which preserve row identity")
+
+  /** current rowIdHighWaterMark (-1 when unset) */
+  private def rowIdHighWaterMark(spark: SparkSession, tablePath: String): Long =
+    DeltaScan.domainMetadata(spark, tablePath).get(RowTrackingDomain)
+      .flatMap { cfg =>
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(cfg)
+        Option(node.get("rowIdHighWaterMark")).map(_.asLong())
+      }.getOrElse(-1L)
+
+  /** Enable row tracking on an existing table: ONE commit carrying the
+    * writer-7 `rowTracking`+`domainMetadata` protocol upgrade, the
+    * metaData re-declaration with `delta.enableRowTracking=true` + the
+    * materialized column-name properties, and a BACKFILL re-add of
+    * every live file with its assigned `baseRowId` (dataChange=false —
+    * no rows change, streams skip it), plus the high-watermark domain.
+    * Existing rows get ids in path-sorted file order. Idempotent-safe:
+    * enabling an already-enabled table refuses loudly. */
+  def enableRowTracking(spark: SparkSession, tablePath: String): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(tablePath))
+    val md = latestMetaNodeAny(spark, fs, tablePath).getOrElse(
+      throw new IllegalStateException(
+        s"no metaData at $tablePath — cannot enable row tracking"))
+    val conf0 = configOf(md)
+    require(!rowTrackingEnabledConf(conf0),
+      s"row tracking is already enabled on $tablePath")
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val newConf = conf0 ++ Map(
+      EnableRowTrackingKey -> "true",
+      MatRowIdKey -> s"_rowtrack_row_id_$suffix",
+      MatRowCommitKey -> s"_rowtrack_commit_version_$suffix")
+    val mdNode = md.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cfgNode = mapper.createObjectNode()
+    newConf.foreach { case (k, v) => cfgNode.put(k, v) }
+    mdNode.set[com.fasterxml.jackson.databind.node.ObjectNode]("configuration", cfgNode)
+    val metaAction = s"""{"metaData":${mdNode.toString}}"""
+    val proto = latestProtoNodeAny(spark, fs, tablePath)
+    val protoActions = featureProtocolAction(proto,
+      Seq("rowTracking", "domainMetadata"))
+    // backfill: re-add every live file (the stamp pass below assigns
+    // baseRowId to any add lacking one)
+    val now = System.currentTimeMillis()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = replayActions(spark, fs, tablePath)
+      .collect { case (p, true, _, _) => p }.sorted
+    val backfill = parMetaMap(live) { rel =>
+      val p = new Path(root, rel)
+      val size = fs.getFileStatus(p).getLen
+      val stats = ParquetStats.statsJson(conf, p)
+        .map(s => s""","stats":${jstr(s)}""").getOrElse("")
+      s"""{"add":{"path":${jstr(encodePath(rel))},"partitionValues":{${partitionValuesJson(rel)}},"size":$size,"modificationTime":$now,"dataChange":false$stats}}"""
+    }
+    val v = DeltaScan.latestVersion(spark, tablePath) + 1
+    // writeCommitFile stamps the backfill adds (the in-lines metaData
+    // already declares the property) and appends the high-watermark
+    writeCommitFile(fs, root, v,
+      protoActions ++ Seq(metaAction) ++ backfill,
+      operation = Some("ENABLE ROW TRACKING"))
+  }
+
+  /** Stamp `baseRowId` + `defaultRowCommitVersion` onto every add
+    * action that lacks them, and append the bumped high-watermark
+    * domain action — a no-op (identity) unless the table (or this very
+    * commit's metaData) declares row tracking. Runs INSIDE the commit
+    * write so OCC retries re-read the watermark and re-stamp from
+    * fresh state. Row counts come from the add's own stats
+    * (numRecords), falling back to one footer read — metadata-bounded,
+    * never row-bounded. DV re-adds arrive with their original
+    * baseRowId and pass through untouched (their rows never moved). */
+  private def stampRowTracking(fs: FileSystem, root: Path, version: Long,
+      actions: Seq[String]): Seq[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    lazy val parsed = actions.map(mapper.readTree)
+    val spark = SparkSession.active
+    val enabledInLines = actions.exists(_.contains(EnableRowTrackingKey)) &&
+      parsed.exists(n => Option(n.get("metaData")).exists(md =>
+        Option(md.get("configuration")).exists(c =>
+          Option(c.get(EnableRowTrackingKey)).exists(_.asText() == "true"))))
+    val enabled = enabledInLines ||
+      rowTrackingEnabled(spark, fs, root.toString)
+    if (!enabled) return actions
+    val needsStamp = parsed.zipWithIndex.collect {
+      case (n, i) if n.has("add") && !n.get("add").has("baseRowId") => i
+    }
+    if (needsStamp.isEmpty) return actions
+    val conf = spark.sparkContext.hadoopConfiguration
+    var hwm = rowIdHighWaterMark(spark, root.toString)
+    val out = actions.toArray
+    needsStamp.foreach { i =>
+      val add = parsed(i).get("add")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val rows = Option(add.get("stats")).filterNot(_.isNull).flatMap { st =>
+        Option(mapper.readTree(st.asText()).get("numRecords")).map(_.asLong())
+      }.getOrElse {
+        val p = new Path(root, decodePath(add.get("path").asText()))
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try r.getRecordCount finally r.close()
+      }
+      add.put("baseRowId", hwm + 1L)
+      add.put("defaultRowCommitVersion", version)
+      hwm += math.max(rows, 0L)
+      out(i) = s"""{"add":${add.toString}}"""
+    }
+    out.toSeq :+
+      (s"""{"domainMetadata":{"domain":${jstr(RowTrackingDomain)},""" +
+        s""""configuration":${jstr(s"""{"rowIdHighWaterMark":$hwm}""")},"removed":false}}""")
+  }
+
+  /** Read a row-tracked table WITH its stable row identity: the table
+    * columns plus `_row_id` and `_row_commit_version`. A row's id is
+    * its file's materialized value when present (rows a compaction
+    * moved) else `baseRowId + position` (fresh rows — zero storage);
+    * DV-deleted rows are dropped and never re-id'd. Loud when row
+    * tracking is not enabled. Every live file must carry a baseRowId
+    * ([[enableRowTracking]] backfills; a foreign un-stamped add fails
+    * loudly rather than inventing identity).
+    *
+    * Scale shape: the id computation is the parquet source's own
+    * `_metadata.row_index` plus one BROADCAST join against the
+    * file-count-bounded (rel → baseRowId) map — no shuffle, no row
+    * state. */
+  def readWithRowIds(spark: SparkSession, tablePath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(tablePath))
+    val md = latestMetaNodeAny(spark, fs, tablePath).getOrElse(
+      throw new IllegalStateException(s"no metaData at $tablePath"))
+    val conf = configOf(md)
+    require(rowTrackingEnabledConf(conf),
+      s"row tracking is not enabled on $tablePath — enableRowTracking first")
+    val (schema, partCols) = tableMeta(fs, tablePath)
+    val mapped = isMapped(fs, tablePath)
+    val (latestAdds, _) = replayLatestAdds(fs, root.toString)
+    val outFields = schema.fieldNames.toSeq ++ Seq("_row_id", "_row_commit_version")
+    if (latestAdds.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields.toSeq ++ Seq(
+          StructField("_row_id", LongType), StructField("_row_commit_version", LongType))))
+    val base = latestAdds.toSeq.map { case (rel, add) =>
+      val b = Option(add.get("baseRowId")).filterNot(_.isNull).map(_.asLong())
+        .getOrElse(throw new IllegalStateException(
+          s"live file $rel of $tablePath carries no baseRowId — a foreign " +
+            "writer added it without row tracking; re-run enableRowTracking's " +
+            "backfill path or repair the add"))
+      val cv = Option(add.get("defaultRowCommitVersion")).filterNot(_.isNull)
+        .map(_.asLong()).getOrElse(-1L)
+      (rel, b, cv)
+    }
+    val matId = conf(MatRowIdKey)
+    val matCv = conf(MatRowCommitKey)
+    val live = latestAdds.keys.toSeq.sorted
+    val scan = liveScan(spark, root, schema, partCols, live, mapped,
+      extraLongCols = Seq(matId, matCv))
+    val baseDf = broadcast(spark.createDataFrame(base)
+      .toDF("__rel", "__base", "__dcv"))
+    val (_, dvPosDf) = dvState(spark, root.toString, latestAdds)
+    scan
+      .join(baseDf, Seq("__rel"))
+      .join(dvPosDf, Seq("__rel", "__pos"), "left_anti")
+      .withColumn("_row_id", coalesce(col(matId), col("__base") + col("__pos")))
+      .withColumn("_row_commit_version", coalesce(col(matCv), col("__dcv")))
+      .select(outFields.map(col): _*)
+  }
+
+  /** latest add's (baseRowId, defaultRowCommitVersion) per LIVE file —
+    * the map compact's materialization joins against (file-count
+    * bounded; same full-JSON-replay constraint as [[replayActions]]) */
+  private[sources] def rowTrackingFileState(fs: FileSystem,
+      tablePath: String): Map[String, (Long, Long)] = {
+    val spark = SparkSession.active
+    val logDir = new Path(fs.makeQualified(new Path(tablePath)), "_delta_log")
+    val version = DeltaScan.latestVersion(spark, tablePath)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val latest = scala.collection.mutable.LinkedHashMap.empty[String, Option[(Long, Long)]]
+    (0L to version).foreach { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      require(fs.exists(p),
+        s"cannot replay row-tracking state of $tablePath: commit $p is missing")
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.map(mapper.readTree).foreach { node =>
+        if (node.has("add")) {
+          val add = node.get("add")
+          val rel = decodePath(add.get("path").asText())
+          latest(rel) = Option(add.get("baseRowId")).filterNot(_.isNull).map(b =>
+            (b.asLong(),
+              Option(add.get("defaultRowCommitVersion")).map(_.asLong()).getOrElse(v)))
+        } else if (node.has("remove")) {
+          latest.remove(decodePath(node.get("remove").get("path").asText()))
+        }
+      }
+    }
+    latest.collect { case (rel, Some(bc)) => rel -> bc }.toMap
+  }
+
+  /** generalization of the clustering upgrade: protocol action adding
+    * arbitrary writer features (empty when already present) */
+  private def featureProtocolAction(
+      proto: Option[com.fasterxml.jackson.databind.node.ObjectNode],
+      need: Seq[String]): Seq[String] = {
+    val existingW = proto.toSeq.flatMap(p =>
+      Option(p.get("writerFeatures")).toSeq.flatMap(_.elements().asScala
+        .map(_.asText()).toSeq))
+    if (need.forall(existingW.contains)) return Seq.empty
+    val minReader = proto.map(_.get("minReaderVersion").asInt()).getOrElse(1)
+    val minWriter = proto.map(_.get("minWriterVersion").asInt()).getOrElse(2)
+    val readerFeats = proto.toSeq.flatMap(p =>
+      Option(p.get("readerFeatures")).toSeq.flatMap(_.elements().asScala
+        .map(_.asText()).toSeq))
+    val legacyReader = if (minReader == 2 && readerFeats.isEmpty)
+      Seq("columnMapping") else Seq.empty
+    val w = (existingW ++
+      (if (minWriter < 7) legacyWriterFeatures(minWriter) else Seq.empty) ++
+      need).distinct.sorted
+    def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+    val readerPart =
+      if (readerFeats.nonEmpty || legacyReader.nonEmpty)
+        s""""minReaderVersion":3,"readerFeatures":${arr((readerFeats ++ legacyReader).distinct.sorted)},"""
+      else s""""minReaderVersion":$minReader,"""
+    Seq(s"""{"protocol":{$readerPart"minWriterVersion":7,"writerFeatures":${arr(w)}}}""")
+  }
 }
