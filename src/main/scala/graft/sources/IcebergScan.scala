@@ -319,7 +319,19 @@ object IcebergScan {
           }
       }
     }
-    val posFiles = dedupeEntries(entries.filter(_.content == 1))
+    val posAll = dedupeEntries(entries.filter(_.content == 1))
+    // v3 deletion vectors ride the position-delete content id with
+    // PUFFIN format; the spec invariant is at most ONE DV per data file
+    val (dvFiles, posFiles) = posAll.partition(_.fileFormat == "PUFFIN")
+    dvFiles.foreach { e =>
+      require(e.refDataFile.isDefined && e.contentOffset.isDefined &&
+          e.contentSize.isDefined,
+        s"deletion vector ${e.path} is missing referenced_data_file/" +
+          "content_offset/content_size_in_bytes — not a spec-conformant v3 DV")
+    }
+    require(dvFiles.map(_.refDataFile.get).distinct.size == dvFiles.size,
+      s"multiple deletion vectors reference one data file in $tablePath — " +
+        "the v3 spec allows at most one; refusing rather than guessing")
     val eqFiles = dedupeEntries(entries.filter(_.content == 2))
     def finish(df: DataFrame): DataFrame =
       skippingFilter.map(df.filter).getOrElse(df)
@@ -337,7 +349,7 @@ object IcebergScan {
         forceInject = specFields.exists(!_.isIdentity))
     if (dataFiles.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    if (posFiles.isEmpty && eqFiles.isEmpty) { // fast path: no row-level deletes
+    if (posAll.isEmpty && eqFiles.isEmpty) { // fast path: no row-level deletes
       val plain = scanData(dataFiles)
       // partition discovery appends partition columns last — restore the
       // declared order (AFTER lineage so _metadata still resolves)
@@ -346,25 +358,53 @@ object IcebergScan {
     }
 
     // ---- positional deletes: one seq-filtered (file, pos) key set -------
-    val posSet: Option[DataFrame] = if (posFiles.isEmpty) None else {
-      val raw = posFiles.groupBy(_.seq).toSeq.map { case (s, fs) =>
-        spark.read.schema(StructType(Seq(
-          StructField("file_path", StringType), StructField("pos", LongType))))
-          .parquet(fs.map(_.path): _*)
-          .withColumn("__dseq", lit(s))
-      }.reduce(_ unionByName _)
+    // Parquet position-delete files and v3 Puffin deletion vectors land
+    // in the SAME (file, pos, seq) namespace: a DV is just the spec's
+    // bitmap encoding of the identical key set, so both union here and
+    // the sequence-number rule (delete.seq >= data.seq) applies once.
+    val posSet: Option[DataFrame] = if (posAll.isEmpty) None else {
+      val parquetRaw: Seq[DataFrame] = if (posFiles.isEmpty) Nil else
+        posFiles.groupBy(_.seq).toSeq.map { case (s, fs) =>
+          spark.read.schema(StructType(Seq(
+            StructField("file_path", StringType), StructField("pos", LongType))))
+            .parquet(fs.map(_.path): _*)
+            .withColumn("__dseq", lit(s))
+            .select(normalizePathCol(col("file_path")).as("__file"),
+              col("pos").as("__pos"), col("__dseq"))
+        }
+      // DV blobs decode in EXECUTOR tasks (one task per bounded slice of
+      // the O(files) descriptor list — never a driver-side decode of
+      // O(deleted-rows) state), mirroring DeltaScan's DV path
+      val dvRaw: Seq[DataFrame] = if (dvFiles.isEmpty) Nil else {
+        import spark.implicits._
+        val bcConf = spark.sparkContext.broadcast(
+          new DeletionVectors.ConfHolder(spark.sessionState.newHadoopConf()))
+        val work = dvFiles.map { e =>
+          (normalizePath(e.refDataFile.get), e.path,
+            e.contentOffset.get, e.contentSize.get, e.seq, e.rows)
+        }
+        Seq(spark.createDataset(work)
+          .repartition(math.min(work.size, 64))
+          .flatMap { case (ref, puffin, off, len, s, card) =>
+            val pos = Puffin.readDvPositions(bcConf.value.value,
+              new Path(puffin), off, len)
+            require(pos.length.toLong == card,
+              s"deletion vector $puffin decoded ${pos.length} rows but its " +
+                s"manifest entry declares $card")
+            pos.map(p => (ref, p, s))
+          }.toDF("__file", "__pos", "__dseq"))
+      }
+      val raw = (parquetRaw ++ dvRaw).reduce(_ unionByName _)
       // pre-filter by the data files' sequence numbers so stale deletes
       // (delete.seq < data.seq, e.g. a compacted rewrite) never apply;
       // the per-file seq map is planning metadata, always broadcast-size
       val dataSeq = spark.createDataFrame(
         dataFiles.map(f => (normalizePath(f.path), f.seq))).toDF("__file", "__fseq")
       val eff = raw
-        .select(normalizePathCol(col("file_path")).as("__file"),
-          col("pos").as("__pos"), col("__dseq"))
         .join(broadcast(dataSeq), Seq("__file"))
         .filter(col("__dseq") >= col("__fseq"))
         .select("__file", "__pos")
-      Some(if (posFiles.map(_.rows).sum <= deleteBroadcastRows) broadcast(eff) else eff)
+      Some(if (posAll.map(_.rows).sum <= deleteBroadcastRows) broadcast(eff) else eff)
     }
 
     // ---- equality deletes: field ids → top-level columns ----------------
@@ -456,9 +496,13 @@ object IcebergScan {
         else {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val fmt = df.get("file_format").toString
-          require(fmt.equalsIgnoreCase("parquet"),
-            s"file format $fmt not supported by the built-in Iceberg reader")
           val content = opt(df, "content").map(_.toString.toInt).getOrElse(0)
+          // parquet everywhere; PUFFIN only as a v3 deletion vector
+          // (content=1 position deletes addressed by fields 143-145)
+          require(fmt.equalsIgnoreCase("parquet") ||
+              (fmt.equalsIgnoreCase("puffin") && content == 1),
+            s"file format $fmt (content=$content) not supported by the " +
+              "built-in Iceberg reader")
           val seq = opt(entry, "sequence_number").map(_.toString.toLong).getOrElse(mSeq)
           val eqIds = opt(df, "equality_ids").collect {
             case l: java.util.Collection[_] => l.asScala.map(_.toString.toInt).toSeq
@@ -492,7 +536,12 @@ object IcebergScan {
             nullCounts = kvMap("null_value_counts")(_.toString.toLong),
             partition = partition, specId = mSpecId,
             bytes = opt(df, "file_size_in_bytes").map(_.toString.toLong).getOrElse(0L),
-            sortOrderId = opt(df, "sort_order_id").map(_.toString.toInt))
+            sortOrderId = opt(df, "sort_order_id").map(_.toString.toInt),
+            fileFormat = fmt.toUpperCase(java.util.Locale.ROOT),
+            refDataFile = opt(df, "referenced_data_file")
+              .map(p => resolvePath(fs, tablePath, p.toString)),
+            contentOffset = opt(df, "content_offset").map(_.toString.toLong),
+            contentSize = opt(df, "content_size_in_bytes").map(_.toString.toLong))
           planFiles += 1
           planBytes += 96L + fe.path.length +
             fe.lower.valuesIterator.map(_.length + 16L).sum +
@@ -706,7 +755,16 @@ object IcebergScan {
       // file's rows are sorted by; None/null = unsorted. Carried
       // verbatim when a rewrite keeps the file (the rows don't move,
       // their ordering claim must not change either)
-      sortOrderId: Option[Int] = scala.None)
+      sortOrderId: Option[Int] = scala.None,
+      // v3 deletion vectors: file_format ("PARQUET" | "PUFFIN"), the
+      // referenced data file (field 143, resolved absolute), and the DV
+      // blob's address inside the Puffin file (fields 144/145) — the
+      // spec records the address in the manifest so readers skip the
+      // Puffin footer entirely
+      fileFormat: String = "PARQUET",
+      refDataFile: Option[String] = scala.None,
+      contentOffset: Option[Long] = scala.None,
+      contentSize: Option[Long] = scala.None)
 
   /** bucket spec fields constrained by top-level EQUALITY conjuncts of
     * the pruning filter (`source = lit` / `source IN (...)` → the
