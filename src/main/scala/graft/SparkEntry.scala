@@ -1972,6 +1972,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Iceberg FORMAT-VERSION 3 deletion vectors: the upgrade converts
+    // the table's parquet position deletes into Puffin DV blobs (one
+    // per referenced data file, executor-written); a later DELETE
+    // writes DVs directly, superseding each victim file's prior DV
+    // with the union (the spec's at-most-one-DV-per-file rule); the
+    // read applies blobs straight from their manifest-recorded
+    // (offset, length) address
+    "q_iceberg_dv" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_dv_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(s, docs, base)
+      graft.sources.IcebergWrite.deleteWhere(s, base, col("doc_id") % 3 === 0)
+      graft.sources.IcebergWrite.upgradeFormatVersion(s, base)
+      graft.sources.IcebergWrite.deleteWhere(s, base, col("doc_id") % 5 === 0)
+      graft.sources.IcebergScan.read(s, base)
+        .select("doc_id", "lang", "text")
+        .orderBy("doc_id")
+    }),
+
     // Delta MERGE-ON-READ delete: matching rows recorded as deletion
     // vectors (protocol 'u'-storage RoaringBitmapArray bins, written
     // executor-side) — data files untouched, the read applies the DV
@@ -5100,6 +5119,11 @@ object SparkEntry {
 
     "q_iceberg_eqdelete" ->
       """SELECT doc_id, lang, text FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_dv" ->
+      """SELECT doc_id, lang, text FROM documents
+        |WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0
         |ORDER BY doc_id""".stripMargin,
 
     "q_delta_delete" ->

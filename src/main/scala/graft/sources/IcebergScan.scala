@@ -54,6 +54,40 @@ object IcebergScan {
     readInternal(spark, tablePath, snapshotAsOf, None, keepLineage = false,
       skippingFilter = skippingFilter)
 
+  /** Format-version 3 ROW-LINEAGE read surface: every table column
+    * plus `_row_id` = the data file's `first_row_id` + the row's
+    * original ordinal (spec §Row Lineage) — stable across compactions
+    * that keep the file and unchanged by deletion vectors (a DV kills
+    * rows, the survivors keep their ids). Ids surface for files
+    * carrying an EXPLICIT `first_row_id` (graft's v3 writer always
+    * stamps one); files written before the upgrade have no assigned
+    * ids and read NULL, per spec. The per-file base map is planning
+    * metadata — broadcast, no extra shuffle. Parity with
+    * [[DeltaWrite.readWithRowIds]] (reference exposes no row ids;
+    * superset). */
+  def readWithRowIds(spark: SparkSession, tablePath: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val planned = planTable(spark, tablePath)
+    require(Option(planned.meta.get("format-version")).exists(_.asInt() >= 3),
+      s"$tablePath is not a format-version 3 table — row ids exist only in v3 " +
+        "(IcebergWrite.upgradeFormatVersion)")
+    val lineage = readEntries(spark, tablePath, planned.meta, planned.entries,
+      onlyDataFiles = None, keepLineage = true, skippingFilter = None)
+    val bases = planned.entries
+      .filter(e => e.content == 0 && e.firstRowId.isDefined)
+      .map(e => (normalizePath(e.path), e.firstRowId.get))
+    val outCols = planned.schema.fieldNames.map(col).toSeq :+ col("_row_id")
+    if (bases.isEmpty)
+      return lineage.withColumn("_row_id",
+        lit(null).cast(LongType)).select(outCols: _*)
+    val baseDf = spark.createDataFrame(bases).toDF("__file", "__base")
+    lineage
+      .withColumn("__file", normalizePathCol(col("__raw_file")))
+      .join(broadcast(baseDf), Seq("__file"), "left")
+      .withColumn("_row_id", col("__base") + col("__pos"))
+      .select(outCols: _*)
+  }
+
   /** TIMESTAMP time travel: the table at the LAST snapshot whose
     * `timestamp-ms` is at or before `tsMillis` — in-metadata evidence
     * only (snapshot timestamps are written by the committer, never
@@ -149,7 +183,9 @@ object IcebergScan {
         },
         e.rows, e.seq,
         e.partition.map { case (k, v) => k -> (if (v == null) null else v.toString) },
-        e.sortOrderId.map(Integer.valueOf).orNull)
+        e.sortOrderId.map(Integer.valueOf).orNull,
+        e.fileFormat,
+        e.refDataFile.orNull)
     }
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("file_path", StringType, nullable = false),
@@ -157,7 +193,11 @@ object IcebergScan {
       StructField("record_count", LongType, nullable = false),
       StructField("sequence_number", LongType, nullable = false),
       StructField("partition", MapType(StringType, StringType)),
-      StructField("sort_order_id", IntegerType, nullable = true))))
+      StructField("sort_order_id", IntegerType, nullable = true),
+      // v3 deletion vectors surface here: file_format PUFFIN +
+      // the data file the DV applies to
+      StructField("file_format", StringType, nullable = false),
+      StructField("referenced_data_file", StringType, nullable = true))))
   }
 
   /** [[read]] restricted to a subset of data-file paths (all applicable
@@ -541,7 +581,8 @@ object IcebergScan {
             refDataFile = opt(df, "referenced_data_file")
               .map(p => resolvePath(fs, tablePath, p.toString)),
             contentOffset = opt(df, "content_offset").map(_.toString.toLong),
-            contentSize = opt(df, "content_size_in_bytes").map(_.toString.toLong))
+            contentSize = opt(df, "content_size_in_bytes").map(_.toString.toLong),
+            firstRowId = opt(df, "first_row_id").map(_.toString.toLong))
           planFiles += 1
           planBytes += 96L + fe.path.length +
             fe.lower.valuesIterator.map(_.length + 16L).sum +
@@ -556,8 +597,12 @@ object IcebergScan {
 
   /** a path re-listed across manifests (EXISTING entries) keeps its
     * highest sequence number */
+  /** one entry per FILE — except Puffin files, which hold many DV
+    * blobs by design (one per referenced data file): there the blob
+    * address is part of the identity or co-located DVs would collapse */
   private def dedupeEntries(es: Seq[FileEntry]): Seq[FileEntry] =
-    es.groupBy(_.path).values.map(_.maxBy(_.seq)).toSeq.sortBy(_.path)
+    es.groupBy(e => (e.path, e.contentOffset)).values.map(_.maxBy(_.seq))
+      .toSeq.sortBy(e => (e.path, e.contentOffset.getOrElse(-1L)))
 
   /** INCREMENTAL READ — rows in data files that are live in
     * `toSnapshot` but absent from `fromSnapshot` (the snapshot-diff
@@ -764,7 +809,11 @@ object IcebergScan {
       fileFormat: String = "PARQUET",
       refDataFile: Option[String] = scala.None,
       contentOffset: Option[Long] = scala.None,
-      contentSize: Option[Long] = scala.None)
+      contentSize: Option[Long] = scala.None,
+      // v3 row lineage: the data file's explicitly-assigned first row id
+      // (field 142). Carried VERBATIM when a rewrite keeps the file so
+      // its rows' ids stay stable across compactions
+      firstRowId: Option[Long] = scala.None)
 
   /** bucket spec fields constrained by top-level EQUALITY conjuncts of
     * the pruning filter (`source = lit` / `source IN (...)` → the

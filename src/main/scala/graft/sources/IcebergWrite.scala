@@ -540,10 +540,18 @@ object IcebergWrite {
       // the metadata JSON; only the v$N.metadata.json CAS arbitrates)
       val manifestRel = s"metadata/manifest-$version-${pathNonce()}.avro"
       val recordFields = carry.partFields.map(_.recordField)
-      val entrySchema = manifestSchemaFor(recordFields)
+      val entrySchema = manifestSchemaFor(recordFields, v3 = fmtVersion >= 3)
       val dataFileSchema = entrySchema.getField("data_file").schema()
+      // v3 row lineage: added files get EXPLICIT first_row_id stamped
+      // (sequential from the table's row-id counter) so their ids stay
+      // stable however later rewrites reorder manifests
+      val rowIdBase: Seq[Option[Long]] =
+        if (fmtVersion < 3) filesWithRows.map(_ => scala.None)
+        else filesWithRows.scanLeft(nextRowIdOf(fs, metaDir, version - 1)) {
+          case (acc, (_, rows, _)) => acc + rows
+        }.init.map(Some(_))
       writeAvro(fs, new Path(root, manifestRel), entrySchema,
-        parMap(filesWithRows) { case (rel, rows, len) => // footer stats in parallel
+        parMap(filesWithRows.zip(rowIdBase)) { case ((rel, rows, len), rowId) => // footer stats in parallel
           val file = new GenericData.Record(dataFileSchema)
           file.put("content", 0) // DATA
           file.put("file_path", rel)
@@ -554,6 +562,7 @@ object IcebergWrite {
           file.put("file_size_in_bytes", len)
           file.put("block_size_in_bytes", DefaultBlockSize)
           stampSortId.foreach(id => file.put("sort_order_id", Integer.valueOf(id)))
+          rowId.foreach(id => file.put("first_row_id", Long.box(id)))
           attachStats(file, dataFileSchema, conf, new Path(root, rel), carry.schemaJson)
           val entry = new GenericData.Record(entrySchema)
           entry.put("status", 1) // ADDED
@@ -598,7 +607,8 @@ object IcebergWrite {
       writeMetadataJson(fs, metaDir, root, version, fmtVersion,
         carry, listRel, operation = "append", propsOverride = txnProps(txn) ++
           (if (version == 1) Map(FieldIdsProp -> "true") else Map.empty),
-        branchRef = branch)
+        branchRef = branch,
+        assignedRows = if (fmtVersion < 3) 0L else filesWithRows.map(_._2).sum)
     }
 
     // OCC assembly retry: a fast-append commutes with ANY concurrent
@@ -1253,10 +1263,12 @@ object IcebergWrite {
     beforeCommit()
     val manifestRel = s"metadata/manifest-$version-${pathNonce()}.avro"
     val recordFields = carry.partFields.map(_.recordField)
-    val entrySchema = manifestSchemaFor(recordFields)
+    val v3 = fmtVersion >= 3
+    val entrySchema = manifestSchemaFor(recordFields, v3 = v3)
     val dataFileSchema = entrySchema.getField("data_file").schema()
     def fileRecord(relPath: String, rows: Long, len: Long,
-        part: GenericData.Record): GenericData.Record = {
+        part: GenericData.Record,
+        firstRowId: Option[Long]): GenericData.Record = {
       val f = new GenericData.Record(dataFileSchema)
       f.put("content", 0)
       f.put("file_path", relPath)
@@ -1266,6 +1278,7 @@ object IcebergWrite {
       f.put("file_size_in_bytes", len)
       f.put("block_size_in_bytes", DefaultBlockSize)
       stampSortId.foreach(id => f.put("sort_order_id", Integer.valueOf(id)))
+      firstRowId.foreach(id => f.put("first_row_id", Long.box(id)))
       attachStats(f, dataFileSchema, conf, new Path(root, relPath), carry.schemaJson)
       f
     }
@@ -1276,13 +1289,26 @@ object IcebergWrite {
       val rows = try r.getRecordCount finally r.close()
       (rel, rows, fs.getFileStatus(p).getLen)
     }
-    val addedRecords = parMap(addedWithRows) { case (rel, rows, len) =>
-      val e = new GenericData.Record(entrySchema)
-      e.put("status", 1) // ADDED
-      e.put("snapshot_id", version.toLong)
-      e.put("data_file", fileRecord(rel, rows, len,
-        partitionRecordOf(dataFileSchema, recordFields, rel)))
-      e
+    // v3 row lineage: the rewrite OUTPUTS are new files and receive
+    // fresh sequential ids from the table counter (kept files carry
+    // their original first_row_id verbatim — stable across rewrites).
+    // Known limitation, documented in SCALE.md: graft does not yet
+    // thread per-ROW id preservation through a rewrite (spec
+    // row-lineage carry-over for replaced rows); ids are valid and
+    // never reused, but compacted rows get new ones.
+    val addedRowIds: Seq[Option[Long]] =
+      if (!v3) addedWithRows.map(_ => scala.None)
+      else addedWithRows.scanLeft(nextRowIdOf(fs, metaDir, prev)) {
+        case (acc, (_, rows, _)) => acc + rows
+      }.init.map(Some(_))
+    val addedRecords = parMap(addedWithRows.zip(addedRowIds)) {
+      case ((rel, rows, len), rowId) =>
+        val e = new GenericData.Record(entrySchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", version.toLong)
+        e.put("data_file", fileRecord(rel, rows, len,
+          partitionRecordOf(dataFileSchema, recordFields, rel), rowId))
+        e
     }
     // kept files group by their ORIGINAL spec-id: one manifest per
     // spec, each with its own partition-spec-id header and a partition
@@ -1306,6 +1332,10 @@ object IcebergWrite {
       // the kept file's rows don't move — its ordering claim carries
       // forward verbatim
       entry.sortOrderId.foreach(id => f.put("sort_order_id", Integer.valueOf(id)))
+      // v3: the kept file's explicitly-assigned row-id range is part of
+      // its identity — carried verbatim so its rows' ids never shift
+      if (dfs.getField("first_row_id") != null)
+        entry.firstRowId.foreach(id => f.put("first_row_id", Long.box(id)))
       attachStats(f, dfs, conf, new Path(root, relOf(entry.path)), carry.schemaJson)
       val e = new GenericData.Record(es)
       e.put("status", 0) // EXISTING
@@ -1329,7 +1359,7 @@ object IcebergWrite {
       (keptBySpec - carry.defaultSpecId).toSeq.sortBy(_._1).map {
         case (sid, entries) =>
           val specPartFields = carry.partFieldsFor(sid)
-          val es = manifestSchemaFor(specPartFields.map(_.recordField))
+          val es = manifestSchemaFor(specPartFields.map(_.recordField), v3 = v3)
           val dfs = es.getField("data_file").schema()
           val rel = s"metadata/manifest-$version-spec$sid-${pathNonce()}.avro"
           writeAvro(fs, new Path(root, rel), es,
@@ -1371,7 +1401,8 @@ object IcebergWrite {
       manifestListMeta(version, fmtVersion))
 
     writeMetadataJson(fs, metaDir, root, version, fmtVersion,
-      carry, listRel, operation = operation, propsOverride = txnProps(txn))
+      carry, listRel, operation = operation, propsOverride = txnProps(txn),
+      assignedRows = if (!v3) 0L else addedWithRows.map(_._2).sum)
     (small.size, added.size)
   }
 
@@ -1617,10 +1648,24 @@ object IcebergWrite {
     val matched = IcebergScan.readWithLineage(spark, tablePath, Some(cond))
       .filter(cond).persist()
     try {
-      val delWithRows = stagePositionDeletes(spark, fs, root, tablePath,
-        matched.select(col("__raw_file"), col("__pos")), version,
-        carry.partFields.map(_.recordField))
-      val nUpdated = delWithRows.map(_._2).sum
+      // v3: the kill side is a deletion vector per victim file; v2:
+      // parquet position-delete files. Same victims either way.
+      val fmtV = prevFormatVersion(fs, metaDir, prev)
+      val dvStaged: Option[(Seq[DvStaged], Map[String, (String, Long, Long)])] =
+        if (fmtV < 3) scala.None
+        else {
+          val (_, entries) = IcebergScan.currentEntries(spark, tablePath)
+          val existingDv = dvByRefFile(entries)
+          Some((stageDeletionVectors(spark, fs, root,
+            matched.select(col("__raw_file"), col("__pos")), existingDv,
+            version), existingDv))
+        }
+      val delWithRows = if (dvStaged.isDefined) Seq.empty
+        else stagePositionDeletes(spark, fs, root, tablePath,
+          matched.select(col("__raw_file"), col("__pos")), version,
+          carry.partFields.map(_.recordField))
+      val nUpdated = dvStaged.map(_._1.map(_.newRows).sum)
+        .getOrElse(delWithRows.map(_._2).sum)
       if (nUpdated == 0L) return 0L
 
       val fire = coalesce(cond, lit(false)) // all matched, but keep UPDATE semantics
@@ -1656,10 +1701,18 @@ object IcebergWrite {
         s"MOR update wrote ${dataWithRows.map(_._2).sum} new rows for " +
           s"$nUpdated deleted positions — aborting before commit")
 
-      commitMorSnapshot(spark, fs, root, metaDir, tablePath, carry,
-        plannedLive.toSet, version, "overwrite", txn = scala.None,
-        tableSchema, dataWithRows, posDeletes = delWithRows,
-        eqDeletes = scala.None)
+      dvStaged match {
+        case Some((staged, seen)) =>
+          commitDvFold(spark, fs, root, metaDir, tablePath, carry,
+            plannedLive.toSet, version, staged, seen,
+            operation = "overwrite", dropParquetPos = false,
+            newData = dataWithRows)
+        case scala.None =>
+          commitMorSnapshot(spark, fs, root, metaDir, tablePath, carry,
+            plannedLive.toSet, version, "overwrite", txn = scala.None,
+            tableSchema, dataWithRows, posDeletes = delWithRows,
+            eqDeletes = scala.None)
+      }
       nUpdated
     } finally matched.unpersist()
   }
@@ -1736,7 +1789,10 @@ object IcebergWrite {
       plannedLive = Set.empty, version, "overwrite", txn,
       tableSchema, dataWithRows, posDeletes = Seq.empty,
       eqDeletes = if (delWithRows.isEmpty) scala.None
-                  else Some((delWithRows, eqIds)))
+                  else Some((delWithRows, eqIds)),
+      // v3 keeps equality deletes; only the metadata/manifest format
+      // version and row-id accounting change
+      fmtVersion = math.max(2, prevFormatVersion(fs, metaDir, prev)))
     (updated, inserted)
   }
 
@@ -1769,18 +1825,27 @@ object IcebergWrite {
       txn: Option[(String, Long)], tableSchema: StructType,
       dataWithRows: Seq[(String, Long, Long)],
       posDeletes: Seq[(String, Long, Long)],
-      eqDeletes: Option[(Seq[(String, Long, Long)], Seq[Int])]): Unit = {
+      eqDeletes: Option[(Seq[(String, Long, Long)], Seq[Int])],
+      fmtVersion: Int = 2): Unit = {
     require(dataWithRows.nonEmpty, "MOR commit with no data files")
+    require(fmtVersion < 3 || posDeletes.isEmpty,
+      "format-version 3 forbids parquet position-delete files — the MOR " +
+        "caller must stage deletion vectors (commitDvFold) instead")
     val conf = spark.sparkContext.hadoopConfiguration
     def assemble(v: Int, c: SchemaCarry): Unit = {
       val recordFields = c.partFields.map(_.recordField)
-      val entrySchema = manifestSchemaFor(recordFields)
+      val entrySchema = manifestSchemaFor(recordFields, v3 = fmtVersion >= 3)
       val dataFileSchema = entrySchema.getField("data_file").schema()
 
-      // data manifest
+      // data manifest (v3: explicit sequential first_row_id per file)
+      val dataRowIds: Seq[Option[Long]] =
+        if (fmtVersion < 3) dataWithRows.map(_ => scala.None)
+        else dataWithRows.scanLeft(nextRowIdOf(fs, metaDir, v - 1)) {
+          case (acc, (_, rows, _)) => acc + rows
+        }.init.map(Some(_))
       val dataRel = s"metadata/manifest-$v-${pathNonce()}.avro"
       writeAvro(fs, new Path(root, dataRel), entrySchema,
-        parMap(dataWithRows) { case (rel, rows, len) =>
+        parMap(dataWithRows.zip(dataRowIds)) { case ((rel, rows, len), rowId) =>
           val file = new GenericData.Record(dataFileSchema)
           file.put("content", 0)
           file.put("file_path", rel)
@@ -1790,13 +1855,14 @@ object IcebergWrite {
           file.put("record_count", rows)
           file.put("file_size_in_bytes", len)
           file.put("block_size_in_bytes", DefaultBlockSize)
+          rowId.foreach(id => file.put("first_row_id", Long.box(id)))
           attachStats(file, dataFileSchema, conf, new Path(root, rel), c.schemaJson)
           val entry = new GenericData.Record(entrySchema)
           entry.put("status", 1) // ADDED
           entry.put("snapshot_id", v.toLong)
           entry.put("data_file", file)
           entry
-        }, manifestMeta(c.schemaJson, fmtVersion = 2, content = "data",
+        }, manifestMeta(c.schemaJson, fmtVersion, content = "data",
           specFieldsJson = c.specFieldsJson, specId = c.defaultSpecId))
       val dataRef = ManifestRef(dataRel,
         fs.getFileStatus(new Path(root, dataRel)).getLen, c.defaultSpecId,
@@ -1824,7 +1890,7 @@ object IcebergWrite {
             entry.put("snapshot_id", v.toLong)
             entry.put("data_file", file)
             entry
-          }, manifestMeta(c.schemaJson, fmtVersion = 2, content = "deletes",
+          }, manifestMeta(c.schemaJson, fmtVersion, content = "deletes",
             specFieldsJson = c.specFieldsJson, specId = c.defaultSpecId))
         Some(ManifestRef(rel, fs.getFileStatus(new Path(root, rel)).getLen, c.defaultSpecId,
           content = 1, seq = v.toLong, minSeq = v.toLong, snapshotId = v.toLong,
@@ -1855,7 +1921,7 @@ object IcebergWrite {
             entry.put("snapshot_id", v.toLong)
             entry.put("data_file", file)
             entry
-          }, manifestMeta(c.schemaJson, fmtVersion = 2, content = "deletes",
+          }, manifestMeta(c.schemaJson, fmtVersion, content = "deletes",
             specId = globalSpecId))
         ManifestRef(rel, fs.getFileStatus(new Path(root, rel)).getLen,
           globalSpecId, content = 1, seq = v.toLong, minSeq = v.toLong,
@@ -1869,9 +1935,10 @@ object IcebergWrite {
       writeAvro(fs, new Path(root, listRel), manifestListSchema,
         (prevManifests ++ Seq(dataRef) ++ posRef.toSeq ++ eqRef.toSeq)
           .map(manifestRefRecord),
-        manifestListMeta(v, fmtVersion = 2))
-      writeMetadataJson(fs, metaDir, root, v, fmtVersion = 2,
-        c, listRel, operation = operation, propsOverride = txnProps(txn))
+        manifestListMeta(v, fmtVersion))
+      writeMetadataJson(fs, metaDir, root, v, fmtVersion,
+        c, listRel, operation = operation, propsOverride = txnProps(txn),
+        assignedRows = if (fmtVersion < 3) 0L else dataWithRows.map(_._2).sum)
     }
     commitDeleteWithRetry(spark, fs, root, metaDir, tablePath, carry,
       plannedLive, version, assemble)
@@ -2225,11 +2292,16 @@ object IcebergWrite {
       version: Int, fmtVersion: Int, carry: SchemaCarry,
       listRel: String, operation: String,
       propsOverride: Map[String, String] = Map.empty,
-      branchRef: Option[String] = scala.None): Unit = {
+      branchRef: Option[String] = scala.None,
+      // v3 row lineage: rows assigned FRESH row ids by this snapshot
+      // (added data rows without an inherited first_row_id). The
+      // snapshot's first-row-id = the table's next-row-id before the
+      // commit; next-row-id advances by exactly this count
+      assignedRows: Long = 0L): Unit = {
     val now = System.currentTimeMillis()
-    val (prevSnapshots, prevProps, prevRefs, prevCurrentId)
-        : (String, Map[String, String], Option[String], Long) =
-      if (version == 1) ("", Map.empty, scala.None, -1L)
+    val (prevSnapshots, prevProps, prevRefs, prevCurrentId, prevNextRowId)
+        : (String, Map[String, String], Option[String], Long, Long) =
+      if (version == 1) ("", Map.empty, scala.None, -1L, 0L)
       else {
         // carry prior snapshots, table properties AND refs forward from
         // the previous metadata JSON (properties hold the streaming-
@@ -2242,7 +2314,11 @@ object IcebergWrite {
         (node.get("snapshots").elements().asScala
           .map(_.toString).mkString("", ",", ","), props,
           Option(node.get("refs")).map(_.toString),
-          Option(node.get("current-snapshot-id")).map(_.asLong()).getOrElse(-1L))
+          Option(node.get("current-snapshot-id")).map(_.asLong()).getOrElse(-1L),
+          // absent pre-upgrade: a table upgraded to v3 starts ids at 0
+          // (pre-upgrade snapshots carry no first-row-id, so their rows
+          // never receive derived ids — no collision with fresh ranges)
+          Option(node.get("next-row-id")).map(_.asLong()).getOrElse(0L))
       }
     val propsJson = (prevProps ++ propsOverride).toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
@@ -2273,6 +2349,14 @@ object IcebergWrite {
               |"default-sort-order-id":${carry.defaultSortOrderId},"""
         .stripMargin
     val snapSeq = if (fmtVersion < 2) "" else s""""sequence-number":$version,"""
+    // v3 row lineage (spec §Row Lineage): every v3 snapshot declares its
+    // first-row-id; the table's next-row-id advances monotonically by the
+    // rows this snapshot assigned. Ids are never reused — a rollback
+    // leaves next-row-id where it was
+    val v3Extra = if (fmtVersion < 3) ""
+      else s""""next-row-id":${prevNextRowId + assignedRows},"""
+    val snapRowId = if (fmtVersion < 3) ""
+      else s""""first-row-id":$prevNextRowId,"added-rows":$assignedRows,"""
     // a branch commit advances ITS ref and leaves main (current) alone;
     // the ref records its BRANCHING POINT (graft-base, set once at the
     // first branch commit) so fastForward can refuse a diverged main
@@ -2295,11 +2379,11 @@ object IcebergWrite {
       s"""{"format-version":$fmtVersion,"table-uuid":"${carry.tableUuid}",
          |"location":${jstr(root.toString)},"last-updated-ms":$now,
          |"last-column-id":${carry.lastColumnId},
-         |$v2Extra
+         |$v2Extra$v3Extra
          |$refsJson"schema":${carry.schemaJson},
          |"partition-spec":${carry.specFieldsJson},"properties":{$propsJson},
          |"current-snapshot-id":$newCurrentId,
-         |"snapshots":[$prevSnapshots{"snapshot-id":$version,$snapSeq
+         |"snapshots":[$prevSnapshots{"snapshot-id":$version,$snapSeq$snapRowId
          |"timestamp-ms":$now,"summary":{"operation":${jstr(operation)}},
          |"manifest-list":${jstr(listRel)}}]}"""
         .stripMargin.replaceAll("\n", "")
@@ -2313,6 +2397,13 @@ object IcebergWrite {
     }
     writeUtf8(fs, new Path(metaDir, "version-hint.text"), version.toString)
   }
+
+  /** the table's v3 row-id counter after version `prev` (0 before the
+    * first v3 commit — see [[upgradeFormatVersion]]) */
+  private def nextRowIdOf(fs: FileSystem, metaDir: Path, prev: Int): Long =
+    Option(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
+      .get("next-row-id")).map(_.asLong()).getOrElse(0L)
 
   private def prevFormatVersion(fs: FileSystem, metaDir: Path, prev: Int): Int = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -2462,6 +2553,11 @@ object IcebergWrite {
       throw new java.util.ConcurrentModificationException(
         s"concurrent Iceberg commit detected: $targetMeta already exists — " +
           "another writer committed this version; re-read the table and retry")
+    // format-version 3 forbids parquet position-delete files: route to
+    // the deletion-vector path
+    if (prevFormatVersion(fs, new Path(root, "metadata"), prev) >= 3)
+      return deleteWhereDv(spark, tablePath, cond, fs, root,
+        new Path(root, "metadata"), prev)
 
     val (_, dataFiles) = IcebergScan.currentDataFiles(spark, tablePath)
     if (dataFiles.isEmpty) return 0L
@@ -2778,6 +2874,11 @@ object IcebergWrite {
     val conf = spark.sparkContext.hadoopConfiguration
     val nKeys = delWithRows.map(_._2).sum
     if (nKeys == 0L) return 0L // helper already cleaned its staging dir
+    // a v1 table upgrades to v2 at its first delete (the version that
+    // defines sequence numbers); a v3 table stays v3 (equality deletes
+    // remain first-class in v3 — only parquet POSITION deletes are
+    // replaced by deletion vectors)
+    val fmtV = math.max(2, prevFormatVersion(fs, metaDir, prev))
 
     def assemble(v: Int, c: SchemaCarry): Unit = {
       val manifestRel = s"metadata/manifest-$v-${pathNonce()}.avro"
@@ -2804,7 +2905,7 @@ object IcebergWrite {
       // exactly that spec's record shape
       val globalSpecId = c.emptySpecId
       writeAvro(fs, new Path(root, manifestRel), manifestSchema, delEntries,
-        manifestMeta(c.schemaJson, fmtVersion = 2, content = "deletes",
+        manifestMeta(c.schemaJson, fmtV, content = "deletes",
           specId = globalSpecId))
       val manifestLen = fs.getFileStatus(new Path(root, manifestRel)).getLen
 
@@ -2819,9 +2920,9 @@ object IcebergWrite {
             deletedFiles = 0, addedRows = nKeys, existingRows = 0L,
             deletedRows = 0L))
           .map(manifestRefRecord),
-        manifestListMeta(v, fmtVersion = 2))
+        manifestListMeta(v, fmtV))
 
-      writeMetadataJson(fs, metaDir, root, v, fmtVersion = 2,
+      writeMetadataJson(fs, metaDir, root, v, fmtV,
         c, listRel, operation = "delete")
     }
     // equality deletes reference KEYS, not files — they commute with
@@ -2831,6 +2932,332 @@ object IcebergWrite {
     commitDeleteWithRetry(spark, fs, root, metaDir, tablePath, carry,
       plannedLive = Set.empty, version, assemble)
     nKeys
+  }
+
+  // ======== format-version 3: deletion vectors (Puffin) =================
+
+  /** one staged deletion-vector blob: its Puffin file (table-relative),
+    * the blob's manifest address (fields 144/145), the referenced data
+    * file in the lineage view's raw URI form, the blob's TOTAL position
+    * count (union with any prior DV) and the NEWLY deleted rows. */
+  private final case class DvStaged(
+      puffinRel: String, puffinBytes: Long, offset: Long, length: Long,
+      refRaw: String, cardinality: Long, newRows: Long)
+
+  /** Upgrade a table to format-version 3 (spec §Version 3: deletion
+    * vectors + row lineage). Parquet position-delete files are not
+    * allowed in v3, so the upgrade commit converts the EFFECTIVE
+    * position-delete state (the same sequence-gated set the reader
+    * applies — stale positions are not immortalized) into one Puffin
+    * deletion vector per referenced data file; equality deletes carry
+    * forward unchanged (v3 keeps them). Row-id accounting starts at
+    * the upgrade: `next-row-id` = 0 and pre-upgrade snapshots carry no
+    * `first-row-id`, so their rows never receive derived ids — fresh
+    * ranges cannot collide. Later DML on the table writes DVs.
+    *
+    * Reference surface: TidierDB delegates Iceberg versioning to its
+    * backend (src/TidierDB.jl:209-212); this is superset depth. */
+  def upgradeFormatVersion(spark: SparkSession, tablePath: String): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    val prev = readUtf8(fs, hint).trim.toInt
+    val version = prev + 1
+    val root = fs.makeQualified(new Path(tablePath))
+    val metaDir = new Path(root, "metadata")
+    if (prevFormatVersion(fs, metaDir, prev) >= 3) return
+    val carry = carryFromPrev(fs, metaDir, prev)
+    val (_, entries) = IcebergScan.currentEntries(spark, tablePath)
+    val dataEntries = entries.filter(_.content == 0)
+    val posParquet = entries.filter(e => e.content == 1 && e.fileFormat != "PUFFIN")
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val staged: Seq[DvStaged] = if (posParquet.isEmpty) Seq.empty else {
+      // the reader's own sequence gating (delete.seq >= data.seq),
+      // applied once here so a stale delete never becomes a DV position
+      val raw = posParquet.groupBy(_.seq).toSeq.map { case (s, fls) =>
+        spark.read.schema(StructType(Seq(
+          StructField("file_path", StringType), StructField("pos", LongType))))
+          .parquet(fls.map(_.path): _*).withColumn("__dseq", lit(s))
+      }.reduce(_ unionByName _)
+      val dataSeq = spark.createDataFrame(
+        dataEntries.map(f => (IcebergScan.normalizePath(f.path), f.seq)))
+        .toDF("__file", "__fseq")
+      val victims = raw
+        .withColumn("__file", IcebergScan.normalizePathCol(col("file_path")))
+        .join(broadcast(dataSeq), Seq("__file"))
+        .filter(col("__dseq") >= col("__fseq"))
+        .select(col("file_path").as("__raw_file"), col("pos").as("__pos"))
+        .distinct()
+      stageDeletionVectors(spark, fs, root, victims, Map.empty, version)
+    }
+    // same live-rows invariant as a compaction: the data file set and
+    // every row's liveness are unchanged — "replace"
+    commitDvFold(spark, fs, root, metaDir, tablePath, carry,
+      plannedLive = dataEntries.map(_.path).toSet, version, staged,
+      seenDv = Map.empty, operation = "replace", dropParquetPos = true)
+  }
+
+  /** v3 DELETE: stage one DV per victim data file (union with the
+    * file's existing DV — the spec allows at most ONE DV per file, and
+    * a replacement must preserve previously deleted positions), then
+    * fold-commit. Returns newly deleted rows. */
+  private def deleteWhereDv(spark: SparkSession, tablePath: String,
+      cond: org.apache.spark.sql.Column, fs: FileSystem, root: Path,
+      metaDir: Path, prev: Int): Long = {
+    val version = prev + 1
+    val carry = carryFromPrev(fs, metaDir, prev)
+    val (_, entries) = IcebergScan.currentEntries(spark, tablePath)
+    val dataEntries = entries.filter(_.content == 0)
+    if (dataEntries.isEmpty) return 0L
+    require(!entries.exists(e => e.content == 1 && e.fileFormat != "PUFFIN"),
+      s"$tablePath is format-version 3 but still carries parquet " +
+        "position-delete files — upgradeFormatVersion converts them")
+    val existingDv = dvByRefFile(entries)
+    import org.apache.spark.sql.functions.col
+    val victims = IcebergScan.readWithLineage(spark, tablePath, Some(cond))
+      .filter(cond).select(col("__raw_file"), col("__pos"))
+    val staged = stageDeletionVectors(spark, fs, root, victims, existingDv, version)
+    if (staged.isEmpty) return 0L
+    commitDvFold(spark, fs, root, metaDir, tablePath, carry,
+      plannedLive = dataEntries.map(_.path).toSet, version, staged,
+      seenDv = existingDv, operation = "delete", dropParquetPos = false)
+    staged.map(_.newRows).sum
+  }
+
+  /** normalized referenced-data-file → (puffin path, content_offset,
+    * content_size) for every live deletion vector */
+  private def dvByRefFile(entries: Seq[IcebergScan.FileEntry])
+      : Map[String, (String, Long, Long)] =
+    entries.filter(e => e.content == 1 && e.fileFormat == "PUFFIN")
+      .flatMap(e => e.refDataFile.map(r => IcebergScan.normalizePath(r) ->
+        ((e.path, e.contentOffset.get, e.contentSize.get)))).toMap
+
+  /** Stage deletion vectors for `victims` (`__raw_file`, `__pos`):
+    * each EXECUTOR task writes ONE Puffin file holding one DV blob per
+    * victim file in its slice (the spec recommends co-locating DVs —
+    * a predicate delete touching 10k files commits ~32 puffins, not
+    * 10k small files), unioned with the file's prior DV read in-task.
+    * The driver collects only blob addresses — one row per victim
+    * FILE, never per deleted row. */
+  private def stageDeletionVectors(spark: SparkSession, fs: FileSystem,
+      root: Path, victims: DataFrame,
+      existingDv: Map[String, (String, Long, Long)],
+      version: Int): Seq[DvStaged] = {
+    import org.apache.spark.sql.functions.{col, collect_list, sort_array}
+    val holder = new DeletionVectors.ConfHolder(spark.sparkContext.hadoopConfiguration)
+    val dvDirRel = s"data/dvs-v$version-${pathNonce()}"
+    val dvDir = new Path(root, dvDirRel)
+    // per-file sorted positions: one agg value per victim file, bounded
+    // by rows-per-data-file (itself bounded at write time) — the same
+    // memory shape as the reader's DV decode and DeltaWrite's DV path
+    val perFile = victims.groupBy(col("__raw_file"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__ps"))
+    val oldB = spark.sparkContext.broadcast(existingDv)
+    val dvDirStr = dvDir.toString
+    import spark.implicits._
+    val staged = perFile.as[(String, Seq[Long])].mapPartitions { rows =>
+      val work = rows.toArray // bounded: victim FILES of this task only
+      if (work.isEmpty) Iterator.empty
+      else {
+        val tc = org.apache.spark.TaskContext.get()
+        val name = f"dv-${tc.partitionId()}%05d-${tc.taskAttemptId()}.puffin"
+        val target = new Path(dvDirStr, name)
+        val efs = target.getFileSystem(holder.value)
+        val blobs = work.map { case (raw, newPos) =>
+          val old = oldB.value.get(IcebergScan.normalizePath(raw)).map {
+            case (pp, off, len) =>
+              Puffin.readDvPositions(holder.value, new Path(pp), off, len)
+          }.getOrElse(Array.empty[Long])
+          val union = (old ++ newPos).distinct.sorted
+          (Puffin.Blob(Puffin.DvBlobType, Seq.empty, -1L, -1L,
+            Map("referenced-data-file" -> raw,
+              "cardinality" -> union.length.toString),
+            Puffin.dvPayload(union)), raw, union.length.toLong, newPos.size.toLong)
+        }
+        val metas = Puffin.write(efs, target, blobs.map(_._1).toSeq)
+        val flen = efs.getFileStatus(target).getLen
+        metas.zip(blobs).iterator.map { case (m, (_, raw, card, nNew)) =>
+          (s"$dvDirRel/$name", flen, m.offset, m.length, raw, card, nNew)
+        }
+      }
+    }.collect().toSeq // [lint:bounded] one row per VICTIM FILE, never per row
+      .map((DvStaged.apply _).tupled)
+    if (staged.isEmpty) fs.delete(dvDir, true)
+    staged
+  }
+
+  /** Assemble + commit one v3 delete-side snapshot. Data manifests
+    * carry forward untouched; ALL live delete state re-folds into
+    * fresh per-spec delete manifests — existing equality deletes and
+    * non-superseded DVs as EXISTING entries (original sequence
+    * numbers), the staged DVs as ADDED. The fold is what enforces the
+    * spec's at-most-one-DV-per-file invariant: a replaced DV's entry
+    * simply isn't rewritten. Re-reads the current snapshot inside each
+    * OCC attempt so a winner's delete entries are never dropped; a
+    * winner that committed a DV for a file THIS delete also staged
+    * aborts loudly (the staged blob unioned a stale bitmap — retrying
+    * would lose the winner's positions). */
+  private def commitDvFold(spark: SparkSession, fs: FileSystem, root: Path,
+      metaDir: Path, tablePath: String, carry: SchemaCarry,
+      plannedLive: Set[String], version: Int, staged: Seq[DvStaged],
+      seenDv: Map[String, (String, Long, Long)], operation: String,
+      dropParquetPos: Boolean,
+      // a MOR UPDATE commits its re-written row images in the SAME
+      // snapshot as the DVs that kill the originals
+      newData: Seq[(String, Long, Long)] = Seq.empty): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootPrefix = root.toString.stripSuffix("/") + "/"
+    def relOf(abs: String): String =
+      if (abs.startsWith(rootPrefix)) abs.substring(rootPrefix.length) else abs
+
+    def assemble(v: Int, c: SchemaCarry): Unit = {
+      val (_, cur) = IcebergScan.currentEntries(spark, tablePath)
+      val dataByNorm = cur.filter(_.content == 0)
+        .map(e => IcebergScan.normalizePath(e.path) -> e).toMap
+      val dels = cur.filter(_.content != 0)
+      if (!dropParquetPos)
+        require(!dels.exists(e => e.content == 1 && e.fileFormat != "PUFFIN"),
+          s"$tablePath carries parquet position deletes in format-version 3")
+      val superseded = staged.map(s => IcebergScan.normalizePath(s.refRaw)).toSet
+      // lost-delete guard: the staged blob is the union of victims and
+      // the DV state SEEN AT STAGING; a different current DV means a
+      // concurrent delete landed in between
+      staged.foreach { s =>
+        val norm = IcebergScan.normalizePath(s.refRaw)
+        val curDv = dels.find(e => e.content == 1 && e.fileFormat == "PUFFIN" &&
+          e.refDataFile.exists(r => IcebergScan.normalizePath(r) == norm))
+        val same = (curDv, seenDv.get(norm)) match {
+          case (scala.None, scala.None) => true
+          case (Some(e), Some((pp, off, _))) =>
+            IcebergScan.normalizePath(e.path) == IcebergScan.normalizePath(pp) &&
+              e.contentOffset.contains(off)
+          case _ => false
+        }
+        if (!same) throw new IllegalStateException(
+          s"concurrent deletion-vector commit on ${s.refRaw} at $tablePath — " +
+            "committing the staged DV would drop the winner's deleted " +
+            "positions; re-run the delete on the current table state")
+        require(dataByNorm.contains(norm),
+          s"deletion vector references ${s.refRaw} which is no longer a " +
+            s"live data file of $tablePath")
+      }
+      // kept delete entries: equality deletes always; DVs whose target
+      // is live and not superseded; parquet position deletes only while
+      // the upgrade itself is converting them away
+      val kept = dels.filter { e =>
+        if (e.content == 2) true
+        else if (e.fileFormat == "PUFFIN")
+          e.refDataFile.map(IcebergScan.normalizePath)
+            .exists(n => dataByNorm.contains(n) && !superseded(n))
+        else !dropParquetPos
+      }
+      val newBySpec = staged.groupBy(s =>
+        dataByNorm(IcebergScan.normalizePath(s.refRaw)).specId)
+      val keptBySpec = kept.groupBy(_.specId)
+      val refs = (newBySpec.keySet ++ keptBySpec.keySet).toSeq.sorted.map { sid =>
+        val pfs = c.partFieldsFor(sid)
+        val es = manifestSchemaFor(pfs.map(_.recordField), v3 = true)
+        val dfs = es.getField("data_file").schema()
+        val keptEs = keptBySpec.getOrElse(sid, Seq.empty).sortBy(_.path)
+        val keptRecs = keptEs.map { e =>
+          val f = new GenericData.Record(dfs)
+          f.put("content", e.content)
+          f.put("file_path", relOf(e.path))
+          f.put("file_format", e.fileFormat)
+          f.put("partition", partitionRecordFromEntry(dfs, pfs, e))
+          f.put("record_count", e.rows)
+          f.put("file_size_in_bytes", e.bytes)
+          f.put("block_size_in_bytes", DefaultBlockSize)
+          if (e.eqIds.nonEmpty) f.put("equality_ids", e.eqIds.map(Int.box).asJava)
+          if (e.fileFormat == "PUFFIN") {
+            f.put("referenced_data_file", relOf(e.refDataFile.get))
+            f.put("content_offset", Long.box(e.contentOffset.get))
+            f.put("content_size_in_bytes", Long.box(e.contentSize.get))
+          }
+          val en = new GenericData.Record(es)
+          en.put("status", 0) // EXISTING — original seq, delete gating intact
+          en.put("snapshot_id", v.toLong)
+          en.put("sequence_number", e.seq)
+          en.put("file_sequence_number", e.seq)
+          en.put("data_file", f)
+          en
+        }
+        val newSs = newBySpec.getOrElse(sid, Seq.empty).sortBy(_.refRaw)
+        val newRecs = newSs.map { s =>
+          val ref = dataByNorm(IcebergScan.normalizePath(s.refRaw))
+          val f = new GenericData.Record(dfs)
+          f.put("content", 1) // POSITION DELETES (DV form)
+          f.put("file_path", s.puffinRel)
+          f.put("file_format", "PUFFIN")
+          f.put("partition", partitionRecordFromEntry(dfs, pfs, ref))
+          f.put("record_count", s.cardinality)
+          f.put("file_size_in_bytes", s.puffinBytes)
+          f.put("block_size_in_bytes", DefaultBlockSize)
+          f.put("referenced_data_file", relOf(ref.path))
+          f.put("content_offset", Long.box(s.offset))
+          f.put("content_size_in_bytes", Long.box(s.length))
+          val en = new GenericData.Record(es)
+          en.put("status", 1) // ADDED — seq inherits this commit's
+          en.put("snapshot_id", v.toLong)
+          en.put("data_file", f)
+          en
+        }
+        val rel = s"metadata/manifest-$v-dv-spec$sid-${pathNonce()}.avro"
+        writeAvro(fs, new Path(root, rel), es, keptRecs ++ newRecs,
+          manifestMeta(c.schemaJson, fmtVersion = 3, content = "deletes",
+            specFieldsJson = c.specFieldsJsonFor(sid), specId = sid))
+        ManifestRef(rel, fs.getFileStatus(new Path(root, rel)).getLen, sid,
+          content = 1, seq = v.toLong,
+          minSeq = (keptEs.map(_.seq) :+ v.toLong).min, snapshotId = v.toLong,
+          addedFiles = newRecs.size, existingFiles = keptRecs.size,
+          deletedFiles = 0, addedRows = newSs.map(_.cardinality).sum,
+          existingRows = keptEs.map(_.rows).sum, deletedRows = 0L)
+      }
+      // optional data manifest: MOR-update row images (ADDED, explicit
+      // sequential first_row_id from the table counter)
+      val dataRef: Option[ManifestRef] = if (newData.isEmpty) scala.None else {
+        val recordFields = c.partFields.map(_.recordField)
+        val es = manifestSchemaFor(recordFields, v3 = true)
+        val dfs = es.getField("data_file").schema()
+        val rowIds = newData.scanLeft(nextRowIdOf(fs, metaDir, v - 1)) {
+          case (acc, (_, rows, _)) => acc + rows
+        }.init
+        val rel = s"metadata/manifest-$v-${pathNonce()}.avro"
+        writeAvro(fs, new Path(root, rel), es,
+          parMap(newData.zip(rowIds)) { case ((r, rows, len), rowId) =>
+            val f = new GenericData.Record(dfs)
+            f.put("content", 0)
+            f.put("file_path", r)
+            f.put("file_format", "PARQUET")
+            f.put("partition", partitionRecordOf(dfs, recordFields, r))
+            f.put("record_count", rows)
+            f.put("file_size_in_bytes", len)
+            f.put("block_size_in_bytes", DefaultBlockSize)
+            f.put("first_row_id", Long.box(rowId))
+            attachStats(f, dfs, conf, new Path(root, r), c.schemaJson)
+            val en = new GenericData.Record(es)
+            en.put("status", 1) // ADDED
+            en.put("snapshot_id", v.toLong)
+            en.put("data_file", f)
+            en
+          }, manifestMeta(c.schemaJson, fmtVersion = 3, content = "data",
+            specFieldsJson = c.specFieldsJson, specId = c.defaultSpecId))
+        Some(ManifestRef(rel, fs.getFileStatus(new Path(root, rel)).getLen,
+          c.defaultSpecId, content = 0, seq = v.toLong, minSeq = v.toLong,
+          snapshotId = v.toLong, addedFiles = newData.size, existingFiles = 0,
+          deletedFiles = 0, addedRows = newData.map(_._2).sum,
+          existingRows = 0L, deletedRows = 0L))
+      }
+      val prevData = readPrevManifests(fs, conf, root, v).filter(_.content == 0)
+      val listRel = s"metadata/snap-$v-${pathNonce()}.avro"
+      writeAvro(fs, new Path(root, listRel), manifestListSchema,
+        (prevData ++ dataRef.toSeq ++ refs).map(manifestRefRecord),
+        manifestListMeta(v, fmtVersion = 3))
+      writeMetadataJson(fs, metaDir, root, v, fmtVersion = 3, c, listRel,
+        operation = operation, assignedRows = newData.map(_._2).sum)
+    }
+    commitDeleteWithRetry(spark, fs, root, metaDir, tablePath, carry,
+      plannedLive, version, assemble)
   }
 
   /** Spark → Iceberg schema JSON with 1-based field ids; primitives
@@ -2905,13 +3332,26 @@ object IcebergWrite {
     * carries one nullable field per identity-partition column (spec
     * partition field-ids from 1000) — [[manifestSchema]] is the
     * unpartitioned instance */
-  private def manifestSchemaFor(partFields: Seq[StructField]): Schema = {
+  private def manifestSchemaFor(partFields: Seq[StructField],
+      v3: Boolean = false): Schema = {
     val pf = partFields.zipWithIndex.map { case (f, i) =>
       s"""{"name":${jstr(f.name)},"type":["null",${avroPartType(f.dataType, f.name)}],""" +
         s""""default":null,"field-id":${1000 + i}}"""
     }.mkString(",")
-    new Schema.Parser().parse(manifestSchemaJson.replace(
-      "\"__PARTITION_FIELDS__\"", pf))
+    val base = manifestSchemaJson.replace("\"__PARTITION_FIELDS__\"", pf)
+    // format-version 3 data_file fields: row-lineage first_row_id (142)
+    // and the deletion-vector address triplet (143-145). Only stamped
+    // into v3 manifests — v2 readers use fixed reader schemas and must
+    // not see unknown ids
+    val withV3 = if (!v3) base else base.replace(
+      """{"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140}""",
+      """{"name":"sort_order_id","type":["null","int"],"default":null,"field-id":140},
+        |{"name":"first_row_id","type":["null","long"],"default":null,"field-id":142},
+        |{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+        |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+        |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}"""
+        .stripMargin.replaceAll("\n", ""))
+    new Schema.Parser().parse(withV3)
   }
 
   private val manifestSchemaJson =
