@@ -37,7 +37,12 @@ object BenchSf1 {
     // round 10: spec evolution proven one order up (r9 proved it only
     // at gate scale) — the mixed-layout read must keep pruning and
     // stay linear when the pre/post-evolution file sets are 10x
-    "q_iceberg_spec_evolve")
+    "q_iceberg_spec_evolve",
+    // round 10: the v3 deletion-vector lifecycle (parquet deletes →
+    // upgrade conversion → DV delete with supersede) must stay linear
+    // when victims span 10x the files — DV staging is one shuffle by
+    // victim file + executor-side Puffin writes, never a driver fold
+    "q_iceberg_dv")
 
   private val Copies = 10
 

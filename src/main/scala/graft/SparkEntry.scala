@@ -1991,6 +1991,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ANALYZE TABLE statistics: one aggregation pass writes a Puffin
+    // stats file (DataSketches-HLL NDV blob + ndv property per column)
+    // registered under the spec's `statistics` metadata field. The
+    // sketch estimate can't hash-match a SQL oracle, so the gate uses
+    // the sketchGate pattern (q_harmonic): the result row carries the
+    // EXACT distinct count (hash-checked) plus a within-2%-tolerance
+    // boolean for the estimate (TRUE in the oracle)
+    "q_iceberg_stats" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_stats_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(s, docs, base)
+      val stats = graft.sources.IcebergNdv.analyze(s, base, Seq("doc_id", "lang"))
+        .map(st => st.column -> st.ndv).toMap
+      val exact = graft.sources.IcebergScan.read(s, base)
+        .agg(countDistinct(col("doc_id")).as("d"), countDistinct(col("lang")).as("l"))
+        .head()
+      import s.implicits._
+      Seq(
+        ("doc_id", exact.getLong(0),
+          math.abs(stats("doc_id") - exact.getLong(0)) <= exact.getLong(0) / 50 + 1),
+        ("lang", exact.getLong(1),
+          math.abs(stats("lang") - exact.getLong(1)) <= exact.getLong(1) / 50 + 1))
+        .toDF("col_name", "exact_ndv", "estimate_ok")
+        .orderBy("col_name")
+    }),
+
     // Delta MERGE-ON-READ delete: matching rows recorded as deletion
     // vectors (protocol 'u'-storage RoaringBitmapArray bins, written
     // executor-side) — data files untouched, the read applies the DV
@@ -5125,6 +5151,13 @@ object SparkEntry {
       """SELECT doc_id, lang, text FROM documents
         |WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_stats" ->
+      """SELECT col_name, exact_ndv, TRUE AS estimate_ok FROM (
+        |  SELECT 'doc_id' AS col_name, count(DISTINCT doc_id) AS exact_ndv FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(DISTINCT lang) FROM documents
+        |) ORDER BY col_name""".stripMargin,
 
     "q_delta_delete" ->
       """SELECT doc_id, lang, text FROM documents

@@ -1,0 +1,191 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table STATISTICS files (Iceberg spec §Table Statistics + Puffin):
+  * `analyze` computes one mergeable NDV sketch per column in a single
+  * distributed aggregation pass, writes them as Puffin blobs, and
+  * registers the file under the table metadata's `statistics` field
+  * (snapshot-scoped, replace-on-reanalyze, carried verbatim across
+  * later commits exactly like `refs`).
+  *
+  * The sketch payload is Apache DataSketches **HLL** binary as
+  * produced by Spark's native `hll_sketch_agg` (Spark embeds
+  * datasketches-java, so the bytes are genuinely interoperable and
+  * mergeable by any DataSketches reader). The spec names only
+  * `apache-datasketches-theta-v1` for NDV blobs; emitting that type
+  * with HLL bytes would be a false conformance claim, so graft uses
+  * an honest custom type ([[BlobType]]) plus the conventional `ndv`
+  * blob property — which is the part warehouse engines actually read
+  * (the reference's backends expose ANALYZE the same way:
+  * src/TidierDB.jl delegates to DuckDB's own stats machinery).
+  *
+  * Scale shape: ONE aggregation job over the delete-applied read
+  * (HLL partial-merges map-side), a driver row of ncols sketches
+  * (KBs), one Puffin write, one metadata CAS. Sketches from disjoint
+  * analyze passes UNION in O(k) — stats maintenance at 100 TB can be
+  * incremental per partition and merged, never recomputed whole. */
+object IcebergNdv {
+
+  /** DataSketches HLL binary (lgConfigK 12), `ndv` property alongside */
+  val BlobType = "graft-datasketches-hll-v1"
+
+  final case class ColumnStats(
+      column: String, fieldId: Int, ndv: Long, sketch: Array[Byte])
+
+  /** columns `hll_sketch_agg` accepts natively; everything else is
+    * cast to string first (injective for the supported primitive
+    * domain, so NDV is preserved) */
+  private def sketchCol(f: StructField): org.apache.spark.sql.Column = f.dataType match {
+    case IntegerType | LongType | StringType | BinaryType => col(f.name)
+    case _ => col(f.name).cast(StringType)
+  }
+
+  /** ANALYZE: per-column NDV sketches for the CURRENT snapshot.
+    * `columns` empty = every column. Returns the registered stats. */
+  def analyze(spark: SparkSession, tablePath: String,
+      columns: Seq[String] = Nil): Seq[ColumnStats] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    val prev = IcebergWrite.readUtf8(fs, hint).trim.toInt
+    val version = prev + 1
+    val root = fs.makeQualified(new Path(tablePath))
+    val metaDir = new Path(root, "metadata")
+    val mapper = new ObjectMapper()
+    val node = mapper.readTree(IcebergWrite.readUtf8(fs,
+      new Path(metaDir, s"v$prev.metadata.json"))).asInstanceOf[ObjectNode]
+    val snapshotId = Option(node.get("current-snapshot-id")).map(_.asLong())
+      .filter(_ != -1L).getOrElse(throw new IllegalArgumentException(
+        s"$tablePath has no current snapshot to analyze"))
+    val snapSeq = Option(node.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .find(_.get("snapshot-id").asLong() == snapshotId)
+      .flatMap(s => Option(s.get("sequence-number")).map(_.asLong()))
+      .getOrElse(0L)
+    val schemaNode = IcebergScan.currentSchema(node)
+    val idByName = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+
+    val df = IcebergScan.read(spark, tablePath)
+    val wanted = if (columns.nonEmpty) columns else df.schema.fieldNames.toSeq
+    wanted.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"analyze column '$c' is not a column of $tablePath"))
+    val fields = wanted.map(df.schema(_))
+    // ONE pass: every column's sketch in a single aggregation row
+    val row = df.agg(
+      hll_sketch_agg(sketchCol(fields.head)).as(fields.head.name),
+      fields.tail.map(f => hll_sketch_agg(sketchCol(f)).as(f.name)): _*
+    ).head() // [lint:bounded] one row of ncols KB-sized sketches
+    val sketches = fields.zipWithIndex.map { case (f, i) =>
+      val bytes = row.getAs[Array[Byte]](i)
+      val ndv = math.round(spark.range(1).select(
+        hll_sketch_estimate(lit(bytes))).head().getLong(0).toDouble)
+      (f.name, idByName(f.name), ndv, bytes)
+    }
+
+    // one Puffin stats file, one blob per column
+    val statsRel = s"metadata/stats-v$version-${IcebergWrite.pathNonce()}.puffin"
+    val statsPath = new Path(root, statsRel)
+    val blobs = sketches.map { case (name, fid, ndv, bytes) =>
+      Puffin.Blob(BlobType, Seq(fid), snapshotId, snapSeq,
+        Map("ndv" -> ndv.toString), bytes)
+    }
+    val metas = Puffin.write(fs, statsPath, blobs,
+      Map("created-by" -> "graft-analyze"))
+    val fileLen = fs.getFileStatus(statsPath).getLen
+    val footerLen = fileLen - 4L - blobs.map(_.payload.length.toLong).sum
+
+    // register under `statistics`, replacing any entry for this snapshot
+    val statsArr = Option(node.get("statistics"))
+      .map(_.asInstanceOf[ArrayNode]).getOrElse(mapper.createArrayNode())
+    val kept = mapper.createArrayNode()
+    statsArr.elements().asScala
+      .filterNot(_.get("snapshot-id").asLong() == snapshotId)
+      .foreach(kept.add)
+    val entry = kept.addObject()
+    entry.put("snapshot-id", snapshotId)
+    entry.put("statistics-path", statsPath.toString)
+    entry.put("file-size-in-bytes", fileLen)
+    entry.put("file-footer-size-in-bytes", footerLen)
+    val bm = entry.putArray("blob-metadata")
+    metas.foreach { m =>
+      val b = bm.addObject()
+      b.put("type", m.blobType)
+      b.put("snapshot-id", m.snapshotId)
+      b.put("sequence-number", m.sequenceNumber)
+      val fl = b.putArray("fields"); m.fields.foreach(fl.add)
+      val p = b.putObject("properties")
+      m.properties.foreach { case (k, v) => p.put(k, v) }
+    }
+    node.set[ObjectNode]("statistics", kept)
+    node.put("last-updated-ms", System.currentTimeMillis())
+    val metaPath = new Path(metaDir, s"v$version.metadata.json")
+    try IcebergWrite.writeUtf8(fs, metaPath, node.toString, overwrite = false)
+    catch {
+      case e: java.io.IOException =>
+        fs.delete(statsPath, false)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent Iceberg commit detected: $metaPath already exists — " +
+            "another writer committed this version; re-run analyze", e)
+    }
+    IcebergWrite.writeUtf8(fs, new Path(metaDir, "version-hint.text"), version.toString)
+    sketches.map { case (n, fid, ndv, bytes) => ColumnStats(n, fid, ndv, bytes) }
+  }
+
+  /** the registered statistics for the CURRENT snapshot (None when the
+    * table has no stats, or only stats for other snapshots — per spec
+    * a reader must not assume another snapshot's stats apply). Reads
+    * ndv from the blob properties in the table metadata; sketch bytes
+    * from the Puffin file. */
+  def tableStatistics(spark: SparkSession,
+      tablePath: String): Option[Seq[ColumnStats]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tablePath).getFileSystem(conf)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath")
+    val prev = IcebergWrite.readUtf8(fs, hint).trim.toInt
+    val mapper = new ObjectMapper()
+    val node = mapper.readTree(IcebergWrite.readUtf8(fs,
+      new Path(tablePath, s"metadata/v$prev.metadata.json")))
+    val snapshotId = Option(node.get("current-snapshot-id")).map(_.asLong())
+      .filter(_ != -1L).getOrElse(return scala.None)
+    val entry = Option(node.get("statistics")).toSeq
+      .flatMap(_.elements().asScala)
+      .find(_.get("snapshot-id").asLong() == snapshotId)
+      .getOrElse(return scala.None)
+    val schemaNode = IcebergScan.currentSchema(node)
+    val nameById = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    val statsPath = new Path(entry.get("statistics-path").asText())
+    val (blobs, _) = Puffin.footer(conf, statsPath)
+    Some(blobs.filter(_.blobType == BlobType).map { m =>
+      val fid = m.fields.headOption.getOrElse(
+        throw new IllegalStateException(s"stats blob in $statsPath names no field"))
+      ColumnStats(
+        column = nameById.getOrElse(fid, s"field-$fid"),
+        fieldId = fid,
+        ndv = m.properties.get("ndv").map(_.toLong).getOrElse(
+          throw new IllegalStateException(
+            s"stats blob for field $fid in $statsPath carries no ndv property")),
+        sketch = Puffin.readBlob(conf, statsPath, m))
+    })
+  }
+
+  /** merged NDV of several DataSketches HLL sketches (disjoint or
+    * overlapping analyze passes union in O(k)) */
+  def mergedNdv(spark: SparkSession, sketches: Seq[Array[Byte]]): Long = {
+    require(sketches.nonEmpty, "mergedNdv needs at least one sketch")
+    import spark.implicits._
+    sketches.toDF("s")
+      .agg(hll_sketch_estimate(hll_union_agg(col("s"))))
+      .head().getLong(0)
+  }
+}

@@ -1004,7 +1004,7 @@ object IcebergScan {
 
   /** v2 keeps a `schemas` array + `current-schema-id`; v1 a single
     * `schema` field. */
-  private def currentSchema(meta: JsonNode): JsonNode = {
+  private[sources] def currentSchema(meta: JsonNode): JsonNode = {
     val v2 = for {
       schemas <- Option(meta.get("schemas"))
       id <- Option(meta.get("current-schema-id")).map(_.asInt())

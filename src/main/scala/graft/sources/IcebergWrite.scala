@@ -651,7 +651,7 @@ object IcebergWrite {
   private[graft] var beforeCommit: () => Unit = () => ()
 
   /** short unique suffix for manifest/list file names (see assemble) */
-  private def pathNonce(): String =
+  private[sources] def pathNonce(): String =
     java.util.UUID.randomUUID().toString.take(8)
 
   /** table property marking that every data file was written with
@@ -2299,9 +2299,10 @@ object IcebergWrite {
       // commit; next-row-id advances by exactly this count
       assignedRows: Long = 0L): Unit = {
     val now = System.currentTimeMillis()
-    val (prevSnapshots, prevProps, prevRefs, prevCurrentId, prevNextRowId)
-        : (String, Map[String, String], Option[String], Long, Long) =
-      if (version == 1) ("", Map.empty, scala.None, -1L, 0L)
+    val (prevSnapshots, prevProps, prevRefs, prevCurrentId, prevNextRowId,
+        prevStatistics)
+        : (String, Map[String, String], Option[String], Long, Long, Option[String]) =
+      if (version == 1) ("", Map.empty, scala.None, -1L, 0L, scala.None)
       else {
         // carry prior snapshots, table properties AND refs forward from
         // the previous metadata JSON (properties hold the streaming-
@@ -2318,7 +2319,10 @@ object IcebergWrite {
           // absent pre-upgrade: a table upgraded to v3 starts ids at 0
           // (pre-upgrade snapshots carry no first-row-id, so their rows
           // never receive derived ids — no collision with fresh ranges)
-          Option(node.get("next-row-id")).map(_.asLong()).getOrElse(0L))
+          Option(node.get("next-row-id")).map(_.asLong()).getOrElse(0L),
+          // `statistics` entries are snapshot-scoped and must survive
+          // unrelated commits, same as refs (IcebergStats registers them)
+          Option(node.get("statistics")).map(_.toString))
       }
     val propsJson = (prevProps ++ propsOverride).toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
@@ -2375,12 +2379,13 @@ object IcebergWrite {
       if (base.isEmpty) "" else s""""refs":${base.toString},"""
     }
     val newCurrentId = if (branchRef.isEmpty) version.toLong else prevCurrentId
+    val statsJson = prevStatistics.map(s => s""""statistics":$s,""").getOrElse("")
     val meta =
       s"""{"format-version":$fmtVersion,"table-uuid":"${carry.tableUuid}",
          |"location":${jstr(root.toString)},"last-updated-ms":$now,
          |"last-column-id":${carry.lastColumnId},
          |$v2Extra$v3Extra
-         |$refsJson"schema":${carry.schemaJson},
+         |$refsJson$statsJson"schema":${carry.schemaJson},
          |"partition-spec":${carry.specFieldsJson},"properties":{$propsJson},
          |"current-snapshot-id":$newCurrentId,
          |"snapshots":[$prevSnapshots{"snapshot-id":$version,$snapSeq$snapRowId
@@ -3563,7 +3568,7 @@ object IcebergWrite {
     out.result()
   }
 
-  private def readUtf8(fs: FileSystem, p: Path): String = {
+  private[sources] def readUtf8(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
@@ -3572,7 +3577,7 @@ object IcebergWrite {
   // (overwrite=false) and the version-hint swap (overwrite=true) are
   // both rename-published, so no reader — the admission-controlled
   // stream source in particular — can observe a torn control file
-  private def writeUtf8(fs: FileSystem, p: Path, s: String,
+  private[sources] def writeUtf8(fs: FileSystem, p: Path, s: String,
       overwrite: Boolean = true): Unit =
     AtomicFiles.publishUtf8(fs, p, s, overwrite)
 

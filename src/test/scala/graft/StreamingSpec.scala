@@ -1587,6 +1587,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("IcebergStreamProvider: v3 upgrade mid-stream is a no-op; a DV delete fails the stream loudly") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IcebergWrite
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ice_v3_stream").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("graft_ice_v3_stream_ck").toString
+    IcebergWrite.create(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), dir)
+    val delivered = scala.collection.mutable.ListBuffer[Long]()
+    val q = spark.readStream
+      .format(classOf[graft.streaming.IcebergStreamProvider].getName)
+      .load(dir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.collect().map(_.getLong(0))
+        delivered.synchronized { delivered ++= rows }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(delivered.synchronized(delivered.toSet) == Set(1L, 2L))
+      // the upgrade is a metadata-only commit on a delete-free table:
+      // data file set unchanged, the increment is empty, reader keeps going
+      IcebergWrite.upgradeFormatVersion(spark, dir)
+      q.processAllAvailable()
+      IcebergWrite.append(spark, Seq((3L, "c")).toDF("id", "v").coalesce(1), dir)
+      q.processAllAvailable()
+      assert(delivered.synchronized(delivered.toSet) == Set(1L, 2L, 3L))
+      // a deletion vector retracts already-emitted rows — the
+      // append-only stream must fail LOUDLY, never skip it silently
+      IcebergWrite.deleteWhere(spark, dir, col("id") === 1L)
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else t.getMessage +: chain(t.getCause)
+      assert(chain(e).exists(m => m != null && m.contains("row-level delete")),
+        s"expected the live-delete refusal, got: ${chain(e).mkString(" | ")}")
+    } finally q.stop()
+  }
+
   test("DeltaStreamProvider streams a GENERATED-COLUMN table; derived partition values decode (DateType included)") {
     import graft.sources.DeltaWrite
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
