@@ -2017,6 +2017,20 @@ object SparkEntry {
         .orderBy("col_name")
     }),
 
+    // PARTITION STATISTICS file: per-partition record counts computed
+    // from manifest planning metadata only (no data scan), registered
+    // under the spec's partition-statistics field — the counts must
+    // equal a GROUP BY over the data
+    "q_iceberg_partstats" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_pstats_gate").toString
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(s, docs, base, partitionBy = Seq("lang"))
+      graft.sources.IcebergPartitionStats.write(s, base)
+      graft.sources.IcebergPartitionStats.read(s, base).get
+        .selectExpr("partition.lang AS lang", "data_record_count AS n_rows")
+        .orderBy("lang")
+    }),
+
     // Delta MERGE-ON-READ delete: matching rows recorded as deletion
     // vectors (protocol 'u'-storage RoaringBitmapArray bins, written
     // executor-side) — data files untouched, the read applies the DV
@@ -5151,6 +5165,10 @@ object SparkEntry {
       """SELECT doc_id, lang, text FROM documents
         |WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_partstats" ->
+      """SELECT lang, count(*) AS n_rows FROM documents
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_iceberg_stats" ->
       """SELECT col_name, exact_ndv, TRUE AS estimate_ok FROM (

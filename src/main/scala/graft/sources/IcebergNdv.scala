@@ -189,3 +189,175 @@ object IcebergNdv {
       .head().getLong(0)
   }
 }
+
+/** PARTITION STATISTICS files (Iceberg spec §Partition Statistics):
+  * per-partition data/delete record+file counts and byte totals,
+  * written as a parquet file registered under the table metadata's
+  * `partition-statistics` field. Computed ENTIRELY from manifest
+  * planning metadata — no data scan: group the snapshot's live
+  * entries by (spec_id, partition tuple). The `partition` column is
+  * the spec's unified tuple (the union of every spec's fields by
+  * name; fields a given file's spec lacks are null), each field
+  * stamped with its spec field-id so external readers resolve by id.
+  *
+  * Scale shape: one manifest walk (already PlanningGuard-bounded),
+  * a driver group-by over O(partitions) entries, one parquet write,
+  * one metadata CAS. */
+object IcebergPartitionStats {
+
+  /** compute + register partition statistics for the CURRENT
+    * snapshot (replacing any prior entry for it). Returns the rows
+    * written, as (spec_id, partition map, data_record_count,
+    * data_file_count, total_data_file_size_in_bytes,
+    * position_delete_record_count, equality_delete_record_count). */
+  def write(spark: SparkSession, tablePath: String): DataFrame = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    val prev = IcebergWrite.readUtf8(fs, hint).trim.toInt
+    val version = prev + 1
+    val root = fs.makeQualified(new Path(tablePath))
+    val metaDir = new Path(root, "metadata")
+    val mapper = new ObjectMapper()
+    val node = mapper.readTree(IcebergWrite.readUtf8(fs,
+      new Path(metaDir, s"v$prev.metadata.json")))
+      .asInstanceOf[ObjectNode]
+    val snapshotId = Option(node.get("current-snapshot-id")).map(_.asLong())
+      .filter(_ != -1L).getOrElse(throw new IllegalArgumentException(
+        s"$tablePath has no current snapshot"))
+
+    // unified partition tuple: the union of every spec's fields by
+    // name, typed by their record types, stamped with spec field-ids
+    val (schema0, entries) = IcebergScan.currentEntries(spark, tablePath)
+    val _ = schema0
+    // v1 metadata records only the legacy single "partition-spec"
+    // fields array — wrap it in the v2 shape
+    val specsJson = Option(node.get("partition-specs")).map(_.toString)
+      .orElse(Option(node.get("partition-spec")).map(f =>
+        s"""[{"spec-id":0,"fields":$f}]"""))
+    val allFields: Seq[(String, StructField, Int)] = {
+      val schemaNode = IcebergScan.currentSchema(node)
+      val nameById = schemaNode.get("fields").elements().asScala
+        .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+      val sparkSchema = IcebergScan.sparkSchema(schemaNode)
+      val specs = specsJson.map(mapper.readTree).toSeq
+        .flatMap(_.elements().asScala)
+      val seen = scala.collection.mutable.LinkedHashMap
+        .empty[String, (StructField, Int)]
+      specs.foreach { sp =>
+        IcebergTransforms.fromSpecJson(sp.get("fields").toString, nameById,
+          sparkSchema).zip(sp.get("fields").elements().asScala.toSeq)
+          .foreach { case (pf, fj) =>
+            val fid = Option(fj.get("field-id")).map(_.asInt()).getOrElse(1000)
+            if (!seen.contains(pf.specName))
+              seen += pf.specName -> ((pf.recordField, fid))
+          }
+      }
+      seen.toSeq.map { case (n, (f, id)) => (n, f, id) }
+    }
+    require(allFields.nonEmpty,
+      s"$tablePath is unpartitioned — partition statistics describe " +
+        "partition tuples; use IcebergNdv.analyze / files() for " +
+        "table-level statistics")
+
+    final case class Agg(var dRows: Long = 0L, var dFiles: Int = 0,
+      var dBytes: Long = 0L, var pRows: Long = 0L, var pFiles: Int = 0,
+      var eRows: Long = 0L, var eFiles: Int = 0)
+    val byPart = scala.collection.mutable.LinkedHashMap
+      .empty[(Int, Seq[Any]), Agg]
+    entries.foreach { e =>
+      val tuple = allFields.map { case (n, _, _) => e.partition.getOrElse(n, null) }
+      val a = byPart.getOrElseUpdate((e.specId, tuple), Agg())
+      e.content match {
+        case 0 => a.dRows += e.rows; a.dFiles += 1; a.dBytes += e.bytes
+        case 1 => a.pRows += e.rows; a.pFiles += 1
+        case 2 => a.eRows += e.rows; a.eFiles += 1
+        case _ => ()
+      }
+    }
+
+    import org.apache.spark.sql.Row
+    def externalize(f: StructField, v: Any): Any = (f.dataType, v) match {
+      case (_, null) => null
+      case (DateType, i: java.lang.Integer) =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+      case (StringType, s) => s.toString
+      case _ => v
+    }
+    val rows: Seq[Row] = byPart.toSeq.map { case ((sid, tuple), a) =>
+      Row(Row.fromSeq(allFields.zip(tuple).map { case ((_, f, _), v) =>
+        externalize(f, v) }),
+        sid, a.dRows, a.dFiles, a.dBytes, a.pRows, a.pFiles, a.eRows, a.eFiles)
+    }
+    def withId(f: StructField, id: Int): StructField =
+      f.copy(nullable = true, metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", id.toLong).build())
+    val outSchema = StructType(Seq(
+      StructField("partition",
+        StructType(allFields.map { case (_, f, id) => withId(f, id) }), nullable = false),
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("data_record_count", LongType, nullable = false),
+      StructField("data_file_count", IntegerType, nullable = false),
+      StructField("total_data_file_size_in_bytes", LongType, nullable = false),
+      StructField("position_delete_record_count", LongType, nullable = false),
+      StructField("position_delete_file_count", IntegerType, nullable = false),
+      StructField("equality_delete_record_count", LongType, nullable = false),
+      StructField("equality_delete_file_count", IntegerType, nullable = false)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava), outSchema)
+
+    // one parquet file under metadata/ (partition stats are metadata)
+    val tmpDir = new Path(root, s"metadata/.pstats-tmp-${IcebergWrite.pathNonce()}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+    val part = fs.listStatus(tmpDir).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).getOrElse(
+        throw new IllegalStateException(s"no parquet written under $tmpDir"))
+    val statsRel = s"metadata/partition-stats-v$version-${IcebergWrite.pathNonce()}.parquet"
+    val statsPath = new Path(root, statsRel)
+    require(fs.rename(part, statsPath), s"rename $part -> $statsPath failed")
+    fs.delete(tmpDir, true)
+
+    val arr = Option(node.get("partition-statistics"))
+      .map(_.asInstanceOf[ArrayNode]).getOrElse(mapper.createArrayNode())
+    val kept = mapper.createArrayNode()
+    arr.elements().asScala
+      .filterNot(_.get("snapshot-id").asLong() == snapshotId)
+      .foreach(kept.add)
+    val entry = kept.addObject()
+    entry.put("snapshot-id", snapshotId)
+    entry.put("statistics-path", statsPath.toString)
+    entry.put("file-size-in-bytes", fs.getFileStatus(statsPath).getLen)
+    node.set[ObjectNode]("partition-statistics", kept)
+    node.put("last-updated-ms", System.currentTimeMillis())
+    val metaPath = new Path(metaDir, s"v$version.metadata.json")
+    try IcebergWrite.writeUtf8(fs, metaPath, node.toString, overwrite = false)
+    catch {
+      case e: java.io.IOException =>
+        fs.delete(statsPath, false)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent Iceberg commit detected: $metaPath already exists — " +
+            "another writer committed this version; re-run", e)
+    }
+    IcebergWrite.writeUtf8(fs, new Path(metaDir, "version-hint.text"),
+      version.toString)
+    df
+  }
+
+  /** the registered partition statistics for the CURRENT snapshot
+    * (None when absent or stale, same snapshot-scoping as
+    * [[IcebergNdv.tableStatistics]]) */
+  def read(spark: SparkSession, tablePath: String): Option[DataFrame] = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath")
+    val prev = IcebergWrite.readUtf8(fs, hint).trim.toInt
+    val node = new ObjectMapper().readTree(IcebergWrite.readUtf8(fs,
+      new Path(tablePath, s"metadata/v$prev.metadata.json")))
+    val snapshotId = Option(node.get("current-snapshot-id")).map(_.asLong())
+      .filter(_ != -1L).getOrElse(return scala.None)
+    Option(node.get("partition-statistics")).toSeq
+      .flatMap(_.elements().asScala)
+      .find(_.get("snapshot-id").asLong() == snapshotId)
+      .map(e => spark.read.parquet(e.get("statistics-path").asText()))
+  }
+}

@@ -2300,9 +2300,10 @@ object IcebergWrite {
       assignedRows: Long = 0L): Unit = {
     val now = System.currentTimeMillis()
     val (prevSnapshots, prevProps, prevRefs, prevCurrentId, prevNextRowId,
-        prevStatistics)
-        : (String, Map[String, String], Option[String], Long, Long, Option[String]) =
-      if (version == 1) ("", Map.empty, scala.None, -1L, 0L, scala.None)
+        prevStatistics, prevPartStatistics)
+        : (String, Map[String, String], Option[String], Long, Long,
+           Option[String], Option[String]) =
+      if (version == 1) ("", Map.empty, scala.None, -1L, 0L, scala.None, scala.None)
       else {
         // carry prior snapshots, table properties AND refs forward from
         // the previous metadata JSON (properties hold the streaming-
@@ -2320,9 +2321,11 @@ object IcebergWrite {
           // (pre-upgrade snapshots carry no first-row-id, so their rows
           // never receive derived ids — no collision with fresh ranges)
           Option(node.get("next-row-id")).map(_.asLong()).getOrElse(0L),
-          // `statistics` entries are snapshot-scoped and must survive
-          // unrelated commits, same as refs (IcebergStats registers them)
-          Option(node.get("statistics")).map(_.toString))
+          // `statistics` / `partition-statistics` entries are snapshot-
+          // scoped and must survive unrelated commits, same as refs
+          // (IcebergNdv / IcebergPartitionStats register them)
+          Option(node.get("statistics")).map(_.toString),
+          Option(node.get("partition-statistics")).map(_.toString))
       }
     val propsJson = (prevProps ++ propsOverride).toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString(",")
@@ -2379,7 +2382,8 @@ object IcebergWrite {
       if (base.isEmpty) "" else s""""refs":${base.toString},"""
     }
     val newCurrentId = if (branchRef.isEmpty) version.toLong else prevCurrentId
-    val statsJson = prevStatistics.map(s => s""""statistics":$s,""").getOrElse("")
+    val statsJson = prevStatistics.map(s => s""""statistics":$s,""").getOrElse("") +
+      prevPartStatistics.map(s => s""""partition-statistics":$s,""").getOrElse("")
     val meta =
       s"""{"format-version":$fmtVersion,"table-uuid":"${carry.tableUuid}",
          |"location":${jstr(root.toString)},"last-updated-ms":$now,

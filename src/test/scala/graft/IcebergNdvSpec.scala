@@ -89,6 +89,45 @@ class IcebergNdvSpec extends SparkSpec {
     assert(props.get("created-by").contains("graft-analyze"))
   }
 
+  test("partition statistics: per-partition counts from manifest metadata only") {
+    import spark.implicits._
+    import graft.sources.IcebergPartitionStats
+    val dir = Files.createTempDirectory("graft_pstats").toString + "/t"
+    val df = (1L to 90L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    IcebergWrite.create(spark, df, dir, partitionBy = Seq("g"))
+    // a position delete: its rows must show up in the delete counts
+    assert(IcebergWrite.deleteWhere(spark, dir, col("id") <= 6L) == 6L)
+
+    IcebergPartitionStats.write(spark, dir)
+    val got = IcebergPartitionStats.read(spark, dir).get
+      .selectExpr("partition.g", "data_record_count", "data_file_count",
+        "total_data_file_size_in_bytes", "position_delete_record_count")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set("g0", "g1", "g2"))
+    // data counts are PRE-delete (position deletes ride as delete rows)
+    assert(got.values.map(_._1).sum == 90L)
+    assert(got.values.forall(v => v._2 >= 1 && v._3 > 0L))
+    assert(got.values.map(_._4).sum == 6L, s"delete rows per partition: $got")
+
+    // the metadata field is spec-shaped and snapshot-scoped
+    val entry = metaNode(dir).get("partition-statistics").elements().next()
+    assert(entry.get("statistics-path").asText().endsWith(".parquet"))
+    assert(entry.get("file-size-in-bytes").asLong() > 0L)
+    IcebergWrite.append(spark, Seq((91L, "g0")).toDF("id", "g"), dir)
+    assert(metaNode(dir).get("partition-statistics").size() == 1,
+      "field carried verbatim across unrelated commits")
+    assert(IcebergPartitionStats.read(spark, dir).isEmpty,
+      "stale partition stats must not be served for a newer snapshot")
+
+    // re-write at the new snapshot: fresh counts include the append
+    IcebergPartitionStats.write(spark, dir)
+    val again = IcebergPartitionStats.read(spark, dir).get
+      .selectExpr("partition.g", "data_record_count").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again("g0") == 31L, s"append counted: $again")
+  }
+
   test("analyze refuses unknown columns and empty tables") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_ndv3").toString + "/t"
