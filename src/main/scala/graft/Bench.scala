@@ -130,7 +130,15 @@ object Bench {
     // read (pre/post-evolution manifests + pruned re-read), and the
     // sort-order round trip (sorted append + range-clustered compact)
     "q_bucket_agg", "q_iceberg_spec_evolve", "q_iceberg_sorted",
-    "q_delta_cluster")
+    "q_delta_cluster",
+    // round 10, close: Delta row tracking (enable + backfill + compact
+    // materialization + DV delete, id stability hash-gated), the
+    // Iceberg v3 deletion-vector lifecycle (parquet deletes → upgrade
+    // conversion → DV delete with supersede), ANALYZE NDV statistics
+    // (one-pass HLL sketches → Puffin + statistics field), and the
+    // metadata-only partition-statistics file
+    "q_delta_rowtrack", "q_iceberg_dv", "q_iceberg_stats",
+    "q_iceberg_partstats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
