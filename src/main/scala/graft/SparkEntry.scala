@@ -2094,6 +2094,99 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // METADATA-ONLY AGGREGATES: count(*) / min / max answered from the
+    // planning state alone (Delta log stats / Iceberg manifest bounds +
+    // record counts, DV cardinalities subtracted) — when meta_only is
+    // TRUE no data file was opened, the O(metadata) answer at 100 TB.
+    // The gate also exercises the HONEST fallback: Iceberg equality
+    // deletes cannot be subtracted from metadata (duplicate/dead-file
+    // references are legal), so that count runs the real read and says
+    // so (meta_only FALSE in both the result and the oracle) — the
+    // value must still be exact either way
+    "q_meta_agg" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_meta_agg_gate")
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      val d = base.resolve("d").toString
+      graft.sources.DeltaWrite.create(s, docs, d)
+      val dMm = graft.sources.MetaAgg.minMaxDelta(s, d, "doc_id")
+      graft.sources.DeltaWrite.deleteWhereDV(s, d, col("doc_id") % 3 === 0)
+      val dCnt = graft.sources.MetaAgg.countDelta(s, d)
+      val i = base.resolve("i").toString
+      graft.sources.IcebergWrite.create(s, docs, i)
+      val iMm = graft.sources.MetaAgg.minMaxIceberg(s, i, "doc_id")
+      graft.sources.IcebergWrite.upgradeFormatVersion(s, i)
+      graft.sources.IcebergWrite.deleteWhere(s, i, col("doc_id") % 3 === 0)
+      val iCnt = graft.sources.MetaAgg.countIceberg(s, i)
+      graft.sources.IcebergWrite.deleteEqual(s, i,
+        docs.filter(col("doc_id") % 5 === 0).select("doc_id"))
+      val iEq = graft.sources.MetaAgg.countIceberg(s, i)
+      import s.implicits._
+      Seq(
+        ("delta_count", dCnt.value, dCnt.metadataOnly),
+        ("delta_max_id", dMm.value._2.asInstanceOf[Long], dMm.metadataOnly),
+        ("delta_min_id", dMm.value._1.asInstanceOf[Long], dMm.metadataOnly),
+        ("iceberg_count", iCnt.value, iCnt.metadataOnly),
+        ("iceberg_eq_count", iEq.value, iEq.metadataOnly),
+        ("iceberg_max_id", iMm.value._2.asInstanceOf[Long], iMm.metadataOnly),
+        ("iceberg_min_id", iMm.value._1.asInstanceOf[Long], iMm.metadataOnly))
+        .toDF("metric", "value", "meta_only").orderBy("metric")
+    }),
+
+    // MERGE WITH AUTOMATIC SCHEMA EVOLUTION (Delta): the source carries
+    // a column the table lacks (score — added metadata-only, old rows
+    // read NULL) and LACKS a column the table has (lang — matched rows
+    // keep their value, inserted rows take NULL); updates and inserts
+    // land in one merge
+    "q_delta_merge_evolve" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_me_gate").toString + "/t"
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.DeltaWrite.create(s, docs, base)
+      val upd = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), concat(lit("M:"), col("text")).as("text"),
+          (col("doc_id") * 2).as("score"))
+      val ins = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          (col("doc_id") * 3).as("score"))
+      graft.sources.DeltaWrite.mergeEvolve(s, base, upd.unionByName(ins), Seq("doc_id"))
+      graft.sources.DeltaScan.read(s, base)
+        .select("doc_id", "lang", "text", "score").orderBy("doc_id")
+    }),
+
+    // Iceberg twin of q_delta_merge_evolve (addColumns is a metadata-
+    // only version bump: next schema-id, fresh field ids)
+    "q_iceberg_merge_evolve" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ice_me_gate").toString + "/t"
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(s, docs, base)
+      val upd = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), concat(lit("M:"), col("text")).as("text"),
+          (col("doc_id") * 2).as("score"))
+      val ins = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          (col("doc_id") * 3).as("score"))
+      graft.sources.IcebergWrite.mergeEvolve(s, base, upd.unionByName(ins), Seq("doc_id"))
+      graft.sources.IcebergScan.read(s, base)
+        .select("doc_id", "lang", "text", "score").orderBy("doc_id")
+    }),
+
+    // Delta IDENTITY column (protocol §Identity Columns): create
+    // assigns 10, 12, 14, … over the sorted evens; the append chains
+    // above the recorded high-water mark over the sorted odds — the
+    // assignment itself is hash-checked against the oracle's
+    // ROW_NUMBER reconstruction
+    "q_delta_identity" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_delta_id_gate").toString + "/t"
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.DeltaWrite.createWithIdentity(s,
+        docs.filter(col("doc_id") % 2 === 0).coalesce(1).sortWithinPartitions("doc_id"),
+        base, "row_id", start = 10L, step = 2L)
+      graft.sources.DeltaWrite.append(s,
+        docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).sortWithinPartitions("doc_id"),
+        base)
+      graft.sources.DeltaScan.read(s, base)
+        .select("doc_id", "lang", "text", "row_id").orderBy("doc_id")
+    }),
+
     // Delta copy-on-write row-level DELETE: lang-partitioned table,
     // delete over a data-column predicate, read back — victims
     // rewritten behind one remove+add commit, survivors intact
@@ -5190,6 +5283,56 @@ object SparkEntry {
     "q_delta_rowtrack" ->
       """SELECT doc_id, lang, text FROM documents
         |WHERE doc_id % 7 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_meta_agg" ->
+      """SELECT metric, value, meta_only FROM (
+        |  SELECT 'delta_count' AS metric, count(*) AS value, TRUE AS meta_only
+        |    FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL SELECT 'delta_max_id', max(doc_id), TRUE FROM documents
+        |  UNION ALL SELECT 'delta_min_id', min(doc_id), TRUE FROM documents
+        |  UNION ALL SELECT 'iceberg_count', count(*), TRUE
+        |    FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL SELECT 'iceberg_eq_count', count(*), FALSE
+        |    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0
+        |  UNION ALL SELECT 'iceberg_max_id', max(doc_id), TRUE FROM documents
+        |  UNION ALL SELECT 'iceberg_min_id', min(doc_id), TRUE FROM documents
+        |) ORDER BY metric""".stripMargin,
+
+    "q_delta_merge_evolve" ->
+      """SELECT doc_id, lang, text, score FROM (
+        |  SELECT d.doc_id AS doc_id, d.lang AS lang,
+        |         CASE WHEN d.doc_id % 2 = 0 THEN 'M:' || d.text ELSE d.text END AS text,
+        |         CASE WHEN d.doc_id % 2 = 0 THEN d.doc_id * 2 ELSE NULL END AS score
+        |  FROM documents d
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, CAST(NULL AS VARCHAR), text, doc_id * 3
+        |  FROM documents WHERE doc_id % 5 = 0
+        |) ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_merge_evolve" ->
+      """SELECT doc_id, lang, text, score FROM (
+        |  SELECT d.doc_id AS doc_id, d.lang AS lang,
+        |         CASE WHEN d.doc_id % 2 = 0 THEN 'M:' || d.text ELSE d.text END AS text,
+        |         CASE WHEN d.doc_id % 2 = 0 THEN d.doc_id * 2 ELSE NULL END AS score
+        |  FROM documents d
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, CAST(NULL AS VARCHAR), text, doc_id * 3
+        |  FROM documents WHERE doc_id % 5 = 0
+        |) ORDER BY doc_id""".stripMargin,
+
+    "q_delta_identity" ->
+      """WITH evens AS (
+        |  SELECT doc_id, lang, text,
+        |         10 + 2*(ROW_NUMBER() OVER (ORDER BY doc_id) - 1) AS row_id
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |odds AS (
+        |  SELECT doc_id, lang, text,
+        |         (SELECT max(row_id) FROM evens)
+        |           + 2*ROW_NUMBER() OVER (ORDER BY doc_id) AS row_id
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT doc_id, lang, text, row_id FROM evens
+        |UNION ALL SELECT doc_id, lang, text, row_id FROM odds
         |ORDER BY doc_id""".stripMargin,
 
     "q_iceberg_compact" ->

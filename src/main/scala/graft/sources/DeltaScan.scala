@@ -164,6 +164,32 @@ object DeltaScan {
     * and columns outside the stats always stay in. */
   def read(spark: SparkSession, tablePath: String, versionAsOf: Option[Long] = None,
       skippingFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val st = liveState(spark, tablePath, versionAsOf)
+    readFromState(spark, tablePath, st, skippingFilter)
+  }
+
+  /** One live data file of the reconstructed snapshot: decoded absolute
+    * path, partition values, deletion-vector descriptor, raw `stats`
+    * JSON — exactly what [[read]] plans from, exposed so metadata-only
+    * consumers ([[MetaAgg]]) answer from the SAME replay (protocol
+    * gates, checkpoints, last-action-wins) the row reads use. */
+  private[sources] final case class LiveFile(
+      path: String, pv: Map[String, String],
+      dv: Option[DeletionVectors.Descriptor], stats: Option[String])
+
+  /** the snapshot's logical state: schema, partitioning, table config,
+    * column-mapping flag, and the live file set */
+  private[sources] final case class LiveState(
+      schema: StructType, partCols: Seq[String],
+      conf: Map[String, String], columnMapped: Boolean,
+      files: Seq[LiveFile])
+
+  /** log replay up to `versionAsOf` (default: latest) — the shared
+    * front half of [[read]]: checkpoint + JSON tail, protocol gates,
+    * metaData resolution, last-action-per-path live-set reconstruction,
+    * planning-size guard. Metadata I/O only; no data file is opened. */
+  private[sources] def liveState(spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None): LiveState = {
     val (fs, versions) = listLog(spark, tablePath)
     // a checkpoint with a fully-truncated JSON tail is a legal table
     // state (everything up to the checkpoint version was vacuumed from
@@ -291,8 +317,21 @@ object DeltaScan {
           d.getInt(3), d.getLong(4)))
       }
       val st = if (r.isNullAt(3)) None else Some(r.getString(3))
-      (new Path(tablePath, rel).toString, pv, dv, st)
+      LiveFile(new Path(tablePath, rel).toString, pv, dv, st)
     }
+    LiveState(schema, partCols, conf, columnMapped, allFiles.toSeq)
+  }
+
+  /** the back half of [[read]]: plan the scan over a reconstructed
+    * [[LiveState]] (skipping, DV anti-join, column mapping, layout) */
+  private def readFromState(spark: SparkSession, tablePath: String,
+      state: LiveState,
+      skippingFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val schema = state.schema
+    val partCols = state.partCols
+    val conf = state.conf
+    val columnMapped = state.columnMapped
+    val allFiles = state.files.map(f => (f.path, f.pv, f.dv, f.stats))
     // ---- data skipping: stats prove a file can hold no matching row -----
     // generated-column partitioning: each file's partition VALUE implies
     // bounds on the SOURCE column (the same sourceBounds mapping Iceberg

@@ -110,6 +110,21 @@ object DeltaWrite {
     }
   }
 
+  /** GENERATED ALWAYS identity columns refuse ops that would fabricate
+    * or overwrite their values: merges take whole rows from the source
+    * (no `setCols`), updates are checked per SET column */
+  private def refuseIdentity(schema: StructType, op: String,
+      setCols: Iterable[String] = Nil): Unit =
+    identityField(schema).foreach { case (f, _, _, _, allow) =>
+      if (setCols.isEmpty)
+        require(allow,
+          s"$op takes identity column '${f.name}' values from the source, " +
+            "but it is GENERATED ALWAYS — create with allowExplicitInsert = " +
+            "true, or delete + append instead")
+      else require(!setCols.exists(_ == f.name),
+        s"$op cannot SET identity column '${f.name}' — its values are generated")
+    }
+
   /** refuse DML assignments that touch a generated column or any
     * column its generation expression reads — in-place rewrites cannot
     * move rows across partition dirs; [[merge]] re-derives and CAN */
@@ -138,10 +153,119 @@ object DeltaWrite {
       partitionBy: Seq[String] = Nil): Unit = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val md = latestMetaNodeAny(spark, fs, tablePath)
-    val (ddf, parts) = deriveGenerated(md, df, partitionBy)
-    validateAgainstMeta(md, ddf, parts)
-    val v = DeltaScan.latestVersion(spark, tablePath) + 1
-    commit(spark, fs, ddf, tablePath, parts, version = v, metaNode = md)
+    val declared = md.map(m => DataType.fromJson(m.get("schemaString").asText())
+      .asInstanceOf[StructType])
+    declared.flatMap(identityField) match {
+      case Some((f, start, step, hwm, allow)) if !df.columns.contains(f.name) =>
+        // GENERATED identity: assign fresh values above the water mark
+        // and advance it in the SAME commit's re-declared metaData
+        val (ddf0, parts) = deriveGenerated(md, df, partitionBy)
+        val (ddf, newHwm) = assignIdentity(spark, ddf0, f.name, start, step, hwm, allow)
+        validateAgainstMeta(md, ddf, parts)
+        // only the water mark moves — every other metadata key (column
+        // mapping ids, comments) carries verbatim
+        val newSchema = StructType(declared.get.fields.map(g =>
+          if (g.name == f.name)
+            g.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(g.metadata).putLong(IdHwmKey, newHwm).build())
+          else g))
+        val declaredParts = Option(md.get.get("partitionColumns"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+        val metaAction = metaDataJson(md.get, newSchema, declaredParts, configOf(md.get))
+        val v = DeltaScan.latestVersion(spark, tablePath) + 1
+        commit(spark, fs, ddf, tablePath, parts, version = v,
+          metaOverride = Some(metaAction))
+      case Some((f, _, _, _, allow)) if !allow =>
+        throw new IllegalArgumentException(
+          s"identity column '${f.name}' is GENERATED ALWAYS — remove it from " +
+            "the frame (values are assigned, never provided; create the table " +
+            "with allowExplicitInsert = true to opt out)")
+      case _ => // explicit insert allowed, or no identity column
+        val (ddf, parts) = deriveGenerated(md, df, partitionBy)
+        validateAgainstMeta(md, ddf, parts)
+        val v = DeltaScan.latestVersion(spark, tablePath) + 1
+        commit(spark, fs, ddf, tablePath, parts, version = v, metaNode = md)
+    }
+  }
+
+  // ---- identity columns (protocol §Identity Columns, writer v6) --------
+
+  private val IdStartKey = "delta.identity.start"
+  private val IdStepKey = "delta.identity.step"
+  private val IdHwmKey = "delta.identity.highWaterMark"
+  private val IdAllowKey = "delta.identity.allowExplicitInsert"
+
+  /** the schema's identity column with (start, step, highWaterMark,
+    * allowExplicitInsert), if declared */
+  private def identityField(schema: StructType)
+      : Option[(StructField, Long, Long, Option[Long], Boolean)] =
+    schema.fields.find(_.metadata.contains(IdStartKey)).map { f =>
+      val m = f.metadata
+      (f, m.getLong(IdStartKey), m.getLong(IdStepKey),
+        if (m.contains(IdHwmKey)) Some(m.getLong(IdHwmKey)) else scala.None,
+        m.contains(IdAllowKey) && m.getBoolean(IdAllowKey))
+    }
+
+  private def identityMetadata(start: Long, step: Long, hwm: Long,
+      allow: Boolean): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(IdStartKey, start).putLong(IdStepKey, step)
+      .putLong(IdHwmKey, hwm).putBoolean(IdAllowKey, allow).build()
+
+  /** assign identity values `base + step·i` (i dense across this
+    * write's partitions — zipWithIndex: one per-partition count pass,
+    * then the indexed map; no global sort, no driver data) and stamp
+    * the column's identity metadata with the advanced water mark.
+    * Values are unique and strictly beyond the previous mark in step's
+    * direction; gaps ACROSS appends are protocol-legal. */
+  private def assignIdentity(spark: SparkSession, df: DataFrame, idCol: String,
+      start: Long, step: Long, prevHwm: Option[Long],
+      allow: Boolean): (DataFrame, Long) = {
+    val base = prevHwm.map(h => Math.addExact(h, step)).getOrElse(start)
+    val n = df.count()
+    val newHwm =
+      if (n == 0L) prevHwm.getOrElse(Math.subtractExact(start, step))
+      else Math.addExact(base, Math.multiplyExact(step, n - 1))
+    val field = StructField(idCol, LongType, nullable = false,
+      metadata = identityMetadata(start, step, newHwm, allow))
+    val out = spark.createDataFrame(
+      df.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + step * i)) },
+      StructType(df.schema.fields :+ field))
+    (out, newHwm)
+  }
+
+  /** CREATE with an IDENTITY column `idCol` (LongType) APPENDED to the
+    * schema — the protocol's Identity Columns (writer feature
+    * `identityColumns`): values are GENERATED (`start`, then
+    * `+step` per row) unless `allowExplicitInsert`, the high-water mark
+    * lives in the column's `delta.identity.highWaterMark` metadata and
+    * advances with every [[append]] in the same commit. Two commits:
+    * the data (identity metadata rides commit 0's schemaString) and the
+    * protocol upgrade listing the feature. DML that preserves rows
+    * (delete, DV ops, compact) works as-is; [[merge]]/[[updateWhere]]
+    * refuse to fabricate or overwrite identity values unless explicit
+    * inserts are allowed. */
+  def createWithIdentity(spark: SparkSession, df: DataFrame, tablePath: String,
+      idCol: String, start: Long = 1L, step: Long = 1L,
+      allowExplicitInsert: Boolean = false,
+      partitionBy: Seq[String] = Nil): Unit = {
+    require(step != 0L, "identity step must be nonzero")
+    require(!df.columns.contains(idCol),
+      s"the frame already has '$idCol' — identity values are generated, not provided")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(tablePath, "_delta_log")),
+      s"Delta log already exists at $tablePath — use append")
+    val (ddf0, parts) = withGenerated(df, partitionBy)
+    val (ddf, _) = assignIdentity(spark, ddf0, idCol, start, step,
+      prevHwm = scala.None, allow = allowExplicitInsert)
+    commit(spark, fs, ddf, tablePath, parts, version = 0L)
+    // identity is a writer-6 capability: list it (feature form, writer 7)
+    val root = fs.makeQualified(new Path(tablePath))
+    val pact = featureProtocolAction(
+      latestProtoNodeAny(spark, fs, tablePath), Seq("identityColumns"))
+    if (pact.nonEmpty)
+      writeCommitFile(fs, root, 1L, pact, operation = Some("UPGRADE PROTOCOL"))
   }
 
   /** APPEND WITH SCHEMA EVOLUTION (the mergeSchema contract): columns
@@ -171,6 +295,11 @@ object DeltaWrite {
     val declared = DataType.fromJson(md.get("schemaString").asText())
       .asInstanceOf[StructType]
     val byName = df1.schema.fields.map(f => f.name -> f).toMap
+    identityField(declared).foreach { case (f, _, _, _, allow) =>
+      require(allow && byName.contains(f.name),
+        s"appendEvolve on an identity table: '${f.name}' is GENERATED ALWAYS " +
+          "and null-filling it would corrupt the sequence — use addColumns " +
+          "to evolve the schema, then append") }
     declared.fields.foreach { f =>
       byName.get(f.name).foreach { g =>
         require(g.dataType == f.dataType,
@@ -211,6 +340,109 @@ object DeltaWrite {
     val v = DeltaScan.latestVersion(spark, tablePath) + 1
     commit(spark, fs, aligned, tablePath, partitionBy1, version = v,
       metaOverride = metaAction)
+  }
+
+  /** ADD COLUMNS as a METADATA-ONLY commit — the schema half of
+    * [[appendEvolve]] without any data: the new columns are appended
+    * (nullable, after the existing fields), existing files read NULL
+    * for them by-name, nothing is rewritten. Column-mapped tables
+    * assign fresh ids + synthetic physical names (same rule as
+    * appendEvolve). Used standalone and by [[mergeEvolve]]. */
+  def addColumns(spark: SparkSession, tablePath: String,
+      cols: Seq[StructField]): Unit = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    require(cols.map(_.name).distinct.size == cols.size,
+      "duplicate column names in addColumns")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(tablePath))
+    val md = latestMetaNode(fs, tablePath).getOrElse(throw new IllegalStateException(
+      s"the JSON log of $tablePath carries no metaData — cannot evolve " +
+        "a checkpoint-truncated table"))
+    val declared = DataType.fromJson(md.get("schemaString").asText())
+      .asInstanceOf[StructType]
+    cols.foreach(f => require(!declared.fieldNames.contains(f.name),
+      s"column '${f.name}' already exists"))
+    val config = configOf(md)
+    val mapped = config.getOrElse("delta.columnMapping.mode", "none") != "none"
+    val maxId = config.get("delta.columnMapping.maxColumnId").map(_.toLong).getOrElse(0L)
+    val newFields =
+      if (!mapped) cols
+      else cols.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", maxId + 1 + i)
+          .putString("delta.columnMapping.physicalName",
+            s"col-${java.util.UUID.randomUUID()}")
+          .build())
+      }
+    val merged = StructType(declared.fields ++ newFields.map(_.copy(nullable = true)))
+    val newConfig =
+      if (!mapped) config
+      else config + ("delta.columnMapping.maxColumnId" -> (maxId + cols.length).toString)
+    val partCols = Option(md.get("partitionColumns"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    val v = DeltaScan.latestVersion(spark, tablePath) + 1
+    writeCommitFile(fs, root, v,
+      Seq(metaDataJson(md, merged, partCols, newConfig)),
+      operation = Some("ADD COLUMNS"))
+  }
+
+  /** MERGE WITH AUTOMATIC SCHEMA EVOLUTION — the `mergeSchema` twin of
+    * [[merge]]: source columns the table lacks are ADDED first
+    * ([[addColumns]], metadata-only — unmatched rows in untouched files
+    * read NULL for them), then the merge runs with EVOLUTION SEMANTICS
+    * for table columns the source lacks: matched rows KEEP their
+    * current value (filled from the target before the upsert), inserted
+    * rows take NULL, and generated partition columns are re-derived as
+    * always. Two commits land (the optional schema change, then the
+    * merge) — same observable sequence as Delta proper, where a writer
+    * racing between them sees an ordinarily-evolved table.
+    *
+    * Requires unique key tuples on BOTH sides when the source is
+    * narrower than the table (the matched-row fill joins the current
+    * table; a duplicate target key would fan the source row out and the
+    * merge's own duplicate-source guard refuses loudly). Returns
+    * (rowsUpdated, rowsInserted). */
+  def mergeEvolve(spark: SparkSession, tablePath: String, source: DataFrame,
+      keys: Seq[String], txn: Option[(String, Long)] = None): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md = latestMetaNode(fs, tablePath).getOrElse(throw new IllegalStateException(
+      s"the JSON log of $tablePath carries no metaData — cannot evolve " +
+        "a checkpoint-truncated table"))
+    val declared = DataType.fromJson(md.get("schemaString").asText())
+      .asInstanceOf[StructType]
+    keys.foreach { k =>
+      require(source.columns.contains(k), s"merge key column '$k' is not in the source")
+      require(declared.fieldNames.contains(k), s"merge key column '$k' is not in the table schema")
+    }
+    val srcByName = source.schema.fields.map(f => f.name -> f).toMap
+    declared.fields.foreach { f =>
+      srcByName.get(f.name).foreach { g =>
+        require(g.dataType == f.dataType,
+          s"column '${f.name}' type ${g.dataType.sql} does not match the " +
+            s"table's ${f.dataType.sql} — mergeEvolve adds columns, it " +
+            "never changes types")
+      }
+    }
+    val newFields = source.schema.fields
+      .filterNot(f => declared.fieldNames.contains(f.name))
+    if (newFields.nonEmpty) addColumns(spark, tablePath, newFields.toSeq)
+    val schemaNow = StructType(declared.fields ++ newFields.map(_.copy(nullable = true)))
+    // table columns the source lacks: fill matched rows from the
+    // current table (left join — unmatched source rows get NULL), but
+    // never generated columns (merge re-derives those from the data)
+    val genNames = DeltaTransforms.generatedFields(schemaNow).map(_._1.name).toSet
+    val targetOnly = schemaNow.fieldNames
+      .filterNot(source.columns.contains).filterNot(genNames.contains).toSeq
+    val filled =
+      if (targetOnly.isEmpty) source
+      else source.join(
+        DeltaScan.read(spark, tablePath).select((keys ++ targetOnly).map(col): _*),
+        keys, "left")
+    val ordered = filled.select(
+      schemaNow.fieldNames.filter(filled.columns.contains).map(col).toSeq: _*)
+    merge(spark, tablePath, ordered, keys, txn)
   }
 
   /** SHALLOW CLONE: a new Delta table whose commit 0 re-declares the
@@ -1691,6 +1923,7 @@ object DeltaWrite {
           "across files; use merge for key-relocating updates")
     }
     refuseGeneratedAssignments(schema, setByName.keys, "updateWhere")
+    refuseIdentity(schema, "updateWhere", setByName.keys)
     val readV = DeltaScan.latestVersion(spark, tablePath)
     val live = replayActions(spark, fs, tablePath, Some(readV))
       .collect { case (p, true, _, _) => p }
@@ -1942,6 +2175,7 @@ object DeltaWrite {
           "across files; use merge for key-relocating updates")
     }
     refuseGeneratedAssignments(schema, setByName.keys, "updateWhereDV")
+    refuseIdentity(schema, "updateWhereDV", setByName.keys)
     val readV = DeltaScan.latestVersion(spark, tablePath)
     val (latestAdds, proto) = replayLatestAdds(fs, root.toString)
     if (latestAdds.isEmpty) return 0L
@@ -2014,6 +2248,7 @@ object DeltaWrite {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
+    refuseIdentity(schema, "mergeDV")
     val mapped = isMapped(fs, tablePath)
     // generated partition columns are derived ON the source (hidden-
     // partitioning UX; merge is also the op that MOVES rows across
@@ -2180,6 +2415,7 @@ object DeltaWrite {
     requireNoRowTracking(spark, fs, tablePath, "merge")
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
+    refuseIdentity(schema, "merge")
     val mapped = isMapped(fs, tablePath)
     // generated partition columns are derived ON the source (hidden-
     // partitioning UX; merge is also the op that MOVES rows across
@@ -2639,7 +2875,23 @@ object DeltaWrite {
       (run: String => Unit): Seq[(String, Long)] = {
     val staging = new Path(root,
       s".staging-${java.util.UUID.randomUUID().toString.take(12)}")
-    run(staging.toString)
+    // INT64 micros is the stats-bearing parquet timestamp encoding:
+    // Spark's INT96 default is a deprecated legacy type with NO usable
+    // column statistics, so footer-harvested `stats` would silently
+    // lack timestamp bounds — costing data skipping and metadata-only
+    // aggregates ([[MetaAgg]]). The reader handles both; existing
+    // INT96 files stay valid.
+    val sparkOpt = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = sparkOpt.flatMap(_.conf.getOption(tsKey))
+    sparkOpt.foreach(_.conf.set(tsKey, "TIMESTAMP_MICROS"))
+    try run(staging.toString)
+    finally (sparkOpt, prevTs) match {
+      case (Some(s), Some(v)) => s.conf.set(tsKey, v)
+      case (Some(s), scala.None) => s.conf.unset(tsKey)
+      case _ => ()
+    }
     def inner(dir: Path, prefix: String): Seq[(String, Long)] =
       fs.listStatus(dir).toSeq.flatMap { st =>
         val name = st.getPath.getName

@@ -600,7 +600,7 @@ object IcebergScan {
   /** one entry per FILE — except Puffin files, which hold many DV
     * blobs by design (one per referenced data file): there the blob
     * address is part of the identity or co-located DVs would collapse */
-  private def dedupeEntries(es: Seq[FileEntry]): Seq[FileEntry] =
+  private[sources] def dedupeEntries(es: Seq[FileEntry]): Seq[FileEntry] =
     es.groupBy(e => (e.path, e.contentOffset)).values.map(_.maxBy(_.seq))
       .toSeq.sortBy(e => (e.path, e.contentOffset.getOrElse(-1L)))
 

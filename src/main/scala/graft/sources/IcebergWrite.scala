@@ -242,6 +242,101 @@ object IcebergWrite {
       carryOverride = Some(carry))
   }
 
+  /** ADD COLUMNS as a METADATA-ONLY version bump (no new snapshot —
+    * nothing moved): the merged schema gets the next schema-id, new
+    * fields take fresh ids after `last-column-id` (which advances),
+    * and every existing file reads NULL for them by-name. The schema
+    * half of [[appendEvolve]] without data; used by [[mergeEvolve]]. */
+  def addColumns(spark: SparkSession, tablePath: String,
+      cols: Seq[StructField]): Unit = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    require(cols.map(_.name).distinct.size == cols.size,
+      "duplicate column names in addColumns")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new Path(tablePath, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
+    val prev = readUtf8(fs, hint).trim.toInt
+    val version = prev + 1
+    val metaDir = new Path(fs.makeQualified(new Path(tablePath)), "metadata")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val carry = carryFromPrev(fs, metaDir, prev)
+    val declared = IcebergScan.sparkSchema(mapper.readTree(carry.schemaJson))
+    cols.foreach(f => require(!declared.fieldNames.contains(f.name),
+      s"column '${f.name}' already exists"))
+    val schemasNode = mapper.readTree(carry.schemasArray)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    val newSchemaId = schemasNode.elements().asScala
+      .map(_.get("schema-id").asInt()).max + 1
+    val merged = mapper.readTree(carry.schemaJson).deepCopy()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    merged.put("schema-id", newSchemaId)
+    val fieldsArr = merged.withArray("fields")
+    cols.zipWithIndex.foreach { case (f, i) =>
+      val id = carry.lastColumnId + 1 + i
+      fieldsArr.add(mapper.readTree(
+        s"""{"id":$id,"name":${jstr(f.name)},"required":false,""" +
+          s""""type":${jstr(icebergType(f.dataType, f.name))}}"""))
+    }
+    schemasNode.add(merged)
+    node.set[com.fasterxml.jackson.databind.JsonNode]("schema", merged)
+    node.set[com.fasterxml.jackson.databind.JsonNode]("schemas", schemasNode)
+    node.put("current-schema-id", newSchemaId)
+    node.put("last-column-id", carry.lastColumnId + cols.length)
+    node.put("last-updated-ms", System.currentTimeMillis())
+    val metaPath = new Path(metaDir, s"v$version.metadata.json")
+    try writeUtf8(fs, metaPath, node.toString, overwrite = false)
+    catch {
+      case e: java.io.IOException =>
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent Iceberg commit detected: $metaPath already exists — " +
+            "another writer committed this version; re-read the table and retry", e)
+    }
+    writeUtf8(fs, new Path(metaDir, "version-hint.text"), version.toString)
+  }
+
+  /** MERGE WITH AUTOMATIC SCHEMA EVOLUTION — source columns the table
+    * lacks are ADDED first ([[addColumns]], metadata-only), then the
+    * merge runs with evolution semantics for table columns the source
+    * lacks: matched rows KEEP their current value (filled from the
+    * table before the upsert), inserted rows take NULL. Honors the
+    * table's `write.merge.mode` (copy-on-write or merge-on-read) like
+    * [[merge]]. Requires unique key tuples on both sides when the
+    * source is narrower than the table. Returns
+    * (rowsUpdated, rowsInserted). */
+  def mergeEvolve(spark: SparkSession, tablePath: String, source: DataFrame,
+      keys: Seq[String], txn: Option[(String, Long)] = None): (Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val (declared, _) = IcebergScan.currentDataFiles(spark, tablePath)
+    keys.foreach { k =>
+      require(source.columns.contains(k), s"merge key column '$k' is not in the source")
+      require(declared.fieldNames.contains(k), s"merge key column '$k' is not in the table schema")
+    }
+    val srcByName = source.schema.fields.map(f => f.name -> f).toMap
+    declared.fields.foreach { f =>
+      srcByName.get(f.name).foreach { g =>
+        require(g.dataType == f.dataType,
+          s"column '${f.name}' type ${g.dataType.sql} does not match the " +
+            s"table's ${f.dataType.sql} — mergeEvolve adds columns, it " +
+            "never changes types")
+      }
+    }
+    val newFields = source.schema.fields
+      .filterNot(f => declared.fieldNames.contains(f.name))
+    if (newFields.nonEmpty) addColumns(spark, tablePath, newFields.toSeq)
+    val schemaNow = StructType(declared.fields ++ newFields.map(_.copy(nullable = true)))
+    val targetOnly = schemaNow.fieldNames.filterNot(source.columns.contains).toSeq
+    val filled =
+      if (targetOnly.isEmpty) source
+      else source.join(
+        IcebergScan.read(spark, tablePath).select((keys ++ targetOnly).map(col): _*),
+        keys, "left")
+    merge(spark, tablePath,
+      filled.select(schemaNow.fieldNames.map(col).toSeq: _*), keys, txn)
+  }
+
   /** test seam for the conditional-commit guard: commit at an explicit
     * metadata version — what a racing writer with a stale version hint
     * does right before it loses the race */
