@@ -138,7 +138,15 @@ object Bench {
     // (one-pass HLL sketches → Puffin + statistics field), and the
     // metadata-only partition-statistics file
     "q_delta_rowtrack", "q_iceberg_dv", "q_iceberg_stats",
-    "q_iceberg_partstats")
+    "q_iceberg_partstats",
+    // round 10, extension: metadata-only aggregates (count/min/max/
+    // per-partition counts answered from the log + manifests, honest
+    // fallback priced in the same gate), merge-with-schema-evolution on
+    // both formats (metadata-only addColumns + evolution-semantics
+    // merge), and Delta identity assignment (two narrow passes + the
+    // same-commit water-mark advance)
+    "q_meta_agg", "q_meta_partcount", "q_delta_merge_evolve",
+    "q_iceberg_merge_evolve", "q_delta_identity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

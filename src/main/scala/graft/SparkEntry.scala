@@ -2106,14 +2106,18 @@ object SparkEntry {
     "q_meta_agg" -> ((s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("graft_meta_agg_gate")
       val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+        .withColumn("v", when(col("doc_id") % 3 === 0, lit(null))
+          .otherwise(col("doc_id") * 7))
       val d = base.resolve("d").toString
       graft.sources.DeltaWrite.create(s, docs, d)
       val dMm = graft.sources.MetaAgg.minMaxDelta(s, d, "doc_id")
+      val dCv = graft.sources.MetaAgg.countColumnDelta(s, d, "v")
       graft.sources.DeltaWrite.deleteWhereDV(s, d, col("doc_id") % 3 === 0)
       val dCnt = graft.sources.MetaAgg.countDelta(s, d)
       val i = base.resolve("i").toString
       graft.sources.IcebergWrite.create(s, docs, i)
       val iMm = graft.sources.MetaAgg.minMaxIceberg(s, i, "doc_id")
+      val iCv = graft.sources.MetaAgg.countColumnIceberg(s, i, "v")
       graft.sources.IcebergWrite.upgradeFormatVersion(s, i)
       graft.sources.IcebergWrite.deleteWhere(s, i, col("doc_id") % 3 === 0)
       val iCnt = graft.sources.MetaAgg.countIceberg(s, i)
@@ -2123,13 +2127,28 @@ object SparkEntry {
       import s.implicits._
       Seq(
         ("delta_count", dCnt.value, dCnt.metadataOnly),
+        ("delta_count_v", dCv.value, dCv.metadataOnly),
         ("delta_max_id", dMm.value._2.asInstanceOf[Long], dMm.metadataOnly),
         ("delta_min_id", dMm.value._1.asInstanceOf[Long], dMm.metadataOnly),
         ("iceberg_count", iCnt.value, iCnt.metadataOnly),
+        ("iceberg_count_v", iCv.value, iCv.metadataOnly),
         ("iceberg_eq_count", iEq.value, iEq.metadataOnly),
         ("iceberg_max_id", iMm.value._2.asInstanceOf[Long], iMm.metadataOnly),
         ("iceberg_min_id", iMm.value._1.asInstanceOf[Long], iMm.metadataOnly))
         .toDF("metric", "value", "meta_only").orderBy("metric")
+    }),
+
+    // per-partition exact counts straight from the Delta log (the
+    // ad-hoc twin of q_iceberg_partstats): add-action partition values
+    // grouped, stats row counts summed, DV cardinalities subtracted —
+    // no data file opened (meta_only TRUE)
+    "q_meta_partcount" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_meta_pc_gate").toString + "/t"
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.DeltaWrite.create(s, docs, base, partitionBy = Seq("lang"))
+      graft.sources.DeltaWrite.deleteWhereDV(s, base, col("doc_id") % 4 === 0)
+      val m = graft.sources.MetaAgg.countByPartitionDelta(s, base)
+      m.value.withColumn("meta_only", lit(m.metadataOnly)).orderBy("lang")
     }),
 
     // MERGE WITH AUTOMATIC SCHEMA EVOLUTION (Delta): the source carries
@@ -5289,15 +5308,24 @@ object SparkEntry {
       """SELECT metric, value, meta_only FROM (
         |  SELECT 'delta_count' AS metric, count(*) AS value, TRUE AS meta_only
         |    FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL SELECT 'delta_count_v', count(*), TRUE
+        |    FROM documents WHERE doc_id % 3 <> 0
         |  UNION ALL SELECT 'delta_max_id', max(doc_id), TRUE FROM documents
         |  UNION ALL SELECT 'delta_min_id', min(doc_id), TRUE FROM documents
         |  UNION ALL SELECT 'iceberg_count', count(*), TRUE
+        |    FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL SELECT 'iceberg_count_v', count(*), TRUE
         |    FROM documents WHERE doc_id % 3 <> 0
         |  UNION ALL SELECT 'iceberg_eq_count', count(*), FALSE
         |    FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 5 <> 0
         |  UNION ALL SELECT 'iceberg_max_id', max(doc_id), TRUE FROM documents
         |  UNION ALL SELECT 'iceberg_min_id', min(doc_id), TRUE FROM documents
         |) ORDER BY metric""".stripMargin,
+
+    "q_meta_partcount" ->
+      """SELECT lang, count(*) AS n_rows, TRUE AS meta_only FROM documents
+        |WHERE doc_id % 4 <> 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_delta_merge_evolve" ->
       """SELECT doc_id, lang, text, score FROM (

@@ -92,6 +92,107 @@ object MetaAgg {
     } else Meta(IcebergScan.read(spark, tablePath).count(), metadataOnly = false)
   }
 
+  /** exact `count(col)` (non-null count) of a Delta table: per-file
+    * `numRecords - nullCount[col]` — metadata-only when every live file
+    * records both and no DV is live (a DV might have deleted null or
+    * non-null rows; the per-file split is unknowable from cardinality) */
+  def countColumnDelta(spark: SparkSession, tablePath: String,
+      column: String): Meta[Long] = {
+    val st = DeltaScan.liveState(spark, tablePath)
+    require(st.schema.fieldNames.contains(column),
+      s"column '$column' is not in the table schema ${st.schema.simpleString}")
+    def fallback = Meta(DeltaScan.read(spark, tablePath)
+      .filter(col(column).isNotNull).count(), metadataOnly = false)
+    if (st.partCols.contains(column) || st.files.exists(_.dv.isDefined))
+      return fallback
+    val key = if (st.columnMapped) DeltaScan.physicalName(st.schema(column)) else column
+    val per = st.files.map(_.stats.flatMap(ParquetStats.parse).flatMap(s =>
+      if (s.numRecords < 0L) scala.None
+      else s.nullCount.get(key).map(n => s.numRecords - n)))
+    if (per.exists(_.isEmpty)) fallback
+    else Meta(per.iterator.flatten.sum, metadataOnly = true)
+  }
+
+  /** Iceberg twin of [[countColumnDelta]]: manifest `value_counts` are
+    * not tracked by this writer, but `record_count - null_value_counts`
+    * is the same number; identity-partitioned columns count their
+    * non-null partitions' record counts directly */
+  def countColumnIceberg(spark: SparkSession, tablePath: String,
+      column: String): Meta[Long] = {
+    val planned = IcebergScan.planTable(spark, tablePath)
+    require(planned.schema.fieldNames.contains(column),
+      s"column '$column' is not in the table schema ${planned.schema.simpleString}")
+    def fallback = Meta(IcebergScan.read(spark, tablePath)
+      .filter(col(column).isNotNull).count(), metadataOnly = false)
+    if (planned.entries.exists(_.content != 0)) return fallback
+    val idOpt = {
+      val it = IcebergScan.currentSchema(planned.meta).get("fields").elements()
+      var found: Option[Int] = scala.None
+      while (it.hasNext && found.isEmpty) {
+        val f = it.next()
+        if (f.get("name").asText() == column) found = Some(f.get("id").asInt())
+      }
+      found
+    }
+    if (idOpt.isEmpty) return fallback
+    val identityPf = IcebergScan.partitionFieldsOf(planned)
+      .find(pf => pf.isIdentity && pf.source.name == column)
+    val per = IcebergScan.dedupedDataEntries(planned).map { e =>
+      identityPf match {
+        case Some(pf) => e.partition.get(pf.specName).map {
+          case null => 0L // NULL partition: zero non-null values
+          case _ => e.rows
+        }
+        case scala.None => e.nullCounts.get(idOpt.get).map(n => e.rows - n)
+      }
+    }
+    if (per.exists(_.isEmpty)) fallback
+    else Meta(per.iterator.flatten.sum, metadataOnly = true)
+  }
+
+  /** per-partition-tuple exact row counts of a Delta table from the
+    * log alone (the ad-hoc twin of Iceberg's partition-statistics
+    * file): partition values come from the add actions, counts from
+    * their stats, DV cardinalities subtract per file. Returns a frame
+    * of the partition columns (table types) + `n_rows` — driver-built
+    * from O(partitions) state; metadata-only unless a live file lacks
+    * `numRecords` (then one grouped count over the real read). */
+  def countByPartitionDelta(spark: SparkSession,
+      tablePath: String): Meta[org.apache.spark.sql.DataFrame] = {
+    val st = DeltaScan.liveState(spark, tablePath)
+    require(st.partCols.nonEmpty, s"$tablePath is not partitioned")
+    val recs = st.files.map(f => f -> f.stats.flatMap(ParquetStats.parse)
+      .map(_.numRecords).filter(_ >= 0L))
+    if (recs.forall(_._2.isDefined)) {
+      val pvKey: String => String =
+        if (st.columnMapped) c => DeltaScan.physicalName(st.schema(c))
+        else identity
+      // group on the NORMALIZED tuple (the hive null marker and a true
+      // JSON null are the same partition — a foreign log may mix them)
+      def tupleOf(pv: Map[String, String]): Seq[String] =
+        st.partCols.map(c => pv.get(pvKey(c))
+          .filterNot(v => v == null || v == "__HIVE_DEFAULT_PARTITION__")
+          .orNull)
+      val grouped = recs.groupBy(r => tupleOf(r._1.pv)).toSeq.map { case (tuple, fs) =>
+        org.apache.spark.sql.Row.fromSeq(tuple :+
+          (fs.iterator.map(_._2.get).sum -
+            fs.iterator.flatMap(_._1.dv).map(_.cardinality).sum))
+      }
+      val strDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(grouped, 1),
+        StructType(st.partCols.map(c => StructField(c, StringType)) :+
+          StructField("n_rows", LongType, nullable = false)))
+      Meta(strDf.select(st.partCols.map(c =>
+        col(c).cast(st.schema(c).dataType).as(c)) :+ col("n_rows"): _*),
+        metadataOnly = true)
+    } else Meta(
+      DeltaScan.read(spark, tablePath)
+        .groupBy(st.partCols.map(col): _*)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_rows")),
+      metadataOnly = false)
+  }
+
   // ---- min / max -------------------------------------------------------
 
   /** types whose recorded bounds are exact (never truncated) */

@@ -123,6 +123,41 @@ class MetaAggSpec extends SparkSpec {
       "a delete may remove the extreme row — the fallback sees it did")
   }
 
+  test("non-null column counts from nullCount stats; DVs force fallback") {
+    val dDir = Files.createTempDirectory("graft_meta_cc_d").toString + "/t"
+    DeltaWrite.create(spark, df().repartition(4), dDir)
+    assert(MetaAgg.countColumnDelta(spark, dDir, "x") == MetaAgg.Meta(50L, true))
+    assert(MetaAgg.countColumnDelta(spark, dDir, "w") == MetaAgg.Meta(90L, true))
+    assert(MetaAgg.countColumnDelta(spark, dDir, "allnull") == MetaAgg.Meta(0L, true))
+    DeltaWrite.deleteWhereDV(spark, dDir, col("id") % 2 === 0)
+    // the DV deleted only even ids (all-null x rows): metadata cannot
+    // know that split — fallback, still exact
+    assert(MetaAgg.countColumnDelta(spark, dDir, "x") == MetaAgg.Meta(50L, false))
+
+    val iDir = Files.createTempDirectory("graft_meta_cc_i").toString + "/t"
+    IcebergWrite.create(spark, df().repartition(4), iDir)
+    assert(MetaAgg.countColumnIceberg(spark, iDir, "x") == MetaAgg.Meta(50L, true))
+    assert(MetaAgg.countColumnIceberg(spark, iDir, "allnull") == MetaAgg.Meta(0L, true))
+    IcebergWrite.deleteWhere(spark, iDir, col("id") % 2 === 0)
+    assert(MetaAgg.countColumnIceberg(spark, iDir, "x") == MetaAgg.Meta(50L, false))
+  }
+
+  test("Delta per-partition counts from the log; DV cardinalities subtract per file") {
+    val dir = Files.createTempDirectory("graft_meta_pc").toString + "/t"
+    DeltaWrite.create(spark, df().select("id", "w", "x"), dir,
+      partitionBy = Seq("w"))
+    DeltaWrite.deleteWhereDV(spark, dir, col("id") % 4 === 0)
+    val m = MetaAgg.countByPartitionDelta(spark, dir)
+    assert(m.metadataOnly)
+    val got = m.value.collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1)).toMap
+    val want = graft.sources.DeltaScan.read(spark, dir)
+      .groupBy("w").count().collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.contains(null), "the null partition is counted too")
+  }
+
   test("Iceberg: identity-partitioned column bounds come from partition values") {
     val dir = Files.createTempDirectory("graft_meta_i3").toString + "/t"
     import spark.implicits._
