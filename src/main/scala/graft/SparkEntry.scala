@@ -2138,6 +2138,43 @@ object SparkEntry {
         .toDF("metric", "value", "meta_only").orderBy("metric")
     }),
 
+    // COLUMN DEFAULT VALUES — both formats' spellings side by side:
+    // Iceberg v3 `initial-default` makes PRE-COLUMN rows read the
+    // default (spec §Default values; served via parquet-reader
+    // EXISTS_DEFAULT on file-missing columns) and `write-default`
+    // fills appends that omit the column; Delta's allowColumnDefaults
+    // CURRENT_DEFAULT is WRITE-time only — its pre-column rows stay
+    // NULL (the protocol forbids rewriting history). Three Iceberg
+    // populations land distinct values: pre-column (initial), explicit
+    // append, omitted-column append (write-default).
+    "q_default_cols" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{StringType, StructField}
+      val base = java.nio.file.Files.createTempDirectory("graft_defaults_gate")
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      val i = base.resolve("i").toString
+      graft.sources.IcebergWrite.create(s, docs.filter(col("doc_id") % 2 === 0), i)
+      graft.sources.IcebergWrite.upgradeFormatVersion(s, i)
+      graft.sources.IcebergWrite.addColumns(s, i,
+        Seq(StructField("origin", StringType)), Map("origin" -> "legacy"))
+      graft.sources.IcebergWrite.append(s,
+        docs.filter(col("doc_id") % 2 =!= 0 && col("doc_id") % 3 === 0)
+          .withColumn("origin", lit("fresh")), i)
+      graft.sources.IcebergWrite.append(s,
+        docs.filter(col("doc_id") % 2 =!= 0 && col("doc_id") % 3 =!= 0), i)
+      val ice = graft.sources.IcebergScan.read(s, i)
+        .select(col("doc_id"), col("origin").as("ice_origin"))
+      val d = base.resolve("d").toString
+      graft.sources.DeltaWrite.create(s, docs.filter(col("doc_id") % 2 === 0), d)
+      graft.sources.DeltaWrite.addColumns(s, d,
+        Seq(StructField("origin", StringType)), Map("origin" -> "fresh"))
+      graft.sources.DeltaWrite.append(s, docs.filter(col("doc_id") % 2 =!= 0), d)
+      val delta = graft.sources.DeltaScan.read(s, d)
+        .select(col("doc_id"), col("origin").as("delta_origin"))
+      docs.join(ice, Seq("doc_id")).join(delta, Seq("doc_id"))
+        .select("doc_id", "lang", "text", "ice_origin", "delta_origin")
+        .orderBy("doc_id")
+    }),
+
     // per-partition exact counts straight from the Delta log (the
     // ad-hoc twin of q_iceberg_partstats): add-action partition values
     // grouped, stats row counts summed, DV cardinalities subtracted —
@@ -5326,6 +5363,13 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_rows, TRUE AS meta_only FROM documents
         |WHERE doc_id % 4 <> 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_default_cols" ->
+      """SELECT doc_id, lang, text,
+        |  CASE WHEN doc_id % 2 <> 0 AND doc_id % 3 = 0 THEN 'fresh'
+        |       ELSE 'legacy' END AS ice_origin,
+        |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 'fresh' END AS delta_origin
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_delta_merge_evolve" ->
       """SELECT doc_id, lang, text, score FROM (

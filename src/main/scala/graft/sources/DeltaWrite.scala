@@ -155,11 +155,12 @@ object DeltaWrite {
     val md = latestMetaNodeAny(spark, fs, tablePath)
     val declared = md.map(m => DataType.fromJson(m.get("schemaString").asText())
       .asInstanceOf[StructType])
+    val dfd = fillColumnDefaults(declared, df)
     declared.flatMap(identityField) match {
-      case Some((f, start, step, hwm, allow)) if !df.columns.contains(f.name) =>
+      case Some((f, start, step, hwm, allow)) if !dfd.columns.contains(f.name) =>
         // GENERATED identity: assign fresh values above the water mark
         // and advance it in the SAME commit's re-declared metaData
-        val (ddf0, parts) = deriveGenerated(md, df, partitionBy)
+        val (ddf0, parts) = deriveGenerated(md, dfd, partitionBy)
         val (ddf, newHwm) = assignIdentity(spark, ddf0, f.name, start, step, hwm, allow)
         validateAgainstMeta(md, ddf, parts)
         // only the water mark moves — every other metadata key (column
@@ -181,7 +182,7 @@ object DeltaWrite {
             "the frame (values are assigned, never provided; create the table " +
             "with allowExplicitInsert = true to opt out)")
       case _ => // explicit insert allowed, or no identity column
-        val (ddf, parts) = deriveGenerated(md, df, partitionBy)
+        val (ddf, parts) = deriveGenerated(md, dfd, partitionBy)
         validateAgainstMeta(md, ddf, parts)
         val v = DeltaScan.latestVersion(spark, tablePath) + 1
         commit(spark, fs, ddf, tablePath, parts, version = v, metaNode = md)
@@ -349,10 +350,13 @@ object DeltaWrite {
     * assign fresh ids + synthetic physical names (same rule as
     * appendEvolve). Used standalone and by [[mergeEvolve]]. */
   def addColumns(spark: SparkSession, tablePath: String,
-      cols: Seq[StructField]): Unit = {
+      cols: Seq[StructField],
+      defaults: Map[String, Any] = Map.empty): Unit = {
     require(cols.nonEmpty, "addColumns needs at least one column")
     require(cols.map(_.name).distinct.size == cols.size,
       "duplicate column names in addColumns")
+    defaults.keys.foreach(k => require(cols.exists(_.name == k),
+      s"default for '$k' names no added column"))
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(new Path(tablePath))
     val md = latestMetaNode(fs, tablePath).getOrElse(throw new IllegalStateException(
@@ -362,12 +366,24 @@ object DeltaWrite {
       .asInstanceOf[StructType]
     cols.foreach(f => require(!declared.fieldNames.contains(f.name),
       s"column '${f.name}' already exists"))
+    // column DEFAULTS (protocol §Column Default Values, writer feature
+    // allowColumnDefaults): CURRENT_DEFAULT is WRITE-time only — rows
+    // written before the column existed read NULL (the protocol is
+    // explicit that defaults never rewrite history; contrast Iceberg's
+    // initial-default)
+    val withDefaults = cols.map(f => defaults.get(f.name) match {
+      case Some(v) => f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+          .putString("CURRENT_DEFAULT",
+            ColumnDefaults.sqlLiteral(f.dataType, v)).build())
+      case scala.None => f
+    })
     val config = configOf(md)
     val mapped = config.getOrElse("delta.columnMapping.mode", "none") != "none"
     val maxId = config.get("delta.columnMapping.maxColumnId").map(_.toLong).getOrElse(0L)
     val newFields =
-      if (!mapped) cols
-      else cols.zipWithIndex.map { case (f, i) =>
+      if (!mapped) withDefaults
+      else withDefaults.zipWithIndex.map { case (f, i) =>
         f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
           .putLong("delta.columnMapping.id", maxId + 1 + i)
           .putString("delta.columnMapping.physicalName",
@@ -380,10 +396,34 @@ object DeltaWrite {
       else config + ("delta.columnMapping.maxColumnId" -> (maxId + cols.length).toString)
     val partCols = Option(md.get("partitionColumns"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    val pact =
+      if (defaults.isEmpty) Seq.empty
+      else featureProtocolAction(latestProtoNodeAny(spark, fs, tablePath),
+        Seq("allowColumnDefaults"))
     val v = DeltaScan.latestVersion(spark, tablePath) + 1
     writeCommitFile(fs, root, v,
-      Seq(metaDataJson(md, merged, partCols, newConfig)),
+      pact ++ Seq(metaDataJson(md, merged, partCols, newConfig)),
       operation = Some("ADD COLUMNS"))
+  }
+
+  /** fill declared columns the caller omitted that carry a
+    * CURRENT_DEFAULT, in declared order (extras ride at the end for
+    * appendEvolve); columns missing WITHOUT a default drop through to
+    * the strict schema check's loud error */
+  private def fillColumnDefaults(declared: Option[StructType],
+      df: DataFrame): DataFrame = declared match {
+    case Some(sch)
+        if sch.fields.exists(f => !df.columns.contains(f.name) &&
+          f.metadata.contains("CURRENT_DEFAULT")) =>
+      import org.apache.spark.sql.functions.{col, expr}
+      val extra = df.columns.filterNot(sch.fieldNames.contains)
+      df.select((sch.fields.collect {
+        case f if df.columns.contains(f.name) => col(f.name)
+        case f if f.metadata.contains("CURRENT_DEFAULT") =>
+          expr(f.metadata.getString("CURRENT_DEFAULT"))
+            .cast(f.dataType).as(f.name)
+      } ++ extra.map(col)).toSeq: _*)
+    case _ => df
   }
 
   /** MERGE WITH AUTOMATIC SCHEMA EVOLUTION — the `mergeSchema` twin of
@@ -889,7 +929,9 @@ object DeltaWrite {
       appId: String, txnVersion: Long, partitionBy: Seq[String] = Nil): Unit = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val md = latestMetaNodeAny(spark, fs, tablePath)
-    val (ddf, parts) = deriveGenerated(md, df, partitionBy)
+    val declared = md.map(m => DataType.fromJson(m.get("schemaString").asText())
+      .asInstanceOf[StructType])
+    val (ddf, parts) = deriveGenerated(md, fillColumnDefaults(declared, df), partitionBy)
     validateAgainstMeta(md, ddf, parts)
     val v = DeltaScan.latestVersion(spark, tablePath) + 1
     commit(spark, fs, ddf, tablePath, parts, version = v,

@@ -1017,8 +1017,21 @@ object IcebergScan {
   /** Iceberg schema JSON → Spark StructType (public spec type names). */
   private[graft] def sparkSchema(schemaNode: JsonNode): StructType =
     StructType(schemaNode.get("fields").elements().asScala.map { f =>
-      StructField(f.get("name").asText(), sparkType(f.get("type")),
-        nullable = !f.get("required").asBoolean(false))
+      val dt = sparkType(f.get("type"))
+      // v3 default values: `initial-default` is what rows written
+      // BEFORE the field existed read — Spark's parquet reader applies
+      // the EXISTS_DEFAULT field-metadata key to columns MISSING from a
+      // file's physical schema (stored columns always win), which is
+      // exactly that semantic. Unservable shapes stay conservative
+      // (no metadata → NULL, the pre-v3 behavior).
+      val meta = Option(f.get("initial-default"))
+        .filterNot(_.isNull)
+        .flatMap(n => ColumnDefaults.sqlFromIcebergJson(dt, n))
+        .map(sql => new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("EXISTS_DEFAULT", sql).build())
+        .getOrElse(org.apache.spark.sql.types.Metadata.empty)
+      StructField(f.get("name").asText(), dt,
+        nullable = !f.get("required").asBoolean(false), metadata = meta)
     }.toSeq)
 
   private val decimalRe = """decimal\((\d+),\s*(\d+)\)""".r

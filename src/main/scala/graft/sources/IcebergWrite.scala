@@ -134,6 +134,7 @@ object IcebergWrite {
 
   private def appendTxn(spark: SparkSession, df: DataFrame, tablePath: String,
       txn: Option[(String, Long)]): Unit = {
+    import org.apache.spark.sql.functions.col
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hint = new Path(tablePath, "metadata/version-hint.text")
     require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
@@ -143,11 +144,35 @@ object IcebergWrite {
     val prevMeta = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(readUtf8(fs, new Path(tablePath, s"metadata/v$prev.metadata.json")))
     val declared = IcebergScan.sparkSchema(prevMeta.get("schema"))
+    // write-defaults (spec §Default values): a declared column the
+    // caller omitted, whose schema field carries `write-default`, is
+    // filled with that value — in the declared position so the strict
+    // check below still guards real drift
+    val df1 = {
+      val missing = declared.fieldNames.filterNot(df.columns.contains).toSet
+      if (missing.isEmpty) df
+      else {
+        val wd = prevMeta.get("schema").get("fields").elements().asScala.flatMap { f =>
+          val n = f.get("name").asText()
+          if (!missing.contains(n)) scala.None
+          else Option(f.get("write-default")).filterNot(_.isNull)
+            .flatMap(j => ColumnDefaults.sqlFromIcebergJson(declared(n).dataType, j))
+            .map(n -> _)
+        }.toMap
+        if (wd.isEmpty) df
+        else df.select(declared.fieldNames.collect {
+          case n if df.columns.contains(n) => col(n)
+          case n if wd.contains(n) =>
+            org.apache.spark.sql.functions.expr(wd(n))
+              .cast(declared(n).dataType).as(n)
+        }.toSeq: _*)
+      }
+    }
     require(
       declared.fields.map(f => (f.name, f.dataType)).toSeq ==
-        df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
-      s"append schema ${df.schema.simpleString} does not match the table's ${declared.simpleString}")
-    commit(spark, fs, df, tablePath, version = prev + 1, txn = txn)
+        df1.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"append schema ${df1.schema.simpleString} does not match the table's ${declared.simpleString}")
+    commit(spark, fs, df1, tablePath, version = prev + 1, txn = txn)
   }
 
   /** [[create]]/[[append]] carrying an exactly-once streaming-sink txn
@@ -248,16 +273,25 @@ object IcebergWrite {
     * and every existing file reads NULL for them by-name. The schema
     * half of [[appendEvolve]] without data; used by [[mergeEvolve]]. */
   def addColumns(spark: SparkSession, tablePath: String,
-      cols: Seq[StructField]): Unit = {
+      cols: Seq[StructField],
+      defaults: Map[String, Any] = Map.empty): Unit = {
     require(cols.nonEmpty, "addColumns needs at least one column")
     require(cols.map(_.name).distinct.size == cols.size,
       "duplicate column names in addColumns")
+    defaults.keys.foreach(k => require(cols.exists(_.name == k),
+      s"default for '$k' names no added column"))
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hint = new Path(tablePath, "metadata/version-hint.text")
     require(fs.exists(hint), s"no Iceberg table at $tablePath — use create")
     val prev = readUtf8(fs, hint).trim.toInt
     val version = prev + 1
     val metaDir = new Path(fs.makeQualified(new Path(tablePath)), "metadata")
+    // default VALUES are a format-version-3 schema feature (spec
+    // §Default values): v1/v2 readers would silently ignore them and
+    // read NULL — a wrong-results hazard, so refuse rather than stamp
+    if (defaults.nonEmpty)
+      require(prevFormatVersion(fs, metaDir, prev) >= 3,
+        s"column defaults need format-version 3 — run upgradeFormatVersion($tablePath) first")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.readTree(readUtf8(fs, new Path(metaDir, s"v$prev.metadata.json")))
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
@@ -275,9 +309,15 @@ object IcebergWrite {
     val fieldsArr = merged.withArray("fields")
     cols.zipWithIndex.foreach { case (f, i) =>
       val id = carry.lastColumnId + 1 + i
+      // initial-default (rows that predate the field) and write-default
+      // (filled when a writer omits the column) — same value here
+      val dflt = defaults.get(f.name).map { v =>
+        val j = ColumnDefaults.icebergJsonValue(f.dataType, v)
+        s""","initial-default":$j,"write-default":$j"""
+      }.getOrElse("")
       fieldsArr.add(mapper.readTree(
         s"""{"id":$id,"name":${jstr(f.name)},"required":false,""" +
-          s""""type":${jstr(icebergType(f.dataType, f.name))}}"""))
+          s""""type":${jstr(icebergType(f.dataType, f.name))}$dflt}"""))
     }
     schemasNode.add(merged)
     node.set[com.fasterxml.jackson.databind.JsonNode]("schema", merged)
