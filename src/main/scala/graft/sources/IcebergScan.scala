@@ -235,10 +235,83 @@ object IcebergScan {
         throw new IllegalArgumentException(
           s"snapshot $id not found in $tablePath (have ${snapshots.map(_.get("snapshot-id").asLong()).mkString(",")})"))
     }
+    val pruner = skippingFilter.flatMap(f =>
+      manifestPrunerFor(spark, meta, f))
     val entries = snapshot.map(s =>
-      snapshotEntries(fs, conf, tablePath, s)).getOrElse(Seq.empty)
+      snapshotEntries(fs, conf, tablePath, s, pruner)).getOrElse(Seq.empty)
     readEntries(spark, tablePath, meta, entries, onlyDataFiles,
       keepLineage, skippingFilter)
+  }
+
+  /** build the manifest-level pruner for `filter`: a data manifest's
+    * field summaries become per-SOURCE-column bounds (identity: the
+    * value range; day/month/year/hour/truncate: the transform range of
+    * the lower/upper partition values — all monotonic in the partition
+    * value's order; bucket contributes nothing) evaluated through the
+    * same stats machinery the per-file prune uses. Everything
+    * unresolvable stays conservative (keep the manifest). */
+  private def manifestPrunerFor(spark: SparkSession, meta: JsonNode,
+      filter: org.apache.spark.sql.Column): Option[(Int, Seq[FieldSummary]) => Boolean] = {
+    val schema = sparkSchema(currentSchema(meta))
+    val expr = scala.util.Try(
+      ParquetStats.predicateExpr(spark, schema, filter)).toOption.getOrElse(return scala.None)
+    val schemaFields = currentSchema(meta).get("fields").elements().asScala.toSeq
+    val byId: Map[Int, StructField] =
+      schemaFields.map(n => n.get("id").asInt() -> schema(n.get("name").asText())).toMap
+    val idByName: Map[String, Int] =
+      schemaFields.map(n => n.get("name").asText() -> n.get("id").asInt()).toMap
+    val specCache = scala.collection.mutable.Map.empty[Int, Option[Seq[IcebergTransforms.PartField]]]
+    Some { (specId: Int, sums: Seq[FieldSummary]) =>
+      specCache.getOrElseUpdate(specId,
+        partitionSpecFieldsById(meta, schema, specId)) match {
+        case scala.None => true // unknown spec: never prune
+        case Some(pfs) =>
+          var lo = Map.empty[Int, Array[Byte]]
+          var hi = Map.empty[Int, Array[Byte]]
+          pfs.zipWithIndex.foreach { case (pf, i) =>
+            if (i < sums.length) {
+              val s = sums(i)
+              for {
+                lb <- s.lower; ub <- s.upper
+                lv <- typedPartValue(pf, lb); uv <- typedPartValue(pf, ub)
+                (srcLo, _) <- IcebergTransforms.sourceBounds(pf, lv)
+                (_, srcHi) <- IcebergTransforms.sourceBounds(pf, uv)
+                id <- idByName.get(pf.source.name)
+              } {
+                IcebergStats.encodeValue(pf.source.dataType, srcLo)
+                  .foreach(b => lo += id -> b)
+                Option(srcHi)
+                  .flatMap(IcebergStats.encodeValue(pf.source.dataType, _))
+                  .foreach(b => hi += id -> b)
+              }
+            }
+          }
+          if (lo.isEmpty && hi.isEmpty) true
+          else ParquetStats.mayMatch(
+            Some(IcebergStats.toFileStats(schema, byId, -1L, lo, hi, Map.empty)),
+            expr)
+      }
+    }
+  }
+
+  /** decode a field summary's single-value binary to the TYPED
+    * partition value [[IcebergTransforms.sourceBounds]] consumes */
+  private def typedPartValue(pf: IcebergTransforms.PartField,
+      bytes: Array[Byte]): Option[AnyRef] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    pf.recordField.dataType match {
+      case IntegerType | DateType if bytes.length == 4 =>
+        Some(Int.box(buf.getInt))
+      case LongType | TimestampType | TimestampNTZType if bytes.length == 8 =>
+        Some(Long.box(buf.getLong))
+      case FloatType if bytes.length == 4 => Some(Float.box(buf.getFloat))
+      case DoubleType if bytes.length == 8 => Some(Double.box(buf.getDouble))
+      case BooleanType if bytes.length == 1 => Some(Boolean.box(bytes(0) != 0))
+      case StringType =>
+        Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      case _ => scala.None
+    }
   }
 
   /** one-walk planning state for callers issuing MANY subset reads of
@@ -512,16 +585,55 @@ object IcebergScan {
     (p.schema, dedupeEntries(p.entries))
   }
 
+  /** one manifest-list `field_summary` (field 507/508): per spec-field
+    * contains_null + the partition value's single-value-binary bounds */
+  private[sources] final case class FieldSummary(
+      containsNull: Boolean, lower: Option[Array[Byte]],
+      upper: Option[Array[Byte]])
+
   /** the snapshot's LIVE manifest entries (status DELETED dropped; null
-    * entry sequence numbers inherit the manifest's, per spec) */
+    * entry sequence numbers inherit the manifest's, per spec).
+    *
+    * `manifestPruner`: MANIFEST-LEVEL SKIPPING — the planner's
+    * first-level prune. Given a DATA manifest's (spec-id, field
+    * summaries), false means its partition-value bounds PROVE no entry
+    * can match the query filter, so the manifest file is never even
+    * read: planning cost becomes O(surviving manifests), not O(all) —
+    * on a 100 TB table with thousands of manifests, the difference
+    * between a point query planning in milliseconds and walking the
+    * world. DELETE manifests are never skipped (their rows gate the
+    * data files that DO survive); rows without summaries (foreign or
+    * legacy writers) are never pruned. */
   private def snapshotEntries(
       fs: FileSystem, conf: org.apache.hadoop.conf.Configuration,
-      tablePath: String, snapshot: JsonNode): Seq[FileEntry] = {
+      tablePath: String, snapshot: JsonNode,
+      manifestPruner: Option[(Int, Seq[FieldSummary]) => Boolean] = scala.None): Seq[FileEntry] = {
     val manifestListPath = snapshot.get("manifest-list").asText()
+    def summaryBytes(v: AnyRef): Array[Byte] = v match {
+      case b: java.nio.ByteBuffer =>
+        val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+      case a: Array[Byte] => a
+      case other => other.toString.getBytes("UTF-8")
+    }
     val manifests = readAvro(fs, conf, resolvePath(fs, tablePath, manifestListPath)).map { r =>
       val seq = opt(r, "sequence_number").map(_.toString.toLong).getOrElse(0L)
       val specId = opt(r, "partition_spec_id").map(_.toString.toInt).getOrElse(0)
-      (r.get("manifest_path").toString, seq, specId)
+      val content = opt(r, "content").map(_.toString.toInt).getOrElse(0)
+      val summaries: Option[Seq[FieldSummary]] =
+        if (r.getSchema.getField("partitions") == null) scala.None
+        else Option(r.get("partitions")).collect { case l: java.util.Collection[_] =>
+          l.asScala.collect { case fr: GenericRecord =>
+            FieldSummary(fr.get("contains_null").toString.toBoolean,
+              Option(fr.get("lower_bound")).map(summaryBytes),
+              Option(fr.get("upper_bound")).map(summaryBytes))
+          }.toSeq
+        }
+      (r.get("manifest_path").toString, seq, specId, content, summaries)
+    }.collect {
+      case (mp, seq, specId, content, summaries)
+          if content != 0 || manifestPruner.isEmpty || summaries.isEmpty ||
+            manifestPruner.get(specId, summaries.get) =>
+        (mp, seq, specId)
     }
     // planning-size counters: the entry list is O(live files) DRIVER
     // memory — count entries and approximate bytes AS THE WALK RUNS so
@@ -893,6 +1005,27 @@ object IcebergScan {
       .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
     fieldsNode.map(n => IcebergTransforms.fromSpecJson(n.toString, nameById, schema))
       .getOrElse(Seq.empty)
+  }
+
+  /** the registered spec `specId`'s fields, or None when unknown (a
+    * manifest under an unparseable spec is never pruned on) */
+  private def partitionSpecFieldsById(meta: JsonNode, schema: StructType,
+      specId: Int): Option[Seq[IcebergTransforms.PartField]] = {
+    val fromRegistry = Option(meta.get("partition-specs")).flatMap { specs =>
+      specs.elements().asScala.find(_.get("spec-id").asInt() == specId)
+        .map(_.get("fields"))
+    }
+    // pre-evolution tables carry only the legacy single-spec key,
+    // which describes the default spec (id 0 by construction)
+    val defaultId = Option(meta.get("default-spec-id")).map(_.asInt()).getOrElse(0)
+    fromRegistry.orElse(
+      if (specId == defaultId) Option(meta.get("partition-spec")) else scala.None)
+      .flatMap { n =>
+        val nameById = currentSchema(meta).get("fields").elements().asScala
+          .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+        scala.util.Try(
+          IcebergTransforms.fromSpecJson(n.toString, nameById, schema)).toOption
+      }
   }
 
   /** identity view of the spec: (spec field name, source field) */

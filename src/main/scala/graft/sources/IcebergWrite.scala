@@ -3,6 +3,7 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 
 import scala.jdk.CollectionConverters._
+import scala.util.chaining._
 
 import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
@@ -732,8 +733,7 @@ object IcebergWrite {
           snapshotId = version.toLong, addedFiles = filesWithRows.size,
           existingFiles = 0, deletedFiles = 0,
           addedRows = filesWithRows.map(_._2).sum, existingRows = 0L,
-          deletedRows = 0L))
-          .map(manifestRefRecord),
+          deletedRows = 0L)) pipe (rs => listRecords(fs, conf, root, carry, rs)),
         manifestListMeta(version, fmtVersion))
 
       // the field-id marker rides the FIRST commit: every data file this
@@ -1531,8 +1531,7 @@ object IcebergWrite {
         deletedFiles = 0,
         addedRows = addedWithRows.map(_._2).sum,
         existingRows = defaultKept.map(_._1.rows).sum, deletedRows = 0L) +:
-        (historicalManifests ++ prevDeleteManifests))
-        .map(manifestRefRecord),
+        (historicalManifests ++ prevDeleteManifests)) pipe (rs => listRecords(fs, conf, root, carry, rs)),
       manifestListMeta(version, fmtVersion))
 
     writeMetadataJson(fs, metaDir, root, version, fmtVersion,
@@ -2068,8 +2067,7 @@ object IcebergWrite {
       val prevManifests = readPrevManifests(fs, conf, root, v)
       val listRel = s"metadata/snap-$v-${pathNonce()}.avro"
       writeAvro(fs, new Path(root, listRel), manifestListSchema,
-        (prevManifests ++ Seq(dataRef) ++ posRef.toSeq ++ eqRef.toSeq)
-          .map(manifestRefRecord),
+        (prevManifests ++ Seq(dataRef) ++ posRef.toSeq ++ eqRef.toSeq) pipe (rs => listRecords(fs, conf, root, c, rs)),
         manifestListMeta(v, fmtVersion))
       writeMetadataJson(fs, metaDir, root, v, fmtVersion,
         c, listRel, operation = operation, propsOverride = txnProps(txn),
@@ -2555,12 +2553,18 @@ object IcebergWrite {
     Option(node.get("format-version")).map(_.asInt()).getOrElse(1)
   }
 
-  /** a full v2 manifest-list row (content 0 = data, 1 = deletes) */
+  /** a full v2 manifest-list row (content 0 = data, 1 = deletes).
+    * `partitions` = the spec's field_summary list (field 507): per
+    * spec-field contains_null + serialized lower/upper partition-value
+    * bounds — what lets the PLANNER skip whole manifests before
+    * reading them ([[IcebergScan]] manifest pruning). None = unknown
+    * (legacy row / unpartitioned spec), never pruned on. */
   private final case class ManifestRef(
       path: String, length: Long, specId: Int, content: Int,
       seq: Long, minSeq: Long, snapshotId: Long,
       addedFiles: Int, existingFiles: Int, deletedFiles: Int,
-      addedRows: Long, existingRows: Long, deletedRows: Long)
+      addedRows: Long, existingRows: Long, deletedRows: Long,
+      partitions: Option[Seq[IcebergScan.FieldSummary]] = scala.None)
 
   /** the previous CURRENT snapshot's manifest list, resolved through
     * the metadata JSON's manifest-list pointer — never by file-name
@@ -2610,7 +2614,8 @@ object IcebergWrite {
           content, seq,
           opt("min_sequence_number").map(_.toString.toLong).getOrElse(seq),
           r.get("added_snapshot_id").asInstanceOf[Long],
-          counts._1, counts._2, counts._3, counts._4, counts._5, counts._6)
+          counts._1, counts._2, counts._3, counts._4, counts._5, counts._6,
+          partitions = parseSummaries(r))
       }
   }
 
@@ -2648,7 +2653,109 @@ object IcebergWrite {
     r.put("added_rows_count", m.addedRows)
     r.put("existing_rows_count", m.existingRows)
     r.put("deleted_rows_count", m.deletedRows)
+    m.partitions.foreach { sums =>
+      val arrSchema = manifestListSchema.getField("partitions").schema()
+        .getTypes.get(1) // [null, array]
+      val elemSchema = arrSchema.getElementType
+      val arr = new GenericData.Array[GenericRecord](sums.size, arrSchema)
+      sums.foreach { s =>
+        val fr = new GenericData.Record(elemSchema)
+        fr.put("contains_null", s.containsNull)
+        s.lower.foreach(b => fr.put("lower_bound", java.nio.ByteBuffer.wrap(b)))
+        s.upper.foreach(b => fr.put("upper_bound", java.nio.ByteBuffer.wrap(b)))
+        arr.add(fr)
+      }
+      r.put("partitions", arr)
+    }
     r
+  }
+
+  /** parse a manifest-list row's `partitions` field-summary array */
+  private def parseSummaries(r: GenericRecord): Option[Seq[IcebergScan.FieldSummary]] =
+    if (r.getSchema.getField("partitions") == null) scala.None
+    else Option(r.get("partitions")).collect { case l: java.util.Collection[_] =>
+      l.asScala.collect { case fr: GenericRecord =>
+        def bytes(name: String): Option[Array[Byte]] =
+          Option(fr.get(name)).map {
+            case b: java.nio.ByteBuffer =>
+              val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+            case a: Array[Byte] => a
+            case other => other.toString.getBytes("UTF-8")
+          }
+        IcebergScan.FieldSummary(fr.get("contains_null").toString.toBoolean,
+          bytes("lower_bound"), bytes("upper_bound"))
+      }.toSeq
+    }
+
+  /** the list rows to write: new DATA manifests (no summary yet) get
+    * their field summaries computed from the manifest just written —
+    * one driver-side avro read, the same cost class the counts take;
+    * carried rows keep their stored summaries. Summaries make the NEXT
+    * read's planner able to skip the manifest wholesale. */
+  private def listRecords(fs: FileSystem,
+      conf: org.apache.hadoop.conf.Configuration, root: Path,
+      carry: SchemaCarry, refs: Seq[ManifestRef]): Seq[GenericRecord] =
+    refs.map { m =>
+      val withSums =
+        if (m.content != 0 || m.partitions.isDefined) m
+        else m.copy(partitions = scala.util.Try(summarizeManifest(fs, conf,
+          new Path(root, m.path),
+          scala.util.Try(carry.partFieldsFor(m.specId)).getOrElse(Seq.empty)))
+          .toOption.flatten) // unsummarizable (foreign layout): no claim
+      manifestRefRecord(withSums)
+    }
+
+  /** per-spec-field (contains_null, lower, upper) over a manifest's
+    * LIVE entries' partition records — bounds in the spec's
+    * single-value binary serialization; a field whose values fail to
+    * encode gets no bounds (conservative: never pruned on) */
+  private def summarizeManifest(fs: FileSystem,
+      conf: org.apache.hadoop.conf.Configuration, manifestAbs: Path,
+      pfs: Seq[IcebergTransforms.PartField]): Option[Seq[IcebergScan.FieldSummary]] = {
+    if (pfs.isEmpty) return scala.None
+    val types = pfs.map(_.recordField.dataType)
+    val containsNull = Array.fill(pfs.size)(false)
+    val loCmp = Array.fill[Option[(Any, Array[Byte])]](pfs.size)(scala.None)
+    val hiCmp = Array.fill[Option[(Any, Array[Byte])]](pfs.size)(scala.None)
+    val unknown = Array.fill(pfs.size)(false)
+    readAvro(fs, conf, manifestAbs).foreach { entry =>
+      if (entry.get("status").toString.toInt != 2) {
+        val df = entry.get("data_file").asInstanceOf[GenericRecord]
+        val part = Option(df.get("partition")).collect { case r: GenericRecord => r }
+        pfs.zipWithIndex.foreach { case (pf, i) =>
+          val v = part.flatMap(r => Option(r.getSchema.getField(pf.specName))
+            .map(f => r.get(f.pos()))) match {
+            case Some(u: org.apache.avro.util.Utf8) => Some(u.toString)
+            case other => other
+          }
+          v match {
+            case scala.None => unknown(i) = true // no value recorded: unbounded
+            case Some(null) => containsNull(i) = true
+            case Some(value) =>
+              IcebergStats.encodeValue(types(i), value)
+                .flatMap(b => IcebergStats.decode(types(i), b).map(_ -> b)) match {
+                case Some((cmp, bytes)) =>
+                  if (loCmp(i).forall(c => cmpLt(cmp, c._1))) loCmp(i) = Some((cmp, bytes))
+                  if (hiCmp(i).forall(c => cmpLt(c._1, cmp))) hiCmp(i) = Some((cmp, bytes))
+                case scala.None => unknown(i) = true
+              }
+          }
+        }
+      }
+    }
+    Some(pfs.indices.map { i =>
+      if (unknown(i)) IcebergScan.FieldSummary(containsNull = true, scala.None, scala.None)
+      else IcebergScan.FieldSummary(containsNull(i),
+        loCmp(i).map(_._2), hiCmp(i).map(_._2))
+    })
+  }
+
+  /** ordering in the decoded comparable domain (BigDecimal / sortable
+    * strings — the same domain the stats pruner compares in) */
+  private def cmpLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y) < 0
+    case (x: String, y: String) => x.compareTo(y) < 0
+    case _ => false
   }
 
   /** POSITION-DELETE commit (v2 row-level delete, the spec's simplest):
@@ -2761,8 +2868,7 @@ object IcebergWrite {
             snapshotId = v.toLong, addedFiles = delEntries.size,
             existingFiles = 0,
             deletedFiles = 0, addedRows = nDeleted, existingRows = 0L,
-            deletedRows = 0L))
-          .map(manifestRefRecord),
+            deletedRows = 0L)) pipe (rs => listRecords(fs, conf, root, c, rs)),
         manifestListMeta(v, fmtVersion = 2))
 
       writeMetadataJson(fs, metaDir, root, v, fmtVersion = 2,
@@ -3062,8 +3168,7 @@ object IcebergWrite {
             snapshotId = v.toLong, addedFiles = delEntries.size,
             existingFiles = 0,
             deletedFiles = 0, addedRows = nKeys, existingRows = 0L,
-            deletedRows = 0L))
-          .map(manifestRefRecord),
+            deletedRows = 0L)) pipe (rs => listRecords(fs, conf, root, c, rs)),
         manifestListMeta(v, fmtV))
 
       writeMetadataJson(fs, metaDir, root, v, fmtV,
@@ -3395,7 +3500,7 @@ object IcebergWrite {
       val prevData = readPrevManifests(fs, conf, root, v).filter(_.content == 0)
       val listRel = s"metadata/snap-$v-${pathNonce()}.avro"
       writeAvro(fs, new Path(root, listRel), manifestListSchema,
-        (prevData ++ dataRef.toSeq ++ refs).map(manifestRefRecord),
+        (prevData ++ dataRef.toSeq ++ refs) pipe (rs => listRecords(fs, conf, root, c, rs)),
         manifestListMeta(v, fmtVersion = 3))
       writeMetadataJson(fs, metaDir, root, v, fmtVersion = 3, c, listRel,
         operation = operation, assignedRows = newData.map(_._2).sum)
@@ -3674,7 +3779,14 @@ object IcebergWrite {
       |{"name":"deleted_data_files_count","type":"int","field-id":506},
       |{"name":"added_rows_count","type":"long","field-id":512},
       |{"name":"existing_rows_count","type":"long","field-id":513},
-      |{"name":"deleted_rows_count","type":"long","field-id":514}]}""".stripMargin)
+      |{"name":"deleted_rows_count","type":"long","field-id":514},
+      |{"name":"partitions","type":["null",{"type":"array","items":
+      |  {"type":"record","name":"r508","fields":[
+      |    {"name":"contains_null","type":"boolean","field-id":509},
+      |    {"name":"contains_nan","type":["null","boolean"],"default":null,"field-id":518},
+      |    {"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
+      |    {"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}]},
+      |  "element-id":508}],"default":null,"field-id":507}]}""".stripMargin)
 
   private def writeAvro(fs: FileSystem, path: Path, schema: Schema,
       records: Seq[GenericRecord],
