@@ -2175,6 +2175,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CHANGE DATA FEED, the protocol's real form (cdc actions + change
+    // files under _change_data — not the snapshot-diff of q_delta_cdf):
+    // update writes pre/post images, delete writes the deleted rows,
+    // merge writes pre/post/insert — each in the SAME commit as the
+    // DML; readCdf serves them back per version with _change_type +
+    // _commit_version, deriving insert-only commits from their adds
+    "q_delta_cdf_files" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_cdf_gate").toString + "/t"
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.DeltaWrite.create(s, docs, base) // v0
+      graft.sources.DeltaWrite.enableChangeDataFeed(s, base) // v1
+      graft.sources.DeltaWrite.updateWhere(s, base, col("doc_id") % 7 === 0,
+        Seq("text" -> concat(lit("U:"), col("text")))) // v2
+      graft.sources.DeltaWrite.deleteWhere(s, base, col("doc_id") % 5 === 0) // v3
+      val src = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), concat(lit("M:"), col("text")).as("text"))
+      graft.sources.DeltaWrite.merge(s, base, src, Seq("doc_id")) // v4
+      graft.sources.DeltaScan.readCdf(s, base, 2L, 4L)
+        .select("doc_id", "lang", "text", "_change_type", "_commit_version")
+        .orderBy("_commit_version", "_change_type", "doc_id")
+    }),
+
     // per-partition exact counts straight from the Delta log (the
     // ad-hoc twin of q_iceberg_partstats): add-action partition values
     // grouped, stats row counts summed, DV cardinalities subtracted —
@@ -5370,6 +5392,27 @@ object SparkEntry {
         |       ELSE 'legacy' END AS ice_origin,
         |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 'fresh' END AS delta_origin
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_delta_cdf_files" ->
+      """SELECT doc_id, lang, text, _change_type, _commit_version FROM (
+        |  SELECT doc_id, lang, text,
+        |         'update_preimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, lang, 'U:' || text, 'update_postimage', 2
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 7 = 0 THEN 'U:' || text ELSE text END,
+        |         'delete', 3
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id, lang,
+        |         CASE WHEN doc_id % 7 = 0 THEN 'U:' || text ELSE text END,
+        |         'update_preimage', 4
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 5 <> 0
+        |  UNION ALL SELECT doc_id, lang, 'M:' || text, 'update_postimage', 4
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 5 <> 0
+        |  UNION ALL SELECT doc_id, lang, 'M:' || text, 'insert', 4
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 5 = 0
+        |) ORDER BY _commit_version, _change_type, doc_id""".stripMargin,
 
     "q_delta_merge_evolve" ->
       """SELECT doc_id, lang, text, score FROM (

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -485,6 +486,104 @@ object DeltaScan {
         }.reduce(_ unionByName _))
       }
     }
+  }
+
+  /** CHANGE DATA FEED READ (protocol §Add CDC File): the row-level
+    * changes committed in versions `[fromVersion, toVersion]`, as the
+    * table columns + `_change_type`
+    * (insert / delete / update_preimage / update_postimage) +
+    * `_commit_version`. Per protocol semantics:
+    *
+    *  - a commit carrying `cdc` actions serves EXACTLY those change
+    *    files (written by [[DeltaWrite]]'s update/delete/merge when
+    *    `delta.enableChangeDataFeed` is set);
+    *  - a commit with no cdc actions and no data-changing remove is
+    *    insert-only: its `dataChange=true` adds ARE the inserts;
+    *  - a data-changing remove without cdc refuses loudly — the
+    *    removed rows are not reconstructible from the log.
+    *
+    * Schema is resolved as of `toVersion`; older change files read
+    * missing columns as NULL by name. */
+  def readCdf(spark: SparkSession, tablePath: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion >= 0 && toVersion >= fromVersion,
+      s"bad version range [$fromVersion, $toVersion]")
+    val (fs, versions) = listLog(spark, tablePath)
+    val missing = (fromVersion to toVersion).filterNot(versions.contains)
+    require(missing.isEmpty,
+      s"Delta log at $tablePath is missing JSON commits ${missing.mkString(", ")} — " +
+        "cannot serve the change feed; recompute from snapshots")
+    val st = liveState(spark, tablePath, Some(toVersion))
+    require(!st.columnMapped,
+      "readCdf on a column-mapped table is not supported by the built-in reader")
+    val outSchema = StructType(st.schema.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_commit_version", LongType)))
+    val logDir = new Path(tablePath, "_delta_log")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fieldType = st.schema.fields.map(f => f.name -> f.dataType).toMap
+    val dataFields = StructType(
+      st.schema.fields.filterNot(f => st.partCols.contains(f.name)))
+
+    /** read one version's (path, pv) groups with `extraCols` appended
+      * to the read schema, partition values injected as typed literals */
+    def readGroup(files: Seq[(String, Map[String, String])],
+        withChangeType: Boolean, v: Long): DataFrame = {
+      val readSchema =
+        if (withChangeType)
+          StructType(dataFields.fields :+ StructField("_change_type", StringType))
+        else dataFields
+      files.groupBy(_._2).toSeq.sortBy(_._2.head._1).map { case (pv, group) =>
+        val base = spark.read.schema(readSchema)
+          .parquet(group.map(g => new Path(tablePath, g._1).toString): _*)
+        val withParts = st.partCols.foldLeft(base) { (d, c) =>
+          d.withColumn(c, lit(pv.get(c)
+            .filterNot(x => x == null || x == "__HIVE_DEFAULT_PARTITION__")
+            .orNull).cast(fieldType(c)))
+        }
+        val typed =
+          if (withChangeType) withParts
+          else withParts.withColumn("_change_type", lit("insert"))
+        typed.withColumn("_commit_version", lit(v))
+          .select(outSchema.fieldNames.map(col).toSeq: _*)
+      }.reduce(_ unionByName _)
+    }
+
+    val perVersion: Seq[DataFrame] = (fromVersion to toVersion).flatMap { v =>
+      val in = fs.open(new Path(logDir, f"$v%020d.json"))
+      val nodes = (try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()).map(mapper.readTree)
+      def pvOf(n: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+        Option(n.get("partitionValues")).map(_.properties().asScala.map(e =>
+          e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+          .getOrElse(Map.empty)
+      val cdcs = nodes.filter(_.has("cdc")).map(_.get("cdc"))
+        .map(c => (percentDecode(c.get("path").asText()), pvOf(c)))
+      if (cdcs.nonEmpty) Some(readGroup(cdcs, withChangeType = true, v))
+      else {
+        val badRemove = nodes.exists(n => n.has("remove") &&
+          Option(n.get("remove").get("dataChange")).forall(_.asBoolean(true)))
+        require(!badRemove,
+          s"version $v of $tablePath removes data without cdc actions — " +
+            "the change feed cannot reconstruct the deleted rows (commit " +
+            "predates enableChangeDataFeed, or a non-CDF writer ran DML)")
+        val adds = nodes.filter(n => n.has("add") &&
+            Option(n.get("add").get("dataChange")).forall(_.asBoolean(true)))
+          .map(_.get("add"))
+        adds.foreach(a => require(
+          a.get("deletionVector") == null || a.get("deletionVector").isNull,
+          s"version $v add carries a deletion vector — not expressible as a " +
+            "change feed by this reader"))
+        if (adds.isEmpty) scala.None
+        else Some(readGroup(
+          adds.map(a => (percentDecode(a.get("path").asText()), pvOf(a))),
+          withChangeType = false, v))
+      }
+    }
+    if (perVersion.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    else perVersion.reduce(_ unionByName _)
   }
 
   /** Data-changing ADD file paths (absolute) committed in versions

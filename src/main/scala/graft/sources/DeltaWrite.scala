@@ -569,6 +569,79 @@ object DeltaWrite {
       operation = Some("ADD CONSTRAINT"))
   }
 
+  // ---- change data feed (protocol §Add CDC File) ------------------------
+
+  private[sources] val CdfKey = "delta.enableChangeDataFeed"
+
+  private def cdfEnabled(spark: SparkSession, fs: FileSystem,
+      tablePath: String): Boolean =
+    latestMetaNodeAny(spark, fs, tablePath).exists(md =>
+      configOf(md).get(CdfKey).contains("true"))
+
+  /** ENABLE THE CHANGE DATA FEED (table property
+    * `delta.enableChangeDataFeed`, writer feature `changeDataFeed`):
+    * from this commit on, every row-changing DML (update/delete/merge)
+    * writes its row-level changes as parquet CHANGE FILES under
+    * `_change_data/` committed via `cdc` actions in the SAME commit —
+    * [[DeltaScan.readCdf]] serves them back per version. Insert-only
+    * commits (append/create) may omit cdc per the protocol; readers
+    * derive their inserts from the add actions. DV/row-tracking DML
+    * and restore refuse on CDF tables (they cannot express their
+    * changes as a complete feed here); column-mapped tables refuse
+    * enablement (change files would need physical-name plumbing). */
+  def enableChangeDataFeed(spark: SparkSession, tablePath: String): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(tablePath))
+    val md = latestMetaNodeAny(spark, fs, tablePath).getOrElse(
+      throw new IllegalStateException(s"no metaData at $tablePath"))
+    val config = configOf(md)
+    require(!config.get(CdfKey).contains("true"),
+      s"change data feed is already enabled at $tablePath")
+    require(config.getOrElse("delta.columnMapping.mode", "none") == "none",
+      "change data feed on a column-mapped table is not supported by this writer")
+    requireNoDeletionVectors(spark, tablePath)
+    val declared = DataType.fromJson(md.get("schemaString").asText())
+      .asInstanceOf[StructType]
+    val partCols = Option(md.get("partitionColumns"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    val pact = featureProtocolAction(latestProtoNodeAny(spark, fs, tablePath),
+      Seq("changeDataFeed"))
+    val v = DeltaScan.latestVersion(spark, tablePath) + 1
+    writeCommitFile(fs, root, v,
+      pact ++ Seq(metaDataJson(md, declared, partCols, config + (CdfKey -> "true"))),
+      operation = Some("SET TBLPROPERTIES"))
+  }
+
+  /** stage `changes` (the table schema + `_change_type`) as parquet
+    * under `_change_data/` (partitioned like the data) and return the
+    * commit's `cdc` action lines — `dataChange=false` per protocol */
+  private def stageCdcFiles(spark: SparkSession, fs: FileSystem, root: Path,
+      schema: StructType, partCols: Seq[String],
+      changes: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val staged = writeStaged(fs, root, destPrefix = "_change_data") { staging =>
+      val ordered = changes.select(
+        (schema.fieldNames.map(col) :+ col("_change_type")).toSeq: _*)
+      val clustered =
+        if (partCols.isEmpty) ordered
+        else ordered.repartition(partCols.map(col): _*)
+      val w = clustered.write.mode("append")
+      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging)
+    }
+    staged.map { case (rel, size) =>
+      s"""{"cdc":{"path":${jstr(encodePath(rel))},"partitionValues":{${partitionValuesJson(rel)}},"size":$size,"dataChange":false}}"""
+    }
+  }
+
+  /** ops that cannot express their row changes as a complete feed
+    * refuse on CDF tables instead of silently starving consumers */
+  private def refuseOnCdf(spark: SparkSession, fs: FileSystem,
+      tablePath: String, op: String): Unit =
+    require(!cdfEnabled(spark, fs, tablePath),
+      s"$op on a change-data-feed table would leave the feed incomplete " +
+        "(no cdc actions for its row changes) — disable CDF or use the " +
+        "copy-on-write DML")
+
   /** drop a CHECK constraint (metadata-only) */
   def dropCheckConstraint(spark: SparkSession, tablePath: String,
       name: String): Unit = {
@@ -1507,6 +1580,7 @@ object DeltaWrite {
     * (filesReAdded, filesRemoved). */
   def restore(spark: SparkSession, tablePath: String, toVersion: Long): (Int, Int) = {
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    refuseOnCdf(spark, fs, tablePath, "restore")
     requireNoDeletionVectors(spark, tablePath)
     requireNoRowTracking(spark, fs, tablePath, "restore")
     val root = fs.makeQualified(new Path(tablePath))
@@ -1828,12 +1902,13 @@ object DeltaWrite {
       added: Seq[(String, Long)], removedRels: Seq[String],
       txn: Option[(String, Long)] = None,
       operation: Option[String] = scala.None,
-      scope: Option[CommitScope] = scala.None): Unit = {
+      scope: Option[CommitScope] = scala.None,
+      extraActions: Seq[String] = Nil): Unit = {
     val now = System.currentTimeMillis()
     val actions =
       stagedAddLines(spark, fs, root, added) ++ removedRels.map { rel =>
         s"""{"remove":{"path":${jstr(encodePath(rel))},"deletionTimestamp":$now,"dataChange":true}}"""
-      }
+      } ++ extraActions
     val txnLines = txn.toSeq.map { case (app, tv) =>
       s"""{"txn":{"appId":${jstr(app)},"version":$tv,"lastUpdated":$now}}"""
     }
@@ -1921,6 +1996,15 @@ object DeltaWrite {
 
     val keep = !coalesce(cond, lit(false))
     val dataCols = schema.fieldNames.filterNot(partCols.contains)
+    // change data feed: the deleted rows, typed 'delete', land as
+    // change files in the SAME commit
+    val cdcLines =
+      if (!cdfEnabled(spark, fs, tablePath)) Seq.empty
+      else stageCdcFiles(spark, fs, root, schema, partCols,
+        liveScan(spark, root, schema, partCols, victims, mapped)
+          .filter(coalesce(cond, lit(false)))
+          .select(schema.fieldNames.map(col).toSeq: _*)
+          .withColumn("_change_type", lit("delete")))
     val added = victims.groupBy(r => r.split('/').dropRight(1).mkString("/"))
       .toSeq.sortBy(_._1).flatMap { case (partDir, rels) =>
         writeStaged(fs, root, destPrefix = partDir) { staging =>
@@ -1931,7 +2015,8 @@ object DeltaWrite {
       }
     commitRewrite(spark, fs, root, added, victims, operation = Some("DELETE"),
       scope = Some(CommitScope("DELETE", readV, victims.toSet,
-        readsWholeTable = false, pred = Some((schema, cond)))))
+        readsWholeTable = false, pred = Some((schema, cond)))),
+      extraActions = cdcLines)
     nDeleted
   }
 
@@ -2004,6 +2089,19 @@ object DeltaWrite {
       enforceRequired(updatedRows, schema)
     }
 
+    // change data feed: pre/post images of exactly the fired rows
+    val cdcLines =
+      if (!cdfEnabled(spark, fs, tablePath)) Seq.empty
+      else {
+        val fired = liveScan(spark, root, schema, partCols, victims, mapped)
+          .filter(fire)
+        val pre = fired.select(schema.fieldNames.map(col).toSeq: _*)
+          .withColumn("_change_type", lit("update_preimage"))
+        val post = fired.select(schema.fieldNames.map(n =>
+            setByName.get(n).map(e => e.as(n)).getOrElse(col(n))).toSeq: _*)
+          .withColumn("_change_type", lit("update_postimage"))
+        stageCdcFiles(spark, fs, root, schema, partCols, pre.unionByName(post))
+      }
     val added = victims.groupBy(r => r.split('/').dropRight(1).mkString("/"))
       .toSeq.sortBy(_._1).flatMap { case (partDir, rels) =>
         writeStaged(fs, root, destPrefix = partDir) { staging =>
@@ -2015,7 +2113,8 @@ object DeltaWrite {
       }
     commitRewrite(spark, fs, root, added, victims, operation = Some("UPDATE"),
       scope = Some(CommitScope("UPDATE", readV, victims.toSet,
-        readsWholeTable = false, pred = Some((schema, cond)))))
+        readsWholeTable = false, pred = Some((schema, cond)))),
+      extraActions = cdcLines)
     nUpdated
   }
 
@@ -2082,6 +2181,7 @@ object DeltaWrite {
       cond: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions._
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    refuseOnCdf(spark, fs, tablePath, "deleteWhereDV")
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
     val mapped = isMapped(fs, tablePath)
@@ -2205,6 +2305,7 @@ object DeltaWrite {
     import org.apache.spark.sql.functions._
     require(assignments.nonEmpty, "updateWhereDV needs at least one SET assignment")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    refuseOnCdf(spark, fs, tablePath, "updateWhereDV")
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
     val mapped = isMapped(fs, tablePath)
@@ -2288,6 +2389,7 @@ object DeltaWrite {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "merge needs at least one key column")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    refuseOnCdf(spark, fs, tablePath, "mergeDV")
     val root = fs.makeQualified(new Path(tablePath))
     val (schema, partCols) = tableMeta(fs, tablePath)
     refuseIdentity(schema, "mergeDV")
@@ -2519,6 +2621,25 @@ object DeltaWrite {
         .select(toPhysical(schema, mapped, schema.fieldNames.toSeq): _*)
       val physParts = partCols.map(p =>
         if (mapped) DeltaScan.physicalName(schema(p)) else p)
+      // change data feed: matched target rows (pre), their source
+      // replacements (post), and unmatched source rows (insert)
+      val cdcLines =
+        if (!cdfEnabled(spark, fs, tablePath)) Seq.empty
+        else {
+          val vScan = liveScan(spark, root, schema, partCols, victims, mapped)
+          val matchedPre = vScan.join(srcK, keys, "left_semi")
+            .select(schema.fieldNames.map(col).toSeq: _*)
+            .withColumn("_change_type", lit("update_preimage"))
+          val vKeys = vScan.select(keys.map(col): _*)
+          val matchedPost = src.join(vKeys, keys, "left_semi")
+            .select(schema.fieldNames.map(col).toSeq: _*)
+            .withColumn("_change_type", lit("update_postimage"))
+          val ins = src.join(vKeys, keys, "left_anti")
+            .select(schema.fieldNames.map(col).toSeq: _*)
+            .withColumn("_change_type", lit("insert"))
+          stageCdcFiles(spark, fs, root, schema, partCols,
+            matchedPre.unionByName(matchedPost).unionByName(ins))
+        }
       val added = writeStaged(fs, root, destPrefix = "") { staging =>
         // cluster by partition columns: files = touched partitions,
         // not tasks x partitions (see commit())
@@ -2533,7 +2654,8 @@ object DeltaWrite {
       // duplicate) — every concurrent data append is a conflict
       commitRewrite(spark, fs, root, added, victims, txn, operation = Some("MERGE"),
         scope = Some(CommitScope("MERGE", readV, victims.toSet,
-          readsWholeTable = true, pred = scala.None)))
+          readsWholeTable = true, pred = scala.None)),
+        extraActions = cdcLines)
       (updated, inserted)
     } finally src.unpersist()
   }
