@@ -2197,6 +2197,33 @@ object SparkEntry {
         .orderBy("_commit_version", "_change_type", "doc_id")
     }),
 
+    // INCREMENTAL CHANGE APPLICATION (the medallion hop): a replica
+    // consumes the source's change feed past its last applied version
+    // and lands the batch's upserts AND deletes in ONE mergeApply
+    // commit, exactly-once via the txn ledger — the gate hashes the
+    // REPLICA's final state against the oracle's reconstruction of the
+    // source ops
+    "q_delta_cdc_apply" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_cdc_apply_gate")
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      val src = base.resolve("s").toString
+      val tgt = base.resolve("t").toString
+      graft.sources.DeltaWrite.create(s, docs, src) // v0
+      graft.sources.DeltaWrite.create(s, docs, tgt) // replica starts in sync
+      graft.sources.DeltaWrite.enableChangeDataFeed(s, src) // v1
+      graft.sources.DeltaWrite.updateWhere(s, src, col("doc_id") % 7 === 0,
+        Seq("text" -> concat(lit("U:"), col("text")))) // v2
+      graft.sources.DeltaWrite.deleteWhere(s, src, col("doc_id") % 5 === 0) // v3
+      graft.sources.DeltaWrite.merge(s, src,
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("lang"),
+            concat(lit("M:"), col("text")).as("text")), Seq("doc_id")) // v4
+      graft.sources.DeltaWrite.applyChanges(s, src, tgt, Seq("doc_id"),
+        "gate_replica", startVersion = 2L)
+      graft.sources.DeltaScan.read(s, tgt)
+        .select("doc_id", "lang", "text").orderBy("doc_id")
+    }),
+
     // per-partition exact counts straight from the Delta log (the
     // ad-hoc twin of q_iceberg_partstats): add-action partition values
     // grouped, stats row counts summed, DV cardinalities subtracted —
@@ -5413,6 +5440,15 @@ object SparkEntry {
         |  UNION ALL SELECT doc_id, lang, 'M:' || text, 'insert', 4
         |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 5 = 0
         |) ORDER BY _commit_version, _change_type, doc_id""".stripMargin,
+
+    "q_delta_cdc_apply" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'M:' || text
+        |       WHEN doc_id % 7 = 0 THEN 'U:' || text
+        |       ELSE text END AS text
+        |FROM documents
+        |WHERE NOT (doc_id % 5 = 0 AND doc_id % 2 <> 0)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_delta_merge_evolve" ->
       """SELECT doc_id, lang, text, score FROM (

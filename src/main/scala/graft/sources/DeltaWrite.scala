@@ -2551,6 +2551,24 @@ object DeltaWrite {
     * [[deleteWhere]]. */
   def merge(spark: SparkSession, tablePath: String, source: DataFrame,
       keys: Seq[String], txn: Option[(String, Long)] = None): (Long, Long) = {
+    val (u, i, _) = mergeInternal(spark, tablePath, source, keys, txn, scala.None)
+    (u, i)
+  }
+
+  /** [[merge]] WITH DELETE CLAUSES — the APPLY CHANGES shape: the
+    * source carries an extra BOOLEAN `tombstone` column; matched rows
+    * whose source row is tombstoned are DELETED (unmatched tombstones
+    * are no-ops), everything else upserts as in [[merge]]. One commit,
+    * so a CDC batch's upserts and deletes land atomically. Returns
+    * (rowsUpdated, rowsInserted, rowsDeleted). */
+  def mergeApply(spark: SparkSession, tablePath: String, source: DataFrame,
+      keys: Seq[String], tombstone: String,
+      txn: Option[(String, Long)] = None): (Long, Long, Long) =
+    mergeInternal(spark, tablePath, source, keys, txn, Some(tombstone))
+
+  private def mergeInternal(spark: SparkSession, tablePath: String,
+      source: DataFrame, keys: Seq[String], txn: Option[(String, Long)],
+      tombstone: Option[String]): (Long, Long, Long) = {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "merge needs at least one key column")
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2567,50 +2585,68 @@ object DeltaWrite {
     // row in the directory its re-derived value names)
     val source1 = deriveGenerated(latestMetaNodeAny(spark, fs, tablePath),
       source, Nil)._1
+    // tombstoned rows contribute only their keys (a delete needs no
+    // payload); the data rows must carry the full table schema
+    val (srcData0, tombK0) = tombstone match {
+      case scala.None => (source1, scala.None)
+      case Some(tc) =>
+        require(source1.columns.contains(tc),
+          s"tombstone column '$tc' is not in the merge source")
+        require(source1.schema(tc).dataType == org.apache.spark.sql.types.BooleanType,
+          s"tombstone column '$tc' must be BOOLEAN")
+        val flag = coalesce(col(tc), lit(false))
+        (source1.filter(!flag).drop(tc),
+          Some(source1.filter(flag).select(keys.map(col): _*)))
+    }
     require(
       schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-        source1.schema.fields.map(f => (f.name, f.dataType)).toSeq,
-      s"merge source schema ${source1.schema.simpleString} does not match " +
+        srcData0.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"merge source schema ${srcData0.schema.simpleString} does not match " +
         s"the table's ${schema.simpleString}")
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key column '$k' is not in the table schema"))
-
-    val src = source1.persist()
+    val src = srcData0.persist()
+    val tombKeys = tombK0.map(_.persist())
     try {
       val srcRows = src.count()
-      if (srcRows == 0L) return (0L, 0L)
-      require(src.groupBy(keys.map(col): _*).count()
+      val tombRows = tombKeys.map(_.count()).getOrElse(0L)
+      if (srcRows == 0L && tombRows == 0L) return (0L, 0L, 0L)
+      val dataK = src.select(keys.map(col): _*)
+      val allK = tombKeys.fold(dataK)(t => dataK.unionByName(t))
+      require(allK.groupBy(keys.map(col): _*).count()
         .filter(col("count") > 1).limit(1).count() == 0L,
-        "merge source has duplicate key tuples — ambiguous upsert")
-      val srcK = src.select(keys.map(col): _*)
+        "merge source has duplicate key tuples (or a key both upserted " +
+          "and tombstoned) — ambiguous apply")
 
       val readV = DeltaScan.latestVersion(spark, tablePath)
       val live = replayActions(spark, fs, tablePath, Some(readV))
         .collect { case (p, true, _, _) => p }
-      val (updated, victims) =
-        if (live.isEmpty) (0L, Seq.empty[String])
+      val victims =
+        if (live.isEmpty) Seq.empty[String]
+        else liveScan(spark, root, schema, partCols, live, mapped)
+          .join(allK, keys, "left_semi")
+          .agg(collect_set(col("__rel")).as("files"))
+          .head().getSeq[String](0).sorted // [lint:bounded] file-count-bounded set
+      // matched rows live only in victim files by construction
+      def vScan = liveScan(spark, root, schema, partCols, victims, mapped)
+      val (updated, deleted, matchedSrc) =
+        if (victims.isEmpty) (0L, 0L, 0L)
         else {
-          val hit = liveScan(spark, root, schema, partCols, live, mapped)
-            .join(srcK, keys, "left_semi")
-            .agg(count(lit(1)).as("n"), collect_set(col("__rel")).as("files"))
-            .head() // [lint:bounded] one row: a count and a file-count-bounded set
-          (hit.getLong(0), hit.getSeq[String](1).sorted)
+          val upd = vScan.join(dataK, keys, "left_semi").count()
+          val del = tombKeys.fold(0L)(t =>
+            vScan.join(t, keys, "left_semi").count())
+          val ms = dataK.join(vScan.select(keys.map(col): _*), keys, "left_semi").count()
+          (upd, del, ms)
         }
-      // matched rows live only in victim files by construction, so the
-      // matched-source-key count scans just those
-      val matchedSrc =
-        if (victims.isEmpty) 0L
-        else srcK.join(
-          liveScan(spark, root, schema, partCols, victims, mapped)
-            .select(keys.map(col): _*), keys, "left_semi").count()
       val inserted = srcRows - matchedSrc
 
-      val survivors =
-        if (victims.isEmpty) None
-        else Some(liveScan(spark, root, schema, partCols, victims, mapped)
-          .join(srcK, keys, "left_anti")
+      if (victims.isEmpty && srcRows == 0L) return (0L, 0L, 0L)
+
+      val survivorSeq =
+        if (victims.isEmpty) Seq.empty // pure insert (unmatched tombstones no-op)
+        else Seq(vScan.join(allK, keys, "left_anti")
           .select(schema.fieldNames.map(col).toSeq: _*))
-      val newLogical = (survivors.toSeq :+
+      val newLogical = (survivorSeq :+
         src.select(schema.fieldNames.map(col).toSeq: _*)).reduce(_ unionByName _)
       // CHECK constraints + NOT NULL gate the merged rows (logical names)
       latestMetaNodeAny(spark, fs, tablePath).foreach { md =>
@@ -2622,12 +2658,16 @@ object DeltaWrite {
       val physParts = partCols.map(p =>
         if (mapped) DeltaScan.physicalName(schema(p)) else p)
       // change data feed: matched target rows (pre), their source
-      // replacements (post), and unmatched source rows (insert)
+      // replacements (post), unmatched source rows (insert), and
+      // tombstoned matches (delete)
       val cdcLines =
         if (!cdfEnabled(spark, fs, tablePath)) Seq.empty
+        else if (victims.isEmpty) // pure insert: every source row inserts
+          stageCdcFiles(spark, fs, root, schema, partCols,
+            src.select(schema.fieldNames.map(col).toSeq: _*)
+              .withColumn("_change_type", lit("insert")))
         else {
-          val vScan = liveScan(spark, root, schema, partCols, victims, mapped)
-          val matchedPre = vScan.join(srcK, keys, "left_semi")
+          val matchedPre = vScan.join(dataK, keys, "left_semi")
             .select(schema.fieldNames.map(col).toSeq: _*)
             .withColumn("_change_type", lit("update_preimage"))
           val vKeys = vScan.select(keys.map(col): _*)
@@ -2637,8 +2677,12 @@ object DeltaWrite {
           val ins = src.join(vKeys, keys, "left_anti")
             .select(schema.fieldNames.map(col).toSeq: _*)
             .withColumn("_change_type", lit("insert"))
+          val dels = tombKeys.map(t => vScan.join(t, keys, "left_semi")
+            .select(schema.fieldNames.map(col).toSeq: _*)
+            .withColumn("_change_type", lit("delete")))
           stageCdcFiles(spark, fs, root, schema, partCols,
-            matchedPre.unionByName(matchedPost).unionByName(ins))
+            dels.foldLeft(matchedPre.unionByName(matchedPost).unionByName(ins))(
+              _ unionByName _))
         }
       val added = writeStaged(fs, root, destPrefix = "") { staging =>
         // cluster by partition columns: files = touched partitions,
@@ -2656,8 +2700,40 @@ object DeltaWrite {
         scope = Some(CommitScope("MERGE", readV, victims.toSet,
           readsWholeTable = true, pred = scala.None)),
         extraActions = cdcLines)
-      (updated, inserted)
-    } finally src.unpersist()
+      (updated, inserted, deleted)
+    } finally { src.unpersist(); tombKeys.foreach(_.unpersist()) }
+  }
+
+  /** INCREMENTAL CHANGE APPLICATION (the medallion hop): read the
+    * SOURCE table's change feed past the last applied version and
+    * apply it to the TARGET in ONE [[mergeApply]] commit — upserts
+    * from the latest post-image/insert per key, deletes from delete
+    * rows, EXACTLY-ONCE via the txn ledger (`appId`): the applied
+    * range's end version rides the merge commit itself, and a
+    * re-delivered range is skipped, never double-applied. Returns
+    * (updated, inserted, deleted). */
+  def applyChanges(spark: SparkSession, sourceTable: String,
+      targetTable: String, keys: Seq[String],
+      appId: String, startVersion: Long = 0L): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions._
+    val latest = DeltaScan.latestVersion(spark, sourceTable)
+    val from = lastTxnVersion(spark, targetTable, appId)
+      .map(_ + 1L).getOrElse(startVersion)
+    if (latest < from) return (0L, 0L, 0L)
+    val ch = DeltaScan.readCdf(spark, sourceTable, from, latest)
+    // last effective change per key wins (preimages are bookkeeping;
+    // one DML per version means one effective row per key per version)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("_commit_version").desc)
+    val last = ch.filter(col("_change_type") =!= "update_preimage")
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val srcApply = last
+      .withColumn("__tombstone", col("_change_type") === "delete")
+      .drop("_change_type", "_commit_version")
+    if (srcApply.isEmpty) return (0L, 0L, 0L)
+    mergeApply(spark, targetTable, srcApply, keys, "__tombstone",
+      txn = Some((appId, latest)))
   }
 
   /** Z-ORDER cluster the table: rewrite the LIVE data files (per

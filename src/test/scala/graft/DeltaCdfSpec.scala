@@ -95,6 +95,43 @@ class DeltaCdfSpec extends SparkSpec {
     assert(DeltaScan.readCdf(spark, dir, 2, 2).count() == 5L)
   }
 
+  test("applyChanges: exactly-once medallion hop, upserts + deletes in one commit") {
+    val src = Files.createTempDirectory("graft_cdf_ac_s").toString + "/t"
+    val tgt = Files.createTempDirectory("graft_cdf_ac_t").toString + "/t"
+    DeltaWrite.create(spark, base0, src)
+    DeltaWrite.create(spark, base0, tgt) // replica starts in sync
+    DeltaWrite.enableChangeDataFeed(spark, src)
+
+    DeltaWrite.updateWhere(spark, src, col("id") <= 2L,
+      Seq("text" -> concat(lit("U:"), col("text"))))
+    DeltaWrite.deleteWhere(spark, src, col("id") === 9L)
+    import spark.implicits._
+    DeltaWrite.merge(spark, src,
+      Seq((2L, "g2", "m2"), (300L, "gY", "m300")).toDF("id", "grp", "text"),
+      Seq("id"))
+
+    // apply versions 2..4: id1 -> U:t1, id2 -> m2 (the LATER merge wins
+    // over the earlier update), id9 deleted, id300 inserted
+    val (u, i, d) = DeltaWrite.applyChanges(spark, src, tgt, Seq("id"), "rep1", startVersion = 2L)
+    assert((u, i, d) == ((2L, 1L, 1L)))
+    val got = DeltaScan.read(spark, tgt).select("id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "U:t1" && got(2L) == "m2" && got(300L) == "m300")
+    assert(!got.contains(9L) && got.size == 20)
+
+    // re-delivery is a no-op (txn ledger)
+    assert(DeltaWrite.applyChanges(spark, src, tgt, Seq("id"), "rep1") ==
+      ((0L, 0L, 0L)))
+    // the next increment picks up only the new versions
+    DeltaWrite.deleteWhere(spark, src, col("id") === 300L)
+    assert(DeltaWrite.applyChanges(spark, src, tgt, Seq("id"), "rep1") ==
+      ((0L, 0L, 1L)))
+    assert(DeltaScan.read(spark, tgt).count() == 19L)
+    // target state equals source state throughout
+    assert(DeltaScan.read(spark, tgt).select("id", "text").collect().toSet ==
+      DeltaScan.read(spark, src).select("id", "text").collect().toSet)
+  }
+
   test("clone of a CDF table keeps the property; compaction stays feed-silent") {
     val dir = Files.createTempDirectory("graft_cdf4").toString + "/t"
     DeltaWrite.create(spark, base0.repartition(4), dir)
