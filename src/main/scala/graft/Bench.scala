@@ -147,7 +147,7 @@ object Bench {
     // same-commit water-mark advance)
     "q_meta_agg", "q_meta_partcount", "q_delta_merge_evolve",
     "q_iceberg_merge_evolve", "q_delta_identity", "q_default_cols",
-    "q_delta_cdf_files")
+    "q_delta_cdf_files", "q_delta_cdc_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -210,7 +210,36 @@ object GraftExtensions {
     }),
     "read_wet" -> (args =>
       planOf(sources.WarcScan.readWet(
-        SparkSession.active, onePath(args, "read_wet")))))
+        SparkSession.active, onePath(args, "read_wet")))),
+    // the CHANGE DATA FEED as verbatim SQL:
+    // SELECT * FROM delta_cdf('path', 2, 4)
+    "delta_cdf" -> (args => {
+      val path = onePath(args, "delta_cdf")
+      val vers = args.collect {
+        case Literal(v, t) if t == org.apache.spark.sql.types.IntegerType ||
+            t == org.apache.spark.sql.types.LongType => v.toString.toLong
+      }
+      require(vers.size == 2,
+        "delta_cdf needs (path, fromVersion, toVersion) with integer versions")
+      planOf(sources.DeltaScan.readCdf(
+        SparkSession.active, path, vers(0), vers(1)))
+    }),
+    // metadata-only aggregates as one-row SQL:
+    // SELECT * FROM delta_meta_count('path')  -> (n_rows, metadata_only)
+    "delta_meta_count" -> (args => {
+      val m = sources.MetaAgg.countDelta(
+        SparkSession.active, onePath(args, "delta_meta_count"))
+      val s = SparkSession.active
+      import s.implicits._
+      planOf(Seq((m.value, m.metadataOnly)).toDF("n_rows", "metadata_only"))
+    }),
+    "iceberg_meta_count" -> (args => {
+      val m = sources.MetaAgg.countIceberg(
+        SparkSession.active, onePath(args, "iceberg_meta_count"))
+      val s = SparkSession.active
+      import s.implicits._
+      planOf(Seq((m.value, m.metadataOnly)).toDF("n_rows", "metadata_only"))
+    }))
 
   /** register all kernels + optimizer rules on an existing session */
   def register(spark: SparkSession): Unit = {

@@ -57,6 +57,19 @@ class ExtensibilitySpec extends SparkSpec {
     d.filter($"id" === 1L).write.mode("overwrite").parquet(s"$dir/p1")
     d.filter($"id" === 2L).write.mode("overwrite").parquet(s"$dir/p2")
     assert(ids(s"SELECT * FROM read_parquet(array('$dir/p1', '$dir/p2'))") == Set(1L, 2L))
+
+    // metadata-only aggregates + the change feed as verbatim SQL
+    val mc = spark.sql(s"SELECT * FROM delta_meta_count('$dir/delta')").head()
+    assert(mc.getLong(0) == 3L && mc.getBoolean(1))
+    val ic = spark.sql(s"SELECT * FROM iceberg_meta_count('$dir/ice')").head()
+    assert(ic.getLong(0) == 3L && ic.getBoolean(1))
+    graft.sources.DeltaWrite.create(spark, d, s"$dir/delta_cdf")
+    graft.sources.DeltaWrite.enableChangeDataFeed(spark, s"$dir/delta_cdf")
+    graft.sources.DeltaWrite.deleteWhere(spark, s"$dir/delta_cdf",
+      org.apache.spark.sql.functions.col("id") === 2L)
+    val cdf = spark.sql(
+      s"SELECT id, _change_type FROM delta_cdf('$dir/delta_cdf', 2, 2)").collect()
+    assert(cdf.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "delete")))
     // composes with scalar kernels and plain SQL
     val n = spark.sql(
       s"SELECT count(*) AS n FROM delta_scan('$dir/delta') WHERE length(v) = 1")
