@@ -42,7 +42,12 @@ object BenchSf1 {
     // upgrade conversion → DV delete with supersede) must stay linear
     // when victims span 10x the files — DV staging is one shuffle by
     // victim file + executor-side Puffin writes, never a driver fold
-    "q_iceberg_dv")
+    "q_iceberg_dv",
+    // round 10, extension: metadata-only aggregates must stay
+    // O(metadata) one order up (the ratio ~0 is the point); the CDF
+    // write + feed read and the medallion apply must scale with the
+    // CHANGED rows, not the table
+    "q_meta_agg", "q_delta_cdf_files", "q_delta_cdc_apply")
 
   private val Copies = 10
 
