@@ -161,7 +161,7 @@ object DeltaWrite {
         // GENERATED identity: assign fresh values above the water mark
         // and advance it in the SAME commit's re-declared metaData
         val (ddf0, parts) = deriveGenerated(md, dfd, partitionBy)
-        val (ddf, newHwm) = assignIdentity(spark, ddf0, f.name, start, step, hwm, allow)
+        val (ddf, newHwm, release) = assignIdentity(spark, ddf0, f.name, start, step, hwm, allow)
         validateAgainstMeta(md, ddf, parts)
         // only the water mark moves — every other metadata key (column
         // mapping ids, comments) carries verbatim
@@ -174,8 +174,9 @@ object DeltaWrite {
           .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
         val metaAction = metaDataJson(md.get, newSchema, declaredParts, configOf(md.get))
         val v = DeltaScan.latestVersion(spark, tablePath) + 1
-        commit(spark, fs, ddf, tablePath, parts, version = v,
+        try commit(spark, fs, ddf, tablePath, parts, version = v,
           metaOverride = Some(metaAction))
+        finally release()
       case Some((f, _, _, _, allow)) if !allow =>
         throw new IllegalArgumentException(
           s"identity column '${f.name}' is GENERATED ALWAYS — remove it from " +
@@ -218,22 +219,33 @@ object DeltaWrite {
     * then the indexed map; no global sort, no driver data) and stamp
     * the column's identity metadata with the advanced water mark.
     * Values are unique and strictly beyond the previous mark in step's
-    * direction; gaps ACROSS appends are protocol-legal. */
+    * direction; gaps ACROSS appends are protocol-legal.
+    *
+    * The input is MATERIALIZED (persisted RDD) before anything is
+    * counted: count(), zipWithIndex's internal count job and the
+    * eventual parquet write would otherwise each re-evaluate the
+    * plan, and a nondeterministic upstream (sample, limit, unordered
+    * shuffle) could hand each pass different rows — committing a
+    * high-water mark BELOW values actually written, so a later append
+    * would mint duplicates. Returned third element releases the cache;
+    * callers invoke it AFTER the commit (the output reads the cached
+    * partitions). */
   private def assignIdentity(spark: SparkSession, df: DataFrame, idCol: String,
       start: Long, step: Long, prevHwm: Option[Long],
-      allow: Boolean): (DataFrame, Long) = {
+      allow: Boolean): (DataFrame, Long, () => Unit) = {
     val base = prevHwm.map(h => Math.addExact(h, step)).getOrElse(start)
-    val n = df.count()
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = rdd.count()
     val newHwm =
       if (n == 0L) prevHwm.getOrElse(Math.subtractExact(start, step))
       else Math.addExact(base, Math.multiplyExact(step, n - 1))
     val field = StructField(idCol, LongType, nullable = false,
       metadata = identityMetadata(start, step, newHwm, allow))
     val out = spark.createDataFrame(
-      df.rdd.zipWithIndex().map { case (r, i) =>
+      rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (base + step * i)) },
       StructType(df.schema.fields :+ field))
-    (out, newHwm)
+    (out, newHwm, () => { rdd.unpersist(blocking = false); () })
   }
 
   /** CREATE with an IDENTITY column `idCol` (LongType) APPENDED to the
@@ -258,15 +270,17 @@ object DeltaWrite {
     require(!fs.exists(new Path(tablePath, "_delta_log")),
       s"Delta log already exists at $tablePath — use append")
     val (ddf0, parts) = withGenerated(df, partitionBy)
-    val (ddf, _) = assignIdentity(spark, ddf0, idCol, start, step,
+    val (ddf, _, release) = assignIdentity(spark, ddf0, idCol, start, step,
       prevHwm = scala.None, allow = allowExplicitInsert)
-    commit(spark, fs, ddf, tablePath, parts, version = 0L)
-    // identity is a writer-6 capability: list it (feature form, writer 7)
-    val root = fs.makeQualified(new Path(tablePath))
-    val pact = featureProtocolAction(
-      latestProtoNodeAny(spark, fs, tablePath), Seq("identityColumns"))
-    if (pact.nonEmpty)
-      writeCommitFile(fs, root, 1L, pact, operation = Some("UPGRADE PROTOCOL"))
+    // identity is a writer-6 capability: the feature protocol rides
+    // IN commit 0 — a separate upgrade commit would leave a window
+    // where the table carries delta.identity.* schema metadata
+    // without the feature gate, letting a non-identity-aware writer
+    // that wins commit 1 append without maintaining the water mark
+    val pact = featureProtocolAction(scala.None, Seq("identityColumns"))
+    try commit(spark, fs, ddf, tablePath, parts, version = 0L,
+      protocol0 = pact.headOption)
+    finally release()
   }
 
   /** APPEND WITH SCHEMA EVOLUTION (the mergeSchema contract): columns
@@ -1403,7 +1417,8 @@ object DeltaWrite {
       tablePath: String, partitionBy: Seq[String], version: Long,
       txn: Option[(String, Long)] = None,
       metaOverride: Option[String] = None,
-      metaNode: Option[com.fasterxml.jackson.databind.JsonNode] = None): Unit = {
+      metaNode: Option[com.fasterxml.jackson.databind.JsonNode] = None,
+      protocol0: Option[String] = None): Unit = {
     val root = fs.makeQualified(new Path(tablePath))
     // COLUMN-MAPPED tables store PHYSICAL column names in parquet (and
     // physical hive partition dirs); `df` arrives logical, validated
@@ -1492,7 +1507,8 @@ object DeltaWrite {
             s"""${jstr(DeltaTransforms.WriteTimezoneKey)}:${jstr("UTC")}"""
           else ""
         Seq(
-          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          protocol0.getOrElse(
+            """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""),
           s"""{"metaData":{"id":${jstr(java.util.UUID.randomUUID().toString)},""" +
             s""""format":{"provider":"parquet","options":{}},""" +
             s""""schemaString":${jstr(schemaJson)},""" +

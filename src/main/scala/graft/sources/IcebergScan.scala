@@ -260,7 +260,7 @@ object IcebergScan {
       schemaFields.map(n => n.get("id").asInt() -> schema(n.get("name").asText())).toMap
     val idByName: Map[String, Int] =
       schemaFields.map(n => n.get("name").asText() -> n.get("id").asInt()).toMap
-    val specCache = scala.collection.mutable.Map.empty[Int, Option[Seq[IcebergTransforms.PartField]]]
+    val specCache = scala.collection.mutable.Map.empty[Int, Option[Seq[(Int, IcebergTransforms.PartField)]]]
     Some { (specId: Int, sums: Seq[FieldSummary]) =>
       specCache.getOrElseUpdate(specId,
         partitionSpecFieldsById(meta, schema, specId)) match {
@@ -268,9 +268,11 @@ object IcebergScan {
         case Some(pfs) =>
           var lo = Map.empty[Int, Array[Byte]]
           var hi = Map.empty[Int, Array[Byte]]
-          pfs.zipWithIndex.foreach { case (pf, i) =>
-            if (i < sums.length) {
-              val s = sums(i)
+          // index summaries by ORIGINAL spec slot — void fields occupy
+          // a summary slot even though they carry no PartField
+          pfs.foreach { case (slot, pf) =>
+            if (slot < sums.length) {
+              val s = sums(slot)
               for {
                 lb <- s.lower; ub <- s.upper
                 lv <- typedPartValue(pf, lb); uv <- typedPartValue(pf, ub)
@@ -1007,10 +1009,11 @@ object IcebergScan {
       .getOrElse(Seq.empty)
   }
 
-  /** the registered spec `specId`'s fields, or None when unknown (a
-    * manifest under an unparseable spec is never pruned on) */
+  /** the registered spec `specId`'s fields paired with their original
+    * spec slot positions, or None when unknown (a manifest under an
+    * unparseable spec is never pruned on) */
   private def partitionSpecFieldsById(meta: JsonNode, schema: StructType,
-      specId: Int): Option[Seq[IcebergTransforms.PartField]] = {
+      specId: Int): Option[Seq[(Int, IcebergTransforms.PartField)]] = {
     val fromRegistry = Option(meta.get("partition-specs")).flatMap { specs =>
       specs.elements().asScala.find(_.get("spec-id").asInt() == specId)
         .map(_.get("fields"))
@@ -1024,7 +1027,7 @@ object IcebergScan {
         val nameById = currentSchema(meta).get("fields").elements().asScala
           .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
         scala.util.Try(
-          IcebergTransforms.fromSpecJson(n.toString, nameById, schema)).toOption
+          IcebergTransforms.fromSpecJsonIndexed(n.toString, nameById, schema)).toOption
       }
   }
 

@@ -123,11 +123,22 @@ object IcebergTransforms {
   /** parse the metadata JSON's spec fields back into [[PartField]]s
     * (`nameById` resolves source-id → schema field) */
   def fromSpecJson(specFieldsJson: String,
-      nameById: Map[Int, String], schema: StructType): Seq[PartField] = {
+      nameById: Map[Int, String], schema: StructType): Seq[PartField] =
+    fromSpecJsonIndexed(specFieldsJson, nameById, schema).map(_._2)
+
+  /** [[fromSpecJson]] keeping each field's ORIGINAL spec slot position
+    * — `void` fields (dropped v1 partitions) occupy a slot in the
+    * spec, the manifest partition record AND the manifest-list field
+    * summaries, so any positional pairing against those structures
+    * must index by the slot, not by the position in the void-filtered
+    * list (a foreign spec with a void slot before real fields would
+    * otherwise read the previous slot's summary as this field's). */
+  def fromSpecJsonIndexed(specFieldsJson: String,
+      nameById: Map[Int, String], schema: StructType): Seq[(Int, PartField)] = {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(specFieldsJson)
     val Param = """(bucket|truncate)\[(\d+)\]""".r
-    node.elements().asScala.toSeq.flatMap { f =>
+    node.elements().asScala.toSeq.zipWithIndex.flatMap { case (f, slot) =>
       val t = f.get("transform").asText()
       if (t == "void") scala.None
       else {
@@ -142,7 +153,7 @@ object IcebergTransforms {
             s"partition transform '$other' not supported by the built-in " +
               "Iceberg reader (identity/day/month/year/hour/bucket/truncate)")
         }
-        Some(PartField(f.get("name").asText(), fn, param, sf))
+        Some(slot -> PartField(f.get("name").asText(), fn, param, sf))
       }
     }
   }

@@ -161,12 +161,18 @@ object IcebergWrite {
             .map(n -> _)
         }.toMap
         if (wd.isEmpty) df
-        else df.select(declared.fieldNames.collect {
-          case n if df.columns.contains(n) => col(n)
-          case n if wd.contains(n) =>
-            org.apache.spark.sql.functions.expr(wd(n))
-              .cast(declared(n).dataType).as(n)
-        }.toSeq: _*)
+        else {
+          // keep caller columns NOT in the declared schema so the
+          // strict require below still rejects them loudly (dropping
+          // them here would silently discard the caller's data)
+          val extra = df.columns.filterNot(declared.fieldNames.contains)
+          df.select(declared.fieldNames.collect {
+            case n if df.columns.contains(n) => col(n)
+            case n if wd.contains(n) =>
+              org.apache.spark.sql.functions.expr(wd(n))
+                .cast(declared(n).dataType).as(n)
+          }.toSeq ++ extra.map(col): _*)
+        }
       }
     }
     require(
@@ -467,6 +473,18 @@ object IcebergWrite {
     /** [[partFields]] for a historical spec-id */
     def partFieldsFor(specId: Int): Seq[IcebergTransforms.PartField] =
       parseSpecFields(specFieldsJsonFor(specId))
+    /** historical spec fields with their ORIGINAL slot positions plus
+      * the total slot count (void slots included) — the manifest-list
+      * field-summary layout is positional over ALL spec slots */
+    def partFieldsIndexedFor(specId: Int): (Seq[(Int, IcebergTransforms.PartField)], Int) = {
+      val json = specFieldsJsonFor(specId)
+      val schemaNode = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(schemaJson)
+      val nameById = schemaNode.get("fields").elements().asScala
+        .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+      (IcebergTransforms.fromSpecJsonIndexed(json, nameById,
+        IcebergScan.sparkSchema(schemaNode)), specColNames(json).size)
+    }
     private def parseSpecFields(
         fieldsJson: String): Seq[IcebergTransforms.PartField] = {
       val schemaNode = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -2698,52 +2716,59 @@ object IcebergWrite {
     refs.map { m =>
       val withSums =
         if (m.content != 0 || m.partitions.isDefined) m
-        else m.copy(partitions = scala.util.Try(summarizeManifest(fs, conf,
-          new Path(root, m.path),
-          scala.util.Try(carry.partFieldsFor(m.specId)).getOrElse(Seq.empty)))
-          .toOption.flatten) // unsummarizable (foreign layout): no claim
+        else m.copy(partitions = scala.util.Try {
+          val (pfs, slots) = carry.partFieldsIndexedFor(m.specId)
+          summarizeManifest(fs, conf, new Path(root, m.path), pfs, slots)
+        }.toOption.flatten) // unsummarizable (foreign layout): no claim
       manifestRefRecord(withSums)
     }
 
   /** per-spec-field (contains_null, lower, upper) over a manifest's
     * LIVE entries' partition records — bounds in the spec's
     * single-value binary serialization; a field whose values fail to
-    * encode gets no bounds (conservative: never pruned on) */
+    * encode gets no bounds (conservative: never pruned on). Summaries
+    * are written at each field's ORIGINAL spec slot (`slots` total):
+    * void slots (dropped v1 partitions) get a conservative unbounded
+    * summary so a positional reader pairs every later field with its
+    * own slot instead of the previous one's. */
   private def summarizeManifest(fs: FileSystem,
       conf: org.apache.hadoop.conf.Configuration, manifestAbs: Path,
-      pfs: Seq[IcebergTransforms.PartField]): Option[Seq[IcebergScan.FieldSummary]] = {
+      pfs: Seq[(Int, IcebergTransforms.PartField)],
+      slots: Int): Option[Seq[IcebergScan.FieldSummary]] = {
     if (pfs.isEmpty) return scala.None
-    val types = pfs.map(_.recordField.dataType)
-    val containsNull = Array.fill(pfs.size)(false)
-    val loCmp = Array.fill[Option[(Any, Array[Byte])]](pfs.size)(scala.None)
-    val hiCmp = Array.fill[Option[(Any, Array[Byte])]](pfs.size)(scala.None)
-    val unknown = Array.fill(pfs.size)(false)
+    val containsNull = Array.fill(slots)(false)
+    val loCmp = Array.fill[Option[(Any, Array[Byte])]](slots)(scala.None)
+    val hiCmp = Array.fill[Option[(Any, Array[Byte])]](slots)(scala.None)
+    // void slots carry no PartField: permanently unknown (unbounded)
+    val unknown = Array.fill(slots)(true)
+    pfs.foreach { case (slot, _) => unknown(slot) = false }
     readAvro(fs, conf, manifestAbs).foreach { entry =>
       if (entry.get("status").toString.toInt != 2) {
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
         val part = Option(df.get("partition")).collect { case r: GenericRecord => r }
-        pfs.zipWithIndex.foreach { case (pf, i) =>
+        pfs.foreach { case (slot, pf) =>
+          val tpe = pf.recordField.dataType
           val v = part.flatMap(r => Option(r.getSchema.getField(pf.specName))
             .map(f => r.get(f.pos()))) match {
             case Some(u: org.apache.avro.util.Utf8) => Some(u.toString)
             case other => other
           }
           v match {
-            case scala.None => unknown(i) = true // no value recorded: unbounded
-            case Some(null) => containsNull(i) = true
+            case scala.None => unknown(slot) = true // no value recorded: unbounded
+            case Some(null) => containsNull(slot) = true
             case Some(value) =>
-              IcebergStats.encodeValue(types(i), value)
-                .flatMap(b => IcebergStats.decode(types(i), b).map(_ -> b)) match {
+              IcebergStats.encodeValue(tpe, value)
+                .flatMap(b => IcebergStats.decode(tpe, b).map(_ -> b)) match {
                 case Some((cmp, bytes)) =>
-                  if (loCmp(i).forall(c => cmpLt(cmp, c._1))) loCmp(i) = Some((cmp, bytes))
-                  if (hiCmp(i).forall(c => cmpLt(c._1, cmp))) hiCmp(i) = Some((cmp, bytes))
-                case scala.None => unknown(i) = true
+                  if (loCmp(slot).forall(c => cmpLt(cmp, c._1))) loCmp(slot) = Some((cmp, bytes))
+                  if (hiCmp(slot).forall(c => cmpLt(c._1, cmp))) hiCmp(slot) = Some((cmp, bytes))
+                case scala.None => unknown(slot) = true
               }
           }
         }
       }
     }
-    Some(pfs.indices.map { i =>
+    Some((0 until slots).map { i =>
       if (unknown(i)) IcebergScan.FieldSummary(containsNull = true, scala.None, scala.None)
       else IcebergScan.FieldSummary(containsNull(i),
         loCmp(i).map(_._2), hiCmp(i).map(_._2))

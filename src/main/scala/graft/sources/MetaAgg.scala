@@ -195,11 +195,19 @@ object MetaAgg {
 
   // ---- min / max -------------------------------------------------------
 
-  /** types whose recorded bounds are exact (never truncated) */
-  private def exactBoundType(dt: DataType): Boolean = dt match {
+  /** types whose recorded bounds are exact (never truncated).
+    * `timestampsExact = false` for Delta JSON stats: upstream
+    * delta-spark records timestamp min/max truncated to MILLISECONDS
+    * with the max rounded UP, so a foreign-written table's recorded
+    * max can sit ~1ms above the true value — trusting it would break
+    * the module's exact-or-fallback contract (same reason string
+    * bounds always fall back). Iceberg manifest bounds serialize the
+    * full micros long, so that path keeps the fast path. */
+  private def exactBoundType(dt: DataType,
+      timestampsExact: Boolean = true): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType |
-         FloatType | DoubleType | DateType |
-         TimestampType | TimestampNTZType => true
+         FloatType | DoubleType | DateType => true
+    case TimestampType | TimestampNTZType => timestampsExact
     case _ => false
   }
 
@@ -221,7 +229,8 @@ object MetaAgg {
     }
     // partition columns live in directory names, not stats; DVs may
     // have deleted the extreme row; strings may be truncated
-    if (!exactBoundType(field.dataType) || st.partCols.contains(column) ||
+    if (!exactBoundType(field.dataType, timestampsExact = false) ||
+        st.partCols.contains(column) ||
         st.files.exists(_.dv.isDefined)) return fallback
     val key = if (st.columnMapped) DeltaScan.physicalName(field) else column
     // per file: Some(None) = all-null (contributes nothing),

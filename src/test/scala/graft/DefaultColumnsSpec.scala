@@ -56,6 +56,16 @@ class DefaultColumnsSpec extends SparkSpec {
     assert(byId(100L) == (("mine", 1L)))
     assert(byId(200L) == (("legacy", 7L)))
     assert(IcebergScan.read(spark, dir).count() == 14)
+
+    // a default-filled append with an UNDECLARED extra column must
+    // still fail loudly — filling 'score' must not silently swallow
+    // the caller's 'bogus' data
+    val err = intercept[IllegalArgumentException] {
+      IcebergWrite.append(spark,
+        Seq((300L, "z", 9L)).toDF("id", "text", "bogus"), dir)
+    }
+    assert(err.getMessage.contains("does not match"))
+    assert(IcebergScan.read(spark, dir).count() == 14, "nothing committed")
   }
 
   test("Iceberg: defaults refuse below format-version 3") {

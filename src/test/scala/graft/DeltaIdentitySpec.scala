@@ -50,17 +50,39 @@ class DeltaIdentitySpec extends SparkSpec {
     }
   }
 
-  test("negative step descends; protocol upgrade lists identityColumns") {
+  test("negative step descends; commit 0 itself lists identityColumns") {
     val dir = Files.createTempDirectory("graft_id2").toString + "/t"
     DeltaWrite.createWithIdentity(spark, docs(1, 10), dir,
       "rid", start = 0L, step = -5L)
     val ids = idsOf(dir)
     assert(ids.min == -45L && ids.max == 0L && hwmOf(dir) == -45L)
+    // the feature gate is ATOMIC with the create: the identity schema
+    // metadata must never be visible without the protocol feature
+    val proto0 = Files.readAllLines(
+      java.nio.file.Paths.get(dir, "_delta_log", f"${0L}%020d.json"))
+    assert(proto0.toString.contains("identityColumns"))
     DeltaWrite.append(spark, docs(11, 12), dir)
     assert(idsOf(dir).min == -55L && hwmOf(dir) == -55L)
-    val proto = Files.readAllLines(
-      java.nio.file.Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
-    assert(proto.toString.contains("identityColumns"))
+  }
+
+  test("identity assignment is single-pass: nondeterministic upstream " +
+    "cannot out-run the committed high-water mark") {
+    val dir = Files.createTempDirectory("graft_id5").toString + "/t"
+    // a sampled (nondeterministic) upstream: if count/zipWithIndex/write
+    // re-evaluated the plan, row counts could diverge between the mark
+    // computation and the written values
+    val nondet = docs(1, 200).sample(withReplacement = false, 0.5, seed = 0L)
+      .repartition(4)
+    DeltaWrite.createWithIdentity(spark, nondet, dir, "rid")
+    val ids0 = idsOf(dir)
+    assert(ids0.distinct.size == ids0.size)
+    assert(hwmOf(dir) == ids0.max,
+      "committed mark must equal the max value actually written")
+    DeltaWrite.append(spark,
+      docs(300, 500).sample(withReplacement = false, 0.5, seed = 1L), dir)
+    val ids1 = idsOf(dir)
+    assert(ids1.distinct.size == ids1.size, "no duplicate identity values")
+    assert(hwmOf(dir) == ids1.max)
   }
 
   test("row-preserving DML keeps ids; value-fabricating DML refuses") {

@@ -104,4 +104,67 @@ class IcebergManifestPruneSpec extends SparkSpec {
       skippingFilter = Some(col("g") >= 50L))
     assert(r.count() == 21L)
   }
+
+  test("void spec slots: summaries pair by ORIGINAL slot, not filtered index") {
+    // a v1 spec whose dropped partition left a leading `void` slot —
+    // field summaries are positional over ALL spec slots, so pairing
+    // the real field with index 0 would read the void slot's summary
+    // as its own (foreign tables write bounds there; wrong pruning)
+    val dir = Files.createTempDirectory("graft_mprune5").toString + "/t"
+    import spark.implicits._
+    IcebergWrite.create(spark,
+      (1L to 20L).map(i => (i, i / 10, s"x$i")).toDF("id", "g", "v"), dir,
+      partitionBy = Seq("g"))
+    // doctor the current metadata: prepend a void slot to every spec
+    val hint = Paths.get(dir, "metadata", "version-hint.text")
+    val v = new String(Files.readAllBytes(hint)).trim.toInt
+    val metaPath = Paths.get(dir, "metadata", s"v$v.metadata.json")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(Files.readAllBytes(metaPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val voidField = om.readTree(
+      """{"name":"dead_col","transform":"void","source-id":1,"field-id":999}""")
+    Seq(Option(root.get("partition-spec")),
+        Option(root.get("partition-specs")).map(_.elements().next().get("fields")))
+      .flatten.foreach { n =>
+        val arr = n.asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+        arr.insert(0, voidField)
+      }
+    Files.write(metaPath, om.writeValueAsBytes(root))
+    // the local FS keeps a checksum sidecar; a doctored file must drop it
+    Files.deleteIfExists(
+      metaPath.resolveSibling("." + metaPath.getFileName + ".crc"))
+    // appends under the doctored spec summarize their manifests with
+    // slot-indexed summaries (slot 0 = the void slot, unbounded)
+    val before = manifestsOf(dir)
+    IcebergWrite.append(spark,
+      (1000L to 1020L).map(i => (i, i / 10, s"x$i")).toDF("id", "g", "v"), dir)
+    val mNew = manifestsOf(dir).filterNot(before.contains)
+    IcebergWrite.append(spark,
+      (2000L to 2009L).map(i => (i, i / 10, s"x$i")).toDF("id", "g", "v"), dir)
+    assert(mNew.size == 1)
+    // the g∈[100,102] manifest is ruled out by g >= 150 — delete it:
+    // only correct slot pairing lets the planner skip it
+    Files.delete(Paths.get(mNew.head))
+    val r = IcebergScan.read(spark, dir,
+      skippingFilter = Some(col("g") >= 150L))
+    assert(r.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == (2000L to 2009L))
+  }
+
+  test("fromSpecJsonIndexed keeps original slot positions across void fields") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))
+    val specJson =
+      """[{"name":"dead","transform":"void","source-id":1,"field-id":1000},
+         |{"name":"a","transform":"identity","source-id":1,"field-id":1001},
+         |{"name":"b_bucket","transform":"bucket[4]","source-id":2,"field-id":1002}]"""
+        .stripMargin
+    val indexed = graft.sources.IcebergTransforms.fromSpecJsonIndexed(
+      specJson, Map(1 -> "a", 2 -> "b"), schema)
+    assert(indexed.map(_._1) == Seq(1, 2),
+      "void slot 0 is skipped but later fields keep slots 1 and 2")
+    assert(indexed.map(_._2.specName) == Seq("a", "b_bucket"))
+  }
 }

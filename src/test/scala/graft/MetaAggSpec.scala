@@ -31,13 +31,21 @@ class MetaAggSpec extends SparkSpec {
     val c0 = MetaAgg.countDelta(spark, dir)
     assert(c0 == MetaAgg.Meta(100L, true))
 
-    for (c <- Seq("id", "ts", "d", "x")) {
+    for (c <- Seq("id", "d", "x")) {
       val m = MetaAgg.minMaxDelta(spark, dir, c)
       assert(m.metadataOnly, s"$c should answer from metadata")
       val r = graft.sources.DeltaScan.read(spark, dir)
         .agg(min(col(c)), max(col(c))).head()
       assert(m.value == ((r.get(0), r.get(1))), s"$c min/max")
     }
+    // Delta JSON stats may carry ms-truncated timestamps (delta-spark
+    // rounds the max UP) — exact-or-fallback means fall back, value
+    // still exact (Iceberg's binary micros bounds keep the fast path)
+    val tsm = MetaAgg.minMaxDelta(spark, dir, "ts")
+    assert(!tsm.metadataOnly)
+    val tsr = graft.sources.DeltaScan.read(spark, dir)
+      .agg(min(col("ts")), max(col("ts"))).head()
+    assert(tsm.value == ((tsr.get(0), tsr.get(1))))
     // all-null column: provably (null, null) from nullCount == numRecords
     assert(MetaAgg.minMaxDelta(spark, dir, "allnull") ==
       MetaAgg.Meta((null, null), true))
