@@ -172,17 +172,37 @@ object BenchSf1 {
       catch { case _: Throwable => () }
     }
 
+    // min-of-`reps` SUITE-MAJOR passes per scale + the stall probe +
+    // host calibration, exactly like graft.Bench: the committed ratio
+    // must demonstrate the scaling claim, not a host stall phase
+    // (round-10's q_dedup_semantic record was stall-inflated and the
+    // artifact could not say so)
+    Bench.startStallProbe()
+    val calStart = Bench.calibrationKernel()
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def minTimes(dir: String): Map[String, Double] = {
+      val acc = scala.collection.mutable.Map.empty[String, Double]
+      (1 to reps).foreach { _ =>
+        top.foreach { name =>
+          val t = timeOne(spark, name, dir)
+          acc(name) = math.min(t, acc.getOrElse(name, Double.MaxValue))
+        }
+      }
+      acc.toMap
+    }
+    val t01m = minTimes(sf01)
+    val t1m = minTimes(sf1)
     val rows = top.map { name =>
-      val t01 = timeOne(spark, name, sf01)
+      val t01 = t01m(name); val t1 = t1m(name)
       val lint = try graft.tools.PlanLint.lint(SparkEntry.queries(name)(spark, sf1))
         .map(f => s"${f.rule}@${f.node}") catch { case _: Throwable => Seq.empty[String] }
-      val t1 = timeOne(spark, name, sf1)
       val ratio = t1 / (Copies * t01)
       System.err.println(f"[bench-sf1] $name%-22s sf0.1=$t01%6.2fs sf1=$t1%7.2fs " +
         f"per-row-ratio=$ratio%5.2f${if (ratio > 2.0) "  AUDIT" else ""}" +
         (if (lint.nonEmpty) s"  lint=${lint.mkString(";")}" else ""))
       (name, t01, t1, ratio, lint)
     }
+    val calSec = math.min(calStart, Bench.calibrationKernel())
 
     // transform pruning must hold at sf1 — loud require + recorded ratio
     val (skipAll, skipDay) = transformSkipProbe(spark, sf1)
@@ -196,6 +216,8 @@ object BenchSf1 {
       }.mkString("{", ",", "}")
     val line =
       f"""{"metric":"sf1_total","value":${rows.map(_._3).sum}%.3f,"unit":"sec","copies":$Copies,""" +
+        f""""reps":$reps,"stalls":${Bench.stallCount.get()},""" +
+        f""""stall_sec":${Bench.stallNanos.get() / 1e9}%.1f,"cal_sec":$calSec%.3f,""" +
         f""""transform_skip":{"files":$skipAll,"planned_one_day":$skipDay},"queries":${j(rows)}}"""
     try {
       val w = new java.io.PrintWriter(new java.io.File("BENCH_SF1.json"), "UTF-8")

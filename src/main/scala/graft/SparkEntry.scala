@@ -4079,19 +4079,38 @@ object SparkEntry {
 
   /** CTE chain ending in `pairs` = banded sign-LSH embedding near-dup
     * pairs (id_a, id_b, sim) — shared by the pair gate and the
-    * semantic-dedup gate. */
+    * semantic-dedup gate. Mirrors the SECOND-LEVEL BAND SPLIT
+    * (Similarity.embeddingNearDupPairs pairCapPerBucket): a band
+    * bucket over the cap is split by k extra signature bits from the
+    * other bands, k = the integer-exact smallest split bringing the
+    * bucket under the cap — the same CASE-chain bounds
+    * (Similarity.capBound), so Spark and DuckDB agree at ANY scale,
+    * not just below the cap. */
   private def embedPairCtes(threshold: Double): String = {
     val bands = 4; val ppb = gateLsh.numPlanes / bands
     val mask = (1L << ppb) - 1
+    val cap = 512L; val maxExtra = gateLsh.numPlanes - ppb
+    val kCase = (0 until maxExtra).map(k =>
+      s"WHEN cnt <= ${Similarity.capBound(cap, k)} THEN $k")
+      .mkString("CASE ", " ", s" ELSE $maxExtra END")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |idx AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM e),
        |bands AS (
-       |  SELECT vec_id, bb AS band_id, (bucket >> (bb * $ppb)) & $mask AS bkey
+       |  SELECT vec_id, bb AS band_id, (bucket >> (bb * $ppb)) & $mask AS bkey,
+       |    ((bucket >> ((bb + 1) * $ppb)) << (bb * $ppb)) | (bucket & ((CAST(1 AS BIGINT) << (bb * $ppb)) - 1)) AS others
        |  FROM idx, (SELECT unnest(range(0, $bands)) AS bb)
+       |), cnts AS (
+       |  SELECT band_id, bkey, $kCase AS k
+       |  FROM (SELECT band_id, bkey, count(*) AS cnt FROM bands GROUP BY 1, 2)
+       |), bands2 AS (
+       |  SELECT b.vec_id, b.band_id, b.bkey,
+       |    b.others & ((CAST(1 AS BIGINT) << c.k) - 1) AS sub
+       |  FROM bands b JOIN cnts c ON b.band_id = c.band_id AND b.bkey = c.bkey
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+       |  FROM bands2 a JOIN bands2 b
+       |    ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.sub = b.sub
+       |      AND a.vec_id < b.vec_id
        |), pairs AS (
        |  SELECT * FROM (
        |    SELECT id_a, id_b,

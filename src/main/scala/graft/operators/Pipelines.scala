@@ -183,10 +183,12 @@ object Pipelines {
       localEdgeLimit: Long = 2000000L,
       repPolicy: RepPolicy = RepPolicy.MinId,
       saltBuckets: Int = 0, // 0 = auto-detect band skew (ScaleOps.autoSaltBuckets)
-      autoSaltThreshold: Long = 4096L): DataFrame = {
+      autoSaltThreshold: Long = 4096L,
+      pairCapPerBucket: Long = 512L): DataFrame = {
     val pairs = Similarity.embeddingNearDupPairs(
       docs, idCol, embCol, threshold, lsh, bands, materialize,
-      saltBuckets = saltBuckets, autoSaltThreshold = autoSaltThreshold)
+      saltBuckets = saltBuckets, autoSaltThreshold = autoSaltThreshold,
+      pairCapPerBucket = pairCapPerBucket)
     val clusters = Dedup.dupClustersClosure(pairs, localEdgeLimit = localEdgeLimit)
     pairs.unpersist()
     val dropped = repPolicy match {

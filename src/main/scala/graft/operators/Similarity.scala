@@ -372,6 +372,14 @@ object Similarity {
       .limit(k)
   }
 
+  /** cap · 2^k, saturating at Long.MaxValue (the CASE-chain bounds of
+    * the second-level band split — must match any external mirror
+    * bit-for-bit, so integer shifts only, no floating point) */
+  def capBound(cap: Long, k: Int): Long = {
+    val shifted = cap << k
+    if ((shifted >> k) != cap || shifted < 0L) Long.MaxValue else shifted
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket join (docs in the
     * same bucket) then exact cosine verify — same
     * signature/bucket/verify shape as Dedup.minHashDupPairs. */
@@ -384,8 +392,11 @@ object Similarity {
       bands: Int = 1,
       materialize: Dedup.Materialize = Dedup.Materialize.Cache,
       saltBuckets: Int = 1,
-      autoSaltThreshold: Long = 4096L): DataFrame = {
+      autoSaltThreshold: Long = 4096L,
+      pairCapPerBucket: Long = 512L): DataFrame = {
     require(saltBuckets >= 0, s"saltBuckets must be >= 0 (0 = auto), got $saltBuckets")
+    require(pairCapPerBucket >= 1,
+      s"pairCapPerBucket must be >= 1, got $pairCapPerBucket")
     // Banded sign-LSH (same pigeonhole shape as MinHash banding): split
     // the hyperplanes into `bands` groups; two docs become a candidate
     // pair when ALL sign bits of at least one band agree. More bands →
@@ -399,32 +410,69 @@ object Similarity {
     val (indexed, release) = Dedup.materialized(based, materialize, "id")
     val planesPerBand = lsh.numPlanes / bands
     val bandMask = (1L << planesPerBand) - 1
+    // SECOND-LEVEL BAND SPLIT (the quadratic cap): a band bucket of m
+    // members emits m² candidate pairs — salting spreads the work but
+    // cannot cap it, so a near-dup-dense corpus (template documents,
+    // near-zero embeddings) goes quadratic with corpus size. Past
+    // `pairCapPerBucket` members, a bucket is split by k additional
+    // sign bits drawn from the OTHER bands' planes (k = just enough to
+    // bring the expected sub-bucket under the cap), so per-bucket pair
+    // emission is bounded by ~cap·m instead of m². Dense buckets are
+    // exactly where extra signature agreement is cheapest: true
+    // near-dups agree on most planes, while the unrelated bulk of an
+    // over-full bucket is what the extra bits shear away. Recall for
+    // BORDERLINE pairs in dense buckets drops (adaptive precision —
+    // the band OR still gives them `bands` chances); the cap is a
+    // scale-safety contract, sized so sub-bucket pair work stays
+    // bounded as the corpus grows.
+    val maxExtra = lsh.numPlanes - planesPerBand
     val bandArr = array((0 until bands).map { b =>
+      // the signature bits OUTSIDE band b, packed: (high bits << b·ppb) | low bits
+      val high = shiftright(col("bucket"), (b + 1) * planesPerBand)
+      val low =
+        if (b == 0) lit(0L)
+        else col("bucket").bitwiseAND(lit((1L << (b * planesPerBand)) - 1))
       struct(lit(b).as("band_id"),
-        shiftright(col("bucket"), b * planesPerBand).bitwiseAND(bandMask).as("bkey"))
+        shiftright(col("bucket"), b * planesPerBand).bitwiseAND(bandMask).as("bkey"),
+        shiftleft(high, b * planesPerBand).bitwiseOR(low).as("others"))
     }: _*)
-    val banded = indexed.withColumn("__b", explode(bandArr))
-      .select(col("id"), col("__b.band_id").as("band_id"), col("__b.bkey").as("bkey"))
+    val banded0 = indexed.withColumn("__b", explode(bandArr))
+      .select(col("id"), col("__b.band_id").as("band_id"),
+        col("__b.bkey").as("bkey"), col("__b.others").as("others"))
+    // one aggregation pass sizes every bucket (map-side combine: the
+    // shuffle is #distinct-buckets rows, never corpus-sized); k is the
+    // integer-exact smallest split bringing cnt under the cap
+    val kCol = {
+      val first = when(col("count") <= lit(pairCapPerBucket), lit(0))
+      (1 until maxExtra).foldLeft(first) { (acc, k) =>
+        acc.when(col("count") <= lit(capBound(pairCapPerBucket, k)), lit(k))
+      }.otherwise(lit(maxExtra))
+    }
+    val counts = banded0.groupBy("band_id", "bkey").count()
+      .withColumn("__k", kCol)
+    val banded = banded0
+      .join(counts.select("band_id", "bkey", "__k"), Seq("band_id", "bkey"))
+      .withColumn("sub", col("others").bitwiseAND(
+        (pow(lit(2.0), col("__k")) - lit(1.0)).cast("long")))
+      .select("id", "band_id", "bkey", "sub")
     // candidate ids only through the band self-join; pairs distinct
     // BEFORE re-fetching embedding payloads (a pair colliding in k bands
     // would otherwise pay k cosine evaluations and drag the vectors
-    // through the wide stage). saltBuckets splits hot (band_id, bkey)
-    // keys — sign-LSH concentrates near-zero embeddings and template
-    // documents onto few buckets the same way MinHash bands do — across
+    // through the wide stage). saltBuckets splits hot (band_id, bkey,
+    // sub) keys — even capped sub-buckets can sit on few tasks — across
     // that many tasks (0 = histogram-probe the banded frame first; the
     // probe reads the materialized index, not the raw corpus).
+    val joinKeys = Seq("band_id", "bkey", "sub")
     val resolvedSalt =
       if (saltBuckets == 0)
-        ScaleOps.autoSaltBucketsKeys(
-          banded, Seq("band_id", "bkey"), autoSaltThreshold)
+        ScaleOps.autoSaltBucketsKeys(banded, joinKeys, autoSaltThreshold)
       else saltBuckets
-    val l = banded.select(col("band_id"), col("bkey"), col("id").as("id_a"))
-    val r = banded.select(col("band_id"), col("bkey"), col("id").as("id_b"))
+    val l = banded.select(col("band_id"), col("bkey"), col("sub"), col("id").as("id_a"))
+    val r = banded.select(col("band_id"), col("bkey"), col("sub"), col("id").as("id_b"))
     val joined =
-      if (resolvedSalt <= 1) l.join(r, Seq("band_id", "bkey"))
+      if (resolvedSalt <= 1) l.join(r, joinKeys)
       else {
-        val (sl, sr, keys) = ScaleOps.saltedForJoinKeys(
-          l, r, Seq("band_id", "bkey"), resolvedSalt)
+        val (sl, sr, keys) = ScaleOps.saltedForJoinKeys(l, r, joinKeys, resolvedSalt)
         sl.join(sr, keys)
       }
     val cand = joined

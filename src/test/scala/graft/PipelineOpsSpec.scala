@@ -335,6 +335,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!got.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("pairCapPerBucket splits dense buckets; identical signatures always survive") {
+    // 40 vectors in the same direction (identical 12-bit signature —
+    // one maximally dense bucket per band) + noise directions
+    val base = Seq.tabulate(8)(i => i.toFloat + 1f)
+    val rnd = new scala.util.Random(7)
+    val dense = (1L to 40L).map(i =>
+      (i, base.map(x => x * (1f + i * 1e-4f))))
+    val noise = (100L to 120L).map(i =>
+      (i, Seq.fill(8)(rnd.nextFloat() - 0.5f)))
+    val d = (dense ++ noise).toDF("vec_id", "embedding")
+    val lsh = Similarity.RandomHyperplaneLsh(dim = 8, numPlanes = 12)
+    def pairsWith(cap: Long) = Similarity.embeddingNearDupPairs(
+        d, "vec_id", "embedding", 0.99, lsh, bands = 4,
+        materialize = Dedup.Materialize.None, pairCapPerBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = pairsWith(Long.MaxValue >> 10)
+    val capped = pairsWith(4L) // every dense bucket far over the cap
+    // the cap only removes candidates, never invents them
+    assert(capped.subsetOf(uncapped))
+    // the sub-key is carved from the FULL signature, so a pair whose
+    // entire signature agrees shares every sub-bucket at any k —
+    // exact/near-exact duplicates are immune to the cap
+    val densePairs = for (a <- 1L to 40L; b <- (a + 1) to 40L) yield (a, b)
+    assert(densePairs.forall(capped.contains),
+      "identical-signature near-dups must survive the second-level split")
+    // capBound saturates instead of overflowing
+    assert(Similarity.capBound(Long.MaxValue / 2, 3) == Long.MaxValue)
+    assert(Similarity.capBound(512L, 3) == 4096L)
+  }
+
   test("semanticDedup keeps one representative per embedding cluster") {
     val base = Seq.tabulate(8)(i => i.toFloat + 1f)
     val other = Seq.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)
