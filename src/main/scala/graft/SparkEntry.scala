@@ -2634,6 +2634,38 @@ object SparkEntry {
         .orderBy("custkey")
     }),
 
+    // STATS-DRIVEN JOIN PLANNING (CBO): the join strategy is picked
+    // from manifest live bytes/rows + ANALYZE NDV — planning state
+    // Catalyst cannot see through the opaque scan unions. Customer is
+    // small by live bytes → the planner must choose broadcast-right
+    // (asserted loudly); a semi probe with a low-NDV right side takes
+    // the NDV×width distinct-broadcast path (CboJoinSpec plan-asserts
+    // both). The values are an ordinary join, SQL-oracled.
+    "q_join_cbo" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_cbo_gate").toString
+      val orders = t(s, dir, "orders").df
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          col("o_totalprice"))
+      val cust = t(s, dir, "customer").df
+        .select(col("c_custkey"), col("c_name"))
+      graft.sources.IcebergWrite.create(s, orders, s"$base/o")
+      graft.sources.IcebergWrite.create(s, cust, s"$base/c")
+      graft.sources.IcebergNdv.analyze(s, s"$base/o", Seq("custkey"))
+      graft.sources.IcebergNdv.analyze(s, s"$base/c", Seq("c_custkey"))
+      val (df, d) = graft.sources.CboJoin.plan(s, s"$base/o", s"$base/c",
+        Seq("custkey" -> "c_custkey"))
+      require(d.strategy == "broadcast-right",
+        s"CBO expected broadcast-right for the small dim, got " +
+          s"${d.strategy} (${d.reason})")
+      require(d.outRowsEst.nonEmpty,
+        "both sides are ANALYZEd — the cardinality estimate must exist")
+      df.groupBy("custkey", "c_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("custkey", "c_name")
+    }),
+
     // STORAGE-PARTITIONED AGGREGATION: the same bucket(8, custkey)
     // layout makes groupBy(custkey) shuffle-free — every key lives in
     // exactly one bucket, so a union of per-bucket COMPLETE aggregates
@@ -5724,6 +5756,17 @@ object SparkEntry {
         |WHERE o.o_orderkey % 5 <> 0
         |GROUP BY o.o_custkey, c.c_name
         |ORDER BY custkey""".stripMargin,
+
+    // the CBO-planned join computes plain join-then-aggregate
+    // semantics — the strategy choice is plan-level, value-invisible
+    "q_join_cbo" ->
+      """SELECT o.o_custkey AS custkey, c.c_name,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY o.o_custkey, c.c_name
+        |ORDER BY custkey, c_name""".stripMargin,
 
     // the storage-partitioned aggregate computes plain GROUP BY
     // semantics over the delete-filtered table — ordinary SQL oracle
