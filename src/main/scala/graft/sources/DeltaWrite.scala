@@ -592,6 +592,28 @@ object DeltaWrite {
     latestMetaNodeAny(spark, fs, tablePath).exists(md =>
       configOf(md).get(CdfKey).contains("true"))
 
+  /** ALTER TABLE SET TBLPROPERTIES: re-declare the metaData with the
+    * merged configuration (schema/partitioning verbatim). Protocol-
+    * gated properties have dedicated entry points with their feature
+    * upgrades ([[enableChangeDataFeed]], [[enableRowTracking]], …);
+    * this is for plain behavior knobs like `delta.checkpointInterval`. */
+  def setProperties(spark: SparkSession, tablePath: String,
+      props: Map[String, String]): Unit = {
+    require(props.nonEmpty, "no properties to set")
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(tablePath))
+    val md = latestMetaNodeAny(spark, fs, tablePath).getOrElse(
+      throw new IllegalStateException(s"no metaData at $tablePath"))
+    val declared = DataType.fromJson(md.get("schemaString").asText())
+      .asInstanceOf[StructType]
+    val partCols = Option(md.get("partitionColumns"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    val v = DeltaScan.latestVersion(spark, tablePath) + 1
+    writeCommitFile(fs, root, v,
+      Seq(metaDataJson(md, declared, partCols, configOf(md) ++ props)),
+      operation = Some("SET TBLPROPERTIES"))
+  }
+
   /** ENABLE THE CHANGE DATA FEED (table property
     * `delta.enableChangeDataFeed`, writer feature `changeDataFeed`):
     * from this commit on, every row-changing DML (update/delete/merge)
@@ -1536,6 +1558,7 @@ object DeltaWrite {
           s"concurrent Delta commit detected: $commitFile already exists — " +
             "another writer committed this version; re-read the table and retry", e)
     }
+    maybeAutoCheckpoint(spark, fs, root, version)
   }
 
   /** full-history replay → per path: (latest action is add?, version,
@@ -3095,6 +3118,46 @@ object DeltaWrite {
 
   /** shared conditional-commit write (create with overwrite=false is
     * the atomic guard) */
+  /** suppresses the auto-checkpoint while a checkpoint itself is being
+    * written (its v2 protocol-upgrade commit must not recurse) */
+  private val inCheckpoint = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  /** AUTO-CHECKPOINT (protocol behavior `delta.checkpointInterval`,
+    * default 10): after a successful commit at a version divisible by
+    * the interval, write a checkpoint so a high-churn table (a CDC
+    * medallion applying thousands of commits) never makes readers
+    * replay O(commits) JSON — every reader pays at most one checkpoint
+    * plus `interval` tail commits. Runs AFTER the commit is durable:
+    * a checkpoint failure logs and proceeds (the commit itself must
+    * never be failed retroactively), and the next interval boundary
+    * retries incrementally. `delta.checkpointInterval = 0` disables.
+    * The layout follows the table: v2 (UUID + sidecars) only when the
+    * protocol already carries the v2Checkpoint feature — the auto path
+    * never upgrades a protocol on its own. */
+  private def maybeAutoCheckpoint(spark: SparkSession, fs: FileSystem,
+      root: Path, version: Long): Unit = {
+    if (version <= 0L || inCheckpoint.get()) return
+    try {
+      val interval = latestMetaNodeAny(spark, fs, root.toString)
+        .flatMap(md => configOf(md).get("delta.checkpointInterval"))
+        .map(_.trim.toInt).getOrElse(10)
+      if (interval <= 0 || version % interval != 0L) return
+      val v2 = latestProtoNodeAny(spark, fs, root.toString).exists(p =>
+        Option(p.get("writerFeatures")).exists(_.elements().asScala
+          .exists(_.asText() == "v2Checkpoint")))
+      inCheckpoint.set(true)
+      try checkpointImpl(spark, root.toString, v2 = v2)
+      finally inCheckpoint.set(false)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"auto-checkpoint at version $version of $root failed " +
+            "(commit is durable; the next interval retries)", e)
+    }
+  }
+
   private def writeCommitFile(fs: FileSystem, root: Path, version: Long,
       actions0: Seq[String], operation: Option[String] = scala.None): Unit = {
     // row-tracked tables: adds get baseRowId/defaultRowCommitVersion +
@@ -3117,6 +3180,7 @@ object DeltaWrite {
           s"concurrent Delta commit detected: $commitFile already exists — " +
             "another writer committed this version; re-read the table and retry", e)
     }
+    maybeAutoCheckpoint(SparkSession.active, fs, root, version)
   }
 
   /** all data files under the table root, as (relative path, size),

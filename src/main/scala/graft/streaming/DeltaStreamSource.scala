@@ -63,18 +63,24 @@ import graft.sources.{DeletionVectors, DeltaScan}
   * `Trigger.AvailableNow` is supported natively: the end version is
   * pinned at query start and drained in capped batches. */
 class DeltaStreamProvider extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    DeltaStreamSource.tableSchema(DeltaStreamSource.pathOf(options))._1
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = DeltaStreamSource.tableSchema(DeltaStreamSource.pathOf(options))._1
+    if (DeltaStreamSource.cdfOf(options)) DeltaStreamSource.cdfSchema(base)
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new DeltaStreamTable(schema,
-      DeltaStreamSource.pathOf(new CaseInsensitiveStringMap(properties)))
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new DeltaStreamTable(schema, DeltaStreamSource.pathOf(opts),
+      DeltaStreamSource.cdfOf(opts))
+  }
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
-private[streaming] class DeltaStreamTable(schema: StructType, path: String)
+private[streaming] class DeltaStreamTable(
+    schema: StructType, path: String, cdf: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"graft-delta-stream(`$path`)"
   override def schema(): StructType = schema
@@ -88,7 +94,8 @@ private[streaming] class DeltaStreamTable(schema: StructType, path: String)
           new DeltaMicroBatchStream(path, schema,
             Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L),
             Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-            Option(options.get("maxBytesPerTrigger")).map(_.toLong))
+            Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+            cdf)
       }
     }
 }
@@ -104,7 +111,8 @@ private[streaming] case class DeltaStreamOffset(version: Long, index: Long)
 
 private[streaming] class DeltaMicroBatchStream(
     path: String, schema: StructType, startingVersion: Long,
-    maxFilesPerTrigger: Option[Int], maxBytesPerTrigger: Option[Long])
+    maxFilesPerTrigger: Option[Int], maxBytesPerTrigger: Option[Long],
+    cdf: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
@@ -138,35 +146,60 @@ private[streaming] class DeltaMicroBatchStream(
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val adds = IndexedSeq.newBuilder[DeltaAddFile]
-    lines.map(mapper.readTree).foreach { node =>
-      if (node.has("add")) {
-        val add = node.get("add")
-        val dataChange = Option(add.get("dataChange")).forall(_.asBoolean(true))
-        val dv = add.get("deletionVector")
-        require(dv == null || dv.isNull,
-          s"commit $v of $path re-adds a file with a deletion vector — " +
-            "an append-only stream cannot retract already-emitted rows; " +
-            "use the batch reader for DV tables")
-        if (dataChange) {
-          val decoded = graft.sources.DeltaScan.percentDecode(add.get("path").asText())
-          val pv: Map[String, String] =
-            Option(add.get("partitionValues")).map(_.fields().asScala.map(e =>
-              e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
-              .getOrElse(Map.empty)
-          adds += DeltaAddFile(new Path(root, decoded).toString, pv,
-            Option(add.get("size")).map(_.asLong()).getOrElse(0L))
-        }
-      } else if (node.has("remove")) {
-        val rm = node.get("remove")
-        val dataChange = Option(rm.get("dataChange")).forall(_.asBoolean(true))
-        require(!dataChange,
-          s"commit $v of $path removes data (delete/update/merge/restore) — " +
-            "an append-only stream cannot retract already-emitted rows; " +
-            "re-derive downstream state from the batch reader instead")
-      }
+    val nodes = lines.map(mapper.readTree)
+    def pvOf(n: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+      Option(n.get("partitionValues")).map(_.fields().asScala.map(e =>
+        e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+        .getOrElse(Map.empty)
+    def fileOf(n: com.fasterxml.jackson.databind.JsonNode,
+        isCdc: Boolean): DeltaAddFile = {
+      val decoded = graft.sources.DeltaScan.percentDecode(n.get("path").asText())
+      DeltaAddFile(new Path(root, decoded).toString, pvOf(n),
+        Option(n.get("size")).map(_.asLong()).getOrElse(0L), isCdc)
     }
-    val r = adds.result()
+    // CDF MODE (readChangeFeed): same per-version file rule as the
+    // batch change feed ([[graft.sources.DeltaScan.readCdf]]) — a
+    // commit carrying `cdc` actions serves EXACTLY those change files
+    // (its adds/removes describe the post-image layout, not the
+    // changes); an insert-only commit's dataChange adds ARE the
+    // inserts; a data-changing remove without cdc stays LOUD (the
+    // deleted rows are not reconstructible — the table predates
+    // enableChangeDataFeed or a non-CDF writer ran DML).
+    val cdcs = if (cdf) nodes.filter(_.has("cdc")).map(_.get("cdc")) else Nil
+    val r: IndexedSeq[DeltaAddFile] =
+      if (cdcs.nonEmpty) cdcs.map(fileOf(_, isCdc = true)).toIndexedSeq
+      else {
+        val adds = IndexedSeq.newBuilder[DeltaAddFile]
+        nodes.foreach { node =>
+          if (node.has("add")) {
+            val add = node.get("add")
+            val dataChange = Option(add.get("dataChange")).forall(_.asBoolean(true))
+            val dv = add.get("deletionVector")
+            require(dv == null || dv.isNull,
+              s"commit $v of $path re-adds a file with a deletion vector — " +
+                (if (cdf) "the change feed cannot reconstruct the DV'd rows " +
+                  "(the DV writer committed no cdc actions)"
+                 else "an append-only stream cannot retract already-emitted " +
+                  "rows; use the batch reader for DV tables"))
+            if (dataChange) adds += fileOf(add, isCdc = false)
+          } else if (node.has("remove")) {
+            val rm = node.get("remove")
+            val dataChange = Option(rm.get("dataChange")).forall(_.asBoolean(true))
+            require(!dataChange,
+              if (cdf)
+                s"commit $v of $path removes data without cdc actions — the " +
+                  "change feed cannot reconstruct the deleted rows (commit " +
+                  "predates enableChangeDataFeed, or a non-CDF writer ran DML)"
+              else
+                s"commit $v of $path removes data (delete/update/merge/restore) — " +
+                  "an append-only stream cannot retract already-emitted rows; " +
+                  "stream with .option(\"readChangeFeed\", \"true\") from a " +
+                  "CDF-enabled table, or re-derive downstream state from the " +
+                  "batch reader")
+          }
+        }
+        adds.result()
+      }
     addsMemo.put(v, r)
     r
   }
@@ -241,7 +274,18 @@ private[streaming] class DeltaMicroBatchStream(
       val to = if (v == e.version)
         math.min(e.index, adds.size.toLong).toInt else adds.size
       (from until to).foreach { i =>
-        parts += DeltaFilePartition(adds(i).abs, adds(i).partitionValues)
+        val a = adds(i)
+        // CDF columns ride the partition-value injection path: the
+        // commit version always, the change type only when the file
+        // is a plain insert add (cdc parquet files carry their own
+        // `_change_type` column — the reader decodes it per row)
+        val pv =
+          if (!cdf) a.partitionValues
+          else a.partitionValues +
+            ("_commit_version" -> v.toString) ++
+            (if (a.isCdc) Map.empty[String, String]
+             else Map("_change_type" -> "insert"))
+        parts += DeltaFilePartition(a.abs, pv)
       }
       v += 1
     }
@@ -253,10 +297,13 @@ private[streaming] class DeltaMicroBatchStream(
       new DeletionVectors.ConfHolder(spark.sparkContext.hadoopConfiguration))
 }
 
-/** one dataChange add action: absolute file path, hive partition
-  * values, and the action's recorded byte size (admission accounting) */
+/** one dataChange add (or cdc) action: absolute file path, hive
+  * partition values, the action's recorded byte size (admission
+  * accounting), and whether it is a change file (its parquet carries
+  * a `_change_type` column) */
 private[streaming] case class DeltaAddFile(
-    abs: String, partitionValues: Map[String, String], bytes: Long)
+    abs: String, partitionValues: Map[String, String], bytes: Long,
+    isCdc: Boolean = false)
 
 /** Shared ReadLimit → per-batch caps decoding for the lakehouse stream
   * sources. Files/bytes caps only — these sources admit whole FILES
@@ -327,6 +374,16 @@ private[streaming] object DeltaStreamSource {
         "graft-delta-stream needs a table path: .load(path) or .option(\"path\", ...)"))
     p
   }
+
+  /** `.option("readChangeFeed", "true")` — the CDF streaming mode */
+  def cdfOf(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("readChangeFeed")).exists(_.toBoolean)
+
+  /** CDF mode output schema: the table columns + the change columns */
+  def cdfSchema(base: StructType): StructType =
+    StructType(base.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_commit_version", LongType)))
 
   /** (schema, partition columns) from the latest metaData in the log */
   def tableSchema(path: String): (StructType, Seq[String]) = {

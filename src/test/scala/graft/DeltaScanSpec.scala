@@ -733,6 +733,55 @@ class DeltaScanSpec extends SparkSpec {
     }.getMessage.contains("missing"))
   }
 
+  test("auto-checkpoint: every Nth commit writes a checkpoint; readers " +
+    "replay from it; interval property overrides; 0 disables") {
+    import graft.sources.DeltaWrite
+    val dir = freshDir("graft_delta_autockpt").toString
+    val log = new java.io.File(s"$dir/_delta_log")
+    DeltaWrite.create(spark, Seq((0L, "x")).toDF("id", "v"), dir) // v0
+    // 24 more commits on the default interval (10): checkpoints land
+    // at v10 and v20 with no explicit checkpoint() call
+    (1 to 24).foreach { i =>
+      DeltaWrite.append(spark, Seq((i.toLong, s"x$i")).toDF("id", "v"), dir)
+    }
+    assert(new java.io.File(log, "00000000000000000010.checkpoint.parquet").exists(),
+      "commit 10 must auto-checkpoint (protocol default interval)")
+    assert(new java.io.File(log, "00000000000000000020.checkpoint.parquet").exists())
+    assert(new java.io.File(log, "_last_checkpoint").exists())
+    val lastCp = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(log, "_last_checkpoint").toPath))
+    assert(lastCp.contains("\"version\":20"), lastCp)
+    def readAll() = DeltaScan.read(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(readAll() == (0L to 24L).toSet)
+    // the 25-commit table reads FROM the checkpoint: pre-checkpoint
+    // JSON gone, replay = checkpoint + 4-commit tail
+    (0 to 19).foreach { v =>
+      assert(new java.io.File(log, f"$v%020d.json").delete())
+    }
+    assert(readAll() == (0L to 24L).toSet)
+
+    // DML paths (writeCommitFile funnel) auto-checkpoint too: the
+    // interval property re-times it
+    DeltaWrite.setProperties(spark, dir,
+      Map("delta.checkpointInterval" -> "5")) // v25
+    (26 to 30).foreach { i =>
+      DeltaWrite.append(spark, Seq((i.toLong, s"x$i")).toDF("id", "v"), dir)
+    }
+    assert(new java.io.File(log, "00000000000000000025.checkpoint.parquet").exists(),
+      "the SET TBLPROPERTIES commit itself lands on the new interval")
+    assert(new java.io.File(log, "00000000000000000030.checkpoint.parquet").exists())
+    // 0 disables
+    DeltaWrite.setProperties(spark, dir,
+      Map("delta.checkpointInterval" -> "0")) // v31
+    (32 to 45).foreach { i =>
+      DeltaWrite.append(spark, Seq((i.toLong, s"x$i")).toDF("id", "v"), dir)
+    }
+    assert(!new java.io.File(log, "00000000000000000040.checkpoint.parquet").exists(),
+      "interval 0 must disable the auto-checkpoint")
+    assert(readAll() == ((0L to 24L) ++ (26L to 30L) ++ (32L to 45L)).toSet)
+  }
+
   test("checkpointV2: sidecar layout round-trips, protocol merges features, txns survive truncation") {
     import graft.sources.DeltaWrite
     import graft.streaming.Streams

@@ -1293,6 +1293,84 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("DeltaStreamProvider CDF mode: a mid-stream DELETE arrives as change " +
+    "rows, exactly-once across restart; non-CDF DML stays loud") {
+    import graft.sources.{DeltaScan, DeltaWrite}
+    val dir = java.nio.file.Files.createTempDirectory("graft_dstream_cdf").toString + "/t"
+    val ck = java.nio.file.Files.createTempDirectory("graft_dstream_cdf_ck").toString
+    DeltaWrite.create(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), dir)
+    DeltaWrite.enableChangeDataFeed(spark, dir)
+
+    // (change_type, id, commit_version) triples, exactly-once asserted
+    val delivered = scala.collection.mutable.ListBuffer[(String, Long, Long)]()
+    def startStream() = spark.readStream
+      .format(classOf[graft.streaming.DeltaStreamProvider].getName)
+      .option("readChangeFeed", "true")
+      .load(dir)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.select("_change_type", "id", "_commit_version")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        delivered.synchronized { delivered ++= rows }
+        ()
+      }.start()
+
+    val q = startStream()
+    try {
+      q.processAllAvailable()
+      assert(delivered.synchronized(delivered.toSet) ==
+        Set(("insert", 1L, 0L), ("insert", 2L, 0L), ("insert", 3L, 0L)),
+        "the initial snapshot arrives as insert change rows")
+      // a copy-on-write DELETE mid-stream: the cdc actions serve the
+      // retraction instead of killing the stream
+      DeltaWrite.deleteWhere(spark, dir, col("id") === 2L)
+      q.processAllAvailable()
+      val afterDelete = delivered.synchronized(delivered.toSet)
+      assert(afterDelete.exists { case (t, id, _) => t == "delete" && id == 2L },
+        s"the DELETE must arrive as a delete change row, got $afterDelete")
+      assert(afterDelete.count { case (t, _, _) => t == "insert" } == 3,
+        "the rewrite must not re-emit surviving rows as inserts")
+    } finally q.stop()
+
+    // DML while the stream is DOWN; restart resumes mid-feed with no
+    // duplicates (exactly-once across the checkpoint)
+    DeltaWrite.updateWhere(spark, dir, col("id") === 3L, Seq("v" -> lit("c2")))
+    DeltaWrite.append(spark, Seq((4L, "d")).toDF("id", "v"), dir)
+    val q2 = startStream()
+    try {
+      q2.processAllAvailable()
+      val all = delivered.synchronized(delivered.toList)
+      assert(all.size == all.distinct.size, s"duplicate change rows: $all")
+      val byType = all.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      assert(byType("insert") == Seq(1L, 2L, 3L, 4L))
+      assert(byType("delete") == Seq(2L))
+      assert(byType("update_preimage") == Seq(3L))
+      assert(byType("update_postimage") == Seq(3L))
+    } finally q2.stop()
+
+    // a NON-CDF table's DML still fails the change-feed stream loudly
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_dstream_cdf2").toString + "/t"
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_dstream_cdf2_ck").toString
+    DeltaWrite.create(spark, Seq((1L, "a")).toDF("id", "v"), dir2)
+    DeltaWrite.deleteWhere(spark, dir2, col("id") === 1L)
+    val q3 = spark.readStream
+      .format(classOf[graft.streaming.DeltaStreamProvider].getName)
+      .option("readChangeFeed", "true")
+      .load(dir2)
+      .writeStream.option("checkpointLocation", ck2)
+      .foreachBatch { (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) => () }
+      .start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q3.processAllAvailable()
+      }
+      def mentionsCdf(t: Throwable): Boolean =
+        t != null && (Option(t.getMessage).exists(
+          _.contains("enableChangeDataFeed")) || mentionsCdf(t.getCause))
+      assert(mentionsCdf(e))
+    } finally q3.stop()
+  }
+
   test("IcebergStreamProvider: micro-batches track commits, restart resumes, overwrite is loud") {
     import graft.sources.IcebergWrite
     val dir = java.nio.file.Files.createTempDirectory("graft_istream").toString + "/t"

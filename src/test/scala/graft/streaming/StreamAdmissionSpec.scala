@@ -132,6 +132,64 @@ class StreamAdmissionSpec extends graft.SparkSpec {
     assert(end == DeltaStreamOffset(0L, 5L))
   }
 
+  test("Delta CDF x admission: a rate-limited change-feed stream over a " +
+    "high-churn table neither skips nor double-serves change files") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = tmp("graft_admit_cdf") + "/t"
+    val ck = tmp("graft_admit_cdf_ck")
+    // partitioned so one DML commit writes SEVERAL cdc files — with
+    // maxFilesPerTrigger=1 every trigger boundary lands mid-commit
+    val seed = (0 until 30).map(i => (i.toLong, i.toLong % 3, s"v$i"))
+      .toDF("id", "p", "v")
+    DeltaWrite.create(spark, seed, dir, partitionBy = Seq("p"))
+    DeltaWrite.enableChangeDataFeed(spark, dir)
+    // churn: each commit touches all 3 partitions
+    DeltaWrite.deleteWhere(spark, dir, col("id") % 5 === 0)
+    DeltaWrite.updateWhere(spark, dir, col("id") % 7 === 1, Seq("v" -> lit("u")))
+
+    def drainCdf(): (Seq[(String, Long, Long)], Seq[Int]) = {
+      val sizes = scala.collection.mutable.ListBuffer[Int]()
+      val seen = scala.collection.mutable.ListBuffer[(String, Long, Long)]()
+      val q = spark.readStream
+        .format(classOf[DeltaStreamProvider].getName)
+        .option("readChangeFeed", "true")
+        .option("maxFilesPerTrigger", "1")
+        .load(dir)
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.select("_change_type", "id", "_commit_version")
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          seen.synchronized { seen ++= rows; if (rows.nonEmpty) sizes += rows.length }
+          ()
+        }.start()
+      q.awaitTermination(120000)
+      (seen.synchronized(seen.toList), sizes.synchronized(sizes.toList))
+    }
+
+    val (got1, sizes1) = drainCdf()
+    assert(sizes1.size >= 5,
+      s"1 change file per trigger over multi-file commits needs many batches, got $sizes1")
+
+    // more churn while the stream is DOWN, then resume from the SAME
+    // checkpoint — the restart offset sits mid-feed
+    DeltaWrite.append(spark, (100 until 106).map(i =>
+      (i.toLong, i.toLong % 3, s"n$i")).toDF("id", "p", "v"), dir,
+      partitionBy = Seq("p"))
+    DeltaWrite.deleteWhere(spark, dir, col("id") === 100L)
+    val (got2, _) = drainCdf()
+
+    // exactly-once against the batch change feed: the delivered
+    // MULTISET must equal readCdf over the full version range
+    val latest = graft.sources.DeltaScan.latestVersion(spark, dir)
+    val expect = graft.sources.DeltaScan.readCdf(spark, dir, 0L, latest)
+      .select("_change_type", "id", "_commit_version")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    val delivered = got1 ++ got2
+    assert(delivered.sorted == expect.sorted,
+      s"delivered ${delivered.size} change rows, batch feed has ${expect.size}")
+  }
+
   test("Iceberg: maxFilesPerTrigger splits snapshot + later commits; restart resumes") {
     val dir = tmp("graft_admit_i") + "/t"
     val ck = tmp("graft_admit_i_ck")
