@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // incrementally-maintained rollups (opt-in via
     // RollupRewriteRule.register; no-op otherwise)
     ext.injectOptimizerRule(_ => plans.RollupRewriteRule)
+    // bare global count/min/max over registered lakehouse tables
+    // answered from Delta stats / Iceberg manifests with zero data
+    // files read (opt-in via MetaAggRewriteRule.register; no-op
+    // otherwise)
+    ext.injectOptimizerRule(_ => plans.MetaAggRewriteRule)
   }
 }
 

@@ -2094,6 +2094,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // METADATA-AGGREGATE REWRITE RULE: a BARE summarize(n = n(), lo =
+    // min(..), hi = max(..)) over a registered lakehouse scan is
+    // rewritten AT PLAN TIME to a one-row Project with zero data files
+    // read (plan-asserted loudly below) — the user writes the ordinary
+    // aggregate, the optimizer serves it from the Delta log / Iceberg
+    // manifests with MetaAgg's exact-or-fallback conditions checked at
+    // plan time. Values are ordinary aggregates, SQL-oracled.
+    "q_meta_rewrite" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_meta_rw_gate")
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      val d = base.resolve("d").toString
+      val i = base.resolve("i").toString
+      graft.sources.DeltaWrite.create(s, docs, d)
+      graft.sources.IcebergWrite.create(s, docs, i)
+      graft.plans.MetaAggRewriteRule.install(s)
+      graft.plans.MetaAggRewriteRule.register(s, d)
+      graft.plans.MetaAggRewriteRule.register(s, i)
+      def bare(read: org.apache.spark.sql.DataFrame) = read
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"),
+          max(col("doc_id")).as("hi"))
+      val dq = bare(graft.sources.DeltaScan.read(s, d))
+      val iq = bare(graft.sources.IcebergScan.read(s, i))
+      Seq(dq, iq).foreach { q =>
+        val plan = q.queryExecution.executedPlan.toString
+        require(!plan.contains("FileScan") && !plan.contains("Scan parquet"),
+          s"the rewritten aggregate must read ZERO data files, got:\n$plan")
+      }
+      val dr = dq.head(); val ir = iq.head()
+      import s.implicits._
+      Seq(
+        ("delta_hi", dr.getLong(2)), ("delta_lo", dr.getLong(1)),
+        ("delta_n", dr.getLong(0)),
+        ("iceberg_hi", ir.getLong(2)), ("iceberg_lo", ir.getLong(1)),
+        ("iceberg_n", ir.getLong(0)))
+        .toDF("metric", "value").orderBy("metric")
+    }),
+
     // METADATA-ONLY AGGREGATES: count(*) / min / max answered from the
     // planning state alone (Delta log stats / Iceberg manifest bounds +
     // record counts, DV cardinalities subtracted) — when meta_only is
@@ -5440,6 +5477,16 @@ object SparkEntry {
       """SELECT doc_id, lang, text FROM documents
         |WHERE doc_id % 7 <> 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q_meta_rewrite" ->
+      """SELECT metric, value FROM (
+        |  SELECT 'delta_hi' AS metric, max(doc_id) AS value FROM documents
+        |  UNION ALL SELECT 'delta_lo', min(doc_id) FROM documents
+        |  UNION ALL SELECT 'delta_n', count(*) FROM documents
+        |  UNION ALL SELECT 'iceberg_hi', max(doc_id) FROM documents
+        |  UNION ALL SELECT 'iceberg_lo', min(doc_id) FROM documents
+        |  UNION ALL SELECT 'iceberg_n', count(*) FROM documents
+        |) ORDER BY metric""".stripMargin,
 
     "q_meta_agg" ->
       """SELECT metric, value, meta_only FROM (

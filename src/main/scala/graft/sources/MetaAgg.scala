@@ -59,20 +59,34 @@ object MetaAgg {
 
   /** exact row count of a Delta table; metadata-only when every live
     * file carries `stats.numRecords` */
-  def countDelta(spark: SparkSession, tablePath: String): Meta[Long] = {
+  def countDelta(spark: SparkSession, tablePath: String): Meta[Long] =
+    countDeltaMetaOnly(spark, tablePath).map(Meta(_, metadataOnly = true))
+      .getOrElse(
+        Meta(DeltaScan.read(spark, tablePath).count(), metadataOnly = false))
+
+  /** the metadata branch of [[countDelta]] alone — NEVER scans data
+    * (None = metadata cannot prove the answer); safe to call from
+    * planning-time code like [[graft.plans.MetaAggRewriteRule]] */
+  def countDeltaMetaOnly(spark: SparkSession, tablePath: String): Option[Long] = {
     val st = DeltaScan.liveState(spark, tablePath)
     val recs = st.files.map(_.stats.flatMap(ParquetStats.parse)
       .map(_.numRecords).filter(_ >= 0L))
     if (recs.forall(_.isDefined)) {
       val physical = recs.iterator.flatten.sum
       val deleted = st.files.iterator.flatMap(_.dv).map(_.cardinality).sum
-      Meta(physical - deleted, metadataOnly = true)
-    } else Meta(DeltaScan.read(spark, tablePath).count(), metadataOnly = false)
+      Some(physical - deleted)
+    } else scala.None
   }
 
   /** exact row count of an Iceberg table; metadata-only when row-level
     * deletes are absent or are v3 deletion vectors */
-  def countIceberg(spark: SparkSession, tablePath: String): Meta[Long] = {
+  def countIceberg(spark: SparkSession, tablePath: String): Meta[Long] =
+    countIcebergMetaOnly(spark, tablePath).map(Meta(_, metadataOnly = true))
+      .getOrElse(
+        Meta(IcebergScan.read(spark, tablePath).count(), metadataOnly = false))
+
+  /** the metadata branch of [[countIceberg]] alone — never scans */
+  def countIcebergMetaOnly(spark: SparkSession, tablePath: String): Option[Long] = {
     val planned = IcebergScan.planTable(spark, tablePath)
     val data = IcebergScan.dedupedDataEntries(planned)
     val dataRows = data.iterator.map(_.rows).sum
@@ -88,8 +102,8 @@ object MetaAgg {
         seqByFile.get(IcebergScan.normalizePath(d.refDataFile.get))
           .filter(fseq => d.seq >= fseq).map(_ => d.rows)
       }.sum
-      Meta(dataRows - deleted, metadataOnly = true)
-    } else Meta(IcebergScan.read(spark, tablePath).count(), metadataOnly = false)
+      Some(dataRows - deleted)
+    } else scala.None
   }
 
   /** exact `count(col)` (non-null count) of a Delta table: per-file
@@ -217,21 +231,26 @@ object MetaAgg {
     * of an exact-bound type, and every live file either bounds it or
     * is provably all-NULL in it */
   def minMaxDelta(spark: SparkSession, tablePath: String,
-      column: String): Meta[(Any, Any)] = {
+      column: String): Meta[(Any, Any)] =
+    minMaxDeltaMetaOnly(spark, tablePath, column)
+      .map(Meta(_, metadataOnly = true)).getOrElse {
+        val r = DeltaScan.read(spark, tablePath)
+          .agg(min(col(column)), max(col(column))).head() // [lint:bounded] one row
+        Meta((r.get(0), r.get(1)), metadataOnly = false)
+      }
+
+  /** the metadata branch of [[minMaxDelta]] alone — never scans */
+  def minMaxDeltaMetaOnly(spark: SparkSession, tablePath: String,
+      column: String): Option[(Any, Any)] = {
     val st = DeltaScan.liveState(spark, tablePath)
     require(st.schema.fieldNames.contains(column),
       s"column '$column' is not in the table schema ${st.schema.simpleString}")
     val field = st.schema(column)
-    def fallback: Meta[(Any, Any)] = {
-      val r = DeltaScan.read(spark, tablePath)
-        .agg(min(col(column)), max(col(column))).head() // [lint:bounded] one row
-      Meta((r.get(0), r.get(1)), metadataOnly = false)
-    }
     // partition columns live in directory names, not stats; DVs may
     // have deleted the extreme row; strings may be truncated
     if (!exactBoundType(field.dataType, timestampsExact = false) ||
         st.partCols.contains(column) ||
-        st.files.exists(_.dv.isDefined)) return fallback
+        st.files.exists(_.dv.isDefined)) return scala.None
     val key = if (st.columnMapped) DeltaScan.physicalName(field) else column
     // per file: Some(None) = all-null (contributes nothing),
     // Some(Some(lo, hi)) = usable bounds, None = unknown -> fallback
@@ -246,26 +265,31 @@ object MetaAgg {
             case _ => scala.None
           }
       })
-    if (per.exists(_.isEmpty)) fallback
-    else reduceBounds(field.dataType, per.flatten.flatten).getOrElse(fallback)
+    if (per.exists(_.isEmpty)) scala.None
+    else reduceBounds(field.dataType, per.flatten.flatten).map(_.value)
   }
 
   /** Iceberg twin of [[minMaxDelta]]: manifest-carried bounds, or the
     * exact identity-partition value where the layout moved the column
     * out of the data files; any row-level delete falls back */
   def minMaxIceberg(spark: SparkSession, tablePath: String,
-      column: String): Meta[(Any, Any)] = {
+      column: String): Meta[(Any, Any)] =
+    minMaxIcebergMetaOnly(spark, tablePath, column)
+      .map(Meta(_, metadataOnly = true)).getOrElse {
+        val r = IcebergScan.read(spark, tablePath)
+          .agg(min(col(column)), max(col(column))).head() // [lint:bounded] one row
+        Meta((r.get(0), r.get(1)), metadataOnly = false)
+      }
+
+  /** the metadata branch of [[minMaxIceberg]] alone — never scans */
+  def minMaxIcebergMetaOnly(spark: SparkSession, tablePath: String,
+      column: String): Option[(Any, Any)] = {
     val planned = IcebergScan.planTable(spark, tablePath)
     require(planned.schema.fieldNames.contains(column),
       s"column '$column' is not in the table schema ${planned.schema.simpleString}")
     val field = planned.schema(column)
-    def fallback: Meta[(Any, Any)] = {
-      val r = IcebergScan.read(spark, tablePath)
-        .agg(min(col(column)), max(col(column))).head() // [lint:bounded] one row
-      Meta((r.get(0), r.get(1)), metadataOnly = false)
-    }
     if (!exactBoundType(field.dataType) ||
-        planned.entries.exists(_.content != 0)) return fallback
+        planned.entries.exists(_.content != 0)) return scala.None
     val id: Int = {
       val it = IcebergScan.currentSchema(planned.meta).get("fields").elements()
       var found: Option[Int] = scala.None
@@ -273,7 +297,7 @@ object MetaAgg {
         val f = it.next()
         if (f.get("name").asText() == column) found = Some(f.get("id").asInt())
       }
-      found.getOrElse(return fallback)
+      found.getOrElse(return scala.None)
     }
     // an identity spec field over this column makes the partition value
     // an exact per-file bound (spec: lower = upper = the value) — the
@@ -301,8 +325,8 @@ object MetaAgg {
           }
       }
     }
-    if (per.exists(_.isEmpty)) fallback
-    else reduceBounds(field.dataType, per.flatten.flatten).getOrElse(fallback)
+    if (per.exists(_.isEmpty)) scala.None
+    else reduceBounds(field.dataType, per.flatten.flatten).map(_.value)
   }
 
   // ---- shared bound folding + typed conversion -------------------------
