@@ -1880,6 +1880,43 @@ object SparkEntry {
           graft.sources.GSheetFixture.transcriptFile()))
         .orderBy("name")),
 
+    // ICEBERG REST CATALOG on recorded HTTP bytes (the public REST
+    // catalog spec): GET /v1/config resolves the server prefix, the
+    // LoadTableResult's metadata-location pins the snapshot, and the
+    // data plane is the ordinary IcebergScan — catalog interaction is
+    // O(1) metadata requests, never a data proxy
+    "q_iceberg_catalog" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_restcat_gate").toString + "/t"
+      graft.sources.IcebergWrite.create(s,
+        t(s, dir, "documents").df.select("doc_id", "lang", "text"), base)
+      val hint = java.nio.file.Paths.get(base, "metadata", "version-hint.text")
+      val v = new String(java.nio.file.Files.readAllBytes(hint), "UTF-8").trim
+      val meta = s"$base/metadata/v$v.metadata.json"
+      val metaJson = com.fasterxml.jackson.databind.node.JsonNodeFactory
+        .instance.textNode(meta).toString
+      val transcript =
+        s"""### GET https://catalog.internal/v1/config
+           |HTTP/1.1 200 OK
+           |content-type: application/json
+           |
+           |{"defaults":{},"overrides":{"prefix":"main"}}
+           |### GET https://catalog.internal/v1/main/namespaces/corpus/tables/documents
+           |HTTP/1.1 200 OK
+           |content-type: application/json
+           |
+           |{"metadata-location":$metaJson,"metadata":{},"config":{}}
+           |""".stripMargin
+      Tidier.readIcebergCatalog(s,
+          graft.sources.IcebergCatalog.Connection("https://catalog.internal",
+            token = Some("gate-token"),
+            transport = graft.sources.RestSql.recordedTransportFromString(transcript)),
+          "corpus.documents")
+        .filter(col("lang") === "en")
+        .select("doc_id", "lang")
+        .arrange("doc_id")
+        .df
+    }),
+
     // REST-SQL warehouse backends on recorded HTTP bytes (the
     // reference's Snowflake/Databricks clients): typed materialization
     // from resultSetMetaData for Snowflake; the poll loop + presigned
@@ -5364,6 +5401,10 @@ object SparkEntry {
     "q_jdbc_scan" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE n_chars > 100 ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_catalog" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
 
     "q_gsheet_scan" ->
       """SELECT * FROM (VALUES

@@ -296,6 +296,14 @@ object Tidier {
       sql: String): TidierFrame =
     TidierFrame(graft.sources.RestSql.queryDatabricks(spark, conn, sql))
 
+  /** Iceberg REST catalog table → verb-chainable frame: the catalog
+    * resolves `table` ("ns.name") to its current metadata-location;
+    * the data plane is the ordinary [[graft.sources.IcebergScan]]. */
+  def readIcebergCatalog(spark: SparkSession,
+      conn: graft.sources.IcebergCatalog.Connection,
+      table: String): TidierFrame =
+    TidierFrame(graft.sources.IcebergCatalog.read(spark, conn, table))
+
   /** Catalog table scan. */
   def table(spark: SparkSession, name: String): TidierFrame =
     TidierFrame(spark.table(name))

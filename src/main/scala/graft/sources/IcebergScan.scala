@@ -219,14 +219,35 @@ object IcebergScan {
       snapshotAsOf: Option[Long], onlyDataFiles: Option[Set[String]]): DataFrame =
     readInternal(spark, tablePath, snapshotAsOf, onlyDataFiles, keepLineage = false)
 
+  /** Read the snapshot pinned by an EXPLICIT metadata file — the REST
+    * catalog contract: the catalog's `metadata-location` is the source
+    * of truth, which may lead or lag the directory's version-hint (a
+    * hint rewrite is not atomic and foreign catalogs don't write one
+    * at all). Everything else (manifest walk, delete application,
+    * schema resolution) is the ordinary read, resolved against the
+    * metadata's own `location` field. */
+  def readAtMetadata(spark: SparkSession, metadataFile: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(metadataFile)
+    val fs = p.getFileSystem(conf)
+    val meta = new ObjectMapper().readTree(readUtf8(fs, p))
+    val tablePath = Option(meta.get("location")).map(_.asText())
+      .filter(_.nonEmpty)
+      .getOrElse(p.getParent.getParent.toString) // {table}/metadata/x.json
+    readInternal(spark, tablePath, snapshotAsOf = scala.None,
+      onlyDataFiles = scala.None, keepLineage = false,
+      metaOverride = Some(meta))
+  }
+
   private def readInternal(spark: SparkSession, tablePath: String,
       snapshotAsOf: Option[Long], onlyDataFiles: Option[Set[String]],
       keepLineage: Boolean,
-      skippingFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      skippingFilter: Option[org.apache.spark.sql.Column] = None,
+      metaOverride: Option[JsonNode] = None): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val metaDir = new Path(tablePath, "metadata")
     val fs = metaDir.getFileSystem(conf)
-    val meta = parseMetadata(fs, metaDir)
+    val meta = metaOverride.getOrElse(parseMetadata(fs, metaDir))
     val snapshots = Option(meta.get("snapshots")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     val wantedId = snapshotAsOf.orElse(
       Option(meta.get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L))
