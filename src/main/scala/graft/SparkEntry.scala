@@ -2740,6 +2740,68 @@ object SparkEntry {
         .orderBy("custkey", "c_name")
     }),
 
+    // RUNTIME JOIN PRUNING: the DPP/runtime-filter lever for
+    // path-addressed scans. The filtered dim is evaluated first; its
+    // OBSERVED key domain (IN-set under the cap, min/max range past
+    // it) becomes the fact scan's skipping filter — manifest bounds
+    // prune fact FILES, the row predicate prunes row groups — before
+    // the broadcast join runs. Values are plain filtered-join
+    // semantics, SQL-oracled; the file-level effect is physically
+    // proven in CboJoinSpec (pruned-away files deleted from disk, the
+    // join still answers).
+    "q_join_prune" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_rtprune_gate").toString
+      val li = t(s, dir, "lineitem").df
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .repartitionByRange(8, col("l_orderkey"))
+      val ord = t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.sources.IcebergWrite.create(s, li, s"$base/f")
+      graft.sources.IcebergWrite.create(s, ord, s"$base/d")
+      val (df, d) = graft.sources.CboJoin.planPruned(s, s"$base/f", s"$base/d",
+        Seq("l_orderkey" -> "o_orderkey"),
+        dimFilter = Some(col("o_orderpriority") === "1-URGENT"))
+      require(d.strategy == "runtime-pruned-broadcast", d.reason)
+      df.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("l_orderkey")
+    }),
+
+    // STAR-SCHEMA PLANNING: one fact, two filtered dims — join order
+    // by the containment estimate (|observed dim keys| / ANALYZE NDV
+    // of the fact key), AND-combined runtime pruning on the fact
+    // scan, per-dim broadcast by manifest-priced size. All three are
+    // levers Catalyst cannot pull over opaque scan unions. Values are
+    // plain two-join semantics, SQL-oracled; order/pruning are
+    // plan-asserted in CboJoinSpec.
+    "q_join_star" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_star_gate").toString
+      val li = t(s, dir, "lineitem").df
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .repartitionByRange(8, col("l_orderkey"))
+      graft.sources.IcebergWrite.create(s, li, s"$base/f")
+      graft.sources.IcebergNdv.analyze(s, s"$base/f",
+        Seq("l_orderkey", "l_partkey"))
+      graft.sources.IcebergWrite.create(s, t(s, dir, "orders").df
+        .select(col("o_orderkey"), col("o_orderpriority")), s"$base/dOrd")
+      graft.sources.IcebergWrite.create(s, t(s, dir, "part").df
+        .select(col("p_partkey"), col("p_size"), col("p_name")), s"$base/dPart")
+      val (df, sd) = graft.sources.CboJoin.planStar(s, s"$base/f", Seq(
+        graft.sources.CboJoin.DimSpec(s"$base/dOrd", "l_orderkey", "o_orderkey",
+          Some(col("o_orderpriority") === "1-URGENT")),
+        graft.sources.CboJoin.DimSpec(s"$base/dPart", "l_partkey", "p_partkey",
+          Some(col("p_size") <= 5))))
+      require(sd.order.size == 2 && sd.factFilesKept <= sd.factFilesTotal,
+        sd.toString)
+      df.groupBy("p_name")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy("p_name")
+    }),
+
     // STORAGE-PARTITIONED AGGREGATION: the same bucket(8, custkey)
     // layout makes groupBy(custkey) shuffle-free — every key lives in
     // exactly one bucket, so a union of per-bucket COMPLETE aggregates
@@ -5844,6 +5906,28 @@ object SparkEntry {
         |WHERE o.o_orderkey % 5 <> 0
         |GROUP BY o.o_custkey, c.c_name
         |ORDER BY custkey""".stripMargin,
+
+    // the runtime-pruned join computes plain filtered-join semantics —
+    // the file pruning is plan-level, value-invisible
+    "q_join_prune" ->
+      """SELECT l.l_orderkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY l.l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+
+    // the star-planned joins compute plain two-dim inner-join
+    // semantics — order/broadcast/pruning are plan-level choices
+    "q_join_star" ->
+      """SELECT p.p_name, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE o.o_orderpriority = '1-URGENT' AND p.p_size <= 5
+        |GROUP BY p.p_name
+        |ORDER BY p_name""".stripMargin,
 
     // the CBO-planned join computes plain join-then-aggregate
     // semantics — the strategy choice is plan-level, value-invisible

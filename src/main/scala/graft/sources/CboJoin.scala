@@ -216,4 +216,194 @@ object CboJoin {
       broadcastBytes: Long = maxBroadcastBytes,
       inflation: Double = DefaultInflation): DataFrame =
     plan(spark, leftPath, rightPath, keys, how, broadcastBytes, inflation)._1
+
+  // ---------------------------------------------------------------------
+  // RUNTIME JOIN PRUNING — the dynamic-partition-pruning / runtime-filter
+  // lever for path-addressed lakehouse scans. Catalyst's own DPP and
+  // InjectRuntimeFilter never reach these plans (the readers hand Spark
+  // an opaque union of parquet scans with no join-aware file listing),
+  // so the fact side of a star join would scan EVERY live file no matter
+  // how selective the dimension is. These planners evaluate the (small,
+  // possibly filtered) dim side first, derive a key-domain filter from
+  // what it actually contains, and hand that filter to the fact scan's
+  // manifest/footer pruner — fact files whose column bounds cannot
+  // intersect the dim's keys are never opened.
+  // ---------------------------------------------------------------------
+
+  /** max distinct dim-side values collected PER KEY for an IN-set
+    * runtime filter; past this the filter degrades to the dim key's
+    * [min, max] range (still O(1)-sized, still sound). */
+  @volatile var maxRuntimeFilterKeys: Int =
+    sys.env.get("GRAFT_CBO_RUNTIME_FILTER_MAX_KEYS").map(_.toInt)
+      .getOrElse(8192)
+
+  private def isDelta(spark: SparkSession, p: String): Boolean = {
+    val log = new org.apache.hadoop.fs.Path(p, "_delta_log")
+    log.getFileSystem(spark.sessionState.newHadoopConf()).exists(log)
+  }
+
+  /** format-dispatched table read — both scans take the same
+    * `skippingFilter` contract (manifest bounds / add-file stats /
+    * partition-transform ranges prune files before any task plans) */
+  private def readAny(spark: SparkSession, p: String,
+      f: Option[Column]): DataFrame =
+    if (isDelta(spark, p)) DeltaScan.read(spark, p, skippingFilter = f)
+    else IcebergScan.read(spark, p, skippingFilter = f)
+
+  private def countDataFiles(spark: SparkSession, p: String): Int =
+    if (isDelta(spark, p)) DeltaScan.liveState(spark, p).files.size
+    else dedupedDataEntries(IcebergScan.planTable(spark, p)).size
+
+  private def dedupedDataEntries(planned: IcebergScan.PlannedTable) =
+    IcebergScan.dedupedDataEntries(planned)
+
+  /** the dim side's OBSERVED key domain as a fact-side filter: an
+    * IN-set when the dim has at most [[maxRuntimeFilterKeys]] distinct
+    * non-null values on `dimKey`, its [min, max] range past that, and
+    * `false` for an empty dim (the fact scan prunes to nothing). Every
+    * variant keeps a SUPERSET of the fact rows that can equi-match, so
+    * inner/semi results are bit-identical to the unpruned join; NULL
+    * fact keys never equi-match and may drop. */
+  private def keyDomainFilter(dim: DataFrame, factKey: String,
+      dimKey: String): (Column, String, Long) = {
+    val vals = dim.select(col(dimKey)).where(col(dimKey).isNotNull)
+      .distinct().limit(maxRuntimeFilterKeys + 1)
+      .collect() // [lint:bounded] limit caps the collect at maxRuntimeFilterKeys+1 rows
+      .map(_.get(0))
+    if (vals.isEmpty)
+      (lit(false), s"$factKey: dim side is empty", 0L)
+    else if (vals.length <= maxRuntimeFilterKeys)
+      (col(factKey).isin(vals.toSeq: _*),
+        s"$factKey IN {${vals.length} dim keys}", vals.length.toLong)
+    else {
+      val mm = dim.agg(min(col(dimKey)), max(col(dimKey)))
+        .head() // [lint:bounded] single-row global aggregate
+      (col(factKey) >= lit(mm.get(0)) && col(factKey) <= lit(mm.get(1)),
+        s"$factKey BETWEEN ${mm.get(0)} AND ${mm.get(1)} " +
+          s"(dim exceeds $maxRuntimeFilterKeys distinct)",
+        vals.length.toLong)
+    }
+  }
+
+  /** RUNTIME-PRUNED broadcast join: evaluate the filtered dim, derive
+    * [[keyDomainFilter]]s for every equi key, AND them into the fact
+    * scan's skipping filter (file-level pruning via manifest bounds /
+    * Delta add-file stats / partition-transform ranges) AND into a row
+    * predicate (parquet row-group pruning + codegen'd residual), then
+    * broadcast the dim. Sound for `inner` and `left_semi` only — the
+    * join types where a fact row that cannot match never reaches the
+    * output. Works on Iceberg and Delta paths alike (dispatch by
+    * `_delta_log` presence).
+    *
+    * 100 TB shape: the dim collect is capped at
+    * [[maxRuntimeFilterKeys]]+1 rows per key; the fact side is never
+    * scanned unpruned — a date-window dim at TPC-H shapes rules out
+    * the bulk of fact files from manifest bounds before the first task
+    * launches, the exact effect Spark's DPP gives hive-partitioned
+    * tables and its runtime bloom filters give shuffled joins. */
+  def planPruned(spark: SparkSession, factPath: String, dimPath: String,
+      keys: Seq[(String, String)], how: String = "inner",
+      dimFilter: Option[Column] = scala.None): (DataFrame, Decision) = {
+    require(keys.nonEmpty, "runtime-pruned join needs at least one equi key")
+    require(Set("inner", "left_semi")(how),
+      s"runtime pruning of the fact side is sound only for inner/left_semi " +
+        s"joins (a pruned fact row must never reach the output), got '$how'")
+    val dim0 = readAny(spark, dimPath, scala.None)
+    val dim = dimFilter.map(dim0.where).getOrElse(dim0)
+    val domains = keys.map { case (fk, dk) => keyDomainFilter(dim, fk, dk) }
+    val filter = domains.map(_._1).reduce(_ && _)
+    val total = countDataFiles(spark, factPath)
+    val fact = readAny(spark, factPath, Some(filter)).where(filter).alias("__l")
+    val kept = fact.inputFiles.length
+    val dimB = dim.alias("__r")
+    val cond = keys.map { case (fk, dk) => fact(fk) === dimB(dk) }.reduce(_ && _)
+    val out = fact.join(broadcast(dimB), cond, how)
+    val stats = Seq(factPath, dimPath).map { p =>
+      if (isDelta(spark, p)) SideStats(-1L, -1L, Map.empty, Map.empty)
+      else sideStats(spark, p)
+    }
+    (out, Decision("runtime-pruned-broadcast",
+      s"fact files kept $kept/$total; " + domains.map(_._2).mkString("; "),
+      stats.head, stats.last, scala.None))
+  }
+
+  /** one dimension of a star join: fact.`factKey` = dim.`dimKey`,
+    * with an optional dim-side predicate evaluated BEFORE the key
+    * domain is observed (a filtered dim prunes harder) */
+  final case class DimSpec(path: String, factKey: String, dimKey: String,
+      filter: Option[Column] = scala.None)
+
+  /** the star planner's audit trail: dims in chosen join order, each
+    * with its estimated fact-fraction (|observed dim keys| / NDV(fact
+    * key), the containment rule — 1.0 when the fact key was never
+    * ANALYZEd), its join strategy, and the fact file counts */
+  final case class StarDecision(
+      order: Seq[String],
+      fraction: Map[String, Double],
+      strategy: Map[String, String],
+      factFilesKept: Int,
+      factFilesTotal: Int)
+
+  /** STAR-SCHEMA JOIN PLANNING: one fact table inner-joined to N
+    * dimensions. Three stats-driven levers in one operator:
+    *
+    *  1. **runtime pruning** — every dim's observed key domain
+    *     ([[keyDomainFilter]]) ANDs into the fact scan's skipping
+    *     filter, so only fact files that can match EVERY dim open.
+    *  2. **join ORDER** — dims join most-selective-first, ranked by
+    *     the containment estimate |dim keys| / NDV(fact key) (from
+    *     ANALYZE stats; unANALYZEd keys rank last at 1.0). Catalyst
+    *     reorders only plans whose sizes it can see; these scans are
+    *     opaque to it, so the ordering must happen here.
+    *  3. **broadcast by stats** — each dim broadcasts when its
+    *     manifest-priced in-memory estimate fits the budget, else
+    *     falls back to a shuffled join (AQE may still convert).
+    *
+    * Inner joins only (the pruning-soundness requirement). Returns
+    * the joined frame plus the full [[StarDecision]] audit. */
+  def planStar(spark: SparkSession, factPath: String, dims: Seq[DimSpec],
+      broadcastBytes: Long = maxBroadcastBytes,
+      inflation: Double = DefaultInflation): (DataFrame, StarDecision) = {
+    require(dims.nonEmpty, "star join needs at least one dimension")
+    val factNdv: Map[String, Long] =
+      if (isDelta(spark, factPath)) Map.empty
+      else sideStats(spark, factPath).ndv
+    // evaluate each dim once: filtered frame + key domain + fraction
+    val evaluated = dims.map { d =>
+      val dim0 = readAny(spark, d.path, scala.None)
+      val dim = d.filter.map(dim0.where).getOrElse(dim0)
+      val (domainF, desc, observed) = keyDomainFilter(dim, d.factKey, d.dimKey)
+      val fraction = factNdv.get(d.factKey) match {
+        case Some(n) if n > 0 => math.min(1.0, observed.toDouble / n)
+        case _ => 1.0
+      }
+      (d, dim, domainF, desc, fraction)
+    }
+    val ordered = evaluated.sortBy { case (_, _, _, _, fr) => fr }
+    val skipping = ordered.map(_._3).reduce(_ && _)
+    val total = countDataFiles(spark, factPath)
+    val fact = readAny(spark, factPath, Some(skipping)).where(skipping)
+    val kept = fact.inputFiles.length
+    val factAliased = fact.alias("__f")
+    var acc = factAliased
+    val strategies = scala.collection.mutable.LinkedHashMap[String, String]()
+    ordered.zipWithIndex.foreach { case ((d, dim, _, _, _), i) =>
+      val dimB = dim.alias(s"__d$i")
+      // resolve the fact key by EXPRESSION ID through the join chain —
+      // a dim sharing the key's name must not make it ambiguous
+      val cond = factAliased(d.factKey) === dimB(d.dimKey)
+      val fits =
+        if (isDelta(spark, d.path)) true // no manifest price — trust smallness
+        else {
+          val est = sideStats(spark, d.path).liveBytes * inflation
+          est <= broadcastBytes.toDouble
+        }
+      acc =
+        if (fits) { strategies(d.path) = "broadcast"; acc.join(broadcast(dimB), cond, "inner") }
+        else { strategies(d.path) = "shuffle"; acc.join(dimB, cond, "inner") }
+    }
+    (acc, StarDecision(ordered.map(_._1.path),
+      evaluated.map(e => e._1.path -> e._5).toMap,
+      strategies.toMap, kept, total))
+  }
 }

@@ -106,4 +106,147 @@ class CboJoinSpec extends SparkSpec {
     // |L|*|R| / max(ndv) = 2000*50/50 = 2000 (HLL jitter tolerated)
     assert(d.outRowsEst.exists(e => e > 1500 && e < 2600), d.outRowsEst)
   }
+
+  // ------------------------------------------------------------------
+  // runtime join pruning
+  // ------------------------------------------------------------------
+
+  private def parquetFiles(base: String): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(java.nio.file.Paths.get(base)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains("metadata") && !p.toString.contains("_delta_log"))
+      .toSeq
+  }
+
+  /** id-range-clustered fact: 4 files covering [0,100)…[300,400) */
+  private def rangedFact(path: String): Unit = {
+    val df = spark.range(0, 400)
+      .select(col("id"), (col("id") % 7L).as("k2"), (col("id") * 3L).as("v"))
+      .repartitionByRange(4, col("id"))
+    IcebergWrite.create(spark, df, path)
+  }
+
+  test("runtime-pruned join: dim key domain prunes fact files, physically proven") {
+    val base = Files.createTempDirectory("graft_cbo_rt1").toString
+    import spark.implicits._
+    rangedFact(s"$base/f")
+    IcebergWrite.create(spark,
+      Seq((5L, "a"), (7L, "b"), (360L, "c")).toDF("fk", "name"), s"$base/d")
+    // keys {5,7,360} touch range files [0,100) and [300,400) only —
+    // delete the two files the pruner must rule out BEFORE planning:
+    // the join can only succeed by never reading them
+    val conf = spark.sparkContext.hadoopConfiguration
+    val schema = graft.sources.IcebergScan.read(spark, s"$base/f").schema
+    val doomed = parquetFiles(s"$base/f").filter { p =>
+      val st = graft.sources.ParquetStats
+        .statsJson(conf, new org.apache.hadoop.fs.Path(p.toString))
+        .flatMap(graft.sources.ParquetStats.parse)
+      !graft.sources.ParquetStats.mayMatch(st,
+        graft.sources.ParquetStats.predicateExpr(spark, schema,
+          col("id").isin(5L, 7L, 360L)))
+    }
+    assert(doomed.size == 2, s"expected 2 prunable range files, got ${doomed.size}")
+    doomed.foreach(p => Files.delete(p))
+    val (df, d) = CboJoin.planPruned(spark, s"$base/f", s"$base/d",
+      Seq("id" -> "fk"))
+    assert(d.strategy == "runtime-pruned-broadcast", d.reason)
+    assert(d.reason.contains("kept 2/4"), d.reason)
+    assert(physical(df).contains("BroadcastHashJoin"))
+    val got = df.select(col("id"), col("name")).orderBy("id")
+      .as[(Long, String)].collect()
+    assert(got.toSeq == Seq((5L, "a"), (7L, "b"), (360L, "c")))
+  }
+
+  test("runtime filter degrades to min/max range past the key cap") {
+    val base = Files.createTempDirectory("graft_cbo_rt2").toString
+    import spark.implicits._
+    rangedFact(s"$base/f")
+    // dim keys 150..169: 20 distinct — over a cap of 8, the filter
+    // becomes id BETWEEN 150 AND 169, still pruning to 1 of 4 files
+    IcebergWrite.create(spark,
+      (150L until 170L).map(i => (i, s"n$i")).toDF("fk", "name"), s"$base/d")
+    val prev = CboJoin.maxRuntimeFilterKeys
+    try {
+      CboJoin.maxRuntimeFilterKeys = 8
+      val (df, d) = CboJoin.planPruned(spark, s"$base/f", s"$base/d",
+        Seq("id" -> "fk"))
+      assert(d.reason.contains("BETWEEN"), d.reason)
+      assert(d.reason.contains("kept 1/4"), d.reason)
+      assert(df.count() == 20)
+    } finally CboJoin.maxRuntimeFilterKeys = prev
+  }
+
+  test("empty dim prunes the fact scan to nothing") {
+    val base = Files.createTempDirectory("graft_cbo_rt3").toString
+    import spark.implicits._
+    rangedFact(s"$base/f")
+    IcebergWrite.create(spark,
+      Seq((1L, "x")).toDF("fk", "name"), s"$base/d")
+    val (df, d) = CboJoin.planPruned(spark, s"$base/f", s"$base/d",
+      Seq("id" -> "fk"), dimFilter = Some(col("fk") < 0))
+    assert(d.reason.contains("kept 0/4"), d.reason)
+    assert(df.count() == 0)
+  }
+
+  test("runtime pruning over a DELTA fact via add-file stats") {
+    val base = Files.createTempDirectory("graft_cbo_rt4").toString
+    import spark.implicits._
+    val df = spark.range(0, 400)
+      .select(col("id"), (col("id") * 3L).as("v"))
+      .repartitionByRange(4, col("id"))
+    graft.sources.DeltaWrite.create(spark, df, s"$base/f")
+    IcebergWrite.create(spark,
+      Seq((42L, "a"), (350L, "b")).toDF("fk", "name"), s"$base/d")
+    val (out, d) = CboJoin.planPruned(spark, s"$base/f", s"$base/d",
+      Seq("id" -> "fk"))
+    assert(d.reason.contains("kept 2/4"), d.reason)
+    val got = out.select(col("id"), col("name")).orderBy("id")
+      .as[(Long, String)].collect()
+    assert(got.toSeq == Seq((42L, "a"), (350L, "b")))
+  }
+
+  test("left_semi prunes; outer join types are refused loudly") {
+    val base = Files.createTempDirectory("graft_cbo_rt5").toString
+    import spark.implicits._
+    rangedFact(s"$base/f")
+    IcebergWrite.create(spark,
+      Seq((5L, "a"), (360L, "c")).toDF("fk", "name"), s"$base/d")
+    val (semi, d) = CboJoin.planPruned(spark, s"$base/f", s"$base/d",
+      Seq("id" -> "fk"), how = "left_semi")
+    assert(d.reason.contains("kept 2/4"), d.reason)
+    assert(semi.select("id").as[Long].collect().sorted.toSeq == Seq(5L, 360L))
+    val e = intercept[IllegalArgumentException] {
+      CboJoin.planPruned(spark, s"$base/f", s"$base/d",
+        Seq("id" -> "fk"), how = "left")
+    }
+    assert(e.getMessage.contains("sound only"))
+  }
+
+  test("star planner: selectivity order, AND-combined pruning, value check") {
+    val base = Files.createTempDirectory("graft_cbo_star").toString
+    import spark.implicits._
+    rangedFact(s"$base/f")
+    IcebergNdv.analyze(spark, s"$base/f", Seq("id", "k2"))
+    // dA observes 2 of ~400 id keys (fraction ≈ 0.005); dB observes
+    // 5 of 7 k2 keys (fraction ≈ 0.71) — dA must join first
+    IcebergWrite.create(spark,
+      Seq((10L, "da_x"), (320L, "da_y")).toDF("fk", "da_name"), s"$base/dA")
+    IcebergWrite.create(spark,
+      (0L until 5L).map(i => (i, s"db_$i")).toDF("fk", "db_name"), s"$base/dB")
+    val (df, sd) = CboJoin.planStar(spark, s"$base/f", Seq(
+      CboJoin.DimSpec(s"$base/dB", "k2", "fk"),
+      CboJoin.DimSpec(s"$base/dA", "id", "fk")))
+    assert(sd.order == Seq(s"$base/dA", s"$base/dB"), sd.order)
+    assert(sd.fraction(s"$base/dA") < 0.05 && sd.fraction(s"$base/dB") > 0.3,
+      sd.fraction)
+    assert(sd.strategy.values.forall(_ == "broadcast"), sd.strategy)
+    // AND of both domains: id∈{10,320} AND k2∈[0,5) keeps files 1 and 4
+    assert(sd.factFilesKept == 2 && sd.factFilesTotal == 4,
+      (sd.factFilesKept, sd.factFilesTotal))
+    val got = df.select(col("id"), col("da_name"), col("db_name"))
+      .orderBy("id").as[(Long, String, String)].collect()
+    // id=10 → k2=3 → db_3; id=320 → k2=320%7=5 → no dB match (inner)
+    assert(got.toSeq == Seq((10L, "da_x", "db_3")))
+  }
 }
