@@ -257,6 +257,44 @@ object CboJoin {
   private def dedupedDataEntries(planned: IcebergScan.PlannedTable) =
     IcebergScan.dedupedDataEntries(planned)
 
+  /** planning-state stats for a DELTA side: exact live rows from
+    * add-file `stats.numRecords` minus DV cardinalities (the
+    * [[MetaAgg.countDeltaMetaOnly]] arithmetic), priced into memory
+    * as rows × schema row width (the log's add sizes are
+    * parquet-encoded bytes, not broadcast-relation bytes). rows = -1
+    * when some live file lacks stats (a foreign writer) — the side is
+    * unpriceable and callers must never broadcast it on a guess. */
+  private def deltaSideStats(spark: SparkSession, path: String): SideStats = {
+    val st = DeltaScan.liveState(spark, path)
+    val recs = st.files.map(_.stats.flatMap(ParquetStats.parse)
+      .map(_.numRecords).filter(_ >= 0L))
+    val rows =
+      if (recs.forall(_.isDefined))
+        recs.iterator.flatten.sum -
+          st.files.iterator.flatMap(_.dv).map(_.cardinality).sum
+      else -1L
+    val width = st.schema.fields.map(f => keyWidth(f.dataType)).sum
+    SideStats(rows, if (rows < 0L) -1L else rows * width, Map.empty, Map.empty)
+  }
+
+  private def sideStatsAny(spark: SparkSession, path: String): SideStats =
+    if (isDelta(spark, path)) deltaSideStats(spark, path)
+    else sideStats(spark, path)
+
+  /** estimated in-memory broadcast size of one side, or None when the
+    * planning state cannot price it (no manifest bytes, no per-file
+    * stats) — an unpriceable side is never broadcast on a guess */
+  private def memEstAny(spark: SparkSession, path: String,
+      inflation: Double): Option[Long] =
+    if (isDelta(spark, path)) {
+      val s = deltaSideStats(spark, path)
+      if (s.liveBytes < 0L) scala.None else Some(s.liveBytes) // already in-memory-priced
+    } else {
+      val s = sideStats(spark, path)
+      val v = s.liveBytes * inflation
+      Some(if (v > Long.MaxValue.toDouble) Long.MaxValue else v.toLong)
+    }
+
   /** the dim side's OBSERVED key domain as a fact-side filter: an
     * IN-set when the dim has at most [[maxRuntimeFilterKeys]] distinct
     * non-null values on `dimKey`, its [min, max] range past that, and
@@ -290,7 +328,9 @@ object CboJoin {
     * scan's skipping filter (file-level pruning via manifest bounds /
     * Delta add-file stats / partition-transform ranges) AND into a row
     * predicate (parquet row-group pruning + codegen'd residual), then
-    * broadcast the dim. Sound for `inner` and `left_semi` only — the
+    * join — broadcasting the dim when planning state prices it inside
+    * the budget, shuffled otherwise. Sound for `inner` and `left_semi`
+    * only — the
     * join types where a fact row that cannot match never reaches the
     * output. Works on Iceberg and Delta paths alike (dispatch by
     * `_delta_log` presence).
@@ -317,12 +357,19 @@ object CboJoin {
     val kept = fact.inputFiles.length
     val dimB = dim.alias("__r")
     val cond = keys.map { case (fk, dk) => fact(fk) === dimB(dk) }.reduce(_ && _)
-    val out = fact.join(broadcast(dimB), cond, how)
-    val stats = Seq(factPath, dimPath).map { p =>
-      if (isDelta(spark, p)) SideStats(-1L, -1L, Map.empty, Map.empty)
-      else sideStats(spark, p)
-    }
-    (out, Decision("runtime-pruned-broadcast",
+    // the dim broadcasts only when planning state PRICES it inside the
+    // budget (a capped key domain bounds distinct keys, not dim rows
+    // or width); an unpriceable or oversized dim joins shuffled — the
+    // runtime pruning already happened either way, and AQE may still
+    // convert at execution
+    val dimFits = memEstAny(spark, dimPath, DefaultInflation)
+      .exists(_ <= maxBroadcastBytes)
+    val out =
+      if (dimFits) fact.join(broadcast(dimB), cond, how)
+      else fact.join(dimB, cond, how)
+    val stats = Seq(factPath, dimPath).map(p => sideStatsAny(spark, p))
+    (out, Decision(
+      if (dimFits) "runtime-pruned-broadcast" else "runtime-pruned-shuffle",
       s"fact files kept $kept/$total; " + domains.map(_._2).mkString("; "),
       stats.head, stats.last, scala.None))
   }
@@ -392,12 +439,7 @@ object CboJoin {
       // resolve the fact key by EXPRESSION ID through the join chain —
       // a dim sharing the key's name must not make it ambiguous
       val cond = factAliased(d.factKey) === dimB(d.dimKey)
-      val fits =
-        if (isDelta(spark, d.path)) true // no manifest price — trust smallness
-        else {
-          val est = sideStats(spark, d.path).liveBytes * inflation
-          est <= broadcastBytes.toDouble
-        }
+      val fits = memEstAny(spark, d.path, inflation).exists(_ <= broadcastBytes)
       acc =
         if (fits) { strategies(d.path) = "broadcast"; acc.join(broadcast(dimB), cond, "inner") }
         else { strategies(d.path) = "shuffle"; acc.join(dimB, cond, "inner") }

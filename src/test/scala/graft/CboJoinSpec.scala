@@ -223,6 +223,30 @@ class CboJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("sound only"))
   }
 
+  test("pruned join prices the dim: over-budget dim joins shuffled, Delta dim priced from stats") {
+    val base = Files.createTempDirectory("graft_cbo_rt6").toString
+    import spark.implicits._
+    rangedFact(s"$base/f")
+    // Delta dim: rows from add-file numRecords × schema width prices it
+    graft.sources.DeltaWrite.create(spark,
+      Seq((5L, "a"), (360L, "c")).toDF("fk", "name"), s"$base/d")
+    val (df, d) = CboJoin.planPruned(spark, s"$base/f", s"$base/d",
+      Seq("id" -> "fk"))
+    assert(d.strategy == "runtime-pruned-broadcast", d.reason)
+    assert(d.right.rows == 2, d.right) // exact from Delta stats
+    assert(physical(df).contains("BroadcastHashJoin"))
+    // a budget of 1 byte refuses the broadcast; pruning still happens
+    val prev = CboJoin.maxBroadcastBytes
+    try {
+      CboJoin.maxBroadcastBytes = 1L
+      val (df2, d2) = CboJoin.planPruned(spark, s"$base/f", s"$base/d",
+        Seq("id" -> "fk"))
+      assert(d2.strategy == "runtime-pruned-shuffle", d2.reason)
+      assert(d2.reason.contains("kept 2/4"), d2.reason)
+      assert(df2.count() == 2)
+    } finally CboJoin.maxBroadcastBytes = prev
+  }
+
   test("star planner: selectivity order, AND-combined pruning, value check") {
     val base = Files.createTempDirectory("graft_cbo_star").toString
     import spark.implicits._
