@@ -1917,6 +1917,31 @@ object SparkEntry {
         .df
     }),
 
+    // ICEBERG REST CATALOG COMMIT (the CommitTableRequest flow of the
+    // public REST spec): half the table lands at create, the other
+    // half commits THROUGH the catalog — requirements pin the base
+    // (assert-table-uuid + assert-ref-snapshot-id main), updates carry
+    // add-snapshot/set-snapshot-ref, the fixture validates every shape
+    // and 409s violations (IcebergCatalogCommitSpec proves the race
+    // and the live-socket loopback). The catalog-resolved read then
+    // sees the union — plain GROUP BY semantics, SQL-oracled.
+    "q_iceberg_catalog_commit" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_catcommit_gate").toString + "/t"
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.IcebergWrite.create(s,
+        docs.filter(col("doc_id") % 2 === 0), root)
+      val (conn, _) = graft.sources.IcebergCatalogFixture.oneTableConnection(
+        s.sparkContext.hadoopConfiguration, root, Seq("corpus"), "t")
+      graft.sources.IcebergCatalog.commitAppend(s, conn, "corpus.t",
+        docs.filter(col("doc_id") % 2 === 1))
+      graft.sources.IcebergCatalog.read(s, conn, "corpus.t")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_len"))
+        .orderBy("lang")
+    }),
+
     // REST-SQL warehouse backends on recorded HTTP bytes (the
     // reference's Snowflake/Databricks clients): typed materialization
     // from resultSetMetaData for Snowflake; the poll loop + presigned
@@ -5467,6 +5492,13 @@ object SparkEntry {
     "q_iceberg_catalog" ->
       """SELECT doc_id, lang FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+
+    // the catalog-committed halves union back to the whole table —
+    // the commit protocol is wire-level, value-invisible
+    "q_iceberg_catalog_commit" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(LENGTH(text) AS BIGINT)) AS BIGINT) AS sum_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_gsheet_scan" ->
       """SELECT * FROM (VALUES
