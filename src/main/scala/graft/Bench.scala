@@ -193,7 +193,16 @@ object Bench {
     // same-commit water-mark advance)
     "q_meta_agg", "q_meta_partcount", "q_delta_merge_evolve",
     "q_iceberg_merge_evolve", "q_delta_identity", "q_default_cols",
-    "q_delta_cdf_files", "q_delta_cdc_apply")
+    "q_delta_cdf_files", "q_delta_cdc_apply",
+    // round 11: stats-driven join planning (manifest bytes/NDV pick
+    // the strategy), runtime-pruned star joins (dim key domains prune
+    // fact files before any task launches), the two-dim star planner
+    // (selectivity-ordered, AND-combined pruning), the metadata-only
+    // aggregate REWRITE (plan-time, zero data files), and the REST
+    // catalog commit round trip (create half + catalog-committed half
+    // + catalog-resolved read)
+    "q_join_cbo", "q_join_prune", "q_join_star", "q_meta_rewrite",
+    "q_iceberg_catalog_commit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -144,6 +144,38 @@ object BenchSf1 {
     (all, day)
   }
 
+  /** round-11 pruning assertion one order up: a 100-key dim domain
+    * over an sf1 range-clustered fact must plan a small fraction of
+    * the fact's files — runtime join pruning (the DPP analogue for
+    * path-addressed scans) must not decay with volume. Returns
+    * (filesTotal, filesKept). */
+  private def runtimePruneProbe(spark: SparkSession, sf1: String): (Int, Int) = {
+    import graft.sources.{CboJoin, IcebergWrite}
+    val base = s"$sf1/_rtprune_probe"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/f/metadata/version-hint.text"))) {
+      val ev = spark.read.parquet(s"$sf1/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .repartitionByRange(64, col("event_id"))
+      IcebergWrite.create(spark, ev, s"$base/f")
+      val ids = spark.read.parquet(s"$sf1/events.parquet")
+        .select(col("event_id").as("eid")).orderBy("eid").limit(100)
+      IcebergWrite.create(spark, ids, s"$base/d")
+    }
+    val (df, d) = CboJoin.planPruned(spark, s"$base/f", s"$base/d",
+      Seq("event_id" -> "eid"))
+    val m = "kept (\\d+)/(\\d+)".r.findFirstMatchIn(d.reason).getOrElse(
+      throw new IllegalStateException(s"no file counts in '${d.reason}'"))
+    val (kept, total) = (m.group(1).toInt, m.group(2).toInt)
+    require(df.count() == 100L,
+      s"runtime-pruned probe join returned ${df.count()} rows, expected 100")
+    require(kept > 0 && kept.toDouble / total < 0.2,
+      s"sf1 runtime pruning decayed: kept $kept of $total fact files for " +
+        "a 100-key one-range dim domain")
+    (total, kept)
+  }
+
   private def timeOne(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, dir).count()
@@ -209,6 +241,11 @@ object BenchSf1 {
     System.err.println(f"[bench-sf1] transform skip probe: one-day filter plans " +
       f"$skipDay of $skipAll files (${skipDay.toDouble / skipAll}%.3f)")
 
+    // runtime join pruning must hold at sf1 too — same contract
+    val (pruneAll, pruneKept) = runtimePruneProbe(spark, sf1)
+    System.err.println(f"[bench-sf1] runtime prune probe: 100-key dim domain keeps " +
+      f"$pruneKept of $pruneAll fact files (${pruneKept.toDouble / pruneAll}%.3f)")
+
     def j(rs: Seq[(String, Double, Double, Double, Seq[String])]): String =
       rs.map { case (n, a, b, r, l) =>
         val lintJ = l.map(s => "\"" + s + "\"").mkString("[", ",", "]")
@@ -218,7 +255,8 @@ object BenchSf1 {
       f"""{"metric":"sf1_total","value":${rows.map(_._3).sum}%.3f,"unit":"sec","copies":$Copies,""" +
         f""""reps":$reps,"stalls":${Bench.stallCount.get()},""" +
         f""""stall_sec":${Bench.stallNanos.get() / 1e9}%.1f,"cal_sec":$calSec%.3f,""" +
-        f""""transform_skip":{"files":$skipAll,"planned_one_day":$skipDay},"queries":${j(rows)}}"""
+        f""""transform_skip":{"files":$skipAll,"planned_one_day":$skipDay},""" +
+        f""""runtime_prune":{"files":$pruneAll,"kept":$pruneKept},"queries":${j(rows)}}"""
     try {
       val w = new java.io.PrintWriter(new java.io.File("BENCH_SF1.json"), "UTF-8")
       try w.println(line) finally w.close()
