@@ -281,6 +281,11 @@ object CboJoin {
     if (isDelta(spark, path)) deltaSideStats(spark, path)
     else sideStats(spark, path)
 
+  /** bound on the per-file FS stat calls the Delta pricing cross-check
+    * may issue — a table with more live files than this and a small
+    * row estimate stays unpriceable rather than un-bounded */
+  private val MaxPricingStatFiles = 4096
+
   /** estimated in-memory broadcast size of one side, or None when the
     * planning state cannot price it (no manifest bytes, no per-file
     * stats) — an unpriceable side is never broadcast on a guess */
@@ -288,35 +293,60 @@ object CboJoin {
       inflation: Double): Option[Long] =
     if (isDelta(spark, path)) {
       val s = deltaSideStats(spark, path)
-      if (s.liveBytes < 0L) scala.None else Some(s.liveBytes) // already in-memory-priced
+      // rows × schema width UNDERESTIMATES text-heavy rows (strings
+      // price at a fixed guess); cross-check against the actual
+      // parquet bytes × inflation — take the max — with the FS stat
+      // calls bounded by file count
+      if (s.liveBytes < 0L) scala.None
+      else {
+        val st = DeltaScan.liveState(spark, path)
+        if (st.files.size > MaxPricingStatFiles) scala.None
+        else {
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val parquetBytes = st.files.map(f =>
+            fs.getFileStatus(new org.apache.hadoop.fs.Path(f.path)).getLen).sum
+          val inflated = parquetBytes * inflation
+          val cross = if (inflated > Long.MaxValue.toDouble) Long.MaxValue
+            else inflated.toLong
+          Some(math.max(s.liveBytes, cross))
+        }
+      }
     } else {
       val s = sideStats(spark, path)
       val v = s.liveBytes * inflation
       Some(if (v > Long.MaxValue.toDouble) Long.MaxValue else v.toLong)
     }
 
-  /** the dim side's OBSERVED key domain as a fact-side filter: an
-    * IN-set when the dim has at most [[maxRuntimeFilterKeys]] distinct
+  /** the dim side's OBSERVED key domain as a pair of filters — one on
+    * the FACT key (for the skipping filter + row predicate) and the
+    * same domain on the DIM key (re-applied to the join-side dim so
+    * both sides agree on the domain even if the dim re-evaluates
+    * nondeterministically between the collect and the join — the
+    * consistency Spark's own DPP gets from exchange reuse): an IN-set
+    * when the dim has at most [[maxRuntimeFilterKeys]] distinct
     * non-null values on `dimKey`, its [min, max] range past that, and
     * `false` for an empty dim (the fact scan prunes to nothing). Every
-    * variant keeps a SUPERSET of the fact rows that can equi-match, so
-    * inner/semi results are bit-identical to the unpruned join; NULL
-    * fact keys never equi-match and may drop. */
+    * variant keeps a SUPERSET of the fact rows that can equi-match the
+    * domain-restricted dim, so inner/semi results are bit-identical to
+    * the unpruned join of the same sides; NULL fact keys never
+    * equi-match and may drop. */
   private def keyDomainFilter(dim: DataFrame, factKey: String,
-      dimKey: String): (Column, String, Long) = {
+      dimKey: String): (Column, Column, String, Long) = {
     val vals = dim.select(col(dimKey)).where(col(dimKey).isNotNull)
       .distinct().limit(maxRuntimeFilterKeys + 1)
       .collect() // [lint:bounded] limit caps the collect at maxRuntimeFilterKeys+1 rows
       .map(_.get(0))
     if (vals.isEmpty)
-      (lit(false), s"$factKey: dim side is empty", 0L)
+      (lit(false), lit(false), s"$factKey: dim side is empty", 0L)
     else if (vals.length <= maxRuntimeFilterKeys)
-      (col(factKey).isin(vals.toSeq: _*),
+      (col(factKey).isin(vals.toSeq: _*), col(dimKey).isin(vals.toSeq: _*),
         s"$factKey IN {${vals.length} dim keys}", vals.length.toLong)
     else {
       val mm = dim.agg(min(col(dimKey)), max(col(dimKey)))
         .head() // [lint:bounded] single-row global aggregate
       (col(factKey) >= lit(mm.get(0)) && col(factKey) <= lit(mm.get(1)),
+        col(dimKey) >= lit(mm.get(0)) && col(dimKey) <= lit(mm.get(1)),
         s"$factKey BETWEEN ${mm.get(0)} AND ${mm.get(1)} " +
           s"(dim exceeds $maxRuntimeFilterKeys distinct)",
         vals.length.toLong)
@@ -355,13 +385,17 @@ object CboJoin {
     val total = countDataFiles(spark, factPath)
     val fact = readAny(spark, factPath, Some(filter)).where(filter).alias("__l")
     val kept = fact.inputFiles.length
-    val dimB = dim.alias("__r")
+    // the join-side dim carries the SAME domain restriction the fact
+    // filter was derived from — see keyDomainFilter's consistency note
+    val dimB = dim.where(domains.map(_._2).reduce(_ && _)).alias("__r")
     val cond = keys.map { case (fk, dk) => fact(fk) === dimB(dk) }.reduce(_ && _)
     // the dim broadcasts only when planning state PRICES it inside the
     // budget (a capped key domain bounds distinct keys, not dim rows
     // or width); an unpriceable or oversized dim joins shuffled — the
     // runtime pruning already happened either way, and AQE may still
-    // convert at execution
+    // convert at execution. Pricing reads the UNFILTERED table's
+    // planning state, so a dimFilter only ever makes the true side
+    // smaller than priced — conservative, never optimistic
     val dimFits = memEstAny(spark, dimPath, DefaultInflation)
       .exists(_ <= maxBroadcastBytes)
     val out =
@@ -370,7 +404,7 @@ object CboJoin {
     val stats = Seq(factPath, dimPath).map(p => sideStatsAny(spark, p))
     (out, Decision(
       if (dimFits) "runtime-pruned-broadcast" else "runtime-pruned-shuffle",
-      s"fact files kept $kept/$total; " + domains.map(_._2).mkString("; "),
+      s"fact files kept $kept/$total; " + domains.map(_._3).mkString("; "),
       stats.head, stats.last, scala.None))
   }
 
@@ -399,9 +433,13 @@ object CboJoin {
     *     filter, so only fact files that can match EVERY dim open.
     *  2. **join ORDER** — dims join most-selective-first, ranked by
     *     the containment estimate |dim keys| / NDV(fact key) (from
-    *     ANALYZE stats; unANALYZEd keys rank last at 1.0). Catalyst
-    *     reorders only plans whose sizes it can see; these scans are
-    *     opaque to it, so the ordering must happen here.
+    *     ANALYZE stats; unANALYZEd keys rank last at 1.0; a domain
+    *     past [[maxRuntimeFilterKeys]] counts the capped observation,
+    *     so two very-unselective dims rank equal and keep their given
+    *     order — selectivity ordering matters precisely when domains
+    *     are small). Catalyst reorders only plans whose sizes it can
+    *     see; these scans are opaque to it, so the ordering must
+    *     happen here.
     *  3. **broadcast by stats** — each dim broadcasts when its
     *     manifest-priced in-memory estimate fits the budget, else
     *     falls back to a shuffled join (AQE may still convert).
@@ -419,12 +457,14 @@ object CboJoin {
     val evaluated = dims.map { d =>
       val dim0 = readAny(spark, d.path, scala.None)
       val dim = d.filter.map(dim0.where).getOrElse(dim0)
-      val (domainF, desc, observed) = keyDomainFilter(dim, d.factKey, d.dimKey)
+      val (domainF, dimF, desc, observed) = keyDomainFilter(dim, d.factKey, d.dimKey)
       val fraction = factNdv.get(d.factKey) match {
         case Some(n) if n > 0 => math.min(1.0, observed.toDouble / n)
         case _ => 1.0
       }
-      (d, dim, domainF, desc, fraction)
+      // join-side dim restricted to its own observed domain — see
+      // keyDomainFilter's consistency note
+      (d, dim.where(dimF), domainF, desc, fraction)
     }
     val ordered = evaluated.sortBy { case (_, _, _, _, fr) => fr }
     val skipping = ordered.map(_._3).reduce(_ && _)

@@ -91,6 +91,40 @@ object IcebergCatalog {
   def read(spark: SparkSession, conn: Connection, table: String): DataFrame =
     IcebergScan.readAtMetadata(spark, loadTable(conn, table).metadataLocation)
 
+  /** REGISTER an existing (client-written) table with the catalog —
+    * `POST /v1/{prefix}/namespaces/{ns}/register` with the spec's
+    * RegisterTableRequest `{name, metadata-location}`. The natural
+    * entry into the catalog lifecycle for tables this library already
+    * writes path-addressed: create locally ([[IcebergWrite.create]]),
+    * register the resulting metadata file, then read/commit through
+    * the catalog. Returns the LoadTableResult's metadata-location
+    * (servers may rewrite it). */
+  def registerTable(conn: Connection, namespace: Seq[String], name: String,
+      metadataLocation: String): String = {
+    require(namespace.nonEmpty, "register needs a namespace")
+    val req = mapper.createObjectNode()
+    req.put("name", name)
+    req.put("metadata-location", metadataLocation)
+    val prefix = configPrefix(conn).map(p => s"${p.stripSuffix("/")}/").getOrElse("")
+    val url = s"${conn.uri.stripSuffix("/")}/v1/$prefix" +
+      s"namespaces/${nsPath(namespace)}/register"
+    val r = conn.transport.request("POST", url,
+      headers(conn) + ("Content-Type" -> "application/json"),
+      Some(mapper.writeValueAsString(req).getBytes("UTF-8")))
+    r.status match {
+      case 200 =>
+        val node = mapper.readTree(r.body)
+        Option(node.get("metadata-location")).map(_.asText())
+          .filter(_.nonEmpty).getOrElse(metadataLocation)
+      case 409 => throw new IllegalStateException(
+        s"register(${namespace.mkString(".")}.$name) conflicts: a table " +
+          s"with that identifier already exists (409): ${r.text.take(300)}")
+      case s => throw new IllegalStateException(
+        s"register(${namespace.mkString(".")}.$name) failed: HTTP $s: " +
+          r.text.take(300))
+    }
+  }
+
   // ---------------------------------------------------------------------
   // commit path — the CommitTableRequest flow of the public REST spec
   // ---------------------------------------------------------------------
@@ -114,7 +148,9 @@ object IcebergCatalog {
     * means the catalog saw a concurrent commit — surfaced as
     * [[java.util.ConcurrentModificationException]], the same contract
     * as the directory CAS, and the staged snapshot is left for the
-    * caller to retry against the rebased head.
+    * caller to retry against the rebased head. A TORN commit (append
+    * staged, POST lost) leaves the directory ahead of the catalog;
+    * [[publishDirectoryHead]] is the recovery.
     *
     * The flow requires the catalog head and the directory head to
     * AGREE before staging (else the append would chain from a
@@ -159,6 +195,53 @@ object IcebergCatalog {
     IcebergWrite.append(spark, df, root)
     val newV = IcebergWrite.readUtf8(fs, hint).trim.toInt
     val newMetaPath = s"$root/metadata/v$newV.metadata.json"
+    postPointerAdvance(conn, table, parts, fs, uuid, baseSnap, newMetaPath)
+  }
+
+  /** RECOVERY for a torn commit: the staged append landed in table
+    * storage (the directory CAS won) but the catalog POST never
+    * succeeded, so [[commitAppend]] now refuses with "heads disagree".
+    * This publishes the directory head to the catalog without writing
+    * any data: requirements still pin the catalog's CURRENT main (a
+    * concurrent adoption 409s), the update adds the directory head's
+    * snapshot and re-points main at it. The staged metadata carries
+    * the full snapshot history (client-written model), so intermediate
+    * snapshots stay time-travelable. */
+  def publishDirectoryHead(spark: SparkSession, conn: Connection,
+      table: String): CommitResult = {
+    val parts = table.split('.').toSeq
+    require(parts.size >= 2,
+      s"table identifier '$table' needs at least namespace.name")
+    val loaded = loadTable(conn, table)
+    val conf = spark.sessionState.newHadoopConf()
+    val metaP = new org.apache.hadoop.fs.Path(loaded.metadataLocation)
+    val fs = metaP.getFileSystem(conf)
+    val baseMeta = mapper.readTree(IcebergWrite.readUtf8(fs, metaP))
+    val root = Option(baseMeta.get("location")).map(_.asText())
+      .filter(_.nonEmpty)
+      .getOrElse(metaP.getParent.getParent.toString)
+    val baseSnap = Option(baseMeta.get("current-snapshot-id"))
+      .map(_.asLong()).filter(_ != -1L)
+    val uuid = Option(baseMeta.get("table-uuid")).map(_.asText())
+    val hint = new org.apache.hadoop.fs.Path(root, "metadata/version-hint.text")
+    require(fs.exists(hint), s"no version hint at $root — nothing staged")
+    val dirV = IcebergWrite.readUtf8(fs, hint).trim.toInt
+    val dirMetaPath = s"$root/metadata/v$dirV.metadata.json"
+    val dirSnap = Option(mapper.readTree(IcebergWrite.readUtf8(fs,
+        new org.apache.hadoop.fs.Path(dirMetaPath)))
+      .get("current-snapshot-id")).map(_.asLong()).filter(_ != -1L)
+    require(dirSnap != baseSnap,
+      s"catalog and directory agree at $baseSnap — nothing to publish")
+    postPointerAdvance(conn, table, parts, fs, uuid, baseSnap, dirMetaPath)
+  }
+
+  /** shared tail of [[commitAppend]]/[[publishDirectoryHead]]: build
+    * the CommitTableRequest for "advance main from `baseSnap` to the
+    * head of `newMetaPath`" and POST it */
+  private def postPointerAdvance(conn: Connection, table: String,
+      parts: Seq[String], fs: org.apache.hadoop.fs.FileSystem,
+      uuid: Option[String], baseSnap: Option[Long],
+      newMetaPath: String): CommitResult = {
     val newMeta = mapper.readTree(IcebergWrite.readUtf8(fs,
       new org.apache.hadoop.fs.Path(newMetaPath)))
     val newSnapId = newMeta.get("current-snapshot-id").asLong()

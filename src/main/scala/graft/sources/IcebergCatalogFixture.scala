@@ -26,7 +26,8 @@ object IcebergCatalogFixture {
   private val mapper = new ObjectMapper()
 
   final class OneTableCatalog(conf: Configuration, tableRoot: String,
-      namespace: Seq[String], name: String) extends RestSql.Transport {
+      namespace: Seq[String], name: String,
+      registered: Boolean = true) extends RestSql.Transport {
 
     private val fs = new Path(tableRoot).getFileSystem(conf)
 
@@ -36,14 +37,21 @@ object IcebergCatalogFixture {
       s"$tableRoot/metadata/v$v.metadata.json"
     }
 
-    /** the catalog's pointer — starts at the directory head at
-      * construction (registration), advances only through commits */
-    @volatile private var served: String = dirHeadMetaPath()
+    /** the catalog's pointer — at the directory head when constructed
+      * `registered`, absent until a `register` POST otherwise;
+      * advances only through commits */
+    @volatile private var servedOpt: Option[String] =
+      if (registered) Some(dirHeadMetaPath()) else scala.None
 
     /** test seam: simulate a concurrent writer advancing the catalog */
-    def pointAt(metadataLocation: String): Unit = served = metadataLocation
+    def pointAt(metadataLocation: String): Unit = servedOpt = Some(metadataLocation)
 
-    def servedLocation: String = served
+    def servedLocation: String = servedOpt.getOrElse(
+      throw new IllegalStateException("table not registered"))
+
+    def isRegistered: Boolean = servedOpt.isDefined
+
+    private def served: String = servedLocation
 
     private def servedMeta() =
       mapper.readTree(IcebergWrite.readUtf8(fs, new Path(served)))
@@ -72,12 +80,32 @@ object IcebergCatalogFixture {
         case ("GET", p) if p.endsWith("/v1/config") || p.contains("/v1/config?") =>
           json(200, """{"defaults":{},"overrides":{"prefix":"fixture"}}""")
         case ("GET", p) if p == s"/v1/fixture/$tableUrlSuffix" =>
-          json(200, loadTableBody())
+          if (servedOpt.isEmpty)
+            json(404, s"""{"error":{"message":"table $name not found","type":"NoSuchTableException","code":404}}""")
+          else json(200, loadTableBody())
         case ("POST", p) if p == s"/v1/fixture/$tableUrlSuffix" =>
-          commit(body.getOrElse(Array.emptyByteArray))
+          if (servedOpt.isEmpty)
+            json(404, s"""{"error":{"message":"table $name not found","type":"NoSuchTableException","code":404}}""")
+          else commit(body.getOrElse(Array.emptyByteArray))
+        case ("POST", p) if p == s"/v1/fixture/namespaces/${namespace.mkString("%1F")}/register" =>
+          register(body.getOrElse(Array.emptyByteArray))
         case _ =>
           json(404, s"""{"error":{"message":"no route $method $path","type":"NoSuchRoute","code":404}}""")
       }
+    }
+
+    private def register(bodyBytes: Array[Byte]): RestSql.Response = {
+      val req = mapper.readTree(bodyBytes)
+      val n = Option(req.get("name")).map(_.asText()).getOrElse("")
+      val loc = Option(req.get("metadata-location")).map(_.asText()).getOrElse("")
+      if (n != name)
+        return json(404, s"""{"error":{"message":"namespace has no slot for table $n","type":"NoSuchTableException","code":404}}""")
+      if (servedOpt.isDefined)
+        return json(409, s"""{"error":{"message":"table $name already exists","type":"AlreadyExistsException","code":409}}""")
+      if (loc.isEmpty || !fs.exists(new Path(loc)))
+        return json(400, s"""{"error":{"message":"metadata-location '$loc' unreadable","type":"BadRequest","code":400}}""")
+      servedOpt = Some(loc)
+      json(200, loadTableBody())
     }
 
     private def commit(bodyBytes: Array[Byte]): RestSql.Response = {
@@ -126,7 +154,7 @@ object IcebergCatalogFixture {
       val staged = mapper.readTree(IcebergWrite.readUtf8(fs, new Path(stagedPath)))
       if (staged.get("current-snapshot-id").asLong() != added.get)
         return json(409, s"""{"error":{"message":"staged metadata head ${staged.get("current-snapshot-id").asLong()} is not the committed snapshot ${added.get}","type":"CommitFailedException","code":409}}""")
-      served = stagedPath
+      servedOpt = Some(stagedPath)
       json(200, loadTableBody())
     }
   }
@@ -135,8 +163,9 @@ object IcebergCatalogFixture {
     * catalog; returns the connection and the server (for test seams) */
   def oneTableConnection(conf: Configuration, tableRoot: String,
       namespace: Seq[String], name: String,
-      uri: String = "https://catalog.fixture"): (IcebergCatalog.Connection, OneTableCatalog) = {
-    val server = new OneTableCatalog(conf, tableRoot, namespace, name)
+      uri: String = "https://catalog.fixture",
+      registered: Boolean = true): (IcebergCatalog.Connection, OneTableCatalog) = {
+    val server = new OneTableCatalog(conf, tableRoot, namespace, name, registered)
     (IcebergCatalog.Connection(uri, transport = server), server)
   }
 }

@@ -92,6 +92,40 @@ class IcebergCatalogCommitSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("disagree"))
     assert(server.servedLocation.endsWith("v1.metadata.json"))
+    // torn-commit recovery: publish the directory head, then commit
+    val pub = IcebergCatalog.publishDirectoryHead(spark, conn, "corpus.t")
+    assert(server.servedLocation == pub.newMetadataLocation)
+    assert(IcebergCatalog.read(spark, conn, "corpus.t").count() == 3)
+    IcebergCatalog.commitAppend(spark, conn, "corpus.t",
+      Seq((6L, "f")).toDF("id", "v"))
+    assert(IcebergCatalog.read(spark, conn, "corpus.t").count() == 4)
+    // agreement → nothing to publish, loudly
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergCatalog.publishDirectoryHead(spark, conn, "corpus.t")
+    }
+    assert(e2.getMessage.contains("nothing to publish"))
+  }
+
+  test("register: 404 before, read/commit after, 409 on re-register") {
+    val root = mkTable()
+    val (conn, server) = IcebergCatalogFixture.oneTableConnection(
+      hconf, root, Seq("corpus"), "t", registered = false)
+    assert(!server.isRegistered)
+    intercept[IllegalArgumentException] { // loadTable 404 fails loudly
+      IcebergCatalog.read(spark, conn, "corpus.t")
+    }
+    val metaLoc = s"$root/metadata/v1.metadata.json"
+    assert(IcebergCatalog.registerTable(conn, Seq("corpus"), "t", metaLoc) == metaLoc)
+    assert(server.isRegistered)
+    assert(IcebergCatalog.read(spark, conn, "corpus.t").count() == 2)
+    // the registered table commits through the catalog like any other
+    IcebergCatalog.commitAppend(spark, conn, "corpus.t",
+      Seq((3L, "c")).toDF("id", "v"))
+    assert(IcebergCatalog.read(spark, conn, "corpus.t").count() == 3)
+    val e = intercept[IllegalStateException] {
+      IcebergCatalog.registerTable(conn, Seq("corpus"), "t", metaLoc)
+    }
+    assert(e.getMessage.contains("409"))
   }
 
   test("live HTTP loopback: the same client over real sockets") {
