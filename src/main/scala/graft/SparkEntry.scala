@@ -2079,6 +2079,44 @@ object SparkEntry {
         .orderBy("col_name")
     }),
 
+    // DELTA ANALYZE (the Iceberg-statistics twin): per-column HLL NDV
+    // sketches recorded transactionally in a graft.statistics domain-
+    // metadata action, VERSION-SCOPED — a later data commit must
+    // invalidate (asserted loudly mid-gate), a re-ANALYZE serves
+    // again. Estimates are checked against exact distinct counts at
+    // ±2%; the planners consume the NDV through CboJoin.sideStats.
+    "q_delta_ndv" -> ((s, dir) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_delta_ndv_gate").toString + "/t"
+      val docs = t(s, dir, "documents").df.select("doc_id", "lang", "text")
+      graft.sources.DeltaWrite.create(s, docs, base)
+      val exact = graft.sources.DeltaScan.read(s, base)
+        .agg(countDistinct(col("doc_id")).as("d"),
+          countDistinct(col("lang")).as("l")).head()
+      val stats = graft.sources.DeltaNdv.analyze(s, base, Seq("doc_id", "lang"))
+        .map(st => st.column -> st.ndv).toMap
+      // version scoping: a data commit invalidates, re-ANALYZE restores
+      graft.sources.DeltaWrite.deleteWhere(s, base, col("doc_id") % 10 === 0)
+      require(graft.sources.DeltaNdv.tableStatistics(s, base).isEmpty,
+        "stale ANALYZE stats served after a data commit")
+      val after = graft.sources.DeltaNdv.analyze(s, base, Seq("doc_id"))
+        .map(st => st.column -> st.ndv).toMap
+      require(graft.sources.DeltaNdv.tableStatistics(s, base).nonEmpty,
+        "re-ANALYZE must serve current stats")
+      val exactAfter = graft.sources.DeltaScan.read(s, base)
+        .agg(countDistinct(col("doc_id"))).head().getLong(0)
+      import s.implicits._
+      Seq(
+        ("doc_id", exact.getLong(0),
+          math.abs(stats("doc_id") - exact.getLong(0)) <= exact.getLong(0) / 50 + 1),
+        ("doc_id_after_delete", exactAfter,
+          math.abs(after("doc_id") - exactAfter) <= exactAfter / 50 + 1),
+        ("lang", exact.getLong(1),
+          math.abs(stats("lang") - exact.getLong(1)) <= exact.getLong(1) / 50 + 1))
+        .toDF("col_name", "exact_ndv", "estimate_ok")
+        .orderBy("col_name")
+    }),
+
     // PARTITION STATISTICS file: per-partition record counts computed
     // from manifest planning metadata only (no data scan), registered
     // under the spec's partition-statistics field — the counts must
@@ -5602,6 +5640,18 @@ object SparkEntry {
       """SELECT doc_id, lang, text FROM documents
         |WHERE doc_id % 3 <> 0
         |ORDER BY doc_id""".stripMargin,
+
+    // the Delta ANALYZE estimates are gated against exact distincts
+    // (±2% flag computed Spark-side; the oracle pins the exacts and
+    // expects every flag TRUE)
+    "q_delta_ndv" ->
+      """SELECT col_name, exact_ndv, TRUE AS estimate_ok FROM (
+        |  SELECT 'doc_id' AS col_name, count(DISTINCT doc_id) AS exact_ndv FROM documents
+        |  UNION ALL
+        |  SELECT 'doc_id_after_delete', count(DISTINCT doc_id) FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT 'lang', count(DISTINCT lang) FROM documents
+        |) ORDER BY col_name""".stripMargin,
 
     "q_delta_dv" ->
       """SELECT doc_id, lang, text FROM documents

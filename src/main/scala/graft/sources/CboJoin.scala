@@ -261,7 +261,8 @@ object CboJoin {
     * add-file `stats.numRecords` minus DV cardinalities (the
     * [[MetaAgg.countDeltaMetaOnly]] arithmetic), priced into memory
     * as rows × schema row width (the log's add sizes are
-    * parquet-encoded bytes, not broadcast-relation bytes). rows = -1
+    * parquet-encoded bytes, not broadcast-relation bytes), and NDV
+    * from the [[DeltaNdv]] ANALYZE domain when current. rows = -1
     * when some live file lacks stats (a foreign writer) — the side is
     * unpriceable and callers must never broadcast it on a guess. */
   private def deltaSideStats(spark: SparkSession, path: String): SideStats = {
@@ -274,7 +275,9 @@ object CboJoin {
           st.files.iterator.flatMap(_.dv).map(_.cardinality).sum
       else -1L
     val width = st.schema.fields.map(f => keyWidth(f.dataType)).sum
-    SideStats(rows, if (rows < 0L) -1L else rows * width, Map.empty, Map.empty)
+    val ndv = DeltaNdv.tableStatistics(spark, path)
+      .map(_.map(c => c.column -> c.ndv).toMap).getOrElse(Map.empty)
+    SideStats(rows, if (rows < 0L) -1L else rows * width, ndv, Map.empty)
   }
 
   private def sideStatsAny(spark: SparkSession, path: String): SideStats =
@@ -450,9 +453,7 @@ object CboJoin {
       broadcastBytes: Long = maxBroadcastBytes,
       inflation: Double = DefaultInflation): (DataFrame, StarDecision) = {
     require(dims.nonEmpty, "star join needs at least one dimension")
-    val factNdv: Map[String, Long] =
-      if (isDelta(spark, factPath)) Map.empty
-      else sideStats(spark, factPath).ndv
+    val factNdv: Map[String, Long] = sideStatsAny(spark, factPath).ndv
     // evaluate each dim once: filtered frame + key domain + fraction
     val evaluated = dims.map { d =>
       val dim0 = readAny(spark, d.path, scala.None)

@@ -766,6 +766,27 @@ object DeltaWrite {
 
   private[sources] val ClusteringDomain = "delta.clustering"
 
+  /** commit ONE domain-metadata action at an EXPLICIT version (with
+    * the domainMetadata protocol gate) — the transactional
+    * table-scoped key-value channel clustering uses, reused by the
+    * graft ANALYZE stats ([[DeltaNdv]]). Pinning the version makes
+    * read-compute-commit flows exact: a concurrent commit taking the
+    * slot fails the CAS loudly instead of stamping stale results as
+    * current. */
+  private[sources] def commitDomainMetadataAt(spark: SparkSession,
+      tablePath: String, domain: String, configuration: String,
+      operation: String, version: Long): Unit = {
+    val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(tablePath))
+    val action =
+      s"""{"domainMetadata":{"domain":${jstr(domain)},""" +
+        s""""configuration":${jstr(configuration)},"removed":false}}"""
+    val proto = latestProtoNodeAny(spark, fs, tablePath)
+    writeCommitFile(fs, root, version,
+      featureProtocolAction(proto, Seq("domainMetadata")) ++ Seq(action),
+      operation = Some(operation))
+  }
+
   /** legacy minWriterVersion → the writer features it implies — when a
     * table upgrades to feature-listing writer version 7, the implied
     * features must be listed explicitly or other writers drop the
