@@ -202,7 +202,7 @@ object Bench {
     // catalog commit round trip (create half + catalog-committed half
     // + catalog-resolved read)
     "q_join_cbo", "q_join_prune", "q_join_star", "q_meta_rewrite",
-    "q_iceberg_catalog_commit")
+    "q_iceberg_catalog_commit", "q_delta_ndv", "q_join_cbo_delta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2803,6 +2803,35 @@ object SparkEntry {
         .orderBy("custkey", "c_name")
     }),
 
+    // STATS-DRIVEN JOIN PLANNING over DELTA paths (the q_join_cbo
+    // twin): live rows priced from add-file stats, NDV from the
+    // DeltaNdv ANALYZE domain, the same broadcast-right decision —
+    // format symmetry of the CBO surface, SQL-oracled identically.
+    "q_join_cbo_delta" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_cbod_gate").toString
+      val orders = t(s, dir, "orders").df
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+          col("o_totalprice"))
+      val cust = t(s, dir, "customer").df
+        .select(col("c_custkey"), col("c_name"))
+      graft.sources.DeltaWrite.create(s, orders, s"$base/o")
+      graft.sources.DeltaWrite.create(s, cust, s"$base/c")
+      graft.sources.DeltaNdv.analyze(s, s"$base/o", Seq("custkey"))
+      graft.sources.DeltaNdv.analyze(s, s"$base/c", Seq("c_custkey"))
+      val (df, d) = graft.sources.CboJoin.plan(s, s"$base/o", s"$base/c",
+        Seq("custkey" -> "c_custkey"))
+      require(d.strategy == "broadcast-right",
+        s"CBO expected broadcast-right for the small Delta dim, got " +
+          s"${d.strategy} (${d.reason})")
+      require(d.outRowsEst.nonEmpty,
+        "both Delta sides are ANALYZEd — the cardinality estimate must exist")
+      df.groupBy("custkey", "c_name")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("custkey", "c_name")
+    }),
+
     // RUNTIME JOIN PRUNING: the DPP/runtime-filter lever for
     // path-addressed scans. The filtered dim is evaluated first; its
     // OBSERVED key domain (IN-set under the cap, min/max range past
@@ -2842,7 +2871,8 @@ object SparkEntry {
     "q_join_star" -> ((s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("graft_star_gate").toString
       val li = t(s, dir, "lineitem").df
-        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
         .repartitionByRange(8, col("l_orderkey"))
       graft.sources.IcebergWrite.create(s, li, s"$base/f")
       graft.sources.IcebergNdv.analyze(s, s"$base/f",
@@ -2851,17 +2881,26 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderpriority")), s"$base/dOrd")
       graft.sources.IcebergWrite.create(s, t(s, dir, "part").df
         .select(col("p_partkey"), col("p_size"), col("p_name")), s"$base/dPart")
+      // the LEFT dim enriches without pruning: a filtered supplier —
+      // lineitems whose supplier misses the filter must SURVIVE with
+      // a null name (inner would drop them)
+      graft.sources.IcebergWrite.create(s, t(s, dir, "supplier").df
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal")), s"$base/dSup")
       val (df, sd) = graft.sources.CboJoin.planStar(s, s"$base/f", Seq(
+        graft.sources.CboJoin.DimSpec(s"$base/dSup", "l_suppkey", "s_suppkey",
+          Some(col("s_acctbal") > 0), how = "left"),
         graft.sources.CboJoin.DimSpec(s"$base/dOrd", "l_orderkey", "o_orderkey",
           Some(col("o_orderpriority") === "1-URGENT")),
         graft.sources.CboJoin.DimSpec(s"$base/dPart", "l_partkey", "p_partkey",
           Some(col("p_size") <= 5))))
-      require(sd.order.size == 2 && sd.factFilesKept <= sd.factFilesTotal,
-        sd.toString)
+      require(sd.order.size == 3 && sd.order.last == s"$base/dSup",
+        s"left dim must order last: ${sd.order}")
+      require(sd.factFilesKept <= sd.factFilesTotal, sd.toString)
       df.groupBy("p_name")
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
-            .as("sum_qty"))
+            .as("sum_qty"),
+          count(col("s_name")).as("n_supplied"))
         .orderBy("p_name")
     }),
 
@@ -5989,6 +6028,17 @@ object SparkEntry {
         |GROUP BY o.o_custkey, c.c_name
         |ORDER BY custkey""".stripMargin,
 
+    // the Delta-path CBO join computes the same join-then-aggregate
+    // values as its Iceberg twin
+    "q_join_cbo_delta" ->
+      """SELECT o.o_custkey AS custkey, c.c_name,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY o.o_custkey, c.c_name
+        |ORDER BY custkey, c_name""".stripMargin,
+
     // the runtime-pruned join computes plain filtered-join semantics —
     // the file pruning is plan-level, value-invisible
     "q_join_prune" ->
@@ -5999,14 +6049,19 @@ object SparkEntry {
         |GROUP BY l.l_orderkey
         |ORDER BY l_orderkey""".stripMargin,
 
-    // the star-planned joins compute plain two-dim inner-join
-    // semantics — order/broadcast/pruning are plan-level choices
+    // the star-planned joins compute two inner dims + one left
+    // enrichment dim — order/broadcast/pruning are plan-level choices;
+    // n_supplied counts non-null left matches, proving unmatched fact
+    // rows survived the left join
     "q_join_star" ->
       """SELECT p.p_name, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(sup.s_name) AS n_supplied
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN part p ON l.l_partkey = p.p_partkey
+        |LEFT JOIN (SELECT * FROM supplier WHERE s_acctbal > 0) sup
+        |  ON l.l_suppkey = sup.s_suppkey
         |WHERE o.o_orderpriority = '1-URGENT' AND p.p_size <= 5
         |GROUP BY p.p_name
         |ORDER BY p_name""".stripMargin,

@@ -4,15 +4,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** STATS-DRIVEN JOIN PLANNING over path-addressed Iceberg scans — the
-  * one cost-based lever Catalyst cannot pull here: our readers hand
-  * Spark an opaque union of parquet scans, so its size estimates see
-  * neither the manifest-recorded live bytes/row counts (deletes and
-  * time travel applied) nor the ANALYZE NDV sketches
-  * ([[IcebergNdv.analyze]], Puffin `statistics`), nor the fact that
-  * both sides share a `bucket(N, key)` layout. This module reads all
-  * three from PLANNING STATE (no data file is opened) and picks the
-  * join strategy:
+/** STATS-DRIVEN JOIN PLANNING over path-addressed Iceberg AND Delta
+  * scans — the one cost-based lever Catalyst cannot pull here: our
+  * readers hand Spark an opaque union of parquet scans, so its size
+  * estimates see neither the recorded live bytes/row counts (Iceberg
+  * manifests; Delta add-file stats minus DV cardinalities — deletes
+  * and time travel applied) nor the ANALYZE NDV sketches
+  * ([[IcebergNdv.analyze]] via Puffin `statistics`;
+  * [[DeltaNdv.analyze]] via the graft.statistics domain), nor the
+  * fact that both sides share a `bucket(N, key)` layout (Iceberg
+  * layouts only). This module reads all three from PLANNING STATE (no
+  * data file is opened) and picks the join strategy:
   *
   *  1. **bucket-aligned** — both sides `bucket(N, key)` with equal N
   *     and hash-compatible types: delegate to [[BucketJoin.join]]
@@ -111,14 +113,24 @@ object CboJoin {
     }
     require(Set("inner", "left", "right", "full", "left_semi", "left_anti")(jt),
       s"cbo join supports inner/left/right/full/left_semi/left_anti, got '$how'")
-    val lPlanned = IcebergScan.planTable(spark, leftPath)
-    val rPlanned = IcebergScan.planTable(spark, rightPath)
-    val ls = sideStats(spark, lPlanned, leftPath)
-    val rs = sideStats(spark, rPlanned, rightPath)
+    // format dispatch: Iceberg sides keep the one-walk planned state
+    // (stats and read share it); Delta sides price from the log
+    // ([[deltaSideStats]] — rows/NDV exact, bytes cross-checked) and
+    // never claim bucket alignment (empty bucketOn)
+    val lPlannedOpt =
+      if (isDelta(spark, leftPath)) scala.None
+      else Some(IcebergScan.planTable(spark, leftPath))
+    val rPlannedOpt =
+      if (isDelta(spark, rightPath)) scala.None
+      else Some(IcebergScan.planTable(spark, rightPath))
+    val ls = lPlannedOpt.map(p => sideStats(spark, p, leftPath))
+      .getOrElse(deltaSideStats(spark, leftPath))
+    val rs = rPlannedOpt.map(p => sideStats(spark, p, rightPath))
+      .getOrElse(deltaSideStats(spark, rightPath))
     val (lk0, rk0) = keys.head
     val outRowsEst = for {
       nl <- ls.ndv.get(lk0); nr <- rs.ndv.get(rk0)
-      if nl > 0 || nr > 0
+      if (nl > 0 || nr > 0) && ls.rows >= 0L && rs.rows >= 0L
     } yield {
       // containment rule on the FIRST key; further keys only shrink it
       val d = math.max(nl, nr).max(1L)
@@ -128,10 +140,12 @@ object CboJoin {
     def decide(strategy: String, reason: String) =
       Decision(strategy, reason, ls, rs, outRowsEst)
 
+    def readSide(path: String, planned: Option[IcebergScan.PlannedTable]) =
+      planned.map(p => IcebergScan.readPlanned(spark, p, scala.None))
+        .getOrElse(DeltaScan.read(spark, path))
     def rawJoin(broadcastSide: Option[String]): DataFrame = {
-      val l = IcebergScan.readPlanned(spark, lPlanned, scala.None).alias("__l")
-      val r0 = IcebergScan.readPlanned(spark, rPlanned, scala.None).alias("__r")
-      val r = r0
+      val l = readSide(leftPath, lPlannedOpt).alias("__l")
+      val r = readSide(rightPath, rPlannedOpt).alias("__r")
       val cond = keys.map { case (lk, rk) => l(lk) === r(rk) }.reduce(_ && _)
       broadcastSide match {
         case Some("right") => l.join(broadcast(r), cond, jt)
@@ -155,29 +169,37 @@ object CboJoin {
     } else scala.None
     aligned.foreach { case (df, d) => return (df, d) }
 
-    def memEst(s: SideStats): Long = {
-      val v = s.liveBytes * inflation
-      if (v > Long.MaxValue.toDouble) Long.MaxValue else v.toLong
-    }
+    // a Delta side's liveBytes is already in-memory-priced (rows ×
+    // row width, parquet-bytes cross-checked in memEstAny); an
+    // Iceberg side's manifest bytes inflate parquet → row format
+    def memEst(path: String, planned: Option[IcebergScan.PlannedTable],
+        s: SideStats): Long =
+      if (planned.isDefined) {
+        val v = s.liveBytes * inflation
+        if (v > Long.MaxValue.toDouble) Long.MaxValue else v.toLong
+      } else memEstAny(spark, path, inflation).getOrElse(Long.MaxValue)
+
+    val rSchema = rPlannedOpt.map(_.schema)
+      .getOrElse(DeltaScan.liveState(spark, rightPath).schema)
 
     // 2. semi/anti: the right side joins through DISTINCT keys only —
     // NDV × width prices the real build size
     if (jt == "left_semi" || jt == "left_anti") {
       val distinctEst = keys.map { case (_, rk) =>
-        rs.ndv.get(rk).map(n => n * keyWidth(rPlanned.schema(rk).dataType))
+        rs.ndv.get(rk).map(n => n * keyWidth(rSchema(rk).dataType))
       }
       // all keys priced: the distinct tuple count is at most the
       // PRODUCT of per-key NDVs, but bounded by rows — use min(product,
       // rows) × Σ widths as the build estimate
       if (distinctEst.forall(_.isDefined)) {
         val widths = keys.map { case (_, rk) =>
-          keyWidth(rPlanned.schema(rk).dataType) }.sum
+          keyWidth(rSchema(rk).dataType) }.sum
         val tuples = keys.map { case (_, rk) => BigInt(rs.ndv(rk).max(1L)) }
           .product.min(BigInt(rs.rows.max(1L)))
         val est = (tuples * widths).min(BigInt(Long.MaxValue)).toLong
         if (est <= broadcastBytes) {
-          val l = IcebergScan.readPlanned(spark, lPlanned, scala.None).alias("__l")
-          val rKeys = IcebergScan.readPlanned(spark, rPlanned, scala.None)
+          val l = readSide(leftPath, lPlannedOpt).alias("__l")
+          val rKeys = readSide(rightPath, rPlannedOpt)
             .select(keys.map { case (_, rk) => col(rk) }: _*).distinct().alias("__r")
           val cond = keys.map { case (lk, rk) => l(lk) === rKeys(rk) }.reduce(_ && _)
           return (l.join(broadcast(rKeys), cond, jt),
@@ -192,7 +214,8 @@ object CboJoin {
     // 3. broadcast the smaller ELIGIBLE side
     val canBcRight = Set("inner", "left", "left_semi", "left_anti")(jt)
     val canBcLeft = Set("inner", "right")(jt)
-    val (lMem, rMem) = (memEst(ls), memEst(rs))
+    val (lMem, rMem) = (memEst(leftPath, lPlannedOpt, ls),
+      memEst(rightPath, rPlannedOpt, rs))
     val pick: Option[String] =
       if (canBcRight && rMem <= broadcastBytes && (!canBcLeft || rMem <= lMem))
         Some("right")
@@ -415,7 +438,7 @@ object CboJoin {
     * with an optional dim-side predicate evaluated BEFORE the key
     * domain is observed (a filtered dim prunes harder) */
   final case class DimSpec(path: String, factKey: String, dimKey: String,
-      filter: Option[Column] = scala.None)
+      filter: Option[Column] = scala.None, how: String = "inner")
 
   /** the star planner's audit trail: dims in chosen join order, each
     * with its estimated fact-fraction (|observed dim keys| / NDV(fact
@@ -431,9 +454,10 @@ object CboJoin {
   /** STAR-SCHEMA JOIN PLANNING: one fact table inner-joined to N
     * dimensions. Three stats-driven levers in one operator:
     *
-    *  1. **runtime pruning** — every dim's observed key domain
+    *  1. **runtime pruning** — every INNER dim's observed key domain
     *     ([[keyDomainFilter]]) ANDs into the fact scan's skipping
-    *     filter, so only fact files that can match EVERY dim open.
+    *     filter, so only fact files that can match every inner dim
+    *     open.
     *  2. **join ORDER** — dims join most-selective-first, ranked by
     *     the containment estimate |dim keys| / NDV(fact key) (from
     *     ANALYZE stats; unANALYZEd keys rank last at 1.0; a domain
@@ -447,46 +471,59 @@ object CboJoin {
     *     manifest-priced in-memory estimate fits the budget, else
     *     falls back to a shuffled join (AQE may still convert).
     *
-    * Inner joins only (the pruning-soundness requirement). Returns
-    * the joined frame plus the full [[StarDecision]] audit. */
+    * Dims join `inner` (default) or `left` (enrichment): ONLY inner
+    * dims contribute to the fact's skipping filter and the fact's
+    * selectivity ordering — a left dim must keep unmatched fact rows,
+    * so it can never prune, and it always joins AFTER every inner dim
+    * (it cannot shrink the intermediate). Returns the joined frame
+    * plus the full [[StarDecision]] audit. */
   def planStar(spark: SparkSession, factPath: String, dims: Seq[DimSpec],
       broadcastBytes: Long = maxBroadcastBytes,
       inflation: Double = DefaultInflation): (DataFrame, StarDecision) = {
     require(dims.nonEmpty, "star join needs at least one dimension")
+    dims.foreach(d => require(Set("inner", "left")(d.how),
+      s"star dims join inner or left, got '${d.how}' for ${d.path}"))
     val factNdv: Map[String, Long] = sideStatsAny(spark, factPath).ndv
-    // evaluate each dim once: filtered frame + key domain + fraction
+    // evaluate each INNER dim once: filtered frame + key domain +
+    // fraction; left dims skip the domain work entirely (they cannot
+    // prune, so observing their keys buys nothing)
     val evaluated = dims.map { d =>
       val dim0 = readAny(spark, d.path, scala.None)
       val dim = d.filter.map(dim0.where).getOrElse(dim0)
-      val (domainF, dimF, desc, observed) = keyDomainFilter(dim, d.factKey, d.dimKey)
-      val fraction = factNdv.get(d.factKey) match {
-        case Some(n) if n > 0 => math.min(1.0, observed.toDouble / n)
-        case _ => 1.0
+      if (d.how == "left") (d, dim, scala.None: Option[Column], 1.0)
+      else {
+        val (domainF, dimF, _, observed) = keyDomainFilter(dim, d.factKey, d.dimKey)
+        val fraction = factNdv.get(d.factKey) match {
+          case Some(n) if n > 0 => math.min(1.0, observed.toDouble / n)
+          case _ => 1.0
+        }
+        // join-side dim restricted to its own observed domain — see
+        // keyDomainFilter's consistency note
+        (d, dim.where(dimF), Some(domainF), fraction)
       }
-      // join-side dim restricted to its own observed domain — see
-      // keyDomainFilter's consistency note
-      (d, dim.where(dimF), domainF, desc, fraction)
     }
-    val ordered = evaluated.sortBy { case (_, _, _, _, fr) => fr }
-    val skipping = ordered.map(_._3).reduce(_ && _)
+    val (inner, leftDims) = evaluated.partition(_._1.how == "inner")
+    val ordered = inner.sortBy { case (_, _, _, fr) => fr } ++ leftDims
+    val skipping = inner.flatMap(_._3).reduceOption(_ && _)
     val total = countDataFiles(spark, factPath)
-    val fact = readAny(spark, factPath, Some(skipping)).where(skipping)
+    val fact0 = readAny(spark, factPath, skipping)
+    val fact = skipping.map(fact0.where).getOrElse(fact0)
     val kept = fact.inputFiles.length
     val factAliased = fact.alias("__f")
     var acc = factAliased
     val strategies = scala.collection.mutable.LinkedHashMap[String, String]()
-    ordered.zipWithIndex.foreach { case ((d, dim, _, _, _), i) =>
+    ordered.zipWithIndex.foreach { case ((d, dim, _, _), i) =>
       val dimB = dim.alias(s"__d$i")
       // resolve the fact key by EXPRESSION ID through the join chain —
       // a dim sharing the key's name must not make it ambiguous
       val cond = factAliased(d.factKey) === dimB(d.dimKey)
       val fits = memEstAny(spark, d.path, inflation).exists(_ <= broadcastBytes)
       acc =
-        if (fits) { strategies(d.path) = "broadcast"; acc.join(broadcast(dimB), cond, "inner") }
-        else { strategies(d.path) = "shuffle"; acc.join(dimB, cond, "inner") }
+        if (fits) { strategies(d.path) = "broadcast"; acc.join(broadcast(dimB), cond, d.how) }
+        else { strategies(d.path) = "shuffle"; acc.join(dimB, cond, d.how) }
     }
     (acc, StarDecision(ordered.map(_._1.path),
-      evaluated.map(e => e._1.path -> e._5).toMap,
+      evaluated.map(e => e._1.path -> e._4).toMap,
       strategies.toMap, kept, total))
   }
 }

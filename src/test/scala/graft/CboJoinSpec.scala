@@ -107,6 +107,34 @@ class CboJoinSpec extends SparkSpec {
     assert(d.outRowsEst.exists(e => e > 1500 && e < 2600), d.outRowsEst)
   }
 
+  test("plan() dispatches Delta sides: log-priced broadcast, DeltaNdv semi, mixed formats") {
+    val base = Files.createTempDirectory("graft_cbo_delta").toString
+    import spark.implicits._
+    graft.sources.DeltaWrite.create(spark, facts(2000), s"$base/f")
+    graft.sources.DeltaWrite.create(spark, dim(50), s"$base/d")
+    val (df, d) = CboJoin.plan(spark, s"$base/f", s"$base/d", Seq("k" -> "k"))
+    assert(d.strategy == "broadcast-right", d.reason)
+    assert(d.left.rows == 2000 && d.right.rows == 50) // exact from add-file stats
+    assert(df.count() == 2000)
+    // semi: the ANALYZE NDV prices the distinct build under a budget
+    // the whole relation exceeds
+    val bigRight = (1L to 5000L).map(i => (i % 5L, "x" * 200)).toDF("k", "pad")
+    graft.sources.DeltaWrite.create(spark, bigRight, s"$base/r")
+    graft.sources.DeltaNdv.analyze(spark, s"$base/r", Seq("k"))
+    val (semi, d2) = CboJoin.plan(spark, s"$base/f", s"$base/r",
+      Seq("k" -> "k"), how = "left_semi", broadcastBytes = 4096L)
+    assert(d2.strategy == "semi-distinct-broadcast", d2.reason)
+    val plain = graft.sources.DeltaScan.read(spark, s"$base/f")
+      .join(graft.sources.DeltaScan.read(spark, s"$base/r"), Seq("k"), "left_semi")
+      .count()
+    assert(semi.count() == plain)
+    // mixed formats: Iceberg left × Delta right
+    IcebergWrite.create(spark, facts(1000), s"$base/fi")
+    val (mix, d3) = CboJoin.plan(spark, s"$base/fi", s"$base/d", Seq("k" -> "k"))
+    assert(d3.strategy == "broadcast-right", d3.reason)
+    assert(mix.count() == 1000)
+  }
+
   // ------------------------------------------------------------------
   // runtime join pruning
   // ------------------------------------------------------------------
@@ -245,6 +273,30 @@ class CboJoinSpec extends SparkSpec {
       assert(d2.reason.contains("kept 2/4"), d2.reason)
       assert(df2.count() == 2)
     } finally CboJoin.maxBroadcastBytes = prev
+  }
+
+  test("star planner: left dims never prune and join after inner dims") {
+    val base = Files.createTempDirectory("graft_cbo_star_l").toString
+    import spark.implicits._
+    rangedFact(s"$base/f")
+    IcebergNdv.analyze(spark, s"$base/f", Seq("id", "k2"))
+    IcebergWrite.create(spark,
+      Seq((10L, "da_x"), (320L, "da_y")).toDF("fk", "da_name"), s"$base/dA")
+    IcebergWrite.create(spark,
+      Seq((3L, "L3"), (6L, "L6")).toDF("fk", "dl_name"), s"$base/dL")
+    val (df, sd) = CboJoin.planStar(spark, s"$base/f", Seq(
+      CboJoin.DimSpec(s"$base/dL", "k2", "fk", how = "left"),
+      CboJoin.DimSpec(s"$base/dA", "id", "fk")))
+    // the left dim orders AFTER the inner dim despite being listed first
+    assert(sd.order == Seq(s"$base/dA", s"$base/dL"), sd.order)
+    // only the inner dim's domain prunes: id∈{10,320} keeps 2 files —
+    // the left dim's tiny key set must NOT shrink that further
+    assert(sd.factFilesKept == 2 && sd.factFilesTotal == 4,
+      (sd.factFilesKept, sd.factFilesTotal))
+    // unmatched left rows survive with nulls (id=320 → k2=5, no dL key)
+    val got = df.select(col("id"), col("da_name"), col("dl_name"))
+      .orderBy("id").as[(Long, String, Option[String])].collect()
+    assert(got.toSeq == Seq((10L, "da_x", Some("L3")), (320L, "da_y", None)))
   }
 
   test("star planner: selectivity order, AND-combined pruning, value check") {
