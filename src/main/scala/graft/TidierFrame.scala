@@ -74,8 +74,15 @@ final case class TidierFrame(
   def showQuery(mode: String = "sql"): String = {
     val text =
       if (mode == "sql")
-        try graft.plans.SqlPrinter.toSql(df.queryExecution.analyzed)
-        catch {
+        try {
+          // clause formatting always (the reference's format_sql_query);
+          // ANSI keyword color only under Tidier.color(true) — palette
+          // mirrors src/TidierDB_macros.jl:544-565
+          val pretty = graft.plans.SqlFormat.format(
+            graft.plans.SqlPrinter.toSql(df.queryExecution.analyzed))
+          if (Tidier.colorEnabled) graft.plans.SqlFormat.colorize(pretty)
+          else pretty
+        } catch {
           case scala.util.control.NonFatal(_) =>
             df.queryExecution.explainString(
               org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -151,6 +158,13 @@ object Tidier {
   @volatile private var warnFlag: Boolean = false
   def warnings(on: Boolean): Unit = warnFlag = on
   private[graft] def warningsEnabled: Boolean = warnFlag
+
+  /** `TidierDB.color[]` analog (reference: src/TidierDB_macros.jl:544):
+    * ANSI keyword coloring in `showQuery("sql")`. Off by default —
+    * captured output stays escape-free unless asked. */
+  @volatile private var colorFlag: Boolean = false
+  def color(on: Boolean): Unit = colorFlag = on
+  private[graft] def colorEnabled: Boolean = colorFlag
 
   /** Scan a file path (parquet/csv/json by extension, globs native). */
   def read(spark: SparkSession, path: String): TidierFrame = {

@@ -134,4 +134,26 @@ class SinksSpec extends SparkSpec {
     val u = Tidier.from(orders).select("o_id").unionAll(Tidier.from(orders).select("o_id"))
     assert(u.showQuery().contains("UNION ALL"))
   }
+
+  test("showQuery colorizes under Tidier.color(true); strip round-trips") {
+    val orders = Seq((1, 10, 100.0), (2, 20, 50.0)).toDF("o_id", "cust_id", "amount")
+    val q = Tidier.from(orders).filter(col("amount") > 60.0)
+      .groupBy("cust_id").summarize("total" -> sum(col("amount")))
+      .arrange("cust_id")
+    val plain = q.showQuery()
+    // clause formatting puts major clauses on their own indented lines
+    assert(plain.contains("\n\tFROM ") || plain.contains("\nSELECT"), plain)
+    assert(!plain.contains("\u001b["), "no escapes with color off")
+    try {
+      Tidier.color(true)
+      val colored = q.showQuery()
+      // the reference's palette groups: cyan SELECT/FROM, yellow GROUP
+      // BY, pink ORDER BY (src/TidierDB_macros.jl:544-565)
+      assert(colored.contains("\u001b[36mSELECT\u001b[0m"), colored)
+      assert(colored.contains("\u001b[33mGROUP BY\u001b[0m"), colored)
+      assert(colored.contains("\u001b[35mORDER BY\u001b[0m"), colored)
+      // color is presentation only: stripping recovers the plain text
+      assert(graft.plans.SqlFormat.strip(colored) == plain)
+    } finally Tidier.color(false)
+  }
 }
