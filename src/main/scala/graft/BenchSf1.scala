@@ -176,6 +176,34 @@ object BenchSf1 {
     (total, kept)
   }
 
+  /** the DELTA twin of [[runtimePruneProbe]] — add-file stats prune
+    * the same shape, same bound. Returns (filesTotal, filesKept). */
+  private def runtimePruneProbeDelta(spark: SparkSession, sf1: String): (Int, Int) = {
+    import graft.sources.{CboJoin, DeltaWrite, IcebergWrite}
+    val base = s"$sf1/_rtprune_probe_delta"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/f/_delta_log"))) {
+      val ev = spark.read.parquet(s"$sf1/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .repartitionByRange(64, col("event_id"))
+      DeltaWrite.create(spark, ev, s"$base/f")
+      val ids = spark.read.parquet(s"$sf1/events.parquet")
+        .select(col("event_id").as("eid")).orderBy("eid").limit(100)
+      IcebergWrite.create(spark, ids, s"$base/d")
+    }
+    val (df, d) = CboJoin.planPruned(spark, s"$base/f", s"$base/d",
+      Seq("event_id" -> "eid"))
+    val m = "kept (\\d+)/(\\d+)".r.findFirstMatchIn(d.reason).getOrElse(
+      throw new IllegalStateException(s"no file counts in '${d.reason}'"))
+    val (kept, total) = (m.group(1).toInt, m.group(2).toInt)
+    require(df.count() == 100L,
+      s"Delta runtime-pruned probe returned ${df.count()} rows, expected 100")
+    require(kept > 0 && kept.toDouble / total < 0.2,
+      s"sf1 Delta runtime pruning decayed: kept $kept of $total fact files")
+    (total, kept)
+  }
+
   private def timeOne(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, dir).count()
@@ -245,6 +273,9 @@ object BenchSf1 {
     val (pruneAll, pruneKept) = runtimePruneProbe(spark, sf1)
     System.err.println(f"[bench-sf1] runtime prune probe: 100-key dim domain keeps " +
       f"$pruneKept of $pruneAll fact files (${pruneKept.toDouble / pruneAll}%.3f)")
+    val (pruneAllD, pruneKeptD) = runtimePruneProbeDelta(spark, sf1)
+    System.err.println(f"[bench-sf1] delta runtime prune probe: keeps " +
+      f"$pruneKeptD of $pruneAllD fact files (${pruneKeptD.toDouble / pruneAllD}%.3f)")
 
     def j(rs: Seq[(String, Double, Double, Double, Seq[String])]): String =
       rs.map { case (n, a, b, r, l) =>
@@ -256,7 +287,8 @@ object BenchSf1 {
         f""""reps":$reps,"stalls":${Bench.stallCount.get()},""" +
         f""""stall_sec":${Bench.stallNanos.get() / 1e9}%.1f,"cal_sec":$calSec%.3f,""" +
         f""""transform_skip":{"files":$skipAll,"planned_one_day":$skipDay},""" +
-        f""""runtime_prune":{"files":$pruneAll,"kept":$pruneKept},"queries":${j(rows)}}"""
+        f""""runtime_prune":{"files":$pruneAll,"kept":$pruneKept},""" +
+        f""""runtime_prune_delta":{"files":$pruneAllD,"kept":$pruneKeptD},"queries":${j(rows)}}"""
     try {
       val w = new java.io.PrintWriter(new java.io.File("BENCH_SF1.json"), "UTF-8")
       try w.println(line) finally w.close()

@@ -56,18 +56,34 @@ class CboJoinFuzzSpec extends SparkSpec {
         case _ => Some(col("dk") < lit(keyMod / 2))
       }
       val how = if (rnd.nextBoolean()) "inner" else "left_semi"
+      // half the trials join on TWO keys (k AND a coarse bucket of it)
+      // — every key's domain filter must AND soundly
+      val twoKeys = rnd.nextBoolean()
+      val keys = if (twoKeys) Seq("k" -> "dk", "kb" -> "dkb") else Seq("k" -> "dk")
       val prevCap = CboJoin.maxRuntimeFilterKeys
       try {
         CboJoin.maxRuntimeFilterKeys = if (rnd.nextBoolean()) 3 else 1000
-        val (pruned, d) = CboJoin.planPruned(spark, s"$base/f", s"$base/d",
-          Seq("k" -> "dk"), how = how, dimFilter = dimFilter)
-        val factDf = readTable(s"$base/f", factDelta)
-        val dimDf0 = readTable(s"$base/d", dimDelta)
+        val (factP, dimP) =
+          if (!twoKeys) (s"$base/f", s"$base/d")
+          else {
+            val f2 = readTable(s"$base/f", factDelta)
+              .withColumn("kb", col("k") % 5)
+            val d2 = readTable(s"$base/d", dimDelta)
+              .withColumn("dkb", col("dk") % 5)
+            writeTable(f2, s"$base/f2", factDelta)
+            writeTable(d2, s"$base/d2", dimDelta)
+            (s"$base/f2", s"$base/d2")
+          }
+        val (pruned, d) = CboJoin.planPruned(spark, factP, dimP,
+          keys, how = how, dimFilter = dimFilter)
+        val factDf = readTable(factP, factDelta)
+        val dimDf0 = readTable(dimP, dimDelta)
         val dimDf = dimFilter.map(dimDf0.where).getOrElse(dimDf0)
-        val plain = factDf.alias("l").join(dimDf.alias("r"),
-          col("l.k") === col("r.dk"), how)
+        val cond = keys.map { case (fk, dk2) =>
+          col(s"l.$fk") === col(s"r.$dk2") }.reduce(_ && _)
+        val plain = factDf.alias("l").join(dimDf.alias("r"), cond, how)
         assert(sortedRows(pruned) == sortedRows(plain),
-          s"trial $trial (${d.strategy}; ${d.reason}; how=$how; " +
+          s"trial $trial (${d.strategy}; ${d.reason}; how=$how; keys=$keys; " +
             s"factDelta=$factDelta dimDelta=$dimDelta cap=${CboJoin.maxRuntimeFilterKeys})")
       } finally CboJoin.maxRuntimeFilterKeys = prevCap
     }
