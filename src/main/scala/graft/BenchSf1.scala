@@ -154,7 +154,11 @@ object BenchSf1 {
     val base = s"$sf1/_rtprune_probe"
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/f/metadata/version-hint.text"))) {
+    // BOTH tables must exist to reuse — a run interrupted between the
+    // two creates must rebuild, not wedge every later bench
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/f/metadata/version-hint.text")) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$base/d/metadata/version-hint.text"))) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
       val ev = spark.read.parquet(s"$sf1/events.parquet")
         .select(col("event_id"), col("user_id"), col("event_type"))
         .repartitionByRange(64, col("event_id"))
@@ -183,7 +187,10 @@ object BenchSf1 {
     val base = s"$sf1/_rtprune_probe_delta"
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/f/_delta_log"))) {
+    // BOTH tables must exist to reuse (see runtimePruneProbe)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$base/f/_delta_log")) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$base/d/metadata/version-hint.text"))) {
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
       val ev = spark.read.parquet(s"$sf1/events.parquet")
         .select(col("event_id"), col("user_id"), col("event_type"))
         .repartitionByRange(64, col("event_id"))

@@ -29,18 +29,29 @@ object SqlFormat {
     code.map(c => s"$c$token$Reset").getOrElse(token)
   }
 
+  // cte_ names are matched-but-uncolored EXACTLY like the reference:
+  // its pattern lists cte_\w+ and its painter's else-branch returns
+  // the token unchanged (TidierDB_macros.jl:531,560-562)
   private val KeywordPattern =
     ("\\b(cte_\\w+|WITH|FROM|SELECT|AS|LEFT|RIGHT|OUTER|INNER|FULL|CROSS|" +
       "SEMI|ANTI|JOIN|UNION|ASOF|GROUP\\s+BY|CASE|WHEN|THEN|ELSE|END|" +
       "WHERE|HAVING|ORDER\\s+BY|PARTITION|ASC|DESC)\\b").r
 
   /** clause keywords onto indented lines, mirroring the reference's
-    * replacement list */
+    * replacement list. Like the reference, this is BLIND string
+    * replacement over the finalized SQL — a clause keyword inside a
+    * string LITERAL also breaks onto a new line (display-only cost the
+    * reference accepts too; [[strip]] round-trips the escapes, not the
+    * newlines). One deliberate divergence: the reference's CTE rule
+    * (`AS (SELECT` → `AS ( \n\tSELECT`) runs AFTER its bare-SELECT
+    * rule and therefore never matches — here it runs first, with the
+    * bare rule guarded so CTE bodies are not double-broken, making
+    * the reference's INTENDED CTE indentation actually appear. */
   def format(sql: String): String = {
     var s = sql
     s = s.replaceAll("(?<=\\)), ", ",\n")
-    s = s.replace("SELECT ", "\nSELECT ")
     s = s.replace("AS (SELECT ", "AS ( \n\tSELECT ")
+    s = s.replaceAll("(?<!\\t)SELECT ", "\nSELECT ")
     s = s.replace(" FROM ", "\n\tFROM ")
     s = s.replace(" WHERE ", "\n\tWHERE ")
     s = s.replace(" GROUP BY ", "\n\tGROUP BY ")

@@ -113,20 +113,14 @@ object CboJoin {
     }
     require(Set("inner", "left", "right", "full", "left_semi", "left_anti")(jt),
       s"cbo join supports inner/left/right/full/left_semi/left_anti, got '$how'")
-    // format dispatch: Iceberg sides keep the one-walk planned state
-    // (stats and read share it); Delta sides price from the log
-    // ([[deltaSideStats]] — rows/NDV exact, bytes cross-checked) and
-    // never claim bucket alignment (empty bucketOn)
-    val lPlannedOpt =
-      if (isDelta(spark, leftPath)) scala.None
-      else Some(IcebergScan.planTable(spark, leftPath))
-    val rPlannedOpt =
-      if (isDelta(spark, rightPath)) scala.None
-      else Some(IcebergScan.planTable(spark, rightPath))
-    val ls = lPlannedOpt.map(p => sideStats(spark, p, leftPath))
-      .getOrElse(deltaSideStats(spark, leftPath))
-    val rs = rPlannedOpt.map(p => sideStats(spark, p, rightPath))
-      .getOrElse(deltaSideStats(spark, rightPath))
+    // format dispatch: ONE metadata walk per side ([[sideState]]);
+    // stats, schema, pricing, and the read all answer from it. Delta
+    // sides price from the log (rows/NDV exact, bytes cross-checked)
+    // and never claim bucket alignment (empty bucketOn)
+    val lS = sideState(spark, leftPath)
+    val rS = sideState(spark, rightPath)
+    val ls = statsOf(spark, lS)
+    val rs = statsOf(spark, rS)
     val (lk0, rk0) = keys.head
     val outRowsEst = for {
       nl <- ls.ndv.get(lk0); nr <- rs.ndv.get(rk0)
@@ -140,12 +134,9 @@ object CboJoin {
     def decide(strategy: String, reason: String) =
       Decision(strategy, reason, ls, rs, outRowsEst)
 
-    def readSide(path: String, planned: Option[IcebergScan.PlannedTable]) =
-      planned.map(p => IcebergScan.readPlanned(spark, p, scala.None))
-        .getOrElse(DeltaScan.read(spark, path))
     def rawJoin(broadcastSide: Option[String]): DataFrame = {
-      val l = readSide(leftPath, lPlannedOpt).alias("__l")
-      val r = readSide(rightPath, rPlannedOpt).alias("__r")
+      val l = readState(spark, lS, scala.None).alias("__l")
+      val r = readState(spark, rS, scala.None).alias("__r")
       val cond = keys.map { case (lk, rk) => l(lk) === r(rk) }.reduce(_ && _)
       broadcastSide match {
         case Some("right") => l.join(broadcast(r), cond, jt)
@@ -169,18 +160,10 @@ object CboJoin {
     } else scala.None
     aligned.foreach { case (df, d) => return (df, d) }
 
-    // a Delta side's liveBytes is already in-memory-priced (rows ×
-    // row width, parquet-bytes cross-checked in memEstAny); an
-    // Iceberg side's manifest bytes inflate parquet → row format
-    def memEst(path: String, planned: Option[IcebergScan.PlannedTable],
-        s: SideStats): Long =
-      if (planned.isDefined) {
-        val v = s.liveBytes * inflation
-        if (v > Long.MaxValue.toDouble) Long.MaxValue else v.toLong
-      } else memEstAny(spark, path, inflation).getOrElse(Long.MaxValue)
-
-    val rSchema = rPlannedOpt.map(_.schema)
-      .getOrElse(DeltaScan.liveState(spark, rightPath).schema)
+    val rSchema = rS match {
+      case IcebergSide(_, planned) => planned.schema
+      case DeltaSide(_, st) => st.schema
+    }
 
     // 2. semi/anti: the right side joins through DISTINCT keys only —
     // NDV × width prices the real build size
@@ -190,16 +173,18 @@ object CboJoin {
       }
       // all keys priced: the distinct tuple count is at most the
       // PRODUCT of per-key NDVs, but bounded by rows — use min(product,
-      // rows) × Σ widths as the build estimate
-      if (distinctEst.forall(_.isDefined)) {
+      // rows) × Σ widths as the build estimate. rows must be KNOWN:
+      // an unpriceable side (rows = -1) would collapse the min to ~1
+      // tuple and broadcast a possibly huge side on a guess
+      if (distinctEst.forall(_.isDefined) && rs.rows >= 0L) {
         val widths = keys.map { case (_, rk) =>
           keyWidth(rSchema(rk).dataType) }.sum
         val tuples = keys.map { case (_, rk) => BigInt(rs.ndv(rk).max(1L)) }
           .product.min(BigInt(rs.rows.max(1L)))
         val est = (tuples * widths).min(BigInt(Long.MaxValue)).toLong
         if (est <= broadcastBytes) {
-          val l = readSide(leftPath, lPlannedOpt).alias("__l")
-          val rKeys = readSide(rightPath, rPlannedOpt)
+          val l = readState(spark, lS, scala.None).alias("__l")
+          val rKeys = readState(spark, rS, scala.None)
             .select(keys.map { case (_, rk) => col(rk) }: _*).distinct().alias("__r")
           val cond = keys.map { case (lk, rk) => l(lk) === rKeys(rk) }.reduce(_ && _)
           return (l.join(broadcast(rKeys), cond, jt),
@@ -214,8 +199,9 @@ object CboJoin {
     // 3. broadcast the smaller ELIGIBLE side
     val canBcRight = Set("inner", "left", "left_semi", "left_anti")(jt)
     val canBcLeft = Set("inner", "right")(jt)
-    val (lMem, rMem) = (memEst(leftPath, lPlannedOpt, ls),
-      memEst(rightPath, rPlannedOpt, rs))
+    val (lMem, rMem) = (
+      memEstOf(spark, lS, ls, inflation).getOrElse(Long.MaxValue),
+      memEstOf(spark, rS, rs, inflation).getOrElse(Long.MaxValue))
     val pick: Option[String] =
       if (canBcRight && rMem <= broadcastBytes && (!canBcLeft || rMem <= lMem))
         Some("right")
@@ -265,84 +251,87 @@ object CboJoin {
     log.getFileSystem(spark.sessionState.newHadoopConf()).exists(log)
   }
 
-  /** format-dispatched table read — both scans take the same
-    * `skippingFilter` contract (manifest bounds / add-file stats /
-    * partition-transform ranges prune files before any task plans) */
-  private def readAny(spark: SparkSession, p: String,
-      f: Option[Column]): DataFrame =
-    if (isDelta(spark, p)) DeltaScan.read(spark, p, skippingFilter = f)
-    else IcebergScan.read(spark, p, skippingFilter = f)
+  /** one side's planning handle, computed ONCE per planner call — an
+    * Iceberg planned table (one manifest walk) or a Delta live state
+    * (one log replay); every later question (read, file count, stats,
+    * pricing) answers from it instead of re-walking the metadata. The
+    * dominant planning cost at 100 TB is exactly these walks. */
+  private sealed trait SideState { def path: String }
+  private final case class IcebergSide(path: String,
+      planned: IcebergScan.PlannedTable) extends SideState
+  private final case class DeltaSide(path: String,
+      st: DeltaScan.LiveState) extends SideState
 
-  private def countDataFiles(spark: SparkSession, p: String): Int =
-    if (isDelta(spark, p)) DeltaScan.liveState(spark, p).files.size
-    else dedupedDataEntries(IcebergScan.planTable(spark, p)).size
+  private def sideState(spark: SparkSession, p: String): SideState =
+    if (isDelta(spark, p)) DeltaSide(p, DeltaScan.liveState(spark, p))
+    else IcebergSide(p, IcebergScan.planTable(spark, p))
 
-  private def dedupedDataEntries(planned: IcebergScan.PlannedTable) =
-    IcebergScan.dedupedDataEntries(planned)
-
-  /** planning-state stats for a DELTA side: exact live rows from
-    * add-file `stats.numRecords` minus DV cardinalities (the
-    * [[MetaAgg.countDeltaMetaOnly]] arithmetic), priced into memory
-    * as rows × schema row width (the log's add sizes are
-    * parquet-encoded bytes, not broadcast-relation bytes), and NDV
-    * from the [[DeltaNdv]] ANALYZE domain when current. rows = -1
-    * when some live file lacks stats (a foreign writer) — the side is
-    * unpriceable and callers must never broadcast it on a guess. */
-  private def deltaSideStats(spark: SparkSession, path: String): SideStats = {
-    val st = DeltaScan.liveState(spark, path)
-    val recs = st.files.map(_.stats.flatMap(ParquetStats.parse)
-      .map(_.numRecords).filter(_ >= 0L))
-    val rows =
-      if (recs.forall(_.isDefined))
-        recs.iterator.flatten.sum -
-          st.files.iterator.flatMap(_.dv).map(_.cardinality).sum
-      else -1L
-    val width = st.schema.fields.map(f => keyWidth(f.dataType)).sum
-    val ndv = DeltaNdv.tableStatistics(spark, path)
-      .map(_.map(c => c.column -> c.ndv).toMap).getOrElse(Map.empty)
-    SideStats(rows, if (rows < 0L) -1L else rows * width, ndv, Map.empty)
+  /** format-dispatched read over the pre-computed state — both scans
+    * take the same `skippingFilter` contract (manifest bounds /
+    * add-file stats / partition-transform ranges prune files before
+    * any task plans) */
+  private def readState(spark: SparkSession, s: SideState,
+      f: Option[Column]): DataFrame = s match {
+    case IcebergSide(_, planned) =>
+      IcebergScan.readPlannedFiltered(spark, planned, f)
+    case DeltaSide(p, st) => DeltaScan.readFromState(spark, p, st, f)
   }
 
-  private def sideStatsAny(spark: SparkSession, path: String): SideStats =
-    if (isDelta(spark, path)) deltaSideStats(spark, path)
-    else sideStats(spark, path)
+  private def countDataFiles(s: SideState): Int = s match {
+    case IcebergSide(_, planned) =>
+      IcebergScan.dedupedDataEntries(planned).size
+    case DeltaSide(_, st) => st.files.size
+  }
+
+  /** planning-state stats of one side. DELTA: exact live rows from
+    * add-file `stats.numRecords` minus DV cardinalities
+    * ([[MetaAgg.liveRows]], the one source of truth), priced into
+    * memory as rows × schema row width (the log's add sizes are
+    * parquet-encoded, not broadcast-relation bytes), NDV from the
+    * [[DeltaNdv]] ANALYZE domain when current; rows = -1 when some
+    * live file lacks stats (a foreign writer) — the side is
+    * unpriceable and callers must never broadcast it on a guess. */
+  private def statsOf(spark: SparkSession, s: SideState): SideStats = s match {
+    case IcebergSide(p, planned) => sideStats(spark, planned, p)
+    case DeltaSide(p, st) =>
+      val rows = MetaAgg.liveRows(st).getOrElse(-1L)
+      val width = st.schema.fields.map(f => keyWidth(f.dataType)).sum
+      val ndv = DeltaNdv.tableStatistics(spark, p)
+        .map(_.map(c => c.column -> c.ndv).toMap).getOrElse(Map.empty)
+      SideStats(rows, if (rows < 0L) -1L else rows * width, ndv, Map.empty)
+  }
 
   /** bound on the per-file FS stat calls the Delta pricing cross-check
     * may issue — a table with more live files than this and a small
     * row estimate stays unpriceable rather than un-bounded */
   private val MaxPricingStatFiles = 4096
 
-  /** estimated in-memory broadcast size of one side, or None when the
-    * planning state cannot price it (no manifest bytes, no per-file
-    * stats) — an unpriceable side is never broadcast on a guess */
-  private def memEstAny(spark: SparkSession, path: String,
-      inflation: Double): Option[Long] =
-    if (isDelta(spark, path)) {
-      val s = deltaSideStats(spark, path)
+  /** estimated in-memory broadcast size of one side from its state +
+    * already-computed stats, or None when planning state cannot price
+    * it — an unpriceable side is never broadcast on a guess */
+  private def memEstOf(spark: SparkSession, s: SideState,
+      stats: SideStats, inflation: Double): Option[Long] = s match {
+    case IcebergSide(_, _) =>
+      val v = stats.liveBytes * inflation
+      Some(if (v > Long.MaxValue.toDouble) Long.MaxValue else v.toLong)
+    case DeltaSide(p, st) =>
       // rows × schema width UNDERESTIMATES text-heavy rows (strings
       // price at a fixed guess); cross-check against the actual
       // parquet bytes × inflation — take the max — with the FS stat
       // calls bounded by file count
-      if (s.liveBytes < 0L) scala.None
+      if (stats.liveBytes < 0L) scala.None
+      else if (st.files.size > MaxPricingStatFiles) scala.None
       else {
-        val st = DeltaScan.liveState(spark, path)
-        if (st.files.size > MaxPricingStatFiles) scala.None
-        else {
-          val fs = new org.apache.hadoop.fs.Path(path)
-            .getFileSystem(spark.sessionState.newHadoopConf())
-          val parquetBytes = st.files.map(f =>
-            fs.getFileStatus(new org.apache.hadoop.fs.Path(f.path)).getLen).sum
-          val inflated = parquetBytes * inflation
-          val cross = if (inflated > Long.MaxValue.toDouble) Long.MaxValue
-            else inflated.toLong
-          Some(math.max(s.liveBytes, cross))
-        }
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val parquetBytes = st.files.map(f =>
+          fs.getFileStatus(new org.apache.hadoop.fs.Path(f.path)).getLen).sum
+        val inflated = parquetBytes * inflation
+        val cross = if (inflated > Long.MaxValue.toDouble) Long.MaxValue
+          else inflated.toLong
+        Some(math.max(stats.liveBytes, cross))
       }
-    } else {
-      val s = sideStats(spark, path)
-      val v = s.liveBytes * inflation
-      Some(if (v > Long.MaxValue.toDouble) Long.MaxValue else v.toLong)
-    }
+  }
 
   /** the dim side's OBSERVED key domain as a pair of filters — one on
     * the FACT key (for the skipping filter + row predicate) and the
@@ -404,12 +393,14 @@ object CboJoin {
     require(Set("inner", "left_semi")(how),
       s"runtime pruning of the fact side is sound only for inner/left_semi " +
         s"joins (a pruned fact row must never reach the output), got '$how'")
-    val dim0 = readAny(spark, dimPath, scala.None)
+    val factS = sideState(spark, factPath)
+    val dimS = sideState(spark, dimPath)
+    val dim0 = readState(spark, dimS, scala.None)
     val dim = dimFilter.map(dim0.where).getOrElse(dim0)
     val domains = keys.map { case (fk, dk) => keyDomainFilter(dim, fk, dk) }
     val filter = domains.map(_._1).reduce(_ && _)
-    val total = countDataFiles(spark, factPath)
-    val fact = readAny(spark, factPath, Some(filter)).where(filter).alias("__l")
+    val total = countDataFiles(factS)
+    val fact = readState(spark, factS, Some(filter)).where(filter).alias("__l")
     val kept = fact.inputFiles.length
     // the join-side dim carries the SAME domain restriction the fact
     // filter was derived from — see keyDomainFilter's consistency note
@@ -422,16 +413,16 @@ object CboJoin {
     // convert at execution. Pricing reads the UNFILTERED table's
     // planning state, so a dimFilter only ever makes the true side
     // smaller than priced — conservative, never optimistic
-    val dimFits = memEstAny(spark, dimPath, DefaultInflation)
+    val dimStats = statsOf(spark, dimS)
+    val dimFits = memEstOf(spark, dimS, dimStats, DefaultInflation)
       .exists(_ <= maxBroadcastBytes)
     val out =
       if (dimFits) fact.join(broadcast(dimB), cond, how)
       else fact.join(dimB, cond, how)
-    val stats = Seq(factPath, dimPath).map(p => sideStatsAny(spark, p))
     (out, Decision(
       if (dimFits) "runtime-pruned-broadcast" else "runtime-pruned-shuffle",
       s"fact files kept $kept/$total; " + domains.map(_._3).mkString("; "),
-      stats.head, stats.last, scala.None))
+      statsOf(spark, factS), dimStats, scala.None))
   }
 
   /** one dimension of a star join: fact.`factKey` = dim.`dimKey`,
@@ -443,13 +434,22 @@ object CboJoin {
   /** the star planner's audit trail: dims in chosen join order, each
     * with its estimated fact-fraction (|observed dim keys| / NDV(fact
     * key), the containment rule — 1.0 when the fact key was never
-    * ANALYZEd), its join strategy, and the fact file counts */
+    * ANALYZEd), its join strategy, and the fact file counts. Entries
+    * key by dim PATH; a role-playing dimension (same path joined on
+    * two fact keys) keys by `path#factKey` so the entries stay
+    * distinguishable. */
   final case class StarDecision(
       order: Seq[String],
       fraction: Map[String, Double],
       strategy: Map[String, String],
       factFilesKept: Int,
       factFilesTotal: Int)
+
+  /** audit-map key for one dim: the path alone when unique, else
+    * disambiguated by the fact key (role-playing dimensions) */
+  private def dimLabel(d: DimSpec, all: Seq[DimSpec]): String =
+    if (all.count(_.path == d.path) == 1) d.path
+    else s"${d.path}#${d.factKey}"
 
   /** STAR-SCHEMA JOIN PLANNING: one fact table inner-joined to N
     * dimensions. Three stats-driven levers in one operator:
@@ -483,14 +483,16 @@ object CboJoin {
     require(dims.nonEmpty, "star join needs at least one dimension")
     dims.foreach(d => require(Set("inner", "left")(d.how),
       s"star dims join inner or left, got '${d.how}' for ${d.path}"))
-    val factNdv: Map[String, Long] = sideStatsAny(spark, factPath).ndv
-    // evaluate each INNER dim once: filtered frame + key domain +
-    // fraction; left dims skip the domain work entirely (they cannot
-    // prune, so observing their keys buys nothing)
+    val factS = sideState(spark, factPath)
+    val factNdv: Map[String, Long] = statsOf(spark, factS).ndv
+    // evaluate each INNER dim once: state + filtered frame + key
+    // domain + fraction; left dims skip the domain work entirely (they
+    // cannot prune, so observing their keys buys nothing)
     val evaluated = dims.map { d =>
-      val dim0 = readAny(spark, d.path, scala.None)
+      val dS = sideState(spark, d.path)
+      val dim0 = readState(spark, dS, scala.None)
       val dim = d.filter.map(dim0.where).getOrElse(dim0)
-      if (d.how == "left") (d, dim, scala.None: Option[Column], 1.0)
+      if (d.how == "left") (d, dS, dim, scala.None: Option[Column], 1.0)
       else {
         val (domainF, dimF, _, observed) = keyDomainFilter(dim, d.factKey, d.dimKey)
         val fraction = factNdv.get(d.factKey) match {
@@ -499,31 +501,33 @@ object CboJoin {
         }
         // join-side dim restricted to its own observed domain — see
         // keyDomainFilter's consistency note
-        (d, dim.where(dimF), Some(domainF), fraction)
+        (d, dS, dim.where(dimF), Some(domainF), fraction)
       }
     }
     val (inner, leftDims) = evaluated.partition(_._1.how == "inner")
-    val ordered = inner.sortBy { case (_, _, _, fr) => fr } ++ leftDims
-    val skipping = inner.flatMap(_._3).reduceOption(_ && _)
-    val total = countDataFiles(spark, factPath)
-    val fact0 = readAny(spark, factPath, skipping)
+    val ordered = inner.sortBy { case (_, _, _, _, fr) => fr } ++ leftDims
+    val skipping = inner.flatMap(_._4).reduceOption(_ && _)
+    val total = countDataFiles(factS)
+    val fact0 = readState(spark, factS, skipping)
     val fact = skipping.map(fact0.where).getOrElse(fact0)
     val kept = fact.inputFiles.length
     val factAliased = fact.alias("__f")
     var acc = factAliased
     val strategies = scala.collection.mutable.LinkedHashMap[String, String]()
-    ordered.zipWithIndex.foreach { case ((d, dim, _, _), i) =>
+    ordered.zipWithIndex.foreach { case ((d, dS, dim, _, _), i) =>
       val dimB = dim.alias(s"__d$i")
       // resolve the fact key by EXPRESSION ID through the join chain —
       // a dim sharing the key's name must not make it ambiguous
       val cond = factAliased(d.factKey) === dimB(d.dimKey)
-      val fits = memEstAny(spark, d.path, inflation).exists(_ <= broadcastBytes)
+      val fits = memEstOf(spark, dS, statsOf(spark, dS), inflation)
+        .exists(_ <= broadcastBytes)
+      val label = dimLabel(d, dims)
       acc =
-        if (fits) { strategies(d.path) = "broadcast"; acc.join(broadcast(dimB), cond, d.how) }
-        else { strategies(d.path) = "shuffle"; acc.join(dimB, cond, d.how) }
+        if (fits) { strategies(label) = "broadcast"; acc.join(broadcast(dimB), cond, d.how) }
+        else { strategies(label) = "shuffle"; acc.join(dimB, cond, d.how) }
     }
-    (acc, StarDecision(ordered.map(_._1.path),
-      evaluated.map(e => e._1.path -> e._4).toMap,
+    (acc, StarDecision(ordered.map(e => dimLabel(e._1, dims)),
+      evaluated.map(e => dimLabel(e._1, dims) -> e._5).toMap,
       strategies.toMap, kept, total))
   }
 }

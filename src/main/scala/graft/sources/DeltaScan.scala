@@ -325,7 +325,7 @@ object DeltaScan {
 
   /** the back half of [[read]]: plan the scan over a reconstructed
     * [[LiveState]] (skipping, DV anti-join, column mapping, layout) */
-  private def readFromState(spark: SparkSession, tablePath: String,
+  private[sources] def readFromState(spark: SparkSession, tablePath: String,
       state: LiveState,
       skippingFilter: Option[org.apache.spark.sql.Column]): DataFrame = {
     val schema = state.schema

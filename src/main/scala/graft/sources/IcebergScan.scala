@@ -367,6 +367,14 @@ object IcebergScan {
     readEntries(spark, planned.tablePath, planned.meta, planned.entries,
       onlyDataFiles, keepLineage = false, skippingFilter = None)
 
+  /** skipping-filtered read over pre-walked planning state — lets a
+    * planner that already paid the manifest walk ([[CboJoin]]) prune
+    * and read without a second walk */
+  private[sources] def readPlannedFiltered(spark: SparkSession,
+      planned: PlannedTable, skippingFilter: Option[org.apache.spark.sql.Column]): DataFrame =
+    readEntries(spark, planned.tablePath, planned.meta, planned.entries,
+      onlyDataFiles = None, keepLineage = false, skippingFilter = skippingFilter)
+
   private def readEntries(spark: SparkSession, tablePath: String,
       meta: JsonNode, entries: Seq[FileEntry],
       onlyDataFiles: Option[Set[String]],

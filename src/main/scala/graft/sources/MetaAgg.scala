@@ -67,8 +67,13 @@ object MetaAgg {
   /** the metadata branch of [[countDelta]] alone — NEVER scans data
     * (None = metadata cannot prove the answer); safe to call from
     * planning-time code like [[graft.plans.MetaAggRewriteRule]] */
-  def countDeltaMetaOnly(spark: SparkSession, tablePath: String): Option[Long] = {
-    val st = DeltaScan.liveState(spark, tablePath)
+  def countDeltaMetaOnly(spark: SparkSession, tablePath: String): Option[Long] =
+    liveRows(DeltaScan.liveState(spark, tablePath))
+
+  /** the same arithmetic over an ALREADY-replayed state — the single
+    * source of truth for exact-live-rows; also consumed by
+    * [[CboJoin]]'s Delta side pricing (which holds a state anyway) */
+  private[sources] def liveRows(st: DeltaScan.LiveState): Option[Long] = {
     val recs = st.files.map(_.stats.flatMap(ParquetStats.parse)
       .map(_.numRecords).filter(_ >= 0L))
     if (recs.forall(_.isDefined)) {

@@ -275,6 +275,64 @@ class CboJoinSpec extends SparkSpec {
     } finally CboJoin.maxBroadcastBytes = prev
   }
 
+  test("star planner: role-playing dim (same path, two fact keys) keeps distinct audit entries") {
+    val base = Files.createTempDirectory("graft_cbo_star_rp").toString
+    import spark.implicits._
+    rangedFact(s"$base/f")
+    IcebergNdv.analyze(spark, s"$base/f", Seq("id", "k2"))
+    IcebergWrite.create(spark,
+      Seq((3L, "x"), (10L, "y")).toDF("fk", "name"), s"$base/dD")
+    val (df, sd) = CboJoin.planStar(spark, s"$base/f", Seq(
+      CboJoin.DimSpec(s"$base/dD", "id", "fk"),
+      CboJoin.DimSpec(s"$base/dD", "k2", "fk")))
+    // labels disambiguate by fact key; both entries survive
+    assert(sd.order.toSet == Set(s"$base/dD#id", s"$base/dD#k2"), sd.order)
+    assert(sd.fraction.size == 2 && sd.strategy.size == 2, sd)
+    assert(sd.fraction(s"$base/dD#id") < sd.fraction(s"$base/dD#k2"), sd.fraction)
+    // id∈{3,10} AND k2∈{3,10}∩[0,7) = {3}: rows id=3 (k2=3), id=10 (k2=3)
+    assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 10L))
+  }
+
+  test("semi distinct-broadcast refuses an unpriceable right side (stats-less Delta)") {
+    val base = Files.createTempDirectory("graft_cbo_nostats").toString
+    import spark.implicits._
+    IcebergWrite.create(spark, facts(2000), s"$base/f")
+    val bigRight = (1L to 5000L).map(i => (i % 5L, "x" * 200)).toDF("k", "pad")
+    graft.sources.DeltaWrite.create(spark, bigRight, s"$base/r")
+    graft.sources.DeltaNdv.analyze(spark, s"$base/r", Seq("k"))
+    // simulate a foreign writer: strip add-file stats from the log —
+    // NDV stays current (same versions) but live rows become unknowable
+    val logDir = java.nio.file.Paths.get(s"$base/r/_delta_log")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    Files.list(logDir).iterator().asScala
+      .filter(_.toString.endsWith(".json")).foreach { p =>
+        val out = Files.readAllLines(p).asScala.map { line =>
+          val node = mapper.readTree(line)
+          if (node.has("add")) {
+            node.get("add").asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+              .remove("stats")
+            mapper.writeValueAsString(node)
+          } else line
+        }
+        Files.write(p, out.mkString("\n").getBytes("UTF-8"))
+      }
+    // the raw rewrite invalidates Hadoop LocalFS checksum sidecars
+    Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".crc")).foreach(Files.delete)
+    // rows = -1: the distinct-key estimate must NOT collapse to ~1
+    // tuple and broadcast on a guess — generic decision takes over and
+    // the unpriceable side shuffles
+    val (df, d) = CboJoin.plan(spark, s"$base/f", s"$base/r",
+      Seq("k" -> "k"), how = "left_semi", broadcastBytes = 4096L)
+    assert(d.strategy == "shuffle", d.reason)
+    assert(d.right.rows == -1L, d.right)
+    val plain = graft.sources.IcebergScan.read(spark, s"$base/f")
+      .join(graft.sources.DeltaScan.read(spark, s"$base/r"), Seq("k"), "left_semi")
+      .count()
+    assert(df.count() == plain)
+  }
+
   test("star planner: left dims never prune and join after inner dims") {
     val base = Files.createTempDirectory("graft_cbo_star_l").toString
     import spark.implicits._
