@@ -63,7 +63,7 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  private val headline = Seq(
+  private[graft] val headline = Seq(
     "q1_agg", "q_filter", "q_count", "q_join_multi", "q_join_inner",
     "q_asof_join", "q_window_rank", "q_cumsum", "q_pivot_wider",
     "q_dedup_exact", "q_dedup_minhash", "q_text_stats", "q_embed_knn",

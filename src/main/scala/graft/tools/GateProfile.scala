@@ -1,0 +1,126 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only phase profiler for the expensive lakehouse gates — breaks
+  * a gate's wall time into its write/analyze/plan/read phases so the
+  * optimization round targets the dominant phase instead of guessing.
+  * Not library code.
+  *
+  * Usage: java ... graft.tools.GateProfile <sfDir> [gate]
+  * gates: cbo_delta | cbo_iceberg | delta_transform | cdc_apply | ingest_neardup
+  */
+object GateProfile {
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[prof] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val which = if (args.length > 1) args(1) else "cbo_delta"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm codegen/JIT
+    try graft.SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001").count()
+    catch { case _: Throwable => () }
+
+    (1 to 2).foreach { rep =>
+      println(s"=== $which rep $rep ===")
+      which match {
+        case "cbo_delta" | "cbo_iceberg" =>
+          val base = java.nio.file.Files.createTempDirectory("graft_prof").toString
+          val orders = time("read orders")(spark.read
+            .parquet(s"$sf/orders.parquet")
+            .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+              col("o_totalprice")))
+          val cust = spark.read.parquet(s"$sf/customer.parquet")
+            .select(col("c_custkey"), col("c_name"))
+          if (which == "cbo_delta") {
+            time("DeltaWrite.create o")(
+              graft.sources.DeltaWrite.create(spark, orders, s"$base/o"))
+            time("DeltaWrite.create c")(
+              graft.sources.DeltaWrite.create(spark, cust, s"$base/c"))
+            time("DeltaNdv.analyze o")(
+              graft.sources.DeltaNdv.analyze(spark, s"$base/o", Seq("custkey")))
+            time("DeltaNdv.analyze c")(
+              graft.sources.DeltaNdv.analyze(spark, s"$base/c", Seq("c_custkey")))
+          } else {
+            time("IcebergWrite.create o")(
+              graft.sources.IcebergWrite.create(spark, orders, s"$base/o"))
+            time("IcebergWrite.create c")(
+              graft.sources.IcebergWrite.create(spark, cust, s"$base/c"))
+            time("IcebergNdv.analyze o")(
+              graft.sources.IcebergNdv.analyze(spark, s"$base/o", Seq("custkey")))
+            time("IcebergNdv.analyze c")(
+              graft.sources.IcebergNdv.analyze(spark, s"$base/c", Seq("c_custkey")))
+          }
+          val (df, _) = time("CboJoin.plan")(
+            graft.sources.CboJoin.plan(spark, s"$base/o", s"$base/c",
+              Seq("custkey" -> "c_custkey")))
+          time("agg+count")(df.groupBy("custkey", "c_name")
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                .as("sum_price"))
+            .orderBy("custkey", "c_name").count())
+
+        case "delta_transform" =>
+          val base = java.nio.file.Files
+            .createTempDirectory("graft_prof").toString + "/t"
+          val ev = spark.read.parquet(s"$sf/events.parquet")
+            .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+              col("user_id"), col("event_type"))
+          time("create partitioned")(graft.sources.DeltaWrite.create(spark, ev,
+            base, partitionBy = Seq("day(ts)", "truncate(2, event_type)")))
+          time("deleteWhere")(graft.sources.DeltaWrite.deleteWhere(spark, base,
+            col("ts") >= to_timestamp(lit("2024-01-12 00:00:00")) &&
+              col("ts") < to_timestamp(lit("2024-01-13 00:00:00"))))
+          def rd(f: Option[org.apache.spark.sql.Column]) =
+            graft.sources.DeltaScan.read(spark, base, skippingFilter = f)
+              .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+                col("user_id"), col("event_type"))
+          val all = time("build read all")(rd(scala.None))
+          val day = time("build read day")(rd(Some(
+            col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")) &&
+              col("ts") < to_timestamp(lit("2024-01-11 00:00:00")))))
+          val pref = time("build read pref")(rd(Some(col("event_type") === "purchase")))
+          time("union+count")(
+            all.unionByName(day).unionByName(pref)
+              .orderBy("event_id", "ts_us").count())
+
+        case "cdc_apply" =>
+          time("whole gate")(graft.SparkEntry
+            .queries("q_delta_cdc_apply")(spark, sf).count())
+
+        case "ingest_neardup" =>
+          val root = java.nio.file.Files.createTempDirectory("graft_prof").toString
+          val docs = spark.read.parquet(s"$sf/documents.parquet")
+            .select("doc_id", "text")
+          time("ingest 1 (half)")(graft.operators.Pipelines.ingestIncrementNearDup(
+            spark, s"$root/corpus", s"$root/index",
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", threshold = 0.4))
+          time("ingest 2 (full)")(graft.operators.Pipelines.ingestIncrementNearDup(
+            spark, s"$root/corpus", s"$root/index",
+            docs, "doc_id", "text", threshold = 0.4))
+          time("read corpus + count")(
+            graft.sources.DeltaScan.read(spark, s"$root/corpus")
+              .select("doc_id", "content_hash").orderBy("doc_id").count())
+
+        case other =>
+          println(s"[prof] unknown gate: $other")
+      }
+    }
+    spark.stop()
+  }
+}

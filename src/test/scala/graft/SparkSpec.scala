@@ -13,6 +13,14 @@ trait SparkSpec extends AnyFunSuite {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // this host has documented vCPU-starvation phases (see
+      // Bench.startStallProbe): with the default 10s heartbeat the
+      // local-mode executor can rack up 60 missed beats across a long
+      // suite run and hard-exit the JVM (exit 56) even though every
+      // test passed. Longer interval + timeout = same failure
+      // semantics on a real hang, immune to transient host stalls.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "300s")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
