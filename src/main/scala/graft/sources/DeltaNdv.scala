@@ -62,11 +62,10 @@ object DeltaNdv {
     ).head() // [lint:bounded] one row of ncols KB-sized sketches
     val stats = fields.zipWithIndex.map { case (f, i) =>
       val bytes = row.getAs[Array[Byte]](i)
-      val ndv = spark.range(1)
-        .select(hll_sketch_estimate(lit(bytes)))
-        .head() // [lint:bounded] one row: the estimate of one sketch
-        .getLong(0)
-      IcebergNdv.ColumnStats(f.name, fieldId = -1, ndv = ndv, sketch = bytes)
+      // driver-side estimate (IcebergNdv.sketchEstimate) — the
+      // expression form costs a one-row Spark job per column
+      IcebergNdv.ColumnStats(f.name, fieldId = -1,
+        ndv = IcebergNdv.sketchEstimate(bytes), sketch = bytes)
     }
 
     val cfg = mapper.createObjectNode()

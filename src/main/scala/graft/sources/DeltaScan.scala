@@ -174,13 +174,13 @@ object DeltaScan {
     * JSON — exactly what [[read]] plans from, exposed so metadata-only
     * consumers ([[MetaAgg]]) answer from the SAME replay (protocol
     * gates, checkpoints, last-action-wins) the row reads use. */
-  private[sources] final case class LiveFile(
+  private[graft] final case class LiveFile(
       path: String, pv: Map[String, String],
       dv: Option[DeletionVectors.Descriptor], stats: Option[String])
 
   /** the snapshot's logical state: schema, partitioning, table config,
     * column-mapping flag, and the live file set */
-  private[sources] final case class LiveState(
+  private[graft] final case class LiveState(
       schema: StructType, partCols: Seq[String],
       conf: Map[String, String], columnMapped: Boolean,
       files: Seq[LiveFile])
@@ -189,7 +189,7 @@ object DeltaScan {
     * front half of [[read]]: checkpoint + JSON tail, protocol gates,
     * metaData resolution, last-action-per-path live-set reconstruction,
     * planning-size guard. Metadata I/O only; no data file is opened. */
-  private[sources] def liveState(spark: SparkSession, tablePath: String,
+  private[graft] def liveState(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long] = None): LiveState = {
     val (fs, versions) = listLog(spark, tablePath)
     // a checkpoint with a fully-truncated JSON tail is a legal table
@@ -211,6 +211,24 @@ object DeltaScan {
     val jsonVersions = versions.filter(v => v > cpVersion && v <= target)
     require(checkpoint.nonEmpty || jsonVersions.contains(0L),
       s"Delta log at $tablePath is truncated before version 0 and no usable checkpoint exists")
+
+    // DRIVER-SIDE FAST REPLAY (guide §1.2 step 1 / §2.4 — remove jobs
+    // that do no data work): a JSON-only log is replayed with Jackson
+    // on the driver instead of a spark.read.json scan + a window
+    // shuffle + toLocalIterator — on small logs the distributed replay
+    // is 2-3 Spark jobs of pure scheduling overhead per read, and
+    // every Delta read pays it. Same last-action-wins semantics, same
+    // protocol/metaData gates, same PlanningGuard accounting (asserted
+    // equivalent by DeltaScanSpec's fast-vs-distributed check). The
+    // distributed path stays for checkpointed tables (the checkpoint
+    // is a data-sized parquet artifact that belongs in executors) and
+    // for JSON tails past `maxDriverReplayBytes` — a 100 TB table has
+    // a checkpoint (auto-checkpointing every 10 commits), so the
+    // driver never replays an unbounded log.
+    if (driverReplayEnabled && checkpoint.isEmpty && jsonVersions.nonEmpty &&
+        jsonVersions.map(v => fs.getFileStatus(
+          new Path(logDir, f"$v%020d.json")).getLen).sum <= maxDriverReplayBytes)
+      return liveStateDriver(fs, tablePath, logDir, jsonVersions)
 
     val jsonActs =
       if (jsonVersions.isEmpty) None
@@ -321,6 +339,116 @@ object DeltaScan {
       LiveFile(new Path(tablePath, rel).toString, pv, dv, st)
     }
     LiveState(schema, partCols, conf, columnMapped, allFiles.toSeq)
+  }
+
+  /** JSON-tail byte cap for the driver-side replay; past it (or with
+    * any checkpoint present) the distributed replay runs. Env override
+    * for ops; the default comfortably covers every no-checkpoint log
+    * (auto-checkpointing bounds tails to ~10 commits). */
+  private[sources] val maxDriverReplayBytes: Long =
+    sys.env.get("GRAFT_DELTA_DRIVER_REPLAY_MAX_BYTES").map(_.toLong)
+      .getOrElse(128L << 20)
+
+  /** test hook: DeltaScanSpec forces the distributed replay to assert
+    * the two replays reconstruct identical snapshots */
+  @volatile private[graft] var driverReplayEnabled = true
+
+  /** Driver twin of the distributed replay in [[liveState]] — Jackson
+    * over the JSON tail, zero Spark jobs. Semantics mirrored exactly:
+    * last action per path wins, an add beats a remove within one
+    * version (the window's `(__v DESC, isAdd DESC)` — DV re-add
+    * commits), protocol actions without `minReaderVersion` and
+    * metaData actions without `id` are ignored (the schema-projection
+    * filters), and the planning-size guard sees the same per-file
+    * byte estimate. */
+  private def liveStateDriver(fs: FileSystem, tablePath: String,
+      logDir: Path, jsonVersions: Seq[Long]): LiveState = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import com.fasterxml.jackson.databind.JsonNode
+    def opt(n: JsonNode, f: String): Option[JsonNode] =
+      Option(n.get(f)).filterNot(_.isNull)
+    // (version, isAdd, add-node or null) per path
+    val latest = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Long, Boolean, JsonNode)]
+    var proto: Option[JsonNode] = scala.None
+    var meta: Option[JsonNode] = scala.None
+    jsonVersions.sorted.foreach { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      val in = fs.open(p)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      lines.foreach { ln =>
+        if (ln.nonEmpty) {
+          val node = mapper.readTree(ln)
+          if (node.has("add")) {
+            val a = node.get("add")
+            opt(a, "path").map(_.asText()).foreach { path =>
+              if (latest.get(path).forall(_._1 <= v)) // add wins same-v ties
+                latest(path) = (v, true, a)
+            }
+          } else if (node.has("remove")) {
+            opt(node.get("remove"), "path").map(_.asText()).foreach { path =>
+              if (latest.get(path).forall(c => c._1 < v || (c._1 == v && !c._2)))
+                latest(path) = (v, false, null)
+            }
+          } else if (node.has("metaData")) {
+            if (opt(node.get("metaData"), "id").nonEmpty)
+              meta = Some(node.get("metaData"))
+          } else if (node.has("protocol")) {
+            if (opt(node.get("protocol"), "minReaderVersion").nonEmpty)
+              proto = Some(node.get("protocol"))
+          }
+        }
+      }
+    }
+
+    proto.foreach { p =>
+      val minReader = p.get("minReaderVersion").asInt()
+      val feats = opt(p, "readerFeatures")
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+      require(minReader <= 2 || (minReader == 3 && feats.forall(supportedReaderFeatures)),
+        s"Delta reader protocol $minReader with features $feats is not supported " +
+          "by the built-in reader (unsupported: " +
+          s"${feats.filterNot(supportedReaderFeatures).mkString(", ")})")
+    }
+    val md = meta.getOrElse(throw new IllegalStateException(
+      s"Delta log at $tablePath has no metaData action"))
+    val conf = opt(md, "configuration").map(c =>
+      c.properties().asScala.map(e =>
+        e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+      .getOrElse(Map.empty[String, String])
+    val cmMode = conf.getOrElse("delta.columnMapping.mode", "none")
+    require(Set("none", "name", "id")(cmMode),
+      s"Delta column mapping mode '$cmMode' is not in the protocol (none/name/id)")
+    val columnMapped = cmMode != "none"
+    val schema = DataType.fromJson(md.get("schemaString").asText())
+      .asInstanceOf[StructType]
+    val partCols = opt(md, "partitionColumns")
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+
+    var planBytes = 0L
+    val files = scala.collection.mutable.ArrayBuffer.empty[LiveFile]
+    latest.foreach { case (rawPath, (_, isAdd, a)) =>
+      if (isAdd) {
+        val stats = opt(a, "stats").map(_.asText())
+        planBytes += 96L + rawPath.length + stats.fold(0L)(_.length.toLong)
+        PlanningGuard.check(tablePath, files.length + 1L, planBytes)
+        val pv = opt(a, "partitionValues").map(p =>
+          p.properties().asScala.map(e =>
+            e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())).toMap)
+          .getOrElse(Map.empty[String, String])
+        val dv = opt(a, "deletionVector").filter(d => opt(d, "storageType").nonEmpty)
+          .map { d =>
+            DeletionVectors.Descriptor(
+              d.get("storageType").asText(), d.get("pathOrInlineDv").asText(),
+              opt(d, "offset").map(_.asInt()),
+              d.get("sizeInBytes").asInt(), d.get("cardinality").asLong())
+          }
+        files += LiveFile(
+          new Path(tablePath, percentDecode(rawPath)).toString, pv, dv, stats)
+      }
+    }
+    LiveState(schema, partCols, conf, columnMapped, files.toSeq)
   }
 
   /** the back half of [[read]]: plan the scan over a reconstructed

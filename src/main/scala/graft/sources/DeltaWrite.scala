@@ -2065,14 +2065,26 @@ object DeltaWrite {
           .filter(coalesce(cond, lit(false)))
           .select(schema.fieldNames.map(col).toSeq: _*)
           .withColumn("_change_type", lit("delete")))
-    val added = victims.groupBy(r => r.split('/').dropRight(1).mkString("/"))
-      .toSeq.sortBy(_._1).flatMap { case (partDir, rels) =>
-        writeStaged(fs, root, destPrefix = partDir) { staging =>
-          liveScan(spark, root, schema, partCols, rels, mapped).filter(keep)
-            .select(toPhysical(schema, mapped, dataCols.toSeq): _*)
-            .write.mode("append").parquet(staging)
-        }
+    // ONE staged write for every victim dir (writeStaged moves nested
+    // hive dirs): the former per-partition-directory loop launched one
+    // Spark job per touched directory — a delete spanning D dirs paid
+    // D sequential job latencies; the dynamic partitionBy write is the
+    // same single-job shape commit() and merge already use, and the
+    // partition-column clustering keeps files = touched partitions
+    val added = writeStaged(fs, root, destPrefix = "") { staging =>
+      val survivors = liveScan(spark, root, schema, partCols, victims, mapped)
+        .filter(keep)
+      if (partCols.isEmpty)
+        survivors.select(toPhysical(schema, mapped, dataCols.toSeq): _*)
+          .write.mode("append").parquet(staging)
+      else {
+        val physParts = partCols.map(p =>
+          if (mapped) DeltaScan.physicalName(schema(p)) else p)
+        survivors.select(toPhysical(schema, mapped, schema.fieldNames.toSeq): _*)
+          .repartition(physParts.map(col): _*)
+          .write.mode("append").partitionBy(physParts: _*).parquet(staging)
       }
+    }
     commitRewrite(spark, fs, root, added, victims, operation = Some("DELETE"),
       scope = Some(CommitScope("DELETE", readV, victims.toSet,
         readsWholeTable = false, pred = Some((schema, cond)))),
@@ -2162,15 +2174,22 @@ object DeltaWrite {
           .withColumn("_change_type", lit("update_postimage"))
         stageCdcFiles(spark, fs, root, schema, partCols, pre.unionByName(post))
       }
-    val added = victims.groupBy(r => r.split('/').dropRight(1).mkString("/"))
-      .toSeq.sortBy(_._1).flatMap { case (partDir, rels) =>
-        writeStaged(fs, root, destPrefix = partDir) { staging =>
-          liveScan(spark, root, schema, partCols, rels, mapped)
-            .select(projected.toSeq: _*)
-            .select(toPhysical(schema, mapped, dataCols.toSeq): _*)
-            .write.mode("append").parquet(staging)
-        }
+    // ONE staged write for every victim dir — same single-job dynamic
+    // partitionBy shape as deleteWhere/merge (was a job per directory)
+    val added = writeStaged(fs, root, destPrefix = "") { staging =>
+      val updated = liveScan(spark, root, schema, partCols, victims, mapped)
+        .select((projected ++ partCols.map(col)).toSeq: _*)
+      if (partCols.isEmpty)
+        updated.select(toPhysical(schema, mapped, dataCols.toSeq): _*)
+          .write.mode("append").parquet(staging)
+      else {
+        val physParts = partCols.map(p =>
+          if (mapped) DeltaScan.physicalName(schema(p)) else p)
+        updated.select(toPhysical(schema, mapped, schema.fieldNames.toSeq): _*)
+          .repartition(physParts.map(col): _*)
+          .write.mode("append").partitionBy(physParts: _*).parquet(staging)
       }
+    }
     commitRewrite(spark, fs, root, added, victims, operation = Some("UPDATE"),
       scope = Some(CommitScope("UPDATE", readV, victims.toSet,
         readsWholeTable = false, pred = Some((schema, cond)))),
@@ -2668,15 +2687,25 @@ object DeltaWrite {
     val src = srcData0.persist()
     val tombKeys = tombK0.map(_.persist())
     try {
-      val srcRows = src.count()
-      val tombRows = tombKeys.map(_.count()).getOrElse(0L)
-      if (srcRows == 0L && tombRows == 0L) return (0L, 0L, 0L)
       val dataK = src.select(keys.map(col): _*)
-      val allK = tombKeys.fold(dataK)(t => dataK.unionByName(t))
-      require(allK.groupBy(keys.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).count() == 0L,
+      // ONE job for source/tombstone row counts AND the duplicate-key
+      // guard (was three actions): per-key multiplicities aggregate to
+      // the totals and the max multiplicity in a single pass
+      val tagged = tombKeys.fold(dataK.withColumn("__t", lit(0)))(t =>
+        dataK.withColumn("__t", lit(0)).unionByName(t.withColumn("__t", lit(1))))
+      val srcStats = tagged.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n"), sum(col("__t")).as("__nt"))
+        .agg(coalesce(sum(col("__n") - col("__nt")), lit(0L)).as("src"),
+          coalesce(sum(col("__nt")), lit(0L)).as("tomb"),
+          coalesce(max(col("__n")), lit(0L)).as("maxMult"))
+        .head() // [lint:bounded] one metrics row
+      val srcRows = srcStats.getLong(0)
+      val tombRows = srcStats.getLong(1)
+      if (srcRows == 0L && tombRows == 0L) return (0L, 0L, 0L)
+      require(srcStats.getLong(2) <= 1L,
         "merge source has duplicate key tuples (or a key both upserted " +
           "and tombstoned) — ambiguous apply")
+      val allK = tombKeys.fold(dataK)(t => dataK.unionByName(t))
 
       val readV = DeltaScan.latestVersion(spark, tablePath)
       val live = replayActions(spark, fs, tablePath, Some(readV))
@@ -2692,11 +2721,23 @@ object DeltaWrite {
       val (updated, deleted, matchedSrc) =
         if (victims.isEmpty) (0L, 0L, 0L)
         else {
-          val upd = vScan.join(dataK, keys, "left_semi").count()
-          val del = tombKeys.fold(0L)(t =>
-            vScan.join(t, keys, "left_semi").count())
-          val ms = dataK.join(vScan.select(keys.map(col): _*), keys, "left_semi").count()
-          (upd, del, ms)
+          // ONE job for the three merge metrics (was three semi-join
+          // counts): victim rows per key joined to the flagged key set
+          // (duplicate-free by the guard above), one global aggregate.
+          // matched-source = matched source KEYS = matched source rows.
+          val srcK = dataK.distinct()
+            .withColumn("__s", lit(1)).withColumn("__d", lit(0))
+          val keyFlags = tombKeys.fold(srcK)(t => srcK.unionByName(
+            t.distinct().withColumn("__s", lit(0)).withColumn("__d", lit(1))))
+          val m = vScan.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("__nt"))
+            .join(keyFlags, keys, "inner")
+            .agg(
+              coalesce(sum(when(col("__s") === 1, col("__nt"))), lit(0L)),
+              coalesce(sum(when(col("__d") === 1, col("__nt"))), lit(0L)),
+              coalesce(sum(col("__s").cast("long")), lit(0L)))
+            .head() // [lint:bounded] one metrics row
+          (m.getLong(0), m.getLong(1), m.getLong(2))
         }
       val inserted = srcRows - matchedSrc
 

@@ -86,9 +86,7 @@ object IcebergNdv {
     ).head() // [lint:bounded] one row of ncols KB-sized sketches
     val sketches = fields.zipWithIndex.map { case (f, i) =>
       val bytes = row.getAs[Array[Byte]](i)
-      val ndv = math.round(spark.range(1).select(
-        hll_sketch_estimate(lit(bytes))).head().getLong(0).toDouble)
-      (f.name, idByName(f.name), ndv, bytes)
+      (f.name, idByName(f.name), sketchEstimate(bytes), bytes)
     }
 
     // one Puffin stats file, one blob per column
@@ -179,14 +177,28 @@ object IcebergNdv {
     })
   }
 
+  /** Driver-side estimate of ONE aggregated sketch — the same
+    * `Math.round(heapify(bytes).getEstimate)` Spark's
+    * `hll_sketch_estimate` expression computes, without the
+    * one-row Spark job the expression form costs per column
+    * (deterministic for given bytes, so recorded NDV values are
+    * unchanged; asserted against the expression in IcebergNdvSpec). */
+  private[graft] def sketchEstimate(bytes: Array[Byte]): Long =
+    Math.round(org.apache.datasketches.hll.HllSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(bytes)).getEstimate)
+
   /** merged NDV of several DataSketches HLL sketches (disjoint or
-    * overlapping analyze passes union in O(k)) */
+    * overlapping analyze passes union in O(k)) — driver-side union,
+    * mirroring Spark's `hll_union_agg` (target lgK = the max of the
+    * inputs' lgConfigK, the union default). */
   def mergedNdv(spark: SparkSession, sketches: Seq[Array[Byte]]): Long = {
     require(sketches.nonEmpty, "mergedNdv needs at least one sketch")
-    import spark.implicits._
-    sketches.toDF("s")
-      .agg(hll_sketch_estimate(hll_union_agg(col("s"))))
-      .head().getLong(0)
+    import org.apache.datasketches.hll.{HllSketch, Union}
+    import org.apache.datasketches.memory.Memory
+    val parsed = sketches.map(b => HllSketch.heapify(Memory.wrap(b)))
+    val union = new Union(parsed.map(_.getLgConfigK).max)
+    parsed.foreach(union.update)
+    Math.round(union.getResult.getEstimate)
   }
 }
 

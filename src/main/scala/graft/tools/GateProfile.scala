@@ -32,6 +32,10 @@ object GateProfile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_DRIVER_REPLAY=0 forces the distributed Delta log replay —
+    // the before/after lever for the fast-replay comparison
+    graft.sources.DeltaScan.driverReplayEnabled =
+      sys.env.getOrElse("GRAFT_DRIVER_REPLAY", "1") == "1"
     // warm codegen/JIT
     try graft.SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.001").count()
     catch { case _: Throwable => () }
@@ -98,6 +102,56 @@ object GateProfile {
           time("union+count")(
             all.unionByName(day).unionByName(pref)
               .orderBy("event_id", "ts_us").count())
+
+        case "delta_create_phases" =>
+          // replicate DeltaWrite.commit's phases for the q_delta_transform
+          // create, timed separately: generated-column projection,
+          // repartition+partitionBy staging write, footer stats reads
+          val base = java.nio.file.Files
+            .createTempDirectory("graft_prof").toString + "/t"
+          val ev = spark.read.parquet(s"$sf/events.parquet")
+            .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+              col("user_id"), col("event_type"))
+          val ddf = ev
+            .withColumn("__day", expr("CAST(ts AS DATE)"))
+            .withColumn("__et2", expr("SUBSTRING(event_type, 1, 2)"))
+          println(s"[prof] rows: ${ev.count()}")
+          time("noop repartition only")(
+            ddf.repartition(col("__day"), col("__et2"))
+              .write.format("noop").mode("overwrite").save())
+          time("flat write (no partitionBy)")(
+            ddf.repartition(col("__day"), col("__et2"))
+              .write.mode("overwrite").parquet(s"$base/.flat"))
+          val staging = s"$base/.staging"
+          time("hash32 + partitionBy")(
+            ddf.repartition(col("__day"), col("__et2"))
+              .write.mode("append").partitionBy("__day", "__et2")
+              .parquet(staging))
+          time("hash150 + partitionBy")(
+            ddf.repartition(150, col("__day"), col("__et2"))
+              .write.mode("append").partitionBy("__day", "__et2")
+              .parquet(s"$base/.s150"))
+          time("hash32+sortWithin + partitionBy")(
+            ddf.repartition(col("__day"), col("__et2"))
+              .sortWithinPartitions("__day", "__et2")
+              .write.mode("append").partitionBy("__day", "__et2")
+              .parquet(s"$base/.s32s"))
+          time("coalesce1 + partitionBy")(
+            ddf.coalesce(1).sortWithinPartitions("__day", "__et2")
+              .write.mode("append").partitionBy("__day", "__et2")
+              .parquet(s"$base/.s1"))
+          val fs = new org.apache.hadoop.fs.Path(staging)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val files = {
+            val it = fs.listFiles(new org.apache.hadoop.fs.Path(staging), true)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+            while (it.hasNext) { val f = it.next(); if (f.getPath.getName.endsWith(".parquet")) buf += f.getPath }
+            buf.toSeq
+          }
+          println(s"[prof] files written: ${files.size}")
+          time("footer stats x" + files.size)(
+            files.foreach(p => graft.sources.ParquetStats
+              .statsJson(spark.sparkContext.hadoopConfiguration, p)))
 
         case "cdc_apply" =>
           time("whole gate")(graft.SparkEntry

@@ -1926,4 +1926,46 @@ class DeltaScanSpec extends SparkSpec {
       org.apache.spark.sql.functions.col("id") === 1L,
       Seq("id" -> org.apache.spark.sql.functions.lit(null).cast("long"))))
   }
+
+  test("driver-side fast replay reconstructs the identical snapshot as the distributed replay") {
+    // a log exercising every replay wrinkle: partition values (with a
+    // null), stats, a remove + same-version re-add (the DV re-add
+    // shape, where add must win the tie), a percent-encoded path, a
+    // later metaData re-declaration, and a protocol upgrade
+    val dir = freshDir("graft_delta_fastreplay")
+    val s0 = writeDataFile(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, "f0.parquet")
+    val s1 = writeDataFile(Seq((3L, "c")).toDF("id", "v"), dir, "f1.parquet")
+    val s2 = writeDataFile(Seq((4L, "d")).toDF("id", "v"), dir, "p=x%25y/f2.parquet")
+    val stats = """{\"numRecords\":2,\"minValues\":{\"id\":1},\"maxValues\":{\"id\":2},\"nullCount\":{\"id\":0}}"""
+    writeCommit(dir, 0, Seq(protoAction, metaAction(),
+      s"""{"add":{"path":"f0.parquet","partitionValues":{},"size":$s0,"modificationTime":1700000000000,"dataChange":true,"stats":"$stats"}}""",
+      addAction("f1.parquet", s1)))
+    // same-version remove + re-add of f0 (the DV re-add commit shape)
+    writeCommit(dir, 1, Seq(removeAction("f0.parquet"),
+      addAction("f0.parquet", s0)))
+    writeCommit(dir, 2, Seq(removeAction("f1.parquet"),
+      addAction("p=x%2525y/f2.parquet", s2, pv = """{"p":"x%y","q":null}""")))
+
+    def state() = DeltaScan.liveState(spark, dir.toString)
+    def norm(st: DeltaScan.LiveState) =
+      (st.schema, st.partCols, st.conf, st.columnMapped,
+        st.files.map(f => (f.path, f.pv, f.dv, f.stats)).sortBy(_._1))
+    val fast = norm(state())
+    DeltaScan.driverReplayEnabled = false
+    val dist = try norm(state()) finally DeltaScan.driverReplayEnabled = true
+    assert(fast == dist)
+    // time travel goes through the same branch
+    def at(v: Long) = {
+      val a = DeltaScan.liveState(spark, dir.toString, Some(v))
+      DeltaScan.driverReplayEnabled = false
+      val b = try DeltaScan.liveState(spark, dir.toString, Some(v))
+        finally DeltaScan.driverReplayEnabled = true
+      assert(norm(a) == norm(b))
+    }
+    at(0L); at(1L)
+    // and the rows agree end-to-end
+    val rows = DeltaScan.read(spark, dir.toString)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (4L, "d")))
+  }
 }

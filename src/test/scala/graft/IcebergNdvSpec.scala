@@ -80,6 +80,17 @@ class IcebergNdvSpec extends SparkSpec {
     val merged = IcebergNdv.mergedNdv(spark, Seq(half1, half2))
     assert(math.abs(merged - 1000L) <= 50, s"merged ndv $merged")
 
+    // the driver-side estimate/union are bit-equal to Spark's
+    // hll_sketch_estimate / hll_union_agg expressions (recorded NDV
+    // values must not change with the job-free path)
+    import org.apache.spark.sql.functions.{hll_sketch_estimate, hll_union_agg, lit}
+    val exprEst = spark.range(1)
+      .select(hll_sketch_estimate(lit(half1))).head().getLong(0)
+    assert(graft.sources.IcebergNdv.sketchEstimate(half1) == exprEst)
+    val exprMerged = Seq(half1, half2).toDF("s")
+      .agg(hll_sketch_estimate(hll_union_agg(col("s")))).head().getLong(0)
+    assert(merged == exprMerged, s"driver union $merged vs expr $exprMerged")
+
     // the Puffin blobs themselves decode through the container reader
     val entry = metaNode(dir).get("statistics").elements().next()
     val p = new org.apache.hadoop.fs.Path(entry.get("statistics-path").asText())
