@@ -658,9 +658,7 @@ object DeltaWrite {
     val staged = writeStaged(fs, root, destPrefix = "_change_data") { staging =>
       val ordered = changes.select(
         (schema.fieldNames.map(col) :+ col("_change_type")).toSeq: _*)
-      val clustered =
-        if (partCols.isEmpty) ordered
-        else ordered.repartition(partCols.map(col): _*)
+      val clustered = WriteLayout.clusterByPartitions(spark, ordered, partCols)
       val w = clustered.write.mode("append")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(staging)
     }
@@ -1507,9 +1505,7 @@ object DeltaWrite {
     // files = touched partitions instead of tasks x partitions (the
     // small-file explosion measured at sf1 on the generated layout).
     val added = writeStaged(fs, root, destPrefix = "") { staging =>
-      val clustered =
-        if (wparts.isEmpty) wdf
-        else wdf.repartition(wparts.map(org.apache.spark.sql.functions.col): _*)
+      val clustered = WriteLayout.clusterByPartitions(spark, wdf, wparts)
       val writer = clustered.write.mode("append")
       (if (wparts.nonEmpty) writer.partitionBy(wparts: _*) else writer)
         .parquet(staging)
@@ -2080,8 +2076,9 @@ object DeltaWrite {
       else {
         val physParts = partCols.map(p =>
           if (mapped) DeltaScan.physicalName(schema(p)) else p)
-        survivors.select(toPhysical(schema, mapped, schema.fieldNames.toSeq): _*)
-          .repartition(physParts.map(col): _*)
+        WriteLayout.clusterByPartitions(spark,
+          survivors.select(toPhysical(schema, mapped, schema.fieldNames.toSeq): _*),
+          physParts)
           .write.mode("append").partitionBy(physParts: _*).parquet(staging)
       }
     }
@@ -2185,8 +2182,9 @@ object DeltaWrite {
       else {
         val physParts = partCols.map(p =>
           if (mapped) DeltaScan.physicalName(schema(p)) else p)
-        updated.select(toPhysical(schema, mapped, schema.fieldNames.toSeq): _*)
-          .repartition(physParts.map(col): _*)
+        WriteLayout.clusterByPartitions(spark,
+          updated.select(toPhysical(schema, mapped, schema.fieldNames.toSeq): _*),
+          physParts)
           .write.mode("append").partitionBy(physParts: _*).parquet(staging)
       }
     }
@@ -2532,9 +2530,7 @@ object DeltaWrite {
       val added = writeStaged(fs, root, destPrefix = "") { staging =>
         // cluster by partition columns: files = touched partitions,
         // not tasks x partitions (see commit())
-        val clustered =
-          if (physParts.isEmpty) newData
-          else newData.repartition(physParts.map(col): _*)
+        val clustered = WriteLayout.clusterByPartitions(spark, newData, physParts)
         val w = clustered.write.mode("append")
         (if (physParts.nonEmpty) w.partitionBy(physParts: _*) else w).parquet(staging)
       }
@@ -2664,18 +2660,23 @@ object DeltaWrite {
     // row in the directory its re-derived value names)
     val source1 = deriveGenerated(latestMetaNodeAny(spark, fs, tablePath),
       source, Nil)._1
+    // ONE persist of the whole source — the data and tombstone
+    // branches below both filter the same cached rows, so the
+    // (possibly expensive — applyChanges feeds a CDF read + window
+    // here) upstream computes once, not once per branch
+    val sourceP = source1.persist()
     // tombstoned rows contribute only their keys (a delete needs no
     // payload); the data rows must carry the full table schema
     val (srcData0, tombK0) = tombstone match {
-      case scala.None => (source1, scala.None)
+      case scala.None => (sourceP, scala.None)
       case Some(tc) =>
-        require(source1.columns.contains(tc),
+        require(sourceP.columns.contains(tc),
           s"tombstone column '$tc' is not in the merge source")
-        require(source1.schema(tc).dataType == org.apache.spark.sql.types.BooleanType,
+        require(sourceP.schema(tc).dataType == org.apache.spark.sql.types.BooleanType,
           s"tombstone column '$tc' must be BOOLEAN")
         val flag = coalesce(col(tc), lit(false))
-        (source1.filter(!flag).drop(tc),
-          Some(source1.filter(flag).select(keys.map(col): _*)))
+        (sourceP.filter(!flag).drop(tc),
+          Some(sourceP.filter(flag).select(keys.map(col): _*)))
     }
     require(
       schema.fields.map(f => (f.name, f.dataType)).toSeq ==
@@ -2684,8 +2685,8 @@ object DeltaWrite {
         s"the table's ${schema.simpleString}")
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"merge key column '$k' is not in the table schema"))
-    val src = srcData0.persist()
-    val tombKeys = tombK0.map(_.persist())
+    val src = srcData0
+    val tombKeys = tombK0
     try {
       val dataK = src.select(keys.map(col): _*)
       // ONE job for source/tombstone row counts AND the duplicate-key
@@ -2710,35 +2711,40 @@ object DeltaWrite {
       val readV = DeltaScan.latestVersion(spark, tablePath)
       val live = replayActions(spark, fs, tablePath, Some(readV))
         .collect { case (p, true, _, _) => p }
-      val victims =
-        if (live.isEmpty) Seq.empty[String]
-        else liveScan(spark, root, schema, partCols, live, mapped)
-          .join(allK, keys, "left_semi")
-          .agg(collect_set(col("__rel")).as("files"))
-          .head().getSeq[String](0).sorted // [lint:bounded] file-count-bounded set
-      // matched rows live only in victim files by construction
-      def vScan = liveScan(spark, root, schema, partCols, victims, mapped)
-      val (updated, deleted, matchedSrc) =
-        if (victims.isEmpty) (0L, 0L, 0L)
+      // ONE job for the victim-file sweep AND the three merge metrics
+      // (was two: a semi-join collect_set over all live files, then a
+      // victim-only metrics aggregate that re-scanned the victims):
+      // every live row joins its key's flag row (duplicate-free by the
+      // guard above — a key is upserted XOR tombstoned), one global
+      // aggregate yields the matched files, the matched target rows
+      // per kind, and the count of distinct matched source keys
+      // (= matched source ROWS, keys being unique).
+      val (victims, updated, deleted, matchedSrc) =
+        if (live.isEmpty) (Seq.empty[String], 0L, 0L, 0L)
         else {
-          // ONE job for the three merge metrics (was three semi-join
-          // counts): victim rows per key joined to the flagged key set
-          // (duplicate-free by the guard above), one global aggregate.
-          // matched-source = matched source KEYS = matched source rows.
           val srcK = dataK.distinct()
             .withColumn("__s", lit(1)).withColumn("__d", lit(0))
           val keyFlags = tombKeys.fold(srcK)(t => srcK.unionByName(
             t.distinct().withColumn("__s", lit(0)).withColumn("__d", lit(1))))
-          val m = vScan.groupBy(keys.map(col): _*)
-            .agg(count(lit(1)).as("__nt"))
+          // two-level agg, no DISTINCT aggregate (which would plan an
+          // Expand + sort-agg fallback next to collect_set): per-key
+          // row counts + per-key file sets, then one global fold —
+          // each matched key owns exactly one flag row, so the key
+          // count IS the matched-source-key count
+          val m = liveScan(spark, root, schema, partCols, live, mapped)
             .join(keyFlags, keys, "inner")
+            .groupBy((keys.map(col) :+ col("__s") :+ col("__d")): _*)
+            .agg(count(lit(1)).as("__nt"), collect_set(col("__rel")).as("__fk"))
             .agg(
+              array_distinct(flatten(collect_list(col("__fk")))).as("files"),
               coalesce(sum(when(col("__s") === 1, col("__nt"))), lit(0L)),
               coalesce(sum(when(col("__d") === 1, col("__nt"))), lit(0L)),
               coalesce(sum(col("__s").cast("long")), lit(0L)))
-            .head() // [lint:bounded] one metrics row
-          (m.getLong(0), m.getLong(1), m.getLong(2))
+            .head() // [lint:bounded] one metrics row + file-count-bounded set
+          (m.getSeq[String](0).sorted, m.getLong(1), m.getLong(2), m.getLong(3))
         }
+      // matched rows live only in victim files by construction
+      def vScan = liveScan(spark, root, schema, partCols, victims, mapped)
       val inserted = srcRows - matchedSrc
 
       if (victims.isEmpty && srcRows == 0L) return (0L, 0L, 0L)
@@ -2788,9 +2794,7 @@ object DeltaWrite {
       val added = writeStaged(fs, root, destPrefix = "") { staging =>
         // cluster by partition columns: files = touched partitions,
         // not tasks x partitions (see commit())
-        val clustered =
-          if (physParts.isEmpty) newData
-          else newData.repartition(physParts.map(col): _*)
+        val clustered = WriteLayout.clusterByPartitions(spark, newData, physParts)
         val w = clustered.write.mode("append")
         (if (physParts.nonEmpty) w.partitionBy(physParts: _*) else w).parquet(staging)
       }
@@ -2802,7 +2806,7 @@ object DeltaWrite {
           readsWholeTable = true, pred = scala.None)),
         extraActions = cdcLines)
       (updated, inserted, deleted)
-    } finally { src.unpersist(); tombKeys.foreach(_.unpersist()) }
+    } finally sourceP.unpersist()
   }
 
   /** INCREMENTAL CHANGE APPLICATION (the medallion hop): read the
@@ -2832,7 +2836,9 @@ object DeltaWrite {
     val srcApply = last
       .withColumn("__tombstone", col("_change_type") === "delete")
       .drop("_change_type", "_commit_version")
-    if (srcApply.isEmpty) return (0L, 0L, 0L)
+    // no isEmpty pre-check: it cost a full extra CDF-read + window pass
+    // before mergeApply's own (cached) one — mergeInternal returns
+    // (0,0,0) without committing on an empty change set, identically
     mergeApply(spark, targetTable, srcApply, keys, "__tombstone",
       txn = Some((appId, latest)))
   }

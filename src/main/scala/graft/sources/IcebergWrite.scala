@@ -652,9 +652,7 @@ object IcebergWrite {
       // files = touched partitions. Skewed tuples trade write
       // parallelism for file count — the standard partitioned-write
       // contract (Spark's own rebalance does the same).
-      val clustered =
-        if (partCols.isEmpty) derived
-        else derived.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      val clustered = WriteLayout.clusterByPartitions(spark, derived, partCols)
       // HONOR the table's default sort order: each data file's rows
       // sorted by it (prefixing the partition columns keeps the
       // FileFormatWriter's required ordering satisfied, so it adds no
@@ -1841,8 +1839,7 @@ object IcebergWrite {
         }
         // cluster by partition columns: files = touched partitions,
         // not tasks x partitions (see the append path)
-        val clustered = if (partCols.isEmpty) derived
-          else derived.repartition(partCols.map(col): _*)
+        val clustered = WriteLayout.clusterByPartitions(spark, derived, partCols)
         val w = clustered.write.mode("append")
         (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
           .parquet(dataDir.toString)
@@ -1922,8 +1919,7 @@ object IcebergWrite {
       }
       // cluster by partition columns: files = touched partitions,
       // not tasks x partitions (see the append path)
-      val clustered = if (partCols.isEmpty) derived
-        else derived.repartition(partCols.map(col): _*)
+      val clustered = WriteLayout.clusterByPartitions(spark, derived, partCols)
       val w = clustered.write.mode("append")
       (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
         .parquet(dataDir.toString)
@@ -2988,7 +2984,7 @@ object IcebergWrite {
           .join(broadcast(pmap), Seq("__file"))
           .select(col("file_path").as("file_path", fpMeta) +:
             col("pos").as("pos", posMeta) +: partCols.map(col): _*)
-          .repartition(partCols.map(col): _*) // all rows of a partition in one task → one file per touched partition
+          .transform(d => WriteLayout.clusterByPartitions(spark, d, partCols)) // all rows of a partition in one task → one file per touched partition
           .sortWithinPartitions("file_path", "pos")
           .write.partitionBy(partCols: _*).mode("overwrite").parquet(delDir.toString)
       }
