@@ -32,3 +32,30 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Shard the test run across several forked JVMs (round 12): one JVM
+// running every suite took 64 minutes, long enough for this host's
+// vCPU-starvation phases to kill the local-mode executor mid-run
+// (VERIFY_r11 tests_ok=false, exit 56, zero failed assertions).
+// Suites are independent (per-JVM SparkSession via getOrCreate,
+// unique temp dirs, in-memory Derby with unique DB names), so they
+// round-robin into groups that run a few at a time: each JVM's
+// exposure drops to minutes and the wall time shrinks with the
+// parallelism. Group count/concurrency are env-tunable; defaults are
+// sized for the 32-core sandbox (4 JVMs x local[4] executors).
+Test / testGrouping := {
+  val tests = (Test / definedTests).value.sortBy(_.name)
+  val opts = (Test / javaOptions).value.toVector
+  val groups = sys.env.getOrElse("SPARK_GRAFT_TEST_GROUPS", "10").toInt
+  tests.zipWithIndex.groupBy(_._2 % groups).toSeq.sortBy(_._1).map {
+    case (i, ts) =>
+      Tests.Group(
+        s"group$i", ts.map(_._1),
+        Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(32),
+  Tags.limit(
+    Tags.ForkedTestGroup,
+    sys.env.getOrElse("SPARK_GRAFT_TEST_JVMS", "4").toInt),
+)

@@ -258,7 +258,25 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
-    (1 to reps).foreach { _ =>
+    // Stall-aware retry (round 12): a suite pass that lost >5% of its
+    // wall time to host vCPU-starvation stalls is re-run instead of
+    // counted (bounded: 3 extra passes). Min-of-reps sheds short
+    // stalls, but a storm spanning a whole pass poisons every rep of
+    // the queries it covers; retrying the pass re-measures in (with
+    // luck) a quieter window. Discarded passes' timings are STILL fed
+    // into the min (they can only tighten it, never inflate it) — only
+    // the pass budget and the reported stall telemetry treat them as
+    // retries. The metric line's stalls/stall_sec cover the counted
+    // passes (the measurement window that produced the record);
+    // "retries" rides the line when any pass was re-run.
+    var countedStallCount = 0L
+    var countedStallNanos = 0L
+    var passesDone = 0
+    var retries = 0
+    val maxRetries = 3
+    while (passesDone < reps) {
+      val sc0 = stallCount.get(); val sn0 = stallNanos.get()
+      val w0 = System.nanoTime()
       selected.foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
           val t0 = System.nanoTime()
@@ -267,6 +285,15 @@ object Bench {
           val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
           times(name) = t :: times.getOrElse(name, Nil)
         }
+      }
+      val wall = System.nanoTime() - w0
+      val passStalls = stallNanos.get() - sn0
+      if (passStalls > 0.05 * wall && retries < maxRetries) {
+        retries += 1
+      } else {
+        countedStallCount += stallCount.get() - sc0
+        countedStallNanos += passStalls
+        passesDone += 1
       }
     }
     val results = selected.flatMap { name =>
@@ -316,27 +343,40 @@ object Bench {
       .filter(r => baseline16Names(r._1) && r._2 >= 0).map(_._2).sum
     val calSec = math.min(calStart, Bench.calibrationKernel())
 
-    def fmt(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    def line(rs: Seq[(String, Double)], dropped: Int): String = {
+    // Per-query values print at 2 decimals on the metric LINE (round
+    // 12): the driver's stdout tail window is exactly 2000 chars and
+    // 3-decimal entries pushed 53 of 123 queries off the r11 line,
+    // which PERF then misread as "dropped_from_bench". 10 ms quantized
+    // per-query precision costs nothing for regression reading; the
+    // 3-decimal record lives in BENCH_DETAIL.json as before.
+    def fmt(rs: Seq[(String, Double)], dp: Int): String =
+      rs.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, s"%.${dp}f",
+          Double.box(v))
+      }.mkString("{", ",", "}")
+    def line(rs: Seq[(String, Double)], dropped: Int, dp: Int): String = {
       val d = if (dropped == 0) "" else s""","dropped":$dropped"""
-      val st = f""","stalls":${stallCount.get()},"stall_sec":${stallNanos.get() / 1e9}%.1f"""
+      val r = if (retries == 0) "" else s""","retries":$retries"""
+      val st = f""","stalls":$countedStallCount,"stall_sec":${countedStallNanos / 1e9}%.1f"""
       val b16 = f""","baseline16":$baseline16%.3f,"cal_sec":$calSec%.3f"""
-      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":${fmt(rs)}$d$st$b16,"sf":"$sfDir"}"""
+      f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":${fmt(rs, dp)}$d$r$st$b16,"sf":"$sfDir"}"""
     }
     try {
       val detail = new java.io.File("BENCH_DETAIL.json").getAbsoluteFile
       val w = new java.io.PrintWriter(detail, "UTF-8")
       val detailLine =
-        line(results, 0).stripSuffix("}") + s""","queries_full":${fmt(fullTimes)}}"""
+        line(results, 0, 3).stripSuffix("}") +
+          s""","queries_full":${fmt(fullTimes, 3)}}"""
       try w.println(detailLine) finally w.close()
     } catch { case _: Throwable => () } // detail record is best-effort
-    val maxLine = 1800 // 2000-char tail minus sbt's trailer, with margin
+    // 2000-char tail minus sbt's "[success] Total time ..." trailer
+    // (~76 chars) with a small margin
+    val maxLine = 1890
     var kept = results
-    while (line(kept, results.size - kept.size).length > maxLine && kept.nonEmpty)
+    while (line(kept, results.size - kept.size, 2).length > maxLine && kept.nonEmpty)
       kept = kept.sortBy(-_._2).dropRight(1)
     val keptSet = kept.map(_._1).toSet
-    val out = line(results.filter(r => keptSet(r._1)), results.size - kept.size)
+    val out = line(results.filter(r => keptSet(r._1)), results.size - kept.size, 2)
 
     // stop FIRST so no Spark shutdown chatter can land after the
     // metric line — the driver parses the headline JSON from the tail

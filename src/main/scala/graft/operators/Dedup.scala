@@ -340,7 +340,8 @@ object Dedup {
     def eager(d: DataFrame): (DataFrame, DataFrame) = {
       val c = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       c.count()
-      (spark.createDataFrame(c.rdd, c.schema), c)
+      // InternalRow leaf (no Row round-trip per round) — see GraftShim
+      (org.apache.spark.sql.graftshim.GraftShim.internalDf(c), c)
     }
     // undirected edge list, plus self-loops so roots survive aggregation
     val (edges, edgesCache) = eager(

@@ -78,29 +78,49 @@ object Graph {
     import org.apache.spark.storage.StorageLevel
 
     // persist + eager count + LogicalRDD leaf: truncated plan,
-    // releasable cache (see Dedup.dupClustersClosure for the rationale)
-    def eager(d: DataFrame): (DataFrame, DataFrame) = {
+    // releasable cache (see Dedup.dupClustersClosure for the rationale).
+    // Round-12 shape (guide §1 job-count, §2.4 remove shuffles):
+    //  - the leaf wraps the cached plan's InternalRow RDD directly and
+    //    KEEPS its output partitioning (GraftShim.internalDf) — the Row
+    //    round-trip of createDataFrame(c.rdd, …) cost two row
+    //    conversions per read, and the lost partitioning forced the
+    //    rank table through an Exchange on BOTH per-iteration joins;
+    //    with the leaf partitioned by `node`, the contrib join (rank
+    //    aliased to src, co-partitioned with the src-keyed edges) and
+    //    the rank-update join are Exchange-free.
+    //  - the count every eager() already runs is RETURNED, and a probe
+    //    metric can ride that same job as an Observation — no separate
+    //    count/filter jobs for n or the dangling check.
+    def eager(d: DataFrame,
+        obs: Option[(org.apache.spark.sql.Observation, Column)] = scala.None)
+        : (DataFrame, DataFrame, Long) = {
       val c = d.persist(StorageLevel.MEMORY_AND_DISK)
-      c.count()
-      (spark.createDataFrame(c.rdd, c.schema), c)
+      val n = obs match {
+        case Some((o, m)) => c.observe(o, m).count()
+        case scala.None => c.count()
+      }
+      (org.apache.spark.sql.graftshim.GraftShim.internalDf(c), c, n)
     }
 
     val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // edges land in their per-iteration join layout ONCE (src-keyed —
     // the sort-merge path when the rank table outgrows a broadcast)
-    val (e, eCache) = eager(e0.repartition(col("src")))
+    val (e, eCache, _) = eager(e0.repartition(col("src")))
 
     // node set AND outdeg in ONE aggregation (outdeg = # src
     // appearances; pure-dst nodes get 0 = dangling); outdeg rides IN
     // the rank table — static, so the dangling aggregate is a filter
     // and no degree join appears anywhere in the loop. The same eager
-    // count supplies n.
-    val (deg, degCache) = eager(
+    // count supplies n, and the dangling-node existence probe rides the
+    // count job as an observed metric (zero extra jobs).
+    val dangObs = org.apache.spark.sql.Observation()
+    val (deg, degCache, n) = eager(
       e.select(col("src").as("node"), lit(1L).as("o"))
         .union(e.select(col("dst").as("node"), lit(0L).as("o")))
         .groupBy("node")
-        .agg(sum("o").as("outdeg")))
-    val n = degCache.count()
+        .agg(sum("o").as("outdeg")),
+      Some((dangObs,
+        sum(when(col("outdeg") === 0L, 1L).otherwise(0L)).as("dang"))))
     require(n > 0, "pageRank: empty edge list")
 
     val u =
@@ -122,9 +142,10 @@ object Graph {
     // the DANGLING SET is static (outdeg never changes): when it is
     // empty — the common case for symmetrized graphs — the whole
     // per-iteration dangling aggregate is a constant zero and its job
-    // is skipped outright
+    // is skipped outright. Existence came off the deg count's observed
+    // metric above (was a separate limit(1).count() job).
     val hasDangling =
-      ranks.filter(col("outdeg") === 0L).limit(1).count() > 0
+      dangObs.get("dang").asInstanceOf[Long] > 0L
     val zeroDang = spark.sql("SELECT CAST(0 AS DECIMAL(38,0)) AS dangshare")
     var it = 0
     while (it < iters) {
@@ -152,7 +173,7 @@ object Graph {
           (lit(base) + expr(
             s"(${dampingNum}L * (coalesce(insum, cast(0 as decimal(38,0))) " +
               s"+ cast(dangshare as decimal(38,0)))) div ${dampingDen}L")).as("rank"))
-      val (next, nextCache) = eager(stepped)
+      val (next, nextCache, _) = eager(stepped)
       ranksCache.unpersist()
       ranks = next
       ranksCache = nextCache
@@ -196,16 +217,29 @@ object Graph {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val spark = edges.sparkSession
     import org.apache.spark.storage.StorageLevel
-    def eager(d: DataFrame): (DataFrame, DataFrame) = {
+    // InternalRow leaf — see pageRank's eager(): no Row round-trip on
+    // the per-iteration state reads, leaf partitioning preserved, and
+    // an optional probe metric rides the materialization count
+    def eager(d: DataFrame,
+        obs: Option[(org.apache.spark.sql.Observation, Column)] = scala.None)
+        : (DataFrame, DataFrame) = {
       val c = d.persist(StorageLevel.MEMORY_AND_DISK)
-      c.count()
-      (spark.createDataFrame(c.rdd, c.schema), c)
+      obs match {
+        case Some((o, m)) => c.observe(o, m).count()
+        case scala.None => c.count()
+      }
+      (org.apache.spark.sql.graftshim.GraftShim.internalDf(c), c)
     }
     // balls grow along REVERSE edges: B_t(v) unions the sketches of
-    // nodes with an edge INTO v — key the stable layout by dst
+    // nodes with an edge INTO v. The stable layout is keyed by SRC —
+    // the per-iteration JOIN key: the state side arrives co-partitioned
+    // (node aliased to src over the node-keyed leaf), so the join runs
+    // with zero Exchange and only the dst-keyed union aggregation
+    // shuffles each round. (A dst layout bought nothing: the src join
+    // re-shuffled both sides AND the groupBy(dst) still shuffled.)
     val (e, eCache) = eager(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-        .repartition(col("dst")))
+        .repartition(col("src")))
     // B_0(v) = {v}: the groupBy both dedupes the node set and builds
     // each node's singleton sketch in one aggregation
     var (state, stateCache) = eager(
@@ -232,14 +266,16 @@ object Graph {
         .select(col("node"), col("sketch"), col("ball"), col("prev_ball"),
           (col("harmonic") +
             (col("ball") - col("prev_ball")).cast("double") / t).as("harmonic"))
-      val (next, nextCache) = eager(stepped)
-      // convergence check reads the CACHED round (prev_ball rides in the
-      // row) — no join back to the old state, no extra shuffle per round
-      val changed = next.filter(col("ball") =!= col("prev_ball")).limit(1).count()
+      // convergence probe rides the materialization count as an
+      // observed metric (was a separate filter+limit job per round);
+      // prev_ball rides in the row, so no join back to the old state
+      val convObs = org.apache.spark.sql.Observation()
+      val (next, nextCache) = eager(stepped, Some((convObs,
+        sum(when(col("ball") =!= col("prev_ball"), 1L).otherwise(0L)).as("chg"))))
       stateCache.unpersist()
       state = next
       stateCache = nextCache
-      converged = changed == 0
+      converged = convObs.get("chg").asInstanceOf[Long] == 0L
       t += 1
     }
     eCache.unpersist()

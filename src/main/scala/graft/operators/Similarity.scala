@@ -531,8 +531,16 @@ object Similarity {
         "or raise maxQueries explicitly if you accept the job storm")
     val spark = df.sparkSession
     import spark.implicits._
+    // ONE job fetches every query vector (was one filter+head job per
+    // query — a third of the loop's driver jobs for the same rows);
+    // the per-query exact/approx job pair is the loop form's contract
+    val qVecs = df.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col(embCol))
+      .collect() // [lint:bounded] ≤ maxQueries rows
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     val rows = queryIds.map { qid =>
-      val q = df.filter(col(idCol) === qid).select(embCol).head().getSeq[Float](0)
+      val q = qVecs.getOrElse(qid,
+        throw new NoSuchElementException(s"query id $qid not found in corpus"))
       val exact = topKByCosine(df, embCol, q, k, idCol)
         .select(idCol).collect().map(_.getLong(0)).toSet
       val approx = approxOf(q)

@@ -27,6 +27,31 @@ object GraftShim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Wrap a (typically cached) DataFrame in a fresh LogicalRDD leaf
+    * WITHOUT the InternalRow → Row → InternalRow double conversion that
+    * `spark.createDataFrame(df.rdd, df.schema)` pays: `df.rdd` plans a
+    * deserializer to external Rows and createDataFrame re-encodes them,
+    * costing two full row conversions every time the leaf is read.
+    * `internalCreateDataFrame` (private[sql]) builds the leaf over the
+    * InternalRow RDD directly — the iterative operators (PageRank,
+    * HyperBall, label propagation) re-read their persisted state every
+    * round through this leaf, so the conversion tax was per-iteration.
+    * Laziness, cache-eviction recompute-from-lineage, and plan
+    * truncation semantics are identical to the Row round-trip.
+    *
+    * Additionally the leaf KEEPS the frame's physical output
+    * partitioning/ordering and origin stats (`LogicalRDD.fromDataset` —
+    * the same helper `Dataset.checkpoint` uses): a cached iterative
+    * state that is already hash-partitioned by its join key no longer
+    * re-Exchanges when the next round joins on that key. */
+  def internalDf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      cds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD
+        .fromDataset(cds.queryExecution.toRdd, cds, isStreaming = false))
+  }
+
   /** Register a custom Catalyst expression builder as a SQL-callable
     * function on this session (sessionState is private[sql]). */
   def registerFunction(

@@ -20,7 +20,16 @@ trait SparkSpec extends AnyFunSuite {
       // test passed. Longer interval + timeout = same failure
       // semantics on a real hang, immune to transient host stalls.
       .config("spark.executor.heartbeatInterval", "60s")
-      .config("spark.network.timeout", "300s")
+      .config("spark.network.timeout", "1200s")
+      // round 12: the 60s/300s fuse above did NOT survive the driver's
+      // stall profile (120 s stolen CPU; VERIFY_r11 tests_ok=false via
+      // executor exit 56 with zero failed assertions). In local mode
+      // the "executor" and driver share one JVM — a missed heartbeat
+      // can only mean the host stole the CPU, never a lost executor —
+      // so self-killing the JVM on heartbeat failures is pure noise.
+      // Disable the suicide entirely; real hangs still fail via the
+      // driver's own wall-clock gate.
+      .config("spark.executor.heartbeat.maxFailures", "1000000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
