@@ -184,40 +184,58 @@ object TextFns {
 
   // ---- quality scoring -------------------------------------------------
 
+  /** Expression-level LET BINDING: evaluate `value` ONCE per row and
+    * feed every reference inside `f` from the bound lambda variable —
+    * `transform` over a one-element array is the only pure-expression
+    * binder the DSL offers. A Column expression tree has no sharing:
+    * re-using a `val toks = tokens(text)` in k places evaluates the
+    * whole tokenization k times per row (HOFs are CodegenFallback, so
+    * no codegen subexpression elimination saves it either), and the
+    * obvious withColumn materialization gets RE-INLINED when a filter
+    * on the derived column pushes down (PushPredicateThroughNonJoin
+    * substitutes aliases). The binding lives inside the expression, so
+    * it survives pushdown; cost is one 1-element array per row.
+    * Measured on langId (whose argmax tree re-embedded the 6 marker
+    * scores in every branch): ~42 tokenization passes per row → 1. */
+  private[graft] def let1(value: Column, f: Column => Column): Column =
+    element_at(transform(array(value), f), 1)
+
   private val stopwordsEn = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on")
 
   /** stopword hits / token count — prose has ~0.3-0.6, word salad ~0 */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column): Column = let1(tokens(text), { toks =>
     val hits = size(filter(toks, t => t.isin(stopwordsEn.map(lit): _*)))
     when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(lit(0d))
-  }
+  })
 
   /** non-alphanumeric, non-space chars / total chars */
   def punctRatio(text: Column): Column =
-    when(length(text) > 0,
-      (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
-        .cast("double") / length(text))
-      .otherwise(lit(0d))
+    let1(length(text), len =>
+      when(len > 0,
+        (len - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+          .cast("double") / len)
+        .otherwise(lit(0d)))
 
-  def meanWordLen(text: Column): Column = {
-    val toks = tokens(text)
+  /** mean token length over an already-bound token array */
+  private def meanWordLenOf(toks: Column): Column =
     when(size(toks) > 0,
       aggregate(toks, lit(0L), (acc, t) => acc + length(t))
         .cast("double") / size(toks))
       .otherwise(lit(0d))
-  }
+
+  def meanWordLen(text: Column): Column =
+    let1(tokens(text), meanWordLenOf)
 
   /** Composite [0,1] quality score: length sweet-spot, low punctuation,
     * plausible word lengths. Deterministic double arithmetic. */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column = let1(tokens(text), { toks =>
     val lenScore = least(length(text).cast("double") / lit(500d), lit(1d))
     val punctScore = greatest(lit(1d) - punctRatio(text) * 5d, lit(0d))
-    val wordScore = when(
-      meanWordLen(text).between(3d, 9d), lit(1d)).otherwise(lit(0.5d))
+    val wordScore = let1(meanWordLenOf(toks), m =>
+      when(m.between(3d, 9d), lit(1d)).otherwise(lit(0.5d)))
     round((lenScore + punctScore + wordScore) / 3d, 6)
-  }
+  })
 
   // ---- Gopher-style quality rules --------------------------------------
 
@@ -227,10 +245,9 @@ object TextFns {
     * fraction of lines starting with a bullet / ending with an
     * ellipsis, fraction of words with at least one alphabetic char.
     * All codegen'd string/array primitives — fused with the scan. */
-  def gopherStats(text: Column): Column = {
-    val toks = tokens(text)
+  def gopherStats(text: Column): Column = let1(tokens(text), { toks =>
+    let1(filter(split(text, "\n"), l => length(trim(l)) > 0), { lines =>
     val nWords = size(toks)
-    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
     val nLines = size(lines)
     val bulletStart = size(filter(lines, l =>
       trim(l).startsWith("-") || trim(l).startsWith("*") || trim(l).startsWith("•")))
@@ -239,7 +256,7 @@ object TextFns {
     val alphaWords = size(filter(toks, t => t.rlike("[a-z]")))
     struct(
       nWords.cast("long").as("n_words"),
-      round(meanWordLen(text), 6).as("mean_word_len"),
+      round(meanWordLenOf(toks), 6).as("mean_word_len"),
       round(when(nWords > 0, symbolish.cast("double") / nWords).otherwise(0d), 6)
         .as("symbol_ratio"),
       round(when(nLines > 0, bulletStart.cast("double") / nLines).otherwise(0d), 6)
@@ -248,7 +265,8 @@ object TextFns {
         .as("ellipsis_line_ratio"),
       round(when(nWords > 0, alphaWords.cast("double") / nWords).otherwise(0d), 6)
         .as("alpha_word_ratio"))
-  }
+    })
+  })
 
   /** Keep rows passing the published Gopher thresholds (defaults from
     * the paper: 50–100k words, mean word length 3–10, <10% symbol
@@ -263,14 +281,16 @@ object TextFns {
       maxBulletRatio: Double = 0.9,
       maxEllipsisRatio: Double = 0.3,
       minAlphaRatio: Double = 0.8): org.apache.spark.sql.DataFrame = {
-    val s = gopherStats(df.col(textCol))
-    df.filter(
+    // bind the stats struct once: 8 getField references against one
+    // evaluation (unbound, every threshold re-derived its field's whole
+    // subtree — tokenization included — per row)
+    df.filter(let1(gopherStats(df.col(textCol)), s =>
       s.getField("n_words").between(minWords, maxWords) &&
       s.getField("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
       s.getField("symbol_ratio") <= maxSymbolRatio &&
       s.getField("bullet_line_ratio") <= maxBulletRatio &&
       s.getField("ellipsis_line_ratio") <= maxEllipsisRatio &&
-      s.getField("alpha_word_ratio") >= minAlphaRatio)
+      s.getField("alpha_word_ratio") >= minAlphaRatio))
   }
 
   // ---- PII redaction ---------------------------------------------------
@@ -828,19 +848,28 @@ object TextFns {
     "zh" -> Seq("de", "shi", "le", "zai"))
 
   /** Predicted language = argmax of marker-word hit counts (first wins
-    * ties, 'und' = undetermined when no marker hits). One pass over the
-    * token array per language — still narrow/codegen'd. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = langMarkers.map { case (lang, markers) =>
-      lang -> size(filter(toks, t => t.isin(markers.map(lit): _*)))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    val firstMatch = scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
-      when(sc === best && best > 0, lit(lang)).otherwise(acc)
-    }
-    firstMatch
-  }
+    * ties, 'und' = undetermined when no marker hits). Round 12: the
+    * tokenization and the per-language scores are let1-bound — the
+    * naive argmax tree re-embedded `best` (itself all six scores) in
+    * every branch, costing ~42 tokenization passes per row; now one
+    * tokenization + one marker pass per language, with the argmax
+    * reading the bound score array. Values identical by construction
+    * (same subexpressions, evaluated once). */
+  def langId(text: Column): Column = let1(tokens(text), { toks =>
+    val ms = langMarkers.toSeq
+    let1(array(ms.map { case (_, markers) =>
+        size(filter(toks, t => t.isin(markers.map(lit): _*)))
+      }: _*), { scores =>
+      // array_max ≡ the old greatest(...) here: all six elements share
+      // null-ness (all derived from the same token array)
+      val best = array_max(scores)
+      ms.map(_._1).zipWithIndex.foldRight(lit("und")) {
+        case ((lang, i), acc) =>
+          when(element_at(scores, i + 1) === best && best > 0, lit(lang))
+            .otherwise(acc)
+      }
+    })
+  })
 
   // ---- writing-system (script) analysis --------------------------------
 

@@ -146,6 +146,22 @@ object BucketJoin {
       require(lSchema.fieldNames.contains(k) && rSchema.fieldNames.contains(k),
         s"extra join key '$k' must be a column of both tables")
     }
+    // ONE shared broadcast of the whole right side for the broadcast
+    // form: the per-bucket slices all coexisted in memory anyway (the
+    // budget guard above bounds exactly that), so N separate
+    // BroadcastExchanges held the same bytes as one whole-side
+    // broadcast while paying N broadcast-build jobs and N manifest-
+    // subset scans. Every union branch now joins the SAME broadcast
+    // subtree — canonically identical, so ReuseExchange collapses the
+    // build to one job (plan-asserted in BucketJoinSpec). Semantics are
+    // unchanged: bucket k's left rows can only ever match right rows
+    // of bucket k, so probing the whole-side relation returns the
+    // identical pairs, and null right keys never equi-match. The
+    // fact side still reads per-bucket with zero Exchange.
+    val rAllBroadcast =
+      if (!doBroadcast) scala.None
+      else Some(broadcast(side(rPlanned,
+        rightByBucket.valuesIterator.flatten.toSeq)))
     def piece(b: Option[Int]): DataFrame = {
       // null keys never equi-match: scan a null partition only on the
       // side(s) the join type preserves
@@ -154,8 +170,18 @@ object BucketJoin {
       val rFiles = if (b.isDefined || jt == "right" || jt == "full")
         rightByBucket.getOrElse(b, Seq.empty) else Seq.empty
       val l = side(lPlanned, lFiles)
-      val r0 = side(rPlanned, rFiles)
-      val r = if (doBroadcast) broadcast(r0) else r0
+      val r = rAllBroadcast match {
+        // inner/left with an EMPTY right bucket: the branch exists only
+        // to preserve left rows (left join) — joining the whole-side
+        // broadcast would fabricate matches bucket k does not have.
+        // Guarded: inner skips those buckets entirely (see `buckets`),
+        // and a left-join branch with no right files keeps the empty
+        // right so its rows surface with null right columns, as before.
+        case Some(rb) if rFiles.nonEmpty => rb
+        case _ =>
+          val r0 = side(rPlanned, rFiles)
+          if (doBroadcast) broadcast(r0) else r0
+      }
       l.join(r, joinCols, jt)
     }
     val pieces = buckets.map(piece)

@@ -39,6 +39,23 @@ class BucketJoinSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucket-aligned join must not shuffle:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    // round 12: every union branch probes the SAME whole-right-side
+    // broadcast — the subtrees are canonically identical, so AQE's
+    // stage cache materializes ONE broadcast stage and every other
+    // branch reuses it (N broadcast-build jobs collapse to one with
+    // the same live bytes). Visible only in the executed final plan:
+    // all BroadcastQueryStage occurrences carry the same stage id.
+    joined.collect()
+    val finalLines = joined.queryExecution.executedPlan.toString.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).mkString("\n")
+    // a ReusedExchange line repeats the exchange description it points
+    // at — count builds only on lines that are not reuses
+    val builds = finalLines.linesIterator.count(l =>
+      l.contains("BroadcastExchange") && !l.contains("ReusedExchange"))
+    val reused = finalLines.linesIterator.count(_.contains("ReusedExchange"))
+    assert(builds == 1 && reused >= 1,
+      s"expected one shared broadcast build + reuses, got builds=$builds " +
+        s"reused=$reused:\n$finalLines")
   }
 
   test("bucket-aligned left join keeps unmatched and null-key fact rows") {
