@@ -176,8 +176,32 @@ object SparkEntry {
     bb.array()
   }
 
-  private def t(s: SparkSession, dir: String, name: String): TidierFrame =
-    Tidier.read(s, s"$dir/$name.parquet")
+  /** Parquet footer SCHEMA memo for the fixture tables, keyed by
+    * (qualified path, mtime, length, nanosAsLong). Metadata only — the
+    * catalog analog (a deployed table's schema comes from the catalog,
+    * not per-query footer inference): every action still plans and
+    * scans the parquet data fresh; no rows, results, or intermediates
+    * are ever memoized. Rationale (guide §1/§6): `spark.read.parquet`
+    * schema inference launches a footer-reading job costing a measured
+    * ~100–250 ms per call even warm, and the bench suite makes ~200
+    * `t()` calls per pass — tens of seconds of pure re-inference of
+    * schemas that cannot have changed (the mtime/length key invalidates
+    * the entry if the fixture ever does change). */
+  private val tSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, String), org.apache.spark.sql.types.StructType]()
+
+  private def t(s: SparkSession, dir: String, name: String): TidierFrame = {
+    val pathStr = s"$dir/$name.parquet"
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val nanosConf = s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val key = (fs.makeQualified(p).toString, st.getModificationTime, st.getLen,
+      nanosConf)
+    val sch = tSchemaCache.computeIfAbsent(key,
+      _ => s.read.parquet(pathStr).schema)
+    Tidier.from(s.read.schema(sch).parquet(pathStr))
+  }
 
   /** events.parquet stores ts as TIMESTAMP(NANOS); with
     * spark.sql.legacy.parquet.nanosAsLong=true it scans as LongType
